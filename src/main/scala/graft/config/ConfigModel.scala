@@ -1,0 +1,208 @@
+package graft.config
+
+import scala.jdk.CollectionConverters._
+
+/** Typed model of the job-spec surface described by the reference's
+  * README config table (`/root/reference/README.md:29-61`) and realized in
+  * `glue/glue_etl_framework.py:363-436` (YAML parse + dispatch).
+  *
+  * Design (SURVEY.md §7 module 1): a sealed-trait ADT instead of a raw
+  * dict; `{var}` interpolation is a pure Map substitution (no globals —
+  * the reference injects variables into Python `globals()`,
+  * `glue_etl_framework.py:20-34`), and unknown variables are a hard error
+  * (the reference silently swallows them, SURVEY Appendix Q6).
+  */
+sealed trait SourceSpec
+object SourceSpec {
+  /** File scan: reference A1 (`glue_etl_framework.py:81-102`). */
+  final case class File(location: String, format: String,
+                        options: Map[String, String]) extends SourceSpec
+  /** Catalog scan: reference A2 (`glue_etl_framework.py:105-116`).
+    * `table` defaults to the view name (Appendix Q8 adds the override). */
+  final case class Catalog(database: String, table: String) extends SourceSpec
+  /** JDBC scan: reference A3 is a stub (`glue_etl_framework.py:119-120`);
+    * we implement it for real. */
+  final case class Jdbc(url: String, database: String, table: String,
+                        options: Map[String, String]) extends SourceSpec
+}
+
+final case class InputTable(name: String, source: SourceSpec)
+
+sealed trait Refresh
+object Refresh {
+  /** Purge-then-write, the default (`glue_etl_framework.py:212-219`). */
+  case object Full extends Refresh
+  /** Append without purge (`glue_etl_framework.py:217,240`). */
+  case object Incremental extends Refresh
+  def parse(s: String): Refresh = s.trim.toLowerCase match {
+    case "" | "full"    => Full
+    case "incremental"  => Incremental
+    case other => throw new ConfigError(s"unknown refresh mode '$other'")
+  }
+}
+
+sealed trait TargetSpec
+object TargetSpec {
+  final case class File(location: String) extends TargetSpec
+  final case class Catalog(database: String, governed: Boolean) extends TargetSpec
+}
+
+/** Output table: reference A8-A16 (`glue_etl_framework.py:190-275`). */
+final case class OutputTable(
+    name: String,
+    target: TargetSpec,
+    format: String = "parquet",
+    options: Map[String, String] = Map.empty,
+    refresh: Refresh = Refresh.Full,
+    partitionKeys: Seq[String] = Nil,
+    repartition: Option[Int] = None,
+    coalesce: Option[Int] = None)
+
+sealed trait JobType
+object JobType {
+  case object SparkSql extends JobType
+  /** Script job: reference A17 (`glue_etl_framework.py:279-309`), realized
+    * as a reflection-loaded class instead of `exec()`. */
+  case object Script extends JobType
+}
+
+final case class JobSpec(
+    name: String,
+    jobType: JobType,
+    sparkConfig: Map[String, String],
+    variables: Map[String, Map[String, String]], // pipeline -> vars
+    inputTables: Seq[InputTable],
+    outputTable: Option[OutputTable],
+    sql: Option[String],
+    sqlFile: Option[String],
+    scriptClass: Option[String]) {
+
+  /** Variables for one pipeline; error on unknown pipeline (the reference
+    * indexes the dict directly, `glue_etl_framework.py:413-415`). */
+  def varsFor(pipeline: String): Map[String, String] =
+    variables.getOrElse(pipeline,
+      if (variables.isEmpty) Map.empty
+      else throw new ConfigError(s"pipeline '$pipeline' not in variables ${variables.keySet}"))
+}
+
+final class ConfigError(msg: String) extends RuntimeException(msg)
+
+/** `{var}` interpolation over config values and SQL text — reference A6/A20
+  * (`glue_etl_framework.py:36-48,171-178`). Unlike the reference we do NOT
+  * collapse whitespace or swap quotes (Appendix Q1/Q2 — those corrupt `--`
+  * comments and quoted literals), and unknown `{name}` is a named error
+  * rather than a silent no-op (Q6). `{{`/`}}` escape a literal brace, so
+  * SQL containing `format_string('{}')`-style text can be written. */
+object Interpolate {
+  private val Var = raw"\{([A-Za-z_][A-Za-z0-9_]*)\}".r
+  def apply(text: String, vars: Map[String, String]): String = {
+    val protectedText = text.replace("{{", "\u0001").replace("}}", "\u0002")
+    val out = Var.replaceAllIn(protectedText, m =>
+      vars.get(m.group(1)) match {
+        case Some(v) => scala.util.matching.Regex.quoteReplacement(v)
+        case None => throw new ConfigError(
+          s"unknown variable '{${m.group(1)}}' (have: ${vars.keySet.toSeq.sorted.mkString(", ")})")
+      })
+    out.replace("\u0001", "{").replace("\u0002", "}")
+  }
+}
+
+/** YAML → JobSpec. Names, sources and targets are lowercased to match the
+  * reference's case folding (`glue_etl_framework.py:66-67,190-195`,
+  * Appendix Q9); variable VALUES are left untouched. */
+object ConfigParser {
+  private def asMap(v: Any, ctx: String): Map[String, Any] = v match {
+    case m: java.util.Map[_, _] =>
+      m.asScala.map { case (k, vv) => k.toString -> vv }.toMap
+    case null  => Map.empty
+    case other => throw new ConfigError(s"$ctx: expected mapping, got ${other.getClass.getSimpleName}")
+  }
+  private def asList(v: Any, ctx: String): Seq[Any] = v match {
+    case l: java.util.List[_] => l.asScala.toSeq
+    case null => Nil
+    case other => throw new ConfigError(s"$ctx: expected list, got ${other.getClass.getSimpleName}")
+  }
+  private def str(m: Map[String, Any], k: String): Option[String] =
+    m.get(k).filter(_ != null).map(_.toString)
+  private def strMap(v: Any, ctx: String): Map[String, String] =
+    asMap(v, ctx).map { case (k, vv) => k -> String.valueOf(vv) }
+
+  def parse(yamlText: String): JobSpec = {
+    val root = asMap(new org.yaml.snakeyaml.Yaml().load[Any](yamlText), "config root")
+
+    val job = asMap(root.getOrElse("job", null), "job")
+    val jobType = str(job, "type").map(_.toLowerCase) match {
+      case Some("spark-sql") => JobType.SparkSql
+      // reference: `python-script` (README.md:35); ours runs a JVM class.
+      case Some("python-script") | Some("script") => JobType.Script
+      case Some(other) => throw new ConfigError(s"unknown job.type '$other'")
+      case None => throw new ConfigError("job.type is required")
+    }
+    // job.spark_config / spark-config: YAML list of single-entry maps
+    // (README.md:36) or a plain map — accept both.
+    val sparkConf = job.get("spark_config").orElse(job.get("spark-config")) match {
+      case Some(l: java.util.List[_]) =>
+        asList(l, "spark_config").flatMap(e => strMap(e, "spark_config entry")).toMap
+      case Some(m: java.util.Map[_, _]) => strMap(m, "spark_config")
+      case _ => Map.empty[String, String]
+    }
+
+    val variables = asMap(root.getOrElse("variables", null), "variables")
+      .map { case (p, v) => p -> strMap(v, s"variables.$p") }
+
+    val inputs = asList(root.getOrElse("input_tables", null), "input_tables").map { e =>
+      val t = asMap(e, "input_tables entry")
+      val name = str(t, "name").getOrElse(throw new ConfigError("input table: name required"))
+        .toLowerCase
+      val fmtOpts = t.get("format_options").map(strMap(_, "format_options")).getOrElse(Map.empty)
+      val source = str(t, "source").getOrElse("s3").toLowerCase match {
+        case "s3" | "file" => SourceSpec.File(
+          str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
+          str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts)
+        case "gdc" | "catalog" => SourceSpec.Catalog(
+          str(t, "database").getOrElse(throw new ConfigError(s"input '$name': database required for gdc source")),
+          str(t, "table").getOrElse(name))
+        case "jdbc" => SourceSpec.Jdbc(
+          str(t, "url").getOrElse(throw new ConfigError(s"input '$name': url required for jdbc source")),
+          str(t, "database").getOrElse(""), str(t, "table").getOrElse(name), fmtOpts)
+        case other => throw new ConfigError(s"input '$name': unknown source '$other'")
+      }
+      InputTable(name, source)
+    }
+
+    val output = root.get("output_table").filter(_ != null).map { o =>
+      val t = asMap(o, "output_table")
+      val name = str(t, "name").getOrElse(throw new ConfigError("output_table.name required")).toLowerCase
+      val target = str(t, "target").getOrElse("s3").toLowerCase match {
+        case "s3" | "file" => TargetSpec.File(
+          str(t, "location").getOrElse(throw new ConfigError("output_table.location required for s3 target")))
+        case "gdc" | "catalog" => TargetSpec.Catalog(
+          str(t, "database").getOrElse(throw new ConfigError("output_table.database required for gdc target")),
+          governed = str(t, "governed").exists(v => Set("yes", "true").contains(v.toLowerCase)))
+        case other => throw new ConfigError(s"unknown target '$other'")
+      }
+      OutputTable(
+        name = name,
+        target = target,
+        // reference default output format `glueparquet` → parquet (Q11)
+        format = str(t, "format").getOrElse("parquet").toLowerCase match {
+          case "glueparquet" => "parquet"; case f => f },
+        options = t.get("format_options").map(strMap(_, "format_options")).getOrElse(Map.empty),
+        refresh = Refresh.parse(str(t, "refresh").getOrElse("full")),
+        partitionKeys = str(t, "partition_keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        repartition = str(t, "repartition").map(_.toInt).filter(_ > 0),
+        coalesce = str(t, "coalesce").map(_.toInt).filter(_ > 0))
+    }
+
+    JobSpec(
+      name = str(job, "name").getOrElse("graft-job"),
+      jobType = jobType,
+      sparkConfig = sparkConf,
+      variables = variables,
+      inputTables = inputs,
+      outputTable = output,
+      sql = str(root, "sql"),
+      sqlFile = str(root, "sql_file"),
+      scriptClass = str(root, "python_file").orElse(str(root, "script_class")))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join (SURVEY.md §2B B8): for each left row, attach the latest
+  * right row whose timestamp is at-or-before the left timestamp, per key.
+  *
+  * Implementation is the scale-friendly union+window form rather than a
+  * range join: tag both sides, union, sort by (keys, ts, side) once, and
+  * carry the right side's values forward with `last(_, ignoreNulls)` over
+  * an unbounded-preceding frame. Cost: ONE shuffle on the keys and a
+  * partition-local sort — no cartesian candidate blow-up, no skew from
+  * wide time bands; at 100 TB this is the same shape as a sort-merge
+  * join. (A native Catalyst `SparkStrategy` would only change the
+  * operator name, not the data movement.)
+  *
+  * Ties: a right row at exactly left.ts matches (>= semantics, same as
+  * DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`), implemented by sorting the
+  * right-side tag before the left at equal timestamps.
+  */
+object AsOfJoin {
+
+  /** @param left     probe side; all its columns are preserved
+    * @param right    reference side; its non-key, non-ts columns are
+    *                 appended (null when no earlier right row exists)
+    * @param keys     equi-join key columns present on both sides
+    * @param leftTs   event-time column on `left`
+    * @param rightTs  event-time column on `right` */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTs: String, rightTs: String): DataFrame = {
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"as-of join: right value columns ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
+
+    // Common layout: keys ++ ts ++ side ++ left-cols ++ right-cols
+    val lPart = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        leftCols.map(col) ++ valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val rPart = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ valueCols.map(col): _*)
+
+    // side=0 (right) sorts before side=1 (left) at equal ts → ">=" match.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = lPart.unionByName(rPart)
+      .select(Seq(col("__side")) ++ keys.map(col) ++ leftCols.map(col) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+
+    carried.filter(col("__side") === 1).drop("__side")
+  }
+
+  /** Convenience overload when both sides share the time column name. */
+  def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
+            tsCol: String): DataFrame = join(left, right, keys, tsCol, tsCol)
+}

@@ -1,0 +1,585 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** One query definition: Spark implementation + optional DuckDB oracle.
+  * Column names are aligned between both sides — the driver's compare
+  * sorts columns by name before hashing. */
+final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[String] = None)
+
+/** The delegated-SQL correctness surface: one query per SURVEY.md §2B row
+  * (B1–B33). The reference reaches all of these through its single
+  * `spark.sql(SELECT)` dispatch (`glue/glue_etl_framework.py:60`); our
+  * engine reaches them through the same Catalyst surface, expressed
+  * DataFrame-first. Oracles are DuckDB-dialect SQL over the same parquet
+  * tables (dialect drift handled per SURVEY §7 risk 5: same semantics,
+  * per-dialect spelling).
+  *
+  * Numeric hygiene: double aggregates are `round`ed (sum→2dp, avg/corr→6dp)
+  * on BOTH sides, because Spark and DuckDB accumulate floating point in
+  * different orders; counts/keys stay exact integers. DuckDB `sum(int)`
+  * returns HUGEINT and `ceil(double)` returns DOUBLE where Spark returns
+  * BIGINT — oracles CAST to align.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    s.read.parquet(s"$dir/$n.parquet")
+
+  /** Register all star-schema tables as temp views for SQL-text queries. */
+  private def views(s: SparkSession, dir: String): Unit =
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+      .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+
+  val all: Seq[(String, Q)] = Seq(
+
+    // B1 projection: select list, aliases, expression eval
+    "q01_project" -> Q(
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"),
+        upper(col("l_returnflag")).as("flag")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice * (1.0 - l_discount), 2) AS net_price,
+             upper(l_returnflag) AS flag FROM lineitem""")),
+
+    // B2 filter: comparison, AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL
+    "q02_filter" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity").between(10, 20)
+          && col("l_returnflag").isin("A", "R")
+          && col("l_shipdate") > lit("1995-06-01").cast("timestamp")
+          && !col("l_linestatus").like("O%")
+          && col("l_tax").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             WHERE l_quantity BETWEEN 10 AND 20 AND l_returnflag IN ('A','R')
+             AND l_shipdate > TIMESTAMP '1995-06-01'
+             AND l_linestatus NOT LIKE 'O%' AND l_tax IS NOT NULL""")),
+
+    // B3 inner equi-join, n-way (README Example-1 shape: revenue rollup
+    // across the join graph). Dims are explicitly broadcast — at 100 TB
+    // region/nation stay KB-sized while lineitem/orders shuffle on key.
+    "q03_join_inner" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem"); val o = t(s, d, "orders")
+        val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+               count(lit(1)).as("n_items"))
+      },
+      Some("""SELECT r_name,
+             round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY r_name""")),
+
+    // B4 left outer join: unmatched left rows null-padded
+    "q04_join_left" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val big = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+        c.join(big, c("c_custkey") === big("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_big"),
+               round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_big,
+             round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+             FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+             ON c_custkey = o_custkey GROUP BY c_custkey""")),
+
+    // B4 full outer join: unmatched rows on both sides
+    "q04b_join_full" -> Q(
+      (s, d) => {
+        val cs = t(s, d, "customer").filter(col("c_nationkey") < 10)
+          .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+        val sp = t(s, d, "supplier").filter(col("s_nationkey") > 5)
+          .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+        cs.join(sp, cs("c_nationkey") === sp("s_nationkey"), "full")
+          .select(coalesce(cs("c_nationkey"), sp("s_nationkey")).as("nk"),
+                  coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+                  coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      },
+      Some("""SELECT coalesce(c.k, s.k) AS nk,
+             coalesce(c.n_cust, 0) AS n_cust, coalesce(s.n_supp, 0) AS n_supp FROM
+             (SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n_cust FROM customer WHERE c_nationkey < 10 GROUP BY 1) c
+             FULL JOIN
+             (SELECT s_nationkey AS k, CAST(count(*) AS BIGINT) AS n_supp FROM supplier WHERE s_nationkey > 5 GROUP BY 1) s
+             ON c.k = s.k""")),
+
+    // B5 cross join (cartesian)
+    "q05_cross_join" -> Q(
+      (s, d) => t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select(col("r_name"), col("n_name")),
+      Some("SELECT r_name, n_name FROM region CROSS JOIN nation")),
+
+    // B6 semi/anti join: EXISTS and NOT EXISTS
+    "q06_semi_anti" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        val finished = o.filter(col("o_orderstatus") === "F")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .join(finished, col("c_custkey") === finished("o_custkey"), "left_anti")
+          .select(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey FROM customer c
+             WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+             AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F')""")),
+
+    // B7 theta join: equi key + inequality residual — the scalable shape
+    // (hash/SMJ on the equi part, residual as post-join filter), not a
+    // cartesian product.
+    "q07_theta_join" -> Q(
+      (s, d) => {
+        val sup = t(s, d, "supplier"); val c = t(s, d, "customer")
+        sup.join(c, sup("s_nationkey") === c("c_nationkey")
+                    && sup("s_acctbal") < c("c_acctbal"))
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_richer"), round(max(col("c_acctbal")), 2).as("max_bal"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_richer, round(max(c_acctbal), 2) AS max_bal
+             FROM supplier JOIN customer
+             ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal
+             GROUP BY s_suppkey""")),
+
+    // B8 as-of join (via graft.operators.AsOfJoin — union + running
+    // last_value, one sort-shuffle, no range-join explosion; SURVEY B8).
+    // For each click, the latest error at-or-before it for the same user.
+    "q08_asof_join" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value").as("err_value"))
+        graft.operators.AsOfJoin.join(clicks, errors, Seq("user_id"), "ts", "ts")
+          .select(col("event_id"), col("user_id"), col("err_value"))
+      },
+      Some("""SELECT c.event_id, c.user_id, e.value AS err_value
+             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+             ON c.user_id = e.user_id AND c.ts >= e.ts""")),
+
+    // B9 grouped aggregation (TPC-H Q1 shape) incl. count distinct,
+    // stddev, corr, covar
+    "q09_agg_groupby" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_price"),
+             round(avg(col("l_discount")), 6).as("avg_disc"),
+             count(lit(1)).as("n_rows"),
+             countDistinct(col("l_orderkey")).as("n_orders"),
+             round(stddev(col("l_quantity")), 4).as("sd_qty"),
+             round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp")),
+      Some("""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(avg(l_discount), 6) AS avg_disc,
+             count(*) AS n_rows,
+             CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+             round(stddev(l_quantity), 4) AS sd_qty,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+             FROM lineitem GROUP BY l_returnflag, l_linestatus""")),
+
+    // B10 global aggregate (no GROUP BY)
+    "q10_agg_global" -> Q(
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        sum(col("l_quantity")).as("sum_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price")),
+      Some("""SELECT count(*) AS n_rows,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+             sum(l_quantity) AS sum_qty,
+             round(min(l_extendedprice), 2) AS min_price,
+             round(max(l_extendedprice), 2) AS max_price FROM lineitem""")),
+
+    // B11 ROLLUP (multi-grouping via Catalyst Expand) + grouping()
+    "q11_rollup" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer"); val n = t(s, d, "nation"); val r = t(s, d, "region")
+        c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .rollup(col("r_name"), col("n_name"))
+          .agg(round(sum(col("c_acctbal")), 2).as("bal"),
+               count(lit(1)).as("n"),
+               grouping(col("n_name")).cast("int").as("g_nation"))
+      },
+      Some("""SELECT r_name, n_name, round(sum(c_acctbal), 2) AS bal, count(*) AS n,
+             CAST(GROUPING(n_name) AS INT) AS g_nation
+             FROM customer JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // B12 HAVING (post-aggregation filter)
+    "q12_having" -> Q(
+      (s, d) => t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+        .filter(col("n_orders") > 5),
+      Some("""SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS spend
+             FROM orders GROUP BY o_custkey HAVING count(*) > 5""")),
+
+    // B13 DISTINCT
+    "q13_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"), col("l_suppkey")).distinct(),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus, l_suppkey FROM lineitem")),
+
+    // B14 exact count distinct (oracle-checked); the approx variant is
+    // q14b below (HLL++ is engine-specific → rows-only check).
+    "q14_count_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_orderkey"), col("l_linenumber")).as("n_lines")),
+      Some("""SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+             CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_lines
+             FROM lineitem GROUP BY l_returnflag""")),
+
+    // B14 approx_count_distinct (HLL++) — no cross-engine oracle; bounds
+    // asserted in ScalaTest instead.
+    "q14b_approx_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("apx_parts"))),
+
+    // B15 ranking window functions (row_number/rank/dense_rank/ntile/
+    // percent_rank); deterministic ORDER BY tiebreak on the key.
+    "q15_window_rank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        t(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("nt", ntile(4).over(w))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("o_orderkey"), col("rn"), col("rnk"),
+                  col("drnk"), col("nt"), col("pr"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, rn, rnk, drnk, nt, pr FROM (
+             SELECT o_custkey, o_orderkey,
+             row_number() OVER w AS rn, rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk, ntile(4) OVER w AS nt,
+             round(percent_rank() OVER w, 6) AS pr
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+             ) WHERE rn <= 3""")),
+
+    // B16 analytic window functions: lag/lead/first_value/last_value
+    "q16_window_analytic" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d, "orders")
+          .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+          .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+          .withColumn("first_key", first(col("o_orderkey")).over(w))
+          .withColumn("last_key", last(col("o_orderkey")).over(wFull))
+          .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+                  col("next_price"), col("first_key"), col("last_key"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+             round(lead(o_totalprice, 1) OVER w, 2) AS next_price,
+             first_value(o_orderkey) OVER w AS first_key,
+             last_value(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)""")),
+
+    // B17 window aggregates with explicit frames (running + moving)
+    "q17_window_frame" -> Q(
+      (s, d) => {
+        val order = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        t(s, d, "lineitem")
+          .withColumn("running_qty",
+            sum(col("l_quantity")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("mov_avg",
+            round(avg(col("l_extendedprice")).over(order.rowsBetween(-2, 0)), 2))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+                  col("running_qty"), col("mov_avg"))
+      },
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+             round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+             FROM lineitem""")),
+
+    // B18 global ORDER BY — verified via a global row_number so the total
+    // order itself is hashed, not just the row set.
+    "q18_orderby" -> Q(
+      (s, d) => t(s, d, "customer")
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+        .select(col("rn"), col("c_custkey")),
+      Some("""SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
+             c_custkey FROM customer""")),
+
+    // B19 top-k: ORDER BY + LIMIT → TakeOrderedAndProject
+    "q19_limit_topk" -> Q(
+      (s, d) => t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc).limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price")),
+      Some("""SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")),
+
+    // B20 set operations: UNION / UNION ALL / INTERSECT / EXCEPT
+    "q20_setops" -> Q(
+      (s, d) => {
+        val rich = t(s, d, "customer").filter(col("c_acctbal") > 9000)
+          .select(col("c_nationkey").as("nk"))
+        val supp = t(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        val both = rich.intersect(supp)
+        rich.union(supp).distinct()
+          .except(rich.except(supp))
+          .unionAll(both)
+      },
+      Some("""WITH rich AS (SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000),
+             supp AS (SELECT s_nationkey AS nk FROM supplier),
+             u AS (SELECT DISTINCT nk FROM (SELECT nk FROM rich UNION SELECT nk FROM supp)),
+             ex AS (SELECT nk FROM u EXCEPT (SELECT nk FROM rich EXCEPT SELECT nk FROM supp))
+             SELECT nk FROM ex UNION ALL (SELECT nk FROM rich INTERSECT SELECT nk FROM supp)""")),
+
+    // B21 CTEs + scalar subqueries (uncorrelated and correlated)
+    "q21_cte_subquery" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH nat_avg AS (
+             SELECT c_nationkey, avg(c_acctbal) AS nav FROM customer GROUP BY c_nationkey)
+           SELECT c.c_custkey, c.c_nationkey FROM customer c
+           JOIN nat_avg a ON a.c_nationkey = c.c_nationkey
+           WHERE c.c_acctbal > a.nav
+             AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""") },
+      Some("""WITH nat_avg AS (
+             SELECT c_nationkey, avg(c_acctbal) AS nav FROM customer GROUP BY c_nationkey)
+             SELECT c.c_custkey, c.c_nationkey FROM customer c
+             JOIN nat_avg a ON a.c_nationkey = c.c_nationkey
+             WHERE c.c_acctbal > a.nav
+             AND c.c_acctbal > (SELECT avg(c_acctbal) FROM customer)""")),
+
+    // B22 conditionals: CASE / COALESCE / NULLIF / GREATEST / LEAST
+    "q22_case_when" -> Q(
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("bucket"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status2"),
+        round(greatest(col("o_totalprice"), lit(50000.0)), 2).as("floor_price"),
+        least(col("o_custkey"), col("o_orderkey")).as("min_key")),
+      Some("""SELECT o_orderkey,
+             CASE WHEN o_totalprice > 300000 THEN 'high'
+                  WHEN o_totalprice > 100000 THEN 'mid' ELSE 'low' END AS bucket,
+             coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2,
+             round(greatest(o_totalprice, 50000.0), 2) AS floor_price,
+             least(o_custkey, o_orderkey) AS min_key FROM orders""")),
+
+    // B23 casts & literals (no double→int casts: Spark truncates, DuckDB
+    // rounds — SURVEY §7 risk 5)
+    "q23_cast" -> Q(
+      (s, d) => t(s, d, "lineitem").select(
+        col("l_orderkey").cast("string").as("key_str"),
+        col("l_quantity").cast("int").as("qty_int"), // integer-valued double: exact
+        col("l_shipdate").cast("date").as("ship_date"),
+        col("l_extendedprice").cast("decimal(14,2)").as("price_dec"),
+        col("l_linenumber").cast("double").as("ln_dbl"),
+        lit("42").cast("int").as("lit_int")),
+      Some("""SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+             CAST(l_quantity AS INT) AS qty_int,
+             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(l_extendedprice AS DECIMAL(14,2)) AS price_dec,
+             CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+             CAST('42' AS INT) AS lit_int FROM lineitem""")),
+
+    // B24 string functions
+    "q24_string_fns" -> Q(
+      (s, d) => t(s, d, "customer").select(
+        col("c_custkey"),
+        length(col("c_name")).as("name_len"),
+        upper(col("c_name")).as("uname"),
+        lower(col("c_mktsegment")).as("lseg"),
+        substring(col("c_name"), 1, 8).as("prefix"),
+        trim(col("c_name")).as("trimmed"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("no_digits"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"),
+        instr(col("c_name"), "1").as("pos1"),
+        levenshtein(col("c_mktsegment"), lit("BUILDING")).as("lev"),
+        format_string("%08d", col("c_custkey")).as("fmt")),
+      Some("""SELECT c_custkey, CAST(length(c_name) AS INT) AS name_len,
+             upper(c_name) AS uname, lower(c_mktsegment) AS lseg,
+             substring(c_name, 1, 8) AS prefix, trim(c_name) AS trimmed,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+             regexp_replace(c_name, '[0-9]+', '#', 'g') AS no_digits,
+             concat_ws('|', c_mktsegment, c_name) AS joined,
+             CAST(instr(c_name, '1') AS INT) AS pos1,
+             CAST(levenshtein(c_mktsegment, 'BUILDING') AS INT) AS lev,
+             printf('%08d', c_custkey) AS fmt FROM customer""")),
+
+    // B25 math functions (transcendentals rounded: libm last-ulp drift)
+    "q25_math_fns" -> Q(
+      (s, d) => t(s, d, "part").select(
+        col("p_partkey"),
+        abs(col("p_retailprice") - 1000).as("dist"),
+        round(col("p_retailprice"), 1).as("r1"),
+        ceil(col("p_retailprice")).as("ceil_p"),   // Spark: BIGINT
+        floor(col("p_retailprice")).as("floor_p"),
+        round(pow(col("p_size"), 2), 1).as("size_sq"),
+        round(sqrt(col("p_retailprice")), 6).as("sq"),
+        round(exp(col("p_size") / lit(25.0)), 6).as("ex"),
+        round(log(col("p_retailprice")), 6).as("lnp"),
+        round(log10(col("p_retailprice")), 6).as("l10"),
+        (col("p_size") % 7).as("m7"),
+        signum(col("p_retailprice") - 1500).cast("int").as("sgn"),
+        round(sin(col("p_size")), 6).as("sn")),
+      Some("""SELECT p_partkey, abs(p_retailprice - 1000) AS dist,
+             round(p_retailprice, 1) AS r1,
+             CAST(ceil(p_retailprice) AS BIGINT) AS ceil_p,
+             CAST(floor(p_retailprice) AS BIGINT) AS floor_p,
+             round(pow(p_size, 2), 1) AS size_sq,
+             round(sqrt(p_retailprice), 6) AS sq,
+             round(exp(p_size / 25.0), 6) AS ex,
+             round(ln(p_retailprice), 6) AS lnp,
+             round(log10(p_retailprice), 6) AS l10,
+             p_size % 7 AS m7,
+             CAST(sign(p_retailprice - 1500) AS INT) AS sgn,
+             round(sin(p_size), 6) AS sn FROM part""")),
+
+    // B26 date/time functions
+    "q26_date_fns" -> Q(
+      (s, d) => t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        quarter(col("o_orderdate")).as("qtr"),
+        hour(col("o_orderdate")).as("hr"),
+        date_trunc("month", col("o_orderdate")).as("mstart"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dstr"),
+        datediff(lit("1998-01-01").cast("date"), col("o_orderdate")).as("days_to_98"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        last_day(col("o_orderdate")).as("eom"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s")),
+      Some("""SELECT o_orderkey,
+             CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS qtr,
+             CAST(hour(o_orderdate) AS INT) AS hr,
+             date_trunc('month', o_orderdate) AS mstart,
+             strftime(o_orderdate, '%Y-%m-%d') AS dstr,
+             CAST(date_diff('day', o_orderdate, DATE '1998-01-01') AS INT) AS days_to_98,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+             last_day(o_orderdate) AS eom,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_s FROM orders""")),
+
+    // B27 array functions incl. higher-order transform/filter/aggregate
+    "q27_array_fns" -> Q(
+      (s, d) => t(s, d, "documents")
+        .withColumn("w", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          element_at(col("w"), 1).as("first_word"),
+          array_join(slice(col("w"), 1, 3), "-").as("top3"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          array_contains(col("w"), "spark").cast("int").as("has_spark"),
+          size(expr("filter(w, x -> length(x) > 4)")).as("n_long"),
+          expr("cast(aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x) as bigint)").as("total_chars")),
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+             SELECT doc_id, CAST(len(w) AS INT) AS n_tokens,
+             w[1] AS first_word,
+             array_to_string(list_slice(w, 1, 3), '-') AS top3,
+             CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+             CAST(list_contains(w, 'spark') AS INT) AS has_spark,
+             CAST(len(list_filter(w, x -> length(x) > 4)) AS INT) AS n_long,
+             CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT) AS total_chars
+             FROM t""")),
+
+    // B28 map functions (map built in Spark; oracle computes the same
+    // scalars directly — the check is on values, the construction
+    // exercises Spark's map surface)
+    "q28_map_fns" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("m", map_from_arrays(
+          array(lit("qty"), lit("disc")),
+          array(col("l_quantity"), col("l_discount"))))
+        .withColumn("m2", map_concat(col("m"),
+          create_map(lit("tax"), col("l_tax"))))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          element_at(col("m"), "qty").as("qty_val"),
+          size(col("m2")).as("m_size"),
+          array_join(map_keys(col("m2")), ",").as("keys"),
+          round(expr("aggregate(map_values(m2), 0D, (a, x) -> a + x)"), 4).as("val_sum")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity AS qty_val,
+             3 AS m_size, 'qty,disc,tax' AS keys,
+             round(l_quantity + l_discount + l_tax, 4) AS val_sum FROM lineitem""")),
+
+    // B29 JSON functions over the events.props JSON column
+    "q29_json_fns" -> Q(
+      (s, d) => t(s, d, "events").select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"),
+        to_json(struct(col("event_id").as("id"))).as("j")),
+      Some("""SELECT event_id,
+             CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_val,
+             CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k_struct,
+             '{"id":' || event_id || '}' AS j FROM events""")),
+
+    // B30 collect_list/collect_set (sorted for determinism) + min_by/max_by
+    "q30_collect" -> Q(
+      (s, d) => t(s, d, "orders").groupBy(col("o_orderpriority"))
+        .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+             min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest"),
+             max_by(col("o_orderkey"), col("o_totalprice")).as("dearest")),
+      Some("""SELECT o_orderpriority,
+             array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+             arg_min(o_orderkey, o_totalprice) AS cheapest,
+             arg_max(o_orderkey, o_totalprice) AS dearest
+             FROM orders GROUP BY o_orderpriority""")),
+
+    // B31 PIVOT (explicit value list; oracle via conditional aggregation)
+    "q31_pivot" -> Q(
+      (s, d) => t(s, d, "lineitem").groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .withColumnRenamed("F", "f_qty").withColumnRenamed("O", "o_qty"),
+      Some("""SELECT l_returnflag,
+             round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS f_qty,
+             round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS o_qty
+             FROM lineitem GROUP BY l_returnflag""")),
+
+    // B32 LATERAL VIEW / generators: posexplode over the first 5 tokens
+    "q32_lateral_view" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT doc_id, pos, word
+           FROM documents
+           LATERAL VIEW posexplode(slice(split(text, ' '), 1, 5)) t AS pos, word""") },
+      Some("""SELECT doc_id, CAST(gs.i - 1 AS INT) AS pos, d.w[CAST(gs.i AS INT)] AS word
+             FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) d,
+             generate_series(1, 5) gs(i) WHERE gs.i <= least(len(d.w), 5)""")),
+
+    // B33 TABLESAMPLE — nondeterministic across engines: rows-only check
+    "q33_sample" -> Q(
+      (s, d) => t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
+        .select(col("l_orderkey"), col("l_linenumber")))
+  )
+}

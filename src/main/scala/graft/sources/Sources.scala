@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.config.{ConfigError, SourceSpec}
+
+/** `InputTable => DataFrame` — reference A1/A2/A3
+  * (`glue/glue_etl_framework.py:63-133`), SURVEY.md §7 module 2.
+  *
+  * Scale notes: the file scan is a plain `DataFrameReader` so Catalyst's
+  * vectorized parquet/orc readers, predicate pushdown, column pruning and
+  * partition pruning all apply; `recursiveFileLookup` mirrors Glue's
+  * recursive S3 listing. At 100 TB the scan parallelism comes from
+  * `spark.sql.files.maxPartitionBytes` — we deliberately do not repartition
+  * after read (that would shuffle the full input).
+  */
+object Sources {
+
+  /** Glue `format_options` → Spark reader options
+    * (`README.md:44,121-126`): Glue names on the left, Spark on the right.
+    * Unknown keys pass through untouched so native Spark options also work. */
+  private val glueOptionNames: Map[String, String] = Map(
+    "withHeader" -> "header",
+    "separator"  -> "sep",
+    "quoteChar"  -> "quote",
+    "escaper"    -> "escape",
+    "multiline"  -> "multiLine",
+    "compression" -> "compression",
+    "writeHeader" -> "header")
+
+  private[graft] def mapOptions(opts: Map[String, String]): Map[String, String] =
+    opts.collect { case (k, v) if k != "optimizePerformance" =>
+      glueOptionNames.getOrElse(k, k) -> v }
+
+  private val knownFormats = Set("parquet", "csv", "json", "orc", "avro", "text")
+
+  def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
+    case SourceSpec.File(location, format, options) =>
+      if (!knownFormats(format))
+        throw new ConfigError(s"unsupported input format '$format' (supported: ${knownFormats.mkString(", ")})")
+      spark.read
+        .format(format)
+        .options(mapOptions(options))
+        .option("recursiveFileLookup",
+          options.getOrElse("recursiveFileLookup", "true"))
+        .load(location)
+
+    case SourceSpec.Catalog(database, table) =>
+      // A2: catalog scan via the session catalog / metastore
+      // (`glue_etl_framework.py:112-116`).
+      spark.table(s"$database.$table")
+
+    case SourceSpec.Jdbc(url, database, table, options) =>
+      // A3 implemented for real (the reference stub crashes,
+      // `glue_etl_framework.py:119-120,128`). `dbtable` supports a
+      // subquery alias; partitioned reads via the standard
+      // partitionColumn/lowerBound/upperBound/numPartitions options.
+      val qualified = if (database.nonEmpty) s"$database.$table" else table
+      spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", options.getOrElse("dbtable", qualified))
+        .options(options - "dbtable")
+        .load()
+  }
+}
