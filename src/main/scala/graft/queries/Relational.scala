@@ -26,7 +26,7 @@ final case class Q(fn: (SparkSession, String) => DataFrame, oracle: Option[Strin
 object Relational {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    s.read.parquet(s"$dir/$n.parquet")
+    Tables(s, dir, n)
 
   /** Register all star-schema tables as temp views for SQL-text queries. */
   private def views(s: SparkSession, dir: String): Unit =
@@ -36,14 +36,18 @@ object Relational {
 
   val all: Seq[(String, Q)] = Seq(
 
-    // B1 projection: select list, aliases, expression eval
+    // B1 projection: select list, aliases, expression eval.
+    // Per-row money is emitted as exact integer cents (floor(x*100+0.5)):
+    // both engines do the identical IEEE ops, so no round()-implementation
+    // drift at half-cent boundaries (round(,2) differed on 116/60k rows).
     "q01_project" -> Q(
       (s, d) => t(s, d, "lineitem").select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 2).as("net_price"),
+        floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100 + 0.5)
+          .cast("long").as("net_cents"),
         upper(col("l_returnflag")).as("flag")),
       Some("""SELECT l_orderkey, l_linenumber,
-             round(l_extendedprice * (1.0 - l_discount), 2) AS net_price,
+             CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT) AS net_cents,
              upper(l_returnflag) AS flag FROM lineitem""")),
 
     // B2 filter: comparison, AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL
@@ -310,16 +314,20 @@ object Relational {
         t(s, d, "lineitem")
           .withColumn("running_qty",
             sum(col("l_quantity")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
-          .withColumn("mov_avg",
-            round(avg(col("l_extendedprice")).over(order.rowsBetween(-2, 0)), 2))
+          // moving SUM in exact cents, not round(avg,2): a 2dp-sum is an
+          // exact cent multiple, so floor(x*100+0.5) is stable; avg/3 can
+          // land exactly on half-cents where round() implementations drift.
+          .withColumn("mov_cents",
+            floor(sum(col("l_extendedprice")).over(order.rowsBetween(-2, 0)) * 100 + 0.5)
+              .cast("long"))
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
-                  col("running_qty"), col("mov_avg"))
+                  col("running_qty"), col("mov_cents"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-             round(avg(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_avg
+             CAST(floor(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS mov_cents
              FROM lineitem""")),
 
     // B18 global ORDER BY — verified via a global row_number so the total
@@ -480,7 +488,7 @@ object Relational {
              CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
              CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS qtr,
              CAST(hour(o_orderdate) AS INT) AS hr,
-             date_trunc('month', o_orderdate) AS mstart,
+             CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mstart,
              strftime(o_orderdate, '%Y-%m-%d') AS dstr,
              CAST(date_diff('day', o_orderdate, DATE '1998-01-01') AS INT) AS days_to_98,
              CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
@@ -519,7 +527,7 @@ object Relational {
           array(lit("qty"), lit("disc")),
           array(col("l_quantity"), col("l_discount"))))
         .withColumn("m2", map_concat(col("m"),
-          create_map(lit("tax"), col("l_tax"))))
+          map(lit("tax"), col("l_tax"))))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           element_at(col("m"), "qty").as("qty_val"),
