@@ -26,7 +26,10 @@ object SourceSpec {
                         options: Map[String, String]) extends SourceSpec
 }
 
-final case class InputTable(name: String, source: SourceSpec)
+/** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
+  * file reads skip data already processed per the job's bookmark store. */
+final case class InputTable(name: String, source: SourceSpec,
+                            incrementalSource: Boolean = false)
 
 sealed trait Refresh
 object Refresh {
@@ -75,7 +78,8 @@ final case class JobSpec(
     outputTable: Option[OutputTable],
     sql: Option[String],
     sqlFile: Option[String],
-    scriptClass: Option[String]) {
+    scriptClass: Option[String],
+    bookmarkPath: Option[String] = None) {
 
   /** Variables for one pipeline; error on unknown pipeline (the reference
     * indexes the dict directly, `glue_etl_framework.py:413-415`). */
@@ -167,7 +171,9 @@ object ConfigParser {
           str(t, "database").getOrElse(""), str(t, "table").getOrElse(name), fmtOpts)
         case other => throw new ConfigError(s"input '$name': unknown source '$other'")
       }
-      InputTable(name, source)
+      val incremental = str(t, "incremental_source")
+        .exists(v => Set("yes", "true").contains(v.toLowerCase))
+      InputTable(name, source, incremental)
     }
 
     val output = root.get("output_table").filter(_ != null).map { o =>
@@ -203,6 +209,7 @@ object ConfigParser {
       outputTable = output,
       sql = str(root, "sql"),
       sqlFile = str(root, "sql_file"),
-      scriptClass = str(root, "python_file").orElse(str(root, "script_class")))
+      scriptClass = str(root, "python_file").orElse(str(root, "script_class")),
+      bookmarkPath = str(job, "bookmark_path"))
   }
 }

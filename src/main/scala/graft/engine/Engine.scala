@@ -17,10 +17,21 @@ object Engine {
 
   /** A4: every input registered as a temp view under its config name
     * (`glue_etl_framework.py:57-61`). Locations/options are interpolated
-    * with the pipeline variables first (A20). */
+    * with the pipeline variables first (A20). Inputs flagged
+    * `incremental_source: true` are read through the job's
+    * [[graft.bookmarks.BookmarkStore]] (A22): only files newer than the
+    * stored high watermark, like Glue job bookmarks. */
   def registerInputs(spark: SparkSession, job: JobSpec,
-                     vars: Map[String, String]): Map[String, DataFrame] =
-    job.inputTables.map { t =>
+                     vars: Map[String, String], pipeline: String): Map[String, DataFrame] =
+    registerInputsWithCommits(spark, job, vars, pipeline)._1
+
+  /** As [[registerInputs]], also returning the bookmark commits to run
+    * after a successful sink write (empty when no incremental inputs). */
+  private[engine] def registerInputsWithCommits(
+      spark: SparkSession, job: JobSpec, vars: Map[String, String],
+      pipeline: String): (Map[String, DataFrame], Seq[() => Unit]) = {
+    val commits = Seq.newBuilder[() => Unit]
+    val views = job.inputTables.map { t =>
       val resolved = t.source match {
         case SourceSpec.File(loc, fmt, opts) =>
           SourceSpec.File(Interpolate(loc, vars), fmt,
@@ -31,10 +42,27 @@ object Engine {
           SourceSpec.Jdbc(Interpolate(url, vars), Interpolate(db, vars),
             Interpolate(tbl, vars), opts.map { case (k, v) => k -> Interpolate(v, vars) })
       }
-      val df = Sources.load(spark, resolved)
+      val df = (t.incrementalSource, resolved) match {
+        case (true, SourceSpec.File(loc, fmt, opts)) =>
+          val store = bookmarks(spark, job, vars)
+          val plan = store.plan(s"$pipeline:${t.name}", loc)
+          graft.log.Log.info("incremental source planned", "table" -> t.name,
+            "new_files" -> plan.files.size.toString)
+          commits += (() => store.commit(plan))
+          store.read(plan, fmt, graft.sources.Sources.mapOptions(opts))
+        case _ => Sources.load(spark, resolved)
+      }
       df.createOrReplaceTempView(t.name)
       t.name -> df
     }.toMap
+    (views, commits.result())
+  }
+
+  private def bookmarks(spark: SparkSession, job: JobSpec,
+                        vars: Map[String, String]): graft.bookmarks.BookmarkStore =
+    new graft.bookmarks.BookmarkStore(spark,
+      Interpolate(job.bookmarkPath.getOrElse(throw new ConfigError(
+        "inputs with incremental_source: true need job.bookmark_path")), vars))
 
   /** A5+A6: resolve the SQL text (inline beats file when both are given,
     * `README.md:59-60`), interpolate `{vars}`, dispatch to Catalyst.
@@ -56,10 +84,16 @@ object Engine {
 
   /** Full spark-sql job for one pipeline: the reference's
     * `run_spark_sql_job` (`glue_etl_framework.py:136-275`). Returns the
-    * result frame (pre-sink) for inspection/testing. */
-  def runSparkSqlJob(spark: SparkSession, job: JobSpec, pipeline: String): DataFrame = {
-    val vars = job.varsFor(pipeline) + ("pipeline_name" -> pipeline)
-    registerInputs(spark, job, vars)
+    * result frame (pre-sink) for inspection/testing. `extraVars` (CLI
+    * `--var k=v`) overlay the pipeline's configured variables. After a
+    * successful sink write, incremental-source watermarks are committed —
+    * the analog of the reference's trailing `job.commit()` (`:438`): a
+    * failed run advances nothing, so the next run reprocesses. */
+  def runSparkSqlJob(spark: SparkSession, job: JobSpec, pipeline: String,
+                     extraVars: Map[String, String] = Map.empty): DataFrame = {
+    val vars = job.varsFor(pipeline) ++ extraVars + ("pipeline_name" -> pipeline)
+    graft.log.Log.info("registering inputs", "n_inputs" -> job.inputTables.size.toString)
+    val (_, bookmarkCommits) = registerInputsWithCommits(spark, job, vars, pipeline)
     val result = spark.sql(resolveSql(spark, job, vars))
     job.outputTable.foreach { out0 =>
       val out = out0.copy(
@@ -68,17 +102,20 @@ object Engine {
           case TargetSpec.File(loc) => TargetSpec.File(Interpolate(loc, vars))
           case c => c
         })
+      graft.log.Log.info("writing output", "output" -> out.name)
       Sinks.write(spark, result, out)
+      bookmarkCommits.foreach(_.apply())
     }
     result
   }
 
   /** Top-level dispatch on job.type (`glue_etl_framework.py:417-431`). */
-  def run(spark: SparkSession, job: JobSpec, pipeline: String): Option[DataFrame] =
+  def run(spark: SparkSession, job: JobSpec, pipeline: String,
+          extraVars: Map[String, String] = Map.empty): Option[DataFrame] =
     job.jobType match {
-      case JobType.SparkSql => Some(runSparkSqlJob(spark, job, pipeline))
+      case JobType.SparkSql => Some(runSparkSqlJob(spark, job, pipeline, extraVars))
       case JobType.Script =>
-        graft.script.ScriptRunner.run(spark, job, job.varsFor(pipeline)); None
+        graft.script.ScriptRunner.run(spark, job, job.varsFor(pipeline) ++ extraVars); None
     }
 
   /** A18: apply job.spark_config before use (builder passthrough). */
@@ -88,21 +125,71 @@ object Engine {
 
 /** CLI entry mirroring the reference's `__main__` argument contract
   * (`glue_etl_framework.py:363-366`): --config <path> --pipeline <name>
-  * [--var k=v ...] with config read through Hadoop FS. */
+  * [--var k=v ...]. CLI vars overlay the pipeline's configured variables
+  * (`glue_etl_framework.py:413-415`). The config is read through a bare
+  * Hadoop FileSystem (file://, hdfs://, s3a://) BEFORE any SparkSession
+  * exists, so `job.spark_config` genuinely applies to the session that
+  * runs the job — getOrCreate after a bootstrap session would silently
+  * ignore it. */
 object EtlMain {
+
+  private[engine] final case class CliArgs(
+      config: String, pipeline: String, vars: Map[String, String])
+
+  private[engine] def parseArgs(args: Array[String]): CliArgs = {
+    var config: Option[String] = None
+    var pipeline = "default"
+    val vars = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var i = 0
+    def value(flag: String): String = {
+      i += 1
+      if (i >= args.length) throw new ConfigError(s"$flag requires a value")
+      args(i)
+    }
+    while (i < args.length) {
+      args(i) match {
+        case "--config"   => config = Some(value("--config"))
+        case "--pipeline" => pipeline = value("--pipeline")
+        case "--var" =>
+          val kv = value("--var")
+          kv.split("=", 2) match {
+            case Array(k, v) if k.nonEmpty => vars += k -> v
+            case _ => throw new ConfigError(s"--var expects k=v, got '$kv'")
+          }
+        case other => throw new ConfigError(s"unknown argument '$other'")
+      }
+      i += 1
+    }
+    CliArgs(config.getOrElse(throw new ConfigError("--config <path> required")),
+      pipeline, vars.toMap)
+  }
+
+  /** Read a text file through Hadoop FS without a SparkSession. */
+  private[engine] def readConfigText(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
   def main(args: Array[String]): Unit = {
-    val a = args.sliding(2, 2).collect { case Array(k, v) => k -> v }.toMap
-    val configPath = a.getOrElse("--config", sys.error("--config <path> required"))
-    val pipeline = a.getOrElse("--pipeline", "default")
-    val spark0 = SparkSession.builder()
-      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
-      .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-      .config("spark.sql.session.timeZone", "UTC")
-    // bootstrap a minimal session just to read the config text
-    val boot = spark0.getOrCreate()
-    val job = ConfigParser.parse(Engine.readTextFile(boot, configPath))
-    val spark = Engine.applySparkConfig(spark0, job).getOrCreate()
-    try Engine.run(spark, job, pipeline) finally spark.stop()
+    val cli = parseArgs(args)
+    val job = ConfigParser.parse(readConfigText(cli.config))
+    graft.log.Log.setContext("job" -> job.name, "pipeline" -> cli.pipeline)
+    graft.log.Log.info("job starting", "config" -> cli.config)
+    val spark = Engine.applySparkConfig(
+      SparkSession.builder()
+        .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+        .config("spark.sql.shuffle.partitions",
+          sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+        .config("spark.sql.session.timeZone", "UTC"),
+      job).getOrCreate()
+    try {
+      Engine.run(spark, job, cli.pipeline, cli.vars)
+      graft.log.Log.info("job finished")
+    } catch { case e: Throwable =>
+      graft.log.Log.error("job failed", "error" -> String.valueOf(e.getMessage))
+      throw e
+    } finally spark.stop()
   }
 }

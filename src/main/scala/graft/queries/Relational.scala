@@ -331,11 +331,14 @@ object Relational {
              FROM lineitem""")),
 
     // B18 global ORDER BY — verified via a global row_number so the total
-    // order itself is hashed, not just the row set.
+    // order itself is hashed, not just the row set. Uses the scale-safe
+    // GlobalSort operator (range-partitioned sort + parallel per-partition
+    // numbering + broadcast offsets), NOT row_number over an unpartitioned
+    // window, which would funnel every row through one task.
     "q18_orderby" -> Q(
-      (s, d) => t(s, d, "customer")
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+      (s, d) => graft.operators.GlobalSort.withRowNumber(
+          t(s, d, "customer"), "rn",
+          col("c_acctbal").desc, col("c_custkey").asc)
         .select(col("rn"), col("c_custkey")),
       Some("""SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
              c_custkey FROM customer""")),

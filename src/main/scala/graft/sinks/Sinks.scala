@@ -50,8 +50,10 @@ object Sinks {
           .mode(mode(out.refresh))
         val w2 = if (out.partitionKeys.nonEmpty) {
           // Dynamic overwrite: full refresh replaces only result partitions.
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          w.partitionBy(out.partitionKeys: _*)
+          // Writer-scoped option, NOT spark.conf.set — a session-global
+          // mutation would silently change later writes' overwrite semantics.
+          w.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(out.partitionKeys: _*)
         } else w
         w2.save(location)
 
@@ -64,8 +66,8 @@ object Sinks {
         val table = s"$database.${out.name}"
         val w = data.write.mode(mode(out.refresh))
         if (out.partitionKeys.nonEmpty) {
-          spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-          w.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
+          w.option("partitionOverwriteMode", "dynamic")
+            .partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
         } else w.format(out.format).saveAsTable(table)
     }
   }

@@ -31,7 +31,10 @@ object Sources {
     opts.collect { case (k, v) if k != "optimizePerformance" =>
       glueOptionNames.getOrElse(k, k) -> v }
 
-  private val knownFormats = Set("parquet", "csv", "json", "orc", "avro", "text")
+  // `avro` deliberately absent: /opt/spark/jars ships avro-core but not the
+  // spark-avro datasource, so format("avro") fails at runtime — better a
+  // clear config error up front.
+  private val knownFormats = Set("parquet", "csv", "json", "orc", "text")
 
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
     case SourceSpec.File(location, format, options) =>
