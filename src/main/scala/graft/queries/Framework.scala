@@ -1,6 +1,402 @@
 package graft.queries
 
-/** Engine-lifecycle proof queries (SURVEY §2A) — populated below. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.config.ConfigParser
+import graft.engine.Engine
+
+/** Engine-lifecycle proof queries — SURVEY §2A (reference
+  * `glue/glue_etl_framework.py:136-275`). Each `fw_*` entry drives the
+  * REAL engine end to end: YAML text → ConfigParser → Engine.runSparkSqlJob
+  * (sources → temp views → spark.sql → Sinks) → read the sink output back
+  * and return it. The DuckDB oracle runs the equivalent plain SQL over the
+  * same parquet fixtures, so a hash match proves the whole lifecycle —
+  * not just the query — produced the right bytes.
+  *
+  * Coverage map: A1 file scan incl. csv+options (fw_lifecycle), A2/A14
+  * catalog source+sink (fw_catalog), A3 real JDBC (fw_jdbc), A4/A5 views +
+  * SQL dispatch (all), A6/A20 var interpolation in locations+SQL
+  * (fw_lifecycle, fw_sql_file), A7 SQL-from-file (fw_sql_file), A8/A9
+  * repartition/coalesce + Q10 precedence (fw_filecount), A10 partitioned
+  * write (fw_lifecycle), A12/A16 dynamic partition overwrite
+  * (fw_dyn_overwrite), A13 incremental append (fw_incremental), A17 script
+  * job (fw_script), A22 bookmark store (fw_bookmark).
+  */
 object Framework {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  /** Per-query scratch root, keyed by sf dir so sf0.001 smoke and sf0.01
+    * verify runs never share state. */
+  private def scratch(dir: String, name: String): String = {
+    val sf = dir.replaceAll("[^A-Za-z0-9]", "_")
+    s"/tmp/graft-fw/$sf/$name"
+  }
+
+  private def rmrf(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  private def run(spark: SparkSession, yaml: String, pipeline: String = "default",
+                  extraVars: Map[String, String] = Map.empty): Unit = {
+    val job = ConfigParser.parse(yaml)
+    Engine.runSparkSqlJob(spark, job, pipeline, extraVars)
+  }
+
+  /** README Example-1 shape through the full lifecycle: a csv input WITH
+    * Glue-named format options (withHeader/separator → header/sep), three
+    * parquet inputs, `{var}` interpolation in locations AND SQL, 4-way
+    * join + agg, partitioned full-refresh parquet sink, read-back.
+    * Scale note: region/nation are KB-sized → the SQL hints BROADCAST so
+    * the big orders↔customer shuffle is the only exchange. */
+  private def fwLifecycle(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "lifecycle")
+    rmrf(s, base)
+    // stage the csv flavor of region (exercises A1 option mapping)
+    s.read.parquet(s"$d/region.parquet")
+      .coalesce(1).write.option("header", "true").option("sep", "|").csv(s"$base/region_csv")
+    val yaml =
+      s"""job:
+         |  name: fw-lifecycle
+         |  type: spark-sql
+         |variables:
+         |  default:
+         |    sf_dir: $d
+         |    min_price: "0"
+         |input_tables:
+         |  - name: region
+         |    source: s3
+         |    location: $base/region_csv
+         |    format: csv
+         |    format_options:
+         |      withHeader: "true"
+         |      separator: "|"
+         |      inferSchema: "true"
+         |  - name: nation
+         |    source: s3
+         |    location: "{sf_dir}/nation.parquet"
+         |  - name: customer
+         |    source: s3
+         |    location: "{sf_dir}/customer.parquet"
+         |  - name: orders
+         |    source: s3
+         |    location: "{sf_dir}/orders.parquet"
+         |output_table:
+         |  name: revenue_by_region
+         |  target: s3
+         |  location: $base/out
+         |  format: parquet
+         |  refresh: full
+         |  partition_keys: r_name
+         |sql: >
+         |  SELECT /*+ BROADCAST(r, n) */ r.r_name,
+         |         CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS revenue_cents
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |  JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  WHERE o.o_totalprice > {min_price}
+         |  GROUP BY r.r_name
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+      .select(col("r_name"), col("n_orders"), col("revenue_cents"))
+  }
+
+  /** A7 + A6: the SELECT loaded from a file (Hadoop FS), `{var}`s resolved
+    * inside the file text. */
+  private def fwSqlFile(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "sqlfile")
+    rmrf(s, base)
+    val sqlPath = new org.apache.hadoop.fs.Path(s"$base/query.sql")
+    val fs = sqlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(sqlPath, true)
+    try out.write(
+      ("SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations\n" +
+       "FROM {table_alias} GROUP BY n_regionkey").getBytes("UTF-8"))
+    finally out.close()
+    val yaml =
+      s"""job:
+         |  name: fw-sqlfile
+         |  type: spark-sql
+         |variables:
+         |  default:
+         |    table_alias: nation
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $d/nation.parquet
+         |output_table:
+         |  name: sqlfile_out
+         |  target: s3
+         |  location: $base/out
+         |sql_file: $base/query.sql
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+  }
+
+  /** A13: full refresh, then an incremental re-run of the same SQL →
+    * append, every row exactly twice. */
+  private def fwIncremental(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "incremental")
+    rmrf(s, base)
+    def yaml(refresh: String) =
+      s"""job:
+         |  name: fw-incremental
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $d/nation.parquet
+         |output_table:
+         |  name: inc_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |sql: SELECT n_nationkey, n_name FROM nation
+         |""".stripMargin
+    run(s, yaml("full"))
+    run(s, yaml("incremental"))
+    s.read.parquet(s"$base/out")
+  }
+
+  /** A12/A16: dynamic partition overwrite. Run 1 writes all priorities;
+    * run 2 full-refreshes ONLY priority '1-URGENT' rows with price zeroed.
+    * If overwrite were static, every other partition would vanish; the
+    * oracle asserts they survive with original totals. */
+  private def fwDynOverwrite(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "dynoverwrite")
+    rmrf(s, base)
+    def yaml(where: String, price: String) =
+      s"""job:
+         |  name: fw-dyn
+         |  type: spark-sql
+         |input_tables:
+         |  - name: orders
+         |    source: s3
+         |    location: $d/orders.parquet
+         |output_table:
+         |  name: dyn_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: full
+         |  partition_keys: o_orderpriority
+         |sql: >
+         |  SELECT o_orderkey, $price AS price_cents, o_orderpriority
+         |  FROM orders $where
+         |""".stripMargin
+    run(s, yaml("", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+    run(s, yaml("WHERE o_orderpriority = '1-URGENT'", "CAST(0 AS BIGINT)"))
+    s.read.parquet(s"$base/out")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("price_cents")).as("sum_cents"))
+  }
+
+  /** A8/A9 + Appendix Q10: repartition beats coalesce when both are set;
+    * coalesce alone narrows without a shuffle. The Spark side measures the
+    * REAL output file counts; the oracle pins the expected constants. */
+  private def fwFilecount(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "filecount")
+    rmrf(s, base)
+    def yaml(out: String, shape: String, sql: String) =
+      s"""job:
+         |  name: fw-filecount
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: fc_out
+         |  target: s3
+         |  location: $base/$out
+         |$shape
+         |sql: $sql
+         |""".stripMargin
+    run(s, yaml("both", "  repartition: \"3\"\n  coalesce: \"1\"",
+      "SELECT c_custkey, c_name FROM customer"))
+    // the coalesce run must START wide (32 shuffle partitions from the
+    // GROUP BY) for coalesce(2) to be observable — a projection over a
+    // single input split would already be 1 partition, and AQE would
+    // merge the tiny shuffle back to 1, so pin it off for this run
+    val aqeCoalesce = "spark.sql.adaptive.coalescePartitions.enabled"
+    val saved = s.conf.get(aqeCoalesce, "true")
+    s.conf.set(aqeCoalesce, "false")
+    try run(s, yaml("coal", "  coalesce: \"2\"",
+      "SELECT c_custkey, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY c_custkey"))
+    finally s.conf.set(aqeCoalesce, saved)
+    def nFiles(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st => st.getPath.getName.startsWith("part-")).toLong
+    }
+    import s.implicits._
+    Seq(("repartition_wins_files", nFiles(s"$base/both")),
+        ("coalesce_files", nFiles(s"$base/coal")))
+      .toDF("metric", "value")
+  }
+
+  /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
+    * published to the session catalog, the engine reads it as a `gdc`
+    * source and writes a `gdc` target; we read the result back via
+    * spark.table — the reference's from_catalog/UPDATE_IN_DATABASE path
+    * (`glue_etl_framework.py:105-116,233-258`) minus AWS. */
+  private def fwCatalog(s: SparkSession, d: String): DataFrame = {
+    // the in-memory catalog is per-JVM but the warehouse dirs persist —
+    // clear both so overwrite doesn't hit LOCATION_ALREADY_EXISTS
+    Seq("fw_cat_supplier", "fw_cat_out").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS default.$t")
+      rmrf(s, s"${s.conf.get("spark.sql.warehouse.dir")}/$t")
+    }
+    s.read.parquet(s"$d/supplier.parquet")
+      .write.mode("overwrite").saveAsTable("fw_cat_supplier")
+    val yaml =
+      s"""job:
+         |  name: fw-catalog
+         |  type: spark-sql
+         |input_tables:
+         |  - name: supplier
+         |    source: gdc
+         |    database: default
+         |    table: fw_cat_supplier
+         |output_table:
+         |  name: fw_cat_out
+         |  target: gdc
+         |  database: default
+         |sql: >
+         |  SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+         |         CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents
+         |  FROM supplier GROUP BY s_nationkey
+         |""".stripMargin
+    run(s, yaml)
+    s.table("default.fw_cat_out")
+  }
+
+  /** A3: REAL JDBC scan (the reference's jdbc branch is a crashing stub,
+    * `glue_etl_framework.py:119-120,128`). Round-trips nation through an
+    * embedded Derby database: jdbc write → engine jdbc source → sink. */
+  private def fwJdbc(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "jdbc")
+    rmrf(s, base)
+    // keep derby.log out of the process cwd (the repo)
+    System.setProperty("derby.system.home", "/tmp/graft-fw")
+    val url = s"jdbc:derby:$base/db;create=true"
+    s.read.parquet(s"$d/nation.parquet")
+      .write.mode("overwrite").format("jdbc")
+      .option("url", url).option("dbtable", "nation").save()
+    val yaml =
+      s"""job:
+         |  name: fw-jdbc
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: jdbc
+         |    url: "$url"
+         |    table: nation
+         |output_table:
+         |  name: jdbc_out
+         |  target: s3
+         |  location: $base/out
+         |sql: >
+         |  SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+         |  FROM nation GROUP BY n_regionkey
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+  }
+
+  /** A17: script-job dispatch through Engine.run — reflection-loaded
+    * [[graft.script.ExampleScriptJob]] with vars, output read back. */
+  private def fwScript(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "script")
+    rmrf(s, base)
+    val yaml =
+      s"""job:
+         |  name: fw-script
+         |  type: python-script
+         |variables:
+         |  default:
+         |    in: $d/nation.parquet
+         |    out: $base/out
+         |script_class: graft.script.ExampleScriptJob
+         |""".stripMargin
+    Engine.run(s, ConfigParser.parse(yaml), "default")
+    s.read.parquet(s"$base/out")
+  }
+
+  /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
+    * stage file 2 (mtime forced past the watermark) → the second plan must
+    * include ONLY the new file. Returned frame = read1 ∪ read2; if the
+    * second plan re-read file 1 the row count (and hash) would differ. */
+  private def fwBookmark(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "bookmark")
+    rmrf(s, base)
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcDir = new org.apache.hadoop.fs.Path(s"$base/src")
+    val fs = srcDir.getFileSystem(conf)
+    fs.mkdirs(srcDir)
+    def stage(name: String, mtime: Option[Long]): Long = {
+      val dst = new org.apache.hadoop.fs.Path(srcDir, name)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$d/nation.parquet"), fs, dst, false, conf)
+      mtime.foreach(t => fs.setTimes(dst, t, -1))
+      fs.getFileStatus(dst).getModificationTime
+    }
+    val store = new graft.bookmarks.BookmarkStore(s, s"$base/bookmark.json")
+    val t1 = stage("part1.parquet", None)
+    val plan1 = store.plan("fw:nation", s"$base/src")
+    val read1 = store.read(plan1, "parquet")
+    val n1 = read1.count()
+    store.commit(plan1)
+    // force the new file's mtime strictly past the committed watermark —
+    // sub-ms staging on a coarse-mtime filesystem must not hide it
+    stage("part2.parquet", Some(t1 + 2000))
+    val plan2 = store.plan("fw:nation", s"$base/src")
+    val read2 = store.read(plan2, "parquet")
+    require(plan2.files.size == 1 && n1 > 0,
+      s"bookmark plan2 should see exactly the new file, got ${plan2.files}")
+    read1.union(read2)
+  }
+
+  val all: Seq[(String, Q)] = Seq(
+    "fw_lifecycle" -> Q(fwLifecycle, Some(
+      """SELECT r.r_name,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(floor(o.o_totalprice * 100 + 0.5)) AS BIGINT) AS revenue_cents
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE o.o_totalprice > 0
+        |GROUP BY r.r_name""".stripMargin)),
+    "fw_sql_file" -> Q(fwSqlFile, Some(
+      "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations FROM nation GROUP BY n_regionkey")),
+    "fw_incremental" -> Q(fwIncremental, Some(
+      """SELECT n_nationkey, n_name FROM nation
+        |UNION ALL
+        |SELECT n_nationkey, n_name FROM nation""".stripMargin)),
+    "fw_dyn_overwrite" -> Q(fwDynOverwrite, Some(
+      """SELECT o_orderpriority,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 0
+        |            ELSE sum(floor(o_totalprice * 100 + 0.5)) END AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+    "fw_filecount" -> Q(fwFilecount, Some(
+      """SELECT 'repartition_wins_files' AS metric, CAST(3 AS BIGINT) AS value
+        |UNION ALL
+        |SELECT 'coalesce_files' AS metric, CAST(2 AS BIGINT) AS value""".stripMargin)),
+    "fw_catalog" -> Q(fwCatalog, Some(
+      """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |       CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+    "fw_jdbc" -> Q(fwJdbc, Some(
+      "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations FROM nation GROUP BY n_regionkey")),
+    "fw_script" -> Q(fwScript, Some(
+      """SELECT n_nationkey, n_name, CAST(n_nationkey * 2 AS BIGINT) AS doubled
+        |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+    "fw_bookmark" -> Q(fwBookmark, Some(
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation"))
+  )
 }
