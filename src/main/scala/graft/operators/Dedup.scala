@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.ElementwiseLongAgg
+
+/** Deduplication operators for document corpora — the LLM-data-pipeline
+  * tier (SURVEY §7 module 8; the reference has no analog, these extend its
+  * delegated-SQL surface with first-class dedup).
+  *
+  * Scale design, 100 TB discipline:
+  *   - exact/fingerprint dedup: one hash-partitioned aggregation, map-side
+  *     combined; no driver materialization anywhere.
+  *   - MinHash-LSH near-dedup: signatures are fixed-width (k longs/doc)
+  *     via a map-side-combining [[ElementwiseLongAgg]]; candidate pairs
+  *     come from BANDED bucket joins (shuffle keyed on (band, bucket)) —
+  *     never an all-pairs product. All-pairs appears only in the DuckDB
+  *     oracle at test SF.
+  *   - SimHash: 64-bit signature/doc; candidate pairs via the pigeonhole
+  *     chunk trick (hamming ≤ h ⇒ some (h+1)-way chunk equal), so the join
+  *     is again equality-keyed and shuffle-friendly, with bit_count(xor)
+  *     as the cheap exact filter.
+  */
+object Dedup {
+
+  /** Deterministic 64-bit mix constants (splitmix64 stream — public
+    * domain constants, no RNG at plan time). */
+  private[operators] def seeds(n: Int, salt: Long): IndexedSeq[Long] = {
+    var x = salt
+    IndexedSeq.fill(n) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+  }
+
+  /** Exact dedup: group identical texts by 128-bit content hash, keep the
+    * smallest id as the canonical copy. One shuffle on the hash key. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(md5(encode(col(textCol), "UTF-8")).as("content_hash"), col(idCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Normalized-content fingerprint dedup: lowercase, strip non-alnum,
+    * collapse whitespace, then hash — catches trivially-reformatted
+    * duplicates that byte-exact dedup misses. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val normalized = trim(regexp_replace(
+      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    docs.select(md5(encode(normalized, "UTF-8")).as("fingerprint"), col(idCol))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** (doc_id, h) rows: the document's distinct word n-gram shingles,
+    * each hashed to 64 bits. The basis for MinHash, SimHash, and exact
+    * Jaccard verification. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val grams = (0 until n).map(k => s"element_at(__w, __i + $k)").mkString(", ")
+    docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= n)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, size(__w) - ${n - 1}), __i -> xxhash64(concat_ws(' ', $grams)))"
+      ))).as("h"))
+  }
+
+  /** MinHash signature per document: k independent permutation-min
+    * estimates. Per (doc, shingle) row an array of k universal hashes is
+    * computed columnarly; the signatures fold together with elementwise
+    * min (map-side combined — 1 array/doc crosses the shuffle). */
+  def minhashSignatures(shingles: DataFrame, k: Int): DataFrame = {
+    // k independent hash families as xxhash64 over the (shingle-hash, j)
+    // pair — codegen'd, and no long arithmetic that ANSI mode (Spark 4
+    // default) would flag as overflow.
+    val hashes = transform(sequence(lit(0), lit(k - 1)),
+      j => xxhash64(col("h"), j))
+    shingles
+      .select(col("doc_id"), hashes.as("hs"))
+      .groupBy(col("doc_id"))
+      .agg(ElementwiseLongAgg.minUdaf(k)(col("hs")).as("sig"))
+  }
+
+  /** LSH banding: split the k-long signature into `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become candidates.
+    * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
+    * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
+  def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    val banded = sigs.select(col("doc_id"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
+      .as(Seq("band_idx", "band_hash")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r,
+        col("l.band_idx") === col("r.band_idx") &&
+        col("l.band_hash") === col("r.band_hash") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact shingle-Jaccard for a (small) candidate-pair frame: join each
+    * side to its shingle-hash set and compute |∩| / |∪| from integer set
+    * sizes (bit-identical to any other engine's division). */
+  def jaccardVerify(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sets = shingles.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dedup: shingle → sign → band → bucket join →
+    * exact-Jaccard filter. Output: (doc_a, doc_b, jaccard ≥ threshold). */
+  def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
+                 n: Int = 3, k: Int = 128, bands: Int = 32,
+                 threshold: Double = 0.8): DataFrame = {
+    val shingles = shingleHashes(docs, idCol, textCol, n)
+    val candidates = lshCandidates(minhashSignatures(shingles, k), bands)
+    jaccardVerify(candidates, shingles)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  /** 64-bit SimHash per document over its shingle hashes: bit j of the
+    * signature is the sign of the ±1 votes of all features' bit j.
+    * Fixed 64-long tally/doc, map-side combined. */
+  def simhashSignatures(shingles: DataFrame): DataFrame = {
+    val votes = expr(
+      "transform(sequence(0, 63), j -> IF((h >> j) & 1 = 1, 1L, -1L))")
+    shingles
+      .select(col("doc_id"), votes.as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(ElementwiseLongAgg.sumUdaf(64)(col("votes")).as("tally"))
+      .select(col("doc_id"), expr(
+        "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + IF(element_at(tally, j + 1) > 0, shiftleft(1L, j), 0L))"
+      ).as("simhash"))
+  }
+
+  /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. Candidates
+    * via pigeonhole: split 64 bits into (maxHamming + 1) chunks — any pair
+    * within distance maxHamming shares at least one full chunk, so an
+    * equality join on (chunk_idx, chunk_value) finds every true pair;
+    * bit_count(xor) then filters exactly. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhashSignatures(shingleHashes(docs, idCol, textCol, n))
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
+      expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
+        s"shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1}L)"))
+      .as(Seq("chunk_idx", "chunk_val")))
+    val l = chunked.as("l"); val r = chunked.as("r")
+    l.join(r,
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+        col("l.chunk_val") === col("r.chunk_val") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+        expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+}

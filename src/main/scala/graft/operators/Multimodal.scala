@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` payloads with a
+  * typed metadata struct, processed by partition-streaming decode.
+  *
+  * The decode itself is a STUB — image/audio codecs aren't available in
+  * this environment — but every piece of Spark plumbing a real decoder
+  * needs is real and tested: the (payload binary, meta struct) schema, the
+  * typed `Dataset[MediaDoc]` encoder boundary, and `mapPartitions`
+  * iterator-streaming (the JVM analog of `mapInPandas` batch processing:
+  * the decoder sees one partition's records as a lazy iterator, never a
+  * materialized collection, so memory stays O(batch) at 100 TB).
+  * Swapping in a real codec = replacing [[decodeStub]]'s body only.
+  */
+object Multimodal {
+
+  final case class MediaMeta(format: String, n_bytes: Long, source: String)
+  final case class MediaDoc(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(doc_id: Long, source: String,
+                                 n_bytes: Long, byte_sum: Long)
+
+  /** Wrap a text corpus as media rows: payload = UTF-8 bytes (the
+    * deterministic stand-in for image/audio bytes), meta = typed struct. */
+  def toMedia(docs: DataFrame, idCol: String, textCol: String,
+              sourceCol: String): Dataset[MediaDoc] =
+    docs.select(
+        col(idCol).cast("long").as("doc_id"),
+        encode(col(textCol), "UTF-8").as("payload"),
+        struct(
+          lit("text/plain").as("format"),
+          octet_length(col(textCol)).cast("long").as("n_bytes"),
+          col(sourceCol).as("source")).as("meta"))
+      .as(Encoders.product[MediaDoc])
+
+  /** Partition-streaming feature extraction. A real implementation would
+    * decode `payload` (JPEG → pixels, WAV → samples) and emit embeddings;
+    * the deterministic stand-in sums the payload bytes — enough to prove
+    * the bytes actually crossed the encoder boundary intact. */
+  def decodeStub(media: Dataset[MediaDoc]): Dataset[MediaFeatures] =
+    media.mapPartitions { docs =>
+      docs.map { m =>
+        var sum = 0L
+        var i = 0
+        while (i < m.payload.length) { sum += m.payload(i) & 0xff; i += 1 }
+        MediaFeatures(m.doc_id, m.meta.source, m.payload.length.toLong, sum)
+      }
+    }(Encoders.product[MediaFeatures])
+
+  /** Per-source rollup of the extracted features (the typical "did every
+    * shard decode" pipeline health query). */
+  def featuresBySource(docs: DataFrame, idCol: String, textCol: String,
+                       sourceCol: String): DataFrame =
+    decodeStub(toMedia(docs, idCol, textCol, sourceCol))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("byte_sum")).as("total_byte_sum"))
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (`array<float>`) — the
+  * LLM-pipeline ANN tier (SURVEY §7 module 8).
+  *
+  * Scale design:
+  *   - [[cosineTopK]] is the exact baseline: broadcast the (small) query
+  *     set and stream the big side through one scan — no shuffle of the
+  *     corpus at all; the only shuffle is the per-query top-k window over
+  *     |queries| × |corpus| score rows. Right when queries ≪ corpus.
+  *   - [[annTopK]] is the scale path: random-hyperplane LSH buckets both
+  *     sides; candidates share a bucket, so the join is equality-keyed
+  *     (shuffle on bucket id) and each query scores only its bucket —
+  *     approximate, tunable by `planes` (recall ↑ as planes ↓).
+  *   - All math is `double`; dot products via `zip_with` + `aggregate`
+  *     (codegen'd higher-order functions, no UDF in the hot path).
+  */
+object Similarity {
+
+  /** Sequential-order dot product of two array<double> columns — the same
+    * accumulation order every engine's naive loop uses. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  private def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  /** Add a `__vd` double-vector + `__norm` column. */
+  private def prepared(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    df.withColumn("__vd", vd).withColumn("__norm", norm(col("__vd")))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. Scores are
+    * rounded to 6 dp and ranked (rounded score desc, neighbor id asc) so
+    * the ranking is reproducible across engines/precisions. */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, vecCol)
+      .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__norm").as("cn"))
+    val q = prepared(queries, vecCol)
+      .select(col(idCol).as("qid"), col("__vd").as("qv"), col("__norm").as("qn"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes (no RNG at plan time):
+    * component d of plane p is a splitmix64-mixed value mapped to
+    * [-1, 1). */
+  private[operators] def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val s = Dedup.seeds(nPlanes * dim, 0x243F6A8885A308D3L)
+    (0 until nPlanes).map(p => (0 until dim).map { d =>
+      (s(p * dim + d) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    })
+  }
+
+  /** Random-hyperplane LSH bucket id (one sign bit per plane, folded as
+    * acc*2 + bit so no per-index shifting is needed). */
+  private def bucket(v: Column, ps: Seq[Seq[Double]]): Column =
+    aggregate(typedlit(ps), lit(0L),
+      (acc, plane) => acc * 2 + when(dot(v, plane) > 0d, 1L).otherwise(0L))
+
+  /** Approximate top-k: queries only score corpus vectors in nearby LSH
+    * buckets. With p planes the corpus splits into ≤ 2^p buckets; the
+    * candidate join is equality-keyed on the bucket id. Multi-probe: each
+    * query also probes the p buckets at hamming distance 1 (one sign bit
+    * flipped) — the standard recall fix, replicating only the SMALL query
+    * side (p+1)× while the corpus keeps exactly one bucket per vector. */
+  def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
+    val ps = planes(nPlanes, dim(corpus, vecCol))
+    val c = prepared(corpus, vecCol)
+      .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__norm").as("cn"),
+        bucket(col("__vd"), ps).as("bucket"))
+    val probes = (0 until nPlanes).foldLeft(array(col("__b"))) {
+      (acc, i) => array_append(acc, col("__b").bitwiseXOR(lit(1L << i)))
+    }
+    val q = prepared(queries, vecCol)
+      .withColumn("__b", bucket(col("__vd"), ps))
+      .select(col(idCol).as("qid"), col("__vd").as("qv"), col("__norm").as("qn"),
+        explode(probes).as("bucket"))
+    c.join(q, "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+  }
+
+  private def dim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head().getInt(0)
+}

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, marker-based language ID. Pure narrow column
+  * expressions — no shuffle, no UDF; every function whole-stage-codegens
+  * and runs at scan speed over 100 TB.
+  */
+object TextAnalysis {
+
+  private def words(textCol: Column): Column = split(trim(textCol), "\\s+")
+
+  /** English-ish function words used by quality scoring + language ID.
+    * Marker sets per language (tiny on purpose — the heuristic's value is
+    * its determinism and zero cost, not linguistic depth). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"))
+
+  /** Per-document stats: whitespace token count, a BPE-ish subword
+    * estimate (runs of letters / digits / single other chars), average
+    * token length, stopword ratio, and a composite quality score. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val stop = typedlit(langMarkers.flatMap(_._2).distinct.sorted)
+    docs.select(
+      col(idCol).as("doc_id"),
+      size(w).as("n_tokens"),
+      length(col(textCol)).as("n_chars_measured"),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .as("n_subword_tokens"),
+      round(aggregate(transform(w, t => length(t).cast("double")),
+        lit(0.0d), (acc, x) => acc + x) / size(w), 6).as("avg_token_len"),
+      round(size(filter(w, t => array_contains(stop, t))).cast("double") / size(w), 6)
+        .as("stopword_ratio"))
+      // quality: long-enough docs with moderate stopword density
+      .withColumn("quality_score", round(
+        least(col("n_tokens").cast("double") / 64d, lit(1.0d)) *
+          (lit(1.0d) - col("stopword_ratio")), 6))
+  }
+
+  /** Marker-count language ID: score each language by how many of the
+    * document's tokens are that language's marker words; predict the
+    * highest scorer (ties broken alphabetically — deterministic), or
+    * 'und' when no marker appears at all. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = words(col(textCol))
+    val scored = docs.select(
+      Seq(col(idCol).as("doc_id"), col("lang").as("lang_actual")) ++
+        langMarkers.map { case (lang, markers) =>
+          size(filter(w, t => array_contains(typedlit(markers), t))).as(s"score_$lang")
+        }: _*)
+    // argmax via a struct-max: (score, reversed-lang) so the HIGHEST score
+    // wins and ties pick the alphabetically-first language.
+    val best = greatest(langMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("score"), lit(langInv(lang)).as("inv"))
+    }: _*)
+    scored
+      .withColumn("pred_lang",
+        when(best.getField("score") === 0, lit("und"))
+          .otherwise(langFromInv(best.getField("inv"))))
+      .select(col("doc_id"), col("lang_actual"), col("pred_lang"),
+        (col("pred_lang") === col("lang_actual")).as("is_match"))
+  }
+
+  // lexicographically invert the language code so that inside greatest()
+  // a score tie resolves to the alphabetically FIRST language
+  private def langInv(lang: String): String = lang.map(c => ('z' - c + 'a').toChar)
+  private def langFromInv(inv: Column): Column = {
+    val pairs = langMarkers.map(_._1)
+    pairs.foldLeft(lit("und")) { case (acc, lang) =>
+      when(inv === langInv(lang), lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,6 +1,140 @@
 package graft.queries
 
-/** LLM-data-pipeline tier (dedup, similarity, text analysis, multimodal). */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline tier over the `documents` / `embeddings` fixtures:
+  * dedup (exact, fingerprint, MinHash-LSH, SimHash), similarity search
+  * (exact + LSH-bucketed ANN), text analysis, multimodal plumbing.
+  *
+  * Oracle strategy: everything with engine-independent semantics gets a
+  * DuckDB oracle (exact dedup, exact Jaccard pairs, exact cosine top-k,
+  * text stats, lang id, multimodal byte features). The LSH *candidate
+  * generation* is algorithm-specific, but the fixtures' planted near-dups
+  * (3-gram Jaccard ≥ 0.97 vs < 0.3 for everything else) separate so
+  * cleanly that banded MinHash at 32×4 has miss probability < 1e-30 —
+  * so the post-verification output equals the all-pairs answer and IS
+  * oracle-checkable. Genuinely approximate outputs (SimHash distances,
+  * ANN) stay rows-only here and get bound assertions in ScalaTest.
+  */
 object Extensions {
-  val all: Seq[(String, Q)] = Seq.empty
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def emb(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "ext01_exact_dedup" -> Q(
+      (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
+      Some("""SELECT md5(text) AS content_hash,
+             |       min(doc_id) AS keeper_id,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    "ext02_fingerprint_dedup" -> Q(
+      (s, d) => Dedup.fingerprint(docs(s, d), "doc_id", "text"),
+      Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
+             |       min(doc_id) AS keeper_id,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY 1""".stripMargin)),
+
+    // MinHash → 32×4 banding → bucket join → exact-Jaccard ≥ 0.8: equals
+    // the all-pairs answer on this fixture (see scaladoc above).
+    "ext03_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.8),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
+             |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
+
+    // SimHash hamming pairs: distance values are hash-algorithm-specific
+    // → rows-only here; SimHashSpec asserts the planted pairs are found.
+    "ext04_simhash" -> Q(
+      (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text",
+        n = 3, maxHamming = 8)),
+
+    "ext05_cosine_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.cosineTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      },
+      Some("""WITH sim AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM (
+             |  SELECT qid, nid, cosine,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+             |  FROM sim) WHERE rnk <= 5""".stripMargin)),
+
+    // bucketed ANN is approximate by design → rows-only; AnnSpec asserts
+    // recall against the exact top-k.
+    "ext06_ann_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nPlanes = 4)
+      }),
+
+    "ext07_text_stats" -> Q(
+      (s, d) => TextAnalysis.stats(docs(s, d), "doc_id", "text"),
+      Some("""SELECT doc_id,
+             |       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             |       CAST(length(text) AS INT) AS n_chars_measured,
+             |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subword_tokens,
+             |       round(list_sum(list_transform(regexp_split_to_array(trim(text), '\s+'), t -> length(t)))::DOUBLE
+             |             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS avg_token_len,
+             |       round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |               t -> list_contains(['a','and','das','der','die','el','es','est','et','is','ist','la','las','le','les','los','of','the','und','y'], t)))::DOUBLE
+             |             / len(regexp_split_to_array(trim(text), '\s+')), 6) AS stopword_ratio,
+             |       round(least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 64, 1.0) *
+             |             (1.0 - round(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |               t -> list_contains(['a','and','das','der','die','el','es','est','et','is','ist','la','las','le','les','los','of','the','und','y'], t)))::DOUBLE
+             |             / len(regexp_split_to_array(trim(text), '\s+')), 6)), 6) AS quality_score
+             |FROM documents""".stripMargin)),
+
+    "ext08_lang_id" -> Q(
+      (s, d) => TextAnalysis.langId(docs(s, d), "doc_id", "text"),
+      Some("""WITH scored AS (
+             |  SELECT doc_id, lang AS lang_actual,
+             |         len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS s_de,
+             |         len(list_filter(w, t -> list_contains(['the','a','and','of','is'], t))) AS s_en,
+             |         len(list_filter(w, t -> list_contains(['el','los','las','es','y'], t))) AS s_es,
+             |         len(list_filter(w, t -> list_contains(['le','la','les','et','est'], t))) AS s_fr
+             |  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+             |)
+             |SELECT doc_id, lang_actual,
+             |       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |            WHEN s_es >= s_fr THEN 'es'
+             |            ELSE 'fr' END AS pred_lang,
+             |       (CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+             |            WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+             |            WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+             |            WHEN s_es >= s_fr THEN 'es'
+             |            ELSE 'fr' END = lang_actual) AS is_match
+             |FROM scored""".stripMargin)),
+
+    "ext09_multimodal" -> Q(
+      (s, d) => Multimodal.featuresBySource(docs(s, d), "doc_id", "text", "source"),
+      Some("""SELECT source, count(*) AS n_docs,
+             |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
+             |       CAST(sum(list_sum(list_transform(range(1, length(text) + 1),
+             |              i -> ord(substr(text, i, 1))))) AS BIGINT) AS total_byte_sum
+             |FROM documents GROUP BY source""".stripMargin))
+  )
 }

@@ -1,0 +1,58 @@
+package graft.bookmarks
+
+import graft.SparkSpec
+
+class BookmarksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def setup(): (BookmarkStore, String, java.nio.file.Path) = {
+    val tmp = java.nio.file.Files.createTempDirectory("bm-spec")
+    (new BookmarkStore(spark, s"$tmp/state.json"), s"$tmp/src", tmp)
+  }
+
+  private def writeFile(dir: String, name: String, rows: Seq[Int], mtime: Long): Unit = {
+    val sub = java.nio.file.Files.createTempDirectory("bm-stage")
+    rows.toDF("n").coalesce(1).write.mode("overwrite").parquet(sub.toString)
+    val part = new java.io.File(sub.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.createDirectories(dst.getParent)
+    java.nio.file.Files.copy(part.toPath, dst)
+    dst.toFile.setLastModified(mtime)
+    ()
+  }
+
+  test("plan → read → commit; second plan sees only newer files") {
+    val (store, src, _) = setup()
+    writeFile(src, "a.parquet", Seq(1, 2), 1000000L)
+    val p1 = store.plan("s1", src)
+    assert(p1.files.size == 1 && store.read(p1, "parquet").count() == 2)
+    store.commit(p1)
+    writeFile(src, "b.parquet", Seq(3), 2000000L)
+    val p2 = store.plan("s1", src)
+    assert(p2.files.size == 1 && p2.files.head.endsWith("b.parquet"))
+    assert(store.read(p2, "parquet").as[Int].collect().toSeq == Seq(3))
+  }
+
+  test("uncommitted plan reprocesses; empty plan reads zero rows with schema") {
+    val (store, src, _) = setup()
+    writeFile(src, "a.parquet", Seq(1), 1000000L)
+    val p1 = store.plan("s1", src)   // never committed
+    assert(store.plan("s1", src).files == p1.files) // same files again
+    store.commit(p1)
+    val empty = store.plan("s1", src)
+    assert(empty.files.isEmpty)
+    val df = store.read(empty, "parquet")
+    assert(df.columns.toSeq == Seq("n") && df.count() == 0)
+  }
+
+  test("hidden and _SUCCESS files are ignored; watermarks are per-source") {
+    val (store, src, _) = setup()
+    writeFile(src, "a.parquet", Seq(1), 1000000L)
+    writeFile(src, "_SUCCESS", Seq(1), 9000000L)
+    writeFile(src, ".hidden.parquet", Seq(1), 9000000L)
+    assert(store.plan("s1", src).files.size == 1)
+    store.commit(store.plan("s1", src))
+    assert(store.plan("other-source", src).files.size == 1) // independent watermark
+  }
+}

@@ -1,0 +1,108 @@
+package graft.config
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class ConfigParserSpec extends AnyFunSuite {
+
+  private val full =
+    """job:
+      |  name: My-Job
+      |  type: spark-sql
+      |  bookmark_path: /tmp/bm.json
+      |  spark_config:
+      |    - spark.sql.shuffle.partitions: "8"
+      |    - spark.executor.memory: 2g
+      |variables:
+      |  prod:
+      |    year: "2026"
+      |  dev:
+      |    year: "2001"
+      |input_tables:
+      |  - name: Sales
+      |    source: s3
+      |    location: /data/{year}/sales
+      |    format: csv
+      |    format_options:
+      |      withHeader: "true"
+      |      separator: "|"
+      |  - name: Customers
+      |    source: gdc
+      |    database: crm
+      |    table: customers_v2
+      |  - name: Orders
+      |    source: jdbc
+      |    url: jdbc:derby:/tmp/db
+      |    table: orders
+      |    incremental_source: "true"
+      |output_table:
+      |  name: Report
+      |  target: s3
+      |  location: /out/{year}
+      |  format: glueparquet
+      |  refresh: full
+      |  partition_keys: year, month
+      |  repartition: "4"
+      |  coalesce: "2"
+      |sql: SELECT * FROM sales
+      |""".stripMargin
+
+  test("parses every README key") {
+    val job = ConfigParser.parse(full)
+    assert(job.name == "My-Job")
+    assert(job.jobType == JobType.SparkSql)
+    assert(job.bookmarkPath.contains("/tmp/bm.json"))
+    assert(job.sparkConfig == Map(
+      "spark.sql.shuffle.partitions" -> "8", "spark.executor.memory" -> "2g"))
+    assert(job.varsFor("prod") == Map("year" -> "2026"))
+    assert(job.inputTables.map(_.name) == Seq("sales", "customers", "orders"))
+    val SourceSpec.File(loc, fmt, opts) = job.inputTables.head.source: @unchecked
+    assert(loc == "/data/{year}/sales" && fmt == "csv")
+    assert(opts == Map("withHeader" -> "true", "separator" -> "|"))
+    val SourceSpec.Catalog(db, tbl) = job.inputTables(1).source: @unchecked
+    assert(db == "crm" && tbl == "customers_v2")
+    assert(job.inputTables(2).incrementalSource)
+    val out = job.outputTable.get
+    assert(out.name == "report")
+    assert(out.format == "parquet") // glueparquet normalized (Q11)
+    assert(out.partitionKeys == Seq("year", "month"))
+    assert(out.repartition.contains(4) && out.coalesce.contains(2))
+  }
+
+  test("defaults: format parquet, refresh full, pipeline vars empty-ok") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - {name: t, location: /x}
+        |output_table: {name: o, location: /y}
+        |sql: SELECT 1
+        |""".stripMargin)
+    val SourceSpec.File(_, fmt, _) = job.inputTables.head.source: @unchecked
+    assert(fmt == "parquet")
+    assert(job.outputTable.get.refresh == Refresh.Full)
+    assert(job.varsFor("anything").isEmpty) // no variables section at all
+  }
+
+  test("error paths are named ConfigErrors") {
+    def bad(yaml: String): String =
+      intercept[ConfigError](ConfigParser.parse(yaml)).getMessage
+    assert(bad("job: {name: j}") contains "job.type")
+    assert(bad("job: {name: j, type: sparkle}") contains "sparkle")
+    assert(bad("job: {name: j, type: spark-sql}\ninput_tables:\n  - {source: s3}") contains "name")
+    assert(bad("job: {name: j, type: spark-sql}\ninput_tables:\n  - {name: t, source: s3}") contains "location")
+    assert(bad("job: {name: j, type: spark-sql}\ninput_tables:\n  - {name: t, source: ftp}") contains "ftp")
+  }
+
+  test("unknown pipeline is an error when variables exist") {
+    val job = ConfigParser.parse(
+      "job: {name: j, type: spark-sql}\nvariables:\n  prod: {a: b}\nsql: SELECT 1")
+    assert(job.varsFor("prod") == Map("a" -> "b"))
+    intercept[ConfigError](job.varsFor("staging"))
+  }
+
+  test("refresh parse: full default, incremental, unknown rejected") {
+    assert(Refresh.parse("") == Refresh.Full)
+    assert(Refresh.parse("FULL") == Refresh.Full)
+    assert(Refresh.parse("incremental") == Refresh.Incremental)
+    intercept[ConfigError](Refresh.parse("upsert"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 3 exact copies of A, near-dup pair (B, B'), and unrelated docs.
+  private val base = "the quick brown fox jumps over the lazy dog again and again today"
+  private def corpus = Seq(
+    (1L, base), (2L, base), (3L, base),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+    (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // 1-word edit
+    (6L, "one two three four five six seven eight nine ten eleven twelve"),
+    (7L, "  The   Quick  brown FOX jumps over the lazy dog again and again today ") // reformat of A
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(corpus, "doc_id", "text").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r(1L) == 3L)          // 1,2,3 identical → keeper 1, 3 copies
+    assert(r.values.sum == 7L)   // every doc accounted for
+    assert(r.keys.toSet.contains(7L)) // reformatted copy is NOT exact-equal
+  }
+
+  test("fingerprint dedup catches case/whitespace reformatting") {
+    val r = Dedup.fingerprint(corpus, "doc_id", "text").collect()
+      .map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r(1L) == 4L)          // 1,2,3 AND normalized 7 share a fingerprint
+    assert(!r.contains(7L))
+  }
+
+  test("minhash-lsh finds near-dup pair and exact copies, skips unrelated") {
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) && pairs.contains((1L, 3L)))
+    assert(pairs.contains((4L, 5L))) // the 1-word-edit near dup
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(6L) }) // unrelated
+  }
+
+  test("jaccard of exact copies is 1.0, of near-dups in (0,1)") {
+    val j = Dedup.minhashLsh(corpus, "doc_id", "text", threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((4L, 5L)) > 0.5 && j((4L, 5L)) < 1.0)
+  }
+
+  test("simhash: identical docs at distance 0; near-dups close; unrelated far") {
+    val sigs = Dedup.simhashSignatures(
+        Dedup.shingleHashes(corpus, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(4L), sigs(5L)) <= 16)
+    assert(ham(sigs(4L), sigs(6L)) > 16)
+  }
+
+  test("simhash pairs via chunk banding = brute-force pairs at same cutoff") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sigs = Dedup.simhashSignatures(
+        Dedup.shingleHashes(corpus, "doc_id", "text", 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 8
+    } yield (a, b)).toSet
+    assert(pairs == brute) // pigeonhole banding loses nothing
+  }
+
+  test("fixture: lsh pairs equal all-pairs ground truth at sf0.001") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: exact jaccard on ALL pairs (test-scale only)
+    val sh = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+    val ids = docs.select("doc_id").as[Long].collect()
+    val allPairs = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
+      .toSeq.toDF("doc_a", "doc_b")
+    val truth = Dedup.jaccardVerify(allPairs, sh)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == truth)
+    assert(truth.nonEmpty) // fixture has planted near-dups
+  }
+}

@@ -1,0 +1,34 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("payload bytes survive the typed encoder boundary intact") {
+    val df = Seq((1L, "abc", "s1"), (2L, "zz", "s2")).toDF("doc_id", "text", "source")
+    val media = Multimodal.toMedia(df, "doc_id", "text", "source").collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(media(1L).payload.toSeq == "abc".getBytes("UTF-8").toSeq)
+    assert(media(1L).meta == Multimodal.MediaMeta("text/plain", 3L, "s1"))
+  }
+
+  test("decode stub streams partitions and computes exact byte features") {
+    val df = Seq((1L, "abc", "s1"), (2L, "zz", "s2")).toDF("doc_id", "text", "source")
+    val feats = Multimodal.decodeStub(
+        Multimodal.toMedia(df, "doc_id", "text", "source"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).byte_sum == 'a'.toLong + 'b' + 'c')
+    assert(feats(1L).n_bytes == 3L)
+    assert(feats(2L).byte_sum == 2L * 'z')
+  }
+
+  test("per-source rollup aggregates all docs") {
+    val df = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "t"))
+      .toDF("doc_id", "text", "source")
+    val r = Multimodal.featuresBySource(df, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(r("s") == ((2L, 2L, ('a'.toLong + 'b'))))
+    assert(r("t") == ((1L, 1L, 'c'.toLong)))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosineTopK ranks by exact cosine with deterministic ties") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)),             // query
+      (1L, Seq(2f, 0f)),             // cosine 1.0
+      (2L, Seq(1f, 1f)),             // cosine √2/2
+      (3L, Seq(0f, 1f)),             // cosine 0
+      (4L, Seq(-1f, 0f))             // cosine -1
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", 3)
+      .orderBy("rnk").collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.toSeq == Seq((1, 1L, 1.0), (2, 2L, 0.707107), (3, 3L, 0.0)))
+  }
+
+  test("annTopK: same-bucket neighbors are exact-ranked; recall is useful") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 5, nPlanes = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.3, s"ANN recall $recall collapsed — bucketing broken?")
+    // every ANN hit must be a real corpus pair with correct per-bucket rank:
+    assert(ann.forall { case (q1, n1) => q1 < 20 && n1 != q1 })
+  }
+
+  test("annTopK scores matcher: bucket-mates score identically to exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val exactScores = Similarity.cosineTopK(e, q, "vec_id", "embedding", 400)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 5, nPlanes = 4)
+      .select("qid", "nid", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    ann.foreach { case (k, c) =>
+      assert(exactScores.get(k).forall(_ == c), s"score drift for $k")
+    }
+  }
+}

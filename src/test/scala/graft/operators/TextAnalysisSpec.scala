@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats on a known sentence") {
+    val df = Seq((1L, "the cat sat", "en")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.stats(df, "doc_id", "text").collect().head
+    assert(r.getAs[Int]("n_tokens") == 3)
+    assert(r.getAs[Int]("n_chars_measured") == 11)
+    assert(r.getAs[Int]("n_subword_tokens") == 3)
+    assert(r.getAs[Double]("avg_token_len") == 3.0)
+    assert(r.getAs[Double]("stopword_ratio") == 0.333333) // "the"
+    // quality = min(3/64, 1) * (1 - 1/3)
+    assert(math.abs(r.getAs[Double]("quality_score") - 0.03125) < 1e-6)
+  }
+
+  test("lang id picks the dominant marker set, und when none") {
+    val df = Seq(
+      (1L, "the cat and the dog is here", "en"),
+      (2L, "der hund und die katze ist da", "de"),
+      (3L, "zzz qqq www", "en")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langId(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> (x.getString(2), x.getBoolean(3))).toMap
+    assert(r(1L) == ("en", true))
+    assert(r(2L) == ("de", true))
+    assert(r(3L) == ("und", false))
+  }
+
+  test("lang id tie breaks alphabetically (deterministic)") {
+    // "la" is both Spanish ("las"? no — 'la' is fr marker; es has 'las') —
+    // craft an exact tie: one es marker and one fr marker
+    val df = Seq((1L, "el et", "es")).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.langId(df, "doc_id", "text").collect().head
+    assert(r.getString(2) == "es") // es < fr alphabetically on a 1-1 tie
+  }
+}

@@ -1,0 +1,42 @@
+package graft.sinks
+
+import graft.SparkSpec
+import graft.config._
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def out(tmpl: OutputTable => OutputTable): OutputTable =
+    tmpl(OutputTable(name = "t", target = TargetSpec.File("/tmp/x")))
+
+  test("repartition wins over coalesce (reference Q10)") {
+    val df = (1 to 100).toDF("n").repartition(10)
+    val both = Sinks.shaped(df, out(_.copy(repartition = Some(3), coalesce = Some(1))))
+    assert(both.rdd.getNumPartitions == 3)
+    val coal = Sinks.shaped(df, out(_.copy(coalesce = Some(2))))
+    assert(coal.rdd.getNumPartitions == 2)
+    val none = Sinks.shaped(df, out(identity))
+    assert(none.rdd.getNumPartitions == 10)
+  }
+
+  test("full refresh overwrites, incremental appends") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/out"
+    val df = Seq(1, 2, 3).toDF("n")
+    Sinks.write(spark, df, out(_.copy(target = TargetSpec.File(dir))))
+    Sinks.write(spark, df, out(_.copy(target = TargetSpec.File(dir))))
+    assert(spark.read.parquet(dir).count() == 3) // full: purged then rewritten
+    Sinks.write(spark, df, out(_.copy(target = TargetSpec.File(dir),
+      refresh = Refresh.Incremental)))
+    assert(spark.read.parquet(dir).count() == 6) // incremental: appended
+  }
+
+  test("dynamic partition overwrite touches only result partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
+    val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))
+    Sinks.write(spark, Seq(("a", 1), ("b", 2)).toDF("p", "v"), target)
+    Sinks.write(spark, Seq(("b", 99)).toDF("p", "v"), target)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[String]("p") -> r.getInt(0)).toMap
+    assert(back == Map("a" -> 1, "b" -> 99)) // partition a survived
+  }
+}
