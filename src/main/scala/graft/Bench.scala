@@ -32,6 +32,12 @@ object Bench {
       case c => c.toString
     } + "\""
 
+    // Untimed warm-up: JIT/codegen/parquet-footer caches would otherwise
+    // all land on whichever query happens to sort first.
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>

@@ -88,10 +88,14 @@ object Dedup {
     * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
     * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    // persist: the banded frame (bands × ~12 B per doc — far smaller than
+    // the corpus) feeds BOTH sides of the self-join; without it the whole
+    // signature computation runs twice.
     val banded = sigs.select(col("doc_id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
       .as(Seq("band_idx", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r,
         col("l.band_idx") === col("r.band_idx") &&
@@ -101,11 +105,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-doc shingle-hash set: (doc_id, hs array<long>) — ONE shuffle;
+    * signatures, banding and Jaccard verification all derive from this
+    * single frame so the corpus is scanned and aggregated once (identical
+    * subtrees → Spark's ReuseExchange serves every consumer from the same
+    * shuffle files). */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleHashes(docs, idCol, textCol, n)
+      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+
+  /** MinHash signatures as a pure PROJECTION over the shingle sets: no
+    * second aggregation, no extra shuffle. (For streaming one-pass use
+    * where sets are never materialized, [[minhashSignatures]] keeps the
+    * map-side-combining Aggregator form.) */
+  def signaturesFromSets(sets: DataFrame, k: Int): DataFrame =
+    sets.select(col("doc_id"), expr(
+      s"transform(sequence(0, ${k - 1}), j -> array_min(transform(hs, h -> xxhash64(h, j))))"
+    ).as("sig"))
+
   /** Exact shingle-Jaccard for a (small) candidate-pair frame: join each
     * side to its shingle-hash set and compute |∩| / |∪| from integer set
     * sizes (bit-identical to any other engine's division). */
-  def jaccardVerify(candidates: DataFrame, shingles: DataFrame): DataFrame = {
-    val sets = shingles.groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+  def jaccardVerify(candidates: DataFrame, sets: DataFrame): DataFrame =
     candidates
       .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
@@ -113,16 +134,22 @@ object Dedup {
       .withColumn("jaccard",
         col("inter").cast("double") / (size(col("ha")) + size(col("hb")) - col("inter")))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-  }
 
-  /** Full MinHash-LSH near-dedup: shingle → sign → band → bucket join →
-    * exact-Jaccard filter. Output: (doc_a, doc_b, jaccard ≥ threshold). */
+  /** Full MinHash-LSH near-dedup: shingle-sets (one shuffle) → signature
+    * projection → band → bucket join → exact-Jaccard filter. Output:
+    * (doc_a, doc_b, jaccard ≥ threshold). */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8): DataFrame = {
-    val shingles = shingleHashes(docs, idCol, textCol, n)
-    val candidates = lshCandidates(minhashSignatures(shingles, k), bands)
-    jaccardVerify(candidates, shingles)
+    // persisted: consumed by the signature projection AND both Jaccard
+    // joins — one scan+aggregation of the corpus instead of three. At
+    // 100 TB this intermediate is ~hash-sized (≈1 KB/doc); MEMORY_AND_DISK
+    // spills rather than OOMs, and is the standard shape for any
+    // multi-pass sketch algorithm.
+    val sets = shingleSets(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = lshCandidates(signaturesFromSets(sets, k), bands)
+    jaccardVerify(candidates, sets)
       .filter(col("jaccard") >= threshold)
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
@@ -156,6 +183,9 @@ object Dedup {
       expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1}L)"))
       .as(Seq("chunk_idx", "chunk_val")))
+      // both self-join sides read this ~16 B/doc frame; persisting it
+      // keeps the shingle+simhash computation single-pass
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = chunked.as("l"); val r = chunked.as("r")
     l.join(r,
         col("l.chunk_idx") === col("r.chunk_idx") &&

@@ -75,11 +75,11 @@ class DedupSpec extends SparkSpec {
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // ground truth: exact jaccard on ALL pairs (test-scale only)
-    val sh = Dedup.shingleHashes(docs, "doc_id", "text", 3)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     val ids = docs.select("doc_id").as[Long].collect()
     val allPairs = ids.flatMap(a => ids.filter(_ > a).map(b => (a, b)))
       .toSeq.toDF("doc_a", "doc_b")
-    val truth = Dedup.jaccardVerify(allPairs, sh)
+    val truth = Dedup.jaccardVerify(allPairs, sets)
       .filter(col("jaccard") >= 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(lsh == truth)
