@@ -13,7 +13,8 @@ import graft.queries.{Q, Relational}
 object SparkEntry {
 
   private def suites: Seq[(String, Q)] =
-    Relational.all ++ graft.queries.Framework.all ++ graft.queries.Extensions.all
+    Relational.all ++ graft.queries.Framework.all ++
+      graft.queries.Extensions.all ++ graft.queries.StreamingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * README Example-1 shape: revenue per region across the full join graph. */

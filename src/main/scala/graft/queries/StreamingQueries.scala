@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.Streams
+
+/** Streaming-tier proof queries: each runs a real Structured Streaming
+  * query to completion (Trigger.AvailableNow — the bounded-drain mode)
+  * and returns the result, so the DuckDB oracle certifies the streaming
+  * pipeline computes exactly what the equivalent batch SQL computes. */
+object StreamingQueries {
+
+  val all: Seq[(String, Q)] = Seq(
+
+    "st01_stream_window" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.windowedCounts(Streams.readEventsStream(s, d)),
+        "st01_result", OutputMode.Complete()),
+      Some("""SELECT date_trunc('hour', ts) AS window_start,
+             |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             |       event_type,
+             |       count(*) AS n_events,
+             |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY 1, 2, 3""".stripMargin)),
+
+    // closed sessions only (the trailing open session per user stays in
+    // state) → rows-only here; StreamingSpec proves equality with the
+    // batch lag/gap-sum sessionization minus each user's last session.
+    "st02_stream_sessionize" -> Q(
+      (s, d) => {
+        val sessions = Streams.runToMemory(s,
+          Streams.sessionize(Streams.readEventsStream(s, d), 30).toDF(),
+          "st02_sessions", OutputMode.Append())
+        sessions
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      })
+  )
+}

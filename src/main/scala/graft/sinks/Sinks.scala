@@ -7,9 +7,10 @@ import graft.config.{OutputTable, Refresh, TargetSpec}
   * (`glue/glue_etl_framework.py:190-275`), SURVEY.md §7 module 4.
   *
   * Refresh→mode mapping: `full` = purge-then-write in the reference
-  * (`:217-219,240-243`, non-atomic) → Spark `overwrite` (atomic per
-  * FileOutputCommitter job commit — strictly safer); `incremental` =
-  * append (`:217,240`). For partitioned full refresh we enable DYNAMIC
+  * (`:217-219,240-243`, non-atomic: a failed Glue job can leave the
+  * target purged and empty) → staged write + swap here, so a failed job
+  * leaves the previous output intact (see A15 note in [[write]]);
+  * `incremental` = append (`:217,240`). For partitioned full refresh we enable DYNAMIC
   * partition overwrite so only the partitions present in the result are
   * rewritten — this is what makes a daily re-run touch 1 day of a 100 TB
   * table instead of purging all of it, and is the honest realization of
@@ -44,6 +45,31 @@ object Sinks {
   def write(spark: SparkSession, df: DataFrame, out: OutputTable): Unit = {
     val data = shaped(df, out)
     out.target match {
+      case TargetSpec.File(location)
+          if out.refresh == Refresh.Full && out.partitionKeys.isEmpty =>
+        // A15 (governed-write contract): Spark's static overwrite DELETES
+        // the target before the job runs, so a mid-job failure destroys
+        // the previous output. Stage-then-swap instead: the expensive job
+        // writes to a staging dir (target untouched on failure); only the
+        // cheap final delete+rename window is non-atomic. Full ACID needs
+        // a table format; this matches the reference's observable
+        // purge+rewrite semantics (`glue_etl_framework.py:217-219`)
+        // without its mid-job data-loss window.
+        // (The partitioned path below needs no staging: dynamic partition
+        // overwrite replaces partitions at job COMMIT time.)
+        val target = new org.apache.hadoop.fs.Path(location)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val staging = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.__staging__")
+        fs.delete(staging, true)
+        data.write.format(out.format)
+          .options(graft.sources.Sources.mapOptions(out.options))
+          .mode(SaveMode.Overwrite)
+          .save(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"staged publish: rename $staging -> $target failed")
+
       case TargetSpec.File(location) =>
         val w = data.write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))

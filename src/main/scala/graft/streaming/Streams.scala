@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming tier over the `events` fixture — beyond-reference
+  * extension (the reference is batch-only; SURVEY §1 "Streaming: none").
+  * Same engine shapes a production event pipeline needs: file-source
+  * `readStream` → event-time windowed aggregation → sink, and custom
+  * session state via `flatMapGroupsWithState`.
+  *
+  * Scale notes: the file source incrementally lists new files (the
+  * streaming analog of [[graft.bookmarks.BookmarkStore]], with exactly-once
+  * via the checkpoint WAL); windowed aggregation state is bounded by the
+  * watermark; sessionization state is one small struct per active user.
+  */
+object Streams {
+
+  /** events.parquet ships TIMESTAMP(NANOS); streaming reads need an
+    * explicit schema, so `ts` comes in as nanos-long (with the
+    * nanosAsLong conf) and is rebuilt as a proper timestamp — lossless,
+    * the fixture is µs-precision (see [[graft.queries.Tables]]). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source requires a DIRECTORY; the fixture is a single
+    // file → stage it into a scratch dir once (idempotent)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events")
+    val fs = stage.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(stage, "events.parquet")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(stage)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+    }
+    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windows per event type: count + exact value cents.
+    * State is bounded: one row per (window, type). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Drain a (bounded) streaming frame through a memory sink with
+    * Trigger.AvailableNow and return the result table. */
+  def runToMemory(spark: SparkSession, df: DataFrame, name: String,
+                  mode: OutputMode): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  final case class SessionState(start: Long, last: Long, n: Int)
+  /** Session bounds as epoch MICROS (longs) — exact, no Timestamp
+    * precision loss across the typed-encoder boundary. */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long, n_events: Int)
+
+  /** Gap-based sessionization with custom state: consecutive events of a
+    * user belong to one session until a silence > `gapMinutes`. Emits
+    * CLOSED sessions; the trailing open session per user stays in state
+    * (flushed by event-time timeout once later data advances the
+    * watermark). Events within one micro-batch are sorted in-function —
+    * per-user batch slices are small; state is one struct per user. */
+  def sessionize(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP)
+    implicit val stateEnc = Encoders.product[SessionState]
+
+    val func: (Long, Iterator[(Long, Long, java.sql.Timestamp)], GroupState[SessionState]) => Iterator[Session] =
+      (user, rows, state) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(Session(user, s.start, s.last, s.n))
+        } else {
+          val times = rows.map(_._2).toArray.sorted
+          val out = Seq.newBuilder[Session]
+          var cur = state.getOption
+          times.foreach { t =>
+            cur match {
+              case Some(s) if t - s.last <= gapUs =>
+                cur = Some(SessionState(s.start, t, s.n + 1))
+              case Some(s) =>
+                out += Session(user, s.start, s.last, s.n)
+                cur = Some(SessionState(t, t, 1))
+              case None => cur = Some(SessionState(t, t, 1))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            state.setTimeoutTimestamp(s.last / 1000 + gapMinutes * 60L * 1000)
+          }
+          out.result().iterator
+        }
+      }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      // keep `ts` in the projection: the watermark tag must survive to
+      // the flatMapGroupsWithState child for event-time timeout
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)
+  }
+}

@@ -30,6 +30,17 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 6) // incremental: appended
   }
 
+  test("A15 atomicity: a failing overwrite leaves the previous output intact") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/atomic"
+    val target = out(_.copy(target = graft.config.TargetSpec.File(dir)))
+    Sinks.write(spark, Seq(1, 2, 3).toDF("n"), target)
+    // a frame that fails during execution (ANSI division by zero)
+    val poison = spark.range(10).selectExpr("CAST(id / (id - 5) AS BIGINT) AS n")
+    intercept[Throwable](Sinks.write(spark, poison.toDF(), target))
+    // the governed-write contract: no partial output, old data still there
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("dynamic partition overwrite touches only result partitions") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
     val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))

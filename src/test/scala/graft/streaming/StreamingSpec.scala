@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("windowed counts via streaming equal the batch aggregation") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.windowedCounts(Streams.readEventsStream(spark, dir)),
+      "spec_windows", OutputMode.Complete())
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getLong(4))).toMap
+    val batch = graft.queries.Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100 + 0.5)).cast("long").as("c"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming sessionize = batch gap-sessionization minus open sessions") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.sessionize(Streams.readEventsStream(spark, dir), 30).toDF(),
+      "spec_sessions", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    // batch equivalent: lag-gap > 30 min starts a new session
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val sessions = graft.queries.Tables.events(spark, dir)
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_s", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800L * 1000000L, 1)
+        .otherwise(0))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).cast("int").as("n_events"))
+    // a user's LAST session is emitted only if its event-time timeout
+    // fired: timeout (end + gap, ms) <= final watermark (max ts - delay,
+    // ms); both gap and delay are 30 min here
+    val maxUs = graft.queries.Tables.events(spark, dir)
+      .agg(unix_micros(max(col("ts")))).collect().head.getLong(0)
+    val gapMs = 30L * 60 * 1000
+    val closed = sessions
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("start_us").desc)))
+      .filter(col("rk") > 1 ||
+        (col("end_us") / 1000).cast("long") + gapMs <= maxUs / 1000 - gapMs)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+
+    val onlyStream = streamed -- closed
+    val onlyBatch = closed -- streamed
+    assert(onlyStream.isEmpty && onlyBatch.isEmpty,
+      s"stream-only(${onlyStream.size}): ${onlyStream.take(3)} batch-only(${onlyBatch.size}): ${onlyBatch.take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("file sink + checkpoint: rerun with no new files emits nothing") {
+    val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
+    def runOnce(): Long = {
+      val q = Streams.readEventsStream(spark, dir)
+        .filter(col("event_type") === "click")
+        .select("event_id", "ts", "user_id")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$tmp/out").count()
+    }
+    val n1 = runOnce()
+    assert(n1 > 0)
+    val n2 = runOnce() // same source files → checkpoint skips them
+    assert(n2 == n1, s"rerun appended rows: $n1 -> $n2 (exactly-once broken)")
+  }
+}
