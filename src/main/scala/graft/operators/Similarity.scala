@@ -26,13 +26,17 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
 
-  private def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  /** Add a `__vd` double-vector column. */
+  private def prepared(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("__vd", col(vecCol).cast("array<double>"))
 
-  /** Add a `__vd` double-vector + `__norm` column. */
-  private def prepared(df: DataFrame, vecCol: String): DataFrame = {
-    val vd = col(vecCol).cast("array<double>")
-    df.withColumn("__vd", vd).withColumn("__norm", norm(col("__vd")))
+  /** Codegen'd pairwise cosine ([[graft.functions.CosineSimilarity]]):
+    * one fused primitive loop per pair instead of three higher-order
+    * passes with intermediate arrays. */
+  private def cosine(spark: org.apache.spark.sql.SparkSession,
+                     a: Column, b: Column): Column = {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    call_function("cosine_sim", a, b)
   }
 
   /** Exact top-k cosine neighbors for each query vector. Scores are
@@ -41,13 +45,13 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val c = prepared(corpus, vecCol)
-      .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__norm").as("cn"))
+      .select(col(idCol).as("nid"), col("__vd").as("cv"))
     val q = prepared(queries, vecCol)
-      .select(col(idCol).as("qid"), col("__vd").as("qv"), col("__norm").as("qn"))
+      .select(col(idCol).as("qid"), col("__vd").as("qv"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
     scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
@@ -81,19 +85,19 @@ object Similarity {
               vecCol: String, k: Int, nPlanes: Int = 8): DataFrame = {
     val ps = planes(nPlanes, dim(corpus, vecCol))
     val c = prepared(corpus, vecCol)
-      .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__norm").as("cn"),
+      .select(col(idCol).as("nid"), col("__vd").as("cv"),
         bucket(col("__vd"), ps).as("bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("__b"))) {
       (acc, i) => array_append(acc, col("__b").bitwiseXOR(lit(1L << i)))
     }
     val q = prepared(queries, vecCol)
       .withColumn("__b", bucket(col("__vd"), ps))
-      .select(col(idCol).as("qid"), col("__vd").as("qv"), col("__norm").as("qn"),
+      .select(col(idCol).as("qid"), col("__vd").as("qv"),
         explode(probes).as("bucket"))
     c.join(q, "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cosine"))
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
       .filter(col("rnk") <= k)
