@@ -115,13 +115,15 @@ object Dedup {
       .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
 
   /** MinHash signatures as a pure PROJECTION over the shingle sets: no
-    * second aggregation, no extra shuffle. (For streaming one-pass use
-    * where sets are never materialized, [[minhashSignatures]] keeps the
-    * map-side-combining Aggregator form.) */
-  def signaturesFromSets(sets: DataFrame, k: Int): DataFrame =
-    sets.select(col("doc_id"), expr(
-      s"transform(sequence(0, ${k - 1}), j -> array_min(transform(hs, h -> xxhash64(h, j))))"
-    ).as("sig"))
+    * second aggregation, no extra shuffle; the signature itself is the
+    * native fused-loop [[graft.functions.MinHashSignature]] expression
+    * (the HOF form allocated k temp arrays per document). (For streaming
+    * one-pass use where sets are never materialized, [[minhashSignatures]]
+    * keeps the map-side-combining Aggregator form.) */
+  def signaturesFromSets(sets: DataFrame, k: Int): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(sets.sparkSession)
+    sets.select(col("doc_id"), call_function("minhash_sig", col("hs"), lit(k)).as("sig"))
+  }
 
   /** Exact shingle-Jaccard for a (small) candidate-pair frame: join each
     * side to its shingle-hash set and compute |∩| / |∪| from integer set
@@ -154,19 +156,14 @@ object Dedup {
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
-  /** 64-bit SimHash per document over its shingle hashes: bit j of the
-    * signature is the sign of the ±1 votes of all features' bit j.
-    * Fixed 64-long tally/doc, map-side combined. */
-  def simhashSignatures(shingles: DataFrame): DataFrame = {
-    val votes = expr(
-      "transform(sequence(0, 63), j -> IF((h >> j) & 1 = 1, 1L, -1L))")
-    shingles
-      .select(col("doc_id"), votes.as("votes"))
-      .groupBy(col("doc_id"))
-      .agg(ElementwiseLongAgg.sumUdaf(64)(col("votes")).as("tally"))
-      .select(col("doc_id"), expr(
-        "aggregate(sequence(0, 63), 0L, (acc, j) -> acc + IF(element_at(tally, j + 1) > 0, shiftleft(1L, j), 0L))"
-      ).as("simhash"))
+  /** 64-bit SimHash per document over its shingle-hash set: bit j of the
+    * signature is the sign of the ±1 votes of all features' bit j —
+    * computed by the native fused-loop [[graft.functions.SimHash64]]
+    * expression as a projection over the sets frame (the previous form
+    * exploded a 64-long vote array per shingle through a udaf). */
+  def simhashSignatures(sets: DataFrame): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(sets.sparkSession)
+    sets.select(col("doc_id"), call_function("simhash64", col("hs")).as("simhash"))
   }
 
   /** Near-dup pairs by SimHash hamming distance ≤ maxHamming. Candidates
@@ -176,7 +173,7 @@ object Dedup {
     * bit_count(xor) then filters exactly. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(shingleHashes(docs, idCol, textCol, n))
+    val sigs = simhashSignatures(shingleSets(docs, idCol, textCol, n))
     val chunks = maxHamming + 1
     val width = 64 / chunks
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(

@@ -17,21 +17,41 @@ import graft.functions.CosineSimilarity
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.cosineSimEntry)
+    GraftExtensions.entries.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val cosineSimEntry = (
-    new FunctionIdentifier("cosine_sim"),
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-    (children: Seq[Expression]) => {
-      require(children.size == 2, s"cosine_sim expects 2 arguments, got ${children.size}")
-      CosineSimilarity(children.head, children(1))
-    })
+  import graft.functions.{MinHashSignature, SimHash64}
+
+  private def litInt(e: Expression, what: String): Int = e.eval() match {
+    case n: Number => n.intValue()
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  private val entries: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"cosine_sim expects 2 arguments, got ${children.size}")
+        CosineSimilarity(children.head, children(1))
+      }),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"minhash_sig expects (array<long>, k), got ${children.size} args")
+        MinHashSignature(children.head, litInt(children(1), "minhash_sig k"))
+      }),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"simhash64 expects 1 argument, got ${children.size}")
+        SimHash64(children.head)
+      }))
 
   /** Imperative registration into an existing session (idempotent) — for
     * callers that didn't configure spark.sql.extensions. */
   def ensureRegistered(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      cosineSimEntry._1, cosineSimEntry._2, cosineSimEntry._3)
+    entries.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

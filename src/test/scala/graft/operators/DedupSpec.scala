@@ -49,7 +49,7 @@ class DedupSpec extends SparkSpec {
 
   test("simhash: identical docs at distance 0; near-dups close; unrelated far") {
     val sigs = Dedup.simhashSignatures(
-        Dedup.shingleHashes(corpus, "doc_id", "text", 3))
+        Dedup.shingleSets(corpus, "doc_id", "text", 3))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(sigs(1L) == sigs(2L))
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
@@ -61,7 +61,7 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val sigs = Dedup.simhashSignatures(
-        Dedup.shingleHashes(corpus, "doc_id", "text", 3))
+        Dedup.shingleSets(corpus, "doc_id", "text", 3))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val brute = (for {
       a <- sigs.keys; b <- sigs.keys if a < b
