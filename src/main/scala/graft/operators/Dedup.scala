@@ -55,17 +55,10 @@ object Dedup {
   }
 
   /** (doc_id, h) rows: the document's distinct word n-gram shingles,
-    * each hashed to 64 bits. The basis for MinHash, SimHash, and exact
-    * Jaccard verification. */
-  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val grams = (0 until n).map(k => s"element_at(__w, __i + $k)").mkString(", ")
-    docs
-      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("__w"))
-      .filter(size(col("__w")) >= n)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, size(__w) - ${n - 1}), __i -> xxhash64(concat_ws(' ', $grams)))"
-      ))).as("h"))
-  }
+    * each hashed to 64 bits — an explode over [[shingleSets]]. */
+  def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
 
   /** MinHash signature per document: k independent permutation-min
     * estimates. Per (doc, shingle) row an array of k universal hashes is
@@ -105,14 +98,19 @@ object Dedup {
       .distinct()
   }
 
-  /** Per-doc shingle-hash set: (doc_id, hs array<long>) — ONE shuffle;
-    * signatures, banding and Jaccard verification all derive from this
-    * single frame so the corpus is scanned and aggregated once (identical
-    * subtrees → Spark's ReuseExchange serves every consumer from the same
-    * shuffle files). */
-  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    shingleHashes(docs, idCol, textCol, n)
-      .groupBy(col("doc_id")).agg(collect_set(col("h")).as("hs"))
+  /** Per-doc shingle-hash set: (doc_id, hs array<long>) — a pure
+    * PROJECTION via the native [[graft.functions.ShingleHashes]]
+    * expression (replaces split→transform→distinct→explode→collect_set,
+    * whose groupBy was a full-corpus shuffle: shingle-based dedup now
+    * shuffles nothing until the tiny banded candidate join). Documents
+    * with fewer than n words have no shingles and are dropped, matching
+    * the previous form. */
+  def shingleSets(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"),
+        call_function("shingle_hashes", col(textCol), lit(n)).as("hs"))
+      .filter(size(col("hs")) > 0)
+  }
 
   /** MinHash signatures as a pure PROJECTION over the shingle sets: no
     * second aggregation, no extra shuffle; the signature itself is the

@@ -106,4 +106,21 @@ object Similarity {
 
   private def dim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
+
+  /** Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
+    * This is the EXACT baseline (quadratic — fine for a reference check
+    * or a small corpus). At scale with a high threshold, generate
+    * candidates with the multi-probe LSH buckets ([[annTopK]]'s machinery)
+    * instead: hyperplane-LSH recall is high exactly when the threshold
+    * cosine is high (small angle). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double): DataFrame = {
+    val v = prepared(df, vecCol).select(col(idCol).as("id"), col("__vd").as("v"))
+    val l = v.as("l"); val r = v.as("r")
+    l.join(r, col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
+        cosine(df.sparkSession, col("l.v"), col("r.v")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
+  }
 }

@@ -129,6 +129,16 @@ object Extensions {
              |            ELSE 'fr' END = lang_actual) AS is_match
              |FROM scored""".stripMargin)),
 
+    // embedding-cosine near-dup, exact form (the fixture's closest pairs
+    // sit at cosine ≈ 0.5, so threshold 0.45 selects the planted tail);
+    // the scale path for high thresholds is the LSH machinery of ext06.
+    "ext10_embed_dedup" -> Q(
+      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45),
+      Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+             |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
+
     "ext09_multimodal" -> Q(
       (s, d) => Multimodal.featuresBySource(docs(s, d), "doc_id", "text", "source"),
       Some("""SELECT source, count(*) AS n_docs,

@@ -46,6 +46,12 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, s"simhash64 expects 1 argument, got ${children.size}")
         SimHash64(children.head)
+      }),
+    (new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShingleHashes].getName, "shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"shingle_hashes expects (text, n), got ${children.size} args")
+        graft.functions.ShingleHashes(children.head, litInt(children(1), "shingle_hashes n"))
       }))
 
   /** Imperative registration into an existing session (idempotent) — for
