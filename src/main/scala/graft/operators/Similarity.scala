@@ -107,6 +107,49 @@ object Similarity {
   private def dim(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
+  /** IVF (inverted-file) ANN: k-means centroids partition the corpus into
+    * nLists cells; each query scores only the vectors in its nProbe
+    * nearest cells. The other standard scale path next to hyperplane LSH
+    * ([[annTopK]]): better cell balance on clustered data, at the cost of
+    * a (cheap, seeded, deterministic) training pass. The candidate join
+    * is equality-keyed on the cell id; centroids are a tiny broadcast
+    * literal. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nLists: Int = 16, nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val featured = prepared(corpus, vecCol)
+      .withColumn("__feat", array_to_vector(col("__vd")))
+    val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("__feat").setPredictionCol("__cell")
+      .fit(featured)
+    val c = model.transform(featured)
+      .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__cell").as("cell"))
+
+    // nProbe nearest centroids per query, computed columnarly against the
+    // broadcast centroid literal (euclidean, same metric k-means trained)
+    val centroids = typedlit(model.clusterCenters.toSeq.map(_.toArray.toSeq))
+    val ranked = array_sort(zip_with(
+      centroids, sequence(lit(0), lit(nLists - 1)),
+      (cent, idx) => struct(
+        aggregate(zip_with(col("__vd"), cent, (x, y) => (x - y) * (x - y)),
+          lit(0.0d), (acc, x) => acc + x).as("d"),
+        idx.as("idx"))))
+    val q = prepared(queries, vecCol)
+      .select(col(idCol).as("qid"), col("__vd").as("qv"),
+        explode(slice(transform(ranked, s => s.getField("idx")), 1, nProbe)).as("cell"))
+
+    c.join(q, "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+  }
+
   /** Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     * This is the EXACT baseline (quadratic — fine for a reference check
     * or a small corpus). At scale with a high threshold, generate

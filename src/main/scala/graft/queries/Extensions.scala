@@ -89,6 +89,15 @@ object Extensions {
           k = 5, nPlanes = 4)
       }),
 
+    // IVF variant of ANN (k-means cells + multi-probe) — approximate by
+    // design → rows-only; SimilaritySpec asserts recall vs exact top-k.
+    "ext11_ann_ivf" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nLists = 16, nProbe = 4)
+      }),
+
     "ext07_text_stats" -> Q(
       (s, d) => TextAnalysis.stats(docs(s, d), "doc_id", "text"),
       Some("""SELECT doc_id,

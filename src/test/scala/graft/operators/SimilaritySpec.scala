@@ -33,6 +33,17 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.forall { case (q1, n1) => q1 < 20 && n1 != q1 })
   }
 
+  test("ivfTopK: k-means cells with multi-probe give useful recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(e, q, "vec_id", "embedding", 5, nLists = 16, nProbe = 4)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall collapsed")
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
