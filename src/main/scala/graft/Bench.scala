@@ -33,10 +33,14 @@ object Bench {
     } + "\""
 
     // Untimed warm-up: JIT/codegen/parquet-footer caches would otherwise
-    // all land on whichever query happens to sort first.
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // all land on whichever query happens to sort first. Best-effort —
+    // a missing fixture must not kill the per-query error reporting.
+    try spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count()
       .write.format("noop").mode("overwrite").save()
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]

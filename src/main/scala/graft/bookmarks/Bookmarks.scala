@@ -53,34 +53,61 @@ class BookmarkStore(spark: SparkSession, statePath: String) {
     try out.write(render(marks).getBytes("UTF-8")) finally out.close()
   }
 
+  /** True when any path component BELOW `root` is hidden (`_`/`.`
+    * prefix) — files inside `_temporary/`, `.staging/` etc. must never be
+    * planned: they can vanish at committer rename, and rename preserves
+    * mtime, so a watermark taken from them would silently skip the
+    * finalized file forever. (Spark's own FileIndex applies this filter
+    * at every directory level; a leaf-name check is not enough.) */
+  private def underHiddenDir(root: org.apache.hadoop.fs.Path,
+                             file: org.apache.hadoop.fs.Path): Boolean = {
+    var p = file
+    while (p != null && p != root) {
+      val n = p.getName
+      if (n.startsWith("_") || n.startsWith(".")) return true
+      p = p.getParent
+    }
+    false
+  }
+
   /** List `location` recursively; keep visible data files newer than the
-    * stored watermark for `source`. */
+    * stored watermark for `source`. A not-yet-existing location (producer
+    * hasn't written anything) is an empty plan, not an error. */
   def plan(source: String, location: String): IncrementalPlan = {
     val watermark = load().getOrElse(source, Long.MinValue)
     val root = new org.apache.hadoop.fs.Path(location)
     val f = fs(root)
     val picked = Seq.newBuilder[String]
     var maxT = watermark
-    val it = f.listFiles(root, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      val hidden = name.startsWith("_") || name.startsWith(".")
-      if (!hidden && st.getModificationTime > watermark) {
-        picked += st.getPath.toString
-        if (st.getModificationTime > maxT) maxT = st.getModificationTime
+    if (f.exists(root)) {
+      val qualifiedRoot = f.makeQualified(root)
+      val it = f.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (!underHiddenDir(qualifiedRoot, st.getPath) &&
+            st.getModificationTime > watermark) {
+          picked += st.getPath.toString
+          if (st.getModificationTime > maxT) maxT = st.getModificationTime
+        }
       }
     }
     IncrementalPlan(source, picked.result(), maxT, location)
   }
 
   /** Read the planned files. An empty plan returns an empty frame with
-    * the location's schema (schema-only read, no data scan). */
+    * the location's schema (schema-only read, no data scan); if the
+    * location has no data at all, that schema can't exist — fail with a
+    * named error instead of UNABLE_TO_INFER_SCHEMA. */
   def read(plan: IncrementalPlan, format: String,
            options: Map[String, String] = Map.empty): DataFrame = {
     val reader = spark.read.format(format).options(options)
     if (plan.files.nonEmpty) reader.load(plan.files: _*)
-    else reader.load(plan.location).filter(lit(false))
+    else try reader.load(plan.location).filter(lit(false))
+    catch { case e: org.apache.spark.sql.AnalysisException =>
+      throw new graft.config.ConfigError(
+        s"incremental source '${plan.source}': location '${plan.location}' has no readable " +
+          s"data yet, so an empty typed frame cannot be built (${e.getErrorClass})")
+    }
   }
 
   /** Persist the plan's watermark — call only after the downstream write

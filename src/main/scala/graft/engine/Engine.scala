@@ -50,6 +50,11 @@ object Engine {
             "new_files" -> plan.files.size.toString)
           commits += (() => store.commit(plan))
           store.read(plan, fmt, graft.sources.Sources.mapOptions(opts))
+        case (true, _) =>
+          // bookmarks track file mtimes; silently full-scanning a catalog
+          // or JDBC source would duplicate history on every appending run
+          throw new ConfigError(
+            s"input '${t.name}': incremental_source is only supported for file sources")
         case _ => Sources.load(spark, resolved)
       }
       df.createOrReplaceTempView(t.name)

@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * candidate join. At 100 TB that removes the single largest exchange of
   * the dedup pipeline.
   *
-  * Tokenization: runs of non-whitespace bytes (same as `split('\s+')` on
-  * trimmed text). Hash: XXH64 (seed 42) over the UTF-8 bytes of the
+  * Tokenization: runs of non-whitespace bytes (ASCII whitespace incl.
+  * vertical tab, matching regex `\s`); equivalent to splitting on
+  * `\s+` and dropping empty tokens — leading whitespace does NOT
+  * produce the empty-first-token artifact of `split`. Hash: XXH64 (seed 42) over the UTF-8 bytes of the
   * shingle words joined with single spaces. Output order is sorted
   * (a by-product of dedup) — all consumers are order-independent.
   *
@@ -47,7 +49,7 @@ case class ShingleHashes(child: Expression, n: Int)
     var starts = new Array[Int](16); var ends = new Array[Int](16)
     var nw = 0
     var i = 0
-    def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f'
+    def isSpace(b: Byte) = b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == '\f' || b == 0x0B
     while (i < bytes.length) {
       while (i < bytes.length && isSpace(bytes(i))) i += 1
       if (i < bytes.length) {

@@ -171,12 +171,17 @@ object Dedup {
     * bit_count(xor) then filters exactly. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"simhashPairs: maxHamming must be in [0, 15], got $maxHamming")
     val sigs = simhashSignatures(shingleSets(docs, idCol, textCol, n))
     val chunks = maxHamming + 1
     val width = 64 / chunks
+    // width can be 64 (maxHamming = 0): (1L << 64) silently wraps to 1,
+    // which would make every chunk_val 0 → an all-pairs cross join
+    val mask = if (width == 64) -1L else (1L << width) - 1
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
-        s"shiftrightunsigned(simhash, c * $width) & ${(1L << width) - 1}L)"))
+        s"shiftrightunsigned(simhash, c * $width) & ${mask}L)"))
       .as(Seq("chunk_idx", "chunk_val")))
       // both self-join sides read this ~16 B/doc frame; persisting it
       // keeps the shingle+simhash computation single-pass

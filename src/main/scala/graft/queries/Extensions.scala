@@ -49,7 +49,7 @@ object Extensions {
       Some("""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
-             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
              |), pairs AS (
              |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

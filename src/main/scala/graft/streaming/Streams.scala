@@ -108,7 +108,14 @@ object Streams {
           }
           cur.foreach { s =>
             state.update(s)
-            state.setTimeoutTimestamp(s.last / 1000 + gapMinutes * 60L * 1000)
+            // flatMapGroupsWithState still delivers late rows; a timeout
+            // computed from a late last-event would be <= the current
+            // watermark and setTimeoutTimestamp THROWS on that — clamp
+            // to just past the watermark so the session closes on the
+            // next watermark advance instead of killing the query.
+            val wanted = s.last / 1000 + gapMinutes * 60L * 1000
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(wanted, floor))
           }
           out.result().iterator
         }

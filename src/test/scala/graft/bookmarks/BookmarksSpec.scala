@@ -46,6 +46,24 @@ class BookmarksSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("n") && df.count() == 0)
   }
 
+  test("files under hidden DIRECTORIES are ignored (committer temp dirs)") {
+    val (store, src, _) = setup()
+    writeFile(src, "a.parquet", Seq(1), 1000000L)
+    writeFile(s"$src/_temporary/0", "part-00000.parquet", Seq(9), 9000000L)
+    writeFile(s"$src/.staging", "part-00001.parquet", Seq(9), 9000000L)
+    val p = store.plan("s1", src)
+    assert(p.files.size == 1 && p.files.head.endsWith("a.parquet"))
+    assert(p.newWatermark == 1000000L) // in-flight mtimes must not advance it
+  }
+
+  test("missing location is an empty plan; truly-empty read is a named error") {
+    val (store, src, _) = setup()
+    val p = store.plan("s1", src) // src directory never created
+    assert(p.files.isEmpty)
+    val e = intercept[graft.config.ConfigError](store.read(p, "parquet"))
+    assert(e.getMessage.contains("s1") && e.getMessage.contains(src))
+  }
+
   test("hidden and _SUCCESS files are ignored; watermarks are per-source") {
     val (store, src, _) = setup()
     writeFile(src, "a.parquet", Seq(1), 1000000L)

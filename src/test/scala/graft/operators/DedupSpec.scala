@@ -70,6 +70,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs == brute) // pigeonhole banding loses nothing
   }
 
+  test("simhashPairs maxHamming=0 means exact signature equality, not a cross join") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", n = 3, maxHamming = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L))) // the identical docs only
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16))
+  }
+
   test("fixture: lsh pairs equal all-pairs ground truth at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
