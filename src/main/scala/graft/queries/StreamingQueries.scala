@@ -23,6 +23,23 @@ object StreamingQueries {
              |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
 
+    // exactly-once dedup under at-least-once delivery: the fixture is
+    // staged TWICE into the stream source; dropDuplicatesWithinWatermark
+    // must collapse it back to single-copy counts — the oracle is the
+    // plain batch aggregate over the ORIGINAL (single) events table.
+    "st03_stream_dedup" -> Q(
+      (s, d) => {
+        val deduped = Streams.runToMemory(s,
+          Streams.dedupEvents(Streams.readEventsStreamDoubled(s, d)),
+          "st03_deduped", OutputMode.Append())
+        deduped.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+      },
+      Some("""SELECT event_type, count(*) AS n_events,
+             |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+             |FROM events GROUP BY event_type""".stripMargin)),
+
     // closed sessions only (the trailing open session per user stays in
     // state) → rows-only here; StreamingSpec proves equality with the
     // batch lag/gap-sum sessionization minus each user's last session.

@@ -45,6 +45,37 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** As [[readEventsStream]] but the fixture is staged TWICE (two files
+    * with identical rows) — the double-delivery input for proving
+    * streaming dedup semantics. */
+  def readEventsStreamDoubled(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events2x")
+    val fs = stage.getFileSystem(conf)
+    Seq("copy1.parquet", "copy2.parquet").foreach { name =>
+      val dst = new org.apache.hadoop.fs.Path(stage, name)
+      if (!fs.exists(dst)) {
+        fs.mkdirs(stage)
+        org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+      }
+    }
+    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exactly-once event dedup under at-least-once delivery: duplicates of
+    * an event_id arriving within the watermark window are dropped with
+    * bounded state (`dropDuplicatesWithinWatermark` — state for an id is
+    * freed once the watermark passes it, unlike plain dropDuplicates
+    * whose state grows forever). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling 1-hour windows per event type: count + exact value cents.
     * State is bounded: one row per (window, type). */
   def windowedCounts(events: DataFrame): DataFrame =

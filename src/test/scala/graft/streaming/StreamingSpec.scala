@@ -62,6 +62,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream dedup: doubled source really doubles, dedup restores exact counts") {
+    val n = graft.queries.Tables.events(spark, dir).count()
+    val raw = Streams.runToMemory(spark,
+      Streams.readEventsStreamDoubled(spark, dir).select("event_id"),
+      "spec_doubled_raw", OutputMode.Append()).count()
+    assert(raw == 2 * n, s"staging should deliver every event twice: $raw vs 2*$n")
+    val deduped = Streams.runToMemory(spark,
+      Streams.dedupEvents(Streams.readEventsStreamDoubled(spark, dir)),
+      "spec_doubled_dedup", OutputMode.Append()).count()
+    assert(deduped == n)
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
