@@ -154,6 +154,38 @@ object Dedup {
       .withColumn("jaccard", round(col("jaccard"), 6))
   }
 
+  /** Winnowing-fingerprint near-dedup (the MOSS rolling-hash scheme, see
+    * [[graft.functions.WinnowingFingerprints]]): documents sharing ≥
+    * `overlap` of the smaller side's fingerprints are near-dups.
+    * Candidates come from an inverted index (explode fingerprints →
+    * equality self-join per fingerprint — never all-pairs); fingerprints
+    * appearing in more than `maxDf` documents are dropped first, the
+    * standard stop-fingerprint guard against quadratic hot buckets
+    * (dropping them can only LOWER overlap, so it never creates false
+    * positives). */
+  def winnowPairs(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 12, w: Int = 8, overlap: Double = 0.7,
+                  maxDf: Int = 100): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val fp = docs.select(col(idCol).as("doc_id"),
+        call_function("winnow_fps", col(textCol), lit(k), lit(w)).as("fps"))
+      .filter(size(col("fps")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = fp.select(col("doc_id"), size(col("fps")).as("nf"))
+    val inverted = fp.select(col("doc_id"), explode(col("fps")).as("f"))
+    val rare = inverted.groupBy(col("f")).count()
+      .filter(col("count") <= maxDf).select(col("f"))
+    val indexed = inverted.join(rare, "f")
+    val l = indexed.as("l"); val r = indexed.as("r")
+    l.join(r, col("l.f") === col("r.f") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+      .filter(col("shared").cast("double") / least(col("na"), col("nb")) >= overlap)
+      .select(col("doc_a"), col("doc_b"))
+  }
+
   /** 64-bit SimHash per document over its shingle-hash set: bit j of the
     * signature is the sign of the ±1 votes of all features' bit j —
     * computed by the native fused-loop [[graft.functions.SimHash64]]

@@ -65,6 +65,24 @@ object Extensions {
       (s, d) => Dedup.simhashPairs(docs(s, d), "doc_id", "text",
         n = 3, maxHamming = 8)),
 
+    // winnowing (MOSS) fingerprint dedup: fingerprint-overlap ≥ 0.7
+    // selects EXACTLY the planted near-dup pairs on this fixture
+    // (planted overlap = 1.0, unrelated ≤ 0.43 measured) — so the
+    // behavioral oracle is the same all-pairs 3-gram-Jaccard truth.
+    "ext12_winnow_dedup" -> Q(
+      (s, d) => Dedup.winnowPairs(docs(s, d), "doc_id", "text",
+        k = 12, w = 8, overlap = 0.7),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |WHERE len(list_intersect(a.s, b.s))::DOUBLE
+             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""".stripMargin)),
+
     "ext05_cosine_topk" -> Q(
       (s, d) => {
         val e = emb(s, d)

@@ -23,6 +23,19 @@ object StreamingQueries {
              |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
              |FROM events GROUP BY 1, 2, 3""".stripMargin)),
 
+    // stream-stream interval join (clicks ⋈ same-user errors in the
+    // preceding 30 min), state bounded by both-side watermarks; oracle =
+    // the identical batch interval self-join.
+    "st04_stream_join" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.clicksWithRecentErrors(Streams.readEventsStream(s, d), 30),
+        "st04_result", OutputMode.Append()),
+      Some("""SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+             |FROM events c JOIN events e
+             |  ON c.event_type = 'click' AND e.event_type = 'error'
+             | AND c.user_id = e.user_id
+             | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts""".stripMargin)),
+
     // exactly-once dedup under at-least-once delivery: the fixture is
     // staged TWICE into the stream source; dropDuplicatesWithinWatermark
     // must collapse it back to single-copy counts — the oracle is the

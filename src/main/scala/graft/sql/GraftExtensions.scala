@@ -52,6 +52,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"shingle_hashes expects (text, n), got ${children.size} args")
         graft.functions.ShingleHashes(children.head, litInt(children(1), "shingle_hashes n"))
+      }),
+    (new FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, s"winnow_fps expects (text, k, w), got ${children.size} args")
+        graft.functions.WinnowingFingerprints(children.head,
+          litInt(children(1), "winnow_fps k"), litInt(children(2), "winnow_fps w"))
       }))
 
   /** Imperative registration into an existing session (idempotent) — for

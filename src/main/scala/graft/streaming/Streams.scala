@@ -98,6 +98,27 @@ object Streams {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: each click is matched with the same
+    * user's errors in the preceding `intervalMinutes` — the "what broke
+    * right before the user clicked away" shape. Both sides carry
+    * watermarks so Spark bounds the join state to the interval (without
+    * them, stream-stream join state grows forever). */
+  def clicksWithRecentErrors(events: DataFrame, intervalMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$intervalMinutes minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+      .withWatermark("e_ts", s"$intervalMinutes minutes")
+    clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
+        col("e_ts") <= col("c_ts"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   /** Session bounds as epoch MICROS (longs) — exact, no Timestamp
     * precision loss across the typed-encoder boundary. */
