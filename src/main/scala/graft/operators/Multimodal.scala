@@ -49,6 +49,41 @@ object Multimodal {
       }
     }(Encoders.product[MediaFeatures])
 
+  /** "Resize" stub: downsample the payload by keeping every `factor`-th
+    * byte (the deterministic stand-in for image resampling — a real
+    * implementation decodes pixels and interpolates; the Spark shape is
+    * identical: payload → smaller payload, meta updated in place). */
+  def resizeStub(media: Dataset[MediaDoc], factor: Int): Dataset[MediaDoc] = {
+    require(factor >= 1, s"resize factor must be >= 1, got $factor")
+    media.mapPartitions { docs =>
+      docs.map { m =>
+        val resized = Array.tabulate(
+          (m.payload.length + factor - 1) / factor)(i => m.payload(i * factor))
+        MediaDoc(m.doc_id, resized,
+          m.meta.copy(n_bytes = resized.length.toLong))
+      }
+    }(Encoders.product[MediaDoc])
+  }
+
+  /** Frame-sample stub: split the payload into fixed-size "frames" and
+    * keep every `stride`-th frame (the video frame-sampling shape: one
+    * input row → several frame rows, each a binary chunk + frame index).
+    * Real codecs swap in at the chunking step; the iterator-streaming,
+    * schema and fan-out are what a 100 TB pipeline actually exercises. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+  def frameSampleStub(media: Dataset[MediaDoc], frameBytes: Int,
+                      stride: Int): Dataset[Frame] = {
+    require(frameBytes >= 1 && stride >= 1,
+      s"frameBytes and stride must be >= 1, got $frameBytes/$stride")
+    media.mapPartitions { docs =>
+      docs.flatMap { m =>
+        m.payload.grouped(frameBytes).zipWithIndex.collect {
+          case (chunk, i) if i % stride == 0 => Frame(m.doc_id, i, chunk)
+        }
+      }
+    }(Encoders.product[Frame])
+  }
+
   /** Per-source rollup of the extracted features (the typical "did every
     * shard decode" pipeline health query). */
   def featuresBySource(docs: DataFrame, idCol: String, textCol: String,

@@ -166,6 +166,36 @@ object Extensions {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
 
+    // resize (keep every 3rd byte) then frame-sample (4-byte frames,
+    // every 2nd) through the typed multimodal pipeline; the oracle
+    // recomputes the same strided byte selection arithmetically.
+    "ext13_multimodal_frames" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.Encoders
+        val frames = Multimodal.frameSampleStub(
+          Multimodal.resizeStub(
+            Multimodal.toMedia(docs(s, d), "doc_id", "text", "source"), 3),
+          frameBytes = 4, stride = 2)
+        frames.map { f =>
+          (f.doc_id, f.frame.map(b => (b & 0xff).toLong).sum)
+        }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+          .toDF("doc_id", "fsum")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_frames"), sum(col("fsum")).as("frame_byte_sum"))
+      },
+      Some("""WITH rs AS (
+             |  SELECT doc_id,
+             |         list_filter(list_transform(range(1, length(text) + 1),
+             |           i -> CASE WHEN (i - 1) % 3 = 0 THEN ord(substr(text, i, 1)) END),
+             |           x -> x IS NOT NULL) AS bytes
+             |  FROM documents)
+             |SELECT doc_id,
+             |       CAST(((len(bytes) + 3) // 4 + 1) // 2 AS BIGINT) AS n_frames,
+             |       CAST(list_sum(list_filter(list_transform(range(1, len(bytes) + 1),
+             |         j -> CASE WHEN ((j - 1) // 4) % 2 = 0 THEN bytes[j] END),
+             |         x -> x IS NOT NULL)) AS BIGINT) AS frame_byte_sum
+             |FROM rs""".stripMargin)),
+
     "ext09_multimodal" -> Q(
       (s, d) => Multimodal.featuresBySource(docs(s, d), "doc_id", "text", "source"),
       Some("""SELECT source, count(*) AS n_docs,

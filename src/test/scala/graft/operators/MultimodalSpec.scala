@@ -23,6 +23,24 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(2L).byte_sum == 2L * 'z')
   }
 
+  test("resize stub downsamples payloads and keeps meta consistent") {
+    val df = Seq((1L, "abcdefghij", "s")).toDF("doc_id", "text", "source")
+    val r = Multimodal.resizeStub(
+        Multimodal.toMedia(df, "doc_id", "text", "source"), 3)
+      .collect().head
+    assert(new String(r.payload, "UTF-8") == "adgj")
+    assert(r.meta.n_bytes == 4L)
+  }
+
+  test("frame sampling fans one doc into strided binary frames") {
+    val df = Seq((1L, "aabbccddee", "s")).toDF("doc_id", "text", "source")
+    val frames = Multimodal.frameSampleStub(
+        Multimodal.toMedia(df, "doc_id", "text", "source"), frameBytes = 2, stride = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.map(_.frame_idx).toSeq == Seq(0, 2, 4))
+    assert(frames.map(f => new String(f.frame, "UTF-8")).toSeq == Seq("aa", "cc", "ee"))
+  }
+
   test("per-source rollup aggregates all docs") {
     val df = Seq((1L, "a", "s"), (2L, "b", "s"), (3L, "c", "t"))
       .toDF("doc_id", "text", "source")
