@@ -48,6 +48,10 @@ sealed trait TargetSpec
 object TargetSpec {
   final case class File(location: String) extends TargetSpec
   final case class Catalog(database: String, governed: Boolean) extends TargetSpec
+  /** JDBC sink — beyond the reference (its code errors on any target
+    * other than s3/gdc, `glue_etl_framework.py:272-275`, despite the
+    * README implying one); completes the source/sink matrix. */
+  final case class Jdbc(url: String, table: String) extends TargetSpec
 }
 
 /** Output table: reference A8-A16 (`glue_etl_framework.py:190-275`). */
@@ -185,6 +189,9 @@ object ConfigParser {
         case "gdc" | "catalog" => TargetSpec.Catalog(
           str(t, "database").getOrElse(throw new ConfigError("output_table.database required for gdc target")),
           governed = str(t, "governed").exists(v => Set("yes", "true").contains(v.toLowerCase)))
+        case "jdbc" => TargetSpec.Jdbc(
+          str(t, "url").getOrElse(throw new ConfigError("output_table.url required for jdbc target")),
+          str(t, "table").getOrElse(name))
         case other => throw new ConfigError(s"unknown target '$other'")
       }
       OutputTable(

@@ -105,6 +105,8 @@ object Engine {
         name = Interpolate(out0.name, vars),
         target = out0.target match {
           case TargetSpec.File(loc) => TargetSpec.File(Interpolate(loc, vars))
+          case TargetSpec.Jdbc(url, tbl) =>
+            TargetSpec.Jdbc(Interpolate(url, vars), Interpolate(tbl, vars))
           case c => c
         })
       graft.log.Log.info("writing output", "output" -> out.name)

@@ -274,9 +274,11 @@ object Framework {
     s.table("default.fw_cat_out")
   }
 
-  /** A3: REAL JDBC scan (the reference's jdbc branch is a crashing stub,
-    * `glue_etl_framework.py:119-120,128`). Round-trips nation through an
-    * embedded Derby database: jdbc write → engine jdbc source → sink. */
+  /** A3 + JDBC sink: REAL JDBC on both ends (the reference's jdbc source
+    * is a crashing stub, `glue_etl_framework.py:119-120,128`, and it has
+    * no jdbc write branch at all). Round-trips nation through an embedded
+    * Derby database: jdbc write → engine jdbc SOURCE → engine jdbc SINK →
+    * jdbc read-back. */
   private def fwJdbc(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "jdbc")
     rmrf(s, base)
@@ -297,14 +299,17 @@ object Framework {
          |    table: nation
          |output_table:
          |  name: jdbc_out
-         |  target: s3
-         |  location: $base/out
+         |  target: jdbc
+         |  url: "$url"
+         |  table: jdbc_out
          |sql: >
          |  SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
          |  FROM nation GROUP BY n_regionkey
          |""".stripMargin
     run(s, yaml)
-    s.read.parquet(s"$base/out")
+    s.read.format("jdbc").option("url", url).option("dbtable", "jdbc_out").load()
+      .select(col("n_regionkey").cast("int").as("n_regionkey"),
+        col("n_nations").cast("long").as("n_nations"))
   }
 
   /** A17: script-job dispatch through Engine.run — reflection-loaded

@@ -10,7 +10,40 @@ import graft.streaming.Streams
   * pipeline computes exactly what the equivalent batch SQL computes. */
 object StreamingQueries {
 
+  private def scratch(s: org.apache.spark.sql.SparkSession, d: String,
+                      name: String): String = {
+    val base = s"/tmp/graft-st/${d.replaceAll("[^A-Za-z0-9]", "_")}/$name"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    base
+  }
+
   val all: Seq[(String, Q)] = Seq(
+
+    // streaming composed with the BATCH sink machinery: foreachBatch
+    // routes each micro-batch through Sinks.write (partitioned append),
+    // read back from the partitioned parquet output; oracle = the same
+    // projection in batch SQL.
+    "st05_stream_to_sink" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "tosink")
+        Streams.runToSink(s,
+          Streams.readEventsStream(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              floor(col("value") * 100 + 0.5).cast("long").as("value_cents")),
+          graft.config.OutputTable(
+            name = "st05_out",
+            target = graft.config.TargetSpec.File(s"$base/out"),
+            refresh = graft.config.Refresh.Incremental,
+            partitionKeys = Seq("event_type")),
+          s"$base/ckpt")
+        s.read.parquet(s"$base/out")
+          .select("event_id", "user_id", "event_type", "value_cents")
+      },
+      Some("""SELECT event_id, user_id, event_type,
+             |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+             |FROM events""".stripMargin)),
 
     "st01_stream_window" -> Q(
       (s, d) => Streams.runToMemory(s,

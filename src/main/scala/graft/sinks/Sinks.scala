@@ -83,6 +83,17 @@ object Sinks {
         } else w
         w2.save(location)
 
+      case TargetSpec.Jdbc(url, table) =>
+        // partitioning/file-count knobs don't apply to a database table;
+        // refresh maps to overwrite (with truncate, preserving the table
+        // schema/grants) vs append.
+        data.write.format("jdbc")
+          .option("url", url).option("dbtable", table)
+          .option("truncate", "true")
+          .options(out.options)
+          .mode(mode(out.refresh))
+          .save()
+
       case TargetSpec.Catalog(database, governed) =>
         // A14 catalog sink; `governed` (A15, Lake Formation transactions)
         // maps to Spark's job-level atomic commit — the observable

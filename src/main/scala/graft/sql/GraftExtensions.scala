@@ -16,8 +16,10 @@ import graft.functions.CosineSimilarity
   * ([[graft.functions.CosineSimilarity]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.entries.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(session => new GuardUnpartitionedWindow(session))
+  }
 }
 
 object GraftExtensions {

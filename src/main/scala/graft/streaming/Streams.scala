@@ -111,6 +111,26 @@ object Streams {
     spark.table(name)
   }
 
+  /** Drain a bounded stream through the BATCH sink machinery via
+    * foreachBatch — every micro-batch goes through [[graft.sinks.Sinks]]
+    * with the full OutputTable semantics (partitioned writes, dynamic
+    * partition overwrite, jdbc, ...). Use `refresh: incremental`
+    * (append) or a partitioned full refresh (each batch replaces only
+    * the partitions it touches); an unpartitioned full refresh would
+    * make every batch clobber the last. Exactly-once comes from the
+    * checkpoint WAL + the batch sink's idempotent-per-partition writes. */
+  def runToSink(spark: SparkSession, df: DataFrame,
+                out: graft.config.OutputTable, checkpoint: String): Unit = {
+    val q = df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.Sinks.write(spark, batch, out)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Stream-stream interval join: each click is matched with the same
     * user's errors in the preceding `intervalMinutes` — the "what broke
     * right before the user clicked away" shape. Both sides carry
