@@ -37,9 +37,15 @@ object Refresh {
   case object Full extends Refresh
   /** Append without purge (`glue_etl_framework.py:217,240`). */
   case object Incremental extends Refresh
+  /** Row-level merge on `merge_keys` — the README's claimed UPSERT
+    * (`README.md:68`, A16) which the reference never actually implements
+    * (its code only purges or appends). Requires `merge_keys` on the
+    * output table. */
+  case object Upsert extends Refresh
   def parse(s: String): Refresh = s.trim.toLowerCase match {
     case "" | "full"    => Full
     case "incremental"  => Incremental
+    case "upsert"       => Upsert
     case other => throw new ConfigError(s"unknown refresh mode '$other'")
   }
 }
@@ -63,7 +69,8 @@ final case class OutputTable(
     refresh: Refresh = Refresh.Full,
     partitionKeys: Seq[String] = Nil,
     repartition: Option[Int] = None,
-    coalesce: Option[Int] = None)
+    coalesce: Option[Int] = None,
+    mergeKeys: Seq[String] = Nil)
 
 sealed trait JobType
 object JobType {
@@ -204,7 +211,9 @@ object ConfigParser {
         refresh = Refresh.parse(str(t, "refresh").getOrElse("full")),
         partitionKeys = str(t, "partition_keys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         repartition = str(t, "repartition").map(_.toInt).filter(_ > 0),
-        coalesce = str(t, "coalesce").map(_.toInt).filter(_ > 0))
+        coalesce = str(t, "coalesce").map(_.toInt).filter(_ > 0),
+        mergeKeys = str(t, "merge_keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
     }
 
     JobSpec(

@@ -238,6 +238,40 @@ object Framework {
       .toDF("metric", "value")
   }
 
+  /** A16 as a real row-level merge: full refresh seeds the table, an
+    * upsert run replaces every key it carries (marking them v2, zeroing
+    * cents) AND inserts a brand-new key; untouched rows must survive
+    * verbatim. */
+  private def fwUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "upsert")
+    rmrf(s, base)
+    def yaml(refresh: String, extra: String, sql: String) =
+      s"""job:
+         |  name: fw-upsert
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: up_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |$extra
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    run(s, yaml("full", "",
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |  'v1' AS version FROM customer""".stripMargin.replace("\n", " ")))
+    run(s, yaml("upsert", "  merge_keys: c_custkey",
+      """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v2' AS version
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'v2'""".stripMargin.replace("\n", " ")))
+    s.read.parquet(s"$base/out")
+  }
+
   /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
     * published to the session catalog, the engine reads it as a `gdc`
     * source and writes a `gdc` target; we read the result back via
@@ -392,6 +426,13 @@ object Framework {
       """SELECT 'repartition_wins_files' AS metric, CAST(3 AS BIGINT) AS value
         |UNION ALL
         |SELECT 'coalesce_files' AS metric, CAST(2 AS BIGINT) AS value""".stripMargin)),
+    "fw_upsert" -> Q(fwUpsert, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
+        |FROM customer
+        |UNION ALL SELECT -1, 0, 'v2'""".stripMargin)),
     "fw_catalog" -> Q(fwCatalog, Some(
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
         |       CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents

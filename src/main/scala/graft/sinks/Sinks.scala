@@ -40,11 +40,43 @@ object Sinks {
   private def mode(r: Refresh): SaveMode = r match {
     case Refresh.Full        => SaveMode.Overwrite
     case Refresh.Incremental => SaveMode.Append
+    case Refresh.Upsert => throw new graft.config.ConfigError(
+      "refresh: upsert is supported for file targets only (catalog/jdbc row-level " +
+        "merge needs a table format)")
   }
 
   def write(spark: SparkSession, df: DataFrame, out: OutputTable): Unit = {
     val data = shaped(df, out)
     out.target match {
+      case TargetSpec.File(location) if out.refresh == Refresh.Upsert =>
+        // A16 made real: row-level merge on merge_keys. Without a table
+        // format this is honest read-merge-rewrite — existing rows whose
+        // key collides with an incoming row are replaced, everything else
+        // survives. The merge result is written to staging while the
+        // target is still being READ lazily, then swapped (same
+        // no-partial-output contract as full refresh).
+        if (out.mergeKeys.isEmpty) throw new graft.config.ConfigError(
+          s"output '${out.name}': refresh upsert requires merge_keys")
+        val target = new org.apache.hadoop.fs.Path(location)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val merged =
+          if (fs.exists(target)) {
+            val existing = spark.read.format(out.format)
+              .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+            existing.join(data, out.mergeKeys, "left_anti").unionByName(data)
+          } else data
+        val staging = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.__staging__")
+        fs.delete(staging, true)
+        val w = merged.write.format(out.format)
+          .options(graft.sources.Sources.mapOptions(out.options))
+          .mode(SaveMode.Overwrite)
+        (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
+          .save(staging.toString)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
+
       case TargetSpec.File(location)
           if out.refresh == Refresh.Full && out.partitionKeys.isEmpty =>
         // A15 (governed-write contract): Spark's static overwrite DELETES

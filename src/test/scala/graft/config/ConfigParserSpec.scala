@@ -99,10 +99,11 @@ class ConfigParserSpec extends AnyFunSuite {
     intercept[ConfigError](job.varsFor("staging"))
   }
 
-  test("refresh parse: full default, incremental, unknown rejected") {
+  test("refresh parse: full default, incremental, upsert, unknown rejected") {
     assert(Refresh.parse("") == Refresh.Full)
     assert(Refresh.parse("FULL") == Refresh.Full)
     assert(Refresh.parse("incremental") == Refresh.Incremental)
-    intercept[ConfigError](Refresh.parse("upsert"))
+    assert(Refresh.parse("upsert") == Refresh.Upsert)
+    intercept[ConfigError](Refresh.parse("merge"))
   }
 }

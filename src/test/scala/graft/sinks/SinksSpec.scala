@@ -30,6 +30,29 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 6) // incremental: appended
   }
 
+  test("upsert merges on keys: replaced, surviving, and inserted rows") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/up"
+    val upsert = out(_.copy(target = graft.config.TargetSpec.File(dir),
+      refresh = Refresh.Upsert, mergeKeys = Seq("k")))
+    Sinks.write(spark, Seq((1, "old1"), (2, "old2")).toDF("k", "v"),
+      out(_.copy(target = graft.config.TargetSpec.File(dir))))
+    Sinks.write(spark, Seq((2, "new2"), (3, "new3")).toDF("k", "v"), upsert)
+    val back = spark.read.parquet(dir).collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(back == Map(1 -> "old1", 2 -> "new2", 3 -> "new3"))
+    // upsert into a missing target just writes
+    val dir2 = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/up2"
+    Sinks.write(spark, Seq((9, "x")).toDF("k", "v"),
+      out(_.copy(target = graft.config.TargetSpec.File(dir2),
+        refresh = Refresh.Upsert, mergeKeys = Seq("k"))))
+    assert(spark.read.parquet(dir2).count() == 1)
+    // upsert without merge_keys is a named config error
+    val e = intercept[graft.config.ConfigError](Sinks.write(spark,
+      Seq((1, "x")).toDF("k", "v"),
+      out(_.copy(target = graft.config.TargetSpec.File(dir), refresh = Refresh.Upsert))))
+    assert(e.getMessage.contains("merge_keys"))
+  }
+
   test("A15 atomicity: a failing overwrite leaves the previous output intact") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/atomic"
     val target = out(_.copy(target = graft.config.TargetSpec.File(dir)))
