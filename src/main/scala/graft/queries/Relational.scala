@@ -142,6 +142,36 @@ object Relational {
              AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                              AND o.o_orderstatus = 'F')""")),
 
+    // B6b NOT IN three-valued-logic trap: a NULL in the subquery makes
+    // NOT IN yield UNKNOWN for every row (0 matches), while the
+    // NOT-EXISTS spelling of "no such order" keeps matching — the
+    // classic semantic difference, asserted as exact counts.
+    "q06b_not_in_nulls" -> Q(
+      (s, d) => {
+        views(s, d)
+        s.sql(
+          """SELECT
+            |  CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+            |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+            |     FROM orders WHERE o_custkey <= 700)) AS BIGINT) AS n_not_in_with_null,
+            |  CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+            |    (SELECT o_custkey FROM orders WHERE o_custkey <= 700)) AS BIGINT) AS n_not_in_clean,
+            |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+            |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+            |     AND o.o_custkey <= 700)) AS BIGINT)
+            |    AS n_not_exists""".stripMargin)
+      },
+      Some("""SELECT
+             |  CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             |    (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+             |     FROM orders WHERE o_custkey <= 700)) AS BIGINT) AS n_not_in_with_null,
+             |  CAST((SELECT count(*) FROM customer WHERE c_custkey NOT IN
+             |    (SELECT o_custkey FROM orders WHERE o_custkey <= 700)) AS BIGINT) AS n_not_in_clean,
+             |  CAST((SELECT count(*) FROM customer c WHERE NOT EXISTS
+             |    (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+             |     AND o.o_custkey <= 700)) AS BIGINT)
+             |    AS n_not_exists""".stripMargin)),
+
     // B7 theta join: equi key + inequality residual — the scalable shape
     // (hash/SMJ on the equi part, residual as post-join filter), not a
     // cartesian product.
@@ -227,6 +257,30 @@ object Relational {
              FROM customer JOIN nation ON c_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
              GROUP BY ROLLUP (r_name, n_name)""")),
+
+    // B11b CUBE + explicit GROUPING SETS with grouping_id — the Expand
+    // shapes beyond ROLLUP (q11)
+    "q11b_cube_sets" -> Q(
+      (s, d) => {
+        views(s, d)
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+            |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+            |       CAST(count(*) AS BIGINT) AS n,
+            |       CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS cents
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+            |                        (l_returnflag), (l_linestatus), ())""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+             |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS cents
+             |FROM lineitem
+             |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+             |                        (l_returnflag), (l_linestatus), ())""".stripMargin)),
 
     // B12 HAVING (post-aggregation filter)
     "q12_having" -> Q(
