@@ -170,12 +170,17 @@ object Dedup {
     val fp = docs.select(col(idCol).as("doc_id"),
         call_function("winnow_fps", col(textCol), lit(k), lit(w)).as("fps"))
       .filter(size(col("fps")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = fp.select(col("doc_id"), size(col("fps")).as("nf"))
     val inverted = fp.select(col("doc_id"), explode(col("fps")).as("f"))
     val rare = inverted.groupBy(col("f")).count()
       .filter(col("count") <= maxDf).select(col("f"))
+    // shared counts AND per-doc sizes must be measured over the SAME
+    // (df-filtered) fingerprint universe — dividing filtered intersections
+    // by unfiltered set sizes silently deflates overlap for documents
+    // whose fingerprints are mostly common (caught by the sf0.1 oracle:
+    // 25 of 256 planted pairs dropped below the threshold).
     val indexed = inverted.join(rare, "f")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = indexed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     val l = indexed.as("l"); val r = indexed.as("r")
     l.join(r, col("l.f") === col("r.f") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
