@@ -363,8 +363,13 @@ object Relational {
     // B17 window aggregates with explicit frames (running + moving)
     "q17_window_frame" -> Q(
       (s, d) => {
+        // the synthetic fixture has duplicate (orderkey, linenumber) pairs
+        // (118k at sf0.1), so value columns join the ORDER BY to make the
+        // ROWS-frame order total — otherwise the 3-row moving sum is
+        // genuinely ambiguous between engines
         val order = Window.partitionBy(col("l_suppkey"))
-          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+          .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc,
+            col("l_extendedprice").asc, col("l_quantity").asc)
         t(s, d, "lineitem")
           .withColumn("running_qty",
             sum(col("l_quantity")).over(order.rowsBetween(Window.unboundedPreceding, 0)))
@@ -378,9 +383,9 @@ object Relational {
                   col("running_qty"), col("mov_cents"))
       },
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
-             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC, l_quantity ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
-             CAST(floor(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+             CAST(floor(sum(l_extendedprice) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC, l_extendedprice ASC, l_quantity ASC
                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) * 100 + 0.5) AS BIGINT) AS mov_cents
              FROM lineitem""")),
 
