@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
   * noop executes the full physical plan and discards rows at the sink.
   * Failures are recorded per query (value -1 + error message), never
   * swallowed.
+  *
+  * Noise hardening (round-3 verdict): each query runs
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) and reports the MEDIAN —
+  * the first execution absorbs per-query JIT/codegen/footer-cache warm-up
+  * and the median discards it, so one cold or contended run can't fail a
+  * 2×-baseline gate on unchanged code.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,7 +28,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-    .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -43,17 +50,28 @@ object Bench {
       System.err.println(s"[bench] warm-up skipped: ${e.getMessage}")
     }
 
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val names = SparkEntry.queries.keys.toSeq.sorted
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        errors += name -> String.valueOf(e.getMessage).take(300)
+      val times = (1 to nRuns).flatMap { _ =>
+        if (errors.contains(name)) None // fail fast: don't re-run a broken query
+        else {
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            errors += name -> String.valueOf(e.getMessage).take(300)
+            None
+          }
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      name -> (if (errors.contains(name)) -1.0 else sec)
+      val median =
+        if (times.isEmpty) -1.0
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")

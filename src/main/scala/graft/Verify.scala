@@ -13,7 +13,8 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-    .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

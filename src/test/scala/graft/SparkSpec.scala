@@ -12,6 +12,7 @@ object TestSpark {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.warehouse.dir", "/tmp/graft-test-warehouse")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true") // events.parquet
     .config("spark.sql.extensions", "graft.sql.GraftExtensions")
     .getOrCreate()
 }
