@@ -121,9 +121,18 @@ object Similarity {
 
     val featured = prepared(corpus, vecCol)
       .withColumn("__feat", array_to_vector(col("__vd")))
+    // Train on a bounded, seeded, deterministic sample (~256 vectors per
+    // cell) — k-means is an iterative driver-coordinated fit, and running
+    // it over the FULL corpus would make training the job at 100 TB.
+    // xxhash64 ordering is a stable pseudo-random permutation, so the
+    // sample is corpus-size-independent and reproducible.
+    val trainSample = featured
+      .orderBy(xxhash64(col(idCol).cast("string"), lit(42L)))
+      .limit(nLists * 256)
+      .select(col("__feat"))
     val model = new KMeans().setK(nLists).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("__feat").setPredictionCol("__cell")
-      .fit(featured)
+      .fit(trainSample)
     val c = model.transform(featured)
       .select(col(idCol).as("nid"), col("__vd").as("cv"), col("__cell").as("cell"))
 
@@ -151,11 +160,9 @@ object Similarity {
   }
 
   /** Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
-    * This is the EXACT baseline (quadratic — fine for a reference check
-    * or a small corpus). At scale with a high threshold, generate
-    * candidates with the multi-probe LSH buckets ([[annTopK]]'s machinery)
-    * instead: hyperplane-LSH recall is high exactly when the threshold
-    * cosine is high (small angle). */
+    * This is the EXACT baseline (quadratic, broadcast-nested-loop — fine
+    * for a reference check or a small corpus; specs use it as the truth
+    * for [[cosinePairsLsh]]). The wired/scale path is [[cosinePairsLsh]]. */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val v = prepared(df, vecCol).select(col(idCol).as("id"), col("__vd").as("v"))
@@ -163,6 +170,50 @@ object Similarity {
     l.join(r, col("l.id") < col("r.id"))
       .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
         cosine(df.sparkSession, col("l.v"), col("r.v")).as("c"))
+      .filter(col("c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
+  }
+
+  /** Embedding near-dup pairs via OR-amplified hyperplane LSH: `bands`
+    * independent signature tables of `planesPerBand` sign bits each; two
+    * vectors are CANDIDATES iff they share a (band, signature) cell, then
+    * every candidate is verified with the exact codegen'd cosine — so the
+    * output is a subset of [[cosinePairs]] and misses a qualifying pair
+    * only if it collides in NO band.
+    *
+    * Recall math (angle θ = arccos(threshold), per-plane agreement
+    * p = 1 − θ/π): P(miss) = (1 − p^planesPerBand)^bands. The defaults
+    * (12 × 1) give P(miss) ≈ 0.35¹² ≈ 3e-6 even at threshold 0.45
+    * (θ ≈ 63° — far wider than any realistic near-dup threshold); at
+    * 0.9 the same defaults give ≈ 1e-13. Planes are seeded/deterministic
+    * so a given corpus either matches the exact answer or doesn't —
+    * SimilaritySpec pins equality on the fixtures.
+    *
+    * Scale shape: the self-join is EQUALITY-keyed on the (band, sig)
+    * struct — a hash-partitioned shuffle join, never a nested loop; each
+    * side is n × bands narrow rows (id + 64-double vector). Candidate
+    * volume per band is bounded by the cell sizes, and `planesPerBand`
+    * is the knob that splits cells further as thresholds rise (higher
+    * threshold → higher p → more planes affordable per band → smaller
+    * cells). Pair dedupe happens BEFORE the exact verify so a pair
+    * colliding in several bands is scored once. */
+  def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, bands: Int = 12,
+                     planesPerBand: Int = 1): DataFrame = {
+    val ps = planes(bands * planesPerBand, dim(df, vecCol))
+    val sigs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bucket(col("__vd"), ps.slice(b * planesPerBand, (b + 1) * planesPerBand)).as("sig"))
+    }: _*)
+    val v = prepared(df, vecCol)
+      .select(col(idCol).as("id"), col("__vd").as("v"), explode(sigs).as("bs"))
+    val l = v.as("l"); val r = v.as("r")
+    l.join(r, col("l.bs") === col("r.bs") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("vec_a"), col("r.id").as("vec_b"),
+        col("l.v").as("va"), col("r.v").as("vb"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(df.sparkSession, col("va"), col("vb")).as("c"))
       .filter(col("c") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }

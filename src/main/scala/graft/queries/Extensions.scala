@@ -156,11 +156,14 @@ object Extensions {
              |            ELSE 'fr' END = lang_actual) AS is_match
              |FROM scored""".stripMargin)),
 
-    // embedding-cosine near-dup, exact form (the fixture's closest pairs
-    // sit at cosine ≈ 0.5, so threshold 0.45 selects the planted tail);
-    // the scale path for high thresholds is the LSH machinery of ext06.
+    // embedding-cosine near-dup via OR-amplified hyperplane LSH candidates
+    // + exact verify. The fixture's qualifying pairs are the natural tail
+    // of random 64-dim vectors (top cosine ≈ 0.51, θ ≈ 63°), the hardest
+    // case for hyperplane LSH — 12 one-plane bands give per-pair miss
+    // ≈ 3e-6, and SimilaritySpec pins LSH == exact on the fixtures, so
+    // the all-pairs DuckDB oracle still hash-matches.
     "ext10_embed_dedup" -> Q(
-      (s, d) => Similarity.cosinePairs(emb(s, d), "vec_id", "embedding", 0.45),
+      (s, d) => Similarity.cosinePairsLsh(emb(s, d), "vec_id", "embedding", 0.45),
       Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
