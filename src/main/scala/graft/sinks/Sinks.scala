@@ -133,11 +133,23 @@ object Sinks {
         // API (SURVEY §7 risk 1).
         val _ = governed
         val table = s"$database.${out.name}"
-        val w = data.write.mode(mode(out.refresh))
-        if (out.partitionKeys.nonEmpty) {
-          w.option("partitionOverwriteMode", "dynamic")
-            .partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
-        } else w.format(out.format).saveAsTable(table)
+        if (out.partitionKeys.nonEmpty && out.refresh == Refresh.Full &&
+            spark.catalog.tableExists(table)) {
+          // Dynamic partition overwrite only takes effect on the
+          // insertInto path — saveAsTable(Overwrite) drops and recreates
+          // the WHOLE table, silently rewriting every partition of a
+          // 100 TB target on a daily refresh. insertInto is
+          // position-based, so align columns to the table schema first.
+          data.select(spark.table(table).columns.map(data.col): _*)
+            .write.mode(SaveMode.Overwrite)
+            .option("partitionOverwriteMode", "dynamic")
+            .insertInto(table)
+        } else {
+          val w = data.write.mode(mode(out.refresh))
+          if (out.partitionKeys.nonEmpty) {
+            w.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
+          } else w.format(out.format).saveAsTable(table)
+        }
     }
   }
 }
