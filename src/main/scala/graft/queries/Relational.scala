@@ -460,21 +460,26 @@ object Relational {
              round(greatest(o_totalprice, 50000.0), 2) AS floor_price,
              least(o_custkey, o_orderkey) AS min_key FROM orders""")),
 
-    // B23 casts & literals (no double→int casts: Spark truncates, DuckDB
-    // rounds — SURVEY §7 risk 5)
+    // B23 casts & literals. Every numeric output is an integer-exact BIGINT/
+    // INT: decimal and double casts are exercised mid-expression but never
+    // surface as the result type, because decimal ("123.00" vs "123") and
+    // double ("1.0" vs "1") stringify differently between Spark and DuckDB
+    // in the driver's canonical hasher (SURVEY §7 risk 5; r2/r3 verdicts).
     "q23_cast" -> Q(
       (s, d) => t(s, d, "lineitem").select(
         col("l_orderkey").cast("string").as("key_str"),
         col("l_quantity").cast("int").as("qty_int"), // integer-valued double: exact
         col("l_shipdate").cast("date").as("ship_date"),
-        col("l_extendedprice").cast("decimal(14,2)").as("price_dec"),
-        col("l_linenumber").cast("double").as("ln_dbl"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_cents"),
+        col("l_quantity").cast("decimal(12,2)").cast("long").as("qty_via_dec"),
+        col("l_linenumber").cast("double").cast("long").as("ln_via_dbl"),
         lit("42").cast("int").as("lit_int")),
       Some("""SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
              CAST(l_quantity AS INT) AS qty_int,
              CAST(l_shipdate AS DATE) AS ship_date,
-             CAST(l_extendedprice AS DECIMAL(14,2)) AS price_dec,
-             CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty_via_dec,
+             CAST(CAST(l_linenumber AS DOUBLE) AS BIGINT) AS ln_via_dbl,
              CAST('42' AS INT) AS lit_int FROM lineitem""")),
 
     // B24 string functions
@@ -650,6 +655,26 @@ object Relational {
     // B33 TABLESAMPLE — nondeterministic across engines: rows-only check
     "q33_sample" -> Q(
       (s, d) => t(s, d, "lineitem").sample(withReplacement = false, 0.1, seed = 42)
-        .select(col("l_orderkey"), col("l_linenumber")))
+        .select(col("l_orderkey"), col("l_linenumber"))),
+
+    // Skew-resilient join ([[graft.operators.SaltedJoin]]): orders ⋈ a
+    // 5-row priority dim on o_orderpriority — 5 distinct keys over 150k
+    // rows means EVERY key is hot (30k rows/key), the exact shape where
+    // an unsalted shuffle join puts each key in one task no matter the
+    // partition count. The salt spreads each key over 16 tasks; the dim
+    // replicates 16×40 bytes. Result is provably identical to the plain
+    // join (each pair meets under exactly one salt) — which is what the
+    // oracle checks.
+    "q34_salted_join" -> Q(
+      (s, d) => {
+        val dim = t(s, d, "orders").select(col("o_orderpriority")).distinct()
+          .withColumn("prio_len", length(col("o_orderpriority")))
+        graft.operators.SaltedJoin.inner(
+          t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+          dim, Seq("o_orderpriority"), salts = 16)
+      },
+      Some("""SELECT o.o_orderpriority, o.o_orderkey, CAST(length(d.o_orderpriority) AS INT) AS prio_len
+             FROM orders o JOIN (SELECT DISTINCT o_orderpriority FROM orders) d
+             ON o.o_orderpriority = d.o_orderpriority"""))
   )
 }
