@@ -86,9 +86,14 @@ object StreamingQueries {
              |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
              |FROM events GROUP BY event_type""".stripMargin)),
 
-    // closed sessions only (the trailing open session per user stays in
-    // state) → rows-only here; StreamingSpec proves equality with the
-    // batch lag/gap-sum sessionization minus each user's last session.
+    // Closed sessions only — deterministic, so it gets a real oracle:
+    // a session is emitted iff it is not the user's last, OR its
+    // event-time timeout (end_ms + gap) fired by the final watermark
+    // (max_ts_ms − delay); gap = delay = 30 min. The SQL mirrors the
+    // engine's arithmetic exactly: ns→µs floor division for event times
+    // (Spark reads `ts div 1000`), µs→ms floor for the timeout compare
+    // (setTimeoutTimestamp takes ms). StreamingSpec proves the same
+    // equality against the batch lag/gap-sum sessionization in Spark.
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,
@@ -97,6 +102,34 @@ object StreamingQueries {
         sessions
           .groupBy(col("user_id"))
           .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
-      })
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+             |),
+             |marked AS (
+             |  SELECT user_id, us,
+             |         CASE WHEN lag(us) OVER w IS NULL
+             |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked
+             |),
+             |agg AS (
+             |  SELECT user_id, sid, max(us) AS end_us, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sid
+             |),
+             |mx AS (SELECT max(us) AS max_us FROM e),
+             |ranked AS (
+             |  SELECT user_id, sid, n_events, end_us,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk
+             |  FROM agg
+             |)
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
+             |FROM ranked, mx
+             |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
+             |GROUP BY user_id""".stripMargin))
   )
 }
