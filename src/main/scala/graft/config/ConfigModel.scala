@@ -14,9 +14,14 @@ import scala.jdk.CollectionConverters._
   */
 sealed trait SourceSpec
 object SourceSpec {
-  /** File scan: reference A1 (`glue_etl_framework.py:81-102`). */
+  /** File scan: reference A1 (`glue_etl_framework.py:81-102`). `schema` is
+    * our declared deviation (SURVEY §1): an optional DDL string
+    * (`"a INT, b STRING"`) applied to the reader — headerless csv/json
+    * gets real column names AND skips the schema-inference pre-scan, which
+    * at 100 TB is a full extra read of the input. */
   final case class File(location: String, format: String,
-                        options: Map[String, String]) extends SourceSpec
+                        options: Map[String, String],
+                        schema: Option[String] = None) extends SourceSpec
   /** Catalog scan: reference A2 (`glue_etl_framework.py:105-116`).
     * `table` defaults to the view name (Appendix Q8 adds the override). */
   final case class Catalog(database: String, table: String) extends SourceSpec
@@ -90,6 +95,7 @@ final case class JobSpec(
     sql: Option[String],
     sqlFile: Option[String],
     scriptClass: Option[String],
+    scriptJar: Option[String] = None,
     bookmarkPath: Option[String] = None) {
 
   /** Variables for one pipeline; error on unknown pipeline (the reference
@@ -173,7 +179,8 @@ object ConfigParser {
       val source = str(t, "source").getOrElse("s3").toLowerCase match {
         case "s3" | "file" => SourceSpec.File(
           str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
-          str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts)
+          str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts,
+          str(t, "schema").map(_.trim).filter(_.nonEmpty))
         case "gdc" | "catalog" => SourceSpec.Catalog(
           str(t, "database").getOrElse(throw new ConfigError(s"input '$name': database required for gdc source")),
           str(t, "table").getOrElse(name))
@@ -237,6 +244,7 @@ object ConfigParser {
       sql = str(root, "sql"),
       sqlFile = str(root, "sql_file"),
       scriptClass = str(root, "python_file").orElse(str(root, "script_class")),
+      scriptJar = str(root, "script_jar"),
       bookmarkPath = str(job, "bookmark_path"))
   }
 }

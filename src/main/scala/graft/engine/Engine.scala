@@ -33,9 +33,9 @@ object Engine {
     val commits = Seq.newBuilder[() => Unit]
     val views = job.inputTables.map { t =>
       val resolved = t.source match {
-        case SourceSpec.File(loc, fmt, opts) =>
+        case SourceSpec.File(loc, fmt, opts, schema) =>
           SourceSpec.File(Interpolate(loc, vars), fmt,
-            opts.map { case (k, v) => k -> Interpolate(v, vars) })
+            opts.map { case (k, v) => k -> Interpolate(v, vars) }, schema)
         case SourceSpec.Catalog(db, tbl) =>
           SourceSpec.Catalog(Interpolate(db, vars), Interpolate(tbl, vars))
         case SourceSpec.Jdbc(url, db, tbl, opts) =>
@@ -43,7 +43,7 @@ object Engine {
             Interpolate(tbl, vars), opts.map { case (k, v) => k -> Interpolate(v, vars) })
       }
       val df = (t.incrementalSource, resolved) match {
-        case (true, SourceSpec.File(loc, fmt, opts)) =>
+        case (true, SourceSpec.File(loc, fmt, opts, _)) =>
           val store = bookmarks(spark, job, vars)
           val plan = store.plan(s"$pipeline:${t.name}", loc)
           graft.log.Log.info("incremental source planned", "table" -> t.name,

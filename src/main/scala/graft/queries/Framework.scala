@@ -365,6 +365,75 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** A17, the runtime-load half: `script_jar` points at a jar compiled
+    * OUTSIDE the engine build (fixtures/scriptjar — source + build.sh
+    * checked in); the job class resolves only through the jar's
+    * URLClassLoader, proving a user ships custom job code without
+    * rebuilding the engine — the reference's exec()-a-downloaded-script
+    * capability (`glue_etl_framework.py:279-309`). */
+  private def fwScriptJar(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "scriptjar")
+    rmrf(s, base)
+    val jar = Seq("fixtures/scriptjar/external-script-job.jar",
+        "/root/repo/fixtures/scriptjar/external-script-job.jar")
+      .map(new java.io.File(_)).find(_.isFile)
+      .getOrElse(sys.error("external-script-job.jar fixture missing — run fixtures/scriptjar/build.sh"))
+    // guard the fixture's premise: the class must NOT be on our classpath
+    val onClasspath =
+      try { Class.forName("example.jobs.ExternalScoreJob"); true }
+      catch { case _: ClassNotFoundException => false }
+    require(!onClasspath, "fixture class leaked onto the engine classpath")
+    val yaml =
+      s"""job:
+         |  name: fw-script-jar
+         |  type: script
+         |variables:
+         |  default:
+         |    in: $d/nation.parquet
+         |    out: $base/out
+         |script_class: example.jobs.ExternalScoreJob
+         |script_jar: ${jar.getAbsolutePath}
+         |""".stripMargin
+    Engine.run(s, ConfigParser.parse(yaml), "default")
+    s.read.parquet(s"$base/out")
+  }
+
+  /** Declared deviation (SURVEY §1): optional `schema:` DDL on a file
+    * input. A headerless pipe-separated csv gets real names and types
+    * from the config — no header row, no inference pre-scan (which at
+    * 100 TB is a full extra read of the input). The SQL then uses the
+    * DDL-given names, proving the schema actually bound. */
+  private def fwSchema(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "schema")
+    rmrf(s, base)
+    // stage nation as a HEADERLESS csv (fixed column order via select)
+    s.read.parquet(s"$d/nation.parquet")
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .write.option("header", "false").option("sep", "|").csv(s"$base/src")
+    val yaml =
+      s"""job:
+         |  name: fw-schema
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nations_raw
+         |    source: s3
+         |    location: $base/src
+         |    format: csv
+         |    schema: "nkey INT, nname STRING, rkey INT"
+         |    format_options:
+         |      separator: "|"
+         |output_table:
+         |  name: schema_out
+         |  target: s3
+         |  location: $base/out
+         |sql: >
+         |  SELECT rkey, count(*) AS n_nations, min(nname) AS first_name
+         |  FROM nations_raw GROUP BY rkey
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -442,6 +511,13 @@ object Framework {
     "fw_script" -> Q(fwScript, Some(
       """SELECT n_nationkey, n_name, CAST(n_nationkey * 2 AS BIGINT) AS doubled
         |FROM nation WHERE n_regionkey = 2""".stripMargin)),
+    "fw_script_jar" -> Q(fwScriptJar, Some(
+      """SELECT n_nationkey, n_name, CAST(length(n_name) * 3 + 1 AS BIGINT) AS score
+        |FROM nation WHERE n_regionkey < 3""".stripMargin)),
+    "fw_schema" -> Q(fwSchema, Some(
+      """SELECT n_regionkey AS rkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey""".stripMargin)),
     "fw_bookmark" -> Q(fwBookmark, Some(
       "SELECT * FROM nation UNION ALL SELECT * FROM nation"))
   )

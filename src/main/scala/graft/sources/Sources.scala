@@ -37,15 +37,21 @@ object Sources {
   private val knownFormats = Set("parquet", "csv", "json", "orc", "text")
 
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
-    case SourceSpec.File(location, format, options) =>
+    case SourceSpec.File(location, format, options, schema) =>
       if (!knownFormats(format))
         throw new ConfigError(s"unsupported input format '$format' (supported: ${knownFormats.mkString(", ")})")
-      spark.read
+      val reader = spark.read
         .format(format)
         .options(mapOptions(options))
         .option("recursiveFileLookup",
           options.getOrElse("recursiveFileLookup", "true"))
-        .load(location)
+      // explicit DDL schema: names headerless columns and skips the
+      // inference pre-scan (a full extra read of the input at scale)
+      schema.foreach(ddl => reader.schema(
+        try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        catch { case e: Exception =>
+          throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
+      reader.load(location)
 
     case SourceSpec.Catalog(database, table) =>
       // A2: catalog scan via the session catalog / metastore

@@ -55,7 +55,7 @@ class ConfigParserSpec extends AnyFunSuite {
       "spark.sql.shuffle.partitions" -> "8", "spark.executor.memory" -> "2g"))
     assert(job.varsFor("prod") == Map("year" -> "2026"))
     assert(job.inputTables.map(_.name) == Seq("sales", "customers", "orders"))
-    val SourceSpec.File(loc, fmt, opts) = job.inputTables.head.source: @unchecked
+    val SourceSpec.File(loc, fmt, opts, _) = job.inputTables.head.source: @unchecked
     assert(loc == "/data/{year}/sales" && fmt == "csv")
     assert(opts == Map("withHeader" -> "true", "separator" -> "|"))
     val SourceSpec.Catalog(db, tbl) = job.inputTables(1).source: @unchecked
@@ -76,7 +76,7 @@ class ConfigParserSpec extends AnyFunSuite {
         |output_table: {name: o, location: /y}
         |sql: SELECT 1
         |""".stripMargin)
-    val SourceSpec.File(_, fmt, _) = job.inputTables.head.source: @unchecked
+    val SourceSpec.File(_, fmt, _, _) = job.inputTables.head.source: @unchecked
     assert(fmt == "parquet")
     assert(job.outputTable.get.refresh == Refresh.Full)
     assert(job.varsFor("anything").isEmpty) // no variables section at all
@@ -105,5 +105,58 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(Refresh.parse("incremental") == Refresh.Incremental)
     assert(Refresh.parse("upsert") == Refresh.Upsert)
     intercept[ConfigError](Refresh.parse("merge"))
+  }
+
+  test("upsert misconfiguration fails at PARSE time, before any query runs") {
+    def bad(yaml: String): String =
+      intercept[ConfigError](ConfigParser.parse(yaml)).getMessage
+    // catalog target can't upsert
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: gdc, database: db, refresh: upsert, merge_keys: k}
+        |""".stripMargin) contains "file targets only")
+    // missing merge_keys
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: s3, location: /tmp/x, refresh: upsert}
+        |""".stripMargin) contains "merge_keys")
+    // well-formed upsert parses
+    val ok = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: s3, location: /tmp/x, refresh: upsert, merge_keys: k}
+        |""".stripMargin)
+    assert(ok.outputTable.get.mergeKeys == Seq("k"))
+  }
+
+  test("schema: optional DDL on a file input; absent elsewhere") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - name: raw
+        |    source: s3
+        |    location: /tmp/in
+        |    format: csv
+        |    schema: "a INT, b STRING"
+        |  - name: plain
+        |    source: s3
+        |    location: /tmp/in2
+        |sql: SELECT 1
+        |""".stripMargin)
+    val specs = job.inputTables.map(_.source)
+    assert(specs.head.asInstanceOf[SourceSpec.File].schema.contains("a INT, b STRING"))
+    assert(specs(1).asInstanceOf[SourceSpec.File].schema.isEmpty)
+  }
+
+  test("script_jar key parses") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: script}
+        |script_class: com.example.J
+        |script_jar: /path/to/user.jar
+        |""".stripMargin)
+    assert(job.scriptJar.contains("/path/to/user.jar"))
+    assert(job.scriptClass.contains("com.example.J"))
   }
 }
