@@ -81,21 +81,23 @@ object Dedup {
     * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
     * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
-    // persist: the banded frame (bands × ~12 B per doc — far smaller than
-    // the corpus) feeds BOTH sides of the self-join; without it the whole
-    // signature computation runs twice.
+    // leased persist: the banded frame (bands × ~12 B per doc — far
+    // smaller than the corpus) feeds BOTH sides of the self-join; without
+    // it the whole signature computation runs twice. Freed after the
+    // consuming action ([[graft.util.Caching.leased]]).
     val banded = sigs.select(col("doc_id"), posexplode(
       expr(s"transform(sequence(0, ${bands - 1}), b -> " +
         s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
       .as(Seq("band_idx", "band_hash")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r,
-        col("l.band_idx") === col("r.band_idx") &&
-        col("l.band_hash") === col("r.band_hash") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .distinct()
+    graft.util.Caching.leased(banded) {
+      val l = banded.as("l"); val r = banded.as("r")
+      l.join(r,
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+    }
   }
 
   /** Per-doc shingle-hash set: (doc_id, hs array<long>) — a pure
@@ -141,17 +143,19 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8): DataFrame = {
-    // persisted: consumed by the signature projection AND both Jaccard
-    // joins — one scan+aggregation of the corpus instead of three. At
-    // 100 TB this intermediate is ~hash-sized (≈1 KB/doc); MEMORY_AND_DISK
-    // spills rather than OOMs, and is the standard shape for any
-    // multi-pass sketch algorithm.
+    // leased persist: consumed by the signature projection AND both
+    // Jaccard joins — one scan+aggregation of the corpus instead of
+    // three, freed after the consuming action. At 100 TB this
+    // intermediate is ~hash-sized (≈1 KB/doc); MEMORY_AND_DISK spills
+    // rather than OOMs, and is the standard shape for any multi-pass
+    // sketch algorithm.
     val sets = shingleSets(docs, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = lshCandidates(signaturesFromSets(sets, k), bands)
-    jaccardVerify(candidates, sets)
-      .filter(col("jaccard") >= threshold)
-      .withColumn("jaccard", round(col("jaccard"), 6))
+    graft.util.Caching.leased(sets) {
+      val candidates = lshCandidates(signaturesFromSets(sets, k), bands)
+      jaccardVerify(candidates, sets)
+        .filter(col("jaccard") >= threshold)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }
   }
 
   /** Winnowing-fingerprint near-dedup (the MOSS rolling-hash scheme, see
@@ -179,16 +183,17 @@ object Dedup {
     // whose fingerprints are mostly common (caught by the sf0.1 oracle:
     // 25 of 256 planted pairs dropped below the threshold).
     val indexed = inverted.join(rare, "f")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = indexed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
-    val l = indexed.as("l"); val r = indexed.as("r")
-    l.join(r, col("l.f") === col("r.f") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
-      .filter(col("shared").cast("double") / least(col("na"), col("nb")) >= overlap)
-      .select(col("doc_a"), col("doc_b"))
+    graft.util.Caching.leased(indexed) {
+      val sizes = indexed.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      val l = indexed.as("l"); val r = indexed.as("r")
+      l.join(r, col("l.f") === col("r.f") && col("l.doc_id") < col("r.doc_id"))
+        .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("nf").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("nf").as("nb")), "doc_b")
+        .filter(col("shared").cast("double") / least(col("na"), col("nb")) >= overlap)
+        .select(col("doc_a"), col("doc_b"))
+    }
   }
 
   /** 64-bit SimHash per document over its shingle-hash set: bit j of the
@@ -216,21 +221,23 @@ object Dedup {
     // width can be 64 (maxHamming = 0): (1L << 64) silently wraps to 1,
     // which would make every chunk_val 0 → an all-pairs cross join
     val mask = if (width == 64) -1L else (1L << width) - 1
+    // both self-join sides read this ~16 B/doc frame; the leased persist
+    // keeps the shingle+simhash computation single-pass and frees the
+    // blocks after the consuming action
     val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
       expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
         s"shiftrightunsigned(simhash, c * $width) & ${mask}L)"))
       .as(Seq("chunk_idx", "chunk_val")))
-      // both self-join sides read this ~16 B/doc frame; persisting it
-      // keeps the shingle+simhash computation single-pass
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val l = chunked.as("l"); val r = chunked.as("r")
-    l.join(r,
-        col("l.chunk_idx") === col("r.chunk_idx") &&
-        col("l.chunk_val") === col("r.chunk_val") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
-        expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    graft.util.Caching.leased(chunked) {
+      val l = chunked.as("l"); val r = chunked.as("r")
+      l.join(r,
+          col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+    }
   }
 }
