@@ -1,5 +1,7 @@
 package graft.bookmarks
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.lit
 
@@ -7,35 +9,53 @@ import org.apache.spark.sql.functions.lit
   * processed input per `transformation_ctx` so re-runs skip old files
   * (`glue/glue_etl_framework.py:101,115,186,227,438`). Glue keeps that
   * state in its service; the OSS analog here is a high-watermark store:
-  * a JSON file of `source -> max processed file mtime`.
+  * a JSON file of `source -> {watermark, seen files}`.
   *
   * Design (SURVEY §7 risk 3 — deterministic and testable):
   *   - `plan()` lists the location ONCE and pins the exact file set with
-  *     mtime > watermark, plus the new watermark (max mtime of the files
-  *     actually included). Reading explicit paths rather than Spark's
-  *     `modifiedAfter` option avoids two correctness holes: the option's
+  *     mtime > watermark (and not already seen), plus the max planned
+  *     mtime. Reading explicit paths rather than Spark's `modifiedAfter`
+  *     option avoids two correctness holes: the option's
   *     second-granularity timestamp parse, and a commit that re-lists the
   *     directory and could advance the watermark past files that were
   *     never read (landed mid-run) — silently dropping them forever.
-  *   - `commit()` persists only the planned watermark, and only after the
-  *     job's sink write succeeds (Engine calls it like the reference's
-  *     trailing `job.commit()`, `:438`) — a failed run reprocesses.
+  *   - `commit()` persists state only after the job's sink write succeeds
+  *     (Engine calls it like the reference's trailing `job.commit()`,
+  *     `:438`) — a failed run reprocesses.
+  *   - The committed watermark LAGS the max planned mtime by
+  *     `graceLagMs`, and files inside the lag window are deduped by PATH
+  *     (the `seen` map): a file that becomes visible only after the
+  *     listing but carries an older mtime (slow multi-part upload,
+  *     committer rename preserving a staged mtime, clock skew) is still
+  *     picked up on the next run, while files already processed in that
+  *     window are never re-read. A bare watermark has a landing-window
+  *     hole; a bare grace lag double-reads — it takes both.
   *
   * Scale: the driver-side listing is the same FileSystem listing Spark's
-  * own FileIndex performs on every read; no extra cost class.
+  * own FileIndex performs on every read; no extra cost class. The `seen`
+  * map holds only files with mtime inside the lag window — bounded by the
+  * producer's write rate × lag, not by history.
   */
-class BookmarkStore(spark: SparkSession, statePath: String) {
+class BookmarkStore(spark: SparkSession, statePath: String,
+                    graceLagMs: Long = 60000L) {
   private val hadoopConf = spark.sparkContext.hadoopConfiguration
 
   private def fs(p: org.apache.hadoop.fs.Path) = p.getFileSystem(hadoopConf)
 
-  /** Exact incremental read plan: the new files and the watermark to
-    * commit once they are durably processed. */
-  final case class IncrementalPlan(source: String, files: Seq[String],
-                                   newWatermark: Long, location: String)
+  /** Per-source state: everything at or before `watermark` is done;
+    * inside the lag window above it, `seen` (path -> mtime) lists what
+    * was already processed. */
+  final case class SourceMark(watermark: Long, seen: Map[String, Long])
+  private val emptyMark = SourceMark(Long.MinValue, Map.empty)
 
-  /** source name -> high watermark (epoch millis) */
-  def load(): Map[String, Long] = {
+  /** Exact incremental read plan: the new files and the watermark to
+    * commit once they are durably processed. `planned` carries each
+    * file's mtime so commit can pin the seen-set. */
+  final case class IncrementalPlan(source: String, files: Seq[String],
+                                   newWatermark: Long, location: String,
+                                   planned: Map[String, Long] = Map.empty)
+
+  def load(): Map[String, SourceMark] = {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val f = fs(p)
     if (!f.exists(p)) Map.empty
@@ -46,7 +66,7 @@ class BookmarkStore(spark: SparkSession, statePath: String) {
     }
   }
 
-  def save(marks: Map[String, Long]): Unit = {
+  def save(marks: Map[String, SourceMark]): Unit = {
     val p = new org.apache.hadoop.fs.Path(statePath)
     val f = fs(p)
     val out = f.create(p, true)
@@ -71,27 +91,31 @@ class BookmarkStore(spark: SparkSession, statePath: String) {
   }
 
   /** List `location` recursively; keep visible data files newer than the
-    * stored watermark for `source`. A not-yet-existing location (producer
-    * hasn't written anything) is an empty plan, not an error. */
+    * stored watermark for `source` and not already in its seen-set. A
+    * not-yet-existing location (producer hasn't written anything) is an
+    * empty plan, not an error. */
   def plan(source: String, location: String): IncrementalPlan = {
-    val watermark = load().getOrElse(source, Long.MinValue)
+    val mark = load().getOrElse(source, emptyMark)
     val root = new org.apache.hadoop.fs.Path(location)
     val f = fs(root)
-    val picked = Seq.newBuilder[String]
-    var maxT = watermark
+    val picked = Map.newBuilder[String, Long]
+    var maxT = mark.watermark
     if (f.exists(root)) {
       val qualifiedRoot = f.makeQualified(root)
       val it = f.listFiles(root, true)
       while (it.hasNext) {
         val st = it.next()
+        val path = st.getPath.toString
         if (!underHiddenDir(qualifiedRoot, st.getPath) &&
-            st.getModificationTime > watermark) {
-          picked += st.getPath.toString
+            st.getModificationTime > mark.watermark &&
+            !mark.seen.contains(path)) {
+          picked += path -> st.getModificationTime
           if (st.getModificationTime > maxT) maxT = st.getModificationTime
         }
       }
     }
-    IncrementalPlan(source, picked.result(), maxT, location)
+    val planned = picked.result()
+    IncrementalPlan(source, planned.keys.toSeq.sorted, maxT, location, planned)
   }
 
   /** Read the planned files. An empty plan returns an empty frame with
@@ -110,18 +134,53 @@ class BookmarkStore(spark: SparkSession, statePath: String) {
     }
   }
 
-  /** Persist the plan's watermark — call only after the downstream write
-    * succeeded. */
+  /** Persist the plan's watermark (lagged by `graceLagMs`) and seen-set —
+    * call only after the downstream write succeeded. The watermark never
+    * regresses; seen keeps exactly the processed files still inside the
+    * lag window. */
   def commit(plan: IncrementalPlan): Unit =
-    if (plan.newWatermark > Long.MinValue)
-      save(load() + (plan.source -> plan.newWatermark))
+    if (plan.planned.nonEmpty) {
+      val marks = load()
+      val old = marks.getOrElse(plan.source, emptyMark)
+      val committed = math.max(old.watermark, plan.newWatermark - graceLagMs)
+      val seen = (old.seen ++ plan.planned).filter { case (_, t) => t > committed }
+      save(marks + (plan.source -> SourceMark(committed, seen)))
+    }
 
-  // minimal flat {"name": millis} codec — no JSON library needed
-  private def render(m: Map[String, Long]): String =
-    m.toSeq.sortBy(_._1).map { case (k, v) => s""""${k.replace("\"", "\\\"")}": $v""" }
-      .mkString("{", ", ", "}")
-  private def parse(text: String): Map[String, Long] = {
-    val Entry = raw""""((?:[^"\\]|\\.)*)"\s*:\s*(-?\d+)""".r
-    Entry.findAllMatchIn(text).map(m => m.group(1).replace("\\\"", "\"") -> m.group(2).toLong).toMap
+  // JSON codec via snakeyaml (YAML ⊇ JSON flow style — same parser the
+  // config layer uses). Legacy flat {"source": millis} files load as a
+  // bare watermark with an empty seen-set.
+  private def render(m: Map[String, SourceMark]): String = {
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    m.toSeq.sortBy(_._1).map { case (src, mark) =>
+      val seen = mark.seen.toSeq.sorted
+        .map { case (p, t) => s"${jstr(p)}: $t" }.mkString("{", ", ", "}")
+      s"${jstr(src)}: {\"watermark\": ${mark.watermark}, \"seen\": $seen}"
+    }.mkString("{", ", ", "}")
+  }
+
+  private def parse(text: String): Map[String, SourceMark] = {
+    val root = new org.yaml.snakeyaml.Yaml().load[Any](text)
+    if (root == null) Map.empty
+    else root.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+      case (k, v: java.lang.Number) => // legacy flat format
+        String.valueOf(k) -> SourceMark(v.longValue(), Map.empty)
+      case (k, v: java.util.Map[_, _]) =>
+        val m = v.asScala.map { case (a, b) => String.valueOf(a) -> b }
+        val seen = m.get("seen") match {
+          case Some(s: java.util.Map[_, _]) => s.asScala.map {
+            case (p, t: java.lang.Number) => String.valueOf(p) -> t.longValue()
+            case (p, t) => throw new graft.config.ConfigError(
+              s"bookmark state: bad seen mtime for '$p': $t")
+          }.toMap
+          case _ => Map.empty[String, Long]
+        }
+        String.valueOf(k) -> SourceMark(
+          m.get("watermark").collect { case n: java.lang.Number => n.longValue() }
+            .getOrElse(throw new graft.config.ConfigError(
+              s"bookmark state: source '$k' has no watermark")), seen)
+      case (k, v) => throw new graft.config.ConfigError(
+        s"bookmark state: unrecognized entry '$k': $v")
+    }.toMap
   }
 }

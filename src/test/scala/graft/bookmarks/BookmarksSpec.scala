@@ -64,6 +64,33 @@ class BookmarksSpec extends SparkSpec {
     assert(e.getMessage.contains("s1") && e.getMessage.contains(src))
   }
 
+  test("late-landing file inside the grace window is read once, not zero or twice") {
+    val (store, src, _) = setup()
+    // run 1 sees only a.parquet (mtime T); commit lags the watermark
+    writeFile(src, "a.parquet", Seq(1), 1000000L)
+    val p1 = store.plan("s1", src)
+    store.commit(p1)
+    // b.parquet becomes visible AFTER the run-1 listing, with an mtime
+    // slightly OLDER than the planned max (slow upload / committer
+    // rename) — the pre-fix bare watermark would drop it forever
+    writeFile(src, "b.parquet", Seq(2), 999000L)
+    val p2 = store.plan("s1", src)
+    assert(p2.files.size == 1 && p2.files.head.endsWith("b.parquet"))
+    store.commit(p2)
+    // and it is deduped by path afterwards: nothing to read on run 3
+    assert(store.plan("s1", src).files.isEmpty)
+  }
+
+  test("legacy flat {source: millis} state files still load") {
+    val (store, src, tmp) = setup()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/state.json"), """{"s1": 1500000}""")
+    writeFile(src, "old.parquet", Seq(1), 1000000L)
+    writeFile(src, "new.parquet", Seq(2), 2000000L)
+    val p = store.plan("s1", src)
+    assert(p.files.size == 1 && p.files.head.endsWith("new.parquet"))
+  }
+
   test("hidden and _SUCCESS files are ignored; watermarks are per-source") {
     val (store, src, _) = setup()
     writeFile(src, "a.parquet", Seq(1), 1000000L)
