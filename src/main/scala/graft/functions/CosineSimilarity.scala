@@ -24,6 +24,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Null handling: null array → null result; individual elements are
   * assumed non-null (embedding vectors), matching the reference fixtures.
+  *
+  * Mismatched dimensions are an ERROR, not a truncated min-length score: a
+  * dimension mismatch in an embedding pipeline is always a data bug, and a
+  * plausible-looking similarity over the common prefix would silently
+  * poison every downstream threshold. (A zero vector still yields NaN,
+  * which `>= threshold` filters drop — that one is a data property, not a
+  * length bug.)
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {
@@ -54,7 +61,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -77,7 +87,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
       def read(v: String, idx: String, float: Boolean) =
         if (float) s"(double) $v.getFloat($idx)" else s"$v.getDouble($idx)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: vector dimensions differ (" + $a.numElements() + " vs " + $b.numElements() + ")");
+         |}
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xv = ${read(a, i, isFloat(left.dataType))};

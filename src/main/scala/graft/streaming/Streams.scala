@@ -117,8 +117,19 @@ object Streams {
     * partition overwrite, jdbc, ...). Use `refresh: incremental`
     * (append) or a partitioned full refresh (each batch replaces only
     * the partitions it touches); an unpartitioned full refresh would
-    * make every batch clobber the last. Exactly-once comes from the
-    * checkpoint WAL + the batch sink's idempotent-per-partition writes. */
+    * make every batch clobber the last.
+    *
+    * Delivery: the checkpoint WAL gives no-batch-lost, and a PARTITIONED
+    * full refresh is effectively-once (a retried batch dynamically
+    * overwrites the same partitions it wrote before failing). An append
+    * (`refresh: incremental`) target is AT-LEAST-ONCE: a batch that fails
+    * after a partial write and replays from the WAL appends its rows
+    * again — foreachBatch hands us the batchId precisely so a sink CAN be
+    * made idempotent (batch-scoped subdirs, MERGE on a key), but plain
+    * parquet append has no transactional primitive to dedupe with. Pair
+    * append targets with a downstream exact-dedup
+    * ([[graft.operators.Dedup.exact]]) or an upsert-capable sink when
+    * duplicates matter. */
   def runToSink(spark: SparkSession, df: DataFrame,
                 out: graft.config.OutputTable, checkpoint: String): Unit = {
     val q = df.writeStream

@@ -43,4 +43,15 @@ class CosineSimilaritySpec extends SparkSpec {
     val r = spark.sql("SELECT cosine_sim(CAST(NULL AS array<double>), array(1.0d))").head()
     assert(r.isNullAt(0))
   }
+
+  test("mismatched dimensions error instead of silently truncating") {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT cosine_sim(array(1.0d, 2.0d, 3.0d), array(1.0d, 2.0d))").head()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => String.valueOf(c.getMessage).contains("dimensions differ")))
+  }
 }
