@@ -162,7 +162,9 @@ object Similarity {
   /** Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     * This is the EXACT baseline (quadratic, broadcast-nested-loop — fine
     * for a reference check or a small corpus; specs use it as the truth
-    * for [[cosinePairsLsh]]). The wired/scale path is [[cosinePairsLsh]]. */
+    * for [[cosinePairsBlocked]] and [[cosinePairsLsh]]). The wired/scale
+    * path is [[cosinePairsBlocked]] for low thresholds and
+    * [[cosinePairsLsh]] for genuine near-dup thresholds (≥ ~0.8). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String,
                   threshold: Double): DataFrame = {
     val v = prepared(df, vecCol).select(col(idCol).as("id"), col("__vd").as("v"))
@@ -174,6 +176,48 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }
 
+  /** Exact embedding near-dup pairs via a blocked triangle grid — the
+    * DISTRIBUTED form of the all-pairs comparison, for thresholds too low
+    * for LSH pruning (see [[cosinePairsLsh]] for when that is).
+    *
+    * Every row gets a deterministic block in [0, blocks); the unordered
+    * block-pair {i ≤ j} is a grid CELL. A row in block x enters the join
+    * as LEFT for cells (x, j≥x) and as RIGHT for cells (i≤x, x), so every
+    * vector pair meets in EXACTLY one cell (same-block pairs meet twice in
+    * (x,x), once per orientation — the id ordering keeps one) — complete,
+    * no duplicate scoring, no dedup shuffle.
+    *
+    * Scale shape: equality-keyed on the cell struct — a plain
+    * hash-partitioned shuffle join of (blocks+1) × n narrow rows, never a
+    * broadcast of the corpus and never a nested loop over it; each of the
+    * ~blocks²/2 cells is an independent (n/blocks)² task with bounded
+    * memory. The n²/2 cosine evaluations are the honest cost of an EXACT
+    * low-threshold answer over dense vectors (below ~0.7, random-
+    * hyperplane collision rates leave LSH candidates ≥ brute force —
+    * measured 42× slower than this at sf0.1); `blocks` just sets the
+    * parallelism/replication trade (≈ √tasks wanted). */
+  def cosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, blocks: Int = 16): DataFrame = {
+    val v = prepared(df, vecCol).select(col(idCol).as("id"), col("__vd").as("v"),
+      pmod(xxhash64(col(idCol).cast("string")), lit(blocks)).cast("int").as("blk"))
+    val l = v.select(col("id"), col("v"), col("blk"),
+      explode(sequence(col("blk"), lit(blocks - 1))).as("j"))
+      .select(col("id").as("lid"), col("v").as("lv"), col("blk").as("lblk"),
+        struct(col("blk").as("i"), col("j")).as("cell"))
+    val r = v.select(col("id"), col("v"), col("blk"),
+      explode(sequence(lit(0), col("blk"))).as("i"))
+      .select(col("id").as("rid"), col("v").as("rv"), col("blk").as("rblk"),
+        struct(col("i"), col("blk").as("j")).as("cell"))
+    l.join(r, l("cell") === r("cell") &&
+        (col("lblk") =!= col("rblk") || col("lid") < col("rid")) &&
+        col("lid") =!= col("rid"))
+      .select(
+        least(col("lid"), col("rid")).as("vec_a"),
+        greatest(col("lid"), col("rid")).as("vec_b"),
+        round(cosine(df.sparkSession, col("lv"), col("rv")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-dup pairs via OR-amplified hyperplane LSH: `bands`
     * independent signature tables of `planesPerBand` sign bits each; two
     * vectors are CANDIDATES iff they share a (band, signature) cell, then
@@ -183,23 +227,24 @@ object Similarity {
     *
     * Recall math (angle θ = arccos(threshold), per-plane agreement
     * p = 1 − θ/π): P(miss) = (1 − p^planesPerBand)^bands. The defaults
-    * (12 × 1) give P(miss) ≈ 0.35¹² ≈ 3e-6 even at threshold 0.45
-    * (θ ≈ 63° — far wider than any realistic near-dup threshold); at
-    * 0.9 the same defaults give ≈ 1e-13. Planes are seeded/deterministic
-    * so a given corpus either matches the exact answer or doesn't —
-    * SimilaritySpec pins equality on the fixtures.
+    * (64 bands × 12 planes) target genuine near-dup thresholds: at 0.9
+    * (p ≈ 0.856) the per-pair miss is (1 − 0.856¹²)⁶⁴ ≈ 2e-5, while an
+    * unrelated pair (cos ≈ 0, p = 0.5) collides in only 64/2¹² ≈ 1.6% of
+    * bands — a ~64× candidate reduction against brute force that GROWS
+    * with corpus size. This trade only exists when the threshold is high:
+    * at 0.45 (θ ≈ 63°) no (bands, planes) point prunes and verifies at
+    * once — use [[cosinePairsBlocked]] there, whose exactness needs no
+    * tuning at all.
     *
     * Scale shape: the self-join is EQUALITY-keyed on the (band, sig)
     * struct — a hash-partitioned shuffle join, never a nested loop; each
-    * side is n × bands narrow rows (id + 64-double vector). Candidate
-    * volume per band is bounded by the cell sizes, and `planesPerBand`
-    * is the knob that splits cells further as thresholds rise (higher
-    * threshold → higher p → more planes affordable per band → smaller
-    * cells). Pair dedupe happens BEFORE the exact verify so a pair
-    * colliding in several bands is scored once. */
+    * side is n × bands narrow rows. Candidate volume per band is bounded
+    * by the cell sizes (2^planesPerBand cells/band). Pair dedupe happens
+    * BEFORE the exact verify so a pair colliding in several bands is
+    * scored once. */
   def cosinePairsLsh(df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, bands: Int = 12,
-                     planesPerBand: Int = 1): DataFrame = {
+                     threshold: Double, bands: Int = 64,
+                     planesPerBand: Int = 12): DataFrame = {
     val ps = planes(bands * planesPerBand, dim(df, vecCol))
     val sigs = array((0 until bands).map { b =>
       struct(lit(b).as("band"),

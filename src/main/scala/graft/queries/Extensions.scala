@@ -156,14 +156,16 @@ object Extensions {
              |            ELSE 'fr' END = lang_actual) AS is_match
              |FROM scored""".stripMargin)),
 
-    // embedding-cosine near-dup via OR-amplified hyperplane LSH candidates
-    // + exact verify. The fixture's qualifying pairs are the natural tail
-    // of random 64-dim vectors (top cosine ≈ 0.51, θ ≈ 63°), the hardest
-    // case for hyperplane LSH — 12 one-plane bands give per-pair miss
-    // ≈ 3e-6, and SimilaritySpec pins LSH == exact on the fixtures, so
-    // the all-pairs DuckDB oracle still hash-matches.
+    // embedding-cosine near-dup, EXACT via the blocked triangle grid:
+    // every pair meets in exactly one equality-keyed cell (no corpus
+    // broadcast, no nested loop, no dedup shuffle), so the output equals
+    // the all-pairs DuckDB oracle by construction. Threshold 0.45 sits at
+    // θ ≈ 63°, where hyperplane-LSH candidates exceed brute force (the
+    // 12×1-band attempt benched 42× SLOWER than exact at sf0.1) — the LSH
+    // path (Similarity.cosinePairsLsh) is for real near-dup thresholds
+    // ≥ ~0.8, spec-proven == exact on a planted 0.9 fixture.
     "ext10_embed_dedup" -> Q(
-      (s, d) => Similarity.cosinePairsLsh(emb(s, d), "vec_id", "embedding", 0.45),
+      (s, d) => Similarity.cosinePairsBlocked(emb(s, d), "vec_id", "embedding", 0.45),
       Some("""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

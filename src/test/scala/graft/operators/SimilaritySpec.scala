@@ -44,16 +44,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall collapsed")
   }
 
-  test("cosinePairsLsh equals the exact all-pairs answer on the fixture") {
-    // θ ≈ 63° at threshold 0.45 is the hyperplane-LSH worst case; the
-    // 12×1 OR-amplified default still has per-pair miss ≈ 3e-6 and the
-    // seeded planes make this a fixed (reproducible) fact per corpus.
+  private def collectPairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("cosinePairsBlocked equals the exact all-pairs answer on the fixture") {
+    // completeness is structural (every pair meets in exactly one grid
+    // cell), so this holds at ANY threshold — including 0.45, where LSH
+    // pruning mathematically can't work
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    def collect(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val exact = collect(Similarity.cosinePairs(e, "vec_id", "embedding", 0.45))
-    val lsh = collect(Similarity.cosinePairsLsh(e, "vec_id", "embedding", 0.45))
+    val exact = collectPairs(Similarity.cosinePairs(e, "vec_id", "embedding", 0.45))
+    val blocked = collectPairs(Similarity.cosinePairsBlocked(e, "vec_id", "embedding", 0.45))
     assert(exact.nonEmpty, "fixture should contain qualifying pairs")
+    assert(blocked == exact,
+      s"blocked missed ${(exact -- blocked).size}, extra ${(blocked -- exact).size}")
+    // also with blocks > distinct ids' spread and blocks = 1 (degenerate)
+    assert(collectPairs(Similarity.cosinePairsBlocked(e, "vec_id", "embedding", 0.45, blocks = 1)) == exact)
+  }
+
+  test("cosinePairsLsh equals exact on a planted high-threshold corpus") {
+    // LSH's regime: near-dup pairs at cosine >= 0.9 (theta ~ 26°). The
+    // default 64x12 bands give per-pair miss ~ 2e-5 — deterministic
+    // planes make the outcome a fixed fact for this seeded corpus.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val base = (0 until 200).map(i => (i.toLong, unit()))
+    // plant 20 near-dups: id 1000+i is a small perturbation of base i
+    val dups = (0 until 20).map { i =>
+      val b = base(i)._2
+      val p = b.zip(Array.fill(64)(rnd.nextGaussian() * 0.04)).map { case (x, e) => x + e }
+      val n = math.sqrt(p.map(x => x * x).sum)
+      (1000L + i, p.map(_ / n))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = collectPairs(Similarity.cosinePairs(df, "vec_id", "embedding", 0.9))
+    val lsh = collectPairs(Similarity.cosinePairsLsh(df, "vec_id", "embedding", 0.9))
+    assert(exact.size >= 15, s"fixture should plant enough >=0.9 pairs, got ${exact.size}")
     assert(lsh == exact, s"LSH missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
