@@ -171,6 +171,23 @@ object Extensions {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
 
+    // symmetric per-vector int8 quantization (float32 -> int8 = 4x
+    // storage cut): scale = max|x|, q_i = floor(x_i/scale*127 + 0.5) —
+    // exact-IEEE in both engines, so the oracle hash-matches including
+    // the int arrays.
+    "ext14_embed_quantize" -> Q(
+      (s, d) => Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding"),
+      Some("""WITH p AS (
+             |  SELECT vec_id, embedding::DOUBLE[] AS e,
+             |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+             |  FROM embeddings)
+             |SELECT vec_id,
+             |       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+             |       CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+             |            ELSE list_transform(e, x -> CAST(floor(x / s * 127 + 0.5) AS INT))
+             |       END AS q
+             |FROM p""".stripMargin)),
+
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,
     // every 2nd) through the typed multimodal pipeline; the oracle
     // recomputes the same strided byte selection arithmetically.

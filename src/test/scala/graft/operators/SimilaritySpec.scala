@@ -95,6 +95,24 @@ class SimilaritySpec extends SparkSpec {
     assert(out.count() == 15, "3 neighbors per query for 5 queries")
   }
 
+  test("quantizeInt8: values in [-127,127], max component hits ±127, dequant error bounded") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = Similarity.quantizeInt8(e, "vec_id", "embedding").collect()
+    val orig = e.collect().map(r => r.getLong(0) ->
+      r.getSeq[Float](1).map(_.toDouble)).toMap
+    assert(q.nonEmpty)
+    q.foreach { r =>
+      val id = r.getLong(0)
+      val scale = r.getLong(1) / 1e6
+      val qs = r.getSeq[Int](2)
+      assert(qs.forall(v => v >= -127 && v <= 127))
+      assert(qs.exists(v => math.abs(v) == 127), s"vec $id: max component must map to ±127")
+      // dequantization error ≤ half a quantization step (+ scale_e6 round-off)
+      val err = orig(id).zip(qs).map { case (x, v) => math.abs(x - v * scale / 127) }.max
+      assert(err <= scale / 254 + 1e-6, s"vec $id err $err > step/2")
+    }
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
