@@ -27,8 +27,17 @@ object Streams {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  /** The nanosAsLong requirement matches [[graft.queries.Tables.events]]:
+    * the flag is consulted at planning time, so it must come from the
+    * session BUILDER — a read function mutating session conf would leak
+    * into every later query (r3 verdict #4). */
+  private def requireNanosConf(spark: SparkSession): Unit =
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): build the SparkSession with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true")
+
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     // the file stream source requires a DIRECTORY; the fixture is a single
     // file → stage it into a scratch dir once (idempotent)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -49,7 +58,7 @@ object Streams {
     * with identical rows) — the double-delivery input for proving
     * streaming dedup semantics. */
   def readEventsStreamDoubled(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    requireNanosConf(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val stage = new org.apache.hadoop.fs.Path(
