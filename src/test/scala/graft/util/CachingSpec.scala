@@ -1,0 +1,33 @@
+package graft.util
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.SparkSpec
+
+class CachingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("leased frames are cached for the consuming action, freed after it") {
+    val inter = (1 to 100).toDF("n").select((col("n") * 2).as("m"))
+    val out = Caching.leased(inter)(inter.groupBy().agg(sum("m").as("s")))
+    assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK, "lease should persist")
+    assert(out.head().getLong(0) == 10100L)
+    // the one-shot listener fires on the listener bus (async) — poll
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (inter.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(inter.storageLevel == StorageLevel.NONE,
+      "lease must release the cache after the consuming action")
+  }
+
+  test("a released lease still recomputes correctly on a later action") {
+    val inter = (1 to 10).toDF("n").select((col("n") + 1).as("m"))
+    val out = Caching.leased(inter)(inter.filter(col("m") > 5))
+    assert(out.count() == 6)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (inter.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    // correctness never depended on the cache: same answer, recomputed
+    assert(out.count() == 6)
+  }
+}
