@@ -54,6 +54,54 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
   }
 
+  /** Benchmark decontamination: training docs whose normalized-content
+    * fingerprint (same normalization as [[fingerprint]]) also appears in
+    * the benchmark/holdout set — the standard train/test-overlap check a
+    * training-data pipeline runs before shipping a corpus (a contaminated
+    * doc silently inflates eval scores).
+    *
+    * Scale shape: one equality-keyed LEFT SEMI join on the 128-bit
+    * fingerprint — the benchmark side reduces to distinct fingerprints
+    * (tiny next to a 100 TB corpus, so AQE broadcasts it), and the train
+    * side streams through scan → project → probe with no pair blowup. */
+  def contaminated(train: DataFrame, bench: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame) = {
+      val normalized = trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      df.select(col(idCol), md5(encode(normalized, "UTF-8")).as("fingerprint"))
+    }
+    fp(train).join(fp(bench).select(col("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_semi")
+  }
+
+  /** NEAR-DUP benchmark decontamination: training docs sharing ≥
+    * `threshold` n-gram Jaccard with any benchmark doc — catches the
+    * paraphrased/reformatted leakage [[contaminated]]'s exact fingerprint
+    * misses. Output: (doc_id, matched_bench_id, jaccard).
+    *
+    * Built on the [[minhashLsh]] machinery over the side-tagged union, so
+    * the candidate generation stays banded/bucketed (never all-pairs);
+    * only cross-side survivors are kept. Ids must be unique across the
+    * two frames. */
+  def contaminatedNear(train: DataFrame, bench: DataFrame,
+                       idCol: String, textCol: String, n: Int = 3,
+                       k: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8): DataFrame = {
+    val all = train.select(col(idCol), col(textCol)).withColumn("__side", lit("t"))
+      .unionByName(bench.select(col(idCol), col(textCol)).withColumn("__side", lit("b")))
+    val pairs = minhashLsh(all, idCol, textCol, n, k, bands, threshold)
+    val sides = all.select(col(idCol).as("__sid"), col("__side"))
+    pairs
+      .join(sides.select(col("__sid").as("doc_a"), col("__side").as("__sa")), "doc_a")
+      .join(sides.select(col("__sid").as("doc_b"), col("__side").as("__sb")), "doc_b")
+      .filter(col("__sa") =!= col("__sb"))
+      .select(
+        when(col("__sa") === "t", col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+        when(col("__sa") === "t", col("doc_b")).otherwise(col("doc_a")).as("matched_bench_id"),
+        col("jaccard"))
+  }
+
   /** (doc_id, h) rows: the document's distinct word n-gram shingles,
     * each hashed to 64 bits — an explode over [[shingleSets]]. */
   def shingleHashes(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =

@@ -43,6 +43,22 @@ object TextAnalysis {
           (lit(1.0d) - col("stopword_ratio")), 6))
   }
 
+  /** Exact top-k vocabulary: whitespace tokens ranked by occurrence count
+    * (ties by token, so the cut is total and reproducible) with document
+    * frequency alongside — the vocab-building / heavy-hitters pass of a
+    * training pipeline.
+    *
+    * Scale shape: one hash aggregation with map-side partial combine
+    * (token cardinality ≪ token occurrences), then a TakeOrdered top-k —
+    * no global sort, no single-partition window. */
+  def vocabTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occurrences"), count_distinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(k)
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

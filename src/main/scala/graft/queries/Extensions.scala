@@ -171,6 +171,44 @@ object Extensions {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
 
+    // exact top-100 vocabulary (heavy hitters + document frequency) —
+    // the vocab-building pass; ties at the cut are broken by token in
+    // BOTH engines so the boundary is total and reproducible.
+    "ext15_vocab_topk" -> Q(
+      (s, d) => TextAnalysis.vocabTopK(docs(s, d), "doc_id", "text", 100),
+      Some("""SELECT w AS token, count(*) AS n_occurrences,
+             |       count(DISTINCT doc_id) AS n_docs
+             |FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS w
+             |      FROM documents)
+             |GROUP BY w ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
+
+    // near-dup benchmark decontamination: train = doc_id % 10 <> 0,
+    // benchmark = doc_id % 10 = 0; flag train docs with >= 0.8 3-gram
+    // Jaccard against any benchmark doc. Candidates come banded from the
+    // minhash machinery (never all-pairs); the oracle is the cross-side
+    // all-pairs truth.
+    "ext16_contamination" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.contaminatedNear(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.8)
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT t.doc_id, b.doc_id AS matched_bench_id,
+             |       round(len(list_intersect(t.s, b.s))::DOUBLE
+             |             / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))), 6) AS jaccard
+             |FROM sh t JOIN sh b
+             |  ON t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             | AND len(list_intersect(t.s, b.s))::DOUBLE
+             |     / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))) >= 0.8""".stripMargin)),
+
     // symmetric per-vector int8 quantization (float32 -> int8 = 4x
     // storage cut): scale = max|x|, q_i = floor(x_i/scale*127 + 0.5) —
     // exact-IEEE in both engines, so the oracle hash-matches including

@@ -78,6 +78,37 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 16))
   }
 
+  test("exact-fingerprint contamination: reformatted copies flagged, others not") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "The quick   Brown fox!"),   // reformatting of bench 10
+      (2L, "entirely different content"),
+      (3L, "shared exact text")).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox"),
+      (11L, "shared exact text"),
+      (12L, "benchmark only prose")).toDF("doc_id", "text")
+    val hits = Dedup.contaminated(train, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(hits == Set(1L, 3L))
+  }
+
+  test("near-dup contamination finds only cross-side pairs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val train = docs.filter(col("doc_id") % 2 =!= 0)
+    val bench = docs.filter(col("doc_id") % 2 === 0)
+    val hits = Dedup.contaminatedNear(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every flagged doc is from train, every match from bench
+    assert(hits.forall { case (t, b) => t % 2 != 0 && b % 2 == 0 })
+    // cross-check against the full pair list: exactly the straddling pairs
+    val allPairs = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val straddling = allPairs.filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      .map { case (a, b) => if (a % 2 != 0) (a, b) else (b, a) }
+    assert(hits == straddling && hits.nonEmpty)
+  }
+
   test("fixture: lsh pairs equal all-pairs ground truth at sf0.001") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val lsh = Dedup.minhashLsh(docs, "doc_id", "text", threshold = 0.8)

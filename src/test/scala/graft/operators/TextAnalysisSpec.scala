@@ -37,4 +37,15 @@ class TextAnalysisSpec extends SparkSpec {
     val r = TextAnalysis.langId(df, "doc_id", "text").collect().head
     assert(r.getString(2) == "es") // es < fr alphabetically on a 1-1 tie
   }
+
+  test("vocabTopK counts occurrences and document frequency; ties cut by token") {
+    val df = Seq(
+      (1L, "b b a c"),
+      (2L, "a b"),
+      (3L, "c")).toDF("doc_id", "text")
+    val top = TextAnalysis.vocabTopK(df, "doc_id", "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // b: 3 occ / 2 docs; a and c tie at 2 occ — 'a' wins the cut
+    assert(top.toSeq == Seq(("b", 3L, 2L), ("a", 2L, 2L)))
+  }
 }
