@@ -59,6 +59,31 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Fixed-window token chunking with stride — the pretraining chunking
+    * pass: each document becomes overlapping windows of `chunkTokens`
+    * whitespace tokens starting every `stride` tokens (stride <
+    * chunkTokens ⇒ overlap). A window starts at every multiple of
+    * `stride` below the token count, so trailing partial windows are
+    * kept (they carry the document tail) and an empty document yields no
+    * chunks.
+    *
+    * Pure generate/projection — no shuffle, no UDF; the explode runs at
+    * scan speed and downstream repartitioning is the consumer's choice. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    val toks = filter(words(col(textCol)), t => t =!= "")
+    val starts = filter(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => s < size(toks))
+    docs.select(col(idCol).as("doc_id"), toks.as("__t"), starts.as("__s"))
+      .select(col("doc_id"),
+        posexplode(transform(col("__s"), s => slice(col("__t"), s + 1, lit(chunkTokens)))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        size(col("col")).as("n_chunk_tokens"),
+        concat_ws(" ", col("col")).as("chunk_text"))
+  }
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

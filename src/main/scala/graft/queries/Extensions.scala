@@ -171,6 +171,26 @@ object Extensions {
              |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
              |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
 
+    // pretraining chunking: 64-token windows every 32 tokens (50%
+    // overlap), trailing partials kept; chunk_idx = start/stride in both
+    // engines, so the oracle hash-matches text and counts exactly.
+    "ext17_chunking" -> Q(
+      (s, d) => TextAnalysis.chunkTokens(docs(s, d), "doc_id", "text",
+        chunkTokens = 64, stride = 32),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), st AS (
+             |  SELECT doc_id, toks, unnest(range(0, len(toks), 32)) AS s
+             |  FROM t WHERE len(toks) > 0
+             |)
+             |SELECT doc_id,
+             |       CAST(s // 32 AS INT) AS chunk_idx,
+             |       CAST(len(list_slice(toks, s + 1, s + 64)) AS INT) AS n_chunk_tokens,
+             |       array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
+             |FROM st""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.

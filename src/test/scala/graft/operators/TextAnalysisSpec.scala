@@ -38,6 +38,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getString(2) == "es") // es < fr alphabetically on a 1-1 tie
   }
 
+  test("chunkTokens: strided windows, trailing partial kept, empty doc dropped") {
+    val df = Seq(
+      (1L, "a b c d e"), // 5 tokens, chunk=3 stride=2 → [a b c][c d e][e]
+      (2L, "x"),
+      (3L, "   ")).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkTokens(df, "doc_id", "text", 3, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSet
+    assert(chunks == Set(
+      (1L, 0, 3, "a b c"), (1L, 1, 3, "c d e"), (1L, 2, 1, "e"),
+      (2L, 0, 1, "x")))
+  }
+
   test("vocabTopK counts occurrences and document frequency; ties cut by token") {
     val df = Seq(
       (1L, "b b a c"),
