@@ -92,6 +92,11 @@ class BookmarkStore(spark: SparkSession, statePath: String,
 
   /** List `location` recursively; keep visible data files newer than the
     * stored watermark for `source` and not already in its seen-set. A
+    * seen path whose CURRENT mtime is newer than the recorded one is a
+    * rewrite-in-place — it carries data the recorded read never saw, so it
+    * is planned again (and commit then advances its seen mtime); skipping
+    * purely by path would drop the rewrite forever, since with no other
+    * arrivals the watermark never advances to flush it out of `seen`. A
     * not-yet-existing location (producer hasn't written anything) is an
     * empty plan, not an error. */
   def plan(source: String, location: String): IncrementalPlan = {
@@ -108,7 +113,7 @@ class BookmarkStore(spark: SparkSession, statePath: String,
         val path = st.getPath.toString
         if (!underHiddenDir(qualifiedRoot, st.getPath) &&
             st.getModificationTime > mark.watermark &&
-            !mark.seen.contains(path)) {
+            mark.seen.get(path).forall(_ < st.getModificationTime)) {
           picked += path -> st.getModificationTime
           if (st.getModificationTime > maxT) maxT = st.getModificationTime
         }

@@ -208,14 +208,18 @@ object Similarity {
       explode(sequence(lit(0), col("blk"))).as("i"))
       .select(col("id").as("rid"), col("v").as("rv"), col("blk").as("rblk"),
         struct(col("i"), col("blk").as("j")).as("cell"))
+    // Threshold on the UNROUNDED cosine, round only for output — the same
+    // order as cosinePairs/cosinePairsLsh and the oracle, so a boundary
+    // pair in [threshold − 5e-7, threshold) never diverges between paths.
     l.join(r, l("cell") === r("cell") &&
         (col("lblk") =!= col("rblk") || col("lid") < col("rid")) &&
         col("lid") =!= col("rid"))
       .select(
         least(col("lid"), col("rid")).as("vec_a"),
         greatest(col("lid"), col("rid")).as("vec_b"),
-        round(cosine(df.sparkSession, col("lv"), col("rv")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
+        cosine(df.sparkSession, col("lv"), col("rv")).as("__c"))
+      .filter(col("__c") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("__c"), 6).as("cosine"))
   }
 
   /** Embedding near-dup pairs via OR-amplified hyperplane LSH: `bands`

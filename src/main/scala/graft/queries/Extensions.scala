@@ -234,16 +234,23 @@ object Extensions {
     // exact-IEEE in both engines, so the oracle hash-matches including
     // the int arrays.
     "ext14_embed_quantize" -> Q(
-      (s, d) => Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding"),
+      // The gate emits q as a comma-joined STRING, not array<int>: the
+      // driver's hasher (pandas sort_values) cannot canonicalize array
+      // cells ("unhashable type: numpy.ndarray" — r4), so an array column
+      // silently voids the oracle. The operator itself keeps the typed
+      // array output; only this verification projection flattens it.
+      (s, d) => Similarity.quantizeInt8(emb(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), col("scale_e6"),
+          array_join(transform(col("q"), _.cast("string")), ",").as("q_csv")),
       Some("""WITH p AS (
              |  SELECT vec_id, embedding::DOUBLE[] AS e,
              |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
              |  FROM embeddings)
              |SELECT vec_id,
              |       CAST(floor(s * 1000000 + 0.5) AS BIGINT) AS scale_e6,
-             |       CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+             |       array_to_string(CASE WHEN s = 0 THEN list_transform(e, x -> 0)
              |            ELSE list_transform(e, x -> CAST(floor(x / s * 127 + 0.5) AS INT))
-             |       END AS q
+             |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,

@@ -88,12 +88,17 @@ object StreamingQueries {
 
     // Closed sessions only — deterministic, so it gets a real oracle:
     // a session is emitted iff it is not the user's last, OR its
-    // event-time timeout (end_ms + gap) fired by the final watermark
-    // (max_ts_ms − delay); gap = delay = 30 min. The SQL mirrors the
-    // engine's arithmetic exactly: ns→µs floor division for event times
-    // (Spark reads `ts div 1000`), µs→ms floor for the timeout compare
-    // (setTimeoutTimestamp takes ms). StreamingSpec proves the same
-    // equality against the batch lag/gap-sum sessionization in Spark.
+    // event-time timeout fired by the final watermark (max_ts_ms −
+    // delay); gap = delay = 30 min. The SQL mirrors the engine's
+    // arithmetic exactly: ns→µs floor division for event times (Spark
+    // reads `ts div 1000`), µs→ms floor for the timeout compare
+    // (setTimeoutTimestamp takes ms), the sessionize clamp
+    // max(end_ms + gap, watermark_at_set + 1) — 0 + 1 here, all data
+    // arrives in the first micro-batch — and Spark's STRICT
+    // `timeoutTimestamp < watermark` firing condition
+    // (FlatMapGroupsWithStateExec): at exact ms equality the session
+    // stays OPEN. StreamingSpec proves the same equality against the
+    // batch lag/gap-sum sessionization in Spark.
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,
@@ -129,7 +134,7 @@ object StreamingQueries {
              |)
              |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
              |FROM ranked, mx
-             |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
+             |WHERE rk > 1 OR greatest((end_us // 1000) + 1800000, 1) < (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin))
   )
 }

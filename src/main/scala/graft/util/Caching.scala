@@ -15,28 +15,45 @@ import org.apache.spark.storage.StorageLevel
   * is a leak.
   *
   * `leased` persists the intermediates and registers a one-shot
-  * [[QueryExecutionListener]] that unpersists them (non-blocking) as soon
-  * as the session completes its next action — which, for an operator whose
-  * result is consumed by exactly one write/collect, is precisely the
-  * consuming action. If a later action re-executes the plan (e.g. a bench
-  * re-run calls the operator again), the operator re-leases fresh caches,
-  * so correctness never depends on the lease: at worst a branch recomputes.
+  * [[QueryExecutionListener]] that unpersists them (non-blocking) once the
+  * session completes an action whose analyzed plan actually CONTAINS one
+  * of the leased plans — the consuming action, not merely the next one.
+  * Releasing on "any next action" is wrong on a shared session: an
+  * interleaved unrelated action — or a lagging listener-bus callback from
+  * a previous identical run (CacheManager keys caches by canonicalized
+  * plan, so a bench re-run re-persists the very plan a stale listener
+  * then uncaches) — would drop the cache while the leased branches still
+  * execute, silently re-running the multi-pass scan the persist exists to
+  * avoid. A bounded action-count backstop still releases the lease if the
+  * result is never consumed, so the lease can never leak for a session
+  * lifetime. If the cache is ever released early anyway, the operator
+  * re-leases on its next call, so correctness never depends on the lease:
+  * at worst a branch recomputes.
   */
 object Caching {
+  private val BackstopActions = 64
+
   def leased(frames: DataFrame*)(result: => DataFrame): DataFrame = {
     frames.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    val leasedPlans = frames.map(_.queryExecution.analyzed)
     val out = result
     val lm = out.sparkSession.listenerManager
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val budget = new java.util.concurrent.atomic.AtomicInteger(BackstopActions)
       private def cleanup(): Unit = if (done.compareAndSet(false, true)) {
         frames.foreach(_.unpersist(blocking = false))
         lm.unregister(this)
       }
+      private def consumesLease(qe: QueryExecution): Boolean =
+        try qe.analyzed.find(n => leasedPlans.exists(_.sameResult(n))).isDefined
+        catch { case _: Exception => true } // never let a plan quirk leak the cache
+      private def completed(qe: QueryExecution): Unit =
+        if (consumesLease(qe) || budget.decrementAndGet() <= 0) cleanup()
       override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = cleanup()
+                             durationNs: Long): Unit = completed(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = cleanup()
+                             exception: Exception): Unit = completed(qe)
     }
     lm.register(listener)
     out

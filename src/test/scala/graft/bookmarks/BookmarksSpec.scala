@@ -17,7 +17,8 @@ class BookmarksSpec extends SparkSpec {
       .find(_.getName.endsWith(".parquet")).get
     val dst = java.nio.file.Paths.get(dir, name)
     java.nio.file.Files.createDirectories(dst.getParent)
-    java.nio.file.Files.copy(part.toPath, dst)
+    java.nio.file.Files.copy(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     dst.toFile.setLastModified(mtime)
     ()
   }
@@ -78,6 +79,23 @@ class BookmarksSpec extends SparkSpec {
     assert(p2.files.size == 1 && p2.files.head.endsWith("b.parquet"))
     store.commit(p2)
     // and it is deduped by path afterwards: nothing to read on run 3
+    assert(store.plan("s1", src).files.isEmpty)
+  }
+
+  test("file rewritten in place inside the grace window is reprocessed once") {
+    val (store, src, _) = setup()
+    writeFile(src, "a.parquet", Seq(1), 1000000L)
+    val p1 = store.plan("s1", src)
+    store.commit(p1) // watermark lags; a.parquet sits in the seen-set
+    // the producer overwrites the SAME path with new data and a newer
+    // mtime — path-only dedup would skip it forever (no other arrivals
+    // ever advance the watermark past it)
+    writeFile(src, "a.parquet", Seq(7, 8), 1010000L)
+    val p2 = store.plan("s1", src)
+    assert(p2.files.size == 1 && p2.files.head.endsWith("a.parquet"))
+    assert(store.read(p2, "parquet").as[Int].collect().sorted.toSeq == Seq(7, 8))
+    store.commit(p2)
+    // seen mtime advanced with the commit: unchanged file → nothing new
     assert(store.plan("s1", src).files.isEmpty)
   }
 

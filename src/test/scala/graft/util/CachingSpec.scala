@@ -20,6 +20,21 @@ class CachingSpec extends SparkSpec {
       "lease must release the cache after the consuming action")
   }
 
+  test("an interleaved unrelated action does not release the lease") {
+    val inter = (1 to 50).toDF("n").select((col("n") * 3).as("m"))
+    val out = Caching.leased(inter)(inter.groupBy().agg(sum("m").as("s")))
+    spark.range(10).count() // unrelated action — its plan holds no lease
+    Thread.sleep(1000)      // let its listener-bus callback drain
+    assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK,
+      "an action that does not consume the lease must not release it")
+    assert(out.head().getLong(0) == 3825L)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (inter.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(inter.storageLevel == StorageLevel.NONE,
+      "the consuming action must release the lease")
+  }
+
   test("a released lease still recomputes correctly on a later action") {
     val inter = (1 to 10).toDF("n").select((col("n") + 1).as("m"))
     val out = Caching.leased(inter)(inter.filter(col("m") > 5))
