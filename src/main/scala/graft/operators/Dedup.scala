@@ -206,6 +206,63 @@ object Dedup {
     }
   }
 
+  /** EXACT n-gram-Jaccard near-dup pairs via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every pair with Jaccard ≥ t is found, with NO all-pairs
+    * comparison and no probabilistic miss — the exact counterpart to the
+    * MinHash sketch in [[minhashLsh]].
+    *
+    * Why it is exact: sort every shingle set by one global total order
+    * (corpus frequency asc, then hash — rarest first, which minimizes
+    * candidates) and keep each set's PREFIX of its first
+    * `|X| − ceil(t·|X|) + 1` elements. Jaccard(A,B) ≥ t forces
+    * `|A∩B| ≥ t·|A∪B| ≥ ceil(t·max(|A|,|B|))`; if the smallest common
+    * element (in the global order) were outside either prefix, all common
+    * elements would sit in that side's suffix of length `ceil(t·|X|) − 1`
+    * — fewer than the overlap requires. So qualifying pairs ALWAYS share
+    * a prefix element, and an equality join on prefix elements generates
+    * every one of them; exact verification then discards the rest. The
+    * `ceil` is computed as `ceil(t·|X| − 1e-9)`: binary-float products
+    * like 0.8·15 land an ulp ABOVE the exact integer, and rounding the
+    * bound up would shorten the prefix below what the proof needs (the
+    * epsilon only ever lengthens it — more candidates, never a miss).
+    *
+    * Scale shape: a frequency aggregation keyed on shingle hash, one
+    * per-doc re-sort aggregation, then an equality-keyed self-join on
+    * prefix elements only — for a near-dup threshold the prefix is the
+    * rarest ~(1−t) of each set, so the index is a fraction of the corpus
+    * and ubiquitous shingles never form hot buckets (they are at the END
+    * of the frequency order, outside every prefix). A size filter
+    * (`t·|B| ≤ |A|`) prunes candidates that could never qualify. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = shingleSets(docs, idCol, textCol, n)
+    graft.util.Caching.leased(sets) {
+      val tok = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+        explode(col("hs")).as("h"))
+      val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val ordered = tok.join(dfreq, "h")
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      val prefLen = (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")
+      val pref = ordered.select(col("doc_id"), col("sz"),
+        explode(slice(transform(col("ord"), _.getField("h")), lit(1), prefLen)).as("h"))
+      graft.util.Caching.leased(pref) {
+        val l = pref.as("l"); val r = pref.as("r")
+        val cand = l.join(r,
+            col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+            least(col("l.sz"), col("r.sz")).cast("double") >=
+              greatest(col("l.sz"), col("r.sz")) * threshold - 1e-9)
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+        jaccardVerify(cand, sets)
+          .filter(col("jaccard") >= threshold)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+      }
+    }
+  }
+
   /** Winnowing-fingerprint near-dedup (the MOSS rolling-hash scheme, see
     * [[graft.functions.WinnowingFingerprints]]): documents sharing ≥
     * `overlap` of the smaller side's fingerprints are near-dups.

@@ -84,6 +84,83 @@ object TextAnalysis {
         concat_ws(" ", col("col")).as("chunk_text"))
   }
 
+  /** Gopher/C4-style document quality rules: repetition and structure
+    * signals plus a keep/drop verdict. Signals: word count, duplicate-word
+    * fraction (1 − distinct/total), duplicate-bigram fraction (the
+    * classic repetition filter — boilerplate and degenerate generations
+    * repeat n-grams far more than natural text), mean word length.
+    *
+    * All ratios are emitted as exact-micro integers
+    * (`floor(x·1e6 + 0.5)`) and the keep verdict compares in that integer
+    * space — IEEE division is correctly rounded in every engine, so the
+    * numbers (and the verdict) are bit-identical cross-engine; comparing
+    * raw doubles against a threshold would be boundary-fragile.
+    *
+    * Pure narrow projection — no shuffle, no UDF; runs at scan speed,
+    * which is the only acceptable cost class for a filter that sees every
+    * document of a 100 TB corpus. */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+                   minWords: Int = 30, maxWords: Int = 100000,
+                   maxDupWordFrac: Double = 0.5,
+                   maxDupBigramFrac: Double = 0.1,
+                   minMeanWordLen: Double = 3.0,
+                   maxMeanWordLen: Double = 10.0): DataFrame = {
+    def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val w = filter(words(col(textCol)), t => t =!= "")
+    val n = size(w)
+    val nd = size(array_distinct(w))
+    val bigrams = when(n >= 2,
+      transform(sequence(lit(1), n - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val ndb = size(array_distinct(bigrams))
+    val nb = greatest(n - 1, lit(0))
+    val sumLen = aggregate(w, lit(0L), (acc, t) => acc + length(t))
+    def microRatio(num: Column, den: Column): Column =
+      when(den > 0, floor(num.cast("double") / den.cast("double") * 1e6 + 0.5))
+        .otherwise(0L).cast("long")
+    docs.select(
+        col(idCol).as("doc_id"), n.as("n_words"),
+        microRatio(n - nd, n).as("dup_word_frac_e6"),
+        microRatio(nb - ndb, nb).as("dup_bigram_frac_e6"),
+        microRatio(sumLen, n).as("mean_word_len_e6"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("dup_word_frac_e6") <= e6(maxDupWordFrac) &&
+          col("dup_bigram_frac_e6") <= e6(maxDupBigramFrac) &&
+          col("mean_word_len_e6").between(e6(minMeanWordLen), e6(maxMeanWordLen)))
+  }
+
+  /** Per-document distinctive top-k terms — the tf-idf-shaped keyword
+    * pass of a curation pipeline, with a fully INTEGER ranking: terms
+    * order by (term frequency DESC, corpus document frequency ASC, token)
+    * — most frequent in the doc, rarest in the corpus — so the cut is
+    * total, reproducible, and free of cross-engine float/log drift (a
+    * floating `tf·ln(N/df)` score can differ in the last ulp between libm
+    * implementations and flip ranks at ties).
+    *
+    * Scale shape: one (doc, token) hash aggregation with map-side
+    * combine, a token-keyed aggregation for document frequency (rows per
+    * token ≤ corpus doc count — the heavy-hitter key "the" is one row
+    * out, so no reduce-side hot spot), a token-keyed shuffle join back
+    * (AQE splits skewed token partitions), then a per-doc top-k window
+    * over ≤ distinct-terms-per-doc rows. No global sort, no collect. */
+  def topTerms(docs: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs.select(col(idCol).as("doc_id"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    graft.util.Caching.leased(tf) {
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      tf.join(dfreq, "token")
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("token").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"), col("rnk"))
+    }
+  }
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

@@ -191,6 +191,76 @@ object Extensions {
              |       array_to_string(list_slice(toks, s + 1, s + 64), ' ') AS chunk_text
              |FROM st""".stripMargin)),
 
+    // Gopher/C4-style quality rules: repetition + structure signals and
+    // a keep/drop verdict, all in exact-micro integer space so the
+    // verdict itself is oracle-checkable (raw-double threshold compares
+    // would be boundary-fragile cross-engine).
+    "ext18_quality_rules" -> Q(
+      (s, d) => TextAnalysis.qualityRules(docs(s, d), "doc_id", "text"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             |         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS nb,
+             |         CASE WHEN len(ws) >= 2
+             |              THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+             |              ELSE 0 END AS ndb,
+             |         list_sum(list_transform(ws, t -> len(t))) AS sl
+             |  FROM w
+             |), e AS (
+             |  SELECT doc_id, n AS n_words,
+             |         CASE WHEN n > 0 THEN CAST(floor((n - nd)::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS dup_word_frac_e6,
+             |         CASE WHEN nb > 0 THEN CAST(floor((nb - ndb)::DOUBLE / nb * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS dup_bigram_frac_e6,
+             |         CASE WHEN n > 0 THEN CAST(floor(sl::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS mean_word_len_e6
+             |  FROM m
+             |)
+             |SELECT doc_id, n_words, dup_word_frac_e6, dup_bigram_frac_e6, mean_word_len_e6,
+             |       (n_words BETWEEN 30 AND 100000
+             |        AND dup_word_frac_e6 <= 500000
+             |        AND dup_bigram_frac_e6 <= 100000
+             |        AND mean_word_len_e6 BETWEEN 3000000 AND 10000000) AS keep
+             |FROM e""".stripMargin)),
+
+    // per-doc distinctive top-3 terms: tf-idf-shaped keyword extraction
+    // with a fully integer (tf DESC, df ASC, token) ranking — no float
+    // or ln() in the order, so the cut is total and cross-engine exact.
+    "ext19_top_terms" -> Q(
+      (s, d) => TextAnalysis.topTerms(docs(s, d), "doc_id", "text", 3),
+      Some("""WITH tf AS (
+             |  SELECT doc_id, w AS token, count(*) AS tf
+             |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS w
+             |        FROM documents)
+             |  GROUP BY doc_id, w
+             |), d AS (
+             |  SELECT token, count(*) AS df FROM tf GROUP BY token
+             |), r AS (
+             |  SELECT tf.doc_id, tf.token, tf.tf, d.df,
+             |         row_number() OVER (PARTITION BY tf.doc_id
+             |                            ORDER BY tf.tf DESC, d.df ASC, tf.token) AS rnk
+             |  FROM tf JOIN d USING (token)
+             |)
+             |SELECT doc_id, token, tf, df, rnk FROM r WHERE rnk <= 3""".stripMargin)),
+
+    // EXACT n-gram-Jaccard near-dup pairs via prefix filtering
+    // (AllPairs/PPJoin) — same truth as ext03's sketch, zero miss
+    // probability by construction; the oracle is the all-pairs answer.
+    "ext20_jaccard_join" -> Q(
+      (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.8),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
+             |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.

@@ -47,6 +47,31 @@ class DedupSpec extends SparkSpec {
     assert(j((4L, 5L)) > 0.5 && j((4L, 5L)) < 1.0)
   }
 
+  test("prefix-filter jaccard join equals brute-force all-pairs at several thresholds") {
+    val sets = Dedup.shingleSets(corpus, "doc_id", "text", 3)
+    val ids = corpus.select(col("doc_id"))
+    val allPairs = ids.as("a").join(ids.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    for (t <- Seq(0.3, 0.5, 0.8, 1.0)) {
+      val brute = Dedup.jaccardVerify(allPairs, sets)
+        .filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pf = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = t)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf == brute, s"threshold $t: prefix-filter $pf != brute $brute")
+    }
+  }
+
+  test("prefix-filter jaccard join scores exact copies 1.0, near-dups below") {
+    val j = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((4L, 5L)) > 0.5 && j((4L, 5L)) < 1.0)
+    assert(!j.keySet.exists { case (a, b) => Set(a, b).contains(6L) })
+  }
+
   test("simhash: identical docs at distance 0; near-dups close; unrelated far") {
     val sigs = Dedup.simhashSignatures(
         Dedup.shingleSets(corpus, "doc_id", "text", 3))

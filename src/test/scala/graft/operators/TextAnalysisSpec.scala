@@ -17,6 +17,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("quality_score") - 0.03125) < 1e-6)
   }
 
+  test("quality rules: exact micro-integer signals on crafted docs") {
+    val df = Seq(
+      (1L, "aa bb cc aa"),          // dup word 1/4; no dup bigram; mean len 2
+      (2L, "ab cd ab cd ab"),       // dup word 3/5; dup bigram 2/4; mean len 2
+      (3L, "solo")                  // single word: no bigrams at all
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[Int]("n_words") == 4)
+    assert(r(1L).getAs[Long]("dup_word_frac_e6") == 250000L)
+    assert(r(1L).getAs[Long]("dup_bigram_frac_e6") == 0L)
+    assert(r(1L).getAs[Long]("mean_word_len_e6") == 2000000L)
+    assert(r(2L).getAs[Long]("dup_word_frac_e6") == 600000L)
+    assert(r(2L).getAs[Long]("dup_bigram_frac_e6") == 500000L)
+    assert(r(3L).getAs[Long]("dup_bigram_frac_e6") == 0L)
+    assert(r.values.forall(!_.getAs[Boolean]("keep"))) // all far too short
+  }
+
+  test("quality rules: keep verdict honors every bound inclusively") {
+    val good = (1 to 30).map(i => f"wd$i%02d").mkString(" ") // 30 distinct 4-char words
+    val df = Seq((1L, good), (2L, (1 to 29).map(i => f"wd$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.qualityRules(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getAs[Boolean]("keep")).toMap
+    assert(r(1L))   // exactly minWords, mean len 4 within [3, 10]
+    assert(!r(2L))  // one word short
+  }
+
+  test("top terms: integer (tf desc, df asc, token) ranking, cut at k") {
+    val df = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana common common"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.topTerms(df, "doc_id", "text", k = 2).collect()
+      .map(x => (x.getLong(0), x.getAs[Int]("rnk")) ->
+        (x.getString(1), x.getAs[Long]("tf"), x.getAs[Long]("df"))).toMap
+    assert(r((1L, 1)) == ("apple", 2L, 1L))  // highest tf, rarest corpus-wide
+    assert(r((1L, 2)) == ("banana", 1L, 2L)) // tf tie vs common → rarer df wins
+    assert(r((2L, 1)) == ("common", 2L, 3L))
+    assert(r((3L, 1)) == ("common", 1L, 3L))
+    assert(r.size == 5) // k=2 cap: 2 + 2 + 1
+  }
+
   test("lang id picks the dominant marker set, und when none") {
     val df = Seq(
       (1L, "the cat and the dog is here", "en"),
