@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling & splitting — the dataset-assembly
+  * primitives of a training pipeline (reference A-surface has only
+  * engine-side TABLESAMPLE, which is seed-dependent and not reproducible
+  * across engines; these are).
+  *
+  * Every decision derives from an md5 over `id:salt` — a function of the
+  * ROW, not of partitioning, ordering, executor count, or engine. That
+  * buys three properties TABLESAMPLE cannot give at 100 TB:
+  * reproducibility (same corpus + salt ⇒ same split, on any cluster
+  * size), stability under incremental growth (a document's assignment
+  * never changes when other documents arrive), and auditability (any
+  * other engine can recompute membership — the DuckDB oracle does
+  * exactly that).
+  *
+  * Scale shape: pure narrow projections/filters — no shuffle, no sort,
+  * no RNG state; whole-stage-codegen'd hash arithmetic at scan speed.
+  */
+object Sampling {
+
+  val Buckets = 10000
+
+  /** Uniform bucket in [0, 10000) from the first 8 hex chars of
+    * md5(id:salt) — enough entropy (32 bits) that bucket skew is
+    * negligible, cheap enough to codegen. Distinct salts give
+    * independent assignments (resampling = pick a new salt). */
+  def hashBucket(id: Column, salt: String): Column =
+    pmod(conv(substring(md5(concat(id.cast("string"), lit(":" + salt))), 1, 8),
+      16, 10).cast("long"), lit(Buckets))
+
+  /** Reproducible train/val/test assignment: buckets [0, train) → train,
+    * [train, train+val) → val, rest → test, in 1/10000ths. */
+  def split(df: DataFrame, idCol: String, salt: String,
+            trainPerMyriad: Int = 8000, valPerMyriad: Int = 1000): DataFrame = {
+    require(trainPerMyriad >= 0 && valPerMyriad >= 0 &&
+      trainPerMyriad + valPerMyriad <= Buckets, "split fractions must fit in [0, 10000]")
+    val b = hashBucket(col(idCol), salt)
+    df.withColumn("bucket", b)
+      .withColumn("split",
+        when(col("bucket") < trainPerMyriad, "train")
+          .when(col("bucket") < trainPerMyriad + valPerMyriad, "val")
+          .otherwise("test"))
+  }
+
+  /** Stratified downsampling for dataset mixing: keep a row iff its
+    * bucket falls below its stratum's rate (in 1/10000ths); strata
+    * absent from `rates` keep `defaultPerMyriad`. The per-stratum rates
+    * are exact in expectation and deterministic per row — the standard
+    * way to hit a target source mix without a shuffle or a count pass. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultPerMyriad: Int,
+                       salt: String): DataFrame = {
+    require((defaultPerMyriad +: rates.values.toSeq).forall(r => r >= 0 && r <= Buckets),
+      "rates are per-myriad: [0, 10000]")
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultPerMyriad)) {
+      case (acc, (s, r)) => when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), salt))
+      .filter(col("bucket") < rate)
+  }
+}

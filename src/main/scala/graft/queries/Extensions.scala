@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline tier over the `documents` / `embeddings` fixtures:
   * dedup (exact, fingerprint, MinHash-LSH, SimHash), similarity search
@@ -260,6 +260,40 @@ object Extensions {
              |)
              |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
              |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
+
+    // deterministic hash split: md5(id:salt)-bucketed train/val/test
+    // assignment — reproducible on any engine/cluster (the oracle
+    // recomputes membership from scratch), stable under corpus growth,
+    // unlike seed-dependent TABLESAMPLE (q33, rows-only).
+    "ext21_hash_split" -> Q(
+      (s, d) => Sampling.split(docs(s, d), "doc_id", "r5", 8000, 1000)
+        .select(col("doc_id"), col("source"), col("bucket"), col("split")),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |         ('0x' || substr(md5(doc_id::VARCHAR || ':r5'), 1, 8))::BIGINT % 10000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, source, bucket,
+             |       CASE WHEN bucket < 8000 THEN 'train'
+             |            WHEN bucket < 9000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
+
+    // stratified mixing: per-source keep rates (1/10000ths) off the same
+    // deterministic bucket — the no-shuffle way to hit a target source
+    // mix; sources outside the map fall to the default rate.
+    "ext22_stratified_sample" -> Q(
+      (s, d) => Sampling.stratifiedSample(docs(s, d), "doc_id", "source",
+          Map("src0" -> 10000, "src1" -> 5000, "src2" -> 2500), 1000, "mix1")
+        .select(col("doc_id"), col("source"), col("bucket")),
+      Some("""WITH b AS (
+             |  SELECT doc_id, source,
+             |         ('0x' || substr(md5(doc_id::VARCHAR || ':mix1'), 1, 8))::BIGINT % 10000 AS bucket
+             |  FROM documents)
+             |SELECT doc_id, source, bucket FROM b
+             |WHERE bucket < CASE source WHEN 'src0' THEN 10000
+             |                           WHEN 'src1' THEN 5000
+             |                           WHEN 'src2' THEN 2500
+             |                           ELSE 1000 END""".stripMargin)),
 
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in

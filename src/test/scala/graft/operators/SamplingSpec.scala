@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ids(n: Int) = (1L to n.toLong).toDF("id")
+    .withColumn("src", concat(lit("s"), pmod(col("id"), lit(3))))
+
+  test("bucket matches the reference md5 arithmetic for a known value") {
+    // md5('42:split') = 58ad5b25... → 0x58ad5b25 = 1487756069 → % 10000
+    val b = Seq(42L).toDF("id")
+      .select(Sampling.hashBucket(col("id"), "split").as("b"))
+      .head().getLong(0)
+    assert(b == 1487756069L % 10000)
+  }
+
+  test("split is deterministic, exhaustive, and ~80/10/10") {
+    val s1 = Sampling.split(ids(5000), "id", "seed1")
+    val s2 = Sampling.split(ids(5000), "id", "seed1")
+    assert(s1.collect().toSet == s2.collect().toSet) // same salt → identical
+    val counts = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000)
+    assert(math.abs(counts("train") - 4000) < 200) // 32-bit hash ⇒ tight
+    assert(math.abs(counts("val") - 500) < 100)
+    assert(math.abs(counts("test") - 500) < 100)
+  }
+
+  test("a different salt reshuffles assignments; growth never reassigns") {
+    val a = Sampling.split(ids(1000), "id", "seed1").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.split(ids(1000), "id", "seed2").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.count { case (k, v) => b(k) != v } > 100) // genuinely resampled
+    // incremental stability: the same ids inside a larger corpus keep
+    // their assignment (the whole point vs fraction-based sampling)
+    val grown = Sampling.split(ids(2000), "id", "seed1").select("id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (k, v) => grown(k) == v })
+  }
+
+  test("stratified rates bound each stratum; 10000 keeps all, 0 keeps none") {
+    val df = ids(3000)
+    val kept = Sampling.stratifiedSample(df, "id", "src",
+      Map("s0" -> 10000, "s1" -> 0), defaultPerMyriad = 5000, salt = "m")
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("s0") == 1000)          // rate 10000 = keep every row
+    assert(!bySrc.contains("s1"))        // rate 0 = keep none
+    val s2 = bySrc("s2")                 // default 5000 ≈ half
+    assert(s2 > 350 && s2 < 650)
+    // kept rows are a strict subset with their buckets below the rate
+    assert(kept.filter(col("src") === "s2" && col("bucket") >= 5000).count() == 0)
+  }
+
+  test("invalid fractions are rejected at call time") {
+    intercept[IllegalArgumentException] {
+      Sampling.split(ids(10), "id", "s", 9000, 2000)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(ids(10), "id", "src", Map("s0" -> 10001), 0, "s")
+    }
+  }
+}
