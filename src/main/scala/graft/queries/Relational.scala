@@ -665,6 +665,32 @@ object Relational {
     // replicates 16×40 bytes. Result is provably identical to the plain
     // join (each pair meets under exactly one salt) — which is what the
     // oracle checks.
+    // B25 extension: EXACT percentiles (linear interpolation — Spark
+    // `percentile` and DuckDB `quantile_cont` share the (1−g)·lo + g·hi
+    // definition), emitted as exact-micro integers so the hash can't
+    // drift on formatting. Exact percentile is the right call here
+    // because l_quantity has ~50 distinct values — Spark aggregates a
+    // value→count map per group, so state is O(distinct), not O(rows),
+    // and that holds at 100 TB; an unbounded-cardinality column would
+    // use approx_percentile instead (cross-engine incomparable → q14b
+    // treatment).
+    "q35_percentile" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("p25"),
+          expr("percentile(l_quantity, 0.5)").as("p50"),
+          expr("percentile(l_quantity, 0.9)").as("p90"))
+        .select(col("l_returnflag"),
+          floor(col("p25") * 1e6 + 0.5).cast("long").as("p25_e6"),
+          floor(col("p50") * 1e6 + 0.5).cast("long").as("p50_e6"),
+          floor(col("p90") * 1e6 + 0.5).cast("long").as("p90_e6")),
+      Some("""SELECT l_returnflag,
+             |       CAST(floor(quantile_cont(l_quantity, 0.25) * 1000000 + 0.5) AS BIGINT) AS p25_e6,
+             |       CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
+             |       CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_e6
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     "q34_salted_join" -> Q(
       (s, d) => {
         val dim = t(s, d, "orders").select(col("o_orderpriority")).distinct()
