@@ -64,6 +64,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter jaccard join equals brute force on seeded random corpora") {
+    // Random corpora exercise prefix/ceil boundaries the fixed fixture
+    // can't: mutated copies at every similarity level, skewed shingle
+    // frequencies, set sizes that make t·|X| land near integers.
+    val rnd = new scala.util.Random(20260812L)
+    val vocab = ('a' to 'p').map(_.toString)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 20L).map { id =>
+        val base = Vector.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        val text = if (id % 3 == 0) { // mutated copy of the previous doc
+          val prev = Vector.fill(8 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+          prev.updated(rnd.nextInt(prev.size), vocab(rnd.nextInt(vocab.size)))
+        } else base
+        (id, text.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+      val t = 0.1 + rnd.nextDouble() * 0.9
+      val sets = Dedup.shingleSets(df, "doc_id", "text", 3)
+      val ids = df.select(col("doc_id"))
+      val allPairs = ids.as("a").join(ids.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val brute = Dedup.jaccardVerify(allPairs, sets).filter(col("jaccard") >= t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pf = Dedup.jaccardPairs(df, "doc_id", "text", n = 3, threshold = t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf == brute, s"trial $trial threshold $t: $pf != $brute")
+    }
+  }
+
   test("prefix-filter jaccard join scores exact copies 1.0, near-dups below") {
     val j = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
