@@ -295,6 +295,57 @@ object Extensions {
              |                           WHEN 'src2' THEN 2500
              |                           ELSE 1000 END""".stripMargin)),
 
+    // flagship composition: the full curation pipeline in ONE Catalyst
+    // plan — quality filter → exact-dedup keepers → deterministic hash
+    // split → per-(source, split) stats. Each stage is an already-oracled
+    // operator; this proves they CHAIN (one narrow quality projection,
+    // one dedup aggregation, broadcastable keeper join, shuffle-free
+    // split, final partial-aggregated rollup — no barrier materializes
+    // between stages).
+    "ext23_curation_pipeline" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val quality = TextAnalysis.qualityRules(base, "doc_id", "text")
+          .filter(col("keep"))
+        val keepers = Dedup.exact(base, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val split = Sampling.split(base, "doc_id", "r5", 8000, 1000)
+          .select(col("doc_id"), col("source"), col("split"))
+        quality.join(keepers, "doc_id").join(split, "doc_id")
+          .groupBy(col("source"), col("split"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("sum_words"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, source, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             |         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS nb,
+             |         CASE WHEN len(ws) >= 2
+             |              THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+             |              ELSE 0 END AS ndb,
+             |         list_sum(list_transform(ws, t -> len(t))) AS sl
+             |  FROM w
+             |), q AS (
+             |  SELECT doc_id, source, n AS n_words
+             |  FROM m
+             |  WHERE n BETWEEN 30 AND 100000
+             |    AND (CASE WHEN n > 0 THEN CAST(floor((n - nd)::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 500000
+             |    AND (CASE WHEN nb > 0 THEN CAST(floor((nb - ndb)::DOUBLE / nb * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 100000
+             |    AND (CASE WHEN n > 0 THEN CAST(floor(sl::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) BETWEEN 3000000 AND 10000000
+             |), k AS (
+             |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+             |), b AS (
+             |  SELECT doc_id,
+             |         CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+             |  FROM (SELECT doc_id,
+             |               ('0x' || substr(md5(doc_id::VARCHAR || ':r5'), 1, 8))::BIGINT % 10000 AS bkt
+             |        FROM documents)
+             |)
+             |SELECT q.source, b.split, count(*) AS n_docs, CAST(sum(q.n_words) AS BIGINT) AS sum_words
+             |FROM q JOIN k USING (doc_id) JOIN b USING (doc_id)
+             |GROUP BY q.source, b.split""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.
