@@ -21,6 +21,43 @@ object StreamingQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // curation-on-a-stream: the quality-rules operator is a pure narrow
+    // projection, so the SAME function runs unchanged on a streaming
+    // frame — each surviving document is emitted row-for-row as it
+    // streams past (stateless: no watermark, no state store). Oracle =
+    // the batch quality filter (ext18's SQL with the keep predicate).
+    "st06_stream_curation" -> Q(
+      (s, d) => {
+        val kept = graft.operators.TextAnalysis
+          .qualityRules(Streams.readDocumentsStream(s, d), "doc_id", "text")
+          .filter(col("keep"))
+        Streams.runToMemory(s, kept, "st06_quality", OutputMode.Append())
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             |         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS nb,
+             |         CASE WHEN len(ws) >= 2
+             |              THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+             |              ELSE 0 END AS ndb,
+             |         list_sum(list_transform(ws, t -> len(t))) AS sl
+             |  FROM w
+             |), e AS (
+             |  SELECT doc_id, n AS n_words,
+             |         CASE WHEN n > 0 THEN CAST(floor((n - nd)::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS dup_word_frac_e6,
+             |         CASE WHEN nb > 0 THEN CAST(floor((nb - ndb)::DOUBLE / nb * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS dup_bigram_frac_e6,
+             |         CASE WHEN n > 0 THEN CAST(floor(sl::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS mean_word_len_e6
+             |  FROM m
+             |)
+             |SELECT doc_id, n_words, dup_word_frac_e6, dup_bigram_frac_e6, mean_word_len_e6, TRUE AS keep
+             |FROM e
+             |WHERE n_words BETWEEN 30 AND 100000
+             |  AND dup_word_frac_e6 <= 500000
+             |  AND dup_bigram_frac_e6 <= 100000
+             |  AND mean_word_len_e6 BETWEEN 3000000 AND 10000000""".stripMargin)),
+
     // streaming composed with the BATCH sink machinery: foreachBatch
     // routes each micro-batch through Sinks.write (partitioned append),
     // read back from the partitioned parquet output; oracle = the same

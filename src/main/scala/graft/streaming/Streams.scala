@@ -54,6 +54,29 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Stream the documents fixture (file-source staging as
+    * [[readEventsStream]]) — the input for running the curation
+    * operators over a stream: the text-analysis tier is pure narrow
+    * projections, so it applies to a streaming frame UNCHANGED. */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/documents")
+    val fs = stage.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(stage, "documents.parquet")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(stage)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+    }
+    spark.readStream.schema(documentsSchema).parquet(stage.toString)
+  }
+
   /** As [[readEventsStream]] but the fixture is staged TWICE (two files
     * with identical rows) — the double-delivery input for proving
     * streaming dedup semantics. */
