@@ -168,6 +168,39 @@ object TextAnalysis {
     }
   }
 
+  /** Pretraining sequence packing: assign every document a position in a
+    * fixed-size token-sequence layout (`seqTokens` tokens per training
+    * sequence, documents packed back-to-back in doc_id order, split
+    * across sequence boundaries exactly as a packed pretraining shard
+    * is). The layout is the RUNNING TOTAL of token counts: a document
+    * starts at global offset `cum − n`, so its sequence is
+    * `(cum − n) div seqTokens` and its offset within it the remainder —
+    * integer arithmetic end-to-end (no float, overflow-safe `div` on
+    * longs at any corpus size).
+    *
+    * Scale shape: packing is inherently sequential, so the corpus is
+    * sharded into `buckets` INDEPENDENT packing domains (by doc_id mod —
+    * deterministic and engine-independent) and the running total is a
+    * per-bucket window: `buckets` parallel sorts of corpus/buckets rows
+    * each, no global sort, no single-partition window. Each bucket
+    * yields its own sequence namespace (bucket, seq_id) — exactly how a
+    * multi-worker tokenizer writes shards. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    seqTokens: Int, buckets: Int = 64): DataFrame = {
+    require(seqTokens > 0 && buckets > 0, "seqTokens and buckets must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val staged = docs.select(col(idCol).as("doc_id"),
+        size(filter(words(col(textCol)), t => t =!= "")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("bucket", pmod(col("doc_id"), lit(buckets)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    staged.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"),
+        expr(s"(cum - n_tokens) div $seqTokens").as("seq_id"),
+        ((col("cum") - col("n_tokens")) % seqTokens).as("seq_offset"))
+  }
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

@@ -346,6 +346,29 @@ object Extensions {
              |FROM q JOIN k USING (doc_id) JOIN b USING (doc_id)
              |GROUP BY q.source, b.split""".stripMargin)),
 
+    // pretraining sequence packing: documents packed back-to-back into
+    // 512-token sequences inside 16 independent hash buckets (parallel
+    // packing domains); integer running-total arithmetic in both engines.
+    "ext24_sequence_packing" -> Q(
+      (s, d) => TextAnalysis.packSequences(docs(s, d), "doc_id", "text",
+        seqTokens = 512, buckets = 16),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id, n_tokens, doc_id % 16 AS bucket FROM t WHERE n_tokens > 0
+             |), c AS (
+             |  SELECT doc_id, n_tokens, bucket,
+             |         sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+             |                             ROWS UNBOUNDED PRECEDING) AS cum
+             |  FROM b
+             |)
+             |SELECT doc_id, n_tokens, bucket,
+             |       (cum - n_tokens) // 512 AS seq_id,
+             |       (cum - n_tokens) % 512 AS seq_offset
+             |FROM c""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.

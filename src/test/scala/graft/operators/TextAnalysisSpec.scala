@@ -61,6 +61,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size == 5) // k=2 cap: 2 + 2 + 1
   }
 
+  test("sequence packing: running-total layout, straddling doc, empty doc dropped") {
+    val df = Seq(
+      (1L, "a b c d"),          // 4 tokens → seq 0, offset 0
+      (2L, "a b c d e"),        // 5 tokens → seq 0, offset 4
+      (3L, "a b c d e f g h"),  // 8 tokens → starts seq 0 offset 9, straddles
+      (4L, "a b"),              // 2 tokens → seq 1, offset 7
+      (5L, "   ")               // empty after tokenization → dropped
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.packSequences(df, "doc_id", "text", seqTokens = 10, buckets = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    assert(r == Map(1L -> (0L, 0L), 2L -> (0L, 4L), 3L -> (0L, 9L), 4L -> (1L, 7L)))
+  }
+
+  test("sequence packing: buckets are independent packing domains") {
+    val df = (1L to 10L).map(i => (i, ("w " * i.toInt).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.packSequences(df, "doc_id", "text", seqTokens = 7, buckets = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // odd ids → bucket 1 with cums 1,4,9,16,25; even → bucket 0 with 2,6,12,20,30
+    val byBucket = r.groupBy(_._2)
+    assert(byBucket(1L).map(t => (t._1, t._3, t._4)).toSet ==
+      Set((1L, 0L, 0L), (3L, 0L, 1L), (5L, 0L, 4L), (7L, 1L, 2L), (9L, 2L, 2L)))
+    assert(byBucket(0L).map(t => (t._1, t._3, t._4)).toSet ==
+      Set((2L, 0L, 0L), (4L, 0L, 2L), (6L, 0L, 6L), (8L, 1L, 5L), (10L, 2L, 6L)))
+  }
+
   test("lang id picks the dominant marker set, und when none") {
     val df = Seq(
       (1L, "the cat and the dog is here", "en"),
