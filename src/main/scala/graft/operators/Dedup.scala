@@ -345,4 +345,52 @@ object Dedup {
         .distinct()
     }
   }
+
+  /** Line-level cross-corpus dedup (the C4/CCNet preprocessing step):
+    * every distinct line is kept ONCE corpus-wide — at its first
+    * occurrence, smallest (doc_id, position) — and every later copy is
+    * dropped; documents are reassembled from their surviving lines in
+    * original order and a document whose lines all lose vanishes. This is
+    * a different axis from document-level dedup: boilerplate (headers,
+    * cookie banners, license blocks) repeats across documents that are
+    * nothing alike as wholes.
+    *
+    * `linesCol` is any array<string> segmentation — `split(text, '\n')`
+    * for real line-structured text (see the delimiter overload), or a
+    * fixed-token-window segmentation for unstructured text.
+    *
+    * Scale shape: three equality-keyed shuffles, each map-side
+    * combinable — (1) min(struct(doc_id, pos)) per line key finds the
+    * winner, (2) an inner join back on the line key marks survivors
+    * (Catalyst plans both sides from the same exploded child), (3) a
+    * groupBy(doc_id) reassembles. State per line key is one (doc_id, pos)
+    * pair regardless of copy count, and no step ever holds a whole
+    * document's worth of anything except the final per-doc collect of its
+    * OWN surviving lines — the same bound as reading the document. */
+  def dedupLines(docs: DataFrame, idCol: String, linesCol: Column,
+                 joinWith: String = "\n"): DataFrame = {
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val winners = exploded.groupBy(col("line"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first_at"))
+      .select(col("line").as("w_line"),
+        col("first_at.doc_id").as("w_doc_id"), col("first_at.pos").as("w_pos"))
+    exploded.join(winners,
+        col("line") === col("w_line") &&
+        col("doc_id") === col("w_doc_id") && col("pos") === col("w_pos"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos"), col("line")))), _.getField("line")),
+          joinWith).as("text"))
+  }
+
+  /** [[dedupLines]] over delimiter-structured text: lines = `split` on
+    * `delim` (a Java regex). Documents with no surviving line are absent
+    * from the output — join back to the corpus for drop accounting. */
+  def dedupLines(docs: DataFrame, idCol: String, textCol: String,
+                 delim: String): DataFrame =
+    dedupLines(docs, idCol, split(col(textCol), delim))
 }

@@ -346,6 +346,40 @@ object Extensions {
              |FROM q JOIN k USING (doc_id) JOIN b USING (doc_id)
              |GROUP BY q.source, b.split""".stripMargin)),
 
+    // line-level cross-corpus dedup (C4/CCNet): the fixture text has no
+    // newlines, so documents are first segmented into 12-token
+    // "paragraphs" (deterministic, identical arithmetic in both engines);
+    // each distinct segment survives only at its corpus-wide first
+    // occurrence (min (doc_id, pos)) and documents are reassembled from
+    // their surviving segments.
+    "ext25_line_dedup" -> Q(
+      (s, d) => {
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lines = transform(
+          sequence(lit(0), ((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+          g => array_join(slice(toks, g * 12 + 1, lit(12)), " "))
+        Dedup.dedupLines(
+          docs(s, d).filter(size(toks) > 0).withColumn("__lines", lines),
+          "doc_id", col("__lines"), joinWith = " ")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents
+             |), seg AS (
+             |  SELECT t.doc_id, u.g,
+             |         array_to_string(t.toks[u.g*12+1 : u.g*12+12], ' ') AS line
+             |  FROM t JOIN (SELECT unnest(range(0, (SELECT max((len(toks) + 11) // 12) FROM t))) AS g) u
+             |    ON u.g < (len(t.toks) + 11) // 12
+             |), ranked AS (
+             |  SELECT doc_id, g, line,
+             |         row_number() OVER (PARTITION BY line ORDER BY doc_id, g) AS rk
+             |  FROM seg
+             |)
+             |SELECT doc_id, count(*) AS n_lines_kept,
+             |       string_agg(line, ' ' ORDER BY g) AS text
+             |FROM ranked WHERE rk = 1 GROUP BY doc_id""".stripMargin)),
+
     // pretraining sequence packing: documents packed back-to-back into
     // 512-token sequences inside 16 independent hash buckets (parallel
     // packing domains); integer running-total arithmetic in both engines.

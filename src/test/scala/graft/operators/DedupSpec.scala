@@ -178,4 +178,28 @@ class DedupSpec extends SparkSpec {
     assert(lsh == truth)
     assert(truth.nonEmpty) // fixture has planted near-dups
   }
+
+  test("line dedup keeps the corpus-wide first occurrence, reassembles in order") {
+    val docs = Seq(
+      (1L, "unique one\nCOMMON HEADER\nunique two"),
+      (2L, "COMMON HEADER\nunique three"),      // header lost to doc 1 pos 1
+      (3L, "COMMON HEADER"),                    // only line loses → doc vanishes
+      (4L, "unique four\n \nunique four")       // blank dropped; self-dup within doc
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(docs, "doc_id", "text", delim = "\n")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getString(2))).toMap
+    assert(r(1L) == (3L, "unique one\nCOMMON HEADER\nunique two"))
+    assert(r(2L) == (1L, "unique three"))
+    assert(!r.contains(3L))
+    assert(r(4L) == (1L, "unique four")) // second copy in the SAME doc also loses
+  }
+
+  test("line dedup first-occurrence tie is by (doc_id, pos), not arbitrary") {
+    val docs = Seq(
+      (2L, "dup\nx"), (1L, "y\ndup") // line "dup": (1,1) beats (2,0)
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupLines(docs, "doc_id", "text", delim = "\n")
+      .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
+    assert(r == Map(1L -> "y\ndup", 2L -> "x"))
+  }
 }
