@@ -393,4 +393,70 @@ object Dedup {
   def dedupLines(docs: DataFrame, idCol: String, textCol: String,
                  delim: String): DataFrame =
     dedupLines(docs, idCol, split(col(textCol), delim))
+
+  /** Connected components over a near-dup pair graph — the transitive
+    * closure that turns pairwise matches ([[minhashLsh]], [[jaccardPairs]],
+    * [[winnowPairs]], …) into dedup DECISIONS. A∼B and B∼C must land A, B,
+    * C in ONE cluster with ONE keeper even when A∼C was never emitted;
+    * without this step a pair-based dedup keeps both ends of every
+    * unmatched edge and the corpus retains chains of near-copies.
+    *
+    * Returns one row per document: (doc_id, cluster_id = min doc_id in the
+    * component, cluster_size, is_keeper = doc_id == cluster_id). Singleton
+    * documents cluster with themselves, so the output is a total keep/drop
+    * verdict for the corpus. The fixpoint is unique (component minimum),
+    * so the result is deterministic regardless of iteration schedule.
+    *
+    * Algorithm: min-label propagation — each round every vertex takes the
+    * minimum label among itself and its neighbors, converging in
+    * O(component diameter) rounds. Near-dup components are shallow (copies
+    * of a common source), so the loop is 2–4 rounds in practice; a
+    * maxIters guard caps adversarial chain graphs (for those, the
+    * large-star/small-star rewiring of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond" (SoCC'14), converges in O(log n)
+    * rounds — same per-round join shape, swap in if profiles demand it).
+    *
+    * Scale shape: every per-round operation — join labels to edges on the
+    * source endpoint, min-aggregate messages by destination, join back to
+    * labels — is equality-keyed on the EDGE set, whose size is the number
+    * of near-dup pairs, orders of magnitude below corpus size. The corpus
+    * itself is touched exactly once, in the final left join keyed by
+    * doc_id (AQE broadcasts the label side when the dup graph is small).
+    * Each round materializes labels via eager localCheckpoint: lineage
+    * would otherwise double per iteration and the fixpoint check would
+    * re-execute the whole history each round. */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val msgs = edges.join(labels.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
+      val next = labels.select(col("id"), col("label").as("old_label"))
+        .join(msgs, Seq("id"), "left")
+        .select(col("id"), col("old_label"),
+          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      it += 1
+    }
+    edges.unpersist(blocking = false)
+    val sizes = labels.groupBy(col("label").as("sz_label"))
+      .agg(count(lit(1)).as("sz"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .join(sizes, col("cluster_id") === col("sz_label"), "left")
+      .select(col("doc_id"), col("cluster_id"),
+        coalesce(col("sz"), lit(1L)).as("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
+  }
 }

@@ -201,6 +201,35 @@ object TextAnalysis {
         ((col("cum") - col("n_tokens")) % seqTokens).as("seq_offset"))
   }
 
+  /** Corpus-frequency document score — the model-free stand-in for a
+    * perplexity filter: documents whose tokens are rare in the corpus
+    * (OCR noise, mojibake, boilerplate IDs) score low, documents made of
+    * common words score high. Emits per document the token count, the sum
+    * and minimum of each token's corpus occurrence count, and their mean
+    * — all exact integers except the final single IEEE division, rounded
+    * to 6 dp, so the output is engine-reproducible (no log/exp drift, the
+    * reason this uses raw frequencies rather than a log-prob score).
+    *
+    * Scale shape: two passes over the token stream. Pass one is a
+    * token-keyed count with map-side partial combine (output = vocabulary
+    * size, ≪ token occurrences). Pass two joins occurrences back to that
+    * count table on the token key — AQE splits the skewed heavy-hitter
+    * tokens — then aggregates per document with map-side combine. No
+    * collect, no global sort; the corpus is scanned twice (re-tokenizing
+    * beats persisting a corpus-sized exploded intermediate at 100 TB). */
+  def freqScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+    val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("corpus_freq"))
+    toks.join(counts, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("corpus_freq")).as("sum_freq"),
+        min(col("corpus_freq")).as("min_freq"))
+      .withColumn("mean_freq",
+        round(col("sum_freq").cast("double") / col("n_tokens"), 6))
+  }
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

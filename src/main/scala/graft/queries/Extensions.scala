@@ -403,6 +403,65 @@ object Extensions {
              |       (cum - n_tokens) % 512 AS seq_offset
              |FROM c""".stripMargin)),
 
+    // corpus-frequency quality score: rare-token documents score low —
+    // the model-free perplexity-filter analog. Integer counts end-to-end;
+    // the mean is one IEEE division rounded to 6 dp in both engines.
+    "ext26_freq_score" -> Q(
+      (s, d) => TextAnalysis.freqScore(docs(s, d), "doc_id", "text"),
+      Some("""WITH toks AS (
+             |  SELECT doc_id,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS token
+             |  FROM documents
+             |), counts AS (
+             |  SELECT token, count(*) AS corpus_freq FROM toks GROUP BY 1
+             |)
+             |SELECT doc_id, count(*) AS n_tokens,
+             |       CAST(sum(corpus_freq) AS BIGINT) AS sum_freq,
+             |       min(corpus_freq) AS min_freq,
+             |       round(CAST(sum(corpus_freq) AS DOUBLE) / count(*), 6) AS mean_freq
+             |FROM toks JOIN counts USING (token)
+             |GROUP BY doc_id""".stripMargin)),
+
+    // near-dup transitive closure: minhash pairs (== all-pairs truth on
+    // this fixture, see ext03) → connected components → one cluster id +
+    // keeper verdict per document. The oracle recomputes components via
+    // a recursive reachability CTE over the same exact pair graph.
+    "ext27_dedup_clusters" -> Q(
+      (s, d) => Dedup.clusters(docs(s, d), "doc_id",
+        Dedup.minhashLsh(docs(s, d), "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8)),
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), rawpairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |), edges AS (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(src, dst) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+             |), comp AS (
+             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), sizes AS (
+             |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+             |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
+             |FROM documents d
+             |LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.

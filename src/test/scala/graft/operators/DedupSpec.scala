@@ -202,4 +202,40 @@ class DedupSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getString(2)).toMap
     assert(r == Map(1L -> "y\ndup", 2L -> "x"))
   }
+
+  test("clusters: transitive closure, min-id keeper, singletons kept") {
+    val docsIds = (1L to 7L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // A∼B, B∼C (A∼C never emitted) + an independent pair; 6, 7 untouched
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val r = Dedup.clusters(docsIds, "doc_id", pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1L, 3L, true)))   // component {1,2,3}, keeper 1
+    assert(r(2L) == ((1L, 3L, false)))
+    assert(r(3L) == ((1L, 3L, false)))
+    assert(r(4L) == ((4L, 2L, true)))
+    assert(r(5L) == ((4L, 2L, false)))
+    assert(r(6L) == ((6L, 1L, true)))   // singleton clusters with itself
+    assert(r(7L) == ((7L, 1L, true)))
+  }
+
+  test("clusters: a long chain converges to one component") {
+    val n = 12L
+    val docsIds = (1L to n).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val r = Dedup.clusters(docsIds, "doc_id", chain).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getBoolean(3)))
+    assert(r.forall { case (_, cid, sz, _) => cid == 1L && sz == n })
+    assert(r.count(_._4) == 1 && r.find(_._4).get._1 == 1L)
+  }
+
+  test("clusters over minhash pairs: exact copies and near-dups merge") {
+    val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
+      n = 3, k = 128, bands = 32, threshold = 0.5)
+    val r = Dedup.clusters(corpus, "doc_id", pairs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(3)))).toMap
+    assert(r(1L)._1 == 1L && r(2L)._1 == 1L && r(3L)._1 == 1L)
+    assert(r(1L)._2 && !r(2L)._2 && !r(3L)._2)
+    assert(r(4L)._1 == 4L && r(5L)._1 == 4L) // the 1-word-edit pair
+    assert(r(6L) == ((6L, true)))            // unrelated doc stays its own keeper
+  }
 }

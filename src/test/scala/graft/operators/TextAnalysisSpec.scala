@@ -86,6 +86,24 @@ class TextAnalysisSpec extends SparkSpec {
       Set((2L, 0L, 0L), (4L, 0L, 2L), (6L, 0L, 6L), (8L, 1L, 5L), (10L, 2L, 6L)))
   }
 
+  test("freqScore: integer corpus-frequency signals, rounded mean") {
+    // corpus counts: the=3, cat=2, sat=2, rare=1
+    val df = Seq(
+      (1L, "the cat sat"),
+      (2L, "the cat sat"),
+      (3L, "the rare")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.freqScore(df, "doc_id", "text").collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_tokens") == 3L)
+    assert(r(1L).getAs[Long]("sum_freq") == 7L)  // 3 + 2 + 2
+    assert(r(1L).getAs[Long]("min_freq") == 2L)
+    assert(r(1L).getAs[Double]("mean_freq") == 2.333333d)
+    assert(r(3L).getAs[Long]("sum_freq") == 4L)  // 3 + 1
+    assert(r(3L).getAs[Long]("min_freq") == 1L)  // "rare" drags the min
+    assert(r(3L).getAs[Double]("mean_freq") == 2.0d)
+  }
+
   test("lang id picks the dominant marker set, und when none") {
     val df = Seq(
       (1L, "the cat and the dog is here", "en"),
