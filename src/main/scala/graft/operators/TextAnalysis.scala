@@ -230,6 +230,77 @@ object TextAnalysis {
         round(col("sum_freq").cast("double") / col("n_tokens"), 6))
   }
 
+  /** Top-k adjacent-bigram collocations ranked by a PMI-shaped lift
+    * ratio: count(w1 w2) · N / (count(w1) · count(w2)) — how much more
+    * often the pair occurs than independence predicts. The ratio is
+    * monotone in PMI (PMI = ln of it), so ranking by the ratio avoids the
+    * cross-engine libm drift of ln while ordering identically; every
+    * operand is cast to double first so both engines run the same four
+    * correctly-rounded IEEE ops. Ties at the cut break by (w1, w2), so
+    * the top-k boundary is total and reproducible.
+    *
+    * Scale shape: a bigram-keyed count and a token-keyed count, both with
+    * map-side partial combine; the scalar corpus token total joins in as
+    * a broadcast single row; two token-keyed joins attach unigram counts
+    * (AQE splits heavy-hitter tokens); TakeOrdered top-k — no global
+    * sort. The `minCount` floor prunes the hapax bigram tail before the
+    * joins, which at 100 TB is most of the bigram table. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 50, minCount: Int = 5): DataFrame = {
+    val w = filter(words(col(textCol)), t => t =!= "")
+    val bigrams = docs.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val uni = docs.select(explode(w).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n_tok"))
+    val total = uni.agg(sum(col("n_tok")).as("n_total"))
+    bigrams
+      .join(uni.select(col("token").as("w1"), col("n_tok").as("n_w1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("n_tok").as("n_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        round(col("n_pair").cast("double") * col("n_total").cast("double") /
+          (col("n_w1").cast("double") * col("n_w2").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
+  /** PII pattern sets for [[redactPii]]: applied in order, counts taken
+    * against the ORIGINAL text (so they are independent of replacement
+    * order). Patterns stay inside the Java-regex ∩ RE2 common subset —
+    * classes, bounded repetition, `\b`, non-backtracking-safe — so the
+    * same pattern string means the same thing to Spark and any
+    * RE2-based engine checking the output. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""", "<EMAIL>"),
+    ("ip", """\b(\d{1,3}\.){3}\d{1,3}\b""", "<IP>"),
+    ("phone", """\b\d{3}[-.]\d{3}[-.]\d{4}\b""", "<PHONE>"),
+    ("longnum", """\b\d{9,}\b""", "<NUM>"))
+
+  /** PII scrubbing — the redaction pass every training-data pipeline
+    * runs before text leaves curation: emails, IPv4 addresses, phone
+    * numbers, and long digit runs (account/ID numbers) masked with typed
+    * placeholder tokens, plus a per-document count of each hit type.
+    *
+    * Scale shape: a pure narrow projection — four codegen'd regex
+    * replaces and four extract-alls per row, no shuffle, no UDF; runs at
+    * scan speed and pipelines into whatever sink follows. */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (acc, (_, pat, repl)) => regexp_replace(acc, pat, repl)
+    }
+    docs.select(
+      Seq(col(idCol).as("doc_id"), redacted.as("text_redacted")) ++
+        piiPatterns.map { case (name, pat, _) =>
+          size(regexp_extract_all(col(textCol), lit(pat), lit(0)))
+            .cast("long").as(s"n_$name")
+        }: _*)
+  }
+
   /** Marker-count language ID: score each language by how many of the
     * document's tokens are that language's marker words; predict the
     * highest scorer (ties broken alphabetically — deterministic), or

@@ -462,6 +462,71 @@ object Extensions {
              |LEFT JOIN comp c ON d.doc_id = c.doc_id
              |LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id""".stripMargin)),
 
+    // top-50 adjacent-bigram collocations by PMI-shaped lift ratio —
+    // rank by the ratio (monotone in PMI) instead of ln(ratio) so both
+    // engines run the same four IEEE double ops; cut ties by (w1, w2).
+    "ext28_collocations" -> Q(
+      (s, d) => TextAnalysis.collocations(docs(s, d), "doc_id", "text",
+        k = 50, minCount = 5),
+      Some("""WITH t AS (
+             |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents
+             |), bi AS (
+             |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+             |  FROM t WHERE len(w) >= 2
+             |), bc AS (
+             |  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2
+             |  HAVING count(*) >= 5
+             |), u AS (
+             |  SELECT unnest(w) AS token FROM t
+             |), uc AS (
+             |  SELECT token, count(*) AS c FROM u GROUP BY 1
+             |), tot AS (
+             |  SELECT count(*) AS n FROM u
+             |)
+             |SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+             |       round(n_pair::DOUBLE * (SELECT n FROM tot)::DOUBLE /
+             |             (a.c::DOUBLE * b.c::DOUBLE), 6) AS lift
+             |FROM bc JOIN uc a ON bc.w1 = a.token JOIN uc b ON bc.w2 = b.token
+             |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin)),
+
+    // PII scrubbing. The fixture corpus contains no PII, so three planted
+    // rows are unioned into BOTH dialects — the oracle exercises every
+    // mask pattern for real, and the 500 fixture rows pin the no-op path
+    // (any regex-dialect divergence on real text would break the hash).
+    "ext29_pii_redact" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (-1L, "contact john.doe@example.com or jane@sub.example.org today"),
+          (-2L, "server at 192.168.0.1 and 10.0.0.255 responded fine"),
+          (-3L, "call 555-123-4567 or 555.987.6543 ref 1234567890")
+        ).toDF("doc_id", "text")
+        TextAnalysis.redactPii(
+          docs(s, d).select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (CAST(-1 AS BIGINT), 'contact john.doe@example.com or jane@sub.example.org today'),
+             |    (CAST(-2 AS BIGINT), 'server at 192.168.0.1 and 10.0.0.255 responded fine'),
+             |    (CAST(-3 AS BIGINT), 'call 555-123-4567 or 555.987.6543 ref 1234567890')
+             |  ) v(doc_id, text)
+             |)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{9,}\b', '<NUM>', 'g') AS text_redacted,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_longnum
+             |FROM corpus""".stripMargin)),
+
     // exact top-100 vocabulary (heavy hitters + document frequency) —
     // the vocab-building pass; ties at the cut are broken by token in
     // BOTH engines so the boundary is total and reproducible.

@@ -104,6 +104,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L).getAs[Double]("mean_freq") == 2.0d)
   }
 
+  test("collocations: lift ratio ranks the glued pair first") {
+    // "new york" always adjacent; "big data" co-occur but also apart
+    val df = (1L to 6L).map(i => (i, "new york big city big data and data big"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(df, "doc_id", "text", k = 5, minCount = 5)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getAs[Double]("lift")))
+    assert(r.head._1 == "new" && r.head._2 == "york")
+    // N=54 (9 tokens × 6 docs); c(new york)=6, c(new)=6, c(york)=6 → 6*54/36
+    assert(r.head._3 == 9.0)
+    assert(r.map(_._3).sliding(2).forall(p => p.head >= p.last)) // sorted desc
+  }
+
+  test("collocations: minCount prunes, ties cut by (w1, w2)") {
+    val df = Seq((1L, "a b a b a b a b a b c d")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(df, "doc_id", "text", k = 10, minCount = 5)
+      .collect().map(x => (x.getString(0), x.getString(1)))
+    // "a b"×5 survives; "b a"×4, "b c"×1, "c d"×1 fall below minCount
+    assert(r.toSet == Set(("a", "b")))
+  }
+
+  test("redactPii masks every pattern type and counts on original text") {
+    val df = Seq(
+      (1L, "contact john.doe@example.com or jane@sub.example.org today"),
+      (2L, "server at 192.168.0.1 and 10.0.0.255 responded fine"),
+      (3L, "call 555-123-4567 or 555.987.6543 ref 1234567890"),
+      (4L, "no pii in this perfectly ordinary sentence")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x).toMap
+    assert(r(1L).getAs[String]("text_redacted") == "contact <EMAIL> or <EMAIL> today")
+    assert(r(1L).getAs[Long]("n_email") == 2L)
+    assert(r(2L).getAs[String]("text_redacted") == "server at <IP> and <IP> responded fine")
+    assert(r(2L).getAs[Long]("n_ip") == 2L)
+    assert(r(3L).getAs[String]("text_redacted") == "call <PHONE> or <PHONE> ref <NUM>")
+    assert(r(3L).getAs[Long]("n_phone") == 2L && r(3L).getAs[Long]("n_longnum") == 1L)
+    assert(r(4L).getAs[String]("text_redacted") == "no pii in this perfectly ordinary sentence")
+    assert(Seq("n_email", "n_ip", "n_phone", "n_longnum")
+      .forall(c => r(4L).getAs[Long](c) == 0L))
+  }
+
+  test("redactPii: a phone-shaped dotted triple is not an IP, and vice versa") {
+    val df = Seq((1L, "x 555.987.6543 y 10.0.0.255 z")).toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(df, "doc_id", "text").collect().head
+    assert(r.getAs[String]("text_redacted") == "x <PHONE> y <IP> z")
+    assert(r.getAs[Long]("n_ip") == 1L && r.getAs[Long]("n_phone") == 1L)
+  }
+
   test("lang id picks the dominant marker set, und when none") {
     val df = Seq(
       (1L, "the cat and the dog is here", "en"),
