@@ -128,17 +128,26 @@ object Dedup {
     * `k/bands` rows; docs sharing any band hash become candidates.
     * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
     * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
+  /** Band projection: one row per (doc, band) with the band's hash,
+    * keeping every input column — the indexable form of a signature
+    * frame, shared by the batch self-join ([[lshCandidates]]) and the
+    * stream-static index probe
+    * ([[graft.streaming.Streams.contaminationStream]]). */
+  def banded(sigs: DataFrame, bands: Int): DataFrame =
+    sigs.select(col("*"), posexplode(
+      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
+        s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
+      .as(Seq("band_idx", "band_hash")))
+
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     // leased persist: the banded frame (bands × ~12 B per doc — far
     // smaller than the corpus) feeds BOTH sides of the self-join; without
     // it the whole signature computation runs twice. Freed after the
     // consuming action ([[graft.util.Caching.leased]]).
-    val banded = sigs.select(col("doc_id"), posexplode(
-      expr(s"transform(sequence(0, ${bands - 1}), b -> " +
-        s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
-      .as(Seq("band_idx", "band_hash")))
-    graft.util.Caching.leased(banded) {
-      val l = banded.as("l"); val r = banded.as("r")
+    val bandedSigs = banded(sigs.select(col("doc_id"), col("sig")), bands)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    graft.util.Caching.leased(bandedSigs) {
+      val l = bandedSigs.as("l"); val r = bandedSigs.as("r")
       l.join(r,
           col("l.band_idx") === col("r.band_idx") &&
           col("l.band_hash") === col("r.band_hash") &&

@@ -21,6 +21,30 @@ object StreamingQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // decontamination-at-ingest: streaming docs LSH-probe a static
+    // benchmark index; banding at 32×4 provably finds every pair on this
+    // fixture (see Extensions scaladoc), so the streamed output equals
+    // the cross-side all-pairs truth — the same oracle as batch ext16.
+    "st07_stream_contamination" -> Q(
+      (s, d) => {
+        val flagged = Streams.contaminationStream(s, d,
+          n = 3, k = 128, bands = 32, threshold = 0.8)
+        Streams.runToMemory(s, flagged, "st07_contamination", OutputMode.Append())
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT t.doc_id, b.doc_id AS matched_bench_id,
+             |       round(len(list_intersect(t.s, b.s))::DOUBLE
+             |             / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))), 6) AS jaccard
+             |FROM sh t JOIN sh b
+             |  ON t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             | AND len(list_intersect(t.s, b.s))::DOUBLE
+             |     / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))) >= 0.8""".stripMargin)),
+
     // curation-on-a-stream: the quality-rules operator is a pure narrow
     // projection, so the SAME function runs unchanged on a streaming
     // frame — each surviving document is emitted row-for-row as it

@@ -77,6 +77,48 @@ object Streams {
     spark.readStream.schema(documentsSchema).parquet(stage.toString)
   }
 
+  /** Streaming benchmark decontamination: documents arriving on a stream
+    * are LSH-probed against a STATIC benchmark index and flagged when
+    * their exact 3-gram Jaccard against any benchmark doc reaches the
+    * threshold — the ingest-time guard that keeps eval data out of a
+    * training corpus without re-running batch decontamination.
+    *
+    * Scale shape: the static side (shingle sets → MinHash signature →
+    * band hashes) is built ONCE per query from the benchmark corpus —
+    * orders of magnitude smaller than the stream — and in production
+    * would be persisted or pre-bucketed; the stream side is a pure
+    * narrow projection per document (native shingle/signature
+    * expressions, no shuffle), and the stream-static equi-join on
+    * (band_idx, band_hash) is stateless — each micro-batch probes only
+    * its own band buckets, never all pairs. The only streaming state is
+    * the final dropDuplicates, keyed on FLAGGED pairs (post-verify), so
+    * state grows with contamination incidents, not with the corpus. */
+  def contaminationStream(spark: SparkSession, dir: String,
+                          n: Int = 3, k: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val bstatic = Dedup.banded(
+        Dedup.shingleSets(bench, "doc_id", "text", n)
+          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
+      .select(col("doc_id").as("bench_id"), col("hs").as("bhs"),
+        col("band_idx"), col("band_hash"))
+    val stream = readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 0)
+    val sbanded = Dedup.banded(
+        Dedup.shingleSets(stream, "doc_id", "text", n)
+          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
+      .select(col("doc_id"), col("hs"), col("band_idx"), col("band_hash"))
+    val inter = size(array_intersect(col("hs"), col("bhs")))
+    val jac = inter.cast("double") /
+      (size(col("hs")) + size(col("bhs")) - inter)
+    sbanded.join(bstatic, Seq("band_idx", "band_hash"))
+      .filter(jac >= threshold)
+      .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
+        round(jac, 6).as("jaccard"))
+      .dropDuplicates("doc_id", "matched_bench_id")
+  }
+
   /** As [[readEventsStream]] but the fixture is staged TWICE (two files
     * with identical rows) — the double-delivery input for proving
     * streaming dedup semantics. */

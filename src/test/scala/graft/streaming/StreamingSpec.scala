@@ -74,6 +74,19 @@ class StreamingSpec extends SparkSpec {
     assert(deduped == n)
   }
 
+  test("streaming contamination = batch cross-side near-dup truth") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.contaminationStream(spark, dir, n = 3, k = 128, bands = 32, threshold = 0.8),
+      "spec_contamination", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+    val batch = graft.operators.Dedup.contaminatedNear(
+        all.filter(col("doc_id") % 10 =!= 0), all.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
