@@ -290,4 +290,33 @@ object Similarity {
         .otherwise(transform(v, x => floor(x / scale * 127d + 0.5).cast("int")))
         .as("q"))
   }
+
+  /** Per-group centroid over int8-QUANTIZED embeddings — the
+    * domain/cluster summary a mixture-balancing or semantic-dedup pass
+    * reads (which sources sit where in embedding space, how many vectors
+    * each contributes). Quantizing FIRST keeps every sum an exact
+    * integer; each centroid component is then one IEEE division scaled to
+    * a micro-int (floor(sum/n·1e6 + 0.5)) — engine-reproducible with no
+    * float-summation order sensitivity, which a float32 centroid can
+    * never be (the reason this variant exists). Components are emitted
+    * comma-joined: the verification gate's hasher cannot canonicalize
+    * array cells (see ext14).
+    *
+    * Scale shape: quantization is a shuffle-free narrow projection; the
+    * component explode raises row count ×dims but feeds straight into a
+    * (group, pos)-keyed aggregation with map-side partial combine —
+    * reduce-side state is #groups × dims rows regardless of corpus size —
+    * and the final per-group reassembly sorts only `dims` elements per
+    * group. No collect, no global sort. */
+  def centroidInt8(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    quantizeInt8(df, groupCol, vecCol)
+      .select(col(groupCol), posexplode(col("q")).as(Seq("pos", "qv")))
+      .groupBy(col(groupCol), col("pos"))
+      .agg(sum(col("qv")).as("s"), count(lit(1)).as("n"))
+      .withColumn("m_e6",
+        floor(col("s").cast("double") / col("n") * 1e6 + 0.5).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n")).as("n_vectors"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("m_e6")))),
+          _.getField("m_e6").cast("string")), ",").as("centroid_e6_csv"))
 }

@@ -589,6 +589,28 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // per-label centroid of int8-quantized embeddings: quantize-first
+    // keeps sums exact integers; one IEEE division per component, scaled
+    // to micro-ints and comma-joined (array cells void the gate's hasher).
+    "ext30_label_centroids" -> Q(
+      (s, d) => Similarity.centroidInt8(emb(s, d), "label", "embedding"),
+      Some("""WITH p AS (
+             |  SELECT label, embedding::DOUBLE[] AS e,
+             |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+             |  FROM embeddings
+             |), q AS (
+             |  SELECT label, CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+             |       ELSE list_transform(e, x -> CAST(floor(x / s * 127 + 0.5) AS INT)) END AS qv
+             |  FROM p
+             |), ex AS (
+             |  SELECT label, unnest(range(0, len(qv))) AS pos, unnest(qv) AS v FROM q
+             |), ag AS (
+             |  SELECT label, pos, sum(v) AS sv, count(*) AS n FROM ex GROUP BY 1, 2
+             |)
+             |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+             |       string_agg(CAST(CAST(floor(sv::DOUBLE / n * 1000000 + 0.5) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e6_csv
+             |FROM ag GROUP BY label""".stripMargin)),
+
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,
     // every 2nd) through the typed multimodal pipeline; the oracle
     // recomputes the same strided byte selection arithmetically.

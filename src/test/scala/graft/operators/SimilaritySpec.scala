@@ -113,6 +113,20 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidInt8: exact integer means per component, pos-ordered csv") {
+    import spark.implicits._
+    // label 1: q-vectors (127, 0) and (0, 127) → centroid (63.5, 63.5)
+    // label 2: one vector scaling to (127, -127)
+    val df = Seq(
+      (1, Array(1.0f, 0.0f)), (1, Array(0.0f, 1.0f)),
+      (2, Array(0.5f, -0.5f))
+    ).toDF("label", "embedding")
+    val r = Similarity.centroidInt8(df, "label", "embedding").collect()
+      .map(x => x.getInt(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    assert(r(1) == ((2L, "63500000,63500000")))
+    assert(r(2) == ((1L, "127000000,-127000000")))
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
