@@ -468,4 +468,24 @@ object Dedup {
         coalesce(col("sz"), lit(1L)).as("cluster_size"),
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
+
+  /** Quality-aware keeper selection: among each cluster's members, keep
+    * the one with the HIGHEST score (ties → lowest doc_id) — the curation
+    * policy that retains the longest / highest-quality copy of a
+    * near-duplicate group rather than whichever id sorts first, which is
+    * what [[clusters]]' structural `is_keeper` gives. Returns one row per
+    * cluster: (cluster_id, keeper_id, keeper_<score>, cluster_size).
+    *
+    * Scale shape: a doc_id-keyed equality join attaches scores, then ONE
+    * cluster_id-keyed aggregation — the argmax is a max over
+    * (score, -doc_id) structs, so it map-side combines to a single
+    * struct per cluster per mapper; no window, no sort, no top-k state. */
+  def keepBest(clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame =
+    clusters.join(scores, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col(scoreCol), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
+        col("best")(scoreCol).as(s"keeper_$scoreCol"), col("cluster_size"))
 }

@@ -589,6 +589,56 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // best-of-cluster curation: near-dup clusters keep their LONGEST
+    // member (ties → lowest id) instead of the structural min-id keeper —
+    // clusters ∘ keepBest, one row per cluster.
+    "ext31_best_keeper" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val cl = Dedup.clusters(dd, "doc_id",
+          Dedup.minhashLsh(dd, "doc_id", "text",
+            n = 3, k = 128, bands = 32, threshold = 0.8))
+        val scores = dd.select(col("doc_id"),
+          size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
+            .cast("long").as("n_words"))
+        Dedup.keepBest(cl.select(col("doc_id"), col("cluster_id")), scores, "n_words")
+      },
+      Some("""WITH RECURSIVE sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), rawpairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |), edges AS (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(src, dst) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+             |), comp AS (
+             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), fl AS (
+             |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |         len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), t -> t <> '')) AS n_words
+             |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |), ranked AS (
+             |  SELECT cluster_id, doc_id, n_words,
+             |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) AS rk,
+             |         count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+             |  FROM fl
+             |)
+             |SELECT cluster_id, doc_id AS keeper_id,
+             |       CAST(n_words AS BIGINT) AS keeper_n_words,
+             |       CAST(cluster_size AS BIGINT) AS cluster_size
+             |FROM ranked WHERE rk = 1""".stripMargin)),
+
     // per-label centroid of int8-quantized embeddings: quantize-first
     // keeps sums exact integers; one IEEE division per component, scaled
     // to micro-ints and comma-joined (array cells void the gate's hasher).

@@ -228,6 +228,21 @@ class DedupSpec extends SparkSpec {
     assert(r.count(_._4) == 1 && r.find(_._4).get._1 == 1L)
   }
 
+  test("keepBest: highest score wins the cluster, ties go to lowest id") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // scores 5, 9, 9 → keeper 2 (tie 2<3)
+      (4L, 4L), (5L, 4L),           // scores 7, 3 → keeper 4
+      (6L, 6L)                      // singleton
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L), (5L, 3L), (6L, 2L))
+      .toDF("doc_id", "n_words")
+    val r = Dedup.keepBest(clusters, scores, "n_words").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((2L, 9L, 3L)))
+    assert(r(4L) == ((4L, 7L, 2L)))
+    assert(r(6L) == ((6L, 2L, 1L)))
+  }
+
   test("clusters over minhash pairs: exact copies and near-dups merge") {
     val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
       n = 3, k = 128, bands = 32, threshold = 0.5)
