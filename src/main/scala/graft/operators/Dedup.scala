@@ -124,10 +124,6 @@ object Dedup {
       .agg(ElementwiseLongAgg.minUdaf(k)(col("hs")).as("sig"))
   }
 
-  /** LSH banding: split the k-long signature into `bands` bands of
-    * `k/bands` rows; docs sharing any band hash become candidates.
-    * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
-    * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
   /** Band projection: one row per (doc, band) with the band's hash,
     * keeping every input column — the indexable form of a signature
     * frame, shared by the batch self-join ([[lshCandidates]]) and the
@@ -139,6 +135,10 @@ object Dedup {
         s"hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))"))
       .as(Seq("band_idx", "band_hash")))
 
+  /** LSH banding: split the k-long signature into `bands` bands of
+    * `k/bands` rows; docs sharing any band hash become candidates.
+    * Returns distinct (doc_a < doc_b) pairs from an equality-keyed
+    * self-join on (band_idx, band_hash) — bucket-local, never all-pairs. */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
     // leased persist: the banded frame (bands × ~12 B per doc — far
     // smaller than the corpus) feeds BOTH sides of the self-join; without
