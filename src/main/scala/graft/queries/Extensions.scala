@@ -430,7 +430,7 @@ object Extensions {
       (s, d) => Dedup.clusters(docs(s, d), "doc_id",
         Dedup.minhashLsh(docs(s, d), "doc_id", "text",
           n = 3, k = 128, bands = 32, threshold = 0.8)),
-      Some("""WITH RECURSIVE sh AS (
+      Some("""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
@@ -441,7 +441,7 @@ object Extensions {
              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |), pairs AS (
              |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
-             |), edges AS (
+             |), edges AS MATERIALIZED (
              |  SELECT doc_a AS s, doc_b AS d FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs
              |), reach(src, dst) AS (
@@ -603,7 +603,7 @@ object Extensions {
             .cast("long").as("n_words"))
         Dedup.keepBest(cl.select(col("doc_id"), col("cluster_id")), scores, "n_words")
       },
-      Some("""WITH RECURSIVE sh AS (
+      Some("""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
@@ -614,7 +614,7 @@ object Extensions {
              |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
              |), pairs AS (
              |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
-             |), edges AS (
+             |), edges AS MATERIALIZED (
              |  SELECT doc_a AS s, doc_b AS d FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs
              |), reach(src, dst) AS (
