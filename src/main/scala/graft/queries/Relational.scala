@@ -701,6 +701,29 @@ object Relational {
       },
       Some("""SELECT o.o_orderpriority, o.o_orderkey, CAST(length(d.o_orderpriority) AS INT) AS prio_len
              FROM orders o JOIN (SELECT DISTINCT o_orderpriority FROM orders) d
-             ON o.o_orderpriority = d.o_orderpriority"""))
+             ON o.o_orderpriority = d.o_orderpriority""")),
+
+    // bucketed co-located join: both sides persisted hash-bucketed on the
+    // join key, so the join itself needs NO exchange (BucketingSpec pins
+    // the shuffle-free plan); the shuffle is paid once at write time —
+    // the storage layout a reused 100 TB fact table wants.
+    "q36_bucket_join" -> Q(
+      (s, d) => {
+        import graft.sources.Bucketed
+        val cust = Bucketed.ensureTable(s, "graft_bkt", "cust_b",
+          t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment")),
+          "c_custkey", buckets = 8)
+        val ord = Bucketed.ensureTable(s, "graft_bkt", "ord_b",
+          t(s, d, "orders").select(col("o_custkey"), col("o_totalprice")),
+          "o_custkey", buckets = 8)
+        s.table(cust).join(s.table(ord), col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("total_cents"))
+      },
+      Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+             |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_mktsegment""".stripMargin))
   )
 }
