@@ -308,6 +308,37 @@ object Framework {
     s.table("default.fw_cat_out")
   }
 
+  /** Bucketed catalog sink: the engine's `bucket_by`/`buckets` config
+    * keys persist the output hash-bucketed and sorted on the key — the
+    * shuffle-once storage layout (see [[graft.sources.Bucketed]]); the
+    * YAML surface means a config author gets it without code. SinksSpec
+    * asserts the written table carries the bucket spec. */
+  private def fwBucket(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS default.fw_bkt_out")
+    rmrf(s, s"${s.conf.get("spark.sql.warehouse.dir")}/fw_bkt_out")
+    val yaml =
+      s"""job:
+         |  name: fw-bucket
+         |  type: spark-sql
+         |input_tables:
+         |  - name: orders
+         |    source: s3
+         |    location: $d/orders.parquet
+         |output_table:
+         |  name: fw_bkt_out
+         |  target: gdc
+         |  database: default
+         |  bucket_by: o_custkey
+         |  buckets: 8
+         |sql: >
+         |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+         |         CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
+         |  FROM orders GROUP BY o_custkey
+         |""".stripMargin
+    run(s, yaml)
+    s.table("default.fw_bkt_out")
+  }
+
   /** A3 + JDBC sink: REAL JDBC on both ends (the reference's jdbc source
     * is a crashing stub, `glue_etl_framework.py:119-120,128`, and it has
     * no jdbc write branch at all). Round-trips nation through an embedded
@@ -502,6 +533,10 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
         |FROM customer
         |UNION ALL SELECT -1, 0, 'v2'""".stripMargin)),
+    "fw_bucket" -> Q(fwBucket, Some(
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY o_custkey""".stripMargin)),
     "fw_catalog" -> Q(fwCatalog, Some(
       """SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
         |       CAST(sum(floor(s_acctbal * 100 + 0.5)) AS BIGINT) AS acctbal_cents

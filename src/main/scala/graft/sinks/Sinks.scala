@@ -146,9 +146,17 @@ object Sinks {
             .insertInto(table)
         } else {
           val w = data.write.mode(mode(out.refresh))
+          val wb = if (out.bucketKeys.nonEmpty) {
+            // shuffle-once storage: later joins/aggs on the bucket key
+            // read co-located buckets with no Exchange (config-surface
+            // form of sources/Bucketed; parse-time validation guarantees
+            // a catalog target and no partition_keys here)
+            w.bucketBy(out.buckets.get, out.bucketKeys.head, out.bucketKeys.tail: _*)
+              .sortBy(out.bucketKeys.head, out.bucketKeys.tail: _*)
+          } else w
           if (out.partitionKeys.nonEmpty) {
-            w.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
-          } else w.format(out.format).saveAsTable(table)
+            wb.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
+          } else wb.format(out.format).saveAsTable(table)
         }
     }
   }

@@ -107,6 +107,41 @@ class ConfigParserSpec extends AnyFunSuite {
     intercept[ConfigError](Refresh.parse("merge"))
   }
 
+  test("bucket misconfiguration fails at PARSE time") {
+    def bad(yaml: String): String =
+      intercept[ConfigError](ConfigParser.parse(yaml)).getMessage
+    // bucket_by without buckets (and vice versa)
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: gdc, database: db, bucket_by: k}
+        |""".stripMargin) contains "together")
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: gdc, database: db, buckets: "8"}
+        |""".stripMargin) contains "together")
+    // file target can't bucket (saveAsTable only)
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: s3, location: /tmp/x, bucket_by: k, buckets: "8"}
+        |""".stripMargin) contains "catalog")
+    // bucketing + partitioning would break the dynamic-overwrite path
+    assert(bad(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: gdc, database: db, bucket_by: k, buckets: "8", partition_keys: p}
+        |""".stripMargin) contains "partition_keys")
+    // well-formed parses
+    val ok = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |output_table: {name: o, target: gdc, database: db, bucket_by: "a, b", buckets: "16"}
+        |""".stripMargin).outputTable.get
+    assert(ok.bucketKeys == Seq("a", "b") && ok.buckets.contains(16))
+  }
+
   test("upsert misconfiguration fails at PARSE time, before any query runs") {
     def bad(yaml: String): String =
       intercept[ConfigError](ConfigParser.parse(yaml)).getMessage

@@ -53,6 +53,23 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_keys"))
   }
 
+  test("bucketed catalog sink writes the bucket spec into the table") {
+    spark.sql("DROP TABLE IF EXISTS default.sink_bkt")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/sink_bkt")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val df = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+    Sinks.write(spark, df, out(_.copy(name = "sink_bkt",
+      target = TargetSpec.Catalog("default", governed = false),
+      bucketKeys = Seq("k"), buckets = Some(4))))
+    val desc = spark.sql("DESCRIBE EXTENDED default.sink_bkt").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("4"), desc)
+    assert(desc.get("Bucket Columns").exists(_.contains("k")))
+    assert(spark.table("default.sink_bkt").count() == 50)
+  }
+
   test("A15 atomicity: a failing overwrite leaves the previous output intact") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/atomic"
     val target = out(_.copy(target = graft.config.TargetSpec.File(dir)))
