@@ -275,6 +275,44 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** N-gram novelty: the fraction of a document's distinct word
+    * n-grams that appear in NO other document — low novelty means the
+    * text is assembled from phrases the corpus already contains
+    * (boilerplate, templates, spun content), the signal between exact
+    * line-dedup and whole-doc near-dedup. Output is exact-integer
+    * (n_shingles, n_shared) plus a micro-int ratio, engine-reproducible.
+    * Documents under n words carry no n-grams and are absent, matching
+    * the shingle-based dedup family.
+    *
+    * Scale shape: shingles come from the native zero-shuffle
+    * [[graft.functions.ShingleHashes]] projection (a hand-built string
+    * form was 20× slower: predicate pushdown substitutes the staged
+    * array into the Generate's inferred filter, and higher-order-function
+    * lambdas evaluate INTERPRETED with no common-subexpression
+    * elimination, so the tokenizer re-ran per trigram position — the
+    * single native expression survives pushdown at one evaluation).
+    * Counting hashes instead of strings matches the whole shingle-dedup
+    * family's oracle strategy: distinct-hash counts equal distinct-
+    * string counts absent a 64-bit collision (ext03's exact-Jaccard
+    * verify rests on the same identity). The n-gram-keyed count
+    * map-side combines to one row per distinct corpus n-gram; the join
+    * back is equality-keyed (AQE splits hot boilerplate n-grams); the
+    * per-doc aggregation map-side combines — the [[freqScore]] two-pass
+    * shape. */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val ex = Dedup.shingleSets(docs, idCol, textCol, n)
+      .select(col("doc_id"), explode(col("hs")).as("g"))
+    val counts = ex.groupBy(col("g")).agg(count(lit(1)).as("c"))
+    ex.join(counts, "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .withColumn("novelty_e6",
+        floor((col("n_shingles") - col("n_shared")).cast("double") /
+          col("n_shingles") * 1e6 + 0.5).cast("long"))
+  }
+
   /** PII pattern sets for [[redactPii]]: applied in order, counts taken
     * against the ORIGINAL text (so they are independent of replacement
     * order). Patterns stay inside the Java-regex ∩ RE2 common subset —

@@ -589,6 +589,28 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // n-gram novelty: fraction of a doc's distinct trigrams unique to it
+    // corpus-wide — the boilerplate signal between line dedup and
+    // whole-doc near-dedup; exact integers + one micro-int ratio.
+    "ext32_ngram_novelty" -> Q(
+      (s, d) => TextAnalysis.ngramNovelty(docs(s, d), "doc_id", "text", n = 3),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), ex AS (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), cnt AS (
+             |  SELECT g, count(*) AS c FROM ex GROUP BY 1
+             |)
+             |SELECT doc_id, count(*) AS n_shingles,
+             |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+             |       CAST(floor((count(*) - sum(CASE WHEN c > 1 THEN 1 ELSE 0 END))::DOUBLE
+             |                  / count(*) * 1000000 + 0.5) AS BIGINT) AS novelty_e6
+             |FROM ex JOIN cnt USING (g)
+             |GROUP BY doc_id""".stripMargin)),
+
     // best-of-cluster curation: near-dup clusters keep their LONGEST
     // member (ties → lowest id) instead of the structural min-id keeper —
     // clusters ∘ keepBest, one row per cluster.

@@ -104,6 +104,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L).getAs[Double]("mean_freq") == 2.0d)
   }
 
+  test("ngramNovelty: shared trigrams counted corpus-wide, short docs absent") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),  // trigrams: "a b g", "b g d"
+      (2L, "alpha beta gamma"),        // trigram "a b g" shared with doc 1
+      (3L, "one two three"),           // unique trigram
+      (4L, "too short")                // < 3 words → absent
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.ngramNovelty(df, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((2L, 1L, 500000L))) // one of two trigrams shared
+    assert(r(2L) == ((1L, 1L, 0L)))      // its only trigram is shared
+    assert(r(3L) == ((1L, 0L, 1000000L)))
+    assert(!r.contains(4L))
+  }
+
   test("collocations: lift ratio ranks the glued pair first") {
     // "new york" always adjacent; "big data" co-occur but also apart
     val df = (1L to 6L).map(i => (i, "new york big city big data and data big"))
