@@ -46,6 +46,34 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Temperature-flattened mixture weights (α = 1/2): the standard
+    * multi-source sampling schedule w_i ∝ n_i^α that upweights small
+    * sources relative to proportional sampling (α = 1) without the
+    * uniform extreme (α = 0) — the multilingual/multi-domain mixing rule
+    * (e.g. mBERT/XLM-R exponential smoothing). α is fixed at 1/2 so the
+    * only irrational step is `sqrt`, which IEEE 754 requires correctly
+    * rounded — any engine reproduces the weights bit-exactly (a general
+    * `pow` carries no such guarantee, SURVEY §7 risk 5).
+    *
+    * Everything else is integer: sqrt(n_i) lands in exact micro-units,
+    * the normalizer is an integer SUM of those (no FP accumulation-order
+    * hazard), and each weight is one division rounded to micro-units.
+    *
+    * Scale shape: one partial-aggregated count per stratum (map-side
+    * combine; output rows = |strata|, a handful), then a broadcast of the
+    * single-row total back onto the strata — no corpus re-scan, no
+    * unpartitioned window. Output: (stratum, n_docs, sqrt_e6, weight_e6). */
+  def temperatureWeights(df: DataFrame, stratumCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_e6", floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val total = counts.agg(sum(col("sqrt_e6")).as("__tot"))
+    counts.join(broadcast(total))
+      .select(col(stratumCol), col("n_docs"), col("sqrt_e6"),
+        floor(col("sqrt_e6").cast("double") / col("__tot").cast("double") * 1e6 + 0.5)
+          .cast("long").as("weight_e6"))
+  }
+
   /** Stratified downsampling for dataset mixing: keep a row iff its
     * bucket falls below its stratum's rate (in 1/10000ths); strata
     * absent from `rates` keep `defaultPerMyriad`. The per-stratum rates

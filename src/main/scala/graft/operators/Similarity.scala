@@ -267,6 +267,44 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("c"), 6).as("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication: inside each coarse cluster,
+    * a vector is REDUNDANT iff some lower-id cluster-mate has cosine ≥
+    * `threshold` with it — the embedding-space analog of the exact-dedup
+    * "first occurrence wins" rule (Abbas et al. 2023, SemDeDup; the
+    * within-cluster pruning is what makes it tractable).
+    *
+    * `clusterCol` is the coarse partition — here the fixture's `label`;
+    * at 100 TB it is a k-means/IVF cell id (the [[ivfTopK]] assignment
+    * machinery), which bounds the quadratic strictly to cell size. The
+    * join is EQUALITY-keyed on the cluster column — a hash-partitioned
+    * shuffle join, never a corpus broadcast or nested loop; per-cluster
+    * work is (cell size)², each cell an independent task. For genuine
+    * near-dup thresholds (≥ ~0.8) the within-cluster pair generation can
+    * further drop to [[cosinePairsLsh]] candidates.
+    *
+    * Output: one verdict row per vector — (id, cluster, n_earlier_dups,
+    * is_kept). Deterministic: the "earlier" order is the id ordering,
+    * not arrival order, so any engine recomputes the same verdicts. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String, threshold: Double): DataFrame = {
+    val v = prepared(df, vecCol)
+      .select(col(clusterCol).as("__c"), col(idCol).as("__id"), col("__vd"))
+    val l = v.select(col("__c"), col("__id").as("__ida"), col("__vd").as("__va"))
+    val r = v.select(col("__c"), col("__id").as("__idb"), col("__vd").as("__vb"))
+    // Threshold on the unrounded cosine (same order as every pairs path).
+    val earlier = l.join(r, Seq("__c"))
+      .filter(col("__ida") < col("__idb"))
+      .select(col("__idb"),
+        cosine(df.sparkSession, col("__va"), col("__vb")).as("__cos"))
+      .filter(col("__cos") >= threshold)
+      .groupBy(col("__idb")).agg(count(lit(1)).as("n_earlier_dups"))
+    df.select(col(idCol), col(clusterCol))
+      .join(earlier, col(idCol) === col("__idb"), "left")
+      .select(col(idCol), col(clusterCol),
+        coalesce(col("n_earlier_dups"), lit(0L)).as("n_earlier_dups"),
+        col("__idb").isNull.as("is_kept"))
+  }
+
   /** Symmetric per-vector int8 quantization — the standard embedding
     * compression step of a training/serving pipeline (float32 → int8 is a
     * 4× storage/bandwidth cut; at 100 TB of embeddings that is the

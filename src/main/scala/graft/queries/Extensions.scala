@@ -611,6 +611,43 @@ object Extensions {
              |FROM ex JOIN cnt USING (g)
              |GROUP BY doc_id""".stripMargin)),
 
+    // SemDeDup-style semantic dedup: within each coarse cluster (the
+    // fixture's label column; an IVF cell id at scale) a vector is
+    // dropped iff an earlier cluster-mate sits within cosine 0.45 — the
+    // embedding analog of first-occurrence-wins. One verdict per vector.
+    "ext33_semantic_dedup" -> Q(
+      (s, d) => Similarity.semanticDedup(emb(s, d), "vec_id", "embedding",
+        "label", threshold = 0.45),
+      Some("""WITH p AS (
+             |  SELECT a.vec_id AS id, count(*) AS n
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND b.vec_id < a.vec_id
+             |   AND list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]) >= 0.45
+             |  GROUP BY 1
+             |)
+             |SELECT e.vec_id, e.label,
+             |       CAST(coalesce(p.n, 0) AS BIGINT) AS n_earlier_dups,
+             |       p.id IS NULL AS is_kept
+             |FROM embeddings e LEFT JOIN p ON e.vec_id = p.id""".stripMargin)),
+
+    // temperature-flattened source mixing (α = 1/2): per-source sampling
+    // weights w ∝ sqrt(n), integer-exact except the required-correctly-
+    // rounded sqrt and one final division to micro-units.
+    "ext34_mixture_weights" -> Q(
+      (s, d) => Sampling.temperatureWeights(docs(s, d), "source"),
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+             |), sq AS (
+             |  SELECT source, n_docs,
+             |         CAST(floor(sqrt(n_docs::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sqrt_e6
+             |  FROM c
+             |), t AS (
+             |  SELECT CAST(sum(sqrt_e6) AS BIGINT) AS tot FROM sq
+             |)
+             |SELECT source, n_docs, sqrt_e6,
+             |       CAST(floor(sqrt_e6::DOUBLE / tot::DOUBLE * 1000000 + 0.5) AS BIGINT) AS weight_e6
+             |FROM sq, t""".stripMargin)),
+
     // best-of-cluster curation: near-dup clusters keep their LONGEST
     // member (ties → lowest id) instead of the structural min-id keeper —
     // clusters ∘ keepBest, one row per cluster.

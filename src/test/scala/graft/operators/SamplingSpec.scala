@@ -56,6 +56,21 @@ class SamplingSpec extends SparkSpec {
     assert(kept.filter(col("src") === "s2" && col("bucket") >= 5000).count() == 0)
   }
 
+  test("temperatureWeights: exact sqrt-micros arithmetic, α=1/2 flattening") {
+    // counts 100 / 25 / 4 → sqrt_e6 10e6 / 5e6 / 2e6, total 17e6:
+    // weights floor(10/17·1e6+.5)=588235, 294118, 117647
+    val df = (1 to 100).map(_ => "a") ++ (1 to 25).map(_ => "b") ++ (1 to 4).map(_ => "c")
+    val r = Sampling.temperatureWeights(df.toDF("src"), "src").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r("a") == ((100L, 10000000L, 588235L)))
+    assert(r("b") == ((25L, 5000000L, 294118L)))
+    assert(r("c") == ((4L, 2000000L, 117647L)))
+    // flattening: small source's weight share (11.8%) ≫ doc share (3.1%)
+    val weightShare = r("c")._3.toDouble / r.values.map(_._3).sum
+    val docShare = 4.0 / 129.0
+    assert(weightShare > 2 * docShare)
+  }
+
   test("invalid fractions are rejected at call time") {
     intercept[IllegalArgumentException] {
       Sampling.split(ids(10), "id", "s", 9000, 2000)

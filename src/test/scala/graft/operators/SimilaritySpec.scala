@@ -127,6 +127,42 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2) == ((1L, "127000000,-127000000")))
   }
 
+  test("semanticDedup: first occurrence wins inside a cluster, blind across") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),      // kept: first in cluster 0
+      (2L, Seq(1.0f, 0.001f), 0),    // dropped: ~parallel to 1 in-cluster
+      (3L, Seq(0.0f, 1.0f), 0),      // kept: orthogonal to both
+      (4L, Seq(1.0f, 0.0f), 1),      // kept: identical to 1 but OTHER cluster
+      (5L, Seq(1.0f, 0.0005f), 0)    // dropped by BOTH 1 and 2
+    ).toDF("vec_id", "embedding", "label")
+    val r = Similarity.semanticDedup(df, "vec_id", "embedding", "label", 0.9)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      1L -> ((0L, true)), 2L -> ((1L, false)), 3L -> ((0L, true)),
+      4L -> ((0L, true)), 5L -> ((2L, false))))
+  }
+
+  test("semanticDedup matches brute-force within-label verdicts on the fixture") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val verdicts = Similarity.semanticDedup(e, "vec_id", "embedding", "label", 0.45)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    val byId = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(verdicts.size == byId.length)
+    byId.foreach { case (id, v, lab) =>
+      val n = byId.count { case (id2, v2, lab2) =>
+        lab2 == lab && id2 < id && cos(v2, v) >= 0.45
+      }
+      assert(verdicts(id) == ((n.toLong, n == 0)), s"verdict drift for $id")
+    }
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
