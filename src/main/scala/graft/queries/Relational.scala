@@ -724,6 +724,39 @@ object Relational {
       Some("""SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
              |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents
              |FROM customer JOIN orders ON c_custkey = o_custkey
-             |GROUP BY c_mktsegment""".stripMargin))
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // B21 extension: RECURSIVE CTE (new in Spark 4) — the hierarchical
+    // walk (org chart / BOM explosion) that plain CTEs can't express.
+    // The hierarchy is derived deterministically from real keys: node k's
+    // parent is (k-1) div 2 (a binary tree rooted at nation 0); the
+    // recursion carries depth and the root path. Scale shape: each
+    // iteration is one equality-keyed join of the frontier against the
+    // table, and the iteration COUNT is the tree height (log n) — the
+    // same bounded-rounds contract as Dedup.clusters' label propagation.
+    "q37_recursive_cte" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH RECURSIVE h(k, depth, path) AS (
+             SELECT n_nationkey, CAST(0 AS INT), CAST(n_nationkey AS STRING)
+             FROM nation WHERE n_nationkey = 0
+             UNION ALL
+             SELECT n.n_nationkey, h.depth + 1,
+                    concat(h.path, '>', CAST(n.n_nationkey AS STRING))
+             FROM nation n JOIN h ON (n.n_nationkey - 1) div 2 = h.k
+             WHERE n.n_nationkey > 0
+           )
+           SELECT h.k AS n_nationkey, n.n_name, h.depth, h.path
+           FROM h JOIN nation n ON n.n_nationkey = h.k""") },
+      Some("""WITH RECURSIVE h(k, depth, path) AS (
+             |  SELECT n_nationkey, CAST(0 AS INTEGER), CAST(n_nationkey AS VARCHAR)
+             |  FROM nation WHERE n_nationkey = 0
+             |  UNION ALL
+             |  SELECT n.n_nationkey, h.depth + 1,
+             |         h.path || '>' || CAST(n.n_nationkey AS VARCHAR)
+             |  FROM nation n JOIN h ON (n.n_nationkey - 1) // 2 = h.k
+             |  WHERE n.n_nationkey > 0
+             |)
+             |SELECT h.k AS n_nationkey, n.n_name, h.depth, h.path
+             |FROM h JOIN nation n ON n.n_nationkey = h.k""".stripMargin))
   )
 }
