@@ -147,6 +147,27 @@ object StreamingQueries {
              |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // exact-dedup AT INGEST: the streaming twin of ext01 — a stateful
+    // aggregation keyed on the content hash, so every arriving copy
+    // updates one state row (keeper = min doc_id, copy count) and the
+    // drained result equals the batch dedup exactly (aggregation output
+    // is arrival-order-independent, unlike row-pick dedup). State is one
+    // narrow row per DISTINCT hash; at 100 TB that runs Update mode into
+    // an upsert sink (Sinks.write) with the RocksDB state store —
+    // Complete+memory here only because the gate reads one bounded drain.
+    "st08_stream_exact_dedup" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.readDocumentsStream(s, d)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+          .groupBy(col("content_hash"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies")),
+        "st08_dedup", OutputMode.Complete()),
+      Some("""SELECT md5(text) AS content_hash,
+             |       min(doc_id) AS keeper_id,
+             |       count(*) AS n_copies
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
     // Closed sessions only — deterministic, so it gets a real oracle:
     // a session is emitted iff it is not the user's last, OR its
     // event-time timeout fired by the final watermark (max_ts_ms −

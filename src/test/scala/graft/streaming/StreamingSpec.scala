@@ -87,6 +87,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming exact-dedup at ingest = batch Dedup.exact") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.readDocumentsStream(spark, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies")),
+      "spec_ingest_dedup", OutputMode.Complete())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.operators.Dedup.exact(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
