@@ -98,7 +98,13 @@ final case class JobSpec(
     sqlFile: Option[String],
     scriptClass: Option[String],
     scriptJar: Option[String] = None,
-    bookmarkPath: Option[String] = None) {
+    bookmarkPath: Option[String] = None,
+    /** `job.streaming: available_now` runs the same declared pipeline as
+      * one bounded Structured Streaming drain (new files since the last
+      * checkpoint → SQL → sink), our streaming extension of the
+      * reference's batch-only surface. */
+    streaming: Boolean = false,
+    checkpointLocation: Option[String] = None) {
 
   /** Variables for one pipeline; error on unknown pipeline (the reference
     * indexes the dict directly, `glue_etl_framework.py:413-415`). */
@@ -251,6 +257,40 @@ object ConfigParser {
       parsed
     }
 
+    val streaming = str(job, "streaming").map(_.toLowerCase) match {
+      case None | Some("") | Some("no") | Some("false") => false
+      case Some("available_now") | Some("true") | Some("yes") => true
+      case Some(other) => throw new ConfigError(
+        s"job.streaming: unknown mode '$other' (use 'available_now')")
+    }
+    // Streaming jobs are validated AT PARSE TIME like upsert/bucketing —
+    // every constraint below would otherwise surface only after the
+    // query is already running.
+    if (streaming) {
+      if (str(job, "checkpoint_location").isEmpty) throw new ConfigError(
+        "streaming jobs need job.checkpoint_location (exactly-once progress tracking)")
+      inputs.foreach { t =>
+        t.source match {
+          case SourceSpec.File(_, _, _, schema) =>
+            if (schema.isEmpty) throw new ConfigError(
+              s"input '${t.name}': streaming file sources need an explicit `schema:` " +
+                "(no inference pre-scan on an unbounded source)")
+          case _ => throw new ConfigError(
+            s"input '${t.name}': streaming supports file sources only")
+        }
+        if (t.incrementalSource) throw new ConfigError(
+          s"input '${t.name}': incremental_source is redundant under streaming " +
+            "(the checkpoint already tracks processed files)")
+      }
+      output.foreach { o =>
+        if (!o.target.isInstanceOf[TargetSpec.File]) throw new ConfigError(
+          s"output '${o.name}': streaming writes to s3/file targets only")
+        if (o.refresh != Refresh.Incremental) throw new ConfigError(
+          s"output '${o.name}': streaming requires refresh: incremental " +
+            "(a full-refresh purge would race earlier micro-batches)")
+      }
+    }
+
     JobSpec(
       name = str(job, "name").getOrElse("graft-job"),
       jobType = jobType,
@@ -262,6 +302,8 @@ object ConfigParser {
       sqlFile = str(root, "sql_file"),
       scriptClass = str(root, "python_file").orElse(str(root, "script_class")),
       scriptJar = str(root, "script_jar"),
-      bookmarkPath = str(job, "bookmark_path"))
+      bookmarkPath = str(job, "bookmark_path"),
+      streaming = streaming,
+      checkpointLocation = str(job, "checkpoint_location"))
   }
 }

@@ -97,6 +97,7 @@ object Engine {
   def runSparkSqlJob(spark: SparkSession, job: JobSpec, pipeline: String,
                      extraVars: Map[String, String] = Map.empty): DataFrame = {
     val vars = job.varsFor(pipeline) ++ extraVars + ("pipeline_name" -> pipeline)
+    if (job.streaming) return runStreamingSqlJob(spark, job, vars)
     graft.log.Log.info("registering inputs", "n_inputs" -> job.inputTables.size.toString)
     val (_, bookmarkCommits) = registerInputsWithCommits(spark, job, vars, pipeline)
     val result = spark.sql(resolveSql(spark, job, vars))
@@ -113,6 +114,47 @@ object Engine {
       Sinks.write(spark, result, out)
       bookmarkCommits.foreach(_.apply())
     }
+    result
+  }
+
+  /** `job.streaming: available_now` — the SAME declared pipeline (views →
+    * SQL → sink) executed as one bounded Structured Streaming drain:
+    * file inputs become `readStream` sources under the job checkpoint,
+    * the SELECT runs incrementally, and every micro-batch goes through
+    * the ordinary batch sink machinery (foreachBatch → [[Sinks.write]],
+    * so partitioned incremental append behaves identically). Re-running
+    * with no new input files emits nothing — checkpointed file tracking
+    * is the streaming analog of A22 job bookmarks, with exactly-once
+    * instead of mtime-watermark semantics. The parser has already
+    * guaranteed: file-only inputs with explicit schemas, a file target
+    * with `refresh: incremental`, and a checkpoint location. */
+  private def runStreamingSqlJob(spark: SparkSession, job: JobSpec,
+                                 vars: Map[String, String]): DataFrame = {
+    graft.log.Log.info("registering streaming inputs",
+      "n_inputs" -> job.inputTables.size.toString)
+    job.inputTables.foreach { t =>
+      val f = t.source match {
+        case SourceSpec.File(loc, fmt, opts, schema) =>
+          SourceSpec.File(Interpolate(loc, vars), fmt,
+            opts.map { case (k, v) => k -> Interpolate(v, vars) }, schema)
+        case _ => throw new ConfigError(
+          s"input '${t.name}': streaming supports file sources only")
+      }
+      Sources.loadStream(spark, f).createOrReplaceTempView(t.name)
+    }
+    val result = spark.sql(resolveSql(spark, job, vars))
+    val out0 = job.outputTable.getOrElse(throw new ConfigError(
+      "streaming spark-sql job needs an output_table"))
+    val out = out0.copy(
+      name = Interpolate(out0.name, vars),
+      target = out0.target match {
+        case TargetSpec.File(loc) => TargetSpec.File(Interpolate(loc, vars))
+        case other => other
+      })
+    val ckpt = Interpolate(job.checkpointLocation.getOrElse(
+      throw new ConfigError("streaming jobs need job.checkpoint_location")), vars)
+    graft.log.Log.info("draining stream to output", "output" -> out.name)
+    graft.streaming.Streams.runToSink(spark, result, out, ckpt)
     result
   }
 

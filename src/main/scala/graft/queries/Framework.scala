@@ -20,7 +20,8 @@ import graft.engine.Engine
   * repartition/coalesce + Q10 precedence (fw_filecount), A10 partitioned
   * write (fw_lifecycle), A12/A16 dynamic partition overwrite
   * (fw_dyn_overwrite), A13 incremental append (fw_incremental), A17 script
-  * job (fw_script), A22 bookmark store (fw_bookmark).
+  * job (fw_script), A22 bookmark store (fw_bookmark), streaming drain with
+  * exactly-once re-run (fw_stream).
   */
 object Framework {
 
@@ -465,6 +466,47 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** Streaming job type (`job.streaming: available_now`): the YAML-declared
+    * pipeline drained as one bounded Structured Streaming run — readStream
+    * file source with explicit schema, the declared SELECT executed
+    * incrementally, partitioned incremental append through the batch sink
+    * machinery. The job runs TWICE against the SAME checkpoint: the second
+    * drain sees no new files and must emit NOTHING (exactly-once re-run
+    * semantics — the streaming analog of A22 bookmarks); a re-emit would
+    * double the read-back rows and break the oracle hash. */
+  private def fwStream(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream")
+    rmrf(s, base)
+    // streaming file sources watch a DIRECTORY; stage the fixture into a
+    // landing dir (what a streaming ingest consumes in production)
+    s.read.parquet(s"$d/documents.parquet").write.parquet(s"$base/in")
+    val yaml =
+      s"""job:
+         |  name: fw-stream
+         |  type: spark-sql
+         |  streaming: available_now
+         |  checkpoint_location: $base/ckpt
+         |input_tables:
+         |  - name: documents
+         |    source: s3
+         |    location: $base/in
+         |    format: parquet
+         |    schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+         |output_table:
+         |  name: stream_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: incremental
+         |  partition_keys: source
+         |sql: >
+         |  SELECT doc_id, source, lang, n_chars FROM documents
+         |  WHERE n_chars >= 300
+         |""".stripMargin
+    run(s, yaml)
+    run(s, yaml) // same checkpoint, no new files → must append nothing
+    s.read.parquet(s"$base/out").select("doc_id", "source", "lang", "n_chars")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -554,6 +596,9 @@ object Framework {
         |       min(n_name) AS first_name
         |FROM nation GROUP BY n_regionkey""".stripMargin)),
     "fw_bookmark" -> Q(fwBookmark, Some(
-      "SELECT * FROM nation UNION ALL SELECT * FROM nation"))
+      "SELECT * FROM nation UNION ALL SELECT * FROM nation")),
+    "fw_stream" -> Q(fwStream, Some(
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents WHERE n_chars >= 300""".stripMargin))
   )
 }

@@ -70,4 +70,25 @@ object Sources {
         .options(options - "dbtable")
         .load()
   }
+
+  /** Streaming flavor of the file scan: same format/option mapping, but
+    * through `readStream` so the engine's declared pipeline drains new
+    * files incrementally under a checkpoint. The schema is REQUIRED (the
+    * parser enforces it): an unbounded source has no bounded inference
+    * pre-scan. Catalog/JDBC sources have no streaming analog here. */
+  def loadStream(spark: SparkSession, spec: SourceSpec.File): DataFrame = {
+    val SourceSpec.File(location, format, options, schema) = spec
+    if (!knownFormats(format))
+      throw new ConfigError(s"unsupported input format '$format' (supported: ${knownFormats.mkString(", ")})")
+    val ddl = schema.getOrElse(throw new ConfigError(
+      s"streaming file source '$location' needs an explicit schema"))
+    spark.readStream
+      .format(format)
+      .options(mapOptions(options))
+      .schema(
+        try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+        catch { case e: Exception =>
+          throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") })
+      .load(location)
+  }
 }

@@ -142,6 +142,64 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(ok.bucketKeys == Seq("a", "b") && ok.buckets.contains(16))
   }
 
+  test("streaming misconfiguration fails at PARSE time") {
+    def bad(yaml: String): String =
+      intercept[ConfigError](ConfigParser.parse(yaml)).getMessage
+    val in = """input_tables:
+               |  - {name: t, source: s3, location: /tmp/in, format: parquet, schema: "a INT"}
+               |""".stripMargin
+    val out = "output_table: {name: o, target: s3, location: /tmp/o, refresh: incremental}\n"
+    // checkpoint required
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now}
+         |${in}sql: SELECT 1
+         |$out""".stripMargin) contains "checkpoint_location")
+    // schema required on streaming file inputs
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |input_tables:
+         |  - {name: t, source: s3, location: /tmp/in, format: parquet}
+         |sql: SELECT 1
+         |$out""".stripMargin) contains "schema")
+    // file sources only
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |input_tables:
+         |  - {name: t, source: gdc, database: db}
+         |sql: SELECT 1
+         |$out""".stripMargin) contains "file sources only")
+    // incremental_source is the batch bookmark mechanism — redundant
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |input_tables:
+         |  - {name: t, source: s3, location: /tmp/in, format: parquet, schema: "a INT", incremental_source: "true"}
+         |sql: SELECT 1
+         |$out""".stripMargin) contains "redundant")
+    // full refresh would purge earlier micro-batches
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |${in}sql: SELECT 1
+         |output_table: {name: o, target: s3, location: /tmp/o}
+         |""".stripMargin) contains "incremental")
+    // unknown mode named
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: continuous}
+         |${in}sql: SELECT 1
+         |$out""".stripMargin) contains "available_now")
+    // well-formed parses with the streaming fields populated
+    val ok = ConfigParser.parse(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |${in}sql: SELECT 1
+         |$out""".stripMargin)
+    assert(ok.streaming && ok.checkpointLocation.contains("/tmp/c"))
+    // batch jobs are untouched: no streaming fields, no new constraints
+    val batch = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |sql: SELECT 1
+        |""".stripMargin)
+    assert(!batch.streaming && batch.checkpointLocation.isEmpty)
+  }
+
   test("upsert misconfiguration fails at PARSE time, before any query runs") {
     def bad(yaml: String): String =
       intercept[ConfigError](ConfigParser.parse(yaml)).getMessage
