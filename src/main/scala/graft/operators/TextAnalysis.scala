@@ -59,6 +59,32 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Tokenizer-vocabulary coverage: per-document OOV rate against the
+    * corpus' own top-`k` vocabulary ([[vocabTopK]]) — the "how much of
+    * this document would an in-domain tokenizer actually cover" signal
+    * that decides vocab size / flags out-of-domain documents.
+    *
+    * Scale shape: the vocab is k rows → BROADCAST to the token stream;
+    * the token explode is scanned twice (once to build the vocab, once
+    * to score) — at 100 TB two passes over a narrow projection beat
+    * persisting the exploded tokens, which are strictly larger than the
+    * input text. Per-doc agg is map-side combinable. */
+  def vocabCoverage(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = vocabTopK(docs, idCol, textCol, k)
+      .select(col("token"), lit(1).as("__iv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(col("n_oov").cast("double") / col("n_tokens").cast("double") * 1e6 + 0.5)
+          .cast("long").as("oov_e6"))
+  }
+
   /** Fixed-window token chunking with stride — the pretraining chunking
     * pass: each document becomes overlapping windows of `chunkTokens`
     * whitespace tokens starting every `stride` tokens (stride <

@@ -538,6 +538,26 @@ object Extensions {
              |      FROM documents)
              |GROUP BY w ORDER BY n_occurrences DESC, token LIMIT 100""".stripMargin)),
 
+    // tokenizer-vocab coverage: per-doc OOV rate against the corpus' own
+    // top-100 vocabulary — integer counts + one micro-int ratio; the
+    // vocab cut reuses ext15's total (count desc, token) tie order.
+    "ext35_vocab_coverage" -> Q(
+      (s, d) => TextAnalysis.vocabCoverage(docs(s, d), "doc_id", "text", 100),
+      Some("""WITH toks AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '')) AS token
+             |  FROM documents
+             |), v AS (
+             |  SELECT token FROM (
+             |    SELECT token, count(*) AS c FROM toks GROUP BY 1
+             |    ORDER BY c DESC, token LIMIT 100)
+             |)
+             |SELECT t.doc_id, count(*) AS n_tokens,
+             |       CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             |       CAST(floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::DOUBLE
+             |                  / count(*) * 1000000 + 0.5) AS BIGINT) AS oov_e6
+             |FROM toks t LEFT JOIN v ON t.token = v.token
+             |GROUP BY t.doc_id""".stripMargin)),
+
     // near-dup benchmark decontamination: train = doc_id % 10 <> 0,
     // benchmark = doc_id % 10 = 0; flag train docs with >= 0.8 3-gram
     // Jaccard against any benchmark doc. Candidates come banded from the

@@ -209,4 +209,19 @@ class TextAnalysisSpec extends SparkSpec {
     // b: 3 occ / 2 docs; a and c tie at 2 occ — 'a' wins the cut
     assert(top.toSeq == Seq(("b", 3L, 2L), ("a", 2L, 2L)))
   }
+
+  test("vocabCoverage: OOV rate against the corpus' own top-k vocab") {
+    val df = Seq(
+      (1L, "b b a c"),
+      (2L, "a b"),
+      (3L, "c c c")
+    ).toDF("doc_id", "text")
+    // occurrences: c=4, b=3, a=2 → top-2 vocab = {c, b}; doc1: 'a' OOV
+    // (1/4), doc2: 'a' OOV (1/2), doc3: fully covered (0/3)
+    val r = TextAnalysis.vocabCoverage(df, "doc_id", "text", 2).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((4L, 1L, 250000L)))
+    assert(r(2L) == ((2L, 1L, 500000L)))
+    assert(r(3L) == ((3L, 0L, 0L)))
+  }
 }
