@@ -21,7 +21,7 @@ import graft.engine.Engine
   * write (fw_lifecycle), A12/A16 dynamic partition overwrite
   * (fw_dyn_overwrite), A13 incremental append (fw_incremental), A17 script
   * job (fw_script), A22 bookmark store (fw_bookmark), streaming drain with
-  * exactly-once re-run (fw_stream).
+  * exactly-once re-run (fw_stream), json/orc format matrix (fw_formats).
   */
 object Framework {
 
@@ -507,6 +507,44 @@ object Framework {
     s.read.parquet(s"$base/out").select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** A1 format matrix beyond parquet/csv: the same lifecycle through a
+    * JSON input and an ORC input joined in one SQL, written to an ORC
+    * sink and read back — pins the reader/writer option mapping for the
+    * two formats nothing else exercises. */
+  private def fwFormats(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "formats")
+    rmrf(s, base)
+    s.read.parquet(s"$d/nation.parquet").coalesce(1).write.json(s"$base/nation_json")
+    s.read.parquet(s"$d/region.parquet").coalesce(1).write.orc(s"$base/region_orc")
+    val yaml =
+      s"""job:
+         |  name: fw-formats
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $base/nation_json
+         |    format: json
+         |    schema: "n_nationkey INT, n_name STRING, n_regionkey INT"
+         |  - name: region
+         |    source: s3
+         |    location: $base/region_orc
+         |    format: orc
+         |output_table:
+         |  name: formats_out
+         |  target: s3
+         |  location: $base/out
+         |  format: orc
+         |sql: >
+         |  SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
+         |         min(n.n_name) AS first_nation
+         |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  GROUP BY r.r_name
+         |""".stripMargin
+    run(s, yaml)
+    s.read.orc(s"$base/out")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -599,6 +637,11 @@ object Framework {
       "SELECT * FROM nation UNION ALL SELECT * FROM nation")),
     "fw_stream" -> Q(fwStream, Some(
       """SELECT doc_id, source, lang, n_chars
-        |FROM documents WHERE n_chars >= 300""".stripMargin))
+        |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_formats" -> Q(fwFormats, Some(
+      """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n.n_name) AS first_nation
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name""".stripMargin))
   )
 }

@@ -147,6 +147,28 @@ object StreamingQueries {
              |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
              |FROM events GROUP BY event_type""".stripMargin)),
 
+    // Append-mode windows: emitted exactly once when the watermark passes
+    // the window end — the oracle replays Spark's watermark arithmetic
+    // (final watermark = max event-time ms − delay; a window is emitted
+    // iff its end ≤ that). The fixture's max ts sits off the hour
+    // boundary at every SF, so `<` vs `≤` eviction strictness cannot
+    // flip the answer. The two trailing open windows are the semantic
+    // difference vs st01's Complete mode — both are pinned by oracles.
+    "st09_stream_window_append" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.windowedCountsAppend(Streams.readEventsStream(s, d), "1 hour"),
+        "st09_result", OutputMode.Append()),
+      Some("""WITH mx AS (
+             |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events
+             |)
+             |SELECT date_trunc('hour', ts) AS window_start,
+             |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             |       event_type, count(*) AS n_events,
+             |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+             |FROM events, mx
+             |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // exact-dedup AT INGEST: the streaming twin of ext01 — a stateful
     // aggregation keyed on the content hash, so every arriving copy
     // updates one state row (keeper = min doc_id, copy count) and the

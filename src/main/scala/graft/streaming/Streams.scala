@@ -161,6 +161,23 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** Append-mode variant of [[windowedCounts]]: the watermark does double
+    * duty — it bounds state AND defines emission. A window row is emitted
+    * exactly once, when the watermark passes its end (then its state is
+    * evicted); windows the final watermark never passes stay open and are
+    * never emitted. This is the production shape for unbounded streams
+    * (Complete mode re-emits the whole result every trigger — fine for a
+    * bounded drain, impossible at 100 TB of windows). */
+  def windowedCountsAppend(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
   /** Drain a (bounded) streaming frame through a memory sink with
     * Trigger.AvailableNow and return the result table.
     *

@@ -22,6 +22,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("append-mode windows = complete-mode windows minus the open tail") {
+    val append = Streams.runToMemory(spark,
+      Streams.windowedCountsAppend(Streams.readEventsStream(spark, dir), "1 hour"),
+      "spec_windows_append", OutputMode.Append())
+      .collect().map(r => (r.getTimestamp(0), r.getString(2)) -> ((r.getLong(3), r.getLong(4)))).toMap
+    val complete = Streams.runToMemory(spark,
+      Streams.windowedCounts(Streams.readEventsStream(spark, dir)),
+      "spec_windows_complete2", OutputMode.Complete())
+      .collect().map(r => ((r.getTimestamp(0), r.getString(2)), (r.getTimestamp(1), (r.getLong(3), r.getLong(4)))))
+    val maxUs = graft.queries.Tables.events(spark, dir)
+      .agg(max(unix_micros(col("ts")))).head().getLong(0)
+    val wmMs = maxUs / 1000 - 3600000
+    val (closed, open) = complete.partition { case (_, (end, _)) => end.getTime <= wmMs }
+    assert(open.nonEmpty, "fixture should leave trailing windows open")
+    assert(append == closed.map { case (k, (_, v)) => k -> v }.toMap)
+  }
+
   test("streaming sessionize = batch gap-sessionization minus open sessions") {
     val streamed = Streams.runToMemory(spark,
       Streams.sessionize(Streams.readEventsStream(spark, dir), 30).toDF(),
