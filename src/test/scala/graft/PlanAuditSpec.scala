@@ -1,0 +1,55 @@
+package graft
+
+import graft.queries.{Extensions, Relational}
+
+/** Plan-shape guardrail over the whole lazily-planned query surface: a
+  * CartesianProduct or BroadcastNestedLoopJoin that sneaks into a
+  * candidate-generation path is the classic works-at-sf0.01,
+  * dead-at-100TB failure (r3 verdict, ext10). Every query that is not
+  * INTENTIONALLY product-shaped must plan equality-keyed joins only.
+  *
+  * Scope: the relational + extension tiers, which build their frames
+  * lazily. Excluded: `fw_*`/`st_*` (driving the engine or a stream
+  * executes work at construction) and the operators that run eager
+  * driver-side iteration by design (IVF k-means fit, connected-components
+  * rounds) — their scale stories are argued at the operator level.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries whose plans legitimately contain a product: */
+  private val productByDesign = Map(
+    // B5 IS the cross join.
+    "q05_cross_join" -> "cross join semantics",
+    // B7 theta/range join: a pure inequality predicate has no equality
+    // key; Spark's only shape for it is BNLJ. The B7 surface is the
+    // inequality itself.
+    "q07_theta_join" -> "inequality-only join predicate",
+    // exact top-k scores each query against the corpus by design:
+    // the broadcast of the SMALL query side is the documented trade
+    // (queries << corpus); the scale path is ext06/ext11.
+    "ext05_cosine_topk" -> "broadcast small query side, exact baseline",
+    // the scalar-normalizer pattern: a keyless join against a broadcast
+    // SINGLE-ROW aggregate (the corpus total). A BNLJ whose build side
+    // is one row is O(stream) at any scale — it is how a scalar reaches
+    // every row without a window or a second scan.
+    "ext28_collocations" -> "single-row total broadcast (scalar normalizer)",
+    "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)"
+  )
+
+  /** Operators that execute at construction time (not lazily planable). */
+  private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper")
+
+  test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
+    val offenders = (Relational.all ++ Extensions.all)
+      .filterNot { case (n, _) => eager(n) || productByDesign.contains(n) }
+      .flatMap { case (name, q) =>
+        val plan = q.fn(spark, dir).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter(plan.contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"product-shaped plans outside the whitelist:\n${offenders.mkString("\n")}")
+  }
+}
