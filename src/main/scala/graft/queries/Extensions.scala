@@ -740,6 +740,41 @@ object Extensions {
              |       string_agg(CAST(CAST(floor(sv::DOUBLE / n * 1000000 + 0.5) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e6_csv
              |FROM ag GROUP BY label""".stripMargin)),
 
+    // flagship composition for the EMBEDDING tier (ext23 is the text
+    // one): semantic-dedup keepers feed per-label int8 centroids in ONE
+    // Catalyst plan — cluster-keyed pair join → verdict anti-join →
+    // quantize-first centroid agg, no barrier between stages.
+    "ext36_embed_pipeline" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val keepers = Similarity.semanticDedup(e, "vec_id", "embedding",
+            "label", threshold = 0.45)
+          .filter(col("is_kept")).select(col("vec_id"))
+        Similarity.centroidInt8(e.join(keepers, "vec_id"), "label", "embedding")
+      },
+      Some("""WITH kept AS (
+             |  SELECT e.vec_id, e.label, e.embedding FROM embeddings e
+             |  WHERE NOT EXISTS (
+             |    SELECT 1 FROM embeddings p
+             |    WHERE p.label = e.label AND p.vec_id < e.vec_id
+             |      AND list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.45)
+             |), pr AS (
+             |  SELECT label, embedding::DOUBLE[] AS e,
+             |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+             |  FROM kept
+             |), q AS (
+             |  SELECT label, CASE WHEN s = 0 THEN list_transform(e, x -> 0)
+             |       ELSE list_transform(e, x -> CAST(floor(x / s * 127 + 0.5) AS INT)) END AS qv
+             |  FROM pr
+             |), ex AS (
+             |  SELECT label, unnest(range(0, len(qv))) AS pos, unnest(qv) AS v FROM q
+             |), ag AS (
+             |  SELECT label, pos, sum(v) AS sv, count(*) AS n FROM ex GROUP BY 1, 2
+             |)
+             |SELECT label, CAST(max(n) AS BIGINT) AS n_vectors,
+             |       string_agg(CAST(CAST(floor(sv::DOUBLE / n * 1000000 + 0.5) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e6_csv
+             |FROM ag GROUP BY label""".stripMargin)),
+
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,
     // every 2nd) through the typed multimodal pipeline; the oracle
     // recomputes the same strided byte selection arithmetically.
