@@ -740,6 +740,58 @@ object Extensions {
              |       string_agg(CAST(CAST(floor(sv::DOUBLE / n * 1000000 + 0.5) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e6_csv
              |FROM ag GROUP BY label""".stripMargin)),
 
+    // hybrid dedup decision table: a document is dropped if it has an
+    // EARLIER near-duplicate lexically (banded minhash pairs == all-pairs
+    // truth here, ext03) OR semantically (within-label cosine, ext33) —
+    // the union rule production curation applies when only a subset of
+    // the corpus carries embeddings (at sf0.1, 2000 of 5000 docs do;
+    // missing vectors mean "no semantic signal", never "drop").
+    "ext37_hybrid_dedup" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val lex = Dedup.minhashLsh(dd, "doc_id", "text",
+            n = 3, k = 128, bands = 32, threshold = 0.8)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("__lex", lit(true))
+        val sem = Similarity.semanticDedup(emb(s, d), "vec_id", "embedding",
+            "label", threshold = 0.45)
+          .select(col("vec_id").as("doc_id"), (!col("is_kept")).as("__sem"))
+        dd.select(col("doc_id"))
+          .join(lex, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("__lex"), lit(false)).as("lex_dup"),
+            col("__sem").isNotNull.as("has_embedding"),
+            coalesce(col("__sem"), lit(false)).as("sem_dup"),
+            (!(coalesce(col("__lex"), lit(false)) || coalesce(col("__sem"), lit(false))))
+              .as("keep"))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), lex AS (
+             |  SELECT DISTINCT b.doc_id
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |   AND len(list_intersect(a.s, b.s))::DOUBLE
+             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |), sem AS (
+             |  SELECT e.vec_id AS doc_id,
+             |         EXISTS (SELECT 1 FROM embeddings p
+             |                 WHERE p.label = e.label AND p.vec_id < e.vec_id
+             |                   AND list_cosine_similarity(p.embedding::DOUBLE[], e.embedding::DOUBLE[]) >= 0.45) AS sem_dup
+             |  FROM embeddings e
+             |)
+             |SELECT d.doc_id,
+             |       l.doc_id IS NOT NULL AS lex_dup,
+             |       s.doc_id IS NOT NULL AS has_embedding,
+             |       coalesce(s.sem_dup, FALSE) AS sem_dup,
+             |       NOT (l.doc_id IS NOT NULL OR coalesce(s.sem_dup, FALSE)) AS keep
+             |FROM documents d
+             |LEFT JOIN lex l ON d.doc_id = l.doc_id
+             |LEFT JOIN sem s ON d.doc_id = s.doc_id""".stripMargin)),
+
     // flagship composition for the EMBEDDING tier (ext23 is the text
     // one): semantic-dedup keepers feed per-label int8 centroids in ONE
     // Catalyst plan — cluster-keyed pair join → verdict anti-join →
