@@ -44,7 +44,62 @@ case class ShingleHashes(child: Expression, n: Int)
   // CodegenFallback: evaluated interpreted inside codegen'd plans —
   // runs once per document (not per pair), so the fallback costs little.
   override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val hashes = ShingleKernel.posHashes(input.asInstanceOf[UTF8String], n)
+    val m = hashes.length
+    if (m == 0) return new GenericArrayData(hashes)
+    // dedup in place (order-independent consumers)
+    java.util.Arrays.sort(hashes)
+    var out = 1
+    var r = 1
+    while (r < m) {
+      if (hashes(r) != hashes(r - 1)) { hashes(out) = hashes(r); out += 1 }
+      r += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** `shingle_pos_hashes(text, n)`: every word n-gram of a document hashed
+  * to 64 bits, in TOKEN-POSITION order and WITHOUT dedup — element `i`
+  * (0-based) is the hash of the n-gram starting at token `i`. Same
+  * tokenizer and hash as [[ShingleHashes]] (XXH64 seed 42 over the
+  * space-joined shingle bytes); only the post-processing differs, so the
+  * two expressions agree on which n-grams a document contains.
+  *
+  * This is the building block for POSITIONAL analyses — duplicated-span
+  * detection needs to know WHERE a repeated n-gram sits, which the
+  * set-shaped [[ShingleHashes]] deliberately discards. */
+case class ShinglePosHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_pos_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if n > 0 => TypeCheckResult.TypeCheckSuccess
+    case StringType =>
+      TypeCheckResult.TypeCheckFailure(s"shingle_pos_hashes: n must be positive, got $n")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_pos_hashes expects string, got ${t.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(ShingleKernel.posHashes(input.asInstanceOf[UTF8String], n))
+
+  override protected def withNewChildInternal(newChild: Expression): ShinglePosHashes =
+    copy(child = newChild)
+}
+
+/** Shared tokenize-and-hash loop for the shingle expressions. */
+private[functions] object ShingleKernel {
+
+  /** Hash of each word n-gram in position order (index = 0-based start
+    * token); fewer than n words → empty. */
+  def posHashes(input: UTF8String, n: Int): Array[Long] = {
+    val bytes = input.getBytes
     // word boundaries: runs of non-whitespace
     var starts = new Array[Int](16); var ends = new Array[Int](16)
     var nw = 0
@@ -62,7 +117,7 @@ case class ShingleHashes(child: Expression, n: Int)
         starts(nw) = s; ends(nw) = i; nw += 1
       }
     }
-    if (nw < n) return new GenericArrayData(Array.empty[Long])
+    if (nw < n) return Array.empty[Long]
 
     val m = nw - n + 1
     val hashes = new Array[Long](m)
@@ -82,17 +137,6 @@ case class ShingleHashes(child: Expression, n: Int)
         buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, 42L)
       w += 1
     }
-    // dedup in place (order-independent consumers)
-    java.util.Arrays.sort(hashes)
-    var out = 1
-    var r = 1
-    while (r < m) {
-      if (hashes(r) != hashes(r - 1)) { hashes(out) = hashes(r); out += 1 }
-      r += 1
-    }
-    new GenericArrayData(java.util.Arrays.copyOf(hashes, out))
+    hashes
   }
-
-  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
-    copy(child = newChild)
 }

@@ -469,6 +469,110 @@ object Dedup {
         (col("doc_id") === col("cluster_id")).as("is_keeper"))
   }
 
+  /** Duplicated-SPAN detection — the token-position analog of suffix-array
+    * substring dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL'22): find, inside every document, the
+    * maximal token ranges covered by word n-grams that occur more than
+    * once in the corpus (in another document or repeated within the same
+    * one). Document-level dedup keeps or drops whole texts; this finds the
+    * COPIED REGIONS — quoted licenses, templated headers, lifted
+    * paragraphs — so a curation pass can cut the span and keep the rest.
+    *
+    * Output: one row per maximal span — (doc_id, span_start = 1-based
+    * token index, n_windows = duplicated n-gram starts in the run,
+    * span_tokens = n_windows + n − 1 tokens covered). Overlapping
+    * duplicated windows merge (gaps-and-islands on consecutive start
+    * positions); distinct spans are separated by ≥ 1 non-duplicated
+    * window start.
+    *
+    * Positions come from the native [[graft.functions.ShinglePosHashes]]
+    * projection (position-ordered, non-distinct — [[shingleSets]]'s set
+    * form deliberately discards positions); counting hashes instead of strings
+    * is the family's standard identity (ext03/ext32): equal absent a
+    * 64-bit collision.
+    *
+    * Scale shape: the n-gram-keyed occurrence count map-side combines to
+    * one row per distinct corpus n-gram; the join back is equality-keyed
+    * (AQE splits hot boilerplate n-grams); the span merge is a per-doc
+    * window over DUPLICATED positions only — for a mostly-novel corpus
+    * that is a small fraction of the token stream, and it never exceeds
+    * the document's own length (the same bound as reading it). No global
+    * sort, no all-pairs anything: cost is two passes over a narrow
+    * (doc_id, pos, hash) projection, which is what makes this the
+    * tractable stand-in for a distributed suffix array at 100 TB. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    graft.util.Caching.leased(grams) {
+      val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      val dup = grams.join(counts.filter(col("c") > 1), "h")
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      dup.withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
+        .select(col("doc_id"), col("span_start"), col("n_windows"),
+          (col("n_windows") + lit(n - 1)).as("span_tokens"))
+    }
+  }
+
+  /** EXACT containment (asymmetric-Jaccard) join: every ordered pair
+    * (A, B), A ≠ B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥
+    * threshold — A is a NEAR-SUBSET of B. Symmetric near-dup misses this
+    * relation entirely: a paragraph quoted whole inside a long document
+    * has tiny Jaccard but containment ≈ 1. The standard dedup policy it
+    * feeds: drop the contained side, keep the container.
+    *
+    * Exact by the one-sided prefix-filter argument (the [[jaccardPairs]]
+    * proof specialized to containment): qualifying pairs share ≥
+    * ⌈t·|A|⌉ elements, which cannot all sit in A's frequency-ordered
+    * suffix of length ⌈t·|A|⌉ − 1 — so A's prefix of its
+    * |A| − ⌈t·|A|⌉ + 1 rarest elements always holds a common element.
+    * Unlike the symmetric case, B gets NO prefix (containment puts no
+    * lower bound on |A|/|B|), so the probe prefixes join an index of
+    * FULL shingle postings — restricted first, by an equality semi-join,
+    * to the keys some prefix actually probes: prefix elements are each
+    * set's rarest, so the retained postings lists are short by
+    * construction and ubiquitous shingles never build hot buckets.
+    * Exact verification (integer intersection over the full sets) then
+    * keeps only true pairs; threshold compares the UNROUNDED ratio,
+    * output rounds — the family's boundary rule. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    val sets = shingleSets(docs, idCol, textCol, n)
+    graft.util.Caching.leased(sets) {
+      val tok = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+        explode(col("hs")).as("h"))
+      val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val ordered = tok.join(dfreq, "h")
+        .groupBy(col("doc_id"), col("sz"))
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+      val prefLen = (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")
+      val pref = ordered.select(col("doc_id").as("doc_a"),
+        explode(slice(transform(col("ord"), _.getField("h")), lit(1), prefLen)).as("h"))
+      graft.util.Caching.leased(pref) {
+        val idx = tok.select(col("doc_id").as("doc_b"), col("h"))
+          .join(pref.select(col("h")), "h", "leftsemi")
+        val cand = pref.join(idx, "h")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+          .withColumn("__c",
+            size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")))
+          .filter(col("__c") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("__c"), 6).as("containment"))
+      }
+    }
+  }
+
   /** Quality-aware keeper selection: among each cluster's members, keep
     * the one with the HIGHEST score (ties → lowest doc_id) — the curation
     * policy that retains the longest / highest-quality copy of a

@@ -827,6 +827,52 @@ object Extensions {
              |       string_agg(CAST(CAST(floor(sv::DOUBLE / n * 1000000 + 0.5) AS BIGINT) AS VARCHAR), ',' ORDER BY pos) AS centroid_e6_csv
              |FROM ag GROUP BY label""".stripMargin)),
 
+    // duplicated-span detection (substring-dedup analog): maximal token
+    // ranges covered by corpus-repeated 8-gram windows, merged via
+    // gaps-and-islands — all integers, the oracle replays the span
+    // arithmetic over string 8-grams (hash == string counts absent a
+    // 64-bit collision, the ext03/ext32 identity).
+    "ext38_dup_spans" -> Q(
+      (s, d) => Dedup.dupSpans(docs(s, d), "doc_id", "text", n = 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, CAST(unnest(range(1, greatest(len(w) - 6, 1))) AS INT) AS pos, w
+             |  FROM t
+             |), kg AS (
+             |  SELECT doc_id, pos, array_to_string(list_slice(w, pos, pos + 7), ' ') AS k
+             |  FROM g
+             |), cnt AS (
+             |  SELECT k, count(*) AS c FROM kg GROUP BY 1
+             |), d AS (
+             |  SELECT doc_id, pos FROM kg JOIN cnt USING (k) WHERE c > 1
+             |), isl AS (
+             |  SELECT doc_id, pos,
+             |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+             |  FROM d
+             |)
+             |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+             |       count(*) AS n_windows, count(*) + 7 AS span_tokens
+             |FROM isl GROUP BY doc_id, grp""".stripMargin)),
+
+    // exact containment (asymmetric-Jaccard) join: ordered near-subset
+    // pairs |A∩B|/|A| ≥ 0.9 via one-sided prefix filtering; the oracle is
+    // the all-pairs containment truth.
+    "ext40_containment" -> Q(
+      (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+        n = 3, threshold = 0.9),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |)
+             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |       round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
+             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+             | AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin)),
+
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,
     // every 2nd) through the typed multimodal pipeline; the oracle
     // recomputes the same strided byte selection arithmetically.

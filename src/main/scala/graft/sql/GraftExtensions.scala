@@ -55,6 +55,12 @@ object GraftExtensions {
         require(children.size == 2, s"shingle_hashes expects (text, n), got ${children.size} args")
         graft.functions.ShingleHashes(children.head, litInt(children(1), "shingle_hashes n"))
       }),
+    (new FunctionIdentifier("shingle_pos_hashes"),
+      new ExpressionInfo(classOf[graft.functions.ShinglePosHashes].getName, "shingle_pos_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"shingle_pos_hashes expects (text, n), got ${children.size} args")
+        graft.functions.ShinglePosHashes(children.head, litInt(children(1), "shingle_pos_hashes n"))
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -243,6 +243,95 @@ class DedupSpec extends SparkSpec {
     assert(r(6L) == ((6L, 2L, 1L)))
   }
 
+  test("dupSpans: shared region merges to one span; within-doc repeats count") {
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s p q r t"),          // "p q r" repeats WITHIN the doc
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8")   // fully novel → absent
+    ).toDF("doc_id", "text")
+    val r = Dedup.dupSpans(docs, "doc_id", "text", n = 3).collect()
+      .map(x => (x.getLong(0), x.getInt(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: 3-gram starts 1..3 duplicated → one span of 3 windows / 5 tokens
+    assert(r((1L, 1)) == ((3L, 5L)))
+    assert(r((2L, 3)) == ((3L, 5L)))
+    // doc 3: "p q r" at starts 1 and 5 → two separate 1-window spans
+    assert(r((3L, 1)) == ((1L, 3L)) && r((3L, 5)) == ((1L, 3L)))
+    assert(!r.keySet.exists(_._1 == 4L))
+    assert(r.size == 4)
+  }
+
+  test("dupSpans equals the string-n-gram replay on the fixture corpus") {
+    // Truth computed with STRING n-grams and DataFrame ops only — pins the
+    // native positional-hash path (tokenizer, positions, count semantics).
+    import org.apache.spark.sql.expressions.Window
+    val n = 3
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val grams = corpus.select(col("doc_id"), posexplode(
+        when(size(toks) >= n, transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("p0", "g")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("g"))
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val truth = grams.join(cnt.filter(col("c") > 1), "g")
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("n_windows"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    val got = Dedup.dupSpans(corpus, "doc_id", "text", n = n).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+    assert(got == truth && got.nonEmpty)
+  }
+
+  test("containment: near-subset found at ~1.0 even when jaccard is tiny") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words alpha beta gamma delta epsilon plus much more trailing prose here"),
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val r = Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getDouble(2)).toMap
+    assert(r((1L, 2L)) == 1.0)          // doc 1 fully contained in doc 2
+    assert(!r.contains((2L, 1L)))       // the container is NOT contained
+    assert(!r.keySet.exists { case (a, b) => Set(a, b).contains(3L) })
+    // symmetric jaccard at the same bar misses the subset relation
+    val jac = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
+  test("prefix-filter containment equals brute force on seeded random corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = ('a' to 'p').map(_.toString)
+    for (trial <- 1 to 5) {
+      val docs = (1L to 20L).map { id =>
+        val toks = Vector.fill(5 + rnd.nextInt(14))(vocab(rnd.nextInt(vocab.size)))
+        // every 4th doc embeds the previous doc's prefix → planted containment
+        val text = if (id % 4 == 0)
+          (toks.take(6) ++ Vector.fill(3)(vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+        else toks.mkString(" ")
+        (id, text)
+      }
+      val df = docs.toDF("doc_id", "text")
+      val t = 0.3 + rnd.nextDouble() * 0.7
+      val sets = Dedup.shingleSets(df, "doc_id", "text", 3)
+      val ids = df.select(col("doc_id"))
+      val allPairs = ids.as("a").join(ids.as("b"), col("a.doc_id") =!= col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val brute = allPairs
+        .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+        .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")))
+        .filter(col("c") >= t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val pf = Dedup.containmentPairs(df, "doc_id", "text", n = 3, threshold = t)
+        .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pf == brute, s"trial $trial threshold $t: $pf != $brute")
+    }
+  }
+
   test("clusters over minhash pairs: exact copies and near-dups merge") {
     val pairs = Dedup.minhashLsh(corpus, "doc_id", "text",
       n = 3, k = 128, bands = 32, threshold = 0.5)
