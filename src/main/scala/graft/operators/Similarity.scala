@@ -357,4 +357,49 @@ object Similarity {
       .agg(max(col("n")).as("n_vectors"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("m_e6")))),
           _.getField("m_e6").cast("string")), ",").as("centroid_e6_csv"))
+
+  /** Sign entry (±1) of the deterministic random-projection matrix:
+    * parity of the first hex digit of md5("i:j:salt") — chosen because
+    * any engine can replay it (DuckDB: `('0x' || substr(md5(...), 1, 1))
+    * ::INT % 2`), unlike a seeded PRNG stream. */
+  private def srpSign(i: Int, j: Int, salt: String): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j:$salt".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+  }
+
+  /** Signed-random-projection sketch (Johnson–Lindenstrauss with a ±1
+    * matrix — Achlioptas, JCSS'03; the SimHash projection of Charikar,
+    * STOC'02 before the sign is taken): project each embedding onto
+    * `outDim` fixed ±1 directions. The standard dimensionality-reduction
+    * pass in front of ANN/clustering — at 100 TB of float32×64
+    * embeddings, a 16-component sketch is a 4× scan/shuffle cut for every
+    * downstream pass (and `sign(component)` IS the hyperplane LSH bit, so
+    * the sketch subsumes bucketing).
+    *
+    * Determinism contract: components quantize to exact micros FIRST
+    * (floor(x·1e6 + 0.5), the ext14 IEEE-exact formulation), so every
+    * projection is an INTEGER sum of ±micro values — no float-summation
+    * order sensitivity, bit-identical on any engine, any partitioning,
+    * any parallelism. The matrix itself derives from md5 parity (see
+    * [[srpSign]]), so the oracle regenerates it from scratch.
+    *
+    * Scale shape: a pure narrow projection — outDim integer dot products
+    * per row, no shuffle, no UDF, no broadcast (the matrix is a plan-time
+    * literal of outDim × dim bytes). Runs at scan speed. */
+  def srpSketch(df: DataFrame, idCol: String, vecCol: String,
+                outDim: Int = 16, salt: String = "srp1"): DataFrame = {
+    require(outDim > 0, "outDim must be positive")
+    val d = dim(df, vecCol)
+    val signs: Seq[Seq[Long]] =
+      (0 until outDim).map(i => (0 until d).map(j => srpSign(i, j, salt)))
+    val xe6 = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * 1e6 + 0.5).cast("long"))
+    df.select(col(idCol), xe6.as("__x"))
+      .select(col(idCol),
+        concat_ws(",", (0 until outDim).map { i =>
+          aggregate(zip_with(col("__x"), typedlit(signs(i)), (x, s) => x * s),
+            lit(0L), (acc, y) => acc + y).cast("string")
+        }: _*).as("sketch_e6_csv"))
+  }
 }

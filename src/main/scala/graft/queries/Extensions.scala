@@ -856,6 +856,33 @@ object Extensions {
              |       count(*) AS n_windows, count(*) + 7 AS span_tokens
              |FROM isl GROUP BY doc_id, grp""".stripMargin)),
 
+    // signed-random-projection sketch: 64-dim float embeddings → 16
+    // integer-micro components (JL dim reduction for the ANN tier).
+    // Micro-quantize first so every projection is an exact INTEGER sum —
+    // order-independent, so the oracle regenerates matrix and sketch from
+    // scratch (md5-parity signs; the fixture's dim is 64 at every SF).
+    "ext39_srp_sketch" -> Q(
+      (s, d) => Similarity.srpSketch(emb(s, d), "vec_id", "embedding",
+        outDim = 16, salt = "srp1"),
+      Some("""WITH m AS (
+             |  SELECT i, j,
+             |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':srp1'), 1, 1))::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END AS s
+             |  FROM range(16) r1(i), range(64) r2(j)
+             |), e AS (
+             |  SELECT vec_id,
+             |         unnest(range(0, len(embedding))) AS j,
+             |         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xe6
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT vec_id, i, sum(xe6 * s) AS c
+             |  FROM e JOIN m USING (j)
+             |  GROUP BY vec_id, i
+             |)
+             |SELECT vec_id,
+             |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS sketch_e6_csv
+             |FROM p GROUP BY vec_id""".stripMargin)),
+
     // exact containment (asymmetric-Jaccard) join: ordered near-subset
     // pairs |A∩B|/|A| ≥ 0.9 via one-sided prefix filtering; the oracle is
     // the all-pairs containment truth.

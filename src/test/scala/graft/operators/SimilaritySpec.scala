@@ -163,6 +163,35 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("srpSketch equals an independently-computed integer projection") {
+    val vecs = Seq(
+      (1L, Seq(0.5f, -0.25f, 0.125f)),
+      (2L, Seq(0.5f, -0.25f, 0.125f)),   // identical vector → identical sketch
+      (3L, Seq(-1f, 2f, -3f)),
+      (4L, Seq(0f, 0f, 0f))              // zero vector → all-zero sketch
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.srpSketch(vecs, "vec_id", "embedding",
+        outDim = 4, salt = "t1")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // truth: same md5-parity matrix and micro-int dot, computed from scratch
+    def sign(i: Int, j: Int): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$i:$j:t1".getBytes("UTF-8"))
+      if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
+    }
+    def truth(v: Seq[Float]): String = (0 until 4).map { i =>
+      v.zipWithIndex.map { case (x, j) =>
+        math.floor(x.toDouble * 1e6 + 0.5).toLong * sign(i, j)
+      }.sum
+    }.mkString(",")
+    assert(got(1L) == truth(Seq(0.5f, -0.25f, 0.125f)))
+    assert(got(2L) == got(1L))
+    assert(got(3L) == truth(Seq(-1f, 2f, -3f)))
+    assert(got(4L) == "0,0,0,0")
+    // the matrix is genuinely mixed: not all signs equal across components
+    assert(got(3L).split(",").map(_.toLong).distinct.length > 1)
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
