@@ -579,6 +579,32 @@ object Framework {
     read1.union(read2)
   }
 
+  /** Maintenance-compaction lifecycle (beyond-reference; the operational
+    * twin of A13: incremental append WRITES small files, compaction takes
+    * them back). 16 appended part-files → [[graft.sinks.Sinks.compact]] →
+    * exactly 2, atomically swapped; the oracle proves content survived
+    * byte-for-byte, the requires pin the file counts. */
+  private def fwCompact(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "compact")
+    rmrf(s, base)
+    s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+      .repartition(16)
+      .write.parquet(s"$base/t")
+    def nFiles: Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$base/t")
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).count(st => st.getPath.getName.startsWith("part-")).toLong
+    }
+    val before = nFiles
+    graft.sinks.Sinks.compact(s, s"$base/t", "parquet", nFiles = 2)
+    require(before == 16 && nFiles == 2,
+      s"compact: expected 16 -> 2 part-files, got $before -> $nFiles")
+    s.read.parquet(s"$base/t")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "fw_lifecycle" -> Q(fwLifecycle, Some(
       """SELECT r.r_name,
@@ -638,6 +664,10 @@ object Framework {
     "fw_stream" -> Q(fwStream, Some(
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_compact" -> Q(fwCompact, Some(
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)),
     "fw_formats" -> Q(fwFormats, Some(
       """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
         |       min(n.n_name) AS first_nation

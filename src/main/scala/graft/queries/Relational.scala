@@ -757,6 +757,32 @@ object Relational {
              |  WHERE n.n_nationkey > 0
              |)
              |SELECT h.k AS n_nationkey, n.n_name, h.depth, h.path
-             |FROM h JOIN nation n ON n.n_nationkey = h.k""".stripMargin))
+             |FROM h JOIN nation n ON n.n_nationkey = h.k""".stripMargin)),
+
+    // B16/B17 extension: IGNORE NULLS forward-fill (gap-fill) — carry the
+    // last observed click value forward over each user's event stream,
+    // the standard last-observation-carried-forward repair for sparse
+    // sensor/metric streams. Total order: (ts, event_id) — event_id is
+    // unique, and the oracle orders by the MICROSECOND-truncated ts so
+    // both engines see the identical sequence (events.parquet carries
+    // nano timestamps; Spark reads them at micro precision).
+    "q38_gap_fill" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events").select(col("user_id"), col("event_id"), col("ts"),
+            when(col("event_type") === "click",
+              floor(col("value") * 100 + 0.5).cast("long")).as("click_cents"))
+          .withColumn("filled_cents",
+            last(col("click_cents"), ignoreNulls = true).over(w))
+          .drop("ts")
+      },
+      Some("""SELECT user_id, event_id,
+             |       CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS click_cents,
+             |       last_value(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
+             |         OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+             |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+             |FROM events""".stripMargin))
   )
 }

@@ -127,37 +127,79 @@ object Sinks {
           .save()
 
       case TargetSpec.Catalog(database, governed) =>
-        // A14 catalog sink; `governed` (A15, Lake Formation transactions)
-        // maps to Spark's job-level atomic commit — the observable
-        // contract (no partial output on failure) is tested, not the AWS
-        // API (SURVEY §7 risk 1).
-        val _ = governed
-        val table = s"$database.${out.name}"
-        if (out.partitionKeys.nonEmpty && out.refresh == Refresh.Full &&
-            spark.catalog.tableExists(table)) {
-          // Dynamic partition overwrite only takes effect on the
-          // insertInto path — saveAsTable(Overwrite) drops and recreates
-          // the WHOLE table, silently rewriting every partition of a
-          // 100 TB target on a daily refresh. insertInto is
-          // position-based, so align columns to the table schema first.
-          data.select(spark.table(table).columns.map(data.col): _*)
-            .write.mode(SaveMode.Overwrite)
-            .option("partitionOverwriteMode", "dynamic")
-            .insertInto(table)
-        } else {
-          val w = data.write.mode(mode(out.refresh))
-          val wb = if (out.bucketKeys.nonEmpty) {
-            // shuffle-once storage: later joins/aggs on the bucket key
-            // read co-located buckets with no Exchange (config-surface
-            // form of sources/Bucketed; parse-time validation guarantees
-            // a catalog target and no partition_keys here)
-            w.bucketBy(out.buckets.get, out.bucketKeys.head, out.bucketKeys.tail: _*)
-              .sortBy(out.bucketKeys.head, out.bucketKeys.tail: _*)
-          } else w
-          if (out.partitionKeys.nonEmpty) {
-            wb.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
-          } else wb.format(out.format).saveAsTable(table)
-        }
+        runCatalog(spark, data, out, database, governed)
+    }
+  }
+
+  /** Small-file compaction — the table-maintenance pass every
+    * incremental/streaming sink eventually needs: `refresh: incremental`
+    * appends a few files per run, and after thousands of runs a 100 TB
+    * table is millions of KB-files whose per-file open/footer cost
+    * dominates every scan. Compaction rewrites the SAME bytes as `nFiles`
+    * files.
+    *
+    * Shape: one read → `coalesce(nFiles)` → staged write → atomic swap.
+    * `coalesce` (not `repartition`) narrows existing partitions with NO
+    * shuffle — the rewrite streams source files into output files at IO
+    * speed. The staging write fully materializes BEFORE the target is
+    * deleted (the A15 publish contract), so a failed compaction leaves
+    * the fragmented-but-correct table in place; rerunning is always safe
+    * because the operation is idempotent on content. Partition-pruned
+    * variants (compact one hot partition) fall out of calling this on the
+    * partition directory. */
+  def compact(spark: SparkSession, location: String, format: String,
+              nFiles: Int, options: Map[String, String] = Map.empty): Unit = {
+    require(nFiles > 0, "compact: nFiles must be positive")
+    val target = new org.apache.hadoop.fs.Path(location)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) throw new graft.config.ConfigError(
+      s"compact: target '$location' does not exist")
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.__staging__")
+    fs.delete(staging, true)
+    spark.read.format(format).options(graft.sources.Sources.mapOptions(options))
+      .load(location)
+      .coalesce(nFiles)
+      .write.format(format).options(graft.sources.Sources.mapOptions(options))
+      .mode(SaveMode.Overwrite)
+      .save(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compact: rename $staging -> $target failed")
+  }
+
+  private def runCatalog(spark: SparkSession, data: DataFrame, out: OutputTable,
+                         database: String, governed: Boolean): Unit = {
+    // A14 catalog sink; `governed` (A15, Lake Formation transactions)
+    // maps to Spark's job-level atomic commit — the observable
+    // contract (no partial output on failure) is tested, not the AWS
+    // API (SURVEY §7 risk 1).
+    val _ = governed
+    val table = s"$database.${out.name}"
+    if (out.partitionKeys.nonEmpty && out.refresh == Refresh.Full &&
+        spark.catalog.tableExists(table)) {
+      // Dynamic partition overwrite only takes effect on the
+      // insertInto path — saveAsTable(Overwrite) drops and recreates
+      // the WHOLE table, silently rewriting every partition of a
+      // 100 TB target on a daily refresh. insertInto is
+      // position-based, so align columns to the table schema first.
+      data.select(spark.table(table).columns.map(data.col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .insertInto(table)
+    } else {
+      val w = data.write.mode(mode(out.refresh))
+      val wb = if (out.bucketKeys.nonEmpty) {
+        // shuffle-once storage: later joins/aggs on the bucket key
+        // read co-located buckets with no Exchange (config-surface
+        // form of sources/Bucketed; parse-time validation guarantees
+        // a catalog target and no partition_keys here)
+        w.bucketBy(out.buckets.get, out.bucketKeys.head, out.bucketKeys.tail: _*)
+          .sortBy(out.bucketKeys.head, out.bucketKeys.tail: _*)
+      } else w
+      if (out.partitionKeys.nonEmpty) {
+        wb.partitionBy(out.partitionKeys: _*).format(out.format).saveAsTable(table)
+      } else wb.format(out.format).saveAsTable(table)
     }
   }
 }

@@ -81,6 +81,24 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("compact merges part-files, preserves content, and fails safe") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/cmp"
+    (1 to 100).toDF("n").repartition(8).write.parquet(dir)
+    def parts = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(parts == 8)
+    Sinks.compact(spark, dir, "parquet", nFiles = 2)
+    assert(parts == 2)
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == (1 to 100))
+    // idempotent: compacting again is a no-op on content
+    Sinks.compact(spark, dir, "parquet", nFiles = 2)
+    assert(spark.read.parquet(dir).count() == 100)
+    // a missing target is a named error, not an empty overwrite
+    val e = intercept[graft.config.ConfigError](
+      Sinks.compact(spark, dir + "-missing", "parquet", 1))
+    assert(e.getMessage.contains("does not exist"))
+  }
+
   test("dynamic partition overwrite touches only result partitions") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
     val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))
