@@ -358,6 +358,119 @@ object Similarity {
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("m_e6")))),
           _.getField("m_e6").cast("string")), ",").as("centroid_e6_csv"))
 
+  /** Product-quantization codebooks: `m` subspaces × `k` centroids each
+    * (see [[pqTrain]]). */
+  final case class PqModel(m: Int, k: Int, subDim: Int,
+                           codebooks: Seq[Seq[Seq[Double]]])
+
+  /** Train product-quantization codebooks (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11): split the
+    * vector into `m` contiguous subspaces and k-means each one
+    * independently. A vector then compresses to `m` small codes —
+    * m=8 × k=16 turns a 256-byte float32×64 embedding into 4 BYTES, the
+    * compression tier that lets a 100 TB embedding corpus live in
+    * cluster memory for ANN scanning ([[pqTopK]]).
+    *
+    * Training is the IVF discipline ([[ivfTopK]]): each fit sees a
+    * seeded, deterministic, corpus-size-INDEPENDENT sample (~k·256
+    * subvectors) — never the full corpus; the m fits run over one shared
+    * localCheckpointed sample so the corpus is scanned once. */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int = 8, k: Int = 16): PqModel = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val d = dim(corpus, vecCol)
+    require(m > 0 && d % m == 0, s"pqTrain: dim $d must be divisible by m=$m")
+    val subDim = d / m
+    val sample = prepared(corpus, vecCol)
+      .orderBy(xxhash64(col(idCol).cast("string"), lit(42L)))
+      .limit(k * 256)
+      .select(col("__vd"))
+      .localCheckpoint(true)
+    val codebooks = (0 until m).map { j =>
+      val sub = sample.select(array_to_vector(
+        slice(col("__vd"), j * subDim + 1, subDim)).as("__feat"))
+      new KMeans().setK(k).setSeed(42L + j).setMaxIter(10)
+        .setFeaturesCol("__feat").setPredictionCol("__cell")
+        .fit(sub)
+        .clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Squared L2 distance between two array<double> columns. */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Encode every vector as its `m` nearest-centroid codes plus the
+    * reconstruction error. A pure narrow projection against the
+    * plan-time codebook literals — no shuffle, no UDF; the argmin per
+    * subspace is an `array_min` over k (distance, index) structs, ties
+    * to the lowest index so the code assignment is total. Output:
+    * (id, code_csv, mse_e6 = floor(Σⱼ min-dist² ·1e6 + 0.5)). */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    val codes = (0 until model.m).map { j =>
+      val sub = slice(col("__vd"), j * model.subDim + 1, model.subDim)
+      // size the index sequence to the ACTUAL codebook (k-means can
+      // return < k centers on degenerate samples; zip_with null-pads
+      // mismatched lengths, which would poison the argmin)
+      val best = array_min(zip_with(
+        typedlit(model.codebooks(j)), sequence(lit(0), lit(model.codebooks(j).size - 1)),
+        (c, idx) => struct(sqDist(sub, c).as("d"), idx.as("idx"))))
+      struct(best.getField("idx").as("code"), best.getField("d").as("d"))
+    }
+    prepared(corpus, vecCol)
+      .select(col(idCol), array(codes: _*).as("__c"))
+      .select(col(idCol),
+        array_join(transform(col("__c"), c => c.getField("code").cast("string")), ",")
+          .as("code_csv"),
+        floor(aggregate(transform(col("__c"), _.getField("d")),
+          lit(0.0d), (acc, x) => acc + x) * 1e6 + 0.5).cast("long").as("mse_e6"))
+  }
+
+  /** Approximate top-k by asymmetric distance computation (ADC) over PQ
+    * codes: each query precomputes an m × k lookup table of subspace
+    * distances to every centroid; a corpus vector's approximate distance
+    * is then `m` table lookups summed — no float vector is ever read
+    * from the corpus side again.
+    *
+    * Scale shape: the corpus is ONE narrow scan of (id, m codes); the
+    * small query side broadcasts with its LUTs (the [[cosineTopK]]
+    * trade, documented product-by-design); ranking is the per-query
+    * top-k window. At 100 TB this is the FAISS IVFADC inner loop
+    * re-expressed relationally — compose with [[ivfTopK]]'s cell
+    * pruning when even one full code scan is too much. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, kNN: Int, model: PqModel): DataFrame = {
+    val codeArr = (0 until model.m).map { j =>
+      val sub = slice(col("__vd"), j * model.subDim + 1, model.subDim)
+      array_min(zip_with(
+        typedlit(model.codebooks(j)), sequence(lit(0), lit(model.codebooks(j).size - 1)),
+        (c, idx) => struct(sqDist(sub, c).as("d"), idx.as("idx"))))
+        .getField("idx")
+    }
+    val c = prepared(corpus, vecCol)
+      .select(col(idCol).as("nid"), array(codeArr: _*).as("__code"))
+    val luts = (0 until model.m).map { j =>
+      val sub = slice(col("__vd"), j * model.subDim + 1, model.subDim)
+      transform(typedlit(model.codebooks(j)), cb => sqDist(sub, cb))
+    }
+    val q = prepared(queries, vecCol)
+      .select(col(idCol).as("qid"), array(luts: _*).as("__lut"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        floor(aggregate(
+          zip_with(col("__lut"), col("__code"), (l, cd) => element_at(l, cd + 1)),
+          lit(0.0d), (acc, x) => acc + x) * 1e6 + 0.5).cast("long").as("adist_e6"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adist_e6").asc, col("nid"))))
+      .filter(col("rnk") <= kNN)
+      .select(col("qid"), col("rnk"), col("nid"), col("adist_e6"))
+  }
+
   /** Sign entry (±1) of the deterministic random-projection matrix:
     * parity of the first hex digit of md5("i:j:salt") — chosen because
     * any engine can replay it (DuckDB: `('0x' || substr(md5(...), 1, 1))

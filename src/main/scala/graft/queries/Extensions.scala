@@ -883,6 +883,19 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS sketch_e6_csv
              |FROM p GROUP BY vec_id""".stripMargin)),
 
+    // product-quantization ADC top-k: 4-bit×8 codes + per-query lookup
+    // tables — the FAISS-style compressed ANN scan. Approximate by
+    // construction (learned codebooks have no cross-engine oracle):
+    // rows-only here; SimilaritySpec pins determinism, code ranges, and
+    // recall against the exact L2 ranking.
+    "ext41_pq_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val model = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+        Similarity.pqTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          kNN = 5, model = model)
+      }),
+
     // exact containment (asymmetric-Jaccard) join: ordered near-subset
     // pairs |A∩B|/|A| ≥ 0.9 via one-sided prefix filtering; the oracle is
     // the all-pairs containment truth.

@@ -192,6 +192,37 @@ class SimilaritySpec extends SparkSpec {
     assert(got(3L).split(",").map(_.toLong).distinct.length > 1)
   }
 
+  test("pq: codes are deterministic, in range, and ADC recall is useful") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val model = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    assert(model.codebooks.size == 8 && model.subDim == 8)
+    assert(model.codebooks.forall(cb => cb.nonEmpty && cb.forall(_.size == 8)))
+    // deterministic: training twice gives the same codebooks
+    val model2 = Similarity.pqTrain(e, "vec_id", "embedding", m = 8, k = 16)
+    assert(model == model2)
+    val enc = Similarity.pqEncode(e, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(enc.size == 500)
+    assert(enc.values.forall { case (csv, mse) =>
+      val codes = csv.split(",").map(_.toInt)
+      codes.length == 8 && codes.forall(c => c >= 0 && c < 16) && mse >= 0
+    })
+    // ADC ranking approximates the exact L2 ranking
+    val q = e.filter(col("vec_id") < 10)
+    val adc = Similarity.pqTopK(e, q, "vec_id", "embedding", kNN = 10, model)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.keys.filter(_ < 10).flatMap { qid =>
+      vecs.keys.filter(_ != qid).toSeq
+        .sortBy(n => (l2(vecs(qid), vecs(n)), n)).take(10).map(qid -> _)
+    }.toSet
+    val recall = (adc & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"PQ ADC recall $recall collapsed")
+  }
+
   test("annTopK scores matcher: bucket-mates score identically to exact") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val q = e.filter(col("vec_id") < 5)
