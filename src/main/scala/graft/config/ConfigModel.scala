@@ -85,7 +85,16 @@ object JobType {
   /** Script job: reference A17 (`glue_etl_framework.py:279-309`), realized
     * as a reflection-loaded class instead of `exec()`. */
   case object Script extends JobType
+  /** Maintenance job (beyond-reference): operational passes over an
+    * existing target — currently `compact` (small-file compaction,
+    * [[graft.sinks.Sinks.compact]]). */
+  case object Maintenance extends JobType
 }
+
+/** `maintenance:` block for `job.type: maintenance`. */
+final case class MaintenanceSpec(action: String, location: String,
+                                 format: String, files: Int,
+                                 options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
     name: String,
@@ -104,7 +113,8 @@ final case class JobSpec(
       * checkpoint → SQL → sink), our streaming extension of the
       * reference's batch-only surface. */
     streaming: Boolean = false,
-    checkpointLocation: Option[String] = None) {
+    checkpointLocation: Option[String] = None,
+    maintenance: Option[MaintenanceSpec] = None) {
 
   /** Variables for one pipeline; error on unknown pipeline (the reference
     * indexes the dict directly, `glue_etl_framework.py:413-415`). */
@@ -164,6 +174,7 @@ object ConfigParser {
       case Some("spark-sql") => JobType.SparkSql
       // reference: `python-script` (README.md:35); ours runs a JVM class.
       case Some("python-script") | Some("script") => JobType.Script
+      case Some("maintenance") => JobType.Maintenance
       case Some(other) => throw new ConfigError(s"unknown job.type '$other'")
       case None => throw new ConfigError("job.type is required")
     }
@@ -291,6 +302,31 @@ object ConfigParser {
       }
     }
 
+    // Maintenance jobs carry their whole contract in the `maintenance:`
+    // block — validated AT PARSE TIME like upsert/bucketing/streaming.
+    val maintenance = root.get("maintenance").filter(_ != null).map { m =>
+      val t = asMap(m, "maintenance")
+      val action = str(t, "action").getOrElse("compact").toLowerCase
+      if (action != "compact") throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact)")
+      val files = str(t, "files").map(_.toInt).getOrElse(throw new ConfigError(
+        "maintenance.files (target part-file count) is required"))
+      if (files <= 0) throw new ConfigError(
+        s"maintenance.files must be positive, got $files")
+      MaintenanceSpec(
+        action = action,
+        location = str(t, "location").getOrElse(throw new ConfigError(
+          "maintenance.location is required")),
+        format = str(t, "format").getOrElse("parquet").toLowerCase,
+        files = files,
+        options = t.get("format_options").map(strMap(_, "format_options"))
+          .getOrElse(Map.empty))
+    }
+    if (jobType == JobType.Maintenance && maintenance.isEmpty)
+      throw new ConfigError("job.type maintenance needs a `maintenance:` block")
+    if (jobType != JobType.Maintenance && maintenance.nonEmpty)
+      throw new ConfigError("`maintenance:` block requires job.type maintenance")
+
     JobSpec(
       name = str(job, "name").getOrElse("graft-job"),
       jobType = jobType,
@@ -304,6 +340,7 @@ object ConfigParser {
       scriptJar = str(root, "script_jar"),
       bookmarkPath = str(job, "bookmark_path"),
       streaming = streaming,
-      checkpointLocation = str(job, "checkpoint_location"))
+      checkpointLocation = str(job, "checkpoint_location"),
+      maintenance = maintenance)
   }
 }

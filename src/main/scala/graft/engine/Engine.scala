@@ -165,6 +165,14 @@ object Engine {
       case JobType.SparkSql => Some(runSparkSqlJob(spark, job, pipeline, extraVars))
       case JobType.Script =>
         graft.script.ScriptRunner.run(spark, job, job.varsFor(pipeline) ++ extraVars); None
+      case JobType.Maintenance =>
+        val vars = job.varsFor(pipeline) ++ extraVars + ("pipeline_name" -> pipeline)
+        val m = job.maintenance.get // parser guarantees presence
+        val location = Interpolate(m.location, vars)
+        graft.log.Log.info("compacting target",
+          "location" -> location, "files" -> m.files.toString)
+        Sinks.compact(spark, location, m.format, m.files, m.options)
+        None
     }
 
   /** A18: apply job.spark_config before use (builder passthrough). */

@@ -581,8 +581,9 @@ object Framework {
 
   /** Maintenance-compaction lifecycle (beyond-reference; the operational
     * twin of A13: incremental append WRITES small files, compaction takes
-    * them back). 16 appended part-files → [[graft.sinks.Sinks.compact]] →
-    * exactly 2, atomically swapped; the oracle proves content survived
+    * them back). 16 appended part-files → a YAML `job.type: maintenance`
+    * run through the REAL engine (`{target_dir}` interpolation included)
+    * → exactly 2, atomically swapped; the oracle proves content survived
     * byte-for-byte, the requires pin the file counts. */
   private def fwCompact(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "compact")
@@ -599,7 +600,20 @@ object Framework {
       fs.listStatus(p).count(st => st.getPath.getName.startsWith("part-")).toLong
     }
     val before = nFiles
-    graft.sinks.Sinks.compact(s, s"$base/t", "parquet", nFiles = 2)
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-compact
+         |  type: maintenance
+         |variables:
+         |  default:
+         |    target_dir: $base
+         |maintenance:
+         |  action: compact
+         |  location: "{target_dir}/t"
+         |  format: parquet
+         |  files: "2"
+         |""".stripMargin)
+    Engine.run(s, job, "default")
     require(before == 16 && nFiles == 2,
       s"compact: expected 16 -> 2 part-files, got $before -> $nFiles")
     s.read.parquet(s"$base/t")

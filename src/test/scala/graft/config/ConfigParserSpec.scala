@@ -252,4 +252,43 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(job.scriptJar.contains("/path/to/user.jar"))
     assert(job.scriptClass.contains("com.example.J"))
   }
+
+  test("maintenance job parses; misconfiguration fails at PARSE time") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance:
+        |  location: /tmp/t
+        |  files: "4"
+        |""".stripMargin)
+    assert(job.jobType == JobType.Maintenance)
+    assert(job.maintenance.contains(
+      MaintenanceSpec("compact", "/tmp/t", "parquet", 4)))
+    // type maintenance without the block
+    val e1 = intercept[ConfigError](ConfigParser.parse(
+      "job: {name: j, type: maintenance}\n"))
+    assert(e1.getMessage.contains("maintenance"))
+    // block without the type
+    val e2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |maintenance: {location: /tmp/t, files: "2"}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(e2.getMessage.contains("job.type maintenance"))
+    // unknown action / missing location / non-positive files
+    val e3 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: vacuum, location: /tmp/t, files: "2"}
+        |""".stripMargin))
+    assert(e3.getMessage.contains("vacuum"))
+    val e4 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {files: "2"}
+        |""".stripMargin))
+    assert(e4.getMessage.contains("location"))
+    val e5 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {location: /tmp/t, files: "0"}
+        |""".stripMargin))
+    assert(e5.getMessage.contains("positive"))
+  }
 }
