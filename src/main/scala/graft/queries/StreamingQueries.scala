@@ -82,6 +82,42 @@ object StreamingQueries {
              |  AND dup_bigram_frac_e6 <= 100000
              |  AND mean_word_len_e6 BETWEEN 3000000 AND 10000000""".stripMargin)),
 
+    // streaming materialized state → upsert sink: an unwatermarked
+    // Update-mode aggregation (latest click + running count per user)
+    // drained through foreachBatch into a refresh:upsert file target on
+    // user_id — every emission replaces the user's row, so the sink holds
+    // exactly the final state; the argmax is an order-independent
+    // max-struct, so the oracle is the batch window replay.
+    "st10_stream_upsert_state" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "upstate")
+        Streams.runToSink(s,
+          Streams.lastClickState(Streams.readEventsStream(s, d)),
+          graft.config.OutputTable(
+            name = "st10_out",
+            target = graft.config.TargetSpec.File(s"$base/out"),
+            refresh = graft.config.Refresh.Upsert,
+            mergeKeys = Seq("user_id")),
+          s"$base/ckpt", OutputMode.Update())
+        s.read.parquet(s"$base/out")
+          .select("user_id", "n_clicks", "last_click_id", "last_click_cents")
+      },
+      Some("""WITH c AS (
+             |  SELECT user_id, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |         epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE event_type = 'click'
+             |), r AS (
+             |  SELECT user_id, event_id, cents,
+             |         row_number() OVER (PARTITION BY user_id
+             |                            ORDER BY us DESC, event_id DESC) AS rk,
+             |         count(*) OVER (PARTITION BY user_id) AS n_clicks
+             |  FROM c
+             |)
+             |SELECT user_id, CAST(n_clicks AS BIGINT) AS n_clicks,
+             |       event_id AS last_click_id, cents AS last_click_cents
+             |FROM r WHERE rk = 1""".stripMargin)),
+
     // streaming composed with the BATCH sink machinery: foreachBatch
     // routes each micro-batch through Sinks.write (partitioned append),
     // read back from the partitioned parquet output; oracle = the same

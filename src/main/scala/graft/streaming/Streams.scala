@@ -222,8 +222,10 @@ object Streams {
     * ([[graft.operators.Dedup.exact]]) or an upsert-capable sink when
     * duplicates matter. */
   def runToSink(spark: SparkSession, df: DataFrame,
-                out: graft.config.OutputTable, checkpoint: String): Unit = {
+                out: graft.config.OutputTable, checkpoint: String,
+                mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream
+      .outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sinks.Sinks.write(spark, batch, out)
       }
@@ -232,6 +234,28 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Per-user materialized state — the streaming "profile table" shape:
+    * the latest click (by event time, event_id tie-break) and the running
+    * click count for every user. An UNWATERMARKED Update-mode aggregation:
+    * state is one narrow row per user — bounded by user cardinality, the
+    * materialized-view contract, NOT by time — and each trigger emits only
+    * the users that batch touched. Drained through [[runToSink]] into a
+    * `refresh: upsert` target (merge key user_id), each emission REPLACES
+    * the user's row, so the sink always holds current state: the
+    * streaming-upsert composition a serving layer reads. The argmax is a
+    * max over (ts, event_id, cents) structs — arrival-order-independent,
+    * so replay/reorder cannot change the result. */
+  def lastClickState(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(unix_micros(col("ts")).as("us"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))).as("m"),
+        count(lit(1)).as("n_clicks"))
+      .select(col("user_id"), col("n_clicks"),
+        col("m.event_id").as("last_click_id"),
+        col("m.cents").as("last_click_cents"))
 
   /** Stream-stream interval join: each click is matched with the same
     * user's errors in the preceding `intervalMinutes` — the "what broke

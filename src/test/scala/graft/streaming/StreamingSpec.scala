@@ -118,6 +118,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("upsert-state drain: multi-batch updates converge to the batch truth") {
+    // Force MULTIPLE micro-batches (one file per trigger over the doubled
+    // stage): earlier batches upsert intermediate state, later ones must
+    // REPLACE it — the converged sink equals the batch aggregation over
+    // both copies, regardless of file arrival order.
+    val base = "/tmp/graft-spec-upstate"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    Streams.readEventsStreamDoubled(spark, dir) // ensures the 2-file stage exists
+    val staged = s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events2x"
+    val stream = spark.readStream.schema(Streams.eventsRawSchema)
+      .option("maxFilesPerTrigger", "1").parquet(staged)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Streams.runToSink(spark, Streams.lastClickState(stream),
+      graft.config.OutputTable(name = "spec_upstate",
+        target = graft.config.TargetSpec.File(s"$base/out"),
+        refresh = graft.config.Refresh.Upsert, mergeKeys = Seq("user_id")),
+      s"$base/ckpt", OutputMode.Update())
+    val got = spark.read.parquet(s"$base/out")
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_clicks"), r.getAs[Long]("last_click_id"),
+          r.getAs[Long]("last_click_cents")))).toMap
+    val batch = Streams.lastClickState(
+        graft.queries.Tables.events(spark, dir).union(
+          graft.queries.Tables.events(spark, dir)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
