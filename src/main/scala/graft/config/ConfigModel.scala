@@ -77,7 +77,8 @@ final case class OutputTable(
     coalesce: Option[Int] = None,
     mergeKeys: Seq[String] = Nil,
     bucketKeys: Seq[String] = Nil,
-    buckets: Option[Int] = None)
+    buckets: Option[Int] = None,
+    sortKeys: Seq[String] = Nil)
 
 sealed trait JobType
 object JobType {
@@ -242,7 +243,9 @@ object ConfigParser {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         bucketKeys = str(t, "bucket_by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-        buckets = str(t, "buckets").map(_.toInt).filter(_ > 0))
+        buckets = str(t, "buckets").map(_.toInt).filter(_ > 0),
+        sortKeys = str(t, "sort_by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
       // (r3 verdict, "What's wrong" #5).
@@ -253,6 +256,13 @@ object ConfigParser {
         if (parsed.mergeKeys.isEmpty) throw new ConfigError(
           s"output '$name': refresh upsert requires merge_keys")
       }
+      // sort_by orders rows WITHIN each written file (parquet row-group
+      // min/max pruning for range scans); under bucketing the bucket
+      // spec's own sortBy governs — combining would be ambiguous.
+      if (parsed.sortKeys.nonEmpty && parsed.bucketKeys.nonEmpty)
+        throw new ConfigError(
+          s"output '$name': sort_by cannot be combined with bucket_by " +
+            "(the bucket spec carries its own sort order)")
       // Same parse-time discipline for bucketing: Spark only honors a
       // bucket spec through saveAsTable, and the dynamic-partition-
       // overwrite path (insertInto) cannot guarantee the bucket invariant.

@@ -619,6 +619,44 @@ object Framework {
     s.read.parquet(s"$base/t")
   }
 
+  /** Sorted-writes lifecycle (beyond-reference): `sort_by:` orders rows
+    * WITHIN each written file, so parquet row-group min/max stats prune
+    * range scans on the sort key — the free storage index every
+    * time-partitioned 100 TB table wants. The require reads each part
+    * file INDIVIDUALLY and checks it is sorted; the oracle proves the
+    * content is untouched by the layout change. */
+  private def fwSortby(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "sortby")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-sortby
+         |  type: spark-sql
+         |input_tables:
+         |  - name: orders
+         |    source: s3
+         |    location: $d/orders.parquet
+         |output_table:
+         |  name: so_out
+         |  target: s3
+         |  location: $base/out
+         |  repartition: "4"
+         |  sort_by: o_orderdate,o_orderkey
+         |sql: SELECT o_orderkey, o_orderdate, floor(o_totalprice * 100 + 0.5) AS price_cents FROM orders
+         |""".stripMargin)
+    val p = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(p).map(_.getPath.toString).filter(_.contains("part-"))
+    require(parts.length > 1, s"sort_by check needs several files, got ${parts.length}")
+    parts.foreach { f =>
+      val seq = s.read.parquet(f)
+        .select(col("o_orderdate").cast("string"), col("o_orderkey"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      require(seq == seq.sorted, s"part file $f is not sorted by (o_orderdate, o_orderkey)")
+    }
+    s.read.parquet(s"$base/out")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "fw_lifecycle" -> Q(fwLifecycle, Some(
       """SELECT r.r_name,
@@ -678,6 +716,10 @@ object Framework {
     "fw_stream" -> Q(fwStream, Some(
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_sortby" -> Q(fwSortby, Some(
+      """SELECT o_orderkey, o_orderdate,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders""".stripMargin)),
     "fw_compact" -> Q(fwCompact, Some(
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents

@@ -24,8 +24,8 @@ import graft.config.{OutputTable, Refresh, TargetSpec}
   */
 object Sinks {
 
-  private[graft] def shaped(df: DataFrame, out: OutputTable): DataFrame =
-    (out.repartition, out.coalesce) match {
+  private[graft] def shaped(df: DataFrame, out: OutputTable): DataFrame = {
+    val sized = (out.repartition, out.coalesce) match {
       case (Some(n), _) =>
         if (out.partitionKeys.nonEmpty)
           // Cluster by the sink partition keys so each task writes few
@@ -36,6 +36,15 @@ object Sinks {
       case (None, Some(n)) => df.coalesce(n)
       case _ => df
     }
+    // sort_by: order rows WITHIN each task's output file (no global
+    // shuffle) — parquet/orc row-group min/max stats then prune range
+    // scans on the sort key, the free time-travel index a 100 TB
+    // time-partitioned table lives on. Parse-time validation keeps this
+    // off bucketed sinks (their bucket spec sorts).
+    if (out.sortKeys.nonEmpty)
+      sized.sortWithinPartitions(out.sortKeys.map(df.col): _*)
+    else sized
+  }
 
   private def mode(r: Refresh): SaveMode = r match {
     case Refresh.Full        => SaveMode.Overwrite

@@ -253,6 +253,31 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(job.scriptClass.contains("com.example.J"))
   }
 
+  test("sort_by parses on file sinks; conflicts with bucket_by at PARSE time") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table:
+        |  name: t
+        |  target: s3
+        |  location: /tmp/out
+        |  sort_by: " d , k "
+        |sql: SELECT 1
+        |""".stripMargin)
+    assert(job.outputTable.get.sortKeys == Seq("d", "k"))
+    val e = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table:
+        |  name: t
+        |  target: gdc
+        |  database: db
+        |  sort_by: k
+        |  bucket_by: k
+        |  buckets: "4"
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(e.getMessage.contains("sort_by"))
+  }
+
   test("maintenance job parses; misconfiguration fails at PARSE time") {
     val job = ConfigParser.parse(
       """job: {name: j, type: maintenance}
