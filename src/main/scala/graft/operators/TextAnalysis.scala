@@ -301,6 +301,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Bigram language-model document score — the next step up from
+    * [[freqScore]]'s unigram proxy toward the KenLM-style perplexity
+    * filter: each adjacent bigram (w1, w2) scores its corpus conditional
+    * probability count(w1 w2) / count(w1 ·), and a document reports the
+    * count, sum and mean of those scores. Natural text built from the
+    * corpus' own transition structure scores high; shuffled/generated/
+    * OCR-damaged text scores low even when its unigrams are common —
+    * exactly the failure mode a unigram filter misses.
+    *
+    * Determinism contract: each conditional probability is ONE correctly-
+    * rounded IEEE division floored to micro units; documents then sum
+    * and average INTEGERS — no float accumulation order anywhere, so the
+    * oracle replays it exactly (no ln/exp: the geometric-mean form of
+    * perplexity would drag in libm drift, and the arithmetic mean orders
+    * documents just as well for filtering).
+    *
+    * Scale shape: the [[freqScore]] two-pass discipline — bigram-keyed
+    * and first-word-keyed counts, both map-side combined to vocabulary-
+    * sized tables; equality joins back (AQE splits hot function-word
+    * keys); one map-side-combined per-doc aggregation. The staged bigram
+    * projection is leased-persisted across its three consumers. */
+  def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val staged = docs.select(col(idCol).as("doc_id"),
+      filter(words(col(textCol)), t => t =!= "").as("__w"))
+    val w = col("__w")
+    val pairs = staged.filter(size(w) >= 2).select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - 1),
+          i => struct(
+            concat(element_at(w, i), lit(" "), element_at(w, i + 1)).as("bg"),
+            element_at(w, i).as("w1")))).as("b"))
+      .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
+    graft.util.Caching.leased(pairs) {
+      val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+      val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+      pairs.join(c2, "bg").join(c1, "w1")
+        .select(col("doc_id"),
+          floor(col("n2").cast("double") / col("n1") * 1e6 + 0.5).cast("long").as("p_e6"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_cond_e6"))
+        .withColumn("mean_cond_e6",
+          floor(col("sum_cond_e6").cast("double") / col("n_bigrams") + 0.5).cast("long"))
+    }
+  }
+
   /** N-gram novelty: the fraction of a document's distinct word
     * n-grams that appear in NO other document — low novelty means the
     * text is assembled from phrases the corpus already contains

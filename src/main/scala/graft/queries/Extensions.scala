@@ -609,6 +609,34 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // bigram-LM document score (KenLM-filter analog): mean corpus
+    // conditional probability of the doc's adjacent bigrams — per-bigram
+    // IEEE division floored to micros, then integer sum/mean, so the
+    // oracle replays it exactly (no ln/exp drift).
+    "ext42_bigram_lm" -> Q(
+      (s, d) => TextAnalysis.bigramLmScore(docs(s, d), "doc_id", "text"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents
+             |), b AS (
+             |  SELECT doc_id,
+             |         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg,
+             |         unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1
+             |  FROM t WHERE len(w) >= 2
+             |), c2 AS (
+             |  SELECT bg, count(*) AS n2 FROM b GROUP BY 1
+             |), c1 AS (
+             |  SELECT w1, count(*) AS n1 FROM b GROUP BY 1
+             |), j AS (
+             |  SELECT doc_id,
+             |         CAST(floor(n2::DOUBLE / n1 * 1000000 + 0.5) AS BIGINT) AS p_e6
+             |  FROM b JOIN c2 USING (bg) JOIN c1 USING (w1)
+             |)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |       CAST(sum(p_e6) AS BIGINT) AS sum_cond_e6,
+             |       CAST(floor(sum(p_e6)::DOUBLE / count(*) + 0.5) AS BIGINT) AS mean_cond_e6
+             |FROM j GROUP BY doc_id""".stripMargin)),
+
     // n-gram novelty: fraction of a doc's distinct trigrams unique to it
     // corpus-wide — the boilerplate signal between line dedup and
     // whole-doc near-dedup; exact integers + one micro-int ratio.

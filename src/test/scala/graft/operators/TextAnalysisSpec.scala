@@ -224,4 +224,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((2L, 1L, 500000L)))
     assert(r(3L) == ((3L, 0L, 0L)))
   }
+
+  test("bigramLmScore: hand-computed conditional probabilities") {
+    val docs = Seq(
+      (1L, "a b a b"),   // bigrams: (a b), (b a), (a b)
+      (2L, "a c"),       // bigram: (a c)
+      (3L, "solo")       // no bigram -> absent
+    ).toDF("doc_id", "text")
+    // corpus: c2("a b")=2, c2("b a")=1, c2("a c")=1; c1(a)=3, c1(b)=1
+    val r = TextAnalysis.bigramLmScore(docs, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // doc 1: p(a b)=2/3 -> 666667 (x2), p(b a)=1/1 -> 1000000
+    assert(r(1L) == ((3L, 2333334L, 777778L)))
+    // doc 2: p(a c)=1/3 -> 333333
+    assert(r(2L) == ((1L, 333333L, 333333L)))
+    assert(!r.contains(3L))
+  }
 }
