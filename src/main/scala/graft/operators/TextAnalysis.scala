@@ -301,6 +301,41 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Feature-hashing document vector (the hashing trick — Weinberger et
+    * al., ICML'09): every token hashes to one of `dims` buckets and the
+    * document's vector is the bucket-count histogram. The model-free way
+    * to give every document a fixed-width lexical vector — the bridge
+    * from the text tier into the similarity tier (cosine/ANN/clustering
+    * operators run on these when no learned embedding exists, e.g. the
+    * sf0.1 corpus where most docs carry none).
+    *
+    * The bucket hash is md5-derived (the [[Sampling.split]] recipe) so
+    * any engine replays it; counts are exact integers, so the dense
+    * vector (comma-joined — the gate's hasher cannot canonicalize array
+    * cells) is bit-identical cross-engine.
+    *
+    * Scale shape: token explode → (doc, bucket)-keyed count with
+    * map-side combine → one per-doc aggregation reassembling a
+    * `dims`-entry map into the dense csv. No joins, no window; state per
+    * doc is the dims-bounded map. */
+  def hashEmbed(docs: DataFrame, idCol: String, textCol: String,
+                dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+    val bucket = pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+      lit(dims)).cast("int")
+    toks.select(col("doc_id"), bucket.as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"),
+        sum(col("c")).as("n_tokens"))
+      .select(col("doc_id"), size(col("__m")).as("n_nonzero"), col("n_tokens"),
+        array_join(transform(sequence(lit(0), lit(dims - 1)),
+          j => coalesce(element_at(col("__m"), j), lit(0L)).cast("string")), ",")
+          .as("vec_csv"))
+  }
+
   /** Bigram language-model document score — the next step up from
     * [[freqScore]]'s unigram proxy toward the KenLM-style perplexity
     * filter: each adjacent bigram (w1, w2) scores its corpus conditional

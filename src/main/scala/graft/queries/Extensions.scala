@@ -609,6 +609,32 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // feature-hashing document vectors: md5-bucketed token histograms —
+    // the model-free lexical embedding every doc gets; exact integer
+    // counts, dense csv, fully oracle-replayable.
+    "ext43_hash_embed" -> Q(
+      (s, d) => TextAnalysis.hashEmbed(docs(s, d), "doc_id", "text", dims = 64),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), bk AS (
+             |  SELECT doc_id, CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS b
+             |  FROM tk
+             |), ag AS (
+             |  SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2
+             |), grid AS (
+             |  SELECT d.doc_id, r.j FROM (SELECT DISTINCT doc_id FROM bk) d
+             |  CROSS JOIN range(64) r(j)
+             |), filled AS (
+             |  SELECT g.doc_id, g.j, coalesce(ag.c, 0) AS c
+             |  FROM grid g LEFT JOIN ag ON ag.doc_id = g.doc_id AND ag.b = g.j
+             |)
+             |SELECT doc_id,
+             |       CAST(sum(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero,
+             |       CAST(sum(c) AS BIGINT) AS n_tokens,
+             |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
+             |FROM filled GROUP BY doc_id""".stripMargin)),
+
     // bigram-LM document score (KenLM-filter analog): mean corpus
     // conditional probability of the doc's adjacent bigrams — per-bigram
     // IEEE division floored to micros, then integer sum/mean, so the

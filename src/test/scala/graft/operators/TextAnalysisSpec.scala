@@ -240,4 +240,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(2L) == ((1L, 333333L, 333333L)))
     assert(!r.contains(3L))
   }
+
+  test("hashEmbed: md5-bucket histogram matches an independent computation") {
+    val docs = Seq((1L, "alpha alpha beta"), (2L, "  "), (3L, "gamma")).toDF("doc_id", "text")
+    val r = TextAnalysis.hashEmbed(docs, "doc_id", "text", dims = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2), x.getString(3)))).toMap
+    def bucket(tok: String): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 8).toInt
+    }
+    val expected1 = Array.fill(8)(0L)
+    expected1(bucket("alpha")) += 2
+    expected1(bucket("beta")) += 1
+    assert(r(1L)._2 == 3L && r(1L)._3 == expected1.mkString(","))
+    assert(r(1L)._1 == expected1.count(_ > 0))
+    assert(!r.contains(2L)) // whitespace-only doc has no tokens
+    assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
+  }
 }
