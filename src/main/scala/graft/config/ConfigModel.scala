@@ -65,6 +65,15 @@ object TargetSpec {
   final case class Jdbc(url: String, table: String) extends TargetSpec
 }
 
+/** `dq_checks:` block — declarative data-quality gates evaluated on the
+  * RESULT before it is published (beyond-reference; the Glue Data
+  * Quality / Deequ capability the reference lacks). A violated check
+  * fails the job with a named error and the sink is never written — the
+  * publish-guard extension of the A15 no-partial-output contract. */
+final case class DqChecks(minRows: Option[Long] = None,
+                          notNull: Seq[String] = Nil,
+                          unique: Seq[String] = Nil)
+
 /** Output table: reference A8-A16 (`glue_etl_framework.py:190-275`). */
 final case class OutputTable(
     name: String,
@@ -78,7 +87,8 @@ final case class OutputTable(
     mergeKeys: Seq[String] = Nil,
     bucketKeys: Seq[String] = Nil,
     buckets: Option[Int] = None,
-    sortKeys: Seq[String] = Nil)
+    sortKeys: Seq[String] = Nil,
+    dqChecks: Option[DqChecks] = None)
 
 sealed trait JobType
 object JobType {
@@ -245,7 +255,25 @@ object ConfigParser {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         buckets = str(t, "buckets").map(_.toInt).filter(_ > 0),
         sortKeys = str(t, "sort_by")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        dqChecks = t.get("dq_checks").filter(_ != null).map { dq =>
+          val m = asMap(dq, "dq_checks")
+          val unknown = m.keySet -- Set("min_rows", "not_null", "unique")
+          if (unknown.nonEmpty) throw new ConfigError(
+            s"dq_checks: unknown check(s) ${unknown.toSeq.sorted.mkString(", ")} " +
+              "(supported: min_rows, not_null, unique)")
+          val parsedDq = DqChecks(
+            minRows = str(m, "min_rows").map(_.toLong),
+            notNull = str(m, "not_null")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+            unique = str(m, "unique")
+              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+          if (parsedDq.minRows.isEmpty && parsedDq.notNull.isEmpty && parsedDq.unique.isEmpty)
+            throw new ConfigError("dq_checks: at least one check is required")
+          if (parsedDq.minRows.exists(_ < 0)) throw new ConfigError(
+            "dq_checks.min_rows must be non-negative")
+          parsedDq
+        })
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
       // (r3 verdict, "What's wrong" #5).
@@ -309,6 +337,9 @@ object ConfigParser {
         if (o.refresh != Refresh.Incremental) throw new ConfigError(
           s"output '${o.name}': streaming requires refresh: incremental " +
             "(a full-refresh purge would race earlier micro-batches)")
+        if (o.dqChecks.nonEmpty) throw new ConfigError(
+          s"output '${o.name}': dq_checks are batch-only (a per-micro-batch " +
+            "check sees partial data; gate the drained output instead)")
       }
     }
 

@@ -110,6 +110,9 @@ object Engine {
             TargetSpec.Jdbc(Interpolate(url, vars), Interpolate(tbl, vars))
           case c => c
         })
+      // dq_checks gate the publish: one aggregate pass over the result;
+      // a violation throws BEFORE the sink is touched (Sinks.DataQuality).
+      out.dqChecks.foreach(graft.sinks.DataQuality.enforce(result, _, out.name))
       graft.log.Log.info("writing output", "output" -> out.name)
       Sinks.write(spark, result, out)
       bookmarkCommits.foreach(_.apply())

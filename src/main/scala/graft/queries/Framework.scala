@@ -657,6 +657,49 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** Data-quality-gated publish (beyond-reference): the job declares
+    * `dq_checks` (min_rows, not_null, unique) on its output; the engine
+    * evaluates them in one aggregate pass and only then writes. A second
+    * run with a violated check (planted null in a not_null column) must
+    * FAIL with a named error and leave the first run's output untouched —
+    * the A15 contract extended to "no invalid output". */
+  private def fwDq(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "dq")
+    rmrf(s, base)
+    def yaml(sql: String) =
+      s"""job:
+         |  name: fw-dq
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $d/nation.parquet
+         |output_table:
+         |  name: dq_out
+         |  target: s3
+         |  location: $base/out
+         |  dq_checks:
+         |    min_rows: "20"
+         |    not_null: n_name,n_regionkey
+         |    unique: n_nationkey
+         |sql: $sql
+         |""".stripMargin
+    run(s, yaml("SELECT n_nationkey, n_name, n_regionkey FROM nation"))
+    val good = s.read.parquet(s"$base/out")
+    val goodCount = good.count()
+    // violating run: same target, planted null in a not_null column
+    val failed =
+      try { run(s, yaml(
+        "SELECT n_nationkey, CASE WHEN n_nationkey = 3 THEN NULL ELSE n_name END AS n_name, n_regionkey FROM nation")); false }
+      catch { case e: graft.config.ConfigError =>
+        require(e.getMessage.contains("not_null(n_name)"), s"wrong DQ error: ${e.getMessage}")
+        true }
+    require(failed, "violating run must fail its dq_checks")
+    require(s.read.parquet(s"$base/out").count() == goodCount,
+      "failed run must leave the previous output untouched")
+    good
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "fw_lifecycle" -> Q(fwLifecycle, Some(
       """SELECT r.r_name,
@@ -716,6 +759,8 @@ object Framework {
     "fw_stream" -> Q(fwStream, Some(
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_dq" -> Q(fwDq, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation")),
     "fw_sortby" -> Q(fwSortby, Some(
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents

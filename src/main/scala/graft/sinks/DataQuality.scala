@@ -1,0 +1,55 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.config.{ConfigError, DqChecks}
+
+/** Publish-guard evaluation of an output's `dq_checks:` — the declarative
+  * data-quality gate (the Glue Data Quality / Deequ capability the
+  * reference lacks). All declared checks evaluate in ONE aggregation pass
+  * over the result; any violation fails the job with a named error
+  * listing every failed check and its observed value, BEFORE the sink is
+  * touched — bad data never replaces good data (the A15 contract
+  * extended from "no partial output" to "no invalid output").
+  *
+  * Scale shape: one map-side-combinable global aggregate — a count, one
+  * conditional sum per not_null column, one count_distinct over the
+  * unique key — so the gate costs a single scan of the result. That scan
+  * is an EXTRA action before the write's own: callers whose result is
+  * expensive should persist it (or rely on a cheap source re-scan); the
+  * alternative — write first, audit after — publishes bad data before
+  * noticing, which is the failure mode this gate exists to prevent.
+  */
+object DataQuality {
+
+  /** Throws [[ConfigError]] naming every violated check. */
+  def enforce(df: DataFrame, checks: DqChecks, outName: String): Unit = {
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        checks.notNull.map(c =>
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
+        (if (checks.unique.nonEmpty)
+          Seq(count_distinct(struct(checks.unique.map(col): _*)).as("__distinct"))
+        else Nil)
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = row.getAs[Long]("__n")
+    val violations = Seq.newBuilder[String]
+    checks.minRows.filter(n < _).foreach(m =>
+      violations += s"min_rows: got $n rows, need >= $m")
+    checks.notNull.foreach { c =>
+      val nulls = row.getAs[Long](s"__null_$c")
+      if (nulls > 0) violations += s"not_null($c): $nulls null row(s)"
+    }
+    if (checks.unique.nonEmpty) {
+      val distinct = row.getAs[Long]("__distinct")
+      if (distinct != n)
+        violations += s"unique(${checks.unique.mkString(",")}): " +
+          s"$n rows but only $distinct distinct key(s)"
+    }
+    val v = violations.result()
+    if (v.nonEmpty) throw new ConfigError(
+      s"output '$outName': data-quality checks failed — ${v.mkString("; ")}")
+    graft.log.Log.info("data-quality checks passed",
+      "output" -> outName, "rows" -> n.toString)
+  }
+}

@@ -278,6 +278,52 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sort_by"))
   }
 
+  test("dq_checks parse; unknown/empty/negative and streaming fail at PARSE time") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table:
+        |  name: t
+        |  target: s3
+        |  location: /tmp/out
+        |  dq_checks:
+        |    min_rows: "10"
+        |    not_null: a, b
+        |    unique: k
+        |sql: SELECT 1
+        |""".stripMargin)
+    assert(job.outputTable.get.dqChecks.contains(
+      DqChecks(Some(10L), Seq("a", "b"), Seq("k"))))
+    def bad(block: String): ConfigError = intercept[ConfigError](ConfigParser.parse(
+      s"""job: {name: j, type: spark-sql}
+         |output_table:
+         |  name: t
+         |  target: s3
+         |  location: /tmp/out
+         |  dq_checks:
+         |$block
+         |sql: SELECT 1
+         |""".stripMargin))
+    assert(bad("    max_rows: \"5\"").getMessage.contains("max_rows"))
+    assert(bad("    {}").getMessage.contains("at least one"))
+    assert(bad("    min_rows: \"-1\"").getMessage.contains("non-negative"))
+    val e = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+        |input_tables:
+        |  - name: raw
+        |    source: s3
+        |    location: /tmp/in
+        |    schema: "a INT"
+        |output_table:
+        |  name: t
+        |  target: s3
+        |  location: /tmp/out
+        |  refresh: incremental
+        |  dq_checks: {min_rows: "1"}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(e.getMessage.contains("batch-only"))
+  }
+
   test("maintenance job parses; misconfiguration fails at PARSE time") {
     val job = ConfigParser.parse(
       """job: {name: j, type: maintenance}

@@ -81,6 +81,28 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
   }
 
+  test("data-quality gate: each check type violates with a named error") {
+    import graft.config.DqChecks
+    val df = Seq((1L, "a"), (2L, "b"), (2L, null.asInstanceOf[String])).toDF("k", "v")
+    // all three pass on clean data
+    DataQuality.enforce(Seq((1L, "a"), (2L, "b")).toDF("k", "v"),
+      DqChecks(Some(2L), Seq("k", "v"), Seq("k")), "t")
+    val e1 = intercept[graft.config.ConfigError](
+      DataQuality.enforce(df, DqChecks(minRows = Some(10L)), "t"))
+    assert(e1.getMessage.contains("min_rows") && e1.getMessage.contains("3"))
+    val e2 = intercept[graft.config.ConfigError](
+      DataQuality.enforce(df, DqChecks(notNull = Seq("v")), "t"))
+    assert(e2.getMessage.contains("not_null(v): 1"))
+    val e3 = intercept[graft.config.ConfigError](
+      DataQuality.enforce(df, DqChecks(unique = Seq("k")), "t"))
+    assert(e3.getMessage.contains("unique(k)") && e3.getMessage.contains("2 distinct"))
+    // several violations report together
+    val e4 = intercept[graft.config.ConfigError](
+      DataQuality.enforce(df, DqChecks(Some(10L), Seq("v"), Seq("k")), "t"))
+    assert(e4.getMessage.contains("min_rows") &&
+      e4.getMessage.contains("not_null") && e4.getMessage.contains("unique"))
+  }
+
   test("compact merges part-files, preserves content, and fails safe") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/cmp"
     (1 to 100).toDF("n").repartition(8).write.parquet(dir)
