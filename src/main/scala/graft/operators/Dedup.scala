@@ -498,8 +498,12 @@ object Dedup {
     * that is a small fraction of the token stream, and it never exceeds
     * the document's own length (the same bound as reading it). No global
     * sort, no all-pairs anything: cost is two passes over a narrow
-    * (doc_id, pos, hash) projection, which is what makes this the
-    * tractable stand-in for a distributed suffix array at 100 TB. */
+    * (doc_id, pos, hash) projection — re-derived from the scan each
+    * pass rather than persisted, the [[graft.operators.TextAnalysis.freqScore]] discipline: the
+    * projection is token-count-sized, strictly larger than the input
+    * text, and at 100 TB re-reading beats spilling a corpus-sized
+    * intermediate. This is the tractable stand-in for a distributed
+    * suffix array at that scale. */
   def dupSpans(docs: DataFrame, idCol: String, textCol: String,
                n: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -508,17 +512,15 @@ object Dedup {
         posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    graft.util.Caching.leased(grams) {
-      val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      val dup = grams.join(counts.filter(col("c") > 1), "h")
-        .select(col("doc_id"), col("pos"))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      dup.withColumn("grp", col("pos") - row_number().over(w))
-        .groupBy(col("doc_id"), col("grp"))
-        .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
-        .select(col("doc_id"), col("span_start"), col("n_windows"),
-          (col("n_windows") + lit(n - 1)).as("span_tokens"))
-    }
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val dup = grams.join(counts.filter(col("c") > 1), "h")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"), count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("n_windows"),
+        (col("n_windows") + lit(n - 1)).as("span_tokens"))
   }
 
   /** EXACT containment (asymmetric-Jaccard) join: every ordered pair

@@ -352,11 +352,14 @@ object TextAnalysis {
     * perplexity would drag in libm drift, and the arithmetic mean orders
     * documents just as well for filtering).
     *
-    * Scale shape: the [[freqScore]] two-pass discipline — bigram-keyed
+    * Scale shape: the [[freqScore]] multi-pass discipline — bigram-keyed
     * and first-word-keyed counts, both map-side combined to vocabulary-
     * sized tables; equality joins back (AQE splits hot function-word
     * keys); one map-side-combined per-doc aggregation. The staged bigram
-    * projection is leased-persisted across its three consumers. */
+    * projection is re-derived from the scan for each of its three
+    * consumers, NOT persisted: it is token-count-sized (larger than the
+    * input text), and at 100 TB re-reading beats spilling a corpus-sized
+    * intermediate. */
   def bigramLmScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val staged = docs.select(col(idCol).as("doc_id"),
       filter(words(col(textCol)), t => t =!= "").as("__w"))
@@ -367,17 +370,15 @@ object TextAnalysis {
             concat(element_at(w, i), lit(" "), element_at(w, i + 1)).as("bg"),
             element_at(w, i).as("w1")))).as("b"))
       .select(col("doc_id"), col("b.bg").as("bg"), col("b.w1").as("w1"))
-    graft.util.Caching.leased(pairs) {
-      val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
-      val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
-      pairs.join(c2, "bg").join(c1, "w1")
-        .select(col("doc_id"),
-          floor(col("n2").cast("double") / col("n1") * 1e6 + 0.5).cast("long").as("p_e6"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_cond_e6"))
-        .withColumn("mean_cond_e6",
-          floor(col("sum_cond_e6").cast("double") / col("n_bigrams") + 0.5).cast("long"))
-    }
+    val c2 = pairs.groupBy(col("bg")).agg(count(lit(1)).as("n2"))
+    val c1 = pairs.groupBy(col("w1")).agg(count(lit(1)).as("n1"))
+    pairs.join(c2, "bg").join(c1, "w1")
+      .select(col("doc_id"),
+        floor(col("n2").cast("double") / col("n1") * 1e6 + 0.5).cast("long").as("p_e6"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_e6")).as("sum_cond_e6"))
+      .withColumn("mean_cond_e6",
+        floor(col("sum_cond_e6").cast("double") / col("n_bigrams") + 0.5).cast("long"))
   }
 
   /** N-gram novelty: the fraction of a document's distinct word
