@@ -102,9 +102,11 @@ object JobType {
   case object Maintenance extends JobType
 }
 
-/** `maintenance:` block for `job.type: maintenance`. */
+/** `maintenance:` block for `job.type: maintenance`. `files` is the
+  * compact target; `output` is where profile writes its stats table. */
 final case class MaintenanceSpec(action: String, location: String,
-                                 format: String, files: Int,
+                                 format: String, files: Option[Int] = None,
+                                 output: Option[String] = None,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -348,18 +350,23 @@ object ConfigParser {
     val maintenance = root.get("maintenance").filter(_ != null).map { m =>
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
-      if (action != "compact") throw new ConfigError(
-        s"maintenance.action: unknown action '$action' (supported: compact)")
-      val files = str(t, "files").map(_.toInt).getOrElse(throw new ConfigError(
-        "maintenance.files (target part-file count) is required"))
-      if (files <= 0) throw new ConfigError(
-        s"maintenance.files must be positive, got $files")
+      if (!Set("compact", "profile")(action)) throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact, profile)")
+      val files = str(t, "files").map(_.toInt)
+      if (action == "compact" && files.isEmpty) throw new ConfigError(
+        "maintenance.files (target part-file count) is required for compact")
+      if (files.exists(_ <= 0)) throw new ConfigError(
+        s"maintenance.files must be positive, got ${files.get}")
+      val outLoc = str(t, "output")
+      if (action == "profile" && outLoc.isEmpty) throw new ConfigError(
+        "maintenance.output (stats table location) is required for profile")
       MaintenanceSpec(
         action = action,
         location = str(t, "location").getOrElse(throw new ConfigError(
           "maintenance.location is required")),
         format = str(t, "format").getOrElse("parquet").toLowerCase,
         files = files,
+        output = outLoc,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -170,12 +170,24 @@ object Engine {
         graft.script.ScriptRunner.run(spark, job, job.varsFor(pipeline) ++ extraVars); None
       case JobType.Maintenance =>
         val vars = job.varsFor(pipeline) ++ extraVars + ("pipeline_name" -> pipeline)
-        val m = job.maintenance.get // parser guarantees presence
+        val m = job.maintenance.get // parser guarantees presence + per-action fields
         val location = Interpolate(m.location, vars)
-        graft.log.Log.info("compacting target",
-          "location" -> location, "files" -> m.files.toString)
-        Sinks.compact(spark, location, m.format, m.files, m.options)
-        None
+        m.action match {
+          case "compact" =>
+            graft.log.Log.info("compacting target",
+              "location" -> location, "files" -> m.files.get.toString)
+            Sinks.compact(spark, location, m.format, m.files.get, m.options)
+            None
+          case "profile" =>
+            val output = Interpolate(m.output.get, vars)
+            graft.log.Log.info("profiling target",
+              "location" -> location, "output" -> output)
+            val stats = graft.sinks.DataQuality.profile(
+              spark.read.format(m.format)
+                .options(graft.sources.Sources.mapOptions(m.options)).load(location))
+            stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(output)
+            Some(stats)
+        }
     }
 
   /** A18: apply job.spark_config before use (builder passthrough). */

@@ -700,6 +700,26 @@ object Framework {
     good
   }
 
+  /** Column-profiling maintenance job (beyond-reference; the Glue-crawler
+    * statistics pass): `maintenance.action: profile` reads the target,
+    * computes per-column stats in one aggregation, writes the stats
+    * table, and the oracle recomputes every statistic per column. */
+  private def fwProfile(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "profile")
+    rmrf(s, base)
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-profile
+         |  type: maintenance
+         |maintenance:
+         |  action: profile
+         |  location: $d/nation.parquet
+         |  output: $base/stats
+         |""".stripMargin)
+    Engine.run(s, job, "default")
+    s.read.parquet(s"$base/stats")
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "fw_lifecycle" -> Q(fwLifecycle, Some(
       """SELECT r.r_name,
@@ -761,6 +781,25 @@ object Framework {
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
     "fw_dq" -> Q(fwDq, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+    "fw_profile" -> Q(fwProfile, Some(
+      """SELECT 'n_nationkey' AS col_name, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT n_nationkey) AS BIGINT) AS n_distinct,
+        |       CAST(min(n_nationkey) AS VARCHAR) AS min_value,
+        |       CAST(max(n_nationkey) AS VARCHAR) AS max_value
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_name', count(*),
+        |       CAST(sum(CASE WHEN n_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT n_name) AS BIGINT),
+        |       CAST(min(n_name) AS VARCHAR), CAST(max(n_name) AS VARCHAR)
+        |FROM nation
+        |UNION ALL
+        |SELECT 'n_regionkey', count(*),
+        |       CAST(sum(CASE WHEN n_regionkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(count(DISTINCT n_regionkey) AS BIGINT),
+        |       CAST(min(n_regionkey) AS VARCHAR), CAST(max(n_regionkey) AS VARCHAR)
+        |FROM nation""".stripMargin)),
     "fw_sortby" -> Q(fwSortby, Some(
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents

@@ -22,6 +22,35 @@ import graft.config.{ConfigError, DqChecks}
   */
 object DataQuality {
 
+  /** Column-statistics profile of a frame — the crawler/catalog-stats
+    * pass (`maintenance.action: profile`): one row per column with row
+    * count, null count, exact distinct count, and min/max rendered as
+    * strings. ONE aggregation pass computes every statistic (all
+    * map-side combinable; distinct-count state is O(distinct values) per
+    * column — swap in approx_count_distinct for unbounded-cardinality
+    * columns at extreme scale), then a single-row explode melts the wide
+    * result into the narrow stats table. No collect: the melt is a plan
+    * transform, not a driver loop. */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    require(fields.nonEmpty, "profile: frame has no columns")
+    val aggs = fields.flatMap { f => Seq(
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+      count_distinct(col(f.name)).as(s"__nd_${f.name}"),
+      min(col(f.name)).cast("string").as(s"__mn_${f.name}"),
+      max(col(f.name)).cast("string").as(s"__mx_${f.name}"))
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.map { f =>
+        struct(lit(f.name).as("col_name"), col("__n").as("n_rows"),
+          col(s"__nn_${f.name}").as("n_nulls"),
+          col(s"__nd_${f.name}").as("n_distinct"),
+          col(s"__mn_${f.name}").as("min_value"),
+          col(s"__mx_${f.name}").as("max_value"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Throws [[ConfigError]] naming every violated check. */
   def enforce(df: DataFrame, checks: DqChecks, outName: String): Unit = {
     val aggs =

@@ -333,7 +333,19 @@ class ConfigParserSpec extends AnyFunSuite {
         |""".stripMargin)
     assert(job.jobType == JobType.Maintenance)
     assert(job.maintenance.contains(
-      MaintenanceSpec("compact", "/tmp/t", "parquet", 4)))
+      MaintenanceSpec("compact", "/tmp/t", "parquet", Some(4))))
+    // profile action parses; output is required for it
+    val pj = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: profile, location: /tmp/t, output: /tmp/stats}
+        |""".stripMargin)
+    assert(pj.maintenance.contains(
+      MaintenanceSpec("profile", "/tmp/t", "parquet", None, Some("/tmp/stats"))))
+    val ep = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: profile, location: /tmp/t}
+        |""".stripMargin))
+    assert(ep.getMessage.contains("output"))
     // type maintenance without the block
     val e1 = intercept[ConfigError](ConfigParser.parse(
       "job: {name: j, type: maintenance}\n"))

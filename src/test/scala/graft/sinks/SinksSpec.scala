@@ -103,6 +103,17 @@ class SinksSpec extends SparkSpec {
       e4.getMessage.contains("not_null") && e4.getMessage.contains("unique"))
   }
 
+  test("profile: per-column stats with planted nulls and duplicates") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None))
+      .toDF("k", "v")
+    val r = DataQuality.profile(df).collect()
+      .map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4), x.getString(5)))).toMap
+    assert(r("k") == ((3L, 0L, 3L, "1", "3")))
+    assert(r("v") == ((3L, 1L, 1L, "a", "a"))) // null excluded from distinct/min/max
+    assert(r.size == 2)
+  }
+
   test("compact merges part-files, preserves content, and fails safe") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/cmp"
     (1 to 100).toDF("n").repartition(8).write.parquet(dir)
