@@ -76,6 +76,12 @@ object Bench {
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
+      // Per-run times to stderr (the driver parses stdout only): when a
+      // median trips the 2x gate, this shows whether one run was cold or
+      // the whole distribution shifted — the difference between noise and
+      // a regression, which round 3 proved a single number can't convey.
+      System.err.println(
+        f"[bench] $name median=$median%.3f runs=${times.map(t => f"$t%.3f").mkString(",")}")
       name -> median
     }
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
