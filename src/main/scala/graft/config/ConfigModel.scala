@@ -103,10 +103,14 @@ object JobType {
 }
 
 /** `maintenance:` block for `job.type: maintenance`. `files` is the
-  * compact target; `output` is where profile writes its stats table. */
+  * compact target; `output` is where profile writes its stats table;
+  * `partitionCol`/`keepFrom` drive retain (drop partitions whose value
+  * sorts below the threshold). */
 final case class MaintenanceSpec(action: String, location: String,
                                  format: String, files: Option[Int] = None,
                                  output: Option[String] = None,
+                                 partitionCol: Option[String] = None,
+                                 keepFrom: Option[String] = None,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -350,8 +354,8 @@ object ConfigParser {
     val maintenance = root.get("maintenance").filter(_ != null).map { m =>
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
-      if (!Set("compact", "profile")(action)) throw new ConfigError(
-        s"maintenance.action: unknown action '$action' (supported: compact, profile)")
+      if (!Set("compact", "profile", "retain")(action)) throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -360,6 +364,12 @@ object ConfigParser {
       val outLoc = str(t, "output")
       if (action == "profile" && outLoc.isEmpty) throw new ConfigError(
         "maintenance.output (stats table location) is required for profile")
+      val partCol = str(t, "partition_col")
+      val keepFrom = str(t, "keep_from")
+      if (action == "retain" && partCol.isEmpty) throw new ConfigError(
+        "maintenance.partition_col (the partition key to expire by) is required for retain")
+      if (action == "retain" && keepFrom.isEmpty) throw new ConfigError(
+        "maintenance.keep_from (partitions below this value are dropped) is required for retain")
       MaintenanceSpec(
         action = action,
         location = str(t, "location").getOrElse(throw new ConfigError(
@@ -367,6 +377,8 @@ object ConfigParser {
         format = str(t, "format").getOrElse("parquet").toLowerCase,
         files = files,
         output = outLoc,
+        partitionCol = partCol,
+        keepFrom = keepFrom,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -187,6 +187,13 @@ object Engine {
                 .options(graft.sources.Sources.mapOptions(m.options)).load(location))
             stats.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(output)
             Some(stats)
+          case "retain" =>
+            val keepFrom = Interpolate(m.keepFrom.get, vars)
+            val dropped = Sinks.retain(spark, location, m.partitionCol.get, keepFrom)
+            graft.log.Log.info("retention applied", "location" -> location,
+              "partition_col" -> m.partitionCol.get, "keep_from" -> keepFrom,
+              "dropped" -> dropped.mkString(","))
+            None
         }
     }
 

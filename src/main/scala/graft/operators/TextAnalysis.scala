@@ -194,6 +194,65 @@ object TextAnalysis {
     }
   }
 
+  /** Sparse lexical TF-IDF retrieval: the top-k corpus documents per
+    * query document, scored by the inverted-index dot product
+    * Σ_t tf_q(t) · tf_d(t) · idf(t) — similarity search with no learned
+    * embedding, the BM25-family baseline every retrieval stack starts
+    * from. idf is the raw rarity ratio N/df floored to micro-units
+    * (`floor(1e6·N/df + 0.5)`): one correctly-rounded IEEE division per
+    * TERM (not per row), then every per-pair contribution and the final
+    * score are exact INTEGER products/sums — no ln(), no float
+    * accumulation, so any engine replays the ranking bit-for-bit.
+    * Ranks break ties by doc_id, making the top-k cut total.
+    *
+    * Scale shape: everything narrows to the query vocabulary BEFORE it
+    * touches corpus-sized data — df is counted only for query tokens
+    * (semi-restricted by a broadcast of the tiny query-token set, never
+    * a vocab-wide aggregate-and-join), the corpus doc count is a
+    * broadcast single row, and the probe is ONE broadcast hash join of
+    * the per-(query, token) weight table against the corpus
+    * term-frequency stream. The corpus tf table is built once with
+    * map-side combine and leased across its three consumers (df, N,
+    * probe — the [[topTerms]] discipline). The query side is tiny by
+    * construction (queries ≪ corpus — the
+    * [[graft.operators.Similarity.cosineTopK]] regime); the per-query
+    * top-k is a rank-filtered window that plans as WindowGroupLimit —
+    * partial limits before the shuffle, never a global sort. Long
+    * arithmetic is overflow-safe while tf_q·tf_d·1e6·N/df < 2^63 — at
+    * web scale rare terms (large N/df) have tf ≈ 1, and ANSI mode turns
+    * any residual overflow into an error rather than a silent wrap. */
+  def tfidfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                textCol: String, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def tf(df: DataFrame, out: String, cnt: String) =
+      df.select(col(idCol).as(out),
+          explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+        .groupBy(col(out), col("token")).agg(count(lit(1)).as(cnt))
+    val tfC = tf(corpus, "doc_id", "tf_d")
+    val tfQ = tf(queries, "q_id", "tf_q")
+    graft.util.Caching.leased(tfC) {
+      val qTokens = tfQ.select(col("token")).distinct()
+      val dfreq = tfC.join(broadcast(qTokens), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = tfC.agg(countDistinct(col("doc_id")).as("n_docs"))
+      // per-(query, token) weight: tf_q · idf_e6 — query-vocab-sized
+      val qWeights = tfQ.join(dfreq, "token").crossJoin(broadcast(nDocs))
+        .select(col("token"), col("q_id"),
+          (col("tf_q") *
+            floor(lit(1e6) * col("n_docs").cast("double") / col("df").cast("double") + 0.5)
+              .cast("long")).as("w_e6"))
+      tfC.join(broadcast(qWeights), "token")
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("tf_d") * col("w_e6")).as("score_e6"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e6").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("doc_id"), col("score_e6"), col("n_terms"), col("rnk"))
+    }
+  }
+
   /** Pretraining sequence packing: assign every document a position in a
     * fixed-size token-sequence layout (`seqTokens` tokens per training
     * sequence, documents packed back-to-back in doc_id order, split

@@ -635,6 +635,47 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
              |FROM filled GROUP BY doc_id""".stripMargin)),
 
+    // sparse lexical TF-IDF retrieval: top-5 corpus docs per query doc
+    // (queries = doc_id % 50 = 0, corpus = the rest) by the inverted-
+    // index dot product with micro-floored integer idf — similarity
+    // search with no learned embedding, exactly replayable cross-engine.
+    "ext44_tfidf_topk" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.tfidfTopK(
+          all.filter(col("doc_id") % 50 =!= 0),
+          all.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), cc AS (
+             |  SELECT * FROM tf WHERE doc_id % 50 <> 0
+             |), qq AS (
+             |  SELECT doc_id AS q_id, token, c AS tf_q FROM tf WHERE doc_id % 50 = 0
+             |), dfreq AS (
+             |  SELECT token, count(*) AS df FROM cc GROUP BY token
+             |), n AS (
+             |  SELECT count(DISTINCT doc_id) AS n_docs FROM cc
+             |), idf AS (
+             |  SELECT token, CAST(floor(1000000.0 * n.n_docs / df + 0.5) AS BIGINT) AS idf_e6
+             |  FROM dfreq CROSS JOIN n
+             |), sc AS (
+             |  SELECT qq.q_id, cc.doc_id,
+             |         CAST(sum(qq.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6,
+             |         count(*) AS n_terms
+             |  FROM qq JOIN cc USING (token) JOIN idf ON idf.token = qq.token
+             |  GROUP BY 1, 2
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |                               ORDER BY score_e6 DESC, doc_id) AS rnk
+             |  FROM sc
+             |)
+             |SELECT q_id, doc_id, score_e6, n_terms, rnk FROM r WHERE rnk <= 5""".stripMargin)),
+
     // bigram-LM document score (KenLM-filter analog): mean corpus
     // conditional probability of the doc's adjacent bigrams — per-bigram
     // IEEE division floored to micros, then integer sum/mean, so the

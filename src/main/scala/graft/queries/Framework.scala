@@ -720,6 +720,40 @@ object Framework {
     s.read.parquet(s"$base/stats")
   }
 
+  /** Partition-retention maintenance job (beyond-reference; the lake
+    * housekeeping pass): stage orders partitioned by priority, expire
+    * everything below '3' through the YAML engine path (run TWICE —
+    * retention must be idempotent), and return the survivors. The
+    * '4-NOT SPECIFIED' partition exercises the URL-encoded directory
+    * name (space -> %20) on both the drop-compare and read-back sides. */
+  private def fwRetention(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "retention")
+    rmrf(s, base)
+    s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("price_cents"),
+        col("o_orderpriority"))
+      .write.partitionBy("o_orderpriority").parquet(s"$base/t")
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-retention
+         |  type: maintenance
+         |variables:
+         |  default:
+         |    cutoff: "3"
+         |maintenance:
+         |  action: retain
+         |  location: $base/t
+         |  partition_col: o_orderpriority
+         |  keep_from: "{cutoff}"
+         |""".stripMargin)
+    Engine.run(s, job, "default")
+    Engine.run(s, job, "default") // idempotent: second pass drops nothing
+    s.read.parquet(s"$base/t")
+      .select(col("o_orderkey"), col("o_custkey"), col("price_cents"),
+        col("o_orderpriority"))
+  }
+
   val all: Seq[(String, Q)] = Seq(
     "fw_lifecycle" -> Q(fwLifecycle, Some(
       """SELECT r.r_name,
@@ -804,6 +838,11 @@ object Framework {
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin)),
+    "fw_retention" -> Q(fwRetention, Some(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderpriority >= '3'""".stripMargin)),
     "fw_compact" -> Q(fwCompact, Some(
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents

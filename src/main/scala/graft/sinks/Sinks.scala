@@ -177,6 +177,49 @@ object Sinks {
       throw new java.io.IOException(s"compact: rename $staging -> $target failed")
   }
 
+  /** Partition-retention maintenance — the housekeeping twin of
+    * [[compact]]: drop every `partitionCol=value` directory whose
+    * (URL-decoded) value sorts lexicographically below `keepFrom`, the
+    * `ALTER TABLE DROP PARTITION` of a path-partitioned lake table. For
+    * ISO dates/timestamps — the usual retention key — lexicographic IS
+    * chronological, so `keep_from: "2025-01-01"` expires everything
+    * older.
+    *
+    * Scale shape: pure NAMESPACE operation — list the partition dirs,
+    * delete the expired ones. Zero data read, zero rewrite, cost
+    * proportional to partition count, not table bytes; this is the only
+    * retention shape that works on a 100 TB table (filter-and-rewrite
+    * would copy 99 weeks to expire one). Each directory delete is
+    * all-or-nothing per partition and the pass is idempotent, so a crash
+    * midway leaves extra-but-whole partitions that a rerun removes.
+    * The null partition (`__HIVE_DEFAULT_PARTITION__`) is always KEPT:
+    * rows with no retention-key value have no age to compare, and
+    * silently deleting them is the wrong default for a destructive op.
+    *
+    * Returns the dropped partition-directory names (for logging/audit). */
+  def retain(spark: SparkSession, location: String, partitionCol: String,
+             keepFrom: String): Seq[String] = {
+    val target = new org.apache.hadoop.fs.Path(location)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) throw new graft.config.ConfigError(
+      s"retain: target '$location' does not exist")
+    val prefix = s"$partitionCol="
+    val parts = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+    if (parts.isEmpty) throw new graft.config.ConfigError(
+      s"retain: no '$prefix*' partition directories under '$location' " +
+        "(wrong partition_col, or the table is not partitioned by path)")
+    val dropped = parts.filter { p =>
+      // Spark URL-encodes partition values on write (space -> %20);
+      // compare the decoded value, the same string a reader sees.
+      val v = java.net.URLDecoder.decode(p.getName.stripPrefix(prefix), "UTF-8")
+      v != "__HIVE_DEFAULT_PARTITION__" && v < keepFrom
+    }
+    dropped.foreach(p => fs.delete(p, true))
+    dropped.map(_.getName).toSeq
+  }
+
   private def runCatalog(spark: SparkSession, data: DataFrame, out: OutputTable,
                          database: String, governed: Boolean): Unit = {
     // A14 catalog sink; `governed` (A15, Lake Formation transactions)

@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     // is one row is O(stream) at any scale — it is how a scalar reaches
     // every row without a window or a second scan.
     "ext28_collocations" -> "single-row total broadcast (scalar normalizer)",
-    "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)"
+    "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
+    "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)"
   )
 
   /** Operators that execute at construction time (not lazily planable). */

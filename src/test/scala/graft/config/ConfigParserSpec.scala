@@ -373,5 +373,22 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {location: /tmp/t, files: "0"}
         |""".stripMargin))
     assert(e5.getMessage.contains("positive"))
+    // retain parses with its two required keys; each is enforced
+    val rj = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: retain, location: /tmp/t, partition_col: d, keep_from: "2025-01-01"}
+        |""".stripMargin)
+    assert(rj.maintenance.contains(MaintenanceSpec("retain", "/tmp/t", "parquet",
+      None, None, Some("d"), Some("2025-01-01"))))
+    val e6 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: retain, location: /tmp/t, keep_from: "x"}
+        |""".stripMargin))
+    assert(e6.getMessage.contains("partition_col"))
+    val e7 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: retain, location: /tmp/t, partition_col: d}
+        |""".stripMargin))
+    assert(e7.getMessage.contains("keep_from"))
   }
 }

@@ -258,4 +258,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!r.contains(2L)) // whitespace-only doc has no tokens
     assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
   }
+
+  test("tfidfTopK: hand-computed integer scores, rank cut, doc_id tie-break") {
+    val corpus = Seq(
+      (10L, "apple banana apple"),         // apple tf 2
+      (11L, "banana cherry"),
+      (12L, "cherry cherry cherry date"),  // cherry tf 3
+      (20L, "kiwi"),
+      (21L, "kiwi")                        // tie partner for q98
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (99L, "apple cherry"),
+      (98L, "kiwi zebra")                  // zebra absent from the corpus
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidfTopK(corpus, queries, "doc_id", "text", k = 2)
+      .collect()
+      .map(x => (x.getLong(0), x.getAs[Int]("rnk")) ->
+        ((x.getLong(1), x.getAs[Long]("score_e6"), x.getAs[Long]("n_terms"))))
+      .toMap
+    // N=5; idf_e6: apple 5e6/1, cherry 5e6/2, kiwi 5e6/2
+    assert(r((99L, 1)) == ((10L, 10000000L, 1L))) // 1*2*5e6
+    assert(r((99L, 2)) == ((12L, 7500000L, 1L)))  // 1*3*2.5e6; doc 11 (2.5e6) cut
+    // kiwi tie 2.5e6 each -> lower doc_id ranks first; zebra contributes 0
+    assert(r((98L, 1)) == ((20L, 2500000L, 1L)))
+    assert(r((98L, 2)) == ((21L, 2500000L, 1L)))
+    assert(r.size == 4)
+  }
 }

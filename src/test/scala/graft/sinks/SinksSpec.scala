@@ -132,6 +132,28 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("does not exist"))
   }
 
+  test("retain drops expired partitions by decoded value, keeps null partition") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/ret"
+    Seq(("2024-12-31", 1), ("2025-01-01", 2), ("2025-02-01", 3),
+        ("with space", 4), (null: String, 5))
+      .toDF("d", "v").write.partitionBy("d").parquet(dir)
+    val dropped = Sinks.retain(spark, dir, "d", keepFrom = "2025-01-01")
+    assert(dropped.toSet == Set("d=2024-12-31"))
+    // URL-encoded dir ('with space' -> with%20space) compared decoded:
+    // 'w...' >= '2025...' so it survives; null partition always survives
+    val back = spark.read.parquet(dir).collect()
+      .map(x => Option(x.getAs[String]("d")) -> x.getAs[Int]("v")).toMap
+    assert(back == Map(Some("2025-01-01") -> 2, Some("2025-02-01") -> 3,
+      Some("with space") -> 4, None -> 5))
+    // idempotent: a second pass drops nothing
+    assert(Sinks.retain(spark, dir, "d", "2025-01-01").isEmpty)
+    // missing target and wrong partition column are named errors
+    assert(intercept[graft.config.ConfigError](
+      Sinks.retain(spark, dir + "-missing", "d", "x")).getMessage.contains("does not exist"))
+    assert(intercept[graft.config.ConfigError](
+      Sinks.retain(spark, dir, "nope", "x")).getMessage.contains("partition directories"))
+  }
+
   test("dynamic partition overwrite touches only result partitions") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
     val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))
