@@ -515,4 +515,37 @@ object Similarity {
             lit(0L), (acc, y) => acc + y).cast("string")
         }: _*).as("sketch_e6_csv"))
   }
+
+  /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): merge any number
+    * of per-query ranked candidate lists into one hybrid ranking by
+    * score(d) = Σ_lists 1/(c + rank_list(d)) — the standard way a
+    * retrieval stack combines lexical (BM25/TF-IDF) and embedding
+    * rankings without comparable scores. Each contribution is floored to
+    * micro-units (`floor(1e6/(c+rank) + 0.5)`: one IEEE division by a
+    * small integer, then exact INTEGER sums), so the fused ranking — and
+    * its (rrf_e6 DESC, doc_id) tie-break — replays bit-for-bit in any
+    * engine. `n_lists` reports how many lists surfaced the doc.
+    *
+    * Scale shape: inputs are already top-k lists — queries × k rows,
+    * tiny next to the corpora the upstream retrievals scanned — so
+    * fusion is one (query, doc)-keyed map-side-combined aggregate plus a
+    * rank-filtered window that plans as WindowGroupLimit. All the
+    * 100 TB weight stays in the upstream operators
+    * ([[graft.operators.TextAnalysis.tfidfTopK]], [[cosineTopK]] /
+    * [[annTopK]]), which this composes without re-touching the corpus. */
+  def rrfFuse(lists: Seq[DataFrame], qCol: String, idCol: String,
+              rankCol: String, k: Int, c: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(k > 0 && c >= 0, "k must be positive and c non-negative")
+    val tagged = lists.map(_.select(col(qCol).as("q_id"), col(idCol).as("doc_id"),
+      floor(lit(1e6) / (lit(c) + col(rankCol)).cast("double") + 0.5)
+        .cast("long").as("contrib_e6")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("rrf_e6"), count(lit(1)).as("n_lists"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf_e6").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("rrf_e6"), col("n_lists"), col("rnk"))
+  }
 }

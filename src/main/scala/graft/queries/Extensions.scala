@@ -609,6 +609,77 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // hybrid retrieval: reciprocal-rank fusion of the lexical TF-IDF
+    // top-20 (ext44's machinery) with the embedding cosine top-20
+    // (ext05's) — the standard two-tower search stack. Queries without
+    // an embedding (most docs at sf0.1) fuse the lexical list alone;
+    // every contribution is a micro-floored integer, so the fused
+    // ranking replays exactly.
+    "ext46_hybrid_retrieval" -> Q(
+      (s, d) => {
+        val dd = docs(s, d); val ee = emb(s, d)
+        val lex = TextAnalysis.tfidfTopK(
+          dd.filter(col("doc_id") % 50 =!= 0), dd.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 20)
+          .select(col("q_id"), col("doc_id"), col("rnk"))
+        val sem = Similarity.cosineTopK(
+          ee.filter(col("vec_id") % 50 =!= 0), ee.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 20)
+          .select(col("qid").as("q_id"), col("nid").as("doc_id"), col("rnk"))
+        Similarity.rrfFuse(Seq(lex, sem), "q_id", "doc_id", "rnk", k = 10)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), cc AS (
+             |  SELECT * FROM tf WHERE doc_id % 50 <> 0
+             |), qq AS (
+             |  SELECT doc_id AS q_id, token, c AS tf_q FROM tf WHERE doc_id % 50 = 0
+             |), dfreq AS (
+             |  SELECT token, count(*) AS df FROM cc GROUP BY token
+             |), n AS (
+             |  SELECT count(DISTINCT doc_id) AS n_docs FROM cc
+             |), idf AS (
+             |  SELECT token, CAST(floor(1000000.0 * n.n_docs / df + 0.5) AS BIGINT) AS idf_e6
+             |  FROM dfreq CROSS JOIN n
+             |), lexsc AS (
+             |  SELECT qq.q_id, cc.doc_id,
+             |         CAST(sum(qq.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6
+             |  FROM qq JOIN cc USING (token) JOIN idf ON idf.token = qq.token
+             |  GROUP BY 1, 2
+             |), lexr AS (
+             |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             |           ORDER BY score_e6 DESC, doc_id) AS rnk
+             |  FROM lexsc
+             |), sim AS (
+             |  SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+             |         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings q JOIN embeddings e
+             |    ON q.vec_id % 50 = 0 AND e.vec_id % 50 <> 0
+             |), semr AS (
+             |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
+             |           ORDER BY cosine DESC, doc_id) AS rnk
+             |  FROM sim
+             |), uni AS (
+             |  SELECT q_id, doc_id,
+             |         CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT) AS contrib
+             |  FROM lexr WHERE rnk <= 20
+             |  UNION ALL
+             |  SELECT q_id, doc_id,
+             |         CAST(floor(1000000.0 / (60 + rnk) + 0.5) AS BIGINT)
+             |  FROM semr WHERE rnk <= 20
+             |), fused AS (
+             |  SELECT q_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e6,
+             |         count(*) AS n_lists
+             |  FROM uni GROUP BY 1, 2
+             |)
+             |SELECT q_id, doc_id, rrf_e6, n_lists, rnk FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |           ORDER BY rrf_e6 DESC, doc_id) AS rnk
+             |  FROM fused) WHERE rnk <= 10""".stripMargin)),
+
     // feature-hashing document vectors: md5-bucketed token histograms —
     // the model-free lexical embedding every doc gets; exact integer
     // counts, dense csv, fully oracle-replayable.

@@ -39,7 +39,11 @@ class PlanAuditSpec extends SparkSpec {
     // every row without a window or a second scan.
     "ext28_collocations" -> "single-row total broadcast (scalar normalizer)",
     "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
-    "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)"
+    "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)",
+    // composes ext05's exact cosine baseline (broadcast small query
+    // side) and ext44's scalar normalizer; the fusion itself adds no
+    // product — the scale path swaps in annTopK for the semantic leg.
+    "ext46_hybrid_retrieval" -> "inherits ext05 + ext44 documented shapes"
   )
 
   /** Operators that execute at construction time (not lazily planable). */

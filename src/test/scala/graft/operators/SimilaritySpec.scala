@@ -236,4 +236,24 @@ class SimilaritySpec extends SparkSpec {
       assert(exactScores.get(k).forall(_ == c), s"score drift for $k")
     }
   }
+
+  test("rrfFuse: micro-integer contributions, single-list docs, tie-break") {
+    import spark.implicits._
+    // floor(1e6/61 + 0.5) = 16393, floor(1e6/62 + 0.5) = 16129
+    val lex = Seq(("q1", "a", 1), ("q1", "b", 2),
+                  ("q2", "x", 1), ("q2", "y", 2)).toDF("q", "id", "rnk")
+    val sem = Seq(("q1", "b", 1), ("q1", "c", 2),
+                  ("q2", "y", 1), ("q2", "x", 2)).toDF("q", "id", "rnk")
+    val r = Similarity.rrfFuse(Seq(lex, sem), "q", "id", "rnk", k = 2)
+      .collect()
+      .map(x => (x.getString(0), x.getAs[Int]("rnk")) ->
+        ((x.getString(1), x.getAs[Long]("rrf_e6"), x.getAs[Long]("n_lists"))))
+      .toMap
+    assert(r(("q1", 1)) == (("b", 32522L, 2L))) // both lists
+    assert(r(("q1", 2)) == (("a", 16393L, 1L))) // lex only; c (16129) cut at k=2
+    // q2: x and y tie at 32522 -> doc-id tie-break, x first
+    assert(r(("q2", 1)) == (("x", 32522L, 2L)))
+    assert(r(("q2", 2)) == (("y", 32522L, 2L)))
+    assert(r.size == 4)
+  }
 }
