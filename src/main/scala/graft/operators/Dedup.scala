@@ -46,13 +46,17 @@ object Dedup {
   /** Normalized-content fingerprint dedup: lowercase, strip non-alnum,
     * collapse whitespace, then hash — catches trivially-reformatted
     * duplicates that byte-exact dedup misses. */
-  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val normalized = trim(regexp_replace(
-      regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
-    docs.select(md5(encode(normalized, "UTF-8")).as("fingerprint"), col(idCol))
+  /** The normalized-content md5 used by [[fingerprint]]/[[contaminated]]
+    * — exposed so composites ([[graft.operators.TextAnalysis.corpusReport]])
+    * share one definition. */
+  def fingerprintCol(textCol: Column): Column =
+    md5(encode(trim(regexp_replace(
+      regexp_replace(lower(textCol), "[^a-z0-9\\s]", ""), "\\s+", " ")), "UTF-8"))
+
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(fingerprintCol(col(textCol)).as("fingerprint"), col(idCol))
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
-  }
 
   /** Benchmark decontamination: training docs whose normalized-content
     * fingerprint (same normalization as [[fingerprint]]) also appears in
@@ -66,11 +70,8 @@ object Dedup {
     * side streams through scan → project → probe with no pair blowup. */
   def contaminated(train: DataFrame, bench: DataFrame,
                    idCol: String, textCol: String): DataFrame = {
-    def fp(df: DataFrame) = {
-      val normalized = trim(regexp_replace(
-        regexp_replace(lower(col(textCol)), "[^a-z0-9\\s]", ""), "\\s+", " "))
-      df.select(col(idCol), md5(encode(normalized, "UTF-8")).as("fingerprint"))
-    }
+    def fp(df: DataFrame) =
+      df.select(col(idCol), fingerprintCol(col(textCol)).as("fingerprint"))
     fp(train).join(fp(bench).select(col("fingerprint")).distinct(),
       Seq("fingerprint"), "left_semi")
   }

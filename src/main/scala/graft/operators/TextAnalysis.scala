@@ -130,15 +130,20 @@ object TextAnalysis {
                    maxDupWordFrac: Double = 0.5,
                    maxDupBigramFrac: Double = 0.1,
                    minMeanWordLen: Double = 3.0,
-                   maxMeanWordLen: Double = 10.0): DataFrame = {
+                   maxMeanWordLen: Double = 10.0,
+                   carry: Seq[String] = Nil): DataFrame = {
     def e6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
     // Stage the tokenization ONCE per row: inlining `w` into every signal
     // would re-run the regex split ~15× per document (each column and its
     // guards re-evaluates the chain — measured 14× slower at sf0.1).
     // CollapseProject keeps the stage because a non-cheap expression
     // consumed multiple times is never re-inlined (SPARK-36718).
-    val staged = docs.select(col(idCol).as("doc_id"),
-      filter(words(col(textCol)), t => t =!= "").as("__w"))
+    // `carry` columns ride along untouched (a consumer like
+    // [[corpusReport]] needs the source label without a corpus-sized
+    // join back on doc_id).
+    val staged = docs.select(col(idCol).as("doc_id") +:
+      filter(words(col(textCol)), t => t =!= "").as("__w") +:
+      carry.map(col): _*)
     val w = col("__w")
     val n = size(w)
     val nd = size(array_distinct(w))
@@ -153,15 +158,53 @@ object TextAnalysis {
       when(den > 0, floor(num.cast("double") / den.cast("double") * 1e6 + 0.5))
         .otherwise(0L).cast("long")
     staged.select(
-        col("doc_id"), n.as("n_words"),
-        microRatio(n - nd, n).as("dup_word_frac_e6"),
-        microRatio(nb - ndb, nb).as("dup_bigram_frac_e6"),
-        microRatio(sumLen, n).as("mean_word_len_e6"))
+        col("doc_id") +: n.as("n_words") +:
+        microRatio(n - nd, n).as("dup_word_frac_e6") +:
+        microRatio(nb - ndb, nb).as("dup_bigram_frac_e6") +:
+        microRatio(sumLen, n).as("mean_word_len_e6") +:
+        carry.map(col): _*)
       .withColumn("keep",
         col("n_words").between(minWords, maxWords) &&
           col("dup_word_frac_e6") <= e6(maxDupWordFrac) &&
           col("dup_bigram_frac_e6") <= e6(maxDupBigramFrac) &&
           col("mean_word_len_e6").between(e6(minMeanWordLen), e6(maxMeanWordLen)))
+  }
+
+  /** Per-source corpus data card — the health report a corpus ships
+    * with: document/token counts, the [[qualityRules]] keep rate, and
+    * the CORPUS-WIDE exact-duplicate rate (a doc counts as duplicated
+    * if its normalized fingerprint appears anywhere in the corpus, so
+    * cross-source copies show up in BOTH sources' rows — the signal
+    * that tells you which source is a mirror of which).
+    *
+    * Scale shape: one narrow per-doc projection (quality signals with
+    * the source label and fingerprint carried — no corpus-sized join
+    * back on doc_id), leased across its two consumers; a
+    * fingerprint-keyed count with map-side combine; one equality join
+    * on the fingerprint; a per-source rollup whose state is one row per
+    * source. Ratios are micro-floored after integer sums — exactly
+    * replayable. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String): DataFrame = {
+    val per = qualityRules(
+        docs.withColumn("__fp", graft.operators.Dedup.fingerprintCol(col(textCol))),
+        idCol, textCol, carry = Seq(sourceCol, "__fp"))
+      .select(col(sourceCol), col("__fp"), col("n_words"), col("keep"))
+    graft.util.Caching.leased(per) {
+      val fpCounts = per.groupBy(col("__fp")).agg(count(lit(1)).as("__nc"))
+      def ratioE6(num: Column, den: Column): Column =
+        floor(num.cast("double") / den.cast("double") * 1e6 + 0.5).cast("long")
+      per.join(fpCounts, "__fp")
+        .groupBy(col(sourceCol).as("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality_keep"),
+          sum(when(col("__nc") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_quality_keep"), col("n_exact_dup"),
+          ratioE6(col("n_tokens"), col("n_docs")).as("mean_tokens_e6"),
+          ratioE6(col("n_exact_dup"), col("n_docs")).as("dup_frac_e6"))
+    }
   }
 
   /** Per-document distinctive top-k terms — the tf-idf-shaped keyword

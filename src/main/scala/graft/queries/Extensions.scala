@@ -609,6 +609,45 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // per-source corpus data card: doc/token counts, quality keep rate,
+    // corpus-WIDE exact-dup rate (cross-source copies flag both rows) —
+    // the report a shipped corpus carries; every ratio micro-floored
+    // after integer sums.
+    "ext45_corpus_report" -> Q(
+      (s, d) => TextAnalysis.corpusReport(docs(s, d), "doc_id", "text", "source"),
+      Some("""WITH w AS (
+             |  SELECT doc_id, source,
+             |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t <> '') AS ws
+             |  FROM documents
+             |), m AS (
+             |  SELECT doc_id, source, fp, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             |         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS nb,
+             |         CASE WHEN len(ws) >= 2
+             |              THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+             |              ELSE 0 END AS ndb,
+             |         list_sum(list_transform(ws, t -> len(t))) AS sl
+             |  FROM w
+             |), k AS (
+             |  SELECT doc_id, source, fp, n AS n_words,
+             |         (n BETWEEN 30 AND 100000
+             |          AND (CASE WHEN n > 0 THEN CAST(floor((n - nd)::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 500000
+             |          AND (CASE WHEN nb > 0 THEN CAST(floor((nb - ndb)::DOUBLE / nb * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 100000
+             |          AND (CASE WHEN n > 0 THEN CAST(floor(sl::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END)
+             |              BETWEEN 3000000 AND 10000000) AS keep
+             |  FROM m
+             |), fc AS (
+             |  SELECT fp, count(*) AS nc FROM k GROUP BY fp
+             |)
+             |SELECT source, count(*) AS n_docs,
+             |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+             |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_keep,
+             |       CAST(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup,
+             |       CAST(floor(sum(n_words)::DOUBLE / count(*) * 1000000 + 0.5) AS BIGINT) AS mean_tokens_e6,
+             |       CAST(floor(sum(CASE WHEN nc > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 1000000 + 0.5) AS BIGINT) AS dup_frac_e6
+             |FROM k JOIN fc USING (fp)
+             |GROUP BY source""".stripMargin)),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical TF-IDF
     // top-20 (ext44's machinery) with the embedding cosine top-20
     // (ext05's) — the standard two-tower search stack. Queries without

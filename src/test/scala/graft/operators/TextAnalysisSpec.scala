@@ -259,6 +259,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
   }
 
+  test("corpusReport: per-source counts, quality keeps, cross-source dup rate") {
+    val good = (1 to 30).map(i => f"wd$i%02d").mkString(" ") // passes qualityRules
+    val docs = Seq(
+      (1L, good, "srcA"),
+      (2L, "dup dup", "srcA"),
+      (3L, "dup dup", "srcB"),   // exact cross-source copy of doc 2
+      (4L, "short", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.corpusReport(docs, "doc_id", "text", "source")
+      .collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // srcA: 2 docs, 30+2 tokens, 1 keep, 1 dup (cross-source!), mean 16e6
+    assert(r("srcA") == ((2L, 32L, 1L, 1L, 16000000L, 500000L)))
+    // srcB: 2 docs, 2+1 tokens, 0 keeps, 1 dup, mean 1.5e6
+    assert(r("srcB") == ((2L, 3L, 0L, 1L, 1500000L, 500000L)))
+  }
+
   test("tfidfTopK: hand-computed integer scores, rank cut, doc_id tie-break") {
     val corpus = Seq(
       (10L, "apple banana apple"),         // apple tf 2
