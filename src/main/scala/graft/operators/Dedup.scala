@@ -58,6 +58,37 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Corpus snapshot diff: which documents were added, removed, or
+    * changed between two corpus versions — the audit a pipeline runs
+    * before re-training on a refreshed crawl (and the input to
+    * incremental re-processing: only `added`/`changed` docs need their
+    * features recomputed). "Changed" means the normalized content
+    * fingerprint ([[fingerprintCol]]) differs, so formatting-only edits
+    * that normalize away do not count.
+    *
+    * Scale shape: two narrow (id, fingerprint) projections — ~40 bytes
+    * per doc regardless of document size — full-outer-joined on the id;
+    * id-keyed equality join, AQE-handled, no corpus text ever crosses
+    * the shuffle. Output keeps only the differences (unchanged rows,
+    * the overwhelming majority at scale, are filtered before leaving
+    * the join). */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def fp(df: DataFrame, f: String, present: String) =
+      df.select(col(idCol).as("doc_id"),
+        fingerprintCol(col(textCol)).as(f), lit(true).as(present))
+    fp(oldCorpus, "__fo", "__po")
+      .join(fp(newCorpus, "__fn", "__pn"), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          // null-safe compare: a text that becomes (or stops being)
+          // NULL is a change, not "unchanged" by three-valued logic
+          .when(!(col("__fo") <=> col("__fn")), "changed")
+          .otherwise("unchanged").as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
   /** Benchmark decontamination: training docs whose normalized-content
     * fingerprint (same normalization as [[fingerprint]]) also appears in
     * the benchmark/holdout set — the standard train/test-overlap check a

@@ -59,6 +59,30 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** First BPE training iteration (Sennrich et al. ACL'16): count every
+    * adjacent CHARACTER pair inside whitespace tokens, corpus-wide, and
+    * return the top-k merge candidates — the inner loop of training a
+    * tokenizer over the corpus the engine curates. Exact integer counts
+    * with a total (count DESC, pair) tie order, so the merge table is
+    * reproducible across engines and runs.
+    *
+    * Scale shape: token explode → per-token pair explode (both narrow,
+    * re-derived from the scan — the [[freqScore]] discipline: the pair
+    * stream is strictly larger than the text, so persisting it would
+    * spill more than the dataset) → pair-keyed count with map-side
+    * combine (state = distinct pairs ≈ alphabet², tiny) → TakeOrdered
+    * top-k, no global sort. */
+  def bpePairs(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 50): DataFrame =
+    docs.select(explode(filter(words(col(textCol)), t => t =!= "")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), length(col("w")) - 1),
+        i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(k)
+
   /** Tokenizer-vocabulary coverage: per-document OOV rate against the
     * corpus' own top-`k` vocabulary ([[vocabTopK]]) — the "how much of
     * this document would an in-domain tokenizer actually cover" signal

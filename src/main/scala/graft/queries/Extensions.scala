@@ -609,6 +609,60 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // first BPE training iteration: corpus-wide adjacent-character-pair
+    // counts inside tokens, top-50 merge candidates with a total
+    // (count DESC, pair) tie order — the tokenizer-training inner loop.
+    "ext47_bpe_pairs" -> Q(
+      (s, d) => TextAnalysis.bpePairs(docs(s, d), "doc_id", "text", k = 50),
+      Some("""WITH tk AS (
+             |  SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), pr AS (
+             |  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair
+             |  FROM tk WHERE len(w) >= 2
+             |)
+             |SELECT pair, count(*) AS n_occurrences
+             |FROM pr GROUP BY pair
+             |ORDER BY n_occurrences DESC, pair LIMIT 50""".stripMargin)),
+
+    // corpus snapshot diff: v2 is derived deterministically from the
+    // fixture (drop %17, edit %13, add %19 under shifted ids); the diff
+    // reports added/removed/changed by normalized fingerprint — the
+    // audit before re-training on a refreshed crawl.
+    "ext48_corpus_diff" -> Q(
+      (s, d) => {
+        val v1 = docs(s, d).select(col("doc_id"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2edit")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        Dedup.corpusDiff(v1, v2, "doc_id", "text")
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, text FROM documents
+             |), v2 AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2edit' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 19 = 0
+             |), f1 AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fo
+             |  FROM v1
+             |), f2 AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fn
+             |  FROM v2
+             |)
+             |SELECT COALESCE(f1.doc_id, f2.doc_id) AS doc_id,
+             |       CASE WHEN f1.doc_id IS NULL THEN 'added'
+             |            WHEN f2.doc_id IS NULL THEN 'removed'
+             |            ELSE 'changed' END AS status
+             |FROM f1 FULL JOIN f2 ON f1.doc_id = f2.doc_id
+             |WHERE f1.doc_id IS NULL OR f2.doc_id IS NULL OR f1.fo <> f2.fn""".stripMargin)),
+
     // per-source corpus data card: doc/token counts, quality keep rate,
     // corpus-WIDE exact-dup rate (cross-source copies flag both rows) —
     // the report a shipped corpus carries; every ratio micro-floored

@@ -342,4 +342,16 @@ class DedupSpec extends SparkSpec {
     assert(r(4L)._1 == 4L && r(5L)._1 == 4L) // the 1-word-edit pair
     assert(r(6L) == ((6L, true)))            // unrelated doc stays its own keeper
   }
+
+  test("corpusDiff: added/removed/changed by normalized fingerprint") {
+    import spark.implicits._
+    val v1 = Seq((1L, "gone"), (2L, "same"), (3L, "before"),
+                 (5L, "a b")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "same"), (3L, "after"), (4L, "brand new"),
+                 (5L, "a    b")).toDF("doc_id", "text")
+    val r = Dedup.corpusDiff(v1, v2, "doc_id", "text").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    // doc 2 identical, doc 5 whitespace-only edit: both normalize away
+  }
 }

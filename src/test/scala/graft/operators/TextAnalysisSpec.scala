@@ -259,6 +259,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
   }
 
+  test("bpePairs: adjacent char pairs counted, tie cut by pair, short tokens dropped") {
+    val docs = Seq((1L, "abab cd a"), (2L, "cd")).toDF("doc_id", "text")
+    // pairs: abab -> ab, ba, ab; cd once per doc; "a" has none
+    val r = TextAnalysis.bpePairs(docs, "doc_id", "text", k = 3).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+    // ab and cd tie at 2 -> pair order breaks it; ba (1) takes the last slot
+    assert(r.toSeq == Seq(("ab", 2L), ("cd", 2L), ("ba", 1L)))
+  }
+
   test("corpusReport: per-source counts, quality keeps, cross-source dup rate") {
     val good = (1 to 30).map(i => f"wd$i%02d").mkString(" ") // passes qualityRules
     val docs = Seq(
