@@ -84,6 +84,24 @@ object Multimodal {
     }(Encoders.product[Frame])
   }
 
+  /** Media dedup by payload signature — the thumbnail-hash shape every
+    * image pipeline uses: hash the DOWNSAMPLED payload (pass this the
+    * [[resizeStub]] output; a real pipeline hashes the decoded, resized
+    * pixels the same way) so byte-identical-after-downsample media
+    * collapse to one group. Output mirrors
+    * [[graft.operators.Dedup.exact]]: (payload_sig, keeper_id = min id,
+    * n_copies).
+    *
+    * Scale shape: the signature is computed at scan (one md5 per row,
+    * no payload crosses the shuffle — only the 32-char signature), then
+    * one hash-keyed aggregation with map-side combine; state per group
+    * is a single (keeper, count) row. */
+  def dedupBySignature(media: Dataset[MediaDoc]): DataFrame =
+    media.toDF()
+      .select(col("doc_id"), md5(col("payload")).as("payload_sig"))
+      .groupBy(col("payload_sig"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Per-source rollup of the extracted features (the typical "did every
     * shard decode" pipeline health query). */
   def featuresBySource(docs: DataFrame, idCol: String, textCol: String,

@@ -1202,6 +1202,35 @@ object Extensions {
              |         x -> x IS NOT NULL)) AS BIGINT) AS frame_byte_sum
              |FROM rs""".stripMargin)),
 
+    // media dedup by downsampled-payload signature (thumbnail-hash
+    // shape): plant byte-identical copies (doc_id % 25 re-labeled), keep
+    // every 3rd byte via the resize stub, md5 the result — planted
+    // copies collapse to one group (n_copies 2), everything else stays
+    // singleton. The oracle rebuilds the downsampled string per doc.
+    "ext49_media_dedup" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val planted = base.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text"), col("source")))
+        Multimodal.dedupBySignature(
+          Multimodal.resizeStub(
+            Multimodal.toMedia(planted, "doc_id", "text", "source"), 3))
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 500000, text FROM documents WHERE doc_id % 25 = 0
+             |), ds AS (
+             |  SELECT doc_id,
+             |         md5(array_to_string(list_filter(list_transform(range(1, length(text) + 1),
+             |             i -> CASE WHEN (i - 1) % 3 = 0 THEN substr(text, i, 1) END),
+             |           x -> x IS NOT NULL), '')) AS payload_sig
+             |  FROM all_docs
+             |)
+             |SELECT payload_sig, min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM ds GROUP BY payload_sig""".stripMargin)),
+
     "ext09_multimodal" -> Q(
       (s, d) => Multimodal.featuresBySource(docs(s, d), "doc_id", "text", "source"),
       Some("""SELECT source, count(*) AS n_docs,

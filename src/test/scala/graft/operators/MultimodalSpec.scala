@@ -49,4 +49,15 @@ class MultimodalSpec extends SparkSpec {
     assert(r("s") == ((2L, 2L, ('a'.toLong + 'b'))))
     assert(r("t") == ((1L, 1L, 'c'.toLong)))
   }
+
+  test("dedupBySignature groups identical-after-downsample payloads") {
+    // factor 2 keeps chars at even indices: "abcdef" -> "ace",
+    // "axcxex" -> "ace" (same!), "zzzzzz" -> "zzz"
+    val df = Seq((1L, "abcdef", "s"), (2L, "axcxex", "s"), (3L, "zzzzzz", "s"))
+      .toDF("doc_id", "text", "source")
+    val r = Multimodal.dedupBySignature(
+        Multimodal.resizeStub(Multimodal.toMedia(df, "doc_id", "text", "source"), 2))
+      .collect().map(x => x.getLong(1) -> x.getLong(2)).toMap
+    assert(r == Map(1L -> 2L, 3L -> 1L)) // docs 1+2 collapse, keeper = min id
+  }
 }
