@@ -720,6 +720,47 @@ object Framework {
     s.read.parquet(s"$base/stats")
   }
 
+  /** Schema evolution through the A1 `format_options` passthrough: a
+    * table whose later shards carry an extra column reads as ONE evolved
+    * schema under `mergeSchema` (older rows null-padded) — the additive-
+    * column lake migration, with zero rewrite of existing shards.
+    * Without the option the scan would take whichever single footer it
+    * sampled first; the test is that the declared config surface makes
+    * the union deterministic. */
+  private def fwEvolution(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "evolution")
+    rmrf(s, base)
+    val nation = s.read.parquet(s"$d/nation.parquet")
+    nation.filter(col("n_nationkey") < 10)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.parquet(s"$base/t")
+    nation.filter(col("n_nationkey") >= 10)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("append").parquet(s"$base/t")
+    val yaml =
+      s"""job:
+         |  name: fw-evolution
+         |  type: spark-sql
+         |input_tables:
+         |  - name: evolved
+         |    source: s3
+         |    location: $base/t
+         |    format: parquet
+         |    format_options:
+         |      mergeSchema: "true"
+         |output_table:
+         |  name: evolved_out
+         |  target: s3
+         |  location: $base/out
+         |  format: parquet
+         |  refresh: full
+         |sql: SELECT n_nationkey, n_name, n_regionkey FROM evolved
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   /** Partition-retention maintenance job (beyond-reference; the lake
     * housekeeping pass): stage orders partitioned by priority, expire
     * everything below '3' through the YAML engine path (run TWICE —
@@ -838,6 +879,10 @@ object Framework {
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin)),
+    "fw_evolution" -> Q(fwEvolution, Some(
+      """SELECT n_nationkey, n_name,
+        |       CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey
+        |FROM nation""".stripMargin)),
     "fw_retention" -> Q(fwRetention, Some(
       """SELECT o_orderkey, o_custkey,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
