@@ -59,6 +59,28 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** Blocklist filter (the C4 bad-words pass): per document, how many
+    * DISTINCT blocklist terms its lowercased tokens contain, and the
+    * keep verdict (zero hits). The blocklist is a plan-time literal
+    * array, so the whole operator is a shuffle-free, codegen'd
+    * projection that runs at scan speed — the correct shape for a
+    * term-list filter at 100 TB (a join against a blocklist TABLE is
+    * only warranted when the list outgrows a broadcast, ~millions of
+    * terms).
+    *
+    * Term matching is exact whole-token (the C4 convention), so
+    * "assassin" does not trip a "ass" entry — substring matching is a
+    * policy choice, not a default. */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must not be empty")
+    val list = typedlit(terms.map(_.toLowerCase).distinct.sorted)
+    val toks = array_distinct(filter(words(lower(col(textCol))), t => t =!= ""))
+    docs.select(col(idCol).as("doc_id"),
+        size(array_intersect(toks, list)).cast("long").as("n_blocked_terms"))
+      .withColumn("keep", col("n_blocked_terms") === 0)
+  }
+
   /** First BPE training iteration (Sennrich et al. ACL'16): count every
     * adjacent CHARACTER pair inside whitespace tokens, corpus-wide, and
     * return the top-k merge candidates — the inner loop of training a

@@ -609,6 +609,20 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // C4-style blocklist filter: distinct-term hit count + keep verdict
+    // as a shuffle-free plan-literal projection; whole-token matching.
+    "ext50_blocklist" -> Q(
+      (s, d) => TextAnalysis.blocklistFilter(docs(s, d), "doc_id", "text",
+        Seq("slow", "broken", "spill", "skew")),
+      Some("""SELECT doc_id,
+             |       CAST(len(list_intersect(
+             |         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')),
+             |         ['broken', 'skew', 'slow', 'spill'])) AS BIGINT) AS n_blocked_terms,
+             |       len(list_intersect(
+             |         list_distinct(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')),
+             |         ['broken', 'skew', 'slow', 'spill'])) = 0 AS keep
+             |FROM documents""".stripMargin)),
+
     // first BPE training iteration: corpus-wide adjacent-character-pair
     // counts inside tokens, top-50 merge candidates with a total
     // (count DESC, pair) tie order — the tokenizer-training inner loop.

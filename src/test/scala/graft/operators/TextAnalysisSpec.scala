@@ -259,6 +259,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
   }
 
+  test("blocklistFilter: distinct whole-token hits, case-folded, no substring match") {
+    val docs = Seq(
+      (1L, "clean text here"),
+      (2L, "BAD bad worse"),          // 'bad' twice -> 1 distinct hit + 'worse'
+      (3L, "badge is not bad-ness")   // substrings must NOT match
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.blocklistFilter(docs, "doc_id", "text", Seq("bad", "worse"))
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getBoolean(2)))).toMap
+    assert(r(1L) == ((0L, true)))
+    assert(r(2L) == ((2L, false)))
+    assert(r(3L) == ((0L, true)))
+  }
+
   test("bpePairs: adjacent char pairs counted, tie cut by pair, short tokens dropped") {
     val docs = Seq((1L, "abab cd a"), (2L, "cd")).toDF("doc_id", "text")
     // pairs: abab -> ab, ba, ab; cd once per doc; "a" has none
