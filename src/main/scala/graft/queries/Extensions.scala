@@ -677,6 +677,68 @@ object Extensions {
              |FROM f1 FULL JOIN f2 ON f1.doc_id = f2.doc_id
              |WHERE f1.doc_id IS NULL OR f2.doc_id IS NULL OR f1.fo <> f2.fn""".stripMargin)),
 
+    // incremental feature recompute: corpusDiff picks the delta
+    // (added/changed docs of the v2 snapshot), and ONLY those flow
+    // through quality scoring — the pattern that makes a refreshed
+    // 100 TB crawl a delta-sized job instead of a full re-featurize.
+    // One Catalyst plan: 40 B/doc diff join → id semi-join → narrow
+    // quality projection.
+    "ext51_incremental_curation" -> Q(
+      (s, d) => {
+        val v1 = docs(s, d).select(col("doc_id"), col("text"))
+        val v2 = v1.filter(col("doc_id") % 17 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2edit")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(v1.filter(col("doc_id") % 19 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(lit("new "), col("text")).as("text")))
+        val delta = Dedup.corpusDiff(v1, v2, "doc_id", "text")
+          .filter(col("status") =!= "removed")
+        val todo = v2.join(delta.select(col("doc_id"), col("status")), "doc_id")
+        TextAnalysis.qualityRules(todo, "doc_id", "text", carry = Seq("status"))
+          .select(col("doc_id"), col("status"), col("n_words"), col("keep"))
+      },
+      Some("""WITH v1 AS (
+             |  SELECT doc_id, text FROM documents
+             |), v2 AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 13 = 0 THEN text || ' v2edit' ELSE text END AS text
+             |  FROM documents WHERE doc_id % 17 <> 0
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 19 = 0
+             |), f1 AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fo
+             |  FROM v1
+             |), f2 AS (
+             |  SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fn
+             |  FROM v2
+             |), delta AS (
+             |  SELECT f2.doc_id,
+             |         CASE WHEN f1.doc_id IS NULL THEN 'added' ELSE 'changed' END AS status
+             |  FROM f2 LEFT JOIN f1 ON f1.doc_id = f2.doc_id
+             |  WHERE f1.doc_id IS NULL OR f1.fo <> f2.fn
+             |), w AS (
+             |  SELECT v2.doc_id, delta.status,
+             |         list_filter(regexp_split_to_array(trim(v2.text), '\s+'), t -> t <> '') AS ws
+             |  FROM v2 JOIN delta ON v2.doc_id = delta.doc_id
+             |), m AS (
+             |  SELECT doc_id, status, len(ws) AS n, len(list_distinct(ws)) AS nd,
+             |         CASE WHEN len(ws) >= 2 THEN len(ws) - 1 ELSE 0 END AS nb,
+             |         CASE WHEN len(ws) >= 2
+             |              THEN len(list_distinct(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])))
+             |              ELSE 0 END AS ndb,
+             |         list_sum(list_transform(ws, t -> len(t))) AS sl
+             |  FROM w
+             |)
+             |SELECT doc_id, status, n AS n_words,
+             |       (n BETWEEN 30 AND 100000
+             |        AND (CASE WHEN n > 0 THEN CAST(floor((n - nd)::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 500000
+             |        AND (CASE WHEN nb > 0 THEN CAST(floor((nb - ndb)::DOUBLE / nb * 1000000 + 0.5) AS BIGINT) ELSE 0 END) <= 100000
+             |        AND (CASE WHEN n > 0 THEN CAST(floor(sl::DOUBLE / n * 1000000 + 0.5) AS BIGINT) ELSE 0 END)
+             |            BETWEEN 3000000 AND 10000000) AS keep
+             |FROM m""".stripMargin)),
+
     // per-source corpus data card: doc/token counts, quality keep rate,
     // corpus-WIDE exact-dup rate (cross-source copies flag both rows) —
     // the report a shipped corpus carries; every ratio micro-floored
