@@ -720,6 +720,44 @@ object Framework {
     s.read.parquet(s"$base/stats")
   }
 
+  /** Corrupt-shard tolerance through the A1 `format_options`
+    * passthrough: a junk file planted in the table directory is skipped
+    * under `ignoreCorruptFiles` (a per-read file-source option — no
+    * session-wide conf mutation), and the scan returns exactly the
+    * intact rows. The production failure this pins: one truncated
+    * upload in a million-file 100 TB table must degrade to a logged
+    * skip, not kill the job. */
+  private def fwCorrupt(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "corrupt")
+    rmrf(s, base)
+    s.read.parquet(s"$d/nation.parquet").write.parquet(s"$base/t")
+    // a parquet-named file with a garbage footer — a truncated upload
+    val junk = new java.io.FileOutputStream(s"$base/t/part-junk.parquet")
+    junk.write("this is not a parquet file".getBytes("UTF-8")); junk.close()
+    val yaml =
+      s"""job:
+         |  name: fw-corrupt
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $base/t
+         |    format: parquet
+         |    format_options:
+         |      ignoreCorruptFiles: "true"
+         |output_table:
+         |  name: survivors
+         |  target: s3
+         |  location: $base/out
+         |  format: parquet
+         |  refresh: full
+         |sql: SELECT n_nationkey, n_name, n_regionkey FROM nation
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+  }
+
   /** Schema evolution through the A1 `format_options` passthrough: a
     * table whose later shards carry an extra column reads as ONE evolved
     * schema under `mergeSchema` (older rows null-padded) — the additive-
@@ -879,6 +917,8 @@ object Framework {
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin)),
+    "fw_corrupt" -> Q(fwCorrupt, Some(
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation")),
     "fw_evolution" -> Q(fwEvolution, Some(
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey

@@ -354,4 +354,11 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
     // doc 2 identical, doc 5 whitespace-only edit: both normalize away
   }
+
+  test("corpusDiff identity: a corpus diffed against itself is empty") {
+    import spark.implicits._
+    val v = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    assert(Dedup.corpusDiff(v, v, "doc_id", "text").isEmpty)
+  }
 }

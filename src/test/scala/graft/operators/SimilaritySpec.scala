@@ -256,4 +256,12 @@ class SimilaritySpec extends SparkSpec {
     assert(r(("q2", 2)) == (("y", 32522L, 2L)))
     assert(r.size == 4)
   }
+
+  test("rrfFuse of a single list preserves its rank order") {
+    import spark.implicits._
+    val lst = Seq(("q", "a", 1), ("q", "b", 2), ("q", "c", 3)).toDF("q", "id", "rnk")
+    val r = Similarity.rrfFuse(Seq(lst), "q", "id", "rnk", k = 3)
+      .orderBy("rnk").collect().map(_.getString(1)).toSeq
+    assert(r == Seq("a", "b", "c")) // 1/(c+rank) is monotone decreasing
+  }
 }
