@@ -74,6 +74,36 @@ object Sampling {
           .cast("long").as("weight_e6"))
   }
 
+  /** Close the mixing loop: turn [[temperatureWeights]] into per-stratum
+    * keep RATES against a document budget and apply them row-wise — the
+    * end-to-end "sample the corpus to a B-doc mixture at α = 1/2" pass.
+    * Stratum s targets budget·w_s docs, so its per-myriad rate is
+    * floor(budget·weight_e6 / (100·n_s) + 0.5), capped at 10000 (a
+    * stratum smaller than its target keeps everything — the cap is why
+    * small sources can't be oversampled without replication). The
+    * integer product budget·weight_e6 is exact, then ONE IEEE division
+    * and a floor — any engine replays every rate, and [[hashBucket]]
+    * makes each row's verdict a pure function of (id, salt).
+    *
+    * Scale shape: the weights/rates frame is |strata| rows → broadcast
+    * onto the corpus scan; the corpus is touched twice (stratum counts,
+    * then the filter pass) — two narrow scans beat persisting anything
+    * corpus-sized. No shuffle crosses a corpus-sized frame. */
+  def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
+                    budgetDocs: Long, salt: String): DataFrame = {
+    require(budgetDocs > 0, "budgetDocs must be positive")
+    val rates = temperatureWeights(df, stratumCol)
+      .select(col(stratumCol),
+        least(lit(Buckets.toLong),
+          floor((lit(budgetDocs) * col("weight_e6")).cast("double") /
+              (lit(100.0) * col("n_docs").cast("double")) + 0.5)
+            .cast("long")).as("rate_per_myriad"))
+    df.join(broadcast(rates), stratumCol)
+      .withColumn("bucket", hashBucket(col(idCol), salt))
+      .filter(col("bucket") < col("rate_per_myriad"))
+      .select(col(idCol), col(stratumCol), col("bucket"), col("rate_per_myriad"))
+  }
+
   /** Stratified downsampling for dataset mixing: keep a row iff its
     * bucket falls below its stratum's rate (in 1/10000ths); strata
     * absent from `rates` keep `defaultPerMyriad`. The per-stratum rates

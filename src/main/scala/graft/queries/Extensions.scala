@@ -1003,6 +1003,37 @@ object Extensions {
              |       CAST(floor(sqrt_e6::DOUBLE / tot::DOUBLE * 1000000 + 0.5) AS BIGINT) AS weight_e6
              |FROM sq, t""".stripMargin)),
 
+    // mixture sampling applied: temperature weights -> per-source keep
+    // rates against a 200-doc budget -> row-wise md5-bucket verdicts;
+    // the end-to-end α=1/2 corpus mixing pass, every rate and verdict
+    // replayed by the oracle.
+    "ext52_mixture_sample" -> Q(
+      (s, d) => Sampling.mixtureSample(docs(s, d), "doc_id", "source",
+        budgetDocs = 200L, salt = "mix"),
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+             |), sq AS (
+             |  SELECT source, n_docs,
+             |         CAST(floor(sqrt(n_docs::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sqrt_e6
+             |  FROM c
+             |), t AS (
+             |  SELECT CAST(sum(sqrt_e6) AS BIGINT) AS tot FROM sq
+             |), w AS (
+             |  SELECT source, n_docs,
+             |         CAST(floor(sqrt_e6::DOUBLE / tot::DOUBLE * 1000000 + 0.5) AS BIGINT) AS weight_e6
+             |  FROM sq, t
+             |), r AS (
+             |  SELECT source,
+             |         least(10000, CAST(floor((200 * weight_e6)::DOUBLE / (100.0 * n_docs) + 0.5) AS BIGINT)) AS rate_per_myriad
+             |  FROM w
+             |), b AS (
+             |  SELECT d.doc_id, d.source, r.rate_per_myriad,
+             |         CAST(('0x' || substr(md5(d.doc_id || ':mix'), 1, 8))::BIGINT % 10000 AS BIGINT) AS bucket
+             |  FROM documents d JOIN r USING (source)
+             |)
+             |SELECT doc_id, source, bucket, rate_per_myriad
+             |FROM b WHERE bucket < rate_per_myriad""".stripMargin)),
+
     // best-of-cluster curation: near-dup clusters keep their LONGEST
     // member (ties → lowest id) instead of the structural min-id keeper —
     // clusters ∘ keepBest, one row per cluster.

@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     // every row without a window or a second scan.
     "ext28_collocations" -> "single-row total broadcast (scalar normalizer)",
     "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
+    "ext52_mixture_sample" -> "single-row total broadcast (scalar normalizer, via temperatureWeights)",
     "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)",
     // composes ext05's exact cosine baseline (broadcast small query
     // side) and ext44's scalar normalizer; the fusion itself adds no

@@ -79,4 +79,20 @@ class SamplingSpec extends SparkSpec {
       Sampling.stratifiedSample(ids(10), "id", "src", Map("s0" -> 10001), 0, "s")
     }
   }
+
+  test("mixtureSample: hand-computed rates, cap at full keep, bucket verdicts") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(i => (i, "A")) ++ (1001L to 1004L).map(i => (i, "B")))
+      .toDF("id", "src")
+    // sqrt_e6: A 10e6, B 2e6; tot 12e6; weights 833333 / 166667
+    // budget 60: rate_A = floor(60*833333/10000 + 0.5) = 5000
+    //            rate_B = floor(60*166667/400 + 0.5) = 25001 -> capped 10000
+    val r = Sampling.mixtureSample(df, "id", "src", budgetDocs = 60L, salt = "mix")
+      .collect()
+    val byStratum = r.groupBy(_.getString(1))
+    assert(byStratum("A").forall(_.getLong(3) == 5000L))
+    assert(byStratum("B").map(_.getLong(0)).sorted.toSeq == (1001L to 1004L)) // cap keeps all
+    assert(byStratum("B").forall(_.getLong(3) == 10000L))
+    assert(r.forall(x => x.getLong(2) < x.getLong(3))) // kept iff bucket < rate
+  }
 }
