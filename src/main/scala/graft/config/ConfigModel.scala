@@ -354,8 +354,8 @@ object ConfigParser {
     val maintenance = root.get("maintenance").filter(_ != null).map { m =>
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
-      if (!Set("compact", "profile", "retain")(action)) throw new ConfigError(
-        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain)")
+      if (!Set("compact", "profile", "retain", "vacuum")(action)) throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain, vacuum)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")

@@ -194,6 +194,11 @@ object Engine {
               "partition_col" -> m.partitionCol.get, "keep_from" -> keepFrom,
               "dropped" -> dropped.mkString(","))
             None
+          case "vacuum" =>
+            val removed = Sinks.vacuum(spark, location)
+            graft.log.Log.info("vacuum applied", "location" -> location,
+              "removed" -> removed.mkString(","))
+            None
         }
     }
 

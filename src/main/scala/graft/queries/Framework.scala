@@ -720,6 +720,33 @@ object Framework {
     s.read.parquet(s"$base/stats")
   }
 
+  /** Staging-debris vacuum job: plant an orphan `.t2.__staging__` dir
+    * (what a mid-stage kill leaves behind) next to a live table, vacuum
+    * the parent through the YAML path — the orphan goes, the table is
+    * untouched, and a second pass is a no-op. */
+  private def fwVacuum(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "vacuum")
+    rmrf(s, base)
+    s.read.parquet(s"$d/region.parquet").write.parquet(s"$base/t")
+    // the orphan a killed publish leaves: staged bytes, never renamed
+    s.read.parquet(s"$d/region.parquet").write.parquet(s"$base/.t2.__staging__")
+    def orphans: Int = new java.io.File(base).listFiles()
+      .count(_.getName.endsWith(".__staging__"))
+    require(orphans == 1, s"expected 1 planted orphan, got $orphans")
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-vacuum
+         |  type: maintenance
+         |maintenance:
+         |  action: vacuum
+         |  location: $base
+         |""".stripMargin)
+    Engine.run(s, job, "default")
+    Engine.run(s, job, "default") // idempotent no-op
+    require(orphans == 0, "vacuum left the orphan behind")
+    s.read.parquet(s"$base/t")
+  }
+
   /** Corrupt-shard tolerance through the A1 `format_options`
     * passthrough: a junk file planted in the table directory is skipped
     * under `ignoreCorruptFiles` (a per-read file-source option — no
@@ -917,6 +944,8 @@ object Framework {
       """SELECT o_orderkey, o_orderdate,
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM orders""".stripMargin)),
+    "fw_vacuum" -> Q(fwVacuum, Some(
+      "SELECT r_regionkey, r_name FROM region")),
     "fw_corrupt" -> Q(fwCorrupt, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation")),
     "fw_evolution" -> Q(fwEvolution, Some(

@@ -177,6 +177,30 @@ object Sinks {
       throw new java.io.IOException(s"compact: rename $staging -> $target failed")
   }
 
+  /** Staging-debris vacuum: every staged publish ([[write]]'s overwrite
+    * path, [[compact]]) stages into a sibling `.<name>.__staging__`
+    * directory and renames on success — so a run killed mid-stage
+    * leaves an orphan that holds dead bytes forever (the A15 contract
+    * protects the TARGET, not the scratch). `vacuum` deletes every
+    * `*.__staging__` entry directly under `location`. The live target
+    * is never touched: a staging dir only exists between stage and
+    * rename, and running maintenance concurrently with a publish to
+    * the same table is already undefined (same as compact).
+    *
+    * Scale shape: one directory listing + per-orphan recursive delete —
+    * namespace-only, cost ∝ orphan count. Returns the deleted names. */
+  def vacuum(spark: SparkSession, location: String): Seq[String] = {
+    val target = new org.apache.hadoop.fs.Path(location)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) throw new graft.config.ConfigError(
+      s"vacuum: target '$location' does not exist")
+    val orphans = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.endsWith(".__staging__"))
+      .map(_.getPath)
+    orphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.getName).toSeq
+  }
+
   /** Partition-retention maintenance — the housekeeping twin of
     * [[compact]]: drop every `partitionCol=value` directory whose
     * (URL-decoded) value sorts lexicographically below `keepFrom`, the

@@ -360,9 +360,9 @@ class ConfigParserSpec extends AnyFunSuite {
     // unknown action / missing location / non-positive files
     val e3 = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
-        |maintenance: {action: vacuum, location: /tmp/t, files: "2"}
+        |maintenance: {action: zap, location: /tmp/t, files: "2"}
         |""".stripMargin))
-    assert(e3.getMessage.contains("vacuum"))
+    assert(e3.getMessage.contains("zap"))
     val e4 = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {files: "2"}
@@ -385,6 +385,12 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: retain, location: /tmp/t, keep_from: "x"}
         |""".stripMargin))
     assert(e6.getMessage.contains("partition_col"))
+    // vacuum needs only the location
+    val vj = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: vacuum, location: /tmp/db}
+        |""".stripMargin)
+    assert(vj.maintenance.exists(m => m.action == "vacuum" && m.location == "/tmp/db"))
     val e7 = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: retain, location: /tmp/t, partition_col: d}

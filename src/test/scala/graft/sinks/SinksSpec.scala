@@ -154,6 +154,19 @@ class SinksSpec extends SparkSpec {
       Sinks.retain(spark, dir, "nope", "x")).getMessage.contains("partition directories"))
   }
 
+  test("vacuum removes only staging orphans, never the live table") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/db"
+    (1 to 10).toDF("n").write.parquet(dir + "/t")
+    (1 to 5).toDF("n").write.parquet(dir + "/.t.__staging__")
+    (1 to 5).toDF("n").write.parquet(dir + "/.other.__staging__")
+    val removed = Sinks.vacuum(spark, dir)
+    assert(removed.toSet == Set(".t.__staging__", ".other.__staging__"))
+    assert(spark.read.parquet(dir + "/t").count() == 10) // table intact
+    assert(Sinks.vacuum(spark, dir).isEmpty)             // idempotent
+    assert(intercept[graft.config.ConfigError](
+      Sinks.vacuum(spark, dir + "-missing")).getMessage.contains("does not exist"))
+  }
+
   test("dynamic partition overwrite touches only result partitions") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
     val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))
