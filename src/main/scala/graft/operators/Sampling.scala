@@ -90,19 +90,35 @@ object Sampling {
     * then the filter pass) — two narrow scans beat persisting anything
     * corpus-sized. No shuffle crosses a corpus-sized frame. */
   def mixtureSample(df: DataFrame, idCol: String, stratumCol: String,
-                    budgetDocs: Long, salt: String): DataFrame = {
+                    budgetDocs: Long, salt: String): DataFrame =
+    applyMixtureRates(df, mixtureRates(df, stratumCol, budgetDocs),
+      idCol, stratumCol, salt)
+
+  /** The offline half of [[mixtureSample]]: per-stratum per-myriad keep
+    * rates from a reference corpus. Split out so an ingest stream can
+    * apply rates computed from the PREVIOUS snapshot
+    * ([[graft.streaming.Streams.mixtureSampleStream]]) — production's
+    * actual shape: rates are a batch artifact, application is row-local. */
+  def mixtureRates(df: DataFrame, stratumCol: String,
+                   budgetDocs: Long): DataFrame = {
     require(budgetDocs > 0, "budgetDocs must be positive")
-    val rates = temperatureWeights(df, stratumCol)
+    temperatureWeights(df, stratumCol)
       .select(col(stratumCol),
         least(lit(Buckets.toLong),
           floor((lit(budgetDocs) * col("weight_e6")).cast("double") /
               (lit(100.0) * col("n_docs").cast("double")) + 0.5)
             .cast("long")).as("rate_per_myriad"))
+  }
+
+  /** The row-local half: broadcast the |strata|-row rate frame onto any
+    * (batch or streaming) frame and keep rows whose bucket clears their
+    * stratum's rate. */
+  def applyMixtureRates(df: DataFrame, rates: DataFrame, idCol: String,
+                        stratumCol: String, salt: String): DataFrame =
     df.join(broadcast(rates), stratumCol)
       .withColumn("bucket", hashBucket(col(idCol), salt))
       .filter(col("bucket") < col("rate_per_myriad"))
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_per_myriad"))
-  }
 
   /** Stratified downsampling for dataset mixing: keep a row iff its
     * bucket falls below its stratum's rate (in 1/10000ths); strata

@@ -25,6 +25,38 @@ object StreamingQueries {
     // benchmark index; banding at 32×4 provably finds every pair on this
     // fixture (see Extensions scaladoc), so the streamed output equals
     // the cross-side all-pairs truth — the same oracle as batch ext16.
+    // mixture sampling at ingest: rates are the batch artifact, each
+    // arriving row's verdict is row-local — streamed output equals the
+    // batch ext52 answer, and the oracle replays both halves.
+    "st11_stream_mixture" -> Q(
+      (s, d) => {
+        val sampled = Streams.mixtureSampleStream(s, d, budgetDocs = 200L, salt = "mix")
+        Streams.runToMemory(s, sampled, "st11_mixture", OutputMode.Append())
+      },
+      Some("""WITH c AS (
+             |  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+             |), sq AS (
+             |  SELECT source, n_docs,
+             |         CAST(floor(sqrt(n_docs::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS sqrt_e6
+             |  FROM c
+             |), t AS (
+             |  SELECT CAST(sum(sqrt_e6) AS BIGINT) AS tot FROM sq
+             |), w AS (
+             |  SELECT source, n_docs,
+             |         CAST(floor(sqrt_e6::DOUBLE / tot::DOUBLE * 1000000 + 0.5) AS BIGINT) AS weight_e6
+             |  FROM sq, t
+             |), r AS (
+             |  SELECT source,
+             |         least(10000, CAST(floor((200 * weight_e6)::DOUBLE / (100.0 * n_docs) + 0.5) AS BIGINT)) AS rate_per_myriad
+             |  FROM w
+             |), b AS (
+             |  SELECT d.doc_id, d.source, r.rate_per_myriad,
+             |         CAST(('0x' || substr(md5(d.doc_id || ':mix'), 1, 8))::BIGINT % 10000 AS BIGINT) AS bucket
+             |  FROM documents d JOIN r USING (source)
+             |)
+             |SELECT doc_id, source, bucket, rate_per_myriad
+             |FROM b WHERE bucket < rate_per_myriad""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

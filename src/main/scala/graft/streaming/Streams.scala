@@ -93,6 +93,23 @@ object Streams {
     * its own band buckets, never all pairs. The only streaming state is
     * the final dropDuplicates, keyed on FLAGGED pairs (post-verify), so
     * state grows with contamination incidents, not with the corpus. */
+  /** Mixture sampling at ingest — the streaming twin of
+    * [[graft.operators.Sampling.mixtureSample]]: per-source keep rates
+    * are a BATCH artifact computed once from the static reference
+    * corpus (production computes them from the previous snapshot), and
+    * each arriving document's verdict is the pure md5-bucket function
+    * of its id — a stateless stream-static broadcast join plus a
+    * filter. No watermark, no state store: the sampled mixture
+    * materializes continuously at ingest instead of in a batch pass. */
+  def mixtureSampleStream(spark: SparkSession, dir: String,
+                          budgetDocs: Long, salt: String): DataFrame = {
+    import graft.operators.Sampling
+    val rates = Sampling.mixtureRates(
+      spark.read.parquet(s"$dir/documents.parquet"), "source", budgetDocs)
+    Sampling.applyMixtureRates(
+      readDocumentsStream(spark, dir), rates, "doc_id", "source", salt)
+  }
+
   def contaminationStream(spark: SparkSession, dir: String,
                           n: Int = 3, k: Int = 128, bands: Int = 32,
                           threshold: Double = 0.8): DataFrame = {

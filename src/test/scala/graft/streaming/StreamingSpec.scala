@@ -104,6 +104,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming mixture sampling = batch mixtureSample") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
+      "spec_mixture", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.Sampling.mixtureSample(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "source",
+        budgetDocs = 100L, salt = "spec")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming exact-dedup at ingest = batch Dedup.exact") {
     val streamed = Streams.runToMemory(spark,
       Streams.readDocumentsStream(spark, dir)
