@@ -555,6 +555,54 @@ object Dedup {
         (col("n_windows") + lit(n - 1)).as("span_tokens"))
   }
 
+  /** Apply [[dupSpans]]: return each document with its duplicated-span
+    * tokens REMOVED — the emit side of substring dedup (Lee et al.
+    * ACL'22 drop the repeated span from all-but-one occurrence;
+    * removing every occurrence is the conservative boilerplate-strip
+    * variant implemented here, and the difference is a policy flag at
+    * the covered-position step, not a new mechanism).
+    *
+    * Scale shape: same two narrow passes as [[dupSpans]] (positional
+    * gram projection → gram-keyed count → covered-position explode,
+    * each re-derived from the scan, nothing corpus-sized persisted),
+    * then a (doc, pos)-keyed anti-join against the token stream and a
+    * per-doc reassembly whose collect_list is made deterministic by
+    * array_sort over (pos, token). Every output column is replayable:
+    * token positions are exact integers and the reassembled text is
+    * a pure function of them. */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 8): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val covered = grams.join(counts.filter(col("c") > 1), "h")
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(filter(split(col(textCol), "\\s+"), t => t =!= ""))
+          .as(Seq("pos0", "token")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("token"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
+          x => x.getField("token")), " ").as("scrubbed_text"),
+        count(lit(1)).as("n_tokens_kept"))
+    // totals from the doc projection, not the token stream — a doc whose
+    // every token is duplicated (or that has none) must still report
+    val totals = docs.select(col(idCol).as("doc_id"),
+      size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("__n"))
+    totals.join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed_text"), lit("")).as("scrubbed_text"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        (col("__n") - coalesce(col("n_tokens_kept"), lit(0L))).as("n_tokens_removed"))
+  }
+
   /** EXACT containment (asymmetric-Jaccard) join: every ordered pair
     * (A, B), A ≠ B, with |shingles(A) ∩ shingles(B)| / |shingles(A)| ≥
     * threshold — A is a NEAR-SUBSET of B. Symmetric near-dup misses this

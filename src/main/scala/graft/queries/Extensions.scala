@@ -1222,6 +1222,47 @@ object Extensions {
              |       count(*) AS n_windows, count(*) + 7 AS span_tokens
              |FROM isl GROUP BY doc_id, grp""".stripMargin)),
 
+    // apply the duplicated spans: scrub every covered token from each
+    // doc — the emit side of substring dedup; the oracle rebuilds the
+    // scrubbed text from string 8-grams.
+    "ext53_span_scrub" -> Q(
+      (s, d) => Dedup.scrubDupSpans(docs(s, d), "doc_id", "text", n = 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents
+             |), g AS (
+             |  SELECT doc_id, CAST(unnest(range(1, greatest(len(w) - 6, 1))) AS INT) AS pos, w
+             |  FROM t
+             |), kg AS (
+             |  SELECT doc_id, pos, array_to_string(list_slice(w, pos, pos + 7), ' ') AS k
+             |  FROM g
+             |), cnt AS (
+             |  SELECT k, count(*) AS c FROM kg GROUP BY 1
+             |), dd AS (
+             |  SELECT doc_id, pos FROM kg JOIN cnt USING (k) WHERE c > 1
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + 8)) AS INT) AS pos FROM dd
+             |), tk AS (
+             |  SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos, w FROM t
+             |), tok AS (
+             |  SELECT doc_id, pos, w[pos] AS token FROM tk
+             |), kept AS (
+             |  SELECT tok.doc_id, tok.pos, tok.token
+             |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             |  WHERE cov.doc_id IS NULL
+             |), ag AS (
+             |  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS scrubbed_text,
+             |         count(*) AS n_tokens_kept
+             |  FROM kept GROUP BY doc_id
+             |), tot AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM t
+             |)
+             |SELECT tot.doc_id,
+             |       coalesce(ag.scrubbed_text, '') AS scrubbed_text,
+             |       CAST(coalesce(ag.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+             |       CAST(tot.n - coalesce(ag.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+             |FROM tot LEFT JOIN ag USING (doc_id)""".stripMargin)),
+
     // signed-random-projection sketch: 64-dim float embeddings → 16
     // integer-micro components (JL dim reduction for the ANN tier).
     // Micro-quantize first so every projection is an exact INTEGER sum —

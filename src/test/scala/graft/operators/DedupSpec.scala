@@ -355,6 +355,24 @@ class DedupSpec extends SparkSpec {
     // doc 2 identical, doc 5 whitespace-only edit: both normalize away
   }
 
+  test("scrubDupSpans removes exactly the covered tokens, reports all docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h x1 y1"), // shares the 8-gram prefix with doc 2
+      (2L, "a b c d e f g h x2 y2"),
+      (3L, "a b c d e f g h"),       // fully covered -> empty scrub
+      (4L, "short doc"),             // no 8-grams -> untouched
+      (5L, "   ")                    // no tokens at all
+    ).toDF("doc_id", "text")
+    val r = Dedup.scrubDupSpans(docs, "doc_id", "text", n = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("x1 y1", 2L, 8L)))
+    assert(r(2L) == (("x2 y2", 2L, 8L)))
+    assert(r(3L) == (("", 0L, 8L)))
+    assert(r(4L) == (("short doc", 2L, 0L)))
+    assert(r(5L) == (("", 0L, 0L)))
+  }
+
   test("corpusDiff identity: a corpus diffed against itself is empty") {
     import spark.implicits._
     val v = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
