@@ -322,6 +322,14 @@ object ConfigParser {
     // every constraint below would otherwise surface only after the
     // query is already running.
     if (streaming) {
+      // the flag only means anything on the spark-sql path — accepting
+      // it on script/maintenance jobs would silently run them as plain
+      // batch while the user believes checkpointed streaming semantics
+      // apply
+      if (jobType != JobType.SparkSql) throw new ConfigError(
+        "job.streaming applies to job.type spark-sql only")
+      if (output.isEmpty) throw new ConfigError(
+        "streaming jobs need an output_table (the drain writes through the sink)")
       if (str(job, "checkpoint_location").isEmpty) throw new ConfigError(
         "streaming jobs need job.checkpoint_location (exactly-once progress tracking)")
       inputs.foreach { t =>

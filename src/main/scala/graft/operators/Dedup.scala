@@ -275,20 +275,36 @@ object Dedup {
     * and ubiquitous shingles never form hot buckets (they are at the END
     * of the frequency order, outside every prefix). A size filter
     * (`t·|B| ≤ |A|`) prunes candidates that could never qualify. */
+  /** The AllPairs/PPJoin prefix machinery shared by [[jaccardPairs]] and
+    * [[containmentPairs]]: explode each set with its size, order every
+    * set by global (df, h) rarity, and keep the first
+    * `sz − ceil(sz·t − 1e-9) + 1` elements. The 1e-9 epsilon guards the
+    * exact-boundary case where `sz·t` lands on an integer but the IEEE
+    * product rounds a hair above it: it can only LENGTHEN a prefix, so
+    * it admits extra candidates and never loses one — the exactness
+    * argument lives here, once, for both join variants. Returns
+    * (tok, pref): the exploded (doc_id, sz, h) stream and the per-set
+    * prefix under the same columns. */
+  private def frequencyOrderedPrefix(sets: DataFrame,
+                                     threshold: Double): (DataFrame, DataFrame) = {
+    val tok = sets.select(col("doc_id"), size(col("hs")).as("sz"),
+      explode(col("hs")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val ordered = tok.join(dfreq, "h")
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
+    val prefLen = (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")
+    val pref = ordered.select(col("doc_id"), col("sz"),
+      explode(slice(transform(col("ord"), _.getField("h")), lit(1), prefLen)).as("h"))
+    (tok, pref)
+  }
+
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = shingleSets(docs, idCol, textCol, n)
     graft.util.Caching.leased(sets) {
-      val tok = sets.select(col("doc_id"), size(col("hs")).as("sz"),
-        explode(col("hs")).as("h"))
-      val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val ordered = tok.join(dfreq, "h")
-        .groupBy(col("doc_id"), col("sz"))
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-      val prefLen = (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")
-      val pref = ordered.select(col("doc_id"), col("sz"),
-        explode(slice(transform(col("ord"), _.getField("h")), lit(1), prefLen)).as("h"))
+      val (_, pref) = frequencyOrderedPrefix(sets, threshold)
       graft.util.Caching.leased(pref) {
         val l = pref.as("l"); val r = pref.as("r")
         val cand = l.join(r,
@@ -536,17 +552,29 @@ object Dedup {
     * text, and at 100 TB re-reading beats spilling a corpus-sized
     * intermediate. This is the tractable stand-in for a distributed
     * suffix array at that scale. */
-  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
-               n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** (doc_id, pos) of every n-gram window whose hash repeats anywhere in
+    * the corpus — the shared detection core of [[dupSpans]] (islands
+    * report) and [[scrubDupSpans]] (token removal): positional gram
+    * projection (1-based positions over non-empty whitespace tokens) →
+    * gram-keyed count with map-side combine → equality join back. One
+    * definition, so a change to the gram arithmetic cannot diverge the
+    * detector from the scrubber. */
+  private def dupWindowPositions(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val grams = docs.select(col(idCol).as("doc_id"),
         posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val dup = grams.join(counts.filter(col("c") > 1), "h")
+    grams.join(counts.filter(col("c") > 1), "h")
       .select(col("doc_id"), col("pos"))
+  }
+
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = dupWindowPositions(docs, idCol, textCol, n)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     dup.withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
@@ -572,13 +600,7 @@ object Dedup {
     * a pure function of them. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 8): DataFrame = {
-    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
-          .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-    val covered = grams.join(counts.filter(col("c") > 1), "h")
+    val covered = dupWindowPositions(docs, idCol, textCol, n)
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
@@ -629,15 +651,8 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
     val sets = shingleSets(docs, idCol, textCol, n)
     graft.util.Caching.leased(sets) {
-      val tok = sets.select(col("doc_id"), size(col("hs")).as("sz"),
-        explode(col("hs")).as("h"))
-      val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      val ordered = tok.join(dfreq, "h")
-        .groupBy(col("doc_id"), col("sz"))
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("ord"))
-      val prefLen = (col("sz") - ceil(col("sz") * threshold - 1e-9) + 1).cast("int")
-      val pref = ordered.select(col("doc_id").as("doc_a"),
-        explode(slice(transform(col("ord"), _.getField("h")), lit(1), prefLen)).as("h"))
+      val (tok, prefAll) = frequencyOrderedPrefix(sets, threshold)
+      val pref = prefAll.select(col("doc_id").as("doc_a"), col("h"))
       graft.util.Caching.leased(pref) {
         val idx = tok.select(col("doc_id").as("doc_b"), col("h"))
           .join(pref.select(col("h")), "h", "leftsemi")
@@ -665,8 +680,20 @@ object Dedup {
     * Scale shape: a doc_id-keyed equality join attaches scores, then ONE
     * cluster_id-keyed aggregation — the argmax is a max over
     * (score, -doc_id) structs, so it map-side combines to a single
-    * struct per cluster per mapper; no window, no sort, no top-k state. */
-  def keepBest(clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame =
+    * struct per cluster per mapper; no window, no sort, no top-k state.
+    *
+    * The lowest-id tie-break is realized by NEGATING the id inside the
+    * struct max, which requires a numeric doc_id (the rest of the dedup
+    * family only compares or min()s ids and accepts strings). A
+    * non-numeric id frame gets a named error here rather than an
+    * analysis-time type-mismatch from deep inside the plan; string-id
+    * corpora can pre-map ids (e.g. xxhash64) or rank with a window. */
+  def keepBest(clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame = {
+    val idType = clusters.schema("doc_id").dataType
+    if (!idType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+      throw new IllegalArgumentException(
+        s"keepBest: doc_id must be numeric for the lowest-id tie-break, got $idType " +
+          "(pre-map string ids, e.g. xxhash64, or use a window rank)")
     clusters.join(scores, "doc_id")
       .groupBy(col("cluster_id"))
       .agg(
@@ -674,4 +701,5 @@ object Dedup {
         count(lit(1)).as("cluster_size"))
       .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
         col("best")(scoreCol).as(s"keeper_$scoreCol"), col("cluster_size"))
+  }
 }

@@ -112,13 +112,25 @@ object Sampling {
 
   /** The row-local half: broadcast the |strata|-row rate frame onto any
     * (batch or streaming) frame and keep rows whose bucket clears their
-    * stratum's rate. */
+    * stratum's rate. A stratum ABSENT from the rate frame — a source
+    * that appeared after the rates were computed, the normal state of a
+    * streaming ingest — keeps `defaultPerMyriad` (default: everything).
+    * An inner join here would silently discard entire new sources with
+    * no verdict and no signal; keep-by-default is the conservative
+    * miss mode for a destructive filter, and the next rate recompute
+    * folds the new source into the schedule. */
   def applyMixtureRates(df: DataFrame, rates: DataFrame, idCol: String,
-                        stratumCol: String, salt: String): DataFrame =
-    df.join(broadcast(rates), stratumCol)
+                        stratumCol: String, salt: String,
+                        defaultPerMyriad: Int = Buckets): DataFrame = {
+    require(defaultPerMyriad >= 0 && defaultPerMyriad <= Buckets,
+      "defaultPerMyriad is per-myriad: [0, 10000]")
+    df.join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("rate_per_myriad",
+        coalesce(col("rate_per_myriad"), lit(defaultPerMyriad.toLong)))
       .withColumn("bucket", hashBucket(col(idCol), salt))
       .filter(col("bucket") < col("rate_per_myriad"))
       .select(col(idCol), col(stratumCol), col("bucket"), col("rate_per_myriad"))
+  }
 
   /** Stratified downsampling for dataset mixing: keep a row iff its
     * bucket falls below its stratum's rate (in 1/10000ths); strata

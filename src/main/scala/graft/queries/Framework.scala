@@ -720,16 +720,18 @@ object Framework {
     s.read.parquet(s"$base/stats")
   }
 
-  /** Staging-debris vacuum job: plant an orphan `.t2.__staging__` dir
-    * (what a mid-stage kill leaves behind) next to a live table, vacuum
-    * the parent through the YAML path — the orphan goes, the table is
-    * untouched, and a second pass is a no-op. */
+  /** Staging-debris vacuum job: plant an orphan `.t.__staging__` dir
+    * (what a kill AFTER publish leaves behind) next to the live table,
+    * vacuum the parent through the YAML path — the orphan goes, the
+    * table is untouched, and a second pass is a no-op. (An orphan with
+    * NO live sibling is a crash-recovery candidate and is kept —
+    * SinksSpec covers that branch.) */
   private def fwVacuum(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "vacuum")
     rmrf(s, base)
     s.read.parquet(s"$d/region.parquet").write.parquet(s"$base/t")
-    // the orphan a killed publish leaves: staged bytes, never renamed
-    s.read.parquet(s"$d/region.parquet").write.parquet(s"$base/.t2.__staging__")
+    // the orphan a killed publish leaves: staged bytes, never cleaned
+    s.read.parquet(s"$d/region.parquet").write.parquet(s"$base/.t.__staging__")
     def orphans: Int = new java.io.File(base).listFiles()
       .count(_.getName.endsWith(".__staging__"))
     require(orphans == 1, s"expected 1 planted orphan, got $orphans")

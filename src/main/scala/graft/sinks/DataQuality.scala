@@ -22,6 +22,12 @@ import graft.config.{ConfigError, DqChecks}
   */
 object DataQuality {
 
+  // Backtick-quoted resolution: a column literally named `a.b` (legal in
+  // parquet/JSON-derived schemas) would otherwise parse as field access
+  // on `a` and throw, both for the source column and for our generated
+  // `__nn_a.b`-style aliases.
+  private def qcol(name: String) = col(s"`$name`")
+
   /** Column-statistics profile of a frame — the crawler/catalog-stats
     * pass (`maintenance.action: profile`): one row per column with row
     * count, null count, exact distinct count, and min/max rendered as
@@ -35,18 +41,18 @@ object DataQuality {
     val fields = df.schema.fields.toSeq
     require(fields.nonEmpty, "profile: frame has no columns")
     val aggs = fields.flatMap { f => Seq(
-      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
-      count_distinct(col(f.name)).as(s"__nd_${f.name}"),
-      min(col(f.name)).cast("string").as(s"__mn_${f.name}"),
-      max(col(f.name)).cast("string").as(s"__mx_${f.name}"))
+      sum(when(qcol(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+      count_distinct(qcol(f.name)).as(s"__nd_${f.name}"),
+      min(qcol(f.name)).cast("string").as(s"__mn_${f.name}"),
+      max(qcol(f.name)).cast("string").as(s"__mx_${f.name}"))
     } :+ count(lit(1)).as("__n")
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(fields.map { f =>
         struct(lit(f.name).as("col_name"), col("__n").as("n_rows"),
-          col(s"__nn_${f.name}").as("n_nulls"),
-          col(s"__nd_${f.name}").as("n_distinct"),
-          col(s"__mn_${f.name}").as("min_value"),
-          col(s"__mx_${f.name}").as("max_value"))
+          qcol(s"__nn_${f.name}").as("n_nulls"),
+          qcol(s"__nd_${f.name}").as("n_distinct"),
+          qcol(s"__mn_${f.name}").as("min_value"),
+          qcol(s"__mx_${f.name}").as("max_value"))
       }: _*)).as("p"))
       .select(col("p.*"))
   }
@@ -56,9 +62,9 @@ object DataQuality {
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
         checks.notNull.map(c =>
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
+          sum(when(qcol(c).isNull, 1L).otherwise(0L)).as(s"__null_$c")) ++
         (if (checks.unique.nonEmpty)
-          Seq(count_distinct(struct(checks.unique.map(col): _*)).as("__distinct"))
+          Seq(count_distinct(struct(checks.unique.map(qcol): _*)).as("__distinct"))
         else Nil)
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val n = row.getAs[Long]("__n")

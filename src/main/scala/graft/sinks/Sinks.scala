@@ -163,6 +163,18 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) throw new graft.config.ConfigError(
       s"compact: target '$location' does not exist")
+    // A Hive-partitioned root would silently FLATTEN under this rewrite:
+    // the scan discovers `col=value` dirs as a data column, but the
+    // coalesce+write emits flat files, losing the directory layout that
+    // retain and partition pruning depend on. Compact partitions one at
+    // a time (point this at the partition directory), as the scaladoc
+    // prescribes — a partitioned root is a named error, not data rot.
+    val partDirs = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) throw new graft.config.ConfigError(
+      s"compact: '$location' is a partitioned table root " +
+        s"(found ${partDirs.head.getPath.getName}); compact each partition " +
+        "directory instead — rewriting the root would flatten the layout")
     val staging = new org.apache.hadoop.fs.Path(
       target.getParent, s".${target.getName}.__staging__")
     fs.delete(staging, true)
@@ -182,10 +194,13 @@ object Sinks {
     * directory and renames on success — so a run killed mid-stage
     * leaves an orphan that holds dead bytes forever (the A15 contract
     * protects the TARGET, not the scratch). `vacuum` deletes every
-    * `*.__staging__` entry directly under `location`. The live target
-    * is never touched: a staging dir only exists between stage and
-    * rename, and running maintenance concurrently with a publish to
-    * the same table is already undefined (same as compact).
+    * `*.__staging__` entry directly under `location` WHOSE LIVE TABLE
+    * EXISTS. The exception is the point, not a nicety: compact's swap
+    * deletes the target before the rename, so a crash in that window
+    * leaves the staging dir holding the ONLY copy of the data — a
+    * vacuum that matched on name alone would turn the recoverable
+    * crash into permanent loss. Such recovery candidates are left in
+    * place (finish the publish by renaming, then vacuum).
     *
     * Scale shape: one directory listing + per-orphan recursive delete —
     * namespace-only, cost ∝ orphan count. Returns the deleted names. */
@@ -197,6 +212,13 @@ object Sinks {
     val orphans = fs.listStatus(target)
       .filter(st => st.isDirectory && st.getPath.getName.endsWith(".__staging__"))
       .map(_.getPath)
+      .filter { p =>
+        // `.name.__staging__` publishes to sibling `name`; delete only
+        // when that live copy exists
+        val live = new org.apache.hadoop.fs.Path(target,
+          p.getName.stripPrefix(".").stripSuffix(".__staging__"))
+        fs.exists(live)
+      }
     orphans.foreach(p => fs.delete(p, true))
     orphans.map(_.getName).toSeq
   }

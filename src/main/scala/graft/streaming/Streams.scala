@@ -77,22 +77,6 @@ object Streams {
     spark.readStream.schema(documentsSchema).parquet(stage.toString)
   }
 
-  /** Streaming benchmark decontamination: documents arriving on a stream
-    * are LSH-probed against a STATIC benchmark index and flagged when
-    * their exact 3-gram Jaccard against any benchmark doc reaches the
-    * threshold — the ingest-time guard that keeps eval data out of a
-    * training corpus without re-running batch decontamination.
-    *
-    * Scale shape: the static side (shingle sets → MinHash signature →
-    * band hashes) is built ONCE per query from the benchmark corpus —
-    * orders of magnitude smaller than the stream — and in production
-    * would be persisted or pre-bucketed; the stream side is a pure
-    * narrow projection per document (native shingle/signature
-    * expressions, no shuffle), and the stream-static equi-join on
-    * (band_idx, band_hash) is stateless — each micro-batch probes only
-    * its own band buckets, never all pairs. The only streaming state is
-    * the final dropDuplicates, keyed on FLAGGED pairs (post-verify), so
-    * state grows with contamination incidents, not with the corpus. */
   /** Mixture sampling at ingest — the streaming twin of
     * [[graft.operators.Sampling.mixtureSample]]: per-source keep rates
     * are a BATCH artifact computed once from the static reference
@@ -110,6 +94,22 @@ object Streams {
       readDocumentsStream(spark, dir), rates, "doc_id", "source", salt)
   }
 
+  /** Streaming benchmark decontamination: documents arriving on a stream
+    * are LSH-probed against a STATIC benchmark index and flagged when
+    * their exact 3-gram Jaccard against any benchmark doc reaches the
+    * threshold — the ingest-time guard that keeps eval data out of a
+    * training corpus without re-running batch decontamination.
+    *
+    * Scale shape: the static side (shingle sets → MinHash signature →
+    * band hashes) is built ONCE per query from the benchmark corpus —
+    * orders of magnitude smaller than the stream — and in production
+    * would be persisted or pre-bucketed; the stream side is a pure
+    * narrow projection per document (native shingle/signature
+    * expressions, no shuffle), and the stream-static equi-join on
+    * (band_idx, band_hash) is stateless — each micro-batch probes only
+    * its own band buckets, never all pairs. The only streaming state is
+    * the final dropDuplicates, keyed on FLAGGED pairs (post-verify), so
+    * state grows with contamination incidents, not with the corpus. */
   def contaminationStream(spark: SparkSession, dir: String,
                           n: Int = 3, k: Int = 128, bands: Int = 32,
                           threshold: Double = 0.8): DataFrame = {
@@ -186,14 +186,9 @@ object Streams {
     * (Complete mode re-emits the whole result every trigger — fine for a
     * bounded drain, impossible at 100 TB of windows). */
   def windowedCountsAppend(events: DataFrame, delay: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("event_type"), col("n_events"), col("value_cents"))
+    // the watermark composes BEFORE the shared aggregation — one
+    // definition of the window/count/cents math for both modes
+    windowedCounts(events.withWatermark("ts", delay))
 
   /** Drain a (bounded) streaming frame through a memory sink with
     * Trigger.AvailableNow and return the result table.

@@ -154,6 +154,16 @@ class ConfigParserSpec extends AnyFunSuite {
       s"""job: {name: j, type: spark-sql, streaming: available_now}
          |${in}sql: SELECT 1
          |$out""".stripMargin) contains "checkpoint_location")
+    // streaming on a non-spark-sql job would silently run as plain batch
+    assert(bad(
+      s"""job: {name: j, type: maintenance, streaming: available_now}
+         |maintenance: {action: vacuum, location: /tmp/db}
+         |""".stripMargin) contains "spark-sql only")
+    // the drain writes through the sink — an output is not optional
+    assert(bad(
+      s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}
+         |${in}sql: SELECT 1
+         |""".stripMargin) contains "output_table")
     // schema required on streaming file inputs
     assert(bad(
       s"""job: {name: j, type: spark-sql, streaming: available_now, checkpoint_location: /tmp/c}

@@ -95,4 +95,15 @@ class SamplingSpec extends SparkSpec {
     assert(byStratum("B").forall(_.getLong(3) == 10000L))
     assert(r.forall(x => x.getLong(2) < x.getLong(3))) // kept iff bucket < rate
   }
+
+  test("applyMixtureRates keeps strata missing from the rate frame by default") {
+    import spark.implicits._
+    val df = Seq((1L, "known"), (2L, "brand-new")).toDF("id", "src")
+    val rates = Seq(("known", 0L)).toDF("src", "rate_per_myriad") // drop all known
+    val r = Sampling.applyMixtureRates(df, rates, "id", "src", "s")
+      .collect().map(x => x.getString(1) -> x.getLong(3)).toMap
+    assert(r == Map("brand-new" -> 10000L)) // new source kept, known dropped
+    // explicit default 0 = drop-unknown policy
+    assert(Sampling.applyMixtureRates(df, rates, "id", "src", "s", 0).isEmpty)
+  }
 }

@@ -112,6 +112,9 @@ class SinksSpec extends SparkSpec {
     assert(r("k") == ((3L, 0L, 3L, "1", "3")))
     assert(r("v") == ((3L, 1L, 1L, "a", "a"))) // null excluded from distinct/min/max
     assert(r.size == 2)
+    // a column whose NAME contains a dot must not parse as field access
+    val dotted = DataQuality.profile(Seq(1, 2).toDF("a.b")).collect()
+    assert(dotted.head.getString(0) == "a.b" && dotted.head.getLong(3) == 2L)
   }
 
   test("compact merges part-files, preserves content, and fails safe") {
@@ -154,17 +157,29 @@ class SinksSpec extends SparkSpec {
       Sinks.retain(spark, dir, "nope", "x")).getMessage.contains("partition directories"))
   }
 
-  test("vacuum removes only staging orphans, never the live table") {
+  test("vacuum removes only staging orphans whose live table exists") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/db"
     (1 to 10).toDF("n").write.parquet(dir + "/t")
     (1 to 5).toDF("n").write.parquet(dir + "/.t.__staging__")
-    (1 to 5).toDF("n").write.parquet(dir + "/.other.__staging__")
+    // mid-swap crash shape: staging holds the ONLY copy — must survive
+    (1 to 5).toDF("n").write.parquet(dir + "/.lost.__staging__")
     val removed = Sinks.vacuum(spark, dir)
-    assert(removed.toSet == Set(".t.__staging__", ".other.__staging__"))
-    assert(spark.read.parquet(dir + "/t").count() == 10) // table intact
-    assert(Sinks.vacuum(spark, dir).isEmpty)             // idempotent
+    assert(removed == Seq(".t.__staging__"))
+    assert(spark.read.parquet(dir + "/t").count() == 10)             // table intact
+    assert(spark.read.parquet(dir + "/.lost.__staging__").count() == 5) // recovery kept
+    assert(Sinks.vacuum(spark, dir).isEmpty)                         // idempotent
     assert(intercept[graft.config.ConfigError](
       Sinks.vacuum(spark, dir + "-missing")).getMessage.contains("does not exist"))
+  }
+
+  test("compact refuses a partitioned table root") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/pt"
+    Seq(("a", 1), ("b", 2)).toDF("p", "v").write.partitionBy("p").parquet(dir)
+    val e = intercept[graft.config.ConfigError](Sinks.compact(spark, dir, "parquet", 1))
+    assert(e.getMessage.contains("partitioned table root"))
+    // compacting ONE partition directory is the prescribed form
+    Sinks.compact(spark, dir + "/p=a", "parquet", 1)
+    assert(spark.read.parquet(dir).count() == 2)
   }
 
   test("dynamic partition overwrite touches only result partitions") {
