@@ -253,6 +253,42 @@ object TextAnalysis {
     }
   }
 
+  /** Cross-source content-overlap matrix — the pairwise companion of
+    * [[corpusReport]]'s per-source dup rate: for every source pair, how
+    * many distinct normalized fingerprints they SHARE, plus each side's
+    * distinct count and the Jaccard of the two fingerprint sets. This is
+    * the report that tells you source B is a mirror of source A before
+    * you pay to dedup them document by document.
+    *
+    * Scale shape: corpus → distinct (source, fingerprint) pairs (one
+    * hash-keyed aggregation, map-side combined — output ≤ corpus,
+    * usually ≪); the pair matrix comes from a fingerprint-keyed
+    * SELF-JOIN of that distinct frame — cost ∝ Σ_fp (#sources sharing
+    * fp)², bounded by sources² per fingerprint, never documents²; the
+    * per-source distinct counts are |sources| rows broadcast back on.
+    * Jaccard is micro-floored after integer counts — exactly
+    * replayable. */
+  def sourceOverlap(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String): DataFrame = {
+    val fp = docs.select(col(sourceCol).as("source"),
+        graft.operators.Dedup.fingerprintCol(col(textCol)).as("fp"))
+      .distinct()
+    graft.util.Caching.leased(fp) {
+      val sizes = fp.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+      val l = fp.as("l"); val r = fp.as("r")
+      l.join(r, col("l.fp") === col("r.fp") && col("l.source") < col("r.source"))
+        .groupBy(col("l.source").as("source_a"), col("r.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n_fp").as("n_a"))), "source_a")
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n_fp").as("n_b"))), "source_b")
+        .select(col("source_a"), col("source_b"), col("n_shared"),
+          col("n_a"), col("n_b"),
+          floor(col("n_shared").cast("double") /
+              (col("n_a") + col("n_b") - col("n_shared")).cast("double") * 1e6 + 0.5)
+            .cast("long").as("jaccard_e6"))
+    }
+  }
+
   /** Per-document distinctive top-k terms — the tf-idf-shaped keyword
     * pass of a curation pipeline, with a fully INTEGER ranking: terms
     * order by (term frequency DESC, corpus document frequency ASC, token)

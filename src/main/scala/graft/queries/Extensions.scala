@@ -778,6 +778,40 @@ object Extensions {
              |FROM k JOIN fc USING (fp)
              |GROUP BY source""".stripMargin)),
 
+    // cross-source overlap matrix: a planted 'mirror' source (every
+    // doc_id % 25 == 0, re-labeled) shares fingerprints with each real
+    // source — the report that spots mirrored sources before paying for
+    // doc-level dedup. Pairwise counts + micro-floored Jaccard.
+    "ext54_source_overlap" -> Q(
+      (s, d) => {
+        val base = docs(s, d)
+        val planted = base.select(col("doc_id"), col("text"), col("source"))
+          .unionByName(base.filter(col("doc_id") % 25 === 0)
+            .select((col("doc_id") + 500000).as("doc_id"), col("text"),
+              lit("mirror").as("source")))
+        TextAnalysis.sourceOverlap(planted, "doc_id", "text", "source")
+      },
+      Some("""WITH all_docs AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 500000, text, 'mirror' FROM documents WHERE doc_id % 25 = 0
+             |), f AS (
+             |  SELECT DISTINCT source,
+             |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+             |  FROM all_docs
+             |), sz AS (
+             |  SELECT source, count(*) AS n_fp FROM f GROUP BY source
+             |), sh AS (
+             |  SELECT l.source AS source_a, r.source AS source_b, count(*) AS n_shared
+             |  FROM f l JOIN f r ON l.fp = r.fp AND l.source < r.source
+             |  GROUP BY 1, 2
+             |)
+             |SELECT source_a, source_b, n_shared,
+             |       a.n_fp AS n_a, b.n_fp AS n_b,
+             |       CAST(floor(n_shared::DOUBLE / (a.n_fp + b.n_fp - n_shared) * 1000000 + 0.5) AS BIGINT) AS jaccard_e6
+             |FROM sh JOIN sz a ON a.source = sh.source_a
+             |        JOIN sz b ON b.source = sh.source_b""".stripMargin)),
+
     // hybrid retrieval: reciprocal-rank fusion of the lexical TF-IDF
     // top-20 (ext44's machinery) with the embedding cosine top-20
     // (ext05's) — the standard two-tower search stack. Queries without

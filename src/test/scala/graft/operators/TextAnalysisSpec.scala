@@ -259,6 +259,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L)._2 == 1L && r(3L)._3.split(",").map(_.toLong).sum == 1L)
   }
 
+  test("sourceOverlap: shared fingerprints per pair, no row for disjoint pairs") {
+    val docs = Seq(
+      (1L, "x", "srcA"), (2L, "y", "srcA"),
+      (3L, "x", "srcB"), (4L, "z", "srcB"),
+      (5L, "w", "srcC")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.sourceOverlap(docs, "doc_id", "text", "source").collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    // A and B share {x}: 1 of (2 + 2 - 1) -> jaccard 1/3 in micros
+    assert(r == Map(("srcA", "srcB") -> ((1L, 2L, 2L, 333333L))))
+  }
+
   test("blocklistFilter: distinct whole-token hits, case-folded, no substring match") {
     val docs = Seq(
       (1L, "clean text here"),
