@@ -783,6 +783,26 @@ object Relational {
              |       last_value(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END IGNORE NULLS)
              |         OVER (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
              |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // B15 extension: COUNT(DISTINCT) OVER a partition — not directly
+    // supported by either engine's window functions; the canonical
+    // rewrite is max(dense_rank) over the partition (rank the values,
+    // the highest dense rank IS the distinct count). Every order in
+    // sight is total, so the result is engine-exact.
+    "q39_window_distinct" -> Q(
+      (s, d) => {
+        val rankW = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderpriority"))
+        val partW = Window.partitionBy(col("o_custkey"))
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderpriority"))
+          .withColumn("n_distinct_priorities",
+            max(dense_rank().over(rankW)).over(partW).cast("long"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderpriority,
+             |       CAST(max(drnk) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_priorities
+             |FROM (SELECT o_custkey, o_orderkey, o_orderpriority,
+             |             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
+             |      FROM orders)""".stripMargin))
   )
 }
