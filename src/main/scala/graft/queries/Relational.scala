@@ -803,6 +803,30 @@ object Relational {
              |       CAST(max(drnk) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_distinct_priorities
              |FROM (SELECT o_custkey, o_orderkey, o_orderpriority,
              |             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
-             |      FROM orders)""".stripMargin))
+             |      FROM orders)""".stripMargin)),
+
+    // B9/B12 extension: FILTER (WHERE …) aggregate modifiers — the ANSI
+    // form of conditional aggregation (one pass computes several
+    // differently-filtered aggregates; the pre-ANSI rewrite is a CASE
+    // expression inside each aggregate). Still ONE map-side-combinable
+    // HashAggregate: each FILTER is a per-row predicate on the partial
+    // update, not an extra scan or shuffle. Money compared in exact
+    // cents so both engines hash identically.
+    "q40_filtered_agg" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderpriority,
+             count(*) AS n_orders,
+             count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS finished_cents,
+             CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS BIGINT) AS n_custs_recent
+           FROM orders GROUP BY o_orderpriority""") },
+      Some("""SELECT o_orderpriority,
+             |       count(*) AS n_orders,
+             |       count(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             |       CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+             |         FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS finished_cents,
+             |       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS BIGINT) AS n_custs_recent
+             |FROM orders GROUP BY o_orderpriority""".stripMargin))
   )
 }
