@@ -329,6 +329,54 @@ object Similarity {
         .as("q"))
   }
 
+  /** Embedding sanity audit — the ingest gate a vector column crosses
+    * before anything downstream (ANN indexing, dedup, centroids) is
+    * allowed to trust it. Real embedding feeds break in a handful of
+    * known ways — a null or truncated vector from a failed encode call,
+    * NaN/Inf components from an fp16 overflow, an all-zero vector from a
+    * padded batch slot, a norm far off the model's unit sphere from
+    * version-mixed encoders — and every one of them silently poisons
+    * cosine math downstream (NaN propagates through a dot product; a
+    * zero vector makes the similarity undefined). This audit emits the
+    * signals AND the keep verdict per row.
+    *
+    * Determinism contract: components are micro-quantized FIRST
+    * (qᵢ = floor(xᵢ·1e6 + 0.5), one exact-IEEE op per component — the
+    * [[srpSketch]] discipline), so the norm fold is an order-independent
+    * INTEGER sum both engines replay exactly: norm2_e12 = Σ qᵢ² (64
+    * dims × (1e6)² ≈ 6.4e13 ≪ Long.Max). A vector whose components are
+    * all < 0.5e-6 in magnitude is zero at audit resolution — which is
+    * operationally zero for any int8/micro-quantized consumer. The norm
+    * of a non-finite vector is the -1 sentinel, never a NaN fold (DuckDB
+    * errors casting NaN to BIGINT; Spark coerces to 0 — the sentinel
+    * sidesteps the divergence).
+    *
+    * Scale shape: pure narrow projection — codegen'd, shuffle-free,
+    * scan-speed; verdicts travel with the row so the downstream filter
+    * is a predicate, not a join. */
+  def embedAudit(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                 normLoE12: Long, normHiE12: Long): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val isNull = col(vecCol).isNull
+    val nDims = when(isNull, lit(0)).otherwise(size(v)).cast("int")
+    val allFinite = when(isNull, lit(false)).otherwise(
+      forall(v, x => !isnan(x) && abs(x) <= lit(Double.MaxValue)))
+    val q = (x: Column) => floor(x * 1e6 + 0.5).cast("long")
+    val norm2 = when(!allFinite, lit(-1L)).otherwise(
+      aggregate(v, lit(0L), (acc, x) => acc + q(x) * q(x)))
+    df.select(
+        col(idCol),
+        nDims.as("n_dims"),
+        isNull.as("is_null"),
+        allFinite.as("all_finite"),
+        norm2.as("norm2_e12"))
+      .withColumn("dim_ok", col("n_dims") === dims)
+      .withColumn("norm_ok", col("all_finite") &&
+        col("norm2_e12") >= normLoE12 && col("norm2_e12") <= normHiE12)
+      .withColumn("keep",
+        col("dim_ok") && col("norm_ok") && col("norm2_e12") > 0)
+  }
+
   /** Per-group centroid over int8-QUANTIZED embeddings — the
     * domain/cluster summary a mixture-balancing or semantic-dedup pass
     * reads (which sources sit where in embedding space, how many vectors

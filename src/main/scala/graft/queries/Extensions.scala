@@ -609,6 +609,64 @@ object Extensions {
              |       END, ',') AS q_csv
              |FROM p""".stripMargin)),
 
+    // embedding sanity audit: the fixture has no broken vectors, so
+    // seven planted rows are unioned into BOTH dialects — NaN, Inf,
+    // zero vector, wrong dims, off-sphere norm, NULL, sub-resolution
+    // tiny — exercising every verdict for real; the 500 fixture rows
+    // pin the all-keep path. Norm bounds [0.81e12, 1.21e12] = the unit
+    // sphere ±10% in micro-int space.
+    "ext55_embed_audit" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (-101L, Some(Seq.tabulate(64)(i => if (i == 3) Float.NaN else 0.5f))),
+          (-102L, Some(Seq.tabulate(64)(i => if (i == 0) Float.PositiveInfinity else 0.125f))),
+          (-103L, Some(Seq.fill(64)(0f))),
+          (-104L, Some(Seq.fill(32)(0.17675f))),
+          (-105L, Some(Seq.fill(64)(100f))),
+          (-106L, Option.empty[Seq[Float]]),
+          (-107L, Some(Seq.fill(64)(1e-7f)))
+        ).toDF("vec_id", "embedding")
+        Similarity.embedAudit(
+          emb(s, d).select(col("vec_id"), col("embedding")).unionByName(planted),
+          "vec_id", "embedding", dims = 64,
+          normLoE12 = 810000000000L, normHiE12 = 1210000000000L)
+      },
+      Some("""WITH planted(vec_id, embedding) AS (VALUES
+             |  (-101, list_transform(range(64), i -> CASE WHEN i = 3 THEN 'nan'::FLOAT ELSE 0.5::FLOAT END)),
+             |  (-102, list_transform(range(64), i -> CASE WHEN i = 0 THEN 'inf'::FLOAT ELSE 0.125::FLOAT END)),
+             |  (-103, list_transform(range(64), i -> 0.0::FLOAT)),
+             |  (-104, list_transform(range(32), i -> 0.17675::FLOAT)),
+             |  (-105, list_transform(range(64), i -> 100.0::FLOAT)),
+             |  (-106, NULL),
+             |  (-107, list_transform(range(64), i -> 0.0000001::FLOAT))
+             |), corpus AS (
+             |  SELECT vec_id, embedding FROM embeddings
+             |  UNION ALL SELECT vec_id, embedding FROM planted
+             |), sig AS (
+             |  SELECT vec_id, embedding,
+             |         embedding IS NULL AS is_null,
+             |         CAST(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END AS INT) AS n_dims,
+             |         CASE WHEN embedding IS NULL THEN FALSE
+             |              ELSE len(list_filter(embedding, x -> NOT isfinite(x))) = 0 END AS all_finite
+             |  FROM corpus
+             |), n AS (
+             |  SELECT vec_id, n_dims, is_null, all_finite,
+             |         CASE WHEN NOT all_finite THEN CAST(-1 AS BIGINT)
+             |              ELSE CAST(list_sum(list_transform(embedding::DOUBLE[],
+             |                     x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)
+             |                        * CAST(floor(x * 1000000 + 0.5) AS BIGINT))) AS BIGINT)
+             |         END AS norm2_e12
+             |  FROM sig
+             |)
+             |SELECT vec_id, n_dims, is_null, all_finite, norm2_e12,
+             |       n_dims = 64 AS dim_ok,
+             |       all_finite AND norm2_e12 BETWEEN 810000000000 AND 1210000000000 AS norm_ok,
+             |       n_dims = 64
+             |         AND (all_finite AND norm2_e12 BETWEEN 810000000000 AND 1210000000000)
+             |         AND norm2_e12 > 0 AS keep
+             |FROM n""".stripMargin)),
+
     // C4-style blocklist filter: distinct-term hit count + keep verdict
     // as a shuffle-free plan-literal projection; whole-token matching.
     "ext50_blocklist" -> Q(

@@ -264,4 +264,34 @@ class SimilaritySpec extends SparkSpec {
       .orderBy("rnk").collect().map(_.getString(1)).toSeq
     assert(r == Seq("a", "b", "c")) // 1/(c+rank) is monotone decreasing
   }
+
+  test("embedAudit: every failure mode gets the right verdict, clean rows keep") {
+    import spark.implicits._
+    val dims = 4
+    val rows = Seq(
+      (1L, Some(Seq(1f, 0f, 0f, 0f))),                    // clean unit vector
+      (2L, Some(Seq(0.5f, 0.5f, 0.5f, 0.5f))),            // clean unit vector
+      (3L, Some(Seq(Float.NaN, 0f, 0f, 0f))),             // NaN
+      (4L, Some(Seq(Float.NegativeInfinity, 0f, 0f, 0f))), // -Inf
+      (5L, Some(Seq(0f, 0f, 0f, 0f))),                    // zero vector
+      (6L, Some(Seq(1f, 0f, 0f))),                        // wrong dims
+      (7L, Some(Seq(10f, 0f, 0f, 0f))),                   // off-sphere norm
+      (8L, Option.empty[Seq[Float]]),                     // null
+      (9L, Some(Seq(1e-7f, 1e-7f, 1e-7f, 1e-7f)))         // zero at resolution
+    ).toDF("vec_id", "embedding")
+    val a = Similarity.embedAudit(rows, "vec_id", "embedding", dims,
+      normLoE12 = 810000000000L, normHiE12 = 1210000000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def keep(id: Long) = a(id).getAs[Boolean]("keep")
+    assert(keep(1) && keep(2))
+    assert(Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L).forall(!keep(_)))
+    assert(a(3L).getAs[Long]("norm2_e12") == -1L) // sentinel, never a NaN fold
+    assert(!a(3L).getAs[Boolean]("all_finite"))
+    assert(a(5L).getAs[Long]("norm2_e12") == 0L)
+    assert(!a(6L).getAs[Boolean]("dim_ok"))
+    assert(!a(7L).getAs[Boolean]("norm_ok") && a(7L).getAs[Boolean]("all_finite"))
+    assert(a(8L).getAs[Boolean]("is_null") && a(8L).getAs[Int]("n_dims") == 0)
+    assert(a(9L).getAs[Long]("norm2_e12") == 0L) // micro-quantizes to zero
+    assert(a(1L).getAs[Long]("norm2_e12") == 1000000000000L) // exactly 1e12
+  }
 }
