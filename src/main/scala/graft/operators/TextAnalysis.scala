@@ -520,6 +520,46 @@ object TextAnalysis {
           .as("vec_csv"))
   }
 
+  /** Hashed linear text classifier at scan speed — the fastText-shaped
+    * model-scoring pass (quality filter, domain router, language
+    * gate) applied the only way that works at 100 TB: the model rides
+    * the PLAN, not a table. Tokens hash into `dims` buckets with the
+    * same md5 bucket function as [[hashEmbed]]; the model is one weight
+    * per bucket plus a bias; a document's logit is Σ w(bucket(t)) over
+    * its tokens plus the bias, and the verdict is logit ≥ 0 (the sign
+    * of the logit IS the sigmoid-at-0.5 decision — no exp, no libm).
+    *
+    * The weight lookup is an EXPRESSION on the bucket id — never a join
+    * against a weights table, never a corpus-side broadcast — so the
+    * whole pass is one narrow projection plus one map-side-combined
+    * per-doc aggregation; weights in exact micro units keep every sum
+    * an integer both engines replay. Weights here derive per bucket
+    * from md5 (any engine can regenerate them); a production model
+    * swaps in its trained literal array, same plan shape.
+    *
+    * Docs with no tokens survive with n_tokens = 0 and logit = bias
+    * (explode_outer — a filter pass must issue a verdict for EVERY
+    * row, or empty documents silently bypass it). */
+  def classifierScore(docs: DataFrame, idCol: String, textCol: String,
+                      dims: Int = 64, biasE6: Long = 0L): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode_outer(filter(words(col(textCol)), t => t =!= "")).as("token"))
+    val bucket = pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+      lit(dims)).cast("int")
+    val weight = pmod(conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(2001L)) - lit(1000L)
+    toks
+      .select(col("doc_id"),
+        when(col("token").isNull, lit(0L)).otherwise(weight).as("w"),
+        col("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(col("token")).as("n_tokens"),
+        (sum(col("w")) + lit(biasE6)).as("logit_e6"))
+      .select(col("doc_id"), col("n_tokens"), col("logit_e6"),
+        (col("logit_e6") >= 0L).as("keep"))
+  }
+
   /** Bigram language-model document score — the next step up from
     * [[freqScore]]'s unigram proxy toward the KenLM-style perplexity
     * filter: each adjacent bigram (w1, w2) scores its corpus conditional

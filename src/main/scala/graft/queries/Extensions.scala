@@ -967,6 +967,33 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
              |FROM filled GROUP BY doc_id""".stripMargin)),
 
+    // hashed linear classifier: the model (weight per md5 bucket + bias)
+    // rides the plan as an expression — no weights table, no join; both
+    // dialects regenerate the weights from md5 and replay the integer
+    // logit exactly. Bias 0.25 in micro units so the verdict boundary
+    // is exercised off-center.
+    "ext56_classifier_score" -> Q(
+      (s, d) => TextAnalysis.classifierScore(docs(s, d), "doc_id", "text",
+        dims = 64, biasE6 = 250000L),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), wt AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+             |  FROM tk
+             |), ag AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(sum(w) + 250000 AS BIGINT) AS logit_e6
+             |  FROM wt GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(ag.n_tokens, 0) AS n_tokens,
+             |       coalesce(ag.logit_e6, 250000) AS logit_e6,
+             |       coalesce(ag.logit_e6, 250000) >= 0 AS keep
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN ag ON ag.doc_id = d.doc_id""".stripMargin)),
+
     // sparse lexical TF-IDF retrieval: top-5 corpus docs per query doc
     // (queries = doc_id % 50 = 0, corpus = the rest) by the inverted-
     // index dot product with micro-floored integer idf — similarity

@@ -337,4 +337,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r((98L, 2)) == ((21L, 2500000L, 1L)))
     assert(r.size == 4)
   }
+
+  test("classifierScore: logit matches an independent md5 replay, empty doc keeps bias") {
+    val docs = Seq(
+      (1L, "alpha alpha beta"),
+      (2L, "  "),               // no tokens: verdict still issued, logit = bias
+      (3L, "gamma")
+    ).toDF("doc_id", "text")
+    val bias = 250000L
+    val r = TextAnalysis.classifierScore(docs, "doc_id", "text", dims = 8, biasE6 = bias)
+      .collect()
+      .map(x => x.getLong(0) ->
+        ((x.getAs[Long]("n_tokens"), x.getAs[Long]("logit_e6"), x.getAs[Boolean]("keep"))))
+      .toMap
+    def md5int(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def weight(tok: String): Long = md5int(s"w:${md5int(tok) % 8}") % 2001L - 1000L
+    val logit1 = 2 * weight("alpha") + weight("beta") + bias
+    val logit3 = weight("gamma") + bias
+    assert(r(1L) == ((3L, logit1, logit1 >= 0)))
+    assert(r(2L) == ((0L, bias, true)))
+    assert(r(3L) == ((1L, logit3, logit3 >= 0)))
+    assert(r.size == 3)
+  }
 }
