@@ -111,6 +111,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  output: Option[String] = None,
                                  partitionCol: Option[String] = None,
                                  keepFrom: Option[String] = None,
+                                 clusterBy: Seq[String] = Nil,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -362,11 +363,20 @@ object ConfigParser {
     val maintenance = root.get("maintenance").filter(_ != null).map { m =>
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
-      if (!Set("compact", "profile", "retain", "vacuum")(action)) throw new ConfigError(
-        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain, vacuum)")
+      if (!Set("compact", "profile", "retain", "vacuum", "cluster")(action)) throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain, vacuum, cluster)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
+      val clusterBy = str(t, "cluster_by")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      if (action == "cluster" && clusterBy.size < 2) throw new ConfigError(
+        "maintenance.cluster_by needs >= 2 comma-separated columns for cluster " +
+          "(one column is the sort_by output key, not a Z-curve)")
+      if (action == "cluster" && files.isEmpty) throw new ConfigError(
+        "maintenance.files (target part-file count) is required for cluster")
+      if (action != "cluster" && clusterBy.nonEmpty) throw new ConfigError(
+        s"maintenance.cluster_by only applies to action cluster, not '$action'")
       if (files.exists(_ <= 0)) throw new ConfigError(
         s"maintenance.files must be positive, got ${files.get}")
       val outLoc = str(t, "output")
@@ -387,6 +397,7 @@ object ConfigParser {
         output = outLoc,
         partitionCol = partCol,
         keepFrom = keepFrom,
+        clusterBy = clusterBy,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

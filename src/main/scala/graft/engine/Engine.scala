@@ -199,6 +199,13 @@ object Engine {
             graft.log.Log.info("vacuum applied", "location" -> location,
               "removed" -> removed.mkString(","))
             None
+          case "cluster" =>
+            graft.log.Log.info("z-order clustering target",
+              "location" -> location, "cluster_by" -> m.clusterBy.mkString(","),
+              "files" -> m.files.get.toString)
+            Sinks.clusterZOrder(spark, location, m.format, m.clusterBy,
+              m.files.get, m.options)
+            None
         }
     }
 

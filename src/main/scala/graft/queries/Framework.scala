@@ -619,6 +619,56 @@ object Framework {
     s.read.parquet(s"$base/t")
   }
 
+  /** Z-order clustering lifecycle (beyond-reference): stage a randomly-
+    * laid-out table, cluster it on (l_partkey, l_suppkey) through the
+    * YAML maintenance path, then REQUIRE the layout contract — exactly
+    * `files` part-files whose recomputed Z-ranges are pairwise disjoint
+    * (that disjointness is what lets file min/max stats prune scans on
+    * either clustered column). The oracle proves the rewrite moved
+    * bytes, not values. */
+  private def fwCluster(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "cluster")
+    rmrf(s, base)
+    s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+      .repartition(8) // round-robin: deliberately locality-free layout
+      .write.parquet(s"$base/t")
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-cluster
+         |  type: maintenance
+         |variables:
+         |  default:
+         |    target_dir: $base
+         |maintenance:
+         |  action: cluster
+         |  location: "{target_dir}/t"
+         |  format: parquet
+         |  cluster_by: l_partkey, l_suppkey
+         |  files: "4"
+         |""".stripMargin)
+    Engine.run(s, job, "default")
+    // capture the file name BEFORE zOrdered's stats cross-join —
+    // input_file_name() refuses a multi-source plan
+    val tagged = s.read.parquet(s"$base/t").withColumn("__f", input_file_name())
+    val ranges = graft.sinks.Sinks.zOrdered(tagged, Seq("l_partkey", "l_suppkey"))
+      .groupBy(col("__f"))
+      .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+      .orderBy(col("lo"))
+      .collect() // nFiles rows — metadata-sized, not data-sized
+    require(ranges.length == 4,
+      s"cluster: expected 4 part-files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array(a, b) => require(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"cluster: overlapping Z-ranges [${a.getAs[Long]("lo")},${a.getAs[Long]("hi")}] " +
+          s"vs [${b.getAs[Long]("lo")},${b.getAs[Long]("hi")}]")
+      case _ => ()
+    }
+    s.read.parquet(s"$base/t")
+  }
+
   /** Sorted-writes lifecycle (beyond-reference): `sort_by:` orders rows
     * WITHIN each written file, so parquet row-group min/max stats prune
     * range scans on the sort key — the free storage index every
@@ -963,6 +1013,10 @@ object Framework {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)),
+    "fw_cluster" -> Q(fwCluster, Some(
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+        |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_orderkey % 5 = 0""".stripMargin)),
     "fw_formats" -> Q(fwFormats, Some(
       """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
         |       min(n.n_name) AS first_nation

@@ -266,6 +266,109 @@ object Sinks {
     dropped.map(_.getName).toSeq
   }
 
+  /** Z-order clustering maintenance — the MULTI-column layout pass
+    * [[shaped]]'s `sort_by` cannot be: a single-column sort gives
+    * perfect pruning on that column and none on any other, while
+    * interleaving the bits of k columns' range-bucketed values orders
+    * rows along a space-filling Z-curve, so file and row-group min/max
+    * stats stay tight on EVERY clustered column at once. A scan
+    * filtering on any subset of the cluster keys skips most files —
+    * the `OPTIMIZE ZORDER BY` of the table formats, re-expressed as a
+    * plain staged rewrite.
+    *
+    * Shape: one stats aggregate (per-column min/max — map-side
+    * combined, broadcast back as a single-row frame, never collected),
+    * one narrow z-value projection, one range repartition on z (the
+    * only shuffle, and exactly the parallelism-sized one the rewrite
+    * needs), sort within partitions, staged write + atomic swap (the
+    * [[compact]] publish contract: a failed clustering leaves the
+    * unclustered-but-correct table in place; rerunning is idempotent
+    * on content). Numeric/date/timestamp keys only — categorical keys
+    * belong in `partition_keys`, not a Z-curve.
+    *
+    * Bits per column = min(16, 62/k): k=2 → 32-bit z-values, k=3 →
+    * 48-bit; beyond ~4 columns the curve's locality (and any format's
+    * ZORDER) degrades — that is inherent to Z-ordering, not this
+    * implementation. */
+  def clusterZOrder(spark: SparkSession, location: String, format: String,
+                    clusterBy: Seq[String], nFiles: Int,
+                    options: Map[String, String] = Map.empty): Unit = {
+    require(nFiles > 0, "cluster: files must be positive")
+    require(clusterBy.size >= 2,
+      "cluster: needs >= 2 cluster_by columns (one column is sort_by)")
+    val target = new org.apache.hadoop.fs.Path(location)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) throw new graft.config.ConfigError(
+      s"cluster: target '$location' does not exist")
+    // Same guard as compact: rewriting a Hive-partitioned root would
+    // flatten the directory layout. Cluster partition-by-partition.
+    val partDirs = fs.listStatus(target)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (partDirs.nonEmpty) throw new graft.config.ConfigError(
+      s"cluster: '$location' is a partitioned table root " +
+        s"(found ${partDirs.head.getPath.getName}); cluster each partition " +
+        "directory instead — rewriting the root would flatten the layout")
+    val df = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options)).load(location)
+    val cols = df.columns
+    val staging = new org.apache.hadoop.fs.Path(
+      target.getParent, s".${target.getName}.__staging__")
+    fs.delete(staging, true)
+    zOrdered(df, clusterBy)
+      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .select(cols.map(org.apache.spark.sql.functions.col): _*)
+      .write.format(format).options(graft.sources.Sources.mapOptions(options))
+      .mode(SaveMode.Overwrite)
+      .save(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"cluster: rename $staging -> $target failed")
+  }
+
+  /** The frame plus its Z-curve position as `__z`: each cluster column
+    * min/max-scales into 2^bits buckets (stats broadcast as a
+    * single-row frame) and the bucket bits interleave. Shared by
+    * [[clusterZOrder]] and the layout asserts in tests/queries. */
+  private[graft] def zOrdered(df: DataFrame, clusterBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val bits = math.min(16, 62 / clusterBy.size)
+    def asD(c: String) = df.schema(c).dataType match {
+      case DateType => df.col(c).cast("timestamp").cast("double")
+      case _: TimestampType | _: TimestampNTZType => df.col(c).cast("double")
+      case _: NumericType => df.col(c).cast("double")
+      case other => throw new graft.config.ConfigError(
+        s"cluster: column '$c' has type ${other.simpleString} " +
+          "(numeric/date/timestamp only — categorical keys belong in partition_keys)")
+    }
+    clusterBy.foreach { c =>
+      if (!df.columns.contains(c)) throw new graft.config.ConfigError(
+        s"cluster: column '$c' not in table schema ${df.columns.mkString("[", ",", "]")}")
+      asD(c) // type check up front, before any IO
+    }
+    val stats = df.agg(
+      min(asD(clusterBy.head)).as(s"__mn_0"),
+      (max(asD(clusterBy.head)).as(s"__mx_0") +:
+        clusterBy.tail.zipWithIndex.flatMap { case (c, i) =>
+          Seq(min(asD(c)).as(s"__mn_${i + 1}"), max(asD(c)).as(s"__mx_${i + 1}"))
+        }): _*)
+    val maxB = (1L << bits) - 1
+    val buckets = clusterBy.zipWithIndex.map { case (c, i) =>
+      val span = col(s"__mx_$i") - col(s"__mn_$i")
+      when(asD(c).isNull || span <= 0d, lit(0L))
+        .otherwise(least(
+          floor((asD(c) - col(s"__mn_$i")) / span * maxB).cast("long"), lit(maxB)))
+    }
+    val z = (0 until bits).flatMap { b =>
+      buckets.zipWithIndex.map { case (c, i) =>
+        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * buckets.size + i)
+      }
+    }.reduce(_ bitwiseOR _)
+    df.crossJoin(broadcast(stats)).withColumn("__z", z)
+      .drop((0 until clusterBy.size).flatMap(i => Seq(s"__mn_$i", s"__mx_$i")): _*)
+  }
+
   private def runCatalog(spark: SparkSession, data: DataFrame, out: OutputTable,
                          database: String, governed: Boolean): Unit = {
     // A14 catalog sink; `governed` (A15, Lake Formation transactions)

@@ -406,5 +406,28 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: retain, location: /tmp/t, partition_col: d}
         |""".stripMargin))
     assert(e7.getMessage.contains("keep_from"))
+    // cluster parses its csv key list; >= 2 columns and files enforced;
+    // cluster_by is rejected on any other action
+    val cj = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: cluster, location: /tmp/t, cluster_by: "a, b", files: "4"}
+        |""".stripMargin)
+    assert(cj.maintenance.exists(m =>
+      m.action == "cluster" && m.clusterBy == Seq("a", "b") && m.files.contains(4)))
+    val e8 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: cluster, location: /tmp/t, cluster_by: "a", files: "4"}
+        |""".stripMargin))
+    assert(e8.getMessage.contains(">= 2"))
+    val e9 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: cluster, location: /tmp/t, cluster_by: "a, b"}
+        |""".stripMargin))
+    assert(e9.getMessage.contains("files"))
+    val e10 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: vacuum, location: /tmp/t, cluster_by: "a, b"}
+        |""".stripMargin))
+    assert(e10.getMessage.contains("only applies to action cluster"))
   }
 }

@@ -182,6 +182,72 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("clusterZOrder: content preserved, disjoint z-ranges, both columns prune") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/zo"
+    // two independent uniform-ish keys; round-robin layout destroys locality
+    val df = spark.range(4096).select(
+      (col("id") % 256).as("x"),
+      ((col("id") * 7919) % 256).as("y"),
+      col("id").as("v"))
+    df.repartition(8).write.parquet(dir)
+    Sinks.clusterZOrder(spark, dir, "parquet", Seq("x", "y"), nFiles = 16)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 16)
+    val back = spark.read.parquet(dir)
+    assert(back.agg(sum("v")).head().getLong(0) == (0L until 4096L).sum)
+    assert(back.count() == 4096)
+    // per-file min/max boxes: a narrow band on EITHER column must prune
+    // most files (the multi-column win a single-column sort cannot give)
+    val boxes = Sinks.zOrdered(back.withColumn("__f", input_file_name()), Seq("x", "y"))
+      .groupBy("__f")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"),
+        min("__z").as("z0"), max("__z").as("z1"))
+      .collect()
+    val sorted = boxes.sortBy(_.getAs[Long]("z0"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("z1") <= b.getAs[Long]("z0"))
+      case _ => ()
+    }
+    def hit(lo: Long, hi: Long, c0: String, c1: String) =
+      boxes.count(r => r.getAs[Long](c1) >= lo && r.getAs[Long](c0) <= hi)
+    // a 1/8th-range band intersects a minority of the 16 files on BOTH axes
+    assert(hit(0, 31, "x0", "x1") <= 8, s"x-band hit ${hit(0, 31, "x0", "x1")}/16 files")
+    assert(hit(0, 31, "y0", "y1") <= 8, s"y-band hit ${hit(0, 31, "y0", "y1")}/16 files")
+    // idempotent on content
+    Sinks.clusterZOrder(spark, dir, "parquet", Seq("x", "y"), nFiles = 16)
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
+  test("clusterZOrder: named errors for bad columns, types, and targets") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/zerr"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "s").write.parquet(dir)
+    val e1 = intercept[IllegalArgumentException](
+      Sinks.clusterZOrder(spark, dir, "parquet", Seq("k"), 2))
+    assert(e1.getMessage.contains(">= 2"))
+    val e2 = intercept[graft.config.ConfigError](
+      Sinks.clusterZOrder(spark, dir, "parquet", Seq("k", "nope"), 2))
+    assert(e2.getMessage.contains("not in table schema"))
+    val e3 = intercept[graft.config.ConfigError](
+      Sinks.clusterZOrder(spark, dir, "parquet", Seq("k", "s"), 2))
+    assert(e3.getMessage.contains("numeric/date/timestamp"))
+    val e4 = intercept[graft.config.ConfigError](
+      Sinks.clusterZOrder(spark, dir + "-missing", "parquet", Seq("k", "s"), 2))
+    assert(e4.getMessage.contains("does not exist"))
+    // partitioned-root guard (same contract as compact)
+    val pdir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/zpt"
+    Seq(("a", 1L, 2L), ("b", 3L, 4L)).toDF("p", "k", "w")
+      .write.partitionBy("p").parquet(pdir)
+    val e5 = intercept[graft.config.ConfigError](
+      Sinks.clusterZOrder(spark, pdir, "parquet", Seq("k", "w"), 2))
+    assert(e5.getMessage.contains("partitioned table root"))
+    // failure leaves the original table intact (staged publish contract):
+    // the type error above threw before any write — content unchanged
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("dynamic partition overwrite touches only result partitions") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/part"
     val target = out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p")))
