@@ -57,6 +57,49 @@ object StreamingQueries {
              |SELECT doc_id, source, bucket, rate_per_myriad
              |FROM b WHERE bucket < rate_per_myriad""".stripMargin)),
 
+    // PII scrubbing at ingest: the redaction operator is a stateless
+    // narrow projection, so the SAME function runs unchanged on the
+    // stream — no watermark, no state store; masked rows materialize
+    // as they arrive. The ext29 planted rows ride the staged input so
+    // every mask pattern fires on a real stream; oracle = ext29's SQL.
+    "st12_stream_pii" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val base = scratch(s, d, "pii")
+        val planted = Seq(
+          (-1L, "contact john.doe@example.com or jane@sub.example.org today"),
+          (-2L, "server at 192.168.0.1 and 10.0.0.255 responded fine"),
+          (-3L, "call 555-123-4567 or 555.987.6543 ref 1234567890")
+        ).toDF("doc_id", "text")
+        s.read.parquet(s"$d/documents.parquet")
+          .select(col("doc_id"), col("text")).unionByName(planted)
+          .write.parquet(s"$base/in")
+        val stream = s.readStream
+          .schema("doc_id BIGINT, text STRING").parquet(s"$base/in")
+        val red = graft.operators.TextAnalysis.redactPii(stream, "doc_id", "text")
+        Streams.runToMemory(s, red, "st12_pii", OutputMode.Append())
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (CAST(-1 AS BIGINT), 'contact john.doe@example.com or jane@sub.example.org today'),
+             |    (CAST(-2 AS BIGINT), 'server at 192.168.0.1 and 10.0.0.255 responded fine'),
+             |    (CAST(-3 AS BIGINT), 'call 555-123-4567 or 555.987.6543 ref 1234567890')
+             |  ) v(doc_id, text)
+             |)
+             |SELECT doc_id,
+             |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+             |    '\b\d{9,}\b', '<NUM>', 'g') AS text_redacted,
+             |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+             |  CAST(len(regexp_extract_all(text, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+             |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+             |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_longnum
+             |FROM corpus""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

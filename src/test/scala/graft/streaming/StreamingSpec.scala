@@ -104,6 +104,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming PII redaction = batch redactPii, masks fire on the stream") {
+    import spark.implicits._
+    val in = java.nio.file.Files.createTempDirectory("st-pii").toString + "/in"
+    val rows = Seq(
+      (1L, "mail alice@example.com from 10.0.0.1"),
+      (2L, "clean text with no identifiers at all"),
+      (3L, "dial 555-123-4567 ref 123456789012")
+    ).toDF("doc_id", "text")
+    rows.write.parquet(in)
+    val stream = spark.readStream.schema("doc_id BIGINT, text STRING").parquet(in)
+    val streamed = Streams.runToMemory(spark,
+        graft.operators.TextAnalysis.redactPii(stream, "doc_id", "text"),
+        "spec_pii", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val batch = graft.operators.TextAnalysis.redactPii(rows, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(streamed == batch)
+    assert(streamed(1L) == "mail <EMAIL> from <IP>")
+    assert(streamed(2L) == "clean text with no identifiers at all")
+    assert(streamed(3L) == "dial <PHONE> ref <NUM>")
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
