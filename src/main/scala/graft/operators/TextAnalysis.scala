@@ -520,6 +520,33 @@ object TextAnalysis {
           .as("vec_csv"))
   }
 
+  /** Text canonicalization — the pass that runs BEFORE any exact-match
+    * operator (hash dedup, line dedup, vocab counts, blocklists) so
+    * byte-different spellings of the same text stop counting as
+    * different: Unicode NFC (native [[graft.functions.NfcNormalize]] —
+    * composed/decomposed glyphs unify; ligatures and full-width forms
+    * deliberately keep their identity, NFKC folding is a separate
+    * policy), control characters stripped, whitespace runs collapsed to
+    * one space, ends trimmed. Emits the normalized text plus a changed
+    * flag and before/after code-point counts, so the caller can measure
+    * how dirty a source is without a second pass.
+    *
+    * Scale shape: shuffle-free codegen'd projection at scan speed; the
+    * NFC fast path returns already-normal rows (the overwhelming norm)
+    * without allocating. */
+  def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val nfc = call_function("nfc_normalize", col(textCol))
+    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
+    docs.select(
+      col(idCol).as("doc_id"),
+      collapsed.as("text_norm"),
+      (collapsed =!= col(textCol)).as("changed"),
+      length(col(textCol)).cast("long").as("n_chars_raw"),
+      length(collapsed).cast("long").as("n_chars_norm"))
+  }
+
   /** Hashed linear text classifier at scan speed — the fastText-shaped
     * model-scoring pass (quality filter, domain router, language
     * gate) applied the only way that works at 100 TB: the model rides

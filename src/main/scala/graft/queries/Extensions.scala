@@ -967,6 +967,46 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
              |FROM filled GROUP BY doc_id""".stripMargin)),
 
+    // text canonicalization: the fixture is clean ASCII, so five planted
+    // rows — decomposed NFC target, whitespace runs, control chars, a
+    // ligature and a full-width form that NFC must NOT fold — exercise
+    // every branch in BOTH dialects (Spark's JDK normalizer vs DuckDB's
+    // utf8proc implement the same Unicode spec; the oracle proves it).
+    "ext57_normalize_text" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (-1L, "cafe\u0301 menu"),         // e + combining acute -> e-acute
+          (-2L, "  runs\t of \n whitespace  "),
+          (-3L, "ctrl\u0001chars\u0007here"),
+          (-4L, "ﬁle ligature stays"),               // ﬁ survives NFC
+          (-5L, "Ｆull-width stays")                  // Ｆ survives NFC
+        ).toDF("doc_id", "text")
+        TextAnalysis.normalizeText(
+          docs(s, d).select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (CAST(-1 AS BIGINT), 'cafe' || chr(769) || ' menu'),
+             |    (CAST(-2 AS BIGINT), '  runs' || chr(9) || ' of ' || chr(10) || ' whitespace  '),
+             |    (CAST(-3 AS BIGINT), 'ctrl' || chr(1) || 'chars' || chr(7) || 'here'),
+             |    (CAST(-4 AS BIGINT), chr(64257) || 'le ligature stays'),
+             |    (CAST(-5 AS BIGINT), chr(65318) || 'ull-width stays')
+             |  ) v(doc_id, text)
+             |), n AS (
+             |  SELECT doc_id, text,
+             |         trim(regexp_replace(regexp_replace(nfc_normalize(text),
+             |           '[\x01-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g')) AS t
+             |  FROM corpus
+             |)
+             |SELECT doc_id, t AS text_norm, t <> text AS changed,
+             |       CAST(len(text) AS BIGINT) AS n_chars_raw,
+             |       CAST(len(t) AS BIGINT) AS n_chars_norm
+             |FROM n""".stripMargin)),
+
     // hashed linear classifier: the model (weight per md5 bucket + bias)
     // rides the plan as an expression — no weights table, no join; both
     // dialects regenerate the weights from md5 and replay the integer

@@ -61,6 +61,12 @@ object GraftExtensions {
         require(children.size == 2, s"shingle_pos_hashes expects (text, n), got ${children.size} args")
         graft.functions.ShinglePosHashes(children.head, litInt(children(1), "shingle_pos_hashes n"))
       }),
+    (new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"nfc_normalize expects 1 argument, got ${children.size}")
+        graft.functions.NfcNormalize(children.head)
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
       (children: Seq[Expression]) => {
