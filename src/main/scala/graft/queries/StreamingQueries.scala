@@ -314,6 +314,45 @@ object StreamingQueries {
     // (FlatMapGroupsWithStateExec): at exact ms equality the session
     // stays OPEN. StreamingSpec proves the same equality against the
     // batch lag/gap-sum sessionization in Spark.
+    // gap-sessionization via the BUILT-IN session_window aggregation —
+    // the declarative path next to st02's flatMapGroupsWithState (use
+    // the built-in when per-session output is an aggregate; custom
+    // state only when session content matters). Append mode: a session
+    // emits iff the final watermark (max ts − 1h, ms precision) passed
+    // its end (last event + 30m gap); the oracle replays the gap
+    // sessions AND that emission arithmetic.
+    "st13_stream_session_window" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.sessionWindows(Streams.readEventsStream(s, d), 30, "1 hour"),
+        "st13_sessions", OutputMode.Append()),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us,
+             |         floor(value * 100 + 0.5) AS cents
+             |  FROM events
+             |),
+             |marked AS (
+             |  SELECT user_id, us, cents,
+             |         CASE WHEN lag(us) OVER w IS NULL
+             |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |),
+             |sess AS (
+             |  SELECT user_id, us, cents,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked
+             |),
+             |agg AS (
+             |  SELECT user_id, min(us) AS session_start_us,
+             |         max(us) + 1800000000 AS session_end_us,
+             |         CAST(count(*) AS BIGINT) AS n_events,
+             |         CAST(sum(cents) AS BIGINT) AS value_cents
+             |  FROM sess GROUP BY user_id, sid
+             |),
+             |mx AS (SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events)
+             |SELECT user_id, session_start_us, session_end_us, n_events, value_cents
+             |FROM agg, mx
+             |WHERE (session_end_us // 1000) <= wm_ms""".stripMargin)),
+
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,

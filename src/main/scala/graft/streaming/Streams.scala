@@ -190,6 +190,36 @@ object Streams {
     // definition of the window/count/cents math for both modes
     windowedCounts(events.withWatermark("ts", delay))
 
+  /** Gap-sessionization via the BUILT-IN `session_window` aggregation —
+    * the declarative twin of [[sessionize]]'s flatMapGroupsWithState:
+    * when the per-session output is an aggregate (count/sum/min/max),
+    * the built-in operator is strictly better — no user state model,
+    * no timeout bookkeeping, sessions merge inside the state store and
+    * codegen'd aggregation does the math. Reach for
+    * flatMapGroupsWithState only when the session CONTENT matters
+    * (per-event replay, custom emission) — that is exactly the split
+    * [[sessionize]]'s scaladoc claims, and having both proves it.
+    *
+    * Append mode + watermark: a session emits exactly once, when the
+    * watermark passes its end (last event + gap); sessions the final
+    * watermark never passes stay open and unemitted — the production
+    * contract for unbounded session streams. State per open session is
+    * one aggregate row bounded by the watermark horizon.
+    *
+    * Money sums in exact cents (floor(v·100 + 0.5)) so the oracle
+    * replays them; session bounds emit as epoch micros. */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30,
+                     delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+      .select(col("user_id"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_events"), col("value_cents"))
+
   /** Drain a (bounded) streaming frame through a memory sink with
     * Trigger.AvailableNow and return the result table.
     *

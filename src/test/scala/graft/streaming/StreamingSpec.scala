@@ -79,6 +79,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("built-in session_window sessions = custom-state sessionize sessions") {
+    // both paths drain the same stream with the same gap; where both
+    // emit (closed sessions), the (user, n_events) multiset must agree —
+    // the built-in operator and the flatMapGroupsWithState operator are
+    // two implementations of one semantic. Emission horizons differ
+    // (sessionize's delay = gap = 30m; sessionWindows uses 1h), so
+    // compare on the intersection-safe projection: sessions fully closed
+    // under the LATER horizon exist in both outputs.
+    val viaState = Streams.runToMemory(spark,
+      Streams.sessionize(Streams.readEventsStream(spark, dir), 30).toDF(),
+      "spec_sess_state", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3).toLong)).toSet
+    val viaWindow = Streams.runToMemory(spark,
+      Streams.sessionWindows(Streams.readEventsStream(spark, dir), 30, "30 minutes"),
+      "spec_sess_win", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_events"))).toSet
+    // same delay on both sides -> identical closed-session sets
+    assert(viaWindow.nonEmpty)
+    val onlyW = viaWindow -- viaState
+    val onlyS = viaState -- viaWindow
+    assert(onlyW.isEmpty && onlyS.isEmpty,
+      s"window-only(${onlyW.size}): ${onlyW.take(3)} state-only(${onlyS.size}): ${onlyS.take(3)}")
+  }
+
   test("stream dedup: doubled source really doubles, dedup restores exact counts") {
     val n = graft.queries.Tables.events(spark, dir).count()
     val raw = Streams.runToMemory(spark,
