@@ -805,6 +805,28 @@ object Relational {
              |             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
              |      FROM orders)""".stripMargin)),
 
+    // B17 extension: RANGE frame bounded by a TIME INTERVAL — the
+    // rolling-window-per-event shape (count/sum over the trailing hour)
+    // that ROWS frames cannot express when event density varies. RANGE
+    // includes ORDER-BY peers, so tied timestamps need no tiebreaker —
+    // the frame is deterministic by construction. The oracle orders by
+    // the microsecond-truncated timestamp (events.parquet carries nanos;
+    // Spark reads micros) so both engines see identical frame bounds.
+    "q41_range_interval_frame" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT user_id, event_id,
+             CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+             sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS cents_last_hour
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""") },
+      Some("""SELECT user_id, event_id,
+             |       CAST(count(*) OVER w AS BIGINT) AS n_last_hour,
+             |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cents_last_hour
+             |FROM events
+             |WINDOW w AS (PARTITION BY user_id ORDER BY make_timestamp(epoch_ns(ts) // 1000)
+             |             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin)),
+
     // B9/B12 extension: FILTER (WHERE …) aggregate modifiers — the ANSI
     // form of conditional aggregation (one pass computes several
     // differently-filtered aggregates; the pre-ANSI rewrite is a CASE
