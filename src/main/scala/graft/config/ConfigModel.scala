@@ -88,7 +88,13 @@ final case class OutputTable(
     bucketKeys: Seq[String] = Nil,
     buckets: Option[Int] = None,
     sortKeys: Seq[String] = Nil,
-    dqChecks: Option[DqChecks] = None)
+    dqChecks: Option[DqChecks] = None,
+    /** `manifest: true` writes `_graft_manifest.json` into the published
+      * table — row count, file list, byte sizes — so downstream
+      * consumers verify a 100 TB handoff against metadata instead of a
+      * rescan (beyond-reference; the underscore prefix keeps every
+      * Spark/Hive reader from seeing it as data). */
+    manifest: Boolean = false)
 
 sealed trait JobType
 object JobType {
@@ -280,6 +286,12 @@ object ConfigParser {
           if (parsedDq.minRows.exists(_ < 0)) throw new ConfigError(
             "dq_checks.min_rows must be non-negative")
           parsedDq
+        },
+        manifest = str(t, "manifest").map(_.toLowerCase) match {
+          case None | Some("false") | Some("no") => false
+          case Some("true") | Some("yes") => true
+          case Some(other) => throw new ConfigError(
+            s"output '$name': manifest must be true/false, got '$other'")
         })
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
@@ -291,6 +303,12 @@ object ConfigParser {
         if (parsed.mergeKeys.isEmpty) throw new ConfigError(
           s"output '$name': refresh upsert requires merge_keys")
       }
+      // manifest is a FILE-table artifact: catalog/jdbc targets have
+      // their own metadata layer (the manifest would describe a path
+      // the catalog controls).
+      if (parsed.manifest && !parsed.target.isInstanceOf[TargetSpec.File])
+        throw new ConfigError(
+          s"output '$name': manifest is supported for s3/file targets only")
       // sort_by orders rows WITHIN each written file (parquet row-group
       // min/max pruning for range scans); under bucketing the bucket
       // spec's own sortBy governs — combining would be ambiguous.

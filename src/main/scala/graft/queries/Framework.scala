@@ -707,6 +707,60 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** Manifest-carrying publish (beyond-reference): `manifest: true`
+    * writes `_graft_manifest.json` into the table during the STAGED
+    * publish, so table and manifest swap in atomically. The requires
+    * hold the manifest to the filesystem truth — row count, file list,
+    * byte sizes — and prove Spark readers ignore the underscore file;
+    * the oracle proves the data itself is untouched. */
+  private def fwManifest(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "manifest")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-manifest
+         |  type: spark-sql
+         |input_tables:
+         |  - name: orders
+         |    source: s3
+         |    location: $d/orders.parquet
+         |output_table:
+         |  name: mf_out
+         |  target: s3
+         |  location: $base/out
+         |  repartition: "3"
+         |  manifest: "true"
+         |sql: SELECT o_orderkey, o_custkey, floor(o_totalprice * 100 + 0.5) AS price_cents FROM orders WHERE o_orderkey % 3 = 0
+         |""".stripMargin)
+    val p = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val mPath = new org.apache.hadoop.fs.Path(p, "_graft_manifest.json")
+    require(fs.exists(mPath), "manifest: _graft_manifest.json missing after publish")
+    val json = {
+      val in = fs.open(mPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def longField(k: String): Long =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(json)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"manifest: field $k missing in $json"))
+    val actualFiles = fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val back = s.read.parquet(s"$base/out")
+    require(longField("row_count") == back.count(),
+      s"manifest row_count ${longField("row_count")} != table ${back.count()}")
+    require(longField("n_files") == actualFiles.size && actualFiles.size == 3,
+      s"manifest n_files ${longField("n_files")} vs fs ${actualFiles.size}")
+    require(longField("total_bytes") == actualFiles.values.sum,
+      "manifest total_bytes != sum of part-file sizes")
+    actualFiles.foreach { case (name, bytes) =>
+      require(json.contains(s""""name":"$name","bytes":$bytes"""),
+        s"manifest missing file entry $name ($bytes bytes)")
+    }
+    back
+  }
+
   /** Data-quality-gated publish (beyond-reference): the job declares
     * `dq_checks` (min_rows, not_null, unique) on its output; the engine
     * evaluates them in one aggregate pass and only then writes. A second
@@ -1013,6 +1067,10 @@ object Framework {
       """SELECT l_orderkey, l_linenumber,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey % 7 = 0""".stripMargin)),
+    "fw_manifest" -> Q(fwManifest, Some(
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)),
     "fw_cluster" -> Q(fwCluster, Some(
       """SELECT l_orderkey, l_partkey, l_suppkey,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents

@@ -54,6 +54,44 @@ object Sinks {
         "merge needs a table format)")
   }
 
+  /** Publish manifest — `_graft_manifest.json` inside the table dir:
+    * row count, sorted relative file list with byte sizes, totals. The
+    * 100 TB handoff contract: a downstream consumer (or a rerun
+    * deciding idempotence) verifies the table against metadata instead
+    * of rescanning it. On staged publishes the manifest is written INTO
+    * staging before the swap, so table + manifest publish atomically
+    * and can never disagree. The row count reads the just-written
+    * files' footers (parquet counts scan zero columns); underscore
+    * naming keeps every Spark/Hive reader from listing it as data. */
+  private def writeManifest(spark: SparkSession,
+                            dir: org.apache.hadoop.fs.Path,
+                            out: OutputTable): Unit = {
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = dir.toUri.getPath.stripSuffix("/")
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+        files += ((st.getPath.toUri.getPath.stripPrefix(base).stripPrefix("/"), st.getLen))
+      }
+    }
+    val rows = spark.read.format(out.format)
+      .options(graft.sources.Sources.mapOptions(out.options))
+      .load(dir.toString).count()
+    def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val sorted = files.sortBy(_._1)
+    val fileJson = sorted.map { case (n, b) => s"""{"name":${j(n)},"bytes":$b}""" }
+      .mkString("[", ",", "]")
+    val json = s"""{"table":${j(out.name)},"format":${j(out.format)},""" +
+      s""""row_count":$rows,"n_files":${sorted.size},""" +
+      s""""total_bytes":${sorted.map(_._2).sum},"files":$fileJson}"""
+    val os = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_manifest.json"), true)
+    try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
   def write(spark: SparkSession, df: DataFrame, out: OutputTable): Unit = {
     val data = shaped(df, out)
     out.target match {
@@ -82,6 +120,7 @@ object Sinks {
           .mode(SaveMode.Overwrite)
         (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
           .save(staging.toString)
+        if (out.manifest) writeManifest(spark, staging, out)
         fs.delete(target, true)
         if (!fs.rename(staging, target))
           throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
@@ -107,6 +146,7 @@ object Sinks {
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(SaveMode.Overwrite)
           .save(staging.toString)
+        if (out.manifest) writeManifest(spark, staging, out)
         fs.delete(target, true)
         if (!fs.rename(staging, target))
           throw new java.io.IOException(s"staged publish: rename $staging -> $target failed")
@@ -123,6 +163,10 @@ object Sinks {
             .partitionBy(out.partitionKeys: _*)
         } else w
         w2.save(location)
+        // append/dynamic-overwrite publish is in place, so the manifest
+        // lands after the data (non-atomic, refreshed on every run)
+        if (out.manifest) writeManifest(spark,
+          new org.apache.hadoop.fs.Path(location), out)
 
       case TargetSpec.Jdbc(url, table) =>
         // partitioning/file-count knobs don't apply to a database table;

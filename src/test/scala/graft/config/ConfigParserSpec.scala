@@ -430,4 +430,27 @@ class ConfigParserSpec extends AnyFunSuite {
         |""".stripMargin))
     assert(e10.getMessage.contains("only applies to action cluster"))
   }
+
+  test("manifest: parses as a file-target boolean, rejected elsewhere") {
+    def yaml(outBlock: String) =
+      s"""job: {name: j, type: spark-sql}
+         |input_tables:
+         |  - {name: t, source: s3, location: /tmp/in}
+         |output_table:
+         |$outBlock
+         |sql: SELECT 1
+         |""".stripMargin
+    val ok = ConfigParser.parse(yaml(
+      "  {name: o, target: s3, location: /tmp/out, manifest: \"true\"}"))
+    assert(ok.outputTable.exists(_.manifest))
+    val off = ConfigParser.parse(yaml(
+      "  {name: o, target: s3, location: /tmp/out}"))
+    assert(off.outputTable.exists(!_.manifest))
+    val e1 = intercept[ConfigError](ConfigParser.parse(yaml(
+      "  {name: o, target: s3, location: /tmp/out, manifest: maybe}")))
+    assert(e1.getMessage.contains("manifest must be true/false"))
+    val e2 = intercept[ConfigError](ConfigParser.parse(yaml(
+      "  {name: o, target: gdc, database: db, manifest: \"true\"}")))
+    assert(e2.getMessage.contains("file targets only"))
+  }
 }

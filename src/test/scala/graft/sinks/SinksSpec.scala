@@ -220,6 +220,28 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("manifest: refreshed on append, counts the whole table, ignored by readers") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/mf"
+    val target = out(_.copy(target = TargetSpec.File(dir),
+      refresh = Refresh.Incremental, manifest = true))
+    def manifest: String = {
+      val src = scala.io.Source.fromFile(s"$dir/_graft_manifest.json", "UTF-8")
+      try src.mkString finally src.close()
+    }
+    Sinks.write(spark, (1 to 50).toDF("n"), target)
+    assert(manifest.contains("\"row_count\":50"))
+    // second append: the manifest must describe the WHOLE table now
+    Sinks.write(spark, (51 to 80).toDF("n"), target)
+    assert(manifest.contains("\"row_count\":80"))
+    // the underscore file is metadata, not data
+    assert(spark.read.parquet(dir).count() == 80)
+    // staged full refresh: manifest swaps in atomically with the data
+    val full = out(_.copy(target = TargetSpec.File(dir), manifest = true))
+    Sinks.write(spark, (1 to 7).toDF("n"), full)
+    assert(manifest.contains("\"row_count\":7"))
+    assert(spark.read.parquet(dir).as[Int].collect().sorted.toSeq == (1 to 7))
+  }
+
   test("clusterZOrder: named errors for bad columns, types, and targets") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/zerr"
