@@ -805,6 +805,28 @@ object Relational {
              |             dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS drnk
              |      FROM orders)""".stripMargin)),
 
+    // B31's other direction: UNPIVOT (wide -> long reshaping) via the
+    // ANSI clause both engines implement natively — three measure
+    // columns become (metric, val) rows in one generate pass, no union
+    // of three scans. Measures pre-cast to exact integers so the value
+    // column has one engine-identical type.
+    "q42_unpivot" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber, metric, val FROM (
+             SELECT l_orderkey, l_linenumber,
+                    CAST(l_quantity AS BIGINT) AS quantity,
+                    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+                    CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS discount_e6
+             FROM lineitem WHERE l_orderkey % 11 = 0)
+           UNPIVOT (val FOR metric IN (quantity, price_cents, discount_e6))""") },
+      Some("""SELECT l_orderkey, l_linenumber, metric, val FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |         CAST(l_quantity AS BIGINT) AS quantity,
+             |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+             |         CAST(floor(l_discount * 1000000 + 0.5) AS BIGINT) AS discount_e6
+             |  FROM lineitem WHERE l_orderkey % 11 = 0)
+             |UNPIVOT (val FOR metric IN (quantity, price_cents, discount_e6))""".stripMargin)),
+
     // B17 extension: RANGE frame bounded by a TIME INTERVAL — the
     // rolling-window-per-event shape (count/sum over the trailing hour)
     // that ROWS frames cannot express when event density varies. RANGE
