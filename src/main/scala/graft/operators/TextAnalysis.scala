@@ -520,6 +520,54 @@ object TextAnalysis {
           .as("vec_csv"))
   }
 
+  /** Importance weighting for domain-targeted data selection — the
+    * DSIR shape (Xie et al., NeurIPS'23): score every raw-corpus
+    * document by how TARGET-like its hashed token-feature distribution
+    * is, so sampling by score shifts the training mixture toward the
+    * target domain with no trained classifier at all. Two distributions
+    * over `dims` md5 buckets (target side, raw side; add-one smoothed);
+    * each bucket's weight is the centered posterior that a token came
+    * from the target under equal priors — p_b = t_b/(t_b+r_b) — and a
+    * document's importance is the sum of its tokens' weights. The
+    * posterior is the drift-free stand-in for DSIR's log-ratio: it
+    * ranks identically per token (monotone in the ratio), but costs ONE
+    * IEEE division per BUCKET, micro-floored, where ln would drag libm
+    * drift into every engine comparison.
+    *
+    * Scale shape: one narrow (doc, bucket) token projection; two
+    * map-side-combined aggregations whose outputs are dims-sized (the
+    * model is 64 rows, not a table); the weight frame broadcasts back
+    * onto the token stream; one per-doc aggregation. Nothing
+    * corpus-sized shuffles. Integer products stay in long range while
+    * target·raw token counts stay under ~9e12 pairs-per-bucket — at
+    * larger corpora, compute the weights on a bounded sample (the IVF
+    * training discipline). */
+  def importanceWeight(docs: DataFrame, idCol: String, textCol: String,
+                       isTarget: Column, dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+      explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .select(col("doc_id"), col("__t"),
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
+          lit(dims)).cast("int").as("b"))
+    val counts = toks.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("rc"))
+    val tot = counts.agg(sum(col("tc")).as("tN"), sum(col("rc")).as("rN"))
+    val num = (col("tc") + 1L) * (col("rN") + lit(dims.toLong))
+    val den = num + (col("rc") + 1L) * (col("tN") + lit(dims.toLong))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor((num * 1000000L).cast("double") / den.cast("double") + 0.5)
+          .cast("long") - 500000L).as("w_e6"))
+    toks.filter(!col("__t"))
+      .join(broadcast(w), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_e6")).as("imp_e6"))
+      .withColumn("imp_mean_e6",
+        floor(col("imp_e6").cast("double") / col("n_tokens") + 0.5).cast("long"))
+  }
+
   /** Text canonicalization — the pass that runs BEFORE any exact-match
     * operator (hash dedup, line dedup, vocab counts, blocklists) so
     * byte-different spellings of the same text stop counting as

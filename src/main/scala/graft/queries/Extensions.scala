@@ -967,6 +967,37 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
              |FROM filled GROUP BY doc_id""".stripMargin)),
 
+    // DSIR-shaped importance weighting: src0 is the target domain, the
+    // other 19 sources are the raw pool; both dialects rebuild the
+    // 64-bucket model and replay every document's integer importance.
+    "ext58_importance_weight" -> Q(
+      (s, d) => TextAnalysis.importanceWeight(docs(s, d), "doc_id", "text",
+        isTarget = col("source") === "src0", dims = 64),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source = 'src0' AS t,
+             |         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS b
+             |  FROM (SELECT doc_id, source,
+             |               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |        FROM documents)
+             |), c AS (
+             |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             |         sum(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+             |  FROM tk GROUP BY b
+             |), tot AS (SELECT sum(tc) AS tN, sum(rc) AS rN FROM c
+             |), w AS (
+             |  SELECT b,
+             |         CAST(floor(((tc + 1) * (rN + 64) * 1000000)::DOUBLE
+             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE + 0.5) AS BIGINT)
+             |           - 500000 AS w_e6
+             |  FROM c, tot
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(w_e6) AS BIGINT) AS imp_e6,
+             |       CAST(floor(sum(w_e6)::DOUBLE / count(*) + 0.5) AS BIGINT) AS imp_mean_e6
+             |FROM tk JOIN w USING (b)
+             |WHERE NOT t
+             |GROUP BY doc_id""".stripMargin)),
+
     // text canonicalization: the fixture is clean ASCII, so five planted
     // rows — decomposed NFC target, whitespace runs, control chars, a
     // ligature and a full-width form that NFC must NOT fold — exercise

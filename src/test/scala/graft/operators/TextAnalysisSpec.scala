@@ -338,6 +338,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("importanceWeight: independent replay; target-like docs outrank off-domain") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "target"),
+      (2L, "alpha alpha beta beta", "target"),
+      (10L, "alpha beta alpha beta", "raw"),   // target-like
+      (11L, "zeta eta theta iota", "raw"),     // off-domain
+      (12L, "alpha zeta", "raw")               // mixed
+    ).toDF("doc_id", "text", "source")
+    val dims = 8
+    val r = TextAnalysis.importanceWeight(docs, "doc_id", "text",
+        isTarget = org.apache.spark.sql.functions.col("source") === "target", dims = dims)
+      .collect()
+      .map(x => x.getLong(0) -> ((x.getAs[Long]("n_tokens"), x.getAs[Long]("imp_e6"))))
+      .toMap
+    // independent replay with the same md5 bucket + posterior arithmetic
+    def md5int(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def bucket(t: String): Int = (md5int(t) % dims).toInt
+    val toks = Map(
+      1L -> Seq("alpha", "beta", "alpha"), 2L -> Seq("alpha", "alpha", "beta", "beta"),
+      10L -> Seq("alpha", "beta", "alpha", "beta"), 11L -> Seq("zeta", "eta", "theta", "iota"),
+      12L -> Seq("alpha", "zeta"))
+    val targetIds = Set(1L, 2L)
+    val tc = toks.filter(t => targetIds(t._1)).values.flatten.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val rc = toks.filterNot(t => targetIds(t._1)).values.flatten.groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val tN = tc.values.sum; val rN = rc.values.sum
+    def w(b: Int): Long = {
+      val num = (tc.getOrElse(b, 0L) + 1) * (rN + dims)
+      val den = num + (rc.getOrElse(b, 0L) + 1) * (tN + dims)
+      math.floor(num.toDouble * 1000000d / den.toDouble + 0.5).toLong - 500000L
+    }
+    Seq(10L, 11L, 12L).foreach { id =>
+      val exp = toks(id).map(t => w(bucket(t))).sum
+      assert(r(id) == ((toks(id).size.toLong, exp)), s"doc $id: got ${r(id)}, want $exp")
+    }
+    assert(!r.contains(1L) && !r.contains(2L)) // only raw docs are scored
+    assert(r(10L)._2 > r(11L)._2) // target-like beats off-domain
+  }
+
   test("classifierScore: logit matches an independent md5 replay, empty doc keeps bias") {
     val docs = Seq(
       (1L, "alpha alpha beta"),
