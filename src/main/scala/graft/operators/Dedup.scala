@@ -599,8 +599,46 @@ object Dedup {
     * token positions are exact integers and the reassembled text is
     * a pure function of them. */
   def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
-                    n: Int = 8): DataFrame = {
-    val covered = dupWindowPositions(docs, idCol, textCol, n)
+                    n: Int = 8): DataFrame =
+    scrubPositions(docs, idCol, textCol, n,
+      dupWindowPositions(docs, idCol, textCol, n))
+
+  /** Span-level benchmark decontamination — scrub the LEAKED n-grams,
+    * keep the document. [[contaminated]]/[[contaminatedNear]] flag whole
+    * documents, which is the right REPORT but a wasteful POLICY: one
+    * pasted benchmark question should not discard the other 99% of a
+    * long document. This operator removes exactly the tokens covered by
+    * any train-side n-gram window whose hash also occurs anywhere in
+    * the benchmark side, and reports kept/removed counts per doc.
+    *
+    * Scale shape: the benchmark gram set is benchmark-sized — tiny
+    * against a 100 TB corpus — so the membership test is an
+    * equality-keyed LEFT SEMI join the planner broadcasts (AQE picks it
+    * up from stats; the gram projections are narrow and re-derived from
+    * the scan, the [[dupSpans]] discipline). No counting pass at all:
+    * membership, not frequency, defines contamination here. */
+  def scrubContaminated(train: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int = 8): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(train.sparkSession)
+    val tGrams = train.select(col(idCol).as("doc_id"),
+        posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
+          .as(Seq("pos0", "h")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+    val bGrams = bench
+      .select(explode(call_function("shingle_pos_hashes", col(textCol), lit(n))).as("h"))
+      .distinct()
+    scrubPositions(train, idCol, textCol, n,
+      tGrams.join(bGrams, Seq("h"), "leftsemi").select(col("doc_id"), col("pos")))
+  }
+
+  /** Emit side shared by [[scrubDupSpans]] and [[scrubContaminated]]:
+    * window positions → covered token positions → (doc, pos)-keyed
+    * anti-join on the token stream → deterministic per-doc reassembly;
+    * totals come from the doc projection so fully-scrubbed and
+    * token-less docs still report. */
+  private def scrubPositions(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int, windows: DataFrame): DataFrame = {
+    val covered = windows
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
@@ -614,8 +652,6 @@ object Dedup {
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("token")))),
           x => x.getField("token")), " ").as("scrubbed_text"),
         count(lit(1)).as("n_tokens_kept"))
-    // totals from the doc projection, not the token stream — a doc whose
-    // every token is duplicated (or that has none) must still report
     val totals = docs.select(col(idCol).as("doc_id"),
       size(filter(split(col(textCol), "\\s+"), t => t =!= "")).cast("long").as("__n"))
     totals.join(kept, Seq("doc_id"), "left")

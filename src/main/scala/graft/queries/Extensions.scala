@@ -1415,6 +1415,55 @@ object Extensions {
     // apply the duplicated spans: scrub every covered token from each
     // doc — the emit side of substring dedup; the oracle rebuilds the
     // scrubbed text from string 8-grams.
+    // span-level decontamination: train docs (doc_id % 10 != 0) lose
+    // exactly the tokens covered by an 8-gram that also occurs in the
+    // benchmark side (doc_id % 10 = 0) — the keep-the-document policy
+    // next to ext16's flag-the-document report. The oracle rebuilds the
+    // scrubbed text from string 8-grams.
+    "ext59_contamination_scrub" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        Dedup.scrubContaminated(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text", n = 8)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id % 10 <> 0
+             |), bt AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id % 10 = 0
+             |), kg AS (
+             |  SELECT doc_id, pos, array_to_string(list_slice(w, pos, pos + 7), ' ') AS k
+             |  FROM (SELECT doc_id, CAST(unnest(range(1, greatest(len(w) - 6, 1))) AS INT) AS pos, w FROM t)
+             |), bk AS (
+             |  SELECT DISTINCT array_to_string(list_slice(w, pos, pos + 7), ' ') AS k
+             |  FROM (SELECT doc_id, CAST(unnest(range(1, greatest(len(w) - 6, 1))) AS INT) AS pos, w FROM bt)
+             |), dd AS (
+             |  SELECT doc_id, pos FROM kg WHERE k IN (SELECT k FROM bk)
+             |), cov AS (
+             |  SELECT DISTINCT doc_id, CAST(unnest(range(pos, pos + 8)) AS INT) AS pos FROM dd
+             |), tok AS (
+             |  SELECT doc_id, pos, w[pos] AS token
+             |  FROM (SELECT doc_id, CAST(unnest(range(1, len(w) + 1)) AS INT) AS pos, w FROM t)
+             |), kept AS (
+             |  SELECT tok.doc_id, tok.pos, tok.token
+             |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+             |  WHERE cov.doc_id IS NULL
+             |), ag AS (
+             |  SELECT doc_id, string_agg(token, ' ' ORDER BY pos) AS scrubbed_text,
+             |         count(*) AS n_tokens_kept
+             |  FROM kept GROUP BY doc_id
+             |), tot AS (
+             |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n FROM t
+             |)
+             |SELECT tot.doc_id,
+             |       coalesce(ag.scrubbed_text, '') AS scrubbed_text,
+             |       CAST(coalesce(ag.n_tokens_kept, 0) AS BIGINT) AS n_tokens_kept,
+             |       CAST(tot.n - coalesce(ag.n_tokens_kept, 0) AS BIGINT) AS n_tokens_removed
+             |FROM tot LEFT JOIN ag USING (doc_id)""".stripMargin)),
+
     "ext53_span_scrub" -> Q(
       (s, d) => Dedup.scrubDupSpans(docs(s, d), "doc_id", "text", n = 8),
       Some("""WITH t AS (

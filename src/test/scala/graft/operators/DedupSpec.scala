@@ -373,6 +373,24 @@ class DedupSpec extends SparkSpec {
     assert(r(5L) == (("", 0L, 0L)))
   }
 
+  test("scrubContaminated removes exactly the leaked spans, keeps the document") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "intro words q1 q2 q3 q4 q5 q6 q7 q8 outro words"), // leaked 8-gram inside
+      (2L, "totally clean document with no benchmark overlap at all here"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8"), // fully leaked -> empty scrub
+      (4L, "tiny doc")                 // no 8-grams -> untouched
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "q1 q2 q3 q4 q5 q6 q7 q8")).toDF("doc_id", "text")
+    val r = Dedup.scrubContaminated(train, bench, "doc_id", "text", n = 8).collect()
+      .map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == (("intro words outro words", 4L, 8L)))
+    assert(r(2L)._3 == 0L) // untouched
+    assert(r(3L) == (("", 0L, 8L)))
+    assert(r(4L) == (("tiny doc", 2L, 0L)))
+    assert(r.size == 4) // bench docs are not in the output
+  }
+
   test("corpusDiff identity: a corpus diffed against itself is empty") {
     import spark.implicits._
     val v = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
