@@ -206,6 +206,31 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("RocksDB state store: stateful session windows match the default provider") {
+    // every stateful-op scaladoc in Streams points at RocksDB as the
+    // 100 TB state path; this proves the engine actually runs on it —
+    // same query, same results, state off-heap on disk instead of in
+    // executor memory.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val default = Streams.runToMemory(spark,
+        Streams.sessionWindows(Streams.readEventsStream(spark, dir), 30, "1 hour"),
+        "spec_ss_default", OutputMode.Append())
+      .collect().map(_.toSeq).toSet
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rocks = Streams.runToMemory(spark,
+          Streams.sessionWindows(Streams.readEventsStream(spark, dir), 30, "1 hour"),
+          "spec_ss_rocks", OutputMode.Append())
+        .collect().map(_.toSeq).toSet
+      assert(rocks == default && rocks.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
