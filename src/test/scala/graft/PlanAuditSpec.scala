@@ -41,6 +41,9 @@ class PlanAuditSpec extends SparkSpec {
     "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
     "ext52_mixture_sample" -> "single-row total broadcast (scalar normalizer, via temperatureWeights)",
     "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)",
+    // dims-row bucket-count frame × single-row totals: the DSIR model is
+    // 64 rows; its normalizer join is the same scalar-broadcast shape.
+    "ext58_importance_weight" -> "single-row token-total broadcast (scalar normalizer)",
     // composes ext05's exact cosine baseline (broadcast small query
     // side) and ext44's scalar normalizer; the fusion itself adds no
     // product — the scale path swaps in annTopK for the semantic leg.
