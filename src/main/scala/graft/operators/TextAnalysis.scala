@@ -507,9 +507,7 @@ object TextAnalysis {
     require(dims > 0, "dims must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
-    val bucket = pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-      lit(dims)).cast("int")
-    toks.select(col("doc_id"), bucket.as("b"))
+    toks.select(col("doc_id"), bucketOf(col("token"), dims).as("b"))
       .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(map_from_entries(collect_list(struct(col("b"), col("c")))).as("__m"),
@@ -545,28 +543,54 @@ object TextAnalysis {
   def importanceWeight(docs: DataFrame, idCol: String, textCol: String,
                        isTarget: Column, dims: Int = 64): DataFrame = {
     require(dims > 0, "dims must be positive")
-    val toks = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
+    val tokens = docs.select(col(idCol).as("doc_id"), isTarget.as("__t"),
       explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
-      .select(col("doc_id"), col("__t"),
-        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-          lit(dims)).cast("int").as("b"))
-    val counts = toks.groupBy(col("b"))
-      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
-        sum(when(col("__t"), 0L).otherwise(1L)).as("rc"))
-    val tot = counts.agg(sum(col("tc")).as("tN"), sum(col("rc")).as("rN"))
-    val num = (col("tc") + 1L) * (col("rN") + lit(dims.toLong))
-    val den = num + (col("rc") + 1L) * (col("tN") + lit(dims.toLong))
-    val w = counts.crossJoin(broadcast(tot))
-      .select(col("b"),
-        (floor((num * 1000000L).cast("double") / den.cast("double") + 0.5)
-          .cast("long") - 500000L).as("w_e6"))
-    toks.filter(!col("__t"))
-      .join(broadcast(w), "b")
+      .select(col("doc_id"), col("__t"), bucketOf(col("token"), dims).as("b"))
+    tokens.filter(!col("__t"))
+      .join(broadcast(importanceWeights(docs, textCol, isTarget, dims)), "b")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_e6")).as("imp_e6"))
       .withColumn("imp_mean_e6",
         floor(col("imp_e6").cast("double") / col("n_tokens") + 0.5).cast("long"))
   }
+
+  /** The dims-row bucket-weight MODEL of [[importanceWeight]], exposed
+    * on its own: (b, w_e6) per bucket. Streaming ingest collects these
+    * dims rows once and bakes them into the plan as a literal map (the
+    * PQ-codebook / LSH-plane discipline — a model artifact measured in
+    * bytes rides the plan, not a join). */
+  def importanceWeights(docs: DataFrame, textCol: String,
+                        isTarget: Column, dims: Int = 64): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    val toks = docs.select(isTarget.as("__t"),
+      explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .select(col("__t"), bucketOf(col("token"), dims).as("b"))
+    val counts = toks.groupBy(col("b"))
+      .agg(sum(when(col("__t"), 1L).otherwise(0L)).as("tc"),
+        sum(when(col("__t"), 0L).otherwise(1L)).as("rc"))
+    val tot = counts.agg(sum(col("tc")).as("tN"), sum(col("rc")).as("rN"))
+    // every bucket gets a weight, not just the observed ones — a
+    // streaming applier must be able to score tokens the reference
+    // corpus never hashed there (they take the pure-smoothing weight)
+    val filled = docs.sparkSession.range(dims)
+      .select(col("id").cast("int").as("b"))
+      .join(counts, Seq("b"), "left")
+      .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+    val num = (col("tc") + 1L) * (col("rN") + lit(dims.toLong))
+    val den = num + (col("rc") + 1L) * (col("tN") + lit(dims.toLong))
+    filled.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (floor((num * 1000000L).cast("double") / den.cast("double") + 0.5)
+          .cast("long") - 500000L).as("w_e6"))
+  }
+
+  /** md5 token bucket shared by [[hashEmbed]], [[classifierScore]] and
+    * the importance-weighting pair — one definition so the feature
+    * space cannot diverge between the model builder and its appliers. */
+  private[graft] def bucketOf(token: Column, dims: Int): Column =
+    pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
+      lit(dims)).cast("int")
 
   /** Text canonicalization — the pass that runs BEFORE any exact-match
     * operator (hash dedup, line dedup, vocab counts, blocklists) so
@@ -620,9 +644,8 @@ object TextAnalysis {
     require(dims > 0, "dims must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode_outer(filter(words(col(textCol)), t => t =!= "")).as("token"))
-    val bucket = pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"),
-      lit(dims)).cast("int")
-    val weight = pmod(conv(substring(md5(concat(lit("w:"), bucket.cast("string"))), 1, 8),
+    val weight = pmod(conv(substring(md5(concat(lit("w:"),
+      bucketOf(col("token"), dims).cast("string"))), 1, 8),
       16, 10).cast("long"), lit(2001L)) - lit(1000L)
     toks
       .select(col("doc_id"),

@@ -100,6 +100,39 @@ object StreamingQueries {
              |  CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS BIGINT) AS n_longnum
              |FROM corpus""".stripMargin)),
 
+    // importance scoring at ingest: the DSIR bucket-weight model is the
+    // batch artifact; each arriving doc scores itself with a per-row
+    // integer fold (model as a plan-literal map — no join, no state).
+    // Oracle = ext58's replay: streamed scores equal the batch scores.
+    "st14_stream_importance" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.importanceStream(s, d, targetSource = "src0", dims = 64),
+        "st14_importance", OutputMode.Append()),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, source = 'src0' AS t,
+             |         CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS b
+             |  FROM (SELECT doc_id, source,
+             |               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |        FROM documents)
+             |), c AS (
+             |  SELECT b, sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             |         sum(CASE WHEN t THEN 0 ELSE 1 END) AS rc
+             |  FROM tk GROUP BY b
+             |), tot AS (SELECT sum(tc) AS tN, sum(rc) AS rN FROM c
+             |), w AS (
+             |  SELECT b,
+             |         CAST(floor(((tc + 1) * (rN + 64) * 1000000)::DOUBLE
+             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE + 0.5) AS BIGINT)
+             |           - 500000 AS w_e6
+             |  FROM c, tot
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |       CAST(sum(w_e6) AS BIGINT) AS imp_e6,
+             |       CAST(floor(sum(w_e6)::DOUBLE / count(*) + 0.5) AS BIGINT) AS imp_mean_e6
+             |FROM tk JOIN w USING (b)
+             |WHERE NOT t
+             |GROUP BY doc_id""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

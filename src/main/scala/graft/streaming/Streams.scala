@@ -94,6 +94,36 @@ object Streams {
       readDocumentsStream(spark, dir), rates, "doc_id", "source", salt)
   }
 
+  /** Importance scoring at ingest — the streaming twin of
+    * [[graft.operators.TextAnalysis.importanceWeight]]: the dims-row
+    * DSIR bucket-weight model is a BATCH artifact (computed once from
+    * the static reference corpus, collected — it is bytes, the
+    * PQ-codebook discipline) baked into the plan as a literal map, and
+    * each arriving document scores itself with a per-row integer fold
+    * over its own tokens. STATELESS: no watermark, no state store, no
+    * shuffle, not even a stream-static join — the model rides the plan,
+    * so the scored stream runs at ingest speed and the verdict
+    * (sample / route / drop by score) is a downstream filter. */
+  def importanceStream(spark: SparkSession, dir: String,
+                       targetSource: String, dims: Int = 64): DataFrame = {
+    import graft.operators.TextAnalysis
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    val model = TextAnalysis.importanceWeights(static, "text",
+        col("source") === targetSource, dims)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val wMap = map(model.flatMap { case (b, w) => Seq(lit(b), lit(w)) }.toIndexedSeq: _*)
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    readDocumentsStream(spark, dir)
+      .filter(col("source") =!= targetSource)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        aggregate(toks, lit(0L),
+          (acc, t) => acc + element_at(wMap, TextAnalysis.bucketOf(t, dims)))
+          .as("imp_e6"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("imp_mean_e6",
+        floor(col("imp_e6").cast("double") / col("n_tokens") + 0.5).cast("long"))
+  }
+
   /** Streaming benchmark decontamination: documents arriving on a stream
     * are LSH-probed against a STATIC benchmark index and flagged when
     * their exact 3-gram Jaccard against any benchmark doc reaches the

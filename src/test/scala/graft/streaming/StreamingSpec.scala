@@ -150,6 +150,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed(3L) == "dial <PHONE> ref <NUM>")
   }
 
+  test("streaming importance scoring = batch importanceWeight") {
+    val streamed = Streams.runToMemory(spark,
+        Streams.importanceStream(spark, dir, targetSource = "src0", dims = 64),
+        "spec_importance", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = graft.operators.TextAnalysis.importanceWeight(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        isTarget = col("source") === "src0", dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
