@@ -559,13 +559,23 @@ object Dedup {
     * gram-keyed count with map-side combine → equality join back. One
     * definition, so a change to the gram arithmetic cannot diverge the
     * detector from the scrubber. */
-  private def dupWindowPositions(docs: DataFrame, idCol: String,
-                                 textCol: String, n: Int): DataFrame = {
+  /** The positional-gram projection (1-based positions over non-empty
+    * whitespace tokens, native hash per n-gram window) shared by every
+    * span operator — one definition so the gram arithmetic cannot
+    * diverge between detectors ([[dupSpans]]), scrubbers
+    * ([[scrubDupSpans]], [[scrubContaminated]]) and their oracles. */
+  private def posGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
-    val grams = docs.select(col(idCol).as("doc_id"),
+    docs.select(col(idCol).as("doc_id"),
         posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
           .as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
+  }
+
+  private def dupWindowPositions(docs: DataFrame, idCol: String,
+                                 textCol: String, n: Int): DataFrame = {
+    val grams = posGrams(docs, idCol, textCol, n)
     val counts = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
     grams.join(counts.filter(col("c") > 1), "h")
       .select(col("doc_id"), col("pos"))
@@ -619,14 +629,8 @@ object Dedup {
     * membership, not frequency, defines contamination here. */
   def scrubContaminated(train: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, n: Int = 8): DataFrame = {
-    graft.sql.GraftExtensions.ensureRegistered(train.sparkSession)
-    val tGrams = train.select(col(idCol).as("doc_id"),
-        posexplode(call_function("shingle_pos_hashes", col(textCol), lit(n)))
-          .as(Seq("pos0", "h")))
-      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
-    val bGrams = bench
-      .select(explode(call_function("shingle_pos_hashes", col(textCol), lit(n))).as("h"))
-      .distinct()
+    val tGrams = posGrams(train, idCol, textCol, n)
+    val bGrams = posGrams(bench, idCol, textCol, n).select(col("h")).distinct()
     scrubPositions(train, idCol, textCol, n,
       tGrams.join(bGrams, Seq("h"), "leftsemi").select(col("doc_id"), col("pos")))
   }

@@ -343,13 +343,18 @@ object Similarity {
     * Determinism contract: components are micro-quantized FIRST
     * (qᵢ = floor(xᵢ·1e6 + 0.5), one exact-IEEE op per component — the
     * [[srpSketch]] discipline), so the norm fold is an order-independent
-    * INTEGER sum both engines replay exactly: norm2_e12 = Σ qᵢ² (64
-    * dims × (1e6)² ≈ 6.4e13 ≪ Long.Max). A vector whose components are
-    * all < 0.5e-6 in magnitude is zero at audit resolution — which is
-    * operationally zero for any int8/micro-quantized consumer. The norm
-    * of a non-finite vector is the -1 sentinel, never a NaN fold (DuckDB
-    * errors casting NaN to BIGINT; Spark coerces to 0 — the sentinel
-    * sidesteps the divergence).
+    * INTEGER sum both engines replay exactly: norm2_e12 = Σ qᵢ². A
+    * vector whose components are all < 0.5e-6 in magnitude is zero at
+    * audit resolution — which is operationally zero for any
+    * int8/micro-quantized consumer. The norm of an unsound vector is
+    * the -1 sentinel, never a NaN fold or a wrapped long: `all_finite`
+    * requires every component NON-NULL (a null element IS the truncated-
+    * encode failure class, and folding one would void the verdict),
+    * finite, AND within the quantization-representable bound
+    * |x| ≤ ⌊√(9e18/dims)⌋/1e6 that keeps Σ qᵢ² inside Long range — an
+    * fp16-overflow-sized component (6.5e4) is as broken as Inf, and
+    * letting it wrap the fold would be a silent lie in both engines
+    * (Spark wraps, DuckDB throws).
     *
     * Scale shape: pure narrow projection — codegen'd, shuffle-free,
     * scan-speed; verdicts travel with the row so the downstream filter
@@ -359,8 +364,11 @@ object Similarity {
     val v = col(vecCol).cast("array<double>")
     val isNull = col(vecCol).isNull
     val nDims = when(isNull, lit(0)).otherwise(size(v)).cast("int")
+    // the largest |x| whose squared micro-quantization still sums into
+    // a long across `dims` components (379 for dims = 64)
+    val cap = math.floor(math.sqrt(9.0e18 / dims) / 1e6)
     val allFinite = when(isNull, lit(false)).otherwise(
-      forall(v, x => !isnan(x) && abs(x) <= lit(Double.MaxValue)))
+      forall(v, x => x.isNotNull && !isnan(x) && abs(x) <= lit(cap)))
     val q = (x: Column) => floor(x * 1e6 + 0.5).cast("long")
     val norm2 = when(!allFinite, lit(-1L)).otherwise(
       aggregate(v, lit(0L), (acc, x) => acc + q(x) * q(x)))

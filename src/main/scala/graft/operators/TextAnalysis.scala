@@ -579,9 +579,15 @@ object TextAnalysis {
         coalesce(col("rc"), lit(0L)).as("rc"))
     val num = (col("tc") + 1L) * (col("rN") + lit(dims.toLong))
     val den = num + (col("rc") + 1L) * (col("tN") + lit(dims.toLong))
+    // divide FIRST, then scale to micros: num and den stay exact longs
+    // (headroom to ~9e18 bucket-pair products, i.e. hundreds of TB of
+    // tokens), and both engines convert the same exact integers to
+    // double before one IEEE division — multiplying num by 1e6 in long
+    // space would wrap 6 orders of magnitude earlier, silently in
+    // Spark's non-ANSI arithmetic and loudly in DuckDB's
     filled.crossJoin(broadcast(tot))
       .select(col("b"),
-        (floor((num * 1000000L).cast("double") / den.cast("double") + 0.5)
+        (floor(num.cast("double") / den.cast("double") * 1000000d + 0.5)
           .cast("long") - 500000L).as("w_e6"))
   }
 
@@ -609,7 +615,7 @@ object TextAnalysis {
   def normalizeText(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
     val nfc = call_function("nfc_normalize", col(textCol))
-    val stripped = regexp_replace(nfc, "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+    val stripped = regexp_replace(nfc, "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
     val collapsed = trim(regexp_replace(stripped, "\\s+", " "))
     docs.select(
       col(idCol).as("doc_id"),

@@ -610,22 +610,28 @@ object Extensions {
              |FROM p""".stripMargin)),
 
     // embedding sanity audit: the fixture has no broken vectors, so
-    // seven planted rows are unioned into BOTH dialects — NaN, Inf,
-    // zero vector, wrong dims, off-sphere norm, NULL, sub-resolution
-    // tiny — exercising every verdict for real; the 500 fixture rows
-    // pin the all-keep path. Norm bounds [0.81e12, 1.21e12] = the unit
-    // sphere ±10% in micro-int space.
+    // nine planted rows are unioned into BOTH dialects — NaN, Inf, zero
+    // vector, wrong dims, off-sphere norm, NULL vector, sub-resolution
+    // tiny, a NULL ELEMENT (truncated encode), and an fp16-max component
+    // (beyond the quantization-safe bound 379 = floor(sqrt(9e18/64)/1e6))
+    // — exercising every verdict for real; the 500 fixture rows pin the
+    // all-keep path. Norm bounds [0.81e12, 1.21e12] = the unit sphere
+    // ±10% in micro-int space.
     "ext55_embed_audit" -> Q(
       (s, d) => {
         import s.implicits._
         val planted = Seq(
-          (-101L, Some(Seq.tabulate(64)(i => if (i == 3) Float.NaN else 0.5f))),
-          (-102L, Some(Seq.tabulate(64)(i => if (i == 0) Float.PositiveInfinity else 0.125f))),
-          (-103L, Some(Seq.fill(64)(0f))),
-          (-104L, Some(Seq.fill(32)(0.17675f))),
-          (-105L, Some(Seq.fill(64)(100f))),
-          (-106L, Option.empty[Seq[Float]]),
-          (-107L, Some(Seq.fill(64)(1e-7f)))
+          (-101L, Some(Seq.tabulate(64)(i => if (i == 3) Some(Float.NaN) else Some(0.5f)))),
+          (-102L, Some(Seq.tabulate(64)(i => if (i == 0) Some(Float.PositiveInfinity) else Some(0.125f)))),
+          (-103L, Some(Seq.fill(64)(Some(0f): Option[Float]))),
+          (-104L, Some(Seq.fill(32)(Some(0.17675f): Option[Float]))),
+          (-105L, Some(Seq.fill(64)(Some(100f): Option[Float]))),
+          (-106L, Option.empty[Seq[Option[Float]]]),
+          (-107L, Some(Seq.fill(64)(Some(1e-7f): Option[Float]))),
+          // the truncated-encode class: a NULL ELEMENT inside the vector
+          (-108L, Some(Seq.tabulate(64)(i => if (i == 5) Option.empty[Float] else Some(0.5f)))),
+          // the fp16-overflow class: a component too large to quantize
+          (-109L, Some(Seq.tabulate(64)(i => if (i == 0) Some(65504f) else Some(0.125f))))
         ).toDF("vec_id", "embedding")
         Similarity.embedAudit(
           emb(s, d).select(col("vec_id"), col("embedding")).unionByName(planted),
@@ -639,7 +645,9 @@ object Extensions {
              |  (-104, list_transform(range(32), i -> 0.17675::FLOAT)),
              |  (-105, list_transform(range(64), i -> 100.0::FLOAT)),
              |  (-106, NULL),
-             |  (-107, list_transform(range(64), i -> 0.0000001::FLOAT))
+             |  (-107, list_transform(range(64), i -> 0.0000001::FLOAT)),
+             |  (-108, list_transform(range(64), i -> CASE WHEN i = 5 THEN NULL ELSE 0.5::FLOAT END)),
+             |  (-109, list_transform(range(64), i -> CASE WHEN i = 0 THEN 65504.0::FLOAT ELSE 0.125::FLOAT END))
              |), corpus AS (
              |  SELECT vec_id, embedding FROM embeddings
              |  UNION ALL SELECT vec_id, embedding FROM planted
@@ -648,7 +656,8 @@ object Extensions {
              |         embedding IS NULL AS is_null,
              |         CAST(CASE WHEN embedding IS NULL THEN 0 ELSE len(embedding) END AS INT) AS n_dims,
              |         CASE WHEN embedding IS NULL THEN FALSE
-             |              ELSE len(list_filter(embedding, x -> NOT isfinite(x))) = 0 END AS all_finite
+             |              ELSE len(list_filter(embedding,
+             |                     x -> x IS NULL OR NOT isfinite(x) OR abs(x) > 379)) = 0 END AS all_finite
              |  FROM corpus
              |), n AS (
              |  SELECT vec_id, n_dims, is_null, all_finite,
@@ -986,8 +995,9 @@ object Extensions {
              |), tot AS (SELECT sum(tc) AS tN, sum(rc) AS rN FROM c
              |), w AS (
              |  SELECT b,
-             |         CAST(floor(((tc + 1) * (rN + 64) * 1000000)::DOUBLE
-             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE + 0.5) AS BIGINT)
+             |         CAST(floor(((tc + 1) * (rN + 64))::DOUBLE
+             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE
+             |                    * 1000000 + 0.5) AS BIGINT)
              |           - 500000 AS w_e6
              |  FROM c, tot
              |)

@@ -121,8 +121,9 @@ object StreamingQueries {
              |), tot AS (SELECT sum(tc) AS tN, sum(rc) AS rN FROM c
              |), w AS (
              |  SELECT b,
-             |         CAST(floor(((tc + 1) * (rN + 64) * 1000000)::DOUBLE
-             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE + 0.5) AS BIGINT)
+             |         CAST(floor(((tc + 1) * (rN + 64))::DOUBLE
+             |                    / ((tc + 1) * (rN + 64) + (rc + 1) * (tN + 64))::DOUBLE
+             |                    * 1000000 + 0.5) AS BIGINT)
              |           - 500000 AS w_e6
              |  FROM c, tot
              |)

@@ -268,23 +268,30 @@ class SimilaritySpec extends SparkSpec {
   test("embedAudit: every failure mode gets the right verdict, clean rows keep") {
     import spark.implicits._
     val dims = 4
+    def full(xs: Float*): Option[Seq[Option[Float]]] = Some(xs.map(Some(_)))
     val rows = Seq(
-      (1L, Some(Seq(1f, 0f, 0f, 0f))),                    // clean unit vector
-      (2L, Some(Seq(0.5f, 0.5f, 0.5f, 0.5f))),            // clean unit vector
-      (3L, Some(Seq(Float.NaN, 0f, 0f, 0f))),             // NaN
-      (4L, Some(Seq(Float.NegativeInfinity, 0f, 0f, 0f))), // -Inf
-      (5L, Some(Seq(0f, 0f, 0f, 0f))),                    // zero vector
-      (6L, Some(Seq(1f, 0f, 0f))),                        // wrong dims
-      (7L, Some(Seq(10f, 0f, 0f, 0f))),                   // off-sphere norm
-      (8L, Option.empty[Seq[Float]]),                     // null
-      (9L, Some(Seq(1e-7f, 1e-7f, 1e-7f, 1e-7f)))         // zero at resolution
+      (1L, full(1f, 0f, 0f, 0f)),                    // clean unit vector
+      (2L, full(0.5f, 0.5f, 0.5f, 0.5f)),            // clean unit vector
+      (3L, full(Float.NaN, 0f, 0f, 0f)),             // NaN
+      (4L, full(Float.NegativeInfinity, 0f, 0f, 0f)), // -Inf
+      (5L, full(0f, 0f, 0f, 0f)),                    // zero vector
+      (6L, full(1f, 0f, 0f)),                        // wrong dims
+      (7L, full(10f, 0f, 0f, 0f)),                   // off-sphere norm
+      (8L, Option.empty[Seq[Option[Float]]]),        // null vector
+      (9L, full(1e-7f, 1e-7f, 1e-7f, 1e-7f)),        // zero at resolution
+      (10L, Some(Seq(Some(1f), None, Some(0f), Some(0f)))), // null ELEMENT
+      (11L, full(65504f, 0f, 0f, 0f))                // beyond quantization bound
     ).toDF("vec_id", "embedding")
     val a = Similarity.embedAudit(rows, "vec_id", "embedding", dims,
       normLoE12 = 810000000000L, normHiE12 = 1210000000000L)
       .collect().map(r => r.getLong(0) -> r).toMap
     def keep(id: Long) = a(id).getAs[Boolean]("keep")
     assert(keep(1) && keep(2))
-    assert(Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L).forall(!keep(_)))
+    assert(Seq(3L, 4L, 5L, 6L, 7L, 8L, 9L, 10L, 11L).forall(!keep(_)))
+    // a null element or an unquantizable component must produce a FALSE
+    // verdict, never a NULL one (a row the audit cannot judge is a hole)
+    assert(!a(10L).getAs[Boolean]("all_finite") && a(10L).getAs[Long]("norm2_e12") == -1L)
+    assert(!a(11L).getAs[Boolean]("all_finite") && a(11L).getAs[Long]("norm2_e12") == -1L)
     assert(a(3L).getAs[Long]("norm2_e12") == -1L) // sentinel, never a NaN fold
     assert(!a(3L).getAs[Boolean]("all_finite"))
     assert(a(5L).getAs[Long]("norm2_e12") == 0L)
