@@ -518,6 +518,36 @@ object TextAnalysis {
           .as("vec_csv"))
   }
 
+  /** Per-source token-length distribution — exact p25/p50/p90/p99 plus
+    * mean and count: the length panel of a curation dashboard (length
+    * cutoffs for [[qualityRules]], chunk/pack sizing for
+    * [[chunkTokens]]/[[packSequences]] are read off these quantiles).
+    * EXACT percentiles are right here because per-doc token counts are
+    * bounded-cardinality (thousands of distinct values): Spark's
+    * `percentile` aggregates a value→count map per group, so state is
+    * O(distinct lengths), not O(docs), and that holds at 100 TB — the
+    * q35 argument. Mean is an exact integer sum with one micro-floored
+    * IEEE division; quantiles share DuckDB's linear-interpolation
+    * definition, so the whole report replays cross-engine. */
+  def lengthQuantiles(docs: DataFrame, idCol: String, textCol: String,
+                      sourceCol: String): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        size(filter(words(col(textCol)), t => t =!= "")).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        expr("percentile(n, 0.25)").as("__p25"),
+        expr("percentile(n, 0.5)").as("__p50"),
+        expr("percentile(n, 0.9)").as("__p90"),
+        expr("percentile(n, 0.99)").as("__p99"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("n_tokens").cast("double") / col("n_docs") * 1e6 + 0.5)
+          .cast("long").as("mean_e6"),
+        floor(col("__p25") * 1e6 + 0.5).cast("long").as("p25_e6"),
+        floor(col("__p50") * 1e6 + 0.5).cast("long").as("p50_e6"),
+        floor(col("__p90") * 1e6 + 0.5).cast("long").as("p90_e6"),
+        floor(col("__p99") * 1e6 + 0.5).cast("long").as("p99_e6"))
+
   /** Importance weighting for domain-targeted data selection — the
     * DSIR shape (Xie et al., NeurIPS'23): score every raw-corpus
     * document by how TARGET-like its hashed token-feature distribution

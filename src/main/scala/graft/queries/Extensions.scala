@@ -976,6 +976,26 @@ object Extensions {
              |       string_agg(CAST(c AS VARCHAR), ',' ORDER BY j) AS vec_csv
              |FROM filled GROUP BY doc_id""".stripMargin)),
 
+    // per-source token-length distribution: exact quantiles (bounded
+    // length cardinality -> O(distinct) agg state, the q35 argument),
+    // integer-exact mean; both engines share the linear-interpolation
+    // quantile definition.
+    "ext60_length_quantiles" -> Q(
+      (s, d) => TextAnalysis.lengthQuantiles(docs(s, d), "doc_id", "text", "source"),
+      Some("""WITH n AS (
+             |  SELECT source,
+             |         len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n
+             |  FROM documents
+             |)
+             |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(n) AS BIGINT) AS n_tokens,
+             |       CAST(floor(sum(n)::DOUBLE / count(*) * 1000000 + 0.5) AS BIGINT) AS mean_e6,
+             |       CAST(floor(quantile_cont(n, 0.25) * 1000000 + 0.5) AS BIGINT) AS p25_e6,
+             |       CAST(floor(quantile_cont(n, 0.5) * 1000000 + 0.5) AS BIGINT) AS p50_e6,
+             |       CAST(floor(quantile_cont(n, 0.9) * 1000000 + 0.5) AS BIGINT) AS p90_e6,
+             |       CAST(floor(quantile_cont(n, 0.99) * 1000000 + 0.5) AS BIGINT) AS p99_e6
+             |FROM n GROUP BY source""".stripMargin)),
+
     // DSIR-shaped importance weighting: src0 is the target domain, the
     // other 19 sources are the raw pool; both dialects rebuild the
     // 64-bucket model and replay every document's integer importance.

@@ -338,6 +338,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("lengthQuantiles: hand-computed interpolated quantiles and exact mean") {
+    val docs = Seq(
+      (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s"),
+      (5L, "x", "t")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthQuantiles(docs, "doc_id", "text", "source")
+      .collect().map(x => x.getString(0) -> x).toMap
+    val s = r("s")
+    assert(s.getAs[Long]("n_docs") == 4 && s.getAs[Long]("n_tokens") == 10)
+    assert(s.getAs[Long]("mean_e6") == 2500000L)
+    // lengths 1,2,3,4: p50 = 2.5 (linear interpolation), p25 = 1.75
+    assert(s.getAs[Long]("p50_e6") == 2500000L)
+    assert(s.getAs[Long]("p25_e6") == 1750000L)
+    assert(s.getAs[Long]("p90_e6") == 3700000L) // 3 + 0.7*(4-3)
+    val t = r("t")
+    assert(t.getAs[Long]("n_docs") == 1 && t.getAs[Long]("p99_e6") == 1000000L)
+  }
+
   test("importanceWeight: independent replay; target-like docs outrank off-domain") {
     val docs = Seq(
       (1L, "alpha beta alpha", "target"),
