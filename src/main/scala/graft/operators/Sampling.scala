@@ -148,4 +148,99 @@ object Sampling {
     df.withColumn("bucket", hashBucket(col(idCol), salt))
       .filter(col("bucket") < rate)
   }
+
+  /** Per-group document cap — the per-domain cap of web-crawl curation
+    * (Common Crawl pipelines cap documents per registrable domain so no
+    * single mirror-heavy site dominates the mixture): keep at most `k`
+    * rows per group, preferring the best under `rankBy`. `rankBy` must
+    * be a TOTAL order within every group (end it with a unique id) or
+    * the cut at rank k is nondeterministic.
+    *
+    * Scale shape: `row_number ≤ k` is the pattern Spark's optimizer
+    * rewrites to WindowGroupLimit — each map task keeps only its local
+    * top-k per group BEFORE the exchange, so the shuffle carries
+    * O(groups × k), not the corpus. The group key partitions the
+    * window; no global sort, no unpartitioned window. */
+  def groupCap(df: DataFrame, groupCol: String, k: Int,
+               rankBy: Seq[Column]): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(rankBy.nonEmpty, "rankBy must order rows within each group")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(rankBy: _*)
+    df.withColumn("cap_rank", row_number().over(w))
+      .filter(col("cap_rank") <= k)
+  }
+
+  /** Token-budget-bounded deterministic sampling: keep, per group, the
+    * prefix of the md5(id:salt) permutation whose running token total
+    * stays within `budgetTokens` — "give me ~N tokens per source,
+    * uniformly at random, reproducibly" — the selection step of
+    * assembling a fixed-token-budget training mixture. The permutation
+    * is the [[hashBucket]] discipline (pure function of id+salt), so
+    * the sample is engine/cluster-independent and auditable.
+    *
+    * Scale shape: a naive `sum() OVER (PARTITION BY group ORDER BY key)`
+    * sorts EVERY row of a group in one task — with ~20 sources over
+    * 100 TB that is a guaranteed straggler. Instead the [[GlobalSort]]
+    * trick applied to a window: the key's first two hex chars split
+    * each group's permutation into 256 ORDER-ALIGNED coarse buckets;
+    * per-(group, bucket) token subtotals (a map-side-combined agg,
+    * |groups|×256 output rows) prefix-sum into bucket OFFSETS on that
+    * tiny frame; the offsets broadcast back, and the running total is
+    * offset + a window partitioned by (group, bucket) — per-task state
+    * is one bucket (~group/256), never the group. Buckets past the
+    * budget are pruned BEFORE the window sort by the cheap guard
+    * `offset < budget` (their every row's running total exceeds the
+    * budget already). */
+  def budgetSample(df: DataFrame, idCol: String, groupCol: String,
+                   tokenCol: String, budgetTokens: Long, salt: String): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol), col(groupCol), col(tokenCol))
+      .withColumn("__k", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = keyed.groupBy(col(groupCol), col("__b"))
+      .agg(sum(col(tokenCol)).cast("long").as("__bt"))
+      .withColumn("__off",
+        coalesce(sum(col("__bt")).over(
+          Window.partitionBy(col(groupCol)).orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") <= budgetTokens) // whole-bucket prune past the cut
+      // (<=, not <: a zero-token row sitting exactly at the budget line
+      // still qualifies; anything with __off > budget provably cannot)
+      .select(col(groupCol), col("__b"), col("__off"))
+    keyed.join(broadcast(offsets), Seq(groupCol, "__b"))
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col(tokenCol)).over(
+          Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__k"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(groupCol), col(tokenCol), col("cum_tokens"))
+  }
+
+  /** Deterministic global training-order shuffle + shard assignment:
+    * order the corpus by md5(id:salt), number it globally, and cut the
+    * order into fixed-size shards — the "shuffle once, shard, then
+    * stream shards sequentially" layout every large-scale training run
+    * wants, reproducible on any engine/cluster because the permutation
+    * is a pure function of (id, salt), never of partitioning or RNG
+    * state (a new salt is a fresh epoch-independent permutation).
+    *
+    * Scale shape: the hash key is uniform, so the range-partitioned
+    * global sort ([[graft.operators.GlobalSort]] — the one unavoidable
+    * shuffle) gets perfectly balanced partitions by construction — no
+    * skew, no straggler; numbering is zipWithIndex (narrow), never an
+    * unpartitioned window; shard id/position are pure arithmetic on the
+    * row number. Writing `shard` as the partition key afterward gives
+    * the sequential-read layout directly. */
+  def shuffleShards(df: DataFrame, idCol: String, salt: String,
+                    shardSize: Long): DataFrame = {
+    require(shardSize > 0, "shardSize must be positive")
+    val keyed = df.withColumn("shuffle_key",
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+    GlobalSort.withRowNumber(keyed, "rn", col("shuffle_key"), col(idCol))
+      .select(col(idCol), col("shuffle_key"),
+        floor((col("rn") - 1) / lit(shardSize)).cast("long").as("shard"),
+        pmod(col("rn") - 1, lit(shardSize)).as("shard_pos"))
+  }
 }

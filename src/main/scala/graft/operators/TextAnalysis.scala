@@ -842,4 +842,96 @@ object TextAnalysis {
       when(inv === langInv(lang), lit(lang)).otherwise(acc)
     }
   }
+
+  /** Content-defined chunking — the rolling-hash/gear-hash cut rule of
+    * FastCDC and the rsync/LBFS lineage, re-expressed relationally over
+    * token streams: cut AFTER any position p whose trailing
+    * `window`-token gram hashes to 0 mod `divisor`. Because every cut
+    * decision depends only on the `window` tokens ENDING at it, an
+    * insertion or deletion re-chunks O(1) neighboring chunks instead of
+    * shifting every fixed-stride boundary downstream — the property
+    * that makes chunk-hash dedup survive edits, and the reason CDC (not
+    * [[chunkTokens]]'s fixed stride) is the dedup-tier chunker.
+    * Expected chunk length ≈ `divisor` tokens; no min/max clamps (those
+    * are policy knobs layered on the same rule, not mechanism).
+    *
+    * The gram hash is the engine-replayable md5 32-bit prefix (the
+    * [[Sampling.hashBucket]] discipline, NOT the native xxhash
+    * shingles) because the BOUNDARY PREDICATE — not just gram equality —
+    * must reproduce in any engine for the output to be auditable.
+    *
+    * Scale shape: one shuffle-free generate-and-project pass — tokens,
+    * boundary positions, and chunk ranges are all per-row array
+    * arithmetic inside whole-stage codegen; no window function, no
+    * join, no shuffle. Per-row cost is O(tokens × window) hashing, the
+    * same work any CDC scanner does. Output: one row per chunk with a
+    * content hash ready for [[Dedup.exact]]-shaped chunk dedup. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 4, divisor: Int = 8): DataFrame = {
+    require(window > 0 && divisor > 0, "window and divisor must be positive")
+    val gear = (g: Column) =>
+      pmod(conv(substring(md5(g), 1, 8), 16, 10).cast("long"), lit(divisor.toLong))
+    docs.select(col(idCol).as("doc_id"),
+        filter(words(col(textCol)), t => t =!= "").as("__t"))
+      .filter(size(col("__t")) > 0)
+      // cut positions: p in [window, n-1] with gear(tokens[p-window+1 .. p]) == 0
+      // (a cut after the last token would open an empty chunk — excluded);
+      // Spark's sequence() DESCENDS when stop < start, so guard the range
+      .withColumn("__b",
+        when(size(col("__t")) - 1 >= window,
+          filter(sequence(lit(window), size(col("__t")) - 1), p =>
+            gear(concat_ws(" ", slice(col("__t"), p - lit(window) + 1, lit(window)))) === 0L))
+          .otherwise(array().cast("array<int>")))
+      .withColumn("__starts",
+        concat(array(lit(1)), transform(col("__b"), b => b + 1)))
+      .select(col("doc_id"),
+        posexplode(transform(col("__starts"), (st, i) =>
+          struct(st.as("s"),
+            when(i < size(col("__b")), element_at(col("__b"), i + 1))
+              .otherwise(size(col("__t"))).as("e"),
+            concat_ws(" ", slice(col("__t"), st,
+              when(i < size(col("__b")), element_at(col("__b"), i + 1))
+                .otherwise(size(col("__t"))) - st + 1)).as("txt")))))
+      .select(col("doc_id"), (col("pos") + 1).as("chunk_idx"),
+        col("col.s").as("start_pos"),
+        (col("col.e") - col("col.s") + 1).as("n_chunk_tokens"),
+        md5(col("col.txt")).as("chunk_hash"),
+        col("col.txt").as("chunk_text"))
+  }
+
+  /** Robust per-group length-outlier flagging — median/MAD, the
+    * scale-and-contamination-proof alternative to mean/stddev (one
+    * pathological 10 GB document drags a mean arbitrarily far; it moves
+    * the median by at most one rank). A document is an outlier when
+    * |n − median| > c · MAD, the standard robust z-score rule
+    * (Hampel/Leys et al.); with MAD = 0 (degenerate uniform group) any
+    * deviation flags, the rule's standard limit.
+    *
+    * Exactness discipline: medians of integer token counts land on
+    * halves, so everything is carried in doubled units — med2 = 2·median,
+    * d2 = |2n − med2|, mad4 = 2·median(d2) = 4·MAD — and the verdict
+    * 2·d2 > c·mad4 is pure integer arithmetic any engine replays
+    * bit-exactly (no float compare at the boundary).
+    *
+    * Scale shape: two map-side-combined percentile aggregations whose
+    * state is O(distinct lengths) per group (the q35/ext60
+    * bounded-cardinality argument), each output |groups| rows and
+    * broadcast back onto a narrow (id, group, n) projection re-derived
+    * from the scan — nothing corpus-sized persists or shuffles. */
+  def lengthOutliers(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, c: Int = 3): DataFrame = {
+    require(c > 0, "c must be positive")
+    val base = docs.select(col(idCol).as("doc_id"), col(groupCol).as("__g"),
+      size(filter(words(col(textCol)), t => t =!= "")).cast("long").as("n_tokens"))
+    val med = base.groupBy(col("__g"))
+      .agg(floor(expr("percentile(n_tokens, 0.5)") * 2 + 0.5).cast("long").as("med2"))
+    val dev = base.join(broadcast(med), "__g")
+      .withColumn("__d2", abs(col("n_tokens") * 2 - col("med2")))
+    val mad = dev.groupBy(col("__g"))
+      .agg(floor(expr("percentile(__d2, 0.5)") * 2 + 0.5).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "__g")
+      .select(col("doc_id"), col("__g").as(groupCol), col("n_tokens"),
+        col("med2"), col("mad4"),
+        (col("__d2") * 2 > lit(c.toLong) * col("mad4")).as("is_outlier"))
+  }
 }

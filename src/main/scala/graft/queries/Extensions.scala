@@ -1654,6 +1654,118 @@ object Extensions {
              |       CAST(sum(length(text)) AS BIGINT) AS total_bytes,
              |       CAST(sum(list_sum(list_transform(range(1, length(text) + 1),
              |              i -> ord(substr(text, i, 1))))) AS BIGINT) AS total_byte_sum
-             |FROM documents GROUP BY source""".stripMargin))
+             |FROM documents GROUP BY source""".stripMargin)),
+
+    // content-defined chunking: the DuckDB side replays tokenization, the
+    // md5-prefix gear hash, every cut decision, and each chunk's
+    // reassembled text + content hash — the full boundary arithmetic,
+    // not just row counts.
+    "ext61_cdc_chunks" -> Q(
+      (s, d) => TextAnalysis.cdcChunks(docs(s, d), "doc_id", "text",
+        window = 4, divisor = 8),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents
+             |), nz AS (
+             |  SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+             |), b AS (
+             |  SELECT doc_id, tk, n,
+             |         list_filter(range(4, n), p ->
+             |           ('0x' || substr(md5(array_to_string(tk[p-3:p], ' ')), 1, 8))::BIGINT % 8 = 0) AS bp
+             |  FROM nz
+             |), st AS (
+             |  SELECT doc_id, tk, n, bp,
+             |         list_prepend(1, list_transform(bp, x -> x + 1)) AS starts
+             |  FROM b
+             |), ch AS (
+             |  SELECT doc_id, tk, n, bp, starts,
+             |         unnest(range(1, len(starts) + 1)) AS i
+             |  FROM st
+             |)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |       CAST(starts[i] AS INT) AS start_pos,
+             |       CAST((CASE WHEN i <= len(bp) THEN bp[i] ELSE n END) - starts[i] + 1 AS INT) AS n_chunk_tokens,
+             |       md5(array_to_string(tk[starts[i]:(CASE WHEN i <= len(bp) THEN bp[i] ELSE n END)], ' ')) AS chunk_hash,
+             |       array_to_string(tk[starts[i]:(CASE WHEN i <= len(bp) THEN bp[i] ELSE n END)], ' ') AS chunk_text
+             |FROM ch""".stripMargin)),
+
+    // per-domain cap: rank inside each source by (n_chars DESC, doc_id)
+    // — a total order — and keep the top 20; the oracle replays the
+    // rank, not just membership.
+    "ext62_domain_cap" -> Q(
+      (s, d) => Sampling.groupCap(docs(s, d), "source", 20,
+          Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cap_rank")),
+      Some("""SELECT doc_id, source, n_chars, CAST(cap_rank AS INT) AS cap_rank FROM (
+             |  SELECT doc_id, source, n_chars,
+             |         row_number() OVER (PARTITION BY source
+             |                            ORDER BY n_chars DESC, doc_id) AS cap_rank
+             |  FROM documents)
+             |WHERE cap_rank <= 20""".stripMargin)),
+
+    // deterministic training shuffle: the oracle replays the md5
+    // permutation, the global row number, and the shard arithmetic.
+    "ext63_corpus_shuffle" -> Q(
+      (s, d) => Sampling.shuffleShards(docs(s, d), "doc_id",
+        salt = "epoch0", shardSize = 64L),
+      Some("""WITH r AS (
+             |  SELECT doc_id,
+             |         md5(CAST(doc_id AS VARCHAR) || ':epoch0') AS shuffle_key,
+             |         row_number() OVER (
+             |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch0'), doc_id) AS rn
+             |  FROM documents
+             |)
+             |SELECT doc_id, shuffle_key,
+             |       CAST((rn - 1) // 64 AS BIGINT) AS shard,
+             |       CAST((rn - 1) % 64 AS BIGINT) AS shard_pos
+             |FROM r""".stripMargin)),
+
+    // token-budget sampling: the oracle replays the md5 permutation and
+    // the per-source running total directly (the bucketed two-phase
+    // window is invisible to semantics — that's the point).
+    "ext65_token_budget" -> Q(
+      (s, d) => Sampling.budgetSample(
+        docs(s, d).withColumn("n_tokens",
+          size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).cast("long")),
+        "doc_id", "source", "n_tokens", budgetTokens = 5000L, salt = "mix1"),
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+             |         md5(CAST(doc_id AS VARCHAR) || ':mix1') AS k
+             |  FROM documents
+             |), r AS (
+             |  SELECT doc_id, source, n_tokens,
+             |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY k, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+             |  FROM n
+             |)
+             |SELECT doc_id, source, n_tokens, cum_tokens
+             |FROM r WHERE cum_tokens <= 5000""".stripMargin)),
+
+    // median/MAD robust outliers: every verdict is integer arithmetic in
+    // doubled units; the oracle replays both medians and the 2·d2 > c·mad4
+    // compare per document.
+    "ext64_length_outliers" -> Q(
+      (s, d) => TextAnalysis.lengthOutliers(docs(s, d), "doc_id", "text",
+        "source", c = 3),
+      Some("""WITH n AS (
+             |  SELECT doc_id, source,
+             |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+             |  FROM documents
+             |), m AS (
+             |  SELECT source, CAST(floor(quantile_cont(n_tokens, 0.5) * 2 + 0.5) AS BIGINT) AS med2
+             |  FROM n GROUP BY source
+             |), d AS (
+             |  SELECT n.doc_id, n.source, n.n_tokens, m.med2,
+             |         abs(n.n_tokens * 2 - m.med2) AS d2
+             |  FROM n JOIN m USING (source)
+             |), md AS (
+             |  SELECT source, CAST(floor(quantile_cont(d2, 0.5) * 2 + 0.5) AS BIGINT) AS mad4
+             |  FROM d GROUP BY source
+             |)
+             |SELECT d.doc_id, d.source, d.n_tokens, d.med2, md.mad4,
+             |       d.d2 * 2 > 3 * md.mad4 AS is_outlier
+             |FROM d JOIN md USING (source)""".stripMargin))
   )
 }

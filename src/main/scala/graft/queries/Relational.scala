@@ -827,6 +827,53 @@ object Relational {
              |  FROM lineitem WHERE l_orderkey % 11 = 0)
              |UNPIVOT (val FOR metric IN (quantity, price_cents, discount_e6))""".stripMargin)),
 
+    // Pure band join (no equality key): Spark's native plan is a
+    // BroadcastNestedLoopJoin — O(n×m), dead at scale when the interval
+    // side outgrows a broadcast. graft.operators.RangeJoin buckets the
+    // value axis so the SAME semantics plan as an equality join (see
+    // RangeJoinSpec for the no-nested-loop plan assertion); the oracle
+    // runs the plain BETWEEN form.
+    "q44_range_band_join" -> Q(
+      (s, d) => {
+        val sup = t(s, d, "supplier")
+          .select(col("s_suppkey"), (col("s_acctbal") - 100).as("lo"),
+            (col("s_acctbal") + 100).as("hi"))
+        val cust = t(s, d, "customer").select(col("c_custkey"), col("c_acctbal"))
+        graft.operators.RangeJoin.bandJoin(cust, sup, "c_acctbal", "lo", "hi",
+            bucket = 200.0)
+          .groupBy(col("s_suppkey"))
+          .agg(count(lit(1)).as("n_in_band"),
+            sum(floor(col("c_acctbal") * 100 + 0.5).cast("long")).as("sum_band_cents"))
+      },
+      Some("""SELECT s_suppkey, count(*) AS n_in_band,
+             |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_band_cents
+             |FROM supplier JOIN customer
+             |  ON c_acctbal >= s_acctbal - 100 AND c_acctbal <= s_acctbal + 100
+             |GROUP BY s_suppkey""".stripMargin)),
+
+    // ANSI LATERAL: a correlated derived table on the join's right side —
+    // the "run this subquery once per outer row" surface (SQL:1999),
+    // which Catalyst decorrelates into a plain aggregate + join (one
+    // shuffle on the correlation key, never a per-row re-execution); a
+    // customer with no orders still gets its one aggregate row (0, null),
+    // the semantics a GROUP BY + inner join would silently drop.
+    "q43_lateral_join" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_cents
+           FROM customer c,
+           LATERAL (
+             SELECT count(*) AS n_orders,
+                    CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_cents
+             FROM orders o WHERE o.o_custkey = c.c_custkey
+           ) t""") },
+      Some("""SELECT c.c_custkey, c.c_mktsegment, t.n_orders, t.max_cents
+             |FROM customer c,
+             |LATERAL (
+             |  SELECT count(*) AS n_orders,
+             |         CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS max_cents
+             |  FROM orders o WHERE o.o_custkey = c.c_custkey
+             |) t""".stripMargin)),
+
     // B17 extension: RANGE frame bounded by a TIME INTERVAL — the
     // rolling-window-per-event shape (count/sum over the trailing hour)
     // that ROWS frames cannot express when event density varies. RANGE

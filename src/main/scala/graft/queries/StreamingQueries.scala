@@ -134,6 +134,43 @@ object StreamingQueries {
              |WHERE NOT t
              |GROUP BY doc_id""".stripMargin)),
 
+    // content-defined chunking at ingest: cdcChunks is a stateless
+    // shuffle-free generate pass, so it runs UNCHANGED on the unbounded
+    // stream — no watermark, no state store; each arriving doc chunks
+    // itself. Oracle: the same full boundary replay as ext61.
+    "st15_stream_cdc" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        graft.operators.TextAnalysis.cdcChunks(
+          Streams.readDocumentsStream(s, d), "doc_id", "text",
+          window = 4, divisor = 8),
+        "st15_cdc", OutputMode.Append()),
+      Some("""WITH t AS (
+             |  SELECT doc_id,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+             |  FROM documents
+             |), nz AS (
+             |  SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0
+             |), b AS (
+             |  SELECT doc_id, tk, n,
+             |         list_filter(range(4, n), p ->
+             |           ('0x' || substr(md5(array_to_string(tk[p-3:p], ' ')), 1, 8))::BIGINT % 8 = 0) AS bp
+             |  FROM nz
+             |), st AS (
+             |  SELECT doc_id, tk, n, bp,
+             |         list_prepend(1, list_transform(bp, x -> x + 1)) AS starts
+             |  FROM b
+             |), ch AS (
+             |  SELECT doc_id, tk, n, bp, starts,
+             |         unnest(range(1, len(starts) + 1)) AS i
+             |  FROM st
+             |)
+             |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             |       CAST(starts[i] AS INT) AS start_pos,
+             |       CAST((CASE WHEN i <= len(bp) THEN bp[i] ELSE n END) - starts[i] + 1 AS INT) AS n_chunk_tokens,
+             |       md5(array_to_string(tk[starts[i]:(CASE WHEN i <= len(bp) THEN bp[i] ELSE n END)], ' ')) AS chunk_hash,
+             |       array_to_string(tk[starts[i]:(CASE WHEN i <= len(bp) THEN bp[i] ELSE n END)], ' ') AS chunk_text
+             |FROM ch""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

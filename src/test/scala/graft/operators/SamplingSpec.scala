@@ -106,4 +106,74 @@ class SamplingSpec extends SparkSpec {
     // explicit default 0 = drop-unknown policy
     assert(Sampling.applyMixtureRates(df, rates, "id", "src", "s", 0).isEmpty)
   }
+
+  test("groupCap keeps exactly the top-k per group under the declared order") {
+    val df = Seq(
+      ("a", 1L, 50), ("a", 2L, 90), ("a", 3L, 90), ("a", 4L, 10),
+      ("b", 5L, 7), ("c", 6L, 1), ("c", 7L, 2)
+    ).toDF("src", "id", "score")
+    val got = Sampling.groupCap(df, "src", 2, Seq(col("score").desc, col("id")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Int]("cap_rank"))).toSet
+    // score tie at 90 breaks by id: 2 before 3; group b smaller than k
+    assert(got == Set(("a", 2L, 1), ("a", 3L, 2), ("b", 5L, 1), ("c", 7L, 1), ("c", 6L, 2)))
+  }
+
+  test("groupCap plans as WindowGroupLimit (map-side top-k before the exchange)") {
+    val df = (1L to 200L).toDF("id")
+      .withColumn("src", pmod(col("id"), lit(5)))
+    val plan = Sampling.groupCap(df, "src", 3, Seq(col("id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k filter must rewrite to WindowGroupLimit; plan was:\n$plan")
+  }
+
+  test("budgetSample keeps exactly the budget-bounded permutation prefix per group") {
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 600L).map(i => (i, s"s${i % 3}", 1L + rnd.nextInt(40).toLong))
+      .toDF("id", "src", "toks")
+    val got = Sampling.budgetSample(df, "id", "src", "toks", 800L, "m0")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    // independent replay: per group, order by (md5(id:m0), id), running
+    // sum, keep while <= budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"$id:m0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (_, xs) =>
+      var cum = 0L
+      xs.toSeq.sortBy(x => (key(x._1), x._1)).flatMap { case (id, _, t) =>
+        cum += t
+        if (cum <= 800L) Some(id -> cum) else None
+      }
+    }.toMap
+    assert(got == expected)
+    // the cut is a PREFIX: nothing kept after the first overflow
+    assert(got.values.forall(_ <= 800L))
+  }
+
+  test("shuffleShards is a salt-keyed permutation with exact shard arithmetic") {
+    val df = (1L to 1000L).toDF("doc_id")
+    val s1 = Sampling.shuffleShards(df, "doc_id", "e0", 64L).collect()
+    // bijection: every (shard, pos) cell hit exactly once, all shards
+    // full except the last, positions within bounds
+    assert(s1.length == 1000)
+    val cells = s1.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))
+    assert(cells.distinct.length == 1000)
+    assert(cells.map(_._1).max == (1000 - 1) / 64)
+    assert(cells.forall { case (s, p) => p >= 0 && p < 64 && s >= 0 })
+    val fullShards = cells.groupBy(_._1).map { case (s, xs) => s -> xs.length }
+    assert(fullShards.filter(_._2 != 64).keys.forall(_ == cells.map(_._1).max))
+    // determinism + independent md5 replay of the permutation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"$id:e0".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expected = (1L to 1000L).sortBy(id => (key(id), id)).zipWithIndex
+      .map { case (id, i) => id -> ((i / 64).toLong, (i % 64).toLong) }.toMap
+    assert(s1.map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Long]("shard"), r.getAs[Long]("shard_pos")))).toMap == expected)
+    // a different salt is a genuinely different permutation
+    val s2 = Sampling.shuffleShards(df, "doc_id", "e1", 64L).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard_pos")).toMap
+    val s1m = s1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard_pos")).toMap
+    assert((1L to 1000L).count(id => s1m(id) != s2(id)) > 800)
+  }
 }

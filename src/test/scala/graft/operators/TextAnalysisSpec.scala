@@ -423,4 +423,83 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(3L) == ((1L, logit3, logit3 >= 0)))
     assert(r.size == 3)
   }
+
+  // --- content-defined chunking ---
+
+  private def mdHex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def gearHit(gram: String, divisor: Int): Boolean =
+    java.lang.Long.parseLong(mdHex(gram).take(8), 16) % divisor == 0
+
+  test("cdcChunks reproduces an independent java-side replay of the cut rule") {
+    val tokens = (1 to 120).map(i => s"w${i % 37}")
+    val df = Seq((1L, tokens.mkString(" "))).toDF("doc_id", "text")
+    val w = 4; val d = 4
+    val expectedCuts = (w to tokens.size - 1).filter { p =>
+      gearHit(tokens.slice(p - w, p).mkString(" "), d)
+    }
+    val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", w, d)
+      .orderBy("chunk_idx").collect()
+    val gotCuts = rows.drop(1).map(_.getAs[Int]("start_pos") - 1).toSeq
+    assert(gotCuts == expectedCuts)
+    // reassembly: chunks partition the token stream exactly, in order
+    assert(rows.map(_.getAs[String]("chunk_text")).mkString(" ") == tokens.mkString(" "))
+    assert(rows.map(_.getAs[Int]("n_chunk_tokens")).sum == tokens.size)
+    rows.foreach { r =>
+      assert(r.getAs[String]("chunk_hash") == mdHex(r.getAs[String]("chunk_text")))
+    }
+  }
+
+  test("cdcChunks boundaries are local: a one-token edit moves only window-near cuts") {
+    val base = (1 to 300).map(i => s"t${i % 53}")
+    val edited = base.updated(149, "EDITED") // position 150 (1-based)
+    val df = Seq((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(df, "doc_id", "text", 4, 4)
+      .select("doc_id", "chunk_idx", "start_pos").collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) =>
+        k -> rs.filter(_.getAs[Int]("chunk_idx") > 1).map(_.getAs[Int]("start_pos") - 1).toSet
+      }
+    // a cut at p depends on tokens [p-3, p] only, so cuts outside the
+    // edit's window footprint [150, 153] must be identical — the CDC
+    // property that bounds re-chunking under edits (fixed-stride
+    // chunking shifts EVERY downstream boundary instead)
+    val affected = (150 to 153).toSet
+    assert(out(1L).diff(affected) == out(2L).diff(affected))
+  }
+
+  test("cdcChunks edge cases: short doc = one chunk, empty doc = no rows") {
+    val df = Seq((1L, "a b c"), (2L, "   "), (3L, "")).toDF("doc_id", "text")
+    val rows = TextAnalysis.cdcChunks(df, "doc_id", "text", 4, 8).collect()
+    assert(rows.length == 1) // doc 1 only: fewer tokens than the window
+    assert(rows.head.getAs[Long]("doc_id") == 1L)
+    assert(rows.head.getAs[String]("chunk_text") == "a b c")
+    assert(rows.head.getAs[Int]("start_pos") == 1)
+  }
+
+  // --- median/MAD outliers ---
+
+  test("lengthOutliers hand-computed: spike flags, half-unit medians exact") {
+    val docs = Seq(
+      // group A: [10,10,10,10,100] -> med2=20, d2=[0,0,0,0,180], mad4=0
+      // MAD=0 degenerate: any deviation flags -> only the 100 is out
+      (1L, ("x " * 10).trim, "A"), (2L, ("x " * 10).trim, "A"),
+      (3L, ("x " * 10).trim, "A"), (4L, ("x " * 10).trim, "A"),
+      (5L, ("x " * 100).trim, "A"),
+      // group B: [1,2,3,4] -> med 2.5 -> med2=5, d2=[3,1,1,3],
+      // median(d2)=2 -> mad4=4; outlier iff 2*d2 > 3*4=12 -> none
+      (6L, "x", "B"), (7L, "x x", "B"), (8L, "x x x", "B"), (9L, "x x x x", "B")
+    ).toDF("doc_id", "text", "source")
+    val r = TextAnalysis.lengthOutliers(docs, "doc_id", "text", "source", c = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("med2"), x.getAs[Long]("mad4"), x.getAs[Boolean]("is_outlier")))).toMap
+    assert(r(1L) == ((20L, 0L, false)))
+    assert(r(5L) == ((20L, 0L, true)))
+    assert(r(6L) == ((5L, 4L, false)))
+    assert(r(9L) == ((5L, 4L, false)))
+    assert(r.size == 9)
+  }
 }

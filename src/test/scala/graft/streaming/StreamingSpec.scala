@@ -162,6 +162,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming CDC chunking = batch cdcChunks") {
+    val streamed = Streams.runToMemory(spark,
+      graft.operators.TextAnalysis.cdcChunks(
+        Streams.readDocumentsStream(spark, dir), "doc_id", "text", 4, 8),
+      "spec_cdc", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4))).toSet
+    val batch = graft.operators.TextAnalysis.cdcChunks(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", 4, 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(4))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
