@@ -604,4 +604,57 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("doc_id"), col("rrf_e6"), col("n_lists"), col("rnk"))
   }
+
+  /** Exact maximum-inner-product top-k (MIPS) — the retrieval objective
+    * of dot-product-trained embedding models (DPR-style dual encoders),
+    * where [[cosineTopK]]'s normalization would silently change the
+    * ranking: inner product rewards magnitude, cosine erases it.
+    *
+    * The dot is the sequential left fold both engines implement
+    * (zip-multiply then ordered sum), rounded to 1e-6 for the
+    * cross-engine compare — the ext05 discipline.
+    *
+    * Scale shape: same as [[cosineTopK]] — broadcast the (small) query
+    * side, ONE corpus scan, per-query top-k via a qid-partitioned
+    * rank-filtered window (WindowGroupLimit). For corpus-scale query
+    * sets, reduce MIPS to cosine with [[mipsAugment]] and reuse the
+    * LSH/IVF machinery ([[annTopK]], [[ivfTopK]]) — the standard
+    * asymmetric-transform reduction (Bachrach et al., RecSys'14),
+    * proven order-preserving in SimilaritySpec. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val dot = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    val c = prepared(corpus, vecCol).select(col(idCol).as("nid"), col("__vd").as("cv"))
+    val q = prepared(queries, vecCol).select(col(idCol).as("qid"), col("__vd").as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), round(dot(col("qv"), col("cv")), 6).as("dot"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("dot"))
+  }
+
+  /** The MIPS→cosine reduction: append sqrt(M² − ‖x‖²) to every corpus
+    * vector (M = the corpus max norm, computed in one tiny aggregate)
+    * and 0 to every query. Augmented corpus norms are all M, so cosine
+    * against an augmented query ranks exactly by the original inner
+    * product — MIPS becomes a cosine-NN problem the LSH/IVF scale paths
+    * already solve. Returns (augmented corpus, augmented queries). */
+  def mipsAugment(corpus: DataFrame, queries: DataFrame,
+                  vecCol: String): (DataFrame, DataFrame) = {
+    val normSq = (v: Column) =>
+      aggregate(v, lit(0.0d), (acc, x) => acc + x * x)
+    val m2 = prepared(corpus, vecCol)
+      .agg(max(normSq(col("__vd"))).as("m2"))
+    val aug = corpus.join(broadcast(m2))
+      .withColumn(vecCol,
+        concat(col(vecCol).cast("array<double>"),
+          array(sqrt(greatest(col("m2") - normSq(col(vecCol).cast("array<double>")), lit(0.0d))))))
+      .drop("m2")
+    val qAug = queries
+      .withColumn(vecCol, concat(col(vecCol).cast("array<double>"), array(lit(0.0d))))
+    (aug, qAug)
+  }
 }

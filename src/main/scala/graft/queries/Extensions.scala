@@ -1721,6 +1721,23 @@ object Extensions {
              |       CAST((rn - 1) % 64 AS BIGINT) AS shard_pos
              |FROM r""".stripMargin)),
 
+    // exact MIPS top-k (dot-product retrieval): the oracle replays the
+    // inner product per pair and the (dot DESC, nid) ranking.
+    "ext66_mips_topk" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.mipsTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+      },
+      Some("""WITH sim AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |         round(list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dot
+             |  FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, dot FROM (
+             |  SELECT qid, nid, dot,
+             |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+             |  FROM sim) WHERE rnk <= 5""".stripMargin)),
+
     // token-budget sampling: the oracle replays the md5 permutation and
     // the per-source running total directly (the bucketed two-phase
     // window is invisible to semantics — that's the point).

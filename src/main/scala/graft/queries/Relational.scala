@@ -827,6 +827,21 @@ object Relational {
              |  FROM lineitem WHERE l_orderkey % 11 = 0)
              |UNPIVOT (val FOR metric IN (quantity, price_cents, discount_e6))""".stripMargin)),
 
+    // ANSI GROUP BY ALL (SQL:2023 direction, in both engines): group by
+    // every non-aggregate select item — the aggregation surface's
+    // "project then group" shorthand; planning is identical to the
+    // explicit form (one map-side-combinable HashAggregate).
+    "q45_group_by_all" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  count(*) AS n_orders,
+                  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+           FROM orders GROUP BY ALL""") },
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |       count(*) AS n_orders,
+             |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+             |FROM orders GROUP BY ALL""".stripMargin)),
+
     // Pure band join (no equality key): Spark's native plan is a
     // BroadcastNestedLoopJoin — O(n×m), dead at scale when the interval
     // side outgrows a broadcast. graft.operators.RangeJoin buckets the

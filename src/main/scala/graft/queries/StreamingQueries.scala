@@ -171,6 +171,32 @@ object StreamingQueries {
              |       array_to_string(tk[starts[i]:(CASE WHEN i <= len(bp) THEN bp[i] ELSE n END)], ' ') AS chunk_text
              |FROM ch""".stripMargin)),
 
+    // band join at ingest: the static interval side explodes onto grid
+    // cells once; each arriving event maps to ONE cell and the
+    // stream-static equi-join is stateless — no watermark, no state
+    // store, no nested loop (the plan a raw BETWEEN stream join can't
+    // have). Bands derive from the nation fixture; oracle = plain
+    // BETWEEN join.
+    "st16_stream_band_join" -> Q(
+      (s, d) => {
+        val bands = s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey").as("band_id"),
+            (col("n_nationkey") * 4.0).as("lo"),
+            (col("n_nationkey") * 4.0 + 6.0).as("hi"))
+        val ev = Streams.readEventsStream(s, d)
+          .select(col("event_id"), col("value"))
+        Streams.runToMemory(s,
+          graft.operators.RangeJoin.bandJoin(ev, bands, "value", "lo", "hi",
+              bucket = 5.0)
+            .select(col("event_id"), col("band_id"),
+              floor(col("value") * 1000000 + 0.5).cast("long").as("value_e6")),
+          "st16_bands", OutputMode.Append())
+      },
+      Some("""SELECT e.event_id, n.n_nationkey AS band_id,
+             |       CAST(floor(e.value * 1000000 + 0.5) AS BIGINT) AS value_e6
+             |FROM events e JOIN nation n
+             |  ON e.value >= n.n_nationkey * 4.0 AND e.value <= n.n_nationkey * 4.0 + 6.0""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

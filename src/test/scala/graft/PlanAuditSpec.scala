@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     // the broadcast of the SMALL query side is the documented trade
     // (queries << corpus); the scale path is ext06/ext11.
     "ext05_cosine_topk" -> "broadcast small query side, exact baseline",
+    "ext66_mips_topk" -> "broadcast small query side, exact MIPS baseline (scale path = mipsAugment + LSH/IVF)",
     // the ADC scan broadcasts the small query side's lookup tables over
     // one narrow pass of the code table — the documented PQ shape.
     "ext41_pq_topk" -> "broadcast query LUTs over the compressed code scan",

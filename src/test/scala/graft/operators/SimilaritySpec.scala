@@ -301,4 +301,38 @@ class SimilaritySpec extends SparkSpec {
     assert(a(9L).getAs[Long]("norm2_e12") == 0L) // micro-quantizes to zero
     assert(a(1L).getAs[Long]("norm2_e12") == 1000000000000L) // exactly 1e12
   }
+
+  test("mipsTopK ranks by inner product where cosine would rank differently") {
+    // b has the best DIRECTION for q but tiny magnitude; c has a worse
+    // angle but large magnitude — MIPS must prefer c, cosine prefers b
+    val corpus = Seq(
+      (1L, Seq(0.1f, 0.0f)),   // b: cosine 1.0, dot 0.1
+      (2L, Seq(3.0f, 3.0f)),   // c: cosine ~0.707, dot 3.0
+      (3L, Seq(-1.0f, 0.0f))   // opposite
+    ).toDF("vec_id", "embedding")
+    val q = Seq((10L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mipsTopK(corpus, q, "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getAs[Long]("nid"), r.getAs[Double]("dot")))
+    assert(got.toSeq == Seq((2L, 3.0), (1L, 0.1), (3L, -1.0)))
+    val cos = Similarity.cosineTopK(corpus, q, "vec_id", "embedding", 3)
+      .orderBy("rnk").collect().map(_.getAs[Long]("nid"))
+    assert(cos.head == 1L) // cosine indeed disagrees: direction wins there
+  }
+
+  test("mipsAugment reduces MIPS to cosine: augmented-cosine order == dot order") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (1L to 80L).map { i =>
+      (i, Seq.fill(8)((rnd.nextDouble() * 4 - 2).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") <= 5)
+    val (augC, augQ) = Similarity.mipsAugment(corpus, queries, "embedding")
+    // augmented corpus vectors all share norm M, so cosine ranking on the
+    // augmented pair must equal the exact inner-product ranking
+    val viaCos = Similarity.cosineTopK(augC, augQ, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) -> r.getAs[Long]("nid")).toMap
+    val viaDot = Similarity.mipsTopK(corpus, queries, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) -> r.getAs[Long]("nid")).toMap
+    assert(viaCos == viaDot)
+  }
 }

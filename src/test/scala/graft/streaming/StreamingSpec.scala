@@ -174,6 +174,26 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming band join = batch RangeJoin.bandJoin") {
+    val bands = spark.read.parquet(s"$dir/nation.parquet")
+      .select(col("n_nationkey").as("band_id"),
+        (col("n_nationkey") * 4.0).as("lo"),
+        (col("n_nationkey") * 4.0 + 6.0).as("hi"))
+    val streamed = Streams.runToMemory(spark,
+      graft.operators.RangeJoin.bandJoin(
+        Streams.readEventsStream(spark, dir).select(col("event_id"), col("value")),
+        bands, "value", "lo", "hi", bucket = 5.0)
+        .select("event_id", "band_id"),
+      "spec_bands", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = graft.operators.RangeJoin.bandJoin(
+        graft.queries.Tables.events(spark, dir).select(col("event_id"), col("value")),
+        bands, "value", "lo", "hi", bucket = 5.0)
+      .select("event_id", "band_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
