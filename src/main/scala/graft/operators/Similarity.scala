@@ -657,4 +657,33 @@ object Similarity {
       .withColumn(vecCol, concat(col(vecCol).cast("array<double>"), array(lit(0.0d))))
     (aug, qAug)
   }
+
+  /** Within-cluster exact k-nearest-neighbor graph — the adjacency
+    * structure graph-based curation consumes (SemDeDup-style cluster
+    * dedup, label propagation, connectivity-based keeper election): for
+    * every vector, its k highest-cosine neighbors sharing its cluster
+    * key, as (src, rnk, nid, cosine) edges.
+    *
+    * Scale shape: the cluster key is the blocking key — the pair join is
+    * EQUALITY-keyed on the cell, per-cell quadratic, never corpus
+    * quadratic (the [[semanticDedup]] argument; at 100 TB the key is an
+    * IVF cell id, here the fixture's label). Per-src top-k is a
+    * rank-filtered window → WindowGroupLimit keeps local top-k before
+    * the exchange. Scores rounded to 6 dp and ranked (rounded desc, nid
+    * asc) — the [[cosineTopK]] cross-engine reproducibility discipline. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+               clusterCol: String, k: Int): DataFrame = {
+    val v = prepared(df, vecCol)
+      .select(col(clusterCol).as("__c"), col(idCol).as("__id"), col("__vd"))
+    val l = v.select(col("__c"), col("__id").as("src"), col("__vd").as("__va"))
+    val r = v.select(col("__c"), col("__id").as("nid"), col("__vd").as("__vb"))
+    l.join(r, Seq("__c"))
+      .filter(col("src") =!= col("nid"))
+      .select(col("src"), col("nid"),
+        round(cosine(df.sparkSession, col("__va"), col("__vb")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("src"), col("rnk"), col("nid"), col("cosine"))
+  }
 }

@@ -1738,6 +1738,21 @@ object Extensions {
              |         row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
              |  FROM sim) WHERE rnk <= 5""".stripMargin)),
 
+    // within-cluster exact kNN graph: the oracle replays every in-label
+    // pair's cosine and the (cosine DESC, nid) edge ranking.
+    "ext67_knn_graph" -> Q(
+      (s, d) => Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label", 3),
+      Some("""WITH sim AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS nid,
+             |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id <> b.vec_id
+             |)
+             |SELECT src, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM (
+             |  SELECT src, nid, cosine,
+             |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nid) AS rnk
+             |  FROM sim) WHERE rnk <= 3""".stripMargin)),
+
     // token-budget sampling: the oracle replays the md5 permutation and
     // the per-source running total directly (the bucketed two-phase
     // window is invisible to semantics — that's the point).

@@ -842,6 +842,21 @@ object Relational {
              |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
              |FROM orders GROUP BY ALL""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
+    // form of q06b's NOT-IN null semantics — null matches null, unlike
+    // `=`. Still an EQUALITY-keyed join plan (hash/sort-merge on the
+    // null-wrapped key), not a nested loop.
+    "q46_null_safe_join" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT n.n_name, r.r_name, n.k AS nk
+           FROM (SELECT n_name, nullif(n_regionkey, 2) AS k FROM nation) n
+           JOIN (SELECT r_name, nullif(r_regionkey, 2) AS k FROM region) r
+             ON n.k <=> r.k""") },
+      Some("""SELECT n.n_name, r.r_name, n.k AS nk
+             |FROM (SELECT n_name, nullif(n_regionkey, 2) AS k FROM nation) n
+             |JOIN (SELECT r_name, nullif(r_regionkey, 2) AS k FROM region) r
+             |  ON n.k IS NOT DISTINCT FROM r.k""".stripMargin)),
+
     // Pure band join (no equality key): Spark's native plan is a
     // BroadcastNestedLoopJoin — O(n×m), dead at scale when the interval
     // side outgrows a broadcast. graft.operators.RangeJoin buckets the

@@ -197,6 +197,28 @@ object StreamingQueries {
              |FROM events e JOIN nation n
              |  ON e.value >= n.n_nationkey * 4.0 AND e.value <= n.n_nationkey * 4.0 + 6.0""".stripMargin)),
 
+    // deterministic train/val/test split at ingest: md5 bucketing is a
+    // stateless projection, so the stream plan IS the batch plan — no
+    // watermark, no state store; every engine (and every epoch of the
+    // same stream) reproduces the same membership. Oracle = ext21's
+    // replay on the events table.
+    "st17_stream_split" -> Q(
+      (s, d) => {
+        val ev = Streams.readEventsStream(s, d).select(col("event_id"))
+        Streams.runToMemory(s,
+          graft.operators.Sampling.split(ev, "event_id", "st17", 8000, 1000),
+          "st17_split", OutputMode.Append())
+      },
+      Some("""WITH b AS (
+             |  SELECT event_id,
+             |         ('0x' || substr(md5(event_id::VARCHAR || ':st17'), 1, 8))::BIGINT % 10000 AS bucket
+             |  FROM events)
+             |SELECT event_id, bucket,
+             |       CASE WHEN bucket < 8000 THEN 'train'
+             |            WHEN bucket < 9000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

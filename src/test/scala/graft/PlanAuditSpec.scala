@@ -65,4 +65,33 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty,
       s"product-shaped plans outside the whitelist:\n${offenders.mkString("\n")}")
   }
+
+  // At 100 TB a selective dim filter should reach the fact scan BEFORE
+  // the shuffle: Spark's runtime bloom filter (InjectRuntimeFilter)
+  // builds a bloom filter from the filtered dim keys and injects
+  // might_contain onto the fact side. The prod thresholds (10 GB scan)
+  // rightly suppress it at fixture scale, so this test lowers them to
+  // prove the engine config and plan shape are available when the scan
+  // IS 100 TB — the gate no fixture-sized run would otherwise exercise.
+  test("runtime bloom filter reaches the fact side of a selective dim join") {
+    import org.apache.spark.sql.functions.col
+    val settings = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = settings.map { case (k, _) =>
+      k -> scala.util.Try(spark.conf.get(k)).toOption }
+    settings.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/lineitem.parquet")
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_quantity"))
+        .queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
 }

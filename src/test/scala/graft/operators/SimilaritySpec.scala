@@ -320,6 +320,28 @@ class SimilaritySpec extends SparkSpec {
     assert(cos.head == 1L) // cosine indeed disagrees: direction wins there
   }
 
+  test("knnGraph edges match brute-force within-label ranking") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.knnGraph(e, "vec_id", "embedding", "label", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val byId = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // same 6-dp round + (cosine desc, nid asc) order, recomputed from scratch
+    val truth = byId.flatMap { case (id, v, lab) =>
+      byId.collect { case (id2, v2, lab2) if lab2 == lab && id2 != id =>
+          (id2, BigDecimal(cos(v, v2)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (nid, c) => (-c, nid) }
+        .take(3).zipWithIndex.map { case ((nid, _), i) => (id, i + 1) -> nid }
+    }.toMap
+    assert(got == truth)
+  }
+
   test("mipsAugment reduces MIPS to cosine: augmented-cosine order == dot order") {
     val rnd = new scala.util.Random(13)
     val corpus = (1L to 80L).map { i =>

@@ -194,6 +194,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming hash split = batch Sampling.split") {
+    val streamed = Streams.runToMemory(spark,
+      graft.operators.Sampling.split(
+        Streams.readEventsStream(spark, dir).select(col("event_id")),
+        "event_id", "spec17"),
+      "spec_split", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val batch = graft.operators.Sampling.split(
+        graft.queries.Tables.events(spark, dir).select(col("event_id")),
+        "event_id", "spec17")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
