@@ -628,6 +628,15 @@ object TextAnalysis {
     pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"),
       lit(dims)).cast("int")
 
+  /** md5-derived per-bucket weight in [-1000, 1000] micro-units — the
+    * hashed linear model's entire parameterization, shared by
+    * [[classifierScore]] and its streaming twin so the model cannot
+    * diverge between batch and ingest scoring. */
+  private[graft] def tokenWeight(token: Column, dims: Int): Column =
+    pmod(conv(substring(md5(concat(lit("w:"),
+      bucketOf(token, dims).cast("string"))), 1, 8),
+      16, 10).cast("long"), lit(2001L)) - lit(1000L)
+
   /** Text canonicalization — the pass that runs BEFORE any exact-match
     * operator (hash dedup, line dedup, vocab counts, blocklists) so
     * byte-different spellings of the same text stop counting as
@@ -680,12 +689,10 @@ object TextAnalysis {
     require(dims > 0, "dims must be positive")
     val toks = docs.select(col(idCol).as("doc_id"),
       explode_outer(filter(words(col(textCol)), t => t =!= "")).as("token"))
-    val weight = pmod(conv(substring(md5(concat(lit("w:"),
-      bucketOf(col("token"), dims).cast("string"))), 1, 8),
-      16, 10).cast("long"), lit(2001L)) - lit(1000L)
     toks
       .select(col("doc_id"),
-        when(col("token").isNull, lit(0L)).otherwise(weight).as("w"),
+        when(col("token").isNull, lit(0L))
+          .otherwise(tokenWeight(col("token"), dims)).as("w"),
         col("token"))
       .groupBy(col("doc_id"))
       .agg(count(col("token")).as("n_tokens"),

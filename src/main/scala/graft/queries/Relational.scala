@@ -842,6 +842,68 @@ object Relational {
              |       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
              |FROM orders GROUP BY ALL""".stripMargin)),
 
+    // ANSI WINDOW clause (named windows): one window definition shared
+    // by several functions — planning is identical to inlining it (one
+    // Window exec over one sort); the total (cents desc, suppkey) order
+    // makes rank and the running sum engine-reproducible.
+    "q47_named_window" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT s_suppkey, s_nationkey,
+                  rank() OVER w AS rnk,
+                  CAST(sum(acct_cents) OVER w AS BIGINT) AS run_cents
+           FROM (SELECT s_suppkey, s_nationkey,
+                        CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+                 FROM supplier)
+           WINDOW w AS (PARTITION BY s_nationkey ORDER BY acct_cents DESC, s_suppkey)""") },
+      Some("""SELECT s_suppkey, s_nationkey,
+             |       rank() OVER w AS rnk,
+             |       CAST(sum(acct_cents) OVER w AS BIGINT) AS run_cents
+             |FROM (SELECT s_suppkey, s_nationkey,
+             |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+             |      FROM supplier)
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY acct_cents DESC, s_suppkey)""".stripMargin)),
+
+    // ANSI LISTAGG (WITHIN GROUP ordered string aggregation, new in
+    // Spark 4): one hash aggregate, the per-group sort is bounded by
+    // group size — nothing corpus-wide sorts. Unique s_name makes the
+    // ordered concatenation a total order, so the string is
+    // engine-reproducible byte-for-byte.
+    "q48_listagg" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT s_nationkey,
+                  listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names,
+                  count(*) AS n_sup
+           FROM supplier GROUP BY s_nationkey""") },
+      Some("""SELECT s_nationkey,
+             |       string_agg(s_name, ',' ORDER BY s_name) AS names,
+             |       CAST(count(*) AS BIGINT) AS n_sup
+             |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) — q20 covers
+    // only the DISTINCT variants. Multiplicities matter: Spark plans
+    // both as ONE hash aggregate on the key carrying two per-side
+    // counts, then regenerates min(m,n) / max(m-n,0) copies — a single
+    // shuffle, no join, scale-safe.
+    "q49_bag_setops" -> Q(
+      (s, d) => {
+        val li = t(s, d, "lineitem")
+        val a = li.filter(col("l_shipdate") < lit("1998-06-01").cast("timestamp"))
+          .select(col("l_suppkey").as("k"))
+        val b = li.filter(col("l_shipdate") >= lit("1998-06-01").cast("timestamp"))
+          .select(col("l_suppkey").as("k"))
+        a.intersectAll(b).withColumn("op", lit("intersect_all"))
+          .unionAll(a.exceptAll(b).withColumn("op", lit("except_all")))
+      },
+      Some("""SELECT k, 'intersect_all' AS op FROM (
+             |  SELECT l_suppkey AS k FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
+             |  INTERSECT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01')
+             |UNION ALL
+             |SELECT k, 'except_all' AS op FROM (
+             |  SELECT l_suppkey AS k FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-01'
+             |  EXCEPT ALL
+             |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01')""".stripMargin)),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
     // form of q06b's NOT-IN null semantics — null matches null, unlike
     // `=`. Still an EQUALITY-keyed join plan (hash/sort-merge on the

@@ -219,6 +219,34 @@ object StreamingQueries {
              |            ELSE 'test' END AS split
              |FROM b""".stripMargin)),
 
+    // classifier quality gate at ingest: the md5-hashed linear model
+    // rides the plan (no side artifact), each doc scores itself with a
+    // per-row fold — stateless. Oracle = ext56's model replay (the
+    // batch and stream paths share TextAnalysis.tokenWeight, so the
+    // logits are identical by construction; the oracle proves it).
+    "st18_stream_classifier" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.classifierStream(s, d, dims = 64, biasE6 = 250000L),
+        "st18_classifier", OutputMode.Append()),
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), wt AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5('w:' || CAST(CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+             |  FROM tk
+             |), ag AS (
+             |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |         CAST(sum(w) + 250000 AS BIGINT) AS logit_e6
+             |  FROM wt GROUP BY doc_id
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(ag.n_tokens, 0) AS n_tokens,
+             |       coalesce(ag.logit_e6, 250000) AS logit_e6,
+             |       coalesce(ag.logit_e6, 250000) >= 0 AS keep
+             |FROM (SELECT DISTINCT doc_id FROM documents) d
+             |LEFT JOIN ag ON ag.doc_id = d.doc_id""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

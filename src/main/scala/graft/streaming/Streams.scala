@@ -124,6 +124,28 @@ object Streams {
         floor(col("imp_e6").cast("double") / col("n_tokens") + 0.5).cast("long"))
   }
 
+  /** Quality-classifier scoring at ingest — the streaming twin of
+    * [[graft.operators.TextAnalysis.classifierScore]]: the hashed linear
+    * model needs no side artifact at all (each token's weight is
+    * md5-derived from its bucket id — [[TextAnalysis.tokenWeight]] — and
+    * rides the plan as an expression), so each arriving document scores
+    * itself with one per-row integer fold over its own tokens. STATELESS:
+    * no watermark, no state store, no shuffle — the keep/drop verdict
+    * materializes at ingest speed, the fastText-filter deployment shape
+    * (score at crawl ingest, never re-scan). */
+  def classifierStream(spark: SparkSession, dir: String,
+                       dims: Int = 64, biasE6: Long = 0L): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = filter(split(trim(coalesce(col("text"), lit(""))), "\\s+"),
+      t => t =!= "")
+    readDocumentsStream(spark, dir)
+      .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+        (aggregate(toks, lit(0L),
+          (acc, t) => acc + TextAnalysis.tokenWeight(t, dims)) + lit(biasE6))
+          .as("logit_e6"))
+      .withColumn("keep", col("logit_e6") >= 0L)
+  }
+
   /** Streaming benchmark decontamination: documents arriving on a stream
     * are LSH-probed against a STATIC benchmark index and flagged when
     * their exact 3-gram Jaccard against any benchmark doc reaches the

@@ -94,4 +94,23 @@ class PlanAuditSpec extends SparkSpec {
     } finally saved.foreach { case (k, v) =>
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
+
+  // The other two non-negotiable scan properties at 100 TB: a filtered
+  // projection must push its predicate into the parquet reader
+  // (PushedFilters) and prune unread columns (ReadSchema) — a scan that
+  // reads all 16 lineitem columns for a 2-column projection multiplies
+  // the whole job's IO by the table's width.
+  test("filter pushdown and column pruning reach the parquet scan") {
+    import org.apache.spark.sql.functions.col
+    val plan = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_quantity") > 10.0)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity"),
+      s"predicate not pushed to the scan:\n$plan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+        && !readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+      s"scan reads more than the projection needs: $readSchema")
+  }
 }

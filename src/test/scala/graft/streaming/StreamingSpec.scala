@@ -208,6 +208,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  test("streaming classifier scoring = batch classifierScore") {
+    val streamed = Streams.runToMemory(spark,
+      Streams.classifierStream(spark, dir, dims = 64, biasE6 = 250000L),
+      "spec_classifier", OutputMode.Append())
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val batch = graft.operators.TextAnalysis.classifierScore(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        dims = 64, biasE6 = 250000L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
