@@ -904,6 +904,55 @@ object Relational {
              |  EXCEPT ALL
              |  SELECT l_suppkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01')""".stripMargin)),
 
+    // ANSI frame EXCLUDE clause (EXCLUDE CURRENT ROW / GROUP / TIES) —
+    // Spark has no EXCLUDE, so each variant is composed from window
+    // aggregates that all sort under ONE (nationkey, cents, suppkey)
+    // order: excl_current = cumulative-ROWS sum minus self; the peer sum
+    // needed by GROUP/TIES is a RANGE CURRENT..CURRENT frame (NOT a
+    // separate PARTITION BY — that would add a second shuffle). The
+    // oracle runs DuckDB's native EXCLUDE forms; empty frames are
+    // coalesced to 0 to match the integer arithmetic.
+    "q50_window_exclude" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT s_suppkey, s_nationkey, acct_cents,
+                  CAST(sum(acct_cents) OVER (PARTITION BY s_nationkey
+                         ORDER BY acct_cents, s_suppkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - acct_cents AS BIGINT) AS excl_current,
+                  CAST(sum(acct_cents) OVER (PARTITION BY s_nationkey
+                         ORDER BY acct_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - sum(acct_cents) OVER (PARTITION BY s_nationkey
+                           ORDER BY acct_cents
+                           RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                       AS BIGINT) AS excl_group,
+                  CAST(sum(acct_cents) OVER (PARTITION BY s_nationkey
+                         ORDER BY acct_cents
+                         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - sum(acct_cents) OVER (PARTITION BY s_nationkey
+                           ORDER BY acct_cents
+                           RANGE BETWEEN CURRENT ROW AND CURRENT ROW)
+                       + acct_cents AS BIGINT) AS excl_ties
+           FROM (SELECT s_suppkey, s_nationkey,
+                        CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+                 FROM supplier)""") },
+      Some("""SELECT s_suppkey, s_nationkey, acct_cents,
+             |       CAST(coalesce(sum(acct_cents) OVER (PARTITION BY s_nationkey
+             |              ORDER BY acct_cents, s_suppkey
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             |              EXCLUDE CURRENT ROW), 0) AS BIGINT) AS excl_current,
+             |       CAST(coalesce(sum(acct_cents) OVER (PARTITION BY s_nationkey
+             |              ORDER BY acct_cents
+             |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             |              EXCLUDE GROUP), 0) AS BIGINT) AS excl_group,
+             |       CAST(sum(acct_cents) OVER (PARTITION BY s_nationkey
+             |              ORDER BY acct_cents
+             |              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             |              EXCLUDE TIES) AS BIGINT) AS excl_ties
+             |FROM (SELECT s_suppkey, s_nationkey,
+             |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
+             |      FROM supplier)""".stripMargin)),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
     // form of q06b's NOT-IN null semantics — null matches null, unlike
     // `=`. Still an EQUALITY-keyed join plan (hash/sort-merge on the

@@ -247,6 +247,34 @@ object StreamingQueries {
              |FROM (SELECT DISTINCT doc_id FROM documents) d
              |LEFT JOIN ag ON ag.doc_id = d.doc_id""".stripMargin)),
 
+    // left-outer stream-stream join: clicks with no error in their
+    // window must STILL come out, with a NULL error_id — and only when
+    // the watermark proves the window is closed (Spark holds the
+    // unmatched click in the join state store until then). The fixture
+    // is a bounded
+    // replay, so the last 30 minutes could never prove themselves
+    // closed — the heartbeat source (readEventsStreamWithHeartbeat)
+    // advances the watermark past the tail, exactly as a production
+    // idle-source progress event would; the heartbeat's own user_id=-1
+    // rows are filtered back out ON THE SINK SIDE — a pre-sink stream
+    // filter gets pushed below the withWatermark operators (the join's
+    // equality constraint infers it onto BOTH inputs), un-counting the
+    // heartbeat from watermark accounting and re-stranding the tail.
+    // The oracle is the plain batch LEFT JOIN — watermark bookkeeping
+    // must not change the answer, only when it materializes.
+    "st19_stream_left_join" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.clicksWithRecentErrors(
+          Streams.readEventsStreamWithHeartbeat(s, d), 30,
+          joinType = "left_outer"),
+        "st19_result", OutputMode.Append())
+        .filter(col("user_id") =!= -1L),
+      Some("""SELECT c.user_id, c.event_id AS click_id, e.event_id AS error_id
+             |FROM events c LEFT JOIN events e
+             |  ON e.event_type = 'error' AND c.user_id = e.user_id
+             | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts
+             |WHERE c.event_type = 'click'""".stripMargin)),
+
     "st07_stream_contamination" -> Q(
       (s, d) => {
         val flagged = Streams.contaminationStream(s, d,

@@ -54,6 +54,41 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The events stream plus a tail HEARTBEAT: one synthetic row per join
+    * side (user_id = -1) two hours past the fixture's max event time,
+    * staged beside the data. A bounded replay — like a production stream
+    * gone idle — leaves the watermark 30 minutes short of the tail, so
+    * watermark-gated state there (outer-join nulls, final windows) can
+    * never prove itself closed and never flushes. The heartbeat is the
+    * standard production fix (idle-source progress events); consumers
+    * filter `user_id = -1` back out after the stateful operator — on the
+    * SINK side of the stream boundary: a pre-sink stream filter is
+    * pushed below the withWatermark operators (join equality constraints
+    * infer it onto both inputs), which un-counts the heartbeat from
+    * watermark accounting and re-strands the tail it exists to flush. */
+  def readEventsStreamWithHeartbeat(spark: SparkSession, dir: String): DataFrame = {
+    requireNanosConf(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_hb")
+    val fs = stage.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(stage, "events.parquet")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(stage)
+      val hbNs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head.getLong(0) + 2L * 3600 * 1000000000L
+      val rows = java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, hbNs, -1L, "click", 0.0, "{}"),
+        org.apache.spark.sql.Row(-2L, hbNs, -1L, "error", 0.0, "{}"))
+      spark.createDataFrame(rows, eventsRawSchema)
+        .repartition(1).write.mode("append").parquet(stage.toString)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+    }
+    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),
@@ -355,8 +390,15 @@ object Streams {
     * user's errors in the preceding `intervalMinutes` — the "what broke
     * right before the user clicked away" shape. Both sides carry
     * watermarks so Spark bounds the join state to the interval (without
-    * them, stream-stream join state grows forever). */
-  def clicksWithRecentErrors(events: DataFrame, intervalMinutes: Int): DataFrame = {
+    * them, stream-stream join state grows forever).
+    *
+    * `joinType = "left_outer"`: a click with no error in its window is
+    * emitted with a NULL error_id — but only once the watermark proves
+    * no matching error can still arrive (the null rows surface from the
+    * state store on watermark advance, flushed at end-of-stream by the
+    * no-data micro-batch). Same bounded state as the inner form. */
+  def clicksWithRecentErrors(events: DataFrame, intervalMinutes: Int,
+                             joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
@@ -368,7 +410,8 @@ object Streams {
     clicks.join(errors,
       col("c_user") === col("e_user") &&
         col("e_ts") >= col("c_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
-        col("e_ts") <= col("c_ts"))
+        col("e_ts") <= col("c_ts"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
   }
 

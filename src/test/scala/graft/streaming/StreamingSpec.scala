@@ -222,6 +222,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch && streamed.nonEmpty)
   }
 
+  // Multiset compare (a click with two in-window errors emits two rows);
+  // the heartbeat source must flush the tail clicks the plain source
+  // strands (their join windows end past the final watermark).
+  test("streaming left-outer interval join = batch left join") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))
+    val streamed = Streams.runToMemory(spark,
+      Streams.clicksWithRecentErrors(
+        Streams.readEventsStreamWithHeartbeat(spark, dir), 30,
+        joinType = "left_outer"),
+      "spec_left_join", OutputMode.Append())
+      .filter(col("user_id") =!= -1L)
+      .collect().toSeq.map(key).groupBy(identity).view.mapValues(_.size).toMap
+    val ev = graft.queries.Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"),
+        col("event_id").as("error_id"))
+    val batch = clicks.join(errors,
+        col("c_user") === col("e_user") &&
+          col("e_ts") >= col("c_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("e_ts") <= col("c_ts"),
+        "left_outer")
+      .select(col("c_user"), col("click_id"), col("error_id"))
+      .collect().toSeq.map(key).groupBy(identity).view.mapValues(_.size).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+    assert(streamed.keys.exists(_._3 == -1L), "expected unmatched clicks")
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
