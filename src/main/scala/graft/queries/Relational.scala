@@ -953,6 +953,28 @@ object Relational {
              |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
              |      FROM supplier)""".stripMargin)),
 
+    // Correlated scalar subqueries in SELECT — Catalyst decorrelates
+    // each into an aggregate + left outer join (and MergeScalarSubqueries
+    // can fuse same-source subqueries into one), so nothing executes
+    // per-row. Includes the classic COUNT bug: count(*) over an empty
+    // correlation must be 0, not NULL — max over the same must stay NULL.
+    "q51_correlated_scalar" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey,
+                  (SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_cents,
+                  (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderstatus = 'F') AS n_final
+           FROM customer c""") },
+      Some("""SELECT c_custkey,
+             |       (SELECT CAST(max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |        FROM orders o WHERE o.o_custkey = c.c_custkey) AS max_cents,
+             |       (SELECT count(*) FROM orders o
+             |         WHERE o.o_custkey = c.c_custkey
+             |           AND o.o_orderstatus = 'F') AS n_final
+             |FROM customer c""".stripMargin)),
+
     // Null-safe equality join (<=> / IS NOT DISTINCT FROM): the join
     // form of q06b's NOT-IN null semantics — null matches null, unlike
     // `=`. Still an EQUALITY-keyed join plan (hash/sort-merge on the

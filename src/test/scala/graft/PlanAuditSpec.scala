@@ -95,6 +95,41 @@ class PlanAuditSpec extends SparkSpec {
       v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
   }
 
+  // Dynamic partition pruning: at 100 TB the fact table is
+  // partition-laid-out, and a selective dim filter must prune fact
+  // PARTITIONS at runtime (the DPP subquery), not just rows post-scan —
+  // the difference between reading 2 partitions and all of them. Proven
+  // on a scratch partitioned copy since the fixture parquet is flat.
+  test("dynamic partition pruning reaches a partitioned fact scan") {
+    import org.apache.spark.sql.functions.col
+    val base = "/tmp/graft-dpp-fixture"
+    if (!new java.io.File(s"$base/_SUCCESS").exists()) {
+      spark.read.parquet(s"$dir/orders.parquet")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(base)
+    }
+    val saved = scala.util.Try(
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.useStats")).toOption
+    // fixture-size stats make DPP look unprofitable; force the decision
+    // the 100 TB layout would make on its own
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val fact = spark.read.parquet(base)
+      // a genuine runtime dim: the selective filter decides WHICH
+      // priorities survive only at execution (a literal key would
+      // constant-fold into a static partition filter instead)
+      val dim = spark.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 300000)
+        .select(col("o_orderpriority").as("pri")).distinct()
+      val plan = fact.join(dim, col("o_orderpriority") === col("pri"))
+        .select(col("o_orderkey"), col("pri"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning") || plan.contains("SubqueryBroadcast"),
+        s"no dynamic partition pruning on the partitioned fact scan:\n$plan")
+    } finally saved.fold(
+      spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats"))(
+      spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", _))
+  }
+
   // The other two non-negotiable scan properties at 100 TB: a filtered
   // projection must push its predicate into the parquet reader
   // (PushedFilters) and prune unread columns (ReadSchema) — a scan that
