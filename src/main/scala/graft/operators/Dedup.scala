@@ -247,6 +247,33 @@ object Dedup {
     }
   }
 
+  /** Near-dup pairs verified by EDIT DISTANCE on a bounded text prefix —
+    * the character-level verify for cases where shingle Jaccard is too
+    * coarse (small in-place edits keep Jaccard high AND edit distance
+    * low; heavy reordering keeps Jaccard high but edit distance large).
+    * Candidates come from the SAME banded MinHash machinery as
+    * [[minhashLsh]] (equality-keyed bucket join, never all-pairs), then
+    * each surviving pair pays one Levenshtein evaluation — Spark's
+    * 3-arg `levenshtein(l, r, max)` runs the banded DP and bails at
+    * `max`, so the per-pair cost is O(prefix × max), not O(prefix²).
+    * The prefix bound (`prefixChars`) caps worst-case cost
+    * deterministically in every engine. Output: (doc_a, doc_b,
+    * jaccard ≥ threshold, edit_dist ≤ maxDist). */
+  def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 128, bands: Int = 32,
+                        threshold: Double = 0.8, maxDist: Int = 6,
+                        prefixChars: Int = 512): DataFrame = {
+    val pairs = minhashLsh(docs, idCol, textCol, n, k, bands, threshold)
+    val txt = docs.select(col(idCol).as("doc_id"),
+      substring(col(textCol), 1, prefixChars).as("t"))
+    pairs
+      .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), "doc_a")
+      .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("ta"), col("tb"), maxDist))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_dist"))
+  }
+
   /** EXACT n-gram-Jaccard near-dup pairs via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08): every pair with Jaccard ≥ t is found, with NO all-pairs

@@ -59,6 +59,32 @@ object Extensions {
              |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
              |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
 
+    // near-dup pairs verified by edit distance on a 512-char prefix:
+    // banded MinHash candidates (ext03's machinery) each pay one banded
+    // Levenshtein ≤ 6 — the character-level verify Jaccard can't
+    // express (reordered text keeps Jaccard high but edit distance
+    // large; the fixture's ed=8 pair proves the filter discriminates).
+    "ext68_edit_dedup" -> Q(
+      (s, d) => Dedup.editDistancePairs(docs(s, d), "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.8,
+        maxDist = 6, prefixChars = 512),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
+             |         substr(text, 1, 512) AS t
+             |  FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb,
+             |         levenshtein(a.t, b.t) AS ed
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard,
+             |       ed AS edit_dist
+             |FROM pairs
+             |WHERE i::DOUBLE / (la + lb - i) >= 0.8 AND ed <= 6""".stripMargin)),
+
     // SimHash hamming pairs: distance values are hash-algorithm-specific
     // → rows-only here; SimHashSpec asserts the planted pairs are found.
     "ext04_simhash" -> Q(

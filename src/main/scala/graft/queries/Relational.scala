@@ -953,6 +953,66 @@ object Relational {
              |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
              |      FROM supplier)""".stripMargin)),
 
+    // Error-safe casts and arithmetic (TRY_CAST / try_divide / try_add):
+    // malformed input becomes NULL instead of failing the job — the
+    // semantics a 100 TB ingest needs (one bad row must not kill the
+    // pass). All per-row projections, no shuffle. Failure paths hit a
+    // SUBSET of rows, as real dirty data does — try_add/try_subtract
+    // pay an internal exception per OVERFLOWING row (Math.addExact;
+    // ~15 µs each — an every-row-overflows column benched this query at
+    // 7× this form, while try_cast/try_divide fail exception-free), so
+    // the guard belongs on genuinely-dirty columns, not as a blanket
+    // rewrite of working arithmetic. The oracle spells
+    // try_divide/try_add as CASE guards — DuckDB has TRY_CAST but not
+    // the arithmetic variants; the semantics are identical.
+    "q53_try_cast" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  TRY_CAST(CASE WHEN l_linenumber = 3 THEN l_returnflag
+                                ELSE CAST(CAST(l_quantity AS BIGINT) AS STRING)
+                           END AS INT) AS qty_or_null,
+                  try_divide(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT),
+                             CAST(l_quantity AS BIGINT) - 25) AS per_unit,
+                  try_add(9223372036854775758,
+                          CAST(l_quantity AS BIGINT)) AS guarded_add
+           FROM lineitem""") },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       TRY_CAST(CASE WHEN l_linenumber = 3 THEN l_returnflag
+             |                     ELSE CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)
+             |                END AS INT) AS qty_or_null,
+             |       CASE WHEN CAST(l_quantity AS BIGINT) - 25 = 0 THEN NULL
+             |            ELSE CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+             |                 / (CAST(l_quantity AS BIGINT) - 25) END AS per_unit,
+             |       CASE WHEN CAST(l_quantity AS BIGINT) > 49 THEN NULL
+             |            ELSE 9223372036854775758 + CAST(l_quantity AS BIGINT)
+             |       END AS guarded_add
+             |FROM lineitem""".stripMargin)),
+
+    // Distribution-ranking window functions (ntile / percent_rank /
+    // cume_dist) — one Window exec over one sort; ntile demands a TOTAL
+    // order (ties would make bucket assignment engine-specific), while
+    // percent_rank/cume_dist are tie-stable by definition (rank-based).
+    // Fractions ship as e6-floored integers: (rank-1)/(n-1) is one IEEE
+    // division from identical integer operands in every engine.
+    "q52_rank_distribution" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT s_suppkey, s_nationkey,
+                  ntile(4) OVER w AS quartile,
+                  CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+                  CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6
+           FROM (SELECT s_suppkey, s_nationkey,
+                        CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c
+                 FROM supplier)
+           WINDOW w AS (PARTITION BY s_nationkey ORDER BY c, s_suppkey)""") },
+      Some("""SELECT s_suppkey, s_nationkey,
+             |       ntile(4) OVER w AS quartile,
+             |       CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+             |       CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6
+             |FROM (SELECT s_suppkey, s_nationkey,
+             |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c
+             |      FROM supplier)
+             |WINDOW w AS (PARTITION BY s_nationkey ORDER BY c, s_suppkey)""".stripMargin)),
+
     // Correlated scalar subqueries in SELECT — Catalyst decorrelates
     // each into an aggregate + left outer join (and MergeScalarSubqueries
     // can fuse same-source subqueries into one), so nothing executes

@@ -528,6 +528,51 @@ object StreamingQueries {
              |FROM agg, mx
              |WHERE (session_end_us // 1000) <= wm_ms""".stripMargin)),
 
+    // multi-micro-batch replay: the SAME sessionization as st02, but the
+    // fixture arrives as four time-ordered shards with
+    // maxFilesPerTrigger=1 — four micro-batches, watermark advancing
+    // between them, so flatMapGroupsWithState must carry open sessions
+    // ACROSS batch boundaries and emit each closed session in whichever
+    // batch its timeout fires. Same oracle as st02: how the data is
+    // micro-batched must not change the answer.
+    "st20_stream_session_replay" -> Q(
+      (s, d) => {
+        val sessions = Streams.runToMemory(s,
+          Streams.sessionize(Streams.readEventsStreamSharded(s, d, 4), 30).toDF(),
+          "st20_sessions", OutputMode.Append())
+        sessions
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+             |),
+             |marked AS (
+             |  SELECT user_id, us,
+             |         CASE WHEN lag(us) OVER w IS NULL
+             |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked
+             |),
+             |agg AS (
+             |  SELECT user_id, sid, max(us) AS end_us, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sid
+             |),
+             |mx AS (SELECT max(us) AS max_us FROM e),
+             |ranked AS (
+             |  SELECT user_id, sid, n_events, end_us,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk
+             |  FROM agg
+             |)
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
+             |FROM ranked, mx
+             |WHERE rk > 1 OR greatest((end_us // 1000) + 1800000, 1) < (max_us // 1000) - 1800000
+             |GROUP BY user_id""".stripMargin)),
+
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,

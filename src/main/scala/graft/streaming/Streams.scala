@@ -89,6 +89,49 @@ object Streams {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  /** The events stream staged as `shards` time-ordered files with
+    * `maxFilesPerTrigger=1` — a bounded REPLAY of the incremental
+    * arrival a production stream actually sees: each micro-batch
+    * carries one time-slice, the watermark advances BETWEEN batches,
+    * and stateful operators must hand their state across batch
+    * boundaries (open sessions, pending join rows, dedup sets) instead
+    * of seeing the whole fixture in one batch. Shard mtimes are pinned
+    * (base + i seconds) so the file source's modification-time ordering
+    * replays the slices in event-time order deterministically. */
+  def readEventsStreamSharded(spark: SparkSession, dir: String,
+                              shards: Int = 4): DataFrame = {
+    requireNanosConf(spark)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_sh$shards")
+    val fs = stage.getFileSystem(conf)
+    val done = new org.apache.hadoop.fs.Path(stage, s"shard_$shards.parquet")
+    if (!fs.exists(done)) {
+      fs.mkdirs(stage)
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val marked = ev.withColumn("__shard",
+        org.apache.spark.sql.functions.ntile(shards).over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"), col("event_id"))))
+      val base = System.currentTimeMillis() - 3600000L
+      (1 to shards).foreach { i =>
+        val tmp = new org.apache.hadoop.fs.Path(stage, s"_tmp_$i")
+        marked.filter(col("__shard") === i).drop("__shard")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+        val dst = new org.apache.hadoop.fs.Path(stage, s"shard_$i.parquet")
+        fs.rename(part, dst)
+        fs.delete(tmp, true)
+        fs.setTimes(dst, base + i * 1000L, -1)
+      }
+    }
+    spark.readStream.schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   val documentsSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),

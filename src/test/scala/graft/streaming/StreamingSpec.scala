@@ -253,6 +253,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.keys.exists(_._3 == -1L), "expected unmatched clicks")
   }
 
+  // The multi-batch replay must actually BE multi-batch (four data
+  // micro-batches via maxFilesPerTrigger=1) and still reproduce the
+  // single-batch sessionization exactly — state handed across batch
+  // boundaries, closed sessions emitted at whichever batch their
+  // timeout fires.
+  test("sharded replay sessionization = single-batch, across >1 micro-batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val df = Streams.sessionize(
+      Streams.readEventsStreamSharded(spark, dir, 4), 30).toDF()
+    val q = df.writeStream.format("memory").queryName("spec_replay")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"expected >=4 data micro-batches, saw $dataBatches")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val sharded = spark.table("spec_replay").collect().map(key).toSet
+    val single = Streams.runToMemory(spark,
+      Streams.sessionize(Streams.readEventsStream(spark, dir), 30).toDF(),
+      "spec_replay_single", OutputMode.Append())
+      .collect().map(key).toSet
+    assert(sharded == single && sharded.nonEmpty)
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
