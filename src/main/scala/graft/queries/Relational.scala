@@ -953,6 +953,34 @@ object Relational {
              |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
              |      FROM supplier)""".stripMargin)),
 
+    // Equal-width histogram binning via ANSI width_bucket — one hash
+    // aggregate over a per-row bucket projection. Integer-cent inputs
+    // and a bucket width that divides the range exactly (1.1M/22 =
+    // 50k) keep the boundary arithmetic below 2^53, so the double
+    // division inside width_bucket is exact and every engine bins
+    // identically; out-of-range rows land in the ANSI underflow (0) /
+    // overflow (n+1) buckets. The oracle spells the same binning as
+    // CASE+floor — DuckDB has no width_bucket.
+    "q54_width_bucket" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT width_bucket(c, -100000, 1000000, 22) AS bucket,
+                  count(*) AS n,
+                  CAST(min(c) AS BIGINT) AS lo_cents,
+                  CAST(max(c) AS BIGINT) AS hi_cents
+           FROM (SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c
+                 FROM supplier)
+           GROUP BY 1""") },
+      Some("""SELECT CASE WHEN c < -100000 THEN 0
+             |            WHEN c >= 1000000 THEN 23
+             |            ELSE CAST(floor((c + 100000) / 50000.0) AS BIGINT) + 1
+             |       END AS bucket,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(min(c) AS BIGINT) AS lo_cents,
+             |       CAST(max(c) AS BIGINT) AS hi_cents
+             |FROM (SELECT CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS c
+             |      FROM supplier)
+             |GROUP BY 1""".stripMargin)),
+
     // Error-safe casts and arithmetic (TRY_CAST / try_divide / try_add):
     // malformed input becomes NULL instead of failing the job — the
     // semantics a 100 TB ingest needs (one bad row must not kill the

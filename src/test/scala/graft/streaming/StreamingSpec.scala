@@ -358,6 +358,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // Fault tolerance: kill the sharded replay after its first data
+  // batch, restart from the checkpoint, drain — the file sink's
+  // _spark_metadata manifest plus the checkpoint WAL must yield the
+  // exact single-batch answer with no duplicates and no losses,
+  // WHEREVER the kill landed (the stop point varies run to run; the
+  // drained result must not).
+  test("checkpoint kill-and-resume drains to the exact single-batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("stream-resume").toString
+    def stream() = Streams.sessionize(
+      Streams.readEventsStreamSharded(spark, dir, 4), 30).toDF()
+    val q1 = stream().writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (!q1.recentProgress.exists(_.numInputRows > 0)
+        && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    q1.stop(); q1.awaitTermination()
+    assert(q1.recentProgress.exists(_.numInputRows > 0), "never saw a data batch")
+    val q2 = stream().writeStream.format("parquet")
+      .option("path", s"$tmp/out").option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+    val resumed = spark.read.parquet(s"$tmp/out")
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(key).toSet
+    val single = Streams.runToMemory(spark,
+      Streams.sessionize(Streams.readEventsStream(spark, dir), 30).toDF(),
+      "spec_resume_single", OutputMode.Append())
+      .collect().map(key).toSet
+    assert(resumed == single && resumed.nonEmpty)
+  }
+
   test("file sink + checkpoint: rerun with no new files emits nothing") {
     val tmp = java.nio.file.Files.createTempDirectory("stream-spec").toString
     def runOnce(): Long = {
