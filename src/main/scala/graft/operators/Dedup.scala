@@ -274,6 +274,23 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"), col("edit_dist"))
   }
 
+  /** Template/boilerplate HUB detection: documents with at least
+    * `minDegree` partners in the near-dup graph. Pairwise dedup keeps
+    * one copy per PAIR, but a boilerplate template (site chrome, license
+    * page, generated form letter) near-dups against MANY distinct
+    * documents — its high degree is the signal that the right action is
+    * dropping or down-weighting the whole template family, not keeper
+    * election. Cost: [[minhashLsh]]'s banded candidates plus one
+    * degree aggregation over the (tiny) verified pair set. */
+  def dupHubs(docs: DataFrame, idCol: String, textCol: String,
+              n: Int = 3, k: Int = 128, bands: Int = 32,
+              threshold: Double = 0.8, minDegree: Int = 2): DataFrame =
+    minhashLsh(docs, idCol, textCol, n, k, bands, threshold)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= minDegree)
+
   /** EXACT n-gram-Jaccard near-dup pairs via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
     * WWW'08): every pair with Jaccard ≥ t is found, with NO all-pairs

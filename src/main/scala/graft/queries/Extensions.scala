@@ -85,6 +85,29 @@ object Extensions {
              |FROM pairs
              |WHERE i::DOUBLE / (la + lb - i) >= 0.8 AND ed <= 6""".stripMargin)),
 
+    // template/boilerplate hubs: degree ≥ 2 in the near-dup graph —
+    // pairwise dedup keeps one copy per pair, but a template near-dups
+    // against MANY documents; its degree is the drop-the-family signal.
+    // Oracle: degree count over the all-pairs Jaccard truth.
+    "ext69_dup_hubs" -> Q(
+      (s, d) => Dedup.dupHubs(docs(s, d), "doc_id", "text",
+        n = 3, k = 128, bands = 32, threshold = 0.8, minDegree = 2),
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |   AND len(list_intersect(a.s, b.s))::DOUBLE
+             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+             |FROM (SELECT doc_a AS doc_id FROM pairs
+             |      UNION ALL SELECT doc_b FROM pairs)
+             |GROUP BY doc_id HAVING count(*) >= 2""".stripMargin)),
+
     // SimHash hamming pairs: distance values are hash-algorithm-specific
     // → rows-only here; SimHashSpec asserts the planted pairs are found.
     "ext04_simhash" -> Q(

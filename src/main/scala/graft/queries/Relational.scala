@@ -953,6 +953,36 @@ object Relational {
              |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
              |      FROM supplier)""".stripMargin)),
 
+    // Explicit null ordering + pagination: ORDER BY ... DESC NULLS FIRST
+    // (Spark's DESC default is NULLS LAST — the explicit clause is the
+    // surface) with LIMIT/OFFSET. Pagination is only meaningful under a
+    // TOTAL order (c_custkey tiebreak); Spark plans OFFSET+LIMIT as one
+    // global top-(offset+limit) then drops the prefix — no full sort.
+    "q55_null_order_offset" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey, k
+           FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS k FROM customer)
+           ORDER BY k DESC NULLS FIRST, c_custkey
+           LIMIT 50 OFFSET 100""") },
+      Some("""SELECT c_custkey, k
+             |FROM (SELECT c_custkey, nullif(c_nationkey, 3) AS k FROM customer)
+             |ORDER BY k DESC NULLS FIRST, c_custkey
+             |LIMIT 50 OFFSET 100""".stripMargin)),
+
+    // Regex capture-group backreferences in replace + indexed group
+    // extract — per-row projections; the dialects differ only in
+    // backreference SPELLING ($2 vs \2), not semantics.
+    "q56_regex_groups" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey,
+                  regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '$2-$1') AS swapped,
+                  regexp_extract(c_name, '#([0-9]+)', 1) AS digits
+           FROM customer""") },
+      Some("""SELECT c_custkey,
+             |       regexp_replace(c_name, '([A-Za-z]+)#([0-9]+)', '\2-\1') AS swapped,
+             |       regexp_extract(c_name, '#([0-9]+)', 1) AS digits
+             |FROM customer""".stripMargin)),
+
     // Equal-width histogram binning via ANSI width_bucket — one hash
     // aggregate over a per-row bucket projection. Integer-cent inputs
     // and a bucket width that divides the range exactly (1.1M/22 =
