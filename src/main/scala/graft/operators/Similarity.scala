@@ -222,6 +222,29 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("__c"), 6).as("cosine"))
   }
 
+  /** SEMANTIC benchmark contamination: cross-side cosine pairs between a
+    * training corpus and a (small) benchmark — the embedding-space
+    * complement of the n-gram form ([[graft.operators.Dedup.contaminated]]):
+    * paraphrased leakage shares no 8-gram but sits close in embedding
+    * space. The bench side is benchmark-sized, so it BROADCASTS and the
+    * train side is scanned once (the documented ext05 shape — a
+    * one-row-to-many BNLJ whose build side is tiny is O(scan) at any
+    * scale); unrounded threshold then rounded output, matching every
+    * other cosine path and the oracle. */
+  def contaminatedSemantic(train: DataFrame, bench: DataFrame,
+                           idCol: String, vecCol: String,
+                           threshold: Double): DataFrame = {
+    val t = prepared(train, vecCol)
+      .select(col(idCol).as("train_id"), col("__vd").as("tv"))
+    val b = prepared(bench, vecCol)
+      .select(col(idCol).as("bench_id"), col("__vd").as("bv"))
+    t.crossJoin(broadcast(b))
+      .select(col("train_id"), col("bench_id"),
+        cosine(train.sparkSession, col("tv"), col("bv")).as("__c"))
+      .filter(col("__c") >= threshold)
+      .select(col("train_id"), col("bench_id"), round(col("__c"), 6).as("cosine"))
+  }
+
   /** Embedding near-dup pairs via OR-amplified hyperplane LSH: `bands`
     * independent signature tables of `planesPerBand` sign bits each; two
     * vectors are CANDIDATES iff they share a (band, signature) cell, then

@@ -85,6 +85,23 @@ object Extensions {
              |FROM pairs
              |WHERE i::DOUBLE / (la + lb - i) >= 0.8 AND ed <= 6""".stripMargin)),
 
+    // SEMANTIC contamination: train×bench cosine ≥ 0.45 — the
+    // embedding-space complement of ext16's n-gram decontamination
+    // (paraphrased leakage shares no 8-gram but sits close in embedding
+    // space). Bench side = vec_id % 10 == 0, broadcast.
+    "ext70_semantic_contamination" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.contaminatedSemantic(
+          e.filter(col("vec_id") % 10 =!= 0), e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", 0.45)
+      },
+      Some("""SELECT a.vec_id AS train_id, b.vec_id AS bench_id,
+             |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.vec_id % 10 <> 0 AND b.vec_id % 10 = 0
+             | AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45""".stripMargin)),
+
     // template/boilerplate hubs: degree ≥ 2 in the near-dup graph —
     // pairwise dedup keeps one copy per pair, but a template near-dups
     // against MANY documents; its degree is the drop-the-family signal.

@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     // composes ext05's exact cosine baseline (broadcast small query
     // side) and ext44's scalar normalizer; the fusion itself adds no
     // product — the scale path swaps in annTopK for the semantic leg.
-    "ext46_hybrid_retrieval" -> "inherits ext05 + ext44 documented shapes"
+    "ext46_hybrid_retrieval" -> "inherits ext05 + ext44 documented shapes",
+    // the bench side is benchmark-sized and broadcast; one scan of the
+    // train side — the ext05 shape applied cross-side.
+    "ext70_semantic_contamination" -> "broadcast benchmark side, one train scan"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
