@@ -573,6 +573,25 @@ object StreamingQueries {
              |WHERE rk > 1 OR greatest((end_us // 1000) + 1800000, 1) < (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin)),
 
+    // full-outer stream-stream join: BOTH dangling sides surface —
+    // unmatched clicks with NULL error_id once the error watermark
+    // closes their window (as st19), and unmatched errors with NULL
+    // click_id once the click watermark passes their own reach
+    // (e_ts + 30min). Same heartbeat source; same sink-side filter.
+    "st21_stream_full_join" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.clicksWithRecentErrors(
+          Streams.readEventsStreamWithHeartbeat(s, d), 30,
+          joinType = "full_outer"),
+        "st21_result", OutputMode.Append())
+        .filter(col("user_id") =!= -1L),
+      Some("""SELECT coalesce(c.user_id, e.user_id) AS user_id,
+             |       c.event_id AS click_id, e.event_id AS error_id
+             |FROM (SELECT * FROM events WHERE event_type = 'click') c
+             |FULL JOIN (SELECT * FROM events WHERE event_type = 'error') e
+             |  ON c.user_id = e.user_id
+             | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts""".stripMargin)),
+
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,

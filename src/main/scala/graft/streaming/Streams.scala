@@ -455,7 +455,10 @@ object Streams {
         col("e_ts") >= col("c_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
         col("e_ts") <= col("c_ts"),
       joinType)
-      .select(col("c_user").as("user_id"), col("click_id"), col("error_id"))
+      // coalesce: under full_outer an unmatched ERROR row has no c_user
+      // (identical to c_user for inner/left, where c_user is non-null)
+      .select(coalesce(col("c_user"), col("e_user")).as("user_id"),
+        col("click_id"), col("error_id"))
   }
 
   final case class SessionState(start: Long, last: Long, n: Int)
