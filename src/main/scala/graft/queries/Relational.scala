@@ -953,6 +953,38 @@ object Relational {
              |             CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents
              |      FROM supplier)""".stripMargin)),
 
+    // ANSI JOIN USING: the shared key appears ONCE in the output (not
+    // qualified left/right copies) — same equality-keyed plan as ON.
+    "q57_join_using" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT rk, n_name, r_name
+           FROM (SELECT n_regionkey AS rk, n_name FROM nation) n
+           JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)""") },
+      Some("""SELECT rk, n_name, r_name
+             |FROM (SELECT n_regionkey AS rk, n_name FROM nation) n
+             |JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)""".stripMargin)),
+
+    // Integer division/modulo on NEGATIVE operands — a genuine
+    // cross-engine trap: Spark's `div` truncates toward zero while
+    // DuckDB's `//` FLOORS (-7//2 = -4 there), and `%` truncates in
+    // both. The oracle therefore spells trunc-division as
+    // (x - x % 4) / 4 and positive mod as ((x % 4) + 4) % 4 — integer
+    // identities, not lookalike operators.
+    "q58_int_arith" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(l_linenumber - 3 AS INT) AS x,
+                  CAST((l_linenumber - 3) % 4 AS INT) AS mod_trunc,
+                  CAST(pmod(l_linenumber - 3, 4) AS INT) AS mod_pos,
+                  CAST((l_linenumber - 3) div 4 AS INT) AS div_trunc
+           FROM lineitem""") },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(l_linenumber - 3 AS INT) AS x,
+             |       CAST((l_linenumber - 3) % 4 AS INT) AS mod_trunc,
+             |       CAST(((l_linenumber - 3) % 4 + 4) % 4 AS INT) AS mod_pos,
+             |       CAST(((l_linenumber - 3) - (l_linenumber - 3) % 4) / 4 AS INT) AS div_trunc
+             |FROM lineitem""".stripMargin)),
+
     // Explicit null ordering + pagination: ORDER BY ... DESC NULLS FIRST
     // (Spark's DESC default is NULLS LAST — the explicit clause is the
     // surface) with LIMIT/OFFSET. Pagination is only meaningful under a
