@@ -273,7 +273,9 @@ object EtlMain {
         .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
         .config("spark.sql.shuffle.partitions",
           sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
-        .config("spark.sql.session.timeZone", "UTC"),
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false"),
       job).getOrCreate()
     try {
       Engine.run(spark, job, cli.pipeline, cli.vars)

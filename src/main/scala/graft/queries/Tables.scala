@@ -2,15 +2,19 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Shared fixture readers for the query suites.
   *
-  * `events.parquet` is written with TIMESTAMP(NANOS) which Spark 4's
-  * parquet reader rejects outright ([PARQUET_TYPE_ILLEGAL]). We read it
-  * with `spark.sql.legacy.parquet.nanosAsLong` (ts arrives as LongType
-  * nanos) and rebuild a TimestampType column. The fixture's timestamps
-  * are exactly µs-precision (verified: 0 rows with sub-µs bits), so
-  * nanos→micros is lossless and Spark/DuckDB see identical instants.
+  * `events.parquet` has shipped in two layouts across driver rounds:
+  * TIMESTAMP(NANOS) (Spark 4's parquet reader rejects it outright with
+  * [PARQUET_TYPE_ILLEGAL] unless `spark.sql.legacy.parquet.nanosAsLong`
+  * makes `ts` arrive as LongType nanos) and plain timestamp[us]. The
+  * reader adapts to what the footer actually says instead of assuming a
+  * layout. Either way the timestamps are µs-precision instants and
+  * Spark/DuckDB see identical values (UTC session; the builders also set
+  * `spark.sql.parquet.inferTimestampNTZ.enabled=false` so naive µs
+  * columns load as TimestampType directly, keeping scan-level pushdown).
   */
 object Tables {
 
@@ -18,17 +22,15 @@ object Tables {
     if (n == "events") events(s, dir) else s.read.parquet(s"$dir/$n.parquet")
 
   def events(s: SparkSession, dir: String): DataFrame = {
-    // The nanosAsLong flag must be session-level (the scan consults it at
-    // physical planning, which may happen long after this function
-    // returns) — so it is set in the session BUILDERS (Verify, Bench,
-    // Explain, TestSpark), never mutated here: a query function writing
-    // session-global conf would silently change every later read in the
-    // session (r3 verdict, "What's wrong" #4).
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the SparkSession with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
-    s.read.parquet(s"$dir/events.parquet")
-      // integer `div`, not `/`: a double mantissa can't hold ns-epoch values
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) layout under nanosAsLong: rebuild with integer
+      // `div`, not `/` — a double mantissa can't hold ns-epoch values
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // naive µs layout when NTZ inference is on: same instant under the
+      // UTC session zone
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -18,40 +18,45 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events.parquet ships TIMESTAMP(NANOS); streaming reads need an
-    * explicit schema, so `ts` comes in as nanos-long (with the
-    * nanosAsLong conf) and is rebuilt as a proper timestamp — lossless,
-    * the fixture is µs-precision (see [[graft.queries.Tables]]). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  /** The raw on-disk schema of events.parquet. The fixture has shipped in
+    * two layouts across driver rounds — TIMESTAMP(NANOS) (arrives as
+    * LongType nanos under the nanosAsLong conf) and plain timestamp[us]
+    * (arrives as TimestampType with NTZ inference off, TIMESTAMP_NTZ
+    * otherwise). The streaming file source needs an EXPLICIT schema, so
+    * probe the batch footer and declare exactly what is there. */
+  def eventsRawSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
 
-  /** The nanosAsLong requirement matches [[graft.queries.Tables.events]]:
-    * the flag is consulted at planning time, so it must come from the
-    * session BUILDER — a read function mutating session conf would leak
-    * into every later query (r3 verdict #4). */
-  private def requireNanosConf(spark: SparkSession): Unit =
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): build the SparkSession with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true")
+  /** Normalize the raw `ts` to TimestampType µs instants regardless of
+    * layout: nanos-long → `timestamp_micros(ts div 1000)` (integer div —
+    * a double mantissa can't hold ns-epoch values); TIMESTAMP_NTZ → cast
+    * under the UTC session zone (the same instant DuckDB reads). */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+    case _ => df
+  }
+
+  /** Stage dirs are tagged with the raw ts type so a fixture-layout swap
+    * between rounds can never silently reuse a stale staged copy whose
+    * schema no longer matches the declared one. */
+  private def tsTag(schema: StructType): String = schema("ts").dataType.typeName
 
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
+    val schema = eventsRawSchema(spark, dir)
     // the file stream source requires a DIRECTORY; the fixture is a single
     // file → stage it into a scratch dir once (idempotent)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val stage = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events")
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_${tsTag(schema)}")
     val fs = stage.getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(stage, "events.parquet")
     if (!fs.exists(dst)) {
       fs.mkdirs(stage)
       org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
     }
-    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** The events stream plus a tail HEARTBEAT: one synthetic row per join
@@ -67,26 +72,34 @@ object Streams {
     * infer it onto both inputs), which un-counts the heartbeat from
     * watermark accounting and re-strands the tail it exists to flush. */
   def readEventsStreamWithHeartbeat(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
+    val schema = eventsRawSchema(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val stage = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_hb")
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_hb_${tsTag(schema)}")
     val fs = stage.getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(stage, "events.parquet")
     if (!fs.exists(dst)) {
       fs.mkdirs(stage)
-      val hbNs = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).head.getLong(0) + 2L * 3600 * 1000000000L
+      // heartbeat ts = max event time + 2h, expressed in the RAW layout's
+      // type so the synthetic part-file schema matches the staged copy
+      val hbTs: Any = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).head.get(0) match {
+          case ns: java.lang.Long => ns + 2L * 3600 * 1000000000L
+          case t: java.sql.Timestamp =>
+            java.sql.Timestamp.from(t.toInstant.plusSeconds(2L * 3600))
+          case t: java.time.Instant => t.plusSeconds(2L * 3600)
+          case t: java.time.LocalDateTime => t.plusHours(2)
+          case other => sys.error(s"unexpected ts value class: $other")
+        }
       val rows = java.util.Arrays.asList(
-        org.apache.spark.sql.Row(-1L, hbNs, -1L, "click", 0.0, "{}"),
-        org.apache.spark.sql.Row(-2L, hbNs, -1L, "error", 0.0, "{}"))
-      spark.createDataFrame(rows, eventsRawSchema)
+        org.apache.spark.sql.Row(-1L, hbTs, -1L, "click", 0.0, "{}"),
+        org.apache.spark.sql.Row(-2L, hbTs, -1L, "error", 0.0, "{}"))
+      spark.createDataFrame(rows, schema)
         .repartition(1).write.mode("append").parquet(stage.toString)
       org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
     }
-    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** The events stream staged as `shards` time-ordered files with
@@ -100,10 +113,10 @@ object Streams {
     * replays the slices in event-time order deterministically. */
   def readEventsStreamSharded(spark: SparkSession, dir: String,
                               shards: Int = 4): DataFrame = {
-    requireNanosConf(spark)
+    val schema = eventsRawSchema(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val stage = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_sh$shards")
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events_sh${shards}_${tsTag(schema)}")
     val fs = stage.getFileSystem(conf)
     val done = new org.apache.hadoop.fs.Path(stage, s"shard_$shards.parquet")
     if (!fs.exists(done)) {
@@ -126,10 +139,9 @@ object Streams {
         fs.setTimes(dst, base + i * 1000L, -1)
       }
     }
-    spark.readStream.schema(eventsRawSchema)
+    normalizeTs(spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(stage.toString))
   }
 
   val documentsSchema: StructType = StructType(Seq(
@@ -270,11 +282,11 @@ object Streams {
     * with identical rows) — the double-delivery input for proving
     * streaming dedup semantics. */
   def readEventsStreamDoubled(spark: SparkSession, dir: String): DataFrame = {
-    requireNanosConf(spark)
+    val schema = eventsRawSchema(spark, dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
     val stage = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events2x")
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events2x_${tsTag(schema)}")
     val fs = stage.getFileSystem(conf)
     Seq("copy1.parquet", "copy2.parquet").foreach { name =>
       val dst = new org.apache.hadoop.fs.Path(stage, name)
@@ -283,8 +295,7 @@ object Streams {
         org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
       }
     }
-    spark.readStream.schema(eventsRawSchema).parquet(stage.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(spark.readStream.schema(schema).parquet(stage.toString))
   }
 
   /** Exactly-once event dedup under at-least-once delivery: duplicates of

@@ -313,10 +313,11 @@ class StreamingSpec extends SparkSpec {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     Streams.readEventsStreamDoubled(spark, dir) // ensures the 2-file stage exists
-    val staged = s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/events2x"
-    val stream = spark.readStream.schema(Streams.eventsRawSchema)
-      .option("maxFilesPerTrigger", "1").parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val schema = Streams.eventsRawSchema(spark, dir)
+    val staged = s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/" +
+      s"events2x_${schema("ts").dataType.typeName}"
+    val stream = Streams.normalizeTs(spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged))
     Streams.runToSink(spark, Streams.lastClickState(stream),
       graft.config.OutputTable(name = "spec_upstate",
         target = graft.config.TargetSpec.File(s"$base/out"),
