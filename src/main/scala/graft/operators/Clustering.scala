@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unsupervised k-means document clustering over embedding vectors — the
+  * corpus-organization primitive behind topic balancing, diversity-aware
+  * sampling, and cluster-based dedup sharding in a training-data
+  * pipeline (the unsupervised twin of
+  * [[graft.operators.Similarity]]'s supervised label centroids).
+  *
+  * EXACT INTEGER Lloyd's: vectors and centroids live in micro-int space
+  * (`floor(x·1e6 + 0.5)` per component — the identical IEEE double ops in
+  * every engine), distances are BIGINT sums of squared integer diffs, and
+  * centroid updates round the exact integer sums through one double
+  * division (`floor(sum/cnt + 0.5)`). Every step is therefore
+  * bit-reproducible across engines — a DuckDB replay of the same
+  * initialization and iteration count lands on the SAME clusters, so the
+  * whole iterative fit is oracle-checkable (the same micro-int discipline
+  * as ext14's quantization).
+  *
+  * Initialization is deterministic: the k vectors with the LOWEST ids,
+  * cluster ids 0..k-1 in id order. Assignment ties break toward the
+  * lowest cluster id. A cluster that loses all members disappears (no
+  * carry-forward) — mirrored in the oracle.
+  *
+  * Scale shape (the MLlib k-means shape): centroids are k×dims longs —
+  * BYTES — broadcast into the plan as literals each iteration; assignment
+  * is a narrow per-row projection (no join, no shuffle); the centroid
+  * update is one map-side-combinable elementwise aggregate
+  * ([[graft.functions.ElementwiseLongAgg]] — the shuffle carries one
+  * ~0.5 KB partial per (partition, cluster), never the corpus). Driver
+  * traffic per iteration is k rows. The corpus-side micro projection is
+  * leased-cached across the `iters+1` passes
+  * ([[graft.util.Caching.leased]]).
+  */
+object Clustering {
+
+  /** Micro-int projection of `vecCol`: id + array<long>. */
+  private def micro(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+        .as("m"))
+
+  /** Squared L2 distance between the row's `m` and a centroid literal. */
+  private def sqDist(c: Array[Long]): Column = {
+    val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
+    aggregate(zip_with(col("m"), cLit, (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** `(id, cluster)` assignment column for the given centroids: argmin of
+    * sqDist, ties to the lowest cluster id (struct array_min orders by
+    * (dist, cid)). */
+  private def assignExpr(centroids: Seq[(Int, Array[Long])]): Column =
+    array_min(array(centroids.map { case (cid, c) =>
+      struct(sqDist(c).as("d"), lit(cid).as("c"))
+    }: _*)).getField("c")
+
+  /** Run `iters` exact Lloyd's iterations with k seeds and return the
+    * final per-vector assignment `(idCol, cluster, cluster_size)`. */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    val m = micro(df, idCol, vecCol)
+    graft.util.Caching.leased(m) {
+      val dims = m.select(size(col("m"))).head.getInt(0)
+      // deterministic seeds: the k lowest-id vectors, cid 0..k-1 in id order
+      var centroids: Seq[(Int, Array[Long])] =
+        m.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
+          i -> r.getSeq[Long](1).toArray
+        }.toSeq
+      val sumAgg = graft.functions.ElementwiseLongAgg.sumUdaf(dims)
+      for (_ <- 1 to iters) {
+        centroids = m.select(col("m"), assignExpr(centroids).as("cluster"))
+          .groupBy(col("cluster"))
+          .agg(sumAgg(col("m")).as("s"), count(lit(1)).as("n"))
+          .collect().map { r =>
+            val s = r.getSeq[Long](1); val n = r.getLong(2)
+            r.getInt(0) -> s.map(v => math.floor(v.toDouble / n + 0.5).toLong).toArray
+          }.sortBy(_._1).toSeq
+      }
+      // cluster ids are STABLE across iterations (no re-densify): a
+      // cluster that empties simply stops existing, which the oracle
+      // mirrors for free.
+      val sizes = m.select(assignExpr(centroids).as("cluster"))
+        .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+      m.select(col("id").as(idCol), assignExpr(centroids).as("cluster"))
+        .join(broadcast(sizes), "cluster")
+        .select(col(idCol), col("cluster"), col("cluster_size"))
+    }
+  }
+}

@@ -1864,6 +1864,98 @@ object Extensions {
              |)
              |SELECT d.doc_id, d.source, d.n_tokens, d.med2, md.mad4,
              |       d.d2 * 2 > 3 * md.mad4 AS is_outlier
-             |FROM d JOIN md USING (source)""".stripMargin))
+             |FROM d JOIN md USING (source)""".stripMargin)),
+
+    // Unsupervised k-means clustering in EXACT integer space (micro-int
+    // vectors, bigint distances, floor(sum/cnt + 0.5) centroid updates)
+    // — every Lloyd's step is bit-reproducible across engines, so the
+    // full iterative fit is oracle-checked, not just smoke-tested. The
+    // oracle replays the same 3 unrolled iterations from the same
+    // lowest-8-id seeds. Scale shape: see graft.operators.Clustering.
+    "ext71_kmeans" -> Q(
+      (s, d) => graft.operators.Clustering.kmeans(
+        emb(s, d), "vec_id", "embedding", k = 8, iters = 3),
+      Some(kmeansOracle(k = 8, iters = 3, dims = 64))),
+
+    // Gopher-style repetition quality signals: top-unigram token share,
+    // top-2-gram character share, duplicated-3-gram occurrence share —
+    // per-doc array expressions, no shuffle (operator scaladoc).
+    "ext72_repetition" -> Q(
+      (s, d) => TextAnalysis.repetitionSignals(docs(s, d), "doc_id", "text"),
+      Some("""WITH t AS (
+             |  SELECT doc_id, len(trim(text)) AS n_chars_t,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents
+             |), base AS (
+             |  SELECT doc_id, n_chars_t, w, len(w) AS n_tokens FROM t WHERE len(w) >= 3
+             |), uni AS (
+             |  SELECT doc_id, tok, count(*) AS c FROM (SELECT doc_id, unnest(w) AS tok FROM base) GROUP BY 1, 2
+             |), top1 AS (
+             |  SELECT doc_id, tok, c FROM (
+             |    SELECT doc_id, tok, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok DESC) AS rk FROM uni)
+             |  WHERE rk = 1
+             |), bi AS (
+             |  SELECT doc_id, g, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS g FROM base)
+             |  GROUP BY 1, 2
+             |), top2 AS (
+             |  SELECT doc_id, g, c FROM (
+             |    SELECT doc_id, g, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rk FROM bi)
+             |  WHERE rk = 1
+             |), tri AS (
+             |  SELECT doc_id, g, count(*) AS c FROM (
+             |    SELECT doc_id, unnest(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g FROM base)
+             |  GROUP BY 1, 2
+             |), dup3 AS (
+             |  SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ, sum(c) AS tot_occ
+             |  FROM tri GROUP BY 1
+             |)
+             |SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+             |       t1.tok AS top_token,
+             |       CAST(floor(t1.c * 1000000.0 / b.n_tokens + 0.5) AS BIGINT) AS top1_e6,
+             |       t2.g AS top_bigram,
+             |       CAST(floor(t2.c * len(t2.g) * 1000000.0 / b.n_chars_t + 0.5) AS BIGINT) AS top2_char_e6,
+             |       CAST(floor(d.dup_occ * 1000000.0 / d.tot_occ + 0.5) AS BIGINT) AS dup3_e6
+             |FROM base b JOIN top1 t1 USING (doc_id) JOIN top2 t2 USING (doc_id) JOIN dup3 d USING (doc_id)""".stripMargin))
   )
+
+  /** DuckDB replay of [[graft.operators.Clustering.kmeans]]: the same
+    * lowest-id seeds and `iters` unrolled exact-integer Lloyd's
+    * iterations (argmin ties to the lowest cluster id; elementwise
+    * floor(sum/cnt + 0.5) centroid update). */
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+    val dist =
+      "list_sum(list_transform(range(1, len(v.m)+1), j -> (v.m[j]-c.c[j])*(v.m[j]-c.c[j])))"
+    def iterCte(i: Int): String = s"""
+      |, a$i AS (
+      |  SELECT id, m, cid FROM (
+      |    SELECT v.id, v.m, c.cid,
+      |           row_number() OVER (PARTITION BY v.id ORDER BY $dist, c.cid) AS rk
+      |    FROM m v CROSS JOIN c${i - 1} c) WHERE rk = 1
+      |), c$i AS (
+      |  SELECT cid, list(s ORDER BY pos) AS c FROM (
+      |    SELECT a$i.cid, p.pos, CAST(floor(sum(a$i.m[p.pos])::DOUBLE / count(*) + 0.5) AS BIGINT) AS s
+      |    FROM a$i, (SELECT unnest(range(1, ${dims + 1})) AS pos) p
+      |    GROUP BY a$i.cid, p.pos
+      |  ) GROUP BY cid
+      |)""".stripMargin
+    s"""WITH m AS (
+       |  SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS m
+       |  FROM embeddings
+       |), c0 AS (
+       |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, m AS c
+       |  FROM (SELECT id, m FROM m ORDER BY id LIMIT $k)
+       |)""".stripMargin +
+      (1 to iters).map(iterCte).mkString +
+      s"""
+       |, fin AS (
+       |  SELECT id, cid FROM (
+       |    SELECT v.id, c.cid,
+       |           row_number() OVER (PARTITION BY v.id ORDER BY $dist, c.cid) AS rk
+       |    FROM m v CROSS JOIN c$iters c) WHERE rk = 1
+       |)
+       |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
+       |       CAST(s.n AS BIGINT) AS cluster_size
+       |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
+  }
 }

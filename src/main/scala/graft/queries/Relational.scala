@@ -1231,6 +1231,131 @@ object Relational {
              |       CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
              |         FILTER (WHERE o_orderstatus = 'F'), 0) AS BIGINT) AS finished_cents,
              |       CAST(count(DISTINCT o_custkey) FILTER (WHERE o_orderdate >= DATE '1995-01-01') AS BIGINT) AS n_custs_recent
-             |FROM orders GROUP BY o_orderpriority""".stripMargin))
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Bitwise operators — per-row integer projections (hash-partition
+    // keys, bloom/bitmap masks, flag unpacking all live here). Exact
+    // integer semantics in both engines; only SPELLING differs (Spark
+    // `^`/`shiftleft` vs DuckDB `xor()`/`<<`), and result WIDTHS are
+    // CAST-pinned (DuckDB bit_count returns TINYINT, Spark INT).
+    "q59_bitwise" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(l_orderkey & 255 AS BIGINT) AS band,
+                  CAST(l_orderkey | 15 AS BIGINT) AS bor,
+                  CAST(l_orderkey ^ 90 AS BIGINT) AS bxor,
+                  CAST(~l_orderkey AS BIGINT) AS bnot,
+                  CAST(shiftleft(l_orderkey, 2) AS BIGINT) AS shl,
+                  CAST(shiftright(l_orderkey, 1) AS BIGINT) AS shr,
+                  CAST(bit_count(l_orderkey) AS INT) AS popcnt
+           FROM lineitem""") },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(l_orderkey & 255 AS BIGINT) AS band,
+             |       CAST(l_orderkey | 15 AS BIGINT) AS bor,
+             |       CAST(xor(l_orderkey, 90) AS BIGINT) AS bxor,
+             |       CAST(~l_orderkey AS BIGINT) AS bnot,
+             |       CAST(l_orderkey << 2 AS BIGINT) AS shl,
+             |       CAST(l_orderkey >> 1 AS BIGINT) AS shr,
+             |       CAST(bit_count(l_orderkey) AS INT) AS popcnt
+             |FROM lineitem""".stripMargin)),
+
+    // Linear-regression aggregates (regr_slope/intercept/r2/count) +
+    // corr/covar — one map-side-combinable HashAggregate via streaming
+    // co-moments in both engines (never a two-pass mean-then-residual
+    // scan). Roundings are sized to each statistic's magnitude so the
+    // engines' co-moment accumulation-order wobble (≲1e-10 relative on
+    // this data) stays below the emitted precision.
+    "q60_regression" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_returnflag,
+                  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+                  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+                  round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+                  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+                  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s
+           FROM lineitem GROUP BY l_returnflag""") },
+      Some("""SELECT l_returnflag,
+             |       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+             |       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             |       round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+             |       round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             |       round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+             |       round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_s
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Boolean aggregates + higher-moment statistics. bool_and/bool_or/
+    // count_if spell identically; skewness/kurtosis DON'T — Spark's are
+    // POPULATION moments while DuckDB's skewness is the bias-corrected
+    // SAMPLE statistic (kurtosis_pop matches directly), so the oracle
+    // applies the exact g1 = G1·(n-2)/√(n(n-1)) de-correction rather
+    // than pretending the same name means the same estimator.
+    "q61_bool_moments" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_returnflag,
+                  bool_and(l_quantity > 0) AS all_pos,
+                  bool_or(l_tax > 0.07) AS any_high_tax,
+                  CAST(count_if(l_discount = 0) AS BIGINT) AS n_nodisc,
+                  round(skewness(l_quantity), 6) AS skew_qty,
+                  round(kurtosis(l_quantity), 6) AS kurt_qty
+           FROM lineitem GROUP BY l_returnflag""") },
+      Some("""SELECT l_returnflag,
+             |       bool_and(l_quantity > 0) AS all_pos,
+             |       bool_or(l_tax > 0.07) AS any_high_tax,
+             |       CAST(count_if(l_discount = 0) AS BIGINT) AS n_nodisc,
+             |       round(skewness(l_quantity) * (count(*) - 2)
+             |             / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_qty,
+             |       round(kurtosis_pop(l_quantity), 6) AS kurt_qty
+             |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // IGNORE NULLS window navigation (first/last/nth_value) — the
+    // gap-carry-forward surface (LOCF imputation over sparse columns).
+    // One Window exec over one sort; the running frame makes last_value
+    // IGNORE NULLS the classic "latest non-null so far". The null
+    // pattern is deterministic (custkey % 3) and the dialects differ
+    // only in WHERE the modifier sits (after the call vs inside it).
+    "q62_ignore_nulls" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey, c_nationkey,
+                  first_value(k) IGNORE NULLS OVER w AS first_k,
+                  last_value(k) IGNORE NULLS OVER w AS carry_k,
+                  nth_value(k, 2) IGNORE NULLS OVER w AS second_k
+           FROM (SELECT c_custkey, c_nationkey,
+                        CASE WHEN c_custkey % 3 = 0 THEN NULL
+                             ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                        END AS k
+                 FROM customer)
+           WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""") },
+      Some("""SELECT c_custkey, c_nationkey,
+             |       first_value(k IGNORE NULLS) OVER w AS first_k,
+             |       last_value(k IGNORE NULLS) OVER w AS carry_k,
+             |       nth_value(k, 2 IGNORE NULLS) OVER w AS second_k
+             |FROM (SELECT c_custkey, c_nationkey,
+             |             CASE WHEN c_custkey % 3 = 0 THEN NULL
+             |                  ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+             |             END AS k
+             |      FROM customer)
+             |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
+             |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
+
+    // Schema-aligning union (unionByName allowMissingColumns=true /
+    // UNION ALL BY NAME): position-independent column matching with
+    // null-fill for absent columns — the multi-source ingest shape
+    // where file batches carry drifting schemas. Pure narrow concat:
+    // no shuffle, no dedup.
+    "q63_union_byname" -> Q(
+      (s, d) => t(s, d, "nation")
+        .select(col("n_nationkey").cast("long").as("id"),
+          col("n_name").as("name"), col("n_regionkey").cast("long").as("region_id"))
+        .unionByName(
+          t(s, d, "region").select(col("r_regionkey").cast("long").as("id"),
+            col("r_name").as("name")),
+          allowMissingColumns = true),
+      Some("""SELECT CAST(n_nationkey AS BIGINT) AS id, n_name AS name,
+             |       CAST(n_regionkey AS BIGINT) AS region_id
+             |FROM nation
+             |UNION ALL BY NAME
+             |SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name FROM region""".stripMargin))
   )
 }

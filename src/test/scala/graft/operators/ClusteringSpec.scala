@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("kmeans: total assignment, consistent sizes, stable cluster ids") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val r = Clustering.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect()
+    assert(r.length == n, "every vector gets exactly one assignment")
+    val byCluster = r.groupBy(_.getAs[Int]("cluster"))
+    assert(byCluster.keySet.subsetOf((0 until 4).toSet))
+    byCluster.foreach { case (_, rows) =>
+      assert(rows.forall(_.getAs[Long]("cluster_size") == rows.length),
+        "cluster_size equals the actual member count")
+    }
+  }
+
+  test("kmeans is deterministic across runs") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def run() = Clustering.kmeans(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cluster"))).toSet
+    assert(run() == run())
+  }
+
+  test("kmeans separates an obviously clustered fixture") {
+    // two tight blobs on opposite axes: ids 1-3 near +x, ids 11-13 near +y;
+    // seeds = lowest 2 ids land one in each blob after 1 iteration
+    def v(x: Double, y: Double) = Seq.tabulate(4)(i =>
+      if (i == 0) x.toFloat else if (i == 1) y.toFloat else 0f)
+    val df = Seq(
+      1L -> v(1.00, 0.01), 2L -> v(0.99, 0.02), 11L -> v(0.01, 1.00),
+      3L -> v(0.98, 0.00), 12L -> v(0.02, 0.99), 13L -> v(0.00, 0.98)
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got(1L) == got(2L) && got(2L) == got(3L))
+    assert(got(11L) == got(12L) && got(12L) == got(13L))
+    assert(got(1L) != got(11L))
+  }
+
+  test("kmeans integer arithmetic: one hand-replayed iteration") {
+    // 1-D micro space: vectors 0.1, 0.2, 0.9 (micros 100000, 200000,
+    // 900000); seeds = two lowest ids -> c0 = {0: 100000, 1: 200000}.
+    // iter 1 assignment: 100000->0, 200000->1, 900000->1;
+    // update: c0 = 100000, c1 = floor((200000+900000)/2 + 0.5) = 550000;
+    // final assignment: 0.1,0.2 -> 0? dist(200000,100000)=1e10 vs
+    // dist(200000,550000)=1.225e11 -> cluster 0; 0.9 -> cluster 1.
+    val df = Seq(
+      1L -> Seq(0.1f), 2L -> Seq(0.2f), 3L -> Seq(0.9f)
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.kmeans(df, "vec_id", "embedding", k = 2, iters = 1)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1))
+  }
+}

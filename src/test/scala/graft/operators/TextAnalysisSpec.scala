@@ -502,4 +502,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(9L) == ((5L, 4L, false)))
     assert(r.size == 9)
   }
+
+  test("repetition signals: hand-computed shares and tie order") {
+    val df = Seq(
+      (1L, "ab cd ab cd ab"),  // 5 tokens, 14 chars
+      (2L, "x y z"),           // no repetition at all
+      (3L, "a b")              // < 3 tokens: filtered out
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionSignals(df, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r.size == 2, "docs under 3 tokens are dropped")
+    val d1 = r(1L)
+    assert(d1.getAs[Long]("n_tokens") == 5)
+    assert(d1.getAs[String]("top_token") == "ab")                 // count 3
+    assert(d1.getAs[Long]("top1_e6") == 600000L)                  // 3/5
+    // bigrams "ab cd"(2) vs "cd ab"(2): tie -> lexicographically GREATER
+    assert(d1.getAs[String]("top_bigram") == "cd ab")
+    assert(d1.getAs[Long]("top2_char_e6") ==                      // 2*5/14
+      math.floor(2 * 5 * 1000000.0 / 14 + 0.5).toLong)
+    // trigrams [ab cd ab, cd ab cd, ab cd ab]: 2 of 3 occurrences dup'd
+    assert(d1.getAs[Long]("dup3_e6") == 666667L)
+    val d2 = r(2L)
+    assert(d2.getAs[Long]("top1_e6") == 333333L)
+    assert(d2.getAs[String]("top_token") == "z")                  // all-tie
+    assert(d2.getAs[Long]("dup3_e6") == 0L)
+  }
 }
