@@ -592,6 +592,60 @@ object StreamingQueries {
              |  ON c.user_id = e.user_id
              | AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts""".stripMargin)),
 
+    // The SAME sessionization on Spark 4's arbitrary-state API v2
+    // (transformWithState: ValueState + explicit event-time timers on
+    // the RocksDB state store). One oracle delta vs st02: TWS timers
+    // fire INCLUSIVELY (timer <= watermark, TimerStateImpl) where
+    // flatMapGroupsWithState fires strictly — so the emission predicate
+    // is <= here and < in st02. No clamp arithmetic either:
+    // registerTimer accepts past timestamps.
+    "st22_stream_sessionize_tws" -> Q(
+      (s, d) => {
+        val key = "spark.sql.streaming.stateStore.providerClass"
+        val saved = s.conf.getOption(key)
+        s.conf.set(key,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val sessions = Streams.runToMemory(s,
+            Streams.sessionizeTws(Streams.readEventsStream(s, d), 30).toDF(),
+            "st22_sessions", OutputMode.Append())
+          sessions
+            .groupBy(col("user_id"))
+            .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+        } finally saved match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events
+             |),
+             |marked AS (
+             |  SELECT user_id, us,
+             |         CASE WHEN lag(us) OVER w IS NULL
+             |                OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+             |),
+             |sess AS (
+             |  SELECT user_id, us,
+             |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM marked
+             |),
+             |agg AS (
+             |  SELECT user_id, sid, max(us) AS end_us, count(*) AS n_events
+             |  FROM sess GROUP BY user_id, sid
+             |),
+             |mx AS (SELECT max(us) AS max_us FROM e),
+             |ranked AS (
+             |  SELECT user_id, sid, n_events, end_us,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY sid DESC) AS rk
+             |  FROM agg
+             |)
+             |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
+             |FROM ranked, mx
+             |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
+             |GROUP BY user_id""".stripMargin)),
+
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,

@@ -535,4 +535,81 @@ object Streams {
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)
   }
+
+  /** The SAME gap sessionization on Spark 4's arbitrary-state API v2
+    * (`transformWithState` / [[org.apache.spark.sql.streaming.StatefulProcessor]]):
+    * ValueState for the open session, an explicit event-time TIMER per
+    * user for the close. Two semantic differences from
+    * [[sessionize]]'s flatMapGroupsWithState, both mirrored in the
+    * oracle:
+    *  - timers fire INCLUSIVELY (`timer <= watermark`,
+    *    TimerStateImpl.getExpiredTimers) where GroupStateTimeout fires
+    *    strictly (`timeout < watermark`);
+    *  - timers are first-class state: extending a session DELETES the
+    *    stale timer and registers the new one (no clamp needed —
+    *    registerTimer accepts past timestamps; a past timer just fires
+    *    on the next batch).
+    * TWS requires the RocksDB state-store provider — which is the 100 TB
+    * state path anyway (state off-heap on disk, changelog-checkpointed).
+    */
+  final class SessionProcessor(gapMinutes: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long, java.sql.Timestamp), Session] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[Session] = {
+      val gapUs = gapMinutes * 60L * 1000000L
+      val times = rows.map(_._2).toArray.sorted
+      val out = Seq.newBuilder[Session]
+      var cur = if (state.exists()) Some(state.get()) else None
+      times.foreach { t =>
+        cur match {
+          case Some(s) if t - s.last <= gapUs =>
+            cur = Some(SessionState(s.start, t, s.n + 1))
+          case Some(s) =>
+            out += Session(user, s.start, s.last, s.n)
+            cur = Some(SessionState(t, t, 1))
+          case None => cur = Some(SessionState(t, t, 1))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // replace, don't accumulate: a stale timer from a shorter session
+        // would close the extended one early
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(s.last / 1000 + gapMinutes * 60L * 1000)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[Session] =
+      if (state.exists()) {
+        val s = state.get()
+        state.clear()
+        Iterator.single(Session(user, s.start, s.last, s.n))
+      } else Iterator.empty
+  }
+
+  def sessionizeTws(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    implicit val sessionEnc = Encoders.product[Session]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.TIMESTAMP)
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -277,6 +277,35 @@ class StreamingSpec extends SparkSpec {
     assert(sharded == single && sharded.nonEmpty)
   }
 
+  test("transformWithState sessionize: sharded replay = single batch") {
+    // the arbitrary-state-v2 twin of the replay test above: ValueState
+    // and event-time TIMERS must carry across micro-batch boundaries
+    // (stale timers deleted on session extension), on RocksDB
+    import org.apache.spark.sql.streaming.Trigger
+    val key0 = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key0)
+    spark.conf.set(key0,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val df = Streams.sessionizeTws(
+        Streams.readEventsStreamSharded(spark, dir, 4), 30).toDF()
+      val q = df.writeStream.format("memory").queryName("spec_tws_replay")
+        .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      val sharded = spark.table("spec_tws_replay").collect().map(key).toSet
+      val single = Streams.runToMemory(spark,
+        Streams.sessionizeTws(Streams.readEventsStream(spark, dir), 30).toDF(),
+        "spec_tws_single", OutputMode.Append())
+        .collect().map(key).toSet
+      assert(sharded == single && sharded.nonEmpty)
+    } finally saved match {
+      case Some(v) => spark.conf.set(key0, v)
+      case None => spark.conf.unset(key0)
+    }
+  }
+
   test("streaming mixture sampling = batch mixtureSample") {
     val streamed = Streams.runToMemory(spark,
       Streams.mixtureSampleStream(spark, dir, budgetDocs = 100L, salt = "spec"),
