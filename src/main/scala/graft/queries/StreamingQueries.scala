@@ -646,6 +646,26 @@ object StreamingQueries {
              |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin)),
 
+    // CHAINED stateful operators: dedup-within-watermark feeding the
+    // append-mode windowed aggregation over the DOUBLED (at-least-once)
+    // source — one query, two state stores, one watermark. The drained
+    // result equals st09's single-copy truth: every duplicate is either
+    // deduped in-state or dropped as late (already counted either way).
+    "st23_stream_dedup_window" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.dedupedWindowedCounts(Streams.readEventsStreamDoubled(s, d)),
+        "st23_result", OutputMode.Append()),
+      Some("""WITH mx AS (
+             |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events
+             |)
+             |SELECT date_trunc('hour', ts) AS window_start,
+             |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+             |       event_type, count(*) AS n_events,
+             |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+             |FROM events, mx
+             |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     "st02_stream_sessionize" -> Q(
       (s, d) => {
         val sessions = Streams.runToMemory(s,

@@ -331,6 +331,19 @@ object Streams {
     // definition of the window/count/cents math for both modes
     windowedCounts(events.withWatermark("ts", delay))
 
+  /** CHAINED stateful operators in one streaming query: exactly-once
+    * dedup ([[dedupEvents]] — dropDuplicatesWithinWatermark) feeding the
+    * event-time windowed aggregation, both in append mode under ONE
+    * upstream watermark. The at-least-once-delivery production pipeline
+    * in a single query: re-delivered events are dropped by bounded
+    * dedup state, and each unique event counts exactly once in its
+    * closed window. Late re-deliveries past the watermark are dropped
+    * as late data — which is also exactly-once, since a duplicate is by
+    * definition already counted. State: one row per in-horizon event_id
+    * plus one row per open (window, type). */
+  def dedupedWindowedCounts(events: DataFrame): DataFrame =
+    windowedCounts(dedupEvents(events))
+
   /** Gap-sessionization via the BUILT-IN `session_window` aggregation —
     * the declarative twin of [[sessionize]]'s flatMapGroupsWithState:
     * when the per-session output is an aggregate (count/sum/min/max),
