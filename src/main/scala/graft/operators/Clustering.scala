@@ -89,4 +89,35 @@ object Clustering {
         .select(col(idCol), col("cluster"), col("cluster_size"))
     }
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means clustering +
+    * within-cluster cosine near-dup, keeping one representative per
+    * near-dup group. A vector is DROPPED iff some LOWER-id vector in its
+    * OWN cluster sits within the cosine threshold — a deterministic
+    * dominance rule (no transitive closure), exactly replayable in SQL.
+    *
+    * Scale shape: the cluster id is the BLOCKING key — the pair join is
+    * EQUALITY-keyed on cluster, so each cluster is an independent
+    * (n/k)² cell and the corpus is never compared all-pairs (the ext33
+    * argument, with learned rather than hashed blocks). The kmeans fit
+    * itself is the [[kmeans]] broadcast/elementwise-agg shape. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, threshold: Double): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(df.sparkSession)
+    val assign = kmeans(df, idCol, vecCol, k, iters)
+    val e = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(assign.select(col(idCol).cast("long").as("id"), col("cluster")), "id")
+    val a = e.select(col("id").as("aid"), col("v").as("av"), col("cluster"))
+    val b = e.select(col("id").as("bid"), col("v").as("bv"), col("cluster"))
+    // drop bid iff a lower aid in the same cluster is within threshold:
+    // unrounded threshold compare, the cosinePairs/ext10 discipline
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("aid") < col("bid") &&
+        call_function("cosine_sim", col("av"), col("bv")) >= threshold)
+      .select(col("bid").as("id")).distinct()
+    e.join(dropped.withColumn("__dropped", lit(true)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        not(coalesce(col("__dropped"), lit(false))).as("keep"))
+  }
 }

@@ -1880,6 +1880,16 @@ object Extensions {
     // Gopher-style repetition quality signals: top-unigram token share,
     // top-2-gram character share, duplicated-3-gram occurrence share —
     // per-doc array expressions, no shuffle (operator scaladoc).
+    // SemDeDup (Abbas et al. 2023): k-means blocks + within-cluster
+    // cosine dominance dedup — learned blocking instead of hashed; the
+    // pair join is equality-keyed on the cluster id, never all-pairs.
+    // Threshold 0.45 matches ext10's fixture geometry (planted near-dups
+    // separate cleanly; the ext10 unrounded-compare discipline).
+    "ext73_semdedup" -> Q(
+      (s, d) => graft.operators.Clustering.semDedup(
+        emb(s, d), "vec_id", "embedding", k = 8, iters = 3, threshold = 0.45),
+      Some(semDedupOracle(k = 8, iters = 3, dims = 64, threshold = 0.45))),
+
     "ext72_repetition" -> Q(
       (s, d) => TextAnalysis.repetitionSignals(docs(s, d), "doc_id", "text"),
       Some("""WITH t AS (
@@ -1923,7 +1933,7 @@ object Extensions {
     * lowest-id seeds and `iters` unrolled exact-integer Lloyd's
     * iterations (argmin ties to the lowest cluster id; elementwise
     * floor(sum/cnt + 0.5) centroid update). */
-  private def kmeansOracle(k: Int, iters: Int, dims: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
     val dist =
       "list_sum(list_transform(range(1, len(v.m)+1), j -> (v.m[j]-c.c[j])*(v.m[j]-c.c[j])))"
     def iterCte(i: Int): String = s"""
@@ -1953,9 +1963,27 @@ object Extensions {
        |    SELECT v.id, c.cid,
        |           row_number() OVER (PARTITION BY v.id ORDER BY $dist, c.cid) AS rk
        |    FROM m v CROSS JOIN c$iters c) WHERE rk = 1
-       |)
-       |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
-       |       CAST(s.n AS BIGINT) AS cluster_size
-       |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
+       |)""".stripMargin
   }
+
+  private def kmeansOracle(k: Int, iters: Int, dims: Int): String =
+    kmeansCtes(k, iters, dims) + """
+      |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
+      |       CAST(s.n AS BIGINT) AS cluster_size
+      |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
+
+  /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a
+    * lower id in its own cluster is within the cosine threshold. */
+  private def semDedupOracle(k: Int, iters: Int, dims: Int, threshold: Double): String =
+    kmeansCtes(k, iters, dims) + s"""
+      |, e AS (
+      |  SELECT f.id, f.cid, emb.embedding::DOUBLE[] AS v
+      |  FROM fin f JOIN embeddings emb ON emb.vec_id = f.id
+      |), dropped AS (
+      |  SELECT DISTINCT b.id FROM e a JOIN e b ON a.cid = b.cid AND a.id < b.id
+      |  WHERE list_cosine_similarity(a.v, b.v) >= $threshold
+      |)
+      |SELECT e.id AS vec_id, CAST(e.cid AS INT) AS cluster,
+      |       (d.id IS NULL) AS keep
+      |FROM e LEFT JOIN dropped d ON e.id = d.id""".stripMargin
 }

@@ -44,6 +44,20 @@ class ClusteringSpec extends SparkSpec {
     assert(got(1L) != got(11L))
   }
 
+  test("semDedup: dominance rule keeps the lowest id per near-dup group") {
+    // blob A: three near-identical vectors (ids 5, 2, 9) -> keep only 2;
+    // blob B: one lone vector (id 7) -> kept; k=2 separates the blobs
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat, 0f, 0f)
+    val df = Seq(
+      5L -> v(1.00, 0.00), 2L -> v(0.999, 0.001), 9L -> v(0.998, 0.002),
+      7L -> v(0.00, 1.00)
+    ).toDF("vec_id", "embedding")
+    val got = Clustering.semDedup(df, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.95)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(got == Map(2L -> true, 5L -> false, 9L -> false, 7L -> true))
+  }
+
   test("kmeans integer arithmetic: one hand-replayed iteration") {
     // 1-D micro space: vectors 0.1, 0.2, 0.9 (micros 100000, 200000,
     // 900000); seeds = two lowest ids -> c0 = {0: 100000, 1: 200000}.
