@@ -1339,6 +1339,51 @@ object Relational {
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_custkey
              |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin)),
 
+    // Selector aggregates (max_by/min_by ↔ arg_max/arg_min): "the id of
+    // the row with the extreme value" without a self-join or window —
+    // one map-side-combinable HashAggregate. Ties would make the picked
+    // row engine-specific, so the ordering value is made UNIQUE per
+    // group (cents ⊗ orderkey — exact bigint arithmetic).
+    "q64_arg_extremes" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderpriority,
+                  max_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+                  min_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order,
+                  CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
+           FROM orders GROUP BY o_orderpriority""") },
+      Some("""SELECT o_orderpriority,
+             |       arg_max(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
+             |       arg_min(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order,
+             |       CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // Higher-order lambda surface beyond q27's filter/transform/
+    // aggregate: exists / forall (quantifiers), zip_with (pairwise
+    // combine), sort_array, array_position. All per-row, no shuffle.
+    // DuckDB spells quantifiers as list_filter cardinality, zip_with as
+    // an index-range transform, and list_position returns NULL where
+    // Spark returns 0 for absent — coalesced to align.
+    "q65_lambda_fns" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT doc_id,
+                  exists(w, x -> x = 'the') AS has_the,
+                  forall(w, x -> length(x) < 12) AS all_short,
+                  CAST(aggregate(zip_with(w, reverse(w), (a, b) -> length(a) * length(b)),
+                                 0L, (acc, x) -> acc + x) AS BIGINT) AS cross_len,
+                  element_at(sort_array(w, false), 1) AS max_token,
+                  CAST(array_position(w, 'data') AS BIGINT) AS data_pos
+           FROM (SELECT doc_id, filter(split(trim(text), '\\s+'), x -> x != '') AS w
+                 FROM documents)""") },
+      Some("""SELECT doc_id,
+             |       len(list_filter(w, x -> x = 'the')) > 0 AS has_the,
+             |       len(list_filter(w, x -> length(x) < 12)) = len(w) AS all_short,
+             |       CAST(list_sum(list_transform(range(1, len(w) + 1),
+             |                     i -> length(w[i]) * length(w[len(w) - i + 1]))) AS BIGINT) AS cross_len,
+             |       list_reverse_sort(w)[1] AS max_token,
+             |       CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS data_pos
+             |FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |      FROM documents)""".stripMargin)),
+
     // Schema-aligning union (unionByName allowMissingColumns=true /
     // UNION ALL BY NAME): position-independent column matching with
     // null-fill for absent columns — the multi-source ingest shape

@@ -646,6 +646,21 @@ object StreamingQueries {
              |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin)),
 
+    // Stream-stream LEFT SEMI interval join — the streaming EXISTS: a
+    // click emits ONCE if any error hit its trailing window; negatives
+    // are never emitted (dropped on watermark advance), so no heartbeat
+    // tail flush is needed, unlike st19/st21's outer forms.
+    "st24_stream_semi_join" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.clicksSeenWithErrors(Streams.readEventsStream(s, d), 30),
+        "st24_result", OutputMode.Append()),
+      Some("""SELECT c.user_id, c.event_id AS click_id
+             |FROM events c
+             |WHERE c.event_type = 'click' AND EXISTS (
+             |  SELECT 1 FROM events e
+             |  WHERE e.event_type = 'error' AND e.user_id = c.user_id
+             |    AND e.ts >= c.ts - INTERVAL 30 MINUTE AND e.ts <= c.ts)""".stripMargin)),
+
     // CHAINED stateful operators: dedup-within-watermark feeding the
     // append-mode windowed aggregation over the DOUBLED (at-least-once)
     // source — one query, two state stores, one watermark. The drained

@@ -485,6 +485,29 @@ object Streams {
         col("click_id"), col("error_id"))
   }
 
+  /** Stream-stream LEFT SEMI interval join: clicks that saw at least one
+    * error in their trailing interval — existence, not enumeration, so a
+    * click with many errors emits ONCE (the stream-side EXISTS). A
+    * matched left row emits as soon as its match arrives; unmatched rows
+    * are silently dropped once the watermark passes them (state stays
+    * watermark-bounded on both sides) — no null-padding, hence no
+    * heartbeat machinery needed: negatives are never emitted at all. */
+  def clicksSeenWithErrors(events: DataFrame, intervalMinutes: Int): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", s"$intervalMinutes minutes")
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", s"$intervalMinutes minutes")
+    clicks.join(errors,
+      col("c_user") === col("e_user") &&
+        col("e_ts") >= col("c_ts") - expr(s"INTERVAL $intervalMinutes MINUTES") &&
+        col("e_ts") <= col("c_ts"),
+      "left_semi")
+      .select(col("c_user").as("user_id"), col("click_id"))
+  }
+
   final case class SessionState(start: Long, last: Long, n: Int)
   /** Session bounds as epoch MICROS (longs) — exact, no Timestamp
     * precision loss across the typed-encoder boundary. */
