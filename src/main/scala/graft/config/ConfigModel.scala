@@ -47,10 +47,20 @@ object Refresh {
     * (its code only purges or appends). Requires `merge_keys` on the
     * output table. */
   case object Upsert extends Refresh
+  /** Slowly-changing-dimension type 2: the incoming frame is a FULL
+    * snapshot; instead of replacing rows, every version is kept with
+    * validity metadata (`_valid_from_batch`, `_valid_to_batch`,
+    * `_is_current`). Batch numbers are a deterministic sequence (prior
+    * max + 1), not wall-clock timestamps, so reruns are replayable and
+    * the history is oracle-checkable. Requires `merge_keys`; beyond
+    * the reference's claimed UPSERT (A16) — the audit-trail variant a
+    * data lake actually wants. */
+  case object Scd2 extends Refresh
   def parse(s: String): Refresh = s.trim.toLowerCase match {
     case "" | "full"    => Full
     case "incremental"  => Incremental
     case "upsert"       => Upsert
+    case "scd2"         => Scd2
     case other => throw new ConfigError(s"unknown refresh mode '$other'")
   }
 }
@@ -296,12 +306,13 @@ object ConfigParser {
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
       // (r3 verdict, "What's wrong" #5).
-      if (parsed.refresh == Refresh.Upsert) {
+      if (parsed.refresh == Refresh.Upsert || parsed.refresh == Refresh.Scd2) {
+        val m = if (parsed.refresh == Refresh.Upsert) "upsert" else "scd2"
         if (!parsed.target.isInstanceOf[TargetSpec.File]) throw new ConfigError(
-          s"output '$name': refresh upsert is supported for s3/file targets only " +
+          s"output '$name': refresh $m is supported for s3/file targets only " +
             "(catalog/jdbc row-level merge needs a table format)")
         if (parsed.mergeKeys.isEmpty) throw new ConfigError(
-          s"output '$name': refresh upsert requires merge_keys")
+          s"output '$name': refresh $m requires merge_keys")
       }
       // manifest is a FILE-table artifact: catalog/jdbc targets have
       // their own metadata layer (the manifest would describe a path

@@ -243,6 +243,41 @@ object Framework {
     * upsert run replaces every key it carries (marking them v2, zeroing
     * cents) AND inserts a brand-new key; untouched rows must survive
     * verbatim. */
+  /** A16 extended: the SCD2 history sink. Batch 1 publishes the full
+    * snapshot; batch 2 publishes a CHANGED snapshot (every custkey % 10
+    * balance zeroed, every custkey % 7 deleted) — the read-back history
+    * must show closed v1 rows, open v2 rows, and untouched survivors,
+    * with deterministic batch numbers the oracle replays. */
+  private def fwScd2(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "scd2")
+    rmrf(s, base)
+    def yaml(sql: String) =
+      s"""job:
+         |  name: fw-scd2
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: scd2_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: scd2
+         |  merge_keys: c_custkey
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    run(s, yaml(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer""".stripMargin.replace("\n", " ")))
+    run(s, yaml(
+      """SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN CAST(0 AS BIGINT)
+        |  ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents
+        |  FROM customer WHERE c_custkey % 7 <> 0""".stripMargin.replace("\n", " ")))
+    s.read.parquet(s"$base/out")
+  }
+
   private def fwUpsert(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "upsert")
     rmrf(s, base)
@@ -993,6 +1028,19 @@ object Framework {
       """SELECT 'repartition_wins_files' AS metric, CAST(3 AS BIGINT) AS value
         |UNION ALL
         |SELECT 'coalesce_files' AS metric, CAST(2 AS BIGINT) AS value""".stripMargin)),
+    "fw_scd2" -> Q(fwScd2, Some(
+      """WITH snap AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer
+        |)
+        |SELECT c_custkey, cents, 1 AS _valid_from_batch,
+        |       CASE WHEN c_custkey % 10 = 0 OR c_custkey % 7 = 0 THEN 2 END AS _valid_to_batch,
+        |       NOT (c_custkey % 10 = 0 OR c_custkey % 7 = 0) AS _is_current
+        |FROM snap
+        |UNION ALL
+        |SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 2 AS _valid_from_batch,
+        |       NULL AS _valid_to_batch, true AS _is_current
+        |FROM snap WHERE c_custkey % 10 = 0 AND c_custkey % 7 <> 0""".stripMargin)),
     "fw_upsert" -> Q(fwUpsert, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

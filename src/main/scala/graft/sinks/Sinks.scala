@@ -49,8 +49,8 @@ object Sinks {
   private def mode(r: Refresh): SaveMode = r match {
     case Refresh.Full        => SaveMode.Overwrite
     case Refresh.Incremental => SaveMode.Append
-    case Refresh.Upsert => throw new graft.config.ConfigError(
-      "refresh: upsert is supported for file targets only (catalog/jdbc row-level " +
+    case Refresh.Upsert | Refresh.Scd2 => throw new graft.config.ConfigError(
+      s"refresh: $r is supported for file targets only (catalog/jdbc row-level " +
         "merge needs a table format)")
   }
 
@@ -124,6 +124,77 @@ object Sinks {
         fs.delete(target, true)
         if (!fs.rename(staging, target))
           throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
+
+      case TargetSpec.File(location) if out.refresh == Refresh.Scd2 =>
+        // SCD type-2 history sink: the incoming frame is a FULL snapshot;
+        // each merge-key's versions accumulate with validity metadata.
+        // Per batch b (a deterministic sequence, prior max + 1 — never a
+        // wall clock, so reruns replay and the history oracle-checks):
+        //   unchanged current rows survive untouched;
+        //   changed rows close (valid_to = b) and a new version opens;
+        //   keys missing from the snapshot close (the row was deleted);
+        //   new keys open at b. Null-safe (<=>), column-order-free
+        // change detection. Same staged-swap publish as upsert — the
+        // target is read lazily while staging writes, then atomically
+        // renamed.
+        import org.apache.spark.sql.functions.{col, lit, not}
+        if (out.mergeKeys.isEmpty) throw new graft.config.ConfigError(
+          s"output '${out.name}': refresh scd2 requires merge_keys")
+        val metaCols = Seq("_valid_from_batch", "_valid_to_batch", "_is_current")
+        metaCols.find(data.columns.contains).foreach { c =>
+          throw new graft.config.ConfigError(
+            s"output '${out.name}': column '$c' collides with scd2 metadata")
+        }
+        val dataCols = data.columns.toSeq
+        val valueCols = dataCols.filterNot(out.mergeKeys.contains)
+        val target = new org.apache.hadoop.fs.Path(location)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val result =
+          if (!fs.exists(target))
+            data.withColumn("_valid_from_batch", lit(1))
+              .withColumn("_valid_to_batch", lit(null).cast("int"))
+              .withColumn("_is_current", lit(true))
+          else {
+            val existing = spark.read.format(out.format)
+              .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+            val batch = existing.agg(
+                org.apache.spark.sql.functions.max(col("_valid_from_batch")))
+              .head.getInt(0) + 1
+            val history = existing.filter(not(col("_is_current")))
+            val current = existing.filter(col("_is_current"))
+            val inc = data.select(dataCols.map(c => col(c).as(s"__i_$c")): _*)
+            val joined = current.join(inc,
+              out.mergeKeys.map(k => col(k) === col(s"__i_$k")).reduce(_ && _),
+              "full_outer")
+            val curPresent = col(out.mergeKeys.head).isNotNull
+            val incPresent = col(s"__i_${out.mergeKeys.head}").isNotNull
+            val same = valueCols.map(c => col(c) <=> col(s"__i_$c"))
+              .foldLeft(lit(true))(_ && _)
+            val keepCols = (dataCols ++ metaCols).map(col)
+            val unchanged = joined.filter(curPresent && incPresent && same)
+              .select(keepCols: _*)
+            val closed = joined.filter(curPresent && (!incPresent || !same))
+              .select((dataCols.map(col) ++ Seq(col("_valid_from_batch"),
+                lit(batch).as("_valid_to_batch"), lit(false).as("_is_current"))): _*)
+            val opened = joined.filter(incPresent && (!curPresent || !same))
+              .select((dataCols.map(c => col(s"__i_$c").as(c)) ++ Seq(
+                lit(batch).as("_valid_from_batch"),
+                lit(null).cast("int").as("_valid_to_batch"),
+                lit(true).as("_is_current"))): _*)
+            history.unionByName(unchanged).unionByName(closed).unionByName(opened)
+          }
+        val staging = new org.apache.hadoop.fs.Path(
+          target.getParent, s".${target.getName}.__staging__")
+        fs.delete(staging, true)
+        val w = result.write.format(out.format)
+          .options(graft.sources.Sources.mapOptions(out.options))
+          .mode(SaveMode.Overwrite)
+        (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
+          .save(staging.toString)
+        if (out.manifest) writeManifest(spark, staging, out)
+        fs.delete(target, true)
+        if (!fs.rename(staging, target))
+          throw new java.io.IOException(s"staged scd2: rename $staging -> $target failed")
 
       case TargetSpec.File(location)
           if out.refresh == Refresh.Full && out.partitionKeys.isEmpty =>

@@ -53,6 +53,37 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_keys"))
   }
 
+  test("scd2: versions open, close, survive deletes, and reopen across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/scd2"
+    val scd2 = out(_.copy(target = graft.config.TargetSpec.File(dir),
+      refresh = Refresh.Scd2, mergeKeys = Seq("k")))
+    def history() = spark.read.parquet(dir).collect().map { r =>
+      (r.getInt(0), r.getString(1), r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3), r.getBoolean(4))
+    }.toSet
+    def row(k: Int, v: String, from: Int, to: Int, cur: Boolean) = (k, v, from, to, cur)
+
+    // batch 1: two keys open
+    Sinks.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "v"), scd2)
+    assert(history() == Set(row(1, "a", 1, -1, true), row(2, "b", 1, -1, true)))
+    // batch 2: key 1 unchanged, key 2 changed, key 3 new
+    Sinks.write(spark, Seq((1, "a"), (2, "b2"), (3, "c")).toDF("k", "v"), scd2)
+    assert(history() == Set(
+      row(1, "a", 1, -1, true),
+      row(2, "b", 1, 2, false), row(2, "b2", 2, -1, true),
+      row(3, "c", 2, -1, true)))
+    // batch 3: key 1 deleted (missing from snapshot), key 2 reverts to "b"
+    Sinks.write(spark, Seq((2, "b"), (3, "c")).toDF("k", "v"), scd2)
+    assert(history() == Set(
+      row(1, "a", 1, 3, false),
+      row(2, "b", 1, 2, false), row(2, "b2", 2, 3, false), row(2, "b", 3, -1, true),
+      row(3, "c", 2, -1, true)))
+    // metadata-column collision is a named config error
+    val e = intercept[graft.config.ConfigError](Sinks.write(spark,
+      Seq((1, true)).toDF("k", "_is_current"), scd2))
+    assert(e.getMessage.contains("_is_current"))
+  }
+
   test("bucketed catalog sink writes the bucket spec into the table") {
     spark.sql("DROP TABLE IF EXISTS default.sink_bkt")
     val wh = spark.conf.get("spark.sql.warehouse.dir")
