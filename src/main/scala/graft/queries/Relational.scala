@@ -1384,6 +1384,33 @@ object Relational {
              |FROM (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
              |      FROM documents)""".stripMargin)),
 
+    // Calendar-part extraction + month arithmetic beyond q26 — the
+    // cross-engine TRAP surface: Spark's dayofweek is 1-based from
+    // Sunday while DuckDB's is 0-based (oracle adds 1); date_trunc
+    // returns TIMESTAMP in Spark but DATE in DuckDB (CAST-pinned);
+    // add_months and interval-month addition both clamp to month end.
+    // All per-row projections.
+    "q66_date_parts" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderkey,
+                  quarter(o_orderdate) AS qtr,
+                  dayofweek(o_orderdate) AS dow1,
+                  dayofyear(o_orderdate) AS doy,
+                  weekofyear(o_orderdate) AS iso_week,
+                  last_day(o_orderdate) AS month_end,
+                  add_months(o_orderdate, 3) AS plus3m,
+                  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+           FROM orders""") },
+      Some("""SELECT o_orderkey,
+             |       CAST(quarter(o_orderdate) AS INT) AS qtr,
+             |       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow1,
+             |       CAST(dayofyear(o_orderdate) AS INT) AS doy,
+             |       CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+             |       last_day(o_orderdate) AS month_end,
+             |       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+             |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
+             |FROM orders""".stripMargin)),
+
     // Schema-aligning union (unionByName allowMissingColumns=true /
     // UNION ALL BY NAME): position-independent column matching with
     // null-fill for absent columns — the multi-source ingest shape
