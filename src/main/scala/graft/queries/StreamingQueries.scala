@@ -646,6 +646,46 @@ object StreamingQueries {
              |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin)),
 
+    // Ingestion drift monitor: per-source L1 distance between the
+    // arriving token-bucket histogram and the reference corpus' — the
+    // at-ingest data-quality alarm. Cross-multiplied integer L1; the
+    // only float op is the final micro-scaling (engine-replayable).
+    "st25_stream_drift" -> Q(
+      (s, d) => Streams.driftReport(
+        Streams.runToMemory(s,
+          Streams.driftHistogramStream(s, d, refSource = "src0", dims = 64),
+          "st25_drift", OutputMode.Complete()),
+        s, d, refSource = "src0", dims = 64),
+      Some("""WITH tk AS (
+             |  SELECT source, CAST(('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS INT) AS b
+             |  FROM (SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |        FROM documents)
+             |), ref AS (
+             |  SELECT b, count(*) AS rc FROM tk WHERE source = 'src0' GROUP BY b
+             |), refn AS (SELECT sum(rc) AS rn FROM ref
+             |), obs AS (
+             |  SELECT source, b, count(*) AS oc FROM tk WHERE source <> 'src0' GROUP BY source, b
+             |), obsn AS (
+             |  SELECT source, sum(oc) AS onn FROM obs GROUP BY source
+             |), nd AS (
+             |  SELECT source, count(*) AS n_docs FROM documents WHERE source <> 'src0' GROUP BY source
+             |), grid AS (
+             |  SELECT s.source, g.b, coalesce(o.oc, 0) AS oc, coalesce(r.rc, 0) AS rc
+             |  FROM (SELECT DISTINCT source FROM documents WHERE source <> 'src0') s
+             |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) g
+             |  LEFT JOIN obs o ON o.source = s.source AND o.b = g.b
+             |  LEFT JOIN ref r ON r.b = g.b
+             |), l1 AS (
+             |  SELECT grid.source, sum(abs(oc * refn.rn - rc * obsn.onn)) AS dist
+             |  FROM grid, refn
+             |  JOIN obsn ON obsn.source = grid.source
+             |  GROUP BY grid.source
+             |)
+             |SELECT nd.source, nd.n_docs, CAST(obsn.onn AS BIGINT) AS n_tokens,
+             |       CAST(floor(l1.dist * 1000000.0 / (obsn.onn * (SELECT rn FROM refn)) + 0.5) AS BIGINT) AS drift_e6
+             |FROM nd JOIN obsn ON obsn.source = nd.source
+             |JOIN l1 ON l1.source = nd.source""".stripMargin)),
+
     // Stream-stream LEFT SEMI interval join — the streaming EXISTS: a
     // click emits ONCE if any error hit its trailing window; negatives
     // are never emitted (dropped on watermark advance), so no heartbeat

@@ -236,6 +236,80 @@ object Streams {
       .withColumn("keep", col("logit_e6") >= 0L)
   }
 
+  /** Ingestion DRIFT monitor: per arriving source, the L1 distance
+    * between its md5-bucket token histogram and a reference corpus'
+    * histogram — the data-quality alarm that catches a upstream format
+    * change or topic shift at ingest, before it poisons a training mix.
+    *
+    * Exactness discipline: both histograms are integer counts and the
+    * L1 is CROSS-MULTIPLIED (|obs_b·refN − ref_b·obsN|, exact bigint)
+    * so the only float op is the final micro-scaling division —
+    * replayable in any engine (the st14 model-as-plan-literal shape).
+    *
+    * Scale shape: the reference histogram is `dims` longs baked into
+    * the plan; each doc folds its own 64-bucket histogram map-side
+    * (O(dims·tokens) per doc, no explode); ONE bounded aggregation
+    * (sources × 1 rows) with map-side elementwise combine. Complete
+    * mode over a |sources|-row result. */
+  /** The streaming half: maintain the per-(source, bucket) token
+    * histogram — each token hashes ONCE (explode of the pre-bucketed
+    * array), one bounded aggregation (|sources|·dims rows of state).
+    * This is the production monitor shape: the histogram table is what
+    * a dashboard or alert job reads continuously. */
+  def driftHistogramStream(spark: SparkSession, dir: String,
+                           refSource: String = "src0", dims: Int = 64): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    readDocumentsStream(spark, dir)
+      .filter(col("source") =!= refSource)
+      .select(col("source"),
+        explode(transform(toks, t => TextAnalysis.bucketOf(t, dims))).as("b"))
+      .groupBy(col("source"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** The batch half: score a drained histogram against the reference
+    * corpus' histogram — cross-multiplied integer L1 (|obs_b·refN −
+    * ref_b·obsN|, exact bigint; zero-filled on BOTH sides via a dense
+    * sources×dims grid), one float op at the end. The reference model
+    * is dims longs, a plan literal. */
+  def driftReport(hist: DataFrame, spark: SparkSession, dir: String,
+                  refSource: String = "src0", dims: Int = 64): DataFrame = {
+    import graft.operators.TextAnalysis
+    val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+    val static = spark.read.parquet(s"$dir/documents.parquet")
+    val ref: Array[Long] = {
+      val counts = static.filter(col("source") === refSource)
+        .select(explode(toks).as("t"))
+        .groupBy(TextAnalysis.bucketOf(col("t"), dims).as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array.tabulate(dims)(i => counts.getOrElse(i, 0L))
+    }
+    val refN = ref.sum
+    val refLit = array(ref.map(lit(_)).toIndexedSeq: _*)
+    val nDocs = static.filter(col("source") =!= refSource)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    // the source list is |sources| strings — collect it rather than
+    // self-joining the sink-backed frame (conflicting-reference trap)
+    val sources = hist.select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    val grid = spark.createDataset(sources)(Encoders.STRING).toDF("source")
+      .crossJoin(spark.range(dims).select(col("id").cast("int").as("b")))
+      .join(hist, Seq("source", "b"), "left")
+      .select(col("source"), col("b"), coalesce(col("c"), lit(0L)).as("oc"),
+        element_at(refLit, col("b") + 1).as("rc"))
+    val obsN = grid.groupBy(col("source")).agg(sum(col("oc")).as("obs_n"))
+    grid.join(broadcast(obsN), "source")
+      .groupBy(col("source"))
+      .agg(first(col("obs_n")).as("n_tokens"),
+        sum(abs(col("oc") * lit(refN) - col("rc") * col("obs_n"))).as("dist"))
+      .join(broadcast(nDocs), "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        floor(col("dist") * lit(1000000.0) / (col("n_tokens") * lit(refN)) + 0.5)
+          .cast("long").as("drift_e6"))
+  }
+
   /** Streaming benchmark decontamination: documents arriving on a stream
     * are LSH-probed against a STATIC benchmark index and flagged when
     * their exact 3-gram Jaccard against any benchmark doc reaches the
