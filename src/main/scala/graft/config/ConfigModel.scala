@@ -95,6 +95,12 @@ final case class OutputTable(
     repartition: Option[Int] = None,
     coalesce: Option[Int] = None,
     mergeKeys: Seq[String] = Nil,
+    /** `observe_cols: c1,c2` attaches Spark Observation metrics to the
+      * sink action — row count plus per-column non-null counts measured
+      * DURING the write (no second scan: at 100 TB a metrics rescan is
+      * a second job), published as `_graft_metrics.json` beside the
+      * table (file targets). */
+    observeCols: Seq[String] = Nil,
     bucketKeys: Seq[String] = Nil,
     buckets: Option[Int] = None,
     sortKeys: Seq[String] = Nil,
@@ -274,6 +280,8 @@ object ConfigParser {
         coalesce = str(t, "coalesce").map(_.toInt).filter(_ > 0),
         mergeKeys = str(t, "merge_keys")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        observeCols = str(t, "observe_cols")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         bucketKeys = str(t, "bucket_by")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         buckets = str(t, "buckets").map(_.toInt).filter(_ > 0),
@@ -320,6 +328,10 @@ object ConfigParser {
       if (parsed.manifest && !parsed.target.isInstanceOf[TargetSpec.File])
         throw new ConfigError(
           s"output '$name': manifest is supported for s3/file targets only")
+      // observe metrics publish as _graft_metrics.json beside the table
+      if (parsed.observeCols.nonEmpty && !parsed.target.isInstanceOf[TargetSpec.File])
+        throw new ConfigError(
+          s"output '$name': observe_cols is supported for s3/file targets only")
       // sort_by orders rows WITHIN each written file (parquet row-group
       // min/max pruning for range scans); under bucketing the bucket
       // spec's own sortBy governs — combining would be ambiguous.

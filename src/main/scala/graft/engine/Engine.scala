@@ -114,7 +114,33 @@ object Engine {
       // a violation throws BEFORE the sink is touched (Sinks.DataQuality).
       out.dqChecks.foreach(graft.sinks.DataQuality.enforce(result, _, out.name))
       graft.log.Log.info("writing output", "output" -> out.name)
-      Sinks.write(spark, result, out)
+      if (out.observeCols.nonEmpty) {
+        // Observation metrics ride the SINK action itself — row count and
+        // per-column non-null counts accumulate on the executors during
+        // the write, so a 100 TB publish gets audited without a second
+        // scan (manifest's footer row-count is the rescan alternative).
+        import org.apache.spark.sql.functions.{count, lit, col}
+        val obs = org.apache.spark.sql.Observation(s"graft_${out.name}")
+        val metricExprs = count(lit(1)).as("n_rows") +:
+          out.observeCols.map(c => count(col(c)).as(s"nonnull_$c"))
+        Sinks.write(spark, result.observe(obs, metricExprs.head, metricExprs.tail: _*), out)
+        val metrics = obs.get.toSeq.sortBy(_._1)
+        graft.log.Log.info("observed metrics",
+          metrics.map { case (k, v) => k -> String.valueOf(v) }: _*)
+        out.target match {
+          case TargetSpec.File(location) =>
+            val dir = new org.apache.hadoop.fs.Path(location)
+            val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val json = metrics.map { case (k, v) =>
+              "\"" + k.replace("\"", "\\\"") + "\":" + String.valueOf(v)
+            }.mkString("{", ",", "}")
+            val os = fs.create(
+              new org.apache.hadoop.fs.Path(dir, "_graft_metrics.json"), true)
+            try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            finally os.close()
+          case _ => ()
+        }
+      } else Sinks.write(spark, result, out)
       bookmarkCommits.foreach(_.apply())
     }
     result

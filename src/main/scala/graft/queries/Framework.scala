@@ -243,6 +243,48 @@ object Framework {
     * upsert run replaces every key it carries (marking them v2, zeroing
     * cents) AND inserts a brand-new key; untouched rows must survive
     * verbatim. */
+  /** Observation metrics on the sink action (`observe_cols`): row count
+    * and per-column non-null counts accumulate DURING the write — no
+    * second scan — and publish as `_graft_metrics.json` beside the
+    * table. The query returns the metrics table; the oracle recomputes
+    * the same counts from the source, proving the during-write totals
+    * equal a full recount. */
+  private def fwObserve(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "observe")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-observe
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: obs_out
+         |  target: s3
+         |  location: $base/out
+         |  observe_cols: cents,seg
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+         |  FROM customer
+         |""".stripMargin)
+    val txt = Engine.readTextFile(s, s"$base/out/_graft_metrics.json")
+    // {"n_rows":N,"nonnull_cents":N,"nonnull_seg":N} -> (metric, value)
+    val rows = txt.stripPrefix("{").stripSuffix("}").split(",").toSeq.map { kv =>
+      val Array(k, v) = kv.split(":")
+      org.apache.spark.sql.Row(k.trim.stripPrefix("\"").stripSuffix("\""), v.trim.toLong)
+    }
+    s.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("metric",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.LongType))))
+  }
+
   /** A16 extended: the SCD2 history sink. Batch 1 publishes the full
     * snapshot; batch 2 publishes a CHANGED snapshot (every custkey % 10
     * balance zeroed, every custkey % 7 deleted) — the read-back history
@@ -1028,6 +1070,13 @@ object Framework {
       """SELECT 'repartition_wins_files' AS metric, CAST(3 AS BIGINT) AS value
         |UNION ALL
         |SELECT 'coalesce_files' AS metric, CAST(2 AS BIGINT) AS value""".stripMargin)),
+    "fw_observe" -> Q(fwObserve, Some(
+      """SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM customer
+        |UNION ALL
+        |SELECT 'nonnull_cents', CAST(count(*) AS BIGINT) FROM customer
+        |UNION ALL
+        |SELECT 'nonnull_seg', CAST(count(*) AS BIGINT) FROM customer
+        |WHERE c_custkey % 5 <> 0""".stripMargin)),
     "fw_scd2" -> Q(fwScd2, Some(
       """WITH snap AS (
         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
