@@ -453,4 +453,21 @@ class ConfigParserSpec extends AnyFunSuite {
       "  {name: o, target: gdc, database: db, manifest: \"true\"}")))
     assert(e2.getMessage.contains("file targets only"))
   }
+
+  test("observe_cols: parses the column list, rejected off file targets") {
+    def yaml(outBlock: String) =
+      s"""job: {name: j, type: spark-sql}
+         |input_tables:
+         |  - {name: t, source: s3, location: /tmp/in}
+         |output_table:
+         |$outBlock
+         |sql: SELECT 1
+         |""".stripMargin
+    val ok = ConfigParser.parse(yaml(
+      "  {name: o, target: s3, location: /tmp/out, observe_cols: \"a, b\"}"))
+    assert(ok.outputTable.exists(_.observeCols == Seq("a", "b")))
+    val e = intercept[ConfigError](ConfigParser.parse(yaml(
+      "  {name: o, target: gdc, database: db, observe_cols: a}")))
+    assert(e.getMessage.contains("file targets only"))
+  }
 }
