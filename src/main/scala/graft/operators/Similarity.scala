@@ -456,25 +456,110 @@ object Similarity {
     * localCheckpointed sample so the corpus is scanned once. */
   def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
               m: Int = 8, k: Int = 16): PqModel = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val d = dim(corpus, vecCol)
     require(m > 0 && d % m == 0, s"pqTrain: dim $d must be divisible by m=$m")
     val subDim = d / m
-    val sample = prepared(corpus, vecCol)
+    // ONE collect of the bounded sample (~k·256 × d doubles — MBs), then
+    // all m sub-codebooks fit driver-side: the sample is cluster-scale
+    // work, the fit is not. The previous form ran 8 MLlib fits × 10
+    // iterations = 80 scheduler round-trips over a 4096-row frame —
+    // ~4s of pure job overhead per call (ext41 benched 5.7→~2s).
+    val sampleRows: Array[Array[Double]] = prepared(corpus, vecCol)
       .orderBy(xxhash64(col(idCol).cast("string"), lit(42L)))
       .limit(k * 256)
       .select(col("__vd"))
-      .localCheckpoint(true)
+      .collect().map(_.getSeq[Double](0).toArray)
     val codebooks = (0 until m).map { j =>
-      val sub = sample.select(array_to_vector(
-        slice(col("__vd"), j * subDim + 1, subDim)).as("__feat"))
-      new KMeans().setK(k).setSeed(42L + j).setMaxIter(10)
-        .setFeaturesCol("__feat").setPredictionCol("__cell")
-        .fit(sub)
-        .clusterCenters.toSeq.map(_.toArray.toSeq)
+      val subs = sampleRows.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      // 8 seeded restarts, keep the lowest-SSE fit (deterministic; the
+      // quality insurance MLlib got from k-means|| oversampling)
+      (0 until 8).map(r => lloydFit(subs, k, iters = 25, seed = 42L + j + 1000L * r))
+        .minBy(_._2)._1.map(_.toSeq).toSeq
     }
     PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Seeded k-means++ init + Lloyd's iterations, all in driver memory —
+    * deterministic for a fixed (sample, k, seed); returns (centers, SSE).
+    * Empty clusters keep their previous center. */
+  private def lloydFit(points: Array[Array[Double]], k: Int,
+                       iters: Int, seed: Long): (Array[Array[Double]], Double) = {
+    require(points.nonEmpty, "lloydFit: empty sample")
+    val d = points.head.length
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val x = a(i) - b(i); s += x * x; i += 1 }
+      s
+    }
+    val rnd = new scala.util.Random(seed)
+    // k-means++ seeding over the (deterministically ordered) sample
+    val centers = scala.collection.mutable.ArrayBuffer(
+      points(rnd.nextInt(points.length)).clone())
+    val minD = points.map(p => sq(p, centers.head))
+    while (centers.length < math.min(k, points.length)) {
+      val total = minD.sum
+      val pick =
+        if (total <= 0) points(rnd.nextInt(points.length)) // all-dup sample
+        else {
+          var target = rnd.nextDouble() * total; var i = 0
+          while (i < points.length - 1 && target > minD(i)) { target -= minD(i); i += 1 }
+          points(i)
+        }
+      centers += pick.clone()
+      var i = 0
+      while (i < points.length) {
+        val dd = sq(points(i), pick); if (dd < minD(i)) minD(i) = dd; i += 1
+      }
+    }
+    val cs = centers.toArray
+    // empty-cluster reseed: a center nobody claims moves to the point
+    // farthest from its assigned center (standard Lloyd's repair — keeps
+    // all k codes useful instead of wasting codebook entries)
+    def reseed(counts: Array[Long], assign: Array[Int], dists: Array[Double]): Unit = {
+      var c = 0
+      while (c < cs.length) {
+        if (counts(c) == 0) {
+          var far = 0; var i = 1
+          while (i < points.length) { if (dists(i) > dists(far)) far = i; i += 1 }
+          cs(c) = points(far).clone()
+          dists(far) = 0.0
+        }
+        c += 1
+      }
+    }
+    var sse = 0.0
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cs.length)(new Array[Double](d))
+      val counts = new Array[Long](cs.length)
+      val assign = new Array[Int](points.length)
+      val dists = new Array[Double](points.length)
+      sse = 0.0
+      var pi = 0
+      while (pi < points.length) {
+        val p = points(pi)
+        var best = 0; var bestD = sq(p, cs(0)); var c = 1
+        while (c < cs.length) {
+          val dd = sq(p, cs(c)); if (dd < bestD) { bestD = dd; best = c }; c += 1
+        }
+        sse += bestD
+        assign(pi) = best; dists(pi) = bestD
+        counts(best) += 1
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        pi += 1
+      }
+      var c = 0
+      while (c < cs.length) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < d) { cs(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      reseed(counts, assign, dists)
+    }
+    (cs, sse)
   }
 
   /** Squared L2 distance between two array<double> columns. */
