@@ -1411,6 +1411,31 @@ object Relational {
              |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
              |FROM orders""".stripMargin)),
 
+    // String-distance + field-extraction surface beyond q24: edit
+    // distance (the fuzzy-matching primitive ext68 builds its dedup
+    // verify on), delimiter field extraction (split_part), pattern
+    // counting, and fixed-width slicing — all per-row projections that
+    // spell IDENTICALLY in both dialects except regexp_count, which
+    // DuckDB phrases as len(regexp_extract_all).
+    "q67_string_distance" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey,
+                  levenshtein(c_name, reverse(c_name)) AS lev_rev,
+                  split_part(c_name, '#', 2) AS id_part,
+                  CAST(regexp_count(c_name, '[0-9]') AS BIGINT) AS n_digits,
+                  left(c_name, 4) AS head4,
+                  right(c_name, 3) AS tail3,
+                  translate(c_name, '#', '-') AS dashed
+           FROM customer""") },
+      Some("""SELECT c_custkey,
+             |       levenshtein(c_name, reverse(c_name)) AS lev_rev,
+             |       split_part(c_name, '#', 2) AS id_part,
+             |       CAST(len(regexp_extract_all(c_name, '[0-9]')) AS BIGINT) AS n_digits,
+             |       left(c_name, 4) AS head4,
+             |       right(c_name, 3) AS tail3,
+             |       translate(c_name, '#', '-') AS dashed
+             |FROM customer""".stripMargin)),
+
     // Schema-aligning union (unionByName allowMissingColumns=true /
     // UNION ALL BY NAME): position-independent column matching with
     // null-fill for absent columns — the multi-source ingest shape
