@@ -243,6 +243,40 @@ object Framework {
     * upsert run replaces every key it carries (marking them v2, zeroing
     * cents) AND inserts a brand-new key; untouched rows must survive
     * verbatim. */
+  /** Column-level lineage from the analyzed plan ([[Engine]] A4/A5 +
+    * [[graft.engine.Lineage]]): register the job's inputs, resolve its
+    * SQL, and report which source columns feed each output column —
+    * through aliases, a join, and an aggregate. Driver-side plan
+    * analysis; the oracle is the hand-derived lineage of the fixed SQL. */
+  private def fwLineage(s: SparkSession, d: String): DataFrame = {
+    import graft.config._
+    val job = ConfigParser.parse(
+      s"""job: {name: fw-lineage, type: spark-sql}
+         |input_tables:
+         |  - {name: nation, source: s3, location: $d/nation.parquet}
+         |  - {name: region, source: s3, location: $d/region.parquet}
+         |sql: >
+         |  SELECT r.r_name AS region_name, count(*) AS n_nations,
+         |    sum(n.n_nationkey + n.n_regionkey) AS key_sum
+         |  FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+         |  GROUP BY r.r_name
+         |""".stripMargin)
+    Engine.registerInputs(s, job, Map.empty, "default")
+    val result = s.sql(Engine.resolveSql(s, job, Map.empty))
+    val rows = graft.engine.Lineage.columnLineage(result).map {
+      case (o, t, c) => org.apache.spark.sql.Row(o, t, c)
+    }
+    s.createDataFrame(new java.util.ArrayList(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("output_column",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source_table",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source_column",
+          org.apache.spark.sql.types.StringType))))
+  }
+
   /** Observation metrics on the sink action (`observe_cols`): row count
     * and per-column non-null counts accumulate DURING the write — no
     * second scan — and publish as `_graft_metrics.json` beside the
@@ -1070,6 +1104,10 @@ object Framework {
       """SELECT 'repartition_wins_files' AS metric, CAST(3 AS BIGINT) AS value
         |UNION ALL
         |SELECT 'coalesce_files' AS metric, CAST(2 AS BIGINT) AS value""".stripMargin)),
+    "fw_lineage" -> Q(fwLineage, Some(
+      """SELECT 'key_sum' AS output_column, 'nation' AS source_table, 'n_nationkey' AS source_column
+        |UNION ALL SELECT 'key_sum', 'nation', 'n_regionkey'
+        |UNION ALL SELECT 'region_name', 'region', 'r_name'""".stripMargin)),
     "fw_observe" -> Q(fwObserve, Some(
       """SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM customer
         |UNION ALL
