@@ -1411,6 +1411,33 @@ object Relational {
              |       CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start
              |FROM orders""".stripMargin)),
 
+    // Map lambda surface beyond q28's construction/access:
+    // transform_keys / transform_values / map_filter / map_zip_with.
+    // DuckDB's MAP lambdas don't mirror these, so the oracle projects
+    // each op to its scalar equivalent over the same integer-cents
+    // inputs (the q28 discipline) — the Spark side still exercises the
+    // real map operators end-to-end.
+    "q68_map_lambdas" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  element_at(transform_values(m, (k, v) -> v * 2), 'qty') AS qty2,
+                  array_join(map_keys(transform_keys(m, (k, v) -> upper(k))), ',') AS ukeys,
+                  size(map_filter(m, (k, v) -> v >= 25)) AS n_big,
+                  element_at(map_zip_with(m, m2, (k, v1, v2) ->
+                    coalesce(v1, 0L) + coalesce(v2, 0L)), 'tax') AS tax_sum
+           FROM (SELECT l_orderkey, l_linenumber,
+                        map('qty', CAST(l_quantity AS BIGINT),
+                            'disc', CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS m,
+                        map('tax', CAST(floor(l_tax * 100 + 0.5) AS BIGINT)) AS m2
+                 FROM lineitem)""") },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(l_quantity AS BIGINT) * 2 AS qty2,
+             |       'QTY,DISC' AS ukeys,
+             |       CAST(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END
+             |            + CASE WHEN floor(l_discount * 100 + 0.5) >= 25 THEN 1 ELSE 0 END AS INT) AS n_big,
+             |       CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS tax_sum
+             |FROM lineitem""".stripMargin)),
+
     // String-distance + field-extraction surface beyond q24: edit
     // distance (the fuzzy-matching primitive ext68 builds its dedup
     // verify on), delimiter field extraction (split_part), pattern
