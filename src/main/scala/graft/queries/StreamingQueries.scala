@@ -646,6 +646,42 @@ object StreamingQueries {
              |WHERE rk > 1 OR (end_us // 1000) + 1800000 <= (max_us // 1000) - 1800000
              |GROUP BY user_id""".stripMargin)),
 
+    // Streaming AS-OF enrichment: each event reaches BACK to the latest
+    // rate posting at or before its event time (sparse 3-hourly dim) —
+    // stream-static candidate join (stateless, broadcast) + event-keyed
+    // argmax whose state the watermark frees. Append emits once the
+    // watermark passes the event's own time, so the oracle replays both
+    // the as-of pick and that emission arithmetic.
+    "st26_stream_asof" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.asofEnrichStream(
+          Streams.readEventsStream(s, d)
+            .withColumn("user_band", pmod(col("user_id"), lit(4)).cast("int")),
+          Streams.rateDim(s, d, bands = 4)),
+        "st26_result", OutputMode.Append()),
+      Some("""WITH e AS (
+             |  SELECT event_id, ts, CAST(user_id % 4 AS INT) AS band FROM events
+             |), mx AS (
+             |  SELECT max(ts) AS mts, date_trunc('hour', min(ts)) AS lo,
+             |         date_trunc('hour', max(ts)) AS hi
+             |  FROM events
+             |), dim AS (
+             |  SELECT b.band, g.posted_ts,
+             |         ('0x' || substr(md5(b.band || ':' || CAST(epoch(g.posted_ts) AS BIGINT)), 1, 8))::BIGINT % 1000000 AS rate_e6
+             |  FROM (SELECT unnest(range(0, 4)) AS band) b
+             |  CROSS JOIN (SELECT unnest(generate_series(lo - INTERVAL 3 HOUR, hi, INTERVAL 3 HOUR)) AS posted_ts FROM mx) g
+             |), cand AS (
+             |  SELECT e.event_id, e.ts, d.posted_ts, d.rate_e6
+             |  FROM e JOIN dim d ON d.band = e.band
+             |   AND d.posted_ts <= e.ts AND d.posted_ts > e.ts - INTERVAL 6 HOUR
+             |), agg AS (
+             |  SELECT event_id, ts, arg_max(rate_e6, posted_ts) AS rate_e6,
+             |         max(posted_ts) AS rate_ts
+             |  FROM cand GROUP BY event_id, ts
+             |)
+             |SELECT a.event_id, a.ts, CAST(a.rate_e6 AS BIGINT) AS rate_e6, a.rate_ts
+             |FROM agg a, mx WHERE a.ts < mx.mts - INTERVAL 1 HOUR""".stripMargin)),
+
     // Ingestion drift monitor: per-source L1 distance between the
     // arriving token-bucket histogram and the reference corpus' — the
     // at-ingest data-quality alarm. Cross-multiplied integer L1; the

@@ -559,6 +559,50 @@ object Streams {
         col("click_id"), col("error_id"))
   }
 
+  /** Streaming AS-OF enrichment — [[graft.operators.AsOfJoin]]'s
+    * streaming twin: each event picks up the LATEST dim row at or
+    * before its event time, from a SPARSE static dimension (rates
+    * posted every 3 hours here; an event between postings must reach
+    * BACK, which a plain hour-equality join cannot express).
+    *
+    * Shape: stream-static inner join on the candidate window (stateless
+    * — the static side broadcasts), then an event-keyed argmax
+    * aggregation picks the latest posting ≤ ts. The aggregation is the
+    * only stateful op and its state is one row per in-horizon event,
+    * freed by the watermark. max_by's tie risk is absent by
+    * construction: posting times are unique per dim series. */
+  def asofEnrichStream(events: DataFrame, dim: DataFrame,
+                       horizonHours: Int = 6): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(dim),
+        col("user_band") === col("band") &&
+          col("posted_ts") <= col("ts") &&
+          col("posted_ts") > col("ts") - expr(s"INTERVAL $horizonHours HOURS"))
+      .groupBy(col("event_id"), col("ts"))
+      .agg(max_by(col("rate_e6"), col("posted_ts")).as("rate_e6"),
+        max(col("posted_ts")).as("rate_ts"))
+
+  /** Deterministic sparse dim for [[asofEnrichStream]]: one posting per
+    * (band, every-3rd-hour) over the events fixture's time range, rate
+    * = md5-derived micro-int of (band, hour) — engine-replayable. */
+  def rateDim(spark: SparkSession, dir: String, bands: Int = 4): DataFrame = {
+    val ev = graft.queries.Tables.events(spark, dir)
+    val range = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("lo"),
+      date_trunc("hour", max(col("ts"))).as("hi")).head
+    val lo = range.getTimestamp(0); val hi = range.getTimestamp(1)
+    spark.range(bands)
+      .select(col("id").cast("int").as("band"))
+      .crossJoin(
+        spark.sql(s"SELECT explode(sequence(TIMESTAMP '$lo' - INTERVAL 3 HOURS, " +
+          s"TIMESTAMP '$hi', INTERVAL 3 HOURS)) AS posted_ts"))
+      .select(col("band"), col("posted_ts"),
+        pmod(conv(substring(md5(concat_ws(":", col("band"),
+          unix_timestamp(col("posted_ts")))), 1, 8), 16, 10).cast("long"),
+          lit(1000000L)).as("rate_e6"))
+  }
+
   /** Stream-stream LEFT SEMI interval join: clicks that saw at least one
     * error in their trailing interval — existence, not enumeration, so a
     * click with many errors emits ONCE (the stream-side EXISTS). A
