@@ -114,17 +114,15 @@ object Engine {
       // a violation throws BEFORE the sink is touched (Sinks.DataQuality).
       out.dqChecks.foreach(graft.sinks.DataQuality.enforce(result, _, out.name))
       graft.log.Log.info("writing output", "output" -> out.name)
-      if (out.observeCols.nonEmpty) {
-        // Observation metrics ride the SINK action itself — row count and
-        // per-column non-null counts accumulate on the executors during
-        // the write, so a 100 TB publish gets audited without a second
-        // scan (manifest's footer row-count is the rescan alternative).
-        import org.apache.spark.sql.functions.{count, lit, col}
-        val obs = org.apache.spark.sql.Observation(s"graft_${out.name}")
-        val metricExprs = count(lit(1)).as("n_rows") +:
-          out.observeCols.map(c => count(col(c)).as(s"nonnull_$c"))
-        Sinks.write(spark, result.observe(obs, metricExprs.head, metricExprs.tail: _*), out)
-        val metrics = obs.get.toSeq.sortBy(_._1)
+      // Observation metrics ride the SINK action itself — row count and
+      // per-column non-null counts accumulate on the executors during
+      // the write, so a 100 TB publish gets audited without a second
+      // scan. The Observation attaches inside Sinks.write to the frame
+      // the sink executes exactly once (for upsert/scd2 the merged
+      // frame — observing `result` here would put the metrics node on a
+      // subtree the merge plan references 2-3 times and multiply counts).
+      val metrics = Sinks.write(spark, result, out)
+      if (metrics.nonEmpty) {
         graft.log.Log.info("observed metrics",
           metrics.map { case (k, v) => k -> String.valueOf(v) }: _*)
         out.target match {
@@ -140,7 +138,7 @@ object Engine {
             finally os.close()
           case _ => ()
         }
-      } else Sinks.write(spark, result, out)
+      }
       bookmarkCommits.foreach(_.apply())
     }
     result

@@ -57,6 +57,20 @@ object Lineage {
         }.toMap
       case l: LeafNode =>
         l.output.map(a => a.exprId -> Set(a.exprId)).toMap
+      case u: Union =>
+        // A Union's output reuses the FIRST child's exprIds, so the
+        // generic pass-through would silently drop every later branch's
+        // sources. Map each child's i-th output onto the union's i-th
+        // output positionally (post-analysis unionByName is already a
+        // positional Union over aligned Projects) and union the leaves.
+        val childMaps = u.children.map(resolve)
+        val merged = childMaps.foldLeft(Map.empty[ExprId, Set[ExprId]])(_ ++ _)
+        merged ++ u.output.zipWithIndex.map { case (out, i) =>
+          out.exprId -> u.children.zip(childMaps).flatMap { case (c, m) =>
+            val a = c.output(i)
+            m.getOrElse(a.exprId, Set(a.exprId))
+          }.toSet
+        }.toMap
       case n =>
         val childMap = n.children.map(resolve).foldLeft(
           Map.empty[ExprId, Set[ExprId]])(_ ++ _)

@@ -465,8 +465,8 @@ object Extensions {
              |  FROM b
              |)
              |SELECT doc_id, n_tokens, bucket,
-             |       (cum - n_tokens) // 512 AS seq_id,
-             |       (cum - n_tokens) % 512 AS seq_offset
+             |       CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id,
+             |       CAST((cum - n_tokens) % 512 AS BIGINT) AS seq_offset
              |FROM c""".stripMargin)),
 
     // corpus-frequency quality score: rare-token documents score low —

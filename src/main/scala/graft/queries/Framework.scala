@@ -656,6 +656,41 @@ object Framework {
     s.read.orc(s"$base/out")
   }
 
+  /** A1/A11 avro passthrough (reference `README.md:44,53`) through graft's
+    * own container-format implementation ([[graft.sources.GraftAvroFileFormat]]
+    * — the spark-avro module is absent from this classpath): stage nation
+    * as avro INPUT, run the YAML pipeline, publish avro OUTPUT, read it
+    * back. The oracle recomputes from the raw parquet, so a value drift
+    * anywhere in the avro encode→decode→encode→decode chain fails the
+    * hash. Timestamps exercise the timestamp-micros logical type. */
+  private def fwAvro(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "avro")
+    rmrf(s, base)
+    s.read.parquet(s"$d/nation.parquet").coalesce(1)
+      .write.format("avro").save(s"$base/nation_avro")
+    run(s,
+      s"""job:
+         |  name: fw-avro
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $base/nation_avro
+         |    format: avro
+         |output_table:
+         |  name: avro_out
+         |  target: s3
+         |  location: $base/out
+         |  format: avro
+         |sql: >
+         |  SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+         |         min(n_name) AS first_nation,
+         |         timestamp_micros(CAST(n_regionkey AS BIGINT) * 1000000 + 1700000000000000) AS marker_ts
+         |  FROM nation GROUP BY n_regionkey
+         |""".stripMargin)
+    s.read.format("avro").load(s"$base/out")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -1214,6 +1249,12 @@ object Framework {
       """SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_nations,
         |       min(n.n_name) AS first_nation
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_name""".stripMargin))
+        |GROUP BY r.r_name""".stripMargin)),
+
+    "fw_avro" -> Q(fwAvro, Some(
+      """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n_name) AS first_nation,
+        |       make_timestamp(CAST(n_regionkey AS BIGINT) * 1000000 + 1700000000000000) AS marker_ts
+        |FROM nation GROUP BY n_regionkey""".stripMargin))
   )
 }

@@ -1343,17 +1343,21 @@ object Relational {
     // the row with the extreme value" without a self-join or window —
     // one map-side-combinable HashAggregate. Ties would make the picked
     // row engine-specific, so the ordering value is made UNIQUE per
-    // group (cents ⊗ orderkey — exact bigint arithmetic).
+    // group: Spark orders a (cents, orderkey) STRUCT lexicographically
+    // (injective at ANY scale, no key-range assumption); DuckDB's
+    // arg_max can't order structs, so the oracle builds the same total
+    // order in HUGEINT (cents*1e10 + orderkey — injective while
+    // orderkey < 1e10, beyond TPC-H sf1000's keyspace).
     "q64_arg_extremes" -> Q(
       (s, d) => { views(s, d); s.sql(
         """SELECT o_orderpriority,
-                  max_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
-                  min_by(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order,
+                  max_by(o_orderkey, struct(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)) AS top_order,
+                  min_by(o_orderkey, struct(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), o_orderkey)) AS bottom_order,
                   CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
            FROM orders GROUP BY o_orderpriority""") },
       Some("""SELECT o_orderpriority,
-             |       arg_max(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS top_order,
-             |       arg_min(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 10000000 + o_orderkey) AS bottom_order,
+             |       arg_max(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) * 10000000000 + o_orderkey) AS top_order,
+             |       arg_min(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS HUGEINT) * 10000000000 + o_orderkey) AS bottom_order,
              |       CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
              |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 

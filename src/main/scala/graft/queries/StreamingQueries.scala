@@ -680,7 +680,8 @@ object StreamingQueries {
              |  FROM cand GROUP BY event_id, ts
              |)
              |SELECT a.event_id, a.ts, CAST(a.rate_e6 AS BIGINT) AS rate_e6, a.rate_ts
-             |FROM agg a, mx WHERE a.ts < mx.mts - INTERVAL 1 HOUR""".stripMargin)),
+             |FROM agg a, mx
+             |WHERE epoch_ns(a.ts) // 1000000 < (epoch_ns(mx.mts) // 1000000) - 3600000""".stripMargin)),
 
     // Ingestion drift monitor: per-source L1 distance between the
     // arriving token-bucket histogram and the reference corpus' — the

@@ -92,8 +92,28 @@ object Sinks {
     finally os.close()
   }
 
-  def write(spark: SparkSession, df: DataFrame, out: OutputTable): Unit = {
+  /** Returns the `observe_cols` audit metrics collected during the write
+    * (empty when none were requested). The Observation is attached HERE,
+    * to the frame each branch executes exactly once — for upsert/scd2
+    * that is the MERGED frame, not the incoming snapshot: the snapshot's
+    * subtree appears 2-3 times inside the merge plan (anti-join + union;
+    * unchanged/closed/opened branches), so observing it upstream would
+    * multiply the counts. Attached on the merged frame the metrics
+    * describe the table as PUBLISHED, which is what a publish audit
+    * certifies anyway. */
+  def write(spark: SparkSession, df: DataFrame, out: OutputTable): Seq[(String, Any)] = {
     val data = shaped(df, out)
+    var pendingObs: Option[org.apache.spark.sql.Observation] = None
+    def observed(frame: DataFrame): DataFrame =
+      if (out.observeCols.isEmpty) frame
+      else {
+        import org.apache.spark.sql.functions.{count, lit, col}
+        val obs = org.apache.spark.sql.Observation(s"graft_${out.name}")
+        pendingObs = Some(obs)
+        val exprs = count(lit(1)).as("n_rows") +:
+          out.observeCols.map(c => count(col(c)).as(s"nonnull_$c"))
+        frame.observe(obs, exprs.head, exprs.tail: _*)
+      }
     out.target match {
       case TargetSpec.File(location) if out.refresh == Refresh.Upsert =>
         // A16 made real: row-level merge on merge_keys. Without a table
@@ -115,7 +135,7 @@ object Sinks {
         val staging = new org.apache.hadoop.fs.Path(
           target.getParent, s".${target.getName}.__staging__")
         fs.delete(staging, true)
-        val w = merged.write.format(out.format)
+        val w = observed(merged).write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(SaveMode.Overwrite)
         (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
@@ -186,7 +206,7 @@ object Sinks {
         val staging = new org.apache.hadoop.fs.Path(
           target.getParent, s".${target.getName}.__staging__")
         fs.delete(staging, true)
-        val w = result.write.format(out.format)
+        val w = observed(result).write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(SaveMode.Overwrite)
         (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
@@ -213,7 +233,7 @@ object Sinks {
         val staging = new org.apache.hadoop.fs.Path(
           target.getParent, s".${target.getName}.__staging__")
         fs.delete(staging, true)
-        data.write.format(out.format)
+        observed(data).write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(SaveMode.Overwrite)
           .save(staging.toString)
@@ -223,7 +243,7 @@ object Sinks {
           throw new java.io.IOException(s"staged publish: rename $staging -> $target failed")
 
       case TargetSpec.File(location) =>
-        val w = data.write.format(out.format)
+        val w = observed(data).write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(mode(out.refresh))
         val w2 = if (out.partitionKeys.nonEmpty) {
@@ -243,7 +263,7 @@ object Sinks {
         // partitioning/file-count knobs don't apply to a database table;
         // refresh maps to overwrite (with truncate, preserving the table
         // schema/grants) vs append.
-        data.write.format("jdbc")
+        observed(data).write.format("jdbc")
           .option("url", url).option("dbtable", table)
           .option("truncate", "true")
           .options(out.options)
@@ -251,8 +271,9 @@ object Sinks {
           .save()
 
       case TargetSpec.Catalog(database, governed) =>
-        runCatalog(spark, data, out, database, governed)
+        runCatalog(spark, observed(data), out, database, governed)
     }
+    pendingObs.map(_.get.toSeq.sortBy(_._1)).getOrElse(Nil)
   }
 
   /** Small-file compaction — the table-maintenance pass every

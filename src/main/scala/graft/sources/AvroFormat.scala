@@ -1,0 +1,467 @@
+package graft.sources
+
+import java.io.OutputStream
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+import org.apache.avro.file.{CodecFactory, DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericEnumSymbol, GenericFixed, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptContext}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData}
+import org.apache.spark.sql.execution.datasources.{FileFormat, OutputWriter, OutputWriterFactory, PartitionedFile}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Avro container-file support (reference A1/A11 format passthrough,
+  * `/root/reference/README.md:44,53`, `glue/glue_etl_framework.py:90-91`)
+  * as a native Spark `FileFormat`, built directly on the avro-1.12 core
+  * library (the spark-avro datasource module is not on this classpath).
+  *
+  * Registered under short name `avro` via `DataSourceRegister`, so
+  * `spark.read.format("avro")` and every existing graft source/sink path
+  * (partitioned writes, staged-swap publish, schema evolution) work
+  * unchanged.
+  *
+  * Scale design:
+  *  - READ is block-SPLITTABLE: avro container files interleave sync
+  *    markers every block, so a 10 GB file fans out across executors —
+  *    each split seeks to the first sync past its start
+  *    (`reader.sync(start)`) and stops at the first block past its end
+  *    (`pastSync(end)`), the same contract as Hadoop's AvroInputFormat.
+  *  - Per-file work builds the field-resolution table ONCE (file schema
+  *    resolved against the required schema BY NAME — column pruning means
+  *    unread fields are skipped at decode level, and writer-schema drift
+  *    fills absent columns with null), then streams records.
+  *  - WRITE streams through `DataFileWriter` with a configurable codec
+  *    (`compression` option: snappy default, deflate/zstandard/null).
+  *
+  * Type mapping (both directions): boolean/int/long/float/double/string,
+  * bytes/fixed→binary, enum→string, nullable unions `[null, T]`,
+  * record→struct, array, map(string-keyed), date (int logical),
+  * timestamp-micros/-millis (long logical). Decimal and interval types are
+  * rejected up front via `supportDataType` — a declared non-goal, matching
+  * the fixtures' surface.
+  */
+class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serializable {
+
+  override def shortName(): String = "avro"
+  override def toString: String = "GraftAvro"
+
+  override def inferSchema(spark: SparkSession,
+                           options: Map[String, String],
+                           files: Seq[FileStatus]): Option[StructType] = {
+    val conf = spark.sessionState.newHadoopConfWithOptions(options)
+    files.find(f => f.getLen > 0 && !f.getPath.getName.startsWith("_")
+        && !f.getPath.getName.startsWith(".")).map { f =>
+      val in = new FsInput(f.getPath, conf)
+      try {
+        val reader = DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+        try AvroConversions.toSqlStruct(reader.getSchema)
+        finally reader.close()
+      } finally in.close()
+    }
+  }
+
+  override def isSplitable(spark: SparkSession,
+                           options: Map[String, String],
+                           path: Path): Boolean = true
+
+  override def supportDataType(dataType: DataType): Boolean = dataType match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType | DateType |
+         TimestampType => true
+    case ArrayType(et, _) => supportDataType(et)
+    case MapType(StringType, vt, _) => supportDataType(vt)
+    case st: StructType => st.fields.forall(f => supportDataType(f.dataType))
+    case _ => false
+  }
+
+  override def prepareWrite(spark: SparkSession,
+                            job: Job,
+                            options: Map[String, String],
+                            dataSchema: StructType): OutputWriterFactory = {
+    val avroJson = AvroConversions.toAvroSchema(dataSchema).toString
+    val codec = options.getOrElse("compression", "snappy")
+    new OutputWriterFactory {
+      override def getFileExtension(context: TaskAttemptContext): String = ".avro"
+      override def newInstance(path: String,
+                               dataSchema: StructType,
+                               context: TaskAttemptContext): OutputWriter =
+        new AvroOutputWriter(path, context, dataSchema, avroJson, codec)
+    }
+  }
+
+  override def buildReader(spark: SparkSession,
+                           dataSchema: StructType,
+                           partitionSchema: StructType,
+                           requiredSchema: StructType,
+                           filters: Seq[Filter],
+                           options: Map[String, String],
+                           hadoopConf: Configuration):
+      PartitionedFile => Iterator[InternalRow] = {
+    val confBc = spark.sparkContext.broadcast(new SerializableHadoopConf(hadoopConf))
+    (file: PartitionedFile) => {
+      val in = new FsInput(file.toPath, confBc.value.value)
+      val reader: DataFileReader[GenericRecord] =
+        DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+          .asInstanceOf[DataFileReader[GenericRecord]]
+      // split protocol: first sync at-or-after start; stop once the block
+      // containing the next record begins at-or-after the split end
+      reader.sync(file.start)
+      val end = file.start + file.length
+      Option(TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.close()))
+      // per-file resolution: required column -> (file field position, converter)
+      val fileSchema = reader.getSchema
+      val fields = requiredSchema.fields.map { sf =>
+        Option(fileSchema.getField(sf.name)).map { ff =>
+          (ff.pos(), AvroConversions.readerFor(ff.schema(), sf.dataType))
+        }
+      }
+      new Iterator[InternalRow] {
+        private var closed = false
+        override def hasNext: Boolean = !closed && {
+          val more = reader.hasNext && !reader.pastSync(end)
+          if (!more) { reader.close(); closed = true }
+          more
+        }
+        override def next(): InternalRow = {
+          val rec = reader.next()
+          val out = new Array[Any](fields.length)
+          var i = 0
+          while (i < fields.length) {
+            out(i) = fields(i) match {
+              case Some((pos, conv)) =>
+                val v = rec.get(pos)
+                if (v == null) null else conv(v)
+              case None => null // column absent in this file (evolution)
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+      }
+    }
+  }
+}
+
+/** Hadoop's Configuration is not java-serializable; ship it to executors
+  * via its own Writable protocol (the spark-internal equivalent is
+  * `private[spark]`, so graft carries its own 12-line wrapper). */
+private[sources] class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
+private[sources] class AvroOutputWriter(val path: String,
+                                        context: TaskAttemptContext,
+                                        dataSchema: StructType,
+                                        avroSchemaJson: String,
+                                        codecName: String) extends OutputWriter {
+  private val avroSchema = new Schema.Parser().parse(avroSchemaJson)
+  private val writer = new DataFileWriter[GenericRecord](
+    new GenericDatumWriter[GenericRecord](avroSchema))
+  writer.setCodec(CodecFactory.fromString(codecName))
+  private val stream: OutputStream = {
+    val p = new Path(path)
+    p.getFileSystem(context.getConfiguration).create(p, false)
+  }
+  writer.create(avroSchema, stream)
+  private val toAvro = AvroConversions.rowWriter(dataSchema, avroSchema)
+
+  override def write(row: InternalRow): Unit = writer.append(toAvro(row))
+  override def close(): Unit = writer.close()
+}
+
+/** Avro ↔ Catalyst schema and value conversion for the supported subset. */
+private[sources] object AvroConversions {
+
+  // ---- schema: avro -> catalyst -------------------------------------
+
+  def toSqlStruct(s: Schema): StructType = toSqlType(s)._1 match {
+    case st: StructType => st
+    case other => throw new IllegalArgumentException(
+      s"avro: top-level schema must be a record, got $other")
+  }
+
+  /** (catalyst type, nullable). Unions beyond `[null, T]` are rejected. */
+  def toSqlType(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.INT =>
+      s.getLogicalType match {
+        case _: LogicalTypes.Date => (DateType, false)
+        case _ => (IntegerType, false)
+      }
+    case Schema.Type.LONG =>
+      s.getLogicalType match {
+        case _: LogicalTypes.TimestampMicros | _: LogicalTypes.TimestampMillis =>
+          (TimestampType, false)
+        case _ => (LongType, false)
+      }
+    case Schema.Type.FLOAT  => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (dt, nullable) = toSqlType(f.schema())
+        StructField(f.name(), dt, nullable)
+      }), false)
+    case Schema.Type.ARRAY =>
+      val (et, en) = toSqlType(s.getElementType)
+      (ArrayType(et, en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = toSqlType(s.getValueType)
+      (MapType(StringType, vt, vn), false)
+    case Schema.Type.UNION =>
+      s.getTypes.asScala.filterNot(_.getType == Schema.Type.NULL) match {
+        case scala.collection.mutable.Buffer(one) =>
+          val (dt, _) = toSqlType(one)
+          (dt, true)
+        case other => throw new IllegalArgumentException(
+          s"avro: unsupported union ${other.map(_.getType).mkString("[", ",", "]")} " +
+            "(only [null, T] unions map to SQL)")
+      }
+    case t => throw new IllegalArgumentException(s"avro: unsupported type $t")
+  }
+
+  // ---- schema: catalyst -> avro -------------------------------------
+
+  def toAvroSchema(st: StructType): Schema =
+    toAvroRecord(st, "topLevelRecord", "graft.avro")
+
+  private def toAvroRecord(st: StructType, name: String, ns: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = toAvroField(f.dataType, f.name, s"$ns.$name")
+      val sch =
+        if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, sch,
+        null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, ns, false, java.util.Arrays.asList(fields: _*))
+  }
+
+  private def toAvroField(dt: DataType, name: String, ns: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case LongType => Schema.create(Schema.Type.LONG)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case ArrayType(et, containsNull) =>
+      val elem = toAvroField(et, s"${name}_item", ns)
+      Schema.createArray(
+        if (containsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), elem)
+        else elem)
+    case MapType(StringType, vt, valueContainsNull) =>
+      val v = toAvroField(vt, s"${name}_value", ns)
+      Schema.createMap(
+        if (valueContainsNull) Schema.createUnion(Schema.create(Schema.Type.NULL), v)
+        else v)
+    case st: StructType => toAvroRecord(st, name, ns)
+    case other => throw new IllegalArgumentException(
+      s"avro: unsupported SQL type $other for field '$name'")
+  }
+
+  // ---- values: avro -> catalyst -------------------------------------
+
+  /** Converter for NON-NULL avro values of `avro` schema into catalyst
+    * values of `dt`. Built once per (file, column), applied per record. */
+  def readerFor(avro: Schema, dt: DataType): AnyRef => Any = {
+    val a = avro.getType match {
+      case Schema.Type.UNION =>
+        avro.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(avro)
+      case _ => avro
+    }
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType =>
+        (a.getType, dt) match {
+          // writer-schema widening (int file field read as long, etc.)
+          case (Schema.Type.INT, LongType) =>
+            v => v.asInstanceOf[java.lang.Integer].longValue()
+          case (Schema.Type.FLOAT, DoubleType) =>
+            v => v.asInstanceOf[java.lang.Float].doubleValue()
+          case _ => v => v
+        }
+      case DateType => v => v.asInstanceOf[java.lang.Integer].intValue()
+      case TimestampType => a.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis =>
+          v => v.asInstanceOf[java.lang.Long].longValue() * 1000L
+        case _ => v => v
+      }
+      case StringType => {
+        case e: GenericEnumSymbol[_] => UTF8String.fromString(e.toString)
+        case cs => UTF8String.fromString(cs.toString)
+      }
+      case BinaryType => {
+        case bb: ByteBuffer =>
+          val out = new Array[Byte](bb.remaining())
+          bb.duplicate().get(out)
+          out
+        case fx: GenericFixed => fx.bytes().clone()
+        case other => other
+      }
+      case st: StructType =>
+        val subs = st.fields.map { sf =>
+          Option(a.getField(sf.name)).map(ff =>
+            (ff.pos(), readerFor(ff.schema(), sf.dataType)))
+        }
+        v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          val out = new Array[Any](subs.length)
+          var i = 0
+          while (i < subs.length) {
+            out(i) = subs(i) match {
+              case Some((pos, conv)) =>
+                val x = rec.get(pos)
+                if (x == null) null else conv(x)
+              case None => null
+            }
+            i += 1
+          }
+          new GenericInternalRow(out)
+        }
+      case ArrayType(et, _) =>
+        val conv = readerFor(a.getElementType, et)
+        v => {
+          val coll = v.asInstanceOf[java.util.Collection[AnyRef]]
+          val out = new Array[Any](coll.size())
+          val it = coll.iterator()
+          var i = 0
+          while (it.hasNext) {
+            val x = it.next()
+            out(i) = if (x == null) null else conv(x)
+            i += 1
+          }
+          new GenericArrayData(out)
+        }
+      case MapType(StringType, vt, _) =>
+        val conv = readerFor(a.getValueType, vt)
+        v => {
+          val m = v.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+          val keys = new Array[Any](m.size())
+          val vals = new Array[Any](m.size())
+          val it = m.entrySet().iterator()
+          var i = 0
+          while (it.hasNext) {
+            val e = it.next()
+            keys(i) = UTF8String.fromString(e.getKey.toString)
+            val x = e.getValue
+            vals(i) = if (x == null) null else conv(x)
+            i += 1
+          }
+          ArrayBasedMapData(keys, vals)
+        }
+      case other => throw new IllegalArgumentException(
+        s"avro: unsupported read type $other")
+    }
+  }
+
+  // ---- values: catalyst -> avro -------------------------------------
+
+  /** InternalRow -> GenericRecord for the given catalyst/avro schema pair
+    * (the avro schema is always [[toAvroSchema]] of the catalyst one). */
+  def rowWriter(st: StructType, avro: Schema): InternalRow => GenericRecord = {
+    val writers = st.fields.zipWithIndex.map { case (f, i) =>
+      val fieldSchema = avro.getFields.get(i).schema()
+      (i, valueWriter(f.dataType, nonNull(fieldSchema)))
+    }
+    row => {
+      val rec = new GenericData.Record(avro)
+      writers.foreach { case (i, w) =>
+        rec.put(i, if (row.isNullAt(i)) null else w(row, i))
+      }
+      rec
+    }
+  }
+
+  private def nonNull(s: Schema): Schema = s.getType match {
+    case Schema.Type.UNION =>
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    case _ => s
+  }
+
+  /** Writer from a Catalyst container (row or array) position to an avro
+    * value; `get(container, i)` styles differ, so use SpecializedGetters. */
+  private def valueWriter(dt: DataType, avro: Schema):
+      (org.apache.spark.sql.catalyst.expressions.SpecializedGetters, Int) => AnyRef = dt match {
+    case BooleanType => (g, i) => java.lang.Boolean.valueOf(g.getBoolean(i))
+    case IntegerType | DateType => (g, i) => java.lang.Integer.valueOf(g.getInt(i))
+    case ShortType => (g, i) => java.lang.Integer.valueOf(g.getShort(i).toInt)
+    case ByteType => (g, i) => java.lang.Integer.valueOf(g.getByte(i).toInt)
+    case LongType | TimestampType => (g, i) => java.lang.Long.valueOf(g.getLong(i))
+    case FloatType => (g, i) => java.lang.Float.valueOf(g.getFloat(i))
+    case DoubleType => (g, i) => java.lang.Double.valueOf(g.getDouble(i))
+    case StringType => (g, i) => g.getUTF8String(i).toString
+    case BinaryType => (g, i) => ByteBuffer.wrap(g.getBinary(i))
+    case st: StructType =>
+      val sub = rowWriterForStruct(st, avro)
+      (g, i) => sub(g.getStruct(i, st.size))
+    case ArrayType(et, _) =>
+      val elemSchema = nonNull(avro.getElementType)
+      val ew = valueWriter(et, elemSchema)
+      (g, i) => {
+        val arr: ArrayData = g.getArray(i)
+        val out = new java.util.ArrayList[AnyRef](arr.numElements())
+        var j = 0
+        while (j < arr.numElements()) {
+          out.add(if (arr.isNullAt(j)) null else ew(arr, j))
+          j += 1
+        }
+        new GenericData.Array(avro, out)
+      }
+    case MapType(StringType, vt, _) =>
+      val vw = valueWriter(vt, nonNull(avro.getValueType))
+      (g, i) => {
+        val m = g.getMap(i)
+        val out = new java.util.HashMap[String, AnyRef](m.numElements())
+        val ks = m.keyArray(); val vs = m.valueArray()
+        var j = 0
+        while (j < m.numElements()) {
+          out.put(ks.getUTF8String(j).toString,
+            if (vs.isNullAt(j)) null else vw(vs, j))
+          j += 1
+        }
+        out
+      }
+    case other => throw new IllegalArgumentException(
+      s"avro: unsupported write type $other")
+  }
+
+  private def rowWriterForStruct(st: StructType, avro: Schema): InternalRow => GenericRecord = {
+    val writers = st.fields.zipWithIndex.map { case (f, i) =>
+      (i, valueWriter(f.dataType, nonNull(avro.getFields.get(i).schema())))
+    }
+    row => {
+      val rec = new GenericData.Record(avro)
+      writers.foreach { case (i, w) =>
+        rec.put(i, if (row.isNullAt(i)) null else w(row, i))
+      }
+      rec
+    }
+  }
+}

@@ -31,10 +31,11 @@ object Sources {
     opts.collect { case (k, v) if k != "optimizePerformance" =>
       glueOptionNames.getOrElse(k, k) -> v }
 
-  // `avro` deliberately absent: /opt/spark/jars ships avro-core but not the
-  // spark-avro datasource, so format("avro") fails at runtime — better a
-  // clear config error up front.
-  private val knownFormats = Set("parquet", "csv", "json", "orc", "text")
+  // `avro` resolves to graft's own [[GraftAvroFileFormat]] (registered via
+  // DataSourceRegister): /opt/spark/jars ships avro-core but not the
+  // spark-avro datasource module, so the container format is implemented
+  // directly on the core library.
+  private val knownFormats = Set("parquet", "csv", "json", "orc", "text", "avro")
 
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
     case SourceSpec.File(location, format, options, schema) =>

@@ -497,7 +497,7 @@ object Streams {
     val q = df.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sinks.Sinks.write(spark, batch, out)
+        graft.sinks.Sinks.write(spark, batch, out): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
@@ -588,15 +588,22 @@ object Streams {
     * = md5-derived micro-int of (band, hour) — engine-replayable. */
   def rateDim(spark: SparkSession, dir: String, bands: Int = 4): DataFrame = {
     val ev = graft.queries.Tables.events(spark, dir)
+    // Collect the bounds as epoch MICROS (timezone-free longs), never as
+    // java.sql.Timestamp: a Timestamp renders via toString in the JVM
+    // default zone but would re-parse as a literal under the UTC session
+    // zone, shifting every posting instant by the zone offset on any
+    // non-UTC JVM (and with it the as-of picks and md5-derived rates).
     val range = ev.agg(
-      date_trunc("hour", min(col("ts"))).as("lo"),
-      date_trunc("hour", max(col("ts"))).as("hi")).head
-    val lo = range.getTimestamp(0); val hi = range.getTimestamp(1)
+      unix_micros(date_trunc("hour", min(col("ts")))).as("lo"),
+      unix_micros(date_trunc("hour", max(col("ts")))).as("hi")).head
+    val loUs = range.getLong(0); val hiUs = range.getLong(1)
     spark.range(bands)
       .select(col("id").cast("int").as("band"))
       .crossJoin(
-        spark.sql(s"SELECT explode(sequence(TIMESTAMP '$lo' - INTERVAL 3 HOURS, " +
-          s"TIMESTAMP '$hi', INTERVAL 3 HOURS)) AS posted_ts"))
+        spark.range(1).select(explode(sequence(
+          timestamp_micros(lit(loUs)) - expr("INTERVAL 3 HOURS"),
+          timestamp_micros(lit(hiUs)),
+          expr("INTERVAL 3 HOURS"))).as("posted_ts")))
       .select(col("band"), col("posted_ts"),
         pmod(conv(substring(md5(concat_ws(":", col("band"),
           unix_timestamp(col("posted_ts")))), 1, 8), 16, 10).cast("long"),

@@ -33,4 +33,20 @@ class LineageSpec extends SparkSpec {
         |SELECT upper(n_name) FROM nation""".stripMargin)
     assert(Lineage.columnLineage(df) == Seq(("x", "nation", "n_name")))
   }
+
+  test("union lineage includes DISTINCT sources from later branches") {
+    // the pass-through regression: Union's output reuses branch 1's
+    // exprIds, so branch 2's distinct source column must still appear
+    spark.read.parquet(s"$dir/nation.parquet").createOrReplaceTempView("nation")
+    spark.read.parquet(s"$dir/region.parquet").createOrReplaceTempView("region")
+    val df = spark.sql(
+      """SELECT n_name AS nm, n_nationkey AS k FROM nation
+        |UNION ALL
+        |SELECT r_name, r_regionkey + 100 FROM region""".stripMargin)
+    assert(Lineage.columnLineage(df).toSet == Set(
+      ("nm", "nation", "n_name"),
+      ("nm", "region", "r_name"),
+      ("k", "nation", "n_nationkey"),
+      ("k", "region", "r_regionkey")))
+  }
 }

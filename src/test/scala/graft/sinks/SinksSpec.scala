@@ -53,6 +53,27 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_keys"))
   }
 
+  test("observe metrics under upsert count the published table exactly once") {
+    // regression: observing the INCOMING snapshot upstream of the merge
+    // multiplied the counts (its subtree appears twice in the merge plan:
+    // anti-join probe + union branch). Attached to the merged frame the
+    // metrics must equal the published table, counted once.
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/obs"
+    val obsOut = out(_.copy(target = TargetSpec.File(dir),
+      refresh = Refresh.Upsert, mergeKeys = Seq("k"), observeCols = Seq("v")))
+    Sinks.write(spark, Seq((1, "old1"), (2, "old2")).toDF("k", "v"),
+      out(_.copy(target = TargetSpec.File(dir))))
+    val m = Sinks.write(spark,
+      Seq((2, "new2"), (3, null.asInstanceOf[String])).toDF("k", "v"), obsOut).toMap
+    // published table = {1->old1, 2->new2, 3->null}: 3 rows, 2 non-null v
+    assert(m("n_rows") == 3L)
+    assert(m("nonnull_v") == 2L)
+    // plain full refresh still audits the incoming frame
+    val m2 = Sinks.write(spark, Seq((7, "x"), (8, "y")).toDF("k", "v"),
+      out(_.copy(target = TargetSpec.File(dir), observeCols = Seq("v")))).toMap
+    assert(m2("n_rows") == 2L && m2("nonnull_v") == 2L)
+  }
+
   test("scd2: versions open, close, survive deletes, and reopen across batches") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/scd2"
     val scd2 = out(_.copy(target = graft.config.TargetSpec.File(dir),

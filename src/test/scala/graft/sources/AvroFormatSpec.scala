@@ -1,0 +1,127 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class AvroFormatSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String) =
+    java.nio.file.Files.createTempDirectory(s"avro-$tag").toString + "/t"
+
+  test("avro round-trip: primitives, nulls, date and timestamp-micros") {
+    val dir = tmp("prim")
+    val df = spark.sql(
+      """SELECT id,
+               CAST(id AS INT) AS i,
+               CAST(id * 1.5 AS DOUBLE) AS d,
+               CASE WHEN id % 3 = 0 THEN NULL ELSE concat('s', id) END AS s,
+               id % 2 = 0 AS b,
+               CAST(id AS FLOAT) AS f,
+               DATE '2026-01-01' + make_interval(0, 0, 0, CAST(id AS INT)) AS dt,
+               timestamp_micros(1700000000000000 + id * 1000001) AS ts,
+               encode(concat('b', id), 'UTF-8') AS bin
+        FROM range(100)""")
+    df.write.format("avro").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
+
+  test("avro round-trip: array, map, nested struct") {
+    val dir = tmp("nested")
+    val df = spark.sql(
+      """SELECT id,
+               array(id, id + 1, NULL) AS arr,
+               map(concat('k', id), id * 2, 'fixed', NULL) AS m,
+               named_struct('a', id, 'b', concat('x', id),
+                            'c', named_struct('deep', id * 10)) AS st
+        FROM range(50)""")
+    df.write.format("avro").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    // file sources force nullable on read schemas (parquet behaves the same)
+    def allNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(
+          st.fields.map(f => f.copy(dataType = allNullable(f.dataType), nullable = true)))
+      case at: org.apache.spark.sql.types.ArrayType =>
+        at.copy(elementType = allNullable(at.elementType))
+      case mt: org.apache.spark.sql.types.MapType =>
+        mt.copy(valueType = allNullable(mt.valueType))
+      case o => o
+    }
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, allNullable(f.dataType))))
+    // MapType is not comparable via exceptAll; compare exploded
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.select(col("id"), col("arr"),
+          map_entries(col("m")).as("me"), col("st"))
+        .withColumn("me", array_sort(col("me")))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df))
+  }
+
+  test("avro read prunes columns and fills evolved-away columns with null") {
+    val dir = tmp("evol")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("avro").save(dir)
+    // pruned read: only v
+    assert(spark.read.format("avro").load(dir).select("v")
+      .as[String].collect().sorted.toSeq == Seq("a", "b"))
+    // evolved read: explicit schema with a column the files lack -> null
+    val evolved = spark.read.format("avro")
+      .schema("k BIGINT, v STRING, missing INT").load(dir)
+    assert(evolved.filter(col("missing").isNull).count() == 2)
+  }
+
+  test("avro write partitions by key and the partitioned read restores it") {
+    val dir = tmp("part")
+    Seq((1, "x", "p1"), (2, "y", "p2"), (3, "z", "p1"))
+      .toDF("k", "v", "p").write.format("avro").partitionBy("p").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    assert(back.select("k", "v", "p").collect().toSet ==
+      Set(Row(1, "x", "p1"), Row(2, "y", "p2"), Row(3, "z", "p1")))
+    // partition pruning applies (file listing level)
+    assert(back.filter(col("p") === "p1").count() == 2)
+  }
+
+  test("avro splits: a multi-block file reads identically and in parallel") {
+    val dir = tmp("split")
+    // force tiny avro blocks (sync interval floor is 32 bytes... use many
+    // rows so the file spans MANY sync blocks), then read with a tiny
+    // maxPartitionBytes so Spark carves the file into >1 split
+    spark.range(20000)
+      .select(col("id"), concat(lit("payload_"), col("id")).as(("s")))
+      .coalesce(1)
+      .write.format("avro").option("compression", "null").save(dir)
+    withSQLConf("spark.sql.files.maxPartitionBytes" -> "16384",
+                "spark.sql.files.openCostInBytes" -> "0") {
+      val back = spark.read.format("avro").load(dir)
+      assert(back.rdd.getNumPartitions > 1,
+        s"expected >1 split, got ${back.rdd.getNumPartitions}")
+      assert(back.count() == 20000)
+      assert(back.agg(sum("id")).as[Long].head == 20000L * 19999 / 2)
+    }
+  }
+
+  test("avro via the framework source/sink path (Sources.load + Sinks)") {
+    val dir = tmp("fw")
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    graft.sinks.Sinks.write(spark, df,
+      graft.config.OutputTable(name = "avro_out",
+        target = graft.config.TargetSpec.File(dir), format = "avro"))
+    val back = Sources.load(spark, graft.config.SourceSpec.File(
+      location = dir, format = "avro", options = Map.empty, schema = None))
+    assert(back.collect().toSet == Set(Row(1, "a"), Row(2, "b")))
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+}
