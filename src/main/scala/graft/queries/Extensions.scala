@@ -1722,6 +1722,32 @@ object Extensions {
              |              i -> ord(substr(text, i, 1))))) AS BIGINT) AS total_byte_sum
              |FROM documents GROUP BY source""".stripMargin)),
 
+    // REAL image codec round-trip: plant an actual PNG per document
+    // (geometry + two-tone red fill closed-form in doc_id), decode it
+    // back through javax.imageio, and let the oracle recompute every
+    // decoded property from the planting formula. The bytes cross a
+    // genuine PNG encoder AND decoder — width/height/pixel sums can only
+    // match if both ends actually work.
+    "ext74_image_codec" -> Q(
+      (s, d) => Multimodal.decodeImages(
+          Multimodal.encodePng(docs(s, d), "doc_id", "source")).toDF()
+        .select(col("doc_id"), col("width"), col("height"), col("n_pixels"),
+          col("sum_red"), col("px_first_red"), col("px_last_red")),
+      Some("""WITH p AS (
+             |  SELECT doc_id,
+             |         1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+             |         doc_id % 256 AS a, (doc_id * 7 + 3) % 256 AS b,
+             |         (1 + doc_id % 16) // 2 AS s
+             |  FROM documents
+             |)
+             |SELECT doc_id,
+             |       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             |       CAST(w * h AS BIGINT) AS n_pixels,
+             |       CAST(h * (s * a + (w - s) * b) AS BIGINT) AS sum_red,
+             |       CAST(CASE WHEN s > 0 THEN a ELSE b END AS INT) AS px_first_red,
+             |       CAST(b AS INT) AS px_last_red
+             |FROM p""".stripMargin)),
+
     // content-defined chunking: the DuckDB side replays tokenization, the
     // md5-prefix gear hash, every cut decision, and each chunk's
     // reassembled text + content hash — the full boundary arithmetic,

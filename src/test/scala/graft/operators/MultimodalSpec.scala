@@ -50,6 +50,35 @@ class MultimodalSpec extends SparkSpec {
     assert(r("t") == ((1L, 1L, 'c'.toLong)))
   }
 
+  test("png encode/decode round-trips geometry and pixel values") {
+    val df = Seq((0L, "x", "s"), (5L, "y", "s"), (300L, "z", "t"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.encodePng(df, "doc_id", "source").collect()
+    // payloads are genuine PNG containers (magic bytes)
+    media.foreach { m =>
+      assert((m.payload(0) & 0xff) == 0x89 && new String(m.payload.slice(1, 4)) == "PNG")
+      assert(m.meta.format == "image/png" && m.meta.n_bytes == m.payload.length)
+    }
+    val feats = Multimodal.decodeImages(
+        Multimodal.encodePng(df, "doc_id", "source"))
+      .collect().map(f => f.doc_id -> f).toMap
+    // id=5: w=6 h=6, a=5 b=38, split=3 -> sum_red = 6*(3*5 + 3*38) = 774
+    assert(feats(5L).width == 6 && feats(5L).height == 6)
+    assert(feats(5L).sum_red == 774L)
+    assert(feats(5L).px_first_red == 5 && feats(5L).px_last_red == 38)
+    // id=0: w=1 h=1, split=0 -> everything is b = 3
+    assert(feats(0L).width == 1 && feats(0L).n_pixels == 1L && feats(0L).sum_red == 3L)
+    // id=300: w=1+300%16=13, h=1+300%8=5, a=44, b=(2103)%256=55, s=6
+    assert(feats(300L).width == 13 && feats(300L).height == 5)
+    assert(feats(300L).sum_red == 5L * (6 * 44 + 7 * 55))
+    // corrupt payload fails fast, not silently
+    val bad = Seq(Multimodal.MediaDoc(9L, Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("image/png", 3L, "s")))
+    val ds = spark.createDataset(bad)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaDoc])
+    intercept[org.apache.spark.SparkException](Multimodal.decodeImages(ds).collect())
+  }
+
   test("dedupBySignature groups identical-after-downsample payloads") {
     // factor 2 keeps chars at even indices: "abcdef" -> "ace",
     // "axcxex" -> "ace" (same!), "zzzzzz" -> "zzz"
