@@ -652,6 +652,35 @@ object StreamingQueries {
     // argmax whose state the watermark frees. Append emits once the
     // watermark passes the event's own time, so the oracle replays both
     // the as-of pick and that emission arithmetic.
+    // streaming → AVRO sink → avro read-back: the graft FileFormat
+    // (sources/AvroFormat.scala) under the streaming batch-sink machinery
+    // — every micro-batch appends avro container files through
+    // foreachBatch → Sinks.write, and the batch read decodes them. The
+    // oracle recomputes from the raw events, so any avro encode/decode
+    // drift (values, timestamp logical type, partition restore) fails
+    // the hash.
+    "st27_stream_avro_sink" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "avrosink")
+        Streams.runToSink(s,
+          Streams.readEventsStream(s, d)
+            .select(col("event_id"), col("user_id"), col("event_type"),
+              col("ts"),
+              floor(col("value") * 100 + 0.5).cast("long").as("value_cents")),
+          graft.config.OutputTable(
+            name = "st27_out",
+            target = graft.config.TargetSpec.File(s"$base/out"),
+            format = "avro",
+            refresh = graft.config.Refresh.Incremental,
+            partitionKeys = Seq("event_type")),
+          s"$base/ckpt")
+        s.read.format("avro").load(s"$base/out")
+          .select("event_id", "user_id", "event_type", "ts", "value_cents")
+      },
+      Some("""SELECT event_id, user_id, event_type, ts,
+             |       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
+             |FROM events""".stripMargin)),
+
     "st26_stream_asof" -> Q(
       (s, d) => Streams.runToMemory(s,
         Streams.asofEnrichStream(

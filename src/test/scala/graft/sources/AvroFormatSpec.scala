@@ -105,6 +105,22 @@ class AvroFormatSpec extends SparkSpec {
     }
   }
 
+  test("avro as a file STREAM source (readStream through the FileFormat)") {
+    val dir = tmp("stream")
+    spark.range(500).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .write.format("avro").save(dir)
+    val q = spark.readStream.schema("id BIGINT, v STRING").format("avro")
+      .load(dir)
+      .groupBy().agg(count(lit(1)).as("n"), sum(col("id")).as("s"))
+      .writeStream.format("memory").queryName("avro_stream_t")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = spark.table("avro_stream_t").collect().head
+    assert(r.getLong(0) == 500L && r.getLong(1) == 500L * 499 / 2)
+  }
+
   test("avro via the framework source/sink path (Sources.load + Sinks)") {
     val dir = tmp("fw")
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
