@@ -112,19 +112,34 @@ class GraftAvroFileFormat extends FileFormat with DataSourceRegister with Serial
     val confBc = spark.sparkContext.broadcast(new SerializableHadoopConf(hadoopConf))
     (file: PartitionedFile) => {
       val in = new FsInput(file.toPath, confBc.value.value)
+      val datumReader = new GenericDatumReader[GenericRecord]()
       val reader: DataFileReader[GenericRecord] =
-        DataFileReader.openReader(in, new GenericDatumReader[GenericRecord]())
+        DataFileReader.openReader(in, datumReader)
           .asInstanceOf[DataFileReader[GenericRecord]]
+      // COLUMN PRUNING at the decode level: hand avro's schema-resolution
+      // machinery a reader schema containing only the required columns —
+      // writer fields absent from it are SKIPPED (length-hop over the
+      // encoded bytes, no object materialization). On a wide table
+      // projected to a few columns this is the difference between
+      // decoding everything and decoding what the query asked for.
+      val fileSchema = reader.getSchema
+      val prunedFields = fileSchema.getFields.asScala.toSeq
+        .filter(f => requiredSchema.fieldNames.contains(f.name))
+        .map(f => new Schema.Field(f, f.schema()))
+      val readerSchema = Schema.createRecord(fileSchema.getName,
+        null, fileSchema.getNamespace, false,
+        java.util.Arrays.asList(prunedFields: _*))
+      datumReader.setExpected(readerSchema)
       // split protocol: first sync at-or-after start; stop once the block
       // containing the next record begins at-or-after the split end
       reader.sync(file.start)
       val end = file.start + file.length
       Option(TaskContext.get()).foreach(
         _.addTaskCompletionListener[Unit](_ => reader.close()))
-      // per-file resolution: required column -> (file field position, converter)
-      val fileSchema = reader.getSchema
+      // required column -> (reader-schema position, converter); None for
+      // columns absent from this file (schema evolution -> null-fill)
       val fields = requiredSchema.fields.map { sf =>
-        Option(fileSchema.getField(sf.name)).map { ff =>
+        Option(readerSchema.getField(sf.name)).map { ff =>
           (ff.pos(), AvroConversions.readerFor(ff.schema(), sf.dataType))
         }
       }
