@@ -151,4 +151,24 @@ class PlanAuditSpec extends SparkSpec {
         && !readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
       s"scan reads more than the projection needs: $readSchema")
   }
+
+  // The avro scan (graft's own FileFormat) must show the same pruning
+  // discipline: the required schema reaching the scan drives the pruned
+  // avro READER schema, so unprojected columns are skip-decoded (a
+  // length hop over the bytes), never materialized.
+  test("column pruning reaches the avro scan's required schema") {
+    import org.apache.spark.sql.functions.col
+    val avroDir = java.nio.file.Files.createTempDirectory("plan-avro").toString + "/t"
+    spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+      .limit(1000)
+      .write.format("avro").save(avroDir)
+    val plan = spark.read.format("avro").load(avroDir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .queryExecution.executedPlan.toString
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
+        && !readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
+      s"avro scan reads more than the projection needs: $readSchema")
+  }
 }
