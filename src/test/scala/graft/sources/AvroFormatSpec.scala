@@ -132,6 +132,22 @@ class AvroFormatSpec extends SparkSpec {
     assert(back.collect().toSet == Set(Row(1, "a"), Row(2, "b")))
   }
 
+  test("avro tables compact through the maintenance pass") {
+    val dir = tmp("compact")
+    // three appends -> >=3 files; compact to 1, content preserved
+    (1 to 3).foreach { i =>
+      spark.range((i - 1) * 10, i * 10).toDF("id")
+        .write.format("avro").mode("append").save(dir)
+    }
+    def files() = new java.io.File(dir).listFiles
+      .count(f => f.getName.endsWith(".avro"))
+    assert(files() >= 3)
+    graft.sinks.Sinks.compact(spark, dir, "avro", nFiles = 1)
+    assert(files() == 1)
+    assert(spark.read.format("avro").load(dir)
+      .agg(sum(col("id"))).as[Long].head == (0 until 30).sum.toLong)
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
