@@ -473,18 +473,23 @@ object Dedup {
     val exploded = docs
       .select(col(idCol).as("doc_id"), posexplode(linesCol).as(Seq("pos", "line")))
       .filter(length(trim(col("line"))) > 0)
-    val winners = exploded.groupBy(col("line"))
+    // Winner per line = min (doc_id, pos): one map-side-combinable
+    // aggregate — skew-safe, because a boilerplate line repeated millions
+    // of times combines to ONE partial per map task before the shuffle.
+    // The winner row already carries everything the output needs
+    // (line, doc_id, pos), so reassembly is a direct second aggregate —
+    // the previous shape joined winners back to the exploded set, which
+    // recomputed the explode and paid a third full shuffle for what was
+    // an identity match. Plan now: scan → partial+final agg(line) →
+    // agg(doc_id). Two shuffles, one scan, nothing re-keyed by a hot line.
+    exploded.groupBy(col("line"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first_at"))
-      .select(col("line").as("w_line"),
-        col("first_at.doc_id").as("w_doc_id"), col("first_at.pos").as("w_pos"))
-    exploded.join(winners,
-        col("line") === col("w_line") &&
-        col("doc_id") === col("w_doc_id") && col("pos") === col("w_pos"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("first_at.doc_id").as("doc_id"))
       .agg(
         count(lit(1)).as("n_lines_kept"),
         array_join(transform(array_sort(collect_list(
-          struct(col("pos"), col("line")))), _.getField("line")),
+          struct(col("first_at.pos").as("pos"), col("line").as("line")))),
+          _.getField("line")),
           joinWith).as("text"))
   }
 
