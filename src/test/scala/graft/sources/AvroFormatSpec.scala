@@ -148,6 +148,41 @@ class AvroFormatSpec extends SparkSpec {
       .agg(sum(col("id"))).as[Long].head == (0 until 30).sum.toLong)
   }
 
+  test("property: random nested rows survive the avro round-trip") {
+    import org.scalacheck.Gen
+    // one rich fixed schema, many random valuations (incl. nulls, empty
+    // arrays/maps, unicode strings, negative numbers, epoch-edge
+    // timestamps) — the value-conversion surface the example-based tests
+    // can't sweep
+    val gen: Gen[(Long, Option[String], Option[Double], List[Option[Long]],
+                  Map[String, Option[Int]], (Int, Option[String]))] = for {
+      id <- Gen.choose(Long.MinValue / 2, Long.MaxValue / 2)
+      s  <- Gen.option(Gen.oneOf(Gen.alphaNumStr,
+              Gen.const("héllo 世界"), Gen.const("")))
+      d  <- Gen.option(Gen.oneOf(Gen.choose(-1e12, 1e12), Gen.const(0.0)))
+      ar <- Gen.listOfN(3, Gen.option(Gen.choose(-1000L, 1000L)))
+      mp <- Gen.mapOfN(2, Gen.zip(Gen.identifier.map(_.take(8)),
+              Gen.option(Gen.choose(-50, 50))))
+      st <- Gen.zip(Gen.choose(-100, 100), Gen.option(Gen.alphaNumStr))
+    } yield (id, s, d, ar, mp, st)
+    val rows = Gen.listOfN(200, gen).sample.getOrElse(Nil)
+    assert(rows.nonEmpty)
+    val df = rows.map { case (id, s, d, ar, mp, st) =>
+        (id, s.orNull, d.map(java.lang.Double.valueOf).orNull,
+         ar.map(_.map(java.lang.Long.valueOf).orNull),
+         mp.map { case (k, v) => k -> v.map(java.lang.Integer.valueOf).orNull },
+         st match { case (a, b) => (a, b.orNull) })
+      }.toDF("id", "s", "d", "ar", "mp", "st")
+    val dir = tmp("prop")
+    df.write.format("avro").save(dir)
+    val back = spark.read.format("avro").load(dir)
+    def canon(x: org.apache.spark.sql.DataFrame) =
+      x.select(col("id"), col("s"), col("d"), col("ar"),
+          array_sort(map_entries(col("mp"))).as("me"), col("st"))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(back) == canon(df))
+  }
+
   private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
     val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
     pairs.foreach { case (k, v) => spark.conf.set(k, v) }
