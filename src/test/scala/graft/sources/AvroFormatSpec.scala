@@ -148,6 +148,22 @@ class AvroFormatSpec extends SparkSpec {
       .agg(sum(col("id"))).as[Long].head == (0 until 30).sum.toLong)
   }
 
+  test("avro honors ignoreCorruptFiles: valid shards survive a garbage one") {
+    val dir = tmp("corrupt")
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.format("avro").save(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-garbage.avro"),
+      Array.fill[Byte](64)(0x5a))
+    // strict default: the corrupt shard is an error, not silent data loss
+    intercept[org.apache.spark.SparkException] {
+      spark.read.format("avro").schema("k BIGINT, v STRING").load(dir).collect()
+    }
+    withSQLConf("spark.sql.files.ignoreCorruptFiles" -> "true") {
+      val back = spark.read.format("avro").schema("k BIGINT, v STRING").load(dir)
+      assert(back.count() == 2)
+    }
+  }
+
   test("property: random nested rows survive the avro round-trip") {
     import org.scalacheck.Gen
     // one rich fixed schema, many random valuations (incl. nulls, empty
