@@ -161,6 +161,75 @@ object Multimodal {
       }
     }(Encoders.product[ImageFeatures])
 
+  // ---- real audio codec (javax.sound.sampled — JDK built-in) ---------
+
+  final case class AudioFeatures(doc_id: Long, sample_rate: Int, channels: Int,
+                                 n_samples: Long, sum_samples: Long,
+                                 peak_abs: Int)
+
+  /** Plant a REAL WAV (RIFF/PCM 16-bit mono, 8 kHz) per row: sample count
+    * and every sample value closed-form in `doc_id` (n = 100 + id%400,
+    * sample[i] = ((id*31 + i*7919) mod 65536) - 32768). The payload is a
+    * genuine WAV container from `AudioSystem.write` — decoding it takes a
+    * genuine parser, and each decoded property has a formula an SQL
+    * oracle can recompute. Executor-side, O(clip) memory per row. */
+  def encodeWav(docs: DataFrame, idCol: String, sourceCol: String): Dataset[MediaDoc] =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"))
+      .as(Encoders.product[(Long, String)])
+      .mapPartitions { rows =>
+        rows.map { case (id, source) =>
+          val n = 100 + (id % 400).toInt
+          val pcm = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val s = (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+            pcm(2 * i) = (s & 0xff).toByte          // little-endian 16-bit
+            pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            /*signed*/ true, /*bigEndian*/ false)
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          val out = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+          val wav = out.toByteArray
+          MediaDoc(id, wav, MediaMeta("audio/wav", wav.length.toLong, source))
+        }
+      }(Encoders.product[MediaDoc])
+
+  /** REAL audio decode: parse the WAV container back through the JDK's
+    * audio system — container header (sample rate, channels) plus the
+    * full PCM payload re-read as signed little-endian 16-bit samples —
+    * and fold sample-level properties (sum, peak) the oracle recomputes
+    * from the planting formula. A truncated/garbage payload throws
+    * (fail-fast, same contract as [[decodeImages]]). */
+  def decodeWav(media: Dataset[MediaDoc]): Dataset[AudioFeatures] =
+    media.mapPartitions { docs =>
+      docs.map { m =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+          s"doc ${m.doc_id}: expected 16-bit little-endian PCM, got $fmt")
+        val pcm = ais.readAllBytes()
+        val n = pcm.length / (2 * fmt.getChannels)
+        var sum = 0L
+        var peak = 0
+        var i = 0
+        while (i < pcm.length - 1) {
+          val s = ((pcm(i) & 0xff) | (pcm(i + 1) << 8)).toShort.toInt
+          sum += s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 2
+        }
+        AudioFeatures(m.doc_id, fmt.getSampleRate.toInt, fmt.getChannels,
+          n.toLong, sum, peak)
+      }
+    }(Encoders.product[AudioFeatures])
+
   /** Media dedup by payload signature — the thumbnail-hash shape every
     * image pipeline uses: hash the DOWNSAMPLED payload (pass this the
     * [[resizeStub]] output; a real pipeline hashes the decoded, resized

@@ -1748,6 +1748,29 @@ object Extensions {
              |       CAST(b AS INT) AS px_last_red
              |FROM p""".stripMargin)),
 
+    // REAL audio codec round-trip: plant an actual WAV (RIFF/PCM 16-bit
+    // mono) per document with every sample closed-form in doc_id, decode
+    // it back through javax.sound.sampled, and let the oracle recompute
+    // the container header fields and sample-level folds from the
+    // planting formula — a genuine encoder AND parser must both work.
+    "ext75_audio_codec" -> Q(
+      (s, d) => Multimodal.decodeWav(
+          Multimodal.encodeWav(docs(s, d), "doc_id", "source")).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("sum_samples"), col("peak_abs")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, 100 + doc_id % 400 AS n FROM documents
+             |)
+             |SELECT doc_id,
+             |       CAST(8000 AS INT) AS sample_rate,
+             |       CAST(1 AS INT) AS channels,
+             |       CAST(n AS BIGINT) AS n_samples,
+             |       CAST(list_sum(list_transform(range(0, CAST(n AS BIGINT)),
+             |              i -> ((doc_id * 31 + i * 7919) % 65536) - 32768)) AS BIGINT) AS sum_samples,
+             |       CAST(list_max(list_transform(range(0, CAST(n AS BIGINT)),
+             |              i -> abs(((doc_id * 31 + i * 7919) % 65536) - 32768))) AS INT) AS peak_abs
+             |FROM p""".stripMargin)),
+
     // content-defined chunking: the DuckDB side replays tokenization, the
     // md5-prefix gear hash, every cut decision, and each chunk's
     // reassembled text + content hash — the full boundary arithmetic,

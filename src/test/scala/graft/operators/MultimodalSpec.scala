@@ -79,6 +79,37 @@ class MultimodalSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](Multimodal.decodeImages(ds).collect())
   }
 
+  test("wav encode/decode round-trips header fields and sample values") {
+    val df = Seq((0L, "x", "s"), (97L, "y", "s")).toDF("doc_id", "text", "source")
+    val media = Multimodal.encodeWav(df, "doc_id", "source").collect()
+    media.foreach { m =>
+      // genuine RIFF/WAVE container magic
+      assert(new String(m.payload.slice(0, 4)) == "RIFF")
+      assert(new String(m.payload.slice(8, 12)) == "WAVE")
+      assert(m.meta.format == "audio/wav")
+    }
+    val feats = Multimodal.decodeWav(
+        Multimodal.encodeWav(df, "doc_id", "source"))
+      .collect().map(f => f.doc_id -> f).toMap
+    // id=97: n=197; fold replayed in the spec's own loop
+    var sum = 0L; var peak = 0
+    for (i <- 0 until 197) {
+      val s = (((97L * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+      sum += s; peak = math.max(peak, math.abs(s))
+    }
+    assert(feats(97L).sample_rate == 8000 && feats(97L).channels == 1)
+    assert(feats(97L).n_samples == 197L)
+    assert(feats(97L).sum_samples == sum && feats(97L).peak_abs == peak)
+    // id=0: n=100, every sample = (0 % 65536) - 32768 + i*7919 folds
+    assert(feats(0L).n_samples == 100L)
+    // corrupt payload fails fast
+    val bad = Seq(Multimodal.MediaDoc(9L, Array[Byte](1, 2, 3),
+      Multimodal.MediaMeta("audio/wav", 3L, "s")))
+    val ds = spark.createDataset(bad)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaDoc])
+    intercept[org.apache.spark.SparkException](Multimodal.decodeWav(ds).collect())
+  }
+
   test("dedupBySignature groups identical-after-downsample payloads") {
     // factor 2 keeps chars at even indices: "abcdef" -> "ace",
     // "axcxex" -> "ace" (same!), "zzzzzz" -> "zzz"
