@@ -1771,6 +1771,29 @@ object Extensions {
              |              i -> abs(((doc_id * 31 + i * 7919) % 65536) - 32768))) AS INT) AS peak_abs
              |FROM p""".stripMargin)),
 
+    // REAL multi-frame (video-analog) codec round-trip: plant an actual
+    // animated GIF per document (frame count, geometry and each frame's
+    // gray fill closed-form in doc_id; exact 256-gray palette so the
+    // 8-bit indexed round-trip has NO quantization), then frame-sample
+    // every 2nd frame through the genuine container parser — skipped
+    // frames are never rasterized, which is the point of frame sampling.
+    "ext76_frame_codec" -> Q(
+      (s, d) => Multimodal.sampleGifFrames(
+          Multimodal.encodeGif(docs(s, d), "doc_id", "source"), stride = 2).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("gray")),
+      Some("""WITH p AS (
+             |  SELECT doc_id, 2 + doc_id % 6 AS nf,
+             |         CAST(1 + doc_id % 8 AS INT) AS w,
+             |         CAST(1 + doc_id % 4 AS INT) AS h
+             |  FROM documents
+             |), f AS (
+             |  SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM p
+             |)
+             |SELECT doc_id, CAST(fi AS INT) AS frame_idx, w AS width, h AS height,
+             |       CAST((doc_id * 17 + fi * 29) % 256 AS INT) AS gray
+             |FROM f WHERE fi % 2 = 0""".stripMargin)),
+
     // content-defined chunking: the DuckDB side replays tokenization, the
     // md5-prefix gear hash, every cut decision, and each chunk's
     // reassembled text + content hash — the full boundary arithmetic,

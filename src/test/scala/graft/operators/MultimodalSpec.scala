@@ -110,6 +110,29 @@ class MultimodalSpec extends SparkSpec {
     intercept[org.apache.spark.SparkException](Multimodal.decodeWav(ds).collect())
   }
 
+  test("gif encode/frame-sample round-trips multi-frame geometry and pixels") {
+    val df = Seq((0L, "x", "s"), (13L, "y", "s")).toDF("doc_id", "text", "source")
+    val media = Multimodal.encodeGif(df, "doc_id", "source").collect()
+    media.foreach { m =>
+      assert(new String(m.payload.slice(0, 6)) == "GIF89a" ||
+             new String(m.payload.slice(0, 6)) == "GIF87a")
+      assert(m.meta.format == "image/gif")
+    }
+    // id=13: nf = 2+13%6 = 3, w = 1+13%8 = 6, h = 1+13%4 = 2,
+    // gray(f) = (13*17 + f*29) % 256 = (221 + 29f) % 256
+    val all = Multimodal.sampleGifFrames(
+        Multimodal.encodeGif(df, "doc_id", "source"), stride = 1)
+      .collect().filter(_.doc_id == 13L).sortBy(_.frame_idx)
+    assert(all.map(_.frame_idx).toSeq == Seq(0, 1, 2))
+    assert(all.forall(f => f.width == 6 && f.height == 2))
+    assert(all.map(_.gray).toSeq == Seq(221, 250, (221 + 58) % 256))
+    // stride 2 keeps frames 0 and 2 only
+    val strided = Multimodal.sampleGifFrames(
+        Multimodal.encodeGif(df, "doc_id", "source"), stride = 2)
+      .collect().filter(_.doc_id == 13L).map(_.frame_idx).sorted.toSeq
+    assert(strided == Seq(0, 2))
+  }
+
   test("dedupBySignature groups identical-after-downsample payloads") {
     // factor 2 keeps chars at even indices: "abcdef" -> "ace",
     // "axcxex" -> "ace" (same!), "zzzzzz" -> "zzz"
