@@ -252,14 +252,17 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"))
       .as(Encoders.product[(Long, String)])
       .mapPartitions { rows =>
+        // one registry lookup per PARTITION, not per row (ImageWriter is
+        // reusable sequentially via reset(); the iterator is sequential)
+        lazy val writer = javax.imageio.ImageIO
+          .getImageWritersByFormatName("gif").next()
         rows.map { case (id, source) =>
           val nf = 2 + (id % 6).toInt
           val w = 1 + (id % 8).toInt
           val h = 1 + (id % 4).toInt
           val out = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(out)
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("gif").next()
+          writer.reset()
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -279,7 +282,6 @@ object Multimodal {
             f += 1
           }
           writer.endWriteSequence()
-          writer.dispose()
           ios.close()
           val gif = out.toByteArray
           MediaDoc(id, gif, MediaMeta("image/gif", gif.length.toLong, source))
@@ -293,11 +295,12 @@ object Multimodal {
   def sampleGifFrames(media: Dataset[MediaDoc], stride: Int): Dataset[GifFrame] = {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     media.mapPartitions { docs =>
+      lazy val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("gif").next()
       docs.flatMap { m =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
-        val reader = javax.imageio.ImageIO
-          .getImageReadersByFormatName("gif").next()
+        reader.reset()
         reader.setInput(iis, false)
         val nf = reader.getNumImages(true)
         val outFrames = (0 until nf by stride).map { f =>
@@ -305,7 +308,6 @@ object Multimodal {
           GifFrame(m.doc_id, f, img.getWidth, img.getHeight,
             img.getRGB(0, 0) & 0xff)
         }
-        reader.dispose()
         iis.close()
         outFrames
       }
