@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over corpus-derived graphs (kNN similarity graphs,
+  * duplicate-cluster graphs, citation/link graphs). Complements
+  * [[Dedup.clusters]] (connected components via label propagation) with
+  * centrality.
+  */
+object Graph {
+
+  /** PageRank by power iteration — exact INTEGER arithmetic in micro
+    * units, so every engine replays the identical ranks (the fixture
+    * discipline: floats only where a single rounded division is
+    * provable, here not even that).
+    *
+    * Recurrence (classic PageRank with damping 0.85, uniform
+    * personalization, no dangling mass — callers pass a graph where
+    * every node has out-degree ≥ 1, e.g. a kNN graph):
+    *
+    *   r₀(v)    = 1_000_000                       (micro-units, sums to N·1e6)
+    *   c(u)     = r(u) div outdeg(u)              (floor division)
+    *   r'(v)    = 150_000 + (85 · Σ_{u→v} c(u)) div 100
+    *
+    * Scale shape: `ranks` is a nodes-sized frame (id, rank); each
+    * iteration is ONE hash join edges⋈ranks on src (edges shuffle once
+    * if pre-partitioned by src — at 100 TB bucket the edge table) and
+    * ONE groupBy(dst) aggregation with map-side combine, then a left
+    * join back onto the node list for in-degree-0 nodes. The loop
+    * builds a single lazy plan `iters` deep — fine for the ~10
+    * iterations PageRank needs; for long chains pass `checkpointEvery`
+    * to cut lineage with a localCheckpoint (the standard iterative-
+    * algorithm discipline; truncates the plan, keeps partitioning).
+    *
+    * Input: `edges` with (srcCol, dstCol) — parallel edges count twice,
+    * matching the multigraph semantics of a kNN edge list. Output:
+    * (node, pr_e6, out_deg, in_deg).
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, checkpointEvery: Int = 0): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    // leased persist: the edge list feeds every iteration plus the
+    // degree frames; at 100 TB this is the one input you cache (or
+    // bucket by src on disk) rather than re-scan `iters` times.
+    graft.util.Caching.leased(e) {
+      val outDeg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("out_deg"))
+      val inDeg = e.groupBy(col("dst").as("node"))
+        .agg(count(lit(1)).as("in_deg"))
+      // node universe = endpoints of either side
+      val nodes = outDeg.select(col("node"))
+        .unionByName(inDeg.select(col("node"))).distinct()
+      val degreed = e.join(outDeg.withColumnRenamed("node", "src"), "src")
+
+      var ranks = nodes.withColumn("r", lit(1000000L))
+      var i = 0
+      while (i < iters) {
+        val contrib = degreed
+          .join(ranks.withColumnRenamed("node", "src"), "src")
+          .select(col("dst"), expr("r div out_deg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
+        if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0)
+          ranks = ranks.localCheckpoint(true)
+        i += 1
+      }
+      ranks
+        .join(outDeg, Seq("node"), "left")
+        .join(inDeg, Seq("node"), "left")
+        .select(col("node"), col("r").as("pr_e6"),
+          coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    }
+  }
+}

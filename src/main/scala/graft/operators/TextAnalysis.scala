@@ -1006,4 +1006,97 @@ object TextAnalysis {
           col("n_chars_t")).as("top2_char_e6"),
         e6(dupOcc(col("tri")), size(col("tri"))).as("dup3_e6"))
   }
+
+  /** Subword tokenization by greedy longest-match against a fixed piece
+    * vocabulary — WordPiece inference (see
+    * [[graft.functions.GreedyPieces]] for the algorithm and the
+    * native-expression rationale). The vocabulary is a static artifact
+    * exactly like a tokenizer's vocab file: it rides the plan as a
+    * literal, compiled once into a match table on the driver.
+    *
+    * Output per document: piece and `<unk>` counts plus `pieces_sig`,
+    * the md5 of the space-joined piece sequence — so a checker must
+    * reproduce the ENTIRE segmentation, not just its length. Pure
+    * narrow projection: no shuffle, no UDF, scan speed at 100 TB. */
+  def wordpiece(docs: DataFrame, idCol: String, textCol: String,
+                vocab: Seq[String]): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(docs.sparkSession)
+    val pieces = call_function("greedy_pieces", col(textCol), typedlit(vocab))
+    docs
+      .select(col(idCol).as("doc_id"), pieces.as("ps"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("long").as("n_pieces"),
+        size(filter(col("ps"), p => p === "<unk>")).cast("long").as("n_unk"),
+        md5(array_join(col("ps"), " ")).as("pieces_sig"))
+  }
+
+  /** Query-parameter names that carry tracking state, not content
+    * identity — dropped during URL canonicalization (each entry is a
+    * full regex matched against the parameter NAME). */
+  val trackingParams: Seq[String] = Seq("utm_[^=]*", "gclid", "fbclid", "ref")
+
+  /** URL extraction + canonicalization — the Common-Crawl curation key:
+    * web-scale corpora dedup and cap BY CANONICAL URL before any
+    * content pass, because the same page arrives under dozens of
+    * surface forms (scheme/host case, default ports, tracking params,
+    * fragments, trailing slashes). One row per extracted URL:
+    * `(doc_id, url_pos, url_raw, canonical_url, host, n_dropped_params)`.
+    *
+    * Canonical form (deterministic, engine-replayable — every step is a
+    * plain string function, no URL library):
+    *   1. strip one trailing run of prose punctuation from the match;
+    *   2. cut the fragment (first `#`) and the query (first `?`);
+    *   3. lowercase scheme and host; drop `:80` (http) / `:443` (https);
+    *   4. trim trailing `/` runs from the path;
+    *   5. drop query params whose NAME matches [[trackingParams]],
+    *      keeping the survivors' original order.
+    *
+    * Scale shape: a pure narrow projection + per-row explode of the
+    * match array — no shuffle, no UDF; the downstream dedup/cap by
+    * `canonical_url` is the [[graft.operators.Dedup.exact]] /
+    * [[Sampling.groupCap]] shape on the canonical key. */
+  def urlCanon(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // raw match: scheme://non-space run, case-insensitive scheme, then
+    // shed the trailing punctuation a sentence contributes ("...end).",)
+    val matches = regexp_extract_all(col(textCol),
+      lit("(?i)\\bhttps?://\\S+"), lit(0))
+    val dePunct = (u: Column) => regexp_replace(u, "[.,;:!?)\\]'\"]+$", "")
+    val noFrag = (u: Column) => substring_index(u, "#", 1)
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), posexplode(matches).as(Seq("url_pos", "m")))
+      .withColumn("url_raw", dePunct(col("m")))
+      // base = scheme://host[:port]/path, q = raw query (after FIRST ?)
+      .withColumn("nf", noFrag(col("url_raw")))
+      .withColumn("base", substring_index(col("nf"), "?", 1))
+      .withColumn("q", when(col("nf").contains("?"),
+        expr("substring(nf, length(base) + 2)")).otherwise(lit("")))
+      .withColumn("scheme", lower(substring_index(col("base"), "://", 1)))
+      .withColumn("rest", expr("substring(base, length(scheme) + 4)"))
+      .withColumn("hostport", substring_index(col("rest"), "/", 1))
+      .withColumn("path",
+        regexp_replace(expr("substring(rest, length(hostport) + 1)"), "/+$", ""))
+      .withColumn("host", lower(substring_index(col("hostport"), ":", 1)))
+      .withColumn("port", when(col("hostport").contains(":"),
+        expr("substring(hostport, length(host) + 2)")).otherwise(lit("")))
+      .withColumn("port", when(
+        (col("scheme") === "http" && col("port") === "80") ||
+        (col("scheme") === "https" && col("port") === "443"), lit(""))
+        .otherwise(col("port")))
+    val isTracking = (p: Column) => trackingParams
+      .map(re => regexp_like(substring_index(p, "=", 1), lit(s"^($re)$$")))
+      .reduce(_ || _)
+    exploded
+      .withColumn("params", filter(split(col("q"), "&"), p => p =!= ""))
+      .withColumn("kept", filter(col("params"), p => !isTracking(p)))
+      .select(col("doc_id"), col("url_pos").cast("long").as("url_pos"),
+        col("url_raw"),
+        concat(col("scheme"), lit("://"), col("host"),
+          when(col("port") =!= "", concat(lit(":"), col("port"))).otherwise(lit("")),
+          col("path"),
+          when(size(col("kept")) > 0,
+            concat(lit("?"), array_join(col("kept"), "&"))).otherwise(lit("")))
+          .as("canonical_url"),
+        col("host"),
+        (size(col("params")) - size(col("kept"))).cast("long").as("n_dropped_params"))
+  }
 }

@@ -25,6 +25,19 @@ object Extensions {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** ext78's piece vocabulary — a static artifact (a tokenizer vocab
+    * file), shared verbatim between the Spark plan and the oracle SQL.
+    * Multi-char pieces segment the fixture's vocabulary words; the
+    * single letters are the char-level fallback tier (so only
+    * non-ASCII-letter input reaches `<unk>`). */
+  private val pieceVocab: Seq[String] = Seq(
+    "tab", "le", "win", "dow", "spark", "str", "eam", "qu", "ery",
+    "cus", "tom", "er", "val", "ue", "gr", "oup", "ord", "data",
+    "jo", "in", "sm", "all", "fil", "ter", "ve", "ctor", "ba", "tch",
+    "sc", "an", "so", "rt", "li", "ne", "co", "lumn", "ha", "sh",
+    "me", "rge", "ro", "ke", "the", "ag", "par", "fa", "slo", "big",
+    "row", "key") ++ ('a' to 'z').map(_.toString)
+
   val all: Seq[(String, Q)] = Seq(
 
     "ext01_exact_dedup" -> Q(
@@ -1794,6 +1807,173 @@ object Extensions {
              |       CAST((doc_id * 17 + fi * 29) % 256 AS INT) AS gray
              |FROM f WHERE fi % 2 = 0""".stripMargin)),
 
+    // URL canonicalization — the Common-Crawl dedup/cap key. Planted
+    // rows (the ext29 discipline) exercise every canonical rule: case
+    // folding, default vs explicit ports, tracking params, fragments,
+    // trailing slashes, prose punctuation; the corpus rides through the
+    // same extraction scan (zero matches — vocabulary text). The oracle
+    // replays the entire string pipeline step for step in DuckDB.
+    "ext77_url_canon" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (-1L, "see HTTPS://Example.COM:443/Path/To/Page/?utm_source=x&id=9#frag " +
+            "and http://foo.bar:8080/a?x=1&utm_campaign=z&y=2."),
+          (-2L, "plain http://example.com/ then http://example.com " +
+            "and dup HTTP://EXAMPLE.com/?fbclid=abc"),
+          (-3L, "no links in this row at all"),
+          (-4L, "mid http://a.b/c/d/?ref=h, tail http://a.b/c/d")
+        ).toDF("doc_id", "text")
+        TextAnalysis.urlCanon(
+          docs(s, d).select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (CAST(-1 AS BIGINT), 'see HTTPS://Example.COM:443/Path/To/Page/?utm_source=x&id=9#frag and http://foo.bar:8080/a?x=1&utm_campaign=z&y=2.'),
+             |    (CAST(-2 AS BIGINT), 'plain http://example.com/ then http://example.com and dup HTTP://EXAMPLE.com/?fbclid=abc'),
+             |    (CAST(-3 AS BIGINT), 'no links in this row at all'),
+             |    (CAST(-4 AS BIGINT), 'mid http://a.b/c/d/?ref=h, tail http://a.b/c/d')
+             |  ) v(doc_id, text)
+             |), arrs AS (
+             |  SELECT doc_id, regexp_extract_all(text, '(?i)\bhttps?://\S+') AS us
+             |  FROM corpus
+             |), m AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(us) + 1),
+             |    i -> {'p': i - 1, 'u': us[i]})) AS z
+             |  FROM arrs
+             |), r AS (
+             |  SELECT doc_id, CAST(z.p AS BIGINT) AS url_pos,
+             |         regexp_replace(z.u, '[.,;:!?)\]''"]+$', '') AS url_raw
+             |  FROM m
+             |), parts AS (
+             |  SELECT doc_id, url_pos, url_raw,
+             |         split_part(url_raw, '#', 1) AS nf
+             |  FROM r
+             |), pq AS (
+             |  SELECT *, split_part(nf, '?', 1) AS base,
+             |         CASE WHEN strpos(nf, '?') > 0
+             |              THEN substring(nf, length(split_part(nf, '?', 1)) + 2)
+             |              ELSE '' END AS q
+             |  FROM parts
+             |), host AS (
+             |  SELECT *, lower(split_part(base, '://', 1)) AS scheme,
+             |         substring(base, length(split_part(base, '://', 1)) + 4) AS rest
+             |  FROM pq
+             |), hp AS (
+             |  SELECT *, split_part(rest, '/', 1) AS hostport,
+             |         regexp_replace(substring(rest, length(split_part(rest, '/', 1)) + 1), '/+$', '') AS path
+             |  FROM host
+             |), prt AS (
+             |  SELECT *, lower(split_part(hostport, ':', 1)) AS h,
+             |         CASE WHEN strpos(hostport, ':') > 0
+             |              THEN substring(hostport, length(split_part(hostport, ':', 1)) + 2)
+             |              ELSE '' END AS port0
+             |  FROM hp
+             |), prt2 AS (
+             |  SELECT *, CASE WHEN (scheme = 'http' AND port0 = '80')
+             |                   OR (scheme = 'https' AND port0 = '443')
+             |                 THEN '' ELSE port0 END AS port
+             |  FROM prt
+             |), qp AS (
+             |  SELECT *, list_filter(string_split(q, '&'), p -> p <> '') AS params
+             |  FROM prt2
+             |), qk AS (
+             |  SELECT *, list_filter(params, p -> NOT regexp_matches(
+             |           split_part(p, '=', 1), '^(utm_[^=]*|gclid|fbclid|ref)$')) AS kept
+             |  FROM qp
+             |)
+             |SELECT doc_id, url_pos, url_raw,
+             |       scheme || '://' || h ||
+             |       (CASE WHEN port <> '' THEN ':' || port ELSE '' END) ||
+             |       path ||
+             |       (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+             |         AS canonical_url,
+             |       h AS host,
+             |       CAST(len(params) - len(kept) AS BIGINT) AS n_dropped_params
+             |FROM qk""".stripMargin)),
+
+    // PageRank centrality over the within-label kNN similarity graph
+    // (the ext67 edge set) — power iteration in exact micro-unit integer
+    // arithmetic, so the oracle replays all 10 iterations bit-for-bit
+    // (each unrolled as one chained CTE: recursive terms can't aggregate).
+    // Every sum is CAST-pinned to BIGINT (the ext24 discipline).
+    "ext79_pagerank" -> Q(
+      (s, d) => graft.operators.Graph.pageRank(
+        Similarity.knnGraph(emb(s, d), "vec_id", "embedding", "label", 3),
+        "src", "nid", iters = 10),
+      Some(pageRankOracle(iters = 10))),
+
+    // WordPiece inference (greedy longest-match subword tokenization)
+    // over the corpus with a fixed piece vocabulary — the native
+    // `greedy_pieces` expression. `pieces_sig` pins the md5 of each
+    // document's ENTIRE piece sequence, so the oracle (a recursive CTE
+    // replaying the greedy matcher per distinct word, reassembled per
+    // doc) must reproduce every segmentation decision, not just counts.
+    // Planted rows exercise the `<unk>` code-point fallback (uppercase,
+    // accents, digits are outside the vocabulary).
+    "ext78_wordpiece" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = Seq(
+          (-1L, "naïve café 123"),
+          (-2L, "TableTABLE tablet")
+        ).toDF("doc_id", "text")
+        TextAnalysis.wordpiece(
+          docs(s, d).select(col("doc_id"), col("text")).unionByName(planted),
+          "doc_id", "text", pieceVocab)
+      },
+      Some(s"""WITH RECURSIVE corpus AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT * FROM (VALUES
+             |    (CAST(-1 AS BIGINT), 'naïve café 123'),
+             |    (CAST(-2 AS BIGINT), 'TableTABLE tablet')
+             |  ) v(doc_id, text)
+             |), vocab(piece) AS (
+             |  VALUES ${pieceVocab.map(p => s"('$p')").mkString(", ")}
+             |), dw AS (
+             |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+             |    i -> {'i': i, 'w': ws[i]})) AS z
+             |  FROM (SELECT doc_id,
+             |          list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS ws
+             |        FROM corpus)
+             |), dwf AS (
+             |  SELECT doc_id, CAST(z.i AS BIGINT) AS widx, z.w AS word FROM dw
+             |), words AS (SELECT DISTINCT word FROM dwf
+             |), wpos AS (
+             |  SELECT word, unnest(range(1, length(word) + 1)) AS pos FROM words
+             |), lmax AS (
+             |  SELECT w.word, w.pos, max(length(v.piece)) AS l
+             |  FROM wpos w JOIN vocab v
+             |    ON substring(w.word, CAST(w.pos AS INT), length(v.piece)) = v.piece
+             |  GROUP BY w.word, w.pos
+             |), lall AS (
+             |  SELECT w.word, w.pos, coalesce(l.l, 0) AS l
+             |  FROM wpos w LEFT JOIN lmax l ON w.word = l.word AND w.pos = l.pos
+             |), seg AS (
+             |  SELECT word, CAST(1 AS BIGINT) AS pos, 0 AS np, 0 AS nu, '' AS acc
+             |  FROM words
+             |  UNION ALL
+             |  SELECT s.word, s.pos + (CASE WHEN la.l > 0 THEN la.l ELSE 1 END),
+             |         s.np + 1, s.nu + (CASE WHEN la.l > 0 THEN 0 ELSE 1 END),
+             |         s.acc || (CASE WHEN s.acc = '' THEN '' ELSE ' ' END) ||
+             |           (CASE WHEN la.l > 0
+             |                 THEN substring(s.word, CAST(s.pos AS INT), la.l)
+             |                 ELSE '<unk>' END)
+             |  FROM seg s JOIN lall la ON la.word = s.word AND la.pos = s.pos
+             |  WHERE s.pos <= length(s.word)
+             |), wordseg AS (
+             |  SELECT word, np, nu, acc FROM seg WHERE pos = length(word) + 1
+             |)
+             |SELECT d.doc_id, CAST(sum(ws.np) AS BIGINT) AS n_pieces,
+             |       CAST(sum(ws.nu) AS BIGINT) AS n_unk,
+             |       md5(string_agg(ws.acc, ' ' ORDER BY d.widx)) AS pieces_sig
+             |FROM dwf d JOIN wordseg ws ON ws.word = d.word
+             |GROUP BY d.doc_id""".stripMargin)),
+
     // content-defined chunking: the DuckDB side replays tokenization, the
     // md5-prefix gear hash, every cut decision, and each chunk's
     // reassembled text + content hash — the full boundary arithmetic,
@@ -2043,6 +2223,45 @@ object Extensions {
       |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
       |       CAST(s.n AS BIGINT) AS cluster_size
       |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
+
+  /** ext79's oracle: the ext67 kNN edge set, then `iters` PageRank
+    * power iterations unrolled as chained CTEs (pr0 → pr1 → …) in the
+    * same micro-unit integer arithmetic as
+    * [[graft.operators.Graph.pageRank]]. Unrolled rather than
+    * recursive because the recursive term would need a GROUP BY. */
+  private def pageRankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum(p.r // o.od) AS BIGINT) AS s
+         |    FROM e JOIN odeg o ON e.src = o.src
+         |           JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON n.node = c.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH sim AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS nid,
+       |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |), e AS (
+       |  SELECT src, nid AS dst FROM (
+       |    SELECT src, nid, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nid) AS rnk
+       |    FROM sim) WHERE rnk <= 3
+       |), odeg AS (SELECT src, count(*) AS od FROM e GROUP BY src
+       |), ideg AS (SELECT dst, count(*) AS idg FROM e GROUP BY dst
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps
+       |SELECT n.node, p.r AS pr_e6,
+       |       coalesce(o.od, 0) AS out_deg, coalesce(i.idg, 0) AS in_deg
+       |FROM nodes n JOIN pr$iters p ON p.node = n.node
+       |LEFT JOIN odeg o ON o.src = n.node
+       |LEFT JOIN ideg i ON i.dst = n.node""".stripMargin
+  }
 
   /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a
     * lower id in its own cluster is within the cosine threshold. */

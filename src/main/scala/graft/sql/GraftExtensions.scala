@@ -67,6 +67,12 @@ object GraftExtensions {
         require(children.size == 1, s"nfc_normalize expects 1 argument, got ${children.size}")
         graft.functions.NfcNormalize(children.head)
       }),
+    (new FunctionIdentifier("greedy_pieces"),
+      new ExpressionInfo(classOf[graft.functions.GreedyPieces].getName, "greedy_pieces"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"greedy_pieces expects (text, vocab), got ${children.size} args")
+        graft.functions.GreedyPieces(children.head, children(1))
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

@@ -527,4 +527,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(d2.getAs[String]("top_token") == "z")                  // all-tie
     assert(d2.getAs[Long]("dup3_e6") == 0L)
   }
+
+  test("urlCanon: every canonical rule on crafted URLs") {
+    val df = Seq(
+      (1L, "x HTTPS://Ex.COM:443/A/B/?utm_source=s&q=1&utm_medium=m#f y"),
+      (2L, "http://h.io/ http://h.io http://H.IO:80/?gclid=g."),
+      (3L, "pre http://h.io:8080/p?a=1&ref=r&b=2 post"),
+      (4L, "no urls"),
+      (5L, "(see http://a.b/x).")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.urlCanon(df, "doc_id", "text").collect()
+      .map(x => (x.getAs[Long]("doc_id"), x.getAs[Long]("url_pos")) -> x).toMap
+    // case-folded scheme+host, default port dropped, tracking params
+    // dropped (order of survivors preserved), fragment cut, trailing /
+    assert(r((1L, 0L)).getAs[String]("canonical_url") == "https://ex.com/A/B?q=1")
+    assert(r((1L, 0L)).getAs[Long]("n_dropped_params") == 2L)
+    assert(r((1L, 0L)).getAs[String]("host") == "ex.com")
+    // three surface forms of the same page collapse to one canonical
+    val h = Seq(r((2L, 0L)), r((2L, 1L)), r((2L, 2L)))
+      .map(_.getAs[String]("canonical_url")).distinct
+    assert(h == Seq("http://h.io"))
+    // non-default port survives; non-tracking params keep their order
+    assert(r((3L, 0L)).getAs[String]("canonical_url") == "http://h.io:8080/p?a=1&b=2")
+    assert(r((3L, 0L)).getAs[Long]("n_dropped_params") == 1L)
+    // no matches → no rows
+    assert(!r.keySet.exists(_._1 == 4L))
+    // prose punctuation stripped from the raw match
+    assert(r((5L, 0L)).getAs[String]("url_raw") == "http://a.b/x")
+    assert(r((5L, 0L)).getAs[String]("canonical_url") == "http://a.b/x")
+  }
+
+  test("wordpiece: per-doc totals and the full-segmentation signature") {
+    val vocab = Seq("tab", "le", "str", "eam") ++ ('a' to 'z').map(_.toString)
+    val df = Seq((1L, "table stream"), (2L, "tab 42")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordpiece(df, "doc_id", "text", vocab).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(r(1L).getAs[Long]("n_pieces") == 4L) // tab|le str|eam
+    assert(r(1L).getAs[Long]("n_unk") == 0L)
+    assert(r(2L).getAs[Long]("n_pieces") == 3L) // tab <unk> <unk>
+    assert(r(2L).getAs[Long]("n_unk") == 2L)
+    // the signature pins the exact piece sequence
+    val sig = java.security.MessageDigest.getInstance("MD5")
+      .digest("tab le str eam".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    assert(r(1L).getAs[String]("pieces_sig") == sig)
+  }
 }
