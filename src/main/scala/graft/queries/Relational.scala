@@ -1484,6 +1484,113 @@ object Relational {
              |       CAST(n_regionkey AS BIGINT) AS region_id
              |FROM nation
              |UNION ALL BY NAME
-             |SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name FROM region""".stripMargin))
+             |SELECT CAST(r_regionkey AS BIGINT) AS id, r_name AS name FROM region""".stripMargin)),
+
+    // Top-k per key via graft's bounded-heap aggregate (functions/
+    // TopKBy.scala, operators/TopK.scala) instead of the
+    // window-row_number form: each map task ships at most k rows per
+    // key into the exchange and nobody sorts a whole partition. The
+    // oracle IS the window form — same rows when the ord is total
+    // (cents then orderkey, both descending).
+    "q69_topk_per_key" -> Q(
+      (s, d) => {
+        val joined = t(s, d, "orders")
+          .join(t(s, d, "customer"),
+            col("o_custkey") === col("c_custkey"))
+          .select(col("c_mktsegment").as("mkt"), col("o_orderkey"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        graft.operators.TopK.perKey(
+          joined, Seq("mkt"), Seq(col("cents"), col("o_orderkey")), k = 3)
+      },
+      Some("""SELECT mkt, o_orderkey, cents FROM (
+             |  SELECT c.c_mktsegment AS mkt, o.o_orderkey,
+             |         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |         row_number() OVER (PARTITION BY c.c_mktsegment
+             |           ORDER BY CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) DESC,
+             |                    o.o_orderkey DESC) AS rn
+             |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+             |WHERE rn <= 3""".stripMargin)),
+
+    // Ordered-set aggregates: percentile_disc / percentile_cont
+    // (WITHIN GROUP) + mode. Both engines implement the SQL-standard
+    // definitions (disc: smallest value with cume_dist >= p; cont:
+    // linear interpolation at rank p*(n-1)) — verified on [1,2,3,4].
+    // Inputs are integer cents and p ∈ {0.25, 0.5}, so every cont
+    // interpolation is an exact binary quarter: no float rounding
+    // needed. mode's input is engineered 3:1 so a frequency tie is
+    // impossible (both engines break ties arbitrarily).
+    "q70_ordered_set_agg" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderpriority,
+                  mode(maj) AS majority,
+                  CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT) AS med_disc,
+                  percentile_cont(0.25) WITHIN GROUP (ORDER BY cents) AS q1_cont,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY cents) AS med_cont
+           FROM (SELECT o_orderpriority,
+                        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                        CASE WHEN o_orderkey % 4 = 0 THEN 'rare' ELSE 'common' END AS maj
+                 FROM orders)
+           GROUP BY o_orderpriority""") },
+      Some("""SELECT o_orderpriority,
+             |       mode(maj) AS majority,
+             |       CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_disc,
+             |       quantile_cont(cents, 0.25) AS q1_cont,
+             |       quantile_cont(cents, 0.5) AS med_cont
+             |FROM (SELECT o_orderpriority,
+             |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |             CASE WHEN o_orderkey % 4 = 0 THEN 'rare' ELSE 'common' END AS maj
+             |      FROM orders)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // URL + key:value-pair extraction: parse_url and str_to_map — the
+    // clickstream/ETL string surface. DuckDB has neither builtin, so
+    // the oracle re-derives each field with regexes over the same
+    // synthesized URL (the q68 "project to scalar equivalent"
+    // discipline); the Spark side runs the real builtins.
+    "q71_url_strmap" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT c_custkey,
+                  parse_url(url, 'HOST') AS host,
+                  parse_url(url, 'PATH') AS path,
+                  parse_url(url, 'QUERY', 'seg') AS seg,
+                  element_at(str_to_map(kv, ',', ':'), 'bucket') AS bucket
+           FROM (SELECT c_custkey,
+                        concat('https://shard', CAST(c_custkey % 5 AS STRING),
+                               '.example.com/cust/', CAST(c_custkey AS STRING),
+                               '?seg=', lower(c_mktsegment), '&v=1') AS url,
+                        concat('seg:', lower(c_mktsegment),
+                               ',bucket:', CAST(c_custkey % 7 AS STRING)) AS kv
+                 FROM customer)""") },
+      Some("""SELECT c_custkey,
+             |       'shard' || CAST(c_custkey % 5 AS VARCHAR) || '.example.com' AS host,
+             |       '/cust/' || CAST(c_custkey AS VARCHAR) AS path,
+             |       lower(c_mktsegment) AS seg,
+             |       CAST(c_custkey % 7 AS VARCHAR) AS bucket
+             |FROM customer""".stripMargin)),
+
+    // Row generators: stack (inline VALUES unpivot) × posexplode over
+    // sequence — the two Spark generator forms q32/q42 don't cover.
+    // Cross of both generators per nation row (2 tags × 1..3 seq
+    // elements). DuckDB spells them UNION ALL + lateral
+    // generate_series.
+    "q72_generators" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT n_nationkey, s.tag, s.sval, p.pos, p.e
+           FROM nation
+           LATERAL VIEW stack(2, 'name', n_name,
+                                 'region', CAST(n_regionkey AS STRING)) s AS tag, sval
+           LATERAL VIEW posexplode(sequence(1, CAST(n_nationkey % 3 + 1 AS INT))) p AS pos, e""") },
+      Some("""WITH tags AS (
+             |  SELECT n_nationkey, 'name' AS tag, n_name AS sval FROM nation
+             |  UNION ALL
+             |  SELECT n_nationkey, 'region', CAST(n_regionkey AS VARCHAR) FROM nation
+             |), seq AS (
+             |  SELECT n_nationkey, CAST(g - 1 AS INT) AS pos, CAST(g AS INT) AS e
+             |  FROM (SELECT n_nationkey,
+             |               unnest(generate_series(1, n_nationkey % 3 + 1)) AS g
+             |        FROM nation)
+             |)
+             |SELECT t.n_nationkey, t.tag, t.sval, s.pos, s.e
+             |FROM tags t JOIN seq s USING (n_nationkey)""".stripMargin))
   )
 }

@@ -73,6 +73,23 @@ object GraftExtensions {
         require(children.size == 2, s"greedy_pieces expects (text, vocab), got ${children.size} args")
         graft.functions.GreedyPieces(children.head, children(1))
       }),
+    (new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKBy].getName, "top_k_by"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3 || children.size == 4,
+          s"top_k_by expects (ord, payload, k[, 'desc'|'asc']), got ${children.size} args")
+        val dir = if (children.size == 4) {
+          children(3).eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toLowerCase
+            case other => throw new IllegalArgumentException(
+              s"top_k_by direction must be a string literal 'desc'|'asc', got $other")
+          }
+        } else "desc"
+        require(dir == "desc" || dir == "asc",
+          s"top_k_by direction must be 'desc' or 'asc', got '$dir'")
+        graft.functions.TopKBy(children.head, children(1),
+          litInt(children(2), "top_k_by k"), largest = dir == "desc")
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
       (children: Seq[Expression]) => {
