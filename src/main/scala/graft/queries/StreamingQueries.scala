@@ -455,6 +455,32 @@ object StreamingQueries {
              |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Streaming top-k leaderboard per closed hour window via the
+    // bounded-heap top_k_by aggregate — constant state per (window,
+    // type) where row_number-over-window is unsupported on streams.
+    // The oracle is the batch window form restricted to windows the
+    // final watermark closed (the st09 emission arithmetic).
+    "st28_stream_topk" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.windowedTopK(Streams.readEventsStream(s, d), k = 3),
+        "st28_topk", OutputMode.Append()),
+      Some("""WITH mx AS (
+             |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events
+             |),
+             |ranked AS (
+             |  SELECT date_trunc('hour', ts) AS window_start,
+             |         event_type, event_id,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             |         row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+             |           ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT) DESC,
+             |                    event_id DESC) AS rn
+             |  FROM events
+             |)
+             |SELECT window_start, event_type, event_id, cents
+             |FROM ranked, mx
+             |WHERE rn <= 3
+             |  AND (epoch_ns(window_start + INTERVAL 1 HOUR) // 1000000) <= wm_ms""".stripMargin)),
+
     // exact-dedup AT INGEST: the streaming twin of ext01 — a stateful
     // aggregation keyed on the content hash, so every arriving copy
     // updates one state row (keeper = min doc_id, copy count) and the

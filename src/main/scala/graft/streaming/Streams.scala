@@ -405,6 +405,32 @@ object Streams {
     // definition of the window/count/cents math for both modes
     windowedCounts(events.withWatermark("ts", delay))
 
+  /** Streaming leaderboard: top-k events by value per (hour window,
+    * type), computed with graft's bounded-heap `top_k_by` aggregate
+    * ([[graft.functions.TopKBy]]) INSIDE the streaming aggregation.
+    * The state row per (window, type) is one k-entry heap — constant
+    * size — where the window-row_number formulation isn't even
+    * expressible in a streaming query (non-time-window window functions
+    * are unsupported on streams). Append mode + watermark: a window's
+    * top-k emits exactly once when the watermark passes its end; the
+    * heap merges across micro-batches through the aggregate's
+    * serialize/merge path, so arrival order cannot change the result
+    * (ord is the total (cents, event_id)). */
+  def windowedTopK(events: DataFrame, k: Int = 3,
+                   delay: String = "1 hour"): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(events.sparkSession)
+    def cents = floor(col("value") * 100 + 0.5).cast("long")
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(call_function("top_k_by",
+        struct(cents.as("cents"), col("event_id")),
+        struct(col("event_id"), cents.as("cents")), lit(k)).as("__t"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        explode(col("__t.item")).as("__e"))
+      .select(col("window_start"), col("event_type"),
+        col("__e.event_id").as("event_id"), col("__e.cents").as("cents"))
+  }
+
   /** CHAINED stateful operators in one streaming query: exactly-once
     * dedup ([[dedupEvents]] — dropDuplicatesWithinWatermark) feeding the
     * event-time windowed aggregation, both in append mode under ONE
