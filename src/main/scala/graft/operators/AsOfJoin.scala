@@ -58,4 +58,49 @@ object AsOfJoin {
   /** Convenience overload when both sides share the time column name. */
   def apply(left: DataFrame, right: DataFrame, keys: Seq[String],
             tsCol: String): DataFrame = join(left, right, keys, tsCol, tsCol)
+
+  /** The same as-of semantics as [[join]], planned as graft's NATIVE
+    * Catalyst operator ([[graft.plans.AsOfJoinNode]] →
+    * [[graft.plans.AsOfJoinExec]]): a merge scan over co-clustered,
+    * (keys, ts)-sorted children. Because the operator DECLARES its
+    * distribution/ordering requirements instead of baking a
+    * union+window into the plan, already-co-partitioned inputs
+    * (bucketed tables, upstream aggregates on the same keys) run with
+    * zero exchanges — the union form cannot, since the union discards
+    * both sides' partitioning.
+    *
+    * One deliberate semantic refinement vs [[join]]: the match is
+    * ROW-level (the latest right row's values, nulls included — DuckDB
+    * `ASOF JOIN` semantics), where the union form's
+    * `last(_, ignoreNulls)` carries each VALUE column forward
+    * independently when right-side values contain nulls. Identical
+    * whenever right values are non-null (AsOfJoinPlanSpec pins both
+    * facts). */
+  def joinPlanned(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String): DataFrame = {
+    val spark = left.sparkSession
+    // lazy strategy injection: idempotent, works even for sessions not
+    // built with spark.sql.extensions=graft.sql.GraftExtensions
+    val em = spark.experimental
+    if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
+
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val leftCols = left.columns.filterNot(keys.contains).toSeq
+    require(valueCols.intersect(leftCols).isEmpty,
+      s"as-of join: right value columns ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
+
+    val lPlan = left.queryExecution.analyzed
+    // re-alias the right side so a self-join can't alias-collide exprIds
+    val rAliased = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
+    val rPlan = rAliased.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) = plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"as-of join: no column '$name' in ${plan.output.map(_.name).mkString(",")}"))
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
+      graft.plans.AsOfJoinNode(lPlan, rPlan,
+        keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+        attr(lPlan, leftTs), attr(rPlan, rightTs),
+        valueCols.map(attr(rPlan, _))))
+  }
 }

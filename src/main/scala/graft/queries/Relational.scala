@@ -1591,6 +1591,26 @@ object Relational {
              |        FROM nation)
              |)
              |SELECT t.n_nationkey, t.tag, t.sval, s.pos, s.e
-             |FROM tags t JOIN seq s USING (n_nationkey)""".stripMargin))
+             |FROM tags t JOIN seq s USING (n_nationkey)""".stripMargin)),
+
+    // B8 again, through graft's NATIVE as-of operator (plans/
+    // AsOfJoinPlan.scala: logical node → strategy → merge-scan exec
+    // with declared clustering + ordering requirements) — q08's exact
+    // shape and oracle, so the custom physical operator is held to the
+    // same DuckDB ASOF truth as the union+window composition.
+    "q73_asof_planned" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), col("ts"), col("value").as("err_value"))
+        graft.operators.AsOfJoin.joinPlanned(clicks, errors, Seq("user_id"), "ts", "ts")
+          .select(col("event_id"), col("user_id"), col("err_value"))
+      },
+      Some("""SELECT c.event_id, c.user_id, e.value AS err_value
+             FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+             ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
+             ON c.user_id = e.user_id AND c.ts >= e.ts"""))
   )
 }
