@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling harness: synthesizes a `factor`× copy of the sf0.1
+  * fixtures (fresh keys per copy — "natural growth", not a re-read of
+  * the same rows) and times a representative operator subset at
+  * sf0.01 / sf0.1 / sf0.1×factor. The point is to MEASURE the scaling
+  * claims the operator scaladocs make (hash-agg dedup ~linear, banded
+  * LSH ~linear, within-cluster quadratic ops ~quadratic in cluster
+  * size, ...) instead of asserting them — the local[32] analog of the
+  * 100 TB question "what happens at 10× the data?".
+  *
+  * Key-shift scheme per copy i: ids move by i·10⁷ (order keys i·10⁸) so
+  * every copy is disjoint; document text gets a per-copy suffix so the
+  * corpus grows in CONTENT, not in exact duplicates; embeddings repeat
+  * per copy (so per-label populations grow 10× — deliberately exposing
+  * the quadratic within-cluster paths); event users are fresh per copy
+  * (streaming state grows linearly, session lengths stay constant).
+  *
+  * Usage: `runMain graft.ScaleCheck [factor]` (default 10). Scaled data
+  * materializes once under /tmp/graft-scale/sf0.1x{factor}.
+  */
+object ScaleCheck {
+
+  private val DefaultQueries = Seq(
+    "q03_join_inner", "q09_agg_groupby", "q69_topk_per_key",
+    "q08_asof_join", "q73_asof_planned",
+    "ext01_exact_dedup", "ext03_minhash_lsh", "ext25_line_dedup",
+    "ext44_tfidf_topk", "ext73_semdedup", "ext79_pagerank",
+    "st01_stream_window")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val base = "/root/testdata/sf0.1"
+    val small = "/root/testdata/sf0.01"
+    val scaled = s"/tmp/graft-scale/sf0.1x$factor"
+
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.extensions", "graft.sql.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    buildScaled(spark, base, scaled, factor)
+
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(DefaultQueries)
+    val dirs = Seq("sf0.01" -> small, "sf0.1" -> base, s"sf0.1x$factor" -> scaled)
+
+    // one untimed warm-up
+    spark.read.parquet(s"$scaled/lineitem.parquet")
+      .groupBy("l_returnflag").count()
+      .write.format("noop").mode("overwrite").save()
+
+    val rows = only.map { name =>
+      val fn = SparkEntry.queries(name)
+      val times = dirs.map { case (tag, dir) =>
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        tag -> (System.nanoTime() - t0) / 1e9
+      }
+      val m = times.toMap
+      System.err.println(f"[scale] $name%-24s " +
+        times.map { case (t, s) => f"$t=$s%6.2f" }.mkString(" ") +
+        f"  x${factor}ratio=${m(s"sf0.1x$factor") / m("sf0.1")}%5.2f")
+      name -> times
+    }
+    val js = rows.map { case (n, ts) =>
+      "\"" + n + "\":{" + ts.map { case (t, s) => s""""$t":$s""" }.mkString(",") + "}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale","factor":$factor,"queries":$js}""")
+    spark.stop()
+  }
+
+  /** Materialize the factor× fixture set (idempotent: skips if present). */
+  def buildScaled(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
+    val done = new org.apache.hadoop.fs.Path(s"$out/_SCALE_DONE")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return
+    System.err.println(s"[scale] building $out (${factor}x $base)")
+
+    def copies(df: DataFrame)(shift: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
+
+    // fixture convention: each table is ONE parquet FILE (the streaming
+    // readers stage single files) — write, then promote the part file
+    def write(name: String, df: DataFrame): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(s"$out/_tmp_$name")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(part, dst)
+      fs.delete(tmp, true): Unit
+    }
+
+    val rd = (n: String) => spark.read.parquet(s"$base/$n.parquet")
+
+    write("documents", copies(rd("documents")) { (df, i) =>
+      if (i == 0) df else df
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", concat(col("text"), lit(s" v$i")))
+        .withColumn("n_chars", col("n_chars") + lit(3L))
+    })
+    write("embeddings", copies(rd("embeddings")) { (df, i) =>
+      df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    })
+    write("events", copies(rd("events")) { (df, i) =>
+      df.withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 1000000L))
+    })
+    write("orders", copies(rd("orders")) { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    })
+    write("customer", copies(rd("customer")) { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    })
+    write("lineitem", copies(rd("lineitem")) { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    })
+    Seq("part", "supplier", "nation", "region").foreach(n => write(n, rd(n)))
+    fs.create(done).close()
+  }
+}

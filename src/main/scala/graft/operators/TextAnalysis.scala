@@ -345,10 +345,24 @@ object TextAnalysis {
     * partial limits before the shuffle, never a global sort. Long
     * arithmetic is overflow-safe while tf_q·tf_d·1e6·N/df < 2^63 — at
     * web scale rare terms (large N/df) have tf ≈ 1, and ANSI mode turns
-    * any residual overflow into an error rather than a silent wrap. */
+    * any residual overflow into an error rather than a silent wrap.
+    *
+    * The probe's cost is the inverted-index bound Σ_q Σ_t df(t) over
+    * scored terms — and with NO term pruning a stopword shared by
+    * every query and every document makes that corpus × queries
+    * (measured: 54× wall time at 10× data, graft.ScaleCheck round 6).
+    * So each query scores only its `maxQueryTerms` RAREST corpus terms
+    * (df asc, token asc — deterministic), the classic query-term
+    * pruning of retrieval engines and the same rarest-first discipline
+    * as [[graft.operators.Dedup.containmentPairs]]'s prefix filter:
+    * rare terms carry the idf mass AND have short postings, so the
+    * fan-out collapses while the ranking keeps its discriminative
+    * terms. The prune ranks the query-vocab-sized frame, never the
+    * corpus. */
   def tfidfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                textCol: String, k: Int = 5): DataFrame = {
+                textCol: String, k: Int = 5, maxQueryTerms: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")
+    require(maxQueryTerms > 0, "maxQueryTerms must be positive")
     import org.apache.spark.sql.expressions.Window
     def tf(df: DataFrame, out: String, cnt: String) =
       df.select(col(idCol).as(out),
@@ -361,8 +375,13 @@ object TextAnalysis {
       val dfreq = tfC.join(broadcast(qTokens), "token")
         .groupBy(col("token")).agg(count(lit(1)).as("df"))
       val nDocs = tfC.agg(countDistinct(col("doc_id")).as("n_docs"))
-      // per-(query, token) weight: tf_q · idf_e6 — query-vocab-sized
-      val qWeights = tfQ.join(dfreq, "token").crossJoin(broadcast(nDocs))
+      // per-(query, token) weight over the query's rarest corpus terms
+      // only — query-vocab-sized, ranked before anything corpus-sized
+      val qSel = tfQ.join(dfreq, "token")
+        .withColumn("trnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("df").asc, col("token").asc)))
+        .filter(col("trnk") <= maxQueryTerms)
+      val qWeights = qSel.crossJoin(broadcast(nDocs))
         .select(col("token"), col("q_id"),
           (col("tf_q") *
             floor(lit(1e6) * col("n_docs").cast("double") / col("df").cast("double") + 0.5)

@@ -993,10 +993,17 @@ object Extensions {
              |), idf AS (
              |  SELECT token, CAST(floor(1000000.0 * n.n_docs / df + 0.5) AS BIGINT) AS idf_e6
              |  FROM dfreq CROSS JOIN n
+             |), qsel AS (
+             |  SELECT q_id, token, tf_q FROM (
+             |    SELECT qq.q_id, qq.token, qq.tf_q,
+             |           row_number() OVER (PARTITION BY qq.q_id
+             |             ORDER BY d.df ASC, qq.token ASC) AS trnk
+             |    FROM qq JOIN dfreq d USING (token))
+             |  WHERE trnk <= 16
              |), lexsc AS (
-             |  SELECT qq.q_id, cc.doc_id,
-             |         CAST(sum(qq.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6
-             |  FROM qq JOIN cc USING (token) JOIN idf ON idf.token = qq.token
+             |  SELECT qsel.q_id, cc.doc_id,
+             |         CAST(sum(qsel.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6
+             |  FROM qsel JOIN cc USING (token) JOIN idf ON idf.token = qsel.token
              |  GROUP BY 1, 2
              |), lexr AS (
              |  SELECT q_id, doc_id, row_number() OVER (PARTITION BY q_id
@@ -1202,11 +1209,18 @@ object Extensions {
              |), idf AS (
              |  SELECT token, CAST(floor(1000000.0 * n.n_docs / df + 0.5) AS BIGINT) AS idf_e6
              |  FROM dfreq CROSS JOIN n
+             |), qsel AS (
+             |  SELECT q_id, token, tf_q FROM (
+             |    SELECT qq.q_id, qq.token, qq.tf_q,
+             |           row_number() OVER (PARTITION BY qq.q_id
+             |             ORDER BY d.df ASC, qq.token ASC) AS trnk
+             |    FROM qq JOIN dfreq d USING (token))
+             |  WHERE trnk <= 16
              |), sc AS (
-             |  SELECT qq.q_id, cc.doc_id,
-             |         CAST(sum(qq.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6,
+             |  SELECT qsel.q_id, cc.doc_id,
+             |         CAST(sum(qsel.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6,
              |         count(*) AS n_terms
-             |  FROM qq JOIN cc USING (token) JOIN idf ON idf.token = qq.token
+             |  FROM qsel JOIN cc USING (token) JOIN idf ON idf.token = qsel.token
              |  GROUP BY 1, 2
              |), r AS (
              |  SELECT *, row_number() OVER (PARTITION BY q_id
@@ -2178,7 +2192,54 @@ object Extensions {
              |       t2.g AS top_bigram,
              |       CAST(floor(t2.c * len(t2.g) * 1000000.0 / b.n_chars_t + 0.5) AS BIGINT) AS top2_char_e6,
              |       CAST(floor(d.dup_occ * 1000000.0 / d.tot_occ + 0.5) AS BIGINT) AS dup3_e6
-             |FROM base b JOIN top1 t1 USING (doc_id) JOIN top2 t2 USING (doc_id) JOIN dup3 d USING (doc_id)""".stripMargin))
+             |FROM base b JOIN top1 t1 USING (doc_id) JOIN top2 t2 USING (doc_id) JOIN dup3 d USING (doc_id)""".stripMargin)),
+
+    // Deterministic cardinality estimation: the KMV sketch
+    // (functions/KmvSketch.scala, a mergeable TypedImperativeAggregate)
+    // over an explicit 60-bit md5 hash — unlike HLL (q14b, rows-only by
+    // design), the k minima and the single-division estimate are pure
+    // functions of the input set, so DuckDB replays the ESTIMATE
+    // exactly. Per-source distinct-token counts: groups under k=128
+    // distinct hashes report exactly; larger ones estimate via
+    // floor(127·2^60 / kth_min + 0.5) — one IEEE division, both
+    // engines round identically.
+    "ext80_kmv_distinct" -> Q(
+      (s, d) => {
+        graft.sql.GraftExtensions.ensureRegistered(s)
+        val toks = docs(s, d)
+          .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+        val hashed = toks.select(col("source"),
+          expr("CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        hashed.groupBy(col("source"))
+          .agg(expr("kmv_sketch(hv, 128)").as("ks"))
+          .select(col("source"),
+            size(col("ks")).cast("long").as("n_kept"),
+            when(size(col("ks")) < 128, size(col("ks")).cast("long"))
+              .otherwise(floor(lit(127.0) * pow(lit(2.0), lit(60.0)) /
+                element_at(col("ks"), 128) + lit(0.5)).cast("long"))
+              .as("est_distinct"))
+      },
+      Some("""WITH tok AS (
+             |  SELECT DISTINCT source, t
+             |  FROM (SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+             |        FROM documents)
+             |), h AS (
+             |  SELECT DISTINCT source, CAST(('0x' || substr(md5(t), 1, 15))::BIGINT AS BIGINT) AS hv
+             |  FROM tok
+             |), r AS (
+             |  SELECT source, hv,
+             |         row_number() OVER (PARTITION BY source ORDER BY hv) AS rn,
+             |         count(*) OVER (PARTITION BY source) AS cnt
+             |  FROM h
+             |)
+             |SELECT source,
+             |       CAST(least(cnt, 128) AS BIGINT) AS n_kept,
+             |       CAST(CASE WHEN cnt < 128 THEN cnt
+             |                 ELSE floor(127.0 * power(2.0, 60.0) / max(CASE WHEN rn = 128 THEN hv END) + 0.5)
+             |            END AS BIGINT) AS est_distinct
+             |FROM r
+             |GROUP BY source, cnt""".stripMargin))
   )
 
   /** DuckDB replay of [[graft.operators.Clustering.kmeans]]: the same

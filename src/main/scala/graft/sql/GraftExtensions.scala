@@ -74,6 +74,12 @@ object GraftExtensions {
         require(children.size == 2, s"greedy_pieces expects (text, vocab), got ${children.size} args")
         graft.functions.GreedyPieces(children.head, children(1))
       }),
+    (new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvSketch].getName, "kmv_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"kmv_sketch expects (hash_long, k), got ${children.size} args")
+        graft.functions.KmvSketch(children.head, litInt(children(1), "kmv_sketch k"))
+      }),
     (new FunctionIdentifier("top_k_by"),
       new ExpressionInfo(classOf[graft.functions.TopKBy].getName, "top_k_by"),
       (children: Seq[Expression]) => {
