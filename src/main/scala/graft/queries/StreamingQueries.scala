@@ -481,6 +481,47 @@ object StreamingQueries {
              |WHERE rn <= 3
              |  AND (epoch_ns(window_start + INTERVAL 1 HOUR) // 1000000) <= wm_ms""".stripMargin)),
 
+    // Distinct-user cardinality AT INGEST via the KMV sketch (ext80's
+    // streaming twin): state per event_type is k=64 longs no matter how
+    // many events stream through, the sketch unions across micro-batches
+    // through the aggregate's merge path, and — unlike HLL — the drained
+    // estimate is a pure function of the input set, so the batch oracle
+    // replays it to the digit. Complete+memory for the bounded drain;
+    // production shape is Update mode into an upsert sink (st10's path).
+    "st29_stream_kmv" -> Q(
+      (s, d) => {
+        graft.sql.GraftExtensions.ensureRegistered(s)
+        val hashed = Streams.readEventsStream(s, d)
+          .select(col("event_type"),
+            expr("CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15), 16, 10) AS BIGINT)").as("hv"))
+        val sketched = hashed.groupBy(col("event_type"))
+          .agg(expr("kmv_sketch(hv, 64)").as("ks"))
+          .select(col("event_type"),
+            size(col("ks")).cast("long").as("n_kept"),
+            when(size(col("ks")) < 64, size(col("ks")).cast("long"))
+              .otherwise(floor(lit(63.0) * pow(lit(2.0), lit(60.0)) /
+                element_at(col("ks"), 64) + lit(0.5)).cast("long"))
+              .as("est_users"))
+        Streams.runToMemory(s, sketched, "st29_kmv", OutputMode.Complete())
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT event_type,
+             |         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS BIGINT) AS hv
+             |  FROM events
+             |), r AS (
+             |  SELECT event_type, hv,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+             |         count(*) OVER (PARTITION BY event_type) AS cnt
+             |  FROM h
+             |)
+             |SELECT event_type,
+             |       CAST(least(cnt, 64) AS BIGINT) AS n_kept,
+             |       CAST(CASE WHEN cnt < 64 THEN cnt
+             |                 ELSE floor(63.0 * power(2.0, 60.0) / max(CASE WHEN rn = 64 THEN hv END) + 0.5)
+             |            END AS BIGINT) AS est_users
+             |FROM r
+             |GROUP BY event_type, cnt""".stripMargin)),
+
     // exact-dedup AT INGEST: the streaming twin of ext01 — a stateful
     // aggregation keyed on the content hash, so every arriving copy
     // updates one state row (keeper = min doc_id, copy count) and the
