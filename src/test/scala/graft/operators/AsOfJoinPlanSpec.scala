@@ -89,6 +89,36 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed catalog tables as-of join with ZERO exchanges end-to-end") {
+    val probes = (1 to 400).map(i => ((i % 12).toLong, (i * 37 % 1000).toLong, i.toLong))
+      .toDF("k", "ts", "probe_id")
+    val quotes = (1 to 300).map(i => ((i % 14).toLong, (i * 14 + i % 14).toLong, i * 10L))
+      .toDF("k", "ts", "quote")
+    spark.sql("DROP TABLE IF EXISTS asof_probes_b")
+    spark.sql("DROP TABLE IF EXISTS asof_quotes_b")
+    probes.write.bucketBy(4, "k").sortBy("k", "ts").saveAsTable("asof_probes_b")
+    quotes.write.bucketBy(4, "k").sortBy("k", "ts").saveAsTable("asof_quotes_b")
+    try {
+      val joined = AsOfJoin.joinPlanned(
+        spark.table("asof_probes_b"), spark.table("asof_quotes_b"),
+        Seq("k"), "ts", "ts")
+      val plan = joined.queryExecution.executedPlan.toString
+      // the 100 TB story: bucketed layout + declared requirements ⇒ the
+      // as-of join is a pure merge over the scans — no exchange at all
+      assert(plan.contains("AsOfJoin"), plan)
+      assert(!plan.contains("Exchange"), s"expected a zero-exchange plan:\n$plan")
+      val want = AsOfJoin.join(probes, quotes, Seq("k"), "ts", "ts")
+        .select("probe_id", "quote")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      val got = joined.select("probe_id", "quote")
+        .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      assert(got == want)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS asof_probes_b")
+      spark.sql("DROP TABLE IF EXISTS asof_quotes_b")
+    }
+  }
+
   test("un-partitioned inputs get exchanges from EnsureRequirements and stay correct") {
     val (probes, quotes) = randomSides(9)
     val joined = AsOfJoin.joinPlanned(probes.coalesce(1), quotes.coalesce(3),
