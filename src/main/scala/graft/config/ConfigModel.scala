@@ -32,9 +32,14 @@ object SourceSpec {
 }
 
 /** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
-  * file reads skip data already processed per the job's bookmark store. */
+  * file reads skip data already processed per the job's bookmark store.
+  * `quarantine`: beyond-reference — a path collecting MALFORMED ROWS of a
+  * csv/json file source (raw line + source file + error) instead of
+  * failing the job or silently dropping them; the registered view holds
+  * only the rows that parsed. Requires an explicit `schema:`. */
 final case class InputTable(name: String, source: SourceSpec,
-                            incrementalSource: Boolean = false)
+                            incrementalSource: Boolean = false,
+                            quarantine: Option[String] = None)
 
 sealed trait Refresh
 object Refresh {
@@ -250,7 +255,25 @@ object ConfigParser {
       }
       val incremental = str(t, "incremental_source")
         .exists(v => Set("yes", "true").contains(v.toLowerCase))
-      InputTable(name, source, incremental)
+      val quarantine = str(t, "quarantine").map(_.trim).filter(_.nonEmpty)
+      quarantine.foreach { _ =>
+        source match {
+          case SourceSpec.File(_, fmt, opts, schema) =>
+            if (fmt != "csv" && fmt != "json") throw new ConfigError(
+              s"input '$name': quarantine is only supported for csv/json sources (parquet/orc/avro fail at file granularity — use ignoreCorruptFiles)")
+            if (schema.isEmpty) throw new ConfigError(
+              s"input '$name': quarantine needs an explicit `schema:` (malformed-row capture re-parses against the declared schema)")
+            if (fmt == "csv" && opts.get("withHeader").orElse(opts.get("header"))
+                .exists(v => Set("yes", "true").contains(v.toLowerCase)))
+              throw new ConfigError(
+                s"input '$name': quarantine with csv needs headerless input (the raw-line re-parse cannot tell a header from a bad row); drop withHeader and declare `schema:`")
+          case _ => throw new ConfigError(
+            s"input '$name': quarantine is only supported for file sources")
+        }
+        if (incremental) throw new ConfigError(
+          s"input '$name': quarantine with incremental_source is not supported (the bookmark read path would bypass the malformed-row split)")
+      }
+      InputTable(name, source, incremental, quarantine)
     }
 
     val output = root.get("output_table").filter(_ != null).map { o =>

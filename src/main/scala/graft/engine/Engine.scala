@@ -55,7 +55,11 @@ object Engine {
           // or JDBC source would duplicate history on every appending run
           throw new ConfigError(
             s"input '${t.name}': incremental_source is only supported for file sources")
-        case _ => Sources.load(spark, resolved)
+        case _ => (t.quarantine, resolved) match {
+          case (Some(q), f: SourceSpec.File) =>
+            Sources.loadWithQuarantine(spark, f, Interpolate(q, vars))
+          case _ => Sources.load(spark, resolved)
+        }
       }
       df.createOrReplaceTempView(t.name)
       t.name -> df

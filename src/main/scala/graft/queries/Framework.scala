@@ -1037,6 +1037,55 @@ object Framework {
       .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
   }
 
+  /** Malformed-row quarantine (`quarantine:` input key, beyond-reference):
+    * nation staged as headerless pipe-csv with three planted bad lines
+    * (token-count short, type failure, token-count long). The engine run
+    * must (a) register only the rows that parse — the job's SQL sees a
+    * clean table — and (b) land every malformed RAW line in the
+    * quarantine path. The result frame unions both sides so the oracle
+    * checks the split exactly: survivors must equal nation, and the
+    * quarantine must hold exactly the planted lines (as constants the
+    * oracle replays with VALUES). */
+  private def fwQuarantine(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "quarantine")
+    rmrf(s, base)
+    s.read.parquet(s"$d/nation.parquet")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.option("sep", "|").csv(s"$base/t")
+    val junk = new java.io.FileOutputStream(s"$base/t/part-badlines.csv")
+    junk.write("999|TOOFEW\n998|BADTYPE|notanint\n997|ok|3|extra\n".getBytes("UTF-8"))
+    junk.close()
+    val yaml =
+      s"""job:
+         |  name: fw-quarantine
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $base/t
+         |    format: csv
+         |    format_options:
+         |      separator: "|"
+         |    schema: "n_nationkey INT, n_name STRING, n_regionkey INT"
+         |    quarantine: $base/quarantined
+         |output_table:
+         |  name: survivors
+         |  target: s3
+         |  location: $base/out
+         |  format: parquet
+         |  refresh: full
+         |sql: SELECT n_nationkey, n_name, n_regionkey FROM nation
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .unionByName(
+        s.read.parquet(s"$base/quarantined")
+          .select(lit(-1).cast("int").as("n_nationkey"),
+            col("raw_record").as("n_name"),
+            lit(-1).cast("int").as("n_regionkey")))
+  }
+
   /** Schema evolution through the A1 `format_options` passthrough: a
     * table whose later shards carry an extra column reads as ONE evolved
     * schema under `mergeSchema` (older rows null-padded) — the additive-
@@ -1224,6 +1273,11 @@ object Framework {
       "SELECT r_regionkey, r_name FROM region")),
     "fw_corrupt" -> Q(fwCorrupt, Some(
       "SELECT n_nationkey, n_name, n_regionkey FROM nation")),
+    "fw_quarantine" -> Q(fwQuarantine, Some(
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |UNION ALL
+        |SELECT CAST(-1 AS INT), v.raw, CAST(-1 AS INT) FROM (VALUES
+        |  ('999|TOOFEW'), ('998|BADTYPE|notanint'), ('997|ok|3|extra')) v(raw)""".stripMargin)),
     "fw_evolution" -> Q(fwEvolution, Some(
       """SELECT n_nationkey, n_name,
         |       CASE WHEN n_nationkey < 10 THEN NULL ELSE n_regionkey END AS n_regionkey

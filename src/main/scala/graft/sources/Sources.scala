@@ -72,6 +72,62 @@ object Sources {
         .load()
   }
 
+  /** File scan with MALFORMED-ROW quarantine (beyond-reference; the
+    * config surface is `quarantine: <path>` on a csv/json input with an
+    * explicit `schema:`). Two passes, both scan-shaped and shuffle-free:
+    *
+    *   1. good side — the normal reader in `DROPMALFORMED` mode (the
+    *      registered view: only rows that parse against the schema);
+    *   2. bad side — the input re-read as raw TEXT lines, re-parsed with
+    *      `from_csv`/`from_json` + PERMISSIVE corrupt-record capture;
+    *      lines that fail land in the quarantine path as
+    *      (raw_record, src_file) parquet, appended per run.
+    *
+    * Why two scans instead of one PERMISSIVE read split by the corrupt
+    * column: Spark (correctly) refuses to filter on the corrupt column
+    * alone without caching the parsed dataset — and caching the INPUT
+    * is exactly what a 100 TB scan cannot do. Two narrow scans keep
+    * both sides pipelined at scan speed with no corpus-sized state. */
+  def loadWithQuarantine(spark: SparkSession, spec: SourceSpec.File,
+                         quarantinePath: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val SourceSpec.File(location, format, options, schemaDdl) = spec
+    val ddl = schemaDdl.getOrElse(throw new ConfigError(
+      s"quarantine source '$location' needs an explicit schema"))
+    val structType =
+      try org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      catch { case e: Exception =>
+        throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }
+    val opts = mapOptions(options)
+
+    // bad side first (so a crash between the two scans leaves evidence,
+    // not silence): raw lines whose re-parse trips the corrupt column
+    val parseSchema = structType.add("__corrupt", org.apache.spark.sql.types.StringType)
+    val parseOpts = opts + ("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")
+    val raw = spark.read
+      .option("recursiveFileLookup", options.getOrElse("recursiveFileLookup", "true"))
+      .text(location)
+    val parsed = format match {
+      case "csv" => from_csv(col("value"), parseSchema, parseOpts)
+      case "json" => from_json(col("value"), parseSchema, parseOpts)
+      case other => throw new ConfigError(
+        s"quarantine is only supported for csv/json sources, got '$other'")
+    }
+    raw.select(col("value").as("raw_record"),
+        input_file_name().as("src_file"),
+        parsed.getField("__corrupt").as("__c"))
+      .filter(col("__c").isNotNull)
+      .drop("__c")
+      .write.mode("append").parquet(quarantinePath)
+
+    spark.read.format(format)
+      .options(opts)
+      .option("mode", "DROPMALFORMED")
+      .option("recursiveFileLookup", options.getOrElse("recursiveFileLookup", "true"))
+      .schema(structType)
+      .load(location)
+  }
+
   /** Streaming flavor of the file scan: same format/option mapping, but
     * through `readStream` so the engine's declared pipeline drains new
     * files incrementally under a checkpoint. The schema is REQUIRED (the

@@ -92,6 +92,38 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(bad("job: {name: j, type: spark-sql}\ninput_tables:\n  - {name: t, source: ftp}") contains "ftp")
   }
 
+  test("quarantine key: parsed, and invalid combinations are named ConfigErrors") {
+    def input(extra: String) =
+      s"""job: {name: j, type: spark-sql}
+         |input_tables:
+         |  - name: t
+         |    source: s3
+         |    location: /x
+         |$extra
+         |sql: SELECT 1
+         |""".stripMargin
+    val ok = ConfigParser.parse(input(
+      """    format: csv
+        |    schema: "a INT, b STRING"
+        |    quarantine: /q""".stripMargin))
+    assert(ok.inputTables.head.quarantine.contains("/q"))
+
+    def bad(extra: String): String =
+      intercept[ConfigError](ConfigParser.parse(input(extra))).getMessage
+    assert(bad("    format: parquet\n    quarantine: /q") contains "csv/json")
+    assert(bad("    format: csv\n    quarantine: /q") contains "schema")
+    assert(bad(
+      """    format: csv
+        |    schema: "a INT"
+        |    format_options: {withHeader: "true"}
+        |    quarantine: /q""".stripMargin) contains "headerless")
+    assert(bad(
+      """    format: csv
+        |    schema: "a INT"
+        |    incremental_source: "true"
+        |    quarantine: /q""".stripMargin) contains "incremental_source")
+  }
+
   test("unknown pipeline is an error when variables exist") {
     val job = ConfigParser.parse(
       "job: {name: j, type: spark-sql}\nvariables:\n  prod: {a: b}\nsql: SELECT 1")
