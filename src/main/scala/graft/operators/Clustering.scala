@@ -37,13 +37,13 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Micro-int projection of `vecCol`: id + array<long>. */
-  private def micro(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+  private[operators] def micro(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
         .as("m"))
 
   /** Squared L2 distance between the row's `m` and a centroid literal. */
-  private def sqDist(c: Array[Long]): Column = {
+  private[operators] def sqDist(c: Array[Long]): Column = {
     val cLit = array(c.map(lit(_)).toIndexedSeq: _*)
     aggregate(zip_with(col("m"), cLit, (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
@@ -52,10 +52,36 @@ object Clustering {
   /** `(id, cluster)` assignment column for the given centroids: argmin of
     * sqDist, ties to the lowest cluster id (struct array_min orders by
     * (dist, cid)). */
-  private def assignExpr(centroids: Seq[(Int, Array[Long])]): Column =
+  private[operators] def assignExpr(centroids: Seq[(Int, Array[Long])]): Column =
     array_min(array(centroids.map { case (cid, c) =>
       struct(sqDist(c).as("d"), lit(cid).as("c"))
     }: _*)).getField("c")
+
+  /** The driver-side Lloyd's loop over an (already-persisted) micro
+    * projection: k-row driver traffic per iteration (the class scaladoc's
+    * scale argument). Returns the FINAL centroids, cid-sorted. */
+  private def fit(m: DataFrame, k: Int, iters: Int): Seq[(Int, Array[Long])] = {
+    val dims = m.select(size(col("m"))).head.getInt(0)
+    // deterministic seeds: the k lowest-id vectors, cid 0..k-1 in id order
+    var centroids: Seq[(Int, Array[Long])] =
+      m.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
+        i -> r.getSeq[Long](1).toArray
+      }.toSeq
+    val sumAgg = graft.functions.ElementwiseLongAgg.sumUdaf(dims)
+    for (_ <- 1 to iters) {
+      centroids = m.select(col("m"), assignExpr(centroids).as("cluster"))
+        .groupBy(col("cluster"))
+        .agg(sumAgg(col("m")).as("s"), count(lit(1)).as("n"))
+        .collect().map { r =>
+          val s = r.getSeq[Long](1); val n = r.getLong(2)
+          r.getInt(0) -> s.map(v => math.floor(v.toDouble / n + 0.5).toLong).toArray
+        }.sortBy(_._1).toSeq
+    }
+    // cluster ids are STABLE across iterations (no re-densify): a
+    // cluster that empties simply stops existing, which the oracle
+    // mirrors for free.
+    centroids
+  }
 
   /** Run `iters` exact Lloyd's iterations with k seeds and return the
     * final per-vector assignment `(idCol, cluster, cluster_size)`. */
@@ -63,31 +89,34 @@ object Clustering {
              k: Int, iters: Int): DataFrame = {
     val m = micro(df, idCol, vecCol)
     graft.util.Caching.leased(m) {
-      val dims = m.select(size(col("m"))).head.getInt(0)
-      // deterministic seeds: the k lowest-id vectors, cid 0..k-1 in id order
-      var centroids: Seq[(Int, Array[Long])] =
-        m.orderBy(col("id")).limit(k).collect().zipWithIndex.map { case (r, i) =>
-          i -> r.getSeq[Long](1).toArray
-        }.toSeq
-      val sumAgg = graft.functions.ElementwiseLongAgg.sumUdaf(dims)
-      for (_ <- 1 to iters) {
-        centroids = m.select(col("m"), assignExpr(centroids).as("cluster"))
-          .groupBy(col("cluster"))
-          .agg(sumAgg(col("m")).as("s"), count(lit(1)).as("n"))
-          .collect().map { r =>
-            val s = r.getSeq[Long](1); val n = r.getLong(2)
-            r.getInt(0) -> s.map(v => math.floor(v.toDouble / n + 0.5).toLong).toArray
-          }.sortBy(_._1).toSeq
-      }
-      // cluster ids are STABLE across iterations (no re-densify): a
-      // cluster that empties simply stops existing, which the oracle
-      // mirrors for free.
+      val centroids = fit(m, k, iters)
       val sizes = m.select(assignExpr(centroids).as("cluster"))
         .groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
       m.select(col("id").as(idCol), assignExpr(centroids).as("cluster"))
         .join(broadcast(sizes), "cluster")
         .select(col(idCol), col("cluster"), col("cluster_size"))
     }
+  }
+
+  /** The fit as a PERSISTABLE INDEX TABLE `(cluster, centroid)` —
+    * centroids in micro-int space, one row per surviving cluster. This
+    * is the build half of the IVF index lifecycle
+    * ([[graft.script.AnnIndexJob]] writes it through the YAML engine;
+    * [[graft.operators.Similarity.ivfTopKIndexed]] probes it): train
+    * once as an ETL job, query many times against the stored table —
+    * and because the fit is exact integer Lloyd's, the index contents
+    * themselves are cross-engine replayable. */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = df.sparkSession
+    val m = micro(df, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centroids = fit(m, k, iters)
+      import spark.implicits._
+      centroids.map { case (cid, c) => (cid, c.toSeq) }
+        .toDF("cluster", "centroid")
+    } finally { m.unpersist(false): Unit }
   }
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means clustering +

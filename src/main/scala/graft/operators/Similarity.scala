@@ -159,6 +159,57 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
   }
 
+  /** IVF probe against a PERSISTED index table (the query half of the
+    * index lifecycle; [[graft.operators.Clustering.kmeansCentroids]] is
+    * the build half, [[graft.script.AnnIndexJob]] the YAML job that
+    * stores it): corpus rows assign to their nearest stored centroid,
+    * each query probes its `nProbe` nearest cells, candidates
+    * cosine-rank exactly. Because the index is integer micro-space
+    * Lloyd's, EVERYTHING here — cell assignment, probe-cell choice,
+    * the candidate set, the final ranking — is a pure function of the
+    * data, so this ANN variant gets a full value oracle (unlike the
+    * in-query MLlib-trained [[ivfTopK]], rows-only by design).
+    *
+    * Scale shape: the index is k rows of longs — collected once,
+    * broadcast into the plans as literals (the [[Clustering]]
+    * discipline); assignment is a narrow projection; the probe join is
+    * EQUALITY-keyed on the cell id, touching nProbe/k of the corpus
+    * per query instead of all of it. */
+  def ivfTopKIndexed(corpus: DataFrame, queries: DataFrame, index: DataFrame,
+                     idCol: String, vecCol: String, k: Int,
+                     nProbe: Int = 2): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    // bytes-sized by contract (one row per centroid)
+    val cents: Seq[(Int, Array[Long])] = index
+      .select(col("cluster").cast("int"), col("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1).toSeq
+    val c = Clustering.micro(corpus, idCol, vecCol)
+      .join(prepared(corpus, vecCol)
+        .select(col(idCol).cast("long").as("id"), col("__vd").as("cv")), "id")
+      .select(col("id").as("nid"), col("cv"),
+        Clustering.assignExpr(cents).as("cell"))
+    // nProbe nearest stored centroids per query, integer metric, ties
+    // to the lowest cid — the exact arithmetic the oracle replays
+    val rankedCells = array_sort(array(cents.map { case (cid, cv) =>
+      struct(Clustering.sqDist(cv).as("d"), lit(cid).as("c"))
+    }: _*))
+    val q = Clustering.micro(queries, idCol, vecCol)
+      .join(prepared(queries, vecCol)
+        .select(col(idCol).cast("long").as("id"), col("__vd").as("qv")), "id")
+      .select(col("id").as("qid"), col("qv"),
+        explode(slice(transform(rankedCells, s => s.getField("c")), 1, nProbe))
+          .as("cell"))
+    c.join(q, "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+  }
+
   /** Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     * This is the EXACT baseline (quadratic, broadcast-nested-loop — fine
     * for a reference check or a small corpus; specs use it as the truth

@@ -2239,8 +2239,73 @@ object Extensions {
              |                 ELSE floor(127.0 * power(2.0, 60.0) / max(CASE WHEN rn = 128 THEN hv END) + 0.5)
              |            END AS BIGINT) AS est_distinct
              |FROM r
-             |GROUP BY source, cnt""".stripMargin))
+             |GROUP BY source, cnt""".stripMargin)),
+
+    // IVF search against a PERSISTED index built through the YAML
+    // engine: a script job (A17 carrying a real maintenance workload —
+    // script/AnnIndexJob.scala) fits exact integer k-means and stores
+    // the centroid table; the probe (Similarity.ivfTopKIndexed) assigns
+    // the corpus to stored cells and scans only each query's nProbe=2
+    // nearest cells. Because the index is integer Lloyd's, the WHOLE
+    // lifecycle — fit, stored centroids, cell assignment, probe choice,
+    // final cosine ranking — replays in DuckDB: the oracled ANN variant
+    // next to ext11's rows-only MLlib form.
+    "ext81_ivf_indexed" -> Q(
+      (s, d) => {
+        val base = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/annindex"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val yaml =
+          s"""job:
+             |  name: ann-index
+             |  type: python-script
+             |variables:
+             |  default:
+             |    in: $d/embeddings.parquet
+             |    out: $base/index
+             |    k: "8"
+             |    iters: "3"
+             |script_class: graft.script.AnnIndexJob
+             |""".stripMargin
+        graft.engine.Engine.run(s, graft.config.ConfigParser.parse(yaml), "default")
+        val index = s.read.parquet(s"$base/index")
+        val all = emb(s, d)
+        Similarity.ivfTopKIndexed(all, all.filter(col("vec_id") % 50 === 0),
+          index, "vec_id", "embedding", k = 5, nProbe = 2)
+      },
+      Some(ivfIndexedOracle(k = 8, iters = 3, dims = 64, nProbe = 2, topK = 5)))
   )
+
+  /** ext81's oracle: replay the k-means fit (the ext71 CTE machinery),
+    * assign the corpus to final cells (`fin`), pick each query's nProbe
+    * nearest cells by the same integer metric, and cosine-rank the
+    * probed candidates — the full persisted-index IVF lifecycle in SQL. */
+  private def ivfIndexedOracle(k: Int, iters: Int, dims: Int,
+                               nProbe: Int, topK: Int): String = {
+    val dist =
+      "list_sum(list_transform(range(1, len(v.m)+1), j -> (v.m[j]-c.c[j])*(v.m[j]-c.c[j])))"
+    kmeansCtes(k, iters, dims) + s"""
+       |, qcells AS (
+       |  SELECT id AS qid, cid FROM (
+       |    SELECT v.id, c.cid,
+       |           row_number() OVER (PARTITION BY v.id ORDER BY $dist, c.cid) AS rk
+       |    FROM m v CROSS JOIN c$iters c
+       |    WHERE v.id % 50 = 0) WHERE rk <= $nProbe
+       |), probe AS (
+       |  SELECT q.qid, f.id AS nid,
+       |         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM qcells q JOIN fin f USING (cid)
+       |  JOIN embeddings qe ON qe.vec_id = q.qid
+       |  JOIN embeddings ne ON ne.vec_id = f.id
+       |  WHERE f.id <> q.qid
+       |)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM (
+       |  SELECT qid, nid, cosine,
+       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |  FROM probe)
+       |WHERE rnk <= $topK""".stripMargin
+  }
 
   /** DuckDB replay of [[graft.operators.Clustering.kmeans]]: the same
     * lowest-id seeds and `iters` unrolled exact-integer Lloyd's

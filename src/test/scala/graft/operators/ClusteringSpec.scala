@@ -72,4 +72,26 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("cluster")).toMap
     assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1))
   }
+
+  test("kmeansCentroids: the persisted index reproduces kmeans's assignment") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1L to 60L).map(i => (i, Seq.fill(4)(rnd.nextDouble()).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val index = Clustering.kmeansCentroids(df, "vec_id", "embedding", k = 3, iters = 2)
+    assert(index.columns.toSeq == Seq("cluster", "centroid"))
+    val fromKmeans = Clustering.kmeans(df, "vec_id", "embedding", k = 3, iters = 2)
+      .select("vec_id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // assigning with the STORED centroids lands every vector in the same
+    // cluster kmeans reported — the index is a faithful artifact
+    val viaIndex = graft.operators.Similarity
+      .ivfTopKIndexed(df, df.limit(0), index, "vec_id", "embedding", k = 1)
+    viaIndex.count() // exercises assignment path; empty queries -> 0 rows
+    val cents = index.collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).toSeq
+    val assigned = Clustering.micro(df, "vec_id", "embedding")
+      .select($"id", Clustering.assignExpr(cents).as("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assigned == fromKmeans)
+  }
 }
