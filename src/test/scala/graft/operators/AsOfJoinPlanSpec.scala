@@ -119,6 +119,39 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
   }
 
+  test("multi-key as-of matches the union+window form") {
+    val rnd = new scala.util.Random(11)
+    val probes = (1 to 300).map(i =>
+      (rnd.nextInt(5).toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k1", "k2", "ts", "probe_id")
+    val quotes = (1 to 200).map(i =>
+      (rnd.nextInt(6).toLong, s"g${rnd.nextInt(3)}", rnd.nextInt(500).toLong, i * 10L))
+      .toDF("k1", "k2", "ts", "quote")
+      .groupBy("k1", "k2", "ts").agg(max("quote").as("quote"))
+    val got = AsOfJoin.joinPlanned(probes, quotes, Seq("k1", "k2"), "ts", "ts")
+      .select("probe_id", "quote")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val want = AsOfJoin.join(probes, quotes, Seq("k1", "k2"), "ts", "ts")
+      .select("probe_id", "quote")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("null join keys group together (the window form's partitioning semantics)") {
+    val probes = Seq[(java.lang.Long, Long, Long)]((null, 10L, 1L), (1L, 10L, 2L))
+      .toDF("k", "ts", "probe_id")
+    val quotes = Seq[(java.lang.Long, Long, Long)]((null, 5L, 77L), (1L, 5L, 88L))
+      .toDF("k", "ts", "quote")
+    val got = AsOfJoin.joinPlanned(probes, quotes, Seq("k"), "ts", "ts")
+      .select("probe_id", "quote")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val want = AsOfJoin.join(probes, quotes, Seq("k"), "ts", "ts")
+      .select("probe_id", "quote")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == want)
+    assert(got == Set((1L, 77L), (2L, 88L))) // null-key probe sees null-key quote
+  }
+
   test("un-partitioned inputs get exchanges from EnsureRequirements and stay correct") {
     val (probes, quotes) = randomSides(9)
     val joined = AsOfJoin.joinPlanned(probes.coalesce(1), quotes.coalesce(3),
