@@ -110,7 +110,7 @@ object ScaleCheck {
       if (i == 0) df else df
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text", concat(col("text"), lit(s" v$i")))
-        .withColumn("n_chars", col("n_chars") + lit(3L))
+        .withColumn("n_chars", col("n_chars") + lit(2L + s"v$i".length))
     })
     write("embeddings", copies(rd("embeddings")) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))

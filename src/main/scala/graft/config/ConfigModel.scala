@@ -267,6 +267,10 @@ object ConfigParser {
                 .exists(v => Set("yes", "true").contains(v.toLowerCase)))
               throw new ConfigError(
                 s"input '$name': quarantine with csv needs headerless input (the raw-line re-parse cannot tell a header from a bad row); drop withHeader and declare `schema:`")
+            if (opts.get("multiline").orElse(opts.get("multiLine"))
+                .exists(v => Set("yes", "true").contains(v.toLowerCase)))
+              throw new ConfigError(
+                s"input '$name': quarantine needs line-delimited input (the raw re-parse is line-based); drop multiline")
           case _ => throw new ConfigError(
             s"input '$name': quarantine is only supported for file sources")
         }

@@ -85,17 +85,22 @@ object AsOfJoin {
     if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
 
-    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
-    val leftCols = left.columns.filterNot(keys.contains).toSeq
-    require(valueCols.intersect(leftCols).isEmpty,
-      s"as-of join: right value columns ${valueCols.intersect(leftCols).mkString(",")} collide with left columns — alias them first")
+    // session-resolver comparison, so name lookup is case-insensitive
+    // exactly like [[join]]'s col()-based resolution (default config)
+    val res = spark.sessionState.analyzer.resolver
+    def isKey(c: String) = keys.exists(res(_, c))
+    val valueCols = right.columns.filterNot(c => isKey(c) || res(c, rightTs)).toSeq
+    val leftCols = left.columns.filterNot(isKey).toSeq
+    val collisions = valueCols.filter(v => leftCols.exists(res(_, v)))
+    require(collisions.isEmpty,
+      s"as-of join: right value columns ${collisions.mkString(",")} collide with left columns — alias them first")
 
     val lPlan = left.queryExecution.analyzed
     // re-alias the right side so a self-join can't alias-collide exprIds
     val rAliased = right.select(right.columns.map(c => col(c).as(c)).toSeq: _*)
     val rPlan = rAliased.queryExecution.analyzed
     def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-             name: String) = plan.output.find(_.name == name).getOrElse(
+             name: String) = plan.output.find(a => res(a.name, name)).getOrElse(
       throw new IllegalArgumentException(s"as-of join: no column '$name' in ${plan.output.map(_.name).mkString(",")}"))
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
       graft.plans.AsOfJoinNode(lPlan, rPlan,

@@ -63,6 +63,11 @@ object Graph {
     val degreed = e.join(outDeg.withColumnRenamed("node", "src"), "src")
 
     var ranks = nodes.withColumn("r", lit(1000000L))
+    // a superseded iteration checkpoint frees as soon as the NEXT one
+    // materializes (its data is baked into the successor); e, nodes, and
+    // the LAST checkpoint feed the returned plan, so they release via a
+    // consumption lease below — no block leaks across a long session
+    var lastCp: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
       val contrib = degreed
@@ -73,15 +78,22 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("85 * coalesce(s, CAST(0 AS BIGINT)) div 100")).as("r"))
-      if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0 && i + 1 < iters)
+      if (checkpointEvery > 0 && (i + 1) % checkpointEvery == 0 && i + 1 < iters) {
         ranks = ranks.localCheckpoint(true)
+        lastCp.foreach(graft.util.Caching.freeCheckpoint)
+        lastCp = Some(ranks)
+      }
       i += 1
     }
-    ranks
+    val result = ranks
       .join(outDeg, Seq("node"), "left")
       .join(inDeg, Seq("node"), "left")
       .select(col("node"), col("r").as("pr_e6"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+    val held = Seq(e, nodes) ++ lastCp
+    graft.util.Caching.releaseOnConsumed(result, held) { () =>
+      held.foreach(graft.util.Caching.freeCheckpoint)
+    }
   }
 }

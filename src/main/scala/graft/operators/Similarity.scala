@@ -184,9 +184,15 @@ object Similarity {
       .select(col("cluster").cast("int"), col("centroid"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1).toSeq
-    val c = Clustering.micro(corpus, idCol, vecCol)
-      .join(prepared(corpus, vecCol)
-        .select(col(idCol).cast("long").as("id"), col("__vd").as("cv")), "id")
+    // one narrow projection per side: id + micro array (named `m`, the
+    // [[Clustering]] contract for assignExpr/sqDist) + double vector —
+    // no join, no shuffle, just per-row arithmetic against literals
+    def microAndVec(df: DataFrame, vecAlias: String) =
+      df.select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * 1e6 + 0.5).cast("long"))
+          .as("m"),
+        col(vecCol).cast("array<double>").as(vecAlias))
+    val c = microAndVec(corpus, "cv")
       .select(col("id").as("nid"), col("cv"),
         Clustering.assignExpr(cents).as("cell"))
     // nProbe nearest stored centroids per query, integer metric, ties
@@ -194,9 +200,7 @@ object Similarity {
     val rankedCells = array_sort(array(cents.map { case (cid, cv) =>
       struct(Clustering.sqDist(cv).as("d"), lit(cid).as("c"))
     }: _*))
-    val q = Clustering.micro(queries, idCol, vecCol)
-      .join(prepared(queries, vecCol)
-        .select(col(idCol).cast("long").as("id"), col("__vd").as("qv")), "id")
+    val q = microAndVec(queries, "qv")
       .select(col("id").as("qid"), col("qv"),
         explode(slice(transform(rankedCells, s => s.getField("c")), 1, nProbe))
           .as("cell"))

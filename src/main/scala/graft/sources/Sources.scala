@@ -74,20 +74,31 @@ object Sources {
 
   /** File scan with MALFORMED-ROW quarantine (beyond-reference; the
     * config surface is `quarantine: <path>` on a csv/json input with an
-    * explicit `schema:`). Two passes, both scan-shaped and shuffle-free:
+    * explicit `schema:`). Both sides derive from raw TEXT line scans
+    * re-parsed with `from_csv`/`from_json` + PERMISSIVE corrupt-record
+    * capture — shuffle-free, and the SAME parse expression defines
+    * malformed-ness for both, so the split is exact by construction:
     *
-    *   1. good side — the normal reader in `DROPMALFORMED` mode (the
-    *      registered view: only rows that parse against the schema);
-    *   2. bad side — the input re-read as raw TEXT lines, re-parsed with
-    *      `from_csv`/`from_json` + PERMISSIVE corrupt-record capture;
-    *      lines that fail land in the quarantine path as
-    *      (raw_record, src_file) parquet, appended per run.
+    *   1. bad side (written first, so a crash between the passes leaves
+    *      evidence, not silence) — lines that trip the corrupt column
+    *      land in the quarantine path as (raw_record, src_file)
+    *      parquet, OVERWRITTEN per run (a re-run over the same input
+    *      reproduces the same rejects — idempotent, the engine's
+    *      re-run discipline — rather than appending duplicates);
+    *   2. good side — the registered view: lines whose full-schema
+    *      parse is clean, expanded to the declared columns.
     *
-    * Why two scans instead of one PERMISSIVE read split by the corrupt
-    * column: Spark (correctly) refuses to filter on the corrupt column
-    * alone without caching the parsed dataset — and caching the INPUT
-    * is exactly what a 100 TB scan cannot do. Two narrow scans keep
-    * both sides pipelined at scan speed with no corpus-sized state. */
+    * Why not the obvious reader shapes: a `DROPMALFORMED` reader view
+    * defines malformed-ness relative to the columns each query NEEDS —
+    * under column pruning, `SELECT count(*)` parses nothing and counts
+    * every bad row (measured: 4/4 instead of 2/4 on a planted file) —
+    * and a PERMISSIVE reader filtered on its corrupt column is
+    * disallowed without caching the parsed input (impossible at scale).
+    * The `from_csv`/`from_json` EXPRESSION is immune to both: the
+    * csv/json expression optimizer never prunes a parse schema carrying
+    * options, so the full-row parse verdict survives any downstream
+    * projection. Caveat, enforced at config parse: headerless, line-
+    * delimited input only (the text re-scan is line-based). */
   def loadWithQuarantine(spark: SparkSession, spec: SourceSpec.File,
                          quarantinePath: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -99,33 +110,28 @@ object Sources {
       catch { case e: Exception =>
         throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }
     val opts = mapOptions(options)
-
-    // bad side first (so a crash between the two scans leaves evidence,
-    // not silence): raw lines whose re-parse trips the corrupt column
     val parseSchema = structType.add("__corrupt", org.apache.spark.sql.types.StringType)
     val parseOpts = opts + ("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")
-    val raw = spark.read
+    def raw = spark.read
       .option("recursiveFileLookup", options.getOrElse("recursiveFileLookup", "true"))
       .text(location)
-    val parsed = format match {
-      case "csv" => from_csv(col("value"), parseSchema, parseOpts)
-      case "json" => from_json(col("value"), parseSchema, parseOpts)
+    def parsed(c: org.apache.spark.sql.Column) = format match {
+      case "csv" => from_csv(c, parseSchema, parseOpts)
+      case "json" => from_json(c, parseSchema, parseOpts)
       case other => throw new ConfigError(
         s"quarantine is only supported for csv/json sources, got '$other'")
     }
+
     raw.select(col("value").as("raw_record"),
         input_file_name().as("src_file"),
-        parsed.getField("__corrupt").as("__c"))
+        parsed(col("value")).getField("__corrupt").as("__c"))
       .filter(col("__c").isNotNull)
       .drop("__c")
-      .write.mode("append").parquet(quarantinePath)
+      .write.mode("overwrite").parquet(quarantinePath)
 
-    spark.read.format(format)
-      .options(opts)
-      .option("mode", "DROPMALFORMED")
-      .option("recursiveFileLookup", options.getOrElse("recursiveFileLookup", "true"))
-      .schema(structType)
-      .load(location)
+    raw.select(parsed(col("value")).as("__r"))
+      .filter(col("__r.__corrupt").isNull)
+      .select(structType.fieldNames.map(n => col("__r").getField(n).as(n)).toSeq: _*)
   }
 
   /** Streaming flavor of the file scan: same format/option mapping, but

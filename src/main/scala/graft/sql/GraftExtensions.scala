@@ -86,6 +86,8 @@ object GraftExtensions {
         require(children.size == 3 || children.size == 4,
           s"top_k_by expects (ord, payload, k[, 'desc'|'asc']), got ${children.size} args")
         val dir = if (children.size == 4) {
+          require(children(3).foldable,
+            "top_k_by direction must be a string literal 'desc'|'asc', got a non-literal expression")
           children(3).eval() match {
             case s: org.apache.spark.unsafe.types.UTF8String => s.toString.toLowerCase
             case other => throw new IllegalArgumentException(

@@ -35,18 +35,31 @@ object Caching {
 
   def leased(frames: DataFrame*)(result: => DataFrame): DataFrame = {
     frames.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
-    val leasedPlans = frames.map(_.queryExecution.analyzed)
-    val out = result
+    releaseOnConsumed(result, frames.toSeq) { () =>
+      frames.foreach(_.unpersist(blocking = false))
+    }
+  }
+
+  /** The lease mechanism generalized over the RELEASE action: run
+    * `release` once the session completes an action whose analyzed plan
+    * contains one of `watched`'s plans (or after the action-count
+    * backstop). [[leased]] uses it for persist/unpersist pairs;
+    * iterative operators use it to free eager `localCheckpoint` blocks
+    * (which a plain `unpersist` on the Dataset cannot reach) once the
+    * result that references them has been consumed. */
+  def releaseOnConsumed(out: DataFrame, watched: Seq[DataFrame])
+                       (release: () => Unit): DataFrame = {
+    val watchedPlans = watched.map(_.queryExecution.analyzed)
     val lm = out.sparkSession.listenerManager
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private val budget = new java.util.concurrent.atomic.AtomicInteger(BackstopActions)
       private def cleanup(): Unit = if (done.compareAndSet(false, true)) {
-        frames.foreach(_.unpersist(blocking = false))
+        release()
         lm.unregister(this)
       }
       private def consumesLease(qe: QueryExecution): Boolean =
-        try qe.analyzed.find(n => leasedPlans.exists(_.sameResult(n))).isDefined
+        try qe.analyzed.find(n => watchedPlans.exists(_.sameResult(n))).isDefined
         catch { case _: Exception => true } // never let a plan quirk leak the cache
       private def completed(qe: QueryExecution): Unit =
         if (consumesLease(qe) || budget.decrementAndGet() <= 0) cleanup()
@@ -58,4 +71,14 @@ object Caching {
     lm.register(listener)
     out
   }
+
+  /** Free the block-manager storage behind an eagerly `localCheckpoint`ed
+    * Dataset (the Dataset API has no unpersist that reaches it: the
+    * blocks belong to the internal RDD and otherwise live until RDD GC). */
+  def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 }
