@@ -218,6 +218,33 @@ object Sampling {
       .select(col(idCol), col(groupCol), col(tokenCol), col("cum_tokens"))
   }
 
+  /** Fixed-SIZE uniform sample per group — "exactly n docs per source,
+    * reproducibly" (the per-rate [[stratifiedSample]] fixes the
+    * FRACTION; evaluation sets and per-domain probes need the COUNT).
+    * The sample is the bottom-k of the md5(id:salt) permutation per
+    * group: deterministic, engine-independent, stable membership under
+    * corpus growth only for the surviving ranks (an arriving doc with a
+    * smaller hash displaces exactly one row — the bottom-k contract).
+    *
+    * Scale shape: rides [[graft.functions.TopKBy]] ('asc' on the hash),
+    * so each map task ships at most n rows per group into the exchange
+    * and nothing sorts a partition — the window-row_number form this
+    * replaces shuffles the whole corpus. */
+  def groupSample(df: DataFrame, idCol: String, groupCol: String,
+                  n: Int, salt: String): DataFrame = {
+    require(n > 0, "n must be positive")
+    graft.sql.GraftExtensions.ensureRegistered(df.sparkSession)
+    val keyed = df.withColumn("__k",
+      md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+    val payload = struct(keyed.columns.map(col).toSeq: _*)
+    keyed.groupBy(col(groupCol))
+      .agg(call_function("top_k_by",
+        struct(col("__k"), col(idCol)), payload, lit(n), lit("asc")).as("__t"))
+      .select(explode(col("__t.item")).as("__row"))
+      .select(col("__row.*"))
+      .withColumnRenamed("__k", "sample_key")
+  }
+
   /** Deterministic global training-order shuffle + shard assignment:
     * order the corpus by md5(id:salt), number it globally, and cut the
     * order into fixed-size shards — the "shuffle once, shard, then

@@ -2250,6 +2250,23 @@ object Extensions {
     // lifecycle — fit, stored centroids, cell assignment, probe choice,
     // final cosine ranking — replays in DuckDB: the oracled ANN variant
     // next to ext11's rows-only MLlib form.
+    // Fixed-size per-source uniform sample (exactly 20 docs per source)
+    // via bottom-k of the md5(id:salt) permutation, collected by the
+    // bounded-heap aggregate — ≤ 20 rows per (source, map task) cross
+    // the shuffle where the window form moves the corpus. The oracle is
+    // that window form.
+    "ext82_group_sample" -> Q(
+      (s, d) => graft.operators.Sampling.groupSample(
+          docs(s, d).select(col("doc_id"), col("source")),
+          "doc_id", "source", n = 20, salt = "eval")
+        .select(col("doc_id"), col("source"), col("sample_key")),
+      Some("""SELECT doc_id, source, k AS sample_key FROM (
+             |  SELECT doc_id, source, md5(doc_id || ':eval') AS k,
+             |         row_number() OVER (PARTITION BY source
+             |           ORDER BY md5(doc_id || ':eval'), doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 20""".stripMargin)),
+
     "ext81_ivf_indexed" -> Q(
       (s, d) => {
         val base = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/annindex"

@@ -1611,6 +1611,28 @@ object Relational {
       Some("""SELECT c.event_id, c.user_id, e.value AS err_value
              FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
              ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'error') e
-             ON c.user_id = e.user_id AND c.ts >= e.ts"""))
+             ON c.user_id = e.user_id AND c.ts >= e.ts""")),
+
+    // Spark's plan-shaping SQL clauses: DISTRIBUTE BY (hash exchange),
+    // SORT BY (partition-local sort), CLUSTER BY (both) — the physical
+    // layout controls an ETL SELECT uses before a partitioned write.
+    // They change the PLAN, not the result multiset, which is exactly
+    // what the oracle pins (DuckDB has no such clauses — the same
+    // projection, content-compared). The Spark plan shape itself is
+    // asserted in PlanAuditSpec territory: here the contract is that
+    // layout clauses never alter data.
+    "q74_distribute_cluster_by" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT o_orderkey,
+                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                  o_orderpriority
+           FROM orders
+           WHERE o_orderkey % 3 = 0
+           CLUSTER BY o_orderpriority""") },
+      Some("""SELECT o_orderkey,
+             |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |       o_orderpriority
+             |FROM orders
+             |WHERE o_orderkey % 3 = 0""".stripMargin))
   )
 }

@@ -481,6 +481,35 @@ object StreamingQueries {
              |WHERE rn <= 3
              |  AND (epoch_ns(window_start + INTERVAL 1 HOUR) // 1000000) <= wm_ms""".stripMargin)),
 
+    // Malformed-row quarantine AT INGEST (fw_quarantine's streaming
+    // twin): staged nation csv + planted bad lines drain through ONE
+    // streaming query whose every micro-batch appends parsed rows to
+    // the main table and raw rejects to the quarantine table. The
+    // result unions both sides so the oracle checks the exact split.
+    "st30_stream_quarantine" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "quarantine")
+        s.read.parquet(s"$d/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .write.option("sep", "|").csv(s"$base/in")
+        val junk = new java.io.FileOutputStream(s"$base/in/part-badlines.csv")
+        junk.write("999|TOOFEW\n998|BADTYPE|notanint\n997|ok|3|extra\n".getBytes("UTF-8"))
+        junk.close()
+        Streams.quarantineStream(s, s"$base/in",
+          "n_nationkey INT, n_name STRING, n_regionkey INT",
+          Map("separator" -> "|"), s"$base/out", s"$base/quarantined", s"$base/ckpt")
+        s.read.parquet(s"$base/out")
+          .unionByName(
+            s.read.parquet(s"$base/quarantined")
+              .select(lit(-1).cast("int").as("n_nationkey"),
+                col("raw_record").as("n_name"),
+                lit(-1).cast("int").as("n_regionkey")))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |UNION ALL
+             |SELECT CAST(-1 AS INT), v.raw, CAST(-1 AS INT) FROM (VALUES
+             |  ('999|TOOFEW'), ('998|BADTYPE|notanint'), ('997|ok|3|extra')) v(raw)""".stripMargin)),
+
     // Distinct-user cardinality AT INGEST via the KMV sketch (ext80's
     // streaming twin): state per event_type is k=64 longs no matter how
     // many events stream through, the sketch unions across micro-batches

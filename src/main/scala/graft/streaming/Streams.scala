@@ -531,6 +531,42 @@ object Streams {
     q.awaitTermination()
   }
 
+  /** Malformed-row quarantine AT INGEST — the streaming twin of
+    * `Sources.loadWithQuarantine`: each micro-batch of raw text lines
+    * splits through the SAME pruning-immune `from_csv` full-parse
+    * verdict, good rows appending to the main table and rejects (raw
+    * line + source file) to the quarantine table, atomically per batch
+    * under the checkpoint WAL. One streaming query, two sides — the
+    * ingest shape where bad rows must neither kill the stream nor
+    * silently vanish. */
+  def quarantineStream(spark: SparkSession, location: String, schemaDdl: String,
+                       options: Map[String, String], outPath: String,
+                       quarantinePath: String, checkpoint: String): Unit = {
+    import org.apache.spark.sql.types.{StringType, StructType}
+    val structType = StructType.fromDDL(schemaDdl)
+    val parseSchema = structType.add("__corrupt", StringType)
+    val parseOpts = graft.sources.Sources.mapOptions(options) +
+      ("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "__corrupt")
+    val raw = spark.readStream.text(location)
+      .select(col("value"), input_file_name().as("src_file"))
+    val q = raw.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val parsed = batch.select(col("value"), col("src_file"),
+          from_csv(col("value"), parseSchema, parseOpts).as("__r"))
+        parsed.filter(col("__r.__corrupt").isNotNull)
+          .select(col("value").as("raw_record"), col("src_file"))
+          .write.mode("append").parquet(quarantinePath)
+        parsed.filter(col("__r.__corrupt").isNull)
+          .select(structType.fieldNames.map(n => col("__r").getField(n).as(n)).toSeq: _*)
+          .write.mode("append").parquet(outPath): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Per-user materialized state — the streaming "profile table" shape:
     * the latest click (by event time, event_id tie-break) and the running
     * click count for every user. An UNWATERMARKED Update-mode aggregation:

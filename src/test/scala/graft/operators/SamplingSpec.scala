@@ -176,4 +176,23 @@ class SamplingSpec extends SparkSpec {
     val s1m = s1.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("shard_pos")).toMap
     assert((1L to 1000L).count(id => s1m(id) != s2(id)) > 800)
   }
+
+  test("groupSample: exactly n per group, deterministic, == the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = (1L to 500L).map(i => (i, s"s${i % 4}")).toDF("doc_id", "source")
+      .repartition(9)
+    val got = Sampling.groupSample(df, "doc_id", "source", n = 15, salt = "ev")
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got.groupBy(_._1).forall(_._2.size == 15))
+    // the oracle shape: bottom-15 of the md5 permutation per group
+    val w = Window.partitionBy("source")
+      .orderBy(md5(concat(col("doc_id").cast("string"), lit(":ev"))), col("doc_id"))
+    val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 15)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(got == want)
+    // a group smaller than n keeps everything
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    assert(Sampling.groupSample(tiny, "doc_id", "source", 10, "x").count() == 3)
+  }
 }
