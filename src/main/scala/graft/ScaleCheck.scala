@@ -29,6 +29,7 @@ object ScaleCheck {
     "q08_asof_join", "q73_asof_planned",
     "ext01_exact_dedup", "ext03_minhash_lsh", "ext25_line_dedup",
     "ext44_tfidf_topk", "ext73_semdedup", "ext79_pagerank",
+    "ext80_kmv_distinct", "ext81_ivf_indexed", "ext82_group_sample",
     "st01_stream_window")
 
   def main(args: Array[String]): Unit = {
