@@ -735,6 +735,57 @@ object Similarity {
         }: _*).as("sketch_e6_csv"))
   }
 
+  /** Hyperplane-LSH ANN with a fully REPLAYABLE bucket function: the
+    * hash-family twin of [[ivfTopKIndexed]] (partition-family), closing
+    * the other half of "ANN is rows-only by design". [[annTopK]]'s
+    * buckets come from float dot products against splitmix64 planes —
+    * sign bits near zero depend on accumulation order, so only recall
+    * is testable. Here the plane matrix is the md5-parity ±1 matrix of
+    * [[srpSketch]] and projections are exact INTEGER sums of
+    * micro-quantized components (order-independent), so bucket ids,
+    * probe sets, candidates, and the final cosine ranking all replay in
+    * SQL — a full value oracle for hash-based ANN (ext83).
+    *
+    * Same scale shape as [[annTopK]]: corpus keeps one bucket per
+    * vector, the small query side replicates (nPlanes+1)× for
+    * multi-probe (hamming-1 flips), the candidate join is
+    * equality-keyed on the bucket id. */
+  def annTopKSrp(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int, nPlanes: Int = 6,
+                 salt: String = "ann1"): DataFrame = {
+    require(k > 0 && nPlanes > 0 && nPlanes < 63, "k and nPlanes must be positive")
+    val d = dim(corpus, vecCol)
+    val signs: Seq[Seq[Long]] =
+      (0 until nPlanes).map(i => (0 until d).map(j => srpSign(i, j, salt)))
+    def xe6 = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * 1e6 + 0.5).cast("long"))
+    // plane 0 = high bit (the acc*2 fold); probes flip every position,
+    // so the bit↔plane orientation never matters downstream
+    def bucketCol = (0 until nPlanes).foldLeft(lit(0L)) { (acc, i) =>
+      acc * 2 + when(
+        aggregate(zip_with(col("__x"), typedlit(signs(i)), (x, s) => x * s),
+          lit(0L), (a, y) => a + y) > 0L, 1L).otherwise(0L)
+    }
+    val c = corpus.select(col(idCol).cast("long").as("nid"),
+        col(vecCol).cast("array<double>").as("cv"), xe6.as("__x"))
+      .select(col("nid"), col("cv"), bucketCol.as("bucket"))
+    val probes = (0 until nPlanes).foldLeft(array(col("__b"))) {
+      (acc, i) => array_append(acc, col("__b").bitwiseXOR(lit(1L << i)))
+    }
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+        col(vecCol).cast("array<double>").as("qv"), xe6.as("__x"))
+      .select(col("qid"), col("qv"), bucketCol.as("__b"))
+      .select(col("qid"), col("qv"), explode(probes).as("bucket"))
+    c.join(q, "bucket")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): merge any number
     * of per-query ranked candidate lists into one hybrid ranking by
     * score(d) = Σ_lists 1/(c + rank_list(d)) — the standard way a

@@ -2250,6 +2250,59 @@ object Extensions {
     // lifecycle — fit, stored centroids, cell assignment, probe choice,
     // final cosine ranking — replays in DuckDB: the oracled ANN variant
     // next to ext11's rows-only MLlib form.
+    // Hash-family ANN with a FULL value oracle (the LSH twin of
+    // ext81's partition-family IVF): md5-parity ±1 planes, integer
+    // micro projections — bucket ids, hamming-1 probe sets, candidates
+    // and the cosine ranking all replay in SQL. ext06 (float-plane LSH)
+    // stays rows-only precisely because ITS sign bits are
+    // accumulation-order-dependent; this variant is why that's a
+    // property of the plane family, not of LSH.
+    "ext83_ann_srp" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.annTopKSrp(e, e.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", k = 5, nPlanes = 6, salt = "ann1")
+      },
+      Some("""WITH m AS (
+             |  SELECT i, j,
+             |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':ann1'), 1, 1))::BIGINT % 2 = 0
+             |              THEN 1 ELSE -1 END AS s
+             |  FROM range(6) r1(i), range(64) r2(j)
+             |), e AS (
+             |  SELECT vec_id,
+             |         unnest(range(0, len(embedding))) AS j,
+             |         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xe6
+             |  FROM embeddings
+             |), p AS (
+             |  SELECT vec_id, i, sum(xe6 * s) AS c
+             |  FROM e JOIN m USING (j)
+             |  GROUP BY vec_id, i
+             |), b AS (
+             |  SELECT vec_id,
+             |         CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (5 - i)) ELSE 0 END) AS BIGINT) AS bucket
+             |  FROM p GROUP BY vec_id
+             |), qb AS (
+             |  SELECT vec_id AS qid, bucket FROM b WHERE vec_id % 50 = 0
+             |), probes AS (
+             |  SELECT qid, bucket FROM qb
+             |  UNION ALL
+             |  SELECT qid, xor(bucket, CAST(1 AS BIGINT) << pos)
+             |  FROM qb, range(6) r(pos)
+             |), cand AS (
+             |  SELECT pr.qid, cb.vec_id AS nid,
+             |         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM probes pr
+             |  JOIN b cb USING (bucket)
+             |  JOIN embeddings qe ON qe.vec_id = pr.qid
+             |  JOIN embeddings ne ON ne.vec_id = cb.vec_id
+             |  WHERE cb.vec_id <> pr.qid
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM (
+             |  SELECT qid, nid, cosine,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+             |  FROM cand)
+             |WHERE rnk <= 5""".stripMargin)),
+
     // Fixed-size per-source uniform sample (exactly 20 docs per source)
     // via bottom-k of the md5(id:salt) permutation, collected by the
     // bounded-heap aggregate — ≤ 20 rows per (source, map task) cross
