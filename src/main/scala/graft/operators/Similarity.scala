@@ -786,6 +786,54 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
   }
 
+  /** Contrastive triplet mining — (anchor, positive, negative) training
+    * pairs for embedding-model fine-tuning: the positive is the
+    * anchor's nearest IN-label neighbor (the [[knnGraph]] rank-1 edge);
+    * the negative is a deterministic draw from ANOTHER label — label
+    * chosen by (label_index + 1 + anchor_id mod (L−1)) mod L so
+    * negatives spread across all other labels, and the row within that
+    * label by anchor_id mod label_size over the label's md5(id:salt)
+    * permutation. Every choice is integer/md5 arithmetic — the triplet
+    * set replays exactly in SQL (ext84). Anchors whose label has no
+    * second member yield no triplet (no positive exists).
+    *
+    * Scale shape: positives ride the blocked kNN join; the negative
+    * lookup is ONE equality join of anchors against a per-label
+    * md5-ranked table (a partitioned window — per-label sorts, no
+    * global window); the label index/size frame is |labels| rows,
+    * broadcast. */
+  def contrastivePairs(df: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, salt: String = "neg1"): DataFrame = {
+    val pos = knnGraph(df, idCol, vecCol, labelCol, 1)
+      .select(col("src").cast("long").as("anchor_id"),
+        col("nid").cast("long").as("pos_id"), col("cosine").as("pos_cosine"))
+    val base = df.select(col(idCol).cast("long").as("id"), col(labelCol).as("lbl"))
+    val ranked = base.withColumn("lrnk", row_number().over(
+      Window.partitionBy(col("lbl"))
+        .orderBy(md5(concat(col("id").cast("string"), lit(":" + salt))), col("id"))))
+    // label directory: dense 0..L-1 index + size — |labels| rows, so the
+    // unpartitioned window here orders a frame that fits on a postcard
+    val dir = base.groupBy(col("lbl")).agg(count(lit(1)).as("lsz"))
+      .withColumn("lidx",
+        row_number().over(Window.orderBy(col("lbl"))) - 1)
+    val nl = dir.agg(count(lit(1)).as("nl"))
+    val anchors = base
+      .join(broadcast(dir.select(col("lbl"), col("lidx"))), "lbl")
+      .crossJoin(broadcast(nl))
+      .filter(col("nl") > 1)
+      .select(col("id").as("anchor_id"),
+        pmod(col("lidx") + 1 + pmod(col("id"), col("nl") - 1), col("nl")).as("nidx"))
+      .join(broadcast(dir.select(col("lidx").as("nidx"), col("lbl").as("neg_lbl"),
+        col("lsz").as("neg_lsz"))), "nidx")
+      .select(col("anchor_id"), col("neg_lbl"),
+        (pmod(col("anchor_id"), col("neg_lsz")) + 1).as("neg_rank"))
+    pos.join(anchors, "anchor_id")
+      .join(ranked.select(col("lbl").as("neg_lbl"), col("lrnk").as("neg_rank"),
+        col("id").as("neg_id")), Seq("neg_lbl", "neg_rank"))
+      .select(col("anchor_id"), col("pos_id"), col("pos_cosine"),
+        col("neg_id"), col("neg_lbl"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. SIGIR'09): merge any number
     * of per-query ranked candidate lists into one hybrid ranking by
     * score(d) = Σ_lists 1/(c + rank_list(d)) — the standard way a

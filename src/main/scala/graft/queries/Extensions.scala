@@ -2250,6 +2250,48 @@ object Extensions {
     // lifecycle — fit, stored centroids, cell assignment, probe choice,
     // final cosine ranking — replays in DuckDB: the oracled ANN variant
     // next to ext11's rows-only MLlib form.
+    // Contrastive triplet mining for embedding-model training: positive
+    // = nearest in-label neighbor (the ext67 edge), negative = a
+    // deterministic md5-permutation draw from a rotating other label —
+    // all integer arithmetic, so the full triplet set replays in SQL.
+    "ext84_contrastive_pairs" -> Q(
+      (s, d) => Similarity.contrastivePairs(
+        emb(s, d), "vec_id", "embedding", "label", salt = "neg1"),
+      Some("""WITH sim AS (
+             |  SELECT a.vec_id AS anchor_id, b.vec_id AS nid,
+             |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id <> b.vec_id
+             |), pos AS (
+             |  SELECT anchor_id, nid AS pos_id, cosine AS pos_cosine FROM (
+             |    SELECT anchor_id, nid, cosine,
+             |           row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, nid) AS rnk
+             |    FROM sim) WHERE rnk = 1
+             |), ranked AS (
+             |  SELECT vec_id AS id, label AS lbl,
+             |         row_number() OVER (PARTITION BY label
+             |           ORDER BY md5(CAST(vec_id AS VARCHAR) || ':neg1'), vec_id) AS lrnk
+             |  FROM embeddings
+             |), dir AS (
+             |  SELECT lbl, count(*) AS lsz,
+             |         row_number() OVER (ORDER BY lbl) - 1 AS lidx
+             |  FROM (SELECT label AS lbl FROM embeddings) GROUP BY lbl
+             |), nl AS (SELECT count(*) AS nl FROM dir
+             |), anchors AS (
+             |  SELECT e.vec_id AS anchor_id,
+             |         (d.lidx + 1 + e.vec_id % (nl.nl - 1)) % nl.nl AS nidx
+             |  FROM embeddings e JOIN dir d ON d.lbl = e.label CROSS JOIN nl
+             |  WHERE nl.nl > 1
+             |), withneg AS (
+             |  SELECT a.anchor_id, d2.lbl AS neg_lbl,
+             |         (a.anchor_id % d2.lsz) + 1 AS neg_rank
+             |  FROM anchors a JOIN dir d2 ON d2.lidx = a.nidx
+             |)
+             |SELECT p.anchor_id, p.pos_id, p.pos_cosine, r.id AS neg_id, w.neg_lbl
+             |FROM pos p
+             |JOIN withneg w USING (anchor_id)
+             |JOIN ranked r ON r.lbl = w.neg_lbl AND r.lrnk = w.neg_rank""".stripMargin)),
+
     // Hash-family ANN with a FULL value oracle (the LSH twin of
     // ext81's partition-family IVF): md5-parity ±1 planes, integer
     // micro projections — bucket ids, hamming-1 probe sets, candidates
