@@ -51,7 +51,10 @@ class PlanAuditSpec extends SparkSpec {
     "ext46_hybrid_retrieval" -> "inherits ext05 + ext44 documented shapes",
     // the bench side is benchmark-sized and broadcast; one scan of the
     // train side — the ext05 shape applied cross-side.
-    "ext70_semantic_contamination" -> "broadcast benchmark side, one train scan"
+    "ext70_semantic_contamination" -> "broadcast benchmark side, one train scan",
+    // single-row label-count broadcast (the negative-label rotation's
+    // modulus) — the ext34 scalar-normalizer shape.
+    "ext84_contrastive_pairs" -> "single-row label-count broadcast (rotation modulus)"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
@@ -170,5 +173,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity")
         && !readSchema.contains("l_extendedprice") && !readSchema.contains("l_returnflag"),
       s"avro scan reads more than the projection needs: $readSchema")
+  }
+
+  // CLUSTER BY must plan as hash-exchange + partition-LOCAL sort (the
+  // pre-partitioned-write layout), never a global (range) sort.
+  test("CLUSTER BY plans a hash exchange and a local sort, not a global sort") {
+    val plan = spark.read.parquet(s"$dir/orders.parquet")
+      .createOrReplaceTempView("pa_orders")
+    val p = spark.sql(
+      "SELECT o_orderkey, o_orderpriority FROM pa_orders CLUSTER BY o_orderpriority")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(o_orderpriority"), p)
+    assert(!p.contains("rangepartitioning"), s"CLUSTER BY must not range-shuffle:\n$p")
+    val sortLine = p.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse("")
+    assert(sortLine.contains("false, 0"), s"expected a partition-local sort: $sortLine\n$p")
   }
 }
