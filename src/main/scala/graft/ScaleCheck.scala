@@ -111,7 +111,7 @@ object ScaleCheck {
       if (i == 0) df else df
         .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
         .withColumn("text", concat(col("text"), lit(s" v$i")))
-        .withColumn("n_chars", col("n_chars") + lit(2L + s"v$i".length))
+        .withColumn("n_chars", col("n_chars") + lit(1L + s"v$i".length)) // " v$i"
     })
     write("embeddings", copies(rd("embeddings")) { (df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))

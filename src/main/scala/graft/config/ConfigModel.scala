@@ -279,6 +279,15 @@ object ConfigParser {
       }
       InputTable(name, source, incremental, quarantine)
     }
+    // each quarantined input needs its OWN path: rejects are overwritten
+    // per run for idempotent re-runs, so a shared path would let one
+    // input's (possibly empty) write destroy another's captured rows
+    locally {
+      val qPaths = inputs.flatMap(_.quarantine)
+      val dup = qPaths.groupBy(identity).collect { case (p, ps) if ps.size > 1 => p }
+      if (dup.nonEmpty) throw new ConfigError(
+        s"inputs share quarantine path(s) ${dup.mkString(", ")} — give each input its own")
+    }
 
     val output = root.get("output_table").filter(_ != null).map { o =>
       val t = asMap(o, "output_table")

@@ -85,15 +85,22 @@ object Graph {
       }
       i += 1
     }
+    // Materialize the FINAL (nodes-sized, cheap) result once, then free
+    // every upstream checkpoint immediately and deterministically. A
+    // consumption-listener release would be WRONG here: checkpointed
+    // blocks have no lineage, so unlike a persist lease they cannot
+    // recompute — freeing them after the first action would make the
+    // returned frame single-use. The flat checkpointed result is
+    // multi-use safe; its own nodes-sized blocks live only as long as
+    // the caller holds the frame.
     val result = ranks
       .join(outDeg, Seq("node"), "left")
       .join(inDeg, Seq("node"), "left")
       .select(col("node"), col("r").as("pr_e6"),
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
-    val held = Seq(e, nodes) ++ lastCp
-    graft.util.Caching.releaseOnConsumed(result, held) { () =>
-      held.foreach(graft.util.Caching.freeCheckpoint)
-    }
+      .localCheckpoint(true)
+    (Seq(e, nodes) ++ lastCp).foreach(graft.util.Caching.freeCheckpoint)
+    result
   }
 }

@@ -700,6 +700,22 @@ object Similarity {
     if (((h(0) >> 4) & 0xF) % 2 == 0) 1L else -1L
   }
 
+  /** The full ±1 plane matrix (ONE definition for [[srpSketch]] and
+    * [[annTopKSrp]] — their oracles replay the same parity formula). */
+  private def srpSigns(n: Int, d: Int, salt: String): Seq[Seq[Long]] =
+    (0 until n).map(i => (0 until d).map(j => srpSign(i, j, salt)))
+
+  /** Micro-int quantization of a vector column (the ext14 discipline). */
+  private def microE6(vecCol: String): Column =
+    transform(col(vecCol).cast("array<double>"),
+      x => floor(x * 1e6 + 0.5).cast("long"))
+
+  /** Exact integer projection of the quantized column `__x` onto sign
+    * row i — order-independent, hence engine-replayable. */
+  private def srpProject(signs: Seq[Seq[Long]], i: Int): Column =
+    aggregate(zip_with(col("__x"), typedlit(signs(i)), (x, s) => x * s),
+      lit(0L), (acc, y) => acc + y)
+
   /** Signed-random-projection sketch (Johnson–Lindenstrauss with a ±1
     * matrix — Achlioptas, JCSS'03; the SimHash projection of Charikar,
     * STOC'02 before the sign is taken): project each embedding onto
@@ -722,16 +738,11 @@ object Similarity {
   def srpSketch(df: DataFrame, idCol: String, vecCol: String,
                 outDim: Int = 16, salt: String = "srp1"): DataFrame = {
     require(outDim > 0, "outDim must be positive")
-    val d = dim(df, vecCol)
-    val signs: Seq[Seq[Long]] =
-      (0 until outDim).map(i => (0 until d).map(j => srpSign(i, j, salt)))
-    val xe6 = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * 1e6 + 0.5).cast("long"))
-    df.select(col(idCol), xe6.as("__x"))
+    val signs = srpSigns(outDim, dim(df, vecCol), salt)
+    df.select(col(idCol), microE6(vecCol).as("__x"))
       .select(col(idCol),
         concat_ws(",", (0 until outDim).map { i =>
-          aggregate(zip_with(col("__x"), typedlit(signs(i)), (x, s) => x * s),
-            lit(0L), (acc, y) => acc + y).cast("string")
+          srpProject(signs, i).cast("string")
         }: _*).as("sketch_e6_csv"))
   }
 
@@ -754,26 +765,20 @@ object Similarity {
                  vecCol: String, k: Int, nPlanes: Int = 6,
                  salt: String = "ann1"): DataFrame = {
     require(k > 0 && nPlanes > 0 && nPlanes < 63, "k and nPlanes must be positive")
-    val d = dim(corpus, vecCol)
-    val signs: Seq[Seq[Long]] =
-      (0 until nPlanes).map(i => (0 until d).map(j => srpSign(i, j, salt)))
-    def xe6 = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * 1e6 + 0.5).cast("long"))
+    val signs = srpSigns(nPlanes, dim(corpus, vecCol), salt)
     // plane 0 = high bit (the acc*2 fold); probes flip every position,
     // so the bit↔plane orientation never matters downstream
     def bucketCol = (0 until nPlanes).foldLeft(lit(0L)) { (acc, i) =>
-      acc * 2 + when(
-        aggregate(zip_with(col("__x"), typedlit(signs(i)), (x, s) => x * s),
-          lit(0L), (a, y) => a + y) > 0L, 1L).otherwise(0L)
+      acc * 2 + when(srpProject(signs, i) > 0L, 1L).otherwise(0L)
     }
     val c = corpus.select(col(idCol).cast("long").as("nid"),
-        col(vecCol).cast("array<double>").as("cv"), xe6.as("__x"))
+        col(vecCol).cast("array<double>").as("cv"), microE6(vecCol).as("__x"))
       .select(col("nid"), col("cv"), bucketCol.as("bucket"))
     val probes = (0 until nPlanes).foldLeft(array(col("__b"))) {
       (acc, i) => array_append(acc, col("__b").bitwiseXOR(lit(1L << i)))
     }
     val q = queries.select(col(idCol).cast("long").as("qid"),
-        col(vecCol).cast("array<double>").as("qv"), xe6.as("__x"))
+        col(vecCol).cast("array<double>").as("qv"), microE6(vecCol).as("__x"))
       .select(col("qid"), col("qv"), bucketCol.as("__b"))
       .select(col("qid"), col("qv"), explode(probes).as("bucket"))
     c.join(q, "bucket")

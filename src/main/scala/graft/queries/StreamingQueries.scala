@@ -499,6 +499,7 @@ object StreamingQueries {
           "n_nationkey INT, n_name STRING, n_regionkey INT",
           Map("separator" -> "|"), s"$base/out", s"$base/quarantined", s"$base/ckpt")
         s.read.parquet(s"$base/out")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
           .unionByName(
             s.read.parquet(s"$base/quarantined")
               .select(lit(-1).cast("int").as("n_nationkey"),

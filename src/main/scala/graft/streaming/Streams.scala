@@ -534,11 +534,15 @@ object Streams {
   /** Malformed-row quarantine AT INGEST — the streaming twin of
     * `Sources.loadWithQuarantine`: each micro-batch of raw text lines
     * splits through the SAME pruning-immune `from_csv` full-parse
-    * verdict, good rows appending to the main table and rejects (raw
-    * line + source file) to the quarantine table, atomically per batch
-    * under the checkpoint WAL. One streaming query, two sides — the
-    * ingest shape where bad rows must neither kill the stream nor
-    * silently vanish. */
+    * verdict, good rows landing in the main table and rejects (raw line +
+    * source file) in the quarantine table. Each batch writes BOTH sides
+    * into its own `batch=<id>` subdirectory with overwrite, so a
+    * WAL-replayed batch overwrites exactly what its failed attempt
+    * wrote — effectively-once, no duplicate rejects (a plain append
+    * would double every replayed row). Readers scan the root path; the
+    * batch id surfaces as a partition column to ignore or audit by. One
+    * streaming query, two sides — the ingest shape where bad rows must
+    * neither kill the stream nor silently vanish. */
   def quarantineStream(spark: SparkSession, location: String, schemaDdl: String,
                        options: Map[String, String], outPath: String,
                        quarantinePath: String, checkpoint: String): Unit = {
@@ -551,15 +555,20 @@ object Streams {
       .select(col("value"), input_file_name().as("src_file"))
     val q = raw.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // a micro-batch is bounded: persist so the two sides split one
+        // parse instead of re-scanning the source files per sink
         val parsed = batch.select(col("value"), col("src_file"),
           from_csv(col("value"), parseSchema, parseOpts).as("__r"))
-        parsed.filter(col("__r.__corrupt").isNotNull)
-          .select(col("value").as("raw_record"), col("src_file"))
-          .write.mode("append").parquet(quarantinePath)
-        parsed.filter(col("__r.__corrupt").isNull)
-          .select(structType.fieldNames.map(n => col("__r").getField(n).as(n)).toSeq: _*)
-          .write.mode("append").parquet(outPath): Unit
+          .persist()
+        try {
+          parsed.filter(col("__r.__corrupt").isNotNull)
+            .select(col("value").as("raw_record"), col("src_file"))
+            .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+          parsed.filter(col("__r.__corrupt").isNull)
+            .select(structType.fieldNames.map(n => col("__r").getField(n).as(n)).toSeq: _*)
+            .write.mode("overwrite").parquet(s"$outPath/batch=$batchId"): Unit
+        } finally { parsed.unpersist(blocking = false): Unit }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -178,7 +178,7 @@ class PlanAuditSpec extends SparkSpec {
   // CLUSTER BY must plan as hash-exchange + partition-LOCAL sort (the
   // pre-partitioned-write layout), never a global (range) sort.
   test("CLUSTER BY plans a hash exchange and a local sort, not a global sort") {
-    val plan = spark.read.parquet(s"$dir/orders.parquet")
+    spark.read.parquet(s"$dir/orders.parquet")
       .createOrReplaceTempView("pa_orders")
     val p = spark.sql(
       "SELECT o_orderkey, o_orderpriority FROM pa_orders CLUSTER BY o_orderpriority")
