@@ -493,6 +493,53 @@ object Dedup {
           joinWith).as("text"))
   }
 
+  /** Per-source BOILERPLATE stripping — the C4/web-crawl cleaning step
+    * next to [[dedupLines]], with different semantics: dedupLines keeps
+    * a repeated line's FIRST occurrence; boilerplate removal deletes a
+    * line from EVERY document of a source once it appears in more than
+    * `maxDocPermille`/1000 of that source's documents (site headers,
+    * footers, cookie banners — template text that is content nowhere).
+    * Occurrence counting is per-document (a line twice in one doc
+    * counts once), so a single spammy document can't promote its own
+    * text to boilerplate.
+    *
+    * Scale shape: per-(source, line) document-frequency is a distinct
+    * pass + count with map-side combine (state: one row per distinct
+    * line per source); the |sources|-row doc-count frame broadcasts;
+    * the removal is an equality-keyed (source, line) left join marking
+    * the exploded stream — no all-pairs, no per-doc state beyond its
+    * own reassembly. Output: (doc_id, source, n_lines_kept,
+    * n_lines_removed, text); documents whose every line was boilerplate
+    * still report (with empty text). */
+  def stripBoilerplate(docs: DataFrame, idCol: String, sourceCol: String,
+                       linesCol: Column, maxDocPermille: Int = 500,
+                       joinWith: String = "\n"): DataFrame = {
+    require(maxDocPermille > 0 && maxDocPermille <= 1000,
+      "maxDocPermille is permille: (0, 1000]")
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        posexplode(linesCol).as(Seq("pos", "line")))
+      .filter(length(trim(col("line"))) > 0)
+    val nDocs = docs.groupBy(col(sourceCol).as("source"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val boiler = exploded.select(col("source"), col("line"), col("doc_id"))
+      .distinct()
+      .groupBy(col("source"), col("line"))
+      .agg(count(lit(1)).as("line_docs"))
+      .join(broadcast(nDocs), "source")
+      .filter(col("line_docs") * 1000 > col("n_docs") * maxDocPermille)
+      .select(col("source"), col("line"), lit(true).as("__boiler"))
+    exploded.join(boiler, Seq("source", "line"), "left")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        count(when(col("__boiler").isNull, 1)).as("n_lines_kept"),
+        count(when(col("__boiler").isNotNull, 1)).as("n_lines_removed"),
+        array_join(transform(array_sort(collect_list(when(col("__boiler").isNull,
+          struct(col("pos").as("pos"), col("line").as("line"))))),
+          _.getField("line")),
+          joinWith).as("text"))
+  }
+
   /** [[dedupLines]] over delimiter-structured text: lines = `split` on
     * `delim` (a Java regex). Documents with no surviving line are absent
     * from the output — join back to the corpus for drop accounting. */

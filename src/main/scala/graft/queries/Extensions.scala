@@ -2250,6 +2250,68 @@ object Extensions {
     // lifecycle — fit, stored centroids, cell assignment, probe choice,
     // final cosine ranking — replays in DuckDB: the oracled ANN variant
     // next to ext11's rows-only MLlib form.
+    // Per-source boilerplate stripping (C4-style template cleaning):
+    // 12-token pseudo-lines appearing in >30% of a source's documents
+    // are deleted from EVERY document of that source (dedupLines keeps
+    // a first copy; boilerplate is content nowhere). Twelve planted
+    // docs share a header line that must vanish while their unique
+    // bodies survive; the oracle replays segmentation, per-source line
+    // document-frequency, the permille threshold, and reassembly.
+    "ext85_boilerplate" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val header = "HEADER NAV COOKIE BANNER TERMS APPLY SITE MENU LOGIN SEARCH HELP HOME"
+        val planted = (1 to 12).map(i =>
+          (-i.toLong, s"$header alpha$i beta$i gamma$i", "plantsrc"))
+          .toDF("doc_id", "text", "source")
+        val corpus = docs(s, d).select(col("doc_id"), col("text"), col("source"))
+          .unionByName(planted)
+        val toks = filter(split(trim(col("text")), "\\s+"), t => t =!= "")
+        val lines = transform(
+          sequence(lit(0), ((size(toks) + lit(11)) / lit(12)).cast("int") - 1),
+          g => array_join(slice(toks, g * 12 + 1, lit(12)), " "))
+        Dedup.stripBoilerplate(
+          corpus.filter(size(toks) > 0).withColumn("__lines", lines),
+          "doc_id", "source", col("__lines"), maxDocPermille = 300, joinWith = " ")
+      },
+      Some("""WITH corpus AS (
+             |  SELECT doc_id, text, source FROM documents
+             |  UNION ALL
+             |  SELECT -CAST(i AS BIGINT),
+             |         concat('HEADER NAV COOKIE BANNER TERMS APPLY SITE MENU LOGIN SEARCH HELP HOME',
+             |                ' alpha', i, ' beta', i, ' gamma', i),
+             |         'plantsrc'
+             |  FROM range(1, 13) r(i)
+             |), t AS (
+             |  SELECT doc_id, source,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM corpus
+             |), seg AS (
+             |  SELECT t.doc_id, t.source, u.g,
+             |         array_to_string(t.toks[u.g*12+1 : u.g*12+12], ' ') AS line
+             |  FROM t JOIN (SELECT unnest(range(0, (SELECT max((len(toks) + 11) // 12) FROM t))) AS g) u
+             |    ON u.g < (len(t.toks) + 11) // 12
+             |  WHERE len(t.toks) > 0
+             |), nd AS (
+             |  SELECT source, count(DISTINCT doc_id) AS n_docs FROM seg GROUP BY source
+             |), df AS (
+             |  SELECT source, line, count(DISTINCT doc_id) AS line_docs
+             |  FROM seg GROUP BY source, line
+             |), b AS (
+             |  SELECT df.source, df.line
+             |  FROM df JOIN nd USING (source)
+             |  WHERE df.line_docs * 1000 > nd.n_docs * 300
+             |), k AS (
+             |  SELECT s.doc_id, s.source, s.g, s.line,
+             |         (b.line IS NOT NULL) AS boiler
+             |  FROM seg s LEFT JOIN b ON b.source = s.source AND b.line = s.line
+             |)
+             |SELECT doc_id, source,
+             |       CAST(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS BIGINT) AS n_lines_kept,
+             |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_removed,
+             |       coalesce(string_agg(CASE WHEN boiler THEN NULL ELSE line END, ' ' ORDER BY g), '') AS text
+             |FROM k GROUP BY doc_id, source""".stripMargin)),
+
     // Contrastive triplet mining for embedding-model training: positive
     // = nearest in-label neighbor (the ext67 edge), negative = a
     // deterministic md5-permutation draw from a rotating other label —
