@@ -443,4 +443,59 @@ class StreamingSpec extends SparkSpec {
     val n2 = runOnce() // same source files → checkpoint skips them
     assert(n2 == n1, s"rerun appended rows: $n1 -> $n2 (exactly-once broken)")
   }
+
+  // The heap-state top-k must merge across micro-batches: a 4-batch
+  // sharded replay (events arriving in time slices) has to reproduce
+  // the batch window truth exactly — a heap that failed to union with
+  // its restored state would surface a per-batch top-k instead.
+  test("sharded replay windowed top-k = the batch window truth") {
+    import org.apache.spark.sql.streaming.Trigger
+    val df = Streams.windowedTopK(
+      Streams.readEventsStreamSharded(spark, dir, 4), k = 3)
+    val q = df.writeStream.format("memory").queryName("spec_topk_replay")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 4)
+    val got = spark.table("spec_topk_replay")
+      .select("window_start", "event_type", "event_id", "cents")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    import org.apache.spark.sql.expressions.Window
+    val ev = Streams.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+    val wm = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val batch = ev
+      .select(date_trunc("hour", col("ts")).as("window_start"),
+        col("event_type"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("window_start"), col("event_type"))
+          .orderBy(col("cents").desc, col("event_id").desc)))
+      .filter(col("rn") <= 3)
+      // append emits only windows the final watermark (max ts − 1h) closed
+      .filter(unix_micros(col("window_start")) + 3600L * 1000000 <=
+        lit(wm.getTime / 1000 * 1000 - 3600L * 1000) * 1000)
+      .select("window_start", "event_type", "event_id", "cents")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == batch)
+  }
+
+  // A replayed quarantine batch must overwrite its failed attempt, not
+  // append next to it: run the same bounded drain twice against the
+  // same checkpoint — the second run replays nothing and both tables
+  // keep their exact first-run contents.
+  test("quarantine stream rerun adds no duplicate rows on either side") {
+    val base = java.nio.file.Files.createTempDirectory("st-quar").toString
+    new java.io.File(s"$base/in").mkdirs()
+    val w = new java.io.PrintWriter(s"$base/in/data.csv")
+    w.write("1|aa|10\n2|bb|20\n998|cc|notanint\n999|dd\n"); w.close()
+    def drain(): (Long, Long) = {
+      Streams.quarantineStream(spark, s"$base/in", "a INT, b STRING, c INT",
+        Map("separator" -> "|"), s"$base/out", s"$base/q", s"$base/ckpt")
+      (spark.read.parquet(s"$base/out").count(),
+        spark.read.parquet(s"$base/q").count())
+    }
+    assert(drain() == ((2L, 2L)))
+    assert(drain() == ((2L, 2L))) // identical after replay
+  }
 }
