@@ -119,6 +119,35 @@ object Clustering {
     } finally { m.unpersist(false): Unit }
   }
 
+  /** Diversity selection by CLUSTER REPRESENTATIVES: fit integer
+    * k-means, then keep per cluster the vector nearest its final
+    * centroid (ties to the lowest id) — the deterministic
+    * "one exemplar per region of embedding space" subset that seeds
+    * diverse eval sets and coreset-style pruning (the bucketed stand-in
+    * for greedy k-center, which is inherently sequential). Everything
+    * is the [[kmeans]] integer arithmetic, so fit + assignment +
+    * argmin pick all replay in SQL (ext86).
+    *
+    * Scale shape: centroids ride the plan as literals; the per-row
+    * (distance, cluster) is one narrow projection; the pick is a
+    * map-side-combinable min(struct(dist, id)) per cluster — k output
+    * rows, no window, no second corpus pass beyond the fit's. */
+  def clusterRepresentatives(df: DataFrame, idCol: String, vecCol: String,
+                             k: Int, iters: Int): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, k, iters)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+    val best = array_min(array(cents.map { case (cid, c) =>
+      struct(sqDist(c).as("d"), lit(cid).as("c"))
+    }: _*))
+    micro(df, idCol, vecCol)
+      .select(col("id"), best.getField("c").as("cluster"), best.getField("d").as("sq_dist"))
+      .groupBy(col("cluster"))
+      .agg(min(struct(col("sq_dist"), col("id"))).as("rep"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster"), col("rep.id").as("rep_id"),
+        col("rep.sq_dist").as("sq_dist"), col("cluster_size"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic dedup = k-means clustering +
     * within-cluster cosine near-dup, keeping one representative per
     * near-dup group. A vector is DROPPED iff some LOWER-id vector in its

@@ -2250,6 +2250,34 @@ object Extensions {
     // lifecycle — fit, stored centroids, cell assignment, probe choice,
     // final cosine ranking — replays in DuckDB: the oracled ANN variant
     // next to ext11's rows-only MLlib form.
+    // Diversity selection: one representative per k-means cluster (the
+    // vector nearest its final centroid, ties to the lowest id) — the
+    // deterministic bucketed stand-in for greedy k-center. The oracle
+    // replays the ext71 fit, re-derives every vector's (distance,
+    // cluster) against the final centroids, and picks the argmin.
+    "ext86_cluster_reps" -> Q(
+      (s, d) => graft.operators.Clustering.clusterRepresentatives(
+        emb(s, d), "vec_id", "embedding", k = 8, iters = 3),
+      Some(kmeansCtes(8, 3, 64) + """
+           |, dist AS (
+           |  SELECT v.id, c.cid,
+           |         list_sum(list_transform(range(1, len(v.m)+1), j -> (v.m[j]-c.c[j])*(v.m[j]-c.c[j]))) AS sd
+           |  FROM m v CROSS JOIN c3 c
+           |), best AS (
+           |  SELECT id, cid, sd FROM (
+           |    SELECT id, cid, sd,
+           |           row_number() OVER (PARTITION BY id ORDER BY sd, cid) AS rk
+           |    FROM dist) WHERE rk = 1
+           |)
+           |SELECT CAST(p.cid AS INT) AS cluster, p.id AS rep_id,
+           |       CAST(p.sd AS BIGINT) AS sq_dist,
+           |       CAST(n.n AS BIGINT) AS cluster_size
+           |FROM (SELECT cid, id, sd,
+           |             row_number() OVER (PARTITION BY cid ORDER BY sd, id) AS prk
+           |      FROM best) p
+           |JOIN (SELECT cid, count(*) AS n FROM best GROUP BY cid) n ON n.cid = p.cid
+           |WHERE p.prk = 1""".stripMargin)),
+
     // Per-source boilerplate stripping (C4-style template cleaning):
     // 12-token pseudo-lines appearing in >30% of a source's documents
     // are deleted from EVERY document of that source (dedupLines keeps
