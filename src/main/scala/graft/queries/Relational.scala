@@ -1633,6 +1633,23 @@ object Relational {
              |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
              |       o_orderpriority
              |FROM orders
-             |WHERE o_orderkey % 3 = 0""".stripMargin))
+             |WHERE o_orderkey % 3 = 0""".stripMargin)),
+
+    // Lateral column aliases (SQL:2023-ish; Spark 3.4+, DuckDB native):
+    // a SELECT-list alias referenced by LATER expressions in the same
+    // list — the incremental-derivation style every hand-written ETL
+    // SELECT wants, without a nested subquery per step.
+    "q75_lateral_alias" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+                  cents - CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT) AS net_cents,
+                  net_cents + CAST(floor(l_extendedprice * l_tax * 100 + 0.5) AS BIGINT) AS gross_cents
+           FROM lineitem""") },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             |       cents - CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT) AS net_cents,
+             |       net_cents + CAST(floor(l_extendedprice * l_tax * 100 + 0.5) AS BIGINT) AS gross_cents
+             |FROM lineitem""".stripMargin))
   )
 }
