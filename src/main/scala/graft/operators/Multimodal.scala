@@ -332,6 +332,128 @@ object Multimodal {
       .groupBy(col("payload_sig"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  // ---- perceptual (decoded-pixel) image dedup ------------------------
+
+  final case class MediaVariant(doc_id: Long, variant: Int,
+                                payload: Array[Byte], format: String)
+  final case class ImageHashes(doc_id: Long, variant: Int, ahash: Long,
+                               dhash: Long, byte_sig: String)
+
+  /** Plant, per input row, THREE byte-distinct encodings of the same
+    * underlying image (the encodePng two-tone geometry — w = 1 + id%16,
+    * h = 1 + id%8, left red a = id%128, right red b = (7*id+3)%128; both
+    * < 128 so a +1 brightness shift can never clamp):
+    *   variant 0 — the base PNG;
+    *   variant 1 — the SAME pixels re-encoded as BMP (different
+    *     container, byte-identical pixels);
+    *   variant 2 — a PNG with every red value +1 (a brightness shift:
+    *     different pixels AND different bytes).
+    * Byte-signature dedup ([[dedupBySignature]], ext49) sees three
+    * distinct payloads; a perceptual hash over DECODED pixels must
+    * collapse all three ([[perceptualHashes]]). Executor-side encode,
+    * O(image) memory per row. */
+  def encodePngVariants(docs: DataFrame, idCol: String): Dataset[MediaVariant] =
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as(Encoders.product[Tuple1[Long]])
+      .mapPartitions { rows =>
+        rows.flatMap { case Tuple1(id) =>
+          val w = 1 + (id % 16).toInt
+          val h = 1 + (id % 8).toInt
+          val a = (id % 128).toInt
+          val b = ((id * 7 + 3) % 128).toInt
+          def render(shift: Int): java.awt.image.BufferedImage = {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val red = (if (x < w / 2) a else b) + shift
+                img.setRGB(x, y, red << 16)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          def bytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, fmt, out)
+            out.toByteArray
+          }
+          val base = render(0)
+          Seq(
+            MediaVariant(id, 0, bytes(base, "png"), "image/png"),
+            MediaVariant(id, 1, bytes(base, "bmp"), "image/bmp"),
+            MediaVariant(id, 2, bytes(render(1), "png"), "image/png"))
+        }
+      }(Encoders.product[MediaVariant])
+
+  /** Average-hash (aHash, 8×8) and difference-hash (dHash, 9×8) over
+    * DECODED pixels — the perceptual signatures that collapse
+    * re-encodings and global brightness shifts where a byte hash cannot:
+    *   - grid sampling is nearest-neighbor (`src[i*w/8, j*h/8]`) on the
+    *     red channel, deterministic for any w×h;
+    *   - the aHash bit is the integer-exact `v*64 > sum` (v > mean
+    *     without a rational divide), so adding a constant to every pixel
+    *     shifts `sum` by exactly 64 and flips NO bit;
+    *   - the dHash bit `g[x] > g[x+1]` compares neighbors — also shift-
+    *     invariant.
+    * Emits the md5 byte signature alongside, so one frame holds both
+    * worlds (ext87 pins n_phash=1 vs n_bytesig=3 per planted group).
+    *
+    * Scale shape: identical to [[decodeImages]] — partition-streaming
+    * decode, O(image) memory; only (id, two longs, 32-char sig) cross
+    * the shuffle that follows. */
+  def perceptualHashes(media: Dataset[MediaVariant]): Dataset[ImageHashes] =
+    media.mapPartitions { docs =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      docs.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"doc ${m.doc_id}/${m.variant}: not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        // nearest-neighbor sample of the red channel on a gw x 8 grid
+        def red(x: Int, y: Int, gw: Int): Int =
+          (img.getRGB(x * w / gw, y * h / 8) >> 16) & 0xff
+        // aHash: 8x8 nearest-sample grid, bit = v*64 > sum
+        val grid = Array.tabulate(64)(i => red(i % 8, i / 8, 8))
+        val sum = grid.sum
+        var ah = 0L
+        var i = 0
+        while (i < 64) {
+          if (grid(i).toLong * 64 > sum) ah |= (1L << i)
+          i += 1
+        }
+        // dHash: 9x8 grid, bit = g[x] > g[x+1] per row
+        var dh = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            val l = red(x, y, 9)
+            val r = red(x + 1, y, 9)
+            if (l > r) dh |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        md.reset()
+        val sig = md.digest(m.payload).map("%02x".format(_)).mkString
+        ImageHashes(m.doc_id, m.variant, ah, dh, sig)
+      }
+    }(Encoders.product[ImageHashes])
+
+  /** Perceptual dedup over decoded pixels — [[dedupBySignature]]'s
+    * group-keep shape keyed on the aHash instead of the byte md5, closing
+    * the gap that two re-encodings of the same image never collapsed:
+    * (ahash, keeper = min id, n_copies). Same scale story: hash at scan,
+    * only (hash, id) shuffles, one map-side-combined aggregation. */
+  def dedupPerceptual(media: Dataset[MediaVariant]): DataFrame =
+    perceptualHashes(media).toDF()
+      .groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
   /** Per-source rollup of the extracted features (the typical "did every
     * shard decode" pipeline health query). */
   def featuresBySource(docs: DataFrame, idCol: String, textCol: String,

@@ -40,6 +40,98 @@ object Extensions {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // Perceptual (decoded-pixel) media dedup — closes the round-6 gap
+    // that dedupBySignature hashes BYTES, so re-encodings of the same
+    // image never collapsed. Three byte-distinct encodings are planted
+    // per sampled doc (base PNG / same-pixels BMP / +1-brightness PNG,
+    // Multimodal.encodePngVariants); aHash and dHash over the DECODED
+    // pixels must see ONE image (shift-invariant integer hashes) while
+    // the md5 byte signature sees three payloads. The oracle states the
+    // planting contract in closed form per doc — any decode failure,
+    // non-invariant hash bit, or signature collision breaks a value.
+    "ext87_perceptual_dedup" -> Q(
+      (s, d) => {
+        val sample = docs(s, d).filter(col("doc_id") % 20 === 0)
+        Multimodal.perceptualHashes(
+            Multimodal.encodePngVariants(sample, "doc_id")).toDF()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_variants"),
+               countDistinct(col("ahash")).as("n_phash"),
+               countDistinct(col("dhash")).as("n_dhash"),
+               countDistinct(col("byte_sig")).as("n_bytesig"))
+      },
+      Some("""SELECT doc_id,
+             |       CAST(3 AS BIGINT) AS n_variants,
+             |       CAST(1 AS BIGINT) AS n_phash,
+             |       CAST(1 AS BIGINT) AS n_dhash,
+             |       CAST(3 AS BIGINT) AS n_bytesig
+             |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
+
+    // Mixed-schema JSON corpus ingested through the YAML A1 path into
+    // quality scoring — the VARIANT tier driven end-to-end by the
+    // ENGINE, not a hand-held DataFrame: stage documents as drifting
+    // JSON lines (three shapes: text+nested meta.lang / text+flat lang
+    // / body with NO lang), read them back as a raw `text` input table,
+    // and let the pipeline SQL absorb the drift with
+    // parse_json/variant_get typed paths before computing the quality
+    // gate. A static from_json schema cannot express this input; the
+    // oracle recomputes every output from the original parquet.
+    "ext88_variant_ingest" -> Q(
+      (s, d) => {
+        val base = s"/tmp/graft-ext/${d.replaceAll("[^A-Za-z0-9]", "_")}/variant_ingest"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        docs(s, d).select(
+            when(col("doc_id") % 3 === 0,
+              to_json(struct(col("doc_id"), col("text"),
+                struct(col("lang")).as("meta"))))
+            .when(col("doc_id") % 3 === 1,
+              to_json(struct(col("doc_id"), col("text"), col("lang"))))
+            .otherwise(
+              to_json(struct(col("doc_id"), col("text").as("body"))))
+            .as("value"))
+          .write.format("text").save(s"$base/corpus_jsonl")
+        val job = graft.config.ConfigParser.parse(
+          s"""job:
+             |  name: ext-variant-ingest
+             |  type: spark-sql
+             |input_tables:
+             |  - name: raw_crawl
+             |    source: s3
+             |    location: $base/corpus_jsonl
+             |    format: text
+             |    schema: "value STRING"
+             |output_table:
+             |  name: variant_quality
+             |  target: s3
+             |  location: $base/out
+             |  format: parquet
+             |sql: >
+             |  SELECT variant_get(v, '$$.doc_id', 'bigint') AS doc_id,
+             |         coalesce(variant_get(v, '$$.meta.lang', 'string'),
+             |                  variant_get(v, '$$.lang', 'string'), 'und') AS lang,
+             |         length(coalesce(variant_get(v, '$$.text', 'string'),
+             |                         variant_get(v, '$$.body', 'string'))) AS n_chars,
+             |         size(split(trim(coalesce(variant_get(v, '$$.text', 'string'),
+             |                                  variant_get(v, '$$.body', 'string'))), '\\\\s+')) AS n_tokens,
+             |         (size(split(trim(coalesce(variant_get(v, '$$.text', 'string'),
+             |                                   variant_get(v, '$$.body', 'string'))), '\\\\s+')) >= 5
+             |          AND coalesce(variant_get(v, '$$.meta.lang', 'string'),
+             |                       variant_get(v, '$$.lang', 'string'), 'und') <> 'und') AS is_quality
+             |  FROM (SELECT parse_json(value) AS v FROM raw_crawl)
+             |""".stripMargin)
+        graft.engine.Engine.runSparkSqlJob(s, job, "default", Map.empty)
+        s.read.parquet(s"$base/out")
+      },
+      Some("""SELECT doc_id,
+             |       CASE WHEN doc_id % 3 = 2 THEN 'und' ELSE lang END AS lang,
+             |       CAST(length(text) AS INT) AS n_chars,
+             |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_tokens,
+             |       (len(regexp_split_to_array(trim(text), '\s+')) >= 5
+             |        AND doc_id % 3 <> 2) AS is_quality
+             |FROM documents""".stripMargin)),
+
     "ext01_exact_dedup" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash,

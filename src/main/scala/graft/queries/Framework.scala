@@ -691,6 +691,47 @@ object Framework {
     s.read.format("avro").load(s"$base/out")
   }
 
+  /** A1/A11 XML passthrough through Spark 4's BUILT-IN xml source
+    * (spark-xml was merged upstream — no new dependency): stage nation
+    * as XML input with a `rowTag`, run the YAML pipeline (format_options
+    * carries rowTag on both sides), publish an XML OUTPUT, read it back
+    * with an explicit schema (XML read-back otherwise re-infers types).
+    * The oracle recomputes from the raw parquet, so value drift anywhere
+    * in the xml encode→decode→encode→decode chain fails the hash. */
+  private def fwXml(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "xml")
+    rmrf(s, base)
+    s.read.parquet(s"$d/nation.parquet").coalesce(1)
+      .write.format("xml").option("rowTag", "nation").save(s"$base/nation_xml")
+    run(s,
+      s"""job:
+         |  name: fw-xml
+         |  type: spark-sql
+         |input_tables:
+         |  - name: nation
+         |    source: s3
+         |    location: $base/nation_xml
+         |    format: xml
+         |    format_options:
+         |      rowTag: nation
+         |    schema: "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+         |output_table:
+         |  name: xml_out
+         |  target: s3
+         |  location: $base/out
+         |  format: xml
+         |  format_options:
+         |    rowTag: nation_agg
+         |sql: >
+         |  SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
+         |         min(n_name) AS first_nation
+         |  FROM nation GROUP BY n_regionkey
+         |""".stripMargin)
+    s.read.format("xml").option("rowTag", "nation_agg")
+      .schema("n_regionkey BIGINT, n_nations BIGINT, first_nation STRING")
+      .load(s"$base/out")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -1304,6 +1345,12 @@ object Framework {
         |       min(n.n_name) AS first_nation
         |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
         |GROUP BY r.r_name""".stripMargin)),
+
+    "fw_xml" -> Q(fwXml, Some(
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey,
+        |       CAST(count(*) AS BIGINT) AS n_nations,
+        |       min(n_name) AS first_nation
+        |FROM nation GROUP BY n_regionkey""".stripMargin)),
 
     "fw_avro" -> Q(fwAvro, Some(
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,

@@ -1650,6 +1650,128 @@ object Relational {
              |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
              |       cents - CAST(floor(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT) AS net_cents,
              |       net_cents + CAST(floor(l_extendedprice * l_tax * 100 + 0.5) AS BIGINT) AS gross_cents
-             |FROM lineitem""".stripMargin))
+             |FROM lineitem""".stripMargin)),
+
+    // Semi-structured VARIANT tier (Spark 4 parse_json / variant_get /
+    // try_variant_get / try_parse_json / is_variant_null): raw-crawl
+    // JSON with schema DRIFT, which B29's static-schema from_json (q29)
+    // cannot absorb — the shape varies per row (nested object vs array
+    // vs explicit null), and extraction is by typed path at query time.
+    // JSON text is synthesized deterministically from orders (the q71
+    // discipline) so DuckDB can re-derive every field with its own JSON
+    // functions over the identical strings. Pins: typed path extraction
+    // through objects and array indexes, missing-path => SQL NULL,
+    // try_variant_get invalid-cast => NULL (array as bigint),
+    // is_variant_null distinguishing present-null from missing, and
+    // try_parse_json on malformed text => NULL.
+    "q76_variant" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH src AS (
+             SELECT o_orderkey, o_orderkey % 3 AS shape,
+                    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+                    o_orderpriority AS pri
+             FROM orders),
+           js AS (
+             SELECT o_orderkey, shape,
+                    CASE shape
+                      WHEN 0 THEN concat('{"id":', CAST(o_orderkey AS STRING),
+                                         ',"price_cents":', CAST(cents AS STRING),
+                                         ',"cust":{"seg":"', pri, '"}}')
+                      WHEN 1 THEN concat('{"id":', CAST(o_orderkey AS STRING),
+                                         ',"price_cents":', CAST(cents AS STRING),
+                                         ',"tags":["t0","t', CAST(o_orderkey % 7 AS STRING), '"]}')
+                      ELSE concat('{"id":', CAST(o_orderkey AS STRING), ',"extra":null}')
+                    END AS j
+             FROM src),
+           v AS (SELECT o_orderkey, shape, j, parse_json(j) AS pv FROM js)
+           SELECT o_orderkey,
+                  variant_get(pv, '$.id', 'bigint') AS id,
+                  try_variant_get(pv, '$.price_cents', 'bigint') AS price_cents,
+                  variant_get(pv, '$.cust.seg', 'string') AS seg,
+                  variant_get(pv, '$.tags[1]', 'string') AS tag1,
+                  try_variant_get(pv, '$.tags', 'bigint') AS tags_as_int,
+                  is_variant_null(variant_get(pv, '$.extra')) AS extra_is_null,
+                  try_parse_json(CASE WHEN shape = 2 THEN substr(j, 1, 5) ELSE j END) IS NULL AS is_broken
+           FROM v""") },
+      Some("""WITH src AS (
+             |  SELECT o_orderkey, o_orderkey % 3 AS shape,
+             |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |         o_orderpriority AS pri
+             |  FROM orders),
+             |js AS (
+             |  SELECT o_orderkey, shape,
+             |         CASE shape
+             |           WHEN 0 THEN '{"id":' || CAST(o_orderkey AS VARCHAR) ||
+             |                       ',"price_cents":' || CAST(cents AS VARCHAR) ||
+             |                       ',"cust":{"seg":"' || pri || '"}}'
+             |           WHEN 1 THEN '{"id":' || CAST(o_orderkey AS VARCHAR) ||
+             |                       ',"price_cents":' || CAST(cents AS VARCHAR) ||
+             |                       ',"tags":["t0","t' || CAST(o_orderkey % 7 AS VARCHAR) || '"]}'
+             |           ELSE '{"id":' || CAST(o_orderkey AS VARCHAR) || ',"extra":null}'
+             |         END AS j
+             |  FROM src)
+             |SELECT o_orderkey,
+             |       CAST(json_extract_string(j, '$.id') AS BIGINT) AS id,
+             |       TRY_CAST(json_extract_string(j, '$.price_cents') AS BIGINT) AS price_cents,
+             |       json_extract_string(j, '$.cust.seg') AS seg,
+             |       json_extract_string(j, '$.tags[1]') AS tag1,
+             |       CAST(NULL AS BIGINT) AS tags_as_int,
+             |       coalesce(json_type(j, '$.extra') = 'NULL', false) AS extra_is_null,
+             |       (shape = 2) AS is_broken
+             |FROM js""".stripMargin)),
+
+    // SQL pipe syntax (|>, Spark 4 / SQL:2023 trajectory): the same
+    // filter→aggregate→derive→order chain a plain SELECT spells
+    // inside-out, written top-down. Pipe syntax is pure surface — it
+    // plans identically to the plain form (PipeSyntaxSpec pins the
+    // optimized plans equal) — so the oracle runs the plain spelling.
+    "q77_pipe_syntax" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """FROM lineitem
+           |> WHERE l_quantity BETWEEN 5 AND 45
+           |> AGGREGATE CAST(count(*) AS BIGINT) AS n,
+                        CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+                        GROUP BY l_returnflag, l_linestatus
+           |> EXTEND cents div n AS avg_cents
+           |> WHERE n > 10
+           |> SELECT l_returnflag, l_linestatus, n, cents, avg_cents""") },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             |         // CAST(count(*) AS BIGINT) AS avg_cents
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 5 AND 45
+             |GROUP BY l_returnflag, l_linestatus
+             |HAVING count(*) > 10""".stripMargin)),
+
+    // Declarative SQL UDFs (CREATE FUNCTION ... RETURN, Spark 4): the
+    // B34 escape hatch WITHOUT a jar — a scalar money-normalizer reused
+    // across the select list, plus a table-valued SQL UDF lateral-joined
+    // as a row generator. Both inline into the plan (no black-box UDF
+    // penalty); the oracle spells the expanded expressions directly.
+    "q78_sql_udf" -> Q(
+      (s, d) => { views(s, d);
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_cents(x DOUBLE)
+                 RETURNS BIGINT RETURN CAST(floor(x * 100 + 0.5) AS BIGINT)""")
+        // NB: a SQL scalar UDF may not appear in a SQL TVF's argument
+        // (UNSUPPORTED_SQL_UDF_USAGE) — the cents normalization happens
+        // inside the TVF body instead.
+        s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_tiers(x DOUBLE)
+                 RETURNS TABLE (tier INT, tier_cap BIGINT)
+                 RETURN SELECT t, CAST(least(CAST(floor(x * 100 + 0.5) AS BIGINT),
+                                             t * 10000000) AS BIGINT)
+                        FROM (SELECT explode(sequence(1, 3)) AS t)""")
+        s.sql(
+        """SELECT o.o_orderkey, graft_cents(o.o_totalprice) AS cents, g.tier, g.tier_cap
+           FROM orders o, LATERAL graft_tiers(o.o_totalprice) g
+           WHERE o.o_orderkey % 10 = 0""") },
+      Some("""SELECT o_orderkey,
+             |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             |       CAST(t AS INT) AS tier,
+             |       CAST(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+             |                  t * 10000000) AS BIGINT) AS tier_cap
+             |FROM orders, (SELECT unnest(generate_series(1, 3)) AS t)
+             |WHERE o_orderkey % 10 = 0""".stripMargin))
   )
 }

@@ -34,8 +34,10 @@ object Sources {
   // `avro` resolves to graft's own [[GraftAvroFileFormat]] (registered via
   // DataSourceRegister): /opt/spark/jars ships avro-core but not the
   // spark-avro datasource module, so the container format is implemented
-  // directly on the core library.
-  private val knownFormats = Set("parquet", "csv", "json", "orc", "text", "avro")
+  // directly on the core library. `xml` is Spark 4's built-in XML source
+  // (spark-xml merged upstream) — `rowTag` etc. pass through
+  // format_options untouched.
+  private val knownFormats = Set("parquet", "csv", "json", "orc", "text", "avro", "xml")
 
   def load(spark: SparkSession, spec: SourceSpec): DataFrame = spec match {
     case SourceSpec.File(location, format, options, schema) =>

@@ -133,6 +133,30 @@ class MultimodalSpec extends SparkSpec {
     assert(strided == Seq(0, 2))
   }
 
+  test("perceptual hashes collapse re-encodings, byte sigs do not, and distinct images separate") {
+    // ids 5 and 77: id 5 has a<b (5<38, ascending at the tone boundary →
+    // no dHash bit fires), id 77 has a>b (77>30, descending → the
+    // boundary bit fires) — the two dHashes MUST differ.
+    val df = Seq(5L, 77L).toDF("doc_id")
+    val hs = Multimodal.perceptualHashes(
+        Multimodal.encodePngVariants(df.toDF(), "doc_id")).collect()
+    assert(hs.length == 6)
+    for (id <- Seq(5L, 77L)) {
+      val vs = hs.filter(_.doc_id == id)
+      assert(vs.map(_.ahash).distinct.length == 1, s"aHash not invariant for $id")
+      assert(vs.map(_.dhash).distinct.length == 1, s"dHash not invariant for $id")
+      assert(vs.map(_.byte_sig).distinct.length == 3, s"byte sigs collided for $id")
+    }
+    val d5 = hs.find(_.doc_id == 5L).get.dhash
+    val d77 = hs.find(_.doc_id == 77L).get.dhash
+    assert(d5 != d77, "opposite-gradient images must have different dHash")
+    // dedupPerceptual keeps min id per pixel-identical group
+    val groups = Multimodal.dedupPerceptual(
+        Multimodal.encodePngVariants(df.toDF(), "doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(groups == Map(5L -> 3L, 77L -> 3L))
+  }
+
   test("dedupBySignature groups identical-after-downsample payloads") {
     // factor 2 keeps chars at even indices: "abcdef" -> "ace",
     // "axcxex" -> "ace" (same!), "zzzzzz" -> "zzz"
