@@ -88,7 +88,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)}}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"runs_per_query":$nRuns,"n_queries":${results.size}}"""
+    println(line)
+    // Full artifact to a repo-tracked file: the driver's BENCH_r{N}.json
+    // capture truncates to the tail ~56 queries, so gate comparisons
+    // depended on prose. This file carries every per-query median (same
+    // JSON line) for diffing across rounds. Best-effort: bench results
+    // must not die on a read-only working dir.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench/BENCH_full_latest.json")
+    try {
+      val p = java.nio.file.Paths.get(out)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

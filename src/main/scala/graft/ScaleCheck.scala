@@ -30,7 +30,15 @@ object ScaleCheck {
     "ext01_exact_dedup", "ext03_minhash_lsh", "ext25_line_dedup",
     "ext44_tfidf_topk", "ext73_semdedup", "ext79_pagerank",
     "ext80_kmv_distinct", "ext81_ivf_indexed", "ext82_group_sample",
-    "st01_stream_window")
+    // ext89: the capped-LSH answer to ext03's measured ~8.8× pair-output
+    // growth — the guard must hold its growth near-linear on the same
+    // duplicated-content generator.
+    "ext89_minhash_capped",
+    // round-7: the stateful streaming rows, so the "state is
+    // watermark-bounded" claims get the same empirical treatment the
+    // batch tier got (st01 covers the stateless window baseline).
+    "st01_stream_window", "st08_stream_exact_dedup",
+    "st22_stream_sessionize_tws", "st28_stream_topk")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -31,6 +31,16 @@ object Engine {
       spark: SparkSession, job: JobSpec, vars: Map[String, String],
       pipeline: String): (Map[String, DataFrame], Seq[() => Unit]) = {
     val commits = Seq.newBuilder[() => Unit]
+    // The parse-time duplicate check compares raw config strings; two
+    // distinct {var} templates can resolve to the SAME physical path, and
+    // one input's per-run overwrite would then destroy the other's
+    // captured rejects. Re-check here, where the resolved paths are known.
+    locally {
+      val resolvedQ = job.inputTables.flatMap(_.quarantine.map(Interpolate(_, vars)))
+      val dup = resolvedQ.groupBy(identity).collect { case (p, ps) if ps.size > 1 => p }
+      if (dup.nonEmpty) throw new ConfigError(
+        s"inputs share quarantine path(s) after variable interpolation: ${dup.mkString(", ")} — give each input its own")
+    }
     val views = job.inputTables.map { t =>
       val resolved = t.source match {
         case SourceSpec.File(loc, fmt, opts, schema) =>

@@ -80,10 +80,15 @@ object AsOfJoin {
                   leftTs: String, rightTs: String): DataFrame = {
     val spark = left.sparkSession
     // lazy strategy injection: idempotent, works even for sessions not
-    // built with spark.sql.extensions=graft.sql.GraftExtensions
+    // built with spark.sql.extensions=graft.sql.GraftExtensions. The
+    // check-then-append races on concurrent first calls over one shared
+    // session (extraStrategies is session-global mutable state), so the
+    // pair is guarded — double registration would plan the node twice.
     val em = spark.experimental
-    if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
-      em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    AsOfJoin.synchronized {
+      if (!em.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+        em.extraStrategies = em.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
 
     // session-resolver comparison, so name lookup is case-insensitive
     // exactly like [[join]]'s col()-based resolution (default config)

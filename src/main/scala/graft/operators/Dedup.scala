@@ -247,6 +247,70 @@ object Dedup {
     }
   }
 
+  /** [[lshCandidates]] with a per-band BUCKET-SIZE CAP — the
+    * family-explosion guard. Pair output per bucket is O(bucket²):
+    * ScaleCheck measured ext03 at ~8.8× per 10× duplicated-content
+    * growth because one viral boilerplate family (all docs sharing every
+    * band hash) emits |family|² pairs — at 100 TB that single family is
+    * a job-killer. Buckets larger than `maxBucket` are therefore NOT
+    * pair-joined; per the no-silent-caps rule their members are returned
+    * in full as the second frame — (band_idx, band_hash, bucket_size,
+    * doc_id), one row per capped membership — so the caller can route
+    * the family to a [[dupHubs]]-style whole-family action (drop,
+    * down-weight, keep-one) with exact accounting. Below the cap the
+    * pair output is IDENTICAL to [[lshCandidates]] (DedupSpec pins it).
+    *
+    * Scale shape: bucket sizing is a window count over the band key —
+    * the same single shuffle the self-join needs anyway; capped pair
+    * fan-out is bounded by maxBucket² per bucket, so output is linear in
+    * corpus + capped-membership, never quadratic in family size. */
+  def lshCandidatesCapped(sigs: DataFrame, bands: Int,
+                          maxBucket: Int): (DataFrame, DataFrame) = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val bandedSigs = banded(sigs.select(col("doc_id"), col("sig")), bands)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+    graft.util.Caching.leased2(bandedSigs) {
+      val small = bandedSigs.filter(col("bucket_size") <= maxBucket)
+        .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      val l = small.as("l"); val r = small.as("r")
+      val pairs = l.join(r,
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+      val capped = bandedSigs.filter(col("bucket_size") > maxBucket)
+      (pairs, capped)
+    }
+  }
+
+  /** [[minhashLsh]] with the [[lshCandidatesCapped]] family-explosion
+    * guard: returns (verified pairs from buckets ≤ maxBucket, capped
+    * FAMILY report). The report aggregates capped memberships per doc —
+    * (doc_id, n_capped_buckets, max_bucket_size) — the whole-family view
+    * a pipeline acts on (a doc capped in many bands IS a member of a
+    * viral family; max_bucket_size estimates the family's size). */
+  def minhashLshCapped(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, k: Int = 128, bands: Int = 32,
+                       threshold: Double = 0.8,
+                       maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    val sets = shingleSets(docs, idCol, textCol, n)
+    graft.util.Caching.leased2(sets) {
+      val (candidates, capped) =
+        lshCandidatesCapped(signaturesFromSets(sets, k), bands, maxBucket)
+      val pairs = jaccardVerify(candidates, sets)
+        .filter(col("jaccard") >= threshold)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+      val families = capped.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_capped_buckets"),
+             max(col("bucket_size")).as("max_bucket_size"))
+      (pairs, families)
+    }
+  }
+
   /** Near-dup pairs verified by EDIT DISTANCE on a bounded text prefix —
     * the character-level verify for cases where shingle Jaccard is too
     * coarse (small in-place edits keep Jaccard high AND edit distance
@@ -509,8 +573,10 @@ object Dedup {
     * the removal is an equality-keyed (source, line) left join marking
     * the exploded stream — no all-pairs, no per-doc state beyond its
     * own reassembly. Output: (doc_id, source, n_lines_kept,
-    * n_lines_removed, text); documents whose every line was boilerplate
-    * still report (with empty text). */
+    * n_lines_removed, text); EVERY input document reports — one whose
+    * every line was boilerplate reports (0, n, ''), and one with no
+    * non-blank line at all reports (0, 0, '') via the final join back
+    * to the (doc_id, source) universe. */
   def stripBoilerplate(docs: DataFrame, idCol: String, sourceCol: String,
                        linesCol: Column, maxDocPermille: Int = 500,
                        joinWith: String = "\n"): DataFrame = {
@@ -529,7 +595,7 @@ object Dedup {
       .join(broadcast(nDocs), "source")
       .filter(col("line_docs") * 1000 > col("n_docs") * maxDocPermille)
       .select(col("source"), col("line"), lit(true).as("__boiler"))
-    exploded.join(boiler, Seq("source", "line"), "left")
+    val stripped = exploded.join(boiler, Seq("source", "line"), "left")
       .groupBy(col("doc_id"), col("source"))
       .agg(
         count(when(col("__boiler").isNull, 1)).as("n_lines_kept"),
@@ -538,6 +604,15 @@ object Dedup {
           struct(col("pos").as("pos"), col("line").as("line"))))),
           _.getField("line")),
           joinWith).as("text"))
+    // blank-only documents never reach `exploded` (the non-blank filter
+    // precedes the groupBy) — join back to the input universe so the
+    // accounting contract holds for them too: (0, 0, '')
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source")).distinct()
+      .join(stripped, Seq("doc_id", "source"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_lines_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("n_lines_removed"), lit(0L)).as("n_lines_removed"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 
   /** [[dedupLines]] over delimiter-structured text: lines = `split` on

@@ -358,7 +358,17 @@ object TextAnalysis {
     * rare terms carry the idf mass AND have short postings, so the
     * fan-out collapses while the ranking keeps its discriminative
     * terms. The prune ranks the query-vocab-sized frame, never the
-    * corpus. */
+    * corpus.
+    *
+    * BEHAVIOR CHANGE (round 6): `maxQueryTerms = 16` is a SEMANTIC
+    * default, not just a cost cap — a query carrying more than 16
+    * distinct corpus terms is ranked on its 16 rarest only, which can
+    * reorder results versus the unpruned operator. Callers who need
+    * full-vocabulary scoring must opt out explicitly by passing
+    * `maxQueryTerms` at least their longest query's distinct-term
+    * count (e.g. `Int.MaxValue`); there is deliberately no unpruned
+    * default, because the unpruned probe is the measured 54×-at-10×
+    * scale hazard above. */
   def tfidfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 textCol: String, k: Int = 5, maxQueryTerms: Int = 16): DataFrame = {
     require(k > 0, "k must be positive")

@@ -132,6 +132,49 @@ object Extensions {
              |        AND doc_id % 3 <> 2) AS is_quality
              |FROM documents""".stripMargin)),
 
+    // MinHash-LSH with the family-explosion guard: a 60-copy viral
+    // boilerplate family is planted next to the corpus. Uncapped LSH
+    // would emit its 60·59/2 = 1770 pairs (the ~quadratic-per-family
+    // output ScaleCheck measured as the 100 TB job-killer); with
+    // maxBucket = 16 every one of the family's band buckets is capped,
+    // so the pair output is EXACTLY ext03's (the guard provably changes
+    // nothing below the cap) and each planted doc is routed to the
+    // family report instead — 32 capped buckets (every band), family
+    // size 60. No silent caps: the report accounts for every capped
+    // membership, and the oracle states both halves in closed form.
+    "ext89_minhash_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "terms of service apply to all visitors cookies are " +
+          "required to continue reading this site content is provided as is"
+        val planted = (1 to 60).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        val (pairs, families) = Dedup.minhashLshCapped(
+          corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
+          threshold = 0.8, maxBucket = 16)
+        pairs.select(lit("pair").as("kind"), col("doc_a"), col("doc_b"), col("jaccard"))
+          .unionByName(families.select(lit("capped").as("kind"),
+            col("doc_id").as("doc_a"),
+            col("n_capped_buckets").cast("long").as("doc_b"),
+            col("max_bucket_size").cast("double").as("jaccard")))
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+             |), pairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |)
+             |SELECT 'pair' AS kind, doc_a, doc_b,
+             |       round(i::DOUBLE / (la + lb - i), 6) AS jaccard
+             |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |UNION ALL
+             |SELECT 'capped', -CAST(i AS BIGINT), CAST(32 AS BIGINT), CAST(60 AS DOUBLE)
+             |FROM range(1, 61) r(i)""".stripMargin)),
+
     "ext01_exact_dedup" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash,

@@ -40,6 +40,44 @@ object Caching {
     }
   }
 
+  /** [[leased]] for operators returning TWO frames over the same
+    * persisted intermediates (e.g. capped LSH: kept pairs + capped
+    * family report). The lease releases once BOTH outputs have been
+    * consumed — a single action that contains both (the common
+    * union-and-write shape) releases immediately; consuming only one
+    * leaves the cache warm for the other, with the same action-count
+    * backstop so an abandoned second frame can never leak the cache. */
+  def leased2(frames: DataFrame*)(result: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
+    frames.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
+    val (a, b) = result
+    val lm = a.sparkSession.listenerManager
+    val outPlans = new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    outPlans.put(0, a.queryExecution.analyzed)
+    outPlans.put(1, b.queryExecution.analyzed)
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private val budget = new java.util.concurrent.atomic.AtomicInteger(BackstopActions)
+      private def cleanup(): Unit = if (done.compareAndSet(false, true)) {
+        frames.foreach(_.unpersist(blocking = false))
+        lm.unregister(this)
+      }
+      private def completed(qe: QueryExecution): Unit = {
+        try {
+          outPlans.forEach { (k, p) =>
+            if (qe.analyzed.find(n => p.sameResult(n)).isDefined) outPlans.remove(k): Unit
+          }
+        } catch { case _: Exception => outPlans.clear() } // plan quirk: never leak
+        if (outPlans.isEmpty || budget.decrementAndGet() <= 0) cleanup()
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = completed(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = completed(qe)
+    }
+    lm.register(listener)
+    (a, b)
+  }
+
   /** The lease mechanism generalized over the RELEASE action: run
     * `release` once the session completes an action whose analyzed plan
     * contains one of `watched`'s plans (or after the action-count

@@ -391,6 +391,53 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 4) // bench docs are not in the output
   }
 
+  test("capped lsh: identical below the cap; viral family routed to the report") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // no planted family, cap far above any natural bucket: pairs must be
+    // IDENTICAL to the uncapped operator, and the report must be empty
+    val (pairsSame, famEmpty) = Dedup.minhashLshCapped(
+      corpus, "doc_id", "text", maxBucket = 64)
+    val uncapped = Dedup.minhashLsh(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsSame.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == uncapped)
+    assert(famEmpty.isEmpty)
+    // a 20-copy identical family with cap 8: zero pairs from the family,
+    // every member reported with all 32 bands capped, family size 20
+    val boiler = "one two three four five six seven eight nine ten eleven twelve"
+    val planted = (1 to 20).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+    val (pairs2, fam2) = Dedup.minhashLshCapped(
+      corpus.unionByName(planted), "doc_id", "text", maxBucket = 8)
+    assert(pairs2.filter($"doc_a" < 0 || $"doc_b" < 0).isEmpty)
+    val fams = fam2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fams.length == 20)
+    assert(fams.forall { case (id, nb, sz) => id < 0 && nb == 32L && sz == 20L })
+  }
+
+  test("stripBoilerplate: every input doc reports, including blank-only ones") {
+    import spark.implicits._
+    // doc 1+2+3 share a boilerplate line (3/4 docs > 500 permille),
+    // doc 4 is all-blank lines, doc 5 has an empty line array
+    val df = Seq(
+      (1L, "s", Seq("banner", "alpha")),
+      (2L, "s", Seq("banner", "beta")),
+      (3L, "s", Seq("banner")),
+      (4L, "s", Seq("", "  ")),
+      (5L, "s", Seq.empty[String])
+    ).toDF("doc_id", "source", "lines")
+    val r = Dedup.stripBoilerplate(df, "doc_id", "source", col("lines"),
+        maxDocPermille = 500, joinWith = " ")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getLong(2), x.getLong(3), x.getString(4)))).toMap
+    assert(r(1L) == ((1L, 1L, "alpha")))
+    assert(r(2L) == ((1L, 1L, "beta")))
+    assert(r(3L) == ((0L, 1L, ""))) // all-boilerplate: reports with empty text
+    assert(r(4L) == ((0L, 0L, ""))) // blank-only: still reports
+    assert(r(5L) == ((0L, 0L, ""))) // empty segmentation: still reports
+    assert(r.size == 5)
+  }
+
   test("corpusDiff identity: a corpus diffed against itself is empty") {
     import spark.implicits._
     val v = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
