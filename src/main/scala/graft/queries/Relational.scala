@@ -1772,6 +1772,79 @@ object Relational {
              |       CAST(least(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
              |                  t * 10000000) AS BIGINT) AS tier_cap
              |FROM orders, (SELECT unnest(generate_series(1, 3)) AS t)
-             |WHERE o_orderkey % 10 = 0""".stripMargin))
+             |WHERE o_orderkey % 10 = 0""".stripMargin)),
+
+    // Collated comparison semantics (Spark 4 collations): a
+    // case-insensitive (UTF8_LCASE) GROUP BY and JOIN over deliberately
+    // case-mangled segment strings — the "dirty categorical column"
+    // normalization every warehouse does with lower() scattered through
+    // the query, expressed once as a column collation instead. The
+    // GROUP BY key is the collated column (all case variants land in
+    // one group); the output value is min(raw) (binary order:
+    // uppercase < lowercase, deterministic), never the collated key
+    // itself (which group representative survives is
+    // evaluation-order-dependent). DuckDB has no column collations —
+    // the oracle normalizes with lower() and re-derives min(raw).
+    "q79_collation" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH mixed AS (
+             SELECT c_custkey,
+                    CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                         ELSE lower(c_mktsegment) END AS seg
+             FROM customer),
+           dim AS (SELECT DISTINCT lower(c_mktsegment) AS seg_l FROM customer)
+           SELECT min(m.seg) AS seg, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN collate(m.seg, 'UTF8_LCASE') = 'building'
+                                THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+           FROM mixed m JOIN dim d
+             ON collate(m.seg, 'UTF8_LCASE') = collate(d.seg_l, 'UTF8_LCASE')
+           GROUP BY collate(m.seg, 'UTF8_LCASE')""") },
+      Some("""WITH mixed AS (
+             |  SELECT c_custkey,
+             |         CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+             |              ELSE lower(c_mktsegment) END AS seg
+             |  FROM customer),
+             |dim AS (SELECT DISTINCT lower(c_mktsegment) AS seg_l FROM customer)
+             |SELECT min(m.seg) AS seg, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN lower(m.seg) = 'building'
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_building
+             |FROM mixed m JOIN dim d ON lower(m.seg) = d.seg_l
+             |GROUP BY lower(m.seg)""".stripMargin)),
+
+    // variant_explode (Spark 4): the table-valued flatten for VARIANT —
+    // arrays explode to (pos, value) rows, objects to (pos, key, value)
+    // — completing q76's scalar-path tier with the row-generating one.
+    // Arrays are synthesized closed-form from events columns; the object
+    // side explodes the fixture's REAL JSON column (events.props). The
+    // oracle re-derives array elements positionally and the object
+    // entries with DuckDB's json functions.
+    "q80_variant_explode" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH src AS (
+             SELECT event_id,
+                    parse_json(concat('[', CAST(floor(value * 100 + 0.5) AS BIGINT),
+                                      ',', CAST(user_id AS STRING),
+                                      ',', CAST(event_id % 5 AS STRING), ']')) AS arr,
+                    parse_json(props) AS obj
+             FROM events)
+           SELECT event_id, 'arr' AS src, v.pos,
+                  CAST(NULL AS STRING) AS key, CAST(v.value AS BIGINT) AS ele
+           FROM src, LATERAL variant_explode(arr) v
+           UNION ALL
+           SELECT event_id, 'obj', o.pos, o.key, CAST(o.value AS BIGINT)
+           FROM src, LATERAL variant_explode(obj) o""") },
+      Some("""WITH arr AS (
+             |  SELECT event_id, 'arr' AS src, CAST(u.p AS INT) AS pos,
+             |         CAST(NULL AS VARCHAR) AS key,
+             |         CASE u.p WHEN 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+             |                  WHEN 1 THEN user_id
+             |                  ELSE event_id % 5 END AS ele
+             |  FROM events, (SELECT unnest(generate_series(0, 2)) AS p) u
+             |)
+             |SELECT event_id, src, pos, key, ele FROM arr
+             |UNION ALL
+             |SELECT event_id, 'obj', 0, 'k',
+             |       CAST(json_extract_string(props, '$.k') AS BIGINT)
+             |FROM events""".stripMargin))
   )
 }
