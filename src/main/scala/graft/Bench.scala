@@ -93,16 +93,22 @@ object Bench {
     // Full artifact to a repo-tracked file: the driver's BENCH_r{N}.json
     // capture truncates to the tail ~56 queries, so gate comparisons
     // depended on prose. This file carries every per-query median (same
-    // JSON line) for diffing across rounds. Best-effort: bench results
-    // must not die on a read-only working dir.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench/BENCH_full_latest.json")
-    try {
-      val p = java.nio.file.Paths.get(out)
-      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
-    } catch { case e: Exception =>
-      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
-    }
+    // JSON line) for diffing across rounds. The default name carries the
+    // SF so runs at different scales can't clobber each other, and a
+    // SPARK_GRAFT_BENCH_ONLY-narrowed debug pass never writes at all — a
+    // partial map must not masquerade as the full artifact. Best-effort:
+    // bench results must not die on a read-only working dir.
+    if (only.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE",
+        s"bench/BENCH_full_${new java.io.File(sfDir).getName}.json")
+      try {
+        val p = java.nio.file.Paths.get(out)
+        if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+        java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+      }
+    } else System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY set — full artifact not written")
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -36,7 +36,14 @@ object Engine {
     // one input's per-run overwrite would then destroy the other's
     // captured rejects. Re-check here, where the resolved paths are known.
     locally {
-      val resolvedQ = job.inputTables.flatMap(_.quarantine.map(Interpolate(_, vars)))
+      // qualify each path the way the writer's FileSystem will (scheme
+      // default, //-collapse, . segments) so /tmp/q, /tmp//q and
+      // file:///tmp/q all count as ONE path
+      val hc = spark.sparkContext.hadoopConfiguration
+      val resolvedQ = job.inputTables.flatMap(_.quarantine.map { q =>
+        val p = new org.apache.hadoop.fs.Path(Interpolate(q, vars))
+        p.getFileSystem(hc).makeQualified(p).toString
+      })
       val dup = resolvedQ.groupBy(identity).collect { case (p, ps) if ps.size > 1 => p }
       if (dup.nonEmpty) throw new ConfigError(
         s"inputs share quarantine path(s) after variable interpolation: ${dup.mkString(", ")} — give each input its own")

@@ -105,30 +105,45 @@ object Multimodal {
     * decoded property has a closed form an SQL oracle can recompute.
     * Executor-side encode via mapPartitions: no driver materialization,
     * O(image) memory per row. */
+  /** Shared two-tone renderer for the planted-image generators: columns
+    * left of w/2 get red `a`, the rest `b` (+`shift`), green/blue zero.
+    * All id math in the callers uses floorMod so a negative doc_id (the
+    * planting convention elsewhere in the suite) yields valid geometry
+    * instead of a BufferedImage crash. */
+  private def renderTwoTone(w: Int, h: Int, a: Int, b: Int,
+                            shift: Int): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val red = (if (x < w / 2) a else b) + shift
+        img.setRGB(x, y, red << 16)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
+  private def encodeImage(img: java.awt.image.BufferedImage,
+                          fmt: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, out)
+    out.toByteArray
+  }
+
   def encodePng(docs: DataFrame, idCol: String, sourceCol: String): Dataset[MediaDoc] =
     docs.select(col(idCol).cast("long").as("doc_id"), col(sourceCol).as("source"))
       .as(Encoders.product[(Long, String)])
       .mapPartitions { rows =>
         rows.map { case (id, source) =>
-          val w = 1 + (id % 16).toInt
-          val h = 1 + (id % 8).toInt
-          val a = (id % 256).toInt
-          val b = ((id * 7 + 3) % 256).toInt
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val red = if (x < w / 2) a else b
-              img.setRGB(x, y, red << 16) // green/blue zero
-              x += 1
-            }
-            y += 1
-          }
-          val out = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", out)
-          val png = out.toByteArray
+          val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
+          val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
+          val a = java.lang.Math.floorMod(id, 256L).toInt
+          val b = java.lang.Math.floorMod(id * 7 + 3, 256L).toInt
+          val png = encodeImage(renderTwoTone(w, h, a, b, 0), "png")
           MediaDoc(id, png, MediaMeta("image/png", png.length.toLong, source))
         }
       }(Encoders.product[MediaDoc])
@@ -337,7 +352,8 @@ object Multimodal {
   final case class MediaVariant(doc_id: Long, variant: Int,
                                 payload: Array[Byte], format: String)
   final case class ImageHashes(doc_id: Long, variant: Int, ahash: Long,
-                               dhash: Long, byte_sig: String)
+                               dhash: Long, flat: Boolean, grid_sum: Int,
+                               byte_sig: String)
 
   /** Plant, per input row, THREE byte-distinct encodings of the same
     * underlying image (the encodePng two-tone geometry — w = 1 + id%16,
@@ -357,35 +373,16 @@ object Multimodal {
       .as(Encoders.product[Tuple1[Long]])
       .mapPartitions { rows =>
         rows.flatMap { case Tuple1(id) =>
-          val w = 1 + (id % 16).toInt
-          val h = 1 + (id % 8).toInt
-          val a = (id % 128).toInt
-          val b = ((id * 7 + 3) % 128).toInt
-          def render(shift: Int): java.awt.image.BufferedImage = {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val red = (if (x < w / 2) a else b) + shift
-                img.setRGB(x, y, red << 16)
-                x += 1
-              }
-              y += 1
-            }
-            img
-          }
-          def bytes(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
-            val out = new java.io.ByteArrayOutputStream()
-            javax.imageio.ImageIO.write(img, fmt, out)
-            out.toByteArray
-          }
-          val base = render(0)
+          val w = 1 + java.lang.Math.floorMod(id, 16L).toInt
+          val h = 1 + java.lang.Math.floorMod(id, 8L).toInt
+          val a = java.lang.Math.floorMod(id, 128L).toInt
+          val b = java.lang.Math.floorMod(id * 7 + 3, 128L).toInt
+          val base = renderTwoTone(w, h, a, b, 0)
           Seq(
-            MediaVariant(id, 0, bytes(base, "png"), "image/png"),
-            MediaVariant(id, 1, bytes(base, "bmp"), "image/bmp"),
-            MediaVariant(id, 2, bytes(render(1), "png"), "image/png"))
+            MediaVariant(id, 0, encodeImage(base, "png"), "image/png"),
+            MediaVariant(id, 1, encodeImage(base, "bmp"), "image/bmp"),
+            MediaVariant(id, 2, encodeImage(renderTwoTone(w, h, a, b, 1), "png"),
+              "image/png"))
         }
       }(Encoders.product[MediaVariant])
 
@@ -400,11 +397,16 @@ object Multimodal {
     *   - the dHash bit `g[x] > g[x+1]` compares neighbors — also shift-
     *     invariant.
     * Emits the md5 byte signature alongside, so one frame holds both
-    * worlds (ext87 pins n_phash=1 vs n_bytesig=3 per planted group).
+    * worlds (ext87 pins n_phash=1 vs n_bytesig=3 per planted group),
+    * plus a FLAT flag (all 64 grid samples equal) with the exact grid
+    * sum: a uniform-color image has ahash = dhash = 0 REGARDLESS of its
+    * color (no pixel exceeds the mean, no gradient fires), so the hash
+    * bits carry zero evidence for it — [[dedupPerceptual]] uses
+    * (flat, grid_sum) to keep texture-free images apart by exact tone.
     *
     * Scale shape: identical to [[decodeImages]] — partition-streaming
-    * decode, O(image) memory; only (id, two longs, 32-char sig) cross
-    * the shuffle that follows. */
+    * decode, O(image) memory; only (id, hashes, 32-char sig) cross the
+    * shuffle that follows. */
   def perceptualHashes(media: Dataset[MediaVariant]): Dataset[ImageHashes] =
     media.mapPartitions { docs =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -440,18 +442,32 @@ object Multimodal {
         }
         md.reset()
         val sig = md.digest(m.payload).map("%02x".format(_)).mkString
-        ImageHashes(m.doc_id, m.variant, ah, dh, sig)
+        val flat = grid.forall(_ == grid(0))
+        ImageHashes(m.doc_id, m.variant, ah, dh, flat, sum, sig)
       }
     }(Encoders.product[ImageHashes])
 
   /** Perceptual dedup over decoded pixels — [[dedupBySignature]]'s
-    * group-keep shape keyed on the aHash instead of the byte md5, closing
-    * the gap that two re-encodings of the same image never collapsed:
-    * (ahash, keeper = min id, n_copies). Same scale story: hash at scan,
-    * only (hash, id) shuffles, one map-side-combined aggregation. */
+    * group-keep shape keyed on the perceptual signature instead of the
+    * byte md5, closing the gap that two re-encodings of the same image
+    * never collapsed: (ahash, keeper = min id, n_copies).
+    *
+    * The group key is (ahash, dhash) PLUS, for FLAT images only, the
+    * exact grid sum: every uniform-color image hashes to
+    * ahash = dhash = 0 whatever its color, so keying on the hashes
+    * alone would merge a dark tile with a bright one (visually distinct
+    * images with zero texture evidence). Flat images therefore dedup by
+    * exact tone — re-encodings of the same flat tile still collapse
+    * (identical pixels ⇒ identical sum), while a brightness-shifted
+    * flat tile deliberately does NOT (with no texture there is no
+    * evidence it is the same image rather than any other solid color).
+    *
+    * Same scale story: hash at scan, only (hashes, id) shuffle, one
+    * map-side-combined aggregation. */
   def dedupPerceptual(media: Dataset[MediaVariant]): DataFrame =
     perceptualHashes(media).toDF()
-      .groupBy(col("ahash"))
+      .withColumn("flat_sum", when(col("flat"), col("grid_sum")).otherwise(lit(-1)))
+      .groupBy(col("ahash"), col("dhash"), col("flat_sum"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
   /** Per-source rollup of the extracted features (the typical "did every

@@ -142,6 +142,12 @@ object Extensions {
     // family report instead — 32 capped buckets (every band), family
     // size 60. No silent caps: the report accounts for every capped
     // membership, and the oracle states both halves in closed form.
+    // PRECONDITION the oracle encodes: no NATURAL fixture bucket exceeds
+    // 16 members (max exact-dup family is 2 at sf0.1; verified at both
+    // SFs). If a future fixture breaks that, this query goes red with
+    // extra kind='capped' rows carrying NON-NEGATIVE doc_ids — that
+    // signature means "fixture grew a >16 near-dup family", not a guard
+    // bug; raise maxBucket or extend the oracle's capped side.
     "ext89_minhash_capped" -> Q(
       (s, d) => {
         import s.implicits._

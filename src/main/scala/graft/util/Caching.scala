@@ -50,31 +50,9 @@ object Caching {
   def leased2(frames: DataFrame*)(result: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     frames.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     val (a, b) = result
-    val lm = a.sparkSession.listenerManager
-    val outPlans = new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
-    outPlans.put(0, a.queryExecution.analyzed)
-    outPlans.put(1, b.queryExecution.analyzed)
-    val listener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private val budget = new java.util.concurrent.atomic.AtomicInteger(BackstopActions)
-      private def cleanup(): Unit = if (done.compareAndSet(false, true)) {
-        frames.foreach(_.unpersist(blocking = false))
-        lm.unregister(this)
-      }
-      private def completed(qe: QueryExecution): Unit = {
-        try {
-          outPlans.forEach { (k, p) =>
-            if (qe.analyzed.find(n => p.sameResult(n)).isDefined) outPlans.remove(k): Unit
-          }
-        } catch { case _: Exception => outPlans.clear() } // plan quirk: never leak
-        if (outPlans.isEmpty || budget.decrementAndGet() <= 0) cleanup()
-      }
-      override def onSuccess(funcName: String, qe: QueryExecution,
-                             durationNs: Long): Unit = completed(qe)
-      override def onFailure(funcName: String, qe: QueryExecution,
-                             exception: Exception): Unit = completed(qe)
+    registerLease(a.sparkSession, Seq(a, b), requireAll = true) { () =>
+      frames.foreach(_.unpersist(blocking = false))
     }
-    lm.register(listener)
     (a, b)
   }
 
@@ -87,8 +65,25 @@ object Caching {
     * result that references them has been consumed. */
   def releaseOnConsumed(out: DataFrame, watched: Seq[DataFrame])
                        (release: () => Unit): DataFrame = {
-    val watchedPlans = watched.map(_.queryExecution.analyzed)
-    val lm = out.sparkSession.listenerManager
+    registerLease(out.sparkSession, watched, requireAll = false)(release)
+    out
+  }
+
+  /** Shared listener core for both lease shapes: release fires when the
+    * watched plans have been consumed by completed actions — ANY one of
+    * them (`requireAll = false`: alternative consumers of one shared
+    * intermediate) or ALL of them (`requireAll = true`: independent
+    * outputs that each need the cache) — or when the action-count
+    * backstop runs out, so a never-consumed result cannot leak the
+    * cache for the session lifetime. */
+  private def registerLease(session: org.apache.spark.sql.SparkSession,
+                            watched: Seq[DataFrame], requireAll: Boolean)
+                           (release: () => Unit): Unit = {
+    val lm = session.listenerManager
+    val remaining = new java.util.concurrent.ConcurrentHashMap[Int, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]()
+    watched.map(_.queryExecution.analyzed).zipWithIndex
+      .foreach { case (pl, i) => remaining.put(i, pl) }
+    val nWatched = watched.size
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       private val budget = new java.util.concurrent.atomic.AtomicInteger(BackstopActions)
@@ -96,18 +91,22 @@ object Caching {
         release()
         lm.unregister(this)
       }
-      private def consumesLease(qe: QueryExecution): Boolean =
-        try qe.analyzed.find(n => watchedPlans.exists(_.sameResult(n))).isDefined
-        catch { case _: Exception => true } // never let a plan quirk leak the cache
-      private def completed(qe: QueryExecution): Unit =
-        if (consumesLease(qe) || budget.decrementAndGet() <= 0) cleanup()
+      private def completed(qe: QueryExecution): Unit = {
+        try {
+          remaining.forEach { (k, pl) =>
+            if (qe.analyzed.find(n => pl.sameResult(n)).isDefined) remaining.remove(k): Unit
+          }
+        } catch { case _: Exception => remaining.clear() } // plan quirk: never leak
+        val consumed =
+          if (requireAll) remaining.isEmpty else remaining.size < nWatched
+        if (consumed || budget.decrementAndGet() <= 0) cleanup()
+      }
       override def onSuccess(funcName: String, qe: QueryExecution,
                              durationNs: Long): Unit = completed(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
                              exception: Exception): Unit = completed(qe)
     }
     lm.register(listener)
-    out
   }
 
   /** Free the block-manager storage behind an eagerly `localCheckpoint`ed

@@ -153,8 +153,28 @@ class MultimodalSpec extends SparkSpec {
     // dedupPerceptual keeps min id per pixel-identical group
     val groups = Multimodal.dedupPerceptual(
         Multimodal.encodePngVariants(df.toDF(), "doc_id"))
-      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      .select("keeper_id", "n_copies")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(groups == Map(5L -> 3L, 77L -> 3L))
+  }
+
+  test("flat images dedup by exact tone, not by the degenerate zero hash") {
+    // ids 80 and 160: w = 1 (id%16 == 0) makes every pixel the b tone —
+    // uniform images whose aHash and dHash are both 0 for ANY color.
+    // b(80) = 51, b(160) = 99: visually distinct solid tiles that a
+    // hash-only key would falsely merge.
+    val df = Seq(80L, 160L).toDF("doc_id")
+    val hs = Multimodal.perceptualHashes(
+        Multimodal.encodePngVariants(df.toDF(), "doc_id")).collect()
+    assert(hs.forall(h => h.flat && h.ahash == 0L && h.dhash == 0L))
+    // per id: PNG+BMP of the same tone collapse (identical pixels); the
+    // +1-brightness flat variant stays separate (no texture evidence);
+    // and 80 never merges with 160
+    val groups = Multimodal.dedupPerceptual(
+        Multimodal.encodePngVariants(df.toDF(), "doc_id"))
+      .select("keeper_id", "n_copies")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(groups == Seq((80L, 1L), (80L, 2L), (160L, 1L), (160L, 2L)))
   }
 
   test("dedupBySignature groups identical-after-downsample payloads") {
