@@ -290,13 +290,20 @@ object Dedup {
   /** [[minhashLsh]] with the [[lshCandidatesCapped]] family-explosion
     * guard: returns (verified pairs from buckets ≤ maxBucket, capped
     * FAMILY report). The report aggregates capped memberships per doc —
-    * (doc_id, n_capped_buckets, max_bucket_size) — the whole-family view
-    * a pipeline acts on (a doc capped in many bands IS a member of a
-    * viral family; max_bucket_size estimates the family's size). */
+    * (doc_id, n_capped_buckets, max_bucket_size, family_rep) — the
+    * whole-family view a pipeline acts on (a doc capped in many bands
+    * IS a member of a viral family; max_bucket_size estimates the
+    * family's size). `family_rep` = the smallest doc_id sharing any
+    * capped bucket with this doc (one-hop bucket minimum — exact for
+    * identical-content families, which share EVERY band; a chain of
+    * merely-similar oversized families can split across reps, the same
+    * one-hop approximation [[dupHubs]] makes). A family keeper election
+    * is then `doc_id == family_rep`. */
   def minhashLshCapped(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, k: Int = 128, bands: Int = 32,
                        threshold: Double = 0.8,
                        maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(docs, idCol, textCol, n)
     graft.util.Caching.leased2(sets) {
       val (candidates, capped) =
@@ -304,9 +311,13 @@ object Dedup {
       val pairs = jaccardVerify(candidates, sets)
         .filter(col("jaccard") >= threshold)
         .withColumn("jaccard", round(col("jaccard"), 6))
-      val families = capped.groupBy(col("doc_id"))
+      val families = capped
+        .withColumn("bucket_min",
+          min(col("doc_id")).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+        .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_capped_buckets"),
-             max(col("bucket_size")).as("max_bucket_size"))
+             max(col("bucket_size")).as("max_bucket_size"),
+             min(col("bucket_min")).as("family_rep"))
       (pairs, families)
     }
   }

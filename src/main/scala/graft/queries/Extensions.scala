@@ -181,6 +181,78 @@ object Extensions {
              |SELECT 'capped', -CAST(i AS BIGINT), CAST(32 AS BIGINT), CAST(60 AS DOUBLE)
              |FROM range(1, 61) r(i)""".stripMargin)),
 
+    // The whole-family ACTION the capped report enables — a corpus-wide
+    // keep/drop VERDICT where viral families (capped buckets) elect ONE
+    // keeper via the report's family_rep while ordinary near-dup
+    // clusters go through connected components as usual: the complete
+    // dedup decision a 100 TB pipeline executes, with the quadratic
+    // family never materializing as pairs. Subset corpus (doc_id%10=0)
+    // keeps the oracle's all-pairs + recursive-CTE replay tractable;
+    // the planted 40-copy family is capped in every band, elects -40.
+    "ext90_family_verdict" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "subscribe to our newsletter for updates terms and " +
+          "conditions apply to every visitor of this site"
+        val planted = (1 to 40).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+        val corpus = docs(s, d).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")).unionByName(planted)
+        val (pairs, families) = Dedup.minhashLshCapped(
+          corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
+          threshold = 0.8, maxBucket = 16)
+        val cl = Dedup.clusters(corpus, "doc_id",
+          pairs.select(col("doc_a"), col("doc_b")))
+        cl.join(families.select(col("doc_id"), col("family_rep")), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("family_rep").isNotNull && col("doc_id") === col("family_rep"),
+              "family_keeper")
+            .when(col("family_rep").isNotNull, "family_dup")
+            .when(col("cluster_size") > 1 && col("is_keeper"), "cluster_keeper")
+            .when(col("cluster_size") > 1, "cluster_dup")
+            .otherwise("unique").as("verdict"),
+            coalesce(col("family_rep"), col("cluster_id")).as("keeper_id"))
+      },
+      Some("""WITH RECURSIVE sub AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+             |), sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM sub)
+             |  WHERE len(w) >= 3
+             |), rawpairs AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
+             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), pairs AS (
+             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |), edges AS MATERIALIZED (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(src, dst) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+             |), comp AS (
+             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src
+             |), clusters AS (
+             |  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id
+             |  FROM sub s LEFT JOIN comp c USING (doc_id)
+             |), sizes AS (
+             |  SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id
+             |)
+             |SELECT c.doc_id,
+             |       CASE WHEN z.n > 1 AND c.doc_id = c.cluster_id THEN 'cluster_keeper'
+             |            WHEN z.n > 1 THEN 'cluster_dup'
+             |            ELSE 'unique' END AS verdict,
+             |       c.cluster_id AS keeper_id
+             |FROM clusters c JOIN sizes z USING (cluster_id)
+             |UNION ALL
+             |SELECT -CAST(i AS BIGINT),
+             |       CASE WHEN i = 40 THEN 'family_keeper' ELSE 'family_dup' END,
+             |       CAST(-40 AS BIGINT)
+             |FROM range(1, 41) r(i)""".stripMargin)),
+
     "ext01_exact_dedup" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash,

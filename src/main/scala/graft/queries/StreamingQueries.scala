@@ -21,6 +21,42 @@ object StreamingQueries {
 
   val all: Seq[(String, Q)] = Seq(
 
+    // Schema-drifting JSON AT INGEST (the Kafka-raw-crawl shape): each
+    // arriving event carries one of three JSON shapes (nested meta /
+    // flat / missing fields); parse_json + variant_get typed paths
+    // absorb the drift row-locally — stateless, no watermark, the
+    // VARIANT tier (q76/ext88) proven on a live stream. The JSON text
+    // is synthesized closed-form from the event columns so the batch
+    // oracle re-derives every output without parsing anything.
+    "st31_stream_variant" -> Q(
+      (s, d) => {
+        val drifted = Streams.readEventsStream(s, d).selectExpr(
+          "event_id",
+          """CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN concat('{"event_id":', CAST(event_id AS STRING),
+                                  ',"v_cents":', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),
+                                  ',"meta":{"et":"', event_type, '"}}')
+               WHEN 1 THEN concat('{"event_id":', CAST(event_id AS STRING),
+                                  ',"v_cents":', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING),
+                                  ',"et":"', event_type, '"}')
+               ELSE concat('{"event_id":', CAST(event_id AS STRING), '}')
+             END AS j""")
+        val extracted = drifted.selectExpr(
+          "event_id",
+          "try_variant_get(parse_json(j), '$.v_cents', 'bigint') AS v_cents",
+          """coalesce(variant_get(parse_json(j), '$.meta.et', 'string'),
+                      variant_get(parse_json(j), '$.et', 'string'),
+                      'unknown') AS et""",
+          "try_variant_get(parse_json(j), '$.v_cents', 'bigint') IS NOT NULL AS has_value")
+        Streams.runToMemory(s, extracted, "st31_variant", OutputMode.Append())
+      },
+      Some("""SELECT event_id,
+             |       CASE WHEN event_id % 3 = 2 THEN NULL
+             |            ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v_cents,
+             |       CASE WHEN event_id % 3 = 2 THEN 'unknown' ELSE event_type END AS et,
+             |       (event_id % 3 <> 2) AS has_value
+             |FROM events""".stripMargin)),
+
     // decontamination-at-ingest: streaming docs LSH-probe a static
     // benchmark index; banding at 32×4 provably finds every pair on this
     // fixture (see Extensions scaladoc), so the streamed output equals

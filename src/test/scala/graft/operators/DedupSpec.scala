@@ -410,9 +410,11 @@ class DedupSpec extends SparkSpec {
     val (pairs2, fam2) = Dedup.minhashLshCapped(
       corpus.unionByName(planted), "doc_id", "text", maxBucket = 8)
     assert(pairs2.filter($"doc_a" < 0 || $"doc_b" < 0).isEmpty)
-    val fams = fam2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fams = fam2.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(fams.length == 20)
-    assert(fams.forall { case (id, nb, sz) => id < 0 && nb == 32L && sz == 20L })
+    assert(fams.forall { case (id, nb, sz, rep) =>
+      id < 0 && nb == 32L && sz == 20L && rep == -20L })
   }
 
   test("stripBoilerplate: every input doc reports, including blank-only ones") {
