@@ -16,11 +16,11 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("unknown format is a config error, not a runtime crash") {
-    // ("avro" was the canonical unknown until round 6 made it real —
-    // sources/AvroFormat.scala)
+    // ("avro" was the canonical unknown until round 6 made it real,
+    // then "xml" until round 7 wired Spark 4's built-in source)
     val e = intercept[ConfigError](Sources.load(spark,
-      SourceSpec.File("/tmp/x", "xml", Map.empty)))
-    assert(e.getMessage.contains("xml") && e.getMessage.contains("parquet"))
+      SourceSpec.File("/tmp/x", "iceberg", Map.empty)))
+    assert(e.getMessage.contains("iceberg") && e.getMessage.contains("parquet"))
   }
 
   test("csv options drive a real read") {
