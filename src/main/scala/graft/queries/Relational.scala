@@ -1845,6 +1845,30 @@ object Relational {
              |UNION ALL
              |SELECT event_id, 'obj', 0, 'k',
              |       CAST(json_extract_string(props, '$.k') AS BIGINT)
-             |FROM events""".stripMargin))
+             |FROM events""".stripMargin)),
+
+    // SQL session variables (DECLARE/SET VAR) + IDENTIFIER() templating
+    // (Spark 4): the in-SQL parameterization story next to the engine's
+    // own {var} interpolation (A6/A20) — table name resolved from a
+    // variable via IDENTIFIER (safe templating, no string splicing) and
+    // a threshold variable read after SET VAR overrides its DEFAULT.
+    // Variables fold to literals at plan time, so this is pure surface;
+    // the oracle runs the resolved query.
+    "q81_sql_variables" -> Q(
+      (s, d) => { views(s, d)
+        s.sql("DECLARE OR REPLACE VARIABLE graft_tbl STRING DEFAULT 'lineitem'")
+        s.sql("DECLARE OR REPLACE VARIABLE graft_qty_lo INT DEFAULT 10")
+        s.sql("SET VAR graft_qty_lo = 20")
+        s.sql(
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+           FROM IDENTIFIER(graft_tbl)
+           WHERE l_quantity >= graft_qty_lo
+           GROUP BY l_returnflag""") },
+      Some("""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+             |FROM lineitem
+             |WHERE l_quantity >= 20
+             |GROUP BY l_returnflag""".stripMargin))
   )
 }
