@@ -1785,6 +1785,11 @@ object Relational {
     // itself (which group representative survives is
     // evaluation-order-dependent). DuckDB has no column collations —
     // the oracle normalizes with lower() and re-derives min(raw).
+    // Plan note: Spark 4.1 plans the collated-key join as SortMergeJoin
+    // even under a BROADCAST hint (hash-side support for non-binary
+    // collations is restricted); at scale, pre-normalizing the join key
+    // (lower()) recovers the broadcast plan when the collation is only
+    // case folding — the collated form is the SEMANTIC surface pin.
     "q79_collation" -> Q(
       (s, d) => { views(s, d); s.sql(
         """WITH mixed AS (
