@@ -35,6 +35,35 @@ class CachingSpec extends SparkSpec {
       "the consuming action must release the lease")
   }
 
+  test("leased2 releases only after BOTH outputs are consumed") {
+    val inter = (1 to 40).toDF("n").select((col("n") * 5).as("m"))
+    val (a, b) = Caching.leased2(inter)(
+      (inter.filter(col("m") <= 100), inter.filter(col("m") > 100)))
+    assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK)
+    assert(a.count() == 20)
+    Thread.sleep(1000) // drain the listener bus
+    assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK,
+      "consuming ONE output must keep the cache warm for the other")
+    assert(b.count() == 20)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (inter.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(inter.storageLevel == StorageLevel.NONE,
+      "consuming the second output must release the lease")
+  }
+
+  test("leased2 releases on a single action containing both outputs") {
+    val inter = (1 to 30).toDF("n").select((col("n") * 7).as("m"))
+    val (a, b) = Caching.leased2(inter)(
+      (inter.filter(col("m") % 2 === 0), inter.filter(col("m") % 2 =!= 0)))
+    assert(a.unionByName(b).count() == 30)
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (inter.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    assert(inter.storageLevel == StorageLevel.NONE,
+      "one union action consumes both outputs and releases the lease")
+  }
+
   test("a released lease still recomputes correctly on a later action") {
     val inter = (1 to 10).toDF("n").select((col("n") + 1).as("m"))
     val out = Caching.leased(inter)(inter.filter(col("m") > 5))
