@@ -1,0 +1,47 @@
+#!/usr/bin/env python3
+"""Compare a graft.Bench full artifact against the frozen BASELINE.md gates.
+
+Usage: python3 tools/gate_check.py [bench_json] [baseline_md]
+
+Gates are parsed from every `| <query> | <seconds> |` table row in
+BASELINE.md; the LAST occurrence of a query wins (later sections are
+re-freezes). Prints per-query over-gate rows (ratio > 2x), the median /
+p90 ratio over the gated set, and the queries with no gate yet (the
+round's additions — candidates for a freeze section).
+"""
+import json, re, statistics, sys
+
+bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
+md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+
+gates = {}
+row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*\|\s*$")
+for line in open(md_path):
+    m = row.match(line.strip() if line.strip().endswith("|") else line)
+    if m:
+        gates[m.group(1)] = float(m.group(2))
+
+bench = json.load(open(bench_path))
+qs = {k: v for k, v in bench["queries"].items() if v >= 0}
+
+ratios, over, ungated = [], [], []
+for name, sec in sorted(qs.items()):
+    if name in gates:
+        r = sec / gates[name] if gates[name] > 0 else float("inf")
+        ratios.append(r)
+        if r > 2.0:
+            over.append((name, sec, gates[name], r))
+    else:
+        ungated.append((name, sec))
+
+print(f"gated queries: {len(ratios)}; ungated (new this round): {len(ungated)}")
+if ratios:
+    rs = sorted(ratios)
+    print(f"median ratio {statistics.median(rs):.2f}x  p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
+print(f"over-gate rows (>2x): {len(over)}")
+for n, s, g, r in sorted(over, key=lambda x: -x[3]):
+    print(f"  OVER {n}: {s:.2f}s vs gate {g:.2f}s ({r:.2f}x)")
+if ungated:
+    print("new-query medians (freeze these):")
+    for n, s in ungated:
+        print(f"  | {n} | {s:.2f} |")
