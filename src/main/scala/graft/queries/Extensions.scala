@@ -2133,6 +2133,25 @@ object Extensions {
         "src", "nid", iters = 10),
       Some(pageRankOracle(iters = 10))),
 
+    // ext79's SCALE PATH, end-to-end oracled: the within-label kNN edge
+    // build is the quadratic piece (ScaleCheck: 13.8× at 10× data as
+    // label populations grow) — here the edge list comes from the
+    // SRP-LSH ANN instead (ext83's fully-replayable hash family, corpus
+    // as its own query side: equality-keyed bucket join, never
+    // all-pairs), and the SAME integer PageRank runs over it. Bucket
+    // ids, hamming-1 probes, candidate ranking AND all 10 power
+    // iterations replay in SQL, so swapping the quadratic edge build
+    // for the hash-bucketed one costs none of the oracle discipline.
+    "ext91_pagerank_lsh" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val edges = Similarity.annTopKSrp(e, e, "vec_id", "embedding",
+            k = 3, nPlanes = 6, salt = "pr1")
+          .select(col("qid").as("src"), col("nid"))
+        graft.operators.Graph.pageRank(edges, "src", "nid", iters = 10)
+      },
+      Some(pageRankLshOracle(iters = 10))),
+
     // WordPiece inference (greedy longest-match subword tokenization)
     // over the corpus with a fixed piece vocabulary — the native
     // `greedy_pieces` expression. `pieces_sig` pins the md5 of each
@@ -2764,6 +2783,70 @@ object Extensions {
       |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
       |       CAST(s.n AS BIGINT) AS cluster_size
       |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
+
+  /** ext91's oracle: the ext83 SRP-LSH edge set (corpus as its own
+    * query side, k = 3, salt 'pr1'), then the same unrolled PageRank
+    * chain as [[pageRankOracle]]. */
+  private def pageRankLshOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT eg.dst AS node, CAST(sum(p.r // o.od) AS BIGINT) AS s
+         |    FROM eg JOIN odeg o ON eg.src = o.src
+         |           JOIN pr${i - 1} p ON p.node = eg.src
+         |    GROUP BY eg.dst) c ON n.node = c.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH m AS (
+       |  SELECT i, j,
+       |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':pr1'), 1, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM range(6) r1(i), range(64) r2(j)
+       |), ex AS (
+       |  SELECT vec_id,
+       |         unnest(range(0, len(embedding))) AS j,
+       |         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xe6
+       |  FROM embeddings
+       |), p0 AS (
+       |  SELECT vec_id, i, sum(xe6 * s) AS c
+       |  FROM ex JOIN m USING (j)
+       |  GROUP BY vec_id, i
+       |), b AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (5 - i)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM p0 GROUP BY vec_id
+       |), probes AS (
+       |  SELECT vec_id AS qid, bucket FROM b
+       |  UNION ALL
+       |  SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << pos)
+       |  FROM b, range(6) r(pos)
+       |), cand AS (
+       |  SELECT pr.qid, cb.vec_id AS nid,
+       |         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM probes pr
+       |  JOIN b cb USING (bucket)
+       |  JOIN embeddings qe ON qe.vec_id = pr.qid
+       |  JOIN embeddings ne ON ne.vec_id = cb.vec_id
+       |  WHERE cb.vec_id <> pr.qid
+       |), eg AS (
+       |  SELECT qid AS src, nid AS dst FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |    FROM (SELECT DISTINCT qid, nid, cosine FROM cand))
+       |  WHERE rnk <= 3
+       |), odeg AS (SELECT src, count(*) AS od FROM eg GROUP BY src
+       |), ideg AS (SELECT dst, count(*) AS idg FROM eg GROUP BY dst
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM eg UNION ALL SELECT dst FROM eg)
+       |), pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps
+       |SELECT n.node, p.r AS pr_e6,
+       |       coalesce(o.od, 0) AS out_deg, coalesce(i.idg, 0) AS in_deg
+       |FROM nodes n JOIN pr$iters p ON p.node = n.node
+       |LEFT JOIN odeg o ON o.src = n.node
+       |LEFT JOIN ideg i ON i.dst = n.node""".stripMargin
+  }
 
   /** ext79's oracle: the ext67 kNN edge set, then `iters` PageRank
     * power iterations unrolled as chained CTEs (pr0 → pr1 → …) in the
