@@ -1874,6 +1874,43 @@ object Relational {
              |       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
              |FROM lineitem
              |WHERE l_quantity >= 20
-             |GROUP BY l_returnflag""".stripMargin))
+             |GROUP BY l_returnflag""".stripMargin)),
+
+    // EXECUTE IMMEDIATE (Spark 4): dynamic SQL from a string with
+    // USING-bound parameter markers — the safe form of the build-a-query
+    // string every config-driven ETL eventually wants (q81's variables
+    // carry the TEXT; binding is by marker, no value splicing). The
+    // oracle runs the resolved statement.
+    "q82_execute_immediate" -> Q(
+      (s, d) => { views(s, d)
+        s.sql("""DECLARE OR REPLACE VARIABLE graft_stmt STRING DEFAULT
+                 'SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+                         CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
+                  FROM orders WHERE o_orderstatus = ? GROUP BY o_orderpriority'""")
+        s.sql("EXECUTE IMMEDIATE graft_stmt USING 'F'") },
+      Some("""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(max(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS max_cents
+             |FROM orders WHERE o_orderstatus = 'F'
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // Parameterized spark.sql (named parameter markers bound through
+    // the API, Spark 3.4+/4): the injection-safe programmatic
+    // counterpart of q82's in-SQL form — :markers bound from a Scala
+    // map, never spliced into the text. The oracle runs the resolved
+    // query.
+    "q83_parameterized_sql" -> Q(
+      (s, d) => { views(s, d)
+        s.sql(
+          """SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_cents
+             FROM lineitem
+             WHERE l_quantity BETWEEN :lo AND :hi AND l_returnflag = :flag
+             GROUP BY l_linestatus""",
+          Map("lo" -> 15, "hi" -> 35, "flag" -> "R")) },
+      Some("""SELECT l_linestatus, CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_cents
+             |FROM lineitem
+             |WHERE l_quantity BETWEEN 15 AND 35 AND l_returnflag = 'R'
+             |GROUP BY l_linestatus""".stripMargin))
   )
 }
