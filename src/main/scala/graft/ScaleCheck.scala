@@ -34,6 +34,9 @@ object ScaleCheck {
     // growth — the guard must hold its growth near-linear on the same
     // duplicated-content generator.
     "ext89_minhash_capped",
+    // ext91 vs ext79: the LSH edge build against the within-label
+    // quadratic one, same PageRank downstream.
+    "ext91_pagerank_lsh",
     // round-7: the stateful streaming rows, so the "state is
     // watermark-bounded" claims get the same empirical treatment the
     // batch tier got (st01 covers the stateless window baseline).

@@ -2134,19 +2134,27 @@ object Extensions {
       Some(pageRankOracle(iters = 10))),
 
     // ext79's SCALE PATH, end-to-end oracled: the within-label kNN edge
-    // build is the quadratic piece (ScaleCheck: 13.8× at 10× data as
+    // build is the quadratic piece (ScaleCheck: ~19× at 10× data as
     // label populations grow) — here the edge list comes from the
     // SRP-LSH ANN instead (ext83's fully-replayable hash family, corpus
     // as its own query side: equality-keyed bucket join, never
-    // all-pairs), and the SAME integer PageRank runs over it. Bucket
-    // ids, hamming-1 probes, candidate ranking AND all 10 power
-    // iterations replay in SQL, so swapping the quadratic edge build
-    // for the hash-bucketed one costs none of the oracle discipline.
+    // all-pairs), and the SAME integer PageRank runs over it. The plane
+    // count is CORPUS-ADAPTIVE — smallest p in [4, 16] with
+    // 32·2^p ≥ n, i.e. mean bucket occupancy held at ≤ 32 — because a
+    // FIXED plane count is itself a scale bug: the first ext91 ran 6
+    // planes at every size and ScaleCheck measured 35× at 10× data as
+    // 64 buckets concentrated (pure integer sizing, so both engines
+    // pick the same p; the one count() it costs is an index-build-time
+    // decision). Bucket ids, probes, candidate ranking AND all 10 power
+    // iterations replay in SQL, so the scale path keeps the full value
+    // oracle at every corpus size.
     "ext91_pagerank_lsh" -> Q(
       (s, d) => {
         val e = emb(s, d)
+        val n = e.count()
+        val planes = (4 to 16).find(p => (32L << p) >= n).getOrElse(16)
         val edges = Similarity.annTopKSrp(e, e, "vec_id", "embedding",
-            k = 3, nPlanes = 6, salt = "pr1")
+            k = 3, nPlanes = planes, salt = "pr1")
           .select(col("qid").as("src"), col("nid"))
         graft.operators.Graph.pageRank(edges, "src", "nid", iters = 10)
       },
@@ -2785,8 +2793,12 @@ object Extensions {
       |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin
 
   /** ext91's oracle: the ext83 SRP-LSH edge set (corpus as its own
-    * query side, k = 3, salt 'pr1'), then the same unrolled PageRank
-    * chain as [[pageRankOracle]]. */
+    * query side, k = 3, salt 'pr1', CORPUS-ADAPTIVE plane count:
+    * smallest p in [4, 16] with 32·2^p ≥ n — pure integer sizing, so
+    * it replays exactly), then the same unrolled PageRank chain as
+    * [[pageRankOracle]]. DuckDB's range() rejects lateral column args,
+    * so plane/probe enumerations range over the max (16) and filter
+    * i < np. */
   private def pageRankLshOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""pr$i AS (
@@ -2799,11 +2811,15 @@ object Extensions {
          |    GROUP BY eg.dst) c ON n.node = c.node
          |)""".stripMargin
     }.mkString(", ")
-    s"""WITH m AS (
+    s"""WITH params AS (
+       |  SELECT (SELECT min(p) FROM range(4, 17) t(p)
+       |          WHERE 32 * (1 << p) >= (SELECT count(*) FROM embeddings)) AS np
+       |), m AS (
        |  SELECT i, j,
        |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':pr1'), 1, 1))::BIGINT % 2 = 0
        |              THEN 1 ELSE -1 END AS s
-       |  FROM range(6) r1(i), range(64) r2(j)
+       |  FROM range(16) r1(i), range(64) r2(j), params
+       |  WHERE i < params.np
        |), ex AS (
        |  SELECT vec_id,
        |         unnest(range(0, len(embedding))) AS j,
@@ -2815,13 +2831,14 @@ object Extensions {
        |  GROUP BY vec_id, i
        |), b AS (
        |  SELECT vec_id,
-       |         CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (5 - i)) ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM p0 GROUP BY vec_id
+       |         CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (params.np - 1 - i)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM p0, params GROUP BY vec_id
        |), probes AS (
        |  SELECT vec_id AS qid, bucket FROM b
        |  UNION ALL
        |  SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << pos)
-       |  FROM b, range(6) r(pos)
+       |  FROM b, range(16) r(pos), params
+       |  WHERE pos < params.np
        |), cand AS (
        |  SELECT pr.qid, cb.vec_id AS nid,
        |         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
