@@ -57,6 +57,78 @@ object StreamingQueries {
              |       (event_id % 3 <> 2) AS has_value
              |FROM events""".stripMargin)),
 
+    // Perceptual media dedup AT INGEST: the ext87 planted-variant
+    // stream (base PNG / same-pixels BMP / +1-brightness PNG per doc)
+    // decoded and hashed INSIDE the stream (typed mapPartitions is
+    // stateless — codecs run per micro-batch), then a Complete-mode
+    // aggregation groups by the perceptual key. The oracle recomputes
+    // BOTH hashes closed-form from the planting geometry — nearest-
+    // neighbor grid sampling, the integer v*64 > sum aHash bit, the
+    // neighbor-gradient dHash bit, the flat-image tone key — so every
+    // hash VALUE is pinned cross-engine, not just group counts (the
+    // strongest oracle the perceptual tier has).
+    "st32_stream_media_dedup" -> Q(
+      (s, d) => {
+        val sample = Streams.readDocumentsStream(s, d)
+          .filter(col("doc_id") % 20 === 0)
+        val hashes = graft.operators.Multimodal.perceptualHashes(
+            graft.operators.Multimodal.encodePngVariants(sample, "doc_id")).toDF()
+          .withColumn("flat_sum",
+            when(col("flat"), col("grid_sum").cast("long")).otherwise(lit(-1L)))
+        val grouped = hashes.groupBy(col("ahash"), col("dhash"), col("flat_sum"))
+          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        Streams.runToMemory(s, grouped, "st32_media", OutputMode.Complete())
+      },
+      Some("""WITH d0 AS (
+             |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0
+             |), v AS (
+             |  SELECT doc_id, s.variant, s.shift
+             |  FROM d0, (VALUES (0, 0), (1, 0), (2, 1)) s(variant, shift)
+             |), geo AS (
+             |  SELECT doc_id, variant, shift,
+             |         1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+             |         doc_id % 128 AS a, (doc_id * 7 + 3) % 128 AS b
+             |  FROM v
+             |), g AS (
+             |  SELECT geo.doc_id, geo.variant, r.i,
+             |         CASE WHEN ((r.i % 8) * geo.w) // 8 < geo.w // 2
+             |              THEN geo.a + geo.shift ELSE geo.b + geo.shift END AS val
+             |  FROM geo, range(64) r(i)
+             |), agg AS (
+             |  SELECT doc_id, variant, CAST(sum(val) AS BIGINT) AS gsum,
+             |         (min(val) = max(val)) AS flat
+             |  FROM g GROUP BY doc_id, variant
+             |), ah AS (
+    |  -- bit 63 spelled as its two's-complement value: DuckDB refuses
+             |  -- 1<<63, and disjoint bit contributions sum to the same
+             |  -- signed long Spark's `ah |= 1L << 63` produces
+             |  SELECT g.doc_id, g.variant,
+             |         CAST(coalesce(sum(CASE WHEN g.val * 64 > a2.gsum
+             |           THEN (CASE WHEN g.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+             |                      ELSE CAST(1 AS BIGINT) << g.i END) ELSE 0 END), 0) AS BIGINT) AS ahash
+             |  FROM g JOIN agg a2 USING (doc_id, variant)
+             |  GROUP BY g.doc_id, g.variant
+             |), dh AS (
+             |  SELECT geo.doc_id, geo.variant,
+             |         CAST(coalesce(sum(CASE WHEN
+             |             (CASE WHEN (rx.x * geo.w) // 9 < geo.w // 2 THEN geo.a ELSE geo.b END) >
+             |             (CASE WHEN ((rx.x + 1) * geo.w) // 9 < geo.w // 2 THEN geo.a ELSE geo.b END)
+             |           THEN (CASE WHEN ry.y * 8 + rx.x = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+             |                      ELSE CAST(1 AS BIGINT) << (ry.y * 8 + rx.x) END) ELSE 0 END), 0) AS BIGINT) AS dhash
+             |  FROM geo, range(8) ry(y), range(8) rx(x)
+             |  GROUP BY geo.doc_id, geo.variant
+             |), keyed AS (
+             |  SELECT v.doc_id, ah.ahash, dh.dhash,
+             |         CASE WHEN a2.flat THEN a2.gsum ELSE CAST(-1 AS BIGINT) END AS flat_sum
+             |  FROM v
+             |  JOIN ah ON ah.doc_id = v.doc_id AND ah.variant = v.variant
+             |  JOIN dh ON dh.doc_id = v.doc_id AND dh.variant = v.variant
+             |  JOIN agg a2 ON a2.doc_id = v.doc_id AND a2.variant = v.variant
+             |)
+             |SELECT ahash, dhash, flat_sum,
+             |       min(doc_id) AS keeper_id, count(*) AS n_copies
+             |FROM keyed GROUP BY ahash, dhash, flat_sum""".stripMargin)),
+
     // decontamination-at-ingest: streaming docs LSH-probe a static
     // benchmark index; banding at 32×4 provably finds every pair on this
     // fixture (see Extensions scaladoc), so the streamed output equals
