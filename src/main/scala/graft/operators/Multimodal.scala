@@ -466,7 +466,8 @@ object Multimodal {
     * map-side-combined aggregation. */
   def dedupPerceptual(media: Dataset[MediaVariant]): DataFrame =
     perceptualHashes(media).toDF()
-      .withColumn("flat_sum", when(col("flat"), col("grid_sum")).otherwise(lit(-1)))
+      .withColumn("flat_sum",
+        when(col("flat"), col("grid_sum").cast("long")).otherwise(lit(-1L)))
       .groupBy(col("ahash"), col("dhash"), col("flat_sum"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 

@@ -2812,8 +2812,10 @@ object Extensions {
          |)""".stripMargin
     }.mkString(", ")
     s"""WITH params AS (
-       |  SELECT (SELECT min(p) FROM range(4, 17) t(p)
-       |          WHERE 32 * (1 << p) >= (SELECT count(*) FROM embeddings)) AS np
+       |  -- coalesce mirrors the Spark side's getOrElse(16): past
+       |  -- 32*2^16 vectors both engines cap at 16 planes
+       |  SELECT coalesce((SELECT min(p) FROM range(4, 17) t(p)
+       |          WHERE 32 * (1 << p) >= (SELECT count(*) FROM embeddings)), 16) AS np
        |), m AS (
        |  SELECT i, j,
        |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':pr1'), 1, 1))::BIGINT % 2 = 0

@@ -71,12 +71,10 @@ object StreamingQueries {
       (s, d) => {
         val sample = Streams.readDocumentsStream(s, d)
           .filter(col("doc_id") % 20 === 0)
-        val hashes = graft.operators.Multimodal.perceptualHashes(
-            graft.operators.Multimodal.encodePngVariants(sample, "doc_id")).toDF()
-          .withColumn("flat_sum",
-            when(col("flat"), col("grid_sum").cast("long")).otherwise(lit(-1L)))
-        val grouped = hashes.groupBy(col("ahash"), col("dhash"), col("flat_sum"))
-          .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        // the BATCH operator unchanged on a streaming frame: the decode
+        // is stateless, the grouped aggregation runs in Complete mode
+        val grouped = graft.operators.Multimodal.dedupPerceptual(
+          graft.operators.Multimodal.encodePngVariants(sample, "doc_id"))
         Streams.runToMemory(s, grouped, "st32_media", OutputMode.Complete())
       },
       Some("""WITH d0 AS (

@@ -15,7 +15,8 @@ bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
 md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
 
 gates = {}
-row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*\|\s*$")
+# the seconds cell may carry an annotation: `| ext79_pagerank | 3.60 (post ... fix) |`
+row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
 for line in open(md_path):
     m = row.match(line.strip() if line.strip().endswith("|") else line)
     if m:
