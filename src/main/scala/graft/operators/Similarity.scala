@@ -761,6 +761,15 @@ object Similarity {
     * vector, the small query side replicates (nPlanes+1)× for
     * multi-probe (hamming-1 flips), the candidate join is
     * equality-keyed on the bucket id. */
+  /** Corpus-adaptive SRP plane count: the smallest p in [4, 16] with
+    * 32·2^p ≥ n, i.e. mean bucket occupancy held at ≤ 32, capped at 16
+    * planes past 32·2^16 vectors. A FIXED plane count is itself a scale
+    * bug — ScaleCheck measured the 6-plane form at 35.6× per 10× corpus
+    * as its 64 buckets concentrated (vs 3.83× adaptive). Pure integer
+    * logic so an external oracle replays the identical choice. */
+  def srpPlanesFor(n: Long): Int =
+    (4 to 16).find(p => (32L << p) >= n).getOrElse(16)
+
   def annTopKSrp(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int, nPlanes: Int = 6,
                  salt: String = "ann1"): DataFrame = {

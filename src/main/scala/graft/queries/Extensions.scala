@@ -2151,8 +2151,7 @@ object Extensions {
     "ext91_pagerank_lsh" -> Q(
       (s, d) => {
         val e = emb(s, d)
-        val n = e.count()
-        val planes = (4 to 16).find(p => (32L << p) >= n).getOrElse(16)
+        val planes = Similarity.srpPlanesFor(e.count())
         val edges = Similarity.annTopKSrp(e, e, "vec_id", "embedding",
             k = 3, nPlanes = planes, salt = "pr1")
           .select(col("qid").as("src"), col("nid"))

@@ -361,4 +361,16 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Int]("rnk")) -> r.getAs[Long]("nid")).toMap
     assert(viaCos == viaDot)
   }
+
+  test("srpPlanesFor holds mean bucket occupancy at 32, floors at 4, caps at 16") {
+    assert(Similarity.srpPlanesFor(1) == 4)
+    assert(Similarity.srpPlanesFor(500) == 4)    // sf0.01 fixture
+    assert(Similarity.srpPlanesFor(512) == 4)    // exact boundary: 32*2^4
+    assert(Similarity.srpPlanesFor(513) == 5)
+    assert(Similarity.srpPlanesFor(2000) == 6)   // sf0.1 fixture
+    assert(Similarity.srpPlanesFor(20000) == 10) // 10x fixture
+    assert(Similarity.srpPlanesFor(32L << 16) == 16)
+    assert(Similarity.srpPlanesFor((32L << 16) + 1) == 16) // cap, mirrored by the oracle's coalesce
+    assert(Similarity.srpPlanesFor(1L << 40) == 16)
+  }
 }
