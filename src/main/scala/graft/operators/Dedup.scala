@@ -228,7 +228,13 @@ object Dedup {
 
   /** Full MinHash-LSH near-dedup: shingle-sets (one shuffle) → signature
     * projection → band → bucket join → exact-Jaccard filter. Output:
-    * (doc_a, doc_b, jaccard ≥ threshold). */
+    * (doc_a, doc_b, jaccard ≥ threshold).
+    *
+    * Production note: pair output is O(bucket²) per band bucket, so one
+    * viral boilerplate family emits |family|² pairs (ScaleCheck: ~9× per
+    * 10× duplicated-content growth). At corpus scale prefer
+    * [[minhashLshCapped]], which bounds the fan-out and routes oversized
+    * families to a whole-family report instead. */
   def minhashLsh(docs: DataFrame, idCol: String, textCol: String,
                  n: Int = 3, k: Int = 128, bands: Int = 32,
                  threshold: Double = 0.8): DataFrame = {
