@@ -1911,6 +1911,38 @@ object Relational {
              |       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS net_cents
              |FROM lineitem
              |WHERE l_quantity BETWEEN 15 AND 35 AND l_returnflag = 'R'
-             |GROUP BY l_linestatus""".stripMargin))
+             |GROUP BY l_linestatus""".stripMargin)),
+
+    // schema_of_variant_agg (Spark 4): the drift-MONITORING aggregate —
+    // the merged variant schema per partition of a raw JSON corpus, the
+    // dashboard query that tells an ingest owner what shapes a feed
+    // actually carries (q76 extracts; this one inventories). Over the
+    // q76 drift corpus the merged schema per shape is closed-form, so
+    // the oracle states the exact schema STRINGS (null maps to VOID,
+    // keys sort alphabetically, JSON integers widen to BIGINT).
+    "q84_variant_schema_agg" -> Q(
+      (s, d) => { views(s, d); s.sql(
+        """WITH js AS (
+             SELECT o_orderkey % 3 AS shape,
+                    CASE o_orderkey % 3
+                      WHEN 0 THEN concat('{"id":', CAST(o_orderkey AS STRING),
+                                         ',"price_cents":', CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),
+                                         ',"cust":{"seg":"', o_orderpriority, '"}}')
+                      WHEN 1 THEN concat('{"id":', CAST(o_orderkey AS STRING),
+                                         ',"price_cents":', CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING),
+                                         ',"tags":["t0","t', CAST(o_orderkey % 7 AS STRING), '"]}')
+                      ELSE concat('{"id":', CAST(o_orderkey AS STRING), ',"extra":null}')
+                    END AS j
+             FROM orders)
+           SELECT shape, CAST(count(*) AS BIGINT) AS n,
+                  schema_of_variant_agg(parse_json(j)) AS merged_schema
+           FROM js GROUP BY shape""") },
+      Some("""SELECT o_orderkey % 3 AS shape, CAST(count(*) AS BIGINT) AS n,
+             |       CASE o_orderkey % 3
+             |         WHEN 0 THEN 'OBJECT<cust: OBJECT<seg: STRING>, id: BIGINT, price_cents: BIGINT>'
+             |         WHEN 1 THEN 'OBJECT<id: BIGINT, price_cents: BIGINT, tags: ARRAY<STRING>>'
+             |         ELSE 'OBJECT<extra: VOID, id: BIGINT>'
+             |       END AS merged_schema
+             |FROM orders GROUP BY o_orderkey % 3""".stripMargin))
   )
 }
