@@ -328,6 +328,39 @@ object Dedup {
     }
   }
 
+  /** Bloom-prefiltered EXACT decontamination — the at-scale shape for
+    * "which corpus documents appear in the benchmark": a Bloom filter
+    * over the benchmark texts (`DataFrame.stat.bloomFilter`, a
+    * distributed aggregation producing a KB–MB sketch) broadcasts to a
+    * shuffle-free membership scan of the corpus; only the surviving
+    * candidates — true matches plus the fpp fraction — reach the exact
+    * equality join that removes false positives. Because Bloom filters
+    * have NO false negatives, the output provably equals the plain
+    * corpus⋈benchmark join (the oracle replays exactly that), while the
+    * corpus side never shuffles: at 100 TB the benchmark sketch rides
+    * the broadcast and the exact join's probe side is candidate-sized,
+    * not corpus-sized. One benchmark count() action sizes the filter —
+    * an index-build-time decision, benchmark-sized not corpus-sized.
+    * Output: (doc_id, bench_id) — one row per (corpus doc, benchmark
+    * doc) with identical text. */
+  def contaminatedBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = bench.select(col(idCol).cast("long").as("bench_id"),
+      col(textCol).as("__btext"))
+    val n = math.max(1L, b.count())
+    val bf = b.stat.bloomFilter("__btext", n, fpp)
+    val bcast = spark.sparkContext.broadcast(bf)
+    val candidates = corpus
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .filter(t => t._2 != null && bcast.value.mightContainString(t._2))
+      .toDF("doc_id", "__text")
+    candidates.join(b, candidates("__text") === b("__btext"))
+      .select(col("doc_id"), col("bench_id"))
+  }
+
   /** Near-dup pairs verified by EDIT DISTANCE on a bounded text prefix —
     * the character-level verify for cases where shingle Jaccard is too
     * coarse (small in-place edits keep Jaccard high AND edit distance

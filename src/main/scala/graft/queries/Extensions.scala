@@ -253,6 +253,22 @@ object Extensions {
              |       CAST(-40 AS BIGINT)
              |FROM range(1, 41) r(i)""".stripMargin)),
 
+    // Bloom-prefiltered exact decontamination: benchmark = the docs
+    // with doc_id % 13 = 0 (an eval set drawn from the corpus, so hits
+    // are guaranteed); the corpus membership scan happens against the
+    // broadcast Bloom sketch, and the exact verify join removes the fpp
+    // false positives. No false negatives ⇒ the output provably equals
+    // the plain corpus⋈benchmark text join, which IS the oracle — the
+    // bloom's contribution is the 100 TB plan shape (corpus never
+    // shuffles; the verify probe is candidate-sized), pinned value-exact.
+    "ext92_bloom_decontamination" -> Q(
+      (s, d) => Dedup.contaminatedBloom(
+        docs(s, d), docs(s, d).filter(col("doc_id") % 13 === 0),
+        "doc_id", "text"),
+      Some("""SELECT c.doc_id, b.doc_id AS bench_id
+             |FROM documents c
+             |JOIN documents b ON b.doc_id % 13 = 0 AND c.text = b.text""".stripMargin)),
+
     "ext01_exact_dedup" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash,
