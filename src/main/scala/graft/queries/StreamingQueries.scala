@@ -127,6 +127,34 @@ object StreamingQueries {
              |       min(doc_id) AS keeper_id, count(*) AS n_copies
              |FROM keyed GROUP BY ahash, dhash, flat_sum""".stripMargin)),
 
+    // Bloom decontamination AT INGEST (ext92's streaming twin, and the
+    // exact-match complement of st07's LSH near-dup probe): the
+    // benchmark Bloom sketch is built ONCE at query start (index-build
+    // time) and broadcast; each arriving doc passes a row-local
+    // membership test — no state, no watermark — and only candidates
+    // reach the stream-static exact verify join against the (broadcast-
+    // sized) benchmark. No false negatives ⇒ the drained output equals
+    // the batch corpus⋈benchmark join, which is the oracle.
+    "st33_stream_bloom_decontam" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val bench = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 13 === 0)
+          .select(col("doc_id").as("bench_id"), col("text").as("__btext"))
+        val bf = bench.stat.bloomFilter("__btext", math.max(1L, bench.count()), 0.01)
+        val bcast = s.sparkContext.broadcast(bf)
+        val cand = Streams.readDocumentsStream(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          .filter(t => t._2 != null && bcast.value.mightContainString(t._2))
+          .toDF("doc_id", "__text")
+        val verified = cand.join(bench, cand("__text") === bench("__btext"))
+          .select(col("doc_id"), col("bench_id"))
+        Streams.runToMemory(s, verified, "st33_bloom", OutputMode.Append())
+      },
+      Some("""SELECT c.doc_id, b.doc_id AS bench_id
+             |FROM documents c
+             |JOIN documents b ON b.doc_id % 13 = 0 AND c.text = b.text""".stripMargin)),
+
     // decontamination-at-ingest: streaming docs LSH-probe a static
     // benchmark index; banding at 32×4 provably finds every pair on this
     // fixture (see Extensions scaladoc), so the streamed output equals

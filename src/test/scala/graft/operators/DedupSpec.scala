@@ -440,6 +440,24 @@ class DedupSpec extends SparkSpec {
     assert(r.size == 5)
   }
 
+  test("bloom decontamination equals the plain join; no false negatives at tight fpp") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = corpus.filter($"doc_id" % 7 === 0)
+    val plain = corpus.as("c").join(bench.as("b"), $"c.text" === $"b.text")
+      .select($"c.doc_id", $"b.doc_id".as("bench_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // even at a loose fpp the exact verify join removes every false
+    // positive, and bloom's no-false-negative guarantee keeps every
+    // true match: output == plain join at ANY fpp
+    for (fpp <- Seq(0.5, 0.01)) {
+      val viaBloom = Dedup.contaminatedBloom(corpus, bench, "doc_id", "text", fpp)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaBloom == plain && viaBloom.nonEmpty, s"fpp=$fpp")
+    }
+  }
+
   test("corpusDiff identity: a corpus diffed against itself is empty") {
     import spark.implicits._
     val v = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
