@@ -328,6 +328,76 @@ object Dedup {
     }
   }
 
+  /** [[contaminatedNear]] with the [[lshCandidatesCapped]] bucket cap —
+    * the at-scale form: one viral boilerplate family spanning both sides
+    * would otherwise emit |family|² cross-side pairs. Returns
+    * (verified cross-side pairs from buckets ≤ maxBucket, capped family
+    * report WITH SIDE INFO): the report is one row per capped doc —
+    * (doc_id, side 't'|'b', n_capped_buckets, max_bucket_size,
+    * family_rep, bench_hit_id) — where `bench_hit_id` is the smallest
+    * BENCH doc sharing a capped bucket with this doc (null if its
+    * oversized family is single-side). The decontamination policy a
+    * caller applies: a train-side row with non-null bench_hit_id shares
+    * an oversized near-identical family with benchmark text and is
+    * presumptively contaminated — flagged by family membership (the
+    * [[minhashLshCapped]] accounting), with the per-pair Jaccard verify
+    * deliberately skipped for exactly those docs the cap protects the
+    * job from. Below the cap the pair output is IDENTICAL to
+    * [[contaminatedNear]] (DedupSpec pins it). */
+  def contaminatedNearCapped(train: DataFrame, bench: DataFrame,
+                             idCol: String, textCol: String, n: Int = 3,
+                             k: Int = 128, bands: Int = 32,
+                             threshold: Double = 0.8,
+                             maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val all = train.select(col(idCol), col(textCol)).withColumn("__side", lit("t"))
+      .unionByName(bench.select(col(idCol), col(textCol)).withColumn("__side", lit("b")))
+    val sides = all.select(col(idCol).as("doc_id"), col("__side"))
+    val sets = shingleSets(all, idCol, textCol, n)
+    graft.util.Caching.leased2(sets) {
+      val (candidates, capped) =
+        lshCandidatesCapped(signaturesFromSets(sets, k), bands, maxBucket)
+      val cross = jaccardVerify(candidates, sets)
+        .filter(col("jaccard") >= threshold)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .join(sides.select(col("doc_id").as("doc_a"), col("__side").as("__sa")), "doc_a")
+        .join(sides.select(col("doc_id").as("doc_b"), col("__side").as("__sb")), "doc_b")
+        .filter(col("__sa") =!= col("__sb"))
+        .select(
+          when(col("__sa") === "t", col("doc_a")).otherwise(col("doc_b")).as("doc_id"),
+          when(col("__sa") === "t", col("doc_b")).otherwise(col("doc_a")).as("matched_bench_id"),
+          col("jaccard"))
+      val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+      val report = capped.join(sides, "doc_id")
+        .withColumn("bucket_min", min(col("doc_id")).over(w))
+        .withColumn("bench_min",
+          min(when(col("__side") === "b", col("doc_id"))).over(w))
+        .groupBy(col("doc_id"), col("__side"))
+        .agg(count(lit(1)).as("n_capped_buckets"),
+             max(col("bucket_size")).as("max_bucket_size"),
+             min(col("bucket_min")).as("family_rep"),
+             min(col("bench_min")).as("bench_hit_id"))
+        .select(col("doc_id"), col("__side").as("side"), col("n_capped_buckets"),
+          col("max_bucket_size"), col("family_rep"), col("bench_hit_id"))
+      (cross, report)
+    }
+  }
+
+  /** Star edges over a capped dedup result — the transitive-closure input
+    * at scale: verified sub-cap pairs PLUS one (family_rep, member) edge
+    * per capped-family member, so an oversized family joins the component
+    * graph LINEARLY in its size instead of as |family|² pairs. For
+    * identical-content families (which share EVERY band, so family_rep is
+    * the family minimum) the resulting components — and therefore
+    * [[clusters]]' cluster_id/size/keeper — equal the uncapped truth
+    * exactly; merely-similar oversized families carry the same one-hop
+    * approximation [[minhashLshCapped]] documents. Edges keep the
+    * doc_a < doc_b convention (family_rep ≤ doc_id by construction). */
+  def cappedEdges(pairs: DataFrame, families: DataFrame): DataFrame =
+    pairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(families.filter(col("doc_id") =!= col("family_rep"))
+        .select(col("family_rep").as("doc_a"), col("doc_id").as("doc_b")))
+
   /** Bloom-prefiltered EXACT decontamination — the at-scale shape for
     * "which corpus documents appear in the benchmark": a Bloom filter
     * over the benchmark texts (`DataFrame.stat.bloomFilter`, a
@@ -346,19 +416,37 @@ object Dedup {
   def contaminatedBloom(corpus: DataFrame, bench: DataFrame, idCol: String,
                         textCol: String, fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
-    import spark.implicits._
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    // null benchmark text can never equality-match (and would NPE the
+    // sketch build) — filter it BEFORE the count that sizes the filter.
+    // The bench frame is persisted by hand (not Caching.leased: the
+    // count and sketch-build actions below CONTAIN its plan and would
+    // release a lease before the verify join ever ran); the lease below
+    // watches the RETURNED frame instead, so count, filter build, and
+    // verify join all share one materialization, freed after the
+    // caller's consuming action.
     val b = bench.select(col(idCol).cast("long").as("bench_id"),
-      col(textCol).as("__btext"))
+        col(textCol).as("__btext"))
+      .filter(col("__btext").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = math.max(1L, b.count())
     val bf = b.stat.bloomFilter("__btext", n, fpp)
-    val bcast = spark.sparkContext.broadcast(bf)
+    // membership scan through the native codegen'd expression
+    // ([[graft.functions.BloomMightContain]]): the corpus scan stays one
+    // whole-stage-codegen pipeline — no DeserializeToObject, no typed
+    // lambda (PlanAuditSpec pins it). The serialized sketch rides the
+    // plan as a binary literal, benchmark-sized.
+    val sketch = { val bos = new java.io.ByteArrayOutputStream()
+                   bf.writeTo(bos); bos.toByteArray }
     val candidates = corpus
       .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
-      .as[(Long, String)]
-      .filter(t => t._2 != null && bcast.value.mightContainString(t._2))
-      .toDF("doc_id", "__text")
-    candidates.join(b, candidates("__text") === b("__btext"))
+      .filter(col("__text").isNotNull &&
+        call_function("bloom_might_contain", lit(sketch), col("__text")))
+    val out = candidates.join(b, candidates("__text") === b("__btext"))
       .select(col("doc_id"), col("bench_id"))
+    graft.util.Caching.releaseOnConsumed(out, Seq(b)) { () =>
+      b.unpersist(blocking = false)
+    }
   }
 
   /** Near-dup pairs verified by EDIT DISTANCE on a bounded text prefix —
@@ -376,8 +464,34 @@ object Dedup {
   def editDistancePairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 128, bands: Int = 32,
                         threshold: Double = 0.8, maxDist: Int = 6,
-                        prefixChars: Int = 512): DataFrame = {
-    val pairs = minhashLsh(docs, idCol, textCol, n, k, bands, threshold)
+                        prefixChars: Int = 512): DataFrame =
+    editVerify(minhashLsh(docs, idCol, textCol, n, k, bands, threshold),
+      docs, idCol, textCol, maxDist, prefixChars)
+
+  /** [[editDistancePairs]] with the [[minhashLshCapped]] bucket cap:
+    * (verified pairs from buckets ≤ maxBucket, capped family report).
+    * Per-pair Levenshtein inside an oversized family is exactly the
+    * |family|² work the cap exists to skip — family members appear only
+    * in the report (the caller's whole-family policy: for an
+    * identical-content family every member-to-rep edit distance is 0 by
+    * definition, no verify needed). Below the cap the pair output is
+    * IDENTICAL to [[editDistancePairs]] (DedupSpec pins it). */
+  def editDistancePairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 3, k: Int = 128, bands: Int = 32,
+                              threshold: Double = 0.8, maxDist: Int = 6,
+                              prefixChars: Int = 512,
+                              maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    val (pairs, families) =
+      minhashLshCapped(docs, idCol, textCol, n, k, bands, threshold, maxBucket)
+    (editVerify(pairs, docs, idCol, textCol, maxDist, prefixChars), families)
+  }
+
+  /** The per-pair Levenshtein verify shared by [[editDistancePairs]] and
+    * [[editDistancePairsCapped]]: one banded-DP `levenshtein(l, r, max)`
+    * per candidate pair over a bounded text prefix. */
+  private def editVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, maxDist: Int,
+                         prefixChars: Int): DataFrame = {
     val txt = docs.select(col(idCol).as("doc_id"),
       substring(col(textCol), 1, prefixChars).as("t"))
     pairs
@@ -399,7 +513,27 @@ object Dedup {
   def dupHubs(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, k: Int = 128, bands: Int = 32,
               threshold: Double = 0.8, minDegree: Int = 2): DataFrame =
-    minhashLsh(docs, idCol, textCol, n, k, bands, threshold)
+    hubDegrees(minhashLsh(docs, idCol, textCol, n, k, bands, threshold), minDegree)
+
+  /** [[dupHubs]] with the [[minhashLshCapped]] bucket cap: (hubs from
+    * sub-cap verified pairs, capped family report). A capped-family
+    * member shares a band bucket with > maxBucket docs — it IS a hub by
+    * construction (true degree ≥ maxBucket ≥ any sensible minDegree),
+    * reported whole-family through the second frame rather than via
+    * |family|² pair degrees; its sub-cap degree in the first frame
+    * consequently excludes family-internal partners. Below the cap the
+    * hub output is IDENTICAL to [[dupHubs]] (DedupSpec pins it). */
+  def dupHubsCapped(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, k: Int = 128, bands: Int = 32,
+                    threshold: Double = 0.8, minDegree: Int = 2,
+                    maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    val (pairs, families) =
+      minhashLshCapped(docs, idCol, textCol, n, k, bands, threshold, maxBucket)
+    (hubDegrees(pairs, minDegree), families)
+  }
+
+  private def hubDegrees(pairs: DataFrame, minDegree: Int): DataFrame =
+    pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("degree"))

@@ -159,7 +159,13 @@ object Extensions {
           corpus, "doc_id", "text", n = 3, k = 128, bands = 32,
           threshold = 0.8, maxBucket = 16)
         pairs.select(lit("pair").as("kind"), col("doc_a"), col("doc_b"), col("jaccard"))
-          .unionByName(families.select(lit("capped").as("kind"),
+          .unionByName(families.select(
+            // the NAMED drift signal (ADVICE r7): a natural (non-planted)
+            // doc in the capped report means the fixture grew a >16
+            // near-dup family — fail with a self-describing kind, not a
+            // mystery value mismatch
+            when(col("doc_id") < 0, "capped")
+              .otherwise("UNEXPECTED_natural_bucket_over_cap").as("kind"),
             col("doc_id").as("doc_a"),
             col("n_capped_buckets").cast("long").as("doc_b"),
             col("max_bucket_size").cast("double").as("jaccard")))
@@ -169,10 +175,22 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle, so the shingle-keyed equi-join enumerates
+             |  -- every such pair with its exact intersection count; rows with
+             |  -- i = 0 are absent but can never pass a positive threshold.
+             |  -- Same rows as the all-pairs join at index cost, not n².
+             |  SELECT ix.doc_a, ix.doc_b, ix.i, sa.n AS la, sb.n AS lb
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
              |)
              |SELECT 'pair' AS kind, doc_a, doc_b,
              |       round(i::DOUBLE / (la + lb - i), 6) AS jaccard
@@ -204,7 +222,11 @@ object Extensions {
           pairs.select(col("doc_a"), col("doc_b")))
         cl.join(families.select(col("doc_id"), col("family_rep")), Seq("doc_id"), "left")
           .select(col("doc_id"),
-            when(col("family_rep").isNotNull && col("doc_id") === col("family_rep"),
+            // named drift signal (ADVICE r7): a natural doc in the capped
+            // report = fixture grew an over-cap family — self-describing
+            when(col("family_rep").isNotNull && col("doc_id") >= 0,
+              "UNEXPECTED_natural_bucket_over_cap")
+            .when(col("family_rep").isNotNull && col("doc_id") === col("family_rep"),
               "family_keeper")
             .when(col("family_rep").isNotNull, "family_dup")
             .when(col("cluster_size") > 1 && col("is_keeper"), "cluster_keeper")
@@ -219,12 +241,21 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM sub)
              |  WHERE len(w) >= 3
-             |), rawpairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |), edges AS MATERIALIZED (
              |  SELECT doc_a AS s, doc_b AS d FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs
@@ -269,6 +300,68 @@ object Extensions {
              |FROM documents c
              |JOIN documents b ON b.doc_id % 13 = 0 AND c.text = b.text""".stripMargin)),
 
+    // Capped decontamination under a planted CROSS-SIDE viral family —
+    // the 100 TB failure mode the ext16 cap guards against, exercised
+    // end-to-end: 30 train + 3 bench copies of one boilerplate text
+    // form a 33-member family (> cap 16) sharing every band bucket, so
+    // ZERO family pairs are emitted (the |family|² blowup never runs)
+    // and every planted train doc is instead FLAGGED via the capped
+    // report with bench_hit_id = the smallest bench family member
+    // (-1003). Natural cross-side pairs are untouched (capped ==
+    // uncapped below the cap — ext16's output); a NATURAL doc in the
+    // report would surface with the self-describing UNEXPECTED kind.
+    // Oracle: the inverted-index cross-side truth UNION the closed-form
+    // planted verdicts.
+    "ext93_capped_contamination" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "click here to accept cookies and continue to the " +
+          "article text provided by the syndication network partner"
+        val all = docs(s, d)
+        val train = all.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName((1 to 30).map(i => (-i.toLong, boiler)).toDF("doc_id", "text"))
+        val bench = all.filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text"))
+          .unionByName((1001 to 1003).map(i => (-i.toLong, boiler)).toDF("doc_id", "text"))
+        val (pairs, report) = Dedup.contaminatedNearCapped(
+          train, bench, "doc_id", "text", n = 3, k = 128, bands = 32,
+          threshold = 0.8, maxBucket = 16)
+        pairs.select(lit("pair").as("kind"), col("doc_id"),
+            col("matched_bench_id"), col("jaccard"))
+          .unionByName(report
+            .filter(col("side") === "t" && col("bench_hit_id").isNotNull)
+            .select(
+              when(col("doc_id") < 0, "flagged")
+                .otherwise("UNEXPECTED_natural_bucket_over_cap").as("kind"),
+              col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
+              lit(null).cast("double").as("jaccard")))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |)
+             |SELECT 'pair' AS kind, ix.doc_id, ix.matched_bench_id,
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
+             |      FROM inv t JOIN inv b
+             |        ON t.g = b.g AND t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      GROUP BY 1, 2) ix
+             |JOIN sz st ON st.doc_id = ix.doc_id
+             |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
+             |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8
+             |UNION ALL
+             |SELECT 'flagged', -CAST(i AS BIGINT), CAST(-1003 AS BIGINT),
+             |       CAST(NULL AS DOUBLE)
+             |FROM range(1, 31) r(i)""".stripMargin)),
+
     "ext01_exact_dedup" -> Q(
       (s, d) => Dedup.exact(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(text) AS content_hash,
@@ -293,39 +386,77 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle, so the shingle-keyed equi-join enumerates
+             |  -- every such pair with its exact intersection count; rows with
+             |  -- i = 0 are absent but can never pass a positive threshold.
+             |  -- Same rows as the all-pairs join at index cost, not n².
+             |  SELECT ix.doc_a, ix.doc_b, ix.i, sa.n AS la, sb.n AS lb
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
              |)
              |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
              |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
 
     // near-dup pairs verified by edit distance on a 512-char prefix:
-    // banded MinHash candidates (ext03's machinery) each pay one banded
+    // CAPPED banded MinHash candidates (ext03's machinery + the ext89
+    // bucket guard — per-pair Levenshtein inside a viral family is
+    // exactly the |family|² work the cap skips) each pay one banded
     // Levenshtein ≤ 6 — the character-level verify Jaccard can't
     // express (reordered text keeps Jaccard high but edit distance
     // large; the fixture's ed=8 pair proves the filter discriminates).
+    // Capped-family members would surface as NULL-marked (rep, member)
+    // rows; none exist on this fixture (cap 64 > any natural bucket),
+    // so such a row is the loud fixture-drift signal.
     "ext68_edit_dedup" -> Q(
-      (s, d) => Dedup.editDistancePairs(docs(s, d), "doc_id", "text",
-        n = 3, k = 128, bands = 32, threshold = 0.8,
-        maxDist = 6, prefixChars = 512),
+      (s, d) => {
+        val (pairs, families) = Dedup.editDistancePairsCapped(
+          docs(s, d), "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8,
+          maxDist = 6, prefixChars = 512, maxBucket = 64)
+        pairs.unionByName(families
+          .filter(col("doc_id") =!= col("family_rep"))
+          .select(col("family_rep").as("doc_a"), col("doc_id").as("doc_b"),
+            lit(null).cast("double").as("jaccard"),
+            lit(null).cast("int").as("edit_dist")))
+      },
       Some("""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
              |         substr(text, 1, 512) AS t
              |  FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb,
-             |         levenshtein(a.t, b.t) AS ed
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |), jp AS (
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b,
+             |         round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |)
-             |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard,
-             |       ed AS edit_dist
-             |FROM pairs
-             |WHERE i::DOUBLE / (la + lb - i) >= 0.8 AND ed <= 6""".stripMargin)),
+             |-- levenshtein only on the (tiny) jaccard-qualifying pair set
+             |SELECT jp.doc_a, jp.doc_b, jp.jaccard,
+             |       levenshtein(ta.t, tb.t) AS edit_dist
+             |FROM jp JOIN sh ta ON ta.doc_id = jp.doc_a
+             |        JOIN sh tb ON tb.doc_id = jp.doc_b
+             |WHERE levenshtein(ta.t, tb.t) <= 6""".stripMargin)),
 
     // SEMANTIC contamination: train×bench cosine ≥ 0.45 — the
     // embedding-space complement of ext16's n-gram decontamination
@@ -348,19 +479,38 @@ object Extensions {
     // pairwise dedup keeps one copy per pair, but a template near-dups
     // against MANY documents; its degree is the drop-the-family signal.
     // Oracle: degree count over the all-pairs Jaccard truth.
+    // The capped form: a capped-family member IS a hub by construction
+    // (≥ maxBucket band-mates) and surfaces as a NULL-degree row from
+    // the family report instead of via |family|² pair degrees; none
+    // exist on this fixture (cap 64), so the loud-drift rule applies.
     "ext69_dup_hubs" -> Q(
-      (s, d) => Dedup.dupHubs(docs(s, d), "doc_id", "text",
-        n = 3, k = 128, bands = 32, threshold = 0.8, minDegree = 2),
+      (s, d) => {
+        val (hubs, families) = Dedup.dupHubsCapped(docs(s, d), "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8, minDegree = 2,
+          maxBucket = 64)
+        hubs.unionByName(families.select(col("doc_id"),
+          lit(null).cast("long").as("degree")))
+      },
       Some("""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |   AND len(list_intersect(a.s, b.s))::DOUBLE
-             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |)
              |SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
              |FROM (SELECT doc_a AS doc_id FROM pairs
@@ -385,11 +535,20 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-             |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |WHERE len(list_intersect(a.s, b.s))::DOUBLE
-             |      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8""".stripMargin)),
+             |-- inverted-index exact form (r8): same rows as the all-pairs
+             |-- join at index cost, not n² (see ext03's oracle note)
+             |SELECT ix.doc_a, ix.doc_b
+             |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2) ix
+             |JOIN sz sa ON sa.doc_id = ix.doc_a
+             |JOIN sz sb ON sb.doc_id = ix.doc_b
+             |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin)),
 
     "ext05_cosine_topk" -> Q(
       (s, d) => {
@@ -561,10 +720,22 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle, so the shingle-keyed equi-join enumerates
+             |  -- every such pair with its exact intersection count; rows with
+             |  -- i = 0 are absent but can never pass a positive threshold.
+             |  -- Same rows as the all-pairs join at index cost, not n².
+             |  SELECT ix.doc_a, ix.doc_b, ix.i, sa.n AS la, sb.n AS lb
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
              |)
              |SELECT doc_a, doc_b, round(i::DOUBLE / (la + lb - i), 6) AS jaccard
              |FROM pairs WHERE i::DOUBLE / (la + lb - i) >= 0.8""".stripMargin)),
@@ -734,21 +905,38 @@ object Extensions {
     // this fixture, see ext03) → connected components → one cluster id +
     // keeper verdict per document. The oracle recomputes components via
     // a recursive reachability CTE over the same exact pair graph.
+    // Edges come from the CAPPED machinery: sub-cap verified pairs plus
+    // one (rep, member) star edge per capped-family member, so a viral
+    // family enters the component graph linearly — for identical-content
+    // families (which share every band) the components, and therefore
+    // every output column, equal the uncapped truth exactly (DedupSpec
+    // pins it); no natural bucket here exceeds the cap.
     "ext27_dedup_clusters" -> Q(
-      (s, d) => Dedup.clusters(docs(s, d), "doc_id",
-        Dedup.minhashLsh(docs(s, d), "doc_id", "text",
-          n = 3, k = 128, bands = 32, threshold = 0.8)),
+      (s, d) => {
+        val (pairs, families) = Dedup.minhashLshCapped(docs(s, d), "doc_id",
+          "text", n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
+        Dedup.clusters(docs(s, d), "doc_id", Dedup.cappedEdges(pairs, families))
+      },
       Some("""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), rawpairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |), edges AS MATERIALIZED (
              |  SELECT doc_a AS s, doc_b AS d FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs
@@ -869,29 +1057,47 @@ object Extensions {
     // near-dup benchmark decontamination: train = doc_id % 10 <> 0,
     // benchmark = doc_id % 10 = 0; flag train docs with >= 0.8 3-gram
     // Jaccard against any benchmark doc. Candidates come banded from the
-    // minhash machinery (never all-pairs); the oracle is the cross-side
-    // all-pairs truth.
+    // CAPPED minhash machinery (never all-pairs, and a viral boilerplate
+    // family spanning both sides can never emit |family|² pairs): train
+    // docs sharing an over-cap bucket with benchmark text surface as
+    // escalation rows with NULL jaccard (family-flagged, per-pair verify
+    // deliberately skipped). No natural bucket on this fixture exceeds
+    // the cap, so any such row IS the loud fixture-drift signal and the
+    // oracle is the plain cross-side all-pairs truth.
     "ext16_contamination" -> Q(
       (s, d) => {
         val all = docs(s, d)
-        Dedup.contaminatedNear(
+        val (pairs, report) = Dedup.contaminatedNearCapped(
           all.filter(col("doc_id") % 10 =!= 0),
           all.filter(col("doc_id") % 10 === 0),
-          "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.8)
+          "doc_id", "text", n = 3, k = 128, bands = 32, threshold = 0.8,
+          maxBucket = 64)
+        pairs.unionByName(report
+          .filter(col("side") === "t" && col("bench_hit_id").isNotNull)
+          .select(col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
+            lit(null).cast("double").as("jaccard")))
       },
       Some("""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |)
-             |SELECT t.doc_id, b.doc_id AS matched_bench_id,
-             |       round(len(list_intersect(t.s, b.s))::DOUBLE
-             |             / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))), 6) AS jaccard
-             |FROM sh t JOIN sh b
-             |  ON t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-             | AND len(list_intersect(t.s, b.s))::DOUBLE
-             |     / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))) >= 0.8""".stripMargin)),
+             |-- inverted-index exact form (r8): cross-side jaccard > 0 needs a
+             |-- shared shingle; same rows as all-pairs at index cost, not n²
+             |SELECT ix.doc_id, ix.matched_bench_id,
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
+             |      FROM inv t JOIN inv b
+             |        ON t.g = b.g AND t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      GROUP BY 1, 2) ix
+             |JOIN sz st ON st.doc_id = ix.doc_id
+             |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
+             |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8""".stripMargin)),
 
     // symmetric per-vector int8 quantization (float32 -> int8 = 4x
     // storage cut): scale = max|x|, q_i = floor(x_i/scale*127 + 0.5) —
@@ -1582,9 +1788,12 @@ object Extensions {
     "ext31_best_keeper" -> Q(
       (s, d) => {
         val dd = docs(s, d)
-        val cl = Dedup.clusters(dd, "doc_id",
-          Dedup.minhashLsh(dd, "doc_id", "text",
-            n = 3, k = 128, bands = 32, threshold = 0.8))
+        // capped machinery + star edges: ext27's discipline — identical
+        // components (and keeper election) to uncapped truth for
+        // identical-content families, linear in family size
+        val (pairs, families) = Dedup.minhashLshCapped(dd, "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
+        val cl = Dedup.clusters(dd, "doc_id", Dedup.cappedEdges(pairs, families))
         val scores = dd.select(col("doc_id"),
           size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))
             .cast("long").as("n_words"))
@@ -1595,12 +1804,21 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), rawpairs AS (
-             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |         len(list_intersect(a.s, b.s)) AS i, len(a.s) AS la, len(b.s) AS lb
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), pairs AS (
-             |  SELECT doc_a, doc_b FROM rawpairs WHERE i::DOUBLE / (la + lb - i) >= 0.8
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |), edges AS MATERIALIZED (
              |  SELECT doc_a AS s, doc_b AS d FROM pairs
              |  UNION SELECT doc_b, doc_a FROM pairs
@@ -1657,9 +1875,16 @@ object Extensions {
     "ext37_hybrid_dedup" -> Q(
       (s, d) => {
         val dd = docs(s, d)
-        val lex = Dedup.minhashLsh(dd, "doc_id", "text",
-            n = 3, k = 128, bands = 32, threshold = 0.8)
-          .select(col("doc_b").as("doc_id")).distinct()
+        // "has an EARLIER lexical near-dup" from the capped machinery:
+        // doc_b of sub-cap pairs ∪ capped-family members above their rep
+        // (rep = family min for identical-content families, so the
+        // verdict equals the uncapped truth — ext27's discipline)
+        val (lexPairs, lexFams) = Dedup.minhashLshCapped(dd, "doc_id", "text",
+          n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
+        val lex = lexPairs.select(col("doc_b").as("doc_id"))
+          .unionByName(lexFams.filter(col("doc_id") > col("family_rep"))
+            .select(col("doc_id")))
+          .distinct()
           .withColumn("__lex", lit(true))
         val sem = Similarity.semanticDedup(emb(s, d), "vec_id", "embedding",
             "label", threshold = 0.45)
@@ -1679,11 +1904,21 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |), lex AS (
-             |  SELECT DISTINCT b.doc_id
-             |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-             |   AND len(list_intersect(a.s, b.s))::DOUBLE
-             |       / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT DISTINCT ix.doc_b AS doc_id
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
              |), sem AS (
              |  SELECT e.vec_id AS doc_id,
              |         EXISTS (SELECT 1 FROM embeddings p
@@ -1905,11 +2140,20 @@ object Extensions {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |)
-             |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             |       round(len(list_intersect(a.s, b.s))::DOUBLE / len(a.s), 6) AS containment
-             |FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
-             | AND len(list_intersect(a.s, b.s))::DOUBLE / len(a.s) >= 0.9""".stripMargin)),
+             |-- inverted-index exact form (r8): containment > 0 requires a
+             |-- shared shingle; ordered pairs via a.doc_id <> b.doc_id.
+             |-- Same rows as the all-pairs join at index cost, not n².
+             |SELECT ix.doc_a, ix.doc_b, round(i::DOUBLE / sa.n, 6) AS containment
+             |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+             |      GROUP BY 1, 2) ix
+             |JOIN sz sa ON sa.doc_id = ix.doc_a
+             |WHERE i::DOUBLE / sa.n >= 0.9""".stripMargin)),
 
     // resize (keep every 3rd byte) then frame-sample (4-byte frames,
     // every 2nd) through the typed multimodal pipeline; the oracle

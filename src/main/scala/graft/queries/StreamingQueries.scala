@@ -137,16 +137,20 @@ object StreamingQueries {
     // the batch corpus⋈benchmark join, which is the oracle.
     "st33_stream_bloom_decontam" -> Q(
       (s, d) => {
-        import s.implicits._
+        graft.sql.GraftExtensions.ensureRegistered(s)
         val bench = s.read.parquet(s"$d/documents.parquet")
           .filter(col("doc_id") % 13 === 0)
           .select(col("doc_id").as("bench_id"), col("text").as("__btext"))
+          .filter(col("__btext").isNotNull)
         val bf = bench.stat.bloomFilter("__btext", math.max(1L, bench.count()), 0.01)
-        val bcast = s.sparkContext.broadcast(bf)
+        // native codegen'd membership probe (ext92's scan discipline):
+        // the per-batch scan stays whole-stage codegen, no typed lambda
+        val sketch = { val bos = new java.io.ByteArrayOutputStream()
+                       bf.writeTo(bos); bos.toByteArray }
         val cand = Streams.readDocumentsStream(s, d)
-          .select(col("doc_id"), col("text")).as[(Long, String)]
-          .filter(t => t._2 != null && bcast.value.mightContainString(t._2))
-          .toDF("doc_id", "__text")
+          .select(col("doc_id"), col("text").as("__text"))
+          .filter(col("__text").isNotNull &&
+            call_function("bloom_might_contain", lit(sketch), col("__text")))
         val verified = cand.join(bench, cand("__text") === bench("__btext"))
           .select(col("doc_id"), col("bench_id"))
         Streams.runToMemory(s, verified, "st33_bloom", OutputMode.Append())
@@ -420,14 +424,22 @@ object StreamingQueries {
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
              |)
-             |SELECT t.doc_id, b.doc_id AS matched_bench_id,
-             |       round(len(list_intersect(t.s, b.s))::DOUBLE
-             |             / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))), 6) AS jaccard
-             |FROM sh t JOIN sh b
-             |  ON t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
-             | AND len(list_intersect(t.s, b.s))::DOUBLE
-             |     / (len(t.s) + len(b.s) - len(list_intersect(t.s, b.s))) >= 0.8""".stripMargin)),
+             |-- inverted-index exact form (r8): cross-side jaccard > 0 needs a
+             |-- shared shingle; same rows as all-pairs at index cost, not n²
+             |SELECT ix.doc_id, ix.matched_bench_id,
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
+             |      FROM inv t JOIN inv b
+             |        ON t.g = b.g AND t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      GROUP BY 1, 2) ix
+             |JOIN sz st ON st.doc_id = ix.doc_id
+             |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
+             |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8""".stripMargin)),
 
     // curation-on-a-stream: the quality-rules operator is a pure narrow
     // projection, so the SAME function runs unchanged on a streaming

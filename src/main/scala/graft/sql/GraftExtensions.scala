@@ -99,6 +99,13 @@ object GraftExtensions {
         graft.functions.TopKBy(children.head, children(1),
           litInt(children(2), "top_k_by k"), largest = dir == "desc")
       }),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[graft.functions.BloomMightContain].getName, "bloom_might_contain"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"bloom_might_contain expects (sketch_bytes, text), got ${children.size} args")
+        graft.functions.BloomMightContain(children.head, children(1))
+      }),
     (new FunctionIdentifier("winnow_fps"),
       new ExpressionInfo(classOf[graft.functions.WinnowingFingerprints].getName, "winnow_fps"),
       (children: Seq[Expression]) => {

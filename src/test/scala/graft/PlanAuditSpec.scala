@@ -175,6 +175,26 @@ class PlanAuditSpec extends SparkSpec {
       s"avro scan reads more than the projection needs: $readSchema")
   }
 
+  // The Bloom decontamination corpus scan must stay ONE vectorized
+  // whole-stage-codegen pipeline: the old typed-lambda membership test
+  // forced a DeserializeToObject/SerializeFromObject pair around the one
+  // scan that reads the full 100 TB corpus. The native
+  // bloom_might_contain expression keeps scan → project → filter fused
+  // (r7 verdict task: pin the absence of the object boundary).
+  test("bloom decontamination plans with no object-serialization boundary") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = graft.operators.Dedup.contaminatedBloom(
+        docs, docs.filter(col("doc_id") % 13 === 0), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    Seq("DeserializeToObject", "SerializeFromObject", "MapElements").foreach { bad =>
+      assert(!plan.contains(bad), s"$bad in the bloom scan plan:\n$plan")
+    }
+    assert(plan.contains("bloom_might_contain"),
+      s"native membership expression missing from the plan:\n$plan")
+  }
+
   // CLUSTER BY must plan as hash-exchange + partition-LOCAL sort (the
   // pre-partitioned-write layout), never a global (range) sort.
   test("CLUSTER BY plans a hash exchange and a local sort, not a global sort") {

@@ -417,6 +417,78 @@ class DedupSpec extends SparkSpec {
       id < 0 && nb == 32L && sz == 20L && rep == -20L })
   }
 
+  test("capped composed pipelines: identical to uncapped below the cap") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val train = dd.filter($"doc_id" % 10 =!= 0)
+    val bench = dd.filter($"doc_id" % 10 === 0)
+    // contamination: pair output identical, report empty
+    val uncN = Dedup.contaminatedNear(train, bench, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (capN, repN) = Dedup.contaminatedNearCapped(train, bench, "doc_id", "text")
+    assert(capN.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == uncN)
+    assert(repN.isEmpty)
+    // edit-distance: identical
+    val uncE = Dedup.editDistancePairs(dd, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val (capE, famE) = Dedup.editDistancePairsCapped(dd, "doc_id", "text")
+    assert(capE.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet == uncE)
+    assert(famE.isEmpty)
+    // hubs: identical
+    val uncH = Dedup.dupHubs(dd, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (capH, famH) = Dedup.dupHubsCapped(dd, "doc_id", "text")
+    assert(capH.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == uncH)
+    assert(famH.isEmpty)
+  }
+
+  test("capped cross-side family: zero family pairs, train members flagged") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val boiler = "accept all cookies to continue reading this syndicated article"
+    val train = dd.filter($"doc_id" % 10 =!= 0)
+      .unionByName((1 to 12).map(i => (-i.toLong, boiler)).toDF("doc_id", "text"))
+    val bench = dd.filter($"doc_id" % 10 === 0)
+      .unionByName(Seq((-501L, boiler), (-502L, boiler)).toDF("doc_id", "text"))
+    val (pairs, report) = Dedup.contaminatedNearCapped(
+      train, bench, "doc_id", "text", maxBucket = 8)
+    // the 14-member family exceeds the cap in every band: no pair row
+    // may touch a planted doc, and every planted TRAIN doc is flagged
+    // against the smallest bench family member
+    assert(pairs.filter($"doc_id" < 0 || $"matched_bench_id" < 0).isEmpty)
+    val flagged = report.filter($"side" === "t").collect()
+      .map(r => (r.getLong(0), r.getLong(5))).toSet
+    assert(flagged == (1 to 12).map(i => (-i.toLong, -502L)).toSet)
+    // bench-side members are reported too, with the family rep
+    val benchRows = report.filter($"side" === "b").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(benchRows == Set((-501L, -502L), (-502L, -502L)))
+  }
+
+  test("cappedEdges clusters an identical-content family exactly like uncapped") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val boiler = "subscribe now for unlimited access to premium local news today"
+    val corpus = dd.unionByName(
+      (1 to 20).map(i => (-i.toLong, boiler)).toDF("doc_id", "text"))
+    val truth = Dedup.clusters(corpus, "doc_id",
+        Dedup.minhashLsh(corpus, "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val (pairs, families) = Dedup.minhashLshCapped(corpus, "doc_id", "text",
+      maxBucket = 8)
+    val viaStars = Dedup.clusters(corpus, "doc_id",
+        Dedup.cappedEdges(pairs, families))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    // identical-content families share every band, so family_rep is the
+    // family minimum and the star edges rebuild the exact components —
+    // cluster_id, cluster_size, AND keeper election all match
+    assert(viaStars == truth)
+    assert(families.count() == 20)
+  }
+
   test("stripBoilerplate: every input doc reports, including blank-only ones") {
     import spark.implicits._
     // doc 1+2+3 share a boilerplate line (3/4 docs > 500 permille),
