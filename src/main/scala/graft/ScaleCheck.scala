@@ -41,7 +41,18 @@ object ScaleCheck {
     // watermark-bounded" claims get the same empirical treatment the
     // batch tier got (st01 covers the stateless window baseline).
     "st01_stream_window", "st08_stream_exact_dedup",
-    "st22_stream_sessionize_tws", "st28_stream_topk")
+    "st22_stream_sessionize_tws", "st28_stream_topk",
+    // round-8: the COMPOSED capped pipeline (cluster verdicts over
+    // capped pairs + family star edges) on the same duplicated-content
+    // generator ext03/ext89 measure against,
+    "ext27_dedup_clusters",
+    // and the decontamination + VARIANT tiers (r7 verdict task 5):
+    // bloom corpus AND benchmark both grow ~10× (bench = doc_id % 13,
+    // preserved under the key shift) — sketch build, candidate
+    // fraction, and verify join must all stay ~linear; VARIANT parse
+    // cost is the per-row dominant term — confirm linear.
+    "ext92_bloom_decontamination", "st33_stream_bloom_decontam",
+    "q76_variant", "ext88_variant_ingest")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

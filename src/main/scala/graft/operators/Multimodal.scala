@@ -388,25 +388,42 @@ object Multimodal {
 
   /** Average-hash (aHash, 8×8) and difference-hash (dHash, 9×8) over
     * DECODED pixels — the perceptual signatures that collapse
-    * re-encodings and global brightness shifts where a byte hash cannot:
-    *   - grid sampling is nearest-neighbor (`src[i*w/8, j*h/8]`) on the
-    *     red channel, deterministic for any w×h;
+    * re-encodings and global brightness shifts where a byte hash cannot.
+    * Since r8, grid values are AREA-AVERAGED INTEGER LUMA, not
+    * nearest-neighbor red samples (the r7 verdict task: real
+    * re-encodings — JPEG recompression, chroma subsampling — perturb
+    * single samples and flip bits; a cell average integrates the
+    * perturbation away, and luma is exactly the Y channel JPEG
+    * preserves at full resolution):
+    *   - each grid cell covers pixel range [i·w/gw, max(i·w/gw + 1,
+    *     (i+1)·w/gw)) × the analogous rows (the max keeps every cell
+    *     non-empty on images narrower than the grid), and its value is
+    *     the FLOOR MEAN of per-pixel "milliluma" 299·R + 587·G + 114·B
+    *     — all-integer, so the value is exact and replayable in any
+    *     engine (the st32 oracle recomputes it in SQL). Milliluma is
+    *     deliberately NOT divided by 1000: the flat-tone key below
+    *     would lose the one-level brightness resolution it exists for;
     *   - the aHash bit is the integer-exact `v*64 > sum` (v > mean
-    *     without a rational divide), so adding a constant to every pixel
-    *     shifts `sum` by exactly 64 and flips NO bit;
-    *   - the dHash bit `g[x] > g[x+1]` compares neighbors — also shift-
-    *     invariant.
+    *     without a rational divide). A +1-brightness shift adds exactly
+    *     299 (red-only) / 1000 (gray) per pixel, hence exactly that per
+    *     cell floor-mean ((S + cN)/N = S/N + c for integer division),
+    *     so sum shifts by 64× that and NO bit flips;
+    *   - the dHash bit `g[x] > g[x+1]` compares neighbor cells on a 9×8
+    *     grid — shift-invariant the same way.
     * Emits the md5 byte signature alongside, so one frame holds both
     * worlds (ext87 pins n_phash=1 vs n_bytesig=3 per planted group),
-    * plus a FLAT flag (all 64 grid samples equal) with the exact grid
-    * sum: a uniform-color image has ahash = dhash = 0 REGARDLESS of its
-    * color (no pixel exceeds the mean, no gradient fires), so the hash
-    * bits carry zero evidence for it — [[dedupPerceptual]] uses
-    * (flat, grid_sum) to keep texture-free images apart by exact tone.
+    * plus a FLAT flag (all 64 cells equal) with the exact grid sum: a
+    * uniform-color image has ahash = dhash = 0 REGARDLESS of its color,
+    * so the hash bits carry zero evidence for it — [[dedupPerceptual]]
+    * uses (flat, grid_sum) to keep texture-free images apart by exact
+    * tone. JPEG-robustness is pinned end-to-end by ext94/st34 over
+    * [[encodeJpegVariants]] (this hash collapses a real JPEG re-encode
+    * that the retained [[nearestSampleHashes]] provably does not).
     *
     * Scale shape: identical to [[decodeImages]] — partition-streaming
-    * decode, O(image) memory; only (id, hashes, 32-char sig) cross the
-    * shuffle that follows. */
+    * decode, O(image) memory; the cell pass is one sweep over the
+    * decoded raster; only (id, hashes, 32-char sig) cross the shuffle
+    * that follows. */
   def perceptualHashes(media: Dataset[MediaVariant]): Dataset[ImageHashes] =
     media.mapPartitions { docs =>
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -415,16 +432,30 @@ object Multimodal {
           new java.io.ByteArrayInputStream(m.payload))
         require(img != null, s"doc ${m.doc_id}/${m.variant}: not a decodable image")
         val w = img.getWidth; val h = img.getHeight
-        // nearest-neighbor sample of the red channel on a gw x 8 grid
-        def red(x: Int, y: Int, gw: Int): Int =
-          (img.getRGB(x * w / gw, y * h / 8) >> 16) & 0xff
-        // aHash: 8x8 nearest-sample grid, bit = v*64 > sum
-        val grid = Array.tabulate(64)(i => red(i % 8, i / 8, 8))
+        def milli(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x, y)
+          299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        }
+        // floor-mean milliluma over the (i, j) cell of a gw x 8 grid
+        def cell(i: Int, j: Int, gw: Int): Long = {
+          val x0 = i * w / gw; val x1 = math.max(x0 + 1, (i + 1) * w / gw)
+          val y0 = j * h / 8;  val y1 = math.max(y0 + 1, (j + 1) * h / 8)
+          var s = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += milli(x, y); n += 1; x += 1 }
+            y += 1
+          }
+          s / n
+        }
+        // aHash: 8x8 area-mean grid, bit = v*64 > sum
+        val grid = Array.tabulate(64)(i => cell(i % 8, i / 8, 8))
         val sum = grid.sum
         var ah = 0L
         var i = 0
         while (i < 64) {
-          if (grid(i).toLong * 64 > sum) ah |= (1L << i)
+          if (grid(i) * 64 > sum) ah |= (1L << i)
           i += 1
         }
         // dHash: 9x8 grid, bit = g[x] > g[x+1] per row
@@ -433,9 +464,7 @@ object Multimodal {
         while (y < 8) {
           var x = 0
           while (x < 8) {
-            val l = red(x, y, 9)
-            val r = red(x + 1, y, 9)
-            if (l > r) dh |= (1L << (y * 8 + x))
+            if (cell(x, y, 9) > cell(x + 1, y, 9)) dh |= (1L << (y * 8 + x))
             x += 1
           }
           y += 1
@@ -443,9 +472,119 @@ object Multimodal {
         md.reset()
         val sig = md.digest(m.payload).map("%02x".format(_)).mkString
         val flat = grid.forall(_ == grid(0))
-        ImageHashes(m.doc_id, m.variant, ah, dh, flat, sum, sig)
+        ImageHashes(m.doc_id, m.variant, ah, dh, flat, sum.toInt, sig)
       }
     }(Encoders.product[ImageHashes])
+
+  /** The PRE-r8 grid sampling — nearest-neighbor RED at `(i·w/8, j·h/8)`
+    * — retained as the measured CONTRAST for the area-average upgrade,
+    * not as a production path: ext94/st34 pin that a real JPEG
+    * re-encode splits under this sampling (single perturbed samples
+    * flip bits) while [[perceptualHashes]] collapses it. Same bit rules
+    * (`v*64 > sum`, neighbor gradient), same output schema. */
+  def nearestSampleHashes(media: Dataset[MediaVariant]): Dataset[ImageHashes] =
+    media.mapPartitions { docs =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      docs.map { m =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"doc ${m.doc_id}/${m.variant}: not a decodable image")
+        val w = img.getWidth; val h = img.getHeight
+        def red(x: Int, y: Int, gw: Int): Int =
+          (img.getRGB(x * w / gw, y * h / 8) >> 16) & 0xff
+        val grid = Array.tabulate(64)(i => red(i % 8, i / 8, 8))
+        val sum = grid.sum
+        var ah = 0L
+        var i = 0
+        while (i < 64) {
+          if (grid(i).toLong * 64 > sum) ah |= (1L << i)
+          i += 1
+        }
+        var dh = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (red(x, y, 9) > red(x + 1, y, 9)) dh |= (1L << (y * 8 + x))
+            x += 1
+          }
+          y += 1
+        }
+        md.reset()
+        val sig = md.digest(m.payload).map("%02x".format(_)).mkString
+        ImageHashes(m.doc_id, m.variant, ah, dh, grid.forall(_ == grid(0)), sum, sig)
+      }
+    }(Encoders.product[ImageHashes])
+
+  /** Plant, per input row, FOUR encodings probing JPEG re-encode
+    * robustness (ext94/st34): a 64×64 GRAY dithered two-tone whose
+    * construction makes the area-average hash provably stable and the
+    * nearest-sample hash provably fragile under JPEG:
+    *   - tones a = 104 + id%16 (left half) and b = a + 32 (right), GRAY
+    *     pixels (R = G = B), so milliluma = 1000·v exactly and JPEG's
+    *     chroma subsampling has nothing to distort;
+    *   - a ±24 checkerboard dither with parity (x + y + x/8 + y/8):
+    *     every 8×8 grid cell holds a 32/32 phase split (the +x/8 + y/8
+    *     term re-phases per cell), so cell floor-means are EXACTLY a or
+    *     b — dither-free — while the 8-strided sample points (8i, 8j)
+    *     the nearest hash reads alternate phase cell-to-cell and sit
+    *     a±24 / b±24, i.e. on BOTH sides of the global mean a+16;
+    *   - variants: 0 base PNG, 1 same-pixels BMP, 2 all-channels +1
+    *     PNG, 3 the base re-encoded as JPEG q0.75. The JPEG block grid
+    *     aligns with the 8×8 cells: each block is a flat tone plus the
+    *     highest-frequency dither the quantizer decimates, so decoded
+    *     cell means stay within a few milliluma-thousandths of a / b
+    *     (bits 16-separated → stable), while decoded SAMPLES lose the
+    *     ±24 dither and cross the mean — the nearest hash flips.
+    * Validated exhaustively over the fixture id range (501/501 docs:
+    * area hash collapses all four, nearest hash splits the JPEG).
+    * Executor-side encode, O(image) memory per row. */
+  def encodeJpegVariants(docs: DataFrame, idCol: String): Dataset[MediaVariant] =
+    docs.select(col(idCol).cast("long").as("doc_id"))
+      .as(Encoders.product[Tuple1[Long]])
+      .mapPartitions { rows =>
+        rows.map(t => t._1).flatMap { id =>
+          def dithered(shift: Int): java.awt.image.BufferedImage = {
+            val a = 104 + java.lang.Math.floorMod(id, 16L).toInt
+            val b = a + 32
+            val img = new java.awt.image.BufferedImage(
+              64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < 64) {
+              var x = 0
+              while (x < 64) {
+                val d = if ((x + y + x / 8 + y / 8) % 2 == 0) 24 else -24
+                val v = (if (x < 32) a else b) + d + shift
+                img.setRGB(x, y, (v << 16) | (v << 8) | v)
+                x += 1
+              }
+              y += 1
+            }
+            img
+          }
+          val base = dithered(0)
+          Seq(
+            MediaVariant(id, 0, encodeImage(base, "png"), "image/png"),
+            MediaVariant(id, 1, encodeImage(base, "bmp"), "image/bmp"),
+            MediaVariant(id, 2, encodeImage(dithered(1), "png"), "image/png"),
+            MediaVariant(id, 3, encodeJpeg(base, 0.75f), "image/jpeg"))
+        }
+      }(Encoders.product[MediaVariant])
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage,
+                         quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    ios.close()
+    writer.dispose()
+    out.toByteArray
+  }
 
   /** Perceptual dedup over decoded pixels — [[dedupBySignature]]'s
     * group-keep shape keyed on the perceptual signature instead of the

@@ -67,6 +67,39 @@ object Extensions {
              |       CAST(3 AS BIGINT) AS n_bytesig
              |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
 
+    // JPEG re-encode robustness — the r7 verdict's perceptual upgrade
+    // pinned end-to-end: four planted encodings per doc (base PNG /
+    // same-pixels BMP / +1-brightness PNG / REAL JPEG q0.75 re-encode
+    // of a 64×64 dithered two-tone, Multimodal.encodeJpegVariants).
+    // The area-average luma hash must see ONE image across all four
+    // (JPEG's block-aligned quantization erases the dither but not the
+    // cell means), while the retained nearest-sample hash provably
+    // splits the JPEG (its 8-strided samples sit on the dither, which
+    // decode smooths across the mean) — n_phash_nearest = 2 IS the
+    // measured fragility the upgrade removes, validated exhaustively
+    // over the id range (501/501 docs both ways). Byte sigs see four.
+    "ext94_jpeg_robustness" -> Q(
+      (s, d) => {
+        val media = Multimodal.encodeJpegVariants(
+          docs(s, d).filter(col("doc_id") % 20 === 0), "doc_id")
+        val area = Multimodal.perceptualHashes(media).toDF()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_variants"),
+               countDistinct(col("ahash"), col("dhash")).as("n_phash_area"),
+               countDistinct(col("byte_sig")).as("n_bytesig"))
+        val nearest = Multimodal.nearestSampleHashes(media).toDF()
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("ahash"), col("dhash")).as("n_phash_nearest"))
+        area.join(nearest, "doc_id")
+          .select(col("doc_id"), col("n_variants"), col("n_phash_area"),
+            col("n_phash_nearest"), col("n_bytesig"))
+      },
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_variants,
+             |       CAST(1 AS BIGINT) AS n_phash_area,
+             |       CAST(2 AS BIGINT) AS n_phash_nearest,
+             |       CAST(4 AS BIGINT) AS n_bytesig
+             |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
+
     // Mixed-schema JSON corpus ingested through the YAML A1 path into
     // quality scoring — the VARIANT tier driven end-to-end by the
     // ENGINE, not a hand-held DataFrame: stage documents as drifting

@@ -62,11 +62,13 @@ object StreamingQueries {
     // decoded and hashed INSIDE the stream (typed mapPartitions is
     // stateless — codecs run per micro-batch), then a Complete-mode
     // aggregation groups by the perceptual key. The oracle recomputes
-    // BOTH hashes closed-form from the planting geometry — nearest-
-    // neighbor grid sampling, the integer v*64 > sum aHash bit, the
-    // neighbor-gradient dHash bit, the flat-image tone key — so every
-    // hash VALUE is pinned cross-engine, not just group counts (the
-    // strongest oracle the perceptual tier has).
+    // BOTH hashes closed-form from the planting geometry — r8's
+    // AREA-AVERAGE integer-milliluma cells (floor-mean of 299·R over
+    // each grid range, row-independent because the two-tone varies only
+    // in x), the integer v*64 > sum aHash bit, the neighbor-gradient
+    // dHash bit, the flat-image tone key — so every hash VALUE is
+    // pinned cross-engine, not just group counts (the strongest oracle
+    // the perceptual tier has).
     "st32_stream_media_dedup" -> Q(
       (s, d) => {
         val sample = Streams.readDocumentsStream(s, d)
@@ -84,48 +86,101 @@ object StreamingQueries {
              |  FROM d0, (VALUES (0, 0), (1, 0), (2, 1)) s(variant, shift)
              |), geo AS (
              |  SELECT doc_id, variant, shift,
-             |         1 + doc_id % 16 AS w, 1 + doc_id % 8 AS h,
+             |         1 + doc_id % 16 AS w,
              |         doc_id % 128 AS a, (doc_id * 7 + 3) % 128 AS b
              |  FROM v
-             |), g AS (
-             |  SELECT geo.doc_id, geo.variant, r.i,
-             |         CASE WHEN ((r.i % 8) * geo.w) // 8 < geo.w // 2
-             |              THEN geo.a + geo.shift ELSE geo.b + geo.shift END AS val
-             |  FROM geo, range(64) r(i)
-             |), agg AS (
-             |  SELECT doc_id, variant, CAST(sum(val) AS BIGINT) AS gsum,
-             |         (min(val) = max(val)) AS flat
-             |  FROM g GROUP BY doc_id, variant
+             |), -- area floor-mean milliluma cells (299·red; g = b = 0): the
+             |   -- cell x-range is [i*w//g, max(i*w//g + 1, (i+1)*w//g)); the
+             |   -- two-tone varies only in x, so any y-range shares the value
+             |   -- ((k*ny) // (nx*ny) = k // nx exactly) and one row of cells
+             |   -- describes the whole 8-row grid. nxl = a-tone pixels.
+             |c8 AS (
+             |  SELECT doc_id, variant, i,
+             |         (nxl * 299 * (a + shift) + (nx - nxl) * 299 * (b + shift)) // nx AS val
+             |  FROM (
+             |    SELECT geo.doc_id, geo.variant, geo.a, geo.b, geo.shift, r.i,
+             |           greatest((r.i * geo.w) // 8 + 1, ((r.i + 1) * geo.w) // 8)
+             |             - (r.i * geo.w) // 8 AS nx,
+             |           greatest(0, least(
+             |             greatest((r.i * geo.w) // 8 + 1, ((r.i + 1) * geo.w) // 8),
+             |             geo.w // 2) - (r.i * geo.w) // 8) AS nxl
+             |    FROM geo, range(8) r(i))
+             |), c9 AS (
+             |  SELECT doc_id, variant, i,
+             |         (nxl * 299 * (a + shift) + (nx - nxl) * 299 * (b + shift)) // nx AS val
+             |  FROM (
+             |    SELECT geo.doc_id, geo.variant, geo.a, geo.b, geo.shift, r.i,
+             |           greatest((r.i * geo.w) // 9 + 1, ((r.i + 1) * geo.w) // 9)
+             |             - (r.i * geo.w) // 9 AS nx,
+             |           greatest(0, least(
+             |             greatest((r.i * geo.w) // 9 + 1, ((r.i + 1) * geo.w) // 9),
+             |             geo.w // 2) - (r.i * geo.w) // 9) AS nxl
+             |    FROM geo, range(9) r(i))
+             |), t8 AS (
+             |  SELECT doc_id, variant, 8 * sum(val) AS total,
+             |         (min(val) = max(val)) AS flat,
+             |         CAST(8 * sum(val) AS BIGINT) AS gsum
+             |  FROM c8 GROUP BY doc_id, variant
              |), ah AS (
-    |  -- bit 63 spelled as its two's-complement value: DuckDB refuses
+             |  -- bit 63 spelled as its two's-complement value: DuckDB refuses
              |  -- 1<<63, and disjoint bit contributions sum to the same
              |  -- signed long Spark's `ah |= 1L << 63` produces
-             |  SELECT g.doc_id, g.variant,
-             |         CAST(coalesce(sum(CASE WHEN g.val * 64 > a2.gsum
-             |           THEN (CASE WHEN g.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-             |                      ELSE CAST(1 AS BIGINT) << g.i END) ELSE 0 END), 0) AS BIGINT) AS ahash
-             |  FROM g JOIN agg a2 USING (doc_id, variant)
-             |  GROUP BY g.doc_id, g.variant
+             |  SELECT c.doc_id, c.variant,
+             |         CAST(coalesce(sum(CASE WHEN c.val * 64 > t.total
+             |           THEN (CASE WHEN ry.j * 8 + c.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+             |                      ELSE CAST(1 AS BIGINT) << (ry.j * 8 + c.i) END) ELSE 0 END), 0) AS BIGINT) AS ahash
+             |  FROM c8 c JOIN t8 t USING (doc_id, variant), range(8) ry(j)
+             |  GROUP BY c.doc_id, c.variant
              |), dh AS (
-             |  SELECT geo.doc_id, geo.variant,
-             |         CAST(coalesce(sum(CASE WHEN
-             |             (CASE WHEN (rx.x * geo.w) // 9 < geo.w // 2 THEN geo.a ELSE geo.b END) >
-             |             (CASE WHEN ((rx.x + 1) * geo.w) // 9 < geo.w // 2 THEN geo.a ELSE geo.b END)
-             |           THEN (CASE WHEN ry.y * 8 + rx.x = 63 THEN CAST(-9223372036854775808 AS BIGINT)
-             |                      ELSE CAST(1 AS BIGINT) << (ry.y * 8 + rx.x) END) ELSE 0 END), 0) AS BIGINT) AS dhash
-             |  FROM geo, range(8) ry(y), range(8) rx(x)
-             |  GROUP BY geo.doc_id, geo.variant
+             |  SELECT l.doc_id, l.variant,
+             |         CAST(coalesce(sum(CASE WHEN l.val > r.val
+             |           THEN (CASE WHEN ry.j * 8 + l.i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+             |                      ELSE CAST(1 AS BIGINT) << (ry.j * 8 + l.i) END) ELSE 0 END), 0) AS BIGINT) AS dhash
+             |  FROM c9 l JOIN c9 r
+             |    ON r.doc_id = l.doc_id AND r.variant = l.variant AND r.i = l.i + 1,
+             |       range(8) ry(j)
+             |  WHERE l.i < 8
+             |  GROUP BY l.doc_id, l.variant
              |), keyed AS (
              |  SELECT v.doc_id, ah.ahash, dh.dhash,
-             |         CASE WHEN a2.flat THEN a2.gsum ELSE CAST(-1 AS BIGINT) END AS flat_sum
+             |         CASE WHEN t8.flat THEN t8.gsum ELSE CAST(-1 AS BIGINT) END AS flat_sum
              |  FROM v
              |  JOIN ah ON ah.doc_id = v.doc_id AND ah.variant = v.variant
              |  JOIN dh ON dh.doc_id = v.doc_id AND dh.variant = v.variant
-             |  JOIN agg a2 ON a2.doc_id = v.doc_id AND a2.variant = v.variant
+             |  JOIN t8 ON t8.doc_id = v.doc_id AND t8.variant = v.variant
              |)
              |SELECT ahash, dhash, flat_sum,
              |       min(doc_id) AS keeper_id, count(*) AS n_copies
              |FROM keyed GROUP BY ahash, dhash, flat_sum""".stripMargin)),
+
+    // JPEG re-encode robustness AT INGEST (ext94's streaming twin):
+    // the four-variant planting — base PNG / BMP / +1 PNG / REAL JPEG
+    // q0.75 — is encoded and hashed inside the stream; the area-average
+    // luma hash must collapse all four per doc (JPEG erases the planted
+    // dither but not the cell means) while byte signatures see four.
+    // Streaming joins of two aggregates are not expressible, so the
+    // nearest-sample CONTRAST lives in batch ext94; here the collapse
+    // itself is the pinned claim.
+    "st34_stream_jpeg_robustness" -> Q(
+      (s, d) => {
+        val sample = Streams.readDocumentsStream(s, d)
+          .filter(col("doc_id") % 20 === 0)
+        val media = graft.operators.Multimodal.encodeJpegVariants(sample, "doc_id")
+        // countDistinct is not a supported streaming aggregate —
+        // size(collect_set(...)) computes the same exact distinct count
+        // (bounded here: ≤ 4 elements per group by construction)
+        val grouped = graft.operators.Multimodal.perceptualHashes(media).toDF()
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_variants"),
+               size(collect_set(struct(col("ahash"), col("dhash"))))
+                 .cast("long").as("n_phash_area"),
+               size(collect_set(col("byte_sig"))).cast("long").as("n_bytesig"))
+        Streams.runToMemory(s, grouped, "st34_jpeg", OutputMode.Complete())
+      },
+      Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_variants,
+             |       CAST(1 AS BIGINT) AS n_phash_area,
+             |       CAST(4 AS BIGINT) AS n_bytesig
+             |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
 
     // Bloom decontamination AT INGEST (ext92's streaming twin, and the
     // exact-match complement of st07's LSH near-dup probe): the

@@ -158,6 +158,26 @@ class MultimodalSpec extends SparkSpec {
     assert(groups == Map(5L -> 3L, 77L -> 3L))
   }
 
+  test("area-average hash survives a real JPEG re-encode; nearest sampling does not") {
+    val df = Seq(20L, 140L, 260L).toDF("doc_id")
+    val media = Multimodal.encodeJpegVariants(df, "doc_id")
+    val area = Multimodal.perceptualHashes(media).collect()
+    val near = Multimodal.nearestSampleHashes(media).collect()
+    for (id <- Seq(20L, 140L, 260L)) {
+      val a = area.filter(_.doc_id == id)
+      assert(a.length == 4 && a.map(h => (h.ahash, h.dhash)).distinct.length == 1,
+        s"area hash did not collapse all four variants for $id")
+      assert(a.map(_.byte_sig).distinct.length == 4, s"byte sigs collided for $id")
+      val n = near.filter(_.doc_id == id)
+      val jpeg = n.find(_.variant == 3).get
+      val lossless = n.filter(_.variant != 3)
+      assert(lossless.map(h => (h.ahash, h.dhash)).distinct.length == 1,
+        s"nearest hash split the lossless variants for $id")
+      assert((jpeg.ahash, jpeg.dhash) != (lossless.head.ahash, lossless.head.dhash),
+        s"nearest hash unexpectedly survived the JPEG for $id — the contrast is vacuous")
+    }
+  }
+
   test("flat images dedup by exact tone, not by the degenerate zero hash") {
     // ids 80 and 160: w = 1 (id%16 == 0) makes every pixel the b tone —
     // uniform images whose aHash and dHash are both 0 for ANY color.
