@@ -732,6 +732,53 @@ object Framework {
       .load(s"$base/out")
   }
 
+  /** VARIANT through the SINK path (r7 verdict task 8): ext88 proved
+    * VARIANT absorption at READ; this drives a VARIANT COLUMN through
+    * the engine's parquet sink (Spark 4 parquet carries VariantType as
+    * its variant logical type) and re-extracts typed paths from the
+    * ROUND-TRIPPED column — storage fidelity, not just parse fidelity,
+    * oracle-pinned against the original rows. The staged corpus drifts
+    * across three JSON shapes (nested meta.lang / flat lang / body with
+    * no lang), so the stored variant is genuinely heterogeneous: a
+    * static struct schema could not express the written column. */
+  private def fwVariant(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "variant")
+    rmrf(s, base)
+    s.read.parquet(s"$d/documents.parquet").select(
+        when(col("doc_id") % 3 === 0,
+          to_json(struct(col("doc_id"), col("text"),
+            struct(col("lang")).as("meta"))))
+        .when(col("doc_id") % 3 === 1,
+          to_json(struct(col("doc_id"), col("text"), col("lang"))))
+        .otherwise(to_json(struct(col("doc_id"), col("text").as("body"))))
+        .as("value"))
+      .write.format("text").save(s"$base/corpus_jsonl")
+    run(s,
+      s"""job:
+         |  name: fw-variant
+         |  type: spark-sql
+         |input_tables:
+         |  - name: raw_crawl
+         |    source: s3
+         |    location: $base/corpus_jsonl
+         |    format: text
+         |    schema: "value STRING"
+         |output_table:
+         |  name: variant_out
+         |  target: s3
+         |  location: $base/out
+         |  format: parquet
+         |sql: >
+         |  SELECT parse_json(value) AS payload FROM raw_crawl
+         |""".stripMargin)
+    s.read.parquet(s"$base/out").selectExpr(
+      "variant_get(payload, '$.doc_id', 'bigint') AS doc_id",
+      "coalesce(variant_get(payload, '$.meta.lang', 'string'), " +
+        "variant_get(payload, '$.lang', 'string'), 'und') AS lang",
+      "CAST(length(coalesce(variant_get(payload, '$.text', 'string'), " +
+        "variant_get(payload, '$.body', 'string'))) AS BIGINT) AS n_chars")
+  }
+
   /** A22: bookmark high-watermark store. Stage file 1 → plan/read/commit;
     * stage file 2 (mtime forced past the watermark) → the second plan must
     * include ONLY the new file. Returned frame = read1 ∪ read2; if the
@@ -1356,6 +1403,12 @@ object Framework {
       """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations,
         |       min(n_name) AS first_nation,
         |       make_timestamp(CAST(n_regionkey AS BIGINT) * 1000000 + 1700000000000000) AS marker_ts
-        |FROM nation GROUP BY n_regionkey""".stripMargin))
+        |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
+    "fw_variant" -> Q(fwVariant, Some(
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 3 = 2 THEN 'und' ELSE lang END AS lang,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin))
   )
 }

@@ -46,7 +46,16 @@ object Caching {
     * consumed — a single action that contains both (the common
     * union-and-write shape) releases immediately; consuming only one
     * leaves the cache warm for the other, with the same action-count
-    * backstop so an abandoned second frame can never leak the cache. */
+    * backstop so an abandoned second frame can never leak the cache.
+    *
+    * Cost of abandoning one output: a caller that knowingly consumes
+    * only one frame (e.g. pairs-only use of a capped operator) keeps
+    * the MEMORY_AND_DISK blocks alive until the [[BackstopActions]]
+    * budget drains — on a busy shared session that can be a while.
+    * Such a caller should force the release by running one cheap action
+    * over the abandoned frame (`other.isEmpty` consumes its plan), the
+    * same contract the capped `queries()` entries satisfy by unioning
+    * both frames into one output. */
   def leased2(frames: DataFrame*)(result: => (DataFrame, DataFrame)): (DataFrame, DataFrame) = {
     frames.foreach(_.persist(StorageLevel.MEMORY_AND_DISK))
     val (a, b) = result

@@ -7,6 +7,23 @@ import graft.SparkSpec
 class CachingSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Block until every listener-bus callback enqueued BEFORE this call
+    * has been delivered (the still-cached assertions below are in the
+    * direction a fixed sleep makes FLAKY on a loaded host — a late
+    * onSuccess arriving after the sleep would release the cache the
+    * test just asserted warm). The bus has no public waitUntilEmpty, so
+    * this enqueues a sentinel lease, consumes it, and polls for its
+    * release: event delivery is FIFO, so the sentinel's release proves
+    * every earlier event reached every listener. */
+  private def drainListenerBus(): Unit = {
+    val sentinel = spark.range(1).toDF("s")
+    Caching.leased(sentinel)(sentinel.select(col("s"))).count()
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (sentinel.storageLevel != StorageLevel.NONE && System.nanoTime() < deadline)
+      Thread.sleep(10)
+    assert(sentinel.storageLevel == StorageLevel.NONE, "listener bus did not drain")
+  }
+
   test("leased frames are cached for the consuming action, freed after it") {
     val inter = (1 to 100).toDF("n").select((col("n") * 2).as("m"))
     val out = Caching.leased(inter)(inter.groupBy().agg(sum("m").as("s")))
@@ -24,7 +41,7 @@ class CachingSpec extends SparkSpec {
     val inter = (1 to 50).toDF("n").select((col("n") * 3).as("m"))
     val out = Caching.leased(inter)(inter.groupBy().agg(sum("m").as("s")))
     spark.range(10).count() // unrelated action — its plan holds no lease
-    Thread.sleep(1000)      // let its listener-bus callback drain
+    drainListenerBus()      // its callback is fully delivered, not just likely
     assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK,
       "an action that does not consume the lease must not release it")
     assert(out.head().getLong(0) == 3825L)
@@ -41,7 +58,7 @@ class CachingSpec extends SparkSpec {
       (inter.filter(col("m") <= 100), inter.filter(col("m") > 100)))
     assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK)
     assert(a.count() == 20)
-    Thread.sleep(1000) // drain the listener bus
+    drainListenerBus() // a's callback is fully delivered, not just likely
     assert(inter.storageLevel == StorageLevel.MEMORY_AND_DISK,
       "consuming ONE output must keep the cache warm for the other")
     assert(b.count() == 20)

@@ -1,0 +1,40 @@
+#!/usr/bin/env python3
+"""Derive the per-category query tallies from a Verify output directory
+(the same names the driver's CORRECTNESS artifact keys) — the r7 verdict
+fix for hand-maintained counts drifting from the artifact (89+93+31+33
+was prose-published as 244).
+
+Usage: python3 tools/counts.py [verifyOutDir]
+Prints: `q N  ext N  fw N  st N  total N` plus the BASELINE.md-ready
+sentence fragment.
+"""
+import json, os, re, sys
+
+out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf01"
+sql = os.path.join(out_dir, "oracle_sql.json")
+if os.path.exists(sql):
+    with open(sql) as f:
+        oracled = set(json.load(f).keys())
+else:
+    oracled = set()
+# Verify writes one parquet DIRECTORY per query, named by the query
+names = sorted(
+    n for n in os.listdir(out_dir)
+    if os.path.isdir(os.path.join(out_dir, n))
+    and re.match(r"^(q|ext|fw|st)[0-9a-z_]+$", n))
+if not names:
+    sys.exit(f"no per-query output dirs under {out_dir} — run graft.Verify first")
+
+cats = {}
+for n in names:
+    for p in ("ext", "fw", "st", "q"):  # longest prefixes first
+        if n.startswith(p):
+            cats[p] = cats.get(p, 0) + 1
+            break
+rows_only = [n for n in names if n not in oracled]
+print("  ".join(f"{p} {cats.get(p, 0)}" for p in ("q", "ext", "fw", "st"))
+      + f"  total {len(names)}")
+print(f"value-oracled {len(names) - len(rows_only)}, "
+      f"rows-only {len(rows_only)}: {', '.join(rows_only)}")
+print(f"prose: \"{len(names)}-query surface: {cats.get('q',0)} relational, "
+      f"{cats.get('ext',0)} ext, {cats.get('fw',0)} fw, {cats.get('st',0)} streaming\"")

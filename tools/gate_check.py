@@ -17,10 +17,32 @@ md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
 gates = {}
 # the seconds cell may carry an annotation: `| ext79_pagerank | 3.60 (post ... fix) |`
 row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
+# any TWO-cell row keyed by a query name is gate-shaped; one that then
+# fails the seconds parse is format drift and must be LOUD, not silently
+# ungated (ADVICE r7). Multi-cell rows (ScaleCheck tables) are exempt —
+# they are not gate tables.
+twocell = re.compile(
+    r"^\|\s*((?:(?:q|ext|st)[0-9]+|fw_)[a-z0-9_]*)\s*\|([^|]*)\|\s*$")
+malformed = []
 for line in open(md_path):
-    m = row.match(line.strip() if line.strip().endswith("|") else line)
+    s = line.strip() if line.strip().endswith("|") else line
+    m = row.match(s)
     if m:
         gates[m.group(1)] = float(m.group(2))
+    else:
+        t = twocell.match(s)
+        if t:
+            malformed.append((t.group(1), t.group(2).strip()))
+for name, cell in malformed:
+    print(f"WARNING: gate-shaped row for {name!r} has unparseable seconds "
+          f"cell {cell!r} — fix the BASELINE.md row or the parser", file=sys.stderr)
+# the catastrophic failure mode is parsing (near-)ZERO gates after a
+# format change and reporting everything as happily ungated
+GATE_FLOOR = 100
+if len(gates) < GATE_FLOOR:
+    print(f"ERROR: parsed only {len(gates)} gates from {md_path} "
+          f"(expected >= {GATE_FLOOR}) — BASELINE.md format drift?", file=sys.stderr)
+    sys.exit(1)
 
 bench = json.load(open(bench_path))
 qs = {k: v for k, v in bench["queries"].items() if v >= 0}
