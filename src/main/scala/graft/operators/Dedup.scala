@@ -695,6 +695,63 @@ object Dedup {
     }
   }
 
+  /** [[simhashPairs]] with the family-explosion guard — the SimHash
+    * analog of [[lshCandidatesCapped]]: an identical-content family
+    * shares its whole 64-bit signature, so it lands intact in EVERY
+    * chunk bucket and the chunk self-join emits |family|² pairs.
+    * Buckets larger than `maxBucket` skip the pair join; their members
+    * return in full as (doc_id, n_capped_chunks, max_bucket_size,
+    * family_rep) — family_rep is the smallest doc sharing any capped
+    * chunk, exact for identical-signature families (which share all
+    * maxHamming+1 chunks). Below the cap the pair output is IDENTICAL
+    * to [[simhashPairs]] (DedupSpec pins it).
+    *
+    * Cap calibration note: the cap must sit above the NATURAL chunk
+    * collision rate, which is governed by chunk width 64/(maxHamming+1)
+    * — at maxHamming 3 a chunk carries 16 bits (collisions are real
+    * near-dups at corpus scale); at maxHamming 8 it carries 7 bits and
+    * random 7-bit collisions alone fill buckets with ~n/128 docs, so a
+    * small cap would censor genuine candidates. The cap guards
+    * FAMILIES, not the pigeonhole's designed recall. */
+  def simhashPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, maxHamming: Int = 3,
+                         maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"simhashPairsCapped: maxHamming must be in [0, 15], got $maxHamming")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sigs = simhashSignatures(shingleSets(docs, idCol, textCol, n))
+    val chunks = maxHamming + 1
+    val width = 64 / chunks
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val chunked = sigs.select(col("doc_id"), col("simhash"), posexplode(
+        expr(s"transform(sequence(0, ${chunks - 1}), c -> " +
+          s"shiftrightunsigned(simhash, c * $width) & ${mask}L)"))
+        .as(Seq("chunk_idx", "chunk_val")))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
+    graft.util.Caching.leased2(chunked) {
+      val small = chunked.filter(col("bucket_size") <= maxBucket)
+      val l = small.as("l"); val r = small.as("r")
+      val pairs = l.join(r,
+          col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"),
+          expr("bit_count(l.simhash ^ r.simhash)").as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+      val families = chunked.filter(col("bucket_size") > maxBucket)
+        .withColumn("bucket_min",
+          min(col("doc_id")).over(Window.partitionBy(col("chunk_idx"), col("chunk_val"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_capped_chunks"),
+             max(col("bucket_size")).as("max_bucket_size"),
+             min(col("bucket_min")).as("family_rep"))
+      (pairs, families)
+    }
+  }
+
   /** Line-level cross-corpus dedup (the C4/CCNet preprocessing step):
     * every distinct line is kept ONCE corpus-wide — at its first
     * occurrence, smallest (doc_id, position) — and every later copy is

@@ -100,6 +100,49 @@ object Extensions {
              |       CAST(4 AS BIGINT) AS n_bytesig
              |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
 
+    // SimHash family-explosion guard (the ext89 discipline on the chunk
+    // join): a planted 40-copy family shares its whole 64-bit signature,
+    // so it lands intact in every chunk bucket and the uncapped join
+    // would emit 780 pairs; capped, it routes whole to the report.
+    // maxHamming = 0 on purpose: full-signature buckets make natural
+    // collisions a 64-bit event (the fixture's exact-dup families are
+    // size ≤ 2, far below the cap), so the report is closed-form without
+    // knowing any hash VALUE — at wider maxHamming the narrow chunks
+    // collide naturally (~n/2^width per bucket) and the planted bucket
+    // size would be fixture-sensitive (the cap-calibration note on
+    // simhashPairsCapped). Output: the per-member report + the pinned
+    // zero count of family-touching pairs; a NATURAL doc in the report
+    // would surface with the self-describing UNEXPECTED kind.
+    "ext95_simhash_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "all rights reserved unauthorized reproduction of this " +
+          "material is strictly prohibited by the publisher"
+        val planted = (1 to 40).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        val (pairs, families) = Dedup.simhashPairsCapped(
+          corpus, "doc_id", "text", n = 3, maxHamming = 0, maxBucket = 16)
+        families.select(
+            when(col("doc_id") < 0, "capped")
+              .otherwise("UNEXPECTED_natural_bucket_over_cap").as("kind"),
+            col("doc_id"), col("n_capped_chunks"),
+            col("max_bucket_size"), col("family_rep"))
+          .unionByName(
+            pairs.filter(col("doc_a") < 0 || col("doc_b") < 0)
+              .agg(count(lit(1)).as("doc_id"))
+              .select(lit("family_pairs").as("kind"), col("doc_id"),
+                lit(0L).as("n_capped_chunks"), lit(0L).as("max_bucket_size"),
+                lit(0L).as("family_rep")))
+      },
+      Some("""SELECT 'capped' AS kind, -CAST(i AS BIGINT) AS doc_id,
+             |       CAST(1 AS BIGINT) AS n_capped_chunks,
+             |       CAST(40 AS BIGINT) AS max_bucket_size,
+             |       CAST(-40 AS BIGINT) AS family_rep
+             |FROM range(1, 41) r(i)
+             |UNION ALL
+             |SELECT 'family_pairs', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)),
+
     // Mixed-schema JSON corpus ingested through the YAML A1 path into
     // quality scoring — the VARIANT tier driven end-to-end by the
     // ENGINE, not a hand-held DataFrame: stage documents as drifting

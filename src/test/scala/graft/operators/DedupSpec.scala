@@ -467,6 +467,32 @@ class DedupSpec extends SparkSpec {
     assert(benchRows == Set((-501L, -502L), (-502L, -502L)))
   }
 
+  test("capped simhash: identical below the cap; viral family routed to the report") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // no planted family, cap above any natural chunk bucket: pairs
+    // identical to the uncapped operator, report empty
+    val unc = Dedup.simhashPairs(dd, "doc_id", "text", n = 3, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val (cap, famEmpty) = Dedup.simhashPairsCapped(dd, "doc_id", "text",
+      n = 3, maxHamming = 3, maxBucket = 64)
+    assert(cap.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet == unc)
+    assert(famEmpty.isEmpty)
+    // a 20-copy identical family with cap 8: zero family pairs, every
+    // member reported capped in all 4 chunks with family_rep = the min
+    val boiler = "one two three four five six seven eight nine ten eleven twelve"
+    val planted = (1 to 20).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+    val (pairs2, fam2) = Dedup.simhashPairsCapped(
+      dd.unionByName(planted), "doc_id", "text", n = 3, maxHamming = 3, maxBucket = 8)
+    assert(pairs2.filter($"doc_a" < 0 || $"doc_b" < 0).isEmpty)
+    val fams = fam2.filter($"doc_id" < 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(fams.length == 20)
+    assert(fams.forall { case (id, nc, sz, rep) =>
+      id < 0 && nc == 4L && sz >= 20L && rep == -20L })
+  }
+
   test("cappedEdges clusters an identical-content family exactly like uncapped") {
     import spark.implicits._
     val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
