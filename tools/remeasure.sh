@@ -16,9 +16,11 @@ QUERIES="${1:?usage: tools/remeasure.sh <q1,q2,...> [sfDir]}"
 SF_DIR="${2:-/root/testdata/sf0.1}"
 OUT="bench/REMEASURE_$(date +%Y%m%d_%H%M%S).json"
 
+# sbt prefixes stdout with "[info] " — extract the bare JSON line
 LINE=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_RUNS=5 SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep '^{"metric"' | tail -1)
+  sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' | tail -1)
+[ -n "$LINE" ] || { echo "remeasure: no bench JSON line captured" >&2; exit 1; }
 
 python3 - "$LINE" "$OUT" <<'EOF'
 import json, re, sys
