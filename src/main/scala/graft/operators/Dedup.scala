@@ -520,16 +520,21 @@ object Dedup {
     * member shares a band bucket with > maxBucket docs — it IS a hub by
     * construction (true degree ≥ maxBucket ≥ any sensible minDegree),
     * reported whole-family through the second frame rather than via
-    * |family|² pair degrees; its sub-cap degree in the first frame
-    * consequently excludes family-internal partners. Below the cap the
-    * hub output is IDENTICAL to [[dupHubs]] (DedupSpec pins it). */
+    * |family|² pair degrees. Family members are anti-joined OUT of the
+    * degree frame: a doc can hold sub-cap verified partners through its
+    * OTHER bands too, and emitting it in both frames would leave the
+    * union a caller builds (ext69's shape) double-keyed on doc_id — one
+    * verdict per doc, the family row winning. Below the cap the hub
+    * output is IDENTICAL to [[dupHubs]] (DedupSpec pins it). */
   def dupHubsCapped(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, k: Int = 128, bands: Int = 32,
                     threshold: Double = 0.8, minDegree: Int = 2,
                     maxBucket: Int = 64): (DataFrame, DataFrame) = {
     val (pairs, families) =
       minhashLshCapped(docs, idCol, textCol, n, k, bands, threshold, maxBucket)
-    (hubDegrees(pairs, minDegree), families)
+    val hubs = hubDegrees(pairs, minDegree)
+      .join(families.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    (hubs, families)
   }
 
   private def hubDegrees(pairs: DataFrame, minDegree: Int): DataFrame =

@@ -458,13 +458,16 @@ object Multimodal {
           if (grid(i) * 64 > sum) ah |= (1L << i)
           i += 1
         }
-        // dHash: 9x8 grid, bit = g[x] > g[x+1] per row
+        // dHash: 9x8 grid, bit = g[x] > g[x+1] per row — each row's nine
+        // cells computed ONCE (interior cells are both a left and a
+        // right operand; recomputing them would re-sweep the raster)
         var dh = 0L
         var y = 0
         while (y < 8) {
+          val row9 = Array.tabulate(9)(x => cell(x, y, 9))
           var x = 0
           while (x < 8) {
-            if (cell(x, y, 9) > cell(x + 1, y, 9)) dh |= (1L << (y * 8 + x))
+            if (row9(x) > row9(x + 1)) dh |= (1L << (y * 8 + x))
             x += 1
           }
           y += 1

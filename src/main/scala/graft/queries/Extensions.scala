@@ -80,8 +80,14 @@ object Extensions {
     // over the id range (501/501 docs both ways). Byte sigs see four.
     "ext94_jpeg_robustness" -> Q(
       (s, d) => {
+        // the encode pass (4 codecs/doc incl. JPEG compression) feeds
+        // BOTH hash branches of one joined plan — persist it once, with
+        // the lease watching the joined output (the contaminatedBloom
+        // discipline; Caching.leased watches DataFrames, and the typed
+        // frame's plan is the same plan its toDF wraps)
         val media = Multimodal.encodeJpegVariants(
           docs(s, d).filter(col("doc_id") % 20 === 0), "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val area = Multimodal.perceptualHashes(media).toDF()
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_variants"),
@@ -90,9 +96,12 @@ object Extensions {
         val nearest = Multimodal.nearestSampleHashes(media).toDF()
           .groupBy(col("doc_id"))
           .agg(countDistinct(col("ahash"), col("dhash")).as("n_phash_nearest"))
-        area.join(nearest, "doc_id")
+        val out = area.join(nearest, "doc_id")
           .select(col("doc_id"), col("n_variants"), col("n_phash_area"),
             col("n_phash_nearest"), col("n_bytesig"))
+        graft.util.Caching.releaseOnConsumed(out, Seq(media.toDF())) { () =>
+          media.unpersist(blocking = false)
+        }
       },
       Some("""SELECT doc_id, CAST(4 AS BIGINT) AS n_variants,
              |       CAST(1 AS BIGINT) AS n_phash_area,

@@ -17,11 +17,14 @@ if os.path.exists(sql):
         oracled = set(json.load(f).keys())
 else:
     oracled = set()
-# Verify writes one parquet DIRECTORY per query, named by the query
+# Verify writes one parquet DIRECTORY per query, named by the query.
+# Anchor to the REAL naming scheme (q/ext/st + digits, or fw_): a loose
+# prefix match would count a helper dir like "state" or "query_logs" as
+# a query — exactly the tally drift this tool exists to stop.
 names = sorted(
     n for n in os.listdir(out_dir)
     if os.path.isdir(os.path.join(out_dir, n))
-    and re.match(r"^(q|ext|fw|st)[0-9a-z_]+$", n))
+    and re.match(r"^(?:(?:q|ext|st)[0-9]+[a-z0-9_]*|fw_[a-z0-9_]+)$", n))
 if not names:
     sys.exit(f"no per-query output dirs under {out_dir} — run graft.Verify first")
 

@@ -8,63 +8,79 @@ BASELINE.md; the LAST occurrence of a query wins (later sections are
 re-freezes). Prints per-query over-gate rows (ratio > 2x), the median /
 p90 ratio over the gated set, and the queries with no gate yet (the
 round's additions — candidates for a freeze section).
+
+`parse_gates` is importable (tools/remeasure.sh uses it), so the drift
+guards — malformed-row warnings and the parsed-gate floor — protect
+every consumer, not just this script.
 """
 import json, re, statistics, sys
 
-bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
-md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
-
-gates = {}
 # the seconds cell may carry an annotation: `| ext79_pagerank | 3.60 (post ... fix) |`
-row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
+ROW = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
 # any TWO-cell row keyed by a query name is gate-shaped; one that then
 # fails the seconds parse is format drift and must be LOUD, not silently
 # ungated (ADVICE r7). Multi-cell rows (ScaleCheck tables) are exempt —
 # they are not gate tables.
-twocell = re.compile(
+TWOCELL = re.compile(
     r"^\|\s*((?:(?:q|ext|st)[0-9]+|fw_)[a-z0-9_]*)\s*\|([^|]*)\|\s*$")
-malformed = []
-for line in open(md_path):
-    s = line.strip() if line.strip().endswith("|") else line
-    m = row.match(s)
-    if m:
-        gates[m.group(1)] = float(m.group(2))
-    else:
-        t = twocell.match(s)
-        if t:
-            malformed.append((t.group(1), t.group(2).strip()))
-for name, cell in malformed:
-    print(f"WARNING: gate-shaped row for {name!r} has unparseable seconds "
-          f"cell {cell!r} — fix the BASELINE.md row or the parser", file=sys.stderr)
-# the catastrophic failure mode is parsing (near-)ZERO gates after a
-# format change and reporting everything as happily ungated
 GATE_FLOOR = 100
-if len(gates) < GATE_FLOOR:
-    print(f"ERROR: parsed only {len(gates)} gates from {md_path} "
-          f"(expected >= {GATE_FLOOR}) — BASELINE.md format drift?", file=sys.stderr)
-    sys.exit(1)
 
-bench = json.load(open(bench_path))
-qs = {k: v for k, v in bench["queries"].items() if v >= 0}
 
-ratios, over, ungated = [], [], []
-for name, sec in sorted(qs.items()):
-    if name in gates:
-        r = sec / gates[name] if gates[name] > 0 else float("inf")
-        ratios.append(r)
-        if r > 2.0:
-            over.append((name, sec, gates[name], r))
-    else:
-        ungated.append((name, sec))
+def parse_gates(md_path="BASELINE.md"):
+    """Parse the frozen gates; warn on gate-shaped rows that fail the
+    seconds parse and exit(1) if the table parses (near-)empty — the
+    catastrophic failure mode is reporting everything as happily
+    ungated after a silent format change."""
+    gates = {}
+    for line in open(md_path):
+        s = line.strip() if line.strip().endswith("|") else line
+        m = ROW.match(s)
+        if m:
+            gates[m.group(1)] = float(m.group(2))
+        else:
+            t = TWOCELL.match(s)
+            if t:
+                print(f"WARNING: gate-shaped row for {t.group(1)!r} has "
+                      f"unparseable seconds cell {t.group(2).strip()!r} — fix "
+                      f"the BASELINE.md row or the parser", file=sys.stderr)
+    if len(gates) < GATE_FLOOR:
+        print(f"ERROR: parsed only {len(gates)} gates from {md_path} "
+              f"(expected >= {GATE_FLOOR}) — BASELINE.md format drift?",
+              file=sys.stderr)
+        sys.exit(1)
+    return gates
 
-print(f"gated queries: {len(ratios)}; ungated (new this round): {len(ungated)}")
-if ratios:
-    rs = sorted(ratios)
-    print(f"median ratio {statistics.median(rs):.2f}x  p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
-print(f"over-gate rows (>2x): {len(over)}")
-for n, s, g, r in sorted(over, key=lambda x: -x[3]):
-    print(f"  OVER {n}: {s:.2f}s vs gate {g:.2f}s ({r:.2f}x)")
-if ungated:
-    print("new-query medians (freeze these):")
-    for n, s in ungated:
-        print(f"  | {n} | {s:.2f} |")
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
+    md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+    gates = parse_gates(md_path)
+
+    bench = json.load(open(bench_path))
+    qs = {k: v for k, v in bench["queries"].items() if v >= 0}
+
+    ratios, over, ungated = [], [], []
+    for name, sec in sorted(qs.items()):
+        if name in gates:
+            r = sec / gates[name] if gates[name] > 0 else float("inf")
+            ratios.append(r)
+            if r > 2.0:
+                over.append((name, sec, gates[name], r))
+        else:
+            ungated.append((name, sec))
+
+    print(f"gated queries: {len(ratios)}; ungated (new this round): {len(ungated)}")
+    if ratios:
+        rs = sorted(ratios)
+        print(f"median ratio {statistics.median(rs):.2f}x  p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
+    print(f"over-gate rows (>2x): {len(over)}")
+    for n, s, g, r in sorted(over, key=lambda x: -x[3]):
+        print(f"  OVER {n}: {s:.2f}s vs gate {g:.2f}s ({r:.2f}x)")
+    if ungated:
+        print("new-query medians (freeze these):")
+        for n, s in ungated:
+            print(f"  | {n} | {s:.2f} |")
+
+
+if __name__ == "__main__":
+    main()

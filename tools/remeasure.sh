@@ -16,35 +16,49 @@ QUERIES="${1:?usage: tools/remeasure.sh <q1,q2,...> [sfDir]}"
 SF_DIR="${2:-/root/testdata/sf0.1}"
 OUT="bench/REMEASURE_$(date +%Y%m%d_%H%M%S).json"
 
-# sbt prefixes stdout with "[info] " — extract the bare JSON line
+# sbt prefixes stdout with "[info] " — extract the bare JSON line;
+# stderr (per-run times, errors) is kept in a sibling log, not discarded
+LOG="${OUT%.json}.log"
 LINE=$(SPARK_GRAFT_SF_DIR="$SF_DIR" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-32}" \
   SPARK_GRAFT_BENCH_RUNS=5 SPARK_GRAFT_BENCH_ONLY="$QUERIES" \
-  sbt -batch "runMain graft.Bench" 2>/dev/null | grep -o '{"metric".*}' | tail -1)
-[ -n "$LINE" ] || { echo "remeasure: no bench JSON line captured" >&2; exit 1; }
+  sbt -batch "runMain graft.Bench" 2>"$LOG" | grep -o '{"metric".*}' | tail -1 || true)
+# (|| true: Bench exits 2 when any query threw, but it prints the JSON
+# line FIRST — the failed entries must reach the adjudication record,
+# not die to pipefail)
+[ -n "$LINE" ] || { echo "remeasure: no bench JSON line captured (see $LOG)" >&2; exit 1; }
 
 python3 - "$LINE" "$OUT" <<'EOF'
-import json, re, sys
+import json, sys
+sys.path.insert(0, "tools")
+from gate_check import parse_gates  # shared parser incl. the drift guards
+
 line, out = sys.argv[1], sys.argv[2]
 bench = json.loads(line)
-gates = {}
-row = re.compile(r"^\|\s*((?:q|ext|fw|st)[0-9]*[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
-for l in open("BASELINE.md"):
-    m = row.match(l.strip())
-    if m:
-        gates[m.group(1)] = float(m.group(2))
+gates = parse_gates("BASELINE.md")
 rec = {"protocol": "median-of-5 idle re-measure (BASELINE.md adjudication)",
        "sf": bench["sf"], "runs_per_query": bench.get("runs_per_query"),
-       "queries": {}}
+       "errors": bench.get("errors", {}), "queries": {}}
+bad = 0
 for name, sec in sorted(bench["queries"].items()):
     g = gates.get(name)
-    ratio = (sec / g) if g else None
-    verdict = None if g is None else ("over" if ratio > 2.0 else "clean")
+    if sec < 0:  # Bench emits -1.0 for a query that THREW — never "clean"
+        verdict, ratio = "failed", None
+        bad += 1
+    elif g is None:
+        verdict, ratio = "ungated", None
+    else:
+        ratio = sec / g if g > 0 else float("inf")
+        verdict = "over" if ratio > 2.0 else "clean"
+        if verdict == "over":
+            bad += 1
     rec["queries"][name] = {"median_s": sec, "gate_s": g,
-                           "ratio": round(ratio, 3) if ratio else None,
+                           "ratio": round(ratio, 3) if ratio is not None else None,
                            "verdict": verdict}
-    tag = verdict or "ungated"
-    extra = f" ({ratio:.2f}x)" if ratio else ""
-    print(f"{name}: {sec:.2f}s vs gate {g if g is not None else '-'} -> {tag}{extra}")
+    extra = f" ({ratio:.2f}x)" if ratio is not None else ""
+    err = rec["errors"].get(name)
+    print(f"{name}: {sec:.2f}s vs gate {g if g is not None else '-'} -> {verdict}{extra}"
+          + (f"  ERROR: {err}" if err else ""))
 json.dump(rec, open(out, "w"), indent=1)
 print(f"adjudication written to {out}")
+sys.exit(3 if bad else 0)
 EOF
