@@ -617,6 +617,57 @@ object Dedup {
     }
   }
 
+  /** [[jaccardPairs]] with the family-explosion guard — the EXACT
+    * prefix-filter join is just as quadratic under a viral family as
+    * the sketches: identical sets order identically, so every family
+    * member carries the SAME prefix tokens and each such token's
+    * posting list is the whole family — |family|² candidates per
+    * prefix token. Prefix tokens whose posting list exceeds `maxBucket`
+    * skip the pair join; their holders return as (doc_id,
+    * n_capped_tokens, max_bucket_size, family_rep).
+    *
+    * Coverage contract (the capped analog of the prefix-filter
+    * exactness proof): a qualifying pair shares ≥ 1 prefix token, so a
+    * pair missing from the output had ALL its shared prefix tokens
+    * capped — which puts BOTH endpoints in the family report. Every
+    * qualifying pair is therefore either emitted verified or
+    * family-accounted at both ends; with no over-cap postings the pair
+    * output is IDENTICAL to [[jaccardPairs]] (DedupSpec pins both). */
+  def jaccardPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.8,
+                         maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(docs, idCol, textCol, n)
+    graft.util.Caching.leased2(sets) {
+      val (_, pref) = frequencyOrderedPrefix(sets, threshold)
+      val sized = pref.withColumn("posting",
+        count(lit(1)).over(Window.partitionBy(col("h"))))
+      graft.util.Caching.leased2(sized) {
+        val small = sized.filter(col("posting") <= maxBucket)
+        val l = small.as("l"); val r = small.as("r")
+        val cand = l.join(r,
+            col("l.h") === col("r.h") && col("l.doc_id") < col("r.doc_id") &&
+            least(col("l.sz"), col("r.sz")).cast("double") >=
+              greatest(col("l.sz"), col("r.sz")) * threshold - 1e-9)
+          .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+          .distinct()
+        val pairs = jaccardVerify(cand, sets)
+          .filter(col("jaccard") >= threshold)
+          .withColumn("jaccard", round(col("jaccard"), 6))
+        val families = sized.filter(col("posting") > maxBucket)
+          .withColumn("bucket_min",
+            min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_capped_tokens"),
+               max(col("posting")).as("max_bucket_size"),
+               min(col("bucket_min")).as("family_rep"))
+        (pairs, families)
+      }
+    }
+  }
+
   /** Winnowing-fingerprint near-dedup (the MOSS rolling-hash scheme, see
     * [[graft.functions.WinnowingFingerprints]]): documents sharing ≥
     * `overlap` of the smaller side's fingerprints are near-dups.
@@ -1123,6 +1174,64 @@ object Dedup {
             size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")))
           .filter(col("__c") >= threshold)
           .select(col("doc_a"), col("doc_b"), round(col("__c"), 6).as("containment"))
+      }
+    }
+  }
+
+  /** [[containmentPairs]] with the family-explosion guard. The capped
+    * unit is the RESTRICTED POSTING LIST: tokens that survive the
+    * prefix semi-join and are held by more than `maxBucket` documents
+    * skip the probe join; the PREFIX-HOLDERS of those tokens return as
+    * (doc_id, n_capped_tokens, max_bucket_size, family_rep).
+    *
+    * Coverage contract — ONE-ENDED, weaker than
+    * [[jaccardPairsCapped]]'s and deliberately so: a qualifying ordered
+    * pair (A near-subset-of B) always shares a token from A's prefix,
+    * so a pair missing from the output had every such token capped and
+    * its CONTAINED side A is in the report. B (the container) need not
+    * be: containment puts no prefix on the index side, so only the
+    * probe side is provably accounted. That is the actionable end —
+    * the standard policy drops the contained side, which is exactly
+    * the doc the report names. With no over-cap postings the pair
+    * output is IDENTICAL to [[containmentPairs]] (DedupSpec pins
+    * both). */
+  def containmentPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+                             n: Int = 3, threshold: Double = 0.9,
+                             maxBucket: Int = 64): (DataFrame, DataFrame) = {
+    require(threshold > 0 && threshold <= 1, "threshold must be in (0, 1]")
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    import org.apache.spark.sql.expressions.Window
+    val sets = shingleSets(docs, idCol, textCol, n)
+    graft.util.Caching.leased2(sets) {
+      val (tok, prefAll) = frequencyOrderedPrefix(sets, threshold)
+      val pref = prefAll.select(col("doc_id").as("doc_a"), col("h"))
+      val sized = tok.select(col("doc_id").as("doc_b"), col("h"))
+        .join(pref.select(col("h")), "h", "leftsemi")
+        .withColumn("posting",
+          count(lit(1)).over(Window.partitionBy(col("h"))))
+      graft.util.Caching.leased2(pref, sized) {
+        val cand = pref
+          .join(sized.filter(col("posting") <= maxBucket)
+            .select(col("doc_b"), col("h")), "h")
+          .filter(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()
+        val pairs = cand
+          .join(sets.select(col("doc_id").as("doc_a"), col("hs").as("ha")), "doc_a")
+          .join(sets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+          .withColumn("__c",
+            size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")))
+          .filter(col("__c") >= threshold)
+          .select(col("doc_a"), col("doc_b"), round(col("__c"), 6).as("containment"))
+        val families = pref
+          .join(sized.filter(col("posting") > maxBucket)
+            .select(col("h"), col("posting")).distinct(), "h")
+          .withColumn("bucket_min",
+            min(col("doc_a")).over(Window.partitionBy(col("h"))))
+          .groupBy(col("doc_a").as("doc_id"))
+          .agg(count(lit(1)).as("n_capped_tokens"),
+               max(col("posting")).as("max_bucket_size"),
+               min(col("bucket_min")).as("family_rep"))
+        (pairs, families)
       }
     }
   }

@@ -152,6 +152,107 @@ object Extensions {
              |SELECT 'family_pairs', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
              |       CAST(0 AS BIGINT), CAST(0 AS BIGINT)""".stripMargin)),
 
+    // Prefix-filter family guard (the ext89 discipline on the EXACT
+    // AllPairs/PPJoin path): a 40-copy planted family orders its
+    // identical sets identically, so all members carry the same prefix
+    // tokens and each token's posting list is the whole family — the
+    // exact join is as quadratic under a viral family as the sketches.
+    // Planted boiler = 16 unique words → 14 distinct trigrams → prefix
+    // length 14 − ceil(0.8·14) + 1 = 3, every one capped at posting 40
+    // > 16 → zero family pairs, report (doc, 3 tokens, bucket 40) per
+    // member, closed-form. Natural pairs are untouched (no natural
+    // posting near the cap) and replay against the inverted-index
+    // truth; a natural doc in the report would surface UNEXPECTED.
+    "ext96_jaccard_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "winter harbor lanterns drift above quiet meadows " +
+          "while copper windmills turn beneath amber twilight skies tonight"
+        val planted = (1 to 40).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        val (pairs, families) = Dedup.jaccardPairsCapped(
+          corpus, "doc_id", "text", n = 3, threshold = 0.8, maxBucket = 16)
+        pairs.select(lit("pair").as("kind"), col("doc_a"), col("doc_b"), col("jaccard"))
+          .unionByName(families.select(
+            when(col("doc_id") < 0, "capped")
+              .otherwise("UNEXPECTED_natural_posting_over_cap").as("kind"),
+            col("doc_id").as("doc_a"),
+            col("n_capped_tokens").cast("long").as("doc_b"),
+            col("max_bucket_size").cast("double").as("jaccard")))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |)
+             |SELECT 'pair' AS kind, ix.doc_a, ix.doc_b,
+             |       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |      GROUP BY 1, 2) ix
+             |JOIN sz sa ON sa.doc_id = ix.doc_a
+             |JOIN sz sb ON sb.doc_id = ix.doc_b
+             |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+             |UNION ALL
+             |SELECT 'capped', -CAST(i AS BIGINT), CAST(3 AS BIGINT),
+             |       CAST(40 AS DOUBLE)
+             |FROM range(1, 41) r(i)""".stripMargin)),
+
+    // Containment-join family guard (ext96's discipline on the ordered
+    // near-subset join, with its ONE-ENDED coverage contract: a missed
+    // qualifying pair always has its CONTAINED side in the report — the
+    // doc the drop-the-contained policy acts on). Same 40-copy planting;
+    // at threshold 0.9 the prefix is 14 − ceil(12.6) + 1 = 2 tokens,
+    // each with restricted posting 40 > 16 → zero family pairs, report
+    // (doc, 2 tokens, bucket 40) per member, closed-form; natural
+    // ordered pairs replay against the inverted-index truth.
+    "ext97_containment_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "violet comets trace slow arcs over frozen orchards " +
+          "while distant beacons pulse along the basalt shoreline cliffs"
+        val planted = (1 to 40).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+        val corpus = docs(s, d).select(col("doc_id"), col("text")).unionByName(planted)
+        val (pairs, families) = Dedup.containmentPairsCapped(
+          corpus, "doc_id", "text", n = 3, threshold = 0.9, maxBucket = 16)
+        pairs.select(lit("pair").as("kind"), col("doc_a"), col("doc_b"),
+            col("containment"))
+          .unionByName(families.select(
+            when(col("doc_id") < 0, "capped")
+              .otherwise("UNEXPECTED_natural_posting_over_cap").as("kind"),
+            col("doc_id").as("doc_a"),
+            col("n_capped_tokens").cast("long").as("doc_b"),
+            col("max_bucket_size").cast("double").as("containment")))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
+             |), sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |)
+             |SELECT 'pair' AS kind, ix.doc_a, ix.doc_b,
+             |       round(i::DOUBLE / sa.n, 6) AS containment
+             |FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id <> b.doc_id
+             |      GROUP BY 1, 2) ix
+             |JOIN sz sa ON sa.doc_id = ix.doc_a
+             |WHERE i::DOUBLE / sa.n >= 0.9
+             |UNION ALL
+             |SELECT 'capped', -CAST(i AS BIGINT), CAST(2 AS BIGINT),
+             |       CAST(40 AS DOUBLE)
+             |FROM range(1, 41) r(i)""".stripMargin)),
+
     // Mixed-schema JSON corpus ingested through the YAML A1 path into
     // quality scoring — the VARIANT tier driven end-to-end by the
     // ENGINE, not a hand-held DataFrame: stage documents as drifting

@@ -493,6 +493,66 @@ class DedupSpec extends SparkSpec {
       id < 0 && nc == 4L && sz >= 20L && rep == -20L })
   }
 
+  test("capped prefix-filter join: identical below cap; coverage contract under a family") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    // no planted family: pairs identical to the uncapped exact join
+    val unc = Dedup.jaccardPairs(dd, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (cap, famEmpty) = Dedup.jaccardPairsCapped(dd, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = 64)
+    assert(cap.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == unc)
+    assert(famEmpty.isEmpty)
+    // planted 12-copy family, cap 8: no family pairs; coverage contract —
+    // every uncapped-found pair is either still emitted or BOTH of its
+    // endpoints appear in the family report
+    val boiler = "crimson foxes wander narrow bridges under silver morning fog today"
+    val planted = (1 to 12).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+    val corpus = dd.unionByName(planted)
+    val truth = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pairs2, fam2) = Dedup.jaccardPairsCapped(corpus, "doc_id", "text",
+      n = 3, threshold = 0.8, maxBucket = 8)
+    val emitted = pairs2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = fam2.collect().map(_.getLong(0)).toSet
+    assert(emitted.subsetOf(truth))
+    for ((a, b) <- truth -- emitted)
+      assert(reported.contains(a) && reported.contains(b),
+        s"pair ($a,$b) dropped by the cap but not family-accounted at both ends")
+    assert((1 to 12).forall(i => reported.contains(-i.toLong)))
+    assert(pairs2.filter($"doc_a" < 0 || $"doc_b" < 0).isEmpty)
+  }
+
+  test("capped containment join: identical below cap; one-ended coverage under a family") {
+    import spark.implicits._
+    val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val unc = Dedup.containmentPairs(dd, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val (cap, famEmpty) = Dedup.containmentPairsCapped(dd, "doc_id", "text",
+      n = 3, threshold = 0.9, maxBucket = 64)
+    assert(cap.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet == unc)
+    assert(famEmpty.isEmpty)
+    // planted 12-copy family, cap 8: no family pairs; one-ended contract —
+    // any uncapped-found pair now missing has its CONTAINED side reported
+    val boiler = "granite owls perch along mossy aqueducts beneath pale autumn stars tonight"
+    val planted = (1 to 12).map(i => (-i.toLong, boiler)).toDF("doc_id", "text")
+    val corpus = dd.unionByName(planted)
+    val truth = Dedup.containmentPairs(corpus, "doc_id", "text", n = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (pairs2, fam2) = Dedup.containmentPairsCapped(corpus, "doc_id", "text",
+      n = 3, threshold = 0.9, maxBucket = 8)
+    val emitted = pairs2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val reported = fam2.collect().map(_.getLong(0)).toSet
+    assert(emitted.subsetOf(truth))
+    for ((a, _) <- truth -- emitted)
+      assert(reported.contains(a),
+        s"contained-side $a dropped by the cap but not family-accounted")
+    assert((1 to 12).forall(i => reported.contains(-i.toLong)))
+    assert(pairs2.filter($"doc_a" < 0 || $"doc_b" < 0).isEmpty)
+  }
+
   test("cappedEdges clusters an identical-content family exactly like uncapped") {
     import spark.implicits._
     val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
