@@ -182,6 +182,60 @@ object StreamingQueries {
              |       CAST(4 AS BIGINT) AS n_bytesig
              |FROM documents WHERE doc_id % 20 = 0""".stripMargin)),
 
+    // Capped contamination AT INGEST (st07 + the ext93 family guard):
+    // the static benchmark index carries a PLANTED 20-copy viral family
+    // (near-identical benchmark items — the common real case), its
+    // buckets are sized at index-build time, and every arriving doc
+    // whose text is rewritten to the family boiler (doc_id % 7 = 0 on
+    // the train side) probes only the bucket's ONE collapsed row and is
+    // FLAGGED with the family's smallest bench id and NULL jaccard —
+    // the per-pair verify the cap skips. Natural arrivals verify
+    // exactly as st07 over the sub-cap index; the oracle replays both
+    // legs (pairs over the same rewritten corpus, flags closed-form).
+    "st35_stream_capped_contamination" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val boiler = "please verify you are human before continuing to " +
+          "the requested benchmark item page now"
+        val extra = (1001 to 1020).map(i => (-i.toLong, boiler))
+          .toDF("doc_id", "text")
+        val out = Streams.contaminationStreamCapped(s, d,
+          n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 16,
+          benchExtra = Some(extra),
+          streamText = Some(when(col("doc_id") % 7 === 0, lit(boiler))
+            .otherwise(col("text"))))
+        Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
+      },
+      Some("""WITH rw AS (
+             |  SELECT doc_id,
+             |         CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0
+             |              THEN 'please verify you are human before continuing to the requested benchmark item page now'
+             |              ELSE text END AS text
+             |  FROM documents
+             |), w AS (
+             |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM rw
+             |), sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM w WHERE len(w) >= 3
+             |), sz AS MATERIALIZED (
+             |  SELECT doc_id, len(s) AS n FROM sh
+             |), inv AS MATERIALIZED (
+             |  SELECT doc_id, unnest(s) AS g FROM sh
+             |)
+             |SELECT ix.doc_id, ix.matched_bench_id,
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
+             |      FROM inv t JOIN inv b
+             |        ON t.g = b.g AND t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+             |      GROUP BY 1, 2) ix
+             |JOIN sz st ON st.doc_id = ix.doc_id
+             |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
+             |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8
+             |UNION ALL
+             |SELECT doc_id, CAST(-1020 AS BIGINT), CAST(NULL AS DOUBLE)
+             |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0""".stripMargin)),
+
     // Bloom decontamination AT INGEST (ext92's streaming twin, and the
     // exact-match complement of st07's LSH near-dup probe): the
     // benchmark Bloom sketch is built ONCE at query start (index-build

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -350,6 +350,69 @@ object Streams {
       .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
         round(jac, 6).as("jaccard"))
       .dropDuplicates("doc_id", "matched_bench_id")
+  }
+
+  /** [[contaminationStream]] with the index-side family guard — the
+    * streaming face of [[graft.operators.Dedup.contaminatedNearCapped]]:
+    * a viral near-identical family INSIDE the benchmark index (many
+    * paraphrases of one question is the common real case) makes every
+    * matching arrival verify against |family| index rows in every band.
+    * The static index is bucket-sized at BUILD time (a batch window —
+    * index-build cost, not per-batch cost); arrivals probing a bucket
+    * larger than `maxBucket` are FLAGGED row-locally — (doc_id,
+    * matched_bench_id = the bucket's smallest bench id, jaccard NULL) —
+    * with the per-pair verify deliberately skipped, while sub-cap
+    * buckets verify exactly as [[contaminationStream]]. Both legs are
+    * stateless appends; their union drains per micro-batch.
+    *
+    * `benchExtra` lets a caller append planted/extra benchmark rows
+    * (doc_id, text) to the on-disk benchmark — the st35 oracle plants
+    * the viral family there. */
+  def contaminationStreamCapped(spark: SparkSession, dir: String,
+                                n: Int = 3, k: Int = 128, bands: Int = 32,
+                                threshold: Double = 0.8, maxBucket: Int = 64,
+                                benchExtra: Option[DataFrame] = None,
+                                streamText: Option[Column] = None): DataFrame = {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.expressions.Window
+    val benchBase = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val bench = benchExtra.fold(benchBase)(benchBase.unionByName(_))
+    val bstatic = Dedup.banded(
+        Dedup.shingleSets(bench, "doc_id", "text", n)
+          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
+      .select(col("doc_id").as("bench_id"), col("hs").as("bhs"),
+        col("band_idx"), col("band_hash"))
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+    val smallIdx = bstatic.filter(col("bucket_size") <= maxBucket)
+      .select(col("bench_id"), col("bhs"), col("band_idx"), col("band_hash"))
+    // capped buckets collapse to ONE row per bucket before the stream
+    // join: the probe fan-out for a flagged arrival is bands × 1, never
+    // bands × |family|
+    val cappedIdx = bstatic.filter(col("bucket_size") > maxBucket)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("bench_id")).as("bench_hit_id"))
+    val raw = readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 0)
+    val stream = streamText.fold(raw)(t => raw.withColumn("text", t))
+    val sbanded = Dedup.banded(
+        Dedup.shingleSets(stream, "doc_id", "text", n)
+          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
+      .select(col("doc_id"), col("hs"), col("band_idx"), col("band_hash"))
+    val inter = size(array_intersect(col("hs"), col("bhs")))
+    val jac = inter.cast("double") /
+      (size(col("hs")) + size(col("bhs")) - inter)
+    val verified = sbanded.join(smallIdx, Seq("band_idx", "band_hash"))
+      .filter(jac >= threshold)
+      .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
+        round(jac, 6).as("jaccard"))
+      .dropDuplicates("doc_id", "matched_bench_id")
+    val flagged = sbanded.join(cappedIdx, Seq("band_idx", "band_hash"))
+      .select(col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
+        lit(null).cast("double").as("jaccard"))
+      .dropDuplicates("doc_id", "matched_bench_id")
+    verified.unionByName(flagged)
   }
 
   /** As [[readEventsStream]] but the fixture is staged TWICE (two files
