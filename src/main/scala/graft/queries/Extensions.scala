@@ -207,8 +207,9 @@ object Extensions {
     // Containment-join family guard (ext96's discipline on the ordered
     // near-subset join, with its ONE-ENDED coverage contract: a missed
     // qualifying pair always has its CONTAINED side in the report — the
-    // doc the drop-the-contained policy acts on). Same 40-copy planting;
-    // at threshold 0.9 the prefix is 14 − ceil(12.6) + 1 = 2 tokens,
+    // doc the drop-the-contained policy acts on). Same 40-copy planting
+    // with a 17-word boiler → 15 distinct trigrams; at threshold 0.9
+    // the prefix is 15 − ceil(0.9·15) + 1 = 15 − 14 + 1 = 2 tokens,
     // each with restricted posting 40 > 16 → zero family pairs, report
     // (doc, 2 tokens, bucket 40) per member, closed-form; natural
     // ordered pairs replay against the inverted-index truth.

@@ -197,13 +197,20 @@ object StreamingQueries {
         import s.implicits._
         val boiler = "please verify you are human before continuing to " +
           "the requested benchmark item page now"
-        val extra = (1001 to 1020).map(i => (-i.toLong, boiler))
-          .toDF("doc_id", "text")
+        // the caller composes whole frames (the batch capped operators'
+        // contract): benchmark = natural split + the planted family,
+        // stream = natural arrivals with every 7th text rewritten
+        val bench = s.read.parquet(s"$d/documents.parquet")
+          .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+          .unionByName((1001 to 1020).map(i => (-i.toLong, boiler))
+            .toDF("doc_id", "text"))
+        val stream = Streams.readDocumentsStream(s, d)
+          .filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, lit(boiler)).otherwise(col("text")))
         val out = Streams.contaminationStreamCapped(s, d,
           n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 16,
-          benchExtra = Some(extra),
-          streamText = Some(when(col("doc_id") % 7 === 0, lit(boiler))
-            .otherwise(col("text"))))
+          bench = Some(bench), stream = Some(stream))
         Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
       },
       Some("""WITH rw AS (
@@ -224,7 +231,8 @@ object StreamingQueries {
              |  SELECT doc_id, unnest(s) AS g FROM sh
              |)
              |SELECT ix.doc_id, ix.matched_bench_id,
-             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard,
+             |       'verified' AS kind
              |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
              |      FROM inv t JOIN inv b
              |        ON t.g = b.g AND t.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
@@ -233,7 +241,8 @@ object StreamingQueries {
              |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
              |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8
              |UNION ALL
-             |SELECT doc_id, CAST(-1020 AS BIGINT), CAST(NULL AS DOUBLE)
+             |SELECT doc_id, CAST(-1020 AS BIGINT), CAST(NULL AS DOUBLE),
+             |       'family_flag'
              |FROM documents WHERE doc_id % 10 <> 0 AND doc_id % 7 = 0""".stripMargin)),
 
     // Bloom decontamination AT INGEST (ext92's streaming twin, and the

@@ -326,92 +326,110 @@ object Streams {
     * its own band buckets, never all pairs. The only streaming state is
     * the final dropDuplicates, keyed on FLAGGED pairs (post-verify), so
     * state grows with contamination incidents, not with the corpus. */
-  def contaminationStream(spark: SparkSession, dir: String,
-                          n: Int = 3, k: Int = 128, bands: Int = 32,
-                          threshold: Double = 0.8): DataFrame = {
+  /** The banded static BENCHMARK INDEX shared by [[contaminationStream]]
+    * and [[contaminationStreamCapped]] — one definition so the banding
+    * scheme cannot diverge between the capped and uncapped probes.
+    * `bench` overrides the whole benchmark frame (st35 plants its viral
+    * family this way); default = doc_id % 10 = 0 of the fixture. */
+  private def benchIndex(spark: SparkSession, dir: String, n: Int, k: Int,
+                         bands: Int, bench: Option[DataFrame]): DataFrame = {
     import graft.operators.Dedup
-    val bench = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 10 === 0)
-    val bstatic = Dedup.banded(
-        Dedup.shingleSets(bench, "doc_id", "text", n)
+    val b = bench.getOrElse(
+      spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text")))
+    Dedup.banded(
+        Dedup.shingleSets(b, "doc_id", "text", n)
           .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
       .select(col("doc_id").as("bench_id"), col("hs").as("bhs"),
         col("band_idx"), col("band_hash"))
-    val stream = readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 0)
-    val sbanded = Dedup.banded(
-        Dedup.shingleSets(stream, "doc_id", "text", n)
+  }
+
+  /** The banded ARRIVING-DOC probe stream (same one-definition rule).
+    * `stream` overrides the whole input stream (st35 rewrites arrival
+    * text this way); default = doc_id % 10 <> 0 of the document stream. */
+  private def probeBanded(spark: SparkSession, dir: String, n: Int, k: Int,
+                          bands: Int, stream: Option[DataFrame]): DataFrame = {
+    import graft.operators.Dedup
+    val s0 = stream.getOrElse(
+      readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 0))
+    Dedup.banded(
+        Dedup.shingleSets(s0, "doc_id", "text", n)
           .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
       .select(col("doc_id"), col("hs"), col("band_idx"), col("band_hash"))
+  }
+
+  /** The exact-Jaccard verify leg: probe ⋈ index on the band key, exact
+    * filter, one row per (doc, bench) match. */
+  private def verifiedLeg(sbanded: DataFrame, idx: DataFrame,
+                          threshold: Double): DataFrame = {
     val inter = size(array_intersect(col("hs"), col("bhs")))
     val jac = inter.cast("double") /
       (size(col("hs")) + size(col("bhs")) - inter)
-    sbanded.join(bstatic, Seq("band_idx", "band_hash"))
+    sbanded.join(idx, Seq("band_idx", "band_hash"))
       .filter(jac >= threshold)
       .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
         round(jac, 6).as("jaccard"))
       .dropDuplicates("doc_id", "matched_bench_id")
   }
 
+  def contaminationStream(spark: SparkSession, dir: String,
+                          n: Int = 3, k: Int = 128, bands: Int = 32,
+                          threshold: Double = 0.8): DataFrame =
+    verifiedLeg(probeBanded(spark, dir, n, k, bands, None),
+      benchIndex(spark, dir, n, k, bands, None), threshold)
+
   /** [[contaminationStream]] with the index-side family guard — the
     * streaming face of [[graft.operators.Dedup.contaminatedNearCapped]]:
     * a viral near-identical family INSIDE the benchmark index (many
     * paraphrases of one question is the common real case) makes every
     * matching arrival verify against |family| index rows in every band.
-    * The static index is bucket-sized at BUILD time (a batch window —
-    * index-build cost, not per-batch cost); arrivals probing a bucket
-    * larger than `maxBucket` are FLAGGED row-locally — (doc_id,
-    * matched_bench_id = the bucket's smallest bench id, jaccard NULL) —
-    * with the per-pair verify deliberately skipped, while sub-cap
-    * buckets verify exactly as [[contaminationStream]]. Both legs are
-    * stateless appends; their union drains per micro-batch.
+    * The static index is bucket-sized and PERSISTED at build time (two
+    * batch actions force the build; the stream-static join would
+    * otherwise re-derive the whole shingle/minhash/window pipeline
+    * every micro-batch — the index lives as long as the stream, the
+    * caller may unpersist after stopping). Arrivals probing a bucket
+    * larger than `maxBucket` are FLAGGED row-locally with the bucket's
+    * smallest bench id and NULL jaccard; capped buckets collapse to ONE
+    * row per bucket before the join, so a flagged arrival's fan-out is
+    * bands × 1, never bands × |family|. Sub-cap buckets verify exactly
+    * as [[contaminationStream]] (same helpers). Both legs are stateless
+    * appends; the `kind` column ('verified' | 'family_flag') keeps the
+    * two claims distinct — the streaming face of the batch operator's
+    * TWO frames: a doc may legitimately carry BOTH a verified row for
+    * bench doc X and a family_flag naming X as rep, when X heads an
+    * over-cap family while also appearing in sub-cap buckets of its
+    * own.
     *
-    * `benchExtra` lets a caller append planted/extra benchmark rows
-    * (doc_id, text) to the on-disk benchmark — the st35 oracle plants
-    * the viral family there. */
+    * `bench` / `stream` replace the WHOLE benchmark frame / input
+    * stream (the caller composes, as with the batch capped operators);
+    * defaults read the fixture split. */
   def contaminationStreamCapped(spark: SparkSession, dir: String,
                                 n: Int = 3, k: Int = 128, bands: Int = 32,
                                 threshold: Double = 0.8, maxBucket: Int = 64,
-                                benchExtra: Option[DataFrame] = None,
-                                streamText: Option[Column] = None): DataFrame = {
-    import graft.operators.Dedup
+                                bench: Option[DataFrame] = None,
+                                stream: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val benchBase = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id"), col("text"))
-    val bench = benchExtra.fold(benchBase)(benchBase.unionByName(_))
-    val bstatic = Dedup.banded(
-        Dedup.shingleSets(bench, "doc_id", "text", n)
-          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
-      .select(col("doc_id").as("bench_id"), col("hs").as("bhs"),
-        col("band_idx"), col("band_hash"))
+    val bstatic = benchIndex(spark, dir, n, k, bands, bench)
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
     val smallIdx = bstatic.filter(col("bucket_size") <= maxBucket)
       .select(col("bench_id"), col("bhs"), col("band_idx"), col("band_hash"))
-    // capped buckets collapse to ONE row per bucket before the stream
-    // join: the probe fan-out for a flagged arrival is bands × 1, never
-    // bands × |family|
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cappedIdx = bstatic.filter(col("bucket_size") > maxBucket)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(min(col("bench_id")).as("bench_hit_id"))
-    val raw = readDocumentsStream(spark, dir).filter(col("doc_id") % 10 =!= 0)
-    val stream = streamText.fold(raw)(t => raw.withColumn("text", t))
-    val sbanded = Dedup.banded(
-        Dedup.shingleSets(stream, "doc_id", "text", n)
-          .withColumn("sig", call_function("minhash_sig", col("hs"), lit(k))), bands)
-      .select(col("doc_id"), col("hs"), col("band_idx"), col("band_hash"))
-    val inter = size(array_intersect(col("hs"), col("bhs")))
-    val jac = inter.cast("double") /
-      (size(col("hs")) + size(col("bhs")) - inter)
-    val verified = sbanded.join(smallIdx, Seq("band_idx", "band_hash"))
-      .filter(jac >= threshold)
-      .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
-        round(jac, 6).as("jaccard"))
-      .dropDuplicates("doc_id", "matched_bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    smallIdx.count(): Unit
+    cappedIdx.count(): Unit
+    val sbanded = probeBanded(spark, dir, n, k, bands, stream)
+    val verified = verifiedLeg(sbanded, smallIdx, threshold)
+      .withColumn("kind", lit("verified"))
     val flagged = sbanded.join(cappedIdx, Seq("band_idx", "band_hash"))
       .select(col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
         lit(null).cast("double").as("jaccard"))
       .dropDuplicates("doc_id", "matched_bench_id")
+      .withColumn("kind", lit("family_flag"))
     verified.unionByName(flagged)
   }
 
