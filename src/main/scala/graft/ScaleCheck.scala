@@ -52,7 +52,11 @@ object ScaleCheck {
     // fraction, and verify join must all stay ~linear; VARIANT parse
     // cost is the per-row dominant term — confirm linear.
     "ext92_bloom_decontamination", "st33_stream_bloom_decontam",
-    "q76_variant", "ext88_variant_ingest")
+    "q76_variant", "ext88_variant_ingest",
+    // the exact-join guard pair: uncapped containment is quadratic on
+    // this generator (9.10× at 10×, r8) — the capped twin must keep
+    // reading ~3× beside it
+    "ext40_containment", "ext97_containment_capped")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
