@@ -444,7 +444,12 @@ object Dedup {
         call_function("bloom_might_contain", lit(sketch), col("__text")))
     val out = candidates.join(b, candidates("__text") === b("__btext"))
       .select(col("doc_id"), col("bench_id"))
-    graft.util.Caching.releaseOnConsumed(out, Seq(b)) { () =>
+    // watch OUT, not b: the count/sketch actions above already contain
+    // b's plan, and their listener-bus events can be DELIVERED after
+    // this registration (delivery is async) — a lease watching b would
+    // match one of them and drop the persist before the verify join
+    // ever runs. out's plan existed in neither prior action.
+    graft.util.Caching.releaseOnConsumed(out, Seq(out)) { () =>
       b.unpersist(blocking = false)
     }
   }

@@ -180,16 +180,13 @@ object Extensions {
             col("n_capped_tokens").cast("long").as("doc_b"),
             col("max_bucket_size").cast("double").as("jaccard")))
       },
-      Some("""WITH w AS (
+      Some(raw"""WITH w AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
              |), sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM w WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |SELECT 'pair' AS kind, ix.doc_a, ix.doc_b,
              |       round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
@@ -231,16 +228,13 @@ object Extensions {
             col("n_capped_tokens").cast("long").as("doc_b"),
             col("max_bucket_size").cast("double").as("containment")))
       },
-      Some("""WITH w AS (
+      Some(raw"""WITH w AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
              |), sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM w WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |SELECT 'pair' AS kind, ix.doc_a, ix.doc_b,
              |       round(i::DOUBLE / sa.n, 6) AS containment
@@ -266,19 +260,7 @@ object Extensions {
     "ext88_variant_ingest" -> Q(
       (s, d) => {
         val base = s"/tmp/graft-ext/${d.replaceAll("[^A-Za-z0-9]", "_")}/variant_ingest"
-        val p = new org.apache.hadoop.fs.Path(base)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-        docs(s, d).select(
-            when(col("doc_id") % 3 === 0,
-              to_json(struct(col("doc_id"), col("text"),
-                struct(col("lang")).as("meta"))))
-            .when(col("doc_id") % 3 === 1,
-              to_json(struct(col("doc_id"), col("text"), col("lang"))))
-            .otherwise(
-              to_json(struct(col("doc_id"), col("text").as("body"))))
-            .as("value"))
-          .write.format("text").save(s"$base/corpus_jsonl")
+        Tables.stageDriftingJsonl(s, d, base)
         val job = graft.config.ConfigParser.parse(
           s"""job:
              |  name: ext-variant-ingest
@@ -357,15 +339,12 @@ object Extensions {
             col("n_capped_buckets").cast("long").as("doc_b"),
             col("max_bucket_size").cast("double").as("jaccard")))
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle, so the shingle-keyed equi-join enumerates
@@ -421,17 +400,14 @@ object Extensions {
             .otherwise("unique").as("verdict"),
             coalesce(col("family_rep"), col("cluster_id")).as("keeper_id"))
       },
-      Some("""WITH RECURSIVE sub AS (
+      Some(raw"""WITH RECURSIVE sub AS (
              |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
              |), sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM sub)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -524,16 +500,13 @@ object Extensions {
               col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
               lit(null).cast("double").as("jaccard")))
       },
-      Some("""WITH w AS (
+      Some(raw"""WITH w AS (
              |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents
              |), sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM w WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |SELECT 'pair' AS kind, ix.doc_id, ix.matched_bench_id,
              |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
@@ -568,15 +541,12 @@ object Extensions {
     "ext03_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashLsh(docs(s, d), "doc_id", "text",
         n = 3, k = 128, bands = 32, threshold = 0.8),
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle, so the shingle-keyed equi-join enumerates
@@ -615,16 +585,13 @@ object Extensions {
             lit(null).cast("double").as("jaccard"),
             lit(null).cast("int").as("edit_dist")))
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s,
              |         substr(text, 1, 512) AS t
              |  FROM (SELECT doc_id, text, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), jp AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -678,15 +645,12 @@ object Extensions {
         hubs.unionByName(families.select(col("doc_id"),
           lit(null).cast("long").as("degree")))
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -717,15 +681,12 @@ object Extensions {
     "ext12_winnow_dedup" -> Q(
       (s, d) => Dedup.winnowPairs(docs(s, d), "doc_id", "text",
         k = 12, w = 8, overlap = 0.7),
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |-- inverted-index exact form (r8): same rows as the all-pairs
              |-- join at index cost, not n² (see ext03's oracle note)
@@ -902,15 +863,12 @@ object Extensions {
     "ext20_jaccard_join" -> Q(
       (s, d) => Dedup.jaccardPairs(docs(s, d), "doc_id", "text",
         n = 3, threshold = 0.8),
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle, so the shingle-keyed equi-join enumerates
@@ -1104,15 +1062,12 @@ object Extensions {
           "text", n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
         Dedup.clusters(docs(s, d), "doc_id", Dedup.cappedEdges(pairs, families))
       },
-      Some("""WITH RECURSIVE sh AS MATERIALIZED (
+      Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -1264,15 +1219,12 @@ object Extensions {
           .select(col("doc_id"), col("bench_hit_id").as("matched_bench_id"),
             lit(null).cast("double").as("jaccard")))
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |-- inverted-index exact form (r8): cross-side jaccard > 0 needs a
              |-- shared shingle; same rows as all-pairs at index cost, not n²
@@ -1986,15 +1938,12 @@ object Extensions {
             .cast("long").as("n_words"))
         Dedup.keepBest(cl.select(col("doc_id"), col("cluster_id")), scores, "n_words")
       },
-      Some("""WITH RECURSIVE sh AS MATERIALIZED (
+      Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), pairs AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -2086,15 +2035,12 @@ object Extensions {
             (!(coalesce(col("__lex"), lit(false)) || coalesce(col("__sem"), lit(false))))
               .as("keep"))
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |), lex AS (
              |  -- inverted-index exact form (r8): any pair with jaccard > 0
              |  -- shares a shingle; same rows as the all-pairs join at index
@@ -2322,15 +2268,12 @@ object Extensions {
     "ext40_containment" -> Q(
       (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text",
         n = 3, threshold = 0.9),
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |-- inverted-index exact form (r8): containment > 0 requires a
              |-- shared shingle; ordered pairs via a.doc_id <> b.doc_id.

@@ -744,15 +744,7 @@ object Framework {
   private def fwVariant(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "variant")
     rmrf(s, base)
-    s.read.parquet(s"$d/documents.parquet").select(
-        when(col("doc_id") % 3 === 0,
-          to_json(struct(col("doc_id"), col("text"),
-            struct(col("lang")).as("meta"))))
-        .when(col("doc_id") % 3 === 1,
-          to_json(struct(col("doc_id"), col("text"), col("lang"))))
-        .otherwise(to_json(struct(col("doc_id"), col("text").as("body"))))
-        .as("value"))
-      .write.format("text").save(s"$base/corpus_jsonl")
+    Tables.stageDriftingJsonl(s, d, base)
     run(s,
       s"""job:
          |  name: fw-variant

@@ -208,12 +208,16 @@ object StreamingQueries {
           .filter(col("doc_id") % 10 =!= 0)
           .withColumn("text",
             when(col("doc_id") % 7 === 0, lit(boiler)).otherwise(col("text")))
-        val out = Streams.contaminationStreamCapped(s, d,
+        val (out, releaseIndex) = Streams.contaminationStreamCapped(s, d,
           n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 16,
           bench = Some(bench), stream = Some(stream))
-        Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
+        // runToMemory drains the query synchronously — the persisted
+        // index is released as soon as the stream is done with it
+        val drained = Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
+        releaseIndex()
+        drained
       },
-      Some("""WITH rw AS (
+      Some(raw"""WITH rw AS (
              |  SELECT doc_id,
              |         CASE WHEN doc_id % 10 <> 0 AND doc_id % 7 = 0
              |              THEN 'please verify you are human before continuing to the requested benchmark item page now'
@@ -225,10 +229,7 @@ object StreamingQueries {
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM w WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |SELECT ix.doc_id, ix.matched_bench_id,
              |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard,
@@ -537,15 +538,12 @@ object StreamingQueries {
           n = 3, k = 128, bands = 32, threshold = 0.8)
         Streams.runToMemory(s, flagged, "st07_contamination", OutputMode.Append())
       },
-      Some("""WITH sh AS (
+      Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
              |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
-             |), sz AS MATERIALIZED (
-             |  SELECT doc_id, len(s) AS n FROM sh
-             |), inv AS MATERIALIZED (
-             |  SELECT doc_id, unnest(s) AS g FROM sh
+${OracleSql.InvIndex}
              |)
              |-- inverted-index exact form (r8): cross-side jaccard > 0 needs a
              |-- shared shingle; same rows as all-pairs at index cost, not n²

@@ -33,4 +33,26 @@ object Tables {
       case _ => raw
     }
   }
+
+  /** Stage the DRIFTING three-shape JSON corpus shared by the VARIANT
+    * read-path (ext88) and sink-path (fw_variant) queries — one
+    * definition so both provably exercise the SAME heterogeneous data:
+    * doc_id % 3 = 0 → nested meta.lang, 1 → flat lang, 2 → body with
+    * NO lang. Deletes and rewrites `base`, returns the jsonl dir. */
+  def stageDriftingJsonl(s: SparkSession, dir: String, base: String): String = {
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.read.parquet(s"$dir/documents.parquet").select(
+        when(col("doc_id") % 3 === 0,
+          to_json(struct(col("doc_id"), col("text"),
+            struct(col("lang")).as("meta"))))
+        .when(col("doc_id") % 3 === 1,
+          to_json(struct(col("doc_id"), col("text"), col("lang"))))
+        .otherwise(
+          to_json(struct(col("doc_id"), col("text").as("body"))))
+        .as("value"))
+      .write.format("text").save(s"$base/corpus_jsonl")
+    s"$base/corpus_jsonl"
+  }
 }

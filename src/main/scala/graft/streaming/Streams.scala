@@ -403,25 +403,40 @@ object Streams {
     *
     * `bench` / `stream` replace the WHOLE benchmark frame / input
     * stream (the caller composes, as with the batch capped operators);
-    * defaults read the fixture split. */
+    * defaults read the fixture split.
+    *
+    * Returns (stream, releaseIndex): the second element unpersists the
+    * two index frames — call it AFTER stopping/draining the streaming
+    * query. The lease machinery cannot do this automatically here
+    * (micro-batches do not fire QueryExecutionListener), and a persist
+    * with no release accumulates block-manager storage across a long
+    * session per invocation — the leak class Caching exists to
+    * prevent. */
   def contaminationStreamCapped(spark: SparkSession, dir: String,
                                 n: Int = 3, k: Int = 128, bands: Int = 32,
                                 threshold: Double = 0.8, maxBucket: Int = 64,
                                 bench: Option[DataFrame] = None,
-                                stream: Option[DataFrame] = None): DataFrame = {
+                                stream: Option[DataFrame] = None): (DataFrame, () => Unit) = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
+    // bstatic is persisted only for the BUILD (both legs derive from
+    // it — without this the two forcing counts below would each re-run
+    // the whole shingle/minhash/window index pipeline), then dropped;
+    // the legs themselves stay cached for the stream's lifetime.
     val bstatic = benchIndex(spark, dir, n, k, bands, bench)
       .withColumn("bucket_size",
         count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val smallIdx = bstatic.filter(col("bucket_size") <= maxBucket)
       .select(col("bench_id"), col("bhs"), col("band_idx"), col("band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val cappedIdx = bstatic.filter(col("bucket_size") > maxBucket)
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(min(col("bench_id")).as("bench_hit_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     smallIdx.count(): Unit
     cappedIdx.count(): Unit
+    bstatic.unpersist(blocking = false)
     val sbanded = probeBanded(spark, dir, n, k, bands, stream)
     val verified = verifiedLeg(sbanded, smallIdx, threshold)
       .withColumn("kind", lit("verified"))
@@ -430,7 +445,11 @@ object Streams {
         lit(null).cast("double").as("jaccard"))
       .dropDuplicates("doc_id", "matched_bench_id")
       .withColumn("kind", lit("family_flag"))
-    verified.unionByName(flagged)
+    val out = verified.unionByName(flagged)
+    (out, () => {
+      smallIdx.unpersist(blocking = false)
+      cappedIdx.unpersist(blocking = false): Unit
+    })
   }
 
   /** As [[readEventsStream]] but the fixture is staged TWICE (two files
