@@ -343,7 +343,15 @@ object Dedup {
     * [[minhashLshCapped]] accounting), with the per-pair Jaccard verify
     * deliberately skipped for exactly those docs the cap protects the
     * job from. Below the cap the pair output is IDENTICAL to
-    * [[contaminatedNear]] (DedupSpec pins it). */
+    * [[contaminatedNear]] (DedupSpec pins it).
+    *
+    * PRECONDITION (same as [[contaminatedNear]], and load-bearing here):
+    * ids must be DISJOINT across the two frames. Side labels and the
+    * capped report join back on bare doc_id from the train∪bench union;
+    * an id appearing on both sides would match BOTH side rows —
+    * duplicated join rows, inflated n_capped_buckets, mislabeled pair
+    * sides — with no error. Callers with colliding id spaces must remap
+    * (e.g. negate one side, the st35 fixture's convention) first. */
   def contaminatedNearCapped(train: DataFrame, bench: DataFrame,
                              idCol: String, textCol: String, n: Int = 3,
                              k: Int = 128, bands: Int = 32,
@@ -518,7 +526,8 @@ object Dedup {
   def dupHubs(docs: DataFrame, idCol: String, textCol: String,
               n: Int = 3, k: Int = 128, bands: Int = 32,
               threshold: Double = 0.8, minDegree: Int = 2): DataFrame =
-    hubDegrees(minhashLsh(docs, idCol, textCol, n, k, bands, threshold), minDegree)
+    hubDegrees(minhashLsh(docs, idCol, textCol, n, k, bands, threshold))
+      .filter(col("degree") >= minDegree)
 
   /** [[dupHubs]] with the [[minhashLshCapped]] bucket cap: (hubs from
     * sub-cap verified pairs, capped family report). A capped-family
@@ -529,7 +538,11 @@ object Dedup {
     * degree frame: a doc can hold sub-cap verified partners through its
     * OTHER bands too, and emitting it in both frames would leave the
     * union a caller builds (ext69's shape) double-keyed on doc_id — one
-    * verdict per doc, the family row winning. Below the cap the hub
+    * verdict per doc, the family row winning. The residual information
+    * is NOT dropped (ADVICE r8): the family report gains a
+    * `sub_cap_degree` column — the member's verified-pair degree through
+    * its sub-cap bands (null if none) — so a caller aggregating degrees
+    * still sees every doc's countable partners. Below the cap the hub
     * output is IDENTICAL to [[dupHubs]] (DedupSpec pins it). */
   def dupHubsCapped(docs: DataFrame, idCol: String, textCol: String,
                     n: Int = 3, k: Int = 128, bands: Int = 32,
@@ -537,17 +550,23 @@ object Dedup {
                     maxBucket: Int = 64): (DataFrame, DataFrame) = {
     val (pairs, families) =
       minhashLshCapped(docs, idCol, textCol, n, k, bands, threshold, maxBucket)
-    val hubs = hubDegrees(pairs, minDegree)
-      .join(families.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    (hubs, families)
+    // degrees are pair-graph-sized (tiny); leased because both the hub
+    // filter and the family annotation consume them
+    val deg = hubDegrees(pairs)
+    graft.util.Caching.leased2(deg) {
+      val hubs = deg.filter(col("degree") >= minDegree)
+        .join(families.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val annotated = families.join(
+        deg.withColumnRenamed("degree", "sub_cap_degree"), Seq("doc_id"), "left")
+      (hubs, annotated)
+    }
   }
 
-  private def hubDegrees(pairs: DataFrame, minDegree: Int): DataFrame =
+  private def hubDegrees(pairs: DataFrame): DataFrame =
     pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("degree"))
-      .filter(col("degree") >= minDegree)
 
   /** EXACT n-gram-Jaccard near-dup pairs via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al., WWW'07; Xiao et al.,

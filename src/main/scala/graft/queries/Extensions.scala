@@ -634,16 +634,18 @@ ${OracleSql.InvIndex}
     // against MANY documents; its degree is the drop-the-family signal.
     // Oracle: degree count over the all-pairs Jaccard truth.
     // The capped form: a capped-family member IS a hub by construction
-    // (≥ maxBucket band-mates) and surfaces as a NULL-degree row from
-    // the family report instead of via |family|² pair degrees; none
-    // exist on this fixture (cap 64), so the loud-drift rule applies.
+    // (≥ maxBucket band-mates) and surfaces via the family report with
+    // its residual sub-cap verified degree as the degree column (null
+    // for identical-content families, whose every bucket is over-cap —
+    // ADVICE r8: the residual is carried, not dropped); none exist on
+    // this fixture (cap 64), so the loud-drift rule applies.
     "ext69_dup_hubs" -> Q(
       (s, d) => {
         val (hubs, families) = Dedup.dupHubsCapped(docs(s, d), "doc_id", "text",
           n = 3, k = 128, bands = 32, threshold = 0.8, minDegree = 2,
           maxBucket = 64)
         hubs.unionByName(families.select(col("doc_id"),
-          lit(null).cast("long").as("degree")))
+          col("sub_cap_degree").as("degree")))
       },
       Some(raw"""WITH sh AS (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),

@@ -212,10 +212,13 @@ object StreamingQueries {
           n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 16,
           bench = Some(bench), stream = Some(stream))
         // runToMemory drains the query synchronously — the persisted
-        // index is released as soon as the stream is done with it
-        val drained = Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
-        releaseIndex()
-        drained
+        // index is released as soon as the stream is done with it,
+        // INCLUDING when the drain throws (ADVICE r8: the explicit-handle
+        // path bypasses Caching's action-count backstop, so a failed
+        // drain would otherwise leak the MEMORY_AND_DISK index for the
+        // session)
+        try Streams.runToMemory(s, out, "st35_capped", OutputMode.Append())
+        finally releaseIndex()
       },
       Some(raw"""WITH rw AS (
              |  SELECT doc_id,

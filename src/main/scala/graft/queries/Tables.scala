@@ -43,14 +43,21 @@ object Tables {
     val p = new org.apache.hadoop.fs.Path(base)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
+    // ignoreNullFields=false: to_json's default DROPS null fields, so a
+    // null lang in a shape-0/1 row would silently become shape-2's
+    // "no lang key" and the VARIANT readers would coalesce it to 'und'
+    // where the oracle (reading the parquet lang column) keeps NULL.
+    // The fixture has no null langs today; this pins the contract so a
+    // fixture change can't open a latent oracle mismatch (ADVICE r8).
+    val jsonOpts = Map("ignoreNullFields" -> "false")
     s.read.parquet(s"$dir/documents.parquet").select(
         when(col("doc_id") % 3 === 0,
           to_json(struct(col("doc_id"), col("text"),
-            struct(col("lang")).as("meta"))))
+            struct(col("lang")).as("meta")), jsonOpts))
         .when(col("doc_id") % 3 === 1,
-          to_json(struct(col("doc_id"), col("text"), col("lang"))))
+          to_json(struct(col("doc_id"), col("text"), col("lang")), jsonOpts))
         .otherwise(
-          to_json(struct(col("doc_id"), col("text").as("body"))))
+          to_json(struct(col("doc_id"), col("text").as("body")), jsonOpts))
         .as("value"))
       .write.format("text").save(s"$base/corpus_jsonl")
     s"$base/corpus_jsonl"

@@ -443,6 +443,30 @@ class DedupSpec extends SparkSpec {
     assert(famH.isEmpty)
   }
 
+  test("dupHubsCapped: family report carries the residual sub-cap degree") {
+    import spark.implicits._
+    val boiler = "accept all cookies to continue reading this syndicated article"
+    val other = "completely unrelated short pair text about gardening tools today"
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName((1 to 20).map(i => (-i.toLong, boiler)).toDF("doc_id", "text"))
+      .unionByName(Seq((-101L, other), (-102L, other)).toDF("doc_id", "text"))
+    val (hubs, fams) = Dedup.dupHubsCapped(corpus, "doc_id", "text",
+      minDegree = 1, maxBucket = 8)
+    // the identical-content family: every band bucket IS the whole
+    // 20-doc family (> cap), so members have no sub-cap verified
+    // partners — the residual column exists and is null for all 20
+    val famRows = fams.filter($"doc_id" < 0).collect()
+    assert(famRows.length == 20)
+    assert(famRows.forall(_.isNullAt(famRows.head.fieldIndex("sub_cap_degree"))))
+    // the planted sub-cap pair is NOT a family: each end is a degree-1
+    // hub through the verified-pair frame
+    val pairHubs = hubs.filter($"doc_id".isin(-101L, -102L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairHubs == Set((-101L, 1L), (-102L, 1L)))
+    assert(fams.filter($"doc_id".isin(-101L, -102L)).isEmpty)
+  }
+
   test("capped cross-side family: zero family pairs, train members flagged") {
     import spark.implicits._
     val dd = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
