@@ -59,6 +59,48 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(k)
 
+  /** EXACT heavy hitters over an UNBOUNDED item domain — every item
+    * whose frequency exceeds n/(k+1) of the n total items, with its
+    * exact count. The classic sketch-then-recount two-pass:
+    *
+    *   1. one [[graft.functions.MisraGries]] aggregation (≤ k counters
+    *      per partial, map-side combined — the shuffle carries ≤ k
+    *      entries per map task) yields a candidate array that PROVABLY
+    *      contains every true heavy hitter (undercount ≤ n/(k+1),
+    *      Agarwal et al. PODS'12), alongside the exact total n;
+    *   2. a second scan recounts ONLY candidate-matching rows — the
+    *      single-row (candidates, n) frame broadcasts, the candidate
+    *      explode is ≤ k rows, the recount's group state is ≤ k keys —
+    *      and the exact filter `cnt · (k+1) > n` keeps precisely the
+    *      true heavy hitters.
+    *
+    * The output is therefore EXACT and deterministic even though the
+    * intermediate candidate set is partition-order-dependent (the LSH
+    * candidates discipline: a nondeterministic superset, a deterministic
+    * final answer). Contrast with [[vocabTopK]]'s plain count aggregate,
+    * whose hash state is one counter per DISTINCT item: right for a
+    * bounded vocabulary, a job-killer over URLs / n-grams / session ids
+    * at 100 TB, where this operator's state stays k counters regardless
+    * of domain size. Two narrow scans beat persisting the exploded item
+    * stream (strictly larger than the input — the [[vocabCoverage]]
+    * discipline). Nulls are excluded from both n and the candidates.
+    * Output: (item, cnt, n_items). */
+  def heavyHitters(items: DataFrame, itemCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val spark = items.sparkSession
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    val it = items.select(itemCol.as("item")).filter(col("item").isNotNull)
+    val sketch = it.agg(
+      expr(s"misra_gries(item, $k)").as("cands"),
+      count(lit(1)).as("n_items"))
+    val cands = sketch.select(explode(col("cands")).as("item"), col("n_items"))
+    it.join(broadcast(cands), "item")
+      .groupBy(col("item"), col("n_items"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n_items"))
+      .select(col("item"), col("cnt"), col("n_items"))
+  }
+
   /** Blocklist filter (the C4 bad-words pass): per document, how many
     * DISTINCT blocklist terms its lowercased tokens contain, and the
     * keep verdict (zero hits). The blocklist is a plan-time literal

@@ -112,6 +112,12 @@ object GraftExtensions {
         require(children.size == 3, s"winnow_fps expects (text, k, w), got ${children.size} args")
         graft.functions.WinnowingFingerprints(children.head,
           litInt(children(1), "winnow_fps k"), litInt(children(2), "winnow_fps w"))
+      }),
+    (new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, s"misra_gries expects (item_string, k), got ${children.size} args")
+        graft.functions.MisraGries(children.head, litInt(children(1), "misra_gries k"))
       }))
 
   /** Imperative registration into an existing session (idempotent) — for

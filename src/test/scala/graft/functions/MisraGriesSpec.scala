@@ -1,0 +1,74 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.TextAnalysis
+
+class MisraGriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("candidate array is a superset of every item above n/(k+1)") {
+    // 2000 distinct light items (1 occurrence each) + 3 heavy items,
+    // spread across partitions so partials genuinely merge
+    val light = (1 to 2000).map(i => s"light_$i")
+    val heavy = Seq.fill(400)("alpha") ++ Seq.fill(300)("beta") ++ Seq.fill(200)("gamma")
+    val df = spark.createDataset(scala.util.Random.shuffle(light ++ heavy))
+      .repartition(8).toDF("item")
+    val n = 2000 + 900
+    val k = 16 // threshold n/(k+1) = 170.6 — all three heavies qualify
+    val cands = df.agg(expr(s"misra_gries(item, $k)").as("c"))
+      .selectExpr("explode(c) AS item").as[String].collect().toSet
+    assert(cands.size <= k)
+    assert(Set("alpha", "beta", "gamma").subsetOf(cands))
+    assert(n / (k + 1) < 200) // the guarantee actually covers gamma
+  }
+
+  test("buffer never exceeds k and survives serialize round-trip") {
+    val mg = MisraGries(org.apache.spark.sql.catalyst.expressions.Literal("x"), 4)
+    val buf = mg.createAggregationBuffer()
+    import org.apache.spark.unsafe.types.UTF8String
+    Seq("a", "b", "c", "d", "e", "a", "a", "f", "b").foreach { s =>
+      val other = mg.createAggregationBuffer()
+      other.put(UTF8String.fromString(s), 1L)
+      mg.merge(buf, other): Unit
+    }
+    assert(buf.size() <= 4)
+    val round = mg.deserialize(mg.serialize(buf))
+    assert(round == buf)
+  }
+
+  test("merge subtracts the (k+1)-th largest and keeps error additive") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val mg = MisraGries(org.apache.spark.sql.catalyst.expressions.Literal("x"), 2)
+    val a = mg.createAggregationBuffer()
+    a.put(UTF8String.fromString("p"), 10L)
+    a.put(UTF8String.fromString("q"), 4L)
+    val b = mg.createAggregationBuffer()
+    b.put(UTF8String.fromString("r"), 6L)
+    b.put(UTF8String.fromString("q"), 3L)
+    val m = mg.merge(a, b)
+    // counters: p=10, q=7, r=6 → 3rd largest is 6 → p=4, q=1, r dropped
+    assert(m.size() == 2)
+    assert(m.get(UTF8String.fromString("p")) == 4L)
+    assert(m.get(UTF8String.fromString("q")) == 1L)
+  }
+
+  test("heavyHitters end-to-end: exact counts, exact membership") {
+    val light = (1 to 500).map(i => s"light_$i")
+    val heavy = Seq.fill(120)("hot") ++ Seq.fill(90)("warm")
+    val df = spark.createDataset(scala.util.Random.shuffle(light ++ heavy))
+      .repartition(8).toDF("item")
+    val k = 8 // n = 710, threshold 710/9 = 78.9 → hot and warm qualify
+    val out = TextAnalysis.heavyHitters(df, col("item"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("hot", 120L, 710L), ("warm", 90L, 710L)))
+  }
+
+  test("null items are excluded from n and from candidates") {
+    val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("item")
+    val out = TextAnalysis.heavyHitters(df, col("item"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // n = 4 (null excluded); threshold 4/3 — a(3) qualifies, b(1) not
+    assert(out == Set(("a", 3L, 4L)))
+  }
+}
