@@ -93,8 +93,19 @@ object TextAnalysis {
     val sketch = it.agg(
       expr(s"misra_gries(item, $k)").as("cands"),
       count(lit(1)).as("n_items"))
+    heavyHittersRecount(it, sketch, k)
+  }
+
+  /** The exact-recount second pass of [[heavyHitters]], separable so a
+    * STREAMING sketch (st36: the Misra-Gries aggregate running in a
+    * Complete-mode streaming query) can be certified by the same batch
+    * verification. `sketch` is the single-row (cands array<string>,
+    * n_items long) frame; `items` must be (a re-derivation of) the
+    * stream the sketch summarized, with the item column named `item`. */
+  def heavyHittersRecount(items: DataFrame, sketch: DataFrame, k: Int): DataFrame = {
     val cands = sketch.select(explode(col("cands")).as("item"), col("n_items"))
-    it.join(broadcast(cands), "item")
+    items.select(col("item")).filter(col("item").isNotNull)
+      .join(broadcast(cands), "item")
       .groupBy(col("item"), col("n_items"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * (k + 1) > col("n_items"))

@@ -221,36 +221,9 @@ ${OracleSql.InvIndex}
     // OUTPUT exact — the oracle recomputes it as a plain
     // GROUP BY ... HAVING.
     "ext98_heavy_hitters" -> Q(
-      (s, d) => {
-        val boiler = "granite lighthouses hum beneath amber fog while " +
-          "copper gulls spiral over quiet breakwaters"
-        val rw = docs(s, d).select(
-          when(col("doc_id") % 2 === 0, lit(boiler))
-            .otherwise(col("text")).as("text"))
-        val w = col("__w")
-        val bi = rw.select(
-            filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("__w"))
-          .select(explode(when(size(w) >= 2,
-            transform(sequence(lit(1), size(w) - 1),
-              i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-            .otherwise(array().cast("array<string>"))).as("item"))
-        TextAnalysis.heavyHitters(bi, col("item"), k = 96)
-      },
-      Some(raw"""WITH rw AS (
-             |  SELECT CASE WHEN doc_id % 2 = 0
-             |              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'
-             |              ELSE text END AS text
-             |  FROM documents
-             |), t AS (
-             |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM rw
-             |), bi AS (
-             |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS item
-             |  FROM t WHERE len(w) >= 2
-             |), tot AS (SELECT count(*) AS n_items FROM bi)
-             |SELECT item, CAST(count(*) AS BIGINT) AS cnt, tot.n_items
-             |FROM bi, tot
-             |GROUP BY item, tot.n_items
-             |HAVING count(*) * 97 > tot.n_items""".stripMargin)),
+      (s, d) => TextAnalysis.heavyHitters(
+        Tables.boilerBigrams(docs(s, d)), col("item"), k = 96),
+      Some(OracleSql.HeavyHittersBigrams)),
 
     "ext97_containment_capped" -> Q(
       (s, d) => {

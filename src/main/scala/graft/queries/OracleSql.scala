@@ -20,4 +20,25 @@ private[queries] object OracleSql {
     "             |  SELECT doc_id, len(s) AS n FROM sh\n" +
     "             |), inv AS MATERIALIZED (\n" +
     "             |  SELECT doc_id, unnest(s) AS g FROM sh"
+
+  /** Shared COMPLETE oracle for the heavy-hitters twins (ext98 batch,
+    * st36 streaming): the exact GROUP BY ... HAVING truth the two-pass
+    * sketch+recount operator must equal — every bigram of the
+    * boilerplate-rewritten corpus with count · (k+1) > n, k = 96. */
+  val HeavyHittersBigrams: String =
+    raw"""WITH rw AS (
+         |  SELECT CASE WHEN doc_id % 2 = 0
+         |              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'
+         |              ELSE text END AS text
+         |  FROM documents
+         |), t AS (
+         |  SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM rw
+         |), bi AS (
+         |  SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS item
+         |  FROM t WHERE len(w) >= 2
+         |), tot AS (SELECT count(*) AS n_items FROM bi)
+         |SELECT item, CAST(count(*) AS BIGINT) AS cnt, tot.n_items
+         |FROM bi, tot
+         |GROUP BY item, tot.n_items
+         |HAVING count(*) * 97 > tot.n_items""".stripMargin
 }

@@ -1185,6 +1185,28 @@ ${OracleSql.InvIndex}
              |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events
              |FROM ranked, mx
              |WHERE rk > 1 OR greatest((end_us // 1000) + 1800000, 1) < (max_us // 1000) - 1800000
-             |GROUP BY user_id""".stripMargin))
+             |GROUP BY user_id""".stripMargin)),
+
+    // Heavy hitters AT INGEST: the streaming twin of ext98. The
+    // Misra-Gries sketch runs as the STREAMING pass — a Complete-mode
+    // global aggregate whose state is ≤ k counters plus one long no
+    // matter how long the stream runs (contrast a groupBy(item) count,
+    // whose state grows with the item domain) — and the exact-recount
+    // certification runs BATCH-side over the drained single-row sketch,
+    // the production shape: sketch online, certify offline. The PODS'12
+    // superset guarantee survives the state-store merge sequence, so
+    // the certified output is exact and shares ext98's oracle verbatim
+    // (Tables.boilerBigrams is the one fixture definition).
+    "st36_stream_heavy_hitters" -> Q(
+      (s, d) => {
+        graft.sql.GraftExtensions.ensureRegistered(s)
+        val sketched = Tables.boilerBigrams(Streams.readDocumentsStream(s, d))
+          .agg(expr("misra_gries(item, 96)").as("cands"),
+               count(lit(1)).as("n_items"))
+        val sk = Streams.runToMemory(s, sketched, "st36_hh", OutputMode.Complete())
+        graft.operators.TextAnalysis.heavyHittersRecount(
+          Tables.boilerBigrams(s.read.parquet(s"$d/documents.parquet")), sk, k = 96)
+      },
+      Some(OracleSql.HeavyHittersBigrams))
   )
 }

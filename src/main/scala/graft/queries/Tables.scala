@@ -34,6 +34,28 @@ object Tables {
     }
   }
 
+  /** The heavy-hitters fixture shared by ext98 (batch) and st36
+    * (streaming): every 2nd document rewritten to a fixed 13-word
+    * boilerplate (the planted heavy family — its 12 bigrams), then
+    * exploded to adjacent token bigrams. One definition so the batch
+    * and streaming twins provably score the SAME item stream, and so
+    * the streaming sketch's batch verification pass re-derives the
+    * identical corpus. Works on batch and streaming frames alike
+    * (narrow codegen'd projections only). */
+  def boilerBigrams(docs: DataFrame): DataFrame = {
+    val boiler = "granite lighthouses hum beneath amber fog while " +
+      "copper gulls spiral over quiet breakwaters"
+    val w = col("__w")
+    docs.select(
+        when(col("doc_id") % 2 === 0, lit(boiler))
+          .otherwise(col("text")).as("text"))
+      .select(filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("__w"))
+      .select(explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+        .otherwise(array().cast("array<string>"))).as("item"))
+  }
+
   /** Stage the DRIFTING three-shape JSON corpus shared by the VARIANT
     * read-path (ext88) and sink-path (fw_variant) queries — one
     * definition so both provably exercise the SAME heterogeneous data:
