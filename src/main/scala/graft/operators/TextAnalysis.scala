@@ -460,6 +460,81 @@ object TextAnalysis {
     }
   }
 
+  /** BM25 top-k retrieval (Robertson & Walker, SIGIR'94; the Okapi
+    * scoring every lexical retrieval stack actually ships) — [[tfidfTopK]]
+    * plus the two BM25 ingredients it lacks: TERM-FREQUENCY SATURATION
+    * (tf·(k1+1)/(tf+k1·…): the 50th occurrence of a term adds almost
+    * nothing) and LENGTH NORMALIZATION (b·dl/avgdl: long documents stop
+    * winning by repetition). k1 = 1.2, b = 0.75, the standard constants.
+    *
+    * Engine-exact arithmetic (the [[tfidfTopK]] discipline, extended):
+    *   - idf is the Robertson ratio (N−df+0.5)/(df+0.5) WITHOUT the ln —
+    *     ln is not bit-replayable across engines; the ratio is spelled
+    *     exactly as the integer (2(N−df)+1)·1000 div (2df+1), milli-units
+    *   - the denominator tf + k1(1−b) + k1·b·dl·N/AD is scaled to
+    *     micro-units: tf·1e6 + 3e5 + floor(9e5·(dl·N)/AD + 0.5) — dl·N is
+    *     an exact integer product, then ONE correctly-rounded IEEE
+    *     division (the idf_e6 rule), so both engines land the same long
+    *   - each per-(query,doc,term) contribution is one integer floor
+    *     division (idf_e3·22·tf_d·tf_q·1e6 div den_e6, ≈ score·1e4), and
+    *     the final score an exact integer SUM — no float accumulation,
+    *     total (score desc, doc_id) rank order.
+    * Overflow bound: the numerator needs idf_e3·tf_d·tf_q < 2^63/22e6 ≈
+    * 4.2e11 — safe through ~1e8 corpus docs at tf ≤ 100; ANSI mode
+    * (Spark 4 default) errors loudly beyond it, and a larger corpus
+    * drops the idf scale one decade (the constants are in one place).
+    *
+    * Scale shape: identical probe to [[tfidfTopK]] — everything narrows
+    * to the query vocabulary before touching corpus-sized data; the ONE
+    * new corpus-sized frame is per-doc length dl (a reuse of the leased
+    * tf table, map-side combined), joined doc-keyed AFTER the broadcast
+    * token probe has already narrowed the stream to candidate rows (AQE
+    * broadcasts the candidate side). Same `maxQueryTerms` rarest-term
+    * pruning, same SEMANTIC-default caveat. */
+  def bm25TopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, k: Int = 5, maxQueryTerms: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxQueryTerms > 0, "maxQueryTerms must be positive")
+    import org.apache.spark.sql.expressions.Window
+    def tf(df: DataFrame, out: String, cnt: String) =
+      df.select(col(idCol).as(out),
+          explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+        .groupBy(col(out), col("token")).agg(count(lit(1)).as(cnt))
+    val tfC = tf(corpus, "doc_id", "tf_d")
+    val tfQ = tf(queries, "q_id", "tf_q")
+    graft.util.Caching.leased(tfC) {
+      val qTokens = tfQ.select(col("token")).distinct()
+      val dfreq = tfC.join(broadcast(qTokens), "token")
+        .groupBy(col("token")).agg(count(lit(1)).as("df"))
+      // one row: corpus doc count N and total token count AD (avgdl = AD/N)
+      val stats = tfC.agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("tf_d")).as("total_tokens"))
+      val dls = tfC.groupBy(col("doc_id")).agg(sum(col("tf_d")).as("dl"))
+      val qSel = tfQ.join(dfreq, "token")
+        .withColumn("trnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("df").asc, col("token").asc)))
+        .filter(col("trnk") <= maxQueryTerms)
+      val qWeights = qSel.crossJoin(broadcast(stats))
+        .select(col("token"), col("q_id"), col("tf_q"),
+          expr("((2 * (n_docs - df) + 1) * 1000) div (2 * df + 1)").as("idf_e3"),
+          col("n_docs"), col("total_tokens"))
+      tfC.join(broadcast(qWeights), "token")
+        .join(dls, "doc_id")
+        .withColumn("den_e6",
+          col("tf_d") * lit(1000000L) + lit(300000L) +
+            floor(lit(9e5) * (col("dl") * col("n_docs")).cast("double") /
+              col("total_tokens").cast("double") + 0.5).cast("long"))
+        .withColumn("contrib_e4",
+          expr("(idf_e3 * 22 * tf_d * tf_q * 1000000) div den_e6"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("contrib_e4")).as("score_e4"), count(lit(1)).as("n_terms"))
+        .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("score_e4").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= k)
+        .select(col("q_id"), col("doc_id"), col("score_e4"), col("n_terms"), col("rnk"))
+    }
+  }
+
   /** Pretraining sequence packing: assign every document a position in a
     * fixed-size token-sequence layout (`seqTokens` tokens per training
     * sequence, documents packed back-to-back in doc_id order, split

@@ -1820,6 +1820,65 @@ ${OracleSql.InvIndex}
              |)
              |SELECT q_id, doc_id, score_e6, n_terms, rnk FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // BM25 retrieval (the Okapi scorer lexical stacks actually ship):
+    // ext44's inverted-index probe plus tf saturation and length
+    // normalization, all in engine-exact integer arithmetic (ratio idf
+    // in milli-units, micro-scaled denominator with ONE correctly-
+    // rounded IEEE division for dl·N/AD, integer floor-div per term,
+    // integer sum) — the oracle replays every step with `//`.
+    "ext99_bm25_topk" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.bm25TopK(
+          all.filter(col("doc_id") % 50 =!= 0),
+          all.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", k = 5)
+      },
+      Some("""WITH tk AS (
+             |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents
+             |), tf AS (
+             |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), cc AS (
+             |  SELECT * FROM tf WHERE doc_id % 50 <> 0
+             |), qq AS (
+             |  SELECT doc_id AS q_id, token, c AS tf_q FROM tf WHERE doc_id % 50 = 0
+             |), dfreq AS (
+             |  SELECT token, count(*) AS df FROM cc GROUP BY token
+             |), st AS (
+             |  SELECT count(DISTINCT doc_id) AS n_docs, sum(c) AS total_tokens FROM cc
+             |), dls AS (
+             |  SELECT doc_id, sum(c) AS dl FROM cc GROUP BY doc_id
+             |), idf AS (
+             |  SELECT token, df,
+             |         ((2 * (st.n_docs - df) + 1) * 1000) // (2 * df + 1) AS idf_e3
+             |  FROM dfreq CROSS JOIN st
+             |), qsel AS (
+             |  SELECT q_id, token, tf_q FROM (
+             |    SELECT qq.q_id, qq.token, qq.tf_q,
+             |           row_number() OVER (PARTITION BY qq.q_id
+             |             ORDER BY d.df ASC, qq.token ASC) AS trnk
+             |    FROM qq JOIN dfreq d USING (token))
+             |  WHERE trnk <= 16
+             |), sc AS (
+             |  SELECT qsel.q_id, cc.doc_id,
+             |         CAST(sum((idf.idf_e3 * 22 * cc.c * qsel.tf_q * 1000000)
+             |           // (cc.c * 1000000 + 300000 +
+             |              CAST(floor(900000.0 * (dls.dl * st.n_docs)::DOUBLE / st.total_tokens + 0.5) AS BIGINT))) AS BIGINT) AS score_e4,
+             |         count(*) AS n_terms
+             |  FROM qsel
+             |  JOIN cc USING (token)
+             |  JOIN idf ON idf.token = qsel.token
+             |  JOIN dls ON dls.doc_id = cc.doc_id
+             |  CROSS JOIN st
+             |  GROUP BY 1, 2
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY q_id
+             |                               ORDER BY score_e4 DESC, doc_id) AS rnk
+             |  FROM sc
+             |)
+             |SELECT q_id, doc_id, score_e4, n_terms, rnk FROM r WHERE rnk <= 5""".stripMargin)),
+
     // bigram-LM document score (KenLM-filter analog): mean corpus
     // conditional probability of the doc's adjacent bigrams — per-bigram
     // IEEE division floored to micros, then integer sum/mean, so the

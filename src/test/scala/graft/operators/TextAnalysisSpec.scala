@@ -338,6 +338,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.size == 4)
   }
 
+  test("bm25TopK: tf saturation and length normalization") {
+    val corpus = Seq(
+      (1L, "apple f1 f2 f3 f4 f5 f6 f7 f8 f9"), // tf 1, dl 10
+      (2L, ("apple " * 10).trim),               // tf 10, dl 10
+      (3L, "cherry c1"),                        // tf 1, dl 2
+      (4L, "cherry " + (1 to 19).map(i => s"d$i").mkString(" ")) // tf 1, dl 20
+    ).toDF("doc_id", "text")
+    val queries = Seq((99L, "apple"), (98L, "cherry")).toDF("doc_id", "text")
+    val r = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text", k = 4)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getAs[Long]("score_e4"), x.getAs[Int]("rnk")))).toMap
+    // saturation: ten occurrences in the SAME-LENGTH doc score under
+    // 2.1x one occurrence (a tf-linear scorer would say 10x):
+    // 2.2·10/(10+1.2) vs 2.2·1/(1+1.2) → ratio ≈ 1.96
+    val s1 = r((99L, 1L))._1
+    val s2 = r((99L, 2L))._1
+    assert(s2 > s1 && s2 < s1 * 21 / 10)
+    // length normalization: same tf=1, the 2-token doc outranks the
+    // 20-token doc (a normalization-free scorer ties them)
+    assert(r((98L, 3L))._1 > r((98L, 4L))._1)
+    assert(r((98L, 3L))._2 == 1)
+  }
+
   test("lengthQuantiles: hand-computed interpolated quantiles and exact mean") {
     val docs = Seq(
       (1L, "a", "s"), (2L, "a b", "s"), (3L, "a b c", "s"), (4L, "a b c d", "s"),
