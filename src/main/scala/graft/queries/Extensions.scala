@@ -423,27 +423,7 @@ ${OracleSql.InvIndex}
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM sub)
              |  WHERE len(w) >= 3
 ${OracleSql.InvIndex}
-             |), pairs AS (
-             |  -- inverted-index exact form (r8): any pair with jaccard > 0
-             |  -- shares a shingle; same rows as the all-pairs join at index
-             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
-             |  SELECT ix.doc_a, ix.doc_b
-             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-             |        GROUP BY 1, 2) ix
-             |  JOIN sz sa ON sa.doc_id = ix.doc_a
-             |  JOIN sz sb ON sb.doc_id = ix.doc_b
-             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
-             |), edges AS MATERIALIZED (
-             |  SELECT doc_a AS s, doc_b AS d FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs
-             |), reach(src, dst) AS (
-             |  SELECT s, d FROM edges
-             |  UNION
-             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-             |), comp AS (
-             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-             |  FROM reach GROUP BY src
+${OracleSql.Components}
              |), clusters AS (
              |  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cluster_id
              |  FROM sub s LEFT JOIN comp c USING (doc_id)
@@ -1073,6 +1053,44 @@ ${OracleSql.InvIndex}
     // families (which share every band) the components, and therefore
     // every output column, equal the uncapped truth exactly (DedupSpec
     // pins it); no natural bucket here exceeds the cap.
+    // LEAKAGE-FREE train/val/test split: the naive md5(doc_id) split
+    // (ext21's shape) puts near-copies of one document on BOTH sides of
+    // the train/test boundary — the canonical eval-contamination bug.
+    // Here the split key is the near-dup CLUSTER id (capped LSH pairs +
+    // star edges → components, ext27's discipline), so every member of
+    // a cluster lands in the SAME split by construction. The oracle
+    // recomputes components recursively and replays the identical
+    // md5(cluster_id:salt) bucketing.
+    "ext100_cluster_split" -> Q(
+      (s, d) => {
+        val dd = docs(s, d)
+        val (pairs, families) = Dedup.minhashLshCapped(dd, "doc_id",
+          "text", n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
+        val cl = Dedup.clusters(dd, "doc_id", Dedup.cappedEdges(pairs, families))
+        Sampling.split(cl, "cluster_id", "r9", 8000, 1000)
+          .select(col("doc_id"), col("cluster_id"), col("bucket"), col("split"))
+      },
+      Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+${OracleSql.InvIndex}
+${OracleSql.Components}
+             |), lab AS (
+             |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+             |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |), b AS (
+             |  SELECT doc_id, cluster_id,
+             |         CAST(('0x' || substr(md5(cluster_id::VARCHAR || ':r9'), 1, 8))::BIGINT % 10000 AS BIGINT) AS bucket
+             |  FROM lab
+             |)
+             |SELECT doc_id, cluster_id, bucket,
+             |       CASE WHEN bucket < 8000 THEN 'train'
+             |            WHEN bucket < 9000 THEN 'val'
+             |            ELSE 'test' END AS split
+             |FROM b""".stripMargin)),
+
     "ext27_dedup_clusters" -> Q(
       (s, d) => {
         val (pairs, families) = Dedup.minhashLshCapped(docs(s, d), "doc_id",
@@ -1085,27 +1103,7 @@ ${OracleSql.InvIndex}
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
 ${OracleSql.InvIndex}
-             |), pairs AS (
-             |  -- inverted-index exact form (r8): any pair with jaccard > 0
-             |  -- shares a shingle; same rows as the all-pairs join at index
-             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
-             |  SELECT ix.doc_a, ix.doc_b
-             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-             |        GROUP BY 1, 2) ix
-             |  JOIN sz sa ON sa.doc_id = ix.doc_a
-             |  JOIN sz sb ON sb.doc_id = ix.doc_b
-             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
-             |), edges AS MATERIALIZED (
-             |  SELECT doc_a AS s, doc_b AS d FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs
-             |), reach(src, dst) AS (
-             |  SELECT s, d FROM edges
-             |  UNION
-             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-             |), comp AS (
-             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-             |  FROM reach GROUP BY src
+${OracleSql.Components}
              |), sizes AS (
              |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
              |)
@@ -2020,27 +2018,7 @@ ${OracleSql.InvIndex}
              |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
              |  WHERE len(w) >= 3
 ${OracleSql.InvIndex}
-             |), pairs AS (
-             |  -- inverted-index exact form (r8): any pair with jaccard > 0
-             |  -- shares a shingle; same rows as the all-pairs join at index
-             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
-             |  SELECT ix.doc_a, ix.doc_b
-             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
-             |        GROUP BY 1, 2) ix
-             |  JOIN sz sa ON sa.doc_id = ix.doc_a
-             |  JOIN sz sb ON sb.doc_id = ix.doc_b
-             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
-             |), edges AS MATERIALIZED (
-             |  SELECT doc_a AS s, doc_b AS d FROM pairs
-             |  UNION SELECT doc_b, doc_a FROM pairs
-             |), reach(src, dst) AS (
-             |  SELECT s, d FROM edges
-             |  UNION
-             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
-             |), comp AS (
-             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-             |  FROM reach GROUP BY src
+${OracleSql.Components}
              |), fl AS (
              |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
              |         len(list_filter(regexp_split_to_array(trim(d.text), '\s+'), t -> t <> '')) AS n_words

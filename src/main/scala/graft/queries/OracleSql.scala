@@ -21,6 +21,35 @@ private[queries] object OracleSql {
     "             |), inv AS MATERIALIZED (\n" +
     "             |  SELECT doc_id, unnest(s) AS g FROM sh"
 
+  /** The exact near-dup COMPONENT derivation shared by the cluster
+    * queries (ext27 / ext31 / ext100): inverted-index exact pairs at
+    * 3-gram Jaccard ≥ 0.8 → undirected edges → recursive reachability →
+    * min-id component labels (`comp(doc_id, cluster_id)`; singletons
+    * absent — callers coalesce). Interpolated immediately after
+    * [[InvIndex]]; the enclosing WITH must be RECURSIVE. */
+  val Components: String =
+    raw"""             |), pairs AS (
+             |  -- inverted-index exact form (r8): any pair with jaccard > 0
+             |  -- shares a shingle; same rows as the all-pairs join at index
+             |  -- cost, not n² (i = 0 pairs absent, can't pass the threshold).
+             |  SELECT ix.doc_a, ix.doc_b
+             |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+             |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+             |        GROUP BY 1, 2) ix
+             |  JOIN sz sa ON sa.doc_id = ix.doc_a
+             |  JOIN sz sb ON sb.doc_id = ix.doc_b
+             |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8
+             |), edges AS MATERIALIZED (
+             |  SELECT doc_a AS s, doc_b AS d FROM pairs
+             |  UNION SELECT doc_b, doc_a FROM pairs
+             |), reach(src, dst) AS (
+             |  SELECT s, d FROM edges
+             |  UNION
+             |  SELECT r.src, e.d FROM reach r JOIN edges e ON r.dst = e.s
+             |), comp AS (
+             |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+             |  FROM reach GROUP BY src"""
+
   /** Shared COMPLETE oracle for the heavy-hitters twins (ext98 batch,
     * st36 streaming): the exact GROUP BY ... HAVING truth the two-pass
     * sketch+recount operator must equal — every bigram of the

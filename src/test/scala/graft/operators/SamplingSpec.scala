@@ -17,6 +17,28 @@ class SamplingSpec extends SparkSpec {
     assert(b == 1487756069L % 10000)
   }
 
+  test("cluster-keyed split is leakage-free where the id split is not") {
+    // near-dup pairs chain ids into clusters; splitting on cluster_id
+    // must put every member on ONE side, while the naive id split
+    // separates at least one pair (the eval-contamination bug ext100
+    // exists to prevent)
+    val docs = (1L to 400L).toDF("doc_id")
+    val pairs = (1L to 200L).map(i => (i, i + 200L)).toDF("doc_a", "doc_b")
+    val cl = Dedup.clusters(docs, "doc_id", pairs)
+    val byCluster = Sampling.split(cl, "cluster_id", "seedX")
+    val splitsPerCluster = byCluster.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n")).agg(max(col("n"))).head().getLong(0)
+    assert(splitsPerCluster == 1L)
+    // the same pairs under the naive doc_id split: some pair straddles
+    val naive = Sampling.split(docs, "doc_id", "seedX")
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(naive.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+      .join(naive.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddling > 0)
+  }
+
   test("split is deterministic, exhaustive, and ~80/10/10") {
     val s1 = Sampling.split(ids(5000), "id", "seed1")
     val s2 = Sampling.split(ids(5000), "id", "seed1")
