@@ -54,11 +54,15 @@ class PlanAuditSpec extends SparkSpec {
     "ext70_semantic_contamination" -> "broadcast benchmark side, one train scan",
     // single-row label-count broadcast (the negative-label rotation's
     // modulus) — the ext34 scalar-normalizer shape.
-    "ext84_contrastive_pairs" -> "single-row label-count broadcast (rotation modulus)"
+    "ext84_contrastive_pairs" -> "single-row label-count broadcast (rotation modulus)",
+    // single-row (n_docs, total_tokens) broadcast — the ext44 scalar-
+    // normalizer shape extended with BM25's length statistics.
+    "ext99_bm25_topk" -> "single-row corpus-stats broadcast (scalar normalizer)"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
-  private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper")
+  private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper",
+    "ext100_cluster_split")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)
@@ -193,6 +197,45 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(plan.contains("bloom_might_contain"),
       s"native membership expression missing from the plan:\n$plan")
+  }
+
+  // The heavy-hitters recount must probe via an equality-keyed
+  // BROADCAST join of the (≤ k)-row candidate explode — never a
+  // product, never a shuffle of the item stream onto the candidates —
+  // and the sketch pass must be the object-hash aggregate path
+  // (TypedImperativeAggregate), whose partials are ≤ k counters.
+  test("heavy hitters plan: broadcast candidate probe, object-hash sketch") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.TextAnalysis.heavyHitters(
+        graft.queries.Tables.boilerBigrams(docs), col("item"), 96)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"misra_gries not on the ObjectHashAggregate path:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"candidate probe is not a broadcast hash join:\n$plan")
+    Seq("CartesianProduct", "SortMergeJoin").foreach { bad =>
+      assert(!plan.contains(bad), s"$bad in the heavy-hitters plan:\n$plan")
+    }
+  }
+
+  // BM25's per-query top-k must rank-filter through WindowGroupLimit
+  // (partial limits before the shuffle — the tfidfTopK discipline), and
+  // the only non-equality join allowed is the single-row stats
+  // broadcast.
+  test("bm25 plan: WindowGroupLimit top-k, broadcast token probe") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.operators.TextAnalysis.bm25TopK(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-k did not plan as WindowGroupLimit:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"token probe is not a broadcast hash join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"CartesianProduct in the bm25 plan:\n$plan")
   }
 
   // CLUSTER BY must plan as hash-exchange + partition-LOCAL sort (the
