@@ -56,7 +56,13 @@ object ScaleCheck {
     // the exact-join guard pair: uncapped containment is quadratic on
     // this generator (9.10× at 10×, r8) — the capped twin must keep
     // reading ~3× beside it
-    "ext40_containment", "ext97_containment_capped")
+    "ext40_containment", "ext97_containment_capped",
+    // round-9: heavy hitters (MG sketch state ≤ k regardless of item
+    // domain — the two-pass must read ~linear) with its streaming twin;
+    // BM25 beside ext44 (the same both-sides-growing probe workload);
+    // and the cluster-keyed split (components linear in the edge set).
+    "ext98_heavy_hitters", "st36_stream_heavy_hitters",
+    "ext99_bm25_topk", "ext100_cluster_split")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

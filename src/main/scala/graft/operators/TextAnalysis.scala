@@ -96,6 +96,40 @@ object TextAnalysis {
     heavyHittersRecount(it, sketch, k)
   }
 
+  /** [[heavyHitters]] PER GROUP: every item exceeding its own group's
+    * n_g/(k+1) frequency threshold — per-language stopwords, per-domain
+    * boilerplate, per-feed hot keys. Same two-pass exactness argument,
+    * applied group-locally: the sketch aggregation keys on the group
+    * (state ≤ k counters PER GROUP, map-side combined), the candidate
+    * table is ≤ |groups|·k rows, and the recount joins on
+    * (group, item) equality.
+    *
+    * The candidate broadcast is the load-bearing scale choice: it is
+    * what lets the item stream pass ONE shuffle-free scan instead of
+    * being shuffled onto the candidates (corpus-sized exchange). It
+    * requires |groups|·k rows to fit a broadcast — languages, sources,
+    * feeds all do; for an unbounded group domain, shard the group space
+    * and run per-shard (the [[packSequences]] bucketing discipline).
+    * Output: (groupCol, item, cnt, n_items) with n_items = the GROUP's
+    * total. */
+  def heavyHittersPerGroup(items: DataFrame, groupCol: String,
+                           itemCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.sql.GraftExtensions.ensureRegistered(items.sparkSession)
+    val it = items.select(col(groupCol), itemCol.as("item"))
+      .filter(col("item").isNotNull)
+    val sk = it.groupBy(col(groupCol)).agg(
+      expr(s"misra_gries(item, $k)").as("cands"),
+      count(lit(1)).as("n_items"))
+    val cands = sk.select(col(groupCol), explode(col("cands")).as("item"),
+      col("n_items"))
+    it.join(broadcast(cands), Seq(groupCol, "item"))
+      .groupBy(col(groupCol), col("item"), col("n_items"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * (k + 1) > col("n_items"))
+      .select(col(groupCol), col("item"), col("cnt"), col("n_items"))
+  }
+
   /** The exact-recount second pass of [[heavyHitters]], separable so a
     * STREAMING sketch (st36: the Misra-Gries aggregate running in a
     * Complete-mode streaming query) can be certified by the same batch

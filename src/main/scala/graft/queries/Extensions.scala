@@ -225,6 +225,35 @@ ${OracleSql.InvIndex}
         Tables.boilerBigrams(docs(s, d)), col("item"), k = 96),
       Some(OracleSql.HeavyHittersBigrams)),
 
+    // heavy hitters PER GROUP (per-language here — per-domain
+    // boilerplate and per-feed hot keys are the same shape): each
+    // language's own n_g/(k+1) threshold, sketch state ≤ k counters
+    // per group, candidates ≤ |groups|·k rows broadcast onto ONE
+    // shuffle-free recount scan. The planted boilerplate spans every
+    // language (the rewrite ignores lang), so each lang's heavy set is
+    // exactly the 12 planted bigrams — but with per-lang counts and
+    // thresholds the oracle recomputes group-locally.
+    "ext101_group_heavy_hitters" -> Q(
+      (s, d) => TextAnalysis.heavyHittersPerGroup(
+        Tables.boilerBigrams(docs(s, d), keep = Seq("lang")),
+        "lang", col("item"), k = 96),
+      Some(raw"""WITH rw AS (
+             |  SELECT lang,
+             |         CASE WHEN doc_id % 2 = 0
+             |              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'
+             |              ELSE text END AS text
+             |  FROM documents
+             |), t AS (
+             |  SELECT lang, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM rw
+             |), bi AS (
+             |  SELECT lang, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS item
+             |  FROM t WHERE len(w) >= 2
+             |), tot AS (SELECT lang, count(*) AS n_items FROM bi GROUP BY lang)
+             |SELECT bi.lang, item, CAST(count(*) AS BIGINT) AS cnt, tot.n_items
+             |FROM bi JOIN tot USING (lang)
+             |GROUP BY bi.lang, item, tot.n_items
+             |HAVING count(*) * 97 > tot.n_items""".stripMargin)),
+
     "ext97_containment_capped" -> Q(
       (s, d) => {
         import s.implicits._

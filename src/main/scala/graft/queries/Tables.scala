@@ -41,19 +41,23 @@ object Tables {
     * and streaming twins provably score the SAME item stream, and so
     * the streaming sketch's batch verification pass re-derives the
     * identical corpus. Works on batch and streaming frames alike
-    * (narrow codegen'd projections only). */
-  def boilerBigrams(docs: DataFrame): DataFrame = {
+    * (narrow codegen'd projections only). `keep` carries extra columns
+    * (e.g. the ext101 group key) through the explode. */
+  def boilerBigrams(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val boiler = "granite lighthouses hum beneath amber fog while " +
       "copper gulls spiral over quiet breakwaters"
     val w = col("__w")
-    docs.select(
+    val kept = keep.map(col)
+    docs.select(kept :+
         when(col("doc_id") % 2 === 0, lit(boiler))
-          .otherwise(col("text")).as("text"))
-      .select(filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("__w"))
-      .select(explode(when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
-        .otherwise(array().cast("array<string>"))).as("item"))
+          .otherwise(col("text")).as("text"): _*)
+      .select(kept :+
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("__w"): _*)
+      .select(kept :+
+        explode(when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))).as("item"): _*)
   }
 
   /** Stage the DRIFTING three-shape JSON corpus shared by the VARIANT

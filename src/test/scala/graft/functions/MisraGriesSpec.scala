@@ -64,6 +64,23 @@ class MisraGriesSpec extends SparkSpec {
     assert(out == Set(("hot", 120L, 710L), ("warm", 90L, 710L)))
   }
 
+  test("heavyHittersPerGroup: each group gets its own exact threshold") {
+    // group g1: n=710, hot(120) and warm(90) clear 710/9=78.9
+    // group g2: n=40, only solo(10) clears 40/9=4.4 — the SAME item
+    //           counts that are heavy in a small group are light in a
+    //           big one, which a global threshold would miss
+    val g1 = (1 to 500).map(i => ("g1", s"light_$i")) ++
+      Seq.fill(120)(("g1", "hot")) ++ Seq.fill(90)(("g1", "warm"))
+    val g2 = (1 to 30).map(i => ("g2", s"x_$i")) ++ Seq.fill(10)(("g2", "solo"))
+    val df = spark.createDataset(scala.util.Random.shuffle(g1 ++ g2))
+      .repartition(8).toDF("grp", "item")
+    val out = TextAnalysis.heavyHittersPerGroup(df, "grp", col("item"), 8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == Set(
+      ("g1", "hot", 120L, 710L), ("g1", "warm", 90L, 710L),
+      ("g2", "solo", 10L, 40L)))
+  }
+
   test("null items are excluded from n and from candidates") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("item")
     val out = TextAnalysis.heavyHitters(df, col("item"), 2)
