@@ -135,10 +135,19 @@ object ScaleCheck {
       (0 until factor).map(i => shift(df, i)).reduce(_ unionByName _)
 
     // fixture convention: each table is ONE parquet FILE (the streaming
-    // readers stage single files) — write, then promote the part file
+    // readers stage single files) — write, then promote the part file.
+    // Small row groups (4 MB) keep the single file SPLITTABLE: parquet
+    // splits at row-group boundaries, so the default 128 MB group turns
+    // a one-file table into ONE scan task no matter what
+    // maxPartitionBytes says — the round-9 ext98 finding (a 9.1 s
+    // single-task reading vs 1.4 s parallelizable), the same
+    // measurement-pollution class as round 7's maxPartitionBytes fix.
+    // A real 100 TB input is many files and never hits either.
     def write(name: String, df: DataFrame): Unit = {
       val tmp = new org.apache.hadoop.fs.Path(s"$out/_tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .parquet(tmp.toString)
       val part = fs.globStatus(new org.apache.hadoop.fs.Path(tmp, "part-*.parquet")).head.getPath
       val dst = new org.apache.hadoop.fs.Path(s"$out/$name.parquet")
       if (fs.exists(dst)) fs.delete(dst, true)
