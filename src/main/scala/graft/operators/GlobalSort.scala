@@ -32,4 +32,68 @@ object GlobalSort {
     }
     sorted.sparkSession.createDataFrame(numbered, schema)
   }
+
+  /** EXACT global percentiles of an unbounded numeric column — without a
+    * global sort of the data and without `percentile`'s exact
+    * value-histogram state (which is one entry per DISTINCT value per
+    * group: fine for bounded domains like token lengths, an OOM at
+    * 100 TB of prices/latencies/scores). The classic two-phase
+    * selection (Munro & Paterson, TCS'80, in its sketch-bracketed
+    * form):
+    *
+    *   1. ONE pass aggregates the count n and a Greenwald-Khanna sketch
+    *      (`approx_percentile`, rank error ≤ n/accuracy by contract) at
+    *      q ∓ 3/accuracy — yielding per-quantile value brackets
+    *      [lo, hi] that PROVABLY contain the exact rank-r element:
+    *      rank(lo) ≤ (q−3/acc+1/acc)·n < r and rank(hi) ≥
+    *      (q+3/acc−1/acc)·n > r. The sketch's own value is never
+    *      output — only the bracket, so sketch implementation details
+    *      cannot reach the result;
+    *   2. one pass counts the exact rank offset below each lo;
+    *   3. each bracket — ≤ ~6n/accuracy rows, a 0.06 % sliver at the
+    *      default accuracy — goes through the [[withRowNumber]]
+    *      range-partitioned numbering (distributed, never a
+    *      single-task window) and the (r − offset)-th bracket row IS
+    *      the exact r-th smallest overall, duplicates and all.
+    *
+    * r = floor(q·(n−1)) + 1 (the lower discrete quantile, 1-based) —
+    * spelled identically engine-side and oracle-side. The driver holds
+    * only one stats row and |qs| bracket constants (the IVF-centroid
+    * collect discipline). Output: (q, value, rank), exact and
+    * engine-independent. */
+  def exactPercentiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
+                       accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    require(accuracy >= 100, "accuracy must be >= 100")
+    import org.apache.spark.sql.functions._
+    val v = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
+    val pad = 3.0 / accuracy
+    val lows = qs.map(q => math.max(q - pad, 0.0))
+    val highs = qs.map(q => math.min(q + pad, 1.0))
+    val pcts = (lows ++ highs).mkString(",")
+    val stats = v.agg(count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, array($pcts), $accuracy)").as("b")).head()
+    val n = stats.getLong(0)
+    require(n > 0, "exactPercentiles requires at least one non-null value")
+    val br = stats.getSeq[Double](1)
+    val targets = qs.zipWithIndex.map { case (q, i) =>
+      (q, math.floor(q * (n - 1)).toLong + 1L, br(i), br(qs.size + i))
+    }
+    val offCols = targets.zipWithIndex.map { case ((_, _, lo, _), i) =>
+      sum(when(col("v") < lo, 1L).otherwise(0L)).as(s"off_$i")
+    }
+    val offRow = v.agg(offCols.head, offCols.tail: _*).head()
+    targets.zipWithIndex.map { case ((q, r, lo, hi), i) =>
+      val off = offRow.getLong(i)
+      val pick = r - off
+      // the GK contract puts the rank-r element inside [lo, hi]; a
+      // violated pick would surface as an empty result row, loudly
+      require(pick >= 1, s"bracket guarantee violated for q=$q (pick=$pick)")
+      withRowNumber(v.filter(col("v") >= lo && col("v") <= hi), "rn", col("v"))
+        .filter(col("rn") === pick)
+        .select(lit(q).as("q"), col("v").as("value"), lit(r).as("rank"))
+    }.reduce(_ unionByName _)
+  }
+
 }

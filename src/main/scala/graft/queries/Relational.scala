@@ -1943,6 +1943,32 @@ object Relational {
              |         WHEN 1 THEN 'OBJECT<id: BIGINT, price_cents: BIGINT, tags: ARRAY<STRING>>'
              |         ELSE 'OBJECT<extra: VOID, id: BIGINT>'
              |       END AS merged_schema
-             |FROM orders GROUP BY o_orderkey % 3""".stripMargin))
+             |FROM orders GROUP BY o_orderkey % 3""".stripMargin)),
+
+    // EXACT global percentiles over an unbounded numeric column via
+    // sketch-bracketed two-phase selection (Munro-Paterson): one GK
+    // sketch pass yields per-quantile value brackets PROVABLY containing
+    // the exact rank-r element, one pass counts exact offsets, and each
+    // ~0.06% bracket sliver goes through the B18 scale-safe numbering —
+    // never a global sort, never percentile()'s per-distinct-value
+    // state. The sketch value itself never reaches the output, so the
+    // result is engine-independent: the oracle picks the same ranks off
+    // a plain row_number.
+    "q85_exact_percentiles" -> Q(
+      (s, d) => graft.operators.GlobalSort.exactPercentiles(
+        t(s, d, "lineitem"), col("l_extendedprice"), Seq(0.5, 0.9, 0.99)),
+      Some("""WITH v AS (
+             |  SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice IS NOT NULL
+             |), n AS (SELECT count(*) AS n FROM v
+             |), r AS (
+             |  -- q as DOUBLE: a bare VALUES decimal would render 0.50
+             |  SELECT CAST(q AS DOUBLE) AS q,
+             |         CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS rank
+             |  FROM n, (VALUES (0.5), (0.9), (0.99)) t(q)
+             |), s AS (
+             |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+             |)
+             |SELECT r.q, s.v AS value, r.rank
+             |FROM r JOIN s ON s.rn = r.rank""".stripMargin))
   )
 }

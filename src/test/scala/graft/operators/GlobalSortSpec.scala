@@ -16,6 +16,33 @@ class GlobalSortSpec extends SparkSpec {
     assert(keys.toSeq == keys.toSeq.sorted)
   }
 
+  test("exactPercentiles equals brute-force order statistics, duplicates included") {
+    // heavy duplication + skew: 500 copies of 7, a long uniform tail,
+    // spread over partitions — the exact rank must cut through the
+    // duplicate run correctly
+    val vals = Seq.fill(500)(7.0) ++ (1 to 1500).map(_ / 10.0)
+    val df = spark.createDataset(scala.util.Random.shuffle(vals))
+      .repartition(8).toDF("x")
+    val qs = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    val got = GlobalSort.exactPercentiles(df, col("x"), qs, accuracy = 200)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    val sorted = vals.sorted
+    val expected = qs.map { q =>
+      val r = math.floor(q * (vals.size - 1)).toLong + 1
+      (q, sorted((r - 1).toInt), r)
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("exactPercentiles: nulls excluded, low accuracy still exact") {
+    val df = (Seq[Option[Double]](None, None) ++ (1 to 999).map(i => Some(i.toDouble)))
+      .toDF("x").repartition(5)
+    val got = GlobalSort.exactPercentiles(df, col("x"), Seq(0.5), accuracy = 100)
+      .head()
+    // n = 999, r = floor(0.5*998)+1 = 500 → value 500.0
+    assert(got.getDouble(1) == 500.0 && got.getLong(2) == 500L)
+  }
+
   test("numbering matches single-partition row_number exactly") {
     val df = Seq(("b", 1L), ("a", 2L), ("a", 1L), ("c", 0L)).toDF("k", "uid")
     val got = GlobalSort.withRowNumber(df, "rn", col("k").asc, col("uid").asc)
