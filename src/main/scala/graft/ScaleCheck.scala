@@ -61,8 +61,8 @@ object ScaleCheck {
     // domain — the two-pass must read ~linear) with its streaming twin;
     // BM25 beside ext44 (the same both-sides-growing probe workload);
     // and the cluster-keyed split (components linear in the edge set).
-    "ext98_heavy_hitters", "st36_stream_heavy_hitters",
-    "ext99_bm25_topk", "ext100_cluster_split")
+    "ext98_heavy_hitters", "ext101_group_heavy_hitters",
+    "st36_stream_heavy_hitters", "ext99_bm25_topk", "ext100_cluster_split")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -124,9 +124,13 @@ object ScaleCheck {
     spark.stop()
   }
 
-  /** Materialize the factor× fixture set (idempotent: skips if present). */
+  /** Materialize the factor× fixture set (idempotent: skips if present).
+    * The done-marker is LAYOUT-VERSIONED: v2 = 4 MB row groups. A
+    * fixture built by an older writer (one unsplittable row group per
+    * table) carries the old marker and rebuilds, instead of silently
+    * re-measuring the very layout the row-group fix removed. */
   def buildScaled(spark: SparkSession, base: String, out: String, factor: Int): Unit = {
-    val done = new org.apache.hadoop.fs.Path(s"$out/_SCALE_DONE")
+    val done = new org.apache.hadoop.fs.Path(s"$out/_SCALE_DONE_v2")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return
     System.err.println(s"[scale] building $out (${factor}x $base)")

@@ -51,22 +51,33 @@ object GlobalSort {
     *      cannot reach the result;
     *   2. one pass counts the exact rank offset below each lo;
     *   3. each bracket — ≤ ~6n/accuracy rows, a 0.06 % sliver at the
-    *      default accuracy — goes through the [[withRowNumber]]
-    *      range-partitioned numbering (distributed, never a
-    *      single-task window) and the (r − offset)-th bracket row IS
-    *      the exact r-th smallest overall, duplicates and all.
+    *      default accuracy — is range-partition sorted and
+    *      zipWithIndex-numbered (the [[withRowNumber]] machinery:
+    *      distributed, never a single-task window); the (r − offset)-th
+    *      bracket row IS the exact r-th smallest overall, duplicates
+    *      and all. Each picked row collects immediately (ONE row), so
+    *      the bracket's eager checkpoint blocks are freed before the
+    *      operator returns — no session-lifetime block-manager leak
+    *      (the [[graft.util.Caching]] discipline).
+    *
+    * Small inputs: the pad covers 3n/accuracy ranks, which is under the
+    * ±1 rank slack between the sketch's own quantile definition and
+    * r = floor(q·(n−1)) + 1 whenever n < accuracy — so below that size
+    * the bracket is simply the whole domain (the "sliver" IS the data;
+    * selection is still exact and still distributed).
     *
     * r = floor(q·(n−1)) + 1 (the lower discrete quantile, 1-based) —
     * spelled identically engine-side and oracle-side. The driver holds
-    * only one stats row and |qs| bracket constants (the IVF-centroid
-    * collect discipline). Output: (q, value, rank), exact and
-    * engine-independent. */
+    * one stats row, |qs| bracket constants, and the |qs| picked rows
+    * (the IVF-centroid collect discipline). Output: (q, value, rank),
+    * exact and engine-independent. */
   def exactPercentiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
                        accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
     require(accuracy >= 100, "accuracy must be >= 100")
     import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
     val v = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
     val pad = 3.0 / accuracy
     val lows = qs.map(q => math.max(q - pad, 0.0))
@@ -77,23 +88,43 @@ object GlobalSort {
     val n = stats.getLong(0)
     require(n > 0, "exactPercentiles requires at least one non-null value")
     val br = stats.getSeq[Double](1)
+    // below n = accuracy the 3n/accuracy pad cannot absorb the ±1 rank
+    // definitional slack — bracket the whole domain instead (see doc)
+    val sliver = n < accuracy
     val targets = qs.zipWithIndex.map { case (q, i) =>
-      (q, math.floor(q * (n - 1)).toLong + 1L, br(i), br(qs.size + i))
+      val (lo, hi) = if (sliver) (Double.NegativeInfinity, Double.PositiveInfinity)
+                     else (br(i), br(qs.size + i))
+      (q, math.floor(q * (n - 1)).toLong + 1L, lo, hi)
     }
     val offCols = targets.zipWithIndex.map { case ((_, _, lo, _), i) =>
       sum(when(col("v") < lo, 1L).otherwise(0L)).as(s"off_$i")
     }
     val offRow = v.agg(offCols.head, offCols.tail: _*).head()
-    targets.zipWithIndex.map { case ((q, r, lo, hi), i) =>
-      val off = offRow.getLong(i)
-      val pick = r - off
-      // the GK contract puts the rank-r element inside [lo, hi]; a
-      // violated pick would surface as an empty result row, loudly
+    val picked = targets.zipWithIndex.map { case ((q, r, lo, hi), i) =>
+      val pick = r - offRow.getLong(i)
+      // the GK contract puts the rank-r element inside [lo, hi]
       require(pick >= 1, s"bracket guarantee violated for q=$q (pick=$pick)")
-      withRowNumber(v.filter(col("v") >= lo && col("v") <= hi), "rn", col("v"))
-        .filter(col("rn") === pick)
-        .select(lit(q).as("q"), col("v").as("value"), lit(r).as("rank"))
-    }.reduce(_ unionByName _)
+      // sort + number the sliver distributed, collect the ONE picked
+      // row, then free the checkpoint blocks (safe: nothing else
+      // references them once the row is on the driver)
+      val sorted = v.filter(col("v") >= lo && col("v") <= hi)
+        .orderBy(col("v")).localCheckpoint(true)
+      try {
+        val row = sorted.rdd.zipWithIndex()
+          .filter { case (_, idx) => idx == pick - 1 }
+          .map { case (rw, _) => rw.getDouble(0) }
+          .collect()
+        require(row.length == 1,
+          s"bracket guarantee violated for q=$q (pick=$pick, bracket hit ${row.length})")
+        Row(q, row.head, r)
+      } finally graft.util.Caching.freeCheckpoint(sorted)
+    }
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    spark.createDataFrame(picked.asJava,
+      StructType(Seq(StructField("q", DoubleType, nullable = false),
+        StructField("value", DoubleType, nullable = false),
+        StructField("rank", LongType, nullable = false))))
   }
 
 }

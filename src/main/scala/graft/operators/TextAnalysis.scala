@@ -110,14 +110,17 @@ object TextAnalysis {
     * requires |groups|·k rows to fit a broadcast — languages, sources,
     * feeds all do; for an unbounded group domain, shard the group space
     * and run per-shard (the [[packSequences]] bucketing discipline).
-    * Output: (groupCol, item, cnt, n_items) with n_items = the GROUP's
-    * total. */
+    * Rows with a NULL group key are EXCLUDED (like null items): a null
+    * group would be sketched but could never equi-join back through the
+    * recount — silent loss; callers who want an "unknown" group must
+    * coalesce to a sentinel first. Output: (groupCol, item, cnt,
+    * n_items) with n_items = the GROUP's total. */
   def heavyHittersPerGroup(items: DataFrame, groupCol: String,
                            itemCol: Column, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     graft.sql.GraftExtensions.ensureRegistered(items.sparkSession)
     val it = items.select(col(groupCol), itemCol.as("item"))
-      .filter(col("item").isNotNull)
+      .filter(col("item").isNotNull && col(groupCol).isNotNull)
     val sk = it.groupBy(col(groupCol)).agg(
       expr(s"misra_gries(item, $k)").as("cands"),
       count(lit(1)).as("n_items"))
@@ -514,9 +517,13 @@ object TextAnalysis {
     *     the final score an exact integer SUM — no float accumulation,
     *     total (score desc, doc_id) rank order.
     * Overflow bound: the numerator needs idf_e3·tf_d·tf_q < 2^63/22e6 ≈
-    * 4.2e11 — safe through ~1e8 corpus docs at tf ≤ 100; ANSI mode
-    * (Spark 4 default) errors loudly beyond it, and a larger corpus
-    * drops the idf scale one decade (the constants are in one place).
+    * 4.2e11, and idf_e3 ≤ ~667·N (df = 1), so the envelope is
+    * N·tf_d·tf_q < 6.3e8 — e.g. N ≤ 6e4 docs at tf ≤ 100, N ≤ 6e6 at
+    * tf ≤ 10. ANSI mode (Spark 4 default) errors loudly beyond it. At
+    * larger corpora, cap the tf inputs (saturation makes counts beyond
+    * ~2^6 carry almost no score anyway — the standard quantized-tf
+    * practice) and/or drop the idf scale a decade; both constants are
+    * in one place here and in the oracle.
     *
     * Scale shape: identical probe to [[tfidfTopK]] — everything narrows
     * to the query vocabulary before touching corpus-sized data; the ONE

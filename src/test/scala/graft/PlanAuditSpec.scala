@@ -62,7 +62,7 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Operators that execute at construction time (not lazily planable). */
   private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper",
-    "ext100_cluster_split")
+    "ext100_cluster_split", "q85_exact_percentiles")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

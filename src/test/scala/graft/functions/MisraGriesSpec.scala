@@ -81,6 +81,17 @@ class MisraGriesSpec extends SparkSpec {
       ("g2", "solo", 10L, 40L)))
   }
 
+  test("heavyHittersPerGroup: null group keys are excluded, not silently lost") {
+    val df = Seq((Some("g"), "a"), (Some("g"), "a"), (Some("g"), "a"),
+        (None: Option[String], "z"), (None, "z"), (None, "z"))
+      .toDF("grp", "item")
+    val out = TextAnalysis.heavyHittersPerGroup(df, "grp", col("item"), 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    // the null group contributes NOTHING (documented exclusion, not a
+    // sketched-then-dropped half-state); g's n is 3, not 6
+    assert(out == Set(("g", "a", 3L, 3L)))
+  }
+
   test("null items are excluded from n and from candidates") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("item")
     val out = TextAnalysis.heavyHitters(df, col("item"), 2)

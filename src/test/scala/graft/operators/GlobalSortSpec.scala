@@ -34,6 +34,17 @@ class GlobalSortSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("exactPercentiles: small n (below accuracy) is exact, not a crash") {
+    // the review-found case: 103 distinct values at default accuracy —
+    // the 3/accuracy pad covers < 1 rank there, so the bracket must
+    // fall back to the whole domain instead of tripping the pick guard
+    val df = (1 to 103).map(_.toDouble).toDF("x").repartition(4)
+    val got = GlobalSort.exactPercentiles(df, col("x"), Seq(0.9, 0.99))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+    // r = floor(q*102)+1: 0.9 -> 92 -> value 92.0; 0.99 -> 101 -> 101.0
+    assert(got == Set((0.9, 92.0, 92L), (0.99, 101.0, 101L)))
+  }
+
   test("exactPercentiles: nulls excluded, low accuracy still exact") {
     val df = (Seq[Option[Double]](None, None) ++ (1 to 999).map(i => Some(i.toDouble)))
       .toDF("x").repartition(5)
