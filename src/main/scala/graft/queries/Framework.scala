@@ -618,6 +618,61 @@ object Framework {
     s.read.parquet(s"$base/out").select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** Native graft aggregates on the DECLARATIVE surface: the ext98
+    * heavy-hitters two-pass written entirely in the engine's
+    * single-SELECT SQL (sql_file), using the `misra_gries` function the
+    * session extensions register — sketch CTE, candidate explode, exact
+    * recount, the n/(k+1) HAVING — driven through the YAML lifecycle
+    * and read back from the parquet sink. Proves a user of the config
+    * surface (not the Scala API) can reach the sketch tier; the oracle
+    * is ext98's verbatim. */
+  private def fwSketch(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "sketch")
+    rmrf(s, base)
+    val sqlPath = new org.apache.hadoop.fs.Path(s"$base/query.sql")
+    val fs = sqlPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val out = fs.create(sqlPath, true)
+    try out.write(
+      ("WITH rw AS (\n" +
+       "  SELECT CASE WHEN doc_id % 2 = 0\n" +
+       "              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'\n" +
+       "              ELSE text END AS text\n" +
+       "  FROM documents\n" +
+       "), w AS (\n" +
+       "  SELECT filter(split(trim(text), '\\\\s+'), x -> x <> '') AS w FROM rw\n" +
+       "), bi AS (\n" +
+       "  SELECT explode(CASE WHEN size(w) >= 2\n" +
+       "    THEN transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))\n" +
+       "    ELSE CAST(array() AS ARRAY<STRING>) END) AS item\n" +
+       "  FROM w\n" +
+       "), sk AS (\n" +
+       "  SELECT misra_gries(item, 96) AS cands, count(*) AS n_items FROM bi\n" +
+       "), cand AS (\n" +
+       "  SELECT explode(cands) AS item, n_items FROM sk\n" +
+       ")\n" +
+       "SELECT bi.item, count(*) AS cnt, cand.n_items\n" +
+       "FROM bi JOIN cand ON bi.item = cand.item\n" +
+       "GROUP BY bi.item, cand.n_items\n" +
+       "HAVING count(*) * 97 > cand.n_items").getBytes("UTF-8"))
+    finally out.close()
+    val yaml =
+      s"""job:
+         |  name: fw-sketch
+         |  type: spark-sql
+         |input_tables:
+         |  - name: documents
+         |    source: s3
+         |    location: $d/documents.parquet
+         |output_table:
+         |  name: sketch_out
+         |  target: s3
+         |  location: $base/out
+         |sql_file: $base/query.sql
+         |""".stripMargin
+    run(s, yaml)
+    s.read.parquet(s"$base/out").select("item", "cnt", "n_items")
+  }
+
   /** A1 format matrix beyond parquet/csv: the same lifecycle through a
     * JSON input and an ORC input joined in one SQL, written to an ORC
     * sink and read back — pins the reader/writer option mapping for the
@@ -1254,6 +1309,7 @@ object Framework {
         |GROUP BY r.r_name""".stripMargin)),
     "fw_sql_file" -> Q(fwSqlFile, Some(
       "SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations FROM nation GROUP BY n_regionkey")),
+    "fw_sketch" -> Q(fwSketch, Some(OracleSql.HeavyHittersBigrams)),
     "fw_incremental" -> Q(fwIncremental, Some(
       """SELECT n_nationkey, n_name FROM nation
         |UNION ALL
