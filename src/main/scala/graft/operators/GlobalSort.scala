@@ -71,23 +71,41 @@ object GlobalSort {
     * one stats row, |qs| bracket constants, and the |qs| picked rows
     * (the IVF-centroid collect discipline). Output: (q, value, rank),
     * exact and engine-independent. */
+  /** The padded sketch percentages [lo_1..lo_m, hi_1..hi_m] backing the
+    * bracket pass — public so a STREAMING sketch (st37: the same
+    * `approx_percentile` running as a Complete-mode streaming aggregate)
+    * can build the identical bracket query and hand its drained stats
+    * to [[selectPercentiles]]: sketch online, certify offline. */
+  def bracketPercentages(qs: Seq[Double], accuracy: Int): Seq[Double] = {
+    val pad = 3.0 / accuracy
+    qs.map(q => math.max(q - pad, 0.0)) ++ qs.map(q => math.min(q + pad, 1.0))
+  }
+
   def exactPercentiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
                        accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
       "quantiles must be in [0, 1]")
     require(accuracy >= 100, "accuracy must be >= 100")
     import org.apache.spark.sql.functions._
-    val spark = df.sparkSession
     val v = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
-    val pad = 3.0 / accuracy
-    val lows = qs.map(q => math.max(q - pad, 0.0))
-    val highs = qs.map(q => math.min(q + pad, 1.0))
-    val pcts = (lows ++ highs).mkString(",")
+    val pcts = bracketPercentages(qs, accuracy).mkString(",")
     val stats = v.agg(count(lit(1)).as("n"),
       expr(s"approx_percentile(v, array($pcts), $accuracy)").as("b")).head()
-    val n = stats.getLong(0)
+    selectPercentiles(v, qs, accuracy, stats.getLong(0), stats.getSeq[Double](1))
+  }
+
+  /** The exact-selection phases of [[exactPercentiles]], separable so the
+    * bracket sketch can come from a stream (st37). `v` must be (a
+    * re-derivation of) the single-column ("v", double, no nulls) frame
+    * the sketch summarized; `n` its exact count; `br` the sketch values
+    * at [[bracketPercentages]] order. The GK rank guarantee is preserved
+    * by arbitrary merge trees (mergeable summaries), so a state-store
+    * merged streaming sketch brackets exactly as a batch one does. */
+  def selectPercentiles(v: DataFrame, qs: Seq[Double], accuracy: Int,
+                        n: Long, br: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = v.sparkSession
     require(n > 0, "exactPercentiles requires at least one non-null value")
-    val br = stats.getSeq[Double](1)
     // below n = accuracy the 3n/accuracy pad cannot absorb the ±1 rank
     // definitional slack — bracket the whole domain instead (see doc)
     val sliver = n < accuracy

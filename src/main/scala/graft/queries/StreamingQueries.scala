@@ -1207,6 +1207,48 @@ ${OracleSql.InvIndex}
         graft.operators.TextAnalysis.heavyHittersRecount(
           Tables.boilerBigrams(s.read.parquet(s"$d/documents.parquet")), sk, k = 96)
       },
-      Some(OracleSql.HeavyHittersBigrams))
+      Some(OracleSql.HeavyHittersBigrams)),
+
+    // EXACT percentiles with the sketch AT INGEST: q85's two-phase
+    // selection, but the expensive pass — the GK bracket sketch over
+    // every arriving value — runs as a Complete-mode STREAMING
+    // aggregate (fixed-size state, the st29/st36 discipline), and only
+    // the offline certification (one offset count + the ~6n/accuracy
+    // bracket slivers) touches the batch store. Mergeable-summaries
+    // guarantees the state-store-merged sketch brackets exactly like a
+    // batch one, so the certified output is EXACT — the oracle picks
+    // the same ranks off a plain row_number, knowing nothing of either
+    // sketch.
+    "st37_stream_percentiles" -> Q(
+      (s, d) => {
+        import graft.operators.GlobalSort
+        val qs = Seq(0.5, 0.9, 0.99)
+        val acc = 10000
+        val pcts = GlobalSort.bracketPercentages(qs, acc).mkString(",")
+        val sketched = Streams.readEventsStream(s, d)
+          .select(col("value").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+          .agg(count(lit(1)).as("n"),
+               expr(s"approx_percentile(v, array($pcts), $acc)").as("b"))
+        val sk = Streams.runToMemory(s, sketched, "st37_pct", OutputMode.Complete())
+        val row = sk.head()
+        val v = Tables.events(s, d)
+          .select(col("value").cast("double").as("v"))
+          .filter(col("v").isNotNull)
+        GlobalSort.selectPercentiles(v, qs, acc,
+          row.getLong(0), row.getSeq[Double](1))
+      },
+      Some("""WITH v AS (
+             |  SELECT value AS v FROM events WHERE value IS NOT NULL
+             |), n AS (SELECT count(*) AS n FROM v
+             |), r AS (
+             |  SELECT CAST(q AS DOUBLE) AS q,
+             |         CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS rank
+             |  FROM n, (VALUES (0.5), (0.9), (0.99)) t(q)
+             |), s AS (
+             |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
+             |)
+             |SELECT r.q, s.v AS value, r.rank
+             |FROM r JOIN s ON s.rn = r.rank""".stripMargin))
   )
 }
