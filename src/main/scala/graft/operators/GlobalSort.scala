@@ -33,6 +33,30 @@ object GlobalSort {
     sorted.sparkSession.createDataFrame(numbered, schema)
   }
 
+  /** The padded sketch percentages [lo_1..lo_m, hi_1..hi_m] backing
+    * [[exactPercentiles]]' bracket pass — public so a STREAMING sketch
+    * (st37: the same `approx_percentile` running as a Complete-mode
+    * streaming aggregate) can build the identical bracket query (via
+    * [[sketchAgg]]) and hand its drained stats to
+    * [[selectPercentiles]]: sketch online, certify offline. */
+  def bracketPercentages(qs: Seq[Double], accuracy: Int): Seq[Double] = {
+    val pad = 3.0 / accuracy
+    qs.map(q => math.max(q - pad, 0.0)) ++ qs.map(q => math.min(q + pad, 1.0))
+  }
+
+  /** The ONE bracket-sketch aggregation both [[exactPercentiles]] and
+    * the streaming twin run over the ("v" double, no-nulls) frame:
+    * (n, b) = exact count + the GK sketch at [[bracketPercentages]].
+    * Shared so the "identical bracket query" contract of
+    * [[selectPercentiles]] is enforced by construction, not by keeping
+    * two hand-built copies in sync. */
+  def sketchAgg(qs: Seq[Double], accuracy: Int): Seq[Column] = {
+    import org.apache.spark.sql.functions._
+    val pcts = bracketPercentages(qs, accuracy).mkString(",")
+    Seq(count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, array($pcts), $accuracy)").as("b"))
+  }
+
   /** EXACT global percentiles of an unbounded numeric column — without a
     * global sort of the data and without `percentile`'s exact
     * value-histogram state (which is one entry per DISTINCT value per
@@ -71,16 +95,6 @@ object GlobalSort {
     * one stats row, |qs| bracket constants, and the |qs| picked rows
     * (the IVF-centroid collect discipline). Output: (q, value, rank),
     * exact and engine-independent. */
-  /** The padded sketch percentages [lo_1..lo_m, hi_1..hi_m] backing the
-    * bracket pass — public so a STREAMING sketch (st37: the same
-    * `approx_percentile` running as a Complete-mode streaming aggregate)
-    * can build the identical bracket query and hand its drained stats
-    * to [[selectPercentiles]]: sketch online, certify offline. */
-  def bracketPercentages(qs: Seq[Double], accuracy: Int): Seq[Double] = {
-    val pad = 3.0 / accuracy
-    qs.map(q => math.max(q - pad, 0.0)) ++ qs.map(q => math.min(q + pad, 1.0))
-  }
-
   def exactPercentiles(df: DataFrame, valueCol: Column, qs: Seq[Double],
                        accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
@@ -88,9 +102,8 @@ object GlobalSort {
     require(accuracy >= 100, "accuracy must be >= 100")
     import org.apache.spark.sql.functions._
     val v = df.select(valueCol.cast("double").as("v")).filter(col("v").isNotNull)
-    val pcts = bracketPercentages(qs, accuracy).mkString(",")
-    val stats = v.agg(count(lit(1)).as("n"),
-      expr(s"approx_percentile(v, array($pcts), $accuracy)").as("b")).head()
+    val aggCols = sketchAgg(qs, accuracy)
+    val stats = v.agg(aggCols.head, aggCols.tail: _*).head()
     selectPercentiles(v, qs, accuracy, stats.getLong(0), stats.getSeq[Double](1))
   }
 

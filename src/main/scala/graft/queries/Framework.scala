@@ -627,6 +627,9 @@ object Framework {
     * surface (not the Scala API) can reach the sketch tier; the oracle
     * is ext98's verbatim. */
   private def fwSketch(s: SparkSession, d: String): DataFrame = {
+    // the engine runs plain spark.sql — the session must have graft's
+    // native functions even when the caller didn't configure extensions
+    graft.sql.GraftExtensions.ensureRegistered(s)
     val base = scratch(d, "sketch")
     rmrf(s, base)
     val sqlPath = new org.apache.hadoop.fs.Path(s"$base/query.sql")
@@ -635,7 +638,7 @@ object Framework {
     try out.write(
       ("WITH rw AS (\n" +
        "  SELECT CASE WHEN doc_id % 2 = 0\n" +
-       "              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'\n" +
+      s"              THEN '${Tables.BoilerSentence}'\n" +
        "              ELSE text END AS text\n" +
        "  FROM documents\n" +
        "), w AS (\n" +

@@ -57,7 +57,7 @@ private[queries] object OracleSql {
   val HeavyHittersBigrams: String =
     raw"""WITH rw AS (
          |  SELECT CASE WHEN doc_id % 2 = 0
-         |              THEN 'granite lighthouses hum beneath amber fog while copper gulls spiral over quiet breakwaters'
+         |              THEN '${Tables.BoilerSentence}'
          |              ELSE text END AS text
          |  FROM documents
          |), t AS (

@@ -1224,12 +1224,11 @@ ${OracleSql.InvIndex}
         import graft.operators.GlobalSort
         val qs = Seq(0.5, 0.9, 0.99)
         val acc = 10000
-        val pcts = GlobalSort.bracketPercentages(qs, acc).mkString(",")
+        val aggCols = GlobalSort.sketchAgg(qs, acc)
         val sketched = Streams.readEventsStream(s, d)
           .select(col("value").cast("double").as("v"))
           .filter(col("v").isNotNull)
-          .agg(count(lit(1)).as("n"),
-               expr(s"approx_percentile(v, array($pcts), $acc)").as("b"))
+          .agg(aggCols.head, aggCols.tail: _*)
         val sk = Streams.runToMemory(s, sketched, "st37_pct", OutputMode.Complete())
         val row = sk.head()
         val v = Tables.events(s, d)

@@ -43,9 +43,15 @@ object Tables {
     * identical corpus. Works on batch and streaming frames alike
     * (narrow codegen'd projections only). `keep` carries extra columns
     * (e.g. the ext101 group key) through the explode. */
+  /** The 13-word planted boilerplate of the heavy-hitters fixture — ONE
+    * definition interpolated everywhere it appears (boilerBigrams, the
+    * shared DuckDB oracle, fw_sketch's engine SQL), so a fixture change
+    * is one edit, not three coordinated ones. */
+  val BoilerSentence: String = "granite lighthouses hum beneath amber " +
+    "fog while copper gulls spiral over quiet breakwaters"
+
   def boilerBigrams(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
-    val boiler = "granite lighthouses hum beneath amber fog while " +
-      "copper gulls spiral over quiet breakwaters"
+    val boiler = BoilerSentence
     val w = col("__w")
     val kept = keep.map(col)
     docs.select(kept :+
