@@ -96,6 +96,36 @@ object TextAnalysis {
     heavyHittersRecount(it, sketch, k)
   }
 
+  /** WEIGHTED [[heavyHitters]]: every item whose total WEIGHT exceeds
+    * W/(k+1) of the total weight W, with its exact weight sum — the
+    * value-weighted census (bytes per domain, spend per account,
+    * compute per tenant) where counting occurrences answers the wrong
+    * question. Same two-pass exactness argument with mass in place of
+    * count: the weighted Misra-Gries undercount is ≤ W/(k+1) (each
+    * reduction retires (k+1)·δ mass), so the candidate array is a
+    * provable superset and the exact re-sum restricted to the broadcast
+    * candidates yields precisely the true heavy items. Weights must be
+    * positive longs (pre-scale money/bytes to integer units — the
+    * fixed-point discipline); zero/negative/null-weight rows are
+    * excluded from both W and the candidates, as are null items.
+    * Output: (item, w_sum, w_total). */
+  def weightedHeavyHitters(items: DataFrame, itemCol: Column,
+                           weightCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.sql.GraftExtensions.ensureRegistered(items.sparkSession)
+    val it = items.select(itemCol.as("item"), weightCol.as("w"))
+      .filter(col("item").isNotNull && col("w").isNotNull && col("w") > 0)
+    val sketch = it.agg(
+      expr(s"misra_gries_weighted(item, w, $k)").as("cands"),
+      sum(col("w")).as("w_total"))
+    val cands = sketch.select(explode(col("cands")).as("item"), col("w_total"))
+    it.join(broadcast(cands), "item")
+      .groupBy(col("item"), col("w_total"))
+      .agg(sum(col("w")).as("w_sum"))
+      .filter(col("w_sum") * (k + 1) > col("w_total"))
+      .select(col("item"), col("w_sum"), col("w_total"))
+  }
+
   /** [[heavyHitters]] PER GROUP: every item exceeding its own group's
     * n_g/(k+1) frequency threshold — per-language stopwords, per-domain
     * boilerplate, per-feed hot keys. Same two-pass exactness argument,

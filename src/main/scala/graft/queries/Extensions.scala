@@ -225,6 +225,36 @@ ${OracleSql.InvIndex}
         Tables.boilerBigrams(docs(s, d)), col("item"), k = 96),
       Some(OracleSql.HeavyHittersBigrams)),
 
+    // WEIGHTED heavy hitters: accounts by total SPEND (integer cents)
+    // over the events stream — the value-weighted census where
+    // occurrence counting answers the wrong question. Three whale
+    // accounts are planted by rewriting every 7th user's id (each
+    // whale then carries ~4.8% of total mass vs the 1/(k+1) ≈ 1.03%
+    // threshold); ~1290 natural accounts at sf0.1 keep the 96-counter
+    // sketch genuinely overflowing. Exact by the weighted two-pass
+    // (undercount ≤ W/(k+1) ⇒ candidate superset ⇒ exact re-sum).
+    "ext102_weighted_heavy_hitters" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          when(col("user_id") % 7 === 0,
+            concat(lit("whale_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("u"), col("user_id").cast("string"))).as("item"),
+          floor(col("value") * 100 + 0.5).cast("long").as("w"))
+        TextAnalysis.weightedHeavyHitters(ev, col("item"), col("w"), k = 96)
+      },
+      Some("""WITH it AS (
+             |  SELECT CASE WHEN user_id % 7 = 0 THEN 'whale_' || (user_id % 3)
+             |              ELSE 'u' || user_id END AS item,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS w
+             |  FROM events
+             |), p AS (
+             |  SELECT * FROM it WHERE item IS NOT NULL AND w IS NOT NULL AND w > 0
+             |), tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM p)
+             |SELECT item, CAST(sum(w) AS BIGINT) AS w_sum, tot.w_total
+             |FROM p, tot
+             |GROUP BY item, tot.w_total
+             |HAVING sum(w) * 97 > tot.w_total""".stripMargin)),
+
     // heavy hitters PER GROUP (per-language here — per-domain
     // boilerplate and per-feed hot keys are the same shape): each
     // language's own n_g/(k+1) threshold, sketch state ≤ k counters

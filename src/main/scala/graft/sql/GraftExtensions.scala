@@ -118,6 +118,14 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, s"misra_gries expects (item_string, k), got ${children.size} args")
         graft.functions.MisraGries(children.head, litInt(children(1), "misra_gries k"))
+      }),
+    (new FunctionIdentifier("misra_gries_weighted"),
+      new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries_weighted"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          s"misra_gries_weighted expects (item_string, weight_long, k), got ${children.size} args")
+        graft.functions.MisraGries(children.head, children(1),
+          litInt(children(2), "misra_gries_weighted k"))
       }))
 
   /** Imperative registration into an existing session (idempotent) — for

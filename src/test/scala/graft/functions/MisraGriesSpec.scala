@@ -92,6 +92,27 @@ class MisraGriesSpec extends SparkSpec {
     assert(out == Set(("g", "a", 3L, 3L)))
   }
 
+  test("weightedHeavyHitters: exact weighted census, count-heavy but weight-light loses") {
+    // 'often' appears 200 times at weight 1 (count-heavy, mass 200);
+    // 'whale' appears 4 times at weight 900 (mass 3600); 600 light
+    // items carry weight 5 each (mass 3000). W = 6800, k = 8 →
+    // threshold 6800/9 = 755.6: whale qualifies, often does NOT —
+    // the census a count-based heavy hitter gets exactly wrong.
+    val rows = Seq.fill(200)(("often", 1L)) ++ Seq.fill(4)(("whale", 900L)) ++
+      (1 to 600).map(i => (s"light_$i", 5L))
+    val df = spark.createDataset(scala.util.Random.shuffle(rows))
+      .repartition(8).toDF("item", "w")
+    val out = TextAnalysis.weightedHeavyHitters(df, col("item"), col("w"), 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out == Set(("whale", 3600L, 6800L)))
+    // zero/negative/null weights excluded from W and candidates
+    val df2 = Seq(("a", Some(5L)), ("a", Some(5L)), ("b", Some(0L)),
+      ("c", Some(-3L)), ("d", None: Option[Long])).toDF("item", "w")
+    val out2 = TextAnalysis.weightedHeavyHitters(df2, col("item"), col("w"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 == Set(("a", 10L, 10L)))
+  }
+
   test("null items are excluded from n and from candidates") {
     val df = Seq(Some("a"), Some("a"), Some("a"), None, Some("b")).toDF("item")
     val out = TextAnalysis.heavyHitters(df, col("item"), 2)
