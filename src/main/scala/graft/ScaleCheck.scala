@@ -62,7 +62,11 @@ object ScaleCheck {
     // BM25 beside ext44 (the same both-sides-growing probe workload);
     // and the cluster-keyed split (components linear in the edge set).
     "ext98_heavy_hitters", "ext101_group_heavy_hitters",
-    "st36_stream_heavy_hitters", "ext99_bm25_topk", "ext100_cluster_split")
+    "st36_stream_heavy_hitters", "ext99_bm25_topk", "ext100_cluster_split",
+    // the weighted census, the exact-percentile pair (batch + streaming
+    // sketch), and the engine-SQL sketch path
+    "ext102_weighted_heavy_hitters", "q85_exact_percentiles",
+    "st37_stream_percentiles", "fw_sketch")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
