@@ -54,6 +54,28 @@ class GlobalSortSpec extends SparkSpec {
     assert(got.getDouble(1) == 500.0 && got.getLong(2) == 500L)
   }
 
+  test("exactPercentiles: seeded-random sweep equals brute-force order statistics") {
+    val rnd = new scala.util.Random(20260815L)
+    (1 to 8).foreach { _ =>
+      val n = 200 + rnd.nextInt(2000)
+      // duplicate-rich skewed values: a hot value plus a heavy tail
+      val hot = rnd.nextInt(50).toDouble
+      val vals = Seq.fill(n / 4)(hot) ++
+        Seq.fill(n - n / 4)(math.floor(rnd.nextDouble() * 500) / 10.0)
+      val qs = Seq(rnd.nextDouble(), rnd.nextDouble(), 0.0, 1.0).distinct
+      val accuracy = 100 + rnd.nextInt(3) * 450 // 100 / 550 / 1000
+      val df = spark.createDataset(rnd.shuffle(vals)).repartition(6).toDF("x")
+      val got = GlobalSort.exactPercentiles(df, col("x"), qs, accuracy)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getLong(2))).toSet
+      val sorted = vals.sorted
+      val expected = qs.map { q =>
+        val r = math.floor(q * (vals.size - 1)).toLong + 1
+        (q, sorted((r - 1).toInt), r)
+      }.toSet
+      assert(got == expected, s"n=$n accuracy=$accuracy qs=$qs")
+    }
+  }
+
   test("numbering matches single-partition row_number exactly") {
     val df = Seq(("b", 1L), ("a", 2L), ("a", 1L), ("c", 0L)).toDF("k", "uid")
     val got = GlobalSort.withRowNumber(df, "rn", col("k").asc, col("uid").asc)
