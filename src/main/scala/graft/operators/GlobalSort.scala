@@ -107,6 +107,63 @@ object GlobalSort {
     selectPercentiles(v, qs, accuracy, stats.getLong(0), stats.getSeq[Double](1))
   }
 
+  /** [[exactPercentiles]] PER GROUP — exact per-source/per-tenant
+    * latency-style order statistics, as ONE lazy plan with no driver
+    * iteration at all (unlike the global form's per-bracket collect):
+    *
+    *   - the bracket sketch runs per group (`groupBy(g)` + the same
+    *     [[sketchAgg]]), and the per-(group, quantile) targets —
+    *     r = floor(q·(n_g − 1)) + 1 and the [lo, hi] bracket, with the
+    *     whole-domain fallback whenever n_g < accuracy — are derived
+    *     COLUMNARLY from that stats frame and broadcast
+    *     (|groups|·|qs| rows, the [[graft.operators.TextAnalysis.heavyHittersPerGroup]]
+    *     broadcast-bound discipline: for an unbounded group domain,
+    *     shard the group space);
+    *   - one corpus pass joined to the broadcast targets counts the
+    *     exact per-(group, quantile) offsets AND tags bracket rows;
+    *   - the bracket slivers sort under a window PARTITIONED by
+    *     (group, quantile) — each partition is a ≤ ~6n_g/accuracy
+    *     sliver, so no single-task window on data-sized input — and
+    *     the (r − offset)-th row per partition is the exact answer.
+    *
+    * Null groups and null values are excluded ([[TextAnalysis.heavyHittersPerGroup]]'s
+    * documented contract). Output: (groupCol, q, value, rank). */
+  def exactPercentilesByGroup(df: DataFrame, groupCol: String, valueCol: Column,
+                              qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0.0 && q <= 1.0),
+      "quantiles must be in [0, 1]")
+    require(accuracy >= 100, "accuracy must be >= 100")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(groupCol).as("__g"), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull && col("__g").isNotNull)
+    val aggCols = sketchAgg(qs, accuracy)
+    val stats = v.groupBy(col("__g")).agg(aggCols.head, aggCols.tail: _*)
+    val m = qs.size
+    // one target row per (group, quantile): rank + bracket, columnar
+    val targets = stats.select(col("__g"), col("n"), col("b"),
+        explode(typedlit(qs.zipWithIndex)).as("qi"))
+      .select(col("__g"),
+        col("qi._1").as("q"),
+        (floor(col("qi._1") * (col("n") - 1)).cast("long") + 1L).as("r"),
+        when(col("n") < accuracy, lit(Double.NegativeInfinity))
+          .otherwise(element_at(col("b"), col("qi._2") + 1)).as("lo"),
+        when(col("n") < accuracy, lit(Double.PositiveInfinity))
+          .otherwise(element_at(col("b"), col("qi._2") + lit(m) + 1)).as("hi"))
+    val tagged = v.join(broadcast(targets), "__g")
+      .withColumn("below", (col("v") < col("lo")).cast("long"))
+      .withColumn("inb", col("v") >= col("lo") && col("v") <= col("hi"))
+    val offs = tagged.groupBy(col("__g"), col("q"))
+      .agg(sum(col("below")).as("off"))
+    val w = Window.partitionBy(col("__g"), col("q")).orderBy(col("v"))
+    tagged.filter(col("inb"))
+      .withColumn("rn", row_number().over(w))
+      .join(offs, Seq("__g", "q"))
+      .filter(col("rn") === col("r") - col("off"))
+      .select(col("__g").as(groupCol), col("q"), col("v").as("value"),
+        col("r").as("rank"))
+  }
+
   /** The exact-selection phases of [[exactPercentiles]], separable so the
     * bracket sketch can come from a stream (st37). `v` must be (a
     * re-derivation of) the single-column ("v", double, no nulls) frame

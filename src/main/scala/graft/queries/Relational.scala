@@ -1969,6 +1969,32 @@ object Relational {
              |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
              |)
              |SELECT r.q, s.v AS value, r.rank
-             |FROM r JOIN s ON s.rn = r.rank""".stripMargin))
+             |FROM r JOIN s ON s.rn = r.rank""".stripMargin)),
+
+    // q85 PER GROUP — exact per-flag price percentiles as ONE lazy
+    // plan: per-group GK brackets derived columnarly, broadcast
+    // |groups|·|qs| targets, one tagged corpus pass for offsets +
+    // slivers, a (group, q)-partitioned sliver sort. The oracle picks
+    // identical per-group ranks off a partitioned row_number.
+    "q86_group_percentiles" -> Q(
+      (s, d) => graft.operators.GlobalSort.exactPercentilesByGroup(
+        t(s, d, "lineitem"), "l_returnflag", col("l_extendedprice"),
+        Seq(0.5, 0.99)),
+      Some("""WITH v AS (
+             |  SELECT l_returnflag, l_extendedprice AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+             |), n AS (
+             |  SELECT l_returnflag, count(*) AS n FROM v GROUP BY l_returnflag
+             |), r AS (
+             |  SELECT l_returnflag, CAST(q AS DOUBLE) AS q,
+             |         CAST(floor(CAST(q AS DOUBLE) * (n - 1)) AS BIGINT) + 1 AS rank
+             |  FROM n, (VALUES (0.5), (0.99)) t(q)
+             |), s AS (
+             |  SELECT l_returnflag, v,
+             |         row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn
+             |  FROM v
+             |)
+             |SELECT r.l_returnflag, r.q, s.v AS value, r.rank
+             |FROM r JOIN s ON s.l_returnflag = r.l_returnflag AND s.rn = r.rank""".stripMargin))
   )
 }

@@ -76,6 +76,39 @@ class GlobalSortSpec extends SparkSpec {
     }
   }
 
+  test("exactPercentilesByGroup: seeded-random sweep equals per-group brute force") {
+    val rnd = new scala.util.Random(99L)
+    (1 to 5).foreach { _ =>
+      val groups = Seq("a", "b", "c")
+      val rows = groups.flatMap { g =>
+        val n = 150 + rnd.nextInt(1500)
+        Seq.fill(n)((g, math.floor(rnd.nextDouble() * 300) / 10.0))
+      }
+      val qs = Seq(rnd.nextDouble(), 0.5, 1.0).distinct
+      val df = spark.createDataset(rnd.shuffle(rows)).repartition(6).toDF("g", "x")
+      val got = GlobalSort.exactPercentilesByGroup(df, "g", col("x"), qs,
+          accuracy = 100 + rnd.nextInt(2) * 900)
+        .collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        val sorted = rs.map(_._2).sorted
+        qs.map { q =>
+          val r = math.floor(q * (sorted.size - 1)).toLong + 1
+          (g, q, sorted((r - 1).toInt), r)
+        }
+      }.toSet
+      assert(got == expected)
+    }
+    // null groups and null values excluded
+    val df2 = Seq((Some("g"), Some(1.0)), (Some("g"), Some(2.0)),
+      (Some("g"), Some(3.0)), (None: Option[String], Some(9.0)),
+      (Some("g"), None: Option[Double])).toDF("g", "x")
+    val out = GlobalSort.exactPercentilesByGroup(df2, "g", col("x"), Seq(1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(2), r.getLong(3))).toSet
+    assert(out == Set(("g", 3.0, 3L)))
+  }
+
   test("numbering matches single-partition row_number exactly") {
     val df = Seq(("b", 1L), ("a", 2L), ("a", 1L), ("c", 0L)).toDF("k", "uid")
     val got = GlobalSort.withRowNumber(df, "rn", col("k").asc, col("uid").asc)
