@@ -66,7 +66,7 @@ object ScaleCheck {
     // the weighted census, the exact-percentile pair (batch + streaming
     // sketch), and the engine-SQL sketch path
     "ext102_weighted_heavy_hitters", "q85_exact_percentiles",
-    "st37_stream_percentiles", "fw_sketch")
+    "st37_stream_percentiles", "fw_sketch", "q86_group_percentiles")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
