@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CountMin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline tier over the `documents` / `embeddings` fixtures:
   * dedup (exact, fingerprint, MinHash-LSH, SimHash), similarity search
@@ -283,6 +283,23 @@ ${OracleSql.InvIndex}
              |FROM bi JOIN tot USING (lang)
              |GROUP BY bi.lang, item, tot.n_items
              |HAVING count(*) * 97 > tot.n_items""".stripMargin)),
+
+    // Count-Min point-frequency estimates, certified: the sketch tier's
+    // "how often does THIS item occur" complement to the Misra-Gries
+    // census (ext98). The sketch is a ≤ d·w-row (r, bucket, cnt) TABLE
+    // (d=4, w=2048 — 8K counters summarizing the whole bigram stream);
+    // probes are the distinct bigrams of a deterministic 1/97 document
+    // sample (the "estimate corpus frequency of a sample's n-grams"
+    // importance-weighting shape) plus three planted absent strings.
+    // Everything — md5 bucket hashes, cell counts, the min over d rows,
+    // the exact certification counts — replays in DuckDB, so the
+    // ESTIMATES themselves are value-oracled, and the CMS deterministic
+    // guarantee est ≥ cnt shows up as overcount ≥ 0 in both engines.
+    "ext103_countmin" -> Q(
+      (s, d) => CountMin.estimates(
+        Tables.boilerBigrams(docs(s, d)), col("item"),
+        Tables.countMinProbes(docs(s, d)), col("item"), d = 4, w = 2048),
+      Some(OracleSql.CountMinBigrams)),
 
     "ext97_containment_capped" -> Q(
       (s, d) => {

@@ -70,4 +70,44 @@ private[queries] object OracleSql {
          |FROM bi, tot
          |GROUP BY item, tot.n_items
          |HAVING count(*) * 97 > tot.n_items""".stripMargin
+
+  /** Shared COMPLETE oracle for the Count-Min twins (ext103 batch, st38
+    * streaming): replays the d=4, w=2048 md5-bucket sketch, the min-
+    * over-rows estimate for every probe, and the exact certification
+    * counts — the estimates are deterministic VALUES in both engines. */
+  val CountMinBigrams: String =
+    raw"""WITH rw AS (
+         |  SELECT doc_id, CASE WHEN doc_id % 2 = 0
+         |              THEN '${Tables.BoilerSentence}'
+         |              ELSE text END AS text
+         |  FROM documents
+         |), t AS (
+         |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS w FROM rw
+         |), bi AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS item
+         |  FROM t WHERE len(w) >= 2
+         |), pr AS (
+         |  SELECT DISTINCT item FROM (
+         |    SELECT item FROM bi WHERE doc_id % 97 = 3
+         |    UNION ALL
+         |    SELECT * FROM (VALUES ('absent probe alpha'), ('absent probe beta'), ('absent probe gamma')) v(item))
+         |), rows_ AS (SELECT unnest(range(4)) AS r
+         |), sk AS (
+         |  SELECT r, ('0x' || substr(md5('cm' || r || ':' || item), 1, 8))::BIGINT % 2048 AS bucket,
+         |         count(*) AS cnt
+         |  FROM bi, rows_ GROUP BY 1, 2
+         |), cells AS (
+         |  SELECT item, r, ('0x' || substr(md5('cm' || r || ':' || item), 1, 8))::BIGINT % 2048 AS bucket
+         |  FROM pr, rows_
+         |), est AS (
+         |  SELECT c.item, min(coalesce(sk.cnt, 0)) AS e
+         |  FROM cells c LEFT JOIN sk USING (r, bucket) GROUP BY c.item
+         |), exact AS (
+         |  SELECT item, count(*) AS cnt FROM bi
+         |  WHERE item IN (SELECT item FROM pr) GROUP BY item
+         |)
+         |SELECT est.item, CAST(est.e AS BIGINT) AS est,
+         |       CAST(coalesce(exact.cnt, 0) AS BIGINT) AS cnt,
+         |       CAST(est.e - coalesce(exact.cnt, 0) AS BIGINT) AS overcount
+         |FROM est LEFT JOIN exact USING (item)""".stripMargin
 }

@@ -1248,6 +1248,30 @@ ${OracleSql.InvIndex}
              |  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v
              |)
              |SELECT r.q, s.v AS value, r.rank
-             |FROM r JOIN s ON s.rn = r.rank""".stripMargin))
+             |FROM r JOIN s ON s.rn = r.rank""".stripMargin)),
+
+    // Count-Min AT INGEST: ext103's sketch build — already a plain
+    // groupBy(r, bucket).count — runs as a Complete-mode STREAMING
+    // aggregate over the arriving bigram stream, state bounded at
+    // d·w = 8192 rows forever (CMS merges ARE cell-wise sums, so the
+    // state-store merge is the sketch merge); the drained sketch then
+    // answers the same probe estimates offline and the exact
+    // certification replays on the batch store (the st36/st37 "sketch
+    // online, certify offline" discipline). Same oracle as ext103
+    // verbatim: a streamed CMS must equal the batch one cell for cell.
+    "st38_stream_countmin" -> Q(
+      (s, d) => {
+        val stream = Tables.boilerBigrams(Streams.readDocumentsStream(s, d))
+        val sketched = graft.operators.CountMin
+          .bucketRows(stream, col("item"), d = 4, w = 2048)
+          .groupBy(col("r"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+        val sk = Streams.runToMemory(s, sketched, "st38_cm", OutputMode.Complete())
+        val batchDocs = s.read.parquet(s"$d/documents.parquet")
+        graft.operators.CountMin.certifyWith(sk,
+          Tables.boilerBigrams(batchDocs), col("item"),
+          Tables.countMinProbes(batchDocs), col("item"), d = 4, w = 2048)
+      },
+      Some(OracleSql.CountMinBigrams))
   )
 }

@@ -66,6 +66,19 @@ object Tables {
           .otherwise(array().cast("array<string>"))).as("item"): _*)
   }
 
+  /** The Count-Min probe set shared by the batch (ext103) and streaming
+    * (st38) twins: distinct bigrams of the deterministic 1/97 document
+    * sample (probing a sample's n-gram frequencies against the corpus
+    * sketch — the importance-weighting shape) plus three planted absent
+    * strings that exercise the est-for-missing-item path. ONE
+    * definition so both twins provably probe the same set. */
+  def countMinProbes(docs: DataFrame): DataFrame =
+    boilerBigrams(docs.filter(col("doc_id") % 97 === 3)).select(col("item"))
+      .unionByName(docs.sparkSession.range(1).select(
+        explode(typedlit(Seq(
+          "absent probe alpha", "absent probe beta", "absent probe gamma")))
+          .as("item")))
+
   /** Stage the DRIFTING three-shape JSON corpus shared by the VARIANT
     * read-path (ext88) and sink-path (fw_variant) queries — one
     * definition so both provably exercise the SAME heterogeneous data:
