@@ -713,6 +713,77 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** DOCUMENT-LEVEL co-occurrence pair mining (the market-basket
+    * frequent-pairs pass; contrast [[collocations]], which counts
+    * ADJACENT bigrams): every unordered token pair contained together
+    * in at least ⌈n_docs/supportDenom⌉ documents, with exact document
+    * frequencies and the integer lift ratio. The vocabulary-correlation
+    * signal a tokenizer/stopword/topic pipeline wants at corpus scale.
+    *
+    * A-priori pruning (Agrawal & Srikant, VLDB'94), which is LOSSLESS:
+    * a pair in ≥ n/denom docs has both members in ≥ n/denom docs, so
+    * restricting the pair build to frequent tokens drops no qualifying
+    * pair. The remaining blowup — a doc holding f frequent tokens emits
+    * C(f,2) pairs — is bounded by `maxPerDoc` (kept tokens per doc =
+    * the top-`maxPerDoc` by global df, ties broken by token — a total,
+    * engine-replayable order): C(64,2) ≈ 2k rows per doc worst case,
+    * the [[Dedup.minhashLshCapped]] honesty discipline (the cap is part
+    * of the operator's SEMANTICS and replays in the oracle; it only
+    * bites on docs whose frequent-token count exceeds it).
+    *
+    * Scale shape: one distinct-(doc, token) projection; the df count is
+    * a bounded-domain aggregate (one counter per distinct WORD — the
+    * [[vocabTopK]] argument; for unbounded item domains run the
+    * [[heavyHitters]] sketch first and mine among its candidates); the
+    * df table joins back token-keyed (broadcast at word-vocab sizes);
+    * pair emission is a per-doc sorted-array transform (no self-join,
+    * no second shuffle) followed by ONE map-side-combined pair count.
+    * All thresholds are RELATIVE (support·denom ≥ n_docs), so the same
+    * query is scale-invariant across fixtures.
+    *
+    * milli_lift = ⌊1000 · pair_df · n_docs / (df_a · df_b)⌋ in exact
+    * integer arithmetic (> 1000 ⇒ positively correlated); the envelope
+    * 1000·pair·n < 2^63 holds to n ≈ 3·10⁹ docs per partition-run —
+    * beyond that, mine per shard and merge.
+    *
+    * Output: (tok_a, tok_b, pair_df, df_a, df_b, n_docs, milli_lift),
+    * tok_a < tok_b lexicographically. */
+  def frequentPairs(docs: DataFrame, idCol: String, textCol: String,
+                    supportDenom: Int = 10, maxPerDoc: Int = 64): DataFrame = {
+    require(supportDenom > 0 && maxPerDoc > 1, "bad thresholds")
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(array_distinct(filter(words(col(textCol)), t => t =!= "")))
+          .as("token"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    // a-priori: document frequency per token, kept iff df*denom >= n
+    val df = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * supportDenom >= col("n_docs"))
+    val kept = toks.join(broadcast(df.select(col("token"), col("df"))), "token")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df").desc, col("token"))))
+      .filter(col("rk") <= maxPerDoc)
+    // per-doc sorted token array -> all i<j pairs in one codegen'd
+    // transform (pair order = lexicographic, from sort_array)
+    val arr = kept.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("token"))).as("ts"))
+    val pairs = arr.select(explode(flatten(transform(col("ts"),
+        (x, i) => transform(slice(col("ts"), i + 2, size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .groupBy(col("tok_a"), col("tok_b")).agg(count(lit(1)).as("pair_df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("pair_df") * supportDenom >= col("n_docs"))
+    pairs
+      .join(broadcast(df.select(col("token").as("tok_a"), col("df").as("df_a"))), "tok_a")
+      .join(broadcast(df.select(col("token").as("tok_b"), col("df").as("df_b"))), "tok_b")
+      .select(col("tok_a"), col("tok_b"), col("pair_df"),
+        col("df_a"), col("df_b"), col("n_docs"),
+        expr("CAST((1000 * pair_df * n_docs) DIV (df_a * df_b) AS BIGINT)")
+          .as("milli_lift"))
+  }
+
   /** Feature-hashing document vector (the hashing trick — Weinberger et
     * al., ICML'09): every token hashes to one of `dims` buckets and the
     * document's vector is the bucket-count histogram. The model-free way

@@ -301,6 +301,45 @@ ${OracleSql.InvIndex}
         Tables.countMinProbes(docs(s, d)), col("item"), d = 4, w = 2048),
       Some(OracleSql.CountMinBigrams)),
 
+    // Document-level co-occurrence pair mining (market-basket frequent
+    // pairs, a-priori pruned — LOSSLESS pruning, unlike the LSH caps):
+    // every unordered token pair sharing >= n_docs/10 documents, with
+    // exact document frequencies and the integer milli-lift. Relative
+    // thresholds make the query scale-invariant across fixtures; the
+    // per-doc pair fan-out is bounded by the replayable top-64-by-df
+    // cap (inert on this corpus: max 30 frequent tokens per doc).
+    "ext104_frequent_pairs" -> Q(
+      (s, d) => TextAnalysis.frequentPairs(docs(s, d), "doc_id", "text",
+        supportDenom = 10, maxPerDoc = 64),
+      Some(raw"""WITH t AS (
+             |  SELECT doc_id, list_distinct(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS w
+             |  FROM documents
+             |), u AS (
+             |  SELECT doc_id, unnest(w) AS token FROM t
+             |), n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+             |), df AS (
+             |  SELECT token, count(*) AS df FROM u GROUP BY 1
+             |), fi AS (
+             |  SELECT token, df FROM df, n WHERE df * 10 >= n.n_docs
+             |), kept AS (
+             |  SELECT doc_id, token FROM (
+             |    SELECT u.doc_id, u.token,
+             |           row_number() OVER (PARTITION BY u.doc_id ORDER BY fi.df DESC, u.token) AS rk
+             |    FROM u JOIN fi ON u.token = fi.token)
+             |  WHERE rk <= 64
+             |), p AS (
+             |  SELECT a.token AS tok_a, b.token AS tok_b, count(*) AS pair_df
+             |  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.token < b.token
+             |  GROUP BY 1, 2
+             |)
+             |SELECT tok_a, tok_b, CAST(pair_df AS BIGINT) AS pair_df,
+             |       CAST(fa.df AS BIGINT) AS df_a, CAST(fb.df AS BIGINT) AS df_b,
+             |       CAST(n.n_docs AS BIGINT) AS n_docs,
+             |       CAST((1000 * pair_df * n.n_docs) // (fa.df * fb.df) AS BIGINT) AS milli_lift
+             |FROM p JOIN fi fa ON p.tok_a = fa.token
+             |       JOIN fi fb ON p.tok_b = fb.token, n
+             |WHERE pair_df * 10 >= n.n_docs""".stripMargin)),
+
     "ext97_containment_capped" -> Q(
       (s, d) => {
         import s.implicits._

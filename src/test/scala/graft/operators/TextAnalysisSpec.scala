@@ -596,4 +596,58 @@ class TextAnalysisSpec extends SparkSpec {
       .map(b => f"$b%02x").mkString
     assert(r(1L).getAs[String]("pieces_sig") == sig)
   }
+
+  test("frequentPairs: equals the brute-force pair truth when the cap is inert") {
+    // 10 docs over a 6-token vocab; brute-force doc-level pair counts
+    val texts = Seq(
+      "a b c", "a b", "a c d", "b c d e", "a b c d", "e f", "a e",
+      "b c", "a b e", "d e f")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.frequentPairs(df, "doc_id", "text",
+      supportDenom = 5, maxPerDoc = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // brute force in Scala
+    val sets = texts.map(_.split(" ").toSet)
+    val n = sets.length
+    val dfm = sets.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pairTruth = (for {
+      s <- sets; a <- s; b <- s if a < b
+    } yield (a, b)).groupBy(identity).view.mapValues(_.size)
+      .filter { case ((a, b), c) =>
+        c * 5 >= n && dfm(a) * 5 >= n && dfm(b) * 5 >= n }.toMap
+    assert(out.keySet == pairTruth.keySet)
+    pairTruth.foreach { case ((a, b), c) =>
+      val r = out((a, b))
+      assert(r.getAs[Long]("pair_df") == c.toLong)
+      assert(r.getAs[Long]("df_a") == dfm(a).toLong)
+      assert(r.getAs[Long]("df_b") == dfm(b).toLong)
+      assert(r.getAs[Long]("milli_lift") ==
+        1000L * c * n / (dfm(a).toLong * dfm(b)))
+    }
+  }
+
+  test("frequentPairs: the per-doc cap keeps only top-df tokens, replayably") {
+    // 'x' and 'y' in every doc (df 4); 'p'/'q' in 3 of 4. With
+    // maxPerDoc = 2 every doc keeps exactly {x, y} (highest df, then
+    // token order breaks the p/q vs x/y tie deterministically: df is
+    // 4 > 3 so x,y win) — the only pair that can survive is (x, y).
+    val df = Seq((1L, "x y p q"), (2L, "x y p q"), (3L, "x y p q"),
+      (4L, "x y")).toDF("doc_id", "text")
+    val out = TextAnalysis.frequentPairs(df, "doc_id", "text",
+      supportDenom = 2, maxPerDoc = 2).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y")))
+    assert(out.head.getAs[Long]("pair_df") == 4L)
+  }
+
+  test("frequentPairs: a-priori prunes pairs whose member is infrequent") {
+    // 'rare' co-occurs with 'a' in its only doc; df(rare)=1 < 3/2 of 6
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a b"),
+      (5L, "a b"), (6L, "a rare")).toDF("doc_id", "text")
+    val out = TextAnalysis.frequentPairs(df, "doc_id", "text",
+      supportDenom = 2, maxPerDoc = 64).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("a", "b")))
+  }
 }
