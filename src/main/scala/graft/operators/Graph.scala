@@ -103,4 +103,66 @@ object Graph {
     (Seq(e, nodes) ++ lastCp).foreach(graft.util.Caching.freeCheckpoint)
     result
   }
+
+  /** EXACT triangle census per node — the transitivity/cohesion metric
+    * over corpus-derived graphs (how clique-like are the near-dup
+    * families, the co-order baskets, the kNN neighborhoods). Output:
+    * (node, deg, tri, max_wedges) with max_wedges = C(deg, 2), so the
+    * local clustering coefficient is the exact rational tri/max_wedges
+    * and the global triangle count is Σ tri / 3 — all integers, no
+    * float drift anywhere.
+    *
+    * Algorithm: compact-forward (Latapy, TCS 2008) as ONE lazy plan.
+    * Undirected edges normalize to (a = least, b = greatest), dedup,
+    * self-loops dropped; each edge is then ORIENTED from the lower to
+    * the higher endpoint in the (degree, id) total order, and a
+    * triangle {x, y, z} (orientation order x < y < z) is found exactly
+    * once: as the wedge y ← x → z closed by the directed edge y → z.
+    *
+    * The orientation is the load-bearing scale choice, not a tie-break
+    * nicety: out-degrees under (degree, id) orientation are O(√m)
+    * amortized, so the wedge join emits O(m^1.5) rows — the best
+    * possible for exact global triangle counting — where the naive
+    * id-orientation lets one low-id hub of degree D emit C(D, 2)
+    * wedges on its own (a viral near-dup family or a bestseller part
+    * turns that quadratic). Every step is an equality-keyed join or a
+    * map-side-combined count: wedges join on the shared LOW endpoint,
+    * closure probes the (v1, v2) edge key, per-node counts explode 3
+    * corner rows per triangle. Catalyst's exchange reuse dedups the
+    * repeated scans of the oriented edge frame inside the single plan.
+    * Parallel edges collapse (dedup); an empty graph returns empty. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e0 = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+    val deg = e0.select(col("a").as("node"))
+      .unionByName(e0.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = e0
+      .join(deg.select(col("node").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("node").as("b"), col("deg").as("deg_b")), "b")
+    // forward iff (deg_a, a) < (deg_b, b) — a TOTAL order (ids untied)
+    val fwd = col("deg_a") < col("deg_b") ||
+      (col("deg_a") === col("deg_b") && col("a") < col("b"))
+    val dir = withDeg.select(
+      when(fwd, col("a")).otherwise(col("b")).as("u"),
+      when(fwd, col("b")).otherwise(col("a")).as("v"),
+      when(fwd, col("deg_b")).otherwise(col("deg_a")).as("deg_v"))
+    val wedges = dir.select(col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
+      .join(dir.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2")),
+        Seq("u"))
+      .filter(col("dv1") < col("dv2") ||
+        (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges.join(
+      dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"),
+        expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)").as("max_wedges"))
+  }
 }

@@ -340,6 +340,52 @@ ${OracleSql.InvIndex}
              |       JOIN fi fb ON p.tok_b = fb.token, n
              |WHERE pair_df * 10 >= n.n_docs""".stripMargin)),
 
+    // EXACT triangle census over the co-order part graph (parts sharing
+    // an order — the basket graph; ~116k edges / 414k triangles at
+    // sf0.01): per-part triangle participation, degree, and C(deg,2),
+    // so local clustering coefficients and the global count are exact
+    // integer ratios. The degree-oriented compact-forward join bounds
+    // wedge output at O(m^1.5) regardless of hub degree — the id-
+    // oriented naive form goes quadratic on one bestseller part. The
+    // edge build itself is an equality join on l_orderkey with per-order
+    // fan-out bounded by lines-per-order².
+    "ext105_triangles" -> Q(
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        graft.operators.Graph.triangles(e, "a", "b")
+      },
+      Some("""WITH e0 AS (
+             |  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+             |  FROM lineitem a JOIN lineitem b
+             |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+             |), deg AS (
+             |  SELECT node, count(*) AS deg FROM (
+             |    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1
+             |), dir AS (
+             |  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN a ELSE b END AS u,
+             |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN b ELSE a END AS v,
+             |         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND a < b) THEN db.deg ELSE da.deg END AS deg_v
+             |  FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b
+             |), tri AS (
+             |  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+             |  FROM dir e1 JOIN dir e2 ON e1.u = e2.u
+             |    AND (e1.deg_v < e2.deg_v OR (e1.deg_v = e2.deg_v AND e1.v < e2.v))
+             |  JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v
+             |), pern AS (
+             |  SELECT node, count(*) AS tri FROM (
+             |    SELECT x AS node FROM tri UNION ALL
+             |    SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1
+             |)
+             |SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,
+             |       CAST(coalesce(p.tri, 0) AS BIGINT) AS tri,
+             |       CAST(deg.deg * (deg.deg - 1) // 2 AS BIGINT) AS max_wedges
+             |FROM deg LEFT JOIN pern p USING (node)""".stripMargin)),
+
     "ext97_containment_capped" -> Q(
       (s, d) => {
         import s.implicits._

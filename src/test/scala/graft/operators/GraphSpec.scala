@@ -58,4 +58,62 @@ class GraphSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("in_deg") == 2L)
     assert(got(1L).getAs[Long]("out_deg") == 2L)
   }
+
+  test("triangles: K4 has four triangles, three per corner") {
+    val e = (for { a <- 1L to 4L; b <- 1L to 4L if a < b } yield (a, b))
+    val got = Graph.triangles(e.toDF("s", "t"), "s", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 4)
+    (1L to 4L).foreach { n =>
+      assert(got(n).getAs[Long]("deg") == 3L)
+      assert(got(n).getAs[Long]("tri") == 3L)
+      assert(got(n).getAs[Long]("max_wedges") == 3L)
+    }
+  }
+
+  test("triangles: squares and stars are triangle-free") {
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val star = Seq((9L, 10L), (9L, 11L), (9L, 12L), (9L, 13L))
+    val got = Graph.triangles((square ++ star).toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("tri")).toMap
+    assert(got.values.forall(_ == 0L))
+    assert(got.size == 9)
+  }
+
+  test("triangles: parallel, reversed, and self-loop edges collapse") {
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)) // one triangle; duplicates/reverses/self-loop are noise
+    val got = Graph.triangles(e.toDF("s", "t"), "s", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.size == 3)
+    got.values.foreach { r =>
+      assert(r.getAs[Long]("deg") == 2L && r.getAs[Long]("tri") == 1L)
+    }
+  }
+
+  test("triangles: matches brute force on a seeded random graph") {
+    val rnd = new scala.util.Random(7)
+    val n = 24
+    val e = (for { a <- 1 to n; b <- 1 to n if a < b && rnd.nextDouble() < 0.3 }
+      yield (a.toLong, b.toLong)).toVector
+    val es = e.toSet
+    def adj(x: Long, y: Long) = es.contains((math.min(x, y), math.max(x, y)))
+    val bruteTri = (for {
+      x <- 1 to n; y <- x + 1 to n; z <- y + 1 to n
+      if adj(x, y) && adj(x, z) && adj(y, z)
+    } yield (x.toLong, y.toLong, z.toLong)).toVector
+    val perCorner = bruteTri.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val degTruth = e.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.triangles(e.toDF("s", "t"), "s", "t").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet == degTruth.keySet)
+    got.foreach { case (node, r) =>
+      assert(r.getAs[Long]("deg") == degTruth(node))
+      assert(r.getAs[Long]("tri") == perCorner.getOrElse(node, 0L),
+        s"node $node")
+    }
+    assert(got.values.map(_.getAs[Long]("tri")).sum == 3L * bruteTri.size)
+  }
 }
