@@ -1995,6 +1995,75 @@ object Relational {
              |  FROM v
              |)
              |SELECT r.l_returnflag, r.q, s.v AS value, r.rank
-             |FROM r JOIN s ON s.l_returnflag = r.l_returnflag AND s.rn = r.rank""".stripMargin))
+             |FROM r JOIN s ON s.l_returnflag = r.l_returnflag AND s.rn = r.rank""".stripMargin)),
+
+    // Interval union (gaps-and-islands): merge each user's overlapping
+    // activity intervals [ts, ts + dur) and report the exact union —
+    // the coverage/uptime/session-dedup shape that a naive sum(dur)
+    // double-counts wherever intervals overlap. Duration is an integer-
+    // seconds function of event_id (no float arithmetic anywhere); all
+    // work happens in epoch MICROSECONDS (both engines' exact common
+    // precision for the nano fixture). One window over one sort per
+    // user partition (island flag = start beyond the running max end;
+    // island id = running sum of flags — per-user state, never global),
+    // then two hash aggregations. Total order (start, end, event_id) —
+    // event_id is unique, so both engines see the identical sequence.
+    "q87_interval_merge" -> Q(
+      (s, d) => {
+        val iv = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("start_us"),
+            (unix_micros(col("ts")) +
+              (col("event_id") % 300 + 30) * lit(1000000L)).as("end_us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("start_us"), col("end_us"), col("event_id"))
+        val prevMax = max(col("end_us"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        val islands = iv
+          .withColumn("new_island",
+            when(prevMax.isNull || col("start_us") > prevMax, 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .groupBy(col("user_id"), col("island"))
+          .agg(min(col("start_us")).as("i_start"),
+            max(col("end_us")).as("i_end"),
+            count(lit(1)).as("n_ev"))
+        islands.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_islands"),
+            sum(col("n_ev")).as("n_events"),
+            sum(col("i_end") - col("i_start")).as("covered_us"),
+            max(col("i_end") - col("i_start")).as("max_island_us"))
+      },
+      Some("""WITH iv AS (
+             |  SELECT user_id, event_id,
+             |         epoch_ns(ts) // 1000 AS start_us,
+             |         epoch_ns(ts) // 1000 + (event_id % 300 + 30) * 1000000 AS end_us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), f AS (
+             |  SELECT user_id, event_id, start_us, end_us,
+             |         CASE WHEN start_us > coalesce(max(end_us) OVER (
+             |                PARTITION BY user_id ORDER BY start_us, end_us, event_id
+             |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |                -9223372036854775808)
+             |              THEN 1 ELSE 0 END AS new_island
+             |  FROM iv
+             |), g AS (
+             |  SELECT user_id, start_us, end_us,
+             |         sum(new_island) OVER (
+             |           PARTITION BY user_id ORDER BY start_us, end_us, event_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             |  FROM f
+             |), isl AS (
+             |  SELECT user_id, island, min(start_us) AS i_start,
+             |         max(end_us) AS i_end, count(*) AS n_ev
+             |  FROM g GROUP BY 1, 2
+             |)
+             |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+             |       CAST(sum(n_ev) AS BIGINT) AS n_events,
+             |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
+             |       CAST(max(i_end - i_start) AS BIGINT) AS max_island_us
+             |FROM isl GROUP BY user_id""".stripMargin))
   )
 }
