@@ -115,4 +115,45 @@ object CountMin {
                 probeCol: Column, d: Int, w: Int): DataFrame =
     certifyWith(sketch(items, itemCol, d, w), items, itemCol,
       probes, probeCol, d, w)
+
+  /** WEIGHTED [[sketch]]: cells sum a positive long weight (bytes,
+    * cents, tokens) instead of counting occurrences — answering "how
+    * much TOTAL weight does this item carry" from d·w counters, the
+    * point-query complement of the weighted Misra-Gries census
+    * ([[TextAnalysis.weightedHeavyHitters]]). Positive weights keep the
+    * ≥ guarantee: cells only ever overcount, so min-over-rows ≥ the
+    * item's true weight sum, deterministically. Zero/negative/null
+    * weights and null items are excluded (the ext102 fixed-point
+    * discipline: pre-scale money/bytes to integer units). The cell
+    * column is named `cnt` so [[estimateWith]] serves both sketches. */
+  def sketchWeighted(items: DataFrame, itemCol: Column, weightCol: Column,
+                     d: Int, w: Int): DataFrame = {
+    require(d > 0 && w > 0, "d and w must be positive")
+    items.select(itemCol.as("item"), weightCol.as("wt"))
+      .filter(col("item").isNotNull && col("wt").isNotNull && col("wt") > 0)
+      .select(col("wt"), explode(array((0 until d).map(r =>
+        struct(lit(r).as("r"), bucket(col("item"), r, w).as("bucket"))): _*))
+        .as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.bucket").as("bucket"))
+      .agg(sum(col("wt")).as("cnt"))
+  }
+
+  /** Weighted estimate-and-certify: [[sketchWeighted]] +
+    * [[estimateWith]] + one exact re-sum over the broadcast probe set.
+    * Output: (item, est_w, w_sum, overcount), overcount ≥ 0. */
+  def estimatesWeighted(items: DataFrame, itemCol: Column,
+                        weightCol: Column, probes: DataFrame,
+                        probeCol: Column, d: Int, w: Int): DataFrame = {
+    val sk = sketchWeighted(items, itemCol, weightCol, d, w)
+    val est = estimateWith(sk, probes, probeCol, d, w)
+      .withColumnRenamed("est", "est_w")
+    val it = items.select(itemCol.as("item"), weightCol.as("wt"))
+      .filter(col("item").isNotNull && col("wt").isNotNull && col("wt") > 0)
+    val exact = it.join(broadcast(est.select(col("item"))), "item")
+      .groupBy(col("item")).agg(sum(col("wt")).as("w_sum"))
+    est.join(exact, Seq("item"), "left")
+      .select(col("item"), col("est_w"),
+        coalesce(col("w_sum"), lit(0L)).as("w_sum"),
+        (col("est_w") - coalesce(col("w_sum"), lit(0L))).as("overcount"))
+  }
 }

@@ -301,6 +301,56 @@ ${OracleSql.InvIndex}
         Tables.countMinProbes(docs(s, d)), col("item"), d = 4, w = 2048),
       Some(OracleSql.CountMinBigrams)),
 
+    // WEIGHTED Count-Min: spend-per-account estimates (integer cents)
+    // from a 4×1024 sketch, certified against the exact re-sum — the
+    // point-query complement of ext102's weighted census, on the same
+    // whale-account fixture. Probes: every 1/41 user's account (whale
+    // renames included) plus one absent account.
+    "ext106_countmin_weighted" -> Q(
+      (s, d) => {
+        val ev = Tables.events(s, d).select(
+          when(col("user_id") % 7 === 0,
+            concat(lit("whale_"), (col("user_id") % 3).cast("string")))
+            .otherwise(concat(lit("u"), col("user_id").cast("string"))).as("item"),
+          floor(col("value") * 100 + 0.5).cast("long").as("wt"),
+          col("user_id"))
+        val probes = ev.filter(col("user_id") % 41 === 5).select(col("item"))
+          .unionByName(s.range(1).select(lit("absent_account").as("item")))
+        CountMin.estimatesWeighted(ev, col("item"), col("wt"),
+          probes, col("item"), d = 4, w = 1024)
+      },
+      Some("""WITH it AS (
+             |  SELECT CASE WHEN user_id % 7 = 0 THEN 'whale_' || (user_id % 3)
+             |              ELSE 'u' || user_id END AS item,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS wt, user_id
+             |  FROM events
+             |), p0 AS (
+             |  SELECT item, wt FROM it
+             |  WHERE item IS NOT NULL AND wt IS NOT NULL AND wt > 0
+             |), pr AS (
+             |  SELECT DISTINCT item FROM (
+             |    SELECT item FROM it WHERE user_id % 41 = 5
+             |    UNION ALL SELECT 'absent_account')
+             |), rows_ AS (SELECT unnest(range(4)) AS r
+             |), sk AS (
+             |  SELECT r, ('0x' || substr(md5('cm' || r || ':' || item), 1, 8))::BIGINT % 1024 AS bucket,
+             |         sum(wt) AS cnt
+             |  FROM p0, rows_ GROUP BY 1, 2
+             |), cells AS (
+             |  SELECT item, r, ('0x' || substr(md5('cm' || r || ':' || item), 1, 8))::BIGINT % 1024 AS bucket
+             |  FROM pr, rows_
+             |), est AS (
+             |  SELECT c.item, min(coalesce(sk.cnt, 0)) AS e
+             |  FROM cells c LEFT JOIN sk USING (r, bucket) GROUP BY c.item
+             |), exact AS (
+             |  SELECT item, sum(wt) AS s FROM p0
+             |  WHERE item IN (SELECT item FROM pr) GROUP BY item
+             |)
+             |SELECT est.item, CAST(est.e AS BIGINT) AS est_w,
+             |       CAST(coalesce(exact.s, 0) AS BIGINT) AS w_sum,
+             |       CAST(est.e - coalesce(exact.s, 0) AS BIGINT) AS overcount
+             |FROM est LEFT JOIN exact USING (item)""".stripMargin)),
+
     // Document-level co-occurrence pair mining (market-basket frequent
     // pairs, a-priori pruned — LOSSLESS pruning, unlike the LSH caps):
     // every unordered token pair sharing >= n_docs/10 documents, with

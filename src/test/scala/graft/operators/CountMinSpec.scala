@@ -70,6 +70,34 @@ class CountMinSpec extends SparkSpec {
     }
   }
 
+  test("weighted: est_w >= exact weight sum for every probe, under real collisions") {
+    val rows = (1 to 150).flatMap { i =>
+      Seq.fill(i % 5 + 1)((s"acct_$i", (i * 7 + 3).toLong))
+    }
+    val df = spark.createDataset(rnd.shuffle(rows)).repartition(8)
+      .toDF("item", "wt")
+    val probes = ((1 to 150).map(i => s"acct_$i") :+ "acct_none").toDF("item")
+    val out = CountMin.estimatesWeighted(df, col("item"), col("wt"),
+      probes, col("item"), d = 3, w = 32)
+      .as[(String, Long, Long, Long)].collect()
+    val truth = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(out.length == 151)
+    out.foreach { case (item, est, ws, over) =>
+      assert(ws == truth.getOrElse(item, 0L))
+      assert(est >= ws && over == est - ws, s"$item: $est < $ws")
+    }
+  }
+
+  test("weighted: zero, negative, and null weights are excluded from sketch and certification") {
+    val df = Seq(("a", Some(5L)), ("a", Some(0L)), ("a", Some(-3L)),
+      ("a", None), ("b", Some(2L))).toDF("item", "wt")
+    val out = CountMin.estimatesWeighted(df, col("item"), col("wt"),
+      Seq("a", "b").toDF("item"), col("item"), d = 2, w = 64)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("a")._3 == 5L && out("b")._3 == 2L)
+    assert(out("a")._2 >= 5L && out("b")._2 >= 2L)
+  }
+
   test("null items and null probes are excluded") {
     val df = Seq(Some("x"), None, Some("x"), Some("y"), None)
       .toDF("item")
