@@ -1278,6 +1278,59 @@ object Dedup {
     * non-numeric id frame gets a named error here rather than an
     * analysis-time type-mismatch from deep inside the plan; string-id
     * corpora can pre-map ids (e.g. xxhash64) or rank with a window. */
+  /** Corpus-overlap (resemblance) ESTIMATE from deterministic bottom-k
+    * sketches, certified exact — "how much of the benchmark leaked into
+    * the training corpus" answered WITHOUT shipping or joining either
+    * corpus: each side reduces to its k smallest distinct item hashes
+    * (a bounded-heap TakeOrdered — k longs cross the wire per side, the
+    * [[graft.functions.KmvSketch]] shape as a relational plan), and the
+    * classic KMV resemblance estimator (Broder '97; Beyer et al.
+    * SIGMOD'07) reads J ≈ |bottomK(A∪B) ∩ botA ∩ botB| / k. The hash is
+    * the md5 60-bit prefix, so sketch contents, τ (the k-th smallest
+    * union hash), and the estimate replay EXACTLY in any engine —
+    * a value-oracled estimate, unlike HLL's rows-only q14b.
+    *
+    * Everything stays integer: the estimate is the rational
+    * n_shared/k (emitted as milli), beside the exact certification
+    * |A∩B|/|A∪B| (one distinct-hash equi-join — the part a 100 TB run
+    * drops, keeping only the two k-row sketches). When k ≥ |A∪B| the
+    * sketch IS the set and the estimate is exact by construction.
+    * Output (one row): (k, n_a, n_b, n_shared, tau, exact_inter,
+    * exact_union, est_jaccard_milli, exact_jaccard_milli). */
+  def corpusOverlap(a: DataFrame, aCol: Column, b: DataFrame, bCol: Column,
+                    k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    def hashes(df: DataFrame, c: Column): DataFrame =
+      df.select(c.as("item")).filter(col("item").isNotNull)
+        .select(conv(substring(md5(col("item")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+        .distinct()
+    val ha = hashes(a, aCol)
+    val hb = hashes(b, bCol)
+    val botA = ha.orderBy(col("h")).limit(k)
+    val botB = hb.orderBy(col("h")).limit(k)
+    val u = botA.unionByName(botB).distinct().orderBy(col("h")).limit(k)
+    val sketch = u
+      .join(botA.select(col("h"), lit(1).as("in_a")), Seq("h"), "left")
+      .join(botB.select(col("h"), lit(1).as("in_b")), Seq("h"), "left")
+      .agg(count(lit(1)).as("k_used"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_shared"),
+        max(col("h")).as("tau"))
+    val counts = ha.agg(count(lit(1)).as("n_a"))
+      .crossJoin(hb.agg(count(lit(1)).as("n_b")))
+      .crossJoin(ha.join(hb, "h").agg(count(lit(1)).as("exact_inter")))
+    sketch.crossJoin(counts)
+      .select(lit(k.toLong).as("k"), col("n_a"), col("n_b"),
+        col("n_shared"), col("tau"),
+        col("exact_inter"),
+        (col("n_a") + col("n_b") - col("exact_inter")).as("exact_union"),
+        expr("CAST((1000 * n_shared) DIV k_used AS BIGINT)")
+          .as("est_jaccard_milli"),
+        expr("CAST((1000 * exact_inter) DIV (n_a + n_b - exact_inter) AS BIGINT)")
+          .as("exact_jaccard_milli"))
+  }
+
   def keepBest(clusters: DataFrame, scores: DataFrame, scoreCol: String): DataFrame = {
     val idType = clusters.schema("doc_id").dataType
     if (!idType.isInstanceOf[org.apache.spark.sql.types.NumericType])

@@ -351,6 +351,53 @@ ${OracleSql.InvIndex}
              |       CAST(est.e - coalesce(exact.s, 0) AS BIGINT) AS overcount
              |FROM est LEFT JOIN exact USING (item)""".stripMargin)),
 
+    // Corpus-overlap rate WITHOUT a corpus join: deterministic bottom-64
+    // hash sketches of the training corpus vs a drifted benchmark copy
+    // (every 5th doc; half exact, half suffix-perturbed), the KMV
+    // resemblance estimate beside the exact certification — the
+    // "how contaminated are we" dashboard number at sketch cost. The
+    // md5 60-bit hashes make sketch contents, tau, and the estimate
+    // itself value-oracled (unlike HLL's rows-only q14b).
+    "ext107_corpus_overlap" -> Q(
+      (s, d) => {
+        val bench = docs(s, d).filter(col("doc_id") % 5 === 0)
+          .select(when(col("doc_id") % 10 === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" bench-drift"))).as("text"))
+        Dedup.corpusOverlap(docs(s, d), col("text"), bench, col("text"),
+          k = 64)
+      },
+      Some("""WITH ta AS (
+             |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+             |  FROM documents WHERE text IS NOT NULL
+             |), tbsrc AS (
+             |  SELECT CASE WHEN doc_id % 10 = 0 THEN text ELSE text || ' bench-drift' END AS text
+             |  FROM documents WHERE doc_id % 5 = 0
+             |), tb AS (
+             |  SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+             |  FROM tbsrc WHERE text IS NOT NULL
+             |), ba AS (SELECT h FROM ta ORDER BY h LIMIT 64
+             |), bb AS (SELECT h FROM tb ORDER BY h LIMIT 64
+             |), un AS (
+             |  SELECT DISTINCT h FROM (SELECT h FROM ba UNION ALL SELECT h FROM bb)
+             |  ORDER BY h LIMIT 64
+             |), sk AS (
+             |  SELECT count(*) AS k_used,
+             |         sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS n_shared,
+             |         max(un.h) AS tau
+             |  FROM un LEFT JOIN ba a ON un.h = a.h LEFT JOIN bb b ON un.h = b.h
+             |), cn AS (
+             |  SELECT (SELECT count(*) FROM ta) AS n_a,
+             |         (SELECT count(*) FROM tb) AS n_b,
+             |         (SELECT count(*) FROM ta JOIN tb USING (h)) AS exact_inter
+             |)
+             |SELECT CAST(64 AS BIGINT) AS k, CAST(n_a AS BIGINT) AS n_a,
+             |       CAST(n_b AS BIGINT) AS n_b, CAST(n_shared AS BIGINT) AS n_shared,
+             |       tau, CAST(exact_inter AS BIGINT) AS exact_inter,
+             |       CAST(n_a + n_b - exact_inter AS BIGINT) AS exact_union,
+             |       CAST((1000 * n_shared) // k_used AS BIGINT) AS est_jaccard_milli,
+             |       CAST((1000 * exact_inter) // (n_a + n_b - exact_inter) AS BIGINT) AS exact_jaccard_milli
+             |FROM sk, cn""".stripMargin)),
+
     // Document-level co-occurrence pair mining (market-basket frequent
     // pairs, a-priori pruned — LOSSLESS pruning, unlike the LSH caps):
     // every unordered token pair sharing >= n_docs/10 documents, with

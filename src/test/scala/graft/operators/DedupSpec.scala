@@ -646,4 +646,37 @@ class DedupSpec extends SparkSpec {
       .select($"doc_id", $"text")
     assert(Dedup.corpusDiff(v, v, "doc_id", "text").isEmpty)
   }
+
+  test("corpusOverlap: exact when k covers the union; correct invariants when it doesn't") {
+    import spark.implicits._
+    val a = (1 to 100).map(i => s"doc $i").toDF("t")
+    val b = (51 to 150).map(i => s"doc $i").toDF("t")
+    // k >= |union| = 150 -> the sketch IS the set: estimate exact
+    val wide = Dedup.corpusOverlap(a, $"t", b, $"t", k = 256).collect().head
+    assert(wide.getAs[Long]("n_a") == 100L && wide.getAs[Long]("n_b") == 100L)
+    assert(wide.getAs[Long]("exact_inter") == 50L)
+    assert(wide.getAs[Long]("exact_union") == 150L)
+    assert(wide.getAs[Long]("est_jaccard_milli") ==
+      wide.getAs[Long]("exact_jaccard_milli"))
+    assert(wide.getAs[Long]("exact_jaccard_milli") == 1000L * 50 / 150)
+    // k = 32 < union: sketch invariants hold, estimate in [0, 1000]
+    val nar = Dedup.corpusOverlap(a, $"t", b, $"t", k = 32).collect().head
+    assert(nar.getAs[Long]("n_shared") <= 32L)
+    val est = nar.getAs[Long]("est_jaccard_milli")
+    assert(est >= 0L && est <= 1000L)
+    assert(nar.getAs[Long]("exact_inter") == 50L) // certification unchanged
+  }
+
+  test("corpusOverlap: identical corpora read 1000 milli, disjoint read 0") {
+    import spark.implicits._
+    val a = (1 to 80).map(i => s"x $i").toDF("t")
+    val same = Dedup.corpusOverlap(a, $"t", a, $"t", k = 16).collect().head
+    assert(same.getAs[Long]("est_jaccard_milli") == 1000L)
+    assert(same.getAs[Long]("exact_jaccard_milli") == 1000L)
+    val b = (1 to 80).map(i => s"y $i").toDF("t")
+    val disj = Dedup.corpusOverlap(a, $"t", b, $"t", k = 16).collect().head
+    assert(disj.getAs[Long]("n_shared") == 0L)
+    assert(disj.getAs[Long]("exact_inter") == 0L)
+    assert(disj.getAs[Long]("est_jaccard_milli") == 0L)
+  }
 }
