@@ -2064,6 +2064,111 @@ object Relational {
              |       CAST(sum(n_ev) AS BIGINT) AS n_events,
              |       CAST(sum(i_end - i_start) AS BIGINT) AS covered_us,
              |       CAST(max(i_end - i_start) AS BIGINT) AS max_island_us
-             |FROM isl GROUP BY user_id""".stripMargin))
+             |FROM isl GROUP BY user_id""".stripMargin)),
+
+    // Cohort retention matrix: users grouped by first-seen epoch-day,
+    // per-offset distinct-active counts and the integer retention rate.
+    // Day indices are pure integer arithmetic on epoch microseconds
+    // (no date_trunc — engines disagree on week boundaries); the
+    // cohort assignment is one min-per-user aggregation joined back on
+    // the user key (both sides user-partitioned, map-side combined).
+    "q88_cohort_retention" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"),
+            expr("unix_micros(ts) DIV 86400000000").as("day"))
+        val first = ev.groupBy(col("user_id"))
+          .agg(min(col("day")).as("cohort_day"))
+        val cohortSize = first.groupBy(col("cohort_day"))
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        ev.join(first, "user_id")
+          .groupBy(col("cohort_day"),
+            (col("day") - col("cohort_day")).as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(cohortSize, "cohort_day")
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("CAST((1000 * n_active) DIV cohort_size AS BIGINT)")
+              .as("retention_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), first AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+             |), cs AS (
+             |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+             |  FROM first GROUP BY 1
+             |), act AS (
+             |  SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+             |         count(DISTINCT ev.user_id) AS n_active
+             |  FROM ev JOIN first f USING (user_id) GROUP BY 1, 2
+             |)
+             |SELECT a.cohort_day, a.day_offset,
+             |       CAST(a.n_active AS BIGINT) AS n_active,
+             |       CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+             |       CAST((1000 * a.n_active) // cs.cohort_size AS BIGINT) AS retention_milli
+             |FROM act a JOIN cs USING (cohort_day)""".stripMargin)),
+
+    // First-touch funnel: signup -> view -> click -> purchase, a user
+    // advancing a stage only if its FIRST occurrence of the next event
+    // is strictly after the first occurrence of the previous one. One
+    // conditional min-per-user aggregation (map-side combined, no
+    // window, no self-join), then a single global roll-up — the
+    // all-in-one-pass funnel shape that survives any corpus size.
+    "q89_funnel" -> Q(
+      (s, d) => {
+        val m = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+          .groupBy(col("user_id"))
+          .agg(min(when(col("event_type") === "signup", col("us"))).as("t1"),
+            min(when(col("event_type") === "view", col("us"))).as("t2"),
+            min(when(col("event_type") === "click", col("us"))).as("t3"),
+            min(when(col("event_type") === "purchase", col("us"))).as("t4"))
+        val reached = m.select(
+          when(col("t1").isNull, 0L)
+            .when(col("t2").isNull || col("t2") <= col("t1"), 1L)
+            .when(col("t3").isNull || col("t3") <= col("t2"), 2L)
+            .when(col("t4").isNull || col("t4") <= col("t3"), 3L)
+            .otherwise(4L).as("reached"))
+        reached.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("reached") >= 4, 1L).otherwise(0L)).as("n_purchase"))
+          .select(col("n_users"), col("n_signup"), col("n_view"),
+            col("n_click"), col("n_purchase"),
+            expr("CAST(CASE WHEN n_signup = 0 THEN NULL ELSE (1000 * n_purchase) DIV n_signup END AS BIGINT)")
+              .as("conv_milli"))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id,
+             |         min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END) AS t1,
+             |         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t2,
+             |         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t3,
+             |         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t4
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id
+             |), r AS (
+             |  SELECT CASE WHEN t1 IS NULL THEN 0
+             |              WHEN t2 IS NULL OR t2 <= t1 THEN 1
+             |              WHEN t3 IS NULL OR t3 <= t2 THEN 2
+             |              WHEN t4 IS NULL OR t4 <= t3 THEN 3
+             |              ELSE 4 END AS reached
+             |  FROM m
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |       CAST(sum(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |       CAST(sum(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |       CAST(sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |       CAST(CASE WHEN sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+             |            ELSE (1000 * sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END))
+             |                 // sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) END AS BIGINT) AS conv_milli
+             |FROM r""".stripMargin))
   )
 }
