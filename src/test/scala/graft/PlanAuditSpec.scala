@@ -57,7 +57,14 @@ class PlanAuditSpec extends SparkSpec {
     "ext84_contrastive_pairs" -> "single-row label-count broadcast (rotation modulus)",
     // single-row (n_docs, total_tokens) broadcast — the ext44 scalar-
     // normalizer shape extended with BM25's length statistics.
-    "ext99_bm25_topk" -> "single-row corpus-stats broadcast (scalar normalizer)"
+    "ext99_bm25_topk" -> "single-row corpus-stats broadcast (scalar normalizer)",
+    // a-priori support threshold = single-row n_docs total broadcast
+    // onto the token-df frame; the pair join itself is equality-keyed.
+    "ext104_frequent_pairs" -> "single-row corpus-doc-count broadcast (support threshold)",
+    // the entire point is sketch-sized frames: two bottom-64 sketches
+    // and a single-row exact-count certification row cross-joined into
+    // the one-row report — every build side is <= k rows by construction.
+    "ext107_corpus_overlap" -> "k-row sketch + single-row certification broadcast"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
