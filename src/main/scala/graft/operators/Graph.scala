@@ -105,6 +105,64 @@ object Graph {
     result
   }
 
+  /** Multi-source BFS hop distance — the "blast radius" question over
+    * corpus-derived graphs: given a seed set (contaminated documents,
+    * compromised suppliers, recalled parts), which nodes are within k
+    * undirected hops, and how far is each? Output: (node, hops) with
+    * hops = the EXACT shortest hop distance in [0, maxHops] (seeds are
+    * 0); unreachable-within-k nodes are absent.
+    *
+    * Level-synchronous frontier expansion: `dist` holds every settled
+    * node, `frontier` only the nodes settled in the previous round.
+    * Each round is ONE equality join frontier⋈edges on the node key
+    * plus ONE anti-join against the settled set — never a pair
+    * explosion, and the per-round shuffle is frontier-sized, not
+    * graph-sized. The edge list localCheckpoints once (at 100 TB:
+    * bucket it by src instead); dist/frontier checkpoint per round so
+    * plan depth stays O(1) instead of O(rounds) (the pageRank lesson:
+    * re-analyzing a tree that grows per iteration costs more than the
+    * data). Early-exit on an empty frontier makes the operator EAGER
+    * (it counts per round) — by design for iterative graph ops, like
+    * the components rounds in [[Dedup.clusters]].
+    *
+    * Edges are treated as undirected (both directions expanded);
+    * parallel edges and self-loops are harmless (distinct frontier,
+    * anti-joined). Seeds not present in the edge list still report
+    * hops=0 — a seed is contaminated whether or not it has neighbors.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+              seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    val fwd = edges.select(col(srcCol).cast("long").as("node"),
+      col(dstCol).cast("long").as("nbr"))
+    val e = fwd.unionByName(fwd.select(col("nbr").as("node"), col("node").as("nbr")))
+      .filter(col("node").isNotNull && col("nbr").isNotNull)
+      .localCheckpoint(true)
+    var dist = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint(true)
+    var frontier = dist
+    val spent = scala.collection.mutable.ArrayBuffer[DataFrame](dist)
+    var h = 1
+    var done = false
+    while (h <= maxHops && !done) {
+      val next = frontier.join(e, "node")
+        .select(col("nbr").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hops", lit(h))
+        .localCheckpoint(true)
+      if (next.isEmpty) { done = true; spent += next }
+      else {
+        dist = dist.unionByName(next).localCheckpoint(true)
+        frontier = next
+        spent += next; spent += dist
+        h += 1
+      }
+    }
+    // final result is the last `dist` checkpoint: keep it, free the rest
+    val result = dist
+    (Seq(e) ++ spent.filterNot(_ eq result)).foreach(graft.util.Caching.freeCheckpoint)
+    result
+  }
+
   /** EXACT triangle census per node — the transitivity/cohesion metric
     * over corpus-derived graphs (how clique-like are the near-dup
     * families, the co-order baskets, the kNN neighborhoods). Output:

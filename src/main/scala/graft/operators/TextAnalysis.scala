@@ -1398,4 +1398,59 @@ object TextAnalysis {
         col("host"),
         (size(col("params")) - size(col("kept"))).cast("long").as("n_dropped_params"))
   }
+
+  /** Pairwise distribution divergence between corpus slices (languages,
+    * sources, time windows): for each unordered slice pair, the EXACT
+    * total-variation distance between their unigram frequency
+    * distributions, in replayable fixed-point micro-units. TV rather
+    * than KL by design: KL needs a transcendental log whose floating
+    * evaluation drifts across engines, while TV is pure integer
+    * arithmetic once probabilities are fixed-point —
+    * p_micro(t) = 1e6·count(t) DIV total — and the identity
+    * Σ|p−q| = (Σp + Σq) − 2·Σ min(p, q) keeps the pair join INNER
+    * (a token absent from one slice contributes min = 0), so the only
+    * shuffled pair frame is the SHARED vocabulary.
+    *
+    * Scale shape: one token explode into a map-side-combined
+    * (slice, token) count, a slice-count-sized totals broadcast, and a
+    * vocabulary self-join keyed on token. Slices are enumerable
+    * (languages, sources) — pair fan-out per token is C(slices, 2),
+    * never row-quadratic; the divergence report is C(slices, 2) rows.
+    *
+    * Output: (slice_a, slice_b, n_common_tokens, s_a_micro, s_b_micro,
+    * min_overlap_micro, tv2_micro); TV = tv2_micro / 2e6 ∈ [0, 1].
+    * A pair sharing ZERO tokens emits no row (its TV is trivially 1);
+    * s_*_micro carry the per-slice Σp (≈1e6 minus floor loss) so the
+    * caller can normalize exactly.
+    */
+  def unigramDivergence(docs: DataFrame, sliceCol: String,
+                        textCol: String): DataFrame = {
+    val toks = docs.filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+    val cnt = toks.groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("slice")).agg(sum(col("c")).as("tot"))
+    val p = cnt.join(broadcast(tot), "slice")
+      .select(col("slice"), col("token"),
+        expr("CAST((1000000 * c) DIV tot AS BIGINT)").as("p_micro"))
+    val sums = p.groupBy(col("slice"))
+      .agg(sum(col("p_micro")).as("s_micro"))
+    val pa = p.select(col("slice").as("slice_a"), col("token"),
+      col("p_micro").as("pa"))
+    val pb = p.select(col("slice").as("slice_b"), col("token"),
+      col("p_micro").as("pb"))
+    val ov = pa.join(pb, Seq("token"))
+      .filter(col("slice_a") < col("slice_b"))
+      .groupBy(col("slice_a"), col("slice_b"))
+      .agg(count(lit(1)).as("n_common_tokens"),
+        sum(least(col("pa"), col("pb"))).as("min_overlap_micro"))
+    ov.join(broadcast(sums.select(col("slice").as("slice_a"),
+        col("s_micro").as("s_a_micro"))), "slice_a")
+      .join(broadcast(sums.select(col("slice").as("slice_b"),
+        col("s_micro").as("s_b_micro"))), "slice_b")
+      .select(col("slice_a"), col("slice_b"), col("n_common_tokens"),
+        col("s_a_micro"), col("s_b_micro"), col("min_overlap_micro"),
+        (col("s_a_micro") + col("s_b_micro")
+          - lit(2L) * col("min_overlap_micro")).as("tv2_micro"))
+  }
 }

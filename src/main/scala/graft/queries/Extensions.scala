@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{CountMin, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{CountMin, Dedup, Graph, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline tier over the `documents` / `embeddings` fixtures:
   * dedup (exact, fingerprint, MinHash-LSH, SimHash), similarity search
@@ -350,6 +350,118 @@ ${OracleSql.InvIndex}
              |       CAST(coalesce(exact.s, 0) AS BIGINT) AS w_sum,
              |       CAST(est.e - coalesce(exact.s, 0) AS BIGINT) AS overcount
              |FROM est LEFT JOIN exact USING (item)""".stripMargin)),
+
+    // Pairwise language-drift dashboard: exact total-variation distance
+    // between per-lang unigram distributions in fixed-point micro-units
+    // (TV, not KL — no transcendental log to drift across engines; the
+    // Σ|p−q| = Σp + Σq − 2·Σ min identity keeps the vocabulary join
+    // INNER). One explode + map-side-combined counts; the pair frame is
+    // C(5 langs, 2) per shared token.
+    "ext109_corpus_divergence" -> Q(
+      (s, d) => TextAnalysis.unigramDivergence(docs(s, d), "lang", "text"),
+      Some(raw"""WITH tk AS (
+             |  SELECT lang AS slice,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL
+             |), c AS (SELECT slice, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), t AS (SELECT slice, sum(c) AS tot FROM c GROUP BY 1
+             |), p AS (
+             |  SELECT c.slice, token, (1000000 * c.c) // t.tot AS p_micro
+             |  FROM c JOIN t USING (slice)
+             |), s AS (SELECT slice, sum(p_micro) AS s_micro FROM p GROUP BY 1
+             |), ov AS (
+             |  SELECT a.slice AS slice_a, b.slice AS slice_b,
+             |         count(*) AS n_common_tokens,
+             |         sum(least(a.p_micro, b.p_micro)) AS min_overlap_micro
+             |  FROM p a JOIN p b ON a.token = b.token AND a.slice < b.slice
+             |  GROUP BY 1, 2
+             |)
+             |SELECT slice_a, slice_b,
+             |       CAST(n_common_tokens AS BIGINT) AS n_common_tokens,
+             |       CAST(sa.s_micro AS BIGINT) AS s_a_micro,
+             |       CAST(sb.s_micro AS BIGINT) AS s_b_micro,
+             |       CAST(min_overlap_micro AS BIGINT) AS min_overlap_micro,
+             |       CAST(sa.s_micro + sb.s_micro - 2 * min_overlap_micro AS BIGINT) AS tv2_micro
+             |FROM ov JOIN s sa ON sa.slice = ov.slice_a
+             |        JOIN s sb ON sb.slice = ov.slice_b""".stripMargin)),
+
+    // Embedding second-moment (Gram) matrix for whitening/PCA prep:
+    // integer-quantized exact sums over every dimension pair. The pair
+    // expansion happens INSIDE a projection (flatten/transform over the
+    // row's own vector — d(d+1)/2 = 2080 structs per row, no self-join),
+    // and the groupBy has ≤ 2080 keys, so partial aggregation collapses
+    // each partition to one matrix before the shuffle — the map-side-
+    // combine shape that makes n·d² explode rows cost zero network.
+    // cov_num = n·Sxy − Sx·Sy is the exact integer covariance numerator
+    // (divide by n² offline for the sample covariance).
+    "ext110_gram_matrix" -> Q(
+      (s, d) => {
+        val q = s.read.parquet(s"$d/embeddings.parquet")
+          .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+          .select(expr(
+            "transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))").as("q"))
+        val cells = q.select(explode(expr(
+          """flatten(transform(sequence(0, size(q) - 1), i ->
+            |  transform(sequence(i, size(q) - 1), j ->
+            |    struct(i AS i, j AS j, q[i] * q[j] AS xy, q[i] AS x, q[j] AS y))))"""
+            .stripMargin)).as("c"))
+          .select(col("c.i"), col("c.j"), col("c.xy"), col("c.x"), col("c.y"))
+        cells.groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),
+            sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+          .select(col("i"), col("j"), col("n"), col("sxy"), col("sx"), col("sy"),
+            (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"))
+      },
+      Some("""WITH q AS (
+             |  SELECT list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS q
+             |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+             |), u AS (
+             |  SELECT q, unnest(generate_series(1, len(q))) AS ii FROM q
+             |), cells AS (
+             |  SELECT ii - 1 AS i, unnest(generate_series(ii, len(q))) - 1 AS j, q, ii
+             |  FROM u
+             |), v AS (
+             |  SELECT i, j, q[i + 1] * q[j + 1] AS xy, q[i + 1] AS x, q[j + 1] AS y
+             |  FROM cells
+             |)
+             |SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(xy) AS BIGINT) AS sxy,
+             |       CAST(sum(x) AS BIGINT) AS sx,
+             |       CAST(sum(y) AS BIGINT) AS sy,
+             |       CAST(count(*) * sum(xy) - sum(x) * sum(y) AS BIGINT) AS cov_num
+             |FROM v GROUP BY 1, 2""".stripMargin)),
+
+    // Multi-source BFS blast radius over the part↔supplier bipartite
+    // graph (distinct lineitem pairs; suppliers negated to share the
+    // node space): from a deterministic compromised-supplier seed set,
+    // the EXACT shortest hop distance of every node within 3 hops —
+    // hop 1 = parts they supply, hop 2 = co-suppliers of those parts,
+    // hop 3 = the co-suppliers' other parts. Level-synchronous frontier
+    // expansion: each round is one frontier-sized equality join plus an
+    // anti-join against the settled set (never a pair explosion); the
+    // oracle replays it as a bounded recursive CTE with min-hop
+    // aggregation.
+    "ext108_bfs_radius" -> Q(
+      (s, d) => {
+        val li = s.read.parquet(s"$d/lineitem.parquet")
+          .select(col("l_partkey").as("a"), (-col("l_suppkey")).as("b"))
+        val seeds = s.read.parquet(s"$d/supplier.parquet")
+          .filter(col("s_suppkey") % 97 === 7)
+          .select((-col("s_suppkey")).as("node"))
+        Graph.bfsHops(li, "a", "b", seeds, "node", maxHops = 3)
+      },
+      Some("""WITH RECURSIVE e AS (
+             |  SELECT DISTINCT l_partkey AS a, -l_suppkey AS b FROM lineitem
+             |), ee AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e
+             |), seeds AS (
+             |  SELECT DISTINCT -s_suppkey AS node FROM supplier WHERE s_suppkey % 97 = 7
+             |), r(node, hops) AS (
+             |  SELECT node, 0 FROM seeds
+             |  UNION
+             |  SELECT ee.b, r.hops + 1 FROM r JOIN ee ON ee.a = r.node WHERE r.hops < 3
+             |)
+             |SELECT node, CAST(min(hops) AS INT) AS hops FROM r GROUP BY 1""".stripMargin)),
 
     // Corpus-overlap rate WITHOUT a corpus join: deterministic bottom-64
     // hash sketches of the training corpus vs a drifted benchmark copy

@@ -2169,6 +2169,44 @@ object Relational {
              |       CAST(CASE WHEN sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) = 0 THEN NULL
              |            ELSE (1000 * sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END))
              |                 // sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) END AS BIGINT) AS conv_milli
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Markov transition matrix over the per-user event sequence: for
+    // each (from_type, to_type), the exact successor count and the
+    // integer milli-probability P(to | from). One window pass
+    // partitioned BY USER (lead over (ts, event_id) — a provably-total
+    // order, event_id is unique), then a map-side-combined groupBy: no
+    // self-join, no global sort, user partitions scale out.
+    "q90_transitions" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("event_type").as("from_type"),
+            lead(col("event_type"), 1).over(w).as("to_type"))
+          .filter(col("to_type").isNotNull)
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("from_total",
+            sum(col("n")).over(Window.partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("from_total"),
+            expr("CAST((1000 * n) DIV from_total AS BIGINT)").as("p_milli"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), c AS (
+             |  SELECT from_type, to_type, count(*) AS n FROM p
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+             |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+             |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
+             |FROM c""".stripMargin))
   )
 }

@@ -1272,6 +1272,43 @@ ${OracleSql.InvIndex}
           Tables.boilerBigrams(batchDocs), col("item"),
           Tables.countMinProbes(batchDocs), col("item"), d = 4, w = 2048)
       },
-      Some(OracleSql.CountMinBigrams))
+      Some(OracleSql.CountMinBigrams)),
+
+    // Markov transitions AT INGEST: q90's per-user lead() as streaming
+    // state — one LastEvent struct per user, each arriving event emits
+    // its (from, to) pair and replaces the state; the drained pairs
+    // then aggregate to the same transition matrix. The sharded replay
+    // delivers each user's events in (ts, event_id) order across
+    // micro-batches (the operator's documented ordering contract), so
+    // the streamed pairs equal the batch window's pairs EXACTLY —
+    // oracle is q90's SQL verbatim.
+    "st39_stream_transitions" -> Q(
+      (s, d) => {
+        val pairs = Streams.runToMemory(s,
+          Streams.transitionsStream(
+            Streams.readEventsStreamSharded(s, d)).toDF(),
+          "st39_transitions", OutputMode.Append())
+        val counts = pairs.groupBy(col("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+        counts
+          .withColumn("from_total",
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .partitionBy(col("from_type"))))
+          .select(col("from_type"), col("to_type"), col("n"),
+            col("from_total"),
+            expr("CAST((1000 * n) DIV from_total AS BIGINT)").as("p_milli"))
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), c AS (
+             |  SELECT from_type, to_type, count(*) AS n FROM p
+             |  WHERE to_type IS NOT NULL GROUP BY 1, 2
+             |)
+             |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+             |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+             |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
+             |FROM c""".stripMargin))
   )
 }

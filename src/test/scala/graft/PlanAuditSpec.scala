@@ -69,7 +69,9 @@ class PlanAuditSpec extends SparkSpec {
 
   /** Operators that execute at construction time (not lazily planable). */
   private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper",
-    "ext100_cluster_split", "q85_exact_percentiles")
+    "ext100_cluster_split", "q85_exact_percentiles",
+    // level-synchronous BFS: per-round empty-frontier check is an action
+    "ext108_bfs_radius")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

@@ -116,4 +116,32 @@ class GraphSpec extends SparkSpec {
     }
     assert(got.values.map(_.getAs[Long]("tri")).sum == 3L * bruteTri.size)
   }
+
+  test("bfsHops: exact layered distances on a path + branch graph") {
+    // 1-2-3-4-5 path, plus branch 3-6; seeds {1}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(es.toDF("s", "t"), "s", "t", seeds, "node", maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // hops: 1→0, 2→1, 3→2, 4→3, 6→3; 5 is 4 hops away → absent
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 6L -> 3))
+  }
+
+  test("bfsHops: edges are undirected and min-distance wins over a longer route") {
+    // cycle 1-2-3-4-1: node 3 reachable in 2 via either side, never 3
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val got = Graph.bfsHops(es.toDF("s", "t"), "s", "t",
+        Seq(1L).toDF("node"), "node", maxHops = 5)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2))
+  }
+
+  test("bfsHops: isolated seeds report hops 0; early exit on empty frontier") {
+    val es = Seq((1L, 2L))
+    // seed 99 touches no edge; maxHops far beyond the graph diameter
+    val got = Graph.bfsHops(es.toDF("s", "t"), "s", "t",
+        Seq(1L, 99L).toDF("node"), "node", maxHops = 100)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1))
+  }
 }

@@ -650,4 +650,42 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
       Set(("a", "b")))
   }
+
+  test("unigramDivergence: hand-computed TV on a two-slice corpus") {
+    // slice A: tokens {x:2, y:1, z:1} tot 4; slice B: {x:1, y:1, w:2} tot 4
+    // p_micro A: x=500000 y=250000 z=250000 (sum 1000000)
+    // p_micro B: x=250000 y=250000 w=500000 (sum 1000000)
+    // common {x, y}: min-sum = 250000 + 250000 = 500000
+    // tv2 = 1000000 + 1000000 - 2*500000 = 1000000  (TV = 0.5)
+    val df = Seq(("A", "x x y z"), ("B", "x y w w")).toDF("slice", "text")
+    val out = TextAnalysis.unigramDivergence(df, "slice", "text").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("slice_a") == "A" && r.getAs[String]("slice_b") == "B")
+    assert(r.getAs[Long]("n_common_tokens") == 2L)
+    assert(r.getAs[Long]("s_a_micro") == 1000000L)
+    assert(r.getAs[Long]("s_b_micro") == 1000000L)
+    assert(r.getAs[Long]("min_overlap_micro") == 500000L)
+    assert(r.getAs[Long]("tv2_micro") == 1000000L)
+  }
+
+  test("unigramDivergence: identical slices diverge zero; disjoint emit no row") {
+    val same = Seq(("A", "a b c"), ("B", "a b c")).toDF("slice", "text")
+    val r = TextAnalysis.unigramDivergence(same, "slice", "text").collect().head
+    assert(r.getAs[Long]("tv2_micro") == 0L)
+    // fully disjoint vocabularies: the inner vocab join finds nothing
+    val disjoint = Seq(("A", "a b"), ("B", "c d")).toDF("slice", "text")
+    assert(TextAnalysis.unigramDivergence(disjoint, "slice", "text").collect().isEmpty)
+  }
+
+  test("unigramDivergence: every unordered pair reported once, floor loss carried") {
+    // three slices; tot=3 makes 1e6 DIV 3 lossy: s_micro = 999999
+    val df = Seq(("A", "a b c"), ("B", "a b c"), ("C", "a q r")).toDF("slice", "text")
+    val out = TextAnalysis.unigramDivergence(df, "slice", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("tv2_micro")).toMap
+    assert(out.keySet == Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(out(("A", "B")) == 0L)
+    // A vs C share only 'a': min-overlap 333333, tv2 = 2*999999 - 2*333333
+    assert(out(("A", "C")) == 2L * 999999L - 2L * 333333L)
+  }
 }

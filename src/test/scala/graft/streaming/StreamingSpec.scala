@@ -498,4 +498,32 @@ class StreamingSpec extends SparkSpec {
     assert(drain() == ((2L, 2L)))
     assert(drain() == ((2L, 2L))) // identical after replay
   }
+
+  test("streaming transitions: sharded replay pairs = batch lead() pairs") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val df = Streams.transitionsStream(
+      Streams.readEventsStreamSharded(spark, dir, 4)).toDF()
+    val q = df.writeStream.format("memory").queryName("spec_transitions")
+      .outputMode(OutputMode.Append()).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // the state handoff only proves anything across >1 micro-batch
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 4, s"expected >=4 data micro-batches, saw $dataBatches")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2))
+    // multiset compare: identical (user, from, to) pairs can repeat
+    val streamed = spark.table("spec_transitions").collect().map(key)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = graft.queries.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
