@@ -66,7 +66,21 @@ object ScaleCheck {
     // the weighted census, the exact-percentile pair (batch + streaming
     // sketch), and the engine-SQL sketch path
     "ext102_weighted_heavy_hitters", "q85_exact_percentiles",
-    "st37_stream_percentiles", "fw_sketch", "q86_group_percentiles")
+    "st37_stream_percentiles", "fw_sketch", "q86_group_percentiles",
+    // late round-9: Count-Min (fixed d·w state, linear build) with its
+    // streaming twin; frequent pairs (a-priori pruned, capped per-doc
+    // fan-out); triangles (the O(m^1.5) wedge join — superlinear BY
+    // DESIGN, documented); sketch overlap (two bottom-k sketches, must
+    // read ~linear scan cost); BFS radius (frontier-sized rounds);
+    // TV divergence (explode + map-side combine, vocab-join pair side);
+    // Gram matrix (fixed 2080-key agg — pure linear scan CPU);
+    // interval merge + cohort retention + transitions (windowed/keyed
+    // linear shapes).
+    "ext103_countmin", "ext104_frequent_pairs", "ext105_triangles",
+    "ext107_corpus_overlap", "ext108_bfs_radius",
+    "ext109_corpus_divergence", "ext110_gram_matrix",
+    "q87_interval_merge", "q88_cohort_retention", "q90_transitions",
+    "st38_stream_countmin", "st39_stream_transitions")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1345,4 +1345,53 @@ object Dedup {
       .select(col("cluster_id"), (-col("best.neg_id")).as("keeper_id"),
         col("best")(scoreCol).as(s"keeper_$scoreCol"), col("cluster_size"))
   }
+
+  /** Sorted-neighborhood (SNM) near-dup blocking: sort the corpus by a
+    * normalized prefix key, compare each document only against the next
+    * `window` documents in sort order, keep pairs whose exact distinct-
+    * token Jaccard clears `thresholdMilli`. The classic record-linkage
+    * blocking method â a DIFFERENT recall/cost trade than MinHash-LSH:
+    * O(nÂ·window) candidate pairs by construction (no family can
+    * explode a bucket, so it needs no cap machinery), in exchange for
+    * only catching near-dups whose normalized PREFIXES sort adjacently
+    * (shared-prefix boilerplate, templated docs, suffix perturbations).
+    *
+    * Scale shape: the global sort is [[GlobalSort.withRowNumber]]’s
+    * range-partition + narrow zipWithIndex (no single-task window);
+    * neighbor candidates come from an EQUALITY join on the row-number
+    * bucket (rn div window, each row probing its own and the next
+    * bucket — 2 keyed rows per doc, never a cross product); the
+    * Jaccard verify is a per-pair array intersection, ~window pairs
+    * per doc. Output: (doc_a, doc_b, jaccard_milli) with doc_a the
+    * earlier row in sort order, jaccard_milli = 1000·|A∩B| DIV |A∪B|
+    * ≥ thresholdMilli. The row numbering makes construction EAGER
+    * (one checkpoint of the sorted corpus).
+    */
+  def sortedNeighborhood(docs: DataFrame, idCol: String, textCol: String,
+                         window: Int = 8,
+                         thresholdMilli: Int = 800): DataFrame = {
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        substring(regexp_replace(lower(trim(col(textCol))), "\\s+", " "), 1, 32)
+          .as("k"),
+        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          t => t =!= "")).as("w"))
+    val numbered = graft.operators.GlobalSort
+      .withRowNumber(base, "rn", col("k"), col("doc_id"))
+      .withColumn("b", expr(s"rn div $window"))
+    val probe = numbered.select(col("doc_id").as("doc_a"), col("w").as("wa"),
+        col("rn").as("rn_a"),
+        explode(array(col("b"), col("b") + 1)).as("jb"))
+    val cand = probe.join(
+        numbered.select(col("doc_id").as("doc_b"), col("w").as("wb"),
+          col("rn").as("rn_b"), col("b").as("jb")), "jb")
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+    cand
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("u", size(array_union(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(1000L) * col("i") >= lit(thresholdMilli.toLong) * col("u"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((1000 * i) DIV u AS BIGINT)").as("jaccard_milli"))
+  }
 }

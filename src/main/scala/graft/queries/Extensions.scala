@@ -432,6 +432,104 @@ ${OracleSql.InvIndex}
              |       CAST(count(*) * sum(xy) - sum(x) * sum(y) AS BIGINT) AS cov_num
              |FROM v GROUP BY 1, 2""".stripMargin)),
 
+    // Weak-supervision label propagation: docs with doc_id % 7 == 3 are
+    // treated as UNLABELED; each gets the majority language among
+    // labeled docs sharing a 3-gram shingle, votes weighted by shared
+    // distinct shingles, ties broken by lexicographic lang. The shingle
+    // inverted index is df-pruned on BOTH ends (df = 1 matches nothing
+    // — lossless; df > 64 drops viral boilerplate shingles — the
+    // documented hub guard, replayed by the oracle), so no shingle key
+    // can explode the join at scale. Output carries the held-out truth
+    // and a hit flag, so the query doubles as the accuracy report.
+    "ext112_label_propagation" -> Q(
+      (s, d) => {
+        val tk = docs(s, d)
+          .filter(col("doc_id").isNotNull && col("text").isNotNull)
+          .select(col("doc_id"), col("lang"),
+            filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("w"))
+        val sh = tk.filter(size(col("w")) >= 3)
+          .select(col("doc_id"), col("lang"), explode(array_distinct(expr(
+            "transform(sequence(0, size(w) - 3), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")))
+            .as("g"))
+        val dfq = sh.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") >= 2 && col("df") <= 64)
+        val kept = sh.join(dfq.select(col("g")), "g")
+        val votes = kept.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id"), col("g"))
+          .join(kept.filter(col("doc_id") % 7 =!= 3)
+            .select(col("g"), col("lang").as("pred_lang"),
+              col("doc_id").as("l_doc")), "g")
+          .groupBy(col("doc_id"), col("pred_lang"))
+          .agg(count(lit(1)).as("votes"),
+            countDistinct(col("l_doc")).as("n_voters"))
+        val best = votes
+          .groupBy(col("doc_id"))
+          .agg(min(struct((-col("votes")).as("nv"), col("pred_lang"),
+            col("votes"), col("n_voters"))).as("b"))
+          .select(col("doc_id"), col("b.pred_lang").as("pred_lang"),
+            col("b.votes").as("votes"), col("b.n_voters").as("n_voters"))
+        best.join(docs(s, d).select(col("doc_id"), col("lang").as("actual_lang")),
+            "doc_id")
+          .select(col("doc_id"), col("pred_lang"), col("votes"), col("n_voters"),
+            col("actual_lang"),
+            when(col("pred_lang") === col("actual_lang"), 1).otherwise(0)
+              .cast("int").as("hit"))
+      },
+      Some(raw"""WITH tk AS (
+             |  SELECT doc_id, lang,
+             |         list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |), sh AS (
+             |  SELECT doc_id, lang,
+             |         unnest(list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS g
+             |  FROM tk WHERE len(w) >= 3
+             |), dfq AS (
+             |  SELECT g FROM (SELECT g, count(*) AS df FROM sh GROUP BY 1)
+             |  WHERE df BETWEEN 2 AND 64
+             |), kept AS (SELECT sh.* FROM sh JOIN dfq USING (g)
+             |), v AS (
+             |  SELECT u.doc_id AS doc_id, l.lang AS pred_lang,
+             |         count(*) AS votes, count(DISTINCT l.doc_id) AS n_voters
+             |  FROM kept u JOIN kept l ON u.g = l.g
+             |  WHERE u.doc_id % 7 = 3 AND l.doc_id % 7 <> 3
+             |  GROUP BY 1, 2
+             |), r AS (
+             |  SELECT *, row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY votes DESC, pred_lang) AS rk FROM v
+             |)
+             |SELECT r.doc_id, r.pred_lang, CAST(r.votes AS BIGINT) AS votes,
+             |       CAST(r.n_voters AS BIGINT) AS n_voters,
+             |       d.lang AS actual_lang,
+             |       CAST(CASE WHEN r.pred_lang = d.lang THEN 1 ELSE 0 END AS INT) AS hit
+             |FROM r JOIN documents d ON d.doc_id = r.doc_id
+             |WHERE rk = 1""".stripMargin)),
+
+    // Sorted-neighborhood (SNM) near-dup blocking: O(n·window) candidate
+    // pairs by CONSTRUCTION (rn-bucket equality join over a distributed
+    // range-partitioned row numbering — no viral family can explode a
+    // bucket, the trade being prefix-locality recall). Exact distinct-
+    // token Jaccard verify; the oracle replays the identical sort,
+    // window probe, and integer threshold.
+    "ext111_sorted_neighborhood" -> Q(
+      (s, d) => Dedup.sortedNeighborhood(docs(s, d), "doc_id", "text",
+        window = 8, thresholdMilli = 800),
+      Some(raw"""WITH t AS (
+             |  SELECT doc_id,
+             |         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS k,
+             |         list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |), n AS (
+             |  SELECT doc_id, w, row_number() OVER (ORDER BY k, doc_id) AS rn FROM t
+             |), c AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.w, b.w)) AS i,
+             |         len(list_distinct(list_concat(a.w, b.w))) AS u
+             |  FROM n a JOIN n b ON b.rn > a.rn AND b.rn <= a.rn + 8
+             |)
+             |SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_milli
+             |FROM c WHERE 1000 * i >= 800 * u""".stripMargin)),
+
     // Multi-source BFS blast radius over the part↔supplier bipartite
     // graph (distinct lineitem pairs; suppliers negated to share the
     // node space): from a deterministic compromised-supplier seed set,

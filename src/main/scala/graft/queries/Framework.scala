@@ -420,6 +420,58 @@ object Framework {
     s.table("default.fw_cat_out")
   }
 
+  /** A2/A14 + ANALYZE: catalog statistics for the cost-based optimizer.
+    * The engine publishes a fixture to the catalog, `ANALYZE TABLE ...
+    * COMPUTE STATISTICS FOR COLUMNS` records rowCount + per-column
+    * min/max/nullCount, and the query reports those CATALOG-recorded
+    * values — the oracle recomputes every one from the raw parquet, so
+    * a drifting stats pipeline (sampling, stale cache, lost ANALYZE)
+    * fails the value compare. At 100 TB this is the mechanism that
+    * lets the CBO pick broadcast sides and join orders at PLAN time
+    * (AQE only re-plans after a shuffle materializes);
+    * `PlanAuditSpec` asserts the optimizer actually consumes these
+    * numbers (rowCount visible in plan stats under CBO). Only
+    * deterministic stats are emitted — row_count/min/max/nullCount are
+    * exact by contract; distinct counts are HLL-approximate and stay
+    * out of the oracle. */
+  private def fwAnalyze(s: SparkSession, d: String): DataFrame = {
+    s.sql("DROP TABLE IF EXISTS default.fw_an_customer")
+    rmrf(s, s"${s.conf.get("spark.sql.warehouse.dir")}/fw_an_customer")
+    val yaml =
+      s"""job:
+         |  name: fw-analyze
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: fw_an_customer
+         |  target: gdc
+         |  database: default
+         |sql: >
+         |  SELECT * FROM customer
+         |""".stripMargin
+    run(s, yaml)
+    s.sql("ANALYZE TABLE default.fw_an_customer COMPUTE STATISTICS FOR COLUMNS c_custkey")
+    val meta = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier("fw_an_customer", Some("default")))
+    val st = meta.stats.getOrElse(sys.error("ANALYZE recorded no table stats"))
+    val cs = st.colStats.getOrElse("c_custkey",
+      sys.error("ANALYZE recorded no column stats for c_custkey"))
+    import s.implicits._
+    Seq(
+      ("row_count", st.rowCount.map(_.toLong)
+        .getOrElse(sys.error("no rowCount"))),
+      ("min_custkey", cs.min.map(_.toString.toLong)
+        .getOrElse(sys.error("no min"))),
+      ("max_custkey", cs.max.map(_.toString.toLong)
+        .getOrElse(sys.error("no max"))),
+      ("null_custkey", cs.nullCount.map(_.toLong)
+        .getOrElse(sys.error("no nullCount")))
+    ).toDF("stat", "value")
+  }
+
   /** Bucketed catalog sink: the engine's `bucket_by`/`buckets` config
     * keys persist the output hash-bucketed and sorted on the key — the
     * shuffle-once storage layout (see [[graft.sources.Bucketed]]); the
@@ -1460,6 +1512,12 @@ object Framework {
       """SELECT doc_id,
         |       CASE WHEN doc_id % 3 = 2 THEN 'und' ELSE lang END AS lang,
         |       CAST(length(text) AS BIGINT) AS n_chars
-        |FROM documents""".stripMargin))
+        |FROM documents""".stripMargin)),
+
+    "fw_analyze" -> Q(fwAnalyze, Some(
+      """SELECT 'max_custkey' AS stat, CAST(max(c_custkey) AS BIGINT) AS value FROM customer
+        |UNION ALL SELECT 'min_custkey', CAST(min(c_custkey) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'null_custkey', CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |UNION ALL SELECT 'row_count', CAST(count(*) AS BIGINT) FROM customer""".stripMargin))
   )
 }

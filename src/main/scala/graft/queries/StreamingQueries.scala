@@ -1309,6 +1309,50 @@ ${OracleSql.InvIndex}
              |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
              |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Cohort retention AT INGEST: q88's first-touch cohort assignment
+    // as one ValueState long per user — each arriving event emits its
+    // (cohort_day, day_offset, user_id) hit, and the retention matrix
+    // aggregates the drained hits offline (countDistinct is not a
+    // streaming aggregate; the hits ARE streaming-exact under the
+    // sharded replay's ordering contract). Oracle = q88's SQL verbatim.
+    "st40_stream_retention" -> Q(
+      (s, d) => {
+        val hits = Streams.runToMemory(s,
+          Streams.retentionStream(
+            Streams.readEventsStreamSharded(s, d)).toDF(),
+          "st40_retention", OutputMode.Append())
+        // both aggregates derive from the SAME memory-sink plan — rename
+        // the join key on one side so the self-join attributes can't clash
+        val sizes = hits.filter(col("day_offset") === 0)
+          .groupBy(col("cohort_day").as("cd"))
+          .agg(countDistinct(col("user_id")).as("cohort_size"))
+        hits.groupBy(col("cohort_day"), col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_active"))
+          .join(sizes, col("cohort_day") === col("cd"))
+          .select(col("cohort_day"), col("day_offset"), col("n_active"),
+            col("cohort_size"),
+            expr("CAST((1000 * n_active) DIV cohort_size AS BIGINT)")
+              .as("retention_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), first AS (
+             |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1
+             |), cs AS (
+             |  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+             |  FROM first GROUP BY 1
+             |), act AS (
+             |  SELECT f.cohort_day, ev.day - f.cohort_day AS day_offset,
+             |         count(DISTINCT ev.user_id) AS n_active
+             |  FROM ev JOIN first f USING (user_id) GROUP BY 1, 2
+             |)
+             |SELECT a.cohort_day, a.day_offset,
+             |       CAST(a.n_active AS BIGINT) AS n_active,
+             |       CAST(cs.cohort_size AS BIGINT) AS cohort_size,
+             |       CAST((1000 * a.n_active) // cs.cohort_size AS BIGINT) AS retention_milli
+             |FROM act a JOIN cs USING (cohort_day)""".stripMargin))
   )
 }

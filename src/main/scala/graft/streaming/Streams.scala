@@ -989,4 +989,40 @@ object Streams {
       .groupByKey(_._1)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
   }
+
+  final case class FirstDay(day: Long)
+  final case class CohortHit(cohort_day: Long, day_offset: Long, user_id: Long)
+
+  /** First-touch cohort assignment ON THE STREAM: each user's first-seen
+    * epoch-day is remembered as one ValueState long; every arriving
+    * event emits its (cohort_day, day_offset, user_id) hit, and the
+    * batch retention matrix (q88) aggregates the drained hits. Same
+    * ordering contract as [[transitionsStream]]: the first-seen day is
+    * only exact if each user's FIRST event arrives before the rest
+    * ([[readEventsStreamSharded]] pins event-time order across
+    * batches; within a batch the iterator sorts itself). Day indices
+    * are integer epoch-micros arithmetic, the q88 discipline.
+    */
+  def retentionStream(events: DataFrame): Dataset[CohortHit] = {
+    implicit val outEnc = Encoders.product[CohortHit]
+    implicit val stateEnc = Encoders.product[FirstDay]
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    val func: (Long, Iterator[(Long, Long)],
+               GroupState[FirstDay]) => Iterator[CohortHit] =
+      (user, rows, state) => {
+        val days = rows.map(_._2 / 86400000000L).toArray.sorted
+        if (days.isEmpty) Iterator.empty
+        else {
+          val first = state.getOption.map(_.day).getOrElse(days.head) min days.head
+          state.update(FirstDay(first))
+          days.iterator.map(d => CohortHit(first, d - first, user))
+        }
+      }
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+  }
 }

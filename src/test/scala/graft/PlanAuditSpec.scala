@@ -71,7 +71,9 @@ class PlanAuditSpec extends SparkSpec {
   private val eager = Set("ext11_ann_ivf", "ext27_dedup_clusters", "ext31_best_keeper",
     "ext100_cluster_split", "q85_exact_percentiles",
     // level-synchronous BFS: per-round empty-frontier check is an action
-    "ext108_bfs_radius")
+    "ext108_bfs_radius",
+    // SNM row numbering checkpoints the sorted corpus at construction
+    "ext111_sorted_neighborhood")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)
@@ -259,5 +261,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("rangepartitioning"), s"CLUSTER BY must not range-shuffle:\n$p")
     val sortLine = p.linesIterator.find(_.trim.startsWith("+- Sort")).getOrElse("")
     assert(sortLine.contains("false, 0"), s"expected a partition-local sort: $sortLine\n$p")
+  }
+
+  // fw_analyze's mechanism end-to-end: ANALYZE-recorded catalog stats
+  // must actually reach the optimizer's cardinality estimates under
+  // CBO — the plan-time numbers that pick broadcast sides and join
+  // orders at 100 TB (AQE only corrects AFTER a shuffle materializes).
+  test("ANALYZE'd catalog stats reach the optimizer's row-count estimate (CBO)") {
+    spark.sql("DROP TABLE IF EXISTS default.pa_stats_t")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(s"$wh/pa_stats_t")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    spark.range(123).selectExpr("id AS k")
+      .write.mode("overwrite").saveAsTable("pa_stats_t")
+    spark.sql("ANALYZE TABLE default.pa_stats_t COMPUTE STATISTICS")
+    val saved = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val rc = spark.table("default.pa_stats_t")
+        .queryExecution.optimizedPlan.stats.rowCount
+      assert(rc.contains(BigInt(123)),
+        s"optimizer did not pick up the ANALYZE rowCount: $rc")
+    } finally spark.conf.set("spark.sql.cbo.enabled", saved)
   }
 }

@@ -679,4 +679,36 @@ class DedupSpec extends SparkSpec {
     assert(disj.getAs[Long]("exact_inter") == 0L)
     assert(disj.getAs[Long]("est_jaccard_milli") == 0L)
   }
+
+  test("sortedNeighborhood: adjacent-prefix near-dups found, threshold filters") {
+    import spark.implicits._
+    // docs 1/2: 8 shared of 9 union → 888 milli ≥ 800 (kept, suffix
+    // perturbation with a shared prefix); doc 3 shares the 'alpha'
+    // prefix region but only 1/9 tokens (dropped by the verify, not by
+    // blocking); docs 10/11 are byte-identical (1000); 99 is disjoint.
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+      (3L, "alpha omega psi chi phi upsilon tau"),
+      (10L, "mmm nnn ooo ppp"),
+      (11L, "mmm nnn ooo ppp"),
+      (99L, "qqq rrr sss")).toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(df, "doc_id", "text",
+        window = 8, thresholdMilli = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.keySet == Set((1L, 2L), (10L, 11L)))
+    assert(got((1L, 2L)) == 1000L * 8 / 10) // |∩|=8, |∪|=10 → 800
+    assert(got((10L, 11L)) == 1000L)
+  }
+
+  test("sortedNeighborhood: window 1 only pairs immediate sort neighbors") {
+    import spark.implicits._
+    // three identical docs: with window 1 only consecutive rn pairs emit
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhood(df, "doc_id", "text",
+        window = 1, thresholdMilli = 800)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (2L, 3L)))
+  }
 }
