@@ -80,7 +80,13 @@ object ScaleCheck {
     "ext107_corpus_overlap", "ext108_bfs_radius",
     "ext109_corpus_divergence", "ext110_gram_matrix",
     "q87_interval_merge", "q88_cohort_retention", "q90_transitions",
-    "st38_stream_countmin", "st39_stream_transitions")
+    "st38_stream_countmin", "st39_stream_transitions",
+    // SNM blocking (O(n·window) candidates by construction — must read
+    // ~linear); the ER composition on top (components with pointer
+    // jumping over chain-shaped SNM families); label propagation
+    // (df-capped shingle join); streaming first-touch retention.
+    "ext111_sorted_neighborhood", "ext112_label_propagation",
+    "ext113_er_pipeline", "st40_stream_retention")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -956,14 +956,23 @@ object Dedup {
     * verdict for the corpus. The fixpoint is unique (component minimum),
     * so the result is deterministic regardless of iteration schedule.
     *
-    * Algorithm: min-label propagation — each round every vertex takes the
-    * minimum label among itself and its neighbors, converging in
-    * O(component diameter) rounds. Near-dup components are shallow (copies
-    * of a common source), so the loop is 2–4 rounds in practice; a
-    * maxIters guard caps adversarial chain graphs (for those, the
-    * large-star/small-star rewiring of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond" (SoCC'14), converges in O(log n)
-    * rounds — same per-round join shape, swap in if profiles demand it).
+    * Algorithm: min-label propagation WITH per-round pointer jumping —
+    * each round every vertex takes the minimum label among itself and
+    * its neighbors, then compresses one level (label := label's label,
+    * a labels-frame self-join; labels only ever decrease toward the
+    * component minimum, so compression is safe at any schedule). The
+    * neighbor step alone converges in O(component diameter) rounds —
+    * fine for the shallow clique-ish near-dup families this was built
+    * for, but a CHAIN component (sorted-neighborhood blocking produces
+    * exactly those: each doc paired with the next few in sort order)
+    * has diameter O(n) and silently exhausted maxIters before the
+    * round-9 ext113 sf0.1 sweep caught it (cluster sizes off by 56).
+    * Pointer jumping halves the remaining distance per round — the
+    * Shiloach-Vishkin shortcutting, same O(log n) behavior as the
+    * large-star/small-star rewiring of Kiveris et al. (SoCC'14) with
+    * one extra nodes-sized join per round. Non-convergence at maxIters
+    * now FAILS LOUDLY instead of returning a partially-propagated
+    * labeling as if it were the answer.
     *
     * Scale shape: every per-round operation — join labels to edges on the
     * source endpoint, min-aggregate messages by destination, join back to
@@ -973,31 +982,69 @@ object Dedup {
     * doc_id (AQE broadcasts the label side when the dup graph is small).
     * Each round materializes labels via eager localCheckpoint: lineage
     * would otherwise double per iteration and the fixpoint check would
-    * re-execute the whole history each round. */
+    * re-execute the whole history each round. The checkpoint is wrapped
+    * in [[materializeReset]] — checkpoint-carried sizeInBytes SQUARES
+    * per round here (labels enter the next round's plan twice) and the
+    * resulting BigInt stats arithmetic hangs the driver past ~12 rounds;
+    * see that method's doc. */
+  /** Materialize `df` eagerly AND reset its carried plan statistics.
+    *
+    * `localCheckpoint` rewrites the pre-checkpoint plan's stats into the
+    * resulting LogicalRDD, and join stats MULTIPLY child sizeInBytes — so
+    * in an iterative loop where round k's labels appear twice in round
+    * k+1's plan (directly and inside the neighbor messages), the carried
+    * sizeInBytes SQUARES every round. The BigInt grows to ~2^rounds
+    * digits and, past ~12 rounds, the driver spends tens of minutes in
+    * Toom-Cook multiplication inside stats estimation while checkpointing
+    * (the round-9 ext113 sf0.1 hang; also the ext31 "regression" — it was
+    * never executor time). The RDD round-trip drops the inflated stats:
+    * the rebuilt frame reports defaultSizeInBytes, so per-round stats
+    * work stays constant-digit forever. Sizing loss is none in practice —
+    * downstream joins on these frames are shuffle joins whose runtime
+    * sizes AQE re-measures anyway. */
+  private def materializeReset(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+    var labels = materializeReset(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
       val msgs = edges.join(labels.select(col("id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      val next = labels.select(col("id"), col("label").as("old_label"))
-        .join(msgs, Seq("id"), "left")
+      // materialize the neighbor step BEFORE the pointer-jump self-join,
+      // or the edges-join + min-aggregate plan executes twice per round
+      // (once per side of the self-join)
+      val stepped = materializeReset(
+        labels.select(col("id"), col("label").as("old_label"))
+          .join(msgs, Seq("id"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label")))
+      // pointer jump: label := its label's label (labels are node ids,
+      // monotonically decreasing toward the component min, so the
+      // parent row always exists and compression never overshoots)
+      val next = materializeReset(stepped
+        .join(stepped.select(col("id").as("label"),
+          col("label").as("parent_label")), Seq("label"), "left")
         .select(col("id"), col("old_label"),
-          least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"), coalesce(col("parent_label"), col("label")))
+            .as("label")))
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
       labels = next.select(col("id"), col("label"))
       it += 1
     }
     edges.unpersist(blocking = false)
+    if (!converged) sys.error(
+      s"clusters: min-label propagation did not converge in $maxIters rounds " +
+        "— component diameter exceeds the budget even with pointer jumping")
     val sizes = labels.groupBy(col("label").as("sz_label"))
       .agg(count(lit(1)).as("sz"))
     docs.select(col(idCol).as("doc_id"))

@@ -432,6 +432,53 @@ ${OracleSql.InvIndex}
              |       CAST(count(*) * sum(xy) - sum(x) * sum(y) AS BIGINT) AS cov_num
              |FROM v GROUP BY 1, 2""".stripMargin)),
 
+    // End-to-end entity resolution: SNM blocking (ext111's O(n·window)
+    // candidates + exact Jaccard verify) feeding min-label connected
+    // components and keeper election — the full blocking→verify→
+    // cluster→survivorship pipeline as ONE query. The oracle replays
+    // components as a transitive min-id closure (recursive CTE;
+    // closure cost is per-component quadratic, bounded here by the
+    // SNM window's chain components). Singletons keep themselves.
+    "ext113_er_pipeline" -> Q(
+      (s, d) => {
+        val corpus = docs(s, d)
+        val pairs = Dedup.sortedNeighborhood(corpus, "doc_id", "text",
+          window = 8, thresholdMilli = 800)
+        Dedup.clusters(corpus, "doc_id", pairs)
+      },
+      Some(raw"""WITH RECURSIVE t AS (
+             |  SELECT doc_id,
+             |         substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), 1, 32) AS k,
+             |         list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |), n AS (
+             |  SELECT doc_id, w, row_number() OVER (ORDER BY k, doc_id) AS rn FROM t
+             |), c AS (
+             |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |         len(list_intersect(a.w, b.w)) AS i,
+             |         len(list_distinct(list_concat(a.w, b.w))) AS u
+             |  FROM n a JOIN n b ON b.rn > a.rn AND b.rn <= a.rn + 8
+             |), p AS (SELECT doc_a, doc_b FROM c WHERE 1000 * i >= 800 * u
+             |), e AS (
+             |  SELECT doc_a AS a, doc_b AS b FROM p
+             |  UNION SELECT doc_b, doc_a FROM p
+             |), r AS (
+             |  SELECT a AS node, a AS label FROM e
+             |  UNION
+             |  SELECT e.b, r.label FROM r JOIN e ON e.a = r.node
+             |), lab AS (
+             |  SELECT node, min(label) AS cluster_id FROM r GROUP BY 1
+             |), sz AS (
+             |  SELECT cluster_id, count(*) AS sz FROM lab GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(lab.cluster_id, d.doc_id) AS cluster_id,
+             |       CAST(coalesce(sz.sz, 1) AS BIGINT) AS cluster_size,
+             |       coalesce(lab.cluster_id, d.doc_id) = d.doc_id AS is_keeper
+             |FROM documents d
+             |LEFT JOIN lab ON lab.node = d.doc_id
+             |LEFT JOIN sz ON sz.cluster_id = coalesce(lab.cluster_id, d.doc_id)""".stripMargin)),
+
     // Weak-supervision label propagation: docs with doc_id % 7 == 3 are
     // treated as UNLABELED; each gets the majority language among
     // labeled docs sharing a 3-gram shingle, votes weighted by shared

@@ -73,7 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     // level-synchronous BFS: per-round empty-frontier check is an action
     "ext108_bfs_radius",
     // SNM row numbering checkpoints the sorted corpus at construction
-    "ext111_sorted_neighborhood")
+    "ext111_sorted_neighborhood",
+    // SNM blocking + the components label-propagation rounds
+    "ext113_er_pipeline")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

@@ -701,6 +701,21 @@ class DedupSpec extends SparkSpec {
     assert(got((10L, 11L)) == 1000L)
   }
 
+  test("clusters: a 300-link chain converges exactly (pointer jumping)") {
+    import spark.implicits._
+    // chain 0-1-2-...-300: diameter 300 >> the old 50-round budget —
+    // neighbor-min alone silently returned partial labels here (the
+    // round-9 ext113 sf0.1 regression); pointer jumping must reach the
+    // fixpoint and label every node with the component min, 0.
+    val pairs = (0L until 300L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (0L to 300L).toDF("doc_id")
+    val got = Dedup.clusters(docs, "doc_id", pairs).collect()
+    assert(got.length == 301)
+    assert(got.forall(_.getAs[Long]("cluster_id") == 0L))
+    assert(got.forall(_.getAs[Long]("cluster_size") == 301L))
+    assert(got.count(_.getAs[Boolean]("is_keeper")) == 1)
+  }
+
   test("sortedNeighborhood: window 1 only pairs immediate sort neighbors") {
     import spark.implicits._
     // three identical docs: with window 1 only consecutive rn pairs emit
