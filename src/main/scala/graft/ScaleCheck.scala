@@ -86,7 +86,10 @@ object ScaleCheck {
     // jumping over chain-shaped SNM families); label propagation
     // (df-capped shingle join); streaming first-touch retention.
     "ext111_sorted_neighborhood", "ext112_label_propagation",
-    "ext113_er_pipeline", "st40_stream_retention")
+    "ext113_er_pipeline", "st40_stream_retention",
+    // multi-pass SNM: two O(n·window) passes — must read ~2× ext111's
+    // per-pass linear cost, never more
+    "ext114_multipass_snm")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

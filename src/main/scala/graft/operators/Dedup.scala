@@ -1441,4 +1441,64 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         expr("CAST((1000 * i) DIV u AS BIGINT)").as("jaccard_milli"))
   }
+
+  /** MULTI-PASS sorted-neighborhood blocking (Hernández & Stolfo,
+    * SIGMOD'95): one SNM pass per sort key — the normalized 32-char
+    * PREFIX ([[sortedNeighborhood]]'s key) plus the normalized 32-char
+    * SUFFIX (prefix of the reversed text) — candidate sets unioned
+    * before ONE shared exact-Jaccard verify.
+    *
+    * Multi-pass is the standard record-linkage answer to single-key
+    * SNM's structural blind spot: two near-dups that agree on their
+    * tail but diverge at the first prefix character sort arbitrarily
+    * far apart under the prefix key and are simply never compared —
+    * no window size fixes that. A second pass under the suffix key
+    * restores exactly those pairs while keeping every pass at the
+    * O(n·window) candidate bound (still no cap machinery needed: no
+    * key family can explode a bucket in ANY pass).
+    *
+    * Scale shape: each pass is the [[sortedNeighborhood]] plan (range-
+    * partitioned sort + narrow zipWithIndex + rn-bucket equality join)
+    * over an (id, key)-only projection; candidates are canonicalized to
+    * doc_a < doc_b so the cross-pass union dedups with a plain
+    * distinct, and carried as ID PAIRS only — the token sets rejoin by
+    * doc_id for the single verify (two equality joins; at 100 TB the
+    * candidate frame is O(n·window·passes) ids, never token sets).
+    * Output schema matches [[sortedNeighborhood]], with doc_a < doc_b
+    * (NOT sort order — canonical id order, mirrored by the oracle).
+    * Construction is EAGER (one sorted-corpus checkpoint per pass). */
+  def sortedNeighborhoodMultiPass(docs: DataFrame, idCol: String,
+                                  textCol: String, window: Int = 8,
+                                  thresholdMilli: Int = 800): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        substring(norm, 1, 32).as("k1"),
+        substring(reverse(norm), 1, 32).as("k2"),
+        array_distinct(filter(split(trim(col(textCol)), "\\s+"),
+          t => t =!= "")).as("w"))
+    def pass(key: String): DataFrame = {
+      val numbered = graft.operators.GlobalSort
+        .withRowNumber(base.select(col("doc_id"), col(key).as("k")),
+          "rn", col("k"), col("doc_id"))
+        .withColumn("b", expr(s"rn div $window"))
+      val probe = numbered.select(col("doc_id").as("id_a"),
+        col("rn").as("rn_a"), explode(array(col("b"), col("b") + 1)).as("jb"))
+      probe.join(numbered.select(col("doc_id").as("id_b"),
+          col("rn").as("rn_b"), col("b").as("jb")), "jb")
+        .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+        .select(least(col("id_a"), col("id_b")).as("doc_a"),
+          greatest(col("id_a"), col("id_b")).as("doc_b"))
+    }
+    val cand = pass("k1").unionByName(pass("k2")).distinct()
+    cand
+      .join(base.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+      .join(base.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
+      .withColumn("u", size(array_union(col("wa"), col("wb"))).cast("long"))
+      .filter(lit(1000L) * col("i") >= lit(thresholdMilli.toLong) * col("u"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("CAST((1000 * i) DIV u AS BIGINT)").as("jaccard_milli"))
+  }
 }

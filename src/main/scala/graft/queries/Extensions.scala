@@ -558,6 +558,40 @@ ${OracleSql.InvIndex}
     // bucket, the trade being prefix-locality recall). Exact distinct-
     // token Jaccard verify; the oracle replays the identical sort,
     // window probe, and integer threshold.
+    // Multi-pass SNM (Hernández & Stolfo SIGMOD'95): prefix-key pass ∪
+    // suffix-key pass, canonical (least, greatest) pair union, ONE
+    // Jaccard verify — restores the suffix-agreeing pairs the prefix
+    // sort can never compare, each pass still O(n·window) by
+    // construction. The oracle replays both sorts, both window probes,
+    // the canonical union, and the verify.
+    "ext114_multipass_snm" -> Q(
+      (s, d) => Dedup.sortedNeighborhoodMultiPass(docs(s, d), "doc_id",
+        "text", window = 8, thresholdMilli = 800),
+      Some(raw"""WITH t AS (
+             |  SELECT doc_id,
+             |         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nrm,
+             |         list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+             |), n1 AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY substr(nrm, 1, 32), doc_id) AS rn FROM t
+             |), n2 AS (
+             |  SELECT doc_id, row_number() OVER (ORDER BY substr(reverse(nrm), 1, 32), doc_id) AS rn FROM t
+             |), c AS (
+             |  SELECT least(a.doc_id, b.doc_id) AS doc_a, greatest(a.doc_id, b.doc_id) AS doc_b
+             |  FROM n1 a JOIN n1 b ON b.rn > a.rn AND b.rn <= a.rn + 8
+             |  UNION
+             |  SELECT least(a.doc_id, b.doc_id), greatest(a.doc_id, b.doc_id)
+             |  FROM n2 a JOIN n2 b ON b.rn > a.rn AND b.rn <= a.rn + 8
+             |), v AS (
+             |  SELECT doc_a, doc_b,
+             |         len(list_intersect(ta.w, tb.w)) AS i,
+             |         len(list_distinct(list_concat(ta.w, tb.w))) AS u
+             |  FROM c JOIN t ta ON ta.doc_id = c.doc_a
+             |         JOIN t tb ON tb.doc_id = c.doc_b
+             |)
+             |SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_milli
+             |FROM v WHERE 1000 * i >= 800 * u""".stripMargin)),
+
     "ext111_sorted_neighborhood" -> Q(
       (s, d) => Dedup.sortedNeighborhood(docs(s, d), "doc_id", "text",
         window = 8, thresholdMilli = 800),
@@ -2992,6 +3026,57 @@ ${OracleSql.InvIndex}
              |SELECT doc_id, CAST(fi AS INT) AS frame_idx, w AS width, h AS height,
              |       CAST((doc_id * 17 + fi * 29) % 256 AS INT) AS gray
              |FROM f WHERE fi % 2 = 0""".stripMargin)),
+
+    // VIDEO-level perceptual dedup: two clips are copies when their
+    // SAMPLED-FRAME fingerprint sequences match — the multi-frame
+    // extension of ext87's single-image perceptual dedup, and the
+    // standard video-fingerprint shape (per-frame hash → ordered
+    // signature → hash-keyed collapse). The signature is built from
+    // frames DECODED by the real JDK GIF codec (stride-2 sampling
+    // never rasterizes skipped frames), ordered by frame index, and
+    // only the 32-char md5 crosses the shuffle — never pixels. Planted
+    // copies at doc_id + 768·10⁴ are VISUALLY identical by the
+    // generator's arithmetic (768 = lcm of the 256-gray, nf, w, h
+    // cycles), so they collapse under the decoded-pixel signature
+    // while remaining distinct ids; the oracle replays the whole
+    // pipeline closed-form (frame grays from the planting formula,
+    // the identical ordered string, the same md5).
+    "ext115_video_dedup" -> Q(
+      (s, d) => {
+        val base = docs(s, d).select(col("doc_id"), col("source"))
+        val planted = base.filter(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 7680000L).as("doc_id"), col("source"))
+        val media = Multimodal.encodeGif(
+          base.unionByName(planted), "doc_id", "source")
+        val frames = Multimodal.sampleGifFrames(media, stride = 2).toDF()
+        val sigs = frames.groupBy(col("doc_id"))
+          .agg(md5(concat_ws("|", expr(
+            """transform(array_sort(collect_list(struct(frame_idx, width, height, gray))),
+              |  x -> concat(x.frame_idx, ':', x.width, ':', x.height, ':', x.gray))"""
+              .stripMargin))).as("payload_sig"))
+        sigs.groupBy(col("payload_sig"))
+          .agg(min(col("doc_id")).as("keeper_id"),
+            count(lit(1)).as("n_copies"))
+      },
+      Some("""WITH ids AS (
+             |  SELECT doc_id FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 7680000 FROM documents WHERE doc_id % 9 = 0
+             |), p AS (
+             |  SELECT doc_id, 2 + doc_id % 6 AS nf,
+             |         1 + doc_id % 8 AS w, 1 + doc_id % 4 AS h
+             |  FROM ids
+             |), f AS (
+             |  SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM p
+             |), s AS (
+             |  SELECT doc_id,
+             |         md5(string_agg(fi || ':' || w || ':' || h || ':' ||
+             |               ((doc_id * 17 + fi * 29) % 256), '|' ORDER BY fi)) AS payload_sig
+             |  FROM f WHERE fi % 2 = 0 GROUP BY doc_id
+             |)
+             |SELECT payload_sig, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+             |       CAST(count(*) AS BIGINT) AS n_copies
+             |FROM s GROUP BY payload_sig""".stripMargin)),
 
     // URL canonicalization — the Common-Crawl dedup/cap key. Planted
     // rows (the ext29 discipline) exercise every canonical rule: case

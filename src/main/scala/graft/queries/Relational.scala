@@ -2207,6 +2207,41 @@ object Relational {
              |SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
              |       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
-             |FROM c""".stripMargin))
+             |FROM c""".stripMargin)),
+
+    // Value-bounded RANGE frame: each event's trailing 5-minute window
+    // (count + integer-cents sum) per user — the rate-limit / rolling-
+    // spend / burst-detection shape. A RANGE frame is defined by ORDER
+    // KEY VALUES (all peers share one result), so ties in the derived
+    // microsecond key cannot make the output engine-specific — no
+    // unique tiebreaker needed, unlike every ROWS frame in this file.
+    // One user-partitioned sort, no self-join (the naive form is an
+    // interval self-join: events ⋈ events on [us-300s, us] — quadratic
+    // per hot user; the frame is the same result at sort cost).
+    "q91_moving_window" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+          .rangeBetween(-300000000L, Window.currentRow)
+        ev.select(col("user_id"), col("event_id"), col("us"),
+          count(lit(1)).over(w).as("n_5min"),
+          sum(col("cents")).over(w).as("sum_cents_5min"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS us,
+             |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |)
+             |SELECT user_id, event_id, us,
+             |       CAST(count(*) OVER w AS BIGINT) AS n_5min,
+             |       CAST(sum(cents) OVER w AS BIGINT) AS sum_cents_5min
+             |FROM ev
+             |WINDOW w AS (PARTITION BY user_id ORDER BY us
+             |             RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)""".stripMargin))
   )
 }

@@ -75,7 +75,9 @@ class PlanAuditSpec extends SparkSpec {
     // SNM row numbering checkpoints the sorted corpus at construction
     "ext111_sorted_neighborhood",
     // SNM blocking + the components label-propagation rounds
-    "ext113_er_pipeline")
+    "ext113_er_pipeline",
+    // multi-pass SNM: one sorted-corpus checkpoint per pass
+    "ext114_multipass_snm")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

@@ -716,6 +716,34 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getAs[Boolean]("is_keeper")) == 1)
   }
 
+  test("sortedNeighborhoodMultiPass: suffix pass restores prefix-divergent pairs") {
+    import spark.implicits._
+    // docs 100 and 200 share their whole tail but diverge at the first
+    // character — under the prefix sort they are separated by 10 filler
+    // docs, beyond window 8, so single-pass SNM can NEVER pair them;
+    // under the suffix (reversed) sort they are adjacent. Jaccard is
+    // exactly 8/10 = the 800-milli threshold (boundary inclusion).
+    val tail = "shared tail tokens one two three four five"
+    val fillers = ('b' to 'k').zipWithIndex.map { case (c, i) =>
+      (300L + i, s"${c}unique${i} totally distinct filler payload number ${i} nothing in common ${c}${i}")
+    }
+    val docsDf = (Seq((100L, s"aardvark $tail"), (200L, s"zebra $tail")) ++ fillers)
+      .toDF("doc_id", "text")
+    val single = Dedup.sortedNeighborhood(docsDf, "doc_id", "text",
+      window = 8, thresholdMilli = 800)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!single.contains((100L, 200L)) && !single.contains((200L, 100L)))
+    val multi = Dedup.sortedNeighborhoodMultiPass(docsDf, "doc_id", "text",
+      window = 8, thresholdMilli = 800)
+    val rows = multi.collect()
+    val pair = rows.filter(r => r.getAs[Long]("doc_a") == 100L && r.getAs[Long]("doc_b") == 200L)
+    assert(pair.length == 1, s"expected (100,200) found once, got ${rows.mkString(";")}")
+    assert(pair.head.getAs[Long]("jaccard_milli") == 800L)
+    // canonical order + no duplicate pairs across passes
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+    assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.length == rows.length)
+  }
+
   test("sortedNeighborhood: window 1 only pairs immediate sort neighbors") {
     import spark.implicits._
     // three identical docs: with window 1 only consecutive rn pairs emit
