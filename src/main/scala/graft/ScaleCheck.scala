@@ -89,7 +89,11 @@ object ScaleCheck {
     "ext113_er_pipeline", "st40_stream_retention",
     // multi-pass SNM: two O(n·window) passes — must read ~2× ext111's
     // per-pass linear cost, never more
-    "ext114_multipass_snm")
+    "ext114_multipass_snm",
+    // sliding windows: 4× tumbling state, still (windows × types)-
+    // bounded and watermark-evicted; MAD: the q86 selection machinery
+    // twice — sketch passes linear, slivers ~6n/accuracy
+    "st41_stream_sliding", "ext116_mad_outliers")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -3078,6 +3078,71 @@ ${OracleSql.InvIndex}
              |       CAST(count(*) AS BIGINT) AS n_copies
              |FROM s GROUP BY payload_sig""".stripMargin)),
 
+    // Robust per-group outlier census via MAD (median absolute
+    // deviation): the dispersion measure that outliers cannot poison —
+    // mean/stddev z-scores move WITH the contamination they are meant
+    // to find; the median and MAD have 50% breakdown. Composes the q86
+    // sketch-bracketed exact-selection machinery TWICE (per-group
+    // median of cents, then per-group median of |c − med|) — exact
+    // order statistics with no global sort and no per-distinct-value
+    // aggregate state, so the same plan shape holds on 100 TB of
+    // prices/latencies. All arithmetic integer-exact (cents; the lower-
+    // median rank floor(q·(n−1))+1 replays in the oracle); the final
+    // census is one map-side-combined aggregate keyed on the group.
+    "ext116_mad_outliers" -> Q(
+      (s, d) => {
+        val v = Tables.events(s, d)
+          .filter(col("event_type").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("c"))
+        val med = graft.operators.GlobalSort
+          .exactPercentilesByGroup(v, "event_type", col("c"), Seq(0.5))
+          .select(col("event_type"), col("value").cast("long").as("med_cents"))
+        val dev = v.join(med, "event_type")
+          .select(col("event_type"), abs(col("c") - col("med_cents")).as("ad"))
+        val mad = graft.operators.GlobalSort
+          .exactPercentilesByGroup(dev, "event_type", col("ad"), Seq(0.5))
+          .select(col("event_type"), col("value").cast("long").as("mad_cents"))
+        v.join(med, "event_type").join(mad, "event_type")
+          .groupBy(col("event_type"), col("med_cents"), col("mad_cents"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(abs(col("c") - col("med_cents")) > lit(3L) * col("mad_cents"),
+              1L).otherwise(0L)).as("n_outliers"))
+          .select(col("event_type"), col("med_cents"), col("mad_cents"),
+            col("n"), col("n_outliers"))
+      },
+      Some("""WITH v AS (
+             |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+             |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |), n1 AS (
+             |  SELECT event_type, count(*) AS n FROM v GROUP BY 1
+             |), s1 AS (
+             |  SELECT event_type, c,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn
+             |  FROM v
+             |), med AS (
+             |  SELECT s1.event_type, s1.c AS med_cents
+             |  FROM s1 JOIN n1 USING (event_type)
+             |  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+             |), dv AS (
+             |  SELECT v.event_type, abs(v.c - med.med_cents) AS ad
+             |  FROM v JOIN med USING (event_type)
+             |), s2 AS (
+             |  SELECT event_type, ad,
+             |         row_number() OVER (PARTITION BY event_type ORDER BY ad) AS rn
+             |  FROM dv
+             |), mad AS (
+             |  SELECT s2.event_type, s2.ad AS mad_cents
+             |  FROM s2 JOIN n1 USING (event_type)
+             |  WHERE rn = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+             |)
+             |SELECT v.event_type, med.med_cents, mad.mad_cents,
+             |       CAST(count(*) AS BIGINT) AS n,
+             |       CAST(sum(CASE WHEN abs(v.c - med.med_cents) > 3 * mad.mad_cents
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+             |FROM v JOIN med USING (event_type) JOIN mad USING (event_type)
+             |GROUP BY 1, 2, 3""".stripMargin)),
+
     // URL canonicalization — the Common-Crawl dedup/cap key. Planted
     // rows (the ext29 discipline) exercise every canonical rule: case
     // folding, default vs explicit ports, tracking params, fragments,

@@ -720,6 +720,33 @@ ${OracleSql.InvIndex}
              |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // SLIDING windows (1 h window, 15 min slide): every event counts in
+    // exactly 4 overlapping epoch-aligned windows; append emission =
+    // the st09 watermark arithmetic. The oracle expands each event into
+    // its 4 window starts (floor-to-15-min minus k·15 min, k = 0..3)
+    // and keeps watermark-closed windows — integer-ms replay of Spark's
+    // sliding-window assignment.
+    "st41_stream_sliding" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.slidingCounts(Streams.readEventsStream(s, d), "1 hour"),
+        "st41_sliding", OutputMode.Append()),
+      Some("""WITH mx AS (
+             |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events
+             |), e AS (
+             |  SELECT (epoch_ns(ts) // 1000000) AS ts_ms, event_type, value FROM events
+             |), x AS (
+             |  SELECT ts_ms // 900000 * 900000 - k.k * 900000 AS ws_ms, event_type, value
+             |  FROM e, (SELECT unnest(range(4)) AS k) k
+             |), g AS (
+             |  SELECT ws_ms, event_type, count(*) AS n_events,
+             |         CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+             |  FROM x GROUP BY 1, 2
+             |)
+             |SELECT make_timestamp(ws_ms * 1000) AS window_start,
+             |       make_timestamp((ws_ms + 3600000) * 1000) AS window_end,
+             |       event_type, n_events, value_cents
+             |FROM g, mx WHERE ws_ms + 3600000 <= wm_ms""".stripMargin)),
+
     // Streaming top-k leaderboard per closed hour window via the
     // bounded-heap top_k_by aggregate — constant state per (window,
     // type) where row_number-over-window is unsupported on streams.

@@ -505,6 +505,24 @@ object Streams {
     // definition of the window/count/cents math for both modes
     windowedCounts(events.withWatermark("ts", delay))
 
+  /** SLIDING 1-hour windows advancing every 15 minutes — the
+    * overlapping-window twin of [[windowedCountsAppend]] (tumbling) and
+    * the dashboard "trailing hour, refreshed every 15 min" shape. Every
+    * event lands in EXACTLY 4 windows (hour/quarter-hour, epoch-aligned
+    * — the Spark `window(ts, 1h, 15m)` contract), so state is 4× the
+    * tumbling row count, still strictly (windows × types)-bounded and
+    * watermark-evicted. Append mode: each window row emits once when the
+    * watermark passes its end — the only mode that scales to unbounded
+    * window histories. */
+  def slidingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
   /** Streaming leaderboard: top-k events by value per (hour window,
     * type), computed with graft's bounded-heap `top_k_by` aggregate
     * ([[graft.functions.TopKBy]]) INSIDE the streaming aggregation.
