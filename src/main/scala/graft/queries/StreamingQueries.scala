@@ -720,6 +720,28 @@ ${OracleSql.InvIndex}
              |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
              |GROUP BY 1, 2, 3""".stripMargin)),
 
+    // Exact cosine top-3 retrieval at ingest: every arriving embedding
+    // scores against a static reference (vec_id % 7 == 0) baked into
+    // the plan as a literal; per-row top-k inside array expressions —
+    // stateless, no join fan-out, no state store. Oracle = the ext05
+    // cross-engine cosine discipline over the same reference subset.
+    "st42_stream_ann" -> Q(
+      (s, d) => Streams.runToMemory(s,
+        Streams.annProbeStream(s, d, k = 3),
+        "st42_ann", OutputMode.Append()),
+      Some("""WITH sim AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings q JOIN embeddings e
+             |    ON e.vec_id % 7 = 0 AND e.vec_id <> q.vec_id
+             |  WHERE q.embedding IS NOT NULL AND len(q.embedding) > 0
+             |    AND e.embedding IS NOT NULL AND len(e.embedding) > 0
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, cosine FROM (
+             |  SELECT qid, nid, cosine,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+             |  FROM sim) WHERE rnk <= 3""".stripMargin)),
+
     // SLIDING windows (1 h window, 15 min slide): every event counts in
     // exactly 4 overlapping epoch-aligned windows; append emission =
     // the st09 watermark arithmetic. The oracle expands each event into

@@ -167,6 +167,68 @@ object Streams {
     spark.readStream.schema(documentsSchema).parquet(stage.toString)
   }
 
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Stream the embeddings fixture (file-source staging as
+    * [[readEventsStream]]) — the input for similarity/enrichment
+    * operators at ingest (st42). */
+  def readEmbeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val stage = new org.apache.hadoop.fs.Path(
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/embeddings")
+    val fs = stage.getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(stage, "embeddings.parquet")
+    if (!fs.exists(dst)) {
+      fs.mkdirs(stage)
+      org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
+    }
+    spark.readStream.schema(embeddingsSchema).parquet(stage.toString)
+  }
+
+  /** Exact cosine top-k retrieval AT INGEST — each arriving embedding is
+    * scored against a STATIC reference index baked into the plan as a
+    * literal (the st14/st25 "model rides the plan" discipline: the
+    * reference is a broadcast-sized artifact — document the bound, shard
+    * the reference if it outgrows a broadcast). Entirely STATELESS: the
+    * per-row top-k is computed inside array expressions (filter self out,
+    * score every reference with the codegen'd `cosine_sim`, sort by the
+    * (−cosine, nid) struct order, slice k) — no watermark, no state
+    * store, no shuffle, no stream-static join fan-out to re-aggregate
+    * (the join form would need a per-query stateful top-k whose keys
+    * never close; the in-row form needs nothing). Ties break exactly as
+    * [[graft.operators.Similarity.cosineTopK]] (cosine desc, nid asc) at
+    * the same 6-dp rounding, so streamed == batch row for row. */
+  def annProbeStream(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    graft.sql.GraftExtensions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions._
+    val ref = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0 && col("embedding").isNotNull &&
+        size(col("embedding")) > 0)
+      .select(col("vec_id").cast("long").as("nid"),
+        col("embedding").cast("array<double>").as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val refLit = typedlit(ref.toSeq)
+    readEmbeddingsStream(spark, dir)
+      .filter(col("vec_id").isNotNull && col("embedding").isNotNull &&
+        size(col("embedding")) > 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+      .withColumn("__ref", refLit)
+      .select(col("qid"), posexplode(expr(
+        s"""slice(array_sort(transform(
+           |  filter(__ref, r -> r._1 != qid),
+           |  r -> struct(-round(cosine_sim(qv, r._2), 6) AS negc, r._1 AS nid))), 1, $k)"""
+          .stripMargin)))
+      .select(col("qid"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.nid").as("nid"), (-col("col.negc")).as("cosine"))
+  }
+
   /** Mixture sampling at ingest — the streaming twin of
     * [[graft.operators.Sampling.mixtureSample]]: per-source keep rates
     * are a BATCH artifact computed once from the static reference
