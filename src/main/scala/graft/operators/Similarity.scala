@@ -59,6 +59,39 @@ object Similarity {
       .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
   }
 
+  /** HARD-negative mining for contrastive training: for each anchor in
+    * a bounded training batch, the top-k HIGHEST-cosine corpus vectors
+    * carrying a DIFFERENT label — the negatives that actually move an
+    * InfoNCE/triplet loss. [[contrastivePairs]] draws its negatives
+    * RANDOMLY (md5-ranked within the derived negative label); random
+    * negatives go easy at scale — most random pairs are already far
+    * apart, so gradients vanish — which is exactly why production
+    * retrieval/embedding training mines the near-but-wrong ones.
+    *
+    * Exact form over a broadcast anchor batch (the [[cosineTopK]]
+    * query-side contract: anchors are a training BATCH, bounded by
+    * construction — corpus-wide all-pairs mining is the ANN tier's
+    * job); one corpus scan, per-anchor top-k through the rank-filtered
+    * window (plans as WindowGroupLimit — local top-k before the
+    * exchange), the ext05 (rounded cosine desc, nid) tie discipline.
+    * Null-labeled rows on either side drop (a null label can't prove
+    * "different"). */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = prepared(corpus, vecCol)
+      .select(col(idCol).as("nid"), col(labelCol).as("nlbl"), col("__vd").as("cv"))
+    val q = prepared(anchors, vecCol)
+      .select(col(idCol).as("qid"), col(labelCol).as("qlbl"), col("__vd").as("qv"))
+    c.crossJoin(broadcast(q))
+      .filter(col("nlbl") =!= col("qlbl"))
+      .select(col("qid"), col("nid"), col("nlbl"),
+        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("rnk"), col("nid"), col("nlbl"), col("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (no RNG at plan time):
     * component d of plane p is a splitmix64-mixed value mapped to
     * [-1, 1). */

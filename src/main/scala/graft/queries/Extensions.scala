@@ -1244,6 +1244,28 @@ ${OracleSql.InvIndex}
              |JOIN sz sb ON sb.doc_id = ix.doc_b
              |WHERE i::DOUBLE / (sa.n + sb.n - i) >= 0.8""".stripMargin)),
 
+    // Hard-negative mining: per anchor, the top-3 highest-cosine
+    // DIFFERENT-label vectors — the near-but-wrong negatives that move
+    // a contrastive loss (ext84's random negatives go easy at scale).
+    // Broadcast anchor batch, one corpus scan, WindowGroupLimit top-k,
+    // the ext05 tie discipline.
+    "ext117_hard_negatives" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.hardNegatives(e, e.filter(col("vec_id") < 20),
+          "vec_id", "embedding", "label", 3)
+      },
+      Some("""WITH sim AS (
+             |  SELECT q.vec_id AS qid, e.vec_id AS nid, e.label AS nlbl,
+             |         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings q JOIN embeddings e
+             |    ON q.vec_id < 20 AND e.label <> q.label
+             |)
+             |SELECT qid, CAST(rnk AS BIGINT) AS rnk, nid, nlbl, cosine FROM (
+             |  SELECT qid, nid, nlbl, cosine,
+             |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+             |  FROM sim) WHERE rnk <= 3""".stripMargin)),
+
     "ext05_cosine_topk" -> Q(
       (s, d) => {
         val e = emb(s, d)

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     // the broadcast of the SMALL query side is the documented trade
     // (queries << corpus); the scale path is ext06/ext11.
     "ext05_cosine_topk" -> "broadcast small query side, exact baseline",
+    "ext117_hard_negatives" -> "broadcast anchor training batch, exact baseline (the ext05 contract with a label restriction)",
     "ext66_mips_topk" -> "broadcast small query side, exact MIPS baseline (scale path = mipsAugment + LSH/IVF)",
     // the ADC scan broadcasts the small query side's lookup tables over
     // one narrow pass of the code table — the documented PQ shape.
