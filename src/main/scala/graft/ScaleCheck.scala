@@ -93,7 +93,11 @@ object ScaleCheck {
     // sliding windows: 4× tumbling state, still (windows × types)-
     // bounded and watermark-evicted; MAD: the q86 selection machinery
     // twice — sketch passes linear, slivers ~6n/accuracy
-    "st41_stream_sliding", "ext116_mad_outliers")
+    "st41_stream_sliding", "ext116_mad_outliers",
+    // stream probe vs a FIXED reference (must read ~linear — the
+    // corpus-fraction reference read 41× here before the bound);
+    // hard negatives: broadcast anchor batch, one corpus scan
+    "st42_stream_ann", "ext117_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

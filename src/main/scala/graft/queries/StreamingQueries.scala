@@ -721,10 +721,13 @@ ${OracleSql.InvIndex}
              |GROUP BY 1, 2, 3""".stripMargin)),
 
     // Exact cosine top-3 retrieval at ingest: every arriving embedding
-    // scores against a static reference (vec_id % 7 == 0) baked into
-    // the plan as a literal; per-row top-k inside array expressions —
-    // stateless, no join fan-out, no state store. Oracle = the ext05
-    // cross-engine cosine discipline over the same reference subset.
+    // scores against a static BOUNDED reference (vec_id % 7 == 0 AND
+    // vec_id < 500 — fixed by construction, NOT a corpus fraction: a
+    // fraction grows with the corpus and ScaleCheck read the resulting
+    // quadratic at 41×/10×) baked into the plan as a literal; per-row
+    // top-k inside array expressions — stateless, no join fan-out, no
+    // state store. Oracle = the ext05 cross-engine cosine discipline
+    // over the same reference subset.
     "st42_stream_ann" -> Q(
       (s, d) => Streams.runToMemory(s,
         Streams.annProbeStream(s, d, k = 3),
@@ -733,7 +736,7 @@ ${OracleSql.InvIndex}
              |  SELECT q.vec_id AS qid, e.vec_id AS nid,
              |         round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
              |  FROM embeddings q JOIN embeddings e
-             |    ON e.vec_id % 7 = 0 AND e.vec_id <> q.vec_id
+             |    ON e.vec_id % 7 = 0 AND e.vec_id < 500 AND e.vec_id <> q.vec_id
              |  WHERE q.embedding IS NOT NULL AND len(q.embedding) > 0
              |    AND e.embedding IS NOT NULL AND len(e.embedding) > 0
              |)

