@@ -943,6 +943,29 @@ object Dedup {
                  delim: String): DataFrame =
     dedupLines(docs, idCol, split(col(textCol), delim))
 
+  /** Materialize `df` eagerly AND reset its carried plan statistics,
+    * returning (the stats-reset frame, the underlying checkpointed frame
+    * whose block-manager storage [[graft.util.Caching.freeCheckpoint]]
+    * can release once the round is superseded).
+    *
+    * `localCheckpoint` rewrites the pre-checkpoint plan's stats into the
+    * resulting LogicalRDD, and join stats MULTIPLY child sizeInBytes — so
+    * in an iterative loop where round k's labels appear twice in round
+    * k+1's plan (directly and inside the neighbor messages), the carried
+    * sizeInBytes SQUARES every round. The BigInt grows to ~2^rounds
+    * digits and, past ~12 rounds, the driver spends tens of minutes in
+    * Toom-Cook multiplication inside stats estimation while checkpointing
+    * (the round-9 ext113 sf0.1 hang; also the ext31 "regression" — it was
+    * never executor time). The RDD round-trip drops the inflated stats:
+    * the rebuilt frame reports defaultSizeInBytes, so per-round stats
+    * work stays constant-digit forever. Sizing loss is none in practice —
+    * downstream joins on these frames are shuffle joins whose runtime
+    * sizes AQE re-measures anyway. */
+  private def materializeReset(df: DataFrame): (DataFrame, DataFrame) = {
+    val cp = df.localCheckpoint(true)
+    (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+  }
+
   /** Connected components over a near-dup pair graph — the transitive
     * closure that turns pairwise matches ([[minhashLsh]], [[jaccardPairs]],
     * [[winnowPairs]], …) into dedup DECISIONS. A∼B and B∼C must land A, B,
@@ -987,34 +1010,15 @@ object Dedup {
     * per round here (labels enter the next round's plan twice) and the
     * resulting BigInt stats arithmetic hangs the driver past ~12 rounds;
     * see that method's doc. */
-  /** Materialize `df` eagerly AND reset its carried plan statistics.
-    *
-    * `localCheckpoint` rewrites the pre-checkpoint plan's stats into the
-    * resulting LogicalRDD, and join stats MULTIPLY child sizeInBytes — so
-    * in an iterative loop where round k's labels appear twice in round
-    * k+1's plan (directly and inside the neighbor messages), the carried
-    * sizeInBytes SQUARES every round. The BigInt grows to ~2^rounds
-    * digits and, past ~12 rounds, the driver spends tens of minutes in
-    * Toom-Cook multiplication inside stats estimation while checkpointing
-    * (the round-9 ext113 sf0.1 hang; also the ext31 "regression" — it was
-    * never executor time). The RDD round-trip drops the inflated stats:
-    * the rebuilt frame reports defaultSizeInBytes, so per-round stats
-    * work stays constant-digit forever. Sizing loss is none in practice —
-    * downstream joins on these frames are shuffle joins whose runtime
-    * sizes AQE re-measures anyway. */
-  private def materializeReset(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-  }
-
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = materializeReset(edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")))
+    var (labels, labelsCp) = materializeReset(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1023,7 +1027,7 @@ object Dedup {
       // materialize the neighbor step BEFORE the pointer-jump self-join,
       // or the edges-join + min-aggregate plan executes twice per round
       // (once per side of the self-join)
-      val stepped = materializeReset(
+      val (stepped, steppedCp) = materializeReset(
         labels.select(col("id"), col("label").as("old_label"))
           .join(msgs, Seq("id"), "left")
           .select(col("id"), col("old_label"),
@@ -1031,14 +1035,22 @@ object Dedup {
       // pointer jump: label := its label's label (labels are node ids,
       // monotonically decreasing toward the component min, so the
       // parent row always exists and compression never overshoots)
-      val next = materializeReset(stepped
+      val (next, nextCp) = materializeReset(stepped
         .join(stepped.select(col("id").as("label"),
           col("label").as("parent_label")), Seq("label"), "left")
         .select(col("id"), col("old_label"),
           least(col("label"), coalesce(col("parent_label"), col("label")))
             .as("label")))
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
+      // `next` is materialized: the round's intermediate (stepped) and
+      // the superseded previous labels release their block-manager
+      // storage now — without this a deep component leaves two dead
+      // label-frame copies per round in storage until RDD GC. The LAST
+      // labels checkpoint stays alive: the returned plan reads it lazily.
+      graft.util.Caching.freeCheckpoint(steppedCp)
+      graft.util.Caching.freeCheckpoint(labelsCp)
       labels = next.select(col("id"), col("label"))
+      labelsCp = nextCp
       it += 1
     }
     edges.unpersist(blocking = false)
@@ -1434,13 +1446,27 @@ object Dedup {
         numbered.select(col("doc_id").as("doc_b"), col("w").as("wb"),
           col("rn").as("rn_b"), col("b").as("jb")), "jb")
       .filter(col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + window)
+    snmVerify(cand, thresholdMilli)
+  }
+
+  /** The shared SNM exact-Jaccard verify: candidates carrying ("doc_a",
+    * "wa", "doc_b", "wb") → (doc_a, doc_b, jaccard_milli ≥ threshold).
+    * ONE definition for every SNM form so the threshold semantics can't
+    * drift between passes. The `u > 0` guard matters: two docs whose
+    * text is all whitespace both tokenize to the EMPTY set, sort
+    * adjacent under the empty key in every pass, and the bare
+    * `1000·i ≥ t·u` filter passes VACUOUSLY at i = u = 0 — emitting a
+    * NULL-jaccard "duplicate" pair of unrelated empty docs (and a 0/0
+    * in the oracle's replay). Empty sets have no defined Jaccard; they
+    * are never near-dups of anything. */
+  private def snmVerify(cand: DataFrame, thresholdMilli: Int): DataFrame =
     cand
       .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
       .withColumn("u", size(array_union(col("wa"), col("wb"))).cast("long"))
-      .filter(lit(1000L) * col("i") >= lit(thresholdMilli.toLong) * col("u"))
+      .filter(col("u") > 0 &&
+        lit(1000L) * col("i") >= lit(thresholdMilli.toLong) * col("u"))
       .select(col("doc_a"), col("doc_b"),
         expr("CAST((1000 * i) DIV u AS BIGINT)").as("jaccard_milli"))
-  }
 
   /** MULTI-PASS sorted-neighborhood blocking (Hernández & Stolfo,
     * SIGMOD'95): one SNM pass per sort key — the normalized 32-char
@@ -1492,13 +1518,9 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("doc_b"))
     }
     val cand = pass("k1").unionByName(pass("k2")).distinct()
-    cand
+    snmVerify(cand
       .join(base.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
-      .join(base.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
-      .withColumn("i", size(array_intersect(col("wa"), col("wb"))).cast("long"))
-      .withColumn("u", size(array_union(col("wa"), col("wb"))).cast("long"))
-      .filter(lit(1000L) * col("i") >= lit(thresholdMilli.toLong) * col("u"))
-      .select(col("doc_a"), col("doc_b"),
-        expr("CAST((1000 * i) DIV u AS BIGINT)").as("jaccard_milli"))
+      .join(base.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b"),
+      thresholdMilli)
   }
 }

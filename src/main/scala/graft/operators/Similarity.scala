@@ -39,6 +39,26 @@ object Similarity {
     call_function("cosine_sim", a, b)
   }
 
+  /** The ONE broadcast-batch exact top-k scaffold behind [[cosineTopK]]
+    * and [[hardNegatives]]: corpus side ("nid", "cv" + `carry` columns)
+    * × broadcast query side ("qid", "qv"), pair predicate, rounded
+    * cosine, per-qid rank-filtered window. Shared so the ext05 tie/
+    * rounding discipline (round to 6 dp; order (cosine desc, nid asc))
+    * is enforced by construction, not by hand-synchronized copies. */
+  private def broadcastTopK(c: DataFrame, q: DataFrame, pairFilter: Column,
+                            carry: Seq[String], k: Int): DataFrame = {
+    val spark = c.sparkSession
+    c.crossJoin(broadcast(q))
+      .filter(pairFilter)
+      .select(Seq(col("qid"), col("nid")) ++ carry.map(col) :+
+        round(cosine(spark, col("qv"), col("cv")), 6).as("cosine"): _*)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
+      .filter(col("rnk") <= k)
+      .select(Seq(col("qid"), col("rnk"), col("nid")) ++ carry.map(col) :+
+        col("cosine"): _*)
+  }
+
   /** Exact top-k cosine neighbors for each query vector. Scores are
     * rounded to 6 dp and ranked (rounded score desc, neighbor id asc) so
     * the ranking is reproducible across engines/precisions. */
@@ -48,15 +68,7 @@ object Similarity {
       .select(col(idCol).as("nid"), col("__vd").as("cv"))
     val q = prepared(queries, vecCol)
       .select(col(idCol).as("qid"), col("__vd").as("qv"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
-    scored
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("cosine"))
+    broadcastTopK(c, q, col("nid") =!= col("qid"), Nil, k)
   }
 
   /** HARD-negative mining for contrastive training: for each anchor in
@@ -82,14 +94,7 @@ object Similarity {
       .select(col(idCol).as("nid"), col(labelCol).as("nlbl"), col("__vd").as("cv"))
     val q = prepared(anchors, vecCol)
       .select(col(idCol).as("qid"), col(labelCol).as("qlbl"), col("__vd").as("qv"))
-    c.crossJoin(broadcast(q))
-      .filter(col("nlbl") =!= col("qlbl"))
-      .select(col("qid"), col("nid"), col("nlbl"),
-        round(cosine(corpus.sparkSession, col("qv"), col("cv")), 6).as("cosine"))
-      .withColumn("rnk", row_number().over(
-        Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("rnk"), col("nid"), col("nlbl"), col("cosine"))
+    broadcastTopK(c, q, col("nlbl") =!= col("qlbl"), Seq("nlbl"), k)
   }
 
   /** Deterministic pseudo-random hyperplanes (no RNG at plan time):

@@ -458,7 +458,7 @@ ${OracleSql.InvIndex}
              |         len(list_intersect(a.w, b.w)) AS i,
              |         len(list_distinct(list_concat(a.w, b.w))) AS u
              |  FROM n a JOIN n b ON b.rn > a.rn AND b.rn <= a.rn + 8
-             |), p AS (SELECT doc_a, doc_b FROM c WHERE 1000 * i >= 800 * u
+             |), p AS (SELECT doc_a, doc_b FROM c WHERE u > 0 AND 1000 * i >= 800 * u
              |), e AS (
              |  SELECT doc_a AS a, doc_b AS b FROM p
              |  UNION SELECT doc_b, doc_a FROM p
@@ -590,7 +590,7 @@ ${OracleSql.InvIndex}
              |         JOIN t tb ON tb.doc_id = c.doc_b
              |)
              |SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_milli
-             |FROM v WHERE 1000 * i >= 800 * u""".stripMargin)),
+             |FROM v WHERE u > 0 AND 1000 * i >= 800 * u""".stripMargin)),
 
     "ext111_sorted_neighborhood" -> Q(
       (s, d) => Dedup.sortedNeighborhood(docs(s, d), "doc_id", "text",
@@ -609,7 +609,7 @@ ${OracleSql.InvIndex}
              |  FROM n a JOIN n b ON b.rn > a.rn AND b.rn <= a.rn + 8
              |)
              |SELECT doc_a, doc_b, CAST((1000 * i) // u AS BIGINT) AS jaccard_milli
-             |FROM c WHERE 1000 * i >= 800 * u""".stripMargin)),
+             |FROM c WHERE u > 0 AND 1000 * i >= 800 * u""".stripMargin)),
 
     // Multi-source BFS blast radius over the part↔supplier bipartite
     // graph (distinct lineitem pairs; suppliers negated to share the

@@ -167,26 +167,27 @@ object Streams {
     spark.readStream.schema(documentsSchema).parquet(stage.toString)
   }
 
-  val embeddingsSchema: StructType = StructType(Seq(
-    StructField("vec_id", LongType),
-    StructField("embedding", ArrayType(FloatType)),
-    StructField("label", IntegerType)))
-
   /** Stream the embeddings fixture (file-source staging as
     * [[readEventsStream]]) — the input for similarity/enrichment
-    * operators at ingest (st42). */
+    * operators at ingest (st42). The schema is PROBED from the batch
+    * footer (never hardcoded) and the stage dir is tagged with the
+    * embedding element type — the [[readEventsStream]] tsTag discipline:
+    * a fixture-layout swap between rounds can never silently reuse a
+    * stale staged copy whose schema no longer matches the declared one. */
   def readEmbeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    val tag = schema("embedding").dataType.simpleString.replaceAll("[^a-z0-9]", "_")
     val conf = spark.sparkContext.hadoopConfiguration
     val src = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val stage = new org.apache.hadoop.fs.Path(
-      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/embeddings")
+      s"/tmp/graft-stream/${dir.replaceAll("[^A-Za-z0-9]", "_")}/embeddings_$tag")
     val fs = stage.getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(stage, "embeddings.parquet")
     if (!fs.exists(dst)) {
       fs.mkdirs(stage)
       org.apache.hadoop.fs.FileUtil.copy(src.getFileSystem(conf), src, fs, dst, false, conf)
     }
-    spark.readStream.schema(embeddingsSchema).parquet(stage.toString)
+    spark.readStream.schema(schema).parquet(stage.toString)
   }
 
   /** Exact cosine top-k retrieval AT INGEST — each arriving embedding is
@@ -553,16 +554,23 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Tumbling 1-hour windows per event type: count + exact value cents.
-    * State is bounded: one row per (window, type). */
-  def windowedCounts(events: DataFrame): DataFrame =
+  /** The ONE definition of the per-(window, type) count/cents math —
+    * tumbling ([[windowedCounts]]) and sliding ([[slidingCounts]]) differ
+    * only in the window column they pass here, so a cents-rounding change
+    * can never fork between the shapes. */
+  private def windowedAgg(events: DataFrame, windowCol: Column): DataFrame =
     events
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .groupBy(windowCol.as("window"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Tumbling 1-hour windows per event type: count + exact value cents.
+    * State is bounded: one row per (window, type). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    windowedAgg(events, window(col("ts"), "1 hour"))
 
   /** Append-mode variant of [[windowedCounts]]: the watermark does double
     * duty — it bounds state AND defines emission. A window row is emitted
@@ -586,13 +594,8 @@ object Streams {
     * watermark passes its end — the only mode that scales to unbounded
     * window histories. */
   def slidingCounts(events: DataFrame, delay: String = "1 hour"): DataFrame =
-    events.withWatermark("ts", delay)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("event_type"), col("n_events"), col("value_cents"))
+    windowedAgg(events.withWatermark("ts", delay),
+      window(col("ts"), "1 hour", "15 minutes"))
 
   /** Streaming leaderboard: top-k events by value per (hour window,
     * type), computed with graft's bounded-heap `top_k_by` aggregate

@@ -744,6 +744,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.length == rows.length)
   }
 
+  test("SNM forms: whitespace-only docs never pair (empty-set Jaccard is undefined)") {
+    import spark.implicits._
+    // two all-whitespace docs tokenize to the EMPTY set and sort adjacent
+    // under the empty key in every pass; the bare 1000·i >= t·u filter
+    // passed vacuously at i = u = 0 before the u > 0 guard, emitting a
+    // NULL-jaccard "duplicate" of two unrelated docs (review finding)
+    val docsDf = Seq((1L, "   "), (2L, "\t \t"), (3L, "real content words"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhood(docsDf, "doc_id", "text",
+      window = 8, thresholdMilli = 800).isEmpty)
+    assert(Dedup.sortedNeighborhoodMultiPass(docsDf, "doc_id", "text",
+      window = 8, thresholdMilli = 800).isEmpty)
+  }
+
   test("sortedNeighborhood: window 1 only pairs immediate sort neighbors") {
     import spark.implicits._
     // three identical docs: with window 1 only consecutive rn pairs emit
