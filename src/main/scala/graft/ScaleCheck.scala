@@ -97,7 +97,11 @@ object ScaleCheck {
     // stream probe vs a FIXED reference (must read ~linear — the
     // corpus-fraction reference read 41× here before the bound);
     // hard negatives: broadcast anchor batch, one corpus scan
-    "st42_stream_ann", "ext117_hard_negatives")
+    "st42_stream_ann", "ext117_hard_negatives",
+    // PCA power iteration: the Gram pass is ext110's fixed-key linear
+    // scan; the d×d iteration is constant driver work — total must read
+    // ~linear like ext110
+    "ext118_pca_power")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1000,4 +1000,88 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("src"), col("rnk"), col("nid"), col("cosine"))
   }
+
+  /** Top principal direction of the (uncentered) embedding cloud — the
+    * leading eigenvector of the integer Gram matrix G[i][j] = Σ_docs
+    * q_i·q_j over quantized vectors q = ⌊x·quant + 0.5⌋, by EXACT
+    * fixed-point power iteration. The direction data-curation pipelines
+    * use for whitening checks, anisotropy audits ("is the embedding
+    * space collapsing?", Ethayarajh EMNLP'19), and ABTT-style top-
+    * component removal (Mu & Viswanath ICLR'18).
+    *
+    * Determinism: everything after quantization is integer arithmetic —
+    * the Gram sums exactly, G is rescaled by the integer factor
+    * s = max(1, max|G| div 1e6), v₀ = 1e6·𝟙, and each round computes
+    * w = Gₙ·v in integers then renormalizes v = sign(w)·(|w|·1e6 div
+    * max(max|w|, 1)) — trunc-division on NON-NEGATIVE operands only, so
+    * DuckDB `//` (floor) and JVM `/` (trunc) agree and the oracle can
+    * replay every iteration bit-for-bit as unrolled CTEs (the
+    * [[graft.operators.Graph.pageRank]] discipline). Sign is pinned by
+    * the all-ones start; ±eigenvector ambiguity never arises.
+    *
+    * Scale shape: ONE linear pass builds the upper-triangle Gram cells
+    * (d(d+1)/2 per row, flat-mapped — map-side-combined sum, shuffle is
+    * d² rows); the iteration itself runs on the DRIVER over the collected
+    * d×d matrix — bounded driver traffic (dim², ~32 KB at d=64, the
+    * Clustering k-row-collect discipline), zero per-iteration shuffles.
+    * Overflow-safe: |Gₙ| ≤ 1e6 and |v| ≤ 1e6, so |w| ≤ d·1e12 (Long-safe
+    * to d ≈ 9e6); the renormalizing |w|·1e6 product runs in BigInt.
+    *
+    * Returns one row per dimension: (idx, v_e6, g_diag) — the unit-ish
+    * component in micro-units and the raw Gram diagonal (per-dimension
+    * energy) for anisotropy ratios. */
+  def pcaTopComponent(em: DataFrame, vecCol: String,
+                      quant: Int = 64, iters: Int = 8): DataFrame = {
+    val spark = em.sparkSession
+    val q = em.filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(expr(
+        s"transform($vecCol, x -> CAST(floor(x * $quant + 0.5) AS BIGINT))")
+        .as("q"))
+    val upper = q.select(explode(expr(
+      """flatten(transform(sequence(0, size(q) - 1), i ->
+        |  transform(sequence(i, size(q) - 1), j ->
+        |    struct(i AS i, j AS j, q[i] * q[j] AS xy))))""".stripMargin))
+      .as("c"))
+      .select(col("c.i"), col("c.j"), col("c.xy"))
+    val gUpper = upper.groupBy(col("i"), col("j")).agg(sum(col("xy")).as("g"))
+      .collect()                     // ≤ d(d+1)/2 rows — bounded by dim²
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("idx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("v_e6",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("g_diag",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    if (gUpper.isEmpty)
+      return spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+    val d = gUpper.map(_.getInt(0)).max + 1
+    val g = Array.ofDim[Long](d, d)
+    gUpper.foreach { r =>
+      val (i, j, x) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      g(i)(j) = x; g(j)(i) = x
+    }
+    val maxAbs = g.map(_.map(math.abs).max).max
+    val s = math.max(1L, maxAbs / 1000000L)
+    val gn = g.map(_.map(x => if (x < 0) -((-x) / s) else x / s))
+    var v = Array.fill(d)(1000000L)
+    var t = 0
+    while (t < iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = 0L; var j = 0
+        while (j < d) { acc += gn(i)(j) * v(j); j += 1 }
+        acc
+      }
+      val m = math.max(w.map(math.abs).max, 1L)
+      v = w.map(x =>
+        if (x < 0) -(BigInt(-x) * 1000000 / m).toLong
+        else (BigInt(x) * 1000000 / m).toLong)
+      t += 1
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](d)
+    (0 until d).foreach { i =>
+      rows.add(org.apache.spark.sql.Row(i, v(i), g(i)(i)))
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

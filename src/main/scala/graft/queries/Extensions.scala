@@ -1266,6 +1266,17 @@ ${OracleSql.InvIndex}
              |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
              |  FROM sim) WHERE rnk <= 3""".stripMargin)),
 
+    // Top principal direction of the embedding cloud (uncentered PCA)
+    // via exact fixed-point power iteration over the integer Gram
+    // matrix — the anisotropy/top-component-removal primitive. One
+    // linear Gram pass; the d×d iteration is bounded driver work; the
+    // oracle replays all 8 integer iterations as unrolled CTEs (the
+    // pageRank oracle discipline).
+    "ext118_pca_power" -> Q(
+      (s, d) => Similarity.pcaTopComponent(emb(s, d), "embedding",
+        quant = 64, iters = 8),
+      Some(pcaPowerOracle(iters = 8))),
+
     "ext05_cosine_topk" -> Q(
       (s, d) => {
         val e = emb(s, d)
@@ -4002,6 +4013,49 @@ ${OracleSql.InvIndex}
     * same micro-unit integer arithmetic as
     * [[graft.operators.Graph.pageRank]]. Unrolled rather than
     * recursive because the recursive term would need a GROUP BY. */
+  /** ext118's oracle: quantized full Gram matrix, integer rescale by
+    * s = max(1, max|G| div 1e6), then `iters` power-iteration rounds
+    * unrolled as chained CTEs (w1/m1/v1 → …) in the same trunc-division-
+    * on-non-negative fixed-point arithmetic as
+    * [[graft.operators.Similarity.pcaTopComponent]]. Intermediate sums
+    * ride HUGEINT; every OUTPUT column is CAST BIGINT/INT
+    * (hugeint_audit discipline). */
+  private def pcaPowerOracle(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""w$t AS (
+         |  SELECT gn.i AS idx, sum(gn.gn * p.v) AS w
+         |  FROM gn JOIN v${t - 1} p ON p.idx = gn.j GROUP BY 1
+         |), m$t AS (SELECT greatest(max(abs(w)), 1) AS m FROM w$t
+         |), v$t AS (
+         |  SELECT idx,
+         |         CASE WHEN w < 0 THEN -(((-w) * 1000000) // m.m)
+         |              ELSE (w * 1000000) // m.m END AS v
+         |  FROM w$t, m$t m
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH q AS (
+       |  SELECT list_transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT)) AS q
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) > 0
+       |), u AS (
+       |  SELECT q, unnest(generate_series(1, len(q))) AS ii FROM q
+       |), cells AS (
+       |  SELECT ii - 1 AS i, unnest(generate_series(1, len(q))) - 1 AS j, q, ii FROM u
+       |), xy AS (
+       |  SELECT i, j, q[i + 1] * q[j + 1] AS xy FROM cells
+       |), g AS (
+       |  SELECT i, j, CAST(sum(xy) AS BIGINT) AS g FROM xy GROUP BY 1, 2
+       |), s AS (SELECT greatest(1, max(abs(g)) // 1000000) AS s FROM g
+       |), gn AS (
+       |  SELECT i, j, CASE WHEN g < 0 THEN -((-g) // s.s) ELSE g // s.s END AS gn
+       |  FROM g, s
+       |), v0 AS (
+       |  SELECT DISTINCT i AS idx, CAST(1000000 AS BIGINT) AS v FROM g
+       |), $steps
+       |SELECT CAST(f.idx AS INT) AS idx, CAST(f.v AS BIGINT) AS v_e6,
+       |       dg.g AS g_diag
+       |FROM v$iters f JOIN (SELECT i, g FROM g WHERE i = j) dg ON dg.i = f.idx""".stripMargin
+  }
+
   private def pageRankOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""pr$i AS (

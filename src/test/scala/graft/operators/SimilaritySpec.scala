@@ -362,6 +362,41 @@ class SimilaritySpec extends SparkSpec {
     assert(viaCos == viaDot)
   }
 
+  test("pcaTopComponent recovers a planted dominant direction, deterministically") {
+    // 40 vectors along ±(1,1,0,0)/√2 with small (0,0,1,-1) noise: the top
+    // Gram eigenvector is (1,1,0,0)/√2 — components 0 and 1 equal and
+    // dominant, 2 and 3 near zero. Sign is pinned by the all-ones start.
+    val rows = (0 until 40).map { i =>
+      val main = if (i % 2 == 0) 1f else -1f        // ± along the plane
+      val noise = (i % 5 - 2) * 0.02f
+      (i.toLong, Seq(main + noise, main - noise, noise, -noise))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val v = Similarity.pcaTopComponent(df, "embedding", quant = 64, iters = 8)
+      .orderBy("idx").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(v.length == 4)
+    val comps = v.map(_._2)
+    // dominant pair: equal by symmetry, at the 1e6 normalization ceiling
+    assert(comps(0) == comps(1))
+    assert(math.abs(comps(0)) >= 900000L)
+    // orthogonal pair: an order of magnitude smaller
+    assert(math.abs(comps(2)) < 200000L && math.abs(comps(3)) < 200000L)
+    // g_diag carries the raw per-dimension energy: dims 0/1 dominate
+    assert(v(0)._3 > v(2)._3 * 10)
+    // byte-for-byte deterministic across plans
+    val again = Similarity.pcaTopComponent(df, "embedding", quant = 64, iters = 8)
+      .orderBy("idx").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq == v.toSeq)
+  }
+
+  test("pcaTopComponent: empty and null-only input yields an empty frame") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.pcaTopComponent(empty, "embedding").isEmpty)
+    val nulls = Seq((1L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding")
+    assert(Similarity.pcaTopComponent(nulls, "embedding").isEmpty)
+  }
+
   test("srpPlanesFor holds mean bucket occupancy at 32, floors at 4, caps at 16") {
     assert(Similarity.srpPlanesFor(1) == 4)
     assert(Similarity.srpPlanesFor(500) == 4)    // sf0.01 fixture
