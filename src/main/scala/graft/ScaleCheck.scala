@@ -101,7 +101,11 @@ object ScaleCheck {
     // PCA power iteration: the Gram pass is ext110's fixed-key linear
     // scan; the d×d iteration is constant driver work — total must read
     // ~linear like ext110
-    "ext118_pca_power")
+    "ext118_pca_power",
+    // TextRank: bigram count + semi-join are token-linear; the per-
+    // iteration joins are edge-multiset-sized (again token-linear);
+    // only the vocab window is super-linear in VOCAB, gated by minCount
+    "ext119_textrank")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

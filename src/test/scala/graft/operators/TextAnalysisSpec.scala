@@ -688,4 +688,36 @@ class TextAnalysisSpec extends SparkSpec {
     // A vs C share only 'a': min-overlap 333333, tv2 = 2*999999 - 2*333333
     assert(out(("A", "C")) == 2L * 999999L - 2L * 333333L)
   }
+
+  test("textRank: the co-occurrence hub word ranks first, deterministically") {
+    import spark.implicits._
+    // 'hub' is adjacent to every satellite (each bigram 5x, passing
+    // minCount); satellites only ever touch 'hub'. The hub accumulates
+    // rank from all satellites and must rank first; satellites tie on
+    // rank and cut alphabetically.
+    val docs = (1 to 5).flatMap { _ =>
+      Seq("hub alpha hub beta hub gamma hub delta")
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.textRank(docs, "doc_id", "text",
+      k = 10, minCount = 5, iters = 10).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 5)
+    assert(out.head._2 == "hub")
+    assert(out.head._3 > out(1)._3)  // hub strictly dominates
+    // satellites: alpha/beta/gamma tie (same in/out structure) and cut
+    // by word; delta ends rows (no trailing bigram back to hub's count
+    // differs) — just pin full determinism across plans instead
+    val again = TextAnalysis.textRank(docs, "doc_id", "text",
+      k = 10, minCount = 5, iters = 10).orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(again.toSeq == out.toSeq)
+  }
+
+  test("textRank: bigrams below minCount leave no nodes") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    assert(TextAnalysis.textRank(docs, "doc_id", "text",
+      k = 10, minCount = 5, iters = 3).isEmpty)
+  }
 }
