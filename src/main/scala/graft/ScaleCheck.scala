@@ -105,7 +105,10 @@ object ScaleCheck {
     // TextRank: bigram count + semi-join are token-linear; the per-
     // iteration joins are edge-multiset-sized (again token-linear);
     // only the vocab window is super-linear in VOCAB, gated by minCount
-    "ext119_textrank")
+    "ext119_textrank",
+    // systematic sampling: one linear pass + the 256-bucket two-level
+    // prefix sum (per-task window state corpus/256) — must read ~linear
+    "ext120_systematic_sample")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -270,4 +270,64 @@ object Sampling {
         floor((col("rn") - 1) / lit(shardSize)).cast("long").as("shard"),
         pmod(col("rn") - 1, lit(shardSize)).as("shard_pos"))
   }
+
+  /** Weighted SYSTEMATIC sampling (stochastic universal sampling,
+    * Baker '87): k picks at equally-spaced positions p_i =
+    * (2i+1)·W div 2k along the cumulative-weight axis of the
+    * md5(id:salt)-permuted corpus — "k draws proportional to weight,
+    * reproducibly", the low-variance alternative to k independent
+    * weighted draws (every row with w ≥ W/k is GUARANTEED picks, no
+    * lottery; the md5 permutation supplies the randomness, so the
+    * design stays a randomized sampler while staying a pure function
+    * of (ids, weights, salt)). Rows heavier than the stride are picked
+    * multiple times — `n_picks` is the exact multiplicity, and
+    * Σ n_picks = k ALWAYS (the midpoint positions all land in [0, W)).
+    *
+    * Exactness: no floats anywhere — the number of pick positions
+    * below x is cnt(x) = min(k, (2kx + W − 1) div 2W) (all operands
+    * non-negative, so trunc and floor division agree across engines),
+    * and a row's multiplicity is cnt(cum + w) − cnt(cum). The oracle
+    * replays the permutation, the prefix sum, and the closed form.
+    *
+    * Scale shape: the [[budgetSample]] two-level prefix sum — 256
+    * order-aligned coarse buckets from the key's first byte, per-bucket
+    * subtotals prefix-summed on a 256-row frame, offsets broadcast
+    * back, running total windowed per bucket (per-task state is
+    * corpus/256, never the corpus). One extra 1-row aggregate fetches
+    * W for the overflow guard (2k·W must stay in a long — at larger
+    * k·W, pre-scale the weights). */
+  def systematicSample(df: DataFrame, idCol: String, wCol: String,
+                       k: Int, salt: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol), col(wCol).cast("long").as("w"))
+      .filter(col("w") > 0) // zero/negative mass can never be picked
+      .withColumn("__k", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = keyed.groupBy(col("__b"))
+      .agg(sum(col("w")).as("__bt"))
+      .withColumn("__off",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy(col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    val totRow = keyed.agg(sum(col("w"))).collect()(0) // 1-row: W + guard
+    if (totRow.isNullAt(0))
+      return keyed.select(col(idCol), col("w"), col("w").as("cum_prev"),
+        col("w").as("n_picks")).limit(0)
+    val wTotal = totRow.getLong(0)
+    require(wTotal <= (Long.MaxValue - wTotal) / (2L * k),
+      s"2k*W overflows a long (W=$wTotal, k=$k): pre-scale the weights")
+    val cnt = (x: String) =>
+      s"least(CAST($k AS BIGINT), (2 * $k * ($x) + $wTotal - 1) DIV (2 * $wTotal))"
+    keyed.join(broadcast(offsets), "__b")
+      .withColumn("cum_prev",
+        col("__off") + coalesce(sum(col("w")).over(
+          Window.partitionBy(col("__b")).orderBy(col("__k"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_picks",
+        expr(s"${cnt("cum_prev + w")} - ${cnt("cum_prev")}"))
+      .filter(col("n_picks") > 0)
+      .select(col(idCol), col("w"), col("cum_prev"), col("n_picks"))
+  }
 }

@@ -3499,6 +3499,35 @@ ${OracleSql.InvIndex}
              |SELECT doc_id, source, n_tokens, cum_tokens
              |FROM r WHERE cum_tokens <= 5000""".stripMargin)),
 
+    // Weighted systematic sampling (stochastic universal sampling):
+    // 100 token-weighted picks along the md5-permuted cumulative axis,
+    // exact integer multiplicities (n_picks sums to k by construction).
+    // The oracle replays the permutation, the prefix sum, and the
+    // closed-form pick count cnt(x) = min(k, (2kx + W - 1) // 2W).
+    "ext120_systematic_sample" -> Q(
+      (s, d) => Sampling.systematicSample(
+        docs(s, d).withColumn("n_tokens",
+          size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).cast("long")),
+        "doc_id", "n_tokens", k = 100, salt = "sus1"),
+      Some("""WITH n AS (
+             |  SELECT doc_id,
+             |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS w,
+             |         md5(CAST(doc_id AS VARCHAR) || ':sus1') AS k
+             |  FROM documents
+             |), p AS (SELECT doc_id, w, k FROM n WHERE w > 0
+             |), c AS (
+             |  SELECT doc_id, w,
+             |         CAST(coalesce(sum(w) OVER (ORDER BY k, doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+             |  FROM p
+             |), t AS (SELECT sum(w) AS wt FROM p)
+             |SELECT doc_id, w, cum_prev,
+             |       CAST(least(100, (200 * (cum_prev + w) + wt - 1) // (2 * wt))
+             |          - least(100, (200 * cum_prev + wt - 1) // (2 * wt)) AS BIGINT) AS n_picks
+             |FROM c, t
+             |WHERE least(100, (200 * (cum_prev + w) + wt - 1) // (2 * wt))
+             |    > least(100, (200 * cum_prev + wt - 1) // (2 * wt))""".stripMargin)),
+
     // median/MAD robust outliers: every verdict is integer arithmetic in
     // doubled units; the oracle replays both medians and the 2·d2 > c·mad4
     // compare per document.

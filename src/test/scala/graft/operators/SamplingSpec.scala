@@ -217,4 +217,41 @@ class SamplingSpec extends SparkSpec {
     val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
     assert(Sampling.groupSample(tiny, "doc_id", "source", 10, "x").count() == 3)
   }
+
+  test("systematicSample: multiplicities match the brute-force pick positions") {
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 12L), (4L, 3L), (5L, 0L))
+      .toDF("doc_id", "w")
+    val k = 7
+    val got = Sampling.systematicSample(df, "doc_id", "w", k, "t1")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    // brute force: replay the md5 permutation and walk every position
+    val perm = df.filter(col("w") > 0)
+      .withColumn("__k", md5(concat(col("doc_id").cast("string"), lit(":t1"))))
+      .orderBy(col("__k"), col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val wTotal = perm.map(_._2).sum
+    val positions = (0 until k).map(i => (2L * i + 1) * wTotal / (2L * k))
+    var cum = 0L
+    val want = perm.map { case (id, w) =>
+      val n = positions.count(p => p >= cum && p < cum + w)
+      cum += w
+      id -> n.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want)
+    assert(got.values.sum == k)            // SUS invariant: exactly k picks
+    assert(!got.contains(5L))              // zero-weight rows never picked
+    assert(got(3L) >= 1L)                  // w >= W/k is a guaranteed pick
+  }
+
+  test("systematicSample: n_picks sums to k on the fixture and is deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .withColumn("n_tokens",
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= "")).cast("long"))
+    val a = Sampling.systematicSample(docs, "doc_id", "n_tokens", 100, "sus1")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(a.map(_._2).sum == 100L)
+    val b = Sampling.systematicSample(docs, "doc_id", "n_tokens", 100, "sus1")
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(a.toSeq.sorted == b.toSeq.sorted)
+  }
 }
