@@ -1001,6 +1001,33 @@ object Similarity {
       .select(col("src"), col("rnk"), col("nid"), col("cosine"))
   }
 
+  /** MUTUAL k-nearest-neighbor pairs — the reciprocal filter on
+    * [[knnGraph]]: (a, b) survives only if b is in a's top-k AND a is
+    * in b's top-k. The standard robustness upgrade for embedding-based
+    * near-dup and clustering edges: hubs (vectors that appear in
+    * everyone's top-k without reciprocating — a known pathology of
+    * high-dimensional cosine, Radovanović JMLR'10) lose their one-way
+    * edges, so downstream connected components can't collapse a corpus
+    * through one promiscuous center.
+    *
+    * Shape: ONE [[knnGraph]] evaluation, then mutuality by counting —
+    * each directed edge appears once per source, so an unordered pair
+    * with BOTH directions appears exactly twice in the canonicalized
+    * (least, greatest) projection; groupBy-count == 2 replaces the
+    * edge⋈reversed-edge self-join (which would evaluate the whole
+    * per-cell quadratic scoring twice and shuffle it twice). Cosine is
+    * commutative, so the pair's two rows agree on the score and it
+    * rides the grouping key. Requires unique ids (fixture contract). */
+  def mutualKnn(df: DataFrame, idCol: String, vecCol: String,
+                clusterCol: String, k: Int): DataFrame =
+    knnGraph(df, idCol, vecCol, clusterCol, k)
+      .select(least(col("src"), col("nid")).as("doc_a"),
+        greatest(col("src"), col("nid")).as("doc_b"), col("cosine"))
+      .groupBy(col("doc_a"), col("doc_b"), col("cosine"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") === 2)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+
   /** Top principal direction of the (uncentered) embedding cloud — the
     * leading eigenvector of the integer Gram matrix G[i][j] = Σ_docs
     * q_i·q_j over quantized vectors q = ⌊x·quant + 0.5⌋, by EXACT

@@ -3477,6 +3477,28 @@ ${OracleSql.InvIndex}
              |         row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nid) AS rnk
              |  FROM sim) WHERE rnk <= 3""".stripMargin)),
 
+    // Mutual (reciprocal) kNN pairs: the hub-resistant edge filter over
+    // ext67's within-label top-3 graph — a pair survives only if each
+    // endpoint ranks the other. The oracle ranks both directions and
+    // keeps pairs present both ways.
+    "ext121_mutual_knn" -> Q(
+      (s, d) => Similarity.mutualKnn(emb(s, d), "vec_id", "embedding",
+        "label", 3),
+      Some("""WITH sim AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS nid,
+             |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id <> b.vec_id
+             |), g AS (
+             |  SELECT src, nid, cosine FROM (
+             |    SELECT src, nid, cosine,
+             |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nid) AS rnk
+             |    FROM sim) WHERE rnk <= 3
+             |)
+             |SELECT a.src AS doc_a, a.nid AS doc_b, a.cosine
+             |FROM g a JOIN g b ON a.src = b.nid AND a.nid = b.src
+             |WHERE a.src < a.nid""".stripMargin)),
+
     // token-budget sampling: the oracle replays the md5 permutation and
     // the per-source running total directly (the bucketed two-phase
     // window is invisible to semantics — that's the point).

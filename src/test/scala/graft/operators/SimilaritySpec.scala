@@ -362,6 +362,32 @@ class SimilaritySpec extends SparkSpec {
     assert(viaCos == viaDot)
   }
 
+  test("mutualKnn keeps only reciprocal pairs and drops the hub's one-way edges") {
+    import spark.implicits._
+    // 1 and 2 are near-identical (mutual top-1). 3, 4, 5 all point AT 1
+    // (it's their nearest in-cluster vector) but 1's own top-2 is {2, 3}
+    // — so (1,2) and (1,3) are mutual, while 4 and 5's edges to 1 are
+    // one-way and must drop with k=2.
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.99f, 0.1f, 0.0f), 0),
+      (3L, Seq(0.9f, 0.3f, 0.0f), 0),
+      (4L, Seq(0.8f, -0.4f, 0.2f), 0),
+      (5L, Seq(0.8f, -0.35f, -0.3f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Similarity.mutualKnn(vecs, "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val knn = Similarity.knnGraph(vecs, "vec_id", "embedding", "label", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // every mutual pair is present both ways in the kNN graph, and every
+    // both-ways kNN pair is mutual — exact equivalence, not containment
+    val wantMutual = knn.filter { case (a, b) => a < b && knn.contains((b, a)) }
+    assert(pairs == wantMutual)
+    assert(pairs.contains((1L, 2L)))
+    // 4 -> 1 exists one-way but never mutually
+    assert(knn.contains((4L, 1L)) && !pairs.contains((1L, 4L)))
+  }
+
   test("pcaTopComponent recovers a planted dominant direction, deterministically") {
     // 40 vectors along ±(1,1,0,0)/√2 with small (0,0,1,-1) noise: the top
     // Gram eigenvector is (1,1,0,0)/√2 — components 0 and 1 equal and
