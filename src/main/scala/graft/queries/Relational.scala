@@ -2209,6 +2209,62 @@ object Relational {
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
              |FROM c""".stripMargin)),
 
+    // Top-20 session PATHS: gap-sessionize (30-min silence breaks a
+    // session; one user-partitioned window over the provably-total
+    // (us, event_id) order), render each session's first 8 event types
+    // as a '>'-joined path (the cap bounds the group key — an unbounded
+    // path string is attacker-sized at 100 TB), then a map-side-combined
+    // path count and a WindowGroupLimit top-k. The path-analysis shape
+    // behind "what do users actually do": no self-join, no global sort
+    // except the 20-row final rank.
+    "q92_session_paths" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+        val sessed = ev
+          .withColumn("brk",
+            when(col("us") - lag(col("us"), 1).over(w) > 1800000000L, 1L)
+              .otherwise(lit(0L)))
+          .withColumn("sess", sum(col("brk")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val paths = sessed
+          .groupBy(col("user_id"), col("sess"))
+          .agg(concat_ws(">", slice(transform(
+            array_sort(collect_list(struct(col("us"), col("event_id"),
+              col("event_type")))), e => e("event_type")), 1, 8)).as("path"))
+        paths.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("n_sessions").desc, col("path"))))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk").cast("long").as("rnk"), col("path"),
+            col("n_sessions"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), f AS (
+             |  SELECT *, CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+             |                      > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM ev
+             |), s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+             |  FROM f
+             |), p AS (
+             |  SELECT user_id, sess,
+             |         array_to_string((list(event_type ORDER BY us, event_id))[1:8], '>') AS path
+             |  FROM s GROUP BY 1, 2
+             |), c AS (SELECT path, count(*) AS n_sessions FROM p GROUP BY 1)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, path, CAST(n_sessions AS BIGINT) AS n_sessions
+             |FROM (SELECT path, n_sessions,
+             |             row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+             |      FROM c)
+             |WHERE rnk <= 20""".stripMargin)),
+
     // Value-bounded RANGE frame: each event's trailing 5-minute window
     // (count + integer-cents sum) per user — the rate-limit / rolling-
     // spend / burst-detection shape. A RANGE frame is defined by ORDER
