@@ -1405,6 +1405,63 @@ ${OracleSql.InvIndex}
              |       CAST(a.n_active AS BIGINT) AS n_active,
              |       CAST(cs.cohort_size AS BIGINT) AS cohort_size,
              |       CAST((1000 * a.n_active) // cs.cohort_size AS BIGINT) AS retention_milli
-             |FROM act a JOIN cs USING (cohort_day)""".stripMargin))
+             |FROM act a JOIN cs USING (cohort_day)""".stripMargin)),
+
+    // Streaming first-touch funnel: q89's per-user conditional mins as
+    // one Update-mode aggregation (min is commutative+idempotent — NO
+    // ordering contract, any batching converges); the drained changelog
+    // collapses by re-minning per user, then the q89 stage/rollup math
+    // runs in batch. Oracle: q89's, verbatim — the stream must land on
+    // the batch truth exactly.
+    "st43_stream_funnel" -> Q(
+      (s, d) => {
+        val mins = Streams.runToMemory(s,
+          Streams.funnelStageMins(Streams.readEventsStream(s, d)),
+          "st43_funnel", OutputMode.Update())
+        val m = mins.groupBy(col("user_id"))
+          .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+            min(col("t3")).as("t3"), min(col("t4")).as("t4"))
+        val reached = m.select(
+          when(col("t1").isNull, 0L)
+            .when(col("t2").isNull || col("t2") <= col("t1"), 1L)
+            .when(col("t3").isNull || col("t3") <= col("t2"), 2L)
+            .when(col("t4").isNull || col("t4") <= col("t3"), 3L)
+            .otherwise(4L).as("reached"))
+        reached.agg(
+          count(lit(1)).as("n_users"),
+          sum(when(col("reached") >= 1, 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("reached") >= 2, 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("reached") >= 3, 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("reached") >= 4, 1L).otherwise(0L)).as("n_purchase"))
+          .select(col("n_users"), col("n_signup"), col("n_view"),
+            col("n_click"), col("n_purchase"),
+            expr("CAST(CASE WHEN n_signup = 0 THEN NULL ELSE (1000 * n_purchase) DIV n_signup END AS BIGINT)")
+              .as("conv_milli"))
+      },
+      Some("""WITH m AS (
+             |  SELECT user_id,
+             |         min(CASE WHEN event_type = 'signup' THEN epoch_ns(ts) // 1000 END) AS t1,
+             |         min(CASE WHEN event_type = 'view' THEN epoch_ns(ts) // 1000 END) AS t2,
+             |         min(CASE WHEN event_type = 'click' THEN epoch_ns(ts) // 1000 END) AS t3,
+             |         min(CASE WHEN event_type = 'purchase' THEN epoch_ns(ts) // 1000 END) AS t4
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY user_id
+             |), r AS (
+             |  SELECT CASE WHEN t1 IS NULL THEN 0
+             |              WHEN t2 IS NULL OR t2 <= t1 THEN 1
+             |              WHEN t3 IS NULL OR t3 <= t2 THEN 2
+             |              WHEN t4 IS NULL OR t4 <= t3 THEN 3
+             |              ELSE 4 END AS reached
+             |  FROM m
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_users,
+             |       CAST(sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+             |       CAST(sum(CASE WHEN reached >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+             |       CAST(sum(CASE WHEN reached >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+             |       CAST(sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             |       CAST(CASE WHEN sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) = 0 THEN NULL
+             |            ELSE (1000 * sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END))
+             |                 // sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) END AS BIGINT) AS conv_milli
+             |FROM r""".stripMargin))
   )
 }

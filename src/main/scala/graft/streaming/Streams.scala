@@ -1095,6 +1095,26 @@ object Streams {
     * batches; within a batch the iterator sorts itself). Day indices
     * are integer epoch-micros arithmetic, the q88 discipline.
     */
+  /** Streaming first-touch funnel stage mins (q89's per-user frame ON
+    * THE STREAM): one Update-mode aggregation holding four conditional
+    * mins per user — the changelog an upsert sink consumes. Unlike
+    * [[transitionsStream]]/[[retentionStream]] there is NO ordering
+    * contract at all: min is commutative and idempotent, so ANY batch
+    * split of any arrival order converges to the same per-user row, and
+    * the drained changelog collapses exactly by re-minning per user
+    * (each emission only ever tightens). State is four longs per user,
+    * no watermark (first-touch semantics are all-time by definition —
+    * the retentionStream trade-off, documented there). */
+  def funnelStageMins(events: DataFrame): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("us"))).as("t1"),
+        min(when(col("event_type") === "view", col("us"))).as("t2"),
+        min(when(col("event_type") === "click", col("us"))).as("t3"),
+        min(when(col("event_type") === "purchase", col("us"))).as("t4"))
+
   def retentionStream(events: DataFrame): Dataset[CohortHit] = {
     implicit val outEnc = Encoders.product[CohortHit]
     implicit val stateEnc = Encoders.product[FirstDay]

@@ -526,4 +526,21 @@ class StreamingSpec extends SparkSpec {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming funnel stage mins: changelog collapses to the batch truth") {
+    val drained = Streams.runToMemory(spark,
+      Streams.funnelStageMins(Streams.readEventsStream(spark, dir)),
+      "spec_funnel", OutputMode.Update())
+    // the Update-mode changelog may carry several rows per user; each
+    // emission only tightens, so a per-user re-min is the fixed point
+    val streamed = drained.groupBy(col("user_id"))
+      .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+        min(col("t3")).as("t3"), min(col("t4")).as("t4"))
+      .collect().map(r => r.getLong(0) ->
+        (0 to 3).map(i => if (r.isNullAt(i + 1)) -1L else r.getLong(i + 1))).toMap
+    val batch = Streams.funnelStageMins(graft.queries.Tables.events(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        (0 to 3).map(i => if (r.isNullAt(i + 1)) -1L else r.getLong(i + 1))).toMap
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
