@@ -1531,4 +1531,44 @@ object TextAnalysis {
         (col("s_a_micro") + col("s_b_micro")
           - lit(2L) * col("min_overlap_micro")).as("tv2_micro"))
   }
+
+  /** Token-level drift ATTRIBUTION between two named corpus slices —
+    * the follow-up question to [[unigramDivergence]]'s scalar verdict
+    * ("these snapshots drifted"): WHICH tokens carry the drift. Exact
+    * integer unigram probabilities (the ext109 micro-unit form,
+    * p = 1e6·c div total per slice), full-outer joined on token (a
+    * token absent from a slice contributes its whole mass on the other
+    * side), ranked by |Δp| with the (desc, token) total order, top-k.
+    *
+    * Scale shape: two map-side-combined counts + a vocab-sized join;
+    * the only non-linear structure is the top-k window, which
+    * WindowGroupLimit bounds before the exchange. Both slice totals
+    * ride a broadcast (2 rows). */
+  def driftAttribution(docs: DataFrame, sliceCol: String, textCol: String,
+                       sliceA: String, sliceB: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .filter(col(sliceCol).isin(sliceA, sliceB) && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+    val cnt = toks.groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("slice")).agg(sum(col("c")).as("tot"))
+    val p = cnt.join(broadcast(tot), "slice")
+      .select(col("slice"), col("token"),
+        expr("CAST((1000000 * c) DIV tot AS BIGINT)").as("p_micro"))
+    val pa = p.filter(col("slice") === sliceA)
+      .select(col("token"), col("p_micro").as("pa"))
+    val pb = p.filter(col("slice") === sliceB)
+      .select(col("token"), col("p_micro").as("pb"))
+    pa.join(pb, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("pa"), lit(0L)).as("p_a_micro"),
+        coalesce(col("pb"), lit(0L)).as("p_b_micro"))
+      .withColumn("delta_micro", col("p_a_micro") - col("p_b_micro"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(abs(col("delta_micro")).desc, col("token"))))
+      .filter(col("rnk") <= k)
+      .select(col("rnk").cast("long").as("rnk"), col("token"),
+        col("p_a_micro"), col("p_b_micro"), col("delta_micro"))
+  }
 }

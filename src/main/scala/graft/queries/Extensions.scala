@@ -385,6 +385,38 @@ ${OracleSql.InvIndex}
              |FROM ov JOIN s sa ON sa.slice = ov.slice_a
              |        JOIN s sb ON sb.slice = ov.slice_b""".stripMargin)),
 
+    // Token-level drift attribution: WHICH tokens carry the en↔de
+    // distribution shift — exact integer unigram probs per slice,
+    // full-outer joined (absent side = 0), top-40 by |delta| with the
+    // (desc, token) total order. ext109 answers "drifted?"; this
+    // answers "by what".
+    "ext122_drift_attribution" -> Q(
+      (s, d) => TextAnalysis.driftAttribution(docs(s, d), "lang", "text",
+        "en", "de", k = 40),
+      Some(raw"""WITH tk AS (
+             |  SELECT lang AS slice,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL
+             |), c AS (SELECT slice, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), t AS (SELECT slice, sum(c) AS tot FROM c GROUP BY 1
+             |), p AS (
+             |  SELECT c.slice, token, (1000000 * c.c) // t.tot AS p_micro
+             |  FROM c JOIN t USING (slice)
+             |), j AS (
+             |  SELECT token,
+             |         CAST(coalesce(a.p_micro, 0) AS BIGINT) AS p_a_micro,
+             |         CAST(coalesce(b.p_micro, 0) AS BIGINT) AS p_b_micro
+             |  FROM (SELECT token, p_micro FROM p WHERE slice = 'en') a
+             |  FULL OUTER JOIN (SELECT token, p_micro FROM p WHERE slice = 'de') b
+             |    USING (token)
+             |)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, token, p_a_micro, p_b_micro,
+             |       CAST(p_a_micro - p_b_micro AS BIGINT) AS delta_micro
+             |FROM (SELECT token, p_a_micro, p_b_micro,
+             |             row_number() OVER (ORDER BY abs(p_a_micro - p_b_micro) DESC, token) AS rnk
+             |      FROM j)
+             |WHERE rnk <= 40""".stripMargin)),
+
     // Embedding second-moment (Gram) matrix for whitening/PCA prep:
     // integer-quantized exact sums over every dimension pair. The pair
     // expansion happens INSIDE a projection (flatten/transform over the
