@@ -406,6 +406,36 @@ object Dedup {
       .unionByName(families.filter(col("doc_id") =!= col("family_rep"))
         .select(col("family_rep").as("doc_a"), col("doc_id").as("doc_b")))
 
+  /** Consensus TEMPLATE of each near-dup family: the tokens present in
+    * EVERY member (distinct-per-doc), per [[clusters]] component — the
+    * shared skeleton that makes a boilerplate family a family. The
+    * curation question it answers: after [[minhashLsh]] grouped near-
+    * dups, WHAT is the repeated content (a license header, a nav bar, a
+    * scraped disclaimer) — the input to a blocklist or a strip rule,
+    * where [[boilerplate]] needs the line to repeat verbatim.
+    *
+    * Membership-counting form: a token is consensus iff the number of
+    * member docs containing it equals the family size — one
+    * map-side-combined count per (family, token), no per-family set
+    * intersection fold, no array crunching beyond the per-doc distinct.
+    * Input `clusterized` is [[clusters]]' output; singletons
+    * (cluster_size = 1) are excluded — every token they hold is
+    * vacuously consensus and family-less. */
+  def familyTemplates(docs: DataFrame, idCol: String, textCol: String,
+                      clusterized: DataFrame): DataFrame = {
+    val fam = clusterized.filter(col("cluster_size") >= 2)
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(
+        filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))).as("token"))
+    toks.join(fam, "doc_id")
+      .groupBy(col("cluster_id"), col("cluster_size"), col("token"))
+      .agg(count(lit(1)).as("__n")) // tokens are distinct per doc
+      .filter(col("__n") === col("cluster_size"))
+      .select(col("cluster_id"), col("token"),
+        col("cluster_size").as("n_members"))
+  }
+
   /** Bloom-prefiltered EXACT decontamination — the at-scale shape for
     * "which corpus documents appear in the benchmark": a Bloom filter
     * over the benchmark texts (`DataFrame.stat.bloomFilter`, a

@@ -1740,6 +1740,38 @@ ${OracleSql.Components}
              |LEFT JOIN comp c ON d.doc_id = c.doc_id
              |LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id""".stripMargin)),
 
+    // Consensus templates of near-dup families: the tokens present in
+    // EVERY member of each ext27 cluster — WHAT the family repeats (the
+    // blocklist/strip-rule input). Membership counting, not per-family
+    // set folds; the oracle re-derives the components truth and counts
+    // per (family, token).
+    "ext123_family_templates" -> Q(
+      (s, d) => {
+        val (pairs, families) = Dedup.minhashLshCapped(docs(s, d), "doc_id",
+          "text", n = 3, k = 128, bands = 32, threshold = 0.8, maxBucket = 64)
+        Dedup.familyTemplates(docs(s, d), "doc_id", "text",
+          Dedup.clusters(docs(s, d), "doc_id",
+            Dedup.cappedEdges(pairs, families)))
+      },
+      Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+${OracleSql.InvIndex}
+${OracleSql.Components}
+             |), sizes AS (
+             |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+             |), tk AS (
+             |  SELECT c.doc_id, c.cluster_id,
+             |         unnest(list_distinct(list_filter(regexp_split_to_array(trim(d.text), '\s+'), x -> x <> ''))) AS token
+             |  FROM comp c JOIN documents d USING (doc_id)
+             |)
+             |SELECT t.cluster_id, t.token, CAST(s.cluster_size AS BIGINT) AS n_members
+             |FROM tk t JOIN sizes s USING (cluster_id)
+             |GROUP BY t.cluster_id, t.token, s.cluster_size
+             |HAVING count(*) = s.cluster_size""".stripMargin)),
+
     // top-50 adjacent-bigram collocations by PMI-shaped lift ratio —
     // rank by the ratio (monotone in PMI) instead of ln(ratio) so both
     // engines run the same four IEEE double ops; cut ties by (w1, w2).

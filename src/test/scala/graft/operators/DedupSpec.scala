@@ -744,6 +744,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.length == rows.length)
   }
 
+  test("familyTemplates: consensus tokens only, singletons excluded, dups-within-doc don't double-count") {
+    import spark.implicits._
+    val docsDf = Seq(
+      (1L, "legal header alpha alpha unique1"),   // repeated token in ONE doc
+      (2L, "legal header beta unique2"),
+      (3L, "legal header gamma"),
+      (4L, "lone doc text")
+    ).toDF("doc_id", "text")
+    val clusterized = Seq(
+      (1L, 1L, 3L, true), (2L, 1L, 3L, false), (3L, 1L, 3L, false),
+      (4L, 4L, 1L, true)
+    ).toDF("doc_id", "cluster_id", "cluster_size", "is_keeper")
+    val got = Dedup.familyTemplates(docsDf, "doc_id", "text", clusterized)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // 'alpha' appears twice in doc 1 but in no other member — the
+    // per-doc distinct stops it from faking a 3-member consensus
+    assert(got == Set((1L, "legal", 3L), (1L, "header", 3L)))
+  }
+
   test("SNM forms: whitespace-only docs never pair (empty-set Jaccard is undefined)") {
     import spark.implicits._
     // two all-whitespace docs tokenize to the EMPTY set and sort adjacent
