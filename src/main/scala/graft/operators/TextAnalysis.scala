@@ -1546,12 +1546,22 @@ object TextAnalysis {
     * ride a broadcast (2 rows). */
   def driftAttribution(docs: DataFrame, sliceCol: String, textCol: String,
                        sliceA: String, sliceB: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val toks = docs
       .filter(col(sliceCol).isin(sliceA, sliceB) && col(textCol).isNotNull)
       .select(col(sliceCol).as("slice"),
         explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
-    val cnt = toks.groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+    driftAttributionFromCounts(
+      toks.groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c")),
+      sliceA, sliceB, k)
+  }
+
+  /** [[driftAttribution]] from pre-aggregated (slice, token, c) counts —
+    * the entry the STREAMING twin uses (st44 collapses an Update-mode
+    * count changelog to the same frame), kept as the one definition of
+    * the probability/ranking math so batch and stream can't fork. */
+  def driftAttributionFromCounts(cnt: DataFrame, sliceA: String,
+                                 sliceB: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val tot = cnt.groupBy(col("slice")).agg(sum(col("c")).as("tot"))
     val p = cnt.join(broadcast(tot), "slice")
       .select(col("slice"), col("token"),

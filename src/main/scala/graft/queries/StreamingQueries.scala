@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.TextAnalysis
 import graft.streaming.Streams
 
 /** Streaming-tier proof queries: each runs a real Structured Streaming
@@ -1462,6 +1463,52 @@ ${OracleSql.InvIndex}
              |       CAST(CASE WHEN sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) = 0 THEN NULL
              |            ELSE (1000 * sum(CASE WHEN reached >= 4 THEN 1 ELSE 0 END))
              |                 // sum(CASE WHEN reached >= 1 THEN 1 ELSE 0 END) END AS BIGINT) AS conv_milli
-             |FROM r""".stripMargin))
+             |FROM r""".stripMargin)),
+
+    // Streaming drift attribution: per-(slice, token) counts as one
+    // Update-mode aggregation (counts only grow — MAX collapses the
+    // changelog under any batching, the st43 order-free discipline),
+    // then ext122's probability/ranking math runs in batch over the
+    // collapsed counts via the SHARED driftAttributionFromCounts.
+    // Oracle: ext122's, verbatim.
+    "st44_stream_drift_attribution" -> Q(
+      (s, d) => {
+        val drained = Streams.runToMemory(s,
+          Streams.tokenCountsStream(
+            Streams.readDocumentsStream(s, d), "lang", "text", "en", "de"),
+          "st44_drift", OutputMode.Update())
+        // re-alias: driftAttributionFromCounts self-joins its input
+        // (counts vs per-slice totals), and the memory-sink view's
+        // attributes don't dedup across the two references (the st40
+        // rename discipline) — toDF mints fresh expression ids
+        TextAnalysis.driftAttributionFromCounts(
+          drained.groupBy(col("slice"), col("token"))
+            .agg(max(col("c")).as("c"))
+            .toDF("slice", "token", "c"),
+          "en", "de", k = 40)
+      },
+      Some(raw"""WITH tk AS (
+             |  SELECT lang AS slice,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents WHERE lang IN ('en', 'de') AND text IS NOT NULL
+             |), c AS (SELECT slice, token, count(*) AS c FROM tk GROUP BY 1, 2
+             |), t AS (SELECT slice, sum(c) AS tot FROM c GROUP BY 1
+             |), p AS (
+             |  SELECT c.slice, token, (1000000 * c.c) // t.tot AS p_micro
+             |  FROM c JOIN t USING (slice)
+             |), j AS (
+             |  SELECT token,
+             |         CAST(coalesce(a.p_micro, 0) AS BIGINT) AS p_a_micro,
+             |         CAST(coalesce(b.p_micro, 0) AS BIGINT) AS p_b_micro
+             |  FROM (SELECT token, p_micro FROM p WHERE slice = 'en') a
+             |  FULL OUTER JOIN (SELECT token, p_micro FROM p WHERE slice = 'de') b
+             |    USING (token)
+             |)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, token, p_a_micro, p_b_micro,
+             |       CAST(p_a_micro - p_b_micro AS BIGINT) AS delta_micro
+             |FROM (SELECT token, p_a_micro, p_b_micro,
+             |             row_number() OVER (ORDER BY abs(p_a_micro - p_b_micro) DESC, token) AS rnk
+             |      FROM j)
+             |WHERE rnk <= 40""".stripMargin))
   )
 }

@@ -1095,6 +1095,25 @@ object Streams {
     * batches; within a batch the iterator sorts itself). Day indices
     * are integer epoch-micros arithmetic, the q88 discipline.
     */
+  /** Streaming per-(slice, token) unigram counts — the drift-attribution
+    * feeder (st44): one Update-mode aggregation over the exploded token
+    * stream, restricted to the two slices under comparison. The same
+    * order-free changelog discipline as [[funnelStageMins]], with MAX as
+    * the collapse: counts only ever grow, so the drained changelog's
+    * per-key maximum IS the final count under any arrival order and any
+    * batch split. State is one long per (slice, token) — dictionary-
+    * bounded, not corpus-bounded (and slice-filtered before the explode,
+    * so tokens outside the comparison never enter state). */
+  def tokenCountsStream(docs: DataFrame, sliceCol: String, textCol: String,
+                        sliceA: String, sliceB: String): DataFrame =
+    docs
+      .filter(col(sliceCol).isin(sliceA, sliceB) && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
+          .as("token"))
+      .groupBy(col("slice"), col("token"))
+      .agg(count(lit(1)).as("c"))
+
   /** Streaming first-touch funnel stage mins (q89's per-user frame ON
     * THE STREAM): one Update-mode aggregation holding four conditional
     * mins per user — the changelog an upsert sink consumes. Unlike
