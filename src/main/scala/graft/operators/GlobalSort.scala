@@ -164,6 +164,41 @@ object GlobalSort {
         col("r").as("rank"))
   }
 
+  /** Exact INTER-DECILE mean per group — the robust location estimate
+    * between [[exactPercentilesByGroup]]'s point statistics and
+    * [[graft.operators.TextAnalysis.lengthOutliers]]' MAD verdicts:
+    * mean of the values v with p10 ≤ v ≤ p90, where p10/p90 are the
+    * exact rank-based decile VALUES (r = floor(q·(n−1)) + 1). Trimming
+    * by the decile VALUE (not by dropping a count of rows) makes ties a
+    * non-issue: the kept multiset is a pure function of the data, no
+    * tiebreak order ever observable — and both thresholds replay in the
+    * oracle as order statistics.
+    *
+    * Shape: the q86 machinery end-to-end (per-group sketch brackets,
+    * broadcast targets, sliver-windowed selection), then ONE more
+    * corpus pass against the 2-value-per-group broadcast bounds —
+    * map-side-combined count/sum, integer milli output. */
+  def interdecileMeanByGroup(df: DataFrame, groupCol: String,
+                             valueCol: Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val v = df.select(col(groupCol).as("__g"), valueCol.cast("long").as("v"))
+      .filter(col("v").isNotNull && col("__g").isNotNull)
+    val bounds = exactPercentilesByGroup(v, "__g", col("v"), Seq(0.1, 0.9))
+      .groupBy(col("__g"))
+      .agg(min(when(col("q") === 0.1, col("value"))).cast("long").as("v10"),
+        min(when(col("q") === 0.9, col("value"))).cast("long").as("v90"))
+    v.join(broadcast(bounds), "__g")
+      .groupBy(col("__g"), col("v10"), col("v90"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("v").between(col("v10"), col("v90")), 1L)
+          .otherwise(0L)).as("n_kept"),
+        sum(when(col("v").between(col("v10"), col("v90")), col("v")))
+          .as("__s"))
+      .select(col("__g").as(groupCol), col("n"), col("v10"), col("v90"),
+        col("n_kept"),
+        expr("CAST((1000 * __s) DIV n_kept AS BIGINT)").as("mean_milli"))
+  }
+
   /** The exact-selection phases of [[exactPercentiles]], separable so the
     * bracket sketch can come from a stream (st37). `v` must be (a
     * re-derivation of) the single-column ("v", double, no nulls) frame

@@ -3614,6 +3614,36 @@ ${OracleSql.InvIndex}
              |WHERE least(100, (200 * (cum_prev + w) + wt - 1) // (2 * wt))
              |    > least(100, (200 * cum_prev + wt - 1) // (2 * wt))""".stripMargin)),
 
+    // Exact inter-decile mean of per-doc token counts per source —
+    // robust location trimmed by the exact p10/p90 VALUES (rank
+    // r = floor(q·(n−1))+1), so ties are unobservable and the oracle
+    // replays both thresholds as order statistics.
+    "ext124_interdecile_mean" -> Q(
+      (s, d) => graft.operators.GlobalSort.interdecileMeanByGroup(
+        docs(s, d).filter(col("text").isNotNull),
+        "source",
+        size(filter(split(trim(col("text")), "\\s+"), t => t =!= ""))),
+      Some(raw"""WITH v AS (
+             |  SELECT source AS g,
+             |         CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS v
+             |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+             |), n AS (SELECT g, count(*) AS n FROM v GROUP BY 1
+             |), s AS (
+             |  SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn FROM v
+             |), b AS (
+             |  SELECT s.g,
+             |         max(CASE WHEN rn = CAST(floor(0.1 * (n - 1)) AS BIGINT) + 1 THEN v END) AS v10,
+             |         max(CASE WHEN rn = CAST(floor(0.9 * (n - 1)) AS BIGINT) + 1 THEN v END) AS v90
+             |  FROM s JOIN n USING (g) GROUP BY s.g
+             |)
+             |SELECT v.g AS source, CAST(n.n AS BIGINT) AS n,
+             |       CAST(b.v10 AS BIGINT) AS v10, CAST(b.v90 AS BIGINT) AS v90,
+             |       CAST(sum(CASE WHEN v.v BETWEEN b.v10 AND b.v90 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             |       CAST((1000 * sum(CASE WHEN v.v BETWEEN b.v10 AND b.v90 THEN v.v ELSE 0 END))
+             |            // sum(CASE WHEN v.v BETWEEN b.v10 AND b.v90 THEN 1 ELSE 0 END) AS BIGINT) AS mean_milli
+             |FROM v JOIN b USING (g) JOIN n USING (g)
+             |GROUP BY v.g, n.n, b.v10, b.v90""".stripMargin)),
+
     // median/MAD robust outliers: every verdict is integer arithmetic in
     // doubled units; the oracle replays both medians and the 2·d2 > c·mad4
     // compare per document.

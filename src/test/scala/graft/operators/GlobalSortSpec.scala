@@ -109,6 +109,23 @@ class GlobalSortSpec extends SparkSpec {
     assert(out == Set(("g", 3.0, 3L)))
   }
 
+  test("interdecileMeanByGroup trims by decile VALUE, brute-force-checked") {
+    import spark.implicits._
+    // group "a": 1..20 → n=20, r10 = floor(0.1*19)+1 = 2 → v10 = 2,
+    // r90 = floor(0.9*19)+1 = 18 → v90 = 18; kept 2..18 (17 values,
+    // sum 170) → mean_milli = 170000/17 = 10000. Group "b": a tie-heavy
+    // set where value-trimming keeps ALL copies of the boundary value.
+    val df = ((1 to 20).map(i => ("a", i.toLong)) ++
+      Seq(("b", 5L), ("b", 5L), ("b", 5L), ("b", 100L))).toDF("g", "x")
+    val got = GlobalSort.interdecileMeanByGroup(df, "g", col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("a") == (20L, 2L, 18L, 17L, 10000L))
+    // b: n=4, r10 = floor(0.3)+1 = 1 → v10 = 5; r90 = floor(2.7)+1 = 3
+    // → v90 = 5; kept = the three 5s (100 is out), mean exactly 5000
+    assert(got("b") == (4L, 5L, 5L, 3L, 5000L))
+  }
+
   test("numbering matches single-partition row_number exactly") {
     val df = Seq(("b", 1L), ("a", 2L), ("a", 1L), ("c", 0L)).toDF("k", "uid")
     val got = GlobalSort.withRowNumber(df, "rn", col("k").asc, col("uid").asc)
