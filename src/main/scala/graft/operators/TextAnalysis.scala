@@ -1532,6 +1532,30 @@ object TextAnalysis {
           - lit(2L) * col("min_overlap_micro")).as("tv2_micro"))
   }
 
+  /** Per-slice vocabulary census: total tokens, distinct types, hapax
+    * legomena (types occurring exactly once in the slice), and the two
+    * derived integer-milli ratios — type/token (lexical diversity: low
+    * TTR flags templated/machine-generated slices) and hapax/type
+    * (productive-vocabulary share: collapsing hapax share flags
+    * boilerplate floods; both are standard corpus-linguistics QA
+    * signals alongside [[unigramDivergence]]'s cross-slice view).
+    * Two map-side-combined aggregations ((slice, token) then slice),
+    * everything exact integers. */
+  def vocabCensus(docs: DataFrame, sliceCol: String,
+                  textCol: String): DataFrame = {
+    val cnt = docs.filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+    cnt.groupBy(col("slice"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("slice"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("CAST((1000 * n_types) DIV n_tokens AS BIGINT)").as("ttr_milli"),
+        expr("CAST((1000 * n_hapax) DIV n_types AS BIGINT)").as("hapax_milli"))
+  }
+
   /** Token-level drift ATTRIBUTION between two named corpus slices —
     * the follow-up question to [[unigramDivergence]]'s scalar verdict
     * ("these snapshots drifted"): WHICH tokens carry the drift. Exact

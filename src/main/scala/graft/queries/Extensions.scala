@@ -3614,6 +3614,24 @@ ${OracleSql.InvIndex}
              |WHERE least(100, (200 * (cum_prev + w) + wt - 1) // (2 * wt))
              |    > least(100, (200 * cum_prev + wt - 1) // (2 * wt))""".stripMargin)),
 
+    // Vocabulary census per source: tokens, types, hapax legomena, and
+    // the integer-milli TTR / hapax-share ratios — the lexical-diversity
+    // QA signals (low TTR = templated slice; collapsing hapax share =
+    // boilerplate flood).
+    "ext125_vocab_census" -> Q(
+      (s, d) => TextAnalysis.vocabCensus(docs(s, d), "source", "text"),
+      Some(raw"""WITH tk AS (
+             |  SELECT source AS slice,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+             |), c AS (SELECT slice, token, count(*) AS c FROM tk GROUP BY 1, 2)
+             |SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |       CAST(count(*) AS BIGINT) AS n_types,
+             |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |       CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_milli,
+             |       CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_milli
+             |FROM c GROUP BY slice""".stripMargin)),
+
     // Exact inter-decile mean of per-doc token counts per source —
     // robust location trimmed by the exact p10/p90 VALUES (rank
     // r = floor(q·(n−1))+1), so ties are unobservable and the oracle
