@@ -1542,11 +1542,18 @@ object TextAnalysis {
     * Two map-side-combined aggregations ((slice, token) then slice),
     * everything exact integers. */
   def vocabCensus(docs: DataFrame, sliceCol: String,
-                  textCol: String): DataFrame = {
-    val cnt = docs.filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
-      .select(col(sliceCol).as("slice"),
-        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
-      .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c"))
+                  textCol: String): DataFrame =
+    vocabCensusFromCounts(
+      docs.filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+        .select(col(sliceCol).as("slice"),
+          explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+        .groupBy(col("slice"), col("token")).agg(count(lit(1)).as("c")))
+
+  /** [[vocabCensus]] from pre-aggregated (slice, token, c) counts — the
+    * one definition of the census math, shared with the streaming twin
+    * (st45 collapses an Update-mode count changelog to this frame, the
+    * [[driftAttributionFromCounts]] discipline). */
+  def vocabCensusFromCounts(cnt: DataFrame): DataFrame =
     cnt.groupBy(col("slice"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_types"),
@@ -1554,7 +1561,6 @@ object TextAnalysis {
       .select(col("slice"), col("n_tokens"), col("n_types"), col("n_hapax"),
         expr("CAST((1000 * n_types) DIV n_tokens AS BIGINT)").as("ttr_milli"),
         expr("CAST((1000 * n_hapax) DIV n_types AS BIGINT)").as("hapax_milli"))
-  }
 
   /** Token-level drift ATTRIBUTION between two named corpus slices —
     * the follow-up question to [[unigramDivergence]]'s scalar verdict

@@ -1509,6 +1509,33 @@ ${OracleSql.InvIndex}
              |FROM (SELECT token, p_a_micro, p_b_micro,
              |             row_number() OVER (ORDER BY abs(p_a_micro - p_b_micro) DESC, token) AS rnk
              |      FROM j)
-             |WHERE rnk <= 40""".stripMargin))
+             |WHERE rnk <= 40""".stripMargin)),
+
+    // Streaming vocabulary census: whole-corpus per-(source, token)
+    // counts on the stream (Update mode, MAX-collapse — the st43/st44
+    // order-free changelog discipline), then ext125's census math via
+    // the shared vocabCensusFromCounts. Oracle: ext125's, verbatim.
+    "st45_stream_vocab_census" -> Q(
+      (s, d) => {
+        val drained = Streams.runToMemory(s,
+          Streams.tokenCountsStreamAll(
+            Streams.readDocumentsStream(s, d), "source", "text"),
+          "st45_census", OutputMode.Update())
+        TextAnalysis.vocabCensusFromCounts(
+          drained.groupBy(col("slice"), col("token"))
+            .agg(max(col("c")).as("c"))
+            .toDF("slice", "token", "c")) // fresh ids: memory-sink reuse
+      },
+      Some(raw"""WITH tk AS (
+             |  SELECT source AS slice,
+             |         unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+             |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+             |), c AS (SELECT slice, token, count(*) AS c FROM tk GROUP BY 1, 2)
+             |SELECT slice, CAST(sum(c) AS BIGINT) AS n_tokens,
+             |       CAST(count(*) AS BIGINT) AS n_types,
+             |       CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+             |       CAST((1000 * count(*)) // sum(c) AS BIGINT) AS ttr_milli,
+             |       CAST((1000 * sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS hapax_milli
+             |FROM c GROUP BY slice""".stripMargin))
   )
 }

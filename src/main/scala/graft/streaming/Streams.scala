@@ -1106,8 +1106,16 @@ object Streams {
     * so tokens outside the comparison never enter state). */
   def tokenCountsStream(docs: DataFrame, sliceCol: String, textCol: String,
                         sliceA: String, sliceB: String): DataFrame =
+    tokenCountsStreamAll(
+      docs.filter(col(sliceCol).isin(sliceA, sliceB)), sliceCol, textCol)
+
+  /** [[tokenCountsStream]] over EVERY slice — the feeder for whole-corpus
+    * census consumers (st45 vocabulary census); same Update-mode
+    * MAX-collapse changelog contract. */
+  def tokenCountsStreamAll(docs: DataFrame, sliceCol: String,
+                           textCol: String): DataFrame =
     docs
-      .filter(col(sliceCol).isin(sliceA, sliceB) && col(textCol).isNotNull)
+      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sliceCol).as("slice"),
         explode(filter(split(trim(col(textCol)), "\\s+"), t => t =!= ""))
           .as("token"))
