@@ -108,7 +108,20 @@ object ScaleCheck {
     "ext119_textrank",
     // systematic sampling: one linear pass + the 256-bucket two-level
     // prefix sum (per-task window state corpus/256) — must read ~linear
-    "ext120_systematic_sample")
+    "ext120_systematic_sample",
+    // mutual kNN: one knnGraph evaluation (cluster-keyed per-cell
+    // quadratic, the ext67/ext79 shape — 34.8× at 10× on this generator,
+    // inherent and documented) + an edge-sized canonicalized count;
+    // ext126 is the SRP-bucketed scale path and must read ~linear
+    "ext121_mutual_knn", "ext126_mutual_knn_srp",
+    // drift attribution / vocab census / inter-decile mean: token-linear
+    // counts + vocab-sized joins; selection machinery is q86's
+    "ext122_drift_attribution", "ext125_vocab_census",
+    "ext124_interdecile_mean",
+    // order-free changelog streams: funnel (per-user 4-long state),
+    // drift + census (dictionary-sized count state)
+    "st43_stream_funnel", "st44_stream_drift_attribution",
+    "st45_stream_vocab_census")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

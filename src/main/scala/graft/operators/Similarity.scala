@@ -1020,9 +1020,29 @@ object Similarity {
     * rides the grouping key. Requires unique ids (fixture contract). */
   def mutualKnn(df: DataFrame, idCol: String, vecCol: String,
                 clusterCol: String, k: Int): DataFrame =
-    knnGraph(df, idCol, vecCol, clusterCol, k)
-      .select(least(col("src"), col("nid")).as("doc_a"),
-        greatest(col("src"), col("nid")).as("doc_b"), col("cosine"))
+    mutualPairs(knnGraph(df, idCol, vecCol, clusterCol, k), "src")
+
+  /** [[mutualKnn]]'s SCALE path: the same reciprocal filter over the
+    * SRP-bucketed approximate top-k graph ([[annTopKSrp]]) instead of
+    * the per-cell-quadratic exact one — the ext91 edge-build trade
+    * (equality-keyed bucket join, never cell²; recall < 1 is the price,
+    * and mutuality is computed over what the ANN graph actually
+    * returned, so the filter semantics stay exact GIVEN the graph).
+    * Pass [[srpPlanesFor]] for the plane count — a fixed count
+    * concentrates buckets as the corpus grows (the measured 35.6× vs
+    * 3.83× lesson). */
+  def mutualKnnSrp(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                   nPlanes: Int, salt: String): DataFrame =
+    mutualPairs(annTopKSrp(df, df, idCol, vecCol, k, nPlanes, salt), "qid")
+
+  /** The ONE mutuality step behind [[mutualKnn]]/[[mutualKnnSrp]]: each
+    * directed edge appears once per source in a top-k graph, so an
+    * unordered pair present BOTH ways appears exactly twice in the
+    * canonicalized projection (cosine is commutative and rides the
+    * key) — groupBy-count == 2, no edge⋈reversed-edge self-join. */
+  private def mutualPairs(g: DataFrame, srcCol: String): DataFrame =
+    g.select(least(col(srcCol), col("nid")).as("doc_a"),
+        greatest(col(srcCol), col("nid")).as("doc_b"), col("cosine"))
       .groupBy(col("doc_a"), col("doc_b"), col("cosine"))
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") === 2)

@@ -3563,6 +3563,18 @@ ${OracleSql.InvIndex}
              |FROM g a JOIN g b ON a.src = b.nid AND a.nid = b.src
              |WHERE a.src < a.nid""".stripMargin)),
 
+    // Mutual kNN's SCALE path: the reciprocal filter over the
+    // SRP-bucketed approximate top-3 graph (adaptive plane count) —
+    // the ext91 edge-build trade; the oracle replays SRP buckets,
+    // multi-probe, ranking, and the both-ways filter.
+    "ext126_mutual_knn_srp" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        Similarity.mutualKnnSrp(e, "vec_id", "embedding", k = 3,
+          nPlanes = Similarity.srpPlanesFor(e.count()), salt = "mk1")
+      },
+      Some(mutualKnnSrpOracle)),
+
     // token-budget sampling: the oracle replays the md5 permutation and
     // the per-source running total directly (the bucketed two-phase
     // window is invisible to semantics — that's the point).
@@ -4114,6 +4126,56 @@ ${OracleSql.InvIndex}
     * [[pageRankOracle]]. DuckDB's range() rejects lateral column args,
     * so plane/probe enumerations range over the max (16) and filter
     * i < np. */
+  /** ext126's oracle: the ext91/ext83 SRP replay (adaptive plane count,
+    * integer-µ projections, multi-probe) building the top-3 graph, then
+    * the reciprocal filter — a pair survives iff present both ways. */
+  private def mutualKnnSrpOracle: String = // def: the `all` map initializes first
+    s"""WITH params AS (
+       |  SELECT coalesce((SELECT min(p) FROM range(4, 17) t(p)
+       |          WHERE 32 * (1 << p) >= (SELECT count(*) FROM embeddings)), 16) AS np
+       |), m AS (
+       |  SELECT i, j,
+       |         CASE WHEN ('0x' || substr(md5(i::VARCHAR || ':' || j::VARCHAR || ':mk1'), 1, 1))::BIGINT % 2 = 0
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM range(16) r1(i), range(64) r2(j), params
+       |  WHERE i < params.np
+       |), ex AS (
+       |  SELECT vec_id,
+       |         unnest(range(0, len(embedding))) AS j,
+       |         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS xe6
+       |  FROM embeddings
+       |), p0 AS (
+       |  SELECT vec_id, i, sum(xe6 * s) AS c
+       |  FROM ex JOIN m USING (j)
+       |  GROUP BY vec_id, i
+       |), b AS (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN c > 0 THEN (CAST(1 AS BIGINT) << (params.np - 1 - i)) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM p0, params GROUP BY vec_id
+       |), probes AS (
+       |  SELECT vec_id AS qid, bucket FROM b
+       |  UNION ALL
+       |  SELECT vec_id, xor(bucket, CAST(1 AS BIGINT) << pos)
+       |  FROM b, range(16) r(pos), params
+       |  WHERE pos < params.np
+       |), cand AS (
+       |  SELECT pr.qid, cb.vec_id AS nid,
+       |         round(list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]), 6) AS cosine
+       |  FROM probes pr
+       |  JOIN b cb USING (bucket)
+       |  JOIN embeddings qe ON qe.vec_id = pr.qid
+       |  JOIN embeddings ne ON ne.vec_id = cb.vec_id
+       |  WHERE cb.vec_id <> pr.qid
+       |), eg AS (
+       |  SELECT qid, nid, cosine FROM (
+       |    SELECT qid, nid, cosine, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rnk
+       |    FROM (SELECT DISTINCT qid, nid, cosine FROM cand))
+       |  WHERE rnk <= 3
+       |)
+       |SELECT a.qid AS doc_a, a.nid AS doc_b, a.cosine
+       |FROM eg a JOIN eg b ON a.qid = b.nid AND a.nid = b.qid
+       |WHERE a.qid < a.nid""".stripMargin
+
   private def pageRankLshOracle(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""pr$i AS (

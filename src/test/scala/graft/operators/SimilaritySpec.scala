@@ -388,6 +388,18 @@ class SimilaritySpec extends SparkSpec {
     assert(knn.contains((4L, 1L)) && !pairs.contains((1L, 4L)))
   }
 
+  test("mutualKnnSrp == both-ways pairs of the SRP top-k graph") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val g = Similarity.annTopKSrp(e, e, "vec_id", "embedding", k = 3,
+        nPlanes = Similarity.srpPlanesFor(e.count()), salt = "mk1")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val want = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    val got = Similarity.mutualKnnSrp(e, "vec_id", "embedding", k = 3,
+        nPlanes = Similarity.srpPlanesFor(e.count()), salt = "mk1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("pcaTopComponent recovers a planted dominant direction, deterministically") {
     // 40 vectors along ±(1,1,0,0)/√2 with small (0,0,1,-1) noise: the top
     // Gram eigenvector is (1,1,0,0)/√2 — components 0 and 1 equal and
