@@ -2209,6 +2209,57 @@ object Relational {
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
              |FROM c""".stripMargin)),
 
+    // Time-BOUNDED conversion: of the users who signed up, how many
+    // purchased within 7 days of their FIRST signup (q89 is the
+    // unbounded ordering funnel; real conversion reporting is always
+    // windowed). Two-phase: per-user first-signup frame, then one join
+    // back + conditional min — no window function, no self-join of the
+    // full event stream; mean time-to-convert in exact integer micros.
+    "q93_windowed_funnel" -> Q(
+      (s, d) => {
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val signed = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(signed, "user_id")
+          .filter(col("us") > col("t1") &&
+            col("us") <= col("t1") + lit(7L * 86400L * 1000000L))
+          .groupBy(col("user_id"), col("t1"))
+          .agg(min(col("us")).as("tp"))
+        signed.join(conv.select(col("user_id"), col("tp"), col("t1").as("t1c")),
+            Seq("user_id"), "left")
+          .agg(count(lit(1)).as("n_signup"),
+            count(col("tp")).as("n_purchase_7d"),
+            sum(col("tp") - col("t1c")).as("__sum_ttc"))
+          .select(col("n_signup"), col("n_purchase_7d"),
+            expr("CAST((1000 * n_purchase_7d) DIV n_signup AS BIGINT)")
+              .as("conv_milli"),
+            expr("CAST(CASE WHEN n_purchase_7d = 0 THEN NULL ELSE __sum_ttc DIV n_purchase_7d END AS BIGINT)")
+              .as("ttc_mean_us"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), signed AS (
+             |  SELECT user_id, min(us) AS t1 FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), conv AS (
+             |  SELECT e.user_id, s.t1, min(e.us) AS tp
+             |  FROM ev e JOIN signed s USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND e.us > s.t1 AND e.us <= s.t1 + 604800000000
+             |  GROUP BY 1, 2
+             |)
+             |SELECT CAST(count(*) AS BIGINT) AS n_signup,
+             |       CAST(count(c.tp) AS BIGINT) AS n_purchase_7d,
+             |       CAST((1000 * count(c.tp)) // count(*) AS BIGINT) AS conv_milli,
+             |       CAST(CASE WHEN count(c.tp) = 0 THEN NULL
+             |            ELSE sum(c.tp - c.t1) // count(c.tp) END AS BIGINT) AS ttc_mean_us
+             |FROM signed s LEFT JOIN conv c USING (user_id)""".stripMargin)),
+
     // Top-20 session PATHS: gap-sessionize (30-min silence breaks a
     // session; one user-partitioned window over the provably-total
     // (us, event_id) order), render each session's first 8 event types
