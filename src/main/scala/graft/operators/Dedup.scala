@@ -406,6 +406,27 @@ object Dedup {
       .unionByName(families.filter(col("doc_id") =!= col("family_rep"))
         .select(col("family_rep").as("doc_a"), col("doc_id").as("doc_b")))
 
+  /** INCREMENTAL [[clusters]] — fold a new batch into yesterday's
+    * component assignment without re-deriving yesterday's pairs: the
+    * prior labels re-enter as STAR edges (doc → its cluster_id), which
+    * encode exactly the old equivalence classes, so components over
+    * (star edges ∪ new pairs) equal components over (old pairs ∪ new
+    * pairs) — same partition of the doc set, same min-id labels. The
+    * snapshot-maintenance shape at 100 TB: the daily job pairs only
+    * arrivals (new×new + new×old candidates from the banded index);
+    * the O(corpus²-candidate) history never re-runs, and the star
+    * edges are labels-sized, one per previously-clustered doc. Old
+    * components are depth-1 stars, so the label-propagation rounds are
+    * bounded by the NEW batch's chain depth, not the corpus's. */
+  def clustersIncremental(docs: DataFrame, idCol: String,
+                          prevLabels: DataFrame,
+                          newPairs: DataFrame): DataFrame = {
+    val starEdges = prevLabels.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+    clusters(docs, idCol,
+      starEdges.unionByName(newPairs.select(col("doc_a"), col("doc_b"))))
+  }
+
   /** Consensus TEMPLATE of each near-dup family: the tokens present in
     * EVERY member (distinct-per-doc), per [[clusters]] component — the
     * shared skeleton that makes a boilerplate family a family. The

@@ -1740,6 +1740,41 @@ ${OracleSql.Components}
              |LEFT JOIN comp c ON d.doc_id = c.doc_id
              |LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id""".stripMargin)),
 
+    // Incremental components: yesterday's labels (docs with even ids)
+    // re-enter as star edges; today's batch (odd ids) contributes only
+    // the pairs that TOUCH an arrival — provably the same partition and
+    // min-id labels as the full recompute, which is what the full-truth
+    // oracle checks.
+    "ext127_incremental_clusters" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val old = all.filter(col("doc_id") % 2 === 0)
+        val oldLabels = Dedup.clusters(old, "doc_id",
+          Dedup.minhashLsh(old, "doc_id", "text", n = 3, k = 128,
+            bands = 32, threshold = 0.8))
+        val newTouching = Dedup.minhashLsh(all, "doc_id", "text", n = 3,
+            k = 128, bands = 32, threshold = 0.8)
+          .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
+        Dedup.clustersIncremental(all, "doc_id", oldLabels, newTouching)
+      },
+      Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+${OracleSql.InvIndex}
+${OracleSql.Components}
+             |), sizes AS (
+             |  SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1
+             |)
+             |SELECT d.doc_id,
+             |       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+             |       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+             |       d.doc_id = coalesce(c.cluster_id, d.doc_id) AS is_keeper
+             |FROM documents d
+             |LEFT JOIN comp c ON d.doc_id = c.doc_id
+             |LEFT JOIN sizes s ON coalesce(c.cluster_id, d.doc_id) = s.cluster_id""".stripMargin)),
+
     // Consensus templates of near-dup families: the tokens present in
     // EVERY member of each ext27 cluster — WHAT the family repeats (the
     // blocklist/strip-rule input). Membership counting, not per-family

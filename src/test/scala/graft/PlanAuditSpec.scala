@@ -78,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
     // SNM blocking + the components label-propagation rounds
     "ext113_er_pipeline",
     // multi-pass SNM: one sorted-corpus checkpoint per pass
-    "ext114_multipass_snm")
+    "ext114_multipass_snm",
+    // two clusters() runs (old labels, then the incremental fold)
+    "ext127_incremental_clusters")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

@@ -744,6 +744,25 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).distinct.length == rows.length)
   }
 
+  test("clustersIncremental == full recompute (star edges encode old components)") {
+    import spark.implicits._
+    // old world: {1,2,3} one chain component, {4} singleton.
+    // arrivals: 5 bridges to 3 (merging into the old component) and
+    // {6,7} form a brand-new component.
+    val docsDf = (1L to 7L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val oldPairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val newPairs = Seq((3L, 5L), (6L, 7L)).toDF("doc_a", "doc_b")
+    val oldDocs = docsDf.filter(col("doc_id") <= 4)
+    val oldLabels = Dedup.clusters(oldDocs, "doc_id", oldPairs)
+    val inc = Dedup.clustersIncremental(docsDf, "doc_id", oldLabels, newPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    val full = Dedup.clusters(docsDf, "doc_id", oldPairs.unionByName(newPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(inc == full)
+    // the merged component kept the global min id as its label
+    assert(inc.exists { case (doc, cl, sz, _) => doc == 5L && cl == 1L && sz == 4L })
+  }
+
   test("familyTemplates: consensus tokens only, singletons excluded, dups-within-doc don't double-count") {
     import spark.implicits._
     val docsDf = Seq(
