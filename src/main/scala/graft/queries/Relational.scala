@@ -2209,6 +2209,56 @@ object Relational {
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
              |FROM c""".stripMargin)),
 
+    // LAST-TOUCH attribution: each purchase credits the latest
+    // preceding non-purchase event within 7 days (else 'direct') — the
+    // marketing-attribution shape. One user-partitioned running
+    // `last(..., ignoreNulls)` over the provably-total (us, event_id)
+    // order carries the candidate touch; no self-join of the stream.
+    "q94_attribution" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("us"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val touched = ev.withColumn("prev",
+          last(when(col("event_type") =!= "purchase",
+            struct(col("us").as("pus"), col("event_type").as("ptype"))),
+            ignoreNulls = true).over(w))
+        val channels = touched.filter(col("event_type") === "purchase")
+          .select(when(col("prev").isNotNull &&
+              col("prev.pus") >= col("us") - lit(7L * 86400L * 1000000L),
+              col("prev.ptype"))
+            .otherwise(lit("direct")).as("channel"))
+          .groupBy(col("channel")).agg(count(lit(1)).as("n_purchases"))
+        channels.select(col("channel"), col("n_purchases"),
+          expr("CAST((1000 * n_purchases) DIV sum(n_purchases) OVER () AS BIGINT)")
+            .as("share_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), p AS (
+             |  SELECT user_id, us, event_type,
+             |         last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus,
+             |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptype
+             |  FROM ev
+             |), a AS (
+             |  SELECT CASE WHEN pus IS NOT NULL AND pus >= us - 604800000000
+             |              THEN ptype ELSE 'direct' END AS channel
+             |  FROM p WHERE event_type = 'purchase'
+             |), c AS (SELECT channel, count(*) AS n_purchases FROM a GROUP BY 1)
+             |SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases,
+             |       CAST((1000 * n_purchases) // sum(n_purchases) OVER () AS BIGINT) AS share_milli
+             |FROM c""".stripMargin)),
+
     // Time-BOUNDED conversion: of the users who signed up, how many
     // purchased within 7 days of their FIRST signup (q89 is the
     // unbounded ordering funnel; real conversion reporting is always
