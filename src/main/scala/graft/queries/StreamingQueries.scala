@@ -1511,6 +1511,42 @@ ${OracleSql.InvIndex}
              |      FROM j)
              |WHERE rnk <= 40""".stripMargin)),
 
+    // Streaming last-touch attribution: per-user ValueState carries the
+    // latest non-purchase touch (the transitionsStream ordering
+    // contract); drained per-purchase channels aggregate to q94's
+    // report. Oracle: q94's, verbatim.
+    "st46_stream_attribution" -> Q(
+      (s, d) => {
+        val hits = Streams.runToMemory(s,
+          Streams.attributionStream(
+            Streams.readEventsStreamSharded(s, d)).toDF(),
+          "st46_attr", OutputMode.Append())
+        hits.groupBy(col("channel")).agg(count(lit(1)).as("n_purchases"))
+          .select(col("channel"), col("n_purchases"),
+            expr("CAST((1000 * n_purchases) DIV sum(n_purchases) OVER () AS BIGINT)")
+              .as("share_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), p AS (
+             |  SELECT user_id, us, event_type,
+             |         last_value(CASE WHEN event_type <> 'purchase' THEN us END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pus,
+             |         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+             |           OVER (PARTITION BY user_id ORDER BY us, event_id
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ptype
+             |  FROM ev
+             |), a AS (
+             |  SELECT CASE WHEN pus IS NOT NULL AND pus >= us - 604800000000
+             |              THEN ptype ELSE 'direct' END AS channel
+             |  FROM p WHERE event_type = 'purchase'
+             |), c AS (SELECT channel, count(*) AS n_purchases FROM a GROUP BY 1)
+             |SELECT channel, CAST(n_purchases AS BIGINT) AS n_purchases,
+             |       CAST((1000 * n_purchases) // sum(n_purchases) OVER () AS BIGINT) AS share_milli
+             |FROM c""".stripMargin)),
+
     // Streaming vocabulary census: whole-corpus per-(source, token)
     // counts on the stream (Update mode, MAX-collapse — the st43/st44
     // order-free changelog discipline), then ext125's census math via

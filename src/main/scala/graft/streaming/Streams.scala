@@ -1082,6 +1082,50 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
   }
 
+  final case class LastTouch(us: Long, typ: String)
+  final case class Attribution(user_id: Long, purchase_us: Long, channel: String)
+
+  /** LAST-TOUCH attribution ON THE STREAM (q94's semantics): one
+    * ValueState per user holds the latest non-purchase touch; each
+    * arriving purchase emits its channel — the touch within 7 days, else
+    * 'direct' — then the state keeps tracking. Same
+    * [[transitionsStream]] ordering contract: exactness vs the batch
+    * running-last oracle needs per-user (us, event_id) order across
+    * batches ([[readEventsStreamSharded]] pins it; the group iterator
+    * sorts within a batch). State is (long, string) per user. */
+  def attributionStream(events: DataFrame): Dataset[Attribution] = {
+    implicit val outEnc = Encoders.product[Attribution]
+    implicit val stateEnc = Encoders.product[LastTouch]
+    implicit val rowEnc = Encoders.tuple(
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING)
+    val windowUs = 7L * 86400L * 1000000L
+    val func: (Long, Iterator[(Long, Long, Long, String)],
+               GroupState[LastTouch]) => Iterator[Attribution] =
+      (user, rows, state) => {
+        val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+        val out = Seq.newBuilder[Attribution]
+        var last = state.getOption
+        sorted.foreach { case (_, us, _, typ) =>
+          if (typ == "purchase") {
+            val channel = last match {
+              case Some(l) if l.us >= us - windowUs => l.typ
+              case _ => "direct"
+            }
+            out += Attribution(user, us, channel)
+          } else last = Some(LastTouch(us, typ))
+        }
+        last.foreach(state.update)
+        out.result().iterator
+      }
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
+  }
+
   final case class FirstDay(day: Long)
   final case class CohortHit(cohort_day: Long, day_offset: Long, user_id: Long)
 
