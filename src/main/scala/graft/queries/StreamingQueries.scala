@@ -1511,6 +1511,54 @@ ${OracleSql.InvIndex}
              |      FROM j)
              |WHERE rnk <= 40""".stripMargin)),
 
+    // Streaming session PATHS: q92's capped '>'-joined paths emitted by
+    // the gap/timeout sessionizer (path state bounded at 8 types per
+    // user); top-20 over CLOSED sessions, with st02's watermark
+    // condition deciding which trailing sessions provably timed out.
+    "st47_stream_session_paths" -> Q(
+      (s, d) => {
+        val sessions = Streams.runToMemory(s,
+          Streams.pathSessionize(
+            Streams.readEventsStreamSharded(s, d), 30).toDF(),
+          "st47_paths", OutputMode.Append())
+        sessions.groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_sessions").desc, col("path"))))
+          .filter(col("rnk") <= 20)
+          .select(col("rnk").cast("long").as("rnk"), col("path"),
+            col("n_sessions"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events
+             |), f AS (
+             |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+             |                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s
+             |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+             |), s AS (
+             |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |              ROWS UNBOUNDED PRECEDING) AS sess
+             |  FROM f
+             |), agg AS (
+             |  SELECT user_id, sess, max(us) AS end_us,
+             |         array_to_string((list(event_type ORDER BY us, event_id))[1:8], '>') AS path
+             |  FROM s GROUP BY 1, 2
+             |), mx AS (SELECT max(us) AS max_us FROM ev
+             |), ranked AS (
+             |  SELECT user_id, sess, path, end_us,
+             |         row_number() OVER (PARTITION BY user_id ORDER BY sess DESC) AS rk
+             |  FROM agg
+             |), closed AS (
+             |  SELECT path FROM ranked, mx
+             |  WHERE rk > 1 OR greatest((end_us // 1000) + 1800000, 1) < (max_us // 1000) - 1800000
+             |), c AS (SELECT path, count(*) AS n_sessions FROM closed GROUP BY 1)
+             |SELECT CAST(rnk AS BIGINT) AS rnk, path, CAST(n_sessions AS BIGINT) AS n_sessions
+             |FROM (SELECT path, n_sessions,
+             |             row_number() OVER (ORDER BY n_sessions DESC, path) AS rnk
+             |      FROM c)
+             |WHERE rnk <= 20""".stripMargin)),
+
     // Streaming last-touch attribution: per-user ValueState carries the
     // latest non-purchase touch (the transitionsStream ordering
     // contract); drained per-purchase channels aggregate to q94's

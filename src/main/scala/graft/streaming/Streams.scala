@@ -960,6 +960,72 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(func)
   }
 
+  final case class PathState(start: Long, last: Long, n: Int, types: Seq[String])
+  final case class PathSession(user_id: Long, start_us: Long, end_us: Long,
+                               n_events: Int, path: String)
+
+  /** [[sessionize]] carrying the session's PATH — the first `maxLen`
+    * event types in (us, event_id) order, '>'-joined (q92's capped-path
+    * discipline: the cap bounds state at maxLen strings per user no
+    * matter how long a session runs). Emits CLOSED sessions (gap or
+    * event-time timeout); the [[transitionsStream]] ordering contract
+    * applies ACROSS batches (the sharded reader pins per-user event-time
+    * order; within a batch the iterator sorts by (us, event_id)). */
+  def pathSessionize(events: DataFrame, gapMinutes: Int,
+                     maxLen: Int = 8): Dataset[PathSession] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val outEnc = Encoders.product[PathSession]
+    implicit val stateEnc = Encoders.product[PathState]
+    implicit val longEnc = Encoders.scalaLong
+    implicit val rowEnc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaLong, Encoders.STRING,
+      Encoders.TIMESTAMP)
+
+    def emit(user: Long, s: PathState): PathSession =
+      PathSession(user, s.start, s.last, s.n, s.types.mkString(">"))
+
+    val func: (Long, Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+               GroupState[PathState]) => Iterator[PathSession] =
+      (user, rows, state) => {
+        if (state.hasTimedOut) {
+          val s = state.get
+          state.remove()
+          Iterator.single(emit(user, s))
+        } else {
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          val out = Seq.newBuilder[PathSession]
+          var cur = state.getOption
+          sorted.foreach { case (_, us, _, typ, _) =>
+            cur match {
+              case Some(s) if us - s.last <= gapUs =>
+                cur = Some(PathState(s.start, us, s.n + 1,
+                  if (s.types.size < maxLen) s.types :+ typ else s.types))
+              case Some(s) =>
+                out += emit(user, s)
+                cur = Some(PathState(us, us, 1, Seq(typ)))
+              case None => cur = Some(PathState(us, us, 1, Seq(typ)))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            val wanted = s.last / 1000 + gapMinutes * 60L * 1000
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(wanted, floor))
+          }
+          out.result().iterator
+        }
+      }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(func)
+  }
+
   /** The SAME gap sessionization on Spark 4's arbitrary-state API v2
     * (`transformWithState` / [[org.apache.spark.sql.streaming.StatefulProcessor]]):
     * ValueState for the open session, an explicit event-time TIMER per
