@@ -406,6 +406,36 @@ object Dedup {
       .unionByName(families.filter(col("doc_id") =!= col("family_rep"))
         .select(col("family_rep").as("doc_a"), col("doc_id").as("doc_b")))
 
+  /** Per-slice DUPLICATION-rate report — which sources are polluted:
+    * for each slice, the number of docs whose exact content hash
+    * appears more than once ANYWHERE in the corpus (cross-source
+    * duplication counts against both sources — a mirror site and its
+    * origin are both flagged), plus the redundant-copy count (copies
+    * beyond each family's keeper, attributed to the slice that holds
+    * them) and both integer-milli rates. The triage view over
+    * [[exact]]: not WHICH docs (ext01 answers that) but WHERE
+    * duplication concentrates, the source-selection signal. Two
+    * map-side-combined aggregations + one hash-keyed join. */
+  def dupRateBySlice(docs: DataFrame, idCol: String, textCol: String,
+                     sliceCol: String): DataFrame = {
+    val hashed = docs.select(col(sliceCol).as("slice"),
+      col(idCol).as("doc_id"), md5(col(textCol)).as("h"))
+    val fam = hashed.groupBy(col("h"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+    hashed.join(fam, "h")
+      .groupBy(col("slice"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_in_dup_family"),
+        sum(when(col("doc_id") =!= col("keeper_id"), 1L).otherwise(0L))
+          .as("n_redundant"))
+      .select(col("slice"), col("n_docs"), col("n_in_dup_family"),
+        col("n_redundant"),
+        expr("CAST((1000 * n_in_dup_family) DIV n_docs AS BIGINT)")
+          .as("dup_milli"),
+        expr("CAST((1000 * n_redundant) DIV n_docs AS BIGINT)")
+          .as("redundant_milli"))
+  }
+
   /** INCREMENTAL [[clusters]] — fold a new batch into yesterday's
     * component assignment without re-deriving yesterday's pairs: the
     * prior labels re-enter as STAR edges (doc → its cluster_id), which

@@ -1105,6 +1105,25 @@ ${OracleSql.InvIndex}
              |       count(*) AS n_copies
              |FROM documents GROUP BY md5(text)""".stripMargin)),
 
+    // WHERE duplication concentrates (ext01 says which docs): per-source
+    // share of docs in a cross-corpus dup family + redundant copies
+    // beyond each family's keeper, integer-milli rates.
+    "ext128_dup_rate" -> Q(
+      (s, d) => Dedup.dupRateBySlice(docs(s, d), "doc_id", "text", "source"),
+      Some("""WITH h AS (
+             |  SELECT source AS slice, doc_id, md5(text) AS h FROM documents
+             |), fam AS (
+             |  SELECT h, count(*) AS n_copies, min(doc_id) AS keeper_id
+             |  FROM h GROUP BY 1
+             |)
+             |SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_family,
+             |       CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+             |       CAST((1000 * sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS dup_milli,
+             |       CAST((1000 * sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS redundant_milli
+             |FROM h JOIN fam USING (h)
+             |GROUP BY slice""".stripMargin)),
+
     "ext02_fingerprint_dedup" -> Q(
       (s, d) => Dedup.fingerprint(docs(s, d), "doc_id", "text"),
       Some("""SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint,
