@@ -2209,6 +2209,66 @@ object Relational {
              |       CAST((1000 * n) // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_milli
              |FROM c""".stripMargin)),
 
+    // Conversion CURVE: q93's 7-day window unrolled by day offset — for
+    // each day 0..7 since first signup, the exact converted count and
+    // the cumulative integer-milli conversion. The 8-row day spine is
+    // generated (days with zero conversions still report), cumulated by
+    // an 8-row window; the signup total rides a 1-row broadcast.
+    "q95_conversion_curve" -> Q(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, d, "events")
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val signed = ev.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(signed, "user_id")
+          .filter(col("us") > col("t1") &&
+            col("us") <= col("t1") + lit(7L * 86400L * 1000000L))
+          .groupBy(col("user_id"), col("t1")).agg(min(col("us")).as("tp"))
+        val cnt = conv
+          .select(expr("(tp - t1) DIV 86400000000").as("day_offset"))
+          .groupBy(col("day_offset")).agg(count(lit(1)).as("n"))
+        val spine = s.range(0, 8).toDF("day_offset")
+        val tot = signed.agg(count(lit(1)).as("n_signup"))
+        spine.join(cnt, Seq("day_offset"), "left")
+          .select(col("day_offset"),
+            coalesce(col("n"), lit(0L)).as("n_converted"))
+          .withColumn("n_converted_cum", sum(col("n_converted")).over(
+            Window.orderBy(col("day_offset"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .crossJoin(broadcast(tot))
+          .select(col("day_offset"), col("n_converted"),
+            col("n_converted_cum"), col("n_signup"),
+            expr("CAST((1000 * n_converted_cum) DIV n_signup AS BIGINT)")
+              .as("conv_cum_milli"))
+      },
+      Some("""WITH ev AS (
+             |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS us
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |), signed AS (
+             |  SELECT user_id, min(us) AS t1 FROM ev
+             |  WHERE event_type = 'signup' GROUP BY 1
+             |), conv AS (
+             |  SELECT e.user_id, s.t1, min(e.us) AS tp
+             |  FROM ev e JOIN signed s USING (user_id)
+             |  WHERE e.event_type = 'purchase'
+             |    AND e.us > s.t1 AND e.us <= s.t1 + 604800000000
+             |  GROUP BY 1, 2
+             |), cnt AS (
+             |  SELECT (tp - t1) // 86400000000 AS day_offset, count(*) AS n
+             |  FROM conv GROUP BY 1
+             |), spine AS (SELECT unnest(generate_series(0, 7)) AS day_offset
+             |), tot AS (SELECT count(*) AS n_signup FROM signed)
+             |SELECT CAST(s.day_offset AS BIGINT) AS day_offset,
+             |       CAST(coalesce(c.n, 0) AS BIGINT) AS n_converted,
+             |       CAST(sum(coalesce(c.n, 0)) OVER (ORDER BY s.day_offset) AS BIGINT) AS n_converted_cum,
+             |       CAST(t.n_signup AS BIGINT) AS n_signup,
+             |       CAST((1000 * sum(coalesce(c.n, 0)) OVER (ORDER BY s.day_offset)) // t.n_signup AS BIGINT) AS conv_cum_milli
+             |FROM spine s LEFT JOIN cnt c USING (day_offset), tot t""".stripMargin)),
+
     // LAST-TOUCH attribution: each purchase credits the latest
     // preceding non-purchase event within 7 days (else 'direct') — the
     // marketing-attribution shape. One user-partitioned running
