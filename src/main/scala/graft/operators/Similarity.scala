@@ -530,6 +530,73 @@ object Similarity {
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("m_e6")))),
           _.getField("m_e6").cast("string")), ",").as("centroid_e6_csv"))
 
+  /** EMBEDDING-space drift monitor: pairwise distances between the
+    * per-slice mean embeddings, all-integer after one rounding — the
+    * geometric complement to token-level drift (ext122): a source whose
+    * vocabulary looks stable can still drift in embedding space (new
+    * topics, new encoder version, silent preprocessing change).
+    *
+    * Exactness: per-(slice, dim) sums of µ-quantized elements are exact
+    * longs; the mean rounds once (floor(s/n + 0.5), the centroidInt8
+    * double-rounding discipline both engines replay); pairwise squared
+    * L2 and dot over the rounded micro means are exact longs
+    * (|m| ≤ ~1e6 ⇒ Σ_dim(Δ)² ≤ dim·4e12, long-safe to dim ~ 1e6).
+    *
+    * Scale shape: ONE corpus-scale map-side-combined aggregation
+    * (slices × dim cells); the |slices|·dim mean frame collects to the
+    * driver (the pcaTopComponent bounded-collect discipline) and the
+    * ≤ C(|slices|, 2) pair rows compute locally — no self-join plan
+    * that would re-run the corpus aggregation per side. */
+  def embeddingDrift(df: DataFrame, sliceCol: String,
+                     vecCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val cells = df.filter(col(sliceCol).isNotNull && col(vecCol).isNotNull &&
+        size(col(vecCol)) > 0)
+      .select(col(sliceCol).cast("string").as("slice"),
+        posexplode(expr(
+          s"transform($vecCol, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
+          .as(Seq("pos", "v")))
+      .groupBy(col("slice"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("slice"), col("pos"),
+        floor(col("s").cast("double") / col("n") + 0.5).cast("long").as("m"),
+        col("n"))
+      .collect()                           // |slices| × dim rows — bounded
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("slice_a",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("slice_b",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dist2_e12",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("dot_e12",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val bySlice = cells.groupBy(_.getString(0)).map { case (sl, rs) =>
+      val d = rs.map(r => r.getInt(1) -> r.getLong(2)).toMap
+      (sl, d, rs.map(_.getLong(3)).max)
+    }.toSeq.sortBy(_._1)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    for {
+      i <- bySlice.indices
+      j <- (i + 1) until bySlice.size
+    } {
+      val (sa, ma, na) = bySlice(i)
+      val (sb, mb, nb) = bySlice(j)
+      val poss = (ma.keySet ++ mb.keySet).toSeq.sorted
+      var d2 = 0L; var dot = 0L
+      poss.foreach { p =>
+        val x = ma.getOrElse(p, 0L); val y = mb.getOrElse(p, 0L)
+        d2 += (x - y) * (x - y); dot += x * y
+      }
+      rows.add(org.apache.spark.sql.Row(sa, sb, na, nb, d2, dot))
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Product-quantization codebooks: `m` subspaces × `k` centroids each
     * (see [[pqTrain]]). */
   final case class PqModel(m: Int, k: Int, subDim: Int,

@@ -3617,6 +3617,33 @@ ${OracleSql.InvIndex}
              |FROM g a JOIN g b ON a.src = b.nid AND a.nid = b.src
              |WHERE a.src < a.nid""".stripMargin)),
 
+    // Embedding-space drift: pairwise distances between per-label mean
+    // embeddings — the geometric complement to ext122's token drift.
+    // One µ-quantized sum pass; mean rounds once; pairwise squared L2 /
+    // dot over the rounded micro means are exact longs.
+    "ext129_embedding_drift" -> Q(
+      (s, d) => Similarity.embeddingDrift(emb(s, d), "label", "embedding"),
+      Some("""WITH ex AS (
+             |  SELECT CAST(label AS VARCHAR) AS slice,
+             |         unnest(range(0, len(embedding))) AS pos,
+             |         CAST(floor(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT) AS v
+             |  FROM embeddings
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) > 0
+             |), m AS (
+             |  SELECT slice, pos,
+             |         CAST(floor(sum(v)::DOUBLE / count(*) + 0.5) AS BIGINT) AS m,
+             |         count(*) AS n
+             |  FROM ex GROUP BY 1, 2
+             |), nn AS (SELECT slice, max(n) AS n FROM m GROUP BY 1)
+             |SELECT a.slice AS slice_a, b.slice AS slice_b,
+             |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+             |       CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_e12,
+             |       CAST(sum(a.m * b.m) AS BIGINT) AS dot_e12
+             |FROM m a JOIN m b ON a.pos = b.pos AND a.slice < b.slice
+             |JOIN nn na ON na.slice = a.slice
+             |JOIN nn nb ON nb.slice = b.slice
+             |GROUP BY 1, 2, 3, 4""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
