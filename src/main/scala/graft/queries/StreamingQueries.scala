@@ -1511,6 +1511,49 @@ ${OracleSql.InvIndex}
              |      FROM j)
              |WHERE rnk <= 40""".stripMargin)),
 
+    // Streaming dup rate: per-(slice, hash) copy counts + min doc id on
+    // the stream (count collapses by MAX, keeper id by MIN — BOTH
+    // order-free), then ext128's family/attribution math in batch.
+    // Oracle: ext128's, verbatim.
+    "st48_stream_dup_rate" -> Q(
+      (s, d) => {
+        val drained = Streams.runToMemory(s,
+          Streams.dupCountsStream(
+            Streams.readDocumentsStream(s, d), "doc_id", "text", "source"),
+          "st48_dup", OutputMode.Update())
+        val c = drained.groupBy(col("slice"), col("h"))
+          .agg(max(col("c")).as("c"), min(col("min_id")).as("min_id"))
+          .toDF("slice", "h", "c", "min_id") // fresh ids: memory-sink self-join
+        val fam = c.groupBy(col("h"))
+          .agg(sum(col("c")).as("n_copies"), min(col("min_id")).as("keeper_id"))
+        c.join(fam, "h")
+          .groupBy(col("slice"))
+          .agg(sum(col("c")).as("n_docs"),
+            sum(when(col("n_copies") > 1, col("c")).otherwise(0L))
+              .as("n_in_dup_family"),
+            sum(col("c") - when(col("min_id") === col("keeper_id"), 1L)
+              .otherwise(0L)).as("n_redundant"))
+          .select(col("slice"), col("n_docs"), col("n_in_dup_family"),
+            col("n_redundant"),
+            expr("CAST((1000 * n_in_dup_family) DIV n_docs AS BIGINT)")
+              .as("dup_milli"),
+            expr("CAST((1000 * n_redundant) DIV n_docs AS BIGINT)")
+              .as("redundant_milli"))
+      },
+      Some("""WITH h AS (
+             |  SELECT source AS slice, doc_id, md5(text) AS h FROM documents
+             |), fam AS (
+             |  SELECT h, count(*) AS n_copies, min(doc_id) AS keeper_id
+             |  FROM h GROUP BY 1
+             |)
+             |SELECT slice, CAST(count(*) AS BIGINT) AS n_docs,
+             |       CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_family,
+             |       CAST(sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant,
+             |       CAST((1000 * sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS dup_milli,
+             |       CAST((1000 * sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS redundant_milli
+             |FROM h JOIN fam USING (h)
+             |GROUP BY slice""".stripMargin)),
+
     // Streaming session PATHS: q92's capped '>'-joined paths emitted by
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark

@@ -1232,6 +1232,24 @@ object Streams {
       .groupBy(col("slice"), col("token"))
       .agg(count(lit(1)).as("c"))
 
+  /** Streaming per-(slice, content-hash) copy counts + min doc id — the
+    * dup-rate feeder (st48): one Update-mode aggregation; BOTH state
+    * fields are order-free (count only grows → changelog collapses by
+    * MAX; min id only tightens → collapses by MIN), so any batching
+    * converges to the batch frame and ext128's family math runs
+    * downstream. State is (long, long) per DISTINCT (slice, hash) —
+    * corpus-hash-bounded like st08's exact-dedup seen-set, the
+    * documented cost of exact streaming dedup (a production variant
+    * fronts it with a Bloom tier, the st33 shape). */
+  def dupCountsStream(docs: DataFrame, idCol: String, textCol: String,
+                      sliceCol: String): DataFrame =
+    docs
+      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
+      .select(col(sliceCol).as("slice"), md5(col(textCol)).as("h"),
+        col(idCol).as("doc_id"))
+      .groupBy(col("slice"), col("h"))
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("min_id"))
+
   /** Streaming first-touch funnel stage mins (q89's per-user frame ON
     * THE STREAM): one Update-mode aggregation holding four conditional
     * mins per user — the changelog an upsert sink consumes. Unlike
