@@ -554,7 +554,10 @@ object Similarity {
         size(col(vecCol)) > 0)
       .select(col(sliceCol).cast("string").as("slice"),
         posexplode(expr(
-          s"transform($vecCol, x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
+          // explicit double BEFORE the multiply (the microE6 discipline):
+          // a float32 product floors differently on ~0.4% of fixture
+          // elements, and the oracle is double end-to-end
+          s"transform(CAST($vecCol AS ARRAY<DOUBLE>), x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT))"))
           .as(Seq("pos", "v")))
       .groupBy(col("slice"), col("pos"))
       .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))

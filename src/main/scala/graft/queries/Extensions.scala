@@ -3634,14 +3634,28 @@ ${OracleSql.InvIndex}
              |         CAST(floor(sum(v)::DOUBLE / count(*) + 0.5) AS BIGINT) AS m,
              |         count(*) AS n
              |  FROM ex GROUP BY 1, 2
-             |), nn AS (SELECT slice, max(n) AS n FROM m GROUP BY 1)
-             |SELECT a.slice AS slice_a, b.slice AS slice_b,
+             |), nn AS (SELECT slice, max(n) AS n FROM m GROUP BY 1
+             |), pairs AS (
+             |  SELECT a.slice AS slice_a, b.slice AS slice_b FROM nn a, nn b
+             |  WHERE a.slice < b.slice
+             |), dims AS (
+             |  -- union of the two slices' dimension sets (a dimension held
+             |  -- by one side only contributes its full mass — the Spark
+             |  -- side's getOrElse-0 semantics; an inner join would drop it)
+             |  SELECT p.slice_a, p.slice_b, d.pos FROM pairs p
+             |  JOIN (SELECT DISTINCT slice, pos FROM m) d
+             |    ON d.slice = p.slice_a OR d.slice = p.slice_b
+             |  GROUP BY 1, 2, 3
+             |)
+             |SELECT d.slice_a, d.slice_b,
              |       CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
-             |       CAST(sum((a.m - b.m) * (a.m - b.m)) AS BIGINT) AS dist2_e12,
-             |       CAST(sum(a.m * b.m) AS BIGINT) AS dot_e12
-             |FROM m a JOIN m b ON a.pos = b.pos AND a.slice < b.slice
-             |JOIN nn na ON na.slice = a.slice
-             |JOIN nn nb ON nb.slice = b.slice
+             |       CAST(sum((coalesce(a.m, 0) - coalesce(b.m, 0)) * (coalesce(a.m, 0) - coalesce(b.m, 0))) AS BIGINT) AS dist2_e12,
+             |       CAST(sum(coalesce(a.m, 0) * coalesce(b.m, 0)) AS BIGINT) AS dot_e12
+             |FROM dims d
+             |LEFT JOIN m a ON a.slice = d.slice_a AND a.pos = d.pos
+             |LEFT JOIN m b ON b.slice = d.slice_b AND b.pos = d.pos
+             |JOIN nn na ON na.slice = d.slice_a
+             |JOIN nn nb ON nb.slice = d.slice_b
              |GROUP BY 1, 2, 3, 4""".stripMargin)),
 
     // Mutual kNN's SCALE path: the reciprocal filter over the

@@ -1574,7 +1574,7 @@ ${OracleSql.InvIndex}
       },
       Some("""WITH ev AS (
              |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
-             |  FROM events
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |), f AS (
              |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
              |                 OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_s

@@ -1017,6 +1017,10 @@ object Streams {
       }
 
     events
+      // the tuple encoder would throw on a null user_id and a null ts
+      // yields no watermark — drop both up front (the attributionStream
+      // feeder discipline; the st47 oracle filters identically)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", s"$gapMinutes minutes")
       .select(col("user_id"), unix_micros(col("ts")).as("us"),
         col("event_id"), col("event_type"), col("ts"))
@@ -1184,7 +1188,12 @@ object Streams {
         out.result().iterator
       }
     events
-      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      // null event_type rows drop entirely: in q94's batch they are
+      // neither touches (ignoreNulls skips them) nor purchases (the
+      // equality filter rejects null) — storing one as a touch here
+      // would emit a NULL channel the oracle never produces
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_type").isNotNull)
       .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
         col("event_type"))
       .as[(Long, Long, Long, String)]
@@ -1243,8 +1252,11 @@ object Streams {
     * fronts it with a Bloom tier, the st33 shape). */
   def dupCountsStream(docs: DataFrame, idCol: String, textCol: String,
                       sliceCol: String): DataFrame =
+    // NO null filter: the batch twin (Dedup.dupRateBySlice) and the
+    // shared oracle keep null-slice/null-text rows (md5(NULL) groups as
+    // one family in both engines) — filtering here would make the
+    // stream compute a different population than the query it mirrors
     docs
-      .filter(col(sliceCol).isNotNull && col(textCol).isNotNull)
       .select(col(sliceCol).as("slice"), md5(col(textCol)).as("h"),
         col(idCol).as("doc_id"))
       .groupBy(col("slice"), col("h"))
