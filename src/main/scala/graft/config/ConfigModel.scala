@@ -483,6 +483,24 @@ object ConfigParser {
     if (jobType != JobType.Maintenance && maintenance.nonEmpty)
       throw new ConfigError("`maintenance:` block requires job.type maintenance")
 
+    // A17 DECLARED DEVIATION, surfaced at parse time instead of a
+    // ClassNotFoundException at run time: the reference's python-script
+    // job downloads and exec()s arbitrary Python with full session
+    // access (glue_etl_framework.py:279-309). This engine's script
+    // escape hatch is a JVM one — a graft.script.ScriptJob
+    // implementation loaded from script_jar. A config whose
+    // python_file actually points at a .py file gets the migration
+    // path by name, not a class-loader stack trace.
+    str(root, "python_file").filter(_.trim.toLowerCase.endsWith(".py")).foreach { p =>
+      throw new ConfigError(
+        s"python_file '$p': Python script jobs are a declared deviation " +
+          "(SURVEY.md §2A/A17) — this engine does not exec() Python. Port the " +
+          "script to a graft.script.ScriptJob implementation and reference it " +
+          "via script_class (fully-qualified class name) + script_jar " +
+          "(path to the user jar); the engine registers the same input-table " +
+          "views the SQL path sees.")
+    }
+
     JobSpec(
       name = str(job, "name").getOrElse("graft-job"),
       jobType = jobType,

@@ -1135,9 +1135,14 @@ object Dedup {
       it += 1
     }
     edges.unpersist(blocking = false)
-    if (!converged) sys.error(
-      s"clusters: min-label propagation did not converge in $maxIters rounds " +
-        "— component diameter exceeds the budget even with pointer jumping")
+    if (!converged) {
+      // release the final labels checkpoint before failing: nothing will
+      // ever read it, and the session keeps running after the error
+      graft.util.Caching.freeCheckpoint(labelsCp)
+      sys.error(
+        s"clusters: min-label propagation did not converge in $maxIters rounds " +
+          "— component diameter exceeds the budget even with pointer jumping")
+    }
     val sizes = labels.groupBy(col("label").as("sz_label"))
       .agg(count(lit(1)).as("sz"))
     docs.select(col(idCol).as("doc_id"))
@@ -1490,7 +1495,7 @@ object Dedup {
     * normalized prefix key, compare each document only against the next
     * `window` documents in sort order, keep pairs whose exact distinct-
     * token Jaccard clears `thresholdMilli`. The classic record-linkage
-    * blocking method â a DIFFERENT recall/cost trade than MinHash-LSH:
+    * blocking method — a DIFFERENT recall/cost trade than MinHash-LSH:
     * O(nÂ·window) candidate pairs by construction (no family can
     * explode a bucket, so it needs no cap machinery), in exchange for
     * only catching near-dups whose normalized PREFIXES sort adjacently

@@ -177,7 +177,14 @@ object GlobalSort {
     * Shape: the q86 machinery end-to-end (per-group sketch brackets,
     * broadcast targets, sliver-windowed selection), then ONE more
     * corpus pass against the 2-value-per-group broadcast bounds —
-    * map-side-combined count/sum, integer milli output. */
+    * map-side-combined count/sum, integer milli output.
+    *
+    * CONTRACT: `valueCol` must be NON-NEGATIVE. `mean_milli` uses SQL
+    * trunc division (DIV); for a negative trimmed sum trunc diverges
+    * from the floor-division (//) replay convention the repo's oracles
+    * use. Current caller (ext124) feeds token counts; a caller with
+    * signed values must normalize first (the systematicSample weight
+    * discipline) or fork the rounding rule together with its oracle. */
   def interdecileMeanByGroup(df: DataFrame, groupCol: String,
                              valueCol: Column): DataFrame = {
     import org.apache.spark.sql.functions._

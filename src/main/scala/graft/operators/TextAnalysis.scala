@@ -225,6 +225,89 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(k)
 
+  /** Iterative BPE TRAINING (Sennrich et al., "Neural Machine Translation
+    * of Rare Words with Subword Units", ACL'16) — the full merge loop
+    * [[bpePairs]] is iteration 1 of. Returns the learned merge table:
+    * one row per iteration (iteration, lhs, rhs, merged, n_occurrences),
+    * where each iteration's (lhs, rhs) is the globally most frequent
+    * adjacent symbol pair (count DESC, then lhs, rhs — a total order) in
+    * the CURRENT segmentation, weighted by word frequency, and the merge
+    * is applied left-to-right non-overlapping before the next count.
+    *
+    * Trains on the word DICTIONARY, not the corpus: one corpus pass
+    * builds (word-type, freq) — dictionary size is sublinear in corpus
+    * size, so at 100 TB every later iteration runs over the (small)
+    * vocab frame, never re-reading the corpus. This is how production
+    * BPE trainers are shaped. Word universe: lowercase `[a-z0-9]+`
+    * types (the normalization makes symbol strings delimiter-safe; see
+    * below).
+    *
+    * Segmentation representation: each word is a wrapped symbol string
+    * `|s1 |s2 ... ` — every symbol prefixed `|` and suffixed ` `, both
+    * impossible INSIDE a symbol (alphanumeric alphabet). A merge of
+    * (a, b) is then exactly `replace(s, "|a |b ", "|ab ")`: the wrapper
+    * makes partial-symbol matches impossible, and string replace's
+    * left-to-right non-overlapping semantics are BPE's merge semantics
+    * — and replay verbatim in the DuckDB oracle's `replace`, which is
+    * what lets the whole training loop value-oracle as an unrolled CTE.
+    *
+    * Driver-side state: ONE row per iteration (the argmax pair) +
+    * `iters` merge rows — bounded by the iteration budget, never by
+    * data. Each iteration's vocab frame is localCheckpoint-materialized
+    * and the previous round's blocks freed (the connected-components
+    * discipline); the merge table itself is a driver-built literal
+    * frame, so nothing references the final checkpoint either. */
+  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+               iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, "bpeTrain: iters must be in [1, 64]")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(filter(words(col(textCol)), t => t =!= "")).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1 ").as("s"), col("freq"))
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val cp = df.localCheckpoint(true)
+      (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+    }
+    var (v, vCp) = materialize(vocab0)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val syms = transform(
+        filter(split(col("s"), " "), x => x =!= ""),
+        x => x.substr(lit(2), length(x) - 1))
+      val top = v
+        .select(col("freq"), syms.as("y"))
+        .filter(size(col("y")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("y")) - 1),
+          i => struct(element_at(col("y"), i).as("a"),
+            element_at(col("y"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((it, a, b, a + b, cnt))
+        val (nv, nCp) = materialize(v.select(
+          org.apache.spark.sql.functions.replace(
+            col("s"), lit(s"|$a |$b "), lit(s"|$a$b ")).as("s"),
+          col("freq")))
+        graft.util.Caching.freeCheckpoint(vCp)
+        v = nv; vCp = nCp
+        it += 1
+      }
+    }
+    graft.util.Caching.freeCheckpoint(vCp)
+    import spark.implicits._
+    merges.toSeq.toDF("iteration", "lhs", "rhs", "merged", "n_occurrences")
+  }
+
   /** Tokenizer-vocabulary coverage: per-document OOV rate against the
     * corpus' own top-`k` vocabulary ([[vocabTopK]]) — the "how much of
     * this document would an in-domain tokenizer actually cover" signal

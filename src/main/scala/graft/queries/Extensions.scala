@@ -3658,6 +3658,15 @@ ${OracleSql.InvIndex}
              |JOIN nn nb ON nb.slice = d.slice_b
              |GROUP BY 1, 2, 3, 4""".stripMargin)),
 
+    // Iterative BPE training (8 merge rounds over the word dictionary)
+    // — completes the tokenizer-training story ext47 opens (ext47 IS
+    // iteration 1). The oracle unrolls all 8 count→argmax→merge rounds
+    // as CTE blocks; the wrapped-symbol string representation makes
+    // each merge a plain `replace`, identical in both engines.
+    "ext130_bpe_train" -> Q(
+      (s, d) => TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", iters = 8),
+      Some(bpeTrainOracle(8))),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
@@ -4461,6 +4470,47 @@ ${OracleSql.InvIndex}
        |FROM nodes n JOIN pr$iters p ON p.node = n.node
        |LEFT JOIN odeg o ON o.src = n.node
        |LEFT JOIN ideg i ON i.dst = n.node""".stripMargin
+  }
+
+  /** Unrolled BPE training oracle: `iters` count→argmax→merge rounds as
+    * CTE blocks over the wrapped-symbol vocabulary (the
+    * [[graft.operators.TextAnalysis.bpeTrain]] representation — each
+    * symbol `|`-prefixed and space-suffixed, so a merge is a plain
+    * non-overlapping `replace`, semantically identical in DuckDB and
+    * Spark). sum(BIGINT) is HUGEINT in DuckDB — every published count
+    * casts back. */
+  private def bpeTrainOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { n =>
+      val prev = s"v${n - 1}"
+      s"""p$n AS (
+         |  SELECT a, b, sum(freq) AS cnt FROM (
+         |    SELECT substr(pr[1], 2) AS a, substr(pr[2], 2) AS b, freq FROM (
+         |      SELECT unnest(list_transform(range(1, len(y)), i -> [y[i], y[i+1]])) AS pr, freq
+         |      FROM (SELECT list_filter(string_split(s, ' '), z -> z <> '') AS y, freq FROM $prev)
+         |      WHERE len(y) >= 2))
+         |  GROUP BY a, b
+         |), m$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1
+         |), v$n AS (
+         |  SELECT replace(s, '|' || m.a || ' |' || m.b || ' ', '|' || m.a || m.b || ' ') AS s, freq
+         |  FROM $prev, m$n m
+         |)""".stripMargin
+    }.mkString(", ")
+    val rows = (1 to iters).map { n =>
+      s"SELECT $n AS iteration, a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM m$n"
+    }.mkString("\nUNION ALL ")
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lower(x) AS w FROM (
+       |      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS x
+       |      FROM documents))
+       |  WHERE regexp_full_match(w, '[a-z0-9]+')
+       |  GROUP BY w
+       |), v0 AS (
+       |  SELECT regexp_replace(w, '(.)', '|\\1 ', 'g') AS s, freq FROM vocab
+       |), $rounds
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY iteration""".stripMargin
   }
 
   /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a

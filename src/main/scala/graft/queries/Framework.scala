@@ -384,6 +384,49 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** A16 at scale: the PARTITION-PRUNED merge ([[graft.sinks.Sinks]]
+    * prunedUpsert) — `refresh: upsert` + `partition_keys` rewrites only
+    * the partitions the batch touches. The batch MOVES keys across
+    * partitions (every `%10` customer updates into the BUILDING
+    * segment), so the merge must both land the new versions in BUILDING
+    * and DELETE the stale versions from the segments they left — the
+    * key-move leg of the affected-partition computation. The read-back
+    * table oracle-checks row-for-row; the untouched-partition
+    * file-mtime contract is asserted in SinksSpec (no full read-back
+    * can see mtimes). */
+  private def fwUpsertPruned(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "upsert_pruned")
+    rmrf(s, base)
+    def yaml(refresh: String, extra: String, sql: String) =
+      s"""job:
+         |  name: fw-upsert-pruned
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: upp_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |  partition_keys: c_mktsegment
+         |$extra
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    run(s, yaml("full", "",
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |  'v1' AS version, c_mktsegment FROM customer""".stripMargin.replace("\n", " ")))
+    run(s, yaml("upsert", "  merge_keys: c_custkey",
+      """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v2' AS version,
+        |  'BUILDING' AS c_mktsegment FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), 'v2', 'BUILDING'""".stripMargin.replace("\n", " ")))
+    s.read.parquet(s"$base/out")
+      .withColumn("c_mktsegment",
+        org.apache.spark.sql.functions.col("c_mktsegment").cast("string"))
+  }
+
   /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
     * published to the session catalog, the engine reads it as a `gdc`
     * source and writes a `gdc` target; we read the result back via
@@ -1410,6 +1453,15 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
         |FROM customer
         |UNION ALL SELECT -1, 0, 'v2'""".stripMargin)),
+    "fw_upsert_pruned" -> Q(fwUpsertPruned, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'BUILDING'
+        |            ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |UNION ALL SELECT -1, 0, 'v2', 'BUILDING'""".stripMargin)),
     "fw_bucket" -> Q(fwBucket, Some(
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
         |       CAST(sum(floor(o_totalprice * 100 + 0.5)) AS BIGINT) AS total_cents

@@ -119,31 +119,37 @@ object Sinks {
         // A16 made real: row-level merge on merge_keys. Without a table
         // format this is honest read-merge-rewrite — existing rows whose
         // key collides with an incoming row are replaced, everything else
-        // survives. The merge result is written to staging while the
-        // target is still being READ lazily, then swapped (same
-        // no-partial-output contract as full refresh).
+        // survives. Unpartitioned targets merge the whole table to
+        // staging then swap (the full-refresh publish contract).
+        // PARTITIONED targets take [[prunedUpsert]]: only the partitions
+        // the batch actually touches are read, merged, and swapped —
+        // at 100 TB a daily merge rewrites the day, not the table.
         if (out.mergeKeys.isEmpty) throw new graft.config.ConfigError(
           s"output '${out.name}': refresh upsert requires merge_keys")
         val target = new org.apache.hadoop.fs.Path(location)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val merged =
-          if (fs.exists(target)) {
-            val existing = spark.read.format(out.format)
-              .options(graft.sources.Sources.mapOptions(out.options)).load(location)
-            existing.join(data, out.mergeKeys, "left_anti").unionByName(data)
-          } else data
-        val staging = new org.apache.hadoop.fs.Path(
-          target.getParent, s".${target.getName}.__staging__")
-        fs.delete(staging, true)
-        val w = observed(merged).write.format(out.format)
-          .options(graft.sources.Sources.mapOptions(out.options))
-          .mode(SaveMode.Overwrite)
-        (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
-          .save(staging.toString)
-        if (out.manifest) writeManifest(spark, staging, out)
-        fs.delete(target, true)
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
+        if (fs.exists(target) && out.partitionKeys.nonEmpty) {
+          prunedUpsert(spark, data, out, target, fs, observed)
+        } else {
+          val merged =
+            if (fs.exists(target)) {
+              val existing = spark.read.format(out.format)
+                .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+              existing.join(data, out.mergeKeys, "left_anti").unionByName(data)
+            } else data
+          val staging = new org.apache.hadoop.fs.Path(
+            target.getParent, s".${target.getName}.__staging__")
+          fs.delete(staging, true)
+          val w = observed(merged).write.format(out.format)
+            .options(graft.sources.Sources.mapOptions(out.options))
+            .mode(SaveMode.Overwrite)
+          (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
+            .save(staging.toString)
+          if (out.manifest) writeManifest(spark, staging, out)
+          fs.delete(target, true)
+          if (!fs.rename(staging, target))
+            throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
+        }
 
       case TargetSpec.File(location) if out.refresh == Refresh.Scd2 =>
         // SCD type-2 history sink: the incoming frame is a FULL snapshot;
@@ -274,6 +280,121 @@ object Sinks {
         runCatalog(spark, observed(data), out, database, governed)
     }
     pendingObs.map(_.get.toSeq.sortBy(_._1)).getOrElse(Nil)
+  }
+
+  /** Partition-pruned MERGE — the A16 upsert at 100 TB scale. The
+    * whole-table read-merge-swap is correct but rewrites every byte per
+    * merge; this path rewrites ONLY the partitions the batch touches:
+    *
+    *   affected = partitions(incoming) ∪ partitions(existing rows whose
+    *              merge key matches an incoming key)
+    *
+    * (the second leg catches KEY MOVES: an update that lands a key in a
+    * new partition must delete it from the old one). Existing rows are
+    * read with the affected-partition filter — partition pruning keeps
+    * the scan to those directories — merged (anti-join + union, the same
+    * row-level semantics as the unpartitioned path), staged partitioned,
+    * then swapped per-partition: each affected partition directory is
+    * replaced by its staged version, or deleted outright when the merge
+    * left it empty (all its rows moved away). Untouched partitions are
+    * never listed, read, or rewritten — their files keep their mtimes
+    * (asserted in SinksSpec).
+    *
+    * Driver-side state: ONE collect of the affected partition VALUES —
+    * bounded by the number of partitions the batch touches (the same
+    * cardinality a metastore ALTER PARTITION call list holds), never by
+    * row count. Partition values compare/compose via their string form
+    * (the Hive path convention): string/integral/date keys round-trip
+    * exactly; null maps to `__HIVE_DEFAULT_PARTITION__`.
+    *
+    * Atomicity: the expensive merge fully materializes in staging while
+    * the target is untouched; only the per-partition delete+rename loop
+    * is non-atomic (same window as the full-refresh swap, now scoped to
+    * the touched partitions). A crash mid-loop leaves each partition
+    * either old or new, never partial — rerunning the merge is
+    * idempotent. The manifest (whole-table by contract) is refreshed
+    * after the swap, the append-path convention.
+    *
+    * `observe_cols` metrics here describe the rows this merge PUBLISHED
+    * (the affected partitions' new content) — the whole-table numbers
+    * live in the manifest; re-counting untouched partitions just to
+    * audit them would defeat the pruning. */
+  private def prunedUpsert(spark: SparkSession, data: DataFrame, out: OutputTable,
+                           target: org.apache.hadoop.fs.Path,
+                           fs: org.apache.hadoop.fs.FileSystem,
+                           observed: DataFrame => DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val location = target.toString
+    val pk = out.partitionKeys
+    val existing = spark.read.format(out.format)
+      .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+    val incKeys = data.select(out.mergeKeys.map(col): _*).distinct()
+    // one small job: the touched partition values (bounded — see scaladoc)
+    val affected = data.select(pk.map(c => col(c).cast("string")): _*)
+      .union(existing.join(broadcast(incKeys), out.mergeKeys, "left_semi")
+        .select(pk.map(c => col(c).cast("string")): _*))
+      .distinct().collect()
+    if (affected.nonEmpty) {
+      // existing rows in affected partitions only. The collected values
+      // become a LITERAL predicate over the partition columns, so the
+      // scan prunes to the affected directories at PLAN time (asserted
+      // in SinksSpec via the read plan). Beyond 1000 touched partitions
+      // the literal disjunction would bloat planning — fall back to a
+      // broadcast semi-join (correct, DPP-eligible shape).
+      import org.apache.spark.sql.functions.lit
+      val existingAffected =
+        if (affected.length <= 1000) {
+          val pred = affected.map { row =>
+            pk.indices.map { i =>
+              existing.col(pk(i)).cast("string") <=>
+                lit(row.getString(i)).cast("string")
+            }.reduce(_ && _)
+          }.reduce(_ || _)
+          existing.filter(pred)
+        } else {
+          val affectedDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(affected.toIndexedSeq, 1),
+            org.apache.spark.sql.types.StructType(pk.map(c =>
+              org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+          existing.join(broadcast(affectedDf),
+            pk.map(c => existing.col(c).cast("string") <=> affectedDf.col(c)).reduce(_ && _),
+            "left_semi")
+        }
+      val merged = existingAffected.join(data, out.mergeKeys, "left_anti")
+        .unionByName(data)
+      val staging = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.__staging__")
+      fs.delete(staging, true)
+      observed(merged).write.format(out.format)
+        .options(graft.sources.Sources.mapOptions(out.options))
+        .mode(SaveMode.Overwrite)
+        .partitionBy(pk: _*)
+        .save(staging.toString)
+      // per-partition swap: replace or remove each AFFECTED directory
+      affected.foreach { row =>
+        val rel = pk.indices.map { i =>
+          val v = row.getString(i)
+          val seg = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .escapePathName(v)
+          s"${pk(i)}=$seg"
+        }.mkString("/")
+        val src = new org.apache.hadoop.fs.Path(staging, rel)
+        val dst = new org.apache.hadoop.fs.Path(target, rel)
+        fs.delete(dst, true)
+        if (fs.exists(src)) {
+          fs.mkdirs(dst.getParent)
+          if (!fs.rename(src, dst)) throw new java.io.IOException(
+            s"pruned upsert: rename $src -> $dst failed")
+        }
+      }
+      fs.delete(staging, true)
+    } else {
+      // empty batch: still run the (empty) observed frame so observe_cols
+      // metrics report zeros instead of hanging unresolved
+      observed(data.limit(0)).foreach(_ => ())
+    }
+    if (out.manifest) writeManifest(spark, target, out)
   }
 
   /** Small-file compaction — the table-maintenance pass every

@@ -1204,16 +1204,6 @@ object Streams {
   final case class FirstDay(day: Long)
   final case class CohortHit(cohort_day: Long, day_offset: Long, user_id: Long)
 
-  /** First-touch cohort assignment ON THE STREAM: each user's first-seen
-    * epoch-day is remembered as one ValueState long; every arriving
-    * event emits its (cohort_day, day_offset, user_id) hit, and the
-    * batch retention matrix (q88) aggregates the drained hits. Same
-    * ordering contract as [[transitionsStream]]: the first-seen day is
-    * only exact if each user's FIRST event arrives before the rest
-    * ([[readEventsStreamSharded]] pins event-time order across
-    * batches; within a batch the iterator sorts itself). Day indices
-    * are integer epoch-micros arithmetic, the q88 discipline.
-    */
   /** Streaming per-(slice, token) unigram counts — the drift-attribution
     * feeder (st44): one Update-mode aggregation over the exploded token
     * stream, restricted to the two slices under comparison. The same
@@ -1282,6 +1272,16 @@ object Streams {
         min(when(col("event_type") === "click", col("us"))).as("t3"),
         min(when(col("event_type") === "purchase", col("us"))).as("t4"))
 
+  /** First-touch cohort assignment ON THE STREAM: each user's first-seen
+    * epoch-day is remembered as one ValueState long; every arriving
+    * event emits its (cohort_day, day_offset, user_id) hit, and the
+    * batch retention matrix (q88) aggregates the drained hits. Same
+    * ordering contract as [[transitionsStream]]: the first-seen day is
+    * only exact if each user's FIRST event arrives before the rest
+    * ([[readEventsStreamSharded]] pins event-time order across
+    * batches; within a batch the iterator sorts itself). Day indices
+    * are integer epoch-micros arithmetic, the q88 discipline.
+    */
   def retentionStream(events: DataFrame): Dataset[CohortHit] = {
     implicit val outEnc = Encoders.product[CohortHit]
     implicit val stateEnc = Encoders.product[FirstDay]

@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
     "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
     "ext52_mixture_sample" -> "single-row total broadcast (scalar normalizer, via temperatureWeights)",
     "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)",
+    // 8-row cohort spine × a broadcast SINGLE-ROW cohort total: the same
+    // scalar-normalizer shape as ext28/ext34 (r9 verdict item 1).
+    "q95_conversion_curve" -> "single-row total broadcast (scalar normalizer)",
     // dims-row bucket-count frame × single-row totals: the DSIR model is
     // 64 rows; its normalizer join is the same scalar-broadcast shape.
     "ext58_importance_weight" -> "single-row token-total broadcast (scalar normalizer)",
@@ -80,7 +83,9 @@ class PlanAuditSpec extends SparkSpec {
     // multi-pass SNM: one sorted-corpus checkpoint per pass
     "ext114_multipass_snm",
     // two clusters() runs (old labels, then the incremental fold)
-    "ext127_incremental_clusters")
+    "ext127_incremental_clusters",
+    // BPE training: per-iteration argmax collect at construction
+    "ext130_bpe_train")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

@@ -295,6 +295,27 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(job.scriptClass.contains("com.example.J"))
   }
 
+  test("python_file pointing at a .py is the A17 declared deviation, named at PARSE time") {
+    // a real Glue migration config: the error must carry the migration
+    // path (ScriptJob + script_class + script_jar), not a class-loader
+    // stack trace at run time
+    val e = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: python-script}
+        |python_file: s3://bucket/etl/transform.py
+        |""".stripMargin))
+    assert(e.getMessage.contains("declared deviation"))
+    assert(e.getMessage.contains("ScriptJob"))
+    assert(e.getMessage.contains("script_jar"))
+    // python_file holding a CLASS NAME (the documented JVM reuse of the
+    // reference key) still parses
+    val ok = ConfigParser.parse(
+      """job: {name: j, type: python-script}
+        |python_file: com.example.MyJob
+        |script_jar: /path/to/user.jar
+        |""".stripMargin)
+    assert(ok.scriptClass.contains("com.example.MyJob"))
+  }
+
   test("sort_by parses on file sinks; conflicts with bucket_by at PARSE time") {
     val job = ConfigParser.parse(
       """job: {name: j, type: spark-sql}

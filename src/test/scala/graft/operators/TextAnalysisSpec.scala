@@ -294,6 +294,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.toSeq == Seq(("ab", 2L), ("cd", 2L), ("ba", 1L)))
   }
 
+  test("bpeTrain: merges apply non-overlapping, learned symbols compose, run exhausts") {
+    // dictionary: aaab ×3, abab ×2, xy ×1 (lowercased; 'Z!' filtered out)
+    val docs = Seq(
+      (1L, "aaab aaab abab Z!"), (2L, "aaab abab xy")).toDF("doc_id", "text")
+    val r = TextAnalysis.bpeTrain(docs, "doc_id", "text", iters = 4).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3), x.getLong(4)))
+    // iter 1 counts (adjacent, overlaps counted, freq-weighted):
+    //   aaab: (a,a)=2, (a,b)=1; ×3 -> (a,a)=6, (a,b)=3
+    //   abab: (a,b)=2, (b,a)=1; ×2 -> (a,b)=4, (b,a)=2;  xy: (x,y)=1
+    // totals: (a,b)=7 > (a,a)=6 -> merge 1 = (a,b)->ab, n=7
+    assert(r(0) == ((1, "a", "b", "ab", 7L)))
+    // after merge 1: aaab -> [a,a,ab] ×3; abab -> [ab,ab] ×2; xy -> [x,y]
+    // counts: (a,a)=3, (a,ab)=3, (ab,ab)=2, (x,y)=1 -> tie (a,a)/(a,ab): lex rhs 'a' < 'ab'
+    assert(r(1) == ((2, "a", "a", "aa", 3L)))
+    // after merge 2: aaab -> [aa,ab] ×3 (non-overlapping left-to-right)
+    // counts: (aa,ab)=3, (ab,ab)=2, (x,y)=1
+    assert(r(2) == ((3, "aa", "ab", "aaab", 3L)))
+    // after merge 3: [aaab] ×3 done; remaining pairs (ab,ab)=2, (x,y)=1
+    assert(r(3) == ((4, "ab", "ab", "abab", 2L)))
+    // exhaustion: with every word a single symbol, training stops early
+    val small = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val rs = TextAnalysis.bpeTrain(small, "doc_id", "text", iters = 5).collect()
+    assert(rs.length == 1) // one merge possible, then no pairs remain
+  }
+
   test("corpusReport: per-source counts, quality keeps, cross-source dup rate") {
     val good = (1 to 30).map(i => f"wd$i%02d").mkString(" ") // passes qualityRules
     val docs = Seq(

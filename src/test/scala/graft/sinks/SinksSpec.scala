@@ -53,6 +53,39 @@ class SinksSpec extends SparkSpec {
     assert(e.getMessage.contains("merge_keys"))
   }
 
+  test("pruned upsert: untouched partitions keep their files (mtimes), key moves delete at the source") {
+    val base = java.nio.file.Files.createTempDirectory("sinks-spec").toString
+    val dir = base + "/upp"
+    def files(sub: String) = {
+      val d = new java.io.File(s"$dir/p=$sub")
+      if (!d.exists()) Map.empty[String, Long]
+      else d.listFiles().filter(f => f.isFile && !f.getName.startsWith("_") &&
+        !f.getName.startsWith(".")).map(f => f.getName -> f.lastModified).toMap
+    }
+    // seed three partitions via full refresh
+    Sinks.write(spark,
+      Seq((1, "a", "v1"), (2, "a", "v1"), (3, "b", "v1"), (4, "c", "v1")).toDF("k", "p", "v"),
+      out(_.copy(target = TargetSpec.File(dir), partitionKeys = Seq("p"))))
+    val cBefore = files("c")
+    assert(cBefore.nonEmpty)
+    Thread.sleep(1100) // cross FS mtime resolution so a rewrite WOULD show
+    // merge: k=1 updates in place (a), k=3 MOVES b -> a, k=9 inserts (a)
+    Sinks.write(spark,
+      Seq((1, "a", "v2"), (3, "a", "v2"), (9, "a", "v2")).toDF("k", "p", "v"),
+      out(_.copy(target = TargetSpec.File(dir), refresh = Refresh.Upsert,
+        mergeKeys = Seq("k"), partitionKeys = Seq("p"))))
+    val back = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("p"), r.getAs[String]("v"))).toSet
+    assert(back == Set((1, "a", "v2"), (2, "a", "v1"), (3, "a", "v2"),
+      (9, "a", "v2"), (4, "c", "v1")))
+    // the key move emptied partition b: its directory is gone, not stale
+    assert(files("b").isEmpty)
+    // untouched partition c: same files, same mtimes — never rewritten
+    assert(files("c") == cBefore)
+    // staging cleaned up after the per-partition swap
+    assert(!new java.io.File(s"$base/.upp.__staging__").exists())
+  }
+
   test("observe metrics under upsert count the published table exactly once") {
     // regression: observing the INCOMING snapshot upstream of the merge
     // multiplied the counts (its subtree appears twice in the merge plan:

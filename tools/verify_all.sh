@@ -23,3 +23,10 @@ sbt -batch "runMain graft.Verify $SF_DIR $OUT_DIR $ONLY" 2>&1 \
 
 python3 tools/oracle_check.py "$SF_DIR" "$OUT_DIR"
 python3 tools/hugeint_audit.py "$SF_DIR" "$OUT_DIR"
+
+# Tally derivation (r9 verdict item 6): the published counts must be
+# byte-derived from THIS verify dir — full runs only, a targeted
+# re-verify's dir would understate the surface.
+if [ -z "$ONLY" ]; then
+  python3 tools/counts.py "$OUT_DIR"
+fi
