@@ -1074,9 +1074,15 @@ object Dedup {
     * Pointer jumping halves the remaining distance per round — the
     * Shiloach-Vishkin shortcutting, same O(log n) behavior as the
     * large-star/small-star rewiring of Kiveris et al. (SoCC'14) with
-    * one extra nodes-sized join per round. Non-convergence at maxIters
-    * now FAILS LOUDLY instead of returning a partially-propagated
-    * labeling as if it were the answer.
+    * one extra nodes-sized join per round. The jump is ADAPTIVE (r10):
+    * rounds 0-1 run the plain neighbor step only (clique-ish near-dup
+    * families converge there and never pay the jump's second
+    * materialization — the ext90 gate drift); from round 2 on, a graph
+    * still iterating has real diameter and every round jumps. Schedule
+    * cannot change results (unique fixpoint), only round counts: a
+    * chain closes in ~2 + log2(n) rounds. Non-convergence at maxIters
+    * FAILS LOUDLY instead of returning a partially-propagated labeling
+    * as if it were the answer.
     *
     * Scale shape: every per-round operation — join labels to edges on the
     * source endpoint, min-aggregate messages by destination, join back to
@@ -1115,20 +1121,36 @@ object Dedup {
             least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label")))
       // pointer jump: label := its label's label (labels are node ids,
       // monotonically decreasing toward the component min, so the
-      // parent row always exists and compression never overshoots)
-      val (next, nextCp) = materializeReset(stepped
-        .join(stepped.select(col("id").as("label"),
-          col("label").as("parent_label")), Seq("label"), "left")
-        .select(col("id"), col("old_label"),
-          least(col("label"), coalesce(col("parent_label"), col("label")))
-            .as("label")))
+      // parent row always exists and compression never overshoots).
+      // ADAPTIVE (r10): the jump is a second materialization + self-join
+      // per round, and the near-dup graphs this runs on most (clique-ish
+      // families) converge in <= 2 plain rounds — for them the jump is
+      // pure fixed overhead (the ext90 gate drift, adjudicated 2.03x).
+      // Rounds 0-1 run the plain neighbor step; jumping kicks in from
+      // round 2, where a still-unconverged graph has real diameter and
+      // halving pays: a chain still closes in ~2 + log2(n) rounds (the
+      // ext113 contract). The fixpoint is unique, so the SCHEDULE cannot
+      // change results — only round counts.
+      val (next, nextCp) =
+        if (it < 2) (stepped, steppedCp)
+        else {
+          val (n, c) = materializeReset(stepped
+            .join(stepped.select(col("id").as("label"),
+              col("label").as("parent_label")), Seq("label"), "left")
+            .select(col("id"), col("old_label"),
+              least(col("label"), coalesce(col("parent_label"), col("label")))
+                .as("label")))
+          // stepped is superseded by the jumped frame
+          graft.util.Caching.freeCheckpoint(steppedCp)
+          (n, c)
+        }
       converged = next.filter(col("label") =!= col("old_label")).isEmpty
-      // `next` is materialized: the round's intermediate (stepped) and
-      // the superseded previous labels release their block-manager
-      // storage now — without this a deep component leaves two dead
-      // label-frame copies per round in storage until RDD GC. The LAST
-      // labels checkpoint stays alive: the returned plan reads it lazily.
-      graft.util.Caching.freeCheckpoint(steppedCp)
+      // `next` is materialized: the superseded previous labels (and on
+      // jump rounds the intermediate stepped frame, freed above) release
+      // their block-manager storage now — without this a deep component
+      // leaves dead label-frame copies per round in storage until RDD
+      // GC. The LAST labels checkpoint stays alive: the returned plan
+      // reads it lazily.
       graft.util.Caching.freeCheckpoint(labelsCp)
       labels = next.select(col("id"), col("label"))
       labelsCp = nextCp
