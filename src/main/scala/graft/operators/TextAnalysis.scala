@@ -308,6 +308,66 @@ object TextAnalysis {
     merges.toSeq.toDF("iteration", "lhs", "rhs", "merged", "n_occurrences")
   }
 
+  /** APPLY the learned BPE merges — the tokenizer-training story closed:
+    * [[bpeTrain]] on the dictionary, then segment every document with
+    * the learned merge list and report per-document subword statistics
+    * (n_words, n_subwords, subwords-per-word in milli — the
+    * "how much does my tokenizer fragment this corpus" signal that
+    * drives vocab-size decisions and flags out-of-domain text, the
+    * subword analog of [[vocabCoverage]]).
+    *
+    * Segmentation is a pure function of the word: the wrapped-symbol
+    * string with the k merges applied IN TRAINING ORDER — here as k
+    * chained codegen'd `replace` calls in ONE narrow projection over
+    * the exploded words. No join against a segmentation table, no
+    * shuffle before the per-doc aggregate (map-side combinable): at
+    * 100 TB the apply pass is a single linear scan. Subword count =
+    * `|` occurrences in the segmented string (each symbol carries
+    * exactly one marker).
+    *
+    * Driver-side state: the k merge rows [[bpeTrain]] already collects
+    * — bounded by the iteration budget. */
+  def bpeSegment(docs: DataFrame, idCol: String, textCol: String,
+                 iters: Int): DataFrame = {
+    val merges = bpeTrain(docs, idCol, textCol, iters).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentApply(docs, idCol, textCol, merges)
+  }
+
+  /** The APPLY half of [[bpeSegment]] with an explicit merge list —
+    * fully ROW-LOCAL: words split, filtered, and segmented inside
+    * higher-order-function lambdas, subword counts folded with
+    * `aggregate` — ZERO shuffle, so the same projection runs unchanged
+    * on a STREAMING frame (st49: segment at ingest, stateless Append —
+    * the st18 model-rides-the-plan shape, with the merge list as the
+    * model). Documents with no qualifying word are dropped (the
+    * exploded batch twin's semantics). */
+  def bpeSegmentApply(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)]): DataFrame = {
+    val ws = filter(
+      transform(filter(words(col(textCol)), t => t =!= ""), w => lower(w)),
+      w => w.rlike("^[a-z0-9]+$"))
+    def segmented(w: Column): Column = {
+      val wrapped = regexp_replace(w, "(.)", "|$1 ")
+      merges.foldLeft(wrapped) { case (c, (a, b)) =>
+        org.apache.spark.sql.functions.replace(c, lit(s"|$a |$b "), lit(s"|$a$b "))
+      }
+    }
+    val subCounts = transform(ws, { w =>
+      val s = segmented(w)
+      (length(s) - length(regexp_replace(s, "\\|", ""))).cast("long")
+    })
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(ws).cast("long").as("n_words"),
+        aggregate(subCounts, lit(0L), (acc, x) => acc + x).as("n_subwords"))
+      .filter(col("n_words") > 0)
+      .select(col("doc_id"), col("n_words"), col("n_subwords"),
+        floor(col("n_subwords").cast("double") / col("n_words").cast("double") * 1000 + 0.5)
+          .cast("long").as("subwords_per_word_milli"))
+  }
+
   /** Tokenizer-vocabulary coverage: per-document OOV rate against the
     * corpus' own top-`k` vocabulary ([[vocabTopK]]) — the "how much of
     * this document would an in-domain tokenizer actually cover" signal

@@ -3667,6 +3667,14 @@ ${OracleSql.InvIndex}
       (s, d) => TextAnalysis.bpeTrain(docs(s, d), "doc_id", "text", iters = 8),
       Some(bpeTrainOracle(8))),
 
+    // train -> APPLY: segment every document with the 8 learned merges
+    // (k chained codegen'd replaces in one narrow projection — the
+    // 100 TB apply pass is a single linear scan) and report per-doc
+    // subword fragmentation, the vocab-size / out-of-domain signal.
+    "ext131_bpe_segment" -> Q(
+      (s, d) => TextAnalysis.bpeSegment(docs(s, d), "doc_id", "text", iters = 8),
+      Some(bpeSegmentOracle(8))),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
@@ -4479,7 +4487,10 @@ ${OracleSql.InvIndex}
     * non-overlapping `replace`, semantically identical in DuckDB and
     * Spark). sum(BIGINT) is HUGEINT in DuckDB — every published count
     * casts back. */
-  private def bpeTrainOracle(iters: Int): String = {
+  /** The shared CTE body: vocab build, wrapped-symbol v0, and `iters`
+    * count→argmax→merge rounds. Each vN carries the word key `w` so the
+    * segment oracle can join documents back to their final form. */
+  private def bpeCtes(iters: Int): String = {
     val rounds = (1 to iters).map { n =>
       val prev = s"v${n - 1}"
       s"""p$n AS (
@@ -4491,13 +4502,10 @@ ${OracleSql.InvIndex}
          |  GROUP BY a, b
          |), m$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1
          |), v$n AS (
-         |  SELECT replace(s, '|' || m.a || ' |' || m.b || ' ', '|' || m.a || m.b || ' ') AS s, freq
+         |  SELECT w, replace(s, '|' || m.a || ' |' || m.b || ' ', '|' || m.a || m.b || ' ') AS s, freq
          |  FROM $prev, m$n m
          |)""".stripMargin
     }.mkString(", ")
-    val rows = (1 to iters).map { n =>
-      s"SELECT $n AS iteration, a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM m$n"
-    }.mkString("\nUNION ALL ")
     s"""WITH vocab AS (
        |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT lower(x) AS w FROM (
@@ -4506,12 +4514,38 @@ ${OracleSql.InvIndex}
        |  WHERE regexp_full_match(w, '[a-z0-9]+')
        |  GROUP BY w
        |), v0 AS (
-       |  SELECT regexp_replace(w, '(.)', '|\\1 ', 'g') AS s, freq FROM vocab
-       |), $rounds
+       |  SELECT w, regexp_replace(w, '(.)', '|\\1 ', 'g') AS s, freq FROM vocab
+       |), $rounds""".stripMargin
+  }
+
+  private def bpeTrainOracle(iters: Int): String = {
+    val rows = (1 to iters).map { n =>
+      s"SELECT $n AS iteration, a AS lhs, b AS rhs, a || b AS merged, CAST(cnt AS BIGINT) AS n_occurrences FROM m$n"
+    }.mkString("\nUNION ALL ")
+    s"""${bpeCtes(iters)}
        |SELECT * FROM (
        |$rows
        |) ORDER BY iteration""".stripMargin
   }
+
+  /** The train→apply replay: the final vocab segmentation v{iters}
+    * joined back to every document word occurrence. Shared with the
+    * streaming twin (st49). */
+  private[queries] def bpeSegmentOracle(iters: Int): String =
+    s"""${bpeCtes(iters)}, dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, lower(x) AS w FROM (
+       |      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> '')) AS x
+       |      FROM documents))
+       |  WHERE regexp_full_match(w, '[a-z0-9]+')
+       |), seg AS (
+       |  SELECT w, CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_sub FROM v$iters
+       |)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(g.n_sub) AS BIGINT) AS n_subwords,
+       |       CAST(floor(sum(g.n_sub)::DOUBLE / count(*) * 1000 + 0.5) AS BIGINT) AS subwords_per_word_milli
+       |FROM dw d JOIN seg g ON g.w = d.w
+       |GROUP BY d.doc_id""".stripMargin
 
   /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a
     * lower id in its own cluster is within the cosine threshold. */

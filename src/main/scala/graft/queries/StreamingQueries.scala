@@ -1554,6 +1554,24 @@ ${OracleSql.InvIndex}
              |FROM h JOIN fam USING (h)
              |GROUP BY slice""".stripMargin)),
 
+    // BPE segmentation AT INGEST: the 8 merges train BATCH-side on the
+    // same fixture (deterministic), then ride the streaming plan as
+    // chained codegen'd replaces inside row-local lambdas — stateless
+    // Append, zero state (the st18 model-rides-the-plan shape with the
+    // merge list as the model). Oracle: ext131's train->apply replay.
+    "st49_stream_bpe_segment" -> Q(
+      (s, d) => {
+        val merges = TextAnalysis.bpeTrain(
+            s.read.parquet(s"$d/documents.parquet"), "doc_id", "text", iters = 8)
+          .collect().sortBy(_.getInt(0))
+          .map(r => (r.getString(1), r.getString(2))).toSeq
+        Streams.runToMemory(s,
+          TextAnalysis.bpeSegmentApply(
+            Streams.readDocumentsStream(s, d), "doc_id", "text", merges),
+          "st49_bpe", OutputMode.Append())
+      },
+      Some(Extensions.bpeSegmentOracle(8))),
+
     // Streaming session PATHS: q92's capped '>'-joined paths emitted by
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark

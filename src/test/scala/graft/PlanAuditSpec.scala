@@ -85,7 +85,9 @@ class PlanAuditSpec extends SparkSpec {
     // two clusters() runs (old labels, then the incremental fold)
     "ext127_incremental_clusters",
     // BPE training: per-iteration argmax collect at construction
-    "ext130_bpe_train")
+    "ext130_bpe_train",
+    // BPE apply: trains (eager) before building the segment projection
+    "ext131_bpe_segment")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all)

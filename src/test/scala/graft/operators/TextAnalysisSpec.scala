@@ -319,6 +319,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rs.length == 1) // one merge possible, then no pairs remain
   }
 
+  test("bpeSegment: learned merges segment the corpus, fragmentation per doc") {
+    val docs = Seq(
+      (1L, "aaab aaab abab Z!"), (2L, "aaab abab xy")).toDF("doc_id", "text")
+    // merges learned above: ab, aa, aaab, abab -> aaab/abab are 1 subword,
+    // xy stays 2 (never merged); Z! is filtered from the word universe
+    val r = TextAnalysis.bpeSegment(docs, "doc_id", "text", iters = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((3L, 3L, 1000L)))
+    assert(r(2L) == ((3L, 4L, 1333L))) // floor(4/3*1000 + 0.5)
+  }
+
   test("corpusReport: per-source counts, quality keeps, cross-source dup rate") {
     val good = (1 to 30).map(i => f"wd$i%02d").mkString(" ") // passes qualityRules
     val docs = Seq(
