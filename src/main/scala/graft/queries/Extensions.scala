@@ -3658,6 +3658,43 @@ ${OracleSql.InvIndex}
              |JOIN nn nb ON nb.slice = d.slice_b
              |GROUP BY 1, 2, 3, 4""".stripMargin)),
 
+    // DynamicFrame "choice"-type resolution over VARIANT (closes SURVEY
+    // "what's missing" #3): a field that drifts number/string/absent per
+    // record, collapsed with the public Glue strategy set — make_cols
+    // (actual-type split), cast:long (+conflict flag for the quarantine
+    // pass), project:string (actual type, not castability). The JSON is
+    // synthesized closed-form from events (the st31 discipline) so the
+    // oracle re-derives every output without parsing anything.
+    "ext132_choice_resolution" -> Q(
+      (s, d) => {
+        val drifted = Tables.events(s, d).selectExpr(
+          "event_id",
+          """CASE CAST(event_id % 3 AS INT)
+               WHEN 0 THEN concat('{"id":', CAST(event_id AS STRING),
+                                  ',"v":', CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS STRING), '}')
+               WHEN 1 THEN concat('{"id":', CAST(event_id AS STRING),
+                                  ',"v":"', event_type, '"}')
+               ELSE concat('{"id":', CAST(event_id AS STRING), '}')
+             END AS j""")
+          .select(col("event_id"), parse_json(col("j")).as("var"))
+        val mc = graft.sources.ChoiceResolver.makeCols(
+          drifted, "var", "v", Seq("long", "string"))
+        val ct = graft.sources.ChoiceResolver.castTo(mc, "var", "v", "long")
+          .withColumnRenamed("v", "cast_long")
+          .withColumnRenamed("v_conflict", "cast_conflict")
+        graft.sources.ChoiceResolver.project(ct, "var", "v", "string")
+          .withColumnRenamed("v", "proj_string")
+          .select(col("event_id"), col("v_long"), col("v_string"),
+            col("cast_long"), col("cast_conflict"), col("proj_string"))
+      },
+      Some("""SELECT event_id,
+             |       CASE WHEN event_id % 3 = 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS v_long,
+             |       CASE WHEN event_id % 3 = 1 THEN event_type END AS v_string,
+             |       CASE WHEN event_id % 3 = 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) END AS cast_long,
+             |       (event_id % 3 = 1) AS cast_conflict,
+             |       CASE WHEN event_id % 3 = 1 THEN event_type END AS proj_string
+             |FROM events""".stripMargin)),
+
     // Iterative BPE training (8 merge rounds over the word dictionary)
     // — completes the tokenizer-training story ext47 opens (ext47 IS
     // iteration 1). The oracle unrolls all 8 count→argmax→merge rounds
