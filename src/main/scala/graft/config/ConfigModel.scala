@@ -29,6 +29,12 @@ object SourceSpec {
     * we implement it for real. */
   final case class Jdbc(url: String, database: String, table: String,
                         options: Map[String, String]) extends SourceSpec
+  /** Versioned-manifest table scan (`versioned: true` on the input,
+    * beyond-reference; [[graft.sinks.VersionedTable]]): snapshot read of
+    * the latest — or `as_of_version: N` — committed version. */
+  final case class Versioned(location: String, format: String,
+                             options: Map[String, String],
+                             asOfVersion: Option[Long] = None) extends SourceSpec
 }
 
 /** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
@@ -115,7 +121,15 @@ final case class OutputTable(
       * consumers verify a 100 TB handoff against metadata instead of a
       * rescan (beyond-reference; the underscore prefix keeps every
       * Spark/Hive reader from seeing it as data). */
-    manifest: Boolean = false)
+    manifest: Boolean = false,
+    /** `versioned: true` publishes through the versioned-manifest table
+      * protocol ([[graft.sinks.VersionedTable]]): atomic multi-writer
+      * commits (create-if-absent CAS), snapshot reads, time travel.
+      * refresh full = overwrite commit, incremental = append commit,
+      * upsert = snapshot merge + serializable commit (aborts loudly if
+      * a concurrent commit landed since the snapshot). File targets
+      * only. */
+    versioned: Boolean = false)
 
 sealed trait JobType
 object JobType {
@@ -240,7 +254,23 @@ object ConfigParser {
       val name = str(t, "name").getOrElse(throw new ConfigError("input table: name required"))
         .toLowerCase
       val fmtOpts = t.get("format_options").map(strMap(_, "format_options")).getOrElse(Map.empty)
+      val versionedIn = str(t, "versioned")
+        .exists(v => Set("yes", "true").contains(v.toLowerCase))
+      val asOf = str(t, "as_of_version").map { v =>
+        try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new ConfigError(s"input '$name': as_of_version must be an integer, got '$v'") }
+      }
+      if (asOf.nonEmpty && !versionedIn) throw new ConfigError(
+        s"input '$name': as_of_version requires versioned: true")
       val source = str(t, "source").getOrElse("s3").toLowerCase match {
+        case "s3" | "file" if versionedIn =>
+          if (str(t, "schema").exists(_.trim.nonEmpty)) throw new ConfigError(
+            s"input '$name': versioned reads take the schema from the committed files; drop schema:")
+          SourceSpec.Versioned(
+            str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
+            str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts, asOf)
+        case _ if versionedIn => throw new ConfigError(
+          s"input '$name': versioned is supported for s3/file sources only")
         case "s3" | "file" => SourceSpec.File(
           str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
           str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts,
@@ -255,6 +285,10 @@ object ConfigParser {
       }
       val incremental = str(t, "incremental_source")
         .exists(v => Set("yes", "true").contains(v.toLowerCase))
+      if (incremental && versionedIn) throw new ConfigError(
+        s"input '$name': incremental_source with versioned is not supported " +
+          "(bookmarks track file paths; versioned reads resolve a manifest — " +
+          "read a pinned as_of_version instead)")
       val quarantine = str(t, "quarantine").map(_.trim).filter(_.nonEmpty)
       quarantine.foreach { _ =>
         source match {
@@ -346,6 +380,12 @@ object ConfigParser {
           case Some("true") | Some("yes") => true
           case Some(other) => throw new ConfigError(
             s"output '$name': manifest must be true/false, got '$other'")
+        },
+        versioned = str(t, "versioned").map(_.toLowerCase) match {
+          case None | Some("false") | Some("no") => false
+          case Some("true") | Some("yes") => true
+          case Some(other) => throw new ConfigError(
+            s"output '$name': versioned must be true/false, got '$other'")
         })
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
@@ -357,6 +397,21 @@ object ConfigParser {
             "(catalog/jdbc row-level merge needs a table format)")
         if (parsed.mergeKeys.isEmpty) throw new ConfigError(
           s"output '$name': refresh $m requires merge_keys")
+      }
+      // versioned publish: file targets only; the protocol owns the
+      // directory layout, so the features that assume a flat/Hive layout
+      // are rejected by name rather than silently fighting it.
+      if (parsed.versioned) {
+        if (!parsed.target.isInstanceOf[TargetSpec.File]) throw new ConfigError(
+          s"output '$name': versioned is supported for s3/file targets only")
+        if (parsed.partitionKeys.nonEmpty) throw new ConfigError(
+          s"output '$name': versioned cannot be combined with partition_keys " +
+            "(manifests list files, not Hive directories; cluster or sort instead)")
+        if (parsed.manifest) throw new ConfigError(
+          s"output '$name': versioned tables have per-version manifests already; drop manifest:")
+        if (parsed.refresh == Refresh.Scd2) throw new ConfigError(
+          s"output '$name': refresh scd2 with versioned is not supported " +
+            "(the version log IS the history; use refresh upsert + as_of_version reads)")
       }
       // manifest is a FILE-table artifact: catalog/jdbc targets have
       // their own metadata layer (the manifest would describe a path

@@ -427,6 +427,79 @@ object Framework {
         org.apache.spark.sql.functions.col("c_mktsegment").cast("string"))
   }
 
+  /** A15/A16 upgraded to a real (minimal) table format: three engine runs
+    * commit v1 (full = overwrite commit) / v2 (incremental = append
+    * commit) / v3 (upsert = snapshot merge + SERIALIZABLE commit)
+    * through the versioned-manifest protocol (`versioned: true`); the
+    * read-back is the final snapshot. Multi-writer atomicity and
+    * snapshot isolation are pinned in VersionedTableSpec; this proves
+    * the YAML surface end-to-end. */
+  private def fwAcid(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "acid")
+    rmrf(s, base)
+    runAcidLifecycle(s, d, base)
+    graft.sinks.VersionedTable.read(s, s"$base/out")
+  }
+
+  private def runAcidLifecycle(s: SparkSession, d: String, base: String): Unit = {
+    def yaml(refresh: String, extra: String, sql: String) =
+      s"""job:
+         |  name: fw-acid
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: acid_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |  versioned: true
+         |$extra
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    run(s, yaml("full", "",
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |  'v1' AS version FROM customer WHERE c_custkey % 2 = 0""".stripMargin.replace("\n", " ")))
+    run(s, yaml("incremental", "",
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |  'v2' AS version FROM customer WHERE c_custkey % 2 = 1""".stripMargin.replace("\n", " ")))
+    run(s, yaml("upsert", "  merge_keys: c_custkey",
+      """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v3' AS version
+        |  FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " ")))
+  }
+
+  /** Time travel through the ENGINE's input path: the [[fwAcid]]
+    * lifecycle again, then a fourth run reads the table at
+    * `as_of_version: 2` (before the upsert) as a `versioned: true`
+    * input and republishes it plain — the snapshot must show v1+v2
+    * content with none of v3's updates. */
+  private def fwTimetravel(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "timetravel")
+    rmrf(s, base)
+    runAcidLifecycle(s, d, base)
+    run(s,
+      s"""job:
+         |  name: fw-timetravel
+         |  type: spark-sql
+         |input_tables:
+         |  - name: snap
+         |    source: s3
+         |    location: $base/out
+         |    versioned: "true"
+         |    as_of_version: "2"
+         |output_table:
+         |  name: tt_out
+         |  target: s3
+         |  location: $base/tt
+         |sql: >
+         |  SELECT c_custkey, cents, version FROM snap
+         |""".stripMargin)
+    s.read.parquet(s"$base/tt")
+  }
+
   /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
     * published to the session catalog, the engine reads it as a `gdc`
     * source and writes a `gdc` target; we read the result back via
@@ -1453,6 +1526,17 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
         |FROM customer
         |UNION ALL SELECT -1, 0, 'v2'""".stripMargin)),
+    "fw_acid" -> Q(fwAcid, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
+        |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
+        |FROM customer""".stripMargin)),
+    "fw_timetravel" -> Q(fwTimetravel, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       CASE WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
+        |FROM customer""".stripMargin)),
     "fw_upsert_pruned" -> Q(fwUpsertPruned, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

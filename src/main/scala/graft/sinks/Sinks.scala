@@ -115,6 +115,34 @@ object Sinks {
         frame.observe(obs, exprs.head, exprs.tail: _*)
       }
     out.target match {
+      case TargetSpec.File(location) if out.versioned =>
+        // versioned-manifest publish ([[VersionedTable]]): full =
+        // overwrite commit, incremental = append commit, upsert =
+        // snapshot merge + SERIALIZABLE commit (a concurrent commit
+        // since the snapshot aborts loudly instead of being silently
+        // overwritten by a stale merge). Commits move metadata, not
+        // data; a failed job leaves only unreferenced files.
+        out.refresh match {
+          case Refresh.Full =>
+            VersionedTable.commit(spark, location, observed(data),
+              "overwrite", out.format, out.options): Unit
+          case Refresh.Incremental =>
+            VersionedTable.commit(spark, location, observed(data),
+              "append", out.format, out.options): Unit
+          case Refresh.Upsert =>
+            val vs = VersionedTable.versions(spark, location)
+            val merged =
+              if (vs.isEmpty) data
+              else VersionedTable.read(spark, location, Some(vs.last),
+                  out.format, out.options)
+                .join(data, out.mergeKeys, "left_anti").unionByName(data)
+            VersionedTable.commit(spark, location, observed(merged),
+              "overwrite", out.format, out.options,
+              expectedLatest = Some(vs.lastOption.getOrElse(0L))): Unit
+          case Refresh.Scd2 => throw new graft.config.ConfigError(
+            s"output '${out.name}': scd2 with versioned is rejected at parse time")
+        }
+
       case TargetSpec.File(location) if out.refresh == Refresh.Upsert =>
         // A16 made real: row-level merge on merge_keys. Without a table
         // format this is honest read-merge-rewrite — existing rows whose

@@ -56,6 +56,13 @@ object Sources {
           throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
       reader.load(location)
 
+    case SourceSpec.Versioned(location, format, options, asOf) =>
+      // snapshot read of a versioned-manifest table: the plan loads
+      // EXACTLY the resolved manifest's file list (time travel via
+      // as_of_version), never a directory listing
+      graft.sinks.VersionedTable.read(spark, location, asOf, format,
+        mapOptions(options))
+
     case SourceSpec.Catalog(database, table) =>
       // A2: catalog scan via the session catalog / metastore
       // (`glue_etl_framework.py:112-116`).

@@ -295,6 +295,59 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(job.scriptClass.contains("com.example.J"))
   }
 
+  test("versioned: parses on file inputs/outputs; misconfigurations fail at PARSE time") {
+    val job = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - {name: snap, source: s3, location: /t, versioned: "true", as_of_version: "3"}
+        |output_table: {name: o, target: s3, location: /o, versioned: "true", refresh: incremental}
+        |sql: SELECT 1
+        |""".stripMargin)
+    assert(job.inputTables.head.source ==
+      SourceSpec.Versioned("/t", "parquet", Map.empty, Some(3L)))
+    assert(job.outputTable.exists(_.versioned))
+    def bad(yaml: String, needle: String): Unit = {
+      val e = intercept[ConfigError](ConfigParser.parse(yaml))
+      assert(e.getMessage.contains(needle), s"got: ${e.getMessage}")
+    }
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, as_of_version: "3"}]
+          |sql: SELECT 1
+          |""".stripMargin, "as_of_version requires versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", schema: "a INT"}]
+          |sql: SELECT 1
+          |""".stripMargin, "schema from the committed files")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: gdc, database: db, versioned: "true"}]
+          |sql: SELECT 1
+          |""".stripMargin, "s3/file sources only")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", incremental_source: "true"}]
+          |sql: SELECT 1
+          |""".stripMargin, "incremental_source with versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: s3, location: /o, versioned: "true", partition_keys: p}
+          |sql: SELECT 1
+          |""".stripMargin, "cannot be combined with partition_keys")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: s3, location: /o, versioned: "true", manifest: "true"}
+          |sql: SELECT 1
+          |""".stripMargin, "per-version manifests")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: s3, location: /o, versioned: "true", refresh: scd2, merge_keys: k}
+          |sql: SELECT 1
+          |""".stripMargin, "scd2 with versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: gdc, database: db, versioned: "true"}
+          |sql: SELECT 1
+          |""".stripMargin, "versioned is supported for s3/file targets only")
+  }
+
   test("python_file pointing at a .py is the A17 declared deviation, named at PARSE time") {
     // a real Glue migration config: the error must carry the migration
     // path (ScriptJob + script_class + script_jar), not a class-loader

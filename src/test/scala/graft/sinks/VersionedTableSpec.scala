@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory("vt-spec").toString + s"/$name"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Int, String)] =
+    df.collect().map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toSet
+
+  test("commit/read roundtrip: overwrite snapshots, append accumulates") {
+    val loc = tmp("t1")
+    val v1 = VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    val v2 = VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    val v3 = VersionedTable.commit(spark, loc, Seq((9, "z")).toDF("k", "v"), "overwrite")
+    assert((v1, v2, v3) == ((1L, 2L, 3L)))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((9, "z")))
+    assert(rows(VersionedTable.read(spark, loc, asOf = Some(2L))) == Set((1, "a"), (2, "b")))
+    assert(rows(VersionedTable.read(spark, loc, asOf = Some(1L))) == Set((1, "a")))
+    assert(VersionedTable.versions(spark, loc) == Seq(1L, 2L, 3L))
+  }
+
+  test("snapshot isolation: a frame planned at version N never sees N+1") {
+    val loc = tmp("t2")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    val pinned = VersionedTable.read(spark, loc) // resolved at v1
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    assert(rows(pinned) == Set((1, "a")))          // still v1's file list
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b")))
+  }
+
+  test("commit CAS: losing the version race rebases appends, never drops data") {
+    val loc = tmp("t3")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    // simulate a concurrent writer landing v2 between our read and CAS:
+    // plant a valid v2 manifest (copy of v1) so the next commit's first
+    // attempt loses the create-if-absent race and must rebase to v3
+    val log = new java.io.File(s"$loc/_graft_log")
+    java.nio.file.Files.copy(
+      new java.io.File(log, "v00001.json").toPath,
+      new java.io.File(log, "v00002.json").toPath)
+    val v = VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    assert(v == 3L) // rebased past the planted v2
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b")))
+  }
+
+  test("dead writers are invisible: unreferenced data files never read, vacuumed later") {
+    val loc = tmp("t4")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    // a writer that died after moving files but before its manifest:
+    // plant a stray parquet into data/
+    Seq((99, "dead")).toDF("k", "v").write.parquet(s"$loc/.orphan")
+    val part = new java.io.File(s"$loc/.orphan").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    java.nio.file.Files.copy(part.toPath,
+      new java.io.File(s"$loc/data/deadbeef-${part.getName}").toPath)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    val dropped = VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 2L)
+    assert(dropped.exists(_.contains("deadbeef")))       // orphan reclaimed
+    assert(dropped.exists(_.contains("v00001.json")))    // old manifest gone
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b")))
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 99L))
+    assert(e.getMessage.contains("refusing to empty"))
+  }
+
+  test("read errors are named: empty table, unknown version") {
+    val loc = tmp("t5")
+    val e1 = intercept[graft.config.ConfigError](VersionedTable.read(spark, loc))
+    assert(e1.getMessage.contains("no committed versions"))
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    val e2 = intercept[graft.config.ConfigError](
+      VersionedTable.read(spark, loc, asOf = Some(7L)))
+    assert(e2.getMessage.contains("not in committed set"))
+  }
+}
