@@ -786,6 +786,44 @@ object Framework {
     s.read.parquet(s"$base/out").select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** Streaming drain INTO a versioned table: every micro-batch lands as
+    * an append COMMIT carrying (checkpoint, batchId) as its txn — a
+    * WAL-replayed batch is skipped by the table (exactly-once at the
+    * table level, not just the source level). Run twice against one
+    * checkpoint like [[fwStream]]; the read-back is the committed
+    * snapshot via [[graft.sinks.VersionedTable.read]]. */
+  private def fwStreamAcid(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream_acid")
+    rmrf(s, base)
+    s.read.parquet(s"$d/documents.parquet").write.parquet(s"$base/in")
+    val yaml =
+      s"""job:
+         |  name: fw-stream-acid
+         |  type: spark-sql
+         |  streaming: available_now
+         |  checkpoint_location: $base/ckpt
+         |input_tables:
+         |  - name: documents
+         |    source: s3
+         |    location: $base/in
+         |    format: parquet
+         |    schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+         |output_table:
+         |  name: stream_acid_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: incremental
+         |  versioned: true
+         |sql: >
+         |  SELECT doc_id, source, lang, n_chars FROM documents
+         |  WHERE n_chars >= 300
+         |""".stripMargin
+    run(s, yaml)
+    run(s, yaml) // same checkpoint: no new files → no new commits
+    graft.sinks.VersionedTable.read(s, s"$base/out")
+      .select("doc_id", "source", "lang", "n_chars")
+  }
+
   /** Native graft aggregates on the DECLARATIVE surface: the ext98
     * heavy-hitters two-pass written entirely in the engine's
     * single-SELECT SQL (sql_file), using the `misra_gries` function the
@@ -1526,6 +1564,9 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
         |FROM customer
         |UNION ALL SELECT -1, 0, 'v2'""".stripMargin)),
+    "fw_stream_acid" -> Q(fwStreamAcid, Some(
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents WHERE n_chars >= 300""".stripMargin)),
     "fw_acid" -> Q(fwAcid, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

@@ -101,7 +101,8 @@ object Sinks {
     * multiply the counts. Attached on the merged frame the metrics
     * describe the table as PUBLISHED, which is what a publish audit
     * certifies anyway. */
-  def write(spark: SparkSession, df: DataFrame, out: OutputTable): Seq[(String, Any)] = {
+  def write(spark: SparkSession, df: DataFrame, out: OutputTable,
+            txn: Option[(String, Long)] = None): Seq[(String, Any)] = {
     val data = shaped(df, out)
     var pendingObs: Option[org.apache.spark.sql.Observation] = None
     def observed(frame: DataFrame): DataFrame =
@@ -127,8 +128,11 @@ object Sinks {
             VersionedTable.commit(spark, location, observed(data),
               "overwrite", out.format, out.options): Unit
           case Refresh.Incremental =>
+            // txn (checkpoint id, batch id) makes a streaming foreachBatch
+            // REPLAY of an already-committed batch a no-op — exactly-once
+            // into the versioned table
             VersionedTable.commit(spark, location, observed(data),
-              "append", out.format, out.options): Unit
+              "append", out.format, out.options, txn = txn): Unit
           case Refresh.Upsert =>
             val vs = VersionedTable.versions(spark, location)
             val merged =

@@ -72,11 +72,14 @@ object VersionedTable {
   } + "\""
 
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
-                               mode: String, files: Seq[(String, Long)]): Boolean = {
+                               mode: String, files: Seq[(String, Long)],
+                               txn: Option[(String, Long)]): Boolean = {
     val fileJson = files.sortBy(_._1)
       .map { case (n, b) => s"""{"name":${jstr(n)},"bytes":$b}""" }
       .mkString("[", ",", "]")
-    val json = s"""{"version":$v,"mode":${jstr(mode)},""" +
+    val txnJson = txn.map { case (app, batch) =>
+      s""""txn_app":${jstr(app)},"txn_batch":$batch,""" }.getOrElse("")
+    val json = s"""{"version":$v,"mode":${jstr(mode)},$txnJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
     val p = manifestPath(root, v)
     try {
@@ -92,17 +95,36 @@ object VersionedTable {
     }
   }
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
-    val p = manifestPath(root, v)
-    val in = fs.open(p)
-    val text = try {
+  private def manifestText(fs: FileSystem, root: Path, v: Long): String = {
+    val in = fs.open(manifestPath(root, v))
+    try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
       out.toString("UTF-8")
     } finally in.close()
+  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
     // the manifest is machine-written flat JSON; extract the file names
-    """"name":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(text)
+    """"name":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(manifestText(fs, root, v))
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+  }
+
+  /** The highest batch id `app` has committed (and its version), scanning
+    * newest-first. The streaming exactly-once check: a foreachBatch
+    * REPLAY (crash between sink commit and checkpoint commit) re-offers
+    * a batch id the table already holds — the commit must be skipped,
+    * not appended twice. */
+  private def lastTxn(fs: FileSystem, root: Path, vs: Seq[Long],
+                      app: String): Option[(Long, Long)] = {
+    val appJson = jstr(app)
+    vs.sorted.reverse.iterator.map { v =>
+      val text = manifestText(fs, root, v)
+      if (text.contains(s""""txn_app":$appJson"""))
+        """"txn_batch":(\d+)""".r.findFirstMatchIn(text)
+          .map(m => (m.group(1).toLong, v))
+      else None
+    }.collectFirst { case Some(hit) => hit }
   }
 
   /** Atomically commit `df` as the next version. `mode` = "overwrite"
@@ -117,13 +139,29 @@ object VersionedTable {
              mode: String, format: String = "parquet",
              options: Map[String, String] = Map.empty,
              maxRetries: Int = 10,
-             expectedLatest: Option[Long] = None): Long = {
+             expectedLatest: Option[Long] = None,
+             txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"versioned commit: mode must be overwrite|append, got '$mode'")
     val root = new Path(location)
     val fs = fsFor(spark, root)
     fs.mkdirs(dataDir(root))
     fs.mkdirs(logDir(root))
+    // exactly-once for streaming foreachBatch: if this (app, batch) — or
+    // a later batch of the same app — is already committed, the offer is
+    // a WAL replay: skip BEFORE any data is written, return the version
+    // that already holds it
+    txn.foreach { case (app, batch) =>
+      lastTxn(fs, root, versions(spark, location), app).foreach {
+        case (lastBatch, atV) =>
+          if (lastBatch >= batch) {
+            graft.log.Log.info("versioned commit: txn replay skipped",
+              "location" -> location, "app" -> app,
+              "batch" -> batch.toString, "committed_at" -> s"v$atV")
+            return atV
+          }
+      }
+    }
     // stage, then move parts into the append-only data namespace under a
     // commit-unique prefix (invisible until a manifest references them)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -153,7 +191,7 @@ object VersionedTable {
           }
         else Seq.empty
       val v = latest.getOrElse(0L) + 1
-      if (writeManifestCas(fs, root, v, mode, base ++ moved)) return v
+      if (writeManifestCas(fs, root, v, mode, base ++ moved, txn)) return v
       attempt += 1 // lost the race: re-read latest and rebase
     }
     throw new java.io.IOException(

@@ -714,8 +714,12 @@ object Streams {
                 mode: OutputMode = OutputMode.Append()): Unit = {
     val q = df.writeStream
       .outputMode(mode)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sinks.Sinks.write(spark, batch, out): Unit
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // versioned sinks get (checkpoint, batchId) as the commit txn —
+        // a WAL-replayed batch (crash between sink commit and checkpoint
+        // advance) is skipped by the table, not appended twice
+        val txn = if (out.versioned) Some((checkpoint, batchId)) else None
+        graft.sinks.Sinks.write(spark, batch, out, txn): Unit
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())

@@ -68,6 +68,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("refusing to empty"))
   }
 
+  test("txn commits are exactly-once: a replayed batch id is skipped, not re-appended") {
+    val loc = tmp("t6")
+    val v1 = VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"),
+      "append", txn = Some(("ckpt-A", 0L)))
+    // WAL replay of batch 0 (crash between sink commit and checkpoint
+    // advance): must return the already-committed version, write nothing
+    val vReplay = VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"),
+      "append", txn = Some(("ckpt-A", 0L)))
+    assert(v1 == 1L && vReplay == 1L)
+    assert(VersionedTable.versions(spark, loc) == Seq(1L))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+    // the NEXT batch commits; an older batch id offered later also skips
+    val v2 = VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"),
+      "append", txn = Some(("ckpt-A", 1L)))
+    val vOld = VersionedTable.commit(spark, loc, Seq((9, "x")).toDF("k", "v"),
+      "append", txn = Some(("ckpt-A", 0L)))
+    assert(v2 == 2L && vOld == 2L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b")))
+    // a DIFFERENT app's batch 0 is unrelated and commits
+    val v3 = VersionedTable.commit(spark, loc, Seq((3, "c")).toDF("k", "v"),
+      "append", txn = Some(("ckpt-B", 0L)))
+    assert(v3 == 3L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b"), (3, "c")))
+  }
+
   test("read errors are named: empty table, unknown version") {
     val loc = tmp("t5")
     val e1 = intercept[graft.config.ConfigError](VersionedTable.read(spark, loc))
