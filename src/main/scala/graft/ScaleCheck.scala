@@ -121,7 +121,15 @@ object ScaleCheck {
     // order-free changelog streams: funnel (per-user 4-long state),
     // drift + census (dictionary-sized count state)
     "st43_stream_funnel", "st44_stream_drift_attribution",
-    "st45_stream_vocab_census")
+    "st45_stream_vocab_census",
+    // round-10: BPE training iterates over the word DICTIONARY (sublinear
+    // in corpus: each x10 copy adds one " v$i" token to every doc, so the
+    // dictionary grows slowly) — must read well under linear; the apply
+    // pass is a row-local projection (~linear scan); choice resolution is
+    // pure variant projections (~linear); the versioned lifecycle is
+    // metadata-dominated (near-flat)
+    "ext130_bpe_train", "ext131_bpe_segment", "st49_stream_bpe_segment",
+    "ext132_choice_resolution", "fw_acid", "fw_upsert_pruned")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

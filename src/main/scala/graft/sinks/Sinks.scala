@@ -452,6 +452,21 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) throw new graft.config.ConfigError(
       s"compact: target '$location' does not exist")
+    // A versioned root compacts THROUGH the protocol: read the latest
+    // snapshot, rewrite as nFiles, publish as the next overwrite commit.
+    // Crash-safe by construction (a failed compaction is an uncommitted
+    // version), readers pinned to older versions unaffected, and the
+    // fragmented history reclaimable later via vacuumVersions. A flat
+    // rewrite here would destroy the _graft_log layout.
+    if (fs.exists(new org.apache.hadoop.fs.Path(target, "_graft_log"))) {
+      val v = VersionedTable.commit(spark, location,
+        VersionedTable.read(spark, location, None, format,
+          graft.sources.Sources.mapOptions(options)).coalesce(nFiles),
+        "overwrite", format, graft.sources.Sources.mapOptions(options))
+      graft.log.Log.info("compacted versioned table",
+        "location" -> location, "committed" -> s"v$v")
+      return
+    }
     // A Hive-partitioned root would silently FLATTEN under this rewrite:
     // the scan discovers `col=value` dirs as a data column, but the
     // coalesce+write emits flat files, losing the directory layout that
@@ -589,6 +604,22 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(target)) throw new graft.config.ConfigError(
       s"cluster: target '$location' does not exist")
+    // Versioned roots cluster THROUGH the protocol, like compact: the
+    // z-ordered rewrite publishes as the next overwrite commit.
+    if (fs.exists(new org.apache.hadoop.fs.Path(target, "_graft_log"))) {
+      val df0 = VersionedTable.read(spark, location, None, format,
+        graft.sources.Sources.mapOptions(options))
+      val cols = df0.columns
+      val v = VersionedTable.commit(spark, location,
+        zOrdered(df0, clusterBy)
+          .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+          .sortWithinPartitions("__z")
+          .select(cols.map(org.apache.spark.sql.functions.col): _*),
+        "overwrite", format, graft.sources.Sources.mapOptions(options))
+      graft.log.Log.info("clustered versioned table",
+        "location" -> location, "committed" -> s"v$v")
+      return
+    }
     // Same guard as compact: rewriting a Hive-partitioned root would
     // flatten the directory layout. Cluster partition-by-partition.
     val partDirs = fs.listStatus(target)

@@ -93,6 +93,28 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b"), (3, "c")))
   }
 
+  test("maintenance on a versioned root goes THROUGH the protocol, never flattens it") {
+    val loc = tmp("t7")
+    def kw(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+      df.collect().map(r => (r.getAs[Int]("k"), r.getAs[Int]("w"))).toSet
+    // two commits -> latest snapshot spread over several files
+    VersionedTable.commit(spark, loc,
+      Seq((1, 10), (2, 20)).toDF("k", "w").repartition(4), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((3, 30)).toDF("k", "w"), "append")
+    val filesBefore = new java.io.File(s"$loc/data").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(filesBefore >= 3)
+    Sinks.compact(spark, loc, "parquet", nFiles = 1)
+    // compaction published as v3: same content, history intact
+    assert(VersionedTable.versions(spark, loc) == Seq(1L, 2L, 3L))
+    assert(kw(VersionedTable.read(spark, loc)) == Set((1, 10), (2, 20), (3, 30)))
+    assert(kw(VersionedTable.read(spark, loc, asOf = Some(1L))) == Set((1, 10), (2, 20)))
+    // z-order clustering also commits through the protocol
+    Sinks.clusterZOrder(spark, loc, "parquet", Seq("k", "w"), nFiles = 1)
+    assert(VersionedTable.versions(spark, loc) == Seq(1L, 2L, 3L, 4L))
+    assert(kw(VersionedTable.read(spark, loc)) == Set((1, 10), (2, 20), (3, 30)))
+  }
+
   test("read errors are named: empty table, unknown version") {
     val loc = tmp("t5")
     val e1 = intercept[graft.config.ConfigError](VersionedTable.read(spark, loc))
