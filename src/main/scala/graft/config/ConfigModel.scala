@@ -129,7 +129,21 @@ final case class OutputTable(
       * upsert = snapshot merge + serializable commit (aborts loudly if
       * a concurrent commit landed since the snapshot). File targets
       * only. */
-    versioned: Boolean = false)
+    versioned: Boolean = false,
+    /** `stats_columns: c1,c2` (versioned sinks only) records per-FILE
+      * min/max/null-count zone maps for the named columns in the commit
+      * manifest; [[graft.sinks.VersionedTable.readPruned]] then skips
+      * whole files from metadata — the first pruning tier before any
+      * parquet footer is opened. Costs one scan of the commit's NEW
+      * files. Pair with `range_partition_keys` so file ranges are
+      * disjoint and the maps are sharp. */
+    statsColumns: Seq[String] = Nil,
+    /** `range_partition_keys: c1,c2` range-partitions rows across output
+      * files (`repartitionByRange`, honoring `repartition: N` as the
+      * file count): each file holds a disjoint key range, which is what
+      * makes zone maps / parquet row-group stats prune instead of
+      * matching every file. */
+    rangeKeys: Seq[String] = Nil)
 
 sealed trait JobType
 object JobType {
@@ -386,7 +400,11 @@ object ConfigParser {
           case Some("true") | Some("yes") => true
           case Some(other) => throw new ConfigError(
             s"output '$name': versioned must be true/false, got '$other'")
-        })
+        },
+        statsColumns = str(t, "stats_columns")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+        rangeKeys = str(t, "range_partition_keys")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
       // Validate upsert AT PARSE TIME — a misconfigured job must fail
       // before its (possibly hours-long) query runs, not at sink time
       // (r3 verdict, "What's wrong" #5).
@@ -412,6 +430,20 @@ object ConfigParser {
         if (parsed.refresh == Refresh.Scd2) throw new ConfigError(
           s"output '$name': refresh scd2 with versioned is not supported " +
             "(the version log IS the history; use refresh upsert + as_of_version reads)")
+      }
+      // zone maps live in the versioned manifest — nowhere else to put
+      // them; range partitioning fights bucketing's layout and
+      // coalesce's "don't shuffle" contract.
+      if (parsed.statsColumns.nonEmpty && !parsed.versioned) throw new ConfigError(
+        s"output '$name': stats_columns requires versioned: true " +
+          "(zone maps are recorded in the commit manifest)")
+      if (parsed.rangeKeys.nonEmpty) {
+        if (parsed.bucketKeys.nonEmpty) throw new ConfigError(
+          s"output '$name': range_partition_keys cannot be combined with bucket_by " +
+            "(the bucket spec owns the file layout)")
+        if (parsed.coalesce.nonEmpty) throw new ConfigError(
+          s"output '$name': range_partition_keys cannot be combined with coalesce " +
+            "(range placement is a shuffle; use repartition: N for the file count)")
       }
       // manifest is a FILE-table artifact: catalog/jdbc targets have
       // their own metadata layer (the manifest would describe a path

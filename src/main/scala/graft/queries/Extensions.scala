@@ -3712,6 +3712,40 @@ ${OracleSql.InvIndex}
       (s, d) => TextAnalysis.bpeSegment(docs(s, d), "doc_id", "text", iters = 8),
       Some(bpeSegmentOracle(8))),
 
+    // CDC-driven incremental dedup: the versioned documents table gets a
+    // v2 append; the consumer reads ONLY the appended rows
+    // (changesBetween — file-level metadata, no table rescan) and flags
+    // each arrival whose content fingerprint already exists in the v1
+    // snapshot. The 100 TB daily-fold shape: the arrival slice comes
+    // straight off the commit log (work ∝ arrivals on the read side),
+    // and the probe is an equality join on the 16-byte fingerprint —
+    // shuffle ∝ fingerprints, AQE broadcasts when the day is small.
+    "ext133_cdc_dedup" -> Q(
+      (s, d) => {
+        val base = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/ext133"
+        val root = new org.apache.hadoop.fs.Path(base)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(root)) fs.delete(root, true)
+        val all = docs(s, d).select(col("doc_id"), col("text"))
+        graft.sinks.VersionedTable.commit(s, base,
+          all.filter(col("doc_id") % 2 === 0), "overwrite")
+        graft.sinks.VersionedTable.commit(s, base,
+          all.filter(col("doc_id") % 2 === 1), "append")
+        val known = graft.sinks.VersionedTable.read(s, base, asOf = Some(1L))
+          .select(md5(col("text")).as("f")).distinct()
+        val arrivals = graft.sinks.VersionedTable.changesBetween(s, base, 1L, 2L)
+          .select(col("doc_id"), md5(col("text")).as("f"))
+        arrivals.join(known.withColumn("__k", lit(1)), Seq("f"), "left")
+          .select(col("doc_id"), col("__k").isNotNull.as("is_known_dup"))
+      },
+      Some("""WITH known AS (
+             |  SELECT DISTINCT md5(text) AS f FROM documents WHERE doc_id % 2 = 0
+             |)
+             |SELECT d.doc_id,
+             |       (k.f IS NOT NULL) AS is_known_dup
+             |FROM documents d LEFT JOIN known k ON md5(d.text) = k.f
+             |WHERE d.doc_id % 2 = 1""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,

@@ -500,6 +500,119 @@ object Framework {
     s.read.parquet(s"$base/tt")
   }
 
+  /** Zone maps end-to-end: the engine publishes customer as a versioned
+    * table with `range_partition_keys` (disjoint c_custkey range per
+    * file) and `stats_columns` (per-file min/max in the commit
+    * manifest), then [[graft.sinks.VersionedTable.readPruned]] plans a
+    * range scan `c_custkey <= 20` from the manifest alone. The require
+    * asserts files were actually SKIPPED — at both SFs the predicate
+    * touches 1-2 of 8 range files, so the gate fails loudly if pruning
+    * ever degrades to scan-everything. The 100 TB read path: one small
+    * JSONL decides which of a million files to open. */
+  private def fwZonemap(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "zonemap")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-zonemap
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: zm_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: full
+         |  versioned: "true"
+         |  repartition: "8"
+         |  range_partition_keys: c_custkey
+         |  stats_columns: c_custkey
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |  c_mktsegment FROM customer
+         |""".stripMargin)
+    val scan = graft.sinks.VersionedTable.readPruned(s, s"$base/out",
+      Seq(graft.sinks.VersionedTable.Prune("c_custkey", "<=", 20L)))
+    require(scan.keptFiles < scan.totalFiles,
+      s"fw_zonemap: expected manifest pruning to skip files, kept " +
+        s"${scan.keptFiles} of ${scan.totalFiles}")
+    // the pruned scan is a superset by contract; the residual filter
+    // runs on the kept files only
+    scan.df.filter(org.apache.spark.sql.functions.col("c_custkey") <= 20)
+  }
+
+  /** CDC over the versioned log: v1 full, v2/v3 incremental appends
+    * through the engine, then `changesBetween(1, 3)` returns EXACTLY
+    * the rows the two appends added, tagged `_commit_version` — from
+    * file-level metadata (new files per manifest), no table diff. The
+    * incremental-consumer read at 100 TB: process what arrived since
+    * the bookmark version, never rescan. */
+  private def fwChanges(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "changes")
+    rmrf(s, base)
+    def yaml(refresh: String, sql: String) =
+      s"""job:
+         |  name: fw-changes
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: ch_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |  versioned: "true"
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    def slice(r: Int) =
+      s"""SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM customer WHERE c_custkey % 3 = $r""".stripMargin.replace("\n", " ")
+    run(s, yaml("full", slice(0)))
+    run(s, yaml("incremental", slice(1)))
+    run(s, yaml("incremental", slice(2)))
+    graft.sinks.VersionedTable.changesBetween(s, s"$base/out", 1L, 3L)
+  }
+
+  /** DESCRIBE HISTORY from metadata alone: three engine commits with
+    * `stats_columns` (which records per-file row counts in the sidecar),
+    * then [[graft.sinks.VersionedTable.history]] — version, mode, file
+    * count, row count per commit WITHOUT opening a data file. `
+    * repartition: "2"` pins n_files so the oracle is exact. */
+  private def fwHistory(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "history")
+    rmrf(s, base)
+    def yaml(refresh: String, r: Int) =
+      s"""job:
+         |  name: fw-history
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: h_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |  versioned: "true"
+         |  repartition: "2"
+         |  stats_columns: c_custkey
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM customer WHERE c_custkey % 3 = $r
+         |""".stripMargin
+    run(s, yaml("full", 0))
+    run(s, yaml("incremental", 1))
+    run(s, yaml("incremental", 2))
+    graft.sinks.VersionedTable.history(s, s"$base/out")
+      .select("version", "mode", "n_files", "n_rows")
+  }
+
   /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
     * published to the session catalog, the engine reads it as a `gdc`
     * source and writes a `gdc` target; we read the result back via
@@ -1578,6 +1691,28 @@ object Framework {
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       CASE WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
         |FROM customer""".stripMargin)),
+    "fw_zonemap" -> Q(fwZonemap, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment
+        |FROM customer WHERE c_custkey <= 20""".stripMargin)),
+    "fw_changes" -> Q(fwChanges, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       CAST(2 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey % 3 = 1
+        |UNION ALL
+        |SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       CAST(3 AS BIGINT) AS _commit_version
+        |FROM customer WHERE c_custkey % 3 = 2""".stripMargin)),
+    "fw_history" -> Q(fwHistory, Some(
+      """SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS mode,
+        |       CAST(2 AS BIGINT) AS n_files,
+        |       (SELECT count(*) FROM customer WHERE c_custkey % 3 = 0) AS n_rows
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'append', CAST(4 AS BIGINT),
+        |       (SELECT count(*) FROM customer WHERE c_custkey % 3 <= 1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'append', CAST(6 AS BIGINT),
+        |       (SELECT count(*) FROM customer)""".stripMargin)),
     "fw_upsert_pruned" -> Q(fwUpsertPruned, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

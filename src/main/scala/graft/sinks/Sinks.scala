@@ -25,15 +25,21 @@ import graft.config.{OutputTable, Refresh, TargetSpec}
 object Sinks {
 
   private[graft] def shaped(df: DataFrame, out: OutputTable): DataFrame = {
-    val sized = (out.repartition, out.coalesce) match {
-      case (Some(n), _) =>
+    val sized = (out.rangeKeys, out.repartition, out.coalesce) match {
+      // range_partition_keys: each output file holds a DISJOINT key
+      // range — the layout that makes zone maps / parquet row-group
+      // stats prune range scans instead of matching every file
+      case (rk, n, _) if rk.nonEmpty =>
+        n.fold(df.repartitionByRange(rk.map(df.col): _*))(
+          df.repartitionByRange(_, rk.map(df.col): _*))
+      case (_, Some(n), _) =>
         if (out.partitionKeys.nonEmpty)
           // Cluster by the sink partition keys so each task writes few
           // files per storage partition (avoids the n_tasks × n_partitions
           // small-file explosion at scale).
           df.repartition(n, out.partitionKeys.map(df.col): _*)
         else df.repartition(n)
-      case (None, Some(n)) => df.coalesce(n)
+      case (_, None, Some(n)) => df.coalesce(n)
       case _ => df
     }
     // sort_by: order rows WITHIN each task's output file (no global
@@ -126,13 +132,15 @@ object Sinks {
         out.refresh match {
           case Refresh.Full =>
             VersionedTable.commit(spark, location, observed(data),
-              "overwrite", out.format, out.options): Unit
+              "overwrite", out.format, out.options,
+              statsColumns = out.statsColumns): Unit
           case Refresh.Incremental =>
             // txn (checkpoint id, batch id) makes a streaming foreachBatch
             // REPLAY of an already-committed batch a no-op — exactly-once
             // into the versioned table
             VersionedTable.commit(spark, location, observed(data),
-              "append", out.format, out.options, txn = txn): Unit
+              "append", out.format, out.options, txn = txn,
+              statsColumns = out.statsColumns): Unit
           case Refresh.Upsert =>
             val vs = VersionedTable.versions(spark, location)
             val merged =
@@ -142,7 +150,8 @@ object Sinks {
                 .join(data, out.mergeKeys, "left_anti").unionByName(data)
             VersionedTable.commit(spark, location, observed(merged),
               "overwrite", out.format, out.options,
-              expectedLatest = Some(vs.lastOption.getOrElse(0L))): Unit
+              expectedLatest = Some(vs.lastOption.getOrElse(0L)),
+              statsColumns = out.statsColumns): Unit
           case Refresh.Scd2 => throw new graft.config.ConfigError(
             s"output '${out.name}': scd2 with versioned is rejected at parse time")
         }

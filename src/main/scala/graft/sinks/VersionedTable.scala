@@ -42,6 +42,16 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Atomicity of create-if-absent holds on HDFS and local filesystems;
   * on S3 proper it needs a coordination layer (documented deviation —
   * the same one Delta-on-S3 has).
+  *
+  * ZONE MAPS (r10): `commit(statsColumns = ...)` records per-FILE
+  * min/max/null-count for the named columns in a JSONL sidecar the
+  * manifest references (`stats_file`), and [[readPruned]] plans a scan
+  * from ONLY the files whose [min,max] can satisfy a predicate — the
+  * manifest-level data skipping a 100 TB table needs before any byte of
+  * parquet is opened (file pruning from one small JSON beats opening a
+  * million parquet footers; the footers then prune row groups WITHIN
+  * the kept files). Stats cost one extra pass over the NEW files of the
+  * commit only, and appends carry base-file stats forward by name.
   */
 object VersionedTable {
 
@@ -73,13 +83,15 @@ object VersionedTable {
 
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
                                mode: String, files: Seq[(String, Long)],
-                               txn: Option[(String, Long)]): Boolean = {
+                               txn: Option[(String, Long)],
+                               statsFile: Option[String] = None): Boolean = {
     val fileJson = files.sortBy(_._1)
       .map { case (n, b) => s"""{"name":${jstr(n)},"bytes":$b}""" }
       .mkString("[", ",", "]")
     val txnJson = txn.map { case (app, batch) =>
       s""""txn_app":${jstr(app)},"txn_batch":$batch,""" }.getOrElse("")
-    val json = s"""{"version":$v,"mode":${jstr(mode)},$txnJson""" +
+    val statsJson = statsFile.map(sf => s""""stats_file":${jstr(sf)},""").getOrElse("")
+    val json = s"""{"version":$v,"mode":${jstr(mode)},$txnJson$statsJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
     val p = manifestPath(root, v)
     try {
@@ -109,6 +121,191 @@ object VersionedTable {
     """"name":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(manifestText(fs, root, v))
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
   }
+
+  private def manifestField(text: String, key: String): Option[String] =
+    (""""""" + key + """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(text)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-file column stats. `min`/`max` are CANONICAL TOKENS (see
+    * [[canonToken]]): an unquoted decimal for numeric/temporal values, a
+    * JSON string otherwise, the literal `null` for an all-null file.
+    * Ordering on tokens of the same kind equals ordering on the values. */
+  final case class ColStats(min: String, max: String, nulls: Long)
+
+  /** One total order per kind, chosen so stats written at commit time and
+    * predicate values supplied at read time compare exactly:
+    *  - numbers (int/long/float/double/decimal) -> decimal token
+    *  - timestamps -> epoch micros; dates -> epoch days (numeric tokens:
+    *    java.sql.Timestamp.toString renders in the WRITER JVM's default
+    *    time zone, so its string form is not comparable across writers —
+    *    epoch numbers are exact and zone-free)
+    *  - booleans -> 0/1
+    *  - strings (and anything else) -> JSON string, lexicographic
+    * A kind mismatch at prune time keeps the file (conservative). */
+  private[sinks] def canonToken(v: Any): String = v match {
+    case null => "null"
+    case b: Boolean => if (b) "1" else "0"
+    case n: Byte => n.toString
+    case n: Short => n.toString
+    case n: Int => n.toString
+    case n: Long => n.toString
+    case n: Float => BigDecimal(n.toDouble).bigDecimal.toPlainString
+    case n: Double => BigDecimal(n).bigDecimal.toPlainString
+    case n: java.math.BigDecimal => n.toPlainString
+    case n: BigDecimal => n.bigDecimal.toPlainString
+    case t: java.sql.Timestamp => // floorDiv: exact for pre-epoch instants
+      (Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L).toString
+    case t: java.time.Instant =>
+      (t.getEpochSecond * 1000000L + t.getNano / 1000L).toString
+    case t: java.time.LocalDateTime =>
+      canonToken(java.time.Instant.from(t.atZone(java.time.ZoneOffset.UTC)))
+    case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case s => jstr(s.toString)
+  }
+
+  private def unjstr(tok: String): String = {
+    val body = tok.substring(1, tok.length - 1)
+    val sb = new StringBuilder(body.length)
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (c == '\\' && i + 1 < body.length) {
+        body.charAt(i + 1) match {
+          case 'u' => sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar); i += 6
+          case e => sb.append(e); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** cmp on canonical tokens; None = not comparable (null / kind
+    * mismatch). Strings compare on the UNESCAPED value — the escaped
+    * form is not order-preserving (any raw char below '"' would sort
+    * prefixes wrong). */
+  private def cmpTokens(a: String, b: String): Option[Int] = {
+    val aStr = a.startsWith("\""); val bStr = b.startsWith("\"")
+    if (a == "null" || b == "null") None
+    else if (aStr != bStr) None
+    else if (aStr) Some(unjstr(a).compareTo(unjstr(b)))
+    else Some(BigDecimal(a).compare(BigDecimal(b)))
+  }
+
+  /** A commit's sidecar content: per-(file,col) zone maps plus per-file
+    * row counts (the metadata [[history]] answers count(*) from). */
+  private final case class SidecarStats(cols: Seq[(String, String, ColStats)],
+                                        rows: Seq[(String, Long)]) {
+    def isEmpty: Boolean = cols.isEmpty && rows.isEmpty
+    def ++(o: SidecarStats): SidecarStats =
+      SidecarStats(cols ++ o.cols, rows ++ o.rows)
+    def filterFiles(keep: Set[String]): SidecarStats =
+      SidecarStats(cols.filter(x => keep.contains(x._1)),
+        rows.filter(x => keep.contains(x._1)))
+  }
+  private object SidecarStats { val empty: SidecarStats = SidecarStats(Nil, Nil) }
+
+  /** Compute per-file stats for `cols` over exactly `paths` (the NEW
+    * files of one commit). One scan of the new data; the collect is
+    * bounded by n_new_files × n_cols triples. */
+  private def computeStats(spark: SparkSession, paths: Seq[String],
+                           cols: Seq[String], format: String,
+                           options: Map[String, String]): SidecarStats = {
+    import org.apache.spark.sql.functions._
+    if (paths.isEmpty || cols.isEmpty) return SidecarStats.empty
+    val df = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options)).load(paths: _*)
+    val missing = cols.filterNot(df.columns.contains)
+    if (missing.nonEmpty) throw new graft.config.ConfigError(
+      s"versioned commit: stats columns ${missing.mkString(", ")} not in the " +
+        s"frame (has: ${df.columns.mkString(", ")})")
+    val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
+      min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+    val collected = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+    SidecarStats(
+      cols = collected.flatMap { r =>
+        val fileName = new Path(r.getAs[String]("__file")).getName
+        cols.map { c =>
+          (fileName, c, ColStats(
+            canonToken(r.getAs[Any](s"__min_$c")),
+            canonToken(r.getAs[Any](s"__max_$c")),
+            Option(r.getAs[Any](s"__nulls_$c")).fold(0L)(_.toString.toLong)))
+        }
+      },
+      rows = collected.map { r =>
+        (new Path(r.getAs[String]("__file")).getName, r.getAs[Long]("__rows"))
+      })
+  }
+
+  private def statsLine(file: String, col: String, s: ColStats): String =
+    s"""{"name":${jstr(file)},"col":${jstr(col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}}"""
+
+  private def rowsLine(file: String, rows: Long): String =
+    s"""{"name":${jstr(file)},"rows":$rows}"""
+
+  private val RowsLineRe =
+    """\{"name":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
+
+  // min/max are canonical tokens: null | decimal | JSON string — match
+  // them precisely (a greedy .* would split wrong on a string value
+  // containing ","max":)
+  private val StatsLineRe =
+    ("""\{"name":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)",""" +
+      """"min":(null|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"),""" +
+      """"max":(null|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"),"nulls":(\d+)\}""").r
+
+  private def writeStatsFile(fs: FileSystem, root: Path, name: String,
+                             lines: Seq[String]): Unit = {
+    // commit-unique name: safe to overwrite on a rebase retry
+    val os = fs.create(new Path(logDir(root), name), true)
+    try os.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+  }
+
+  private def readStatsLines(fs: FileSystem, root: Path,
+                             name: String): SidecarStats = {
+    val p = new Path(logDir(root), name)
+    if (!fs.exists(p)) return SidecarStats.empty // conservative: prune nothing
+    val in = fs.open(p)
+    val text = try {
+      val out = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+      out.toString("UTF-8")
+    } finally in.close()
+    def un(s: String) = s.replace("\\\"", "\"").replace("\\\\", "\\")
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    SidecarStats(
+      cols = lines.collect { case StatsLineRe(f, c, mn, mx, nulls) =>
+        (un(f), un(c), ColStats(mn, mx, nulls.toLong)) },
+      rows = lines.collect { case RowsLineRe(f, n) => (un(f), n.toLong) })
+  }
+
+  private def sidecarOf(fs: FileSystem, root: Path, v: Long): SidecarStats =
+    manifestField(manifestText(fs, root, v), "stats_file") match {
+      case None => SidecarStats.empty
+      case Some(name) => readStatsLines(fs, root, name)
+    }
+
+  /** Per-file stats of version `v`: file -> column -> stats. Empty map if
+    * the version carries no stats (readers then prune nothing). */
+  def fileStats(spark: SparkSession, location: String,
+                v: Long): Map[String, Map[String, ColStats]] =
+    sidecarOf(fsFor(spark, new Path(location)), new Path(location), v)
+      .cols.groupBy(_._1).map { case (f, xs) =>
+        (f, xs.map { case (_, c, s) => (c, s) }.toMap) }
+
+  /** Per-file row counts of version `v` (recorded when the commit ran
+    * with statsColumns). Empty if the version carries no sidecar. */
+  def fileRows(spark: SparkSession, location: String,
+               v: Long): Map[String, Long] =
+    sidecarOf(fsFor(spark, new Path(location)), new Path(location), v)
+      .rows.toMap
 
   /** The highest batch id `app` has committed (and its version), scanning
     * newest-first. The streaming exactly-once check: a foreachBatch
@@ -140,7 +337,8 @@ object VersionedTable {
              options: Map[String, String] = Map.empty,
              maxRetries: Int = 10,
              expectedLatest: Option[Long] = None,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             statsColumns: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append",
       s"versioned commit: mode must be overwrite|append, got '$mode'")
     val root = new Path(location)
@@ -176,6 +374,13 @@ object VersionedTable {
       (name, st.getLen)
     }
     fs.delete(stage, true)
+    // zone maps: stats for the NEW files only — one scan of this
+    // commit's data, never of the table
+    val newStats: SidecarStats =
+      if (statsColumns.isEmpty) SidecarStats.empty
+      else computeStats(spark,
+        moved.map { case (n, _) => new Path(dataDir(root), n).toString },
+        statsColumns, format, options)
     var attempt = 0
     while (attempt < maxRetries) {
       val latest = versions(spark, location).lastOption
@@ -191,7 +396,26 @@ object VersionedTable {
           }
         else Seq.empty
       val v = latest.getOrElse(0L) + 1
-      if (writeManifestCas(fs, root, v, mode, base ++ moved, txn)) return v
+      // an append carries the base files' stats forward by name, so one
+      // sidecar per manifest covers every file it references; written
+      // BEFORE the CAS (commit-unique name — losers leave a vacuumable
+      // orphan, never a dangling reference)
+      val statsFile: Option[String] = {
+        val baseStats =
+          if (mode == "append" && latest.nonEmpty)
+            sidecarOf(fs, root, latest.get).filterFiles(base.map(_._1).toSet)
+          else SidecarStats.empty
+        val all = baseStats ++ newStats
+        if (all.isEmpty) None
+        else {
+          val name = s"stats-$commitId.jsonl"
+          writeStatsFile(fs, root, name,
+            all.cols.sortBy(x => (x._1, x._2)).map { case (f, c, s) => statsLine(f, c, s) } ++
+              all.rows.sortBy(_._1).map { case (f, n) => rowsLine(f, n) })
+          Some(name)
+        }
+      }
+      if (writeManifestCas(fs, root, v, mode, base ++ moved, txn, statsFile)) return v
       attempt += 1 // lost the race: re-read latest and rebase
     }
     throw new java.io.IOException(
@@ -222,6 +446,159 @@ object VersionedTable {
       .load(files: _*)
   }
 
+  /** A zone-map-pruned snapshot scan: `df` reads ONLY the kept files. */
+  final case class PrunedScan(df: DataFrame, totalFiles: Int, keptFiles: Int)
+
+  /** Pruning predicate against a stats column. `op` ∈ {=, <, <=, >, >=};
+    * `value` is canonicalized by the SAME rule as the stored stats
+    * ([[canonToken]]) — pass the natural JVM type (Long, String,
+    * java.sql.Date/Timestamp, ...). */
+  final case class Prune(column: String, op: String, value: Any) {
+    require(Set("=", "<", "<=", ">", ">=").contains(op),
+      s"prune: op must be one of = < <= > >=, got '$op'")
+  }
+
+  /** Snapshot read that PLANS FROM THE ZONE MAPS: a file is skipped when
+    * its recorded [min,max] proves no row can satisfy ALL `predicates`
+    * (conjunction). Conservative everywhere stats are absent or not
+    * comparable — the scan is always a superset of the matching rows,
+    * so callers apply the real filter on the result exactly as they
+    * would after parquet row-group pruning. An all-null file is skipped
+    * for every op (no comparison predicate matches NULL).
+    *
+    * At 100 TB this is the first pruning tier: one small JSONL decides
+    * which of a million files to open, before any parquet footer is
+    * touched; the footers' row-group stats then prune WITHIN kept files
+    * (the sink's sort_by/range_partition_keys make both tiers sharp). */
+  def readPruned(spark: SparkSession, location: String,
+                 predicates: Seq[Prune],
+                 asOf: Option[Long] = None, format: String = "parquet",
+                 options: Map[String, String] = Map.empty): PrunedScan = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned read: no committed versions at '$location'")
+    val v = asOf.getOrElse(vs.last)
+    if (!vs.contains(v)) throw new graft.config.ConfigError(
+      s"versioned read: version $v not in committed set ${vs.mkString("[", ",", "]")}")
+    val files = readManifest(fs, root, v)
+    val stats = fileStats(spark, location, v)
+    val preds = predicates.map(p => (p.column, p.op, canonToken(p.value)))
+    def mayMatch(f: String): Boolean = preds.forall { case (c, op, tok) =>
+      stats.get(f).flatMap(_.get(c)) match {
+        case None => true // no stats for this file/column: keep
+        case Some(s) =>
+          if (s.min == "null" && s.max == "null") false // all-null file
+          else {
+            val vsMin = cmpTokens(tok, s.min) // sign of (value - min)
+            val vsMax = cmpTokens(tok, s.max)
+            (op, vsMin, vsMax) match {
+              case ("=", Some(a), Some(b)) => a >= 0 && b <= 0
+              case ("<", Some(a), _) => a > 0 // min < value
+              case ("<=", Some(a), _) => a >= 0 // min <= value
+              case (">", _, Some(b)) => b < 0 // max > value
+              case (">=", _, Some(b)) => b <= 0 // max >= value
+              case _ => true // kind mismatch: keep (conservative)
+            }
+          }
+      }
+    }
+    val kept = files.filter(mayMatch)
+    val df =
+      if (kept.isEmpty)
+        // provably empty under the predicates: an empty frame with the
+        // table's schema, zero files opened
+        read(spark, location, Some(v), format, options).limit(0)
+      else spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(kept.map(n => new Path(dataDir(root), n).toString): _*)
+    graft.log.Log.info("versioned pruned read",
+      "location" -> location, "version" -> s"v$v",
+      "files_total" -> files.size.toString, "files_kept" -> kept.size.toString)
+    PrunedScan(df, files.size, kept.size)
+  }
+
+  private def manifestMode(fs: FileSystem, root: Path, v: Long): String =
+    manifestField(manifestText(fs, root, v), "mode").getOrElse("overwrite")
+
+  /** CDC over the log: the rows ADDED by each commit in
+    * (`fromVersion`, `toVersion`], tagged `_commit_version` — the
+    * incremental-consumer read (process only what arrived since the
+    * bookmark, never rescan the table). Works on APPEND commits, whose
+    * new rows are exactly their new files — file-level metadata, no
+    * diffing. An overwrite commit in the range is a full logical
+    * replace; its row-level delta would cost a two-snapshot EXCEPT scan,
+    * so it aborts loudly — the consumer should re-read the snapshot
+    * (same contract as Delta's readChangeFeed on non-CDF rewrites). */
+  def changesBetween(spark: SparkSession, location: String,
+                     fromVersion: Long, toVersion: Long,
+                     format: String = "parquet",
+                     options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    require(fromVersion < toVersion,
+      s"versioned changes: need fromVersion < toVersion, got $fromVersion >= $toVersion")
+    Seq(fromVersion, toVersion).foreach { v =>
+      if (!vs.contains(v)) throw new graft.config.ConfigError(
+        s"versioned changes: version $v not in committed set ${vs.mkString("[", ",", "]")}")
+    }
+    val range = vs.filter(v => v > fromVersion && v <= toVersion)
+    val frames = range.map { v =>
+      if (manifestMode(fs, root, v) != "append")
+        throw new graft.config.ConfigError(
+          s"versioned changes: v$v of '$location' is an overwrite commit — " +
+            "its row-level delta is a full two-snapshot diff; read the " +
+            s"snapshot (as_of_version: $v) instead")
+      val prev = readManifest(fs, root, v - 1).toSet
+      val added = readManifest(fs, root, v).filterNot(prev.contains)
+      if (added.isEmpty)
+        read(spark, location, Some(v), format, options).limit(0)
+          .withColumn("_commit_version", lit(v))
+      else spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(added.map(n => new Path(dataDir(root), n).toString): _*)
+        .withColumn("_commit_version", lit(v))
+    }
+    frames.reduceLeft(_.unionByName(_))
+  }
+
+  /** DESCRIBE HISTORY from metadata alone: one row per committed version
+    * — mode, file count, total bytes (manifest fields) and row count
+    * (sidecar, null for commits without stats). NO data file is opened:
+    * at 100 TB this answers "how big is the table / what did each
+    * commit add" from a few KB of log, where a count(*) scan is a job. */
+  def history(spark: SparkSession, location: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned history: no committed versions at '$location'")
+    val rows = vs.map { v =>
+      val text = manifestText(fs, root, v)
+      val bytes = """"bytes":(\d+)""".r.findAllMatchIn(text)
+        .map(_.group(1).toLong).sum
+      val nFiles = """"n_files":(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(0L)
+      val sc = sidecarOf(fs, root, v)
+      val nRows: Any =
+        if (sc.rows.isEmpty) null else sc.rows.map(_._2).sum
+      org.apache.spark.sql.Row(v, manifestMode(fs, root, v), nFiles, bytes, nRows)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("mode", StringType, nullable = false),
+        StructField("n_files", LongType, nullable = false),
+        StructField("total_bytes", LongType, nullable = false),
+        StructField("n_rows", LongType, nullable = true))))
+  }
+
   /** Reclaim space: delete manifests BELOW `keepFromVersion` and every
     * data file no kept manifest references (including dead writers'
     * never-referenced orphans). Namespace-only, cost ∝ file count. */
@@ -247,6 +624,17 @@ object VersionedTable {
     vs.filter(_ < keepFromVersion).foreach { v =>
       fs.delete(manifestPath(root, v), false)
       dropped += f"_graft_log/v$v%05d.json"
+    }
+    // stats sidecars: keep those the kept manifests reference; drop the
+    // rest (dropped manifests' sidecars + dead CAS losers' orphans)
+    val keptStats = kept.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "stats_file")).toSet
+    fs.listStatus(logDir(root)).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && n.startsWith("stats-") && !keptStats.contains(n)) {
+        fs.delete(st.getPath, false)
+        dropped += s"_graft_log/$n"
+      }
     }
     dropped.toSeq
   }

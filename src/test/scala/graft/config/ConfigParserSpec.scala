@@ -343,6 +343,16 @@ class ConfigParserSpec extends AnyFunSuite {
           |""".stripMargin, "scd2 with versioned")
     bad("""job: {name: j, type: spark-sql}
           |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: s3, location: /o, stats_columns: k}
+          |sql: SELECT 1
+          |""".stripMargin, "stats_columns requires versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
+          |output_table: {name: o, target: s3, location: /o, range_partition_keys: k, coalesce: "2"}
+          |sql: SELECT 1
+          |""".stripMargin, "range_partition_keys cannot be combined with coalesce")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t}]
           |output_table: {name: o, target: gdc, database: db, versioned: "true"}
           |sql: SELECT 1
           |""".stripMargin, "versioned is supported for s3/file targets only")

@@ -124,4 +124,125 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.read(spark, loc, asOf = Some(7L)))
     assert(e2.getMessage.contains("not in committed set"))
   }
+
+  // ------------------------------------------------- zone maps / pruning
+
+  import VersionedTable.Prune
+
+  test("zone maps: pruned read opens only files whose [min,max] can match") {
+    val loc = tmp("zm1")
+    // 4 range-disjoint files: [1..10], [11..20], [21..30], [31..40]
+    val df = spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "id * 2 AS w")
+      .repartitionByRange(4, $"k")
+    VersionedTable.commit(spark, loc, df, "overwrite", statsColumns = Seq("k"))
+    def scan(p: Prune*) = VersionedTable.readPruned(spark, loc, p)
+    val eq = scan(Prune("k", "=", 15))
+    assert(eq.totalFiles == 4 && eq.keptFiles == 1)
+    assert(eq.df.filter($"k" === 15).count() == 1)
+    val range = scan(Prune("k", ">", 10), Prune("k", "<=", 30))
+    assert(range.keptFiles == 2)
+    assert(range.df.filter($"k" > 10 && $"k" <= 30).count() == 20)
+    val below = scan(Prune("k", "<", 1))
+    assert(below.keptFiles == 0 && below.df.count() == 0)
+    assert(below.df.schema.fieldNames.toSeq == Seq("k", "w"))
+    // no stats column named: conservative keep-everything
+    val nostats = scan(Prune("w", "=", -5))
+    assert(nostats.keptFiles == 4)
+  }
+
+  test("zone maps: appends carry base-file stats forward; all-null files skip") {
+    val loc = tmp("zm2")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1),
+      "overwrite", statsColumns = Seq("k", "v"))
+    VersionedTable.commit(spark, loc,
+      Seq((100, "x")).toDF("k", "v").coalesce(1), "append", statsColumns = Seq("k", "v"))
+    // all-null k file: no comparison predicate can match NULL -> skipped
+    VersionedTable.commit(spark, loc,
+      Seq((null.asInstanceOf[Integer], "n")).toDF("k", "v").coalesce(1),
+      "append", statsColumns = Seq("k", "v"))
+    val s = VersionedTable.readPruned(spark, loc, Seq(Prune("k", "<=", 2)))
+    assert(s.totalFiles == 3 && s.keptFiles == 1) // base stats survived the appends
+    assert(rows(s.df.filter($"k" <= 2)) == Set((1, "a"), (2, "b")))
+    // string zone maps order on the raw value
+    val sv = VersionedTable.readPruned(spark, loc, Seq(Prune("v", ">=", "x")))
+    assert(sv.keptFiles == 1)
+    assert(sv.df.select("v").as[String].collect().toSet == Set("x"))
+  }
+
+  test("zone maps: canonical tokens order timestamps/dates numerically") {
+    // Timestamp.toString renders in the writer JVM's default zone (not
+    // comparable across writers); the canonical token is epoch micros
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00.1")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00.05")
+    assert(BigDecimal(VersionedTable.canonToken(t1)) >
+      BigDecimal(VersionedTable.canonToken(t2)))
+    val d1 = java.sql.Date.valueOf("2026-02-01")
+    val d2 = java.sql.Date.valueOf("2026-01-31")
+    assert(BigDecimal(VersionedTable.canonToken(d1)) >
+      BigDecimal(VersionedTable.canonToken(d2)))
+  }
+
+  test("vacuum keeps referenced stats sidecars, drops orphaned ones") {
+    val loc = tmp("zm3")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"),
+      "overwrite", statsColumns = Seq("k"))
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"),
+      "append", statsColumns = Seq("k"))
+    val dropped = VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 2L)
+    assert(dropped.exists(_.matches("_graft_log/stats-.*"))) // v1's sidecar
+    // v2's sidecar still referenced: pruning still works after vacuum
+    val s = VersionedTable.readPruned(spark, loc, Seq(Prune("k", "=", 2)))
+    assert(s.keptFiles == 1 && s.totalFiles == 2)
+  }
+
+  test("history answers version/mode/files/rows from metadata alone") {
+    val loc = tmp("h1")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1),
+      "overwrite", statsColumns = Seq("k"))
+    VersionedTable.commit(spark, loc,
+      Seq((3, "c")).toDF("k", "v").coalesce(1), "append", statsColumns = Seq("k"))
+    VersionedTable.commit(spark, loc,
+      Seq((9, "z")).toDF("k", "v").coalesce(1), "overwrite") // no stats: null rows
+    val h = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("mode"),
+        r.getAs[Long]("n_files"),
+        if (r.isNullAt(r.fieldIndex("n_rows"))) -1L else r.getAs[Long]("n_rows")))
+      .toSeq.sortBy(_._1)
+    assert(h == Seq((1L, "overwrite", 1L, 2L), (2L, "append", 2L, 3L),
+      (3L, "overwrite", 1L, -1L)))
+    assert(VersionedTable.fileRows(spark, loc, 2L).values.toSeq.sorted == Seq(1L, 2L))
+    // total_bytes: positive and growing with the file set
+    val bytes = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("total_bytes"))).toMap
+    assert(bytes.values.forall(_ > 0) && bytes(2L) > bytes(1L))
+  }
+
+  // ----------------------------------------------------------------- CDC
+
+  test("changesBetween returns exactly the appended rows, tagged with their commit") {
+    val loc = tmp("cdc1")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((2, "b"), (3, "c")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc, Seq((4, "d")).toDF("k", "v"), "append")
+    val ch = VersionedTable.changesBetween(spark, loc, 1L, 3L)
+    val got = ch.collect().map(r => (r.getAs[Int]("k"), r.getAs[Long]("_commit_version"))).toSet
+    assert(got == Set((2, 2L), (3, 2L), (4, 3L)))
+    // sub-range
+    val ch2 = VersionedTable.changesBetween(spark, loc, 2L, 3L)
+    assert(ch2.collect().map(_.getAs[Int]("k")).toSet == Set(4))
+  }
+
+  test("changesBetween aborts loudly on an overwrite commit in the range") {
+    val loc = tmp("cdc2")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "overwrite")
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.changesBetween(spark, loc, 1L, 2L).collect())
+    assert(e.getMessage.contains("overwrite commit"))
+    val bad = intercept[graft.config.ConfigError](
+      VersionedTable.changesBetween(spark, loc, 1L, 9L))
+    assert(bad.getMessage.contains("not in committed set"))
+  }
 }
