@@ -129,7 +129,13 @@ object ScaleCheck {
     // pure variant projections (~linear); the versioned lifecycle is
     // metadata-dominated (near-flat)
     "ext130_bpe_train", "ext131_bpe_segment", "st49_stream_bpe_segment",
-    "ext132_choice_resolution", "fw_acid", "fw_upsert_pruned")
+    "ext132_choice_resolution", "fw_acid", "fw_upsert_pruned",
+    // zone maps / CDC / history: each query is dominated by its own
+    // commit lifecycle (writing the scaled table — ~linear); the read
+    // side must NOT add a table-sized term (pruned probe opens a
+    // bounded file subset, CDC reads only the appended files, history
+    // reads only the log), so the total must read ~linear, never above
+    "fw_zonemap", "fw_changes", "fw_history", "ext133_cdc_dedup")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -937,6 +937,50 @@ object Framework {
       .select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** Zone maps ON THE STREAM: the [[fwStreamAcid]] drain with
+    * `stats_columns` — every micro-batch append commit records its new
+    * files' min/max/rows in the sidecar (stats cost ∝ the batch, never
+    * the table), so a downstream range consumer prunes the versioned
+    * table WITHOUT any batch-side compaction step. The require pins
+    * that a doc_id range probe actually skips files at both SFs. */
+  private def fwStreamZonemap(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream_zonemap")
+    rmrf(s, base)
+    s.read.parquet(s"$d/documents.parquet").write.parquet(s"$base/in")
+    val yaml =
+      s"""job:
+         |  name: fw-stream-zonemap
+         |  type: spark-sql
+         |  streaming: available_now
+         |  checkpoint_location: $base/ckpt
+         |input_tables:
+         |  - name: documents
+         |    source: s3
+         |    location: $base/in
+         |    format: parquet
+         |    schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+         |output_table:
+         |  name: stream_zm_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: incremental
+         |  versioned: true
+         |  repartition: "8"
+         |  range_partition_keys: doc_id
+         |  stats_columns: doc_id
+         |sql: >
+         |  SELECT doc_id, source, lang, n_chars FROM documents
+         |""".stripMargin
+    run(s, yaml)
+    val scan = graft.sinks.VersionedTable.readPruned(s, s"$base/out",
+      Seq(graft.sinks.VersionedTable.Prune("doc_id", "<", 60L)))
+    require(scan.keptFiles < scan.totalFiles,
+      s"fw_stream_zonemap: expected pruning on the streamed commits, kept " +
+        s"${scan.keptFiles} of ${scan.totalFiles}")
+    scan.df.filter(org.apache.spark.sql.functions.col("doc_id") < 60)
+      .select("doc_id", "source", "lang", "n_chars")
+  }
+
   /** Native graft aggregates on the DECLARATIVE surface: the ext98
     * heavy-hitters two-pass written entirely in the engine's
     * single-SELECT SQL (sql_file), using the `misra_gries` function the
@@ -1691,6 +1735,9 @@ object Framework {
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       CASE WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
         |FROM customer""".stripMargin)),
+    "fw_stream_zonemap" -> Q(fwStreamZonemap, Some(
+      """SELECT doc_id, source, lang, n_chars
+        |FROM documents WHERE doc_id < 60""".stripMargin)),
     "fw_zonemap" -> Q(fwZonemap, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment
