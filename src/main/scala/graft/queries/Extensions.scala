@@ -3746,6 +3746,43 @@ ${OracleSql.InvIndex}
              |FROM documents d LEFT JOIN known k ON md5(d.text) = k.f
              |WHERE d.doc_id % 2 = 1""".stripMargin)),
 
+    // Targeted data selection (the DSIR move, integer-exact): score
+    // every out-of-domain doc by hashed-unigram histogram intersection
+    // with the in-domain sample (doc_id % 10 = 0). 1000 = identical
+    // token distribution, 0 = disjoint. The target histogram (<=10000
+    // buckets) broadcasts; the corpus side is explode + two
+    // doc-partitioned exchanges — work linear in corpus tokens.
+    "ext134_domain_affinity" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.domainAffinity(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |         ('0x' || substr(md5(t || ':da'), 1, 8))::BIGINT % 10000 AS b
+             |  FROM (SELECT doc_id,
+             |               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+             |        FROM documents)
+             |),
+             |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE doc_id % 10 = 0 GROUP BY b),
+             |nt AS (SELECT count(*) AS n FROM tok WHERE doc_id % 10 = 0),
+             |db AS (SELECT doc_id, b, count(*) AS cd FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+             |dn AS (SELECT doc_id, sum(cd) AS nd FROM db GROUP BY doc_id),
+             |num AS (
+             |  SELECT db.doc_id, sum(least(db.cd * nt.n, tgt.ct * dn.nd)) AS num
+             |  FROM db JOIN dn USING (doc_id) JOIN tgt USING (b) CROSS JOIN nt
+             |  GROUP BY db.doc_id
+             |)
+             |SELECT dn.doc_id, CAST(dn.nd AS BIGINT) AS n_tokens,
+             |       CAST(coalesce(num.num, 0) AS BIGINT) AS overlap_num,
+             |       CAST(CASE WHEN num.num IS NULL THEN 0
+             |                 ELSE (1000 * num.num) // (dn.nd * (SELECT n FROM nt))
+             |            END AS BIGINT) AS affinity_milli
+             |FROM dn LEFT JOIN num USING (doc_id)""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,

@@ -756,4 +756,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.textRank(docs, "doc_id", "text",
       k = 10, minCount = 5, iters = 3).isEmpty)
   }
+
+  test("domainAffinity: hand-computed histogram intersection in milli") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the arithmetic below assumes the four tokens land in distinct
+    // hash buckets — assert it, so a (deterministic) collision can
+    // never silently change the expected values
+    val toks = Seq("alpha", "beta", "gamma", "delta")
+    val b = toks.map(t => spark.range(1)
+      .select(Sampling.hashBucket(lit(t), "da")).head.getLong(0))
+    assert(b.distinct.size == 4, s"bucket collision among $toks: $b")
+    val target = Seq((100L, "alpha beta")).toDF("doc_id", "text") // N_t = 2
+    val corpus = Seq(
+      (1L, "alpha beta"),   // identical distribution -> 1000
+      (2L, "gamma delta"),  // disjoint -> 0
+      (3L, "alpha gamma"),  // half the mass in-domain -> 500
+      (4L, "alpha alpha")   // INTERSECTION, not overlap count: the doc
+                            // over-concentrates alpha; min(2*2, 1*2)=2 -> 500
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.domainAffinity(corpus, target, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("overlap_num"), r.getAs[Long]("affinity_milli"))).toSet
+    assert(got == Set((1L, 2L, 4L, 1000L), (2L, 2L, 0L, 0L),
+      (3L, 2L, 2L, 500L), (4L, 2L, 2L, 500L)))
+  }
+
+  test("domainAffinity: tokenless docs absent; zero-overlap docs kept") {
+    import spark.implicits._
+    val target = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "   "), (2L, "q")).toDF("doc_id", "text")
+    val got = TextAnalysis.domainAffinity(corpus, target, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("affinity_milli")))
+    assert(got.toSeq == Seq((2L, 0L)))
+  }
 }
