@@ -135,7 +135,12 @@ object ScaleCheck {
     // side must NOT add a table-sized term (pruned probe opens a
     // bounded file subset, CDC reads only the appended files, history
     // reads only the log), so the total must read ~linear, never above
-    "fw_zonemap", "fw_changes", "fw_history", "ext133_cdc_dedup")
+    "fw_zonemap", "fw_changes", "fw_history", "ext133_cdc_dedup",
+    // domain affinity: explode + (doc,bucket) agg + doc window, target
+    // hist broadcast — must read ~linear in corpus tokens; the
+    // selection adds the (priority, sub-bucket) prefix machinery whose
+    // window state is one sub-bucket — also ~linear
+    "ext134_domain_affinity", "ext135_affinity_select")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -218,6 +218,54 @@ object Sampling {
       .select(col(idCol), col(groupCol), col(tokenCol), col("cum_tokens"))
   }
 
+  /** PRIORITY-ordered token-budget selection: keep the best-first
+    * prefix — rows ordered by (priority DESC, md5(id:salt), id) — whose
+    * running token total stays within `budgetTokens`. The selection
+    * step of targeted data curation: score docs (e.g.
+    * [[TextAnalysis.domainAffinity]]'s milli score), then take the
+    * highest-scoring slice that fits the training budget; ties broken
+    * uniformly (the hash permutation) so a fat tie class at the cut is
+    * sampled, not truncated by id order.
+    *
+    * CONTRACT: `priorityCol` must be a non-null integral in
+    * [0, priorityMax] (milli/micro-scaled scores — the repo's integer
+    * discipline already produces these).
+    *
+    * Scale shape: the [[budgetSample]] trick with the priority as the
+    * leading coarse key — order-aligned buckets are (priorityMax −
+    * priority, first 2 hex of the hash), so per-(priority, sub-bucket)
+    * subtotals (≤ (priorityMax+1)×256 rows) prefix-sum into offsets on
+    * a tiny frame, offsets broadcast back, and the running total's
+    * window holds one sub-bucket — a fat tie class (every doc scoring
+    * 0) splits 256 ways instead of sorting in one task. Buckets wholly
+    * past the budget are pruned before any window sort. */
+  def priorityBudgetSample(df: DataFrame, idCol: String, priorityCol: String,
+                           tokenCol: String, budgetTokens: Long, salt: String,
+                           priorityMax: Long = 1000L): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(idCol), col(priorityCol), col(tokenCol))
+      .withColumn("__p", lit(priorityMax) - col(priorityCol))
+      .withColumn("__k", md5(concat(col(idCol).cast("string"), lit(":" + salt))))
+      .withColumn("__b", conv(substring(col("__k"), 1, 2), 16, 10).cast("int"))
+    val offsets = keyed.groupBy(col("__p"), col("__b"))
+      .agg(sum(col(tokenCol)).cast("long").as("__bt"))
+      .withColumn("__off",
+        coalesce(sum(col("__bt")).over(
+          Window.orderBy(col("__p"), col("__b"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__off") <= budgetTokens)
+      .select(col("__p"), col("__b"), col("__off"))
+    keyed.join(broadcast(offsets), Seq("__p", "__b"))
+      .withColumn("cum_tokens",
+        (col("__off") + sum(col(tokenCol)).over(
+          Window.partitionBy(col("__p"), col("__b"))
+            .orderBy(col("__k"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))).cast("long"))
+      .filter(col("cum_tokens") <= budgetTokens)
+      .select(col(idCol), col(priorityCol), col(tokenCol), col("cum_tokens"))
+  }
+
   /** Fixed-SIZE uniform sample per group — "exactly n docs per source,
     * reproducibly" (the per-rate [[stratifiedSample]] fixes the
     * FRACTION; evaluation sets and per-domain probes need the COUNT).

@@ -25,6 +25,38 @@ object Extensions {
   private def emb(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
+  /** Shared DuckDB fragment: the ext134 domain-affinity computation as
+    * CTE blocks ending in `aff(doc_id, n_tokens, overlap_num,
+    * affinity_milli)` — ONE definition for the scorer and every
+    * selection query composed on top (the BoilerSentence discipline:
+    * a formula change is one edit, not N coordinated ones). Target =
+    * doc_id % 10 = 0, corpus = the rest, salt 'da'. */
+  private val DomainAffinityCte: String =
+    """tok AS (
+      |  SELECT doc_id,
+      |         ('0x' || substr(md5(t || ':da'), 1, 8))::BIGINT % 10000 AS b
+      |  FROM (SELECT doc_id,
+      |               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
+      |        FROM documents)
+      |),
+      |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE doc_id % 10 = 0 GROUP BY b),
+      |nt AS (SELECT count(*) AS n FROM tok WHERE doc_id % 10 = 0),
+      |db AS (SELECT doc_id, b, count(*) AS cd FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+      |dn AS (SELECT doc_id, sum(cd) AS nd FROM db GROUP BY doc_id),
+      |num AS (
+      |  SELECT db.doc_id, sum(least(db.cd * nt.n, tgt.ct * dn.nd)) AS num
+      |  FROM db JOIN dn USING (doc_id) JOIN tgt USING (b) CROSS JOIN nt
+      |  GROUP BY db.doc_id
+      |),
+      |aff AS (
+      |  SELECT dn.doc_id, CAST(dn.nd AS BIGINT) AS n_tokens,
+      |         CAST(coalesce(num.num, 0) AS BIGINT) AS overlap_num,
+      |         CAST(CASE WHEN num.num IS NULL THEN 0
+      |                   ELSE (1000 * num.num) // (dn.nd * (SELECT n FROM nt))
+      |              END AS BIGINT) AS affinity_milli
+      |  FROM dn LEFT JOIN num USING (doc_id)
+      |)""".stripMargin
+
   /** ext78's piece vocabulary — a static artifact (a tokenizer vocab
     * file), shared verbatim between the Spark plan and the oracle SQL.
     * Multi-char pieces segment the fixture's vocabulary words; the
@@ -3760,28 +3792,40 @@ ${OracleSql.InvIndex}
           all.filter(col("doc_id") % 10 === 0),
           "doc_id", "text")
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |         ('0x' || substr(md5(t || ':da'), 1, 8))::BIGINT % 10000 AS b
-             |  FROM (SELECT doc_id,
-             |               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS t
-             |        FROM documents)
-             |),
-             |tgt AS (SELECT b, count(*) AS ct FROM tok WHERE doc_id % 10 = 0 GROUP BY b),
-             |nt AS (SELECT count(*) AS n FROM tok WHERE doc_id % 10 = 0),
-             |db AS (SELECT doc_id, b, count(*) AS cd FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
-             |dn AS (SELECT doc_id, sum(cd) AS nd FROM db GROUP BY doc_id),
-             |num AS (
-             |  SELECT db.doc_id, sum(least(db.cd * nt.n, tgt.ct * dn.nd)) AS num
-             |  FROM db JOIN dn USING (doc_id) JOIN tgt USING (b) CROSS JOIN nt
-             |  GROUP BY db.doc_id
+      Some(s"""WITH $DomainAffinityCte
+             |SELECT doc_id, n_tokens, overlap_num, affinity_milli
+             |FROM aff""".stripMargin)),
+
+    // The SELECTION step on top of ext134: the best-first token-budget
+    // prefix — order by (affinity DESC, md5 permutation, doc_id), keep
+    // rows while the running token total fits the 5000-token budget.
+    // Ties at the cut are sampled uniformly (the hash), not truncated
+    // by id. Scale: priorityBudgetSample's (priority, hash-sub-bucket)
+    // prefix-sum machinery — per-task window state is one sub-bucket,
+    // never the corpus; whole buckets past the budget pruned pre-sort.
+    "ext135_affinity_select" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val scored = TextAnalysis.domainAffinity(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        Sampling.priorityBudgetSample(scored, "doc_id", "affinity_milli",
+          "n_tokens", budgetTokens = 5000L, salt = "sel")
+      },
+      Some(s"""WITH $DomainAffinityCte,
+             |sel AS (
+             |  SELECT doc_id, affinity_milli, n_tokens,
+             |         sum(n_tokens) OVER (
+             |           ORDER BY affinity_milli DESC,
+             |                    md5(doc_id::VARCHAR || ':sel'), doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM aff
              |)
-             |SELECT dn.doc_id, CAST(dn.nd AS BIGINT) AS n_tokens,
-             |       CAST(coalesce(num.num, 0) AS BIGINT) AS overlap_num,
-             |       CAST(CASE WHEN num.num IS NULL THEN 0
-             |                 ELSE (1000 * num.num) // (dn.nd * (SELECT n FROM nt))
-             |            END AS BIGINT) AS affinity_milli
-             |FROM dn LEFT JOIN num USING (doc_id)""".stripMargin)),
+             |SELECT doc_id, CAST(affinity_milli AS BIGINT) AS affinity_milli,
+             |       CAST(n_tokens AS BIGINT) AS n_tokens,
+             |       CAST(cum AS BIGINT) AS cum_tokens
+             |FROM sel WHERE cum <= 5000""".stripMargin)),
 
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —

@@ -172,6 +172,28 @@ class SamplingSpec extends SparkSpec {
     assert(got.values.forall(_ <= 800L))
   }
 
+  test("priorityBudgetSample takes the best-first prefix, hash-sampling ties") {
+    val rnd = new scala.util.Random(23)
+    val df = (1L to 500L).map(i =>
+      (i, (rnd.nextInt(5) * 250).toLong, 1L + rnd.nextInt(30).toLong))
+      .toDF("id", "prio", "toks") // fat tie classes at 5 priority levels
+    val got = Sampling.priorityBudgetSample(df, "id", "prio", "toks", 900L, "p0")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("cum_tokens")).toMap
+    // independent replay: order by (prio DESC, md5(id:p0), id), running
+    // sum, keep while <= budget
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long) = md.digest(s"$id:p0".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    var cum = 0L
+    val expected = rows.toSeq.sortBy(x => (-x._2, key(x._1), x._1)).flatMap {
+      case (id, _, t) =>
+        cum += t
+        if (cum <= 900L) Some(id -> cum) else None
+    }.toMap
+    assert(got == expected)
+    assert(got.nonEmpty && got.values.forall(_ <= 900L))
+  }
+
   test("shuffleShards is a salt-keyed permutation with exact shard arithmetic") {
     val df = (1L to 1000L).toDF("doc_id")
     val s1 = Sampling.shuffleShards(df, "doc_id", "e0", 64L).collect()
