@@ -140,7 +140,10 @@ object ScaleCheck {
     // hist broadcast — must read ~linear in corpus tokens; the
     // selection adds the (priority, sub-bucket) prefix machinery whose
     // window state is one sub-bucket — also ~linear
-    "ext134_domain_affinity", "ext135_affinity_select")
+    "ext134_domain_affinity", "ext135_affinity_select",
+    // the ingest twin: same math over the Update-mode changelog — state
+    // (doc,bucket)-bounded, must track ext134's ~linear reading
+    "st50_stream_affinity")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1780,27 +1780,48 @@ object TextAnalysis {
     * count + per-doc agg: work ∝ corpus tokens, no corpus shuffle wider
     * than (doc,bucket), no driver traffic beyond the broadcast. */
   def domainAffinity(corpus: DataFrame, target: DataFrame, idCol: String,
-                     textCol: String, salt: String = "da"): DataFrame = {
+                     textCol: String, salt: String = "da"): DataFrame =
+    domainAffinityFromCounts(
+      tokenBuckets(corpus, Seq(col(idCol).as("doc_id")), textCol, salt)
+        .groupBy(col("doc_id"), col("__b"))
+        .agg(count(lit(1)).as("cd")),
+      targetHistogram(target, textCol, salt))
+
+  /** md5-bucketed token explode — ONE definition shared by the batch
+    * scorer and the streaming feeder (st50) so both provably bucket
+    * identically. */
+  private[graft] def tokenBuckets(df: DataFrame, keep: Seq[Column],
+                                  textCol: String, salt: String): DataFrame =
+    df.select(keep :+ explode(filter(words(col(textCol)), t => t =!= ""))
+      .as("__t"): _*)
+      .withColumn("__b", Sampling.hashBucket(col("__t"), salt))
+
+  /** The target side of [[domainAffinity]]: (__b, ct, nt) — per-bucket
+    * counts with the total riding every row (a windowed sum over the
+    * ≤10000-row histogram, bounded by construction), ready to
+    * broadcast. */
+  def targetHistogram(target: DataFrame, textCol: String,
+                      salt: String = "da"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def buckets(df: DataFrame, keep: Seq[Column]): DataFrame =
-      df.select(keep :+ explode(filter(words(col(textCol)), t => t =!= ""))
-        .as("__t"): _*)
-        .withColumn("__b", Sampling.hashBucket(col("__t"), salt))
-    val tgt = buckets(target, Nil)
+    tokenBuckets(target, Nil, textCol, salt)
       .groupBy(col("__b")).agg(count(lit(1)).as("ct"))
-    // N_t rides the broadcast as a windowed total — no separate action
-    val tgtHist = tgt.withColumn("nt", sum(col("ct")).over(
-      Window.partitionBy()))
-    // per-(doc,bucket) counts, then N_d as a window sum: the window's
-    // doc_id partitioning also satisfies the final grouping, so the
-    // corpus pays exactly two exchanges ((doc,bucket) agg + doc window)
-    val docBuckets = buckets(corpus, Seq(col(idCol).as("doc_id")))
-      .groupBy(col("doc_id"), col("__b"))
-      .agg(count(lit(1)).as("cd"))
+      .withColumn("nt", sum(col("ct")).over(Window.partitionBy()))
+  }
+
+  /** [[domainAffinity]] from pre-aggregated per-(doc_id, __b) counts
+    * `cd` — the entry the STREAMING twin uses (st50 collapses an
+    * Update-mode count changelog to the same frame), kept as the one
+    * definition of the intersection math so batch and stream can't
+    * fork. N_d is a window sum whose doc_id partitioning also satisfies
+    * the final grouping: the counts frame pays one exchange here. */
+  def domainAffinityFromCounts(docBuckets: DataFrame,
+                               tgtHist: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withNd = docBuckets
       .withColumn("nd", sum(col("cd")).over(Window.partitionBy(col("doc_id"))))
     // left join: a doc whose buckets never hit the target keeps its row
     // (affinity 0); docs with NO tokens are absent by explode semantics
-    docBuckets.join(broadcast(tgtHist), Seq("__b"), "left")
+    withNd.join(broadcast(tgtHist), Seq("__b"), "left")
       .groupBy(col("doc_id"), col("nd"))
       .agg(sum(least(col("cd") * col("nt"), col("ct") * col("nd"))).as("num"),
         max(col("nt")).as("nt"))

@@ -31,7 +31,7 @@ object Extensions {
     * selection query composed on top (the BoilerSentence discipline:
     * a formula change is one edit, not N coordinated ones). Target =
     * doc_id % 10 = 0, corpus = the rest, salt 'da'. */
-  private val DomainAffinityCte: String =
+  private[queries] val DomainAffinityCte: String =
     """tok AS (
       |  SELECT doc_id,
       |         ('0x' || substr(md5(t || ':da'), 1, 8))::BIGINT % 10000 AS b

@@ -1572,6 +1572,32 @@ ${OracleSql.InvIndex}
       },
       Some(Extensions.bpeSegmentOracle(8))),
 
+    // Domain affinity AT INGEST: per-(doc, bucket) token counts as one
+    // Update-mode aggregation (MAX-collapse changelog, the st43/st44
+    // order-free discipline; bucketing is the batch scorer's OWN
+    // tokenBuckets), then ext134's intersection math runs in batch over
+    // the collapsed counts via the SHARED domainAffinityFromCounts —
+    // the target histogram is a static batch frame. Oracle: ext134's
+    // shared CTE, verbatim.
+    "st50_stream_affinity" -> Q(
+      (s, d) => {
+        val drained = Streams.runToMemory(s,
+          Streams.docBucketCountsStream(
+            Streams.readDocumentsStream(s, d)
+              .filter(col("doc_id") % 10 =!= 0), "doc_id", "text", "da"),
+          "st50_aff", OutputMode.Update())
+        TextAnalysis.domainAffinityFromCounts(
+          drained.groupBy(col("doc_id"), col("__b"))
+            .agg(max(col("cd")).as("cd"))
+            .toDF("doc_id", "__b", "cd"),
+          TextAnalysis.targetHistogram(
+            s.read.parquet(s"$d/documents.parquet")
+              .filter(col("doc_id") % 10 === 0), "text", "da"))
+      },
+      Some(s"""WITH ${Extensions.DomainAffinityCte}
+             |SELECT doc_id, n_tokens, overlap_num, affinity_milli
+             |FROM aff""".stripMargin)),
+
     // Streaming session PATHS: q92's capped '>'-joined paths emitted by
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark

@@ -1235,6 +1235,24 @@ object Streams {
       .groupBy(col("slice"), col("token"))
       .agg(count(lit(1)).as("c"))
 
+  /** Per-(doc, hash-bucket) token counts ON THE STREAM — the
+    * domain-affinity feeder (st50): one Update-mode aggregation over
+    * [[graft.operators.TextAnalysis.tokenBuckets]]'s explode (the SAME
+    * bucketing as the batch scorer), MAX-collapse changelog (counts
+    * only grow — order-free under any batch split). State is one long
+    * per (doc, bucket) — corpus-bounded like st08/st48's exact tiers,
+    * the documented cost of exact per-doc scoring at ingest (a
+    * watermark-windowed variant bounds it when docs arrive whole, which
+    * they do here — each doc is one row, so state is only ever written
+    * once and a production deployment would TTL it). */
+  def docBucketCountsStream(docs: DataFrame, idCol: String, textCol: String,
+                            salt: String): DataFrame =
+    graft.operators.TextAnalysis.tokenBuckets(
+      docs.filter(col(textCol).isNotNull),
+      Seq(col(idCol).as("doc_id")), textCol, salt)
+      .groupBy(col("doc_id"), col("__b"))
+      .agg(count(lit(1)).as("cd"))
+
   /** Streaming per-(slice, content-hash) copy counts + min doc id — the
     * dup-rate feeder (st48): one Update-mode aggregation; BOTH state
     * fields are order-free (count only grows → changelog collapses by
