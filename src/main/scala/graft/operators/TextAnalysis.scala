@@ -1756,15 +1756,17 @@ object TextAnalysis {
   }
 
   /** Domain-affinity scoring for TARGETED data selection — the
-    * data-mixing move behind DSIR (Xie et al., "Data Selection for
-    * Language Models via Importance Resampling", NeurIPS 2023):
-    * given a small in-domain `target` sample, score every corpus doc
-    * by how closely its hashed-unigram distribution matches the
-    * target's, so a selection pass can keep the top slice (or sample
-    * ∝ score). DSIR's log-ratio weights need floats; the repo's
-    * oracle discipline replaces them with HISTOGRAM INTERSECTION in
-    * integer milli — same ranking intent (1000 = identical
-    * distribution, 0 = disjoint), exactly replayable cross-engine:
+    * DISTRIBUTION-level companion to [[importanceWeight]] (ext58's
+    * per-token target-posterior sum, the DSIR weight analog): given a
+    * small in-domain `target` sample, score every corpus doc by how
+    * closely its hashed-unigram DISTRIBUTION matches the target's —
+    * HISTOGRAM INTERSECTION in integer milli. Where ext58 rewards every
+    * target-like token independently (a doc spamming one in-domain word
+    * scores high), the intersection is capped per bucket by the
+    * target's own mass, so over-concentration cannot buy affinity; the
+    * [0, 1000] bound also makes it directly usable as a selection
+    * priority ([[Sampling.priorityBudgetSample]]). Exactly replayable
+    * cross-engine:
     *
     *   affinity_milli(d) = 1000·Σ_b min(c_d(b)·N_t, c_t(b)·N_d)
     *                       DIV (N_d · N_t)

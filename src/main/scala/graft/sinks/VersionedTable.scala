@@ -345,6 +345,33 @@ object VersionedTable {
     val fs = fsFor(spark, root)
     fs.mkdirs(dataDir(root))
     fs.mkdirs(logDir(root))
+    // appends must match the table's column set: the snapshot read loads
+    // an explicit file list, so a silently drifted schema would surface
+    // only at read time (missing/extra columns depending on which file
+    // the reader samples first). Evolution is opt-in: commit AND read
+    // with mergeSchema=true (one footer read — metadata, not data).
+    if (mode == "append") {
+      versions(spark, location).lastOption.foreach { lv =>
+        val existing = readManifest(fs, root, lv)
+        if (existing.nonEmpty &&
+          !options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))) {
+          val tableCols = spark.read.format(format)
+            .options(graft.sources.Sources.mapOptions(options))
+            .load(new Path(dataDir(root), existing.head).toString)
+            .columns.toSet
+          val newCols = df.columns.toSet
+          if (tableCols != newCols) {
+            val missing = (tableCols -- newCols).toSeq.sorted
+            val added = (newCols -- tableCols).toSeq.sorted
+            throw new graft.config.ConfigError(
+              s"versioned commit: append schema drift at '$location' v$lv — " +
+                (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}; " else "") +
+                (if (added.nonEmpty) s"added: ${added.mkString(", ")}; " else "") +
+                "pass mergeSchema=true in options (commit AND read) to evolve")
+          }
+        }
+      }
+    }
     // exactly-once for streaming foreachBatch: if this (app, batch) — or
     // a later batch of the same app — is already committed, the offer is
     // a WAL replay: skip BEFORE any data is written, return the version

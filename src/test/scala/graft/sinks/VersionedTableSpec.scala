@@ -219,6 +219,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(bytes.values.forall(_ > 0) && bytes(2L) > bytes(1L))
   }
 
+  test("append schema drift fails loudly; mergeSchema opts into evolution") {
+    val loc = tmp("ev1")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.commit(spark, loc,
+        Seq((2, "b", 7L)).toDF("k", "v", "extra"), "append"))
+    assert(e.getMessage.contains("schema drift") && e.getMessage.contains("extra"))
+    // opt-in evolution: commit and read with mergeSchema
+    val ms = Map("mergeSchema" -> "true")
+    VersionedTable.commit(spark, loc,
+      Seq((2, "b", 7L)).toDF("k", "v", "extra"), "append", options = ms)
+    val got = VersionedTable.read(spark, loc, options = ms)
+      .collect().map(r => (r.getAs[Int]("k"),
+        Option(r.getAs[Any]("extra")).map(_.toString.toLong))).toSet
+    assert(got == Set((1, None), (2, Some(7L)))) // old rows null-padded
+  }
+
   // ----------------------------------------------------------------- CDC
 
   test("changesBetween returns exactly the appended rows, tagged with their commit") {
