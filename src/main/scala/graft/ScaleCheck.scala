@@ -143,7 +143,10 @@ object ScaleCheck {
     "ext134_domain_affinity", "ext135_affinity_select",
     // the ingest twin: same math over the Update-mode changelog — state
     // (doc,bucket)-bounded, must track ext134's ~linear reading
-    "st50_stream_affinity")
+    "st50_stream_affinity",
+    // file-level merge: the narrow upsert must rewrite a bounded file
+    // subset — read side ∝ touched files, publish ∝ table write
+    "fw_merge_pruned")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

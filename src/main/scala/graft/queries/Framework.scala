@@ -578,6 +578,53 @@ object Framework {
     graft.sinks.VersionedTable.changesBetween(s, s"$base/out", 1L, 3L)
   }
 
+  /** FILE-LEVEL MERGE through the YAML surface: a versioned publish with
+    * range-disjoint files + zone maps on the merge key, then an upsert
+    * touching only keys <= 20 — the merge must rewrite the one file
+    * whose range can match and carry the other seven BY REFERENCE
+    * (asserted via the carried-forward sidecar stats names, which track
+    * file identity). The A16-at-scale contract: a narrow daily upsert
+    * rewrites ~1/8 of this table, and would rewrite ~0.1% of a 100 TB
+    * one. */
+  private def fwMergePruned(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "merge_pruned")
+    rmrf(s, base)
+    def yaml(refresh: String, extra: String, sql: String) =
+      s"""job:
+         |  name: fw-merge-pruned
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: mp_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: $refresh
+         |  versioned: "true"
+         |  repartition: "8"
+         |  range_partition_keys: c_custkey
+         |  stats_columns: c_custkey
+         |$extra
+         |sql: >
+         |  $sql
+         |""".stripMargin
+    run(s, yaml("full", "",
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |  'v1' AS version FROM customer""".stripMargin.replace("\n", " ")))
+    run(s, yaml("upsert", "  merge_keys: c_custkey",
+      """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v2' AS version
+        |  FROM customer WHERE c_custkey <= 20""".stripMargin.replace("\n", " ")))
+    val v1Files = graft.sinks.VersionedTable.fileStats(s, s"$base/out", 1L).keySet
+    val v2Files = graft.sinks.VersionedTable.fileStats(s, s"$base/out", 2L).keySet
+    val carried = (v1Files intersect v2Files).size
+    require(carried >= v1Files.size - 2,
+      s"fw_merge_pruned: expected the narrow upsert to carry most files by " +
+        s"reference, carried $carried of ${v1Files.size}")
+    graft.sinks.VersionedTable.read(s, s"$base/out")
+  }
+
   /** DESCRIBE HISTORY from metadata alone: three engine commits with
     * `stats_columns` (which records per-file row counts in the sidecar),
     * then [[graft.sinks.VersionedTable.history]] — version, mode, file
@@ -1750,6 +1797,12 @@ object Framework {
         |SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       CAST(3 AS BIGINT) AS _commit_version
         |FROM customer WHERE c_custkey % 3 = 2""".stripMargin)),
+    "fw_merge_pruned" -> Q(fwMergePruned, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey <= 20 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey <= 20 THEN 'v2' ELSE 'v1' END AS version
+        |FROM customer""".stripMargin)),
     "fw_history" -> Q(fwHistory, Some(
       """SELECT CAST(1 AS BIGINT) AS version, 'overwrite' AS mode,
         |       CAST(2 AS BIGINT) AS n_files,

@@ -106,7 +106,11 @@ object Sinks {
     * unchanged/closed/opened branches), so observing it upstream would
     * multiply the counts. Attached on the merged frame the metrics
     * describe the table as PUBLISHED, which is what a publish audit
-    * certifies anyway. */
+    * certifies anyway. Under PRUNED merges (partitioned upsert,
+    * versioned file-level merge) the executed-once frame covers the
+    * REWRITTEN portion only — untouched partitions/files carry by
+    * reference and are deliberately not re-scanned for metrics (a
+    * whole-table metrics pass would defeat the pruning). */
   def write(spark: SparkSession, df: DataFrame, out: OutputTable,
             txn: Option[(String, Long)] = None): Seq[(String, Any)] = {
     val data = shaped(df, out)
@@ -142,16 +146,15 @@ object Sinks {
               "append", out.format, out.options, txn = txn,
               statsColumns = out.statsColumns): Unit
           case Refresh.Upsert =>
-            val vs = VersionedTable.versions(spark, location)
-            val merged =
-              if (vs.isEmpty) data
-              else VersionedTable.read(spark, location, Some(vs.last),
-                  out.format, out.options)
-                .join(data, out.mergeKeys, "left_anti").unionByName(data)
-            VersionedTable.commit(spark, location, observed(merged),
-              "overwrite", out.format, out.options,
-              expectedLatest = Some(vs.lastOption.getOrElse(0L)),
-              statsColumns = out.statsColumns): Unit
+            // FILE-LEVEL merge: only files whose zone maps can contain
+            // an arrival key are rewritten; the rest carry by
+            // reference (stats_columns on the merge key makes the
+            // pruning sharp; without stats it degrades to a full
+            // rewrite — correct, just unpruned). Serializable.
+            VersionedTable.merge(spark, location, data,
+              out.mergeKeys, out.format, out.options,
+              statsColumns = out.statsColumns,
+              publishTransform = observed): Unit
           case Refresh.Scd2 => throw new graft.config.ConfigError(
             s"output '${out.name}': scd2 with versioned is rejected at parse time")
         }

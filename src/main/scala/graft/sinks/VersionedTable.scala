@@ -324,6 +324,23 @@ object VersionedTable {
     }.collectFirst { case Some(hit) => hit }
   }
 
+  private def stageAndMove(fs: FileSystem, root: Path, df: DataFrame,
+                           format: String, options: Map[String, String]): (String, Seq[(String, Long)]) = {
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(root, s".stage-$commitId")
+    df.write.format(format).options(graft.sources.Sources.mapOptions(options))
+      .mode(SaveMode.Overwrite).save(stage.toString)
+    val moved = fs.globStatus(new Path(stage, "part-*")).toSeq.map { st =>
+      val name = s"$commitId-${st.getPath.getName}"
+      val dst = new Path(dataDir(root), name)
+      if (!fs.rename(st.getPath, dst))
+        throw new java.io.IOException(s"versioned commit: move ${st.getPath} -> $dst failed")
+      (name, st.getLen)
+    }
+    fs.delete(stage, true)
+    (commitId, moved)
+  }
+
   /** Atomically commit `df` as the next version. `mode` = "overwrite"
     * (the new version IS this frame) or "append" (new version = latest
     * version's files + this frame's). Returns the committed version.
@@ -389,18 +406,7 @@ object VersionedTable {
     }
     // stage, then move parts into the append-only data namespace under a
     // commit-unique prefix (invisible until a manifest references them)
-    val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val stage = new Path(root, s".stage-$commitId")
-    df.write.format(format).options(graft.sources.Sources.mapOptions(options))
-      .mode(SaveMode.Overwrite).save(stage.toString)
-    val moved = fs.globStatus(new Path(stage, "part-*")).toSeq.map { st =>
-      val name = s"$commitId-${st.getPath.getName}"
-      val dst = new Path(dataDir(root), name)
-      if (!fs.rename(st.getPath, dst))
-        throw new java.io.IOException(s"versioned commit: move ${st.getPath} -> $dst failed")
-      (name, st.getLen)
-    }
-    fs.delete(stage, true)
+    val (commitId, moved) = stageAndMove(fs, root, df, format, options)
     // zone maps: stats for the NEW files only — one scan of this
     // commit's data, never of the table
     val newStats: SidecarStats =
@@ -471,6 +477,109 @@ object VersionedTable {
     spark.read.format(format)
       .options(graft.sources.Sources.mapOptions(options))
       .load(files: _*)
+  }
+
+  /** FILE-LEVEL MERGE (upsert): arrivals replace table rows with equal
+    * `keys`, new keys insert — and only the files whose zone maps can
+    * contain an arrival key are read and REWRITTEN; every other file
+    * carries into the new manifest BY REFERENCE, zero bytes moved. The
+    * Delta/Iceberg MERGE shape: at 100 TB a day's upsert touching 0.1%
+    * of the key space rewrites ~0.1% of the files, not the table.
+    * Pruning is the [min(arrival key), max(arrival key)] range against
+    * each file's `keys.head` zone map — conservative (missing stats →
+    * file rewritten; sound for multi-key merges since it prunes on the
+    * leading key only); an all-null-key file is never touched (equality
+    * never matches NULL). SERIALIZABLE: a concurrent commit since the
+    * snapshot aborts loudly — a silent rebase would resurrect rows the
+    * concurrent writer replaced. Returns the committed version. */
+  def merge(spark: SparkSession, location: String, arrivals: DataFrame,
+            keys: Seq[String], format: String = "parquet",
+            options: Map[String, String] = Map.empty,
+            statsColumns: Seq[String] = Nil,
+            // applied to the MERGED frame right before staging — the hook
+            // sink-level Observations attach through (the arrivals frame
+            // appears twice in the merge plan, so observing it upstream
+            // would double the counts)
+            publishTransform: DataFrame => DataFrame = identity,
+            // a caller that computed `arrivals` against a pinned snapshot
+            // passes that version here: a commit that landed since aborts
+            // at entry (the read-to-publish window is guarded by the
+            // single-attempt CAS regardless)
+            expectedLatest: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
+    require(keys.nonEmpty, "versioned merge: keys must be non-empty")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    expectedLatest.foreach { exp =>
+      if (vs.lastOption.getOrElse(0L) != exp)
+        throw new java.util.ConcurrentModificationException(
+          s"versioned merge: serializable conflict at '$location' — snapshot " +
+            s"was v$exp, latest is v${vs.lastOption.getOrElse(0L)}; re-read and re-merge")
+    }
+    if (vs.isEmpty)
+      return commit(spark, location, publishTransform(arrivals), "overwrite",
+        format, options, statsColumns = statsColumns)
+    val latest = vs.last
+    val files = readManifest(fs, root, latest)
+    val stats = fileStats(spark, location, latest)
+    val k0 = keys.head
+    val bounds = arrivals.agg(fmin(col(k0)), fmax(col(k0))).head()
+    val (lo, hi) = (canonToken(bounds.get(0)), canonToken(bounds.get(1)))
+    def touchedBy(f: String): Boolean =
+      if (lo == "null") false // every arrival key NULL: equality never matches
+      else stats.get(f).flatMap(_.get(k0)) match {
+        case None => true // no zone map: must assume a match
+        case Some(s) =>
+          if (s.min == "null" && s.max == "null") false // all-null-key file
+          else (cmpTokens(s.max, lo), cmpTokens(s.min, hi)) match {
+            case (Some(a), Some(b)) => a >= 0 && b <= 0 // ranges overlap
+            case _ => true // kinds incomparable: conservative rewrite
+          }
+      }
+    val touched = files.filter(touchedBy)
+    val untouched = files.filterNot(touched.toSet)
+    val merged =
+      if (touched.isEmpty) arrivals
+      else spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(touched.map(n => new Path(dataDir(root), n).toString): _*)
+        .join(arrivals, keys, "left_anti")
+        .unionByName(arrivals)
+    val (commitId, moved) = stageAndMove(fs, root, publishTransform(merged),
+      format, options)
+    val newStats =
+      if (statsColumns.isEmpty) SidecarStats.empty
+      else computeStats(spark,
+        moved.map { case (n, _) => new Path(dataDir(root), n).toString },
+        statsColumns, format, options)
+    val carried = sidecarOf(fs, root, latest).filterFiles(untouched.toSet)
+    val all = carried ++ newStats
+    val statsFile =
+      if (all.isEmpty) None
+      else {
+        val name = s"stats-$commitId.jsonl"
+        writeStatsFile(fs, root, name,
+          all.cols.sortBy(x => (x._1, x._2)).map { case (f, c, s) => statsLine(f, c, s) } ++
+            all.rows.sortBy(_._1).map { case (f, n) => rowsLine(f, n) })
+        Some(name)
+      }
+    val untouchedSized = untouched.map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    // serializable: exactly one CAS attempt at latest+1 — losing means a
+    // concurrent commit landed since our snapshot, and our merged frame
+    // is stale (it would silently drop that writer's rows)
+    if (!writeManifestCas(fs, root, latest + 1, "merge",
+      untouchedSized ++ moved, None, statsFile))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned merge: serializable conflict at '$location' — snapshot " +
+          s"was v$latest; a concurrent commit won v${latest + 1}; re-read and re-merge")
+    graft.log.Log.info("versioned merge",
+      "location" -> location, "version" -> s"v${latest + 1}",
+      "files_rewritten" -> touched.size.toString,
+      "files_carried" -> untouched.size.toString)
+    latest + 1
   }
 
   /** A zone-map-pruned snapshot scan: `df` reads ONLY the kept files. */
@@ -574,9 +683,10 @@ object VersionedTable {
     }
     val range = vs.filter(v => v > fromVersion && v <= toVersion)
     val frames = range.map { v =>
-      if (manifestMode(fs, root, v) != "append")
+      val m = manifestMode(fs, root, v)
+      if (m != "append")
         throw new graft.config.ConfigError(
-          s"versioned changes: v$v of '$location' is an overwrite commit — " +
+          s"versioned changes: v$v of '$location' is a $m commit — " +
             "its row-level delta is a full two-snapshot diff; read the " +
             s"snapshot (as_of_version: $v) instead")
       val prev = readManifest(fs, root, v - 1).toSet

@@ -236,6 +236,81 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set((1, None), (2, Some(7L)))) // old rows null-padded
   }
 
+  // --------------------------------------------------- file-level merge
+
+  test("merge rewrites only zone-map-matched files; the rest carry by reference") {
+    val loc = tmp("m1")
+    // 4 range-disjoint files over k = 1..40
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    val before = VersionedTable.fileStats(spark, loc, 1L).keySet
+    assert(before.size == 4)
+    // arrivals touch keys 12 and 15 — one file's range
+    val v = VersionedTable.merge(spark, loc,
+      Seq((12, "X"), (15, "Y"), (99, "NEW")).toDF("k", "v").coalesce(1), Seq("k"),
+      statsColumns = Seq("k"))
+    assert(v == 2L)
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$loc/_graft_log/v00002.json")), "UTF-8")
+    // pruning is the arrival [min,max] range = [12,99], which spans the
+    // three upper files (the documented coarseness); file 1 (1..10)
+    // must carry by reference
+    val carried = before.filter(after.contains)
+    assert(carried.nonEmpty && carried.size < 4)
+    // content exact
+    val got = VersionedTable.read(spark, loc).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toMap
+    assert(got(12) == "X" && got(15) == "Y" && got(99) == "NEW" &&
+      got(1) == "1" && got(40) == "40" && got.size == 41)
+    // zone maps survive: a pruned probe on the carried range still skips
+    val pr = VersionedTable.readPruned(spark, loc, Seq(VersionedTable.Prune("k", "=", 5)))
+    assert(pr.keptFiles < pr.totalFiles)
+  }
+
+  test("merge with a tight arrival range carries every non-matched file") {
+    val loc = tmp("m2")
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    val before = VersionedTable.fileStats(spark, loc, 1L).keySet
+    VersionedTable.merge(spark, loc,
+      Seq((12, "X"), (15, "Y")).toDF("k", "v").coalesce(1), Seq("k"),
+      statsColumns = Seq("k"))
+    val after = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$loc/_graft_log/v00002.json")), "UTF-8")
+    assert(before.count(after.contains) == 3) // only the 11..20 file rewritten
+    assert(VersionedTable.read(spark, loc).count() == 40)
+    // history shows the merge commit
+    val modes = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("mode"))).toMap
+    assert(modes == Map(1L -> "overwrite", 2L -> "merge"))
+  }
+
+  test("merge without zone maps degrades to a full rewrite, still exact") {
+    val loc = tmp("m3")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v").coalesce(1), "overwrite") // no stats
+    VersionedTable.merge(spark, loc, Seq((2, "B"), (3, "c")).toDF("k", "v"), Seq("k"))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+
+  test("merge is serializable: a commit since the snapshot aborts loudly") {
+    val loc = tmp("m4")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    // plant a concurrent v2 (copy of v1) to lose the CAS
+    val log = new java.io.File(s"$loc/_graft_log")
+    java.nio.file.Files.copy(
+      new java.io.File(log, "v00001.json").toPath,
+      new java.io.File(log, "v00002.json").toPath)
+    val e = intercept[java.util.ConcurrentModificationException](
+      VersionedTable.merge(spark, loc, Seq((1, "A")).toDF("k", "v"), Seq("k"),
+        expectedLatest = Some(1L)))
+    assert(e.getMessage.contains("re-read and re-merge"))
+  }
+
   // ----------------------------------------------------------------- CDC
 
   test("changesBetween returns exactly the appended rows, tagged with their commit") {
