@@ -29,12 +29,25 @@ object SourceSpec {
     * we implement it for real. */
   final case class Jdbc(url: String, database: String, table: String,
                         options: Map[String, String]) extends SourceSpec
+  /** One parsed `prune:` clause on a versioned input: column, op
+    * (= < <= > >=), and the literal — a long or a (single-quoted)
+    * string, matching the zone-map token kinds. */
+  final case class PruneClause(column: String, op: String,
+                               longValue: Option[Long], stringValue: Option[String]) {
+    def value: Any = longValue.getOrElse(stringValue.get)
+  }
+
   /** Versioned-manifest table scan (`versioned: true` on the input,
     * beyond-reference; [[graft.sinks.VersionedTable]]): snapshot read of
-    * the latest — or `as_of_version: N` — committed version. */
+    * the latest — or `as_of_version: N` — committed version. `prune:`
+    * clauses (AND-joined comparisons) plan the scan from the manifest
+    * zone maps — files that cannot match are never opened — and are
+    * re-applied as an ordinary filter on the kept files, so the
+    * registered view is EXACTLY the predicate's rows. */
   final case class Versioned(location: String, format: String,
                              options: Map[String, String],
-                             asOfVersion: Option[Long] = None) extends SourceSpec
+                             asOfVersion: Option[Long] = None,
+                             prune: Seq[PruneClause] = Nil) extends SourceSpec
 }
 
 /** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
@@ -234,6 +247,28 @@ object ConfigParser {
     case null => Nil
     case other => throw new ConfigError(s"$ctx: expected list, got ${other.getClass.getSimpleName}")
   }
+  private val PruneClauseRe =
+    """^([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+)$""".r
+
+  /** `prune: "c_custkey <= 20 AND c_mktsegment = 'BUILDING'"` — a small
+    * AND-joined comparison list (the zone-map-skippable shapes), parsed
+    * AT CONFIG TIME so a typo fails before the job runs. Literals:
+    * longs, or single-quoted strings. */
+  private def parsePrune(name: String, s: String): Seq[SourceSpec.PruneClause] =
+    s.split("(?i)\\bAND\\b").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case PruneClauseRe(colName, op, rawLit) =>
+        val l = rawLit.trim
+        if (l.length >= 2 && l.startsWith("'") && l.endsWith("'"))
+          SourceSpec.PruneClause(colName, op, None, Some(l.substring(1, l.length - 1)))
+        else try SourceSpec.PruneClause(colName, op, Some(l.toLong), None)
+        catch { case _: NumberFormatException => throw new ConfigError(
+          s"input '$name': prune literal '$l' must be an integer or a " +
+            "single-quoted string") }
+      case clause => throw new ConfigError(
+        s"input '$name': prune clause '$clause' must be <column> <op> <literal> " +
+          "with op one of = < <= > >= (clauses joined by AND)")
+    }
+
   private def str(m: Map[String, Any], k: String): Option[String] =
     m.get(k).filter(_ != null).map(_.toString)
   private def strMap(v: Any, ctx: String): Map[String, String] =
@@ -276,13 +311,18 @@ object ConfigParser {
       }
       if (asOf.nonEmpty && !versionedIn) throw new ConfigError(
         s"input '$name': as_of_version requires versioned: true")
+      val pruneClauses = str(t, "prune").map(parsePrune(name, _)).getOrElse(Nil)
+      if (pruneClauses.nonEmpty && !versionedIn) throw new ConfigError(
+        s"input '$name': prune requires versioned: true " +
+          "(file skipping plans from the commit manifest's zone maps)")
       val source = str(t, "source").getOrElse("s3").toLowerCase match {
         case "s3" | "file" if versionedIn =>
           if (str(t, "schema").exists(_.trim.nonEmpty)) throw new ConfigError(
             s"input '$name': versioned reads take the schema from the committed files; drop schema:")
           SourceSpec.Versioned(
             str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
-            str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts, asOf)
+            str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts, asOf,
+            pruneClauses)
         case _ if versionedIn => throw new ConfigError(
           s"input '$name': versioned is supported for s3/file sources only")
         case "s3" | "file" => SourceSpec.File(

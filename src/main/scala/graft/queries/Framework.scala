@@ -578,6 +578,55 @@ object Framework {
     graft.sinks.VersionedTable.changesBetween(s, s"$base/out", 1L, 3L)
   }
 
+  /** Zone-map pruning through the YAML INPUT surface: publish customer
+    * versioned with range-disjoint files + stats, then a second engine
+    * run reads it with `prune:` (parsed comparisons, planned from the
+    * manifest, re-applied exactly) and republishes plain. The config
+    * user's form of [[fwZonemap]]'s API call. */
+  private def fwPruneInput(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "prune_input")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-prune-publish
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: pi_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: full
+         |  versioned: "true"
+         |  repartition: "8"
+         |  range_partition_keys: c_custkey
+         |  stats_columns: c_custkey,c_mktsegment
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |  c_mktsegment FROM customer
+         |""".stripMargin)
+    run(s,
+      s"""job:
+         |  name: fw-prune-read
+         |  type: spark-sql
+         |input_tables:
+         |  - name: snap
+         |    source: s3
+         |    location: $base/out
+         |    versioned: "true"
+         |    prune: "c_custkey <= 40 AND c_mktsegment = 'BUILDING'"
+         |output_table:
+         |  name: pi_final
+         |  target: s3
+         |  location: $base/final
+         |sql: >
+         |  SELECT c_custkey, cents, c_mktsegment FROM snap
+         |""".stripMargin)
+    s.read.parquet(s"$base/final")
+  }
+
   /** FILE-LEVEL MERGE through the YAML surface: a versioned publish with
     * range-disjoint files + zone maps on the merge key, then an upsert
     * touching only keys <= 20 — the merge must rewrite the one file
@@ -1797,6 +1846,11 @@ object Framework {
         |SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       CAST(3 AS BIGINT) AS _commit_version
         |FROM customer WHERE c_custkey % 3 = 2""".stripMargin)),
+    "fw_prune_input" -> Q(fwPruneInput, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE c_custkey <= 40 AND c_mktsegment = 'BUILDING'""".stripMargin)),
     "fw_merge_pruned" -> Q(fwMergePruned, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey <= 20 THEN 0

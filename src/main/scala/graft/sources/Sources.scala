@@ -56,12 +56,32 @@ object Sources {
           throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
       reader.load(location)
 
-    case SourceSpec.Versioned(location, format, options, asOf) =>
+    case SourceSpec.Versioned(location, format, options, asOf, prune) =>
       // snapshot read of a versioned-manifest table: the plan loads
       // EXACTLY the resolved manifest's file list (time travel via
-      // as_of_version), never a directory listing
-      graft.sinks.VersionedTable.read(spark, location, asOf, format,
-        mapOptions(options))
+      // as_of_version), never a directory listing. `prune:` plans from
+      // the zone maps (files that cannot match are never opened), then
+      // re-applies the clauses as an ordinary filter on the kept files
+      // so the view is exactly the predicate's rows.
+      if (prune.isEmpty)
+        graft.sinks.VersionedTable.read(spark, location, asOf, format,
+          mapOptions(options))
+      else {
+        import org.apache.spark.sql.functions.{col, lit}
+        val scan = graft.sinks.VersionedTable.readPruned(spark, location,
+          prune.map(p => graft.sinks.VersionedTable.Prune(p.column, p.op, p.value)),
+          asOf, format, mapOptions(options))
+        prune.foldLeft(scan.df) { (df, p) =>
+          val c = col(p.column); val v = lit(p.value)
+          df.filter(p.op match {
+            case "=" => c === v
+            case "<" => c < v
+            case "<=" => c <= v
+            case ">" => c > v
+            case ">=" => c >= v
+          })
+        }
+      }
 
     case SourceSpec.Catalog(database, table) =>
       // A2: catalog scan via the session catalog / metastore

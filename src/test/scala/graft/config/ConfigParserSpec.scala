@@ -347,6 +347,32 @@ class ConfigParserSpec extends AnyFunSuite {
           |sql: SELECT 1
           |""".stripMargin, "stats_columns requires versioned")
     bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, prune: "k <= 5"}]
+          |sql: SELECT 1
+          |""".stripMargin, "prune requires versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", prune: "k != 5"}]
+          |sql: SELECT 1
+          |""".stripMargin, "must be <column> <op> <literal>")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", prune: "k = 1.5.2"}]
+          |sql: SELECT 1
+          |""".stripMargin, "must be an integer or a single-quoted string")
+    // the happy path parses clauses at config time
+    val pj = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - {name: s, source: s3, location: /t, versioned: "true", prune: "k <= 20 AND seg = 'BUILDING'"}
+        |sql: SELECT 1
+        |""".stripMargin)
+    pj.inputTables.head.source match {
+      case SourceSpec.Versioned(_, _, _, _, prune) =>
+        assert(prune == Seq(
+          SourceSpec.PruneClause("k", "<=", Some(20L), None),
+          SourceSpec.PruneClause("seg", "=", None, Some("BUILDING"))))
+      case other => fail(s"expected versioned source, got $other")
+    }
+    bad("""job: {name: j, type: spark-sql}
           |input_tables: [{name: s, source: s3, location: /t}]
           |output_table: {name: o, target: s3, location: /o, range_partition_keys: k, coalesce: "2"}
           |sql: SELECT 1
