@@ -474,7 +474,10 @@ object Sinks {
       val v = VersionedTable.commit(spark, location,
         VersionedTable.read(spark, location, None, format,
           graft.sources.Sources.mapOptions(options)).coalesce(nFiles),
-        "overwrite", format, graft.sources.Sources.mapOptions(options))
+        "overwrite", format, graft.sources.Sources.mapOptions(options),
+        // recompute the zone maps the table tracks — a rewrite that
+        // dropped them would silently kill every pruned read downstream
+        statsColumns = VersionedTable.trackedStatsColumns(spark, location))
       graft.log.Log.info("compacted versioned table",
         "location" -> location, "committed" -> s"v$v")
       return
@@ -627,7 +630,10 @@ object Sinks {
           .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
           .sortWithinPartitions("__z")
           .select(cols.map(org.apache.spark.sql.functions.col): _*),
-        "overwrite", format, graft.sources.Sources.mapOptions(options))
+        "overwrite", format, graft.sources.Sources.mapOptions(options),
+        // keep the tracked zone maps alive through the rewrite (and a
+        // z-ordered rewrite is exactly what makes them sharp)
+        statsColumns = VersionedTable.trackedStatsColumns(spark, location))
       graft.log.Log.info("clustered versioned table",
         "location" -> location, "committed" -> s"v$v")
       return

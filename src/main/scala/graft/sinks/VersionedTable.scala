@@ -307,6 +307,16 @@ object VersionedTable {
     sidecarOf(fsFor(spark, new Path(location)), new Path(location), v)
       .rows.toMap
 
+  /** The columns the table's LATEST version tracks zone maps for —
+    * what a maintenance rewrite (compact / cluster) must recompute so
+    * its overwrite commit doesn't silently drop the pruning tier. */
+  def trackedStatsColumns(spark: SparkSession, location: String): Seq[String] = {
+    val vs = versions(spark, location)
+    if (vs.isEmpty) Nil
+    else sidecarOf(fsFor(spark, new Path(location)), new Path(location), vs.last)
+      .cols.map(_._2).distinct.sorted
+  }
+
   /** The highest batch id `app` has committed (and its version), scanning
     * newest-first. The streaming exactly-once check: a foreachBatch
     * REPLAY (crash between sink commit and checkpoint commit) re-offers

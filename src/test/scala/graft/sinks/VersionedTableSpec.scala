@@ -236,6 +236,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set((1, None), (2, Some(7L)))) // old rows null-padded
   }
 
+  test("compact and z-order rewrites keep the tracked zone maps alive") {
+    val loc = tmp("zm4")
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "id * 2 AS w")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    Sinks.compact(spark, loc, "parquet", nFiles = 2)
+    val afterCompact = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("k", "<=", 5)))
+    assert(afterCompact.totalFiles == 2 && afterCompact.keptFiles == 1)
+    Sinks.clusterZOrder(spark, loc, "parquet", Seq("k", "w"), nFiles = 4)
+    val afterCluster = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("k", "<=", 5)))
+    assert(afterCluster.totalFiles == 4 && afterCluster.keptFiles < 4)
+    assert(afterCluster.df.filter($"k" <= 5).count() == 5)
+  }
+
   // --------------------------------------------------- file-level merge
 
   test("merge rewrites only zone-map-matched files; the rest carry by reference") {
