@@ -146,7 +146,7 @@ object ScaleCheck {
     "st50_stream_affinity",
     // file-level merge: the narrow upsert must rewrite a bounded file
     // subset — read side ∝ touched files, publish ∝ table write
-    "fw_merge_pruned")
+    "fw_merge_pruned", "fw_prune_input")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

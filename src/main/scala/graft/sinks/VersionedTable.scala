@@ -194,18 +194,51 @@ object VersionedTable {
     else Some(BigDecimal(a).compare(BigDecimal(b)))
   }
 
-  /** A commit's sidecar content: per-(file,col) zone maps plus per-file
-    * row counts (the metadata [[history]] answers count(*) from). */
+  /** A commit's sidecar content: per-(file,col) zone maps, per-file row
+    * counts (the metadata [[history]] answers count(*) from), and
+    * per-(file,col) bucket BITMAPS — which of 4096 value-hash buckets
+    * the file's values occupy (base64; 512 bytes/file/col). The bitmap
+    * is the point-lookup tier: an `=` probe on an UNCLUSTERED column
+    * skips a file whose [min,max] spans the value but whose bucket bit
+    * is clear (the ORC-bloom / Iceberg-value-set shape, one-hash form —
+    * false positives only cost an open, never correctness). */
   private final case class SidecarStats(cols: Seq[(String, String, ColStats)],
-                                        rows: Seq[(String, Long)]) {
-    def isEmpty: Boolean = cols.isEmpty && rows.isEmpty
+                                        rows: Seq[(String, Long)],
+                                        sets: Seq[(String, String, String)] = Nil) {
+    def isEmpty: Boolean = cols.isEmpty && rows.isEmpty && sets.isEmpty
     def ++(o: SidecarStats): SidecarStats =
-      SidecarStats(cols ++ o.cols, rows ++ o.rows)
+      SidecarStats(cols ++ o.cols, rows ++ o.rows, sets ++ o.sets)
     def filterFiles(keep: Set[String]): SidecarStats =
       SidecarStats(cols.filter(x => keep.contains(x._1)),
-        rows.filter(x => keep.contains(x._1)))
+        rows.filter(x => keep.contains(x._1)),
+        sets.filter(x => keep.contains(x._1)))
   }
   private object SidecarStats { val empty: SidecarStats = SidecarStats(Nil, Nil) }
+
+  private[sinks] val BitmapBuckets = 4096
+
+  /** The bucket of one value under the bitmap's hashing: murmur3 (Spark's
+    * `hash()`, seed 42) of the value's CANONICAL STRING form — columns
+    * are cast to string before hashing so an Int column and a Long probe
+    * agree; consulted only for integral/string probes (whose toString
+    * matches Spark's cast-to-string exactly). */
+  private def bitmapBucket(canonical: String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(canonical)), 42)
+      .eval(null).asInstanceOf[Int]
+    ((h % BitmapBuckets) + BitmapBuckets) % BitmapBuckets
+  }
+
+  private def renderBitmap(buckets: Iterable[Int]): String = {
+    val bytes = new Array[Byte](BitmapBuckets / 8)
+    buckets.foreach { b => bytes(b >> 3) = (bytes(b >> 3) | (1 << (b & 7))).toByte }
+    java.util.Base64.getEncoder.encodeToString(bytes)
+  }
+
+  private def bitmapHas(b64: String, bucket: Int): Boolean = {
+    val bytes = java.util.Base64.getDecoder.decode(b64)
+    (bytes(bucket >> 3) & (1 << (bucket & 7))) != 0
+  }
 
   /** Compute per-file stats for `cols` over exactly `paths` (the NEW
     * files of one commit). One scan of the new data; the collect is
@@ -223,7 +256,11 @@ object VersionedTable {
         s"frame (has: ${df.columns.mkString(", ")})")
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")))
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      // bucket bitmap feed: murmur3 of the canonical string form,
+      // bounded at BitmapBuckets distinct ints per (file, col)
+      collect_set(pmod(hash(col(c).cast("string")), lit(BitmapBuckets)))
+        .as(s"__set_$c")))
     val collected = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -239,6 +276,13 @@ object VersionedTable {
       },
       rows = collected.map { r =>
         (new Path(r.getAs[String]("__file")).getName, r.getAs[Long]("__rows"))
+      },
+      sets = collected.flatMap { r =>
+        val fileName = new Path(r.getAs[String]("__file")).getName
+        cols.map { c =>
+          (fileName, c,
+            renderBitmap(r.getAs[Seq[Int]](s"__set_$c")))
+        }
       })
   }
 
@@ -251,6 +295,12 @@ object VersionedTable {
   private val RowsLineRe =
     """\{"name":"((?:[^"\\]|\\.)*)","rows":(\d+)\}""".r
 
+  private def setLine(file: String, col: String, b64: String): String =
+    s"""{"name":${jstr(file)},"col":${jstr(col)},"buckets":${jstr(b64)}}"""
+
+  private val SetLineRe =
+    """\{"name":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","buckets":"([A-Za-z0-9+/=]*)"\}""".r
+
   // min/max are canonical tokens: null | decimal | JSON string — match
   // them precisely (a greedy .* would split wrong on a string value
   // containing ","max":)
@@ -258,6 +308,11 @@ object VersionedTable {
     ("""\{"name":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)",""" +
       """"min":(null|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"),""" +
       """"max":(null|-?\d+(?:\.\d+)?|"(?:[^"\\]|\\.)*"),"nulls":(\d+)\}""").r
+
+  private def renderSidecar(all: SidecarStats): Seq[String] =
+    all.cols.sortBy(x => (x._1, x._2)).map { case (f, c, s) => statsLine(f, c, s) } ++
+      all.rows.sortBy(_._1).map { case (f, n) => rowsLine(f, n) } ++
+      all.sets.sortBy(x => (x._1, x._2)).map { case (f, c, b) => setLine(f, c, b) }
 
   private def writeStatsFile(fs: FileSystem, root: Path, name: String,
                              lines: Seq[String]): Unit = {
@@ -283,7 +338,8 @@ object VersionedTable {
     SidecarStats(
       cols = lines.collect { case StatsLineRe(f, c, mn, mx, nulls) =>
         (un(f), un(c), ColStats(mn, mx, nulls.toLong)) },
-      rows = lines.collect { case RowsLineRe(f, n) => (un(f), n.toLong) })
+      rows = lines.collect { case RowsLineRe(f, n) => (un(f), n.toLong) },
+      sets = lines.collect { case SetLineRe(f, c, b) => (un(f), un(c), b) })
   }
 
   private def sidecarOf(fs: FileSystem, root: Path, v: Long): SidecarStats =
@@ -452,9 +508,7 @@ object VersionedTable {
         if (all.isEmpty) None
         else {
           val name = s"stats-$commitId.jsonl"
-          writeStatsFile(fs, root, name,
-            all.cols.sortBy(x => (x._1, x._2)).map { case (f, c, s) => statsLine(f, c, s) } ++
-              all.rows.sortBy(_._1).map { case (f, n) => rowsLine(f, n) })
+          writeStatsFile(fs, root, name, renderSidecar(all))
           Some(name)
         }
       }
@@ -569,9 +623,7 @@ object VersionedTable {
       if (all.isEmpty) None
       else {
         val name = s"stats-$commitId.jsonl"
-        writeStatsFile(fs, root, name,
-          all.cols.sortBy(x => (x._1, x._2)).map { case (f, c, s) => statsLine(f, c, s) } ++
-            all.rows.sortBy(_._1).map { case (f, n) => rowsLine(f, n) })
+        writeStatsFile(fs, root, name, renderSidecar(all))
         Some(name)
       }
     val untouchedSized = untouched.map { n =>
@@ -630,9 +682,20 @@ object VersionedTable {
       s"versioned read: version $v not in committed set ${vs.mkString("[", ",", "]")}")
     val files = readManifest(fs, root, v)
     val stats = fileStats(spark, location, v)
-    val preds = predicates.map(p => (p.column, p.op, canonToken(p.value)))
-    def mayMatch(f: String): Boolean = preds.forall { case (c, op, tok) =>
-      stats.get(f).flatMap(_.get(c)) match {
+    val sets = sidecarOf(fs, root, v).sets
+      .groupBy(_._1).map { case (f, xs) =>
+        (f, xs.map { case (_, c, b) => (c, b) }.toMap) }
+    // the bucket-bitmap tier applies to `=` probes whose toString equals
+    // Spark's cast-to-string of the column (integral and string kinds)
+    def bitmapCanonical(v: Any): Option[String] = v match {
+      case _: Byte | _: Short | _: Int | _: Long => Some(v.toString)
+      case s: String => Some(s)
+      case _ => None
+    }
+    val preds = predicates.map(p => (p.column, p.op, canonToken(p.value),
+      if (p.op == "=") bitmapCanonical(p.value).map(bitmapBucket) else None))
+    def mayMatch(f: String): Boolean = preds.forall { case (c, op, tok, bkt) =>
+      val rangeOk = stats.get(f).flatMap(_.get(c)) match {
         case None => true // no stats for this file/column: keep
         case Some(s) =>
           if (s.min == "null" && s.max == "null") false // all-null file
@@ -649,6 +712,18 @@ object VersionedTable {
             }
           }
       }
+      // point-lookup tier: a clear bucket bit PROVES absence even when
+      // the range spans the value (unclustered columns). Only consulted
+      // when the probe's kind matches the stored stats' kind — a numeric
+      // probe against a STRING column would hash "50" while the column
+      // holds "050", yet Spark's equality casts and matches; kind
+      // mismatch falls back to the conservative range answer.
+      val kindOk = stats.get(f).flatMap(_.get(c))
+        .exists(s => cmpTokens(tok, s.min).isDefined)
+      val bitmapOk = !kindOk || bkt.forall { b =>
+        sets.get(f).flatMap(_.get(c)).forall(b64 => bitmapHas(b64, b))
+      }
+      rangeOk && bitmapOk
     }
     val kept = files.filter(mayMatch)
     val df =

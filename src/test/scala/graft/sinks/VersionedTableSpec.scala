@@ -236,6 +236,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(got == Set((1, None), (2, Some(7L)))) // old rows null-padded
   }
 
+  test("bucket bitmaps skip = probes the range alone cannot") {
+    import org.apache.spark.sql.functions.{hash, lit, pmod}
+    val loc = tmp("bm1")
+    // both files span k in [1,100]; only file B contains 50 — the range
+    // tier keeps both, the bitmap tier must drop A. Guard against a
+    // (deterministic) bucket collision making the expectation ambiguous.
+    def bucketOf(s: String) = spark.range(1)
+      .select(pmod(hash(lit(s)), lit(4096))).head.getInt(0)
+    val numeric = Seq("1", "100", "50").map(bucketOf)
+    assert(numeric.distinct.size == 3, s"bucket collision: $numeric")
+    assert(!Seq("a", "b").map(bucketOf).contains(bucketOf("d")),
+      "bucket collision between 'd' and file A's strings")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (100, "b")).toDF("k", "v").coalesce(1),
+      "overwrite", statsColumns = Seq("k", "v"))
+    VersionedTable.commit(spark, loc,
+      Seq((1, "c"), (50, "d"), (100, "e")).toDF("k", "v").coalesce(1),
+      "append", statsColumns = Seq("k", "v"))
+    // int column probed with a LONG: the canonical-string hashing makes
+    // the kinds agree (both "50")
+    val p = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("k", "=", 50L)))
+    assert(p.totalFiles == 2 && p.keptFiles == 1)
+    assert(p.df.filter($"k" === 50).collect().map(_.getAs[String]("v")).toSeq == Seq("d"))
+    // a value present in both files keeps both
+    val q = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("k", "=", 100)))
+    assert(q.keptFiles == 2)
+    // string bitmap: only one file holds "d"
+    val r = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("v", "=", "d")))
+    assert(r.keptFiles == 1)
+  }
+
   test("compact and z-order rewrites keep the tracked zone maps alive") {
     val loc = tmp("zm4")
     VersionedTable.commit(spark, loc,
