@@ -567,8 +567,10 @@ object ConfigParser {
     val maintenance = root.get("maintenance").filter(_ != null).map { m =>
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
-      if (!Set("compact", "profile", "retain", "vacuum", "cluster")(action)) throw new ConfigError(
-        s"maintenance.action: unknown action '$action' (supported: compact, profile, retain, vacuum, cluster)")
+      if (!Set("compact", "profile", "retain", "vacuum", "cluster",
+        "version_vacuum", "history")(action)) throw new ConfigError(
+        s"maintenance.action: unknown action '$action' (supported: compact, " +
+          "profile, retain, vacuum, cluster, version_vacuum, history)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -592,6 +594,14 @@ object ConfigParser {
         "maintenance.partition_col (the partition key to expire by) is required for retain")
       if (action == "retain" && keepFrom.isEmpty) throw new ConfigError(
         "maintenance.keep_from (partitions below this value are dropped) is required for retain")
+      if (action == "version_vacuum") {
+        if (keepFrom.isEmpty) throw new ConfigError(
+          "maintenance.keep_from (versions below this are dropped) is required for version_vacuum")
+        if (keepFrom.exists(v => scala.util.Try(v.trim.toLong).isFailure)) throw new ConfigError(
+          s"maintenance.keep_from must be a version number for version_vacuum, got '${keepFrom.get}'")
+      }
+      if (action == "history" && outLoc.isEmpty) throw new ConfigError(
+        "maintenance.output (where the history table is written) is required for history")
       MaintenanceSpec(
         action = action,
         location = str(t, "location").getOrElse(throw new ConfigError(

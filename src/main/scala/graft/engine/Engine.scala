@@ -247,6 +247,23 @@ object Engine {
             graft.log.Log.info("vacuum applied", "location" -> location,
               "removed" -> removed.mkString(","))
             None
+          case "version_vacuum" =>
+            // reclaim versioned-table history: manifests below keep_from
+            // and every unreferenced data file / stats sidecar
+            val keepFrom = Interpolate(m.keepFrom.get, vars).trim.toLong
+            val removed = graft.sinks.VersionedTable.vacuumVersions(
+              spark, location, keepFrom)
+            graft.log.Log.info("version vacuum applied",
+              "location" -> location, "keep_from" -> s"v$keepFrom",
+              "removed" -> removed.size.toString)
+            None
+          case "history" =>
+            val output = Interpolate(m.output.get, vars)
+            val h = graft.sinks.VersionedTable.history(spark, location)
+            h.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(output)
+            graft.log.Log.info("history published",
+              "location" -> location, "output" -> output)
+            Some(h)
           case "cluster" =>
             graft.log.Log.info("z-order clustering target",
               "location" -> location, "cluster_by" -> m.clusterBy.mkString(","),

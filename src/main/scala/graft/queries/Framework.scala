@@ -500,6 +500,30 @@ object Framework {
     s.read.parquet(s"$base/tt")
   }
 
+  /** History reclamation through the YAML maintenance surface: the
+    * [[fwAcid]] 3-version lifecycle, then `action: version_vacuum`
+    * with `keep_from: "3"` — versions 1-2 and every data file only they
+    * referenced are reclaimed, the surviving snapshot reads back
+    * byte-identical, and pinned history really is gone (required). */
+  private def fwVersionVacuum(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "version_vacuum")
+    rmrf(s, base)
+    runAcidLifecycle(s, d, base)
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-version-vacuum
+         |  type: maintenance
+         |maintenance:
+         |  action: version_vacuum
+         |  location: $base/out
+         |  keep_from: "3"
+         |""".stripMargin), "default")
+    val vs = graft.sinks.VersionedTable.versions(s, s"$base/out")
+    require(vs == Seq(3L),
+      s"fw_version_vacuum: expected only v3 to survive, got $vs")
+    graft.sinks.VersionedTable.read(s, s"$base/out")
+  }
+
   /** Zone maps end-to-end: the engine publishes customer as a versioned
     * table with `range_partition_keys` (disjoint c_custkey range per
     * file) and `stats_columns` (per-file min/max in the commit
@@ -1821,6 +1845,13 @@ object Framework {
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
     "fw_acid" -> Q(fwAcid, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
+        |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
+        |FROM customer""".stripMargin)),
+    "fw_version_vacuum" -> Q(fwVersionVacuum, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,

@@ -91,7 +91,10 @@ object VersionedTable {
     val txnJson = txn.map { case (app, batch) =>
       s""""txn_app":${jstr(app)},"txn_batch":$batch,""" }.getOrElse("")
     val statsJson = statsFile.map(sf => s""""stats_file":${jstr(sf)},""").getOrElse("")
-    val json = s"""{"version":$v,"mode":${jstr(mode)},$txnJson$statsJson""" +
+    // commit wall clock: what as-of-TIMESTAMP reads resolve against
+    // (informational ordering only — the version number is the truth)
+    val json = s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
+      s""""mode":${jstr(mode)},$txnJson$statsJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
     val p = manifestPath(root, v)
     try {
@@ -743,6 +746,29 @@ object VersionedTable {
   private def manifestMode(fs: FileSystem, root: Path, v: Long): String =
     manifestField(manifestText(fs, root, v), "mode").getOrElse("overwrite")
 
+  private def manifestTs(fs: FileSystem, root: Path, v: Long): Option[Long] =
+    """"ts":(\d+)""".r.findFirstMatchIn(manifestText(fs, root, v))
+      .map(_.group(1).toLong)
+
+  /** Time travel by WALL CLOCK: the latest version committed at or
+    * before `tsMillis` (versions without a recorded ts — pre-upgrade
+    * manifests — are treated as older than any timestamp). Errors when
+    * the table has no commit that old. Timestamp resolution is
+    * convenience over the version log; the version number remains the
+    * isolation truth (two commits in one millisecond resolve to the
+    * later version). */
+  def versionAt(spark: SparkSession, location: String, tsMillis: Long): Long = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned read: no committed versions at '$location'")
+    vs.filter(v => manifestTs(fs, root, v).getOrElse(0L) <= tsMillis)
+      .lastOption.getOrElse(throw new graft.config.ConfigError(
+        s"versioned read: no version at or before ts $tsMillis at '$location' " +
+          s"(earliest is v${vs.head})"))
+  }
+
   /** CDC over the log: the rows ADDED by each commit in
     * (`fromVersion`, `toVersion`], tagged `_commit_version` — the
     * incremental-consumer read (process only what arrived since the
@@ -808,7 +834,8 @@ object VersionedTable {
       val sc = sidecarOf(fs, root, v)
       val nRows: Any =
         if (sc.rows.isEmpty) null else sc.rows.map(_._2).sum
-      org.apache.spark.sql.Row(v, manifestMode(fs, root, v), nFiles, bytes, nRows)
+      org.apache.spark.sql.Row(v, manifestMode(fs, root, v), nFiles, bytes,
+        nRows, manifestTs(fs, root, v).map(Long.box).orNull)
     }
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -818,7 +845,8 @@ object VersionedTable {
         StructField("mode", StringType, nullable = false),
         StructField("n_files", LongType, nullable = false),
         StructField("total_bytes", LongType, nullable = false),
-        StructField("n_rows", LongType, nullable = true))))
+        StructField("n_rows", LongType, nullable = true),
+        StructField("ts_millis", LongType, nullable = true))))
   }
 
   /** Reclaim space: delete manifests BELOW `keepFromVersion` and every

@@ -498,6 +498,28 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: profile, location: /tmp/t}
         |""".stripMargin))
     assert(ep.getMessage.contains("output"))
+    // version_vacuum needs an integer keep_from; history needs output
+    val vv = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t, keep_from: "3"}
+        |""".stripMargin)
+    assert(vv.maintenance.exists(m =>
+      m.action == "version_vacuum" && m.keepFrom.contains("3")))
+    val evv = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t}
+        |""".stripMargin))
+    assert(evv.getMessage.contains("keep_from"))
+    val evv2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t, keep_from: "latest"}
+        |""".stripMargin))
+    assert(evv2.getMessage.contains("version number"))
+    val eh = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: history, location: /tmp/t}
+        |""".stripMargin))
+    assert(eh.getMessage.contains("output"))
     // type maintenance without the block
     val e1 = intercept[ConfigError](ConfigParser.parse(
       "job: {name: j, type: maintenance}\n"))

@@ -196,6 +196,22 @@ class VersionedTableSpec extends SparkSpec {
     assert(s.keptFiles == 1 && s.totalFiles == 2)
   }
 
+  test("versionAt resolves wall-clock time travel against recorded commit ts") {
+    val loc = tmp("ts1")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    val ts = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("ts_millis"))).toMap
+    assert(ts(1L) > 0 && ts(2L) >= ts(1L))
+    assert(VersionedTable.versionAt(spark, loc, ts(1L)) == 1L ||
+      ts(1L) == ts(2L)) // same-millisecond commits resolve to the later
+    assert(VersionedTable.versionAt(spark, loc, ts(2L)) == 2L)
+    assert(VersionedTable.versionAt(spark, loc, System.currentTimeMillis() + 1000) == 2L)
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.versionAt(spark, loc, ts(1L) - 10))
+    assert(e.getMessage.contains("no version at or before"))
+  }
+
   test("history answers version/mode/files/rows from metadata alone") {
     val loc = tmp("h1")
     VersionedTable.commit(spark, loc,
