@@ -250,12 +250,33 @@ object ConfigParser {
   private val PruneClauseRe =
     """^([A-Za-z_][A-Za-z0-9_]*)\s*(<=|>=|=|<|>)\s*(.+)$""".r
 
+  /** Split on the word AND only OUTSIDE single-quoted literals — a
+    * value like 'SMITH AND SONS' must stay one clause. */
+  private def splitPruneClauses(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; cur.append(c); i += 1 }
+      else if (!inQuote && (i + 3 <= s.length) &&
+        s.regionMatches(true, i, "AND", 0, 3) &&
+        (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+        (i + 3 == s.length || !Character.isLetterOrDigit(s.charAt(i + 3)))) {
+        out += cur.toString; cur.clear(); i += 3
+      } else { cur.append(c); i += 1 }
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
   /** `prune: "c_custkey <= 20 AND c_mktsegment = 'BUILDING'"` — a small
     * AND-joined comparison list (the zone-map-skippable shapes), parsed
     * AT CONFIG TIME so a typo fails before the job runs. Literals:
     * longs, or single-quoted strings. */
   private def parsePrune(name: String, s: String): Seq[SourceSpec.PruneClause] =
-    s.split("(?i)\\bAND\\b").toSeq.map(_.trim).filter(_.nonEmpty).map {
+    splitPruneClauses(s).map(_.trim).filter(_.nonEmpty).map {
       case PruneClauseRe(colName, op, rawLit) =>
         val l = rawLit.trim
         if (l.length >= 2 && l.startsWith("'") && l.endsWith("'"))

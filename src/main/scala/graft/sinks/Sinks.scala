@@ -142,9 +142,17 @@ object Sinks {
             // txn (checkpoint id, batch id) makes a streaming foreachBatch
             // REPLAY of an already-committed batch a no-op — exactly-once
             // into the versioned table
-            VersionedTable.commit(spark, location, observed(data),
+            val frame = observed(data)
+            val before = VersionedTable.versions(spark, location).lastOption
+            val v = VersionedTable.commit(spark, location, frame,
               "append", out.format, out.options, txn = txn,
-              statsColumns = out.statsColumns): Unit
+              statsColumns = out.statsColumns)
+            // a replay skip returns before any action runs on `frame`;
+            // an attached Observation would then block forever at the
+            // metrics fetch — execute the plan once (the prunedUpsert
+            // empty-batch discipline) so the metrics land
+            if (before.contains(v) && pendingObs.nonEmpty)
+              frame.foreach(_ => ())
           case Refresh.Upsert =>
             // FILE-LEVEL merge: only files whose zone maps can contain
             // an arrival key are rewritten; the rest carry by

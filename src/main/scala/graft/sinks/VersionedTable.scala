@@ -97,16 +97,30 @@ object VersionedTable {
       s""""mode":${jstr(mode)},$txnJson$statsJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
     val p = manifestPath(root, v)
+    // publish = write the COMPLETE content to a temp file, then
+    // rename-if-absent (FileContext + Options.Rename.NONE — the Delta
+    // HDFSLogStore pattern). The rename is the commit CAS; because the
+    // content exists in full before the name does, a crashed writer can
+    // never expose a torn manifest that readers would treat as a
+    // committed version (and whose empty file list the next append
+    // would silently adopt as its base). Atomic no-overwrite rename
+    // holds on HDFS; on the local FS the existence check narrows the
+    // race to the same create-if-absent window the old scheme had.
+    val tmp = new Path(logDir(root), f".tmp-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
+    val os = fs.create(tmp, true)
+    try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
     try {
-      // overwrite = false IS the commit CAS: exactly one creator wins
-      val os = fs.create(p, false)
-      try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally os.close()
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        root.toUri, fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
       true
     } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        fs.delete(tmp, false); false
       case e: java.io.IOException if e.getMessage != null &&
-        e.getMessage.contains("already exists") => false
+        e.getMessage.contains("already exists") =>
+        fs.delete(tmp, false); false
     }
   }
 
@@ -257,13 +271,27 @@ object VersionedTable {
     if (missing.nonEmpty) throw new graft.config.ConfigError(
       s"versioned commit: stats columns ${missing.mkString(", ")} not in the " +
         s"frame (has: ${df.columns.mkString(", ")})")
+    // bitmaps only for columns whose cast-to-string form a probe's
+    // toString reproduces EXACTLY — integral and string kinds. A double
+    // column would hash "50.0" while an integral probe hashes "50"
+    // (matching under Spark's casting equality), so fractional/decimal/
+    // temporal columns get no bitmap and fall back to the range tier.
+    val bitmapCols = cols.filter { c =>
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.StringType => true
+        case _ => false
+      }
+    }.toSet
     val aggs = count(lit(1)).as("__rows") +: cols.flatMap(c => Seq(
       min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"),
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c")) ++
       // bucket bitmap feed: murmur3 of the canonical string form,
       // bounded at BitmapBuckets distinct ints per (file, col)
-      collect_set(pmod(hash(col(c).cast("string")), lit(BitmapBuckets)))
-        .as(s"__set_$c")))
+      (if (bitmapCols(c)) Seq(
+        collect_set(pmod(hash(col(c).cast("string")), lit(BitmapBuckets)))
+          .as(s"__set_$c")) else Nil))
     val collected = df.groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -282,7 +310,7 @@ object VersionedTable {
       },
       sets = collected.flatMap { r =>
         val fileName = new Path(r.getAs[String]("__file")).getName
-        cols.map { c =>
+        cols.filter(bitmapCols).map { c =>
           (fileName, c,
             renderBitmap(r.getAs[Seq[Int]](s"__set_$c")))
         }
@@ -585,8 +613,11 @@ object VersionedTable {
             s"was v$exp, latest is v${vs.lastOption.getOrElse(0L)}; re-read and re-merge")
     }
     if (vs.isEmpty)
+      // expectedLatest = 0 keeps the bootstrap SERIALIZABLE: losing the
+      // v1 race must abort loudly, not rebase over the winner's rows
       return commit(spark, location, publishTransform(arrivals), "overwrite",
-        format, options, statsColumns = statsColumns)
+        format, options, statsColumns = statsColumns,
+        expectedLatest = Some(0L))
     val latest = vs.last
     val files = readManifest(fs, root, latest)
     val stats = fileStats(spark, location, latest)
@@ -606,6 +637,25 @@ object VersionedTable {
       }
     val touched = files.filter(touchedBy)
     val untouched = files.filterNot(touched.toSet)
+    // when nothing is touched, the unionByName that would otherwise
+    // catch a drifted arrival schema never runs — check it explicitly
+    // (one footer read), or v+1 would mix schemas across its files
+    if (touched.isEmpty && files.nonEmpty &&
+      !options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))) {
+      val tableCols = spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(new Path(dataDir(root), files.head).toString).columns.toSet
+      val newCols = arrivals.columns.toSet
+      if (tableCols != newCols) {
+        val missing = (tableCols -- newCols).toSeq.sorted
+        val added = (newCols -- tableCols).toSeq.sorted
+        throw new graft.config.ConfigError(
+          s"versioned merge: arrival schema drift at '$location' v$latest — " +
+            (if (missing.nonEmpty) s"missing: ${missing.mkString(", ")}; " else "") +
+            (if (added.nonEmpty) s"added: ${added.mkString(", ")}; " else "") +
+            "pass mergeSchema=true in options (commit AND read) to evolve")
+      }
+    }
     val merged =
       if (touched.isEmpty) arrivals
       else spark.read.format(format)
@@ -826,16 +876,23 @@ object VersionedTable {
     if (vs.isEmpty) throw new graft.config.ConfigError(
       s"versioned history: no committed versions at '$location'")
     val rows = vs.map { v =>
+      // ONE manifest fetch per version: mode/ts/bytes/n_files/stats_file
+      // all parse from the same text (a 10k-commit DESCRIBE HISTORY on
+      // an object store pays 10k GETs, not 40k)
       val text = manifestText(fs, root, v)
       val bytes = """"bytes":(\d+)""".r.findAllMatchIn(text)
         .map(_.group(1).toLong).sum
       val nFiles = """"n_files":(\d+)""".r.findFirstMatchIn(text)
         .map(_.group(1).toLong).getOrElse(0L)
-      val sc = sidecarOf(fs, root, v)
+      val mode = manifestField(text, "mode").getOrElse("overwrite")
+      val ts = """"ts":(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+      val sc = manifestField(text, "stats_file")
+        .map(readStatsLines(fs, root, _)).getOrElse(SidecarStats.empty)
       val nRows: Any =
         if (sc.rows.isEmpty) null else sc.rows.map(_._2).sum
-      org.apache.spark.sql.Row(v, manifestMode(fs, root, v), nFiles, bytes,
-        nRows, manifestTs(fs, root, v).map(Long.box).orNull)
+      org.apache.spark.sql.Row(v, mode, nFiles, bytes,
+        nRows, ts.map(Long.box).orNull)
     }
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -849,11 +906,19 @@ object VersionedTable {
         StructField("ts_millis", LongType, nullable = true))))
   }
 
-  /** Reclaim space: delete manifests BELOW `keepFromVersion` and every
-    * data file no kept manifest references (including dead writers'
-    * never-referenced orphans). Namespace-only, cost ∝ file count. */
+  /** Reclaim space: delete manifests BELOW `keepFromVersion`, every data
+    * file / stats sidecar only those dropped manifests referenced, and —
+    * AGE-GATED — files no manifest ever referenced. The age gate
+    * (`minOrphanAgeMillis`, default 10 min) is what makes vacuum safe
+    * beside LIVE writers: a commit's files sit unreferenced in `data/`
+    * between stageAndMove and its manifest CAS, and deleting them there
+    * would let the commit publish a manifest pointing at nothing (the
+    * Delta retention-window rule). Files referenced by a DROPPED
+    * manifest were committed — their writer is done — so they reclaim
+    * immediately. Namespace-only, cost ∝ file count. */
   def vacuumVersions(spark: SparkSession, location: String,
-                     keepFromVersion: Long): Seq[String] = {
+                     keepFromVersion: Long,
+                     minOrphanAgeMillis: Long = 10 * 60 * 1000L): Seq[String] = {
     val root = new Path(location)
     val fs = fsFor(spark, root)
     val vs = versions(spark, location)
@@ -863,25 +928,42 @@ object VersionedTable {
     if (kept.isEmpty) throw new graft.config.ConfigError(
       s"versioned vacuum: keep_from $keepFromVersion would drop EVERY version " +
         s"(latest is ${vs.last}) — refusing to empty the table")
-    val referenced = kept.flatMap(v => readManifest(fs, root, v)).toSet
+    // resolve EVERY reference set up front — manifests below keep_from
+    // are deleted mid-way and can't be consulted after
+    val keptRefs = kept.flatMap(v => readManifest(fs, root, v)).toSet
+    val anyRefs = vs.flatMap(v => readManifest(fs, root, v)).toSet
+    val keptStats = kept.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "stats_file")).toSet
+    val anyStats = vs.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "stats_file")).toSet
+    val now = System.currentTimeMillis()
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(dataDir(root)).foreach { st =>
-      if (st.isFile && !referenced.contains(st.getPath.getName)) {
+      val n = st.getPath.getName
+      val deletable = st.isFile && !keptRefs.contains(n) &&
+        (anyRefs.contains(n) || // a dropped manifest's file: committed, safe
+          now - st.getModificationTime >= minOrphanAgeMillis) // true orphan: age-gated
+      if (deletable) {
         fs.delete(st.getPath, false)
-        dropped += s"data/${st.getPath.getName}"
+        dropped += s"data/$n"
       }
     }
     vs.filter(_ < keepFromVersion).foreach { v =>
       fs.delete(manifestPath(root, v), false)
       dropped += f"_graft_log/v$v%05d.json"
     }
-    // stats sidecars: keep those the kept manifests reference; drop the
-    // rest (dropped manifests' sidecars + dead CAS losers' orphans)
-    val keptStats = kept.flatMap(v =>
-      manifestField(manifestText(fs, root, v), "stats_file")).toSet
+    // stats sidecars + stale manifest temp files: keep what the kept
+    // manifests reference; dropped manifests' sidecars reclaim
+    // immediately, never-referenced ones (in-flight commits!) age-gate
     fs.listStatus(logDir(root)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && n.startsWith("stats-") && !keptStats.contains(n)) {
+      val orphanKind =
+        if (n.startsWith("stats-")) !keptStats.contains(n)
+        else n.startsWith(".tmp-") // a crashed writer's unpublished manifest
+      val deletable = st.isFile && orphanKind &&
+        ((n.startsWith("stats-") && anyStats.contains(n)) ||
+          now - st.getModificationTime >= minOrphanAgeMillis)
+      if (deletable) {
         fs.delete(st.getPath, false)
         dropped += s"_graft_log/$n"
       }

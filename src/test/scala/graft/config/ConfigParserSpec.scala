@@ -372,6 +372,20 @@ class ConfigParserSpec extends AnyFunSuite {
           SourceSpec.PruneClause("seg", "=", None, Some("BUILDING"))))
       case other => fail(s"expected versioned source, got $other")
     }
+    // the word AND inside a quoted literal is data, not a separator
+    val qj = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - {name: s, source: s3, location: /t, versioned: "true", prune: "c_name = 'SMITH AND SONS' AND k > 5"}
+        |sql: SELECT 1
+        |""".stripMargin)
+    qj.inputTables.head.source match {
+      case SourceSpec.Versioned(_, _, _, _, prune) =>
+        assert(prune == Seq(
+          SourceSpec.PruneClause("c_name", "=", None, Some("SMITH AND SONS")),
+          SourceSpec.PruneClause("k", ">", Some(5L), None)))
+      case other => fail(s"expected versioned source, got $other")
+    }
     bad("""job: {name: j, type: spark-sql}
           |input_tables: [{name: s, source: s3, location: /t}]
           |output_table: {name: o, target: s3, location: /o, range_partition_keys: k, coalesce: "2"}

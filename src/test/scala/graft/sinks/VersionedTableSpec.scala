@@ -59,9 +59,15 @@ class VersionedTableSpec extends SparkSpec {
       new java.io.File(s"$loc/data/deadbeef-${part.getName}").toPath)
     assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
     VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
-    val dropped = VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 2L)
+    // default vacuum AGE-GATES never-referenced files (they could be a
+    // LIVE writer's staged commit) — the fresh orphan survives ...
+    val gated = VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 2L)
+    assert(!gated.exists(_.contains("deadbeef")))
+    // ... and reclaims once the gate is lifted (a crashed writer's file)
+    val dropped = VersionedTable.vacuumVersions(spark, loc,
+      keepFromVersion = 2L, minOrphanAgeMillis = 0L)
     assert(dropped.exists(_.contains("deadbeef")))       // orphan reclaimed
-    assert(dropped.exists(_.contains("v00001.json")))    // old manifest gone
+    assert(gated.exists(_.contains("v00001.json")))      // old manifest gone
     assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "b")))
     val e = intercept[graft.config.ConfigError](
       VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 99L))
@@ -284,6 +290,35 @@ class VersionedTableSpec extends SparkSpec {
     val r = VersionedTable.readPruned(spark, loc,
       Seq(VersionedTable.Prune("v", "=", "d")))
     assert(r.keptFiles == 1)
+  }
+
+  test("fractional columns get NO bitmap: = probes fall back to the range tier") {
+    val loc = tmp("bm2")
+    // 50.0 is IN range [1.0, 100.0] but absent; a bitmap would hash
+    // "50.0" vs the probe's "50" and false-skip — so doubles must not
+    // emit one, and the range tier conservatively keeps the file
+    VersionedTable.commit(spark, loc,
+      Seq((1.0, "a"), (100.0, "b")).toDF("price", "v").coalesce(1),
+      "overwrite", statsColumns = Seq("price"))
+    val p = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("price", "=", 50L)))
+    assert(p.keptFiles == 1) // conservative: range spans it, no bitmap
+    // and a probe below the range still prunes via min/max
+    val q = VersionedTable.readPruned(spark, loc,
+      Seq(VersionedTable.Prune("price", "<", 1)))
+    assert(q.keptFiles == 0)
+  }
+
+  test("merge rejects a drifted arrival schema even when no file is touched") {
+    val loc = tmp("m5")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a")).toDF("k", "v").coalesce(1), "overwrite", statsColumns = Seq("k"))
+    // arrival range [100,100] misses the only file -> touched empty,
+    // but the drifted column set must still fail loudly
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.merge(spark, loc,
+        Seq((100, 9L)).toDF("k", "extra"), Seq("k")))
+    assert(e.getMessage.contains("schema drift") && e.getMessage.contains("extra"))
   }
 
   test("compact and z-order rewrites keep the tracked zone maps alive") {
