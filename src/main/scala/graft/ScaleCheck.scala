@@ -146,7 +146,10 @@ object ScaleCheck {
     "st50_stream_affinity",
     // file-level merge: the narrow upsert must rewrite a bounded file
     // subset — read side ∝ touched files, publish ∝ table write
-    "fw_merge_pruned", "fw_prune_input")
+    "fw_merge_pruned", "fw_prune_input",
+    // the mixing report composes scoring + selection + a |sources|-row
+    // agg — must track ext134/ext135's ~linear readings
+    "ext136_affinity_mixture")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

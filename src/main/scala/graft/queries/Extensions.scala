@@ -3827,6 +3827,51 @@ ${OracleSql.InvIndex}
              |       CAST(cum AS BIGINT) AS cum_tokens
              |FROM sel WHERE cum <= 5000""".stripMargin)),
 
+    // The data-mixing REPORT the affinity family feeds: per source —
+    // corpus share, token mass, mean affinity to the target domain, and
+    // how many docs the ext135 budget selection actually took. The
+    // per-source mean-affinity column is the signal that drives source
+    // REWEIGHTING (lift high-affinity sources); the n_selected column
+    // audits what the budget cut actually did to the mixture. All
+    // integer (DIV mean), |sources|-row output.
+    "ext136_affinity_mixture" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val scored = TextAnalysis.domainAffinity(
+          all.filter(col("doc_id") % 10 =!= 0),
+          all.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+        val sel = Sampling.priorityBudgetSample(scored, "doc_id",
+            "affinity_milli", "n_tokens", budgetTokens = 5000L, salt = "sel")
+          .select(col("doc_id"), lit(1).as("__sel"))
+        scored
+          .join(all.select(col("doc_id"), col("source")), "doc_id")
+          .join(sel, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("n_tokens"),
+            expr("CAST(sum(affinity_milli) DIV count(1) AS BIGINT)")
+              .as("mean_affinity_milli"),
+            sum(when(col("__sel").isNotNull, 1L).otherwise(0L)).as("n_selected"))
+      },
+      Some(s"""WITH ${DomainAffinityCte},
+             |sel AS (
+             |  SELECT doc_id,
+             |         sum(n_tokens) OVER (
+             |           ORDER BY affinity_milli DESC,
+             |                    md5(doc_id::VARCHAR || ':sel'), doc_id
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             |  FROM aff
+             |)
+             |SELECT d.source, count(*) AS n_docs,
+             |       CAST(sum(aff.n_tokens) AS BIGINT) AS n_tokens,
+             |       CAST(sum(aff.affinity_milli) // count(*) AS BIGINT) AS mean_affinity_milli,
+             |       CAST(sum(CASE WHEN sel.cum <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+             |FROM aff
+             |JOIN documents d ON aff.doc_id = d.doc_id
+             |LEFT JOIN sel ON aff.doc_id = sel.doc_id
+             |GROUP BY d.source""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
