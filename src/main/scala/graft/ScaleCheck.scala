@@ -149,7 +149,7 @@ object ScaleCheck {
     "fw_merge_pruned", "fw_prune_input",
     // the mixing report composes scoring + selection + a |sources|-row
     // agg — must track ext134/ext135's ~linear readings
-    "ext136_affinity_mixture")
+    "ext136_affinity_mixture", "fw_timetravel_ts")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -47,7 +47,11 @@ object SourceSpec {
   final case class Versioned(location: String, format: String,
                              options: Map[String, String],
                              asOfVersion: Option[Long] = None,
-                             prune: Seq[PruneClause] = Nil) extends SourceSpec
+                             prune: Seq[PruneClause] = Nil,
+                             /** epoch millis: resolved to the latest
+                               * version committed at or before it
+                               * ([[graft.sinks.VersionedTable.versionAt]]). */
+                             asOfTimestampMillis: Option[Long] = None) extends SourceSpec
 }
 
 /** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
@@ -332,6 +336,15 @@ object ConfigParser {
       }
       if (asOf.nonEmpty && !versionedIn) throw new ConfigError(
         s"input '$name': as_of_version requires versioned: true")
+      val asOfTs = str(t, "as_of_timestamp").map { v =>
+        try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new ConfigError(
+            s"input '$name': as_of_timestamp must be epoch millis, got '$v'") }
+      }
+      if (asOfTs.nonEmpty && !versionedIn) throw new ConfigError(
+        s"input '$name': as_of_timestamp requires versioned: true")
+      if (asOfTs.nonEmpty && asOf.nonEmpty) throw new ConfigError(
+        s"input '$name': as_of_version and as_of_timestamp are mutually exclusive")
       val pruneClauses = str(t, "prune").map(parsePrune(name, _)).getOrElse(Nil)
       if (pruneClauses.nonEmpty && !versionedIn) throw new ConfigError(
         s"input '$name': prune requires versioned: true " +
@@ -343,7 +356,7 @@ object ConfigParser {
           SourceSpec.Versioned(
             str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
             str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts, asOf,
-            pruneClauses)
+            pruneClauses, asOfTs)
         case _ if versionedIn => throw new ConfigError(
           s"input '$name': versioned is supported for s3/file sources only")
         case "s3" | "file" => SourceSpec.File(

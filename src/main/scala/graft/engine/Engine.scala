@@ -58,9 +58,9 @@ object Engine {
         case SourceSpec.Jdbc(url, db, tbl, opts) =>
           SourceSpec.Jdbc(Interpolate(url, vars), Interpolate(db, vars),
             Interpolate(tbl, vars), opts.map { case (k, v) => k -> Interpolate(v, vars) })
-        case SourceSpec.Versioned(loc, fmt, opts, asOf, prune) =>
+        case SourceSpec.Versioned(loc, fmt, opts, asOf, prune, asOfTs) =>
           SourceSpec.Versioned(Interpolate(loc, vars), fmt,
-            opts.map { case (k, v) => k -> Interpolate(v, vars) }, asOf, prune)
+            opts.map { case (k, v) => k -> Interpolate(v, vars) }, asOf, prune, asOfTs)
       }
       val df = (t.incrementalSource, resolved) match {
         case (true, SourceSpec.File(loc, fmt, opts, _)) =>

@@ -733,6 +733,39 @@ object Framework {
       .select("version", "mode", "n_files", "n_rows")
   }
 
+  /** Time travel by WALL CLOCK through the engine's input path: the
+    * [[fwAcid]] lifecycle, then a read pinned to v2's recorded commit
+    * timestamp via `as_of_timestamp` — the snapshot must show v1+v2
+    * content with none of v3's updates (same oracle as
+    * [[fwTimetravel]]'s version-pinned read). */
+  private def fwTimetravelTs(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "timetravel_ts")
+    rmrf(s, base)
+    runAcidLifecycle(s, d, base)
+    val ts = graft.sinks.VersionedTable.history(s, s"$base/out").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("ts_millis"))).toMap
+    require(ts(2L) < ts(3L), // engine runs are seconds apart; pin it anyway
+      s"fw_timetravel_ts: v2/v3 committed in the same millisecond ($ts)")
+    run(s,
+      s"""job:
+         |  name: fw-timetravel-ts
+         |  type: spark-sql
+         |input_tables:
+         |  - name: snap
+         |    source: s3
+         |    location: $base/out
+         |    versioned: "true"
+         |    as_of_timestamp: "${ts(2L)}"
+         |output_table:
+         |  name: tt_out
+         |  target: s3
+         |  location: $base/tt
+         |sql: >
+         |  SELECT c_custkey, cents, version FROM snap
+         |""".stripMargin)
+    s.read.parquet(s"$base/tt")
+  }
+
   /** A2 + A14: catalog (metastore) source AND sink. A parquet fixture is
     * published to the session catalog, the engine reads it as a `gdc`
     * source and writes a `gdc` target; we read the result back via
@@ -1850,6 +1883,10 @@ object Framework {
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
         |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
+        |FROM customer""".stripMargin)),
+    "fw_timetravel_ts" -> Q(fwTimetravelTs, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       CASE WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
         |FROM customer""".stripMargin)),
     "fw_version_vacuum" -> Q(fwVersionVacuum, Some(
       """SELECT c_custkey,

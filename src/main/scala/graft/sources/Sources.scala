@@ -56,13 +56,17 @@ object Sources {
           throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
       reader.load(location)
 
-    case SourceSpec.Versioned(location, format, options, asOf, prune) =>
+    case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs) =>
       // snapshot read of a versioned-manifest table: the plan loads
       // EXACTLY the resolved manifest's file list (time travel via
-      // as_of_version), never a directory listing. `prune:` plans from
+      // as_of_version, or as_of_timestamp resolved against the commit
+      // wall clocks), never a directory listing. `prune:` plans from
       // the zone maps (files that cannot match are never opened), then
       // re-applies the clauses as an ordinary filter on the kept files
       // so the view is exactly the predicate's rows.
+      val asOf = asOfTs
+        .map(ts => graft.sinks.VersionedTable.versionAt(spark, location, ts))
+        .orElse(asOf0)
       if (prune.isEmpty)
         graft.sinks.VersionedTable.read(spark, location, asOf, format,
           mapOptions(options))

@@ -315,6 +315,18 @@ class ConfigParserSpec extends AnyFunSuite {
           |sql: SELECT 1
           |""".stripMargin, "as_of_version requires versioned")
     bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, as_of_timestamp: "1700000000000"}]
+          |sql: SELECT 1
+          |""".stripMargin, "as_of_timestamp requires versioned")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", as_of_version: "2", as_of_timestamp: "1700000000000"}]
+          |sql: SELECT 1
+          |""".stripMargin, "mutually exclusive")
+    bad("""job: {name: j, type: spark-sql}
+          |input_tables: [{name: s, source: s3, location: /t, versioned: "true", as_of_timestamp: "yesterday"}]
+          |sql: SELECT 1
+          |""".stripMargin, "epoch millis")
+    bad("""job: {name: j, type: spark-sql}
           |input_tables: [{name: s, source: s3, location: /t, versioned: "true", schema: "a INT"}]
           |sql: SELECT 1
           |""".stripMargin, "schema from the committed files")
@@ -366,7 +378,7 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin)
     pj.inputTables.head.source match {
-      case SourceSpec.Versioned(_, _, _, _, prune) =>
+      case SourceSpec.Versioned(_, _, _, _, prune, _) =>
         assert(prune == Seq(
           SourceSpec.PruneClause("k", "<=", Some(20L), None),
           SourceSpec.PruneClause("seg", "=", None, Some("BUILDING"))))
@@ -380,7 +392,7 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin)
     qj.inputTables.head.source match {
-      case SourceSpec.Versioned(_, _, _, _, prune) =>
+      case SourceSpec.Versioned(_, _, _, _, prune, _) =>
         assert(prune == Seq(
           SourceSpec.PruneClause("c_name", "=", None, Some("SMITH AND SONS")),
           SourceSpec.PruneClause("k", ">", Some(5L), None)))
