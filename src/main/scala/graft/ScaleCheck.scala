@@ -149,7 +149,15 @@ object ScaleCheck {
     "fw_merge_pruned", "fw_prune_input",
     // the mixing report composes scoring + selection + a |sources|-row
     // agg — must track ext134/ext135's ~linear readings
-    "ext136_affinity_mixture", "fw_timetravel_ts")
+    "ext136_affinity_mixture", "fw_timetravel_ts",
+    // TPC-H tier representatives: Q1 scan-agg (map-side combine to 6
+    // groups — must read ~linear scan cost); Q5 snowflake (facts shuffle
+    // on keys, dims broadcast — ~linear); Q9 partsupp completion-layer
+    // join (the 4×part projection joined on (partkey,suppkey) — ~linear);
+    // Q21 the 3-pass EXISTS decorrelation (per-order stats + late spine,
+    // all equality-keyed — must stay ~linear, never order-pair quadratic)
+    "tpch01_pricing_summary", "tpch05_local_supplier",
+    "tpch09_product_profit", "tpch21_suppliers_waiting")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

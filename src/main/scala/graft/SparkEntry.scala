@@ -14,7 +14,8 @@ object SparkEntry {
 
   private def suites: Seq[(String, Q)] =
     Relational.all ++ graft.queries.Framework.all ++
-      graft.queries.Extensions.all ++ graft.queries.StreamingQueries.all
+      graft.queries.Extensions.all ++ graft.queries.StreamingQueries.all ++
+      graft.queries.TpcH.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * README Example-1 shape: revenue per region across the full join graph. */

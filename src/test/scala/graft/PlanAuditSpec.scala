@@ -68,7 +68,12 @@ class PlanAuditSpec extends SparkSpec {
     // the entire point is sketch-sized frames: two bottom-64 sketches
     // and a single-row exact-count certification row cross-joined into
     // the one-row report — every build side is <= k rows by construction.
-    "ext107_corpus_overlap" -> "k-row sketch + single-row certification broadcast"
+    "ext107_corpus_overlap" -> "k-row sketch + single-row certification broadcast",
+    // TPC-H Q11/Q22: the share threshold / positive-balance average is a
+    // single-row aggregate broadcast onto a bounded frame — the ext28/q95
+    // scalar-normalizer shape.
+    "tpch11_important_stock" -> "single-row value-total broadcast (scalar normalizer)",
+    "tpch22_sales_opportunity" -> "single-row average-balance broadcast (scalar normalizer)"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
@@ -90,7 +95,7 @@ class PlanAuditSpec extends SparkSpec {
     "ext131_bpe_segment")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
-    val offenders = (Relational.all ++ Extensions.all)
+    val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
       .filterNot { case (n, _) => eager(n) || productByDesign.contains(n) }
       .flatMap { case (name, q) =>
         val plan = q.fn(spark, dir).queryExecution.executedPlan.toString

@@ -24,20 +24,21 @@ else:
 names = sorted(
     n for n in os.listdir(out_dir)
     if os.path.isdir(os.path.join(out_dir, n))
-    and re.match(r"^(?:(?:q|ext|st)[0-9]+[a-z0-9_]*|fw_[a-z0-9_]+)$", n))
+    and re.match(r"^(?:(?:q|ext|st|tpch)[0-9]+[a-z0-9_]*|fw_[a-z0-9_]+)$", n))
 if not names:
     sys.exit(f"no per-query output dirs under {out_dir} — run graft.Verify first")
 
 cats = {}
 for n in names:
-    for p in ("ext", "fw", "st", "q"):  # longest prefixes first
+    for p in ("tpch", "ext", "fw", "st", "q"):  # longest prefixes first
         if n.startswith(p):
             cats[p] = cats.get(p, 0) + 1
             break
 rows_only = [n for n in names if n not in oracled]
-print("  ".join(f"{p} {cats.get(p, 0)}" for p in ("q", "ext", "fw", "st"))
+print("  ".join(f"{p} {cats.get(p, 0)}" for p in ("q", "ext", "fw", "st", "tpch"))
       + f"  total {len(names)}")
 print(f"value-oracled {len(names) - len(rows_only)}, "
       f"rows-only {len(rows_only)}: {', '.join(rows_only)}")
 print(f"prose: \"{len(names)}-query surface: {cats.get('q',0)} relational, "
-      f"{cats.get('ext',0)} ext, {cats.get('fw',0)} fw, {cats.get('st',0)} streaming\"")
+      f"{cats.get('ext',0)} ext, {cats.get('fw',0)} fw, {cats.get('st',0)} streaming, "
+      f"{cats.get('tpch',0)} tpch\"")

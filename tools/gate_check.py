@@ -19,13 +19,13 @@ import json, re, statistics, sys
 # The name group uses the SAME anchor as TWOCELL ((q|ext|st)<digits> or fw_):
 # the looser (?:q|ext|fw|st)[0-9]* would ingest any word starting with
 # q/st/ext/fw (e.g. 'steps') from a two-cell table as a gate (ADVICE r8).
-ROW = re.compile(r"^\|\s*((?:(?:q|ext|st)[0-9]+|fw_)[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
+ROW = re.compile(r"^\|\s*((?:(?:q|ext|st|tpch)[0-9]+|fw_)[a-z0-9_]*)\s*\|\s*([0-9.]+)\s*(?:\([^|]*\))?\s*\|\s*$")
 # any TWO-cell row keyed by a query name is gate-shaped; one that then
 # fails the seconds parse is format drift and must be LOUD, not silently
 # ungated (ADVICE r7). Multi-cell rows (ScaleCheck tables) are exempt —
 # they are not gate tables.
 TWOCELL = re.compile(
-    r"^\|\s*((?:(?:q|ext|st)[0-9]+|fw_)[a-z0-9_]*)\s*\|([^|]*)\|\s*$")
+    r"^\|\s*((?:(?:q|ext|st|tpch)[0-9]+|fw_)[a-z0-9_]*)\s*\|([^|]*)\|\s*$")
 GATE_FLOOR = 100
 
 
