@@ -368,6 +368,106 @@ object TextAnalysis {
           .cast("long").as("subwords_per_word_milli"))
   }
 
+  /** Iterative WordPiece TRAINING (Schuster & Nakajima, ICASSP'12; the
+    * BERT tokenizer's trainer) — [[bpeTrain]]'s loop with the LIKELIHOOD
+    * selection rule: each iteration merges the pair maximizing
+    * count(ab) / (count(a) · count(b)) over the current segmentation
+    * (the unigram-LM likelihood gain of the merge), not the raw pair
+    * count. Returns one row per iteration
+    * (iteration, lhs, rhs, merged, n_occurrences, score_e9).
+    *
+    * The score is exact FIXED-POINT: `cnt · 10⁹ div (cnt_a · cnt_b)`
+    * in pure BIGINT arithmetic, so the argmax total order
+    * (score_e9 DESC, lhs, rhs) is bit-identical cross-engine — the same
+    * discipline that lets [[bpeTrain]] value-oracle as an unrolled CTE.
+    * The 10⁹ scale bounds the weighted pair count at ~9·10⁹ before the
+    * multiply overflows a long — far above any fixture; a 100 TB train
+    * run shrinks the constant (the score only needs ORDER, not
+    * precision).
+    *
+    * Same representation and scale shape as [[bpeTrain]]: wrapped-symbol
+    * dictionary (sublinear in corpus), merge = non-overlapping string
+    * `replace`, one argmax row per iteration of driver traffic,
+    * checkpoint-materialized rounds with previous blocks freed. */
+  def wordpieceTrain(docs: DataFrame, idCol: String, textCol: String,
+                     iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, "wordpieceTrain: iters must be in [1, 64]")
+    val spark = docs.sparkSession
+    val vocab0 = docs
+      .select(explode(filter(words(col(textCol)), t => t =!= "")).as("w0"))
+      .select(lower(col("w0")).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", "|$1 ").as("s"), col("freq"))
+    def materialize(df: DataFrame): (DataFrame, DataFrame) = {
+      val cp = df.localCheckpoint(true)
+      (cp.sparkSession.createDataFrame(cp.rdd, cp.schema), cp)
+    }
+    var (v, vCp) = materialize(vocab0)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val syms = transform(
+        filter(split(col("s"), " "), x => x =!= ""),
+        x => x.substr(lit(2), length(x) - 1))
+      val uni = v.select(col("freq"), explode(syms).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("ucnt"))
+      val pairs = v
+        .select(col("freq"), syms.as("y"))
+        .filter(size(col("y")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), size(col("y")) - 1),
+          i => struct(element_at(col("y"), i).as("a"),
+            element_at(col("y"), i + 1).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+      val top = pairs
+        .join(uni.select(col("sym").as("__ua"), col("ucnt").as("ua_cnt")),
+          col("a") === col("__ua"))
+        .join(uni.select(col("sym").as("__ub"), col("ucnt").as("ub_cnt")),
+          col("b") === col("__ub"))
+        .select(col("a"), col("b"), col("cnt"),
+          expr("cnt * 1000000000L div (ua_cnt * ub_cnt)").as("score_e9"))
+        .orderBy(col("score_e9").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt, sc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((it, a, b, a + b, cnt, sc))
+        val (nv, nCp) = materialize(v.select(
+          org.apache.spark.sql.functions.replace(
+            col("s"), lit(s"|$a |$b "), lit(s"|$a$b ")).as("s"),
+          col("freq")))
+        graft.util.Caching.freeCheckpoint(vCp)
+        v = nv; vCp = nCp
+        it += 1
+      }
+    }
+    graft.util.Caching.freeCheckpoint(vCp)
+    import spark.implicits._
+    merges.toSeq.toDF("iteration", "lhs", "rhs", "merged",
+      "n_occurrences", "score_e9")
+  }
+
+  /** Train→apply for WordPiece: [[wordpieceTrain]]'s merge list fed to
+    * the SAME row-local apply pass as BPE ([[bpeSegmentApply]]) —
+    * applying the k merges in training order reproduces the trainer's
+    * final segmentation exactly, so the per-doc fragmentation report is
+    * value-oracle-able against the unrolled training CTEs. (BERT's
+    * greedy longest-match-first INFERENCE tokenizer is a different,
+    * lossier apply rule — the training-order replay is the one the
+    * trainer's own vocab state defines.) */
+  def wordpieceSegment(docs: DataFrame, idCol: String, textCol: String,
+                       iters: Int): DataFrame = {
+    val merges = wordpieceTrain(docs, idCol, textCol, iters).collect()
+      .sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    bpeSegmentApply(docs, idCol, textCol, merges)
+  }
+
   /** Tokenizer-vocabulary coverage: per-document OOV rate against the
     * corpus' own top-`k` vocabulary ([[vocabTopK]]) — the "how much of
     * this document would an in-domain tokenizer actually cover" signal

@@ -3872,6 +3872,25 @@ ${OracleSql.InvIndex}
              |LEFT JOIN sel ON aff.doc_id = sel.doc_id
              |GROUP BY d.source""".stripMargin)),
 
+    // WordPiece training (Schuster & Nakajima ICASSP'12, the BERT
+    // tokenizer trainer): BPE's merge loop with the LIKELIHOOD selection
+    // rule — merge the pair maximizing count(ab)/(count(a)·count(b)).
+    // The score is exact fixed-point (cnt·10⁹ div ua·ub in BIGINT), so
+    // the argmax order is bit-identical cross-engine; the oracle unrolls
+    // all 8 count→score→argmax→merge rounds with the same wrapped-symbol
+    // replace representation ext130 proves.
+    "ext137_wordpiece_train" -> Q(
+      (s, d) => TextAnalysis.wordpieceTrain(docs(s, d), "doc_id", "text", iters = 8),
+      Some(wordpieceTrainOracle(8))),
+
+    // WordPiece train -> APPLY: the learned 8 merges replayed in training
+    // order as one row-local projection (the ext131 apply pass with the
+    // WordPiece merge list) — per-doc fragmentation report against the
+    // likelihood-trained vocab.
+    "ext138_wordpiece_segment" -> Q(
+      (s, d) => TextAnalysis.wordpieceSegment(docs(s, d), "doc_id", "text", iters = 8),
+      Some(wordpieceSegmentOracle(8))),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
@@ -4730,6 +4749,81 @@ ${OracleSql.InvIndex}
     * streaming twin (st49). */
   private[queries] def bpeSegmentOracle(iters: Int): String =
     s"""${bpeCtes(iters)}, dw AS (
+       |  SELECT doc_id, w FROM (
+       |    SELECT doc_id, lower(x) AS w FROM (
+       |      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> '')) AS x
+       |      FROM documents))
+       |  WHERE regexp_full_match(w, '[a-z0-9]+')
+       |), seg AS (
+       |  SELECT w, CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_sub FROM v$iters
+       |)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(g.n_sub) AS BIGINT) AS n_subwords,
+       |       CAST(floor(sum(g.n_sub)::DOUBLE / count(*) * 1000 + 0.5) AS BIGINT) AS subwords_per_word_milli
+       |FROM dw d JOIN seg g ON g.w = d.w
+       |GROUP BY d.doc_id""".stripMargin
+
+  /** WordPiece CTE body: [[bpeCtes]]' vocab/v0 plus `iters` rounds of
+    * unigram-count → pair-count → fixed-point likelihood score → argmax
+    * → merge. Score arithmetic is BIGINT end-to-end (`//` = Spark `div`
+    * on positives); DuckDB sums are HUGEINT so the score cell casts. */
+  private def wordpieceCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { n =>
+      val prev = s"v${n - 1}"
+      s"""u$n AS (
+         |  SELECT substr(sym, 2) AS sym, sum(freq) AS ucnt FROM (
+         |    SELECT unnest(list_filter(string_split(s, ' '), z -> z <> '')) AS sym, freq
+         |    FROM $prev)
+         |  GROUP BY sym
+         |), p$n AS (
+         |  SELECT a, b, sum(freq) AS cnt FROM (
+         |    SELECT substr(pr[1], 2) AS a, substr(pr[2], 2) AS b, freq FROM (
+         |      SELECT unnest(list_transform(range(1, len(y)), i -> [y[i], y[i+1]])) AS pr, freq
+         |      FROM (SELECT list_filter(string_split(s, ' '), z -> z <> '') AS y, freq FROM $prev)
+         |      WHERE len(y) >= 2))
+         |  GROUP BY a, b
+         |), m$n AS (
+         |  SELECT p.a, p.b, p.cnt,
+         |         CAST(p.cnt * 1000000000 // (ua.ucnt * ub.ucnt) AS BIGINT) AS score_e9
+         |  FROM p$n p JOIN u$n ua ON ua.sym = p.a JOIN u$n ub ON ub.sym = p.b
+         |  ORDER BY score_e9 DESC, p.a, p.b LIMIT 1
+         |), v$n AS MATERIALIZED (
+         |  SELECT w, replace(s, '|' || m.a || ' |' || m.b || ' ', '|' || m.a || m.b || ' ') AS s, freq
+         |  FROM $prev, m$n m
+         |)""".stripMargin
+    }.mkString(", ")
+    // v$n is referenced THREE times per round (u, p, next v): without
+    // MATERIALIZED DuckDB inlines the chain 3^iters-fold and dies
+    // re-opening documents.parquet (bpeCtes survives at 2 refs/round;
+    // this one must pin each round's vocab).
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lower(x) AS w FROM (
+       |      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS x
+       |      FROM documents))
+       |  WHERE regexp_full_match(w, '[a-z0-9]+')
+       |  GROUP BY w
+       |), v0 AS MATERIALIZED (
+       |  SELECT w, regexp_replace(w, '(.)', '|\\1 ', 'g') AS s, freq FROM vocab
+       |), $rounds""".stripMargin
+  }
+
+  private def wordpieceTrainOracle(iters: Int): String = {
+    val rows = (1 to iters).map { n =>
+      s"SELECT $n AS iteration, a AS lhs, b AS rhs, a || b AS merged, " +
+        s"CAST(cnt AS BIGINT) AS n_occurrences, score_e9 FROM m$n"
+    }.mkString("\nUNION ALL ")
+    s"""${wordpieceCtes(iters)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY iteration""".stripMargin
+  }
+
+  /** The WordPiece train→apply replay: v{iters}' segmentation joined
+    * back to every document word occurrence (the [[bpeSegmentOracle]]
+    * report over the likelihood-trained vocab). */
+  private def wordpieceSegmentOracle(iters: Int): String =
+    s"""${wordpieceCtes(iters)}, dw AS (
        |  SELECT doc_id, w FROM (
        |    SELECT doc_id, lower(x) AS w FROM (
        |      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> '')) AS x

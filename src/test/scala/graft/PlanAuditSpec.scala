@@ -92,7 +92,9 @@ class PlanAuditSpec extends SparkSpec {
     // BPE training: per-iteration argmax collect at construction
     "ext130_bpe_train",
     // BPE apply: trains (eager) before building the segment projection
-    "ext131_bpe_segment")
+    "ext131_bpe_segment",
+    // WordPiece: the same per-iteration argmax collect at construction
+    "ext137_wordpiece_train", "ext138_wordpiece_segment")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
