@@ -157,7 +157,14 @@ object ScaleCheck {
     // Q21 the 3-pass EXISTS decorrelation (per-order stats + late spine,
     // all equality-keyed — must stay ~linear, never order-pair quadratic)
     "tpch01_pricing_summary", "tpch05_local_supplier",
-    "tpch09_product_profit", "tpch21_suppliers_waiting")
+    "tpch09_product_profit", "tpch21_suppliers_waiting",
+    // WordPiece: dictionary-bound iterations like ext130 (each ×10 copy
+    // adds one " v$i" token type per doc — vocab grows slowly) — must
+    // read well under linear, tracking BPE's sublinear rows
+    "ext137_wordpiece_train",
+    // MMR: one relevance projection + TakeOrdered top-64 window; the
+    // greedy rerank is k·pool driver ops — must read ~linear scan cost
+    "ext139_mmr_select")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

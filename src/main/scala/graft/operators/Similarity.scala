@@ -1201,4 +1201,68 @@ object Similarity {
     }
     spark.createDataFrame(rows, schema)
   }
+
+  /** MMR diverse selection (Carbonell & Goldstein, SIGIR'98): greedy
+    * maximal-marginal-relevance reranking — pick k items maximizing
+    * relevance-to-anchor MINUS similarity-to-already-selected (λ = 0.5,
+    * scaled ×2 so the score stays integer: mmr = rel − max_sel sim).
+    * The diversity-aware selection move for retrieval reranking and for
+    * "diverse exemplars" training-data curation (the greedy
+    * facility-location family).
+    *
+    * Exact INTEGER arithmetic end-to-end (the kmeans/Gram discipline):
+    * embeddings quantize to milli ints, relevance and pairwise
+    * similarity are integer dot products (≤64·578² ≈ 2·10⁷ per pair on
+    * the fixture — far inside long), so selection order is bit-identical
+    * cross-engine and the whole greedy loop value-oracles as k unrolled
+    * argmax CTEs.
+    *
+    * Scale shape: the relevance pass is ONE narrow codegen'd projection
+    * (zip_with·aggregate against the broadcast anchor literal) +
+    * TakeOrderedAndProject for the top-`poolSize` rerank window — the
+    * production reranking contract (retrieve distributed, rerank the
+    * bounded window). Driver state: poolSize rows of dim ints +
+    * k·poolSize greedy ops — bounded by parameters, never by data. */
+  def mmrSelect(emb: DataFrame, idCol: String, vecCol: String,
+                anchorId: Long, poolSize: Int, k: Int): DataFrame = {
+    require(k >= 1 && k <= poolSize && poolSize <= 4096,
+      "mmrSelect: need 1 <= k <= poolSize <= 4096")
+    val spark = emb.sparkSession
+    val milli = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("v"))
+    val anchorRows = milli.filter(col("id") === anchorId).limit(1).collect()
+    require(anchorRows.nonEmpty, s"mmrSelect: anchor id $anchorId not found")
+    val anchor = anchorRows(0).getSeq[Long](1).toArray
+    val anchorCol = array(anchor.toSeq.map(lit): _*)
+    val pool = milli.filter(col("id") =!= anchorId)
+      .withColumn("rel", aggregate(
+        zip_with(col("v"), anchorCol, (x, y) => x * y), lit(0L), (a, x) => a + x))
+      .orderBy(col("rel").desc, col("id"))
+      .limit(poolSize)
+      .collect() // bounded: poolSize rows — the documented rerank window
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getLong(2)))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      pool.map(p => p._1 -> p).toSeq: _*)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long, Long)]
+    var rank = 1
+    while (rank <= k && remaining.nonEmpty) {
+      val (mmr, id, v, rel) = remaining.valuesIterator.map { case (id, v, rel) =>
+        val m = if (selected.isEmpty) rel else rel - selected.iterator.map(dot(v, _)).max
+        (m, id, v, rel)
+      }.minBy { case (m, id, _, _) => (-m, id) } // max mmr, ties → lower id
+      out += ((rank, id, rel, mmr))
+      selected += v
+      remaining.remove(id)
+      rank += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("sel_rank", "vec_id", "rel_milli2", "mmr_milli2")
+  }
 }

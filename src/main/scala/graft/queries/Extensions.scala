@@ -3891,6 +3891,16 @@ ${OracleSql.InvIndex}
       (s, d) => TextAnalysis.wordpieceSegment(docs(s, d), "doc_id", "text", iters = 8),
       Some(wordpieceSegmentOracle(8))),
 
+    // MMR diverse selection (Carbonell & Goldstein SIGIR'98): greedy
+    // relevance-minus-max-similarity reranking of the top-64 window —
+    // the diversity-aware selection move for retrieval AND for "diverse
+    // exemplars" curation. Exact integer milli dot products, so the 8
+    // greedy rounds value-oracle as unrolled argmax CTEs.
+    "ext139_mmr_select" -> Q(
+      (s, d) => Similarity.mmrSelect(emb(s, d), "vec_id", "embedding",
+        anchorId = 0L, poolSize = 64, k = 8),
+      Some(mmrSelectOracle(poolSize = 64, k = 8))),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
@@ -4837,6 +4847,46 @@ ${OracleSql.InvIndex}
        |       CAST(floor(sum(g.n_sub)::DOUBLE / count(*) * 1000 + 0.5) AS BIGINT) AS subwords_per_word_milli
        |FROM dw d JOIN seg g ON g.w = d.w
        |GROUP BY d.doc_id""".stripMargin
+
+  /** MMR greedy selection, unrolled: milli-quantized vectors, integer
+    * dot products (exact in DuckDB's double list_dot_product at fixture
+    * magnitudes), top-`poolSize` rerank window, then k argmax rounds
+    * s1..sk — each pinned MATERIALIZED (referenced 3×/round; the
+    * wordpiece inlining lesson). Anchor = vec_id 0. */
+  private def mmrSelectOracle(poolSize: Int, k: Int): String = {
+    val rounds = (2 to k).map { n =>
+      val prev = s"s${n - 1}"
+      s"""s$n AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT $n AS sel_rank, p.id, p.v, p.rel, t.mmr FROM (
+         |    SELECT c.id, c.rel - max(CAST(list_dot_product(c.v::DOUBLE[], s.v::DOUBLE[]) AS BIGINT)) AS mmr
+         |    FROM pool c, $prev s
+         |    WHERE c.id NOT IN (SELECT id FROM $prev)
+         |    GROUP BY c.id, c.rel
+         |    ORDER BY mmr DESC, c.id LIMIT 1) t JOIN pool p ON p.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH milli AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), anchor AS MATERIALIZED (SELECT v FROM milli WHERE id = 0
+       |), pool AS MATERIALIZED (
+       |  SELECT id, v, rel FROM (
+       |    SELECT m.id, m.v,
+       |           CAST(list_dot_product(m.v::DOUBLE[], a.v::DOUBLE[]) AS BIGINT) AS rel,
+       |           row_number() OVER (
+       |             ORDER BY CAST(list_dot_product(m.v::DOUBLE[], a.v::DOUBLE[]) AS BIGINT) DESC, m.id) AS rn
+       |    FROM milli m, anchor a WHERE m.id <> 0)
+       |  WHERE rn <= $poolSize
+       |), s1 AS MATERIALIZED (
+       |  SELECT 1 AS sel_rank, id, v, rel, rel AS mmr FROM pool ORDER BY rel DESC, id LIMIT 1
+       |), $rounds
+       |SELECT CAST(sel_rank AS INT) AS sel_rank, id AS vec_id,
+       |       rel AS rel_milli2, mmr AS mmr_milli2
+       |FROM s$k""".stripMargin
+  }
 
   /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a
     * lower id in its own cluster is within the cosine threshold. */

@@ -94,7 +94,9 @@ class PlanAuditSpec extends SparkSpec {
     // BPE apply: trains (eager) before building the segment projection
     "ext131_bpe_segment",
     // WordPiece: the same per-iteration argmax collect at construction
-    "ext137_wordpiece_train", "ext138_wordpiece_segment")
+    "ext137_wordpiece_train", "ext138_wordpiece_segment",
+    // MMR: collects the bounded rerank window at construction
+    "ext139_mmr_select")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
