@@ -164,7 +164,10 @@ object ScaleCheck {
     "ext137_wordpiece_train",
     // MMR: one relevance projection + TakeOrdered top-64 window; the
     // greedy rerank is k·pool driver ops — must read ~linear scan cost
-    "ext139_mmr_select")
+    "ext139_mmr_select",
+    // k-center: k full scans (min-dist projection vs ≤k broadcast
+    // literals + TakeOrdered) — must read ~k-scan linear, never pairwise
+    "ext140_kcenter_select")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1265,4 +1265,49 @@ object Similarity {
     import spark.implicits._
     out.toSeq.toDF("sel_rank", "vec_id", "rel_milli2", "mmr_milli2")
   }
+
+  /** Greedy k-center selection (farthest-point traversal; the coreset
+    * selection rule of Sener & Savarese, ICLR'18): seed with the lowest
+    * id, then k−1 rounds each pick the point FARTHEST from the selected
+    * set (max over candidates of min squared L2 to any selected) — the
+    * max-min diversity counterpart to [[mmrSelect]]'s relevance-minus-
+    * similarity, used for diverse-exemplar pruning and active-learning
+    * batch selection.
+    *
+    * Unlike MMR's bounded rerank window, each round is a FULL
+    * distributed scan: min-dist-to-selected is a codegen'd projection
+    * against ≤k broadcast literal vectors, argmax via
+    * TakeOrderedAndProject — k linear scans total, 1 row of driver
+    * traffic per round. Exact integer milli arithmetic (squared L2 ≤
+    * 64·1156² ≈ 8.6·10⁷ per pair on the fixture), so the traversal
+    * order is bit-identical cross-engine and the loop value-oracles as
+    * k unrolled argmax CTEs. */
+  def kcenterSelect(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1 && k <= 64, "kcenterSelect: k must be in [1, 64]")
+    val spark = emb.sparkSession
+    val milli = emb.select(col(idCol).cast("long").as("id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT))")
+        .as("v"))
+    val seed = milli.orderBy(col("id")).limit(1).collect()(0)
+    val out = scala.collection.mutable.ArrayBuffer((1, seed.getLong(0), 0L))
+    val selected = scala.collection.mutable.ArrayBuffer(seed.getSeq[Long](1).toArray)
+    var rank = 2
+    while (rank <= k) {
+      val minDist = selected.toSeq.map { s =>
+        val sc = array(s.toSeq.map(lit): _*)
+        aggregate(zip_with(col("v"), sc, (x, y) => (x - y) * (x - y)),
+          lit(0L), (a, x) => a + x)
+      }.reduce(least(_, _))
+      val far = milli.filter(!col("id").isin(out.toSeq.map(_._2): _*))
+        .select(col("id"), col("v"), minDist.as("mind"))
+        .orderBy(col("mind").desc, col("id"))
+        .limit(1).collect()(0) // 1 row per round of driver traffic
+      out += ((rank, far.getLong(0), far.getLong(2)))
+      selected += far.getSeq[Long](1).toArray
+      rank += 1
+    }
+    import spark.implicits._
+    out.toSeq.toDF("sel_rank", "vec_id", "min_dist_milli2")
+  }
 }

@@ -3901,6 +3901,15 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // Greedy k-center / farthest-point selection (Sener & Savarese
+    // ICLR'18 coresets): ext139's max-min counterpart — each of 8
+    // rounds is a FULL distributed scan picking the point farthest
+    // (min squared L2) from the selected set. Exact integer milli
+    // arithmetic; 8 unrolled argmax CTEs in the oracle.
+    "ext140_kcenter_select" -> Q(
+      (s, d) => Similarity.kcenterSelect(emb(s, d), "vec_id", "embedding", k = 8),
+      Some(kcenterSelectOracle(8))),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,
@@ -4886,6 +4895,37 @@ ${OracleSql.InvIndex}
        |SELECT CAST(sel_rank AS INT) AS sel_rank, id AS vec_id,
        |       rel AS rel_milli2, mmr AS mmr_milli2
        |FROM s$k""".stripMargin
+  }
+
+  /** k-center farthest-point traversal, unrolled: milli vectors, exact
+    * integer squared L2 (list_zip + numeric struct index — DuckDB's
+    * unnamed zip structs reject string keys), seed = lowest id, k−1
+    * MATERIALIZED argmax rounds. */
+  private def kcenterSelectOracle(k: Int): String = {
+    val rounds = (2 to k).map { n =>
+      val prev = s"c${n - 1}"
+      s"""c$n AS MATERIALIZED (
+         |  SELECT * FROM $prev
+         |  UNION ALL
+         |  SELECT $n AS sel_rank, p.id, p.v, t.mind FROM (
+         |    SELECT m.id,
+         |           min(CAST(list_sum(list_transform(list_zip(m.v, s.v),
+         |                 z -> (z[1] - z[2]) * (z[1] - z[2]))) AS BIGINT)) AS mind
+         |    FROM milli m, $prev s
+         |    WHERE m.id NOT IN (SELECT id FROM $prev)
+         |    GROUP BY m.id
+         |    ORDER BY mind DESC, m.id LIMIT 1) t JOIN milli p ON p.id = t.id
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH milli AS MATERIALIZED (
+       |  SELECT vec_id AS id,
+       |         list_transform(embedding::DOUBLE[], x -> CAST(floor(x * 1000 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings
+       |), c1 AS MATERIALIZED (
+       |  SELECT 1 AS sel_rank, id, v, CAST(0 AS BIGINT) AS mind FROM milli ORDER BY id LIMIT 1
+       |), $rounds
+       |SELECT CAST(sel_rank AS INT) AS sel_rank, id AS vec_id, mind AS min_dist_milli2
+       |FROM c$k""".stripMargin
   }
 
   /** [[kmeansCtes]] + the SemDeDup dominance rule: drop an id iff a

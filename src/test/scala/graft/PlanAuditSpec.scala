@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // WordPiece: the same per-iteration argmax collect at construction
     "ext137_wordpiece_train", "ext138_wordpiece_segment",
     // MMR: collects the bounded rerank window at construction
-    "ext139_mmr_select")
+    "ext139_mmr_select",
+    // k-center: k argmax collects (1 row/round) at construction
+    "ext140_kcenter_select")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
