@@ -446,4 +446,43 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.srpPlanesFor((32L << 16) + 1) == 16) // cap, mirrored by the oracle's coalesce
     assert(Similarity.srpPlanesFor(1L << 40) == 16)
   }
+
+  test("mmrSelect: diversity beats relevance rank (hand-computed greedy)") {
+    import spark.implicits._
+    // anchor v0=(1,0); rel = milli dot with v0
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),    // anchor (excluded from candidates)
+      (1L, Seq(0.9f, 0.1f)),    // rel 900000
+      (2L, Seq(0.89f, 0.11f)),  // rel 890000 but near-dup of v1
+      (3L, Seq(0.1f, 0.9f)),    // rel 100000
+      (4L, Seq(-0.5f, 0.2f))    // rel -500000, most diverse
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.mmrSelect(emb, "vec_id", "embedding",
+        anchorId = 0L, poolSize = 4, k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    // rank1 = argmax rel = v1; rank2: v2 mmr = 890000-812000 = 78000 wins;
+    // rank3: v3 mmr = 100000-188000 = -88000 LOSES to v4's
+    // -500000-(-423000) = -77000 -> diversity overrides the rel order
+    // (pure top-3 would be v1,v2,v3)
+    assert(r.toSeq == Seq(
+      (1, 1L, 900000L, 900000L),
+      (2, 2L, 890000L, 78000L),
+      (3, 4L, -500000L, -77000L)))
+  }
+
+  test("kcenterSelect: farthest-point traversal order (hand-computed)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // seed (lowest id), milli (1000,0)
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.89f, 0.11f)),
+      (3L, Seq(0.1f, 0.9f)),
+      (4L, Seq(-0.5f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val r = Similarity.kcenterSelect(emb, "vec_id", "embedding", k = 3).collect()
+      .map(x => (x.getInt(0), x.getLong(1), x.getLong(2)))
+    // round 2: v4 is farthest from v0 (1500^2+200^2 = 2290000);
+    // round 3: min-dist-to-{v0,v4} maximized by v3 (min(1620000, 850000))
+    assert(r.toSeq == Seq((1, 0L, 0L), (2, 4L, 2290000L), (3, 3L, 850000L)))
+  }
 }

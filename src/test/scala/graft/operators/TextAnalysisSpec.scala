@@ -790,4 +790,33 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("affinity_milli")))
     assert(got.toSeq == Seq((2L, 0L)))
   }
+
+  test("wordpieceTrain: likelihood rule diverges from BPE count rule") {
+    // dictionary: aab x5, xy x4. BPE would merge (a,a) first (count tie
+    // 5=5, lex). WordPiece unigrams a=10,b=5,x=4,y=4 score
+    // (x,y)=4e9/16=2.5e8 > (a,b)=5e9/50=1e8 > (a,a)=5e9/100=5e7 -> xy first.
+    val docs = Seq(
+      (1L, "aab aab aab xy xy"), (2L, "aab aab xy xy Z!")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordpieceTrain(docs, "doc_id", "text", iters = 4).collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getString(2), x.getString(3),
+        x.getLong(4), x.getLong(5)))
+    assert(r.toSeq == Seq(
+      (1, "x", "y", "xy", 4L, 250000000L),
+      // after xy: unigrams a=10,b=5,xy=4; (a,b)=5e9/50=1e8 > (a,a)=5e7
+      (2, "a", "b", "ab", 5L, 100000000L),
+      // aab -> [a, ab] x5: (a,ab)=5e9/(5*5)=2e8
+      (3, "a", "ab", "aab", 5L, 200000000L)))
+    // exhausted after 3 merges (every word a single symbol) -> 3 rows
+    assert(r.length == 3)
+  }
+
+  test("wordpieceSegment: learned merges collapse the corpus to whole words") {
+    val docs = Seq(
+      (1L, "aab aab aab xy xy"), (2L, "aab aab xy xy Z!")).toDF("doc_id", "text")
+    val r = TextAnalysis.wordpieceSegment(docs, "doc_id", "text", iters = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // all three merges land: every word is one subword
+    assert(r(1L) == ((5L, 5L, 1000L)))
+    assert(r(2L) == ((4L, 4L, 1000L)))
+  }
 }
