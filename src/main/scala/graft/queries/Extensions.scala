@@ -3910,6 +3910,24 @@ ${OracleSql.InvIndex}
       (s, d) => Similarity.kcenterSelect(emb(s, d), "vec_id", "embedding", k = 8),
       Some(kcenterSelectOracle(8))),
 
+    // k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala et
+    // al. '07): per quasi-identifier equivalence class, its size and its
+    // distinct-sensitive-value count — the privacy-release governance
+    // report beside the PII scrub (ext29) and lineage (ext/fw reports).
+    // QI = (nation, market segment); sensitive = account-balance bucket.
+    "ext141_k_anonymity" -> Q(
+      (s, d) => graft.sinks.DataQuality.kAnonymityReport(
+        s.read.parquet(s"$d/customer.parquet")
+          .withColumn("bal_bucket",
+            expr("CAST(floor(c_acctbal / 1000) AS BIGINT)")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", k = 12, l = 8),
+      Some("""SELECT c_nationkey, c_mktsegment,
+             |  count(*) AS class_size,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS l_distinct,
+             |  count(*) >= 12 AS meets_k,
+             |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 8 AS meets_l
+             |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,

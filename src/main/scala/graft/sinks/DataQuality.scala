@@ -87,4 +87,29 @@ object DataQuality {
     graft.log.Log.info("data-quality checks passed",
       "output" -> outName, "rows" -> n.toString)
   }
+
+  /** k-anonymity / l-diversity audit (Sweeney '02; Machanavajjhala et
+    * al. '07) — the privacy-governance counterpart to the PII scrub:
+    * group the frame by its quasi-identifier columns and report, per
+    * equivalence class, its size (k-anonymity = the min over classes),
+    * the number of DISTINCT sensitive values it carries (l-diversity —
+    * a class where every member shares one sensitive value leaks it
+    * even at high k), and whether the class meets the thresholds.
+    * Rows in failing classes are the re-identification surface a
+    * release would have to suppress or generalize.
+    *
+    * Scale shape: one hash aggregate on the QI key (map-side
+    * combinable; the distinct-sensitive count is state ∝ distinct
+    * sensitive values per class, the quantity the audit is measuring)
+    * — a single scan at any table size, no self-joins, no window. */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: String, k: Int, l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymityReport: need at least one quasi-identifier")
+    require(k >= 1 && l >= 1, "kAnonymityReport: k and l must be >= 1")
+    df.groupBy(qiCols.map(qcol): _*)
+      .agg(count(lit(1)).as("class_size"),
+        count_distinct(qcol(sensitiveCol)).as("l_distinct"))
+      .withColumn("meets_k", col("class_size") >= k)
+      .withColumn("meets_l", col("l_distinct") >= l)
+  }
 }
