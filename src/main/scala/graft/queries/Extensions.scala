@@ -3928,6 +3928,36 @@ ${OracleSql.InvIndex}
              |  count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 8 AS meets_l
              |FROM customer GROUP BY c_nationkey, c_mktsegment""".stripMargin)),
 
+    // Generalization ladder — the FIX side of ext141: per finest QI
+    // class, the minimal generalization level reaching k=150 members
+    // (0 = (region,nation,segment), 1 = drop segment, 2 = region only,
+    // 3 = suppress). One scan builds the finest classes; coarser levels
+    // aggregate the bounded class table.
+    "ext142_k_anon_ladder" -> Q(
+      (s, d) => {
+        val cx = s.read.parquet(s"$d/customer.parquet")
+          .join(broadcast(s.read.parquet(s"$d/nation.parquet")),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(s.read.parquet(s"$d/region.parquet")),
+            col("n_regionkey") === col("r_regionkey"))
+        graft.sinks.DataQuality.generalizationLadder(
+          cx, Seq("r_name", "c_nationkey", "c_mktsegment"), k = 150)
+      },
+      Some("""WITH cx AS (
+             |  SELECT c.*, r_name FROM customer c
+             |  JOIN nation n ON c_nationkey = n_nationkey
+             |  JOIN region r ON n_regionkey = r_regionkey),
+             |l0 AS (SELECT r_name, c_nationkey, c_mktsegment, count(*) AS size_l0
+             |       FROM cx GROUP BY r_name, c_nationkey, c_mktsegment),
+             |l1 AS (SELECT r_name, c_nationkey, CAST(sum(size_l0) AS BIGINT) AS size_l1
+             |       FROM l0 GROUP BY r_name, c_nationkey),
+             |l2 AS (SELECT r_name, CAST(sum(size_l0) AS BIGINT) AS size_l2
+             |       FROM l0 GROUP BY r_name)
+             |SELECT l0.r_name, c_nationkey, c_mktsegment, size_l0, size_l1, size_l2,
+             |  CASE WHEN size_l0 >= 150 THEN 0 WHEN size_l1 >= 150 THEN 1
+             |       WHEN size_l2 >= 150 THEN 2 ELSE 3 END AS gen_level
+             |FROM l0 JOIN l1 USING (r_name, c_nationkey) JOIN l2 USING (r_name)""".stripMargin)),
+
     // Mutual kNN's SCALE path: the reciprocal filter over the
     // SRP-bucketed approximate top-3 graph (adaptive plane count) —
     // the ext91 edge-build trade; the oracle replays SRP buckets,

@@ -112,4 +112,37 @@ object DataQuality {
       .withColumn("meets_k", col("class_size") >= k)
       .withColumn("meets_l", col("l_distinct") >= l)
   }
+
+  /** Generalization ladder — the FIX side of [[kAnonymityReport]]: for
+    * each finest-level QI class, the minimal generalization level at
+    * which it reaches `k` members. `ladder` is the ordered QI hierarchy,
+    * finest first: level 0 groups by all columns, each next level drops
+    * the last (the classic drop-a-column generalization; a
+    * domain-generalization column like region-for-nation is expressed by
+    * pre-deriving it and placing it later in the ladder). Level
+    * `ladder.size` (beyond the coarsest) means "suppress".
+    *
+    * Scale shape: ONE full scan builds the finest classes; every coarser
+    * level aggregates the CLASS table (rows ∝ #classes, bounded by the
+    * QI domain product, never by data), joined back equality-keyed. */
+  def generalizationLadder(df: DataFrame, ladder: Seq[String],
+                           k: Int): DataFrame = {
+    require(ladder.size >= 2, "generalizationLadder: need >= 2 levels")
+    require(k >= 1, "generalizationLadder: k must be >= 1")
+    val l0 = df.groupBy(ladder.map(qcol): _*)
+      .agg(count(lit(1)).as("size_l0"))
+    // fold coarser levels onto the class table: level i drops the last
+    // i columns of the ladder and sums the finest-class sizes
+    val withSizes = (1 until ladder.size).foldLeft(l0) { (acc, i) =>
+      val keys = ladder.dropRight(i)
+      val lvl = l0.groupBy(keys.map(qcol): _*)
+        .agg(sum(col("size_l0")).as(s"size_l$i"))
+      acc.join(broadcast(lvl), keys, "left")
+    }
+    val genLevel = (0 until ladder.size).reverse.foldLeft(
+      lit(ladder.size)) { (els, i) =>
+      when(col(s"size_l$i") >= k, i).otherwise(els)
+    }
+    withSizes.withColumn("gen_level", genLevel)
+  }
 }
