@@ -1598,6 +1598,31 @@ ${OracleSql.InvIndex}
              |SELECT doc_id, n_tokens, overlap_num, affinity_milli
              |FROM aff""".stripMargin)),
 
+    // Streaming k-anonymity monitor — ext141's governance audit AT
+    // INGEST: per QI class (event type × user cohort), running size and
+    // distinct-sensitive-bucket count as a Complete-mode aggregate.
+    // State is bounded by the QI domain product × the bucket-set size
+    // (the quantity the audit measures) — the st29/st36 fixed-state
+    // discipline; countDistinct is not a streaming aggregate, so the
+    // exact replacement is size(collect_set) (the round-8 rule).
+    "st51_stream_k_anonymity" -> Q(
+      (s, d) => {
+        val classes = Streams.readEventsStream(s, d)
+          .select(col("event_type"), expr("user_id % 64").as("cohort"),
+            expr("CAST(floor(value / 50) AS BIGINT)").as("vbucket"))
+          .groupBy(col("event_type"), col("cohort"))
+          .agg(count(lit(1)).as("class_size"),
+            size(collect_set(col("vbucket"))).cast("long").as("l_distinct"))
+        Streams.runToMemory(s, classes, "st51_kanon", OutputMode.Complete())
+          .withColumn("meets_k", col("class_size") >= 25)
+          .withColumn("meets_l", col("l_distinct") >= 8)
+      },
+      Some("""SELECT event_type, user_id % 64 AS cohort, count(*) AS class_size,
+             |  count(DISTINCT CAST(floor(value / 50) AS BIGINT)) AS l_distinct,
+             |  count(*) >= 25 AS meets_k,
+             |  count(DISTINCT CAST(floor(value / 50) AS BIGINT)) >= 8 AS meets_l
+             |FROM events GROUP BY event_type, user_id % 64""".stripMargin)),
+
     // Streaming session PATHS: q92's capped '>'-joined paths emitted by
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark
