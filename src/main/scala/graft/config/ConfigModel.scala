@@ -184,6 +184,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  partitionCol: Option[String] = None,
                                  keepFrom: Option[String] = None,
                                  clusterBy: Seq[String] = Nil,
+                                 where: Option[String] = None,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -602,9 +603,9 @@ object ConfigParser {
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
-        "version_vacuum", "history")(action)) throw new ConfigError(
+        "version_vacuum", "history", "delete")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
-          "profile, retain, vacuum, cluster, version_vacuum, history)")
+          "profile, retain, vacuum, cluster, version_vacuum, history, delete)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -636,6 +637,11 @@ object ConfigParser {
       }
       if (action == "history" && outLoc.isEmpty) throw new ConfigError(
         "maintenance.output (where the history table is written) is required for history")
+      val where = str(t, "where")
+      if (action == "delete" && where.forall(_.trim.isEmpty)) throw new ConfigError(
+        "maintenance.where (the row predicate) is required for delete")
+      if (action != "delete" && where.nonEmpty) throw new ConfigError(
+        s"maintenance.where only applies to action delete, not '$action'")
       MaintenanceSpec(
         action = action,
         location = str(t, "location").getOrElse(throw new ConfigError(
@@ -646,6 +652,7 @@ object ConfigParser {
         partitionCol = partCol,
         keepFrom = keepFrom,
         clusterBy = clusterBy,
+        where = where,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -247,6 +247,15 @@ object Engine {
             graft.log.Log.info("vacuum applied", "location" -> location,
               "removed" -> removed.mkString(","))
             None
+          case "delete" =>
+            // row-level DELETE via deletion vectors: matching rows become
+            // (file, position) sidecar entries — zero data files rewritten
+            val v = graft.sinks.VersionedTable.deleteWhere(
+              spark, location, Interpolate(m.where.get, vars), m.format, m.options)
+            graft.log.Log.info("versioned delete applied",
+              "location" -> location, "version" -> s"v$v",
+              "where" -> m.where.get)
+            None
           case "version_vacuum" =>
             // reclaim versioned-table history: manifests below keep_from
             // and every unreferenced data file / stats sidecar

@@ -471,6 +471,37 @@ object Framework {
         |  FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " ")))
   }
 
+  /** Row-level DELETE via DELETION VECTORS on the YAML surface: commit
+    * the customer projection as v1, run a `maintenance.action: delete`
+    * job through the real engine (the debtor purge: cents < 0), then a
+    * direct-API delete of one market segment — two accumulated DVs,
+    * ZERO data files rewritten (the protocol is pinned in
+    * VersionedTableSpec: same file set and bytes, merge/append/compact
+    * interplay, vacuum reclamation). The read-back is the final
+    * snapshot through the DV anti-join. */
+  private def fwDeleteVectors(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "dv")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    val src = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, loc, src, "overwrite",
+      statsColumns = Seq("c_custkey"))
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-dv
+         |  type: maintenance
+         |maintenance:
+         |  action: delete
+         |  location: $loc
+         |  where: cents < 0
+         |""".stripMargin), "default")
+    graft.sinks.VersionedTable.deleteWhere(s, loc, "c_mktsegment = 'BUILDING'")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -1877,6 +1908,12 @@ object Framework {
     "fw_stream_acid" -> Q(fwStreamAcid, Some(
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_delete_vectors" -> Q(fwDeleteVectors, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE NOT (floor(c_acctbal * 100 + 0.5) < 0)
+        |  AND c_mktsegment <> 'BUILDING'""".stripMargin)),
     "fw_acid" -> Q(fwAcid, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

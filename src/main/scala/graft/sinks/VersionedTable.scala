@@ -84,13 +84,16 @@ object VersionedTable {
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
                                mode: String, files: Seq[(String, Long)],
                                txn: Option[(String, Long)],
-                               statsFile: Option[String] = None): Boolean = {
+                               statsFile: Option[String] = None,
+                               dv: Option[(String, Long)] = None): Boolean = {
     val fileJson = files.sortBy(_._1)
       .map { case (n, b) => s"""{"name":${jstr(n)},"bytes":$b}""" }
       .mkString("[", ",", "]")
     val txnJson = txn.map { case (app, batch) =>
       s""""txn_app":${jstr(app)},"txn_batch":$batch,""" }.getOrElse("")
-    val statsJson = statsFile.map(sf => s""""stats_file":${jstr(sf)},""").getOrElse("")
+    val statsJson = statsFile.map(sf => s""""stats_file":${jstr(sf)},""").getOrElse("") +
+      dv.map { case (name, rows) =>
+        s""""dv_file":${jstr(name)},"dv_rows":$rows,""" }.getOrElse("")
     // commit wall clock: what as-of-TIMESTAMP reads resolve against
     // (informational ordering only — the version number is the truth)
     val json = s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
@@ -142,6 +145,38 @@ object VersionedTable {
   private def manifestField(text: String, key: String): Option[String] =
     (""""""" + key + """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(text)
       .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\"))
+
+  // ------------------------------------------------------- deletion vectors
+
+  /** The version's deletion-vector sidecar (a parquet DIRECTORY under
+    * `_graft_log/`, columns `file: string, pos: long`) and its total
+    * row count — absent for versions with no deletes. */
+  private def dvOf(fs: FileSystem, root: Path, v: Long): Option[(String, Long)] = {
+    val text = manifestText(fs, root, v)
+    manifestField(text, "dv_file").map { name =>
+      (name, """"dv_rows":(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(0L))
+    }
+  }
+
+  private def readDv(spark: SparkSession, root: Path, name: String): DataFrame =
+    spark.read.parquet(new Path(logDir(root), name).toString)
+
+  /** Anti-join `df` (which must carry parquet `_metadata`) against the
+    * deletion vector: rows whose (file basename, row position) appear in
+    * the DV disappear. The DV is the small side — AQE broadcasts it. */
+  private def applyDv(spark: SparkSession, root: Path, df: DataFrame,
+                      dvName: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val outCols = df.columns.toSeq
+    val dv = readDv(spark, root, dvName)
+      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
+    df.withColumn("__dv_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+      .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
+      .select(outCols.map(col): _*)
+  }
 
   // ---------------------------------------------------------------- stats
 
@@ -543,7 +578,12 @@ object VersionedTable {
           Some(name)
         }
       }
-      if (writeManifestCas(fs, root, v, mode, base ++ moved, txn, statsFile)) return v
+      // an append keeps every base file, so the base deletion vector
+      // stays valid verbatim — carry the sidecar BY NAME (zero rewrite);
+      // an overwrite replaces the file set and clears it
+      val dvCarry: Option[(String, Long)] =
+        if (mode == "append") latest.flatMap(dvOf(fs, root, _)) else None
+      if (writeManifestCas(fs, root, v, mode, base ++ moved, txn, statsFile, dvCarry)) return v
       attempt += 1 // lost the race: re-read latest and rebase
     }
     throw new java.io.IOException(
@@ -569,9 +609,11 @@ object VersionedTable {
     if (files.isEmpty)
       throw new graft.config.ConfigError(
         s"versioned read: version $v of '$location' references no files")
-    spark.read.format(format)
+    val base = spark.read.format(format)
       .options(graft.sources.Sources.mapOptions(options))
       .load(files: _*)
+    dvOf(fs, root, v).fold(base) { case (name, _) =>
+      applyDv(spark, root, base, name) }
   }
 
   /** FILE-LEVEL MERGE (upsert): arrivals replace table rows with equal
@@ -656,13 +698,21 @@ object VersionedTable {
             "pass mergeSchema=true in options (commit AND read) to evolve")
       }
     }
+    val latestDv = dvOf(fs, root, latest)
     val merged =
       if (touched.isEmpty) arrivals
-      else spark.read.format(format)
-        .options(graft.sources.Sources.mapOptions(options))
-        .load(touched.map(n => new Path(dataDir(root), n).toString): _*)
-        .join(arrivals, keys, "left_anti")
-        .unionByName(arrivals)
+      else {
+        val touchedBase = spark.read.format(format)
+          .options(graft.sources.Sources.mapOptions(options))
+          .load(touched.map(n => new Path(dataDir(root), n).toString): _*)
+        // a touched file's deleted rows must not resurrect into its
+        // rewrite — the DV applies to the snapshot being merged
+        val touchedLive = latestDv.fold(touchedBase) { case (name, _) =>
+          applyDv(spark, root, touchedBase, name) }
+        touchedLive
+          .join(arrivals, keys, "left_anti")
+          .unionByName(arrivals)
+      }
     val (commitId, moved) = stageAndMove(fs, root, publishTransform(merged),
       format, options)
     val newStats =
@@ -682,11 +732,26 @@ object VersionedTable {
     val untouchedSized = untouched.map { n =>
       (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
     }
+    // deletion vector: rewritten files materialized their deletes away;
+    // entries for the CARRIED files stay live and move to a fresh
+    // filtered sidecar (an exact dv_rows keeps metadata counts honest)
+    val dvNext: Option[(String, Long)] = latestDv.flatMap { case (name, _) =>
+      val carriedDv = readDv(spark, root, name)
+        .filter(col("file").isin(untouched: _*))
+      val n = carriedDv.count()
+      if (n == 0L) None
+      else {
+        val dvName = s"dv-$commitId"
+        carriedDv.write.mode(SaveMode.Overwrite)
+          .parquet(new Path(logDir(root), dvName).toString)
+        Some((dvName, n))
+      }
+    }
     // serializable: exactly one CAS attempt at latest+1 — losing means a
     // concurrent commit landed since our snapshot, and our merged frame
     // is stale (it would silently drop that writer's rows)
     if (!writeManifestCas(fs, root, latest + 1, "merge",
-      untouchedSized ++ moved, None, statsFile))
+      untouchedSized ++ moved, None, statsFile, dvNext))
       throw new java.util.ConcurrentModificationException(
         s"versioned merge: serializable conflict at '$location' — snapshot " +
           s"was v$latest; a concurrent commit won v${latest + 1}; re-read and re-merge")
@@ -694,6 +759,87 @@ object VersionedTable {
       "location" -> location, "version" -> s"v${latest + 1}",
       "files_rewritten" -> touched.size.toString,
       "files_carried" -> untouched.size.toString)
+    latest + 1
+  }
+
+  /** Row-level DELETE via DELETION VECTORS — the Iceberg v2 / Delta DV
+    * shape: matching rows are recorded as (file, row-position) pairs in
+    * a parquet sidecar the manifest references; NO data file is
+    * rewritten or moved. [[merge]] rewrites whole files to change rows;
+    * a delete touching 0.001% of a 100 TB table moves kilobytes of
+    * metadata instead. Readers ([[read]]/[[readPruned]]) anti-join the
+    * DV (broadcast-sized until a compaction materializes it away);
+    * [[compact]]/cluster maintenance reads through the DV, so their
+    * overwrite commit purges it naturally.
+    *
+    * Semantics: deletes rows of the LATEST snapshot matching `condition`
+    * (a SQL boolean expression over the table's columns). Accumulates
+    * with prior DVs; a no-match delete returns the current version
+    * without committing. SERIALIZABLE single-attempt CAS (the merge
+    * discipline): losing the race aborts loudly. Zone maps stay valid
+    * as over-approximations; metadata row counts subtract `dv_rows`
+    * ([[history]]). CDC ([[changesBetween]]) aborts crossing a delete
+    * commit, the same contract as overwrites. Parquet-only: positions
+    * come from `_metadata.row_index`. */
+  def deleteWhere(spark: SparkSession, location: String, condition: String,
+                  format: String = "parquet",
+                  options: Map[String, String] = Map.empty,
+                  expectedLatest: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet",
+      "versioned delete: deletion vectors need parquet row positions")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned delete: no committed versions at '$location'")
+    val latest = vs.last
+    expectedLatest.foreach { exp =>
+      if (latest != exp) throw new java.util.ConcurrentModificationException(
+        s"versioned delete: serializable conflict at '$location' — snapshot " +
+          s"was v$exp, latest is v$latest; re-read and re-delete")
+    }
+    val files = readManifest(fs, root, latest)
+    val dvPrev = dvOf(fs, root, latest)
+    val base = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options))
+      .load(files.map(n => new Path(dataDir(root), n).toString): _*)
+      .withColumn("__dv_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    // only LIVE rows can match (a row deleted twice would double-count)
+    val live = dvPrev.fold(base) { case (name, _) =>
+      base.join(readDv(spark, root, name)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+    val matches = live.filter(expr(condition))
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+    val nMatched = matches.count()
+    if (nMatched == 0L) {
+      graft.log.Log.info("versioned delete: no matching rows",
+        "location" -> location, "version" -> s"v$latest")
+      return latest
+    }
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dvName = s"dv-$commitId"
+    val newDv = dvPrev.fold(matches) { case (name, _) =>
+      readDv(spark, root, name).unionByName(matches) }
+    newDv.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(logDir(root), dvName).toString)
+    val dvRows = dvPrev.fold(0L)(_._2) + nMatched
+    val sized = files.map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    val statsFile = manifestField(manifestText(fs, root, latest), "stats_file")
+    if (!writeManifestCas(fs, root, latest + 1, "delete", sized, None,
+      statsFile, Some((dvName, dvRows))))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned delete: serializable conflict at '$location' — snapshot " +
+          s"was v$latest; a concurrent commit won v${latest + 1}; re-delete")
+    graft.log.Log.info("versioned delete",
+      "location" -> location, "version" -> s"v${latest + 1}",
+      "rows_deleted" -> nMatched.toString, "files_rewritten" -> "0")
     latest + 1
   }
 
@@ -784,9 +930,15 @@ object VersionedTable {
         // provably empty under the predicates: an empty frame with the
         // table's schema, zero files opened
         read(spark, location, Some(v), format, options).limit(0)
-      else spark.read.format(format)
-        .options(graft.sources.Sources.mapOptions(options))
-        .load(kept.map(n => new Path(dataDir(root), n).toString): _*)
+      else {
+        val base = spark.read.format(format)
+          .options(graft.sources.Sources.mapOptions(options))
+          .load(kept.map(n => new Path(dataDir(root), n).toString): _*)
+        // deleted rows stay invisible on the pruned path too (DV entries
+        // for pruned-away files anti-join to nothing, harmlessly)
+        dvOf(fs, root, v).fold(base) { case (name, _) =>
+          applyDv(spark, root, base, name) }
+      }
     graft.log.Log.info("versioned pruned read",
       "location" -> location, "version" -> s"v$v",
       "files_total" -> files.size.toString, "files_kept" -> kept.size.toString)
@@ -889,8 +1041,11 @@ object VersionedTable {
         .map(_.group(1).toLong)
       val sc = manifestField(text, "stats_file")
         .map(readStatsLines(fs, root, _)).getOrElse(SidecarStats.empty)
+      // deletion vectors hide rows the per-file counts still include
+      val dvRows = """"dv_rows":(\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong).getOrElse(0L)
       val nRows: Any =
-        if (sc.rows.isEmpty) null else sc.rows.map(_._2).sum
+        if (sc.rows.isEmpty) null else sc.rows.map(_._2).sum - dvRows
       org.apache.spark.sql.Row(v, mode, nFiles, bytes,
         nRows, ts.map(Long.box).orNull)
     }
@@ -936,6 +1091,10 @@ object VersionedTable {
       manifestField(manifestText(fs, root, v), "stats_file")).toSet
     val anyStats = vs.flatMap(v =>
       manifestField(manifestText(fs, root, v), "stats_file")).toSet
+    val keptDvs = kept.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "dv_file")).toSet
+    val anyDvs = vs.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "dv_file")).toSet
     val now = System.currentTimeMillis()
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(dataDir(root)).foreach { st =>
@@ -965,6 +1124,15 @@ object VersionedTable {
           now - st.getModificationTime >= minOrphanAgeMillis)
       if (deletable) {
         fs.delete(st.getPath, false)
+        dropped += s"_graft_log/$n"
+      }
+      // deletion-vector sidecars are DIRECTORIES: reclaim those no kept
+      // manifest references (committed-then-dropped immediately;
+      // never-referenced ones — an in-flight delete's staging — age-gate)
+      if (st.isDirectory && n.startsWith("dv-") && !keptDvs.contains(n) &&
+        (anyDvs.contains(n) ||
+          now - st.getModificationTime >= minOrphanAgeMillis)) {
+        fs.delete(st.getPath, true)
         dropped += s"_graft_log/$n"
       }
     }

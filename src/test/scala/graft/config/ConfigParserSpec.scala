@@ -541,6 +541,23 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: version_vacuum, location: /tmp/t, keep_from: "latest"}
         |""".stripMargin))
     assert(evv2.getMessage.contains("version number"))
+    // delete needs a row predicate; `where` is delete-only
+    val dl = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: delete, location: /tmp/t, where: "cents < 0"}
+        |""".stripMargin)
+    assert(dl.maintenance.exists(m =>
+      m.action == "delete" && m.where.contains("cents < 0")))
+    val edl = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: delete, location: /tmp/t}
+        |""".stripMargin))
+    assert(edl.getMessage.contains("where"))
+    val edl2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: compact, location: /tmp/t, files: "2", where: "x > 1"}
+        |""".stripMargin))
+    assert(edl2.getMessage.contains("only applies to action delete"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}

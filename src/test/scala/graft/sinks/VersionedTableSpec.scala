@@ -466,4 +466,78 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.changesBetween(spark, loc, 1L, 9L))
     assert(bad.getMessage.contains("not in committed set"))
   }
+
+  test("deleteWhere: rows vanish without moving a file; deletes accumulate") {
+    val loc = tmp("dv1")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v"), "overwrite")
+    val dataFiles = new java.io.File(s"$loc/data").listFiles().map(_.getName).toSet
+    val v2 = VersionedTable.deleteWhere(spark, loc, "k = 2")
+    assert(v2 == 2L)
+    // zero data movement: same file set, same bytes
+    assert(new java.io.File(s"$loc/data").listFiles().map(_.getName).toSet == dataFiles)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (3, "c"), (4, "d")))
+    // time travel still sees the deleted row
+    assert(rows(VersionedTable.read(spark, loc, asOf = Some(1L))) ==
+      Set((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // accumulation
+    val v3 = VersionedTable.deleteWhere(spark, loc, "k >= 4")
+    assert(v3 == 3L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (3, "c")))
+    // no-match delete is a no-op (no new version)
+    assert(VersionedTable.deleteWhere(spark, loc, "k = 99") == 3L)
+    assert(VersionedTable.versions(spark, loc) == Seq(1L, 2L, 3L))
+  }
+
+  test("deleteWhere: append carries the DV; merge never resurrects deleted rows") {
+    val loc = tmp("dv2")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), "overwrite",
+      statsColumns = Seq("k"))
+    VersionedTable.deleteWhere(spark, loc, "k = 1")
+    // append keeps the delete invisible
+    VersionedTable.commit(spark, loc, Seq((3, "c")).toDF("k", "v"), "append",
+      statsColumns = Seq("k"))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((2, "b"), (3, "c")))
+    // merge rewriting the file containing the deleted row must not
+    // bring k=1 back (the DV applies to the snapshot being merged)
+    VersionedTable.merge(spark, loc, Seq((2, "B")).toDF("k", "v"),
+      keys = Seq("k"), statsColumns = Seq("k"))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((2, "B"), (3, "c")))
+  }
+
+  test("deleteWhere: history subtracts dv_rows; compaction purges the DV") {
+    val loc = tmp("dv3")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "overwrite",
+      statsColumns = Seq("k"))
+    VersionedTable.deleteWhere(spark, loc, "k <= 2")
+    val h = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[String]("mode"),
+        Option(r.getAs[Any]("n_rows")))).toSeq.sortBy(_._1)
+    assert(h(0) == ((1L, "overwrite", Some(3L))))
+    assert(h(1) == ((2L, "delete", Some(1L)))) // 3 files' rows minus 2 deleted
+    // compaction reads THROUGH the DV and its commit drops it
+    Sinks.compact(spark, loc, "parquet", nFiles = 1)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((3, "c")))
+    val latestText = scala.io.Source.fromFile(
+      new java.io.File(s"$loc/_graft_log").listFiles()
+        .filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName).last).mkString
+    assert(!latestText.contains("dv_file"))
+  }
+
+  test("deleteWhere: vacuum keeps referenced DV sidecars, reclaims dropped ones") {
+    val loc = tmp("dv4")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), "overwrite")
+    VersionedTable.deleteWhere(spark, loc, "k = 1") // v2 + dv sidecar A
+    VersionedTable.deleteWhere(spark, loc, "k = 2") // v3 + dv sidecar B
+    def dvDirs = new java.io.File(s"$loc/_graft_log").listFiles()
+      .filter(d => d.isDirectory && d.getName.startsWith("dv-")).map(_.getName).toSet
+    assert(dvDirs.size == 2)
+    // keep only v3: v2's sidecar (committed then dropped) reclaims now
+    VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 3L)
+    assert(dvDirs.size == 1)
+    assert(rows(VersionedTable.read(spark, loc)) == Set.empty[(Int, String)])
+  }
 }
