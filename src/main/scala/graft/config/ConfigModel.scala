@@ -185,6 +185,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  keepFrom: Option[String] = None,
                                  clusterBy: Seq[String] = Nil,
                                  where: Option[String] = None,
+                                 set: Map[String, String] = Map.empty,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -603,9 +604,9 @@ object ConfigParser {
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
-        "version_vacuum", "history", "delete")(action)) throw new ConfigError(
+        "version_vacuum", "history", "delete", "update")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
-          "profile, retain, vacuum, cluster, version_vacuum, history, delete)")
+          "profile, retain, vacuum, cluster, version_vacuum, history, delete, update)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -638,10 +639,16 @@ object ConfigParser {
       if (action == "history" && outLoc.isEmpty) throw new ConfigError(
         "maintenance.output (where the history table is written) is required for history")
       val where = str(t, "where")
-      if (action == "delete" && where.forall(_.trim.isEmpty)) throw new ConfigError(
-        "maintenance.where (the row predicate) is required for delete")
-      if (action != "delete" && where.nonEmpty) throw new ConfigError(
-        s"maintenance.where only applies to action delete, not '$action'")
+      if (Set("delete", "update")(action) && where.forall(_.trim.isEmpty))
+        throw new ConfigError(
+          s"maintenance.where (the row predicate) is required for $action")
+      if (!Set("delete", "update")(action) && where.nonEmpty) throw new ConfigError(
+        s"maintenance.where only applies to actions delete/update, not '$action'")
+      val setMap = t.get("set").map(strMap(_, "set")).getOrElse(Map.empty[String, String])
+      if (action == "update" && setMap.isEmpty) throw new ConfigError(
+        "maintenance.set (column -> SQL expression map) is required for update")
+      if (action != "update" && setMap.nonEmpty) throw new ConfigError(
+        s"maintenance.set only applies to action update, not '$action'")
       MaintenanceSpec(
         action = action,
         location = str(t, "location").getOrElse(throw new ConfigError(
@@ -653,6 +660,7 @@ object ConfigParser {
         keepFrom = keepFrom,
         clusterBy = clusterBy,
         where = where,
+        set = setMap,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -256,6 +256,17 @@ object Engine {
               "location" -> location, "version" -> s"v$v",
               "where" -> m.where.get)
             None
+          case "update" =>
+            // row-level UPDATE: old positions join the DV, updated
+            // images append — one atomic commit, zero files rewritten
+            val v = graft.sinks.VersionedTable.updateWhere(
+              spark, location, Interpolate(m.where.get, vars),
+              m.set.map { case (c, e) => (c, Interpolate(e, vars)) },
+              m.format, m.options)
+            graft.log.Log.info("versioned update applied",
+              "location" -> location, "version" -> s"v$v",
+              "where" -> m.where.get)
+            None
           case "version_vacuum" =>
             // reclaim versioned-table history: manifests below keep_from
             // and every unreferenced data file / stats sidecar

@@ -502,6 +502,34 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** Row-level UPDATE via deletion vectors on the YAML surface: the
+    * [[fwDeleteVectors]] table shape, then `maintenance.action: update`
+    * zeroes the balance of one segment (old positions -> DV, updated
+    * images appended — one atomic commit, zero files rewritten). */
+  private def fwUpdateVectors(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "dvu")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    val src = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, loc, src, "overwrite",
+      statsColumns = Seq("c_custkey"))
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-dvu
+         |  type: maintenance
+         |maintenance:
+         |  action: update
+         |  location: $loc
+         |  where: c_mktsegment = 'MACHINERY'
+         |  set:
+         |    cents: "cents DIV 2"
+         |""".stripMargin), "default")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -1908,6 +1936,13 @@ object Framework {
     "fw_stream_acid" -> Q(fwStreamAcid, Some(
       """SELECT doc_id, source, lang, n_chars
         |FROM documents WHERE n_chars >= 300""".stripMargin)),
+    "fw_update_vectors" -> Q(fwUpdateVectors, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_mktsegment = 'MACHINERY'
+        |            THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 2
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       c_mktsegment
+        |FROM customer""".stripMargin)),
     "fw_delete_vectors" -> Q(fwDeleteVectors, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment

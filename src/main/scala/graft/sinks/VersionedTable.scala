@@ -843,6 +843,108 @@ object VersionedTable {
     latest + 1
   }
 
+  /** Row-level UPDATE via deletion vectors: matching LIVE rows get their
+    * old positions added to the DV and their updated images appended as
+    * new files — ONE atomic commit covers both, so readers see either
+    * the old rows or the new, never neither/both. The Delta/Iceberg
+    * UPDATE shape without rewriting the touched files: cost ∝ matched
+    * rows, not ∝ the files containing them. `set` maps column name →
+    * SQL expression over the row's (pre-update) columns. Same
+    * serializable single-attempt CAS and CDC/delete contracts as
+    * [[deleteWhere]]. Returns the committed version (unchanged when
+    * nothing matches). */
+  def updateWhere(spark: SparkSession, location: String, condition: String,
+                  set: Map[String, String],
+                  format: String = "parquet",
+                  options: Map[String, String] = Map.empty,
+                  expectedLatest: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions._
+    require(format == "parquet",
+      "versioned update: deletion vectors need parquet row positions")
+    require(set.nonEmpty, "versioned update: set must be non-empty")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned update: no committed versions at '$location'")
+    val latest = vs.last
+    expectedLatest.foreach { exp =>
+      if (latest != exp) throw new java.util.ConcurrentModificationException(
+        s"versioned update: serializable conflict at '$location' — snapshot " +
+          s"was v$exp, latest is v$latest; re-read and re-update")
+    }
+    val files = readManifest(fs, root, latest)
+    val dvPrev = dvOf(fs, root, latest)
+    val base = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options))
+      .load(files.map(n => new Path(dataDir(root), n).toString): _*)
+      .withColumn("__dv_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val live = dvPrev.fold(base) { case (name, _) =>
+      base.join(readDv(spark, root, name)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+    val dataCols = base.columns.filterNot(Set("__dv_file", "__dv_pos")).toSeq
+    set.keys.foreach { c =>
+      require(dataCols.contains(c),
+        s"versioned update: set column '$c' not in the table (has: ${dataCols.mkString(", ")})")
+    }
+    val matched = live.filter(expr(condition))
+    val nMatched = matched.count()
+    if (nMatched == 0L) {
+      graft.log.Log.info("versioned update: no matching rows",
+        "location" -> location, "version" -> s"v$latest")
+      return latest
+    }
+    // the updated images: SET expressions evaluate against the OLD row
+    val updated = matched.select(dataCols.map { c =>
+      set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
+    }: _*)
+    val (commitId, moved) = stageAndMove(fs, root, updated, format, options)
+    // old positions join the DV
+    val dvName = s"dv-$commitId"
+    val oldPositions = matched
+      .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+    val newDv = dvPrev.fold(oldPositions) { case (name, _) =>
+      readDv(spark, root, name).unionByName(oldPositions) }
+    newDv.write.mode(SaveMode.Overwrite)
+      .parquet(new Path(logDir(root), dvName).toString)
+    val dvRows = dvPrev.fold(0L)(_._2) + nMatched
+    val sized = files.map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    // stats: carried by name (still sound over-approximations for the
+    // old files); the NEW files get fresh stats for the tracked columns
+    val statsFile: Option[String] = {
+      val tracked = trackedStatsColumns(spark, location)
+      val carried = manifestField(manifestText(fs, root, latest), "stats_file")
+        .map(readStatsLines(fs, root, _)).getOrElse(SidecarStats.empty)
+      val fresh =
+        if (tracked.isEmpty) SidecarStats.empty
+        else computeStats(spark,
+          moved.map { case (n, _) => new Path(dataDir(root), n).toString },
+          tracked, format, options)
+      val all = carried ++ fresh
+      if (all.isEmpty) None
+      else {
+        val name = s"stats-$commitId.jsonl"
+        writeStatsFile(fs, root, name, renderSidecar(all))
+        Some(name)
+      }
+    }
+    if (!writeManifestCas(fs, root, latest + 1, "update", sized ++ moved, None,
+      statsFile, Some((dvName, dvRows))))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned update: serializable conflict at '$location' — snapshot " +
+          s"was v$latest; a concurrent commit won v${latest + 1}; re-update")
+    graft.log.Log.info("versioned update",
+      "location" -> location, "version" -> s"v${latest + 1}",
+      "rows_updated" -> nMatched.toString, "files_rewritten" -> "0")
+    latest + 1
+  }
+
   /** A zone-map-pruned snapshot scan: `df` reads ONLY the kept files. */
   final case class PrunedScan(df: DataFrame, totalFiles: Int, keptFiles: Int)
 

@@ -557,7 +557,24 @@ class ConfigParserSpec extends AnyFunSuite {
       """job: {name: j, type: maintenance}
         |maintenance: {action: compact, location: /tmp/t, files: "2", where: "x > 1"}
         |""".stripMargin))
-    assert(edl2.getMessage.contains("only applies to action delete"))
+    assert(edl2.getMessage.contains("only applies to actions delete/update"))
+    // update needs both where and set; set is update-only
+    val up = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: update, location: /tmp/t, where: "k = 1", set: {v: "'x'"}}
+        |""".stripMargin)
+    assert(up.maintenance.exists(m =>
+      m.action == "update" && m.set == Map("v" -> "'x'")))
+    val eup = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: update, location: /tmp/t, where: "k = 1"}
+        |""".stripMargin))
+    assert(eup.getMessage.contains("set"))
+    val eup2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: delete, location: /tmp/t, where: "k = 1", set: {v: "'x'"}}
+        |""".stripMargin))
+    assert(eup2.getMessage.contains("only applies to action update"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}

@@ -540,4 +540,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(dvDirs.size == 1)
     assert(rows(VersionedTable.read(spark, loc)) == Set.empty[(Int, String)])
   }
+
+  test("updateWhere: atomic delete+append, cardinality preserved, SET sees old row") {
+    val loc = tmp("dv5")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "overwrite",
+      statsColumns = Seq("k"))
+    val v2 = VersionedTable.updateWhere(spark, loc, "k >= 2",
+      Map("v" -> "concat(v, '!')", "k" -> "k + 10"))
+    assert(v2 == 2L)
+    assert(rows(VersionedTable.read(spark, loc)) ==
+      Set((1, "a"), (12, "b!"), (13, "c!")))
+    // time travel: the pre-update image is intact
+    assert(rows(VersionedTable.read(spark, loc, asOf = Some(1L))) ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+    // metadata row count unchanged (update preserves cardinality)
+    val h = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), Option(r.getAs[Any]("n_rows")))).toMap
+    assert(h(2L) == Some(3L))
+    // no-match update is a no-op; unknown SET column is a named error
+    assert(VersionedTable.updateWhere(spark, loc, "k = 99", Map("v" -> "'x'")) == 2L)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.updateWhere(spark, loc, "k = 1", Map("nope" -> "'x'")))
+    assert(e.getMessage.contains("nope"))
+  }
+
+  test("updateWhere composes with deletes and merges (no resurrection)") {
+    val loc = tmp("dv6")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v"), "overwrite",
+      statsColumns = Seq("k"))
+    VersionedTable.deleteWhere(spark, loc, "k = 1")
+    VersionedTable.updateWhere(spark, loc, "k = 2", Map("v" -> "'B'"))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((2, "B"), (3, "c")))
+    // a merge rewriting everything must keep both the delete and update
+    VersionedTable.merge(spark, loc, Seq((3, "C")).toDF("k", "v"),
+      keys = Seq("k"), statsColumns = Seq("k"))
+    assert(rows(VersionedTable.read(spark, loc)) == Set((2, "B"), (3, "C")))
+  }
 }
