@@ -167,7 +167,14 @@ object ScaleCheck {
     "ext139_mmr_select",
     // k-center: k full scans (min-dist projection vs ≤k broadcast
     // literals + TakeOrdered) — must read ~k-scan linear, never pairwise
-    "ext140_kcenter_select")
+    "ext140_kcenter_select",
+    // deletion vectors: the delete pass scans once for positions
+    // (~linear) and the commit moves metadata only; update adds an
+    // appended-images write ∝ matched rows — both must stay ~linear,
+    // and the DV read path must never add a table-sized term
+    "fw_delete_vectors", "fw_update_vectors",
+    // governance tier: one hash aggregate + bounded class-table passes
+    "ext141_k_anonymity", "ext142_k_anon_ladder", "st51_stream_k_anonymity")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
