@@ -147,6 +147,12 @@ final case class OutputTable(
       * a concurrent commit landed since the snapshot). File targets
       * only. */
     versioned: Boolean = false,
+    /** `materialized: true` (versioned file sinks only): the output is a
+      * MATERIALIZED VIEW over the job's `versioned: true` inputs — the
+      * engine fingerprints the inputs' latest versions BEFORE running
+      * the SQL and skips the whole pipeline when nothing moved since
+      * the recorded state ([[graft.sinks.MaterializedView]]). */
+    materialized: Boolean = false,
     /** `stats_columns: c1,c2` (versioned sinks only) records per-FILE
       * min/max/null-count zone maps for the named columns in the commit
       * manifest; [[graft.sinks.VersionedTable.readPruned]] then skips
@@ -477,6 +483,12 @@ object ConfigParser {
           case Some(other) => throw new ConfigError(
             s"output '$name': versioned must be true/false, got '$other'")
         },
+        materialized = str(t, "materialized").map(_.toLowerCase) match {
+          case None | Some("false") | Some("no") => false
+          case Some("true") | Some("yes") => true
+          case Some(other) => throw new ConfigError(
+            s"output '$name': materialized must be true/false, got '$other'")
+        },
         statsColumns = str(t, "stats_columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         rangeKeys = str(t, "range_partition_keys")
@@ -506,6 +518,14 @@ object ConfigParser {
         if (parsed.refresh == Refresh.Scd2) throw new ConfigError(
           s"output '$name': refresh scd2 with versioned is not supported " +
             "(the version log IS the history; use refresh upsert + as_of_version reads)")
+      }
+      if (parsed.materialized) {
+        if (!parsed.versioned) throw new ConfigError(
+          s"output '$name': materialized requires versioned: true " +
+            "(the MV is a versioned table plus a source-version state record)")
+        if (parsed.refresh != Refresh.Full) throw new ConfigError(
+          s"output '$name': materialized requires refresh full " +
+            "(each refresh IS a full recompute of the view)")
       }
       // zone maps live in the versioned manifest — nowhere else to put
       // them; range partitioning fights bucketing's layout and
@@ -664,6 +684,13 @@ object ConfigParser {
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }
+    // a materialized output needs versioned inputs to fingerprint —
+    // without one the staleness check could never trigger a recompute
+    if (output.exists(_.materialized) &&
+      !inputs.exists(_.source.isInstanceOf[SourceSpec.Versioned]))
+      throw new ConfigError(
+        "output materialized: true requires at least one `versioned: true` " +
+          "input table (the MV fingerprints its sources' versions)")
     if (jobType == JobType.Maintenance && maintenance.isEmpty)
       throw new ConfigError("job.type maintenance needs a `maintenance:` block")
     if (jobType != JobType.Maintenance && maintenance.nonEmpty)

@@ -122,6 +122,36 @@ object Engine {
                      extraVars: Map[String, String] = Map.empty): DataFrame = {
     val vars = job.varsFor(pipeline) ++ extraVars + ("pipeline_name" -> pipeline)
     if (job.streaming) return runStreamingSqlJob(spark, job, vars)
+    // MATERIALIZED VIEW short-circuit: fingerprint the versioned inputs'
+    // latest versions BEFORE registering anything or building the SQL
+    // plan — when nothing moved since the recorded state, the whole
+    // pipeline is skipped for the cost of a few version listings.
+    val mvPlan: Option[(String, String)] =
+      job.outputTable.filter(_.materialized).map { out0 =>
+        val loc = out0.target match {
+          case TargetSpec.File(l) => Interpolate(l, vars)
+          case _ => throw new ConfigError(
+            s"output '${out0.name}': materialized requires a file target")
+        }
+        val sources = job.inputTables.collect {
+          case t if t.source.isInstanceOf[SourceSpec.Versioned] =>
+            (t.name, Interpolate(
+              t.source.asInstanceOf[SourceSpec.Versioned].location, vars))
+        }
+        (loc, graft.sinks.MaterializedView.fingerprint(spark, sources))
+      }
+    mvPlan.foreach { case (loc, fp) =>
+      graft.sinks.MaterializedView.currentState(spark, loc) match {
+        case Some((oldFp, v))
+          if oldFp == fp &&
+            graft.sinks.VersionedTable.versions(spark, loc).contains(v) =>
+          graft.log.Log.info("materialized view fresh — pipeline skipped",
+            "output" -> job.outputTable.get.name,
+            "fingerprint" -> fp, "version" -> s"v$v")
+          return graft.sinks.VersionedTable.read(spark, loc)
+        case _ => () // stale or first run: fall through to the pipeline
+      }
+    }
     graft.log.Log.info("registering inputs", "n_inputs" -> job.inputTables.size.toString)
     val (_, bookmarkCommits) = registerInputsWithCommits(spark, job, vars, pipeline)
     val result = spark.sql(resolveSql(spark, job, vars))
@@ -162,6 +192,14 @@ object Engine {
             finally os.close()
           case _ => ()
         }
+      }
+      // MV bookkeeping: record the fingerprint taken BEFORE the SQL ran
+      // against the version the sink just committed
+      mvPlan.foreach { case (loc, fp) =>
+        val v = graft.sinks.VersionedTable.versions(spark, loc).last
+        graft.sinks.MaterializedView.recordState(spark, loc, fp, v)
+        graft.log.Log.info("materialized view recorded",
+          "output" -> out.name, "fingerprint" -> fp, "version" -> s"v$v")
       }
       bookmarkCommits.foreach(_.apply())
     }

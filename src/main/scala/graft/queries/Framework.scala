@@ -530,6 +530,57 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** MATERIALIZED VIEW on the YAML surface: a versioned source table,
+    * a `materialized: true` output over it, and three engine runs —
+    * build (recompute), replay (SKIPPED: the fingerprint of the
+    * source's latest version matches the recorded state, so neither the
+    * SQL nor the sink runs), source append + replay (recompute). The
+    * requires pin the skip: the MV's version log gains nothing on the
+    * fresh run. At 100 TB this is a scheduled rollup that answers "no
+    * upstream commit since last tick" with directory listings. */
+  private def fwMatview(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "matview")
+    rmrf(s, base)
+    val srcLoc = s"$base/src"
+    val mvLoc = s"$base/mv"
+    val proj = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, srcLoc,
+      proj.filter(col("c_custkey") % 2 === 0), "overwrite")
+    def yaml = s"""job:
+       |  name: fw-matview
+       |  type: spark-sql
+       |input_tables:
+       |  - name: src
+       |    source: s3
+       |    location: $srcLoc
+       |    versioned: "true"
+       |output_table:
+       |  name: mv_out
+       |  target: s3
+       |  location: $mvLoc
+       |  versioned: true
+       |  materialized: true
+       |sql: >
+       |  SELECT c_mktsegment, count(*) AS n_cust,
+       |  CAST(sum(cents) AS BIGINT) AS total_cents FROM src GROUP BY c_mktsegment
+       |""".stripMargin
+    run(s, yaml)
+    require(graft.sinks.VersionedTable.versions(s, mvLoc) == Seq(1L),
+      "fw_matview: first run must materialize v1")
+    run(s, yaml) // fresh: must SKIP — no new MV version
+    require(graft.sinks.VersionedTable.versions(s, mvLoc) == Seq(1L),
+      "fw_matview: replay on an unchanged source must not recompute")
+    graft.sinks.VersionedTable.commit(s, srcLoc,
+      proj.filter(col("c_custkey") % 2 === 1), "append")
+    run(s, yaml) // source moved: recompute
+    require(graft.sinks.VersionedTable.versions(s, mvLoc) == Seq(1L, 2L),
+      "fw_matview: a source append must invalidate the MV")
+    graft.sinks.VersionedTable.read(s, mvLoc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -1943,6 +1994,10 @@ object Framework {
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
         |       c_mktsegment
         |FROM customer""".stripMargin)),
+    "fw_matview" -> Q(fwMatview, Some(
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM customer GROUP BY c_mktsegment""".stripMargin)),
     "fw_delete_vectors" -> Q(fwDeleteVectors, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment

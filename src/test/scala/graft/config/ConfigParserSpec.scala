@@ -575,6 +575,21 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: delete, location: /tmp/t, where: "k = 1", set: {v: "'x'"}}
         |""".stripMargin))
     assert(eup2.getMessage.contains("only applies to action update"))
+    // materialized: requires versioned output AND a versioned input
+    val emv = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables: [{name: a, source: s3, location: /tmp/a}]
+        |output_table: {name: o, target: s3, location: /tmp/o, versioned: true, materialized: true}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(emv.getMessage.contains("versioned: true"))
+    val emv2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables: [{name: a, source: s3, location: /tmp/a, versioned: "true"}]
+        |output_table: {name: o, target: s3, location: /tmp/o, materialized: true}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(emv2.getMessage.contains("materialized requires versioned"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}
