@@ -174,7 +174,10 @@ object ScaleCheck {
     // and the DV read path must never add a table-sized term
     "fw_delete_vectors", "fw_update_vectors",
     // governance tier: one hash aggregate + bounded class-table passes
-    "ext141_k_anonymity", "ext142_k_anon_ladder", "st51_stream_k_anonymity")
+    "ext141_k_anonymity", "ext142_k_anon_ladder", "st51_stream_k_anonymity",
+    // WAP branches + MVs: commits move metadata; staging writes ∝ the
+    // staged frame; MV staleness checks are version listings — near-flat
+    "fw_wap", "fw_matview")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -51,7 +51,10 @@ object SourceSpec {
                              /** epoch millis: resolved to the latest
                                * version committed at or before it
                                * ([[graft.sinks.VersionedTable.versionAt]]). */
-                             asOfTimestampMillis: Option[Long] = None) extends SourceSpec
+                             asOfTimestampMillis: Option[Long] = None,
+                             /** read a BRANCH head instead of main
+                               * (the WAP audit read). */
+                             branch: Option[String] = None) extends SourceSpec
 }
 
 /** `incrementalSource`: reference A22 (Glue job bookmarks) — when true,
@@ -153,6 +156,11 @@ final case class OutputTable(
       * the SQL and skips the whole pipeline when nothing moved since
       * the recorded state ([[graft.sinks.MaterializedView]]). */
     materialized: Boolean = false,
+    /** `branch: name` (versioned sinks only): commits land on the named
+      * BRANCH instead of main — the WAP staging write. Create the
+      * branch first (`maintenance.action: create_branch`); publish with
+      * `publish_branch`. */
+    branch: Option[String] = None,
     /** `stats_columns: c1,c2` (versioned sinks only) records per-FILE
       * min/max/null-count zone maps for the named columns in the commit
       * manifest; [[graft.sinks.VersionedTable.readPruned]] then skips
@@ -192,6 +200,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  clusterBy: Seq[String] = Nil,
                                  where: Option[String] = None,
                                  set: Map[String, String] = Map.empty,
+                                 branch: Option[String] = None,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -357,6 +366,13 @@ object ConfigParser {
       if (pruneClauses.nonEmpty && !versionedIn) throw new ConfigError(
         s"input '$name': prune requires versioned: true " +
           "(file skipping plans from the commit manifest's zone maps)")
+      val branchIn = str(t, "branch").map(_.trim).filter(_.nonEmpty)
+      if (branchIn.nonEmpty && !versionedIn) throw new ConfigError(
+        s"input '$name': branch requires versioned: true")
+      if (branchIn.nonEmpty && (asOf.nonEmpty || asOfTs.nonEmpty || pruneClauses.nonEmpty))
+        throw new ConfigError(
+          s"input '$name': branch reads the branch HEAD — it cannot be " +
+            "combined with as_of_version / as_of_timestamp / prune")
       val source = str(t, "source").getOrElse("s3").toLowerCase match {
         case "s3" | "file" if versionedIn =>
           if (str(t, "schema").exists(_.trim.nonEmpty)) throw new ConfigError(
@@ -364,7 +380,7 @@ object ConfigParser {
           SourceSpec.Versioned(
             str(t, "location").getOrElse(throw new ConfigError(s"input '$name': location required for s3 source")),
             str(t, "format").getOrElse("parquet").toLowerCase, fmtOpts, asOf,
-            pruneClauses, asOfTs)
+            pruneClauses, asOfTs, branchIn)
         case _ if versionedIn => throw new ConfigError(
           s"input '$name': versioned is supported for s3/file sources only")
         case "s3" | "file" => SourceSpec.File(
@@ -489,6 +505,7 @@ object ConfigParser {
           case Some(other) => throw new ConfigError(
             s"output '$name': materialized must be true/false, got '$other'")
         },
+        branch = str(t, "branch").map(_.trim).filter(_.nonEmpty),
         statsColumns = str(t, "stats_columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         rangeKeys = str(t, "range_partition_keys")
@@ -518,7 +535,19 @@ object ConfigParser {
         if (parsed.refresh == Refresh.Scd2) throw new ConfigError(
           s"output '$name': refresh scd2 with versioned is not supported " +
             "(the version log IS the history; use refresh upsert + as_of_version reads)")
+        if (parsed.branch.nonEmpty) {
+          if (parsed.refresh == Refresh.Upsert) throw new ConfigError(
+            s"output '$name': branch commits support refresh full/incremental only " +
+              "(merge on a branch would need branch-side zone maps; publish first)")
+          if (parsed.statsColumns.nonEmpty) throw new ConfigError(
+            s"output '$name': stats_columns with branch is not supported " +
+              "(branch commits are staging writes; zone maps are computed on publish-side maintenance)")
+          if (parsed.materialized) throw new ConfigError(
+            s"output '$name': materialized with branch is not supported")
+        }
       }
+      if (parsed.branch.nonEmpty && !parsed.versioned) throw new ConfigError(
+        s"output '$name': branch requires versioned: true")
       if (parsed.materialized) {
         if (!parsed.versioned) throw new ConfigError(
           s"output '$name': materialized requires versioned: true " +
@@ -624,9 +653,11 @@ object ConfigParser {
       val t = asMap(m, "maintenance")
       val action = str(t, "action").getOrElse("compact").toLowerCase
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
-        "version_vacuum", "history", "delete", "update")(action)) throw new ConfigError(
+        "version_vacuum", "history", "delete", "update",
+        "create_branch", "publish_branch", "drop_branch")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
-          "profile, retain, vacuum, cluster, version_vacuum, history, delete, update)")
+          "profile, retain, vacuum, cluster, version_vacuum, history, delete, " +
+          "update, create_branch, publish_branch, drop_branch)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -664,6 +695,12 @@ object ConfigParser {
           s"maintenance.where (the row predicate) is required for $action")
       if (!Set("delete", "update")(action) && where.nonEmpty) throw new ConfigError(
         s"maintenance.where only applies to actions delete/update, not '$action'")
+      val branchM = str(t, "branch").map(_.trim).filter(_.nonEmpty)
+      val branchActions = Set("create_branch", "publish_branch", "drop_branch")
+      if (branchActions(action) && branchM.isEmpty) throw new ConfigError(
+        s"maintenance.branch (the branch name) is required for $action")
+      if (!branchActions(action) && branchM.nonEmpty) throw new ConfigError(
+        s"maintenance.branch only applies to the branch actions, not '$action'")
       val setMap = t.get("set").map(strMap(_, "set")).getOrElse(Map.empty[String, String])
       if (action == "update" && setMap.isEmpty) throw new ConfigError(
         "maintenance.set (column -> SQL expression map) is required for update")
@@ -681,6 +718,7 @@ object ConfigParser {
         clusterBy = clusterBy,
         where = where,
         set = setMap,
+        branch = branchM,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -58,9 +58,10 @@ object Engine {
         case SourceSpec.Jdbc(url, db, tbl, opts) =>
           SourceSpec.Jdbc(Interpolate(url, vars), Interpolate(db, vars),
             Interpolate(tbl, vars), opts.map { case (k, v) => k -> Interpolate(v, vars) })
-        case SourceSpec.Versioned(loc, fmt, opts, asOf, prune, asOfTs) =>
+        case SourceSpec.Versioned(loc, fmt, opts, asOf, prune, asOfTs, br) =>
           SourceSpec.Versioned(Interpolate(loc, vars), fmt,
-            opts.map { case (k, v) => k -> Interpolate(v, vars) }, asOf, prune, asOfTs)
+            opts.map { case (k, v) => k -> Interpolate(v, vars) }, asOf, prune,
+            asOfTs, br.map(Interpolate(_, vars)))
       }
       val df = (t.incrementalSource, resolved) match {
         case (true, SourceSpec.File(loc, fmt, opts, _)) =>
@@ -304,6 +305,24 @@ object Engine {
             graft.log.Log.info("versioned update applied",
               "location" -> location, "version" -> s"v$v",
               "where" -> m.where.get)
+            None
+          case "create_branch" =>
+            val from = m.keepFrom.map(v => Interpolate(v, vars).trim.toLong)
+            val base = graft.sinks.VersionedTable.createBranch(
+              spark, location, m.branch.get, from)
+            graft.log.Log.info("branch created", "location" -> location,
+              "branch" -> m.branch.get, "base" -> s"v$base")
+            None
+          case "publish_branch" =>
+            val v = graft.sinks.VersionedTable.publishBranch(
+              spark, location, m.branch.get)
+            graft.log.Log.info("branch published", "location" -> location,
+              "branch" -> m.branch.get, "version" -> s"v$v")
+            None
+          case "drop_branch" =>
+            graft.sinks.VersionedTable.dropBranch(spark, location, m.branch.get)
+            graft.log.Log.info("branch dropped", "location" -> location,
+              "branch" -> m.branch.get)
             None
           case "version_vacuum" =>
             // reclaim versioned-table history: manifests below keep_from

@@ -581,6 +581,87 @@ object Framework {
     graft.sinks.VersionedTable.read(s, mvLoc)
   }
 
+  /** WRITE-AUDIT-PUBLISH on the YAML surface (zero-copy branches):
+    * main v1 -> `create_branch audit` -> a staging append ON THE BRANCH
+    * that includes bad rows (negative balances) -> an audit-and-fix job
+    * reading the BRANCH head and overwriting the branch with the
+    * cleaned frame -> `publish_branch` (serializable fast-forward).
+    * The requires pin the isolation: main never sees the staged rows
+    * until the publish, and the publish lands exactly one new main
+    * version. */
+  private def fwWap(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "wap")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    val proj = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, loc,
+      proj.filter(col("c_custkey") % 2 === 0 && col("cents") >= 0), "overwrite")
+    def maint(action: String) =
+      s"""job:
+         |  name: fw-wap-$action
+         |  type: maintenance
+         |maintenance:
+         |  action: $action
+         |  location: $loc
+         |  branch: audit
+         |""".stripMargin
+    Engine.run(s, ConfigParser.parse(maint("create_branch")), "default")
+    // staging append on the branch: the odd half INCLUDING bad rows
+    run(s,
+      s"""job:
+         |  name: fw-wap-stage
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: wap_out
+         |  target: s3
+         |  location: $loc
+         |  refresh: incremental
+         |  versioned: true
+         |  branch: audit
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |  c_mktsegment FROM customer WHERE c_custkey % 2 = 1
+         |""".stripMargin)
+    // isolation: main is still v1's clean even half
+    require(graft.sinks.VersionedTable.versions(s, loc) == Seq(1L),
+      "fw_wap: staging on the branch must not commit to main")
+    require(graft.sinks.VersionedTable.read(s, loc)
+      .filter(col("cents") < 0).isEmpty,
+      "fw_wap: main readers must never see the staged bad rows")
+    // audit-and-fix: read the BRANCH head, overwrite the branch clean
+    run(s,
+      s"""job:
+         |  name: fw-wap-fix
+         |  type: spark-sql
+         |input_tables:
+         |  - name: staged
+         |    source: s3
+         |    location: $loc
+         |    versioned: "true"
+         |    branch: audit
+         |output_table:
+         |  name: wap_out
+         |  target: s3
+         |  location: $loc
+         |  refresh: full
+         |  versioned: true
+         |  branch: audit
+         |sql: >
+         |  SELECT c_custkey, cents, c_mktsegment FROM staged WHERE cents >= 0
+         |""".stripMargin)
+    Engine.run(s, ConfigParser.parse(maint("publish_branch")), "default")
+    require(graft.sinks.VersionedTable.versions(s, loc) == Seq(1L, 2L),
+      "fw_wap: the publish must land exactly one new main version")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -1998,6 +2079,11 @@ object Framework {
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+    "fw_wap" -> Q(fwWap, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE floor(c_acctbal * 100 + 0.5) >= 0""".stripMargin)),
     "fw_delete_vectors" -> Q(fwDeleteVectors, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment

@@ -126,6 +126,20 @@ object Sinks {
         frame.observe(obs, exprs.head, exprs.tail: _*)
       }
     out.target match {
+      case TargetSpec.File(location) if out.versioned && out.branch.nonEmpty =>
+        // BRANCH commit — the WAP staging write: lands on the named
+        // branch's lineage in the shared data namespace; main readers
+        // see nothing until publish_branch (parse rejects upsert/
+        // stats_columns/materialized with branch)
+        val mode = out.refresh match {
+          case graft.config.Refresh.Full => "overwrite"
+          case graft.config.Refresh.Incremental => "append"
+          case other => throw new graft.config.ConfigError(
+            s"output '${out.name}': refresh $other with branch is rejected at parse time")
+        }
+        VersionedTable.branchCommit(spark, location, out.branch.get,
+          observed(data), mode, out.format, out.options): Unit
+
       case TargetSpec.File(location) if out.versioned =>
         // versioned-manifest publish ([[VersionedTable]]): full =
         // overwrite commit, incremental = append commit, upsert =

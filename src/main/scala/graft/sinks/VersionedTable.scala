@@ -63,15 +63,39 @@ object VersionedTable {
   private def manifestPath(root: Path, v: Long) =
     new Path(logDir(root), f"v$v%05d.json")
 
-  /** Committed versions, ascending (empty for a fresh location). */
+  /** Committed versions on MAIN, ascending (empty for a fresh location).
+    * Branch manifests (`vNNNNN@branch.json`, [[createBranch]]) are a
+    * separate lineage and are excluded here. */
   def versions(spark: SparkSession, location: String): Seq[Long] = {
     val root = new Path(location)
     val fs = fsFor(spark, root)
     if (!fs.exists(logDir(root))) Seq.empty
     else fs.listStatus(logDir(root)).toSeq
       .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+      .collect { case n if n.startsWith("v") && n.endsWith(".json")
+          && !n.contains("@") =>
         n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private val BranchName = "^[a-z0-9][a-z0-9_-]{0,31}$".r
+
+  private def branchManifestPath(root: Path, v: Long, branch: String) =
+    new Path(logDir(root), f"v$v%05d@$branch.json")
+
+  /** Committed versions on `branch`, ascending (empty if the branch does
+    * not exist). Branch version numbers continue the parent's sequence
+    * from the fork point. */
+  def branchVersions(spark: SparkSession, location: String,
+                     branch: String): Seq[Long] = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val suffix = s"@$branch.json"
+    if (!fs.exists(logDir(root))) Seq.empty
+    else fs.listStatus(logDir(root)).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
+        n.stripPrefix("v").stripSuffix(suffix).toLong }
       .sorted
   }
 
@@ -85,7 +109,8 @@ object VersionedTable {
                                mode: String, files: Seq[(String, Long)],
                                txn: Option[(String, Long)],
                                statsFile: Option[String] = None,
-                               dv: Option[(String, Long)] = None): Boolean = {
+                               dv: Option[(String, Long)] = None,
+                               branch: Option[String] = None): Boolean = {
     val fileJson = files.sortBy(_._1)
       .map { case (n, b) => s"""{"name":${jstr(n)},"bytes":$b}""" }
       .mkString("[", ",", "]")
@@ -99,7 +124,7 @@ object VersionedTable {
     val json = s"""{"version":$v,"ts":${System.currentTimeMillis()},""" +
       s""""mode":${jstr(mode)},$txnJson$statsJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
-    val p = manifestPath(root, v)
+    val p = branch.fold(manifestPath(root, v))(branchManifestPath(root, v, _))
     // publish = write the COMPLETE content to a temp file, then
     // rename-if-absent (FileContext + Options.Rename.NONE — the Delta
     // HDFSLogStore pattern). The rename is the commit CAS; because the
@@ -127,8 +152,8 @@ object VersionedTable {
     }
   }
 
-  private def manifestText(fs: FileSystem, root: Path, v: Long): String = {
-    val in = fs.open(manifestPath(root, v))
+  private def manifestTextAt(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
       org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
@@ -136,11 +161,16 @@ object VersionedTable {
     } finally in.close()
   }
 
-  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] = {
-    // the manifest is machine-written flat JSON; extract the file names
-    """"name":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(manifestText(fs, root, v))
+  private def manifestText(fs: FileSystem, root: Path, v: Long): String =
+    manifestTextAt(fs, manifestPath(root, v))
+
+  // the manifest is machine-written flat JSON; extract the file names
+  private def filesOfText(text: String): Seq[String] =
+    """"name":"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(text)
       .map(m => m.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-  }
+
+  private def readManifest(fs: FileSystem, root: Path, v: Long): Seq[String] =
+    filesOfText(manifestText(fs, root, v))
 
   private def manifestField(text: String, key: String): Option[String] =
     (""""""" + key + """":"((?:[^"\\]|\\.)*)"""").r.findFirstMatchIn(text)
@@ -945,6 +975,190 @@ object VersionedTable {
     latest + 1
   }
 
+  // ---------------------------------------------------------------- branches
+
+  /** ZERO-COPY BRANCH (the Iceberg-refs / WAP shape): fork a named
+    * lineage at a main version — no data moves, the branch's first
+    * manifest copies the base's file references BY NAME into
+    * `vNNNNN@branch.json` in the same log. [[branchCommit]]s then stage
+    * into the shared `data/` namespace invisible to main readers; the
+    * write-audit-publish flow is createBranch → branchCommit(s) → audit
+    * the branch read → [[publishBranch]] (serializable fast-forward) or
+    * [[dropBranch]]. Returns the fork version. */
+  def createBranch(spark: SparkSession, location: String, branch: String,
+                   fromVersion: Option[Long] = None): Long = {
+    require(BranchName.pattern.matcher(branch).matches(),
+      s"versioned branch: invalid branch name '$branch' (want ${BranchName.regex})")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned branch: no committed versions at '$location'")
+    val base = fromVersion.getOrElse(vs.last)
+    if (!vs.contains(base)) throw new graft.config.ConfigError(
+      s"versioned branch: version $base not in committed set ${vs.mkString("[", ",", "]")}")
+    if (branchVersions(spark, location, branch).nonEmpty)
+      throw new graft.config.ConfigError(
+        s"versioned branch: branch '$branch' already exists at '$location'")
+    // the fork manifest: the base's text with mode rewritten — file,
+    // stats and DV references copied by name, zero bytes moved
+    val text = manifestText(fs, root, base)
+      .replaceFirst(""""mode":"[^"]*"""", s""""mode":"branch"""")
+    val p = branchManifestPath(root, base, branch)
+    val tmp = new Path(logDir(root), s".tmp-branch-$branch-${java.util.UUID.randomUUID().toString.take(8)}")
+    val os = fs.create(tmp, true)
+    try os.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException | _: java.io.IOException) =>
+        fs.delete(tmp, false)
+        throw new java.util.ConcurrentModificationException(
+          s"versioned branch: branch '$branch' creation raced at '$location': ${e.getMessage}")
+    }
+    graft.log.Log.info("versioned branch created",
+      "location" -> location, "branch" -> branch, "base" -> s"v$base")
+    base
+  }
+
+  /** Append/overwrite commit ON A BRANCH — the WAP staging write. Same
+    * stage-then-CAS protocol as [[commit]]; the data files land in the
+    * shared append-only namespace but are referenced only by branch
+    * manifests, so main readers never see them. Zone maps / DV sidecars
+    * of the base carry by name on appends (new files get no fresh
+    * stats — the branch is a staging area; publish-side maintenance
+    * recomputes if needed). Returns the branch version. */
+  def branchCommit(spark: SparkSession, location: String, branch: String,
+                   df: DataFrame, mode: String,
+                   format: String = "parquet",
+                   options: Map[String, String] = Map.empty,
+                   maxRetries: Int = 10): Long = {
+    require(mode == "overwrite" || mode == "append",
+      s"versioned branch commit: mode must be overwrite|append, got '$mode'")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    if (branchVersions(spark, location, branch).isEmpty)
+      throw new graft.config.ConfigError(
+        s"versioned branch commit: branch '$branch' does not exist at '$location'")
+    val (commitId, moved) = stageAndMove(fs, root, df, format, options)
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val head = branchVersions(spark, location, branch).last
+      val headText = manifestTextAt(fs, branchManifestPath(root, head, branch))
+      val base: Seq[(String, Long)] =
+        if (mode == "append") filesOfText(headText).map { n =>
+          (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+        } else Seq.empty
+      val statsCarry =
+        if (mode == "append") manifestField(headText, "stats_file") else None
+      val dvCarry =
+        if (mode == "append")
+          manifestField(headText, "dv_file").map { name =>
+            (name, """"dv_rows":(\d+)""".r.findFirstMatchIn(headText)
+              .map(_.group(1).toLong).getOrElse(0L))
+          }
+        else None
+      if (writeManifestCas(fs, root, head + 1, mode, base ++ moved, None,
+        statsCarry, dvCarry, Some(branch))) {
+        graft.log.Log.info("versioned branch commit",
+          "location" -> location, "branch" -> branch, "version" -> s"v${head + 1}")
+        return head + 1
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"versioned branch commit: lost the version race $maxRetries times " +
+        s"on branch '$branch' at '$location'")
+  }
+
+  /** Snapshot read of a branch head (or `asOf` a branch version). */
+  def readBranch(spark: SparkSession, location: String, branch: String,
+                 asOf: Option[Long] = None, format: String = "parquet",
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val bvs = branchVersions(spark, location, branch)
+    if (bvs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned branch read: branch '$branch' does not exist at '$location'")
+    val v = asOf.getOrElse(bvs.last)
+    if (!bvs.contains(v)) throw new graft.config.ConfigError(
+      s"versioned branch read: version $v not on branch '$branch' ${bvs.mkString("[", ",", "]")}")
+    val text = manifestTextAt(fs, branchManifestPath(root, v, branch))
+    val files = filesOfText(text)
+    if (files.isEmpty) throw new graft.config.ConfigError(
+      s"versioned branch read: v$v@$branch of '$location' references no files")
+    val base = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options))
+      .load(files.map(n => new Path(dataDir(root), n).toString): _*)
+    manifestField(text, "dv_file").fold(base)(applyDv(spark, root, base, _))
+  }
+
+  /** PUBLISH a branch to main — the WAP promote: the branch head's file
+    * list (with its stats/DV references) becomes the next MAIN version,
+    * SERIALIZABLE against the fork point: if main moved since the
+    * branch forked, the publish aborts loudly (the branch staged
+    * against a snapshot main no longer has; re-fork and re-stage).
+    * Branch manifests stay for lineage until [[dropBranch]]. Returns
+    * the published main version. */
+  def publishBranch(spark: SparkSession, location: String,
+                    branch: String): Long = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val bvs = branchVersions(spark, location, branch)
+    if (bvs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned publish: branch '$branch' does not exist at '$location'")
+    val forkBase = bvs.head
+    val mainLatest = versions(spark, location).last
+    if (mainLatest != forkBase)
+      throw new java.util.ConcurrentModificationException(
+        s"versioned publish: serializable conflict at '$location' — branch " +
+          s"'$branch' forked at v$forkBase but main is at v$mainLatest; " +
+          "re-fork from the new head and re-stage")
+    val headText = manifestTextAt(fs, branchManifestPath(root, bvs.last, branch))
+    val files = filesOfText(headText).map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    val statsCarry = manifestField(headText, "stats_file")
+    val dvCarry = manifestField(headText, "dv_file").map { name =>
+      (name, """"dv_rows":(\d+)""".r.findFirstMatchIn(headText)
+        .map(_.group(1).toLong).getOrElse(0L))
+    }
+    if (!writeManifestCas(fs, root, forkBase + 1, "publish", files, None,
+      statsCarry, dvCarry))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned publish: serializable conflict at '$location' — a " +
+          s"concurrent commit won v${forkBase + 1}; re-fork and re-stage")
+    graft.log.Log.info("versioned branch published",
+      "location" -> location, "branch" -> branch,
+      "version" -> s"v${forkBase + 1}")
+    forkBase + 1
+  }
+
+  /** Delete a branch's manifests. Its unpublished data files become
+    * unreferenced and are reclaimed by [[vacuumVersions]]. */
+  def dropBranch(spark: SparkSession, location: String, branch: String): Unit = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    branchVersions(spark, location, branch).foreach { v =>
+      fs.delete(branchManifestPath(root, v, branch), false)
+    }
+    graft.log.Log.info("versioned branch dropped",
+      "location" -> location, "branch" -> branch)
+  }
+
+  /** Names of live branches at the location. */
+  def branches(spark: SparkSession, location: String): Seq[String] = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(logDir(root))) Seq.empty
+    else fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.contains("@") && n.endsWith(".json") =>
+        n.substring(n.indexOf('@') + 1).stripSuffix(".json") }
+      .distinct.sorted
+  }
+
   /** A zone-map-pruned snapshot scan: `df` reads ONLY the kept files. */
   final case class PrunedScan(df: DataFrame, totalFiles: Int, keptFiles: Int)
 
@@ -1186,17 +1400,30 @@ object VersionedTable {
       s"versioned vacuum: keep_from $keepFromVersion would drop EVERY version " +
         s"(latest is ${vs.last}) — refusing to empty the table")
     // resolve EVERY reference set up front — manifests below keep_from
-    // are deleted mid-way and can't be consulted after
-    val keptRefs = kept.flatMap(v => readManifest(fs, root, v)).toSet
-    val anyRefs = vs.flatMap(v => readManifest(fs, root, v)).toSet
-    val keptStats = kept.flatMap(v =>
-      manifestField(manifestText(fs, root, v), "stats_file")).toSet
-    val anyStats = vs.flatMap(v =>
-      manifestField(manifestText(fs, root, v), "stats_file")).toSet
-    val keptDvs = kept.flatMap(v =>
-      manifestField(manifestText(fs, root, v), "dv_file")).toSet
-    val anyDvs = vs.flatMap(v =>
-      manifestField(manifestText(fs, root, v), "dv_file")).toSet
+    // are deleted mid-way and can't be consulted after. LIVE BRANCHES
+    // are unconditionally kept: their manifests' file/stats/DV refs
+    // must survive until dropBranch (a branch is a ref, not history).
+    val branchTexts = fs.listStatus(logDir(root)).toSeq
+      .map(_.getPath)
+      .filter { p => val n = p.getName
+        n.startsWith("v") && n.contains("@") && n.endsWith(".json") }
+      .map(manifestTextAt(fs, _))
+    val keptRefs = (kept.flatMap(v => readManifest(fs, root, v)) ++
+      branchTexts.flatMap(filesOfText)).toSet
+    val anyRefs = (vs.flatMap(v => readManifest(fs, root, v)) ++
+      branchTexts.flatMap(filesOfText)).toSet
+    val keptStats = (kept.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "stats_file")) ++
+      branchTexts.flatMap(manifestField(_, "stats_file"))).toSet
+    val anyStats = (vs.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "stats_file")) ++
+      branchTexts.flatMap(manifestField(_, "stats_file"))).toSet
+    val keptDvs = (kept.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "dv_file")) ++
+      branchTexts.flatMap(manifestField(_, "dv_file"))).toSet
+    val anyDvs = (vs.flatMap(v =>
+      manifestField(manifestText(fs, root, v), "dv_file")) ++
+      branchTexts.flatMap(manifestField(_, "dv_file"))).toSet
     val now = System.currentTimeMillis()
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     fs.listStatus(dataDir(root)).foreach { st =>

@@ -56,7 +56,13 @@ object Sources {
           throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
       reader.load(location)
 
-    case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs) =>
+    case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs, Some(branch)) =>
+      // branch HEAD read — the WAP audit scan (parse guarantees no
+      // as_of/prune combination)
+      graft.sinks.VersionedTable.readBranch(spark, location, branch,
+        None, format, mapOptions(options))
+
+    case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs, None) =>
       // snapshot read of a versioned-manifest table: the plan loads
       // EXACTLY the resolved manifest's file list (time travel via
       // as_of_version, or as_of_timestamp resolved against the commit

@@ -378,7 +378,7 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin)
     pj.inputTables.head.source match {
-      case SourceSpec.Versioned(_, _, _, _, prune, _) =>
+      case SourceSpec.Versioned(_, _, _, _, prune, _, _) =>
         assert(prune == Seq(
           SourceSpec.PruneClause("k", "<=", Some(20L), None),
           SourceSpec.PruneClause("seg", "=", None, Some("BUILDING"))))
@@ -392,7 +392,7 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin)
     qj.inputTables.head.source match {
-      case SourceSpec.Versioned(_, _, _, _, prune, _) =>
+      case SourceSpec.Versioned(_, _, _, _, prune, _, _) =>
         assert(prune == Seq(
           SourceSpec.PruneClause("c_name", "=", None, Some("SMITH AND SONS")),
           SourceSpec.PruneClause("k", ">", Some(5L), None)))
@@ -590,6 +590,26 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin))
     assert(emv2.getMessage.contains("materialized requires versioned"))
+    // branch surface: maintenance branch actions need branch:, output
+    // branch needs versioned, input branch excludes as_of
+    val ebr = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: publish_branch, location: /tmp/t}
+        |""".stripMargin))
+    assert(ebr.getMessage.contains("branch"))
+    val ebr2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table: {name: o, target: s3, location: /tmp/o, branch: audit}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(ebr2.getMessage.contains("branch requires versioned"))
+    val ebr3 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |input_tables:
+        |  - {name: a, source: s3, location: /tmp/a, versioned: "true", branch: audit, as_of_version: "2"}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(ebr3.getMessage.contains("branch reads the branch HEAD"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}

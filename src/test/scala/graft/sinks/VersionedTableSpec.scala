@@ -578,4 +578,65 @@ class VersionedTableSpec extends SparkSpec {
       keys = Seq("k"), statsColumns = Seq("k"))
     assert(rows(VersionedTable.read(spark, loc)) == Set((2, "B"), (3, "C")))
   }
+
+  test("branches: write-audit-publish — staging invisible to main, serializable promote") {
+    val loc = tmp("br1")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "audit")
+    // stage on the branch: main readers see nothing
+    VersionedTable.branchCommit(spark, loc, "audit",
+      Seq((2, "bad")).toDF("k", "v"), "append")
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+    assert(rows(VersionedTable.readBranch(spark, loc, "audit")) ==
+      Set((1, "a"), (2, "bad")))
+    // audit found the bad row: restage (overwrite) with the fix
+    VersionedTable.branchCommit(spark, loc, "audit",
+      Seq((1, "a"), (2, "good")).toDF("k", "v"), "overwrite")
+    // promote: branch head becomes main v2
+    val pv = VersionedTable.publishBranch(spark, loc, "audit")
+    assert(pv == 2L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "good")))
+    assert(VersionedTable.branches(spark, loc) == Seq("audit"))
+    VersionedTable.dropBranch(spark, loc, "audit")
+    assert(VersionedTable.branches(spark, loc).isEmpty)
+  }
+
+  test("branches: publish aborts when main moved past the fork point") {
+    val loc = tmp("br2")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "exp")
+    VersionedTable.branchCommit(spark, loc, "exp",
+      Seq((2, "b")).toDF("k", "v"), "append")
+    // a concurrent main commit lands after the fork
+    VersionedTable.commit(spark, loc, Seq((9, "z")).toDF("k", "v"), "append")
+    intercept[java.util.ConcurrentModificationException](
+      VersionedTable.publishBranch(spark, loc, "exp"))
+    // double-create and bad names are named errors
+    intercept[graft.config.ConfigError](
+      VersionedTable.createBranch(spark, loc, "exp"))
+    intercept[IllegalArgumentException](
+      VersionedTable.createBranch(spark, loc, "Bad Name!"))
+  }
+
+  test("branches: vacuum keeps branch-only files until the branch is dropped") {
+    val loc = tmp("br3")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "wip")
+    VersionedTable.branchCommit(spark, loc, "wip",
+      Seq((2, "b")).toDF("k", "v"), "append")
+    def nDataFiles = new java.io.File(s"$loc/data").listFiles().count(_.isFile)
+    val before = nDataFiles
+    // main vacuum keeping everything current must NOT touch branch files
+    VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 1L,
+      minOrphanAgeMillis = 0L)
+    assert(nDataFiles == before)
+    assert(rows(VersionedTable.readBranch(spark, loc, "wip")) ==
+      Set((1, "a"), (2, "b")))
+    // dropped branch: its unpublished file reclaims
+    VersionedTable.dropBranch(spark, loc, "wip")
+    VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 1L,
+      minOrphanAgeMillis = 0L)
+    assert(nDataFiles < before)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+  }
 }
