@@ -177,7 +177,9 @@ object ScaleCheck {
     "ext141_k_anonymity", "ext142_k_anon_ladder", "st51_stream_k_anonymity",
     // WAP branches + MVs: commits move metadata; staging writes ∝ the
     // staged frame; MV staleness checks are version listings — near-flat
-    "fw_wap", "fw_matview")
+    "fw_wap", "fw_matview",
+    // IVM: the delta fold reads only appended files + the MV itself
+    "fw_matview_inc")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -662,6 +662,35 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE: an additive segment rollup over a
+    * versioned source — build (full), append the odd half, refresh
+    * again: the require pins that the second refresh took the
+    * INCREMENTAL path (delta fold over only the appended files), and
+    * the oracle proves the fold equals a from-scratch rollup of the
+    * whole source. */
+  private def fwMatviewInc(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "matview_inc")
+    rmrf(s, base)
+    val srcLoc = s"$base/src"; val mvLoc = s"$base/mv"
+    val proj = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, srcLoc,
+      proj.filter(col("c_custkey") % 2 === 0), "overwrite")
+    def refresh() = graft.sinks.MaterializedView.refreshAdditive(
+      s, mvLoc, "src", srcLoc, Seq("c_mktsegment"),
+      Map("total_cents" -> "cents"), countName = Some("n_cust"))
+    require(refresh()._2 == "full", "fw_matview_inc: first refresh is full")
+    graft.sinks.VersionedTable.commit(s, srcLoc,
+      proj.filter(col("c_custkey") % 2 === 1), "append")
+    val (_, path) = refresh()
+    require(path == "incremental",
+      s"fw_matview_inc: append must take the delta path, got '$path'")
+    require(refresh()._2 == "fresh", "fw_matview_inc: replay must be fresh")
+    graft.sinks.VersionedTable.read(s, mvLoc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -2075,6 +2104,11 @@ object Framework {
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
         |       c_mktsegment
         |FROM customer""".stripMargin)),
+    "fw_matview_inc" -> Q(fwMatviewInc, Some(
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |       count(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment""".stripMargin)),
     "fw_matview" -> Q(fwMatview, Some(
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents

@@ -102,4 +102,97 @@ object MaterializedView {
     case c if c < ' ' => f"\\u${c.toInt}%04x"
     case c => c.toString
   } + "\""
+
+  /** INCREMENTAL VIEW MAINTENANCE for ADDITIVE grouped views over ONE
+    * append-only versioned source — the IVM fast path: when every commit
+    * since the last refresh is an append, the refresh reads ONLY the
+    * appended rows ([[VersionedTable.changesBetween]] — file-level
+    * metadata), aggregates the delta, and folds it into the existing MV
+    * by key (sums and counts are additive). Work ∝ delta + |MV|, never
+    * ∝ source: at 100 TB a daily refresh of a segment rollup reads the
+    * day's files, not the lake.
+    *
+    * View contract: `SELECT keys, sum(expr) AS out..., count(*) AS n
+    * GROUP BY keys` — `sums` maps output name → input SQL expression;
+    * `countName` adds the row count (None to omit, though a view
+    * without it cannot express averages downstream). Non-additive
+    * aggregates (min over deletions, distinct) need the full recompute.
+    *
+    * Fallback ladder: fresh (no source movement) → zero work;
+    * append-only movement → delta fold; any non-append commit in the
+    * range (overwrite/merge/delete/update — changesBetween aborts) or
+    * no recorded state → full recompute. Every path records the state
+    * the NEXT refresh compares against. Returns (mvVersion, path) with
+    * path ∈ {"fresh", "incremental", "full"}. */
+  def refreshAdditive(spark: SparkSession, location: String,
+                      sourceName: String, sourceLocation: String,
+                      keyCols: Seq[String], sums: Map[String, String],
+                      countName: Option[String] = Some("n_rows"),
+                      format: String = "parquet",
+                      options: Map[String, String] = Map.empty): (Long, String) = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "refreshAdditive: needs grouping keys")
+    require(sums.nonEmpty || countName.nonEmpty,
+      "refreshAdditive: needs at least one measure")
+    def viewOf(df: DataFrame): DataFrame = {
+      val aggs = sums.toSeq.sortBy(_._1).map { case (out, e) =>
+        sum(expr(e)).as(out) } ++
+        countName.map(n => count(lit(1)).as(n))
+      df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+    val curV = VersionedTable.versions(spark, sourceLocation).lastOption
+      .getOrElse(throw new graft.config.ConfigError(
+        s"refreshAdditive: source '$sourceLocation' has no committed versions"))
+    val fp = s"$sourceName=v$curV"
+    val mvVersions = VersionedTable.versions(spark, location)
+    currentState(spark, location) match {
+      case Some((oldFp, v)) if oldFp == fp && mvVersions.contains(v) =>
+        graft.log.Log.info("additive MV fresh",
+          "location" -> location, "fingerprint" -> fp)
+        (v, "fresh")
+      case Some((oldFp, v))
+        if oldFp.startsWith(s"$sourceName=v") && mvVersions.contains(v) =>
+        val lastV = oldFp.stripPrefix(s"$sourceName=v").toLong
+        val incremental = scala.util.Try {
+          // aborts (ConfigError) on any non-append commit in the range —
+          // the signal the delta path is unsound and full recompute owns it
+          val delta = VersionedTable.changesBetween(spark, sourceLocation,
+            lastV, curV, format, options).drop("_commit_version")
+          val refold = sums.keys.toSeq.sorted.map(o => sum(col(o)).as(o)) ++
+            countName.map(n => sum(col(n)).as(n))
+          val folded = VersionedTable.read(spark, location, Some(v), format, options)
+            .unionByName(viewOf(delta))
+            .groupBy(keyCols.map(col): _*)
+            .agg(refold.head, refold.tail: _*)
+          VersionedTable.commit(spark, location, folded, "overwrite",
+            format, options)
+        }
+        incremental match {
+          case scala.util.Success(nv) =>
+            recordState(spark, location, fp, nv)
+            graft.log.Log.info("additive MV incremental fold",
+              "location" -> location, "from" -> s"v$lastV", "to" -> s"v$curV")
+            (nv, "incremental")
+          case scala.util.Failure(_: graft.config.ConfigError) =>
+            fullRecompute(spark, location, sourceLocation, fp, viewOf, format, options)
+          case scala.util.Failure(e) => throw e
+        }
+      case _ =>
+        fullRecompute(spark, location, sourceLocation, fp, viewOf, format, options)
+    }
+  }
+
+  private def fullRecompute(spark: SparkSession, location: String,
+                            sourceLocation: String, fp: String,
+                            viewOf: DataFrame => DataFrame,
+                            format: String,
+                            options: Map[String, String]): (Long, String) = {
+    val v = VersionedTable.commit(spark, location,
+      viewOf(VersionedTable.read(spark, sourceLocation, None, format, options)),
+      "overwrite", format, options)
+    recordState(spark, location, fp, v)
+    graft.log.Log.info("additive MV full recompute",
+      "location" -> location, "fingerprint" -> fp, "version" -> s"v$v")
+    (v, "full")
+  }
 }

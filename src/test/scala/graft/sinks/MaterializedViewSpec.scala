@@ -31,4 +31,33 @@ class MaterializedViewSpec extends SparkSpec {
     // past refreshes remain time-travelable
     assert(VersionedTable.read(spark, mv, asOf = Some(1L)).collect().head.getLong(0) == 30L)
   }
+
+  test("refreshAdditive: delta fold == full recompute; fallback on non-append") {
+    val base = java.nio.file.Files.createTempDirectory("mv-spec").toString
+    val src = s"$base/src"; val mv = s"$base/mv"
+    VersionedTable.commit(spark, src,
+      Seq(("a", 10L), ("b", 20L), ("a", 5L)).toDF("k", "x"), "overwrite")
+    val (v1, p1) = MaterializedView.refreshAdditive(spark, mv, "src", src,
+      Seq("k"), Map("total" -> "x"))
+    assert((v1, p1) == ((1L, "full")))
+    def mvRows = VersionedTable.read(spark, mv).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("total"), r.getAs[Long]("n_rows"))).toSet
+    assert(mvRows == Set(("a", 15L, 2L), ("b", 20L, 1L)))
+    // fresh: zero work
+    assert(MaterializedView.refreshAdditive(spark, mv, "src", src,
+      Seq("k"), Map("total" -> "x"))._2 == "fresh")
+    // two appends -> ONE incremental fold over just the delta
+    VersionedTable.commit(spark, src, Seq(("b", 1L), ("c", 7L)).toDF("k", "x"), "append")
+    VersionedTable.commit(spark, src, Seq(("a", 100L)).toDF("k", "x"), "append")
+    val (_, p2) = MaterializedView.refreshAdditive(spark, mv, "src", src,
+      Seq("k"), Map("total" -> "x"))
+    assert(p2 == "incremental")
+    assert(mvRows == Set(("a", 115L, 3L), ("b", 21L, 2L), ("c", 7L, 1L)))
+    // a DELETE on the source breaks additivity -> full recompute fallback
+    VersionedTable.deleteWhere(spark, src, "k = 'b' AND x = 20")
+    val (_, p3) = MaterializedView.refreshAdditive(spark, mv, "src", src,
+      Seq("k"), Map("total" -> "x"))
+    assert(p3 == "full")
+    assert(mvRows == Set(("a", 115L, 3L), ("b", 1L, 1L), ("c", 7L, 1L)))
+  }
 }
