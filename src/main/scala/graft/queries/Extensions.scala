@@ -3901,6 +3901,65 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // Tokenizer BAKEOFF: BPE vs WordPiece fertility per source — the
+    // "which tokenizer fragments my corpus less" report that drives the
+    // vocab decision. Aggregate fertility is exact integer
+    // (sum(subwords)·1000 div sum(words)); both 8-round trainings replay
+    // in the oracle as independent nested-WITH subqueries.
+    "ext143_tokenizer_bakeoff" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        val bpe = TextAnalysis.bpeSegment(all, "doc_id", "text", iters = 8)
+          .select(col("doc_id"), col("n_words"),
+            col("n_subwords").as("bpe_subwords"))
+        val wp = TextAnalysis.wordpieceSegment(all, "doc_id", "text", iters = 8)
+          .select(col("doc_id"), col("n_subwords").as("wp_subwords"))
+        bpe.join(wp, "doc_id")
+          .join(all.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source"))
+          .agg(
+            expr("CAST(sum(bpe_subwords) * 1000 DIV sum(n_words) AS BIGINT)")
+              .as("bpe_fert_milli"),
+            expr("CAST(sum(wp_subwords) * 1000 DIV sum(n_words) AS BIGINT)")
+              .as("wp_fert_milli"))
+          .withColumn("winner",
+            when(col("bpe_fert_milli") <= col("wp_fert_milli"), "bpe")
+              .otherwise("wordpiece"))
+      },
+      Some(s"""SELECT a.source, a.fert AS bpe_fert_milli, b.fert AS wp_fert_milli,
+             |  CASE WHEN a.fert <= b.fert THEN 'bpe' ELSE 'wordpiece' END AS winner
+             |FROM (
+             |  ${bpeCtes(8)}, dw AS (
+             |    SELECT doc_id, w FROM (
+             |      SELECT doc_id, lower(x) AS w FROM (
+             |        SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> '')) AS x
+             |        FROM documents))
+             |    WHERE regexp_full_match(w, '[a-z0-9]+')
+             |  ), seg AS (
+             |    SELECT w, CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_sub FROM v8
+             |  )
+             |  SELECT doc.source,
+             |         CAST(sum(g.n_sub) * 1000 // count(*) AS BIGINT) AS fert
+             |  FROM dw d JOIN seg g ON g.w = d.w
+             |  JOIN documents doc ON doc.doc_id = d.doc_id
+             |  GROUP BY doc.source
+             |) a JOIN (
+             |  ${wordpieceCtes(8)}, dw AS (
+             |    SELECT doc_id, w FROM (
+             |      SELECT doc_id, lower(x) AS w FROM (
+             |        SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), z -> z <> '')) AS x
+             |        FROM documents))
+             |    WHERE regexp_full_match(w, '[a-z0-9]+')
+             |  ), seg AS (
+             |    SELECT w, CAST(len(s) - len(replace(s, '|', '')) AS BIGINT) AS n_sub FROM v8
+             |  )
+             |  SELECT doc.source,
+             |         CAST(sum(g.n_sub) * 1000 // count(*) AS BIGINT) AS fert
+             |  FROM dw d JOIN seg g ON g.w = d.w
+             |  JOIN documents doc ON doc.doc_id = d.doc_id
+             |  GROUP BY doc.source
+             |) b ON a.source = b.source""".stripMargin)),
+
     // Greedy k-center / farthest-point selection (Sener & Savarese
     // ICLR'18 coresets): ext139's max-min counterpart — each of 8
     // rounds is a FULL distributed scan picking the point farthest

@@ -98,7 +98,9 @@ class PlanAuditSpec extends SparkSpec {
     // MMR: collects the bounded rerank window at construction
     "ext139_mmr_select",
     // k-center: k argmax collects (1 row/round) at construction
-    "ext140_kcenter_select")
+    "ext140_kcenter_select",
+    // bakeoff: runs BOTH trainings (eager) before the report projection
+    "ext143_tokenizer_bakeoff")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
