@@ -9,6 +9,7 @@ import graft.queries.{Q, Relational}
   *   - [[graft.queries.Framework]]: SURVEY §2A engine lifecycle (A1–A20)
   *   - [[graft.queries.Extensions]]: LLM-pipeline tier (dedup, similarity,
   *     text analysis, multimodal)
+  *   - [[graft.queries.TpcH]]: the canonical TPC-H 22-query battery
   */
 object SparkEntry {
 
