@@ -179,7 +179,10 @@ object ScaleCheck {
     // staged frame; MV staleness checks are version listings — near-flat
     "fw_wap", "fw_matview",
     // IVM: the delta fold reads only appended files + the MV itself
-    "fw_matview_inc")
+    "fw_matview_inc",
+    // streaming WAP: per-batch branch commits ∝ the batch; publish is
+    // metadata — must read ~linear in the drained stream
+    "fw_stream_wap")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -691,6 +691,73 @@ object Framework {
     graft.sinks.VersionedTable.read(s, mvLoc)
   }
 
+  /** STREAMING write-audit-publish: the streaming drain lands every
+    * micro-batch as an exactly-once BRANCH commit (txn-carrying, WAL
+    * replays skipped at the table) while main stays pinned at its
+    * pre-stream snapshot; after the drain the branch is audited (the
+    * require) and published as ONE new main version. The streaming
+    * analog of [[fwWap]]: a pipeline can pour a day of micro-batches
+    * into a branch and gate the PUBLISH on end-of-day audits, with
+    * main readers never seeing a half-drained day. */
+  private def fwStreamWap(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream_wap")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    s.read.parquet(s"$d/documents.parquet").write.parquet(s"$base/in")
+    // main v1: an empty-marker snapshot (the pre-stream state)
+    graft.sinks.VersionedTable.commit(s, loc,
+      s.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .limit(0), "overwrite")
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-stream-wap-branch
+         |  type: maintenance
+         |maintenance:
+         |  action: create_branch
+         |  location: $loc
+         |  branch: ingest
+         |""".stripMargin), "default")
+    val yaml =
+      s"""job:
+         |  name: fw-stream-wap
+         |  type: spark-sql
+         |  streaming: available_now
+         |  checkpoint_location: $base/ckpt
+         |input_tables:
+         |  - name: documents
+         |    source: s3
+         |    location: $base/in
+         |    format: parquet
+         |    schema: "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+         |output_table:
+         |  name: wap_stream_out
+         |  target: s3
+         |  location: $loc
+         |  refresh: incremental
+         |  versioned: true
+         |  branch: ingest
+         |sql: >
+         |  SELECT doc_id, source, n_chars FROM documents WHERE n_chars >= 300
+         |""".stripMargin
+    run(s, yaml)
+    run(s, yaml) // WAL replay with no new files: txn skip, nothing doubles
+    require(graft.sinks.VersionedTable.versions(s, loc) == Seq(1L),
+      "fw_stream_wap: the stream must stage on the branch, not main")
+    require(graft.sinks.VersionedTable.read(s, loc).isEmpty,
+      "fw_stream_wap: main readers must see the pre-stream snapshot")
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-stream-wap-publish
+         |  type: maintenance
+         |maintenance:
+         |  action: publish_branch
+         |  location: $loc
+         |  branch: ingest
+         |""".stripMargin), "default")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -2113,6 +2180,9 @@ object Framework {
       """SELECT c_mktsegment, count(*) AS n_cust,
         |       CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
         |FROM customer GROUP BY c_mktsegment""".stripMargin)),
+    "fw_stream_wap" -> Q(fwStreamWap, Some(
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars >= 300""".stripMargin)),
     "fw_wap" -> Q(fwWap, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment

@@ -138,7 +138,7 @@ object Sinks {
             s"output '${out.name}': refresh $other with branch is rejected at parse time")
         }
         VersionedTable.branchCommit(spark, location, out.branch.get,
-          observed(data), mode, out.format, out.options): Unit
+          observed(data), mode, out.format, out.options, txn = txn): Unit
 
       case TargetSpec.File(location) if out.versioned =>
         // versioned-manifest publish ([[VersionedTable]]): full =

@@ -1034,7 +1034,8 @@ object VersionedTable {
                    df: DataFrame, mode: String,
                    format: String = "parquet",
                    options: Map[String, String] = Map.empty,
-                   maxRetries: Int = 10): Long = {
+                   maxRetries: Int = 10,
+                   txn: Option[(String, Long)] = None): Long = {
     require(mode == "overwrite" || mode == "append",
       s"versioned branch commit: mode must be overwrite|append, got '$mode'")
     val root = new Path(location)
@@ -1042,6 +1043,28 @@ object VersionedTable {
     if (branchVersions(spark, location, branch).isEmpty)
       throw new graft.config.ConfigError(
         s"versioned branch commit: branch '$branch' does not exist at '$location'")
+    // exactly-once for streaming foreachBatch INTO a branch: a replayed
+    // (app, batch) — or any later batch of the same app — is skipped
+    // before any data is staged (the [[commit]] txn contract)
+    txn.foreach { case (app, batch) =>
+      val appJson = jstr(app)
+      val replayedAt = branchVersions(spark, location, branch).sorted.reverse
+        .iterator.map { v =>
+          val text = manifestTextAt(fs, branchManifestPath(root, v, branch))
+          if (text.contains(s""""txn_app":$appJson"""))
+            """"txn_batch":(\d+)""".r.findFirstMatchIn(text)
+              .map(m => (m.group(1).toLong, v))
+          else None
+        }.collectFirst { case Some(hit) => hit }
+      replayedAt.foreach { case (lastBatch, atV) =>
+        if (lastBatch >= batch) {
+          graft.log.Log.info("versioned branch commit: txn replay skipped",
+            "location" -> location, "branch" -> branch,
+            "batch" -> batch.toString, "committed_at" -> s"v$atV")
+          return atV
+        }
+      }
+    }
     val (commitId, moved) = stageAndMove(fs, root, df, format, options)
     var attempt = 0
     while (attempt < maxRetries) {
@@ -1060,7 +1083,7 @@ object VersionedTable {
               .map(_.group(1).toLong).getOrElse(0L))
           }
         else None
-      if (writeManifestCas(fs, root, head + 1, mode, base ++ moved, None,
+      if (writeManifestCas(fs, root, head + 1, mode, base ++ moved, txn,
         statsCarry, dvCarry, Some(branch))) {
         graft.log.Log.info("versioned branch commit",
           "location" -> location, "branch" -> branch, "version" -> s"v${head + 1}")

@@ -639,4 +639,23 @@ class VersionedTableSpec extends SparkSpec {
     assert(nDataFiles < before)
     assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
   }
+
+  test("branchCommit: txn replay is skipped exactly-once, per branch") {
+    val loc = tmp("br4")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "ing")
+    val v1 = VersionedTable.branchCommit(spark, loc, "ing",
+      Seq((2, "b")).toDF("k", "v"), "append", txn = Some(("ckpt", 0L)))
+    // WAL replay of batch 0: the same version comes back, nothing doubles
+    val v2 = VersionedTable.branchCommit(spark, loc, "ing",
+      Seq((2, "b")).toDF("k", "v"), "append", txn = Some(("ckpt", 0L)))
+    assert(v1 == v2)
+    assert(rows(VersionedTable.readBranch(spark, loc, "ing")) ==
+      Set((1, "a"), (2, "b")))
+    // the next batch advances
+    VersionedTable.branchCommit(spark, loc, "ing",
+      Seq((3, "c")).toDF("k", "v"), "append", txn = Some(("ckpt", 1L)))
+    assert(rows(VersionedTable.readBranch(spark, loc, "ing")) ==
+      Set((1, "a"), (2, "b"), (3, "c")))
+  }
 }
