@@ -3901,6 +3901,53 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // Retrieval-metric agreement: how much does the SCORING choice
+    // (cosine vs inner product) change what top-k retrieval returns?
+    // Per query: recall@5 overlap between the two exact rankings and
+    // the MRR (milli) of the cosine-best item inside the MIPS list —
+    // the metric-selection report a retrieval stack needs before
+    // normalizing (or not) its embeddings. Both rankings are exact and
+    // deterministic (score DESC, id), so the whole report value-oracles.
+    "ext144_ranking_agreement" -> Q(
+      (s, d) => {
+        val e = emb(s, d)
+        val q = e.filter(col("vec_id") < 10)
+        val cos = Similarity.cosineTopK(e, q, "vec_id", "embedding", 5)
+          .select(col("qid"), col("rnk"), col("nid"))
+        val mips = Similarity.mipsTopK(e, q, "vec_id", "embedding", 5)
+          .select(col("qid").as("m_qid"), col("rnk").as("m_rnk"),
+            col("nid").as("m_nid"))
+        val overlap = cos
+          .join(mips, col("qid") === col("m_qid") && col("nid") === col("m_nid"),
+            "left")
+          .groupBy(col("qid"))
+          .agg(sum(when(col("m_nid").isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+        val mrr = cos.filter(col("rnk") === 1)
+          .join(mips, col("qid") === col("m_qid") && col("nid") === col("m_nid"),
+            "left")
+          .select(col("qid"),
+            coalesce(expr("1000 div m_rnk"), lit(0L)).as("mrr_milli"))
+        overlap.join(mrr, "qid")
+      },
+      Some("""WITH cos AS (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk
+             |  FROM (SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |               round(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS c
+             |        FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+             |  QUALIFY rnk <= 5
+             |), mips AS (
+             |  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY dot DESC, nid) AS rnk
+             |  FROM (SELECT q.vec_id AS qid, e.vec_id AS nid,
+             |               round(list_inner_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) AS dot
+             |        FROM embeddings q JOIN embeddings e ON q.vec_id < 10 AND e.vec_id <> q.vec_id)
+             |  QUALIFY rnk <= 5
+             |)
+             |SELECT c.qid,
+             |       CAST(sum(CASE WHEN m.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+             |       CAST(coalesce(max(CASE WHEN c.rnk = 1 THEN coalesce(1000 // m.rnk, 0) END), 0) AS BIGINT) AS mrr_milli
+             |FROM cos c LEFT JOIN mips m ON m.qid = c.qid AND m.nid = c.nid
+             |GROUP BY c.qid""".stripMargin)),
+
     // Tokenizer BAKEOFF: BPE vs WordPiece fertility per source — the
     // "which tokenizer fragments my corpus less" report that drives the
     // vocab decision. Aggregate fertility is exact integer

@@ -73,7 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     // single-row aggregate broadcast onto a bounded frame — the ext28/q95
     // scalar-normalizer shape.
     "tpch11_important_stock" -> "single-row value-total broadcast (scalar normalizer)",
-    "tpch22_sales_opportunity" -> "single-row average-balance broadcast (scalar normalizer)"
+    "tpch22_sales_opportunity" -> "single-row average-balance broadcast (scalar normalizer)",
+    // composes the two exact top-k baselines (broadcast small query side)
+    "ext144_ranking_agreement" -> "inherits ext05 + ext66 documented shapes"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
