@@ -3901,6 +3901,34 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // Keyed-hash PSEUDONYMIZATION (GDPR-style tokenization): direct
+    // identifiers become stable salted-hash tokens — the same input
+    // always maps to the same token, so analytic JOINS and GROUP BYs
+    // keep working on the pseudonymized release while the identifier
+    // never leaves. Complements the PII scrub (ext29: destroy) and the
+    // k-anonymity audit (ext141: measure) with the third governance
+    // move: tokenize. Deterministic sha2, zero-shuffle projection.
+    "ext145_pseudonymize" -> Q(
+      (s, d) => {
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(
+            expr("substring(sha2(concat('graft-pseud-v1:', c_name), 256), 1, 16)")
+              .as("pseudonym"),
+            col("c_custkey"), col("c_mktsegment"))
+        val orders = s.read.parquet(s"$d/orders.parquet")
+        cust.join(orders, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("pseudonym"), col("c_mktsegment"))
+          .agg(count(col("o_orderkey")).as("n_orders"),
+            coalesce(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")),
+              lit(0L)).as("total_cents"))
+      },
+      Some("""SELECT substring(sha256('graft-pseud-v1:' || c_name), 1, 16) AS pseudonym,
+             |       c_mktsegment,
+             |       count(o_orderkey) AS n_orders,
+             |       CAST(coalesce(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)), 0) AS BIGINT) AS total_cents
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY pseudonym, c_mktsegment""".stripMargin)),
+
     // Retrieval-metric agreement: how much does the SCORING choice
     // (cosine vs inner product) change what top-k retrieval returns?
     // Per query: recall@5 overlap between the two exact rankings and
