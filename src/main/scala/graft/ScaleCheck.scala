@@ -182,7 +182,12 @@ object ScaleCheck {
     "fw_matview_inc",
     // streaming WAP: per-batch branch commits ∝ the batch; publish is
     // metadata — must read ~linear in the drained stream
-    "fw_stream_wap")
+    "fw_stream_wap",
+    // bakeoff = two dictionary-bound trainings (ext130/137 contract);
+    // ranking agreement = two corpus scans; pseudonymize = one
+    // both-sides-growing hash join (sub-second base, fixed terms loom)
+    "ext143_tokenizer_bakeoff", "ext144_ranking_agreement",
+    "ext145_pseudonymize")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
