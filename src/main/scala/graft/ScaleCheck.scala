@@ -187,7 +187,10 @@ object ScaleCheck {
     // ranking agreement = two corpus scans; pseudonymize = one
     // both-sides-growing hash join (sub-second base, fixed terms loom)
     "ext143_tokenizer_bakeoff", "ext144_ranking_agreement",
-    "ext145_pseudonymize")
+    "ext145_pseudonymize",
+    // TPC-H refresh functions: RF1 append ∝ batch, RF2 delete = metadata
+    // + one position scan, Q1 re-read ~linear
+    "fw_tpch_refresh")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

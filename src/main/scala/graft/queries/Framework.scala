@@ -758,6 +758,38 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** TPC-H REFRESH FUNCTIONS on the table format: the spec's RF1
+    * (insert a batch of new lineitems) and RF2 (delete by order key)
+    * run as an APPEND commit and a DELETION-VECTOR delete against a
+    * versioned lineitem — the ACID maintenance workload TPC-H defines,
+    * executed the way a table format should (RF1 moves only the new
+    * files, RF2 moves only metadata), then the Q1 pricing summary over
+    * the refreshed table. The oracle recomputes Q1 over the logical
+    * (base ∪ inserts) − deletes in DuckDB. */
+  private def fwTpchRefresh(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "tpch_rf")
+    rmrf(s, base)
+    val loc = s"$base/lineitem"
+    val li = s.read.parquet(s"$d/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate"))
+    graft.sinks.VersionedTable.commit(s, loc, li, "overwrite")
+    // RF1: a deterministic insert batch (the completion-layer discipline:
+    // derived from the fixture, identically replayed by the oracle)
+    graft.sinks.VersionedTable.commit(s, loc,
+      li.filter(col("l_orderkey") % 97 === 0)
+        .withColumn("l_orderkey", col("l_orderkey") + 20000000L), "append")
+    // RF2: delete by order key — metadata only, zero files rewritten
+    graft.sinks.VersionedTable.deleteWhere(s, loc, "l_orderkey % 89 = 0")
+    graft.sinks.VersionedTable.read(s, loc)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+  }
+
   /** Time travel through the ENGINE's input path: the [[fwAcid]]
     * lifecycle again, then a fourth run reads the table at
     * `as_of_version: 2` (before the upsert) as a `versioned: true`
@@ -2183,6 +2215,22 @@ object Framework {
     "fw_stream_wap" -> Q(fwStreamWap, Some(
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars >= 300""".stripMargin)),
+    "fw_tpch_refresh" -> Q(fwTpchRefresh, Some(
+      """WITH rf AS (
+        |  SELECT * FROM (
+        |    SELECT l_orderkey, l_quantity, l_extendedprice, l_discount,
+        |           l_tax, l_returnflag, l_linestatus, l_shipdate
+        |    FROM lineitem
+        |    UNION ALL
+        |    SELECT l_orderkey + 20000000, l_quantity, l_extendedprice, l_discount,
+        |           l_tax, l_returnflag, l_linestatus, l_shipdate
+        |    FROM lineitem WHERE l_orderkey % 97 = 0)
+        |  WHERE l_orderkey % 89 <> 0)
+        |SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM rf GROUP BY l_returnflag, l_linestatus""".stripMargin)),
     "fw_wap" -> Q(fwWap, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment
