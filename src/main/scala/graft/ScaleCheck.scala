@@ -190,7 +190,9 @@ object ScaleCheck {
     "ext145_pseudonymize",
     // TPC-H refresh functions: RF1 append ∝ batch, RF2 delete = metadata
     // + one position scan, Q1 re-read ~linear
-    "fw_tpch_refresh")
+    "fw_tpch_refresh",
+    // targeted delete compaction: rewrite ∝ qualifying files only
+    "fw_dv_compact")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

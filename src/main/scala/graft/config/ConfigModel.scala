@@ -201,6 +201,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  where: Option[String] = None,
                                  set: Map[String, String] = Map.empty,
                                  branch: Option[String] = None,
+                                 minDeletedFraction: Option[Double] = None,
                                  options: Map[String, String] = Map.empty)
 
 final case class JobSpec(
@@ -654,10 +655,11 @@ object ConfigParser {
       val action = str(t, "action").getOrElse("compact").toLowerCase
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
         "version_vacuum", "history", "delete", "update",
-        "create_branch", "publish_branch", "drop_branch")(action)) throw new ConfigError(
+        "create_branch", "publish_branch", "drop_branch",
+        "compact_deletes")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
           "profile, retain, vacuum, cluster, version_vacuum, history, delete, " +
-          "update, create_branch, publish_branch, drop_branch)")
+          "update, create_branch, publish_branch, drop_branch, compact_deletes)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -695,6 +697,16 @@ object ConfigParser {
           s"maintenance.where (the row predicate) is required for $action")
       if (!Set("delete", "update")(action) && where.nonEmpty) throw new ConfigError(
         s"maintenance.where only applies to actions delete/update, not '$action'")
+      val minDelFrac = str(t, "min_deleted_fraction").map { v =>
+        val x = try v.trim.toDouble catch { case _: NumberFormatException =>
+          throw new ConfigError(
+            s"maintenance.min_deleted_fraction must be a number in (0,1], got '$v'") }
+        if (x <= 0 || x > 1) throw new ConfigError(
+          s"maintenance.min_deleted_fraction must be in (0,1], got '$v'")
+        x
+      }
+      if (minDelFrac.nonEmpty && action != "compact_deletes") throw new ConfigError(
+        s"maintenance.min_deleted_fraction only applies to compact_deletes, not '$action'")
       val branchM = str(t, "branch").map(_.trim).filter(_.nonEmpty)
       val branchActions = Set("create_branch", "publish_branch", "drop_branch")
       if (branchActions(action) && branchM.isEmpty) throw new ConfigError(
@@ -719,6 +731,7 @@ object ConfigParser {
         where = where,
         set = setMap,
         branch = branchM,
+        minDeletedFraction = minDelFrac,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))
     }

@@ -306,6 +306,14 @@ object Engine {
               "location" -> location, "version" -> s"v$v",
               "where" -> m.where.get)
             None
+          case "compact_deletes" =>
+            val (v, n) = graft.sinks.VersionedTable.compactDeletes(
+              spark, location, m.minDeletedFraction.getOrElse(0.3),
+              m.format, m.options)
+            graft.log.Log.info("delete compaction applied",
+              "location" -> location, "version" -> s"v$v",
+              "files_rewritten" -> n.toString)
+            None
           case "create_branch" =>
             val from = m.keepFrom.map(v => Interpolate(v, vars).trim.toLong)
             val base = graft.sinks.VersionedTable.createBranch(

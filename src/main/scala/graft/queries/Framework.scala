@@ -758,6 +758,43 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** DV lifecycle end-to-end on the YAML surface: build a two-file
+    * versioned table, delete heavily in one file, then
+    * `maintenance.action: compact_deletes` rewrites ONLY that file
+    * (targeted materialization; the other file carries with its DV).
+    * The read-back is the unchanged logical content — the oracle knows
+    * nothing of files or vectors. */
+  private def fwDvCompact(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "dv_compact")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    val proj = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, loc,
+      proj.filter(col("c_custkey") % 2 === 0).coalesce(1), "overwrite",
+      statsColumns = Seq("c_custkey"))
+    graft.sinks.VersionedTable.commit(s, loc,
+      proj.filter(col("c_custkey") % 2 === 1).coalesce(1), "append",
+      statsColumns = Seq("c_custkey"))
+    // heavy deletes in the EVEN file (4 of 5 segments), light in the odd
+    graft.sinks.VersionedTable.deleteWhere(s, loc,
+      "c_custkey % 2 = 0 AND c_mktsegment <> 'BUILDING'")
+    graft.sinks.VersionedTable.deleteWhere(s, loc,
+      "c_custkey % 2 = 1 AND c_mktsegment = 'MACHINERY'")
+    Engine.run(s, ConfigParser.parse(
+      s"""job:
+         |  name: fw-dv-compact
+         |  type: maintenance
+         |maintenance:
+         |  action: compact_deletes
+         |  location: $loc
+         |  min_deleted_fraction: "0.5"
+         |""".stripMargin), "default")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** TPC-H REFRESH FUNCTIONS on the table format: the spec's RF1
     * (insert a batch of new lineitems) and RF2 (delete by order key)
     * run as an APPEND commit and a DELETION-VECTOR delete against a
@@ -2215,6 +2252,12 @@ object Framework {
     "fw_stream_wap" -> Q(fwStreamWap, Some(
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars >= 300""".stripMargin)),
+    "fw_dv_compact" -> Q(fwDvCompact, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment
+        |FROM customer
+        |WHERE NOT (c_custkey % 2 = 0 AND c_mktsegment <> 'BUILDING')
+        |  AND NOT (c_custkey % 2 = 1 AND c_mktsegment = 'MACHINERY')""".stripMargin)),
     "fw_tpch_refresh" -> Q(fwTpchRefresh, Some(
       """WITH rf AS (
         |  SELECT * FROM (

@@ -975,6 +975,107 @@ object VersionedTable {
     latest + 1
   }
 
+  /** TARGETED delete compaction — the Iceberg
+    * rewrite_position_delete_files analog: rewrite ONLY the files whose
+    * deleted fraction reaches `minDeletedFraction`, materializing their
+    * deletes away; every other file (and its DV entries) carries by
+    * reference. Bounds the read-side anti-join cost without paying a
+    * full-table compaction: at 100 TB a hot-spot delete pattern leaves
+    * most files untouched forever. Per-file row counts come from the
+    * stats sidecar when present; files the sidecar does not cover are
+    * counted with one bounded scan over the DV-TOUCHED files only.
+    * Serializable single-attempt CAS (mode `compact_deletes`). Returns
+    * (version, filesRewritten) — (latest, 0) when nothing qualifies. */
+  def compactDeletes(spark: SparkSession, location: String,
+                     minDeletedFraction: Double = 0.3,
+                     format: String = "parquet",
+                     options: Map[String, String] = Map.empty): (Long, Int) = {
+    import org.apache.spark.sql.functions._
+    require(minDeletedFraction > 0 && minDeletedFraction <= 1,
+      s"compactDeletes: minDeletedFraction must be in (0,1], got $minDeletedFraction")
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (vs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned compactDeletes: no committed versions at '$location'")
+    val latest = vs.last
+    val dvPrev = dvOf(fs, root, latest) match {
+      case None => return (latest, 0)
+      case Some(x) => x
+    }
+    val files = readManifest(fs, root, latest)
+    // deleted counts per file — the DV is delete-sized
+    val delCounts = readDv(spark, root, dvPrev._1)
+      .groupBy(col("file")).agg(count(lit(1)).as("n_del"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val knownRows = fileRows(spark, location, latest)
+    val uncounted = delCounts.keySet.filter(f =>
+      files.contains(f) && !knownRows.contains(f)).toSeq
+    val countedRows: Map[String, Long] =
+      if (uncounted.isEmpty) Map.empty
+      else spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(uncounted.map(n => new Path(dataDir(root), n).toString): _*)
+        .groupBy(element_at(split(col("_metadata.file_path"), "/"), -1).as("f"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val rowsOf = knownRows ++ countedRows
+    val rewrite = files.filter { f =>
+      delCounts.get(f).exists { nd =>
+        rowsOf.get(f).exists(n => n > 0 && nd.toDouble / n >= minDeletedFraction)
+      }
+    }
+    if (rewrite.isEmpty) return (latest, 0)
+    val carried = files.filterNot(rewrite.toSet)
+    val liveBase = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options))
+      .load(rewrite.map(n => new Path(dataDir(root), n).toString): _*)
+    val live = applyDv(spark, root, liveBase, dvPrev._1)
+    val (commitId, moved) = stageAndMove(fs, root, live, format, options)
+    // DV: drop entries for the rewritten files, keep the rest
+    val remaining = readDv(spark, root, dvPrev._1)
+      .filter(!col("file").isin(rewrite: _*))
+    val nRemain = remaining.count()
+    val dvNext =
+      if (nRemain == 0L) None
+      else {
+        val name = s"dv-$commitId"
+        remaining.write.mode(SaveMode.Overwrite)
+          .parquet(new Path(logDir(root), name).toString)
+        Some((name, nRemain))
+      }
+    // stats: carry for untouched files; fresh for the rewritten output
+    val tracked = trackedStatsColumns(spark, location)
+    val carriedStats = sidecarOf(fs, root, latest).filterFiles(carried.toSet)
+    val fresh =
+      if (tracked.isEmpty) SidecarStats.empty
+      else computeStats(spark,
+        moved.map { case (n, _) => new Path(dataDir(root), n).toString },
+        tracked, format, options)
+    val all = carriedStats ++ fresh
+    val statsFile =
+      if (all.isEmpty) None
+      else {
+        val name = s"stats-$commitId.jsonl"
+        writeStatsFile(fs, root, name, renderSidecar(all))
+        Some(name)
+      }
+    val carriedSized = carried.map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    if (!writeManifestCas(fs, root, latest + 1, "compact_deletes",
+      carriedSized ++ moved, None, statsFile, dvNext))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned compactDeletes: serializable conflict at '$location' — " +
+          s"a concurrent commit won v${latest + 1}; re-run")
+    graft.log.Log.info("versioned delete compaction",
+      "location" -> location, "version" -> s"v${latest + 1}",
+      "files_rewritten" -> rewrite.size.toString,
+      "files_carried" -> carried.size.toString,
+      "dv_remaining" -> nRemain.toString)
+    (latest + 1, rewrite.size)
+  }
+
   // ---------------------------------------------------------------- branches
 
   /** ZERO-COPY BRANCH (the Iceberg-refs / WAP shape): fork a named

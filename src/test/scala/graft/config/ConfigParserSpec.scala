@@ -610,6 +610,17 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin))
     assert(ebr3.getMessage.contains("branch reads the branch HEAD"))
+    // compact_deletes: fraction validated; fraction is action-scoped
+    val ecd = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: compact_deletes, location: /tmp/t, min_deleted_fraction: "1.5"}
+        |""".stripMargin))
+    assert(ecd.getMessage.contains("(0,1]"))
+    val ecd2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: vacuum, location: /tmp/t, min_deleted_fraction: "0.5"}
+        |""".stripMargin))
+    assert(ecd2.getMessage.contains("only applies to compact_deletes"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}

@@ -658,4 +658,32 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.readBranch(spark, loc, "ing")) ==
       Set((1, "a"), (2, "b"), (3, "c")))
   }
+
+  test("compactDeletes: only delete-heavy files rewrite; the rest carry with their DV") {
+    val loc = tmp("dvc")
+    // two one-row-group files via two separate appends
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("k", "v").coalesce(1),
+      "overwrite", statsColumns = Seq("k"))
+    VersionedTable.commit(spark, loc,
+      Seq((10, "x"), (11, "y"), (12, "z"), (13, "w")).toDF("k", "v").coalesce(1),
+      "append", statsColumns = Seq("k"))
+    // 3/4 deleted in file 1, 1/4 in file 2
+    VersionedTable.deleteWhere(spark, loc, "k IN (1, 2, 3, 10)")
+    val filesBefore = new java.io.File(s"$loc/data").listFiles().map(_.getName).toSet
+    val (v, n) = VersionedTable.compactDeletes(spark, loc, minDeletedFraction = 0.5)
+    assert(n == 1) // only the 75%-deleted file qualifies at 0.5
+    val filesAfter = new java.io.File(s"$loc/data").listFiles().map(_.getName).toSet
+    assert((filesBefore -- filesAfter).isEmpty, "data namespace is append-only")
+    // content unchanged through the rewrite; the carried file's DV still applies
+    assert(rows(VersionedTable.read(spark, loc)) ==
+      Set((4, "d"), (11, "y"), (12, "z"), (13, "w")))
+    // the remaining DV covers only the carried file's one delete
+    val text = scala.io.Source.fromFile(
+      new java.io.File(s"$loc/_graft_log").listFiles()
+        .filter(_.getName.matches("v\\d+\\.json")).sortBy(_.getName).last).mkString
+    assert(text.contains("\"dv_rows\":1"))
+    // below-threshold state: a second pass is a no-op
+    assert(VersionedTable.compactDeletes(spark, loc, minDeletedFraction = 0.5) == ((v, 0)))
+  }
 }
