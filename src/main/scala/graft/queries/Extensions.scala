@@ -3901,6 +3901,38 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // LSH quality CERTIFICATE: the analytic detection-probability curve
+    // of ext03's banded MinHash (b=32 bands × r=4 rows) — P(detect |
+    // similarity s) = 1 − (1 − s^r)^b, tabulated at s = 0.05..0.95.
+    // The "never silent" contract as a queryable artifact: a dedup run
+    // ships the curve that says exactly what miss rate it accepted at
+    // each similarity level. All arithmetic is plain IEEE multiply
+    // chains (s^4 left-assoc, (1−x)^32 via five squarings) — identical
+    // in both engines, so even the float curve value-oracles at e6.
+    "ext146_lsh_certificate" -> Q(
+      (s, d) => {
+        val sCol = col("id") / 20.0
+        val x = sCol * sCol * sCol * sCol
+        val y = lit(1.0) - x
+        val y2 = y * y; val y4 = y2 * y2; val y8 = y4 * y4
+        val y16 = y8 * y8; val y32 = y16 * y16
+        s.range(1, 20).select(
+          (col("id") * 50).cast("long").as("s_milli"),
+          lit(32L).as("bands"), lit(4L).as("rows_per_band"),
+          floor((lit(1.0) - y32) * 1e6 + 0.5).cast("long").as("p_detect_e6"))
+      },
+      Some("""SELECT CAST(i * 50 AS BIGINT) AS s_milli,
+             |       CAST(32 AS BIGINT) AS bands, CAST(4 AS BIGINT) AS rows_per_band,
+             |       CAST(floor((1.0 - y32) * 1e6 + 0.5) AS BIGINT) AS p_detect_e6
+             |FROM (
+             |  SELECT i, y16 * y16 AS y32 FROM (
+             |    SELECT i, y8 * y8 AS y16 FROM (
+             |      SELECT i, y4 * y4 AS y8 FROM (
+             |        SELECT i, y2 * y2 AS y4 FROM (
+             |          SELECT i, y * y AS y2 FROM (
+             |            SELECT i, 1.0 - (s * s * s * s) AS y FROM (
+             |              SELECT i, i / 20.0 AS s FROM range(1, 20) r(i)))))))) t""".stripMargin)),
+
     // Keyed-hash PSEUDONYMIZATION (GDPR-style tokenization): direct
     // identifiers become stable salted-hash tokens — the same input
     // always maps to the same token, so analytic JOINS and GROUP BYs
