@@ -129,8 +129,25 @@ object MaterializedView {
                       keyCols: Seq[String], sums: Map[String, String],
                       countName: Option[String] = Some("n_rows"),
                       format: String = "parquet",
-                      options: Map[String, String] = Map.empty): (Long, String) = {
+                      options: Map[String, String] = Map.empty): (Long, String) =
+    refreshAdditiveMulti(spark, location, Seq((sourceName, sourceLocation)),
+      keyCols, sums, countName, format, options)
+
+  /** Multi-source [[refreshAdditive]]: the view is the additive rollup
+    * over the UNION of several versioned sources (schemas aligned by
+    * name — the fact-union shape). Each source contributes its own
+    * append delta; one source with a non-append movement sends the
+    * whole refresh to full recompute (additivity is all-or-nothing). */
+  def refreshAdditiveMulti(spark: SparkSession, location: String,
+                           sources: Seq[(String, String)],
+                           keyCols: Seq[String], sums: Map[String, String],
+                           countName: Option[String] = Some("n_rows"),
+                           format: String = "parquet",
+                           options: Map[String, String] = Map.empty): (Long, String) = {
     import org.apache.spark.sql.functions._
+    require(sources.nonEmpty, "refreshAdditive: needs at least one source")
+    require(sources.map(_._1).distinct.size == sources.size,
+      "refreshAdditive: source names must be unique")
     require(keyCols.nonEmpty, "refreshAdditive: needs grouping keys")
     require(sums.nonEmpty || countName.nonEmpty,
       "refreshAdditive: needs at least one measure")
@@ -140,28 +157,43 @@ object MaterializedView {
         countName.map(n => count(lit(1)).as(n))
       df.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
-    val curV = VersionedTable.versions(spark, sourceLocation).lastOption
-      .getOrElse(throw new graft.config.ConfigError(
-        s"refreshAdditive: source '$sourceLocation' has no committed versions"))
-    val fp = s"$sourceName=v$curV"
+    def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduceLeft(_.unionByName(_))
+    def fullSnapshot: DataFrame = unionAll(sources.map { case (_, loc) =>
+      VersionedTable.read(spark, loc, None, format, options) })
+    val curVs: Map[String, Long] = sources.map { case (n, loc) =>
+      n -> VersionedTable.versions(spark, loc).lastOption.getOrElse(
+        throw new graft.config.ConfigError(
+          s"refreshAdditive: source '$loc' has no committed versions"))
+    }.toMap
+    val fp = sources.map(_._1).sorted.map(n => s"$n=v${curVs(n)}").mkString(",")
     val mvVersions = VersionedTable.versions(spark, location)
+    // parse a previous state back to per-source versions (same encoding)
+    def parseFp(s: String): Option[Map[String, Long]] = {
+      val parts = s.split(",").toSeq.map(_.split("=v", 2))
+      if (parts.forall(_.length == 2) &&
+        parts.map(_(0)).toSet == sources.map(_._1).toSet)
+        scala.util.Try(parts.map(p => p(0) -> p(1).toLong).toMap).toOption
+      else None
+    }
     currentState(spark, location) match {
       case Some((oldFp, v)) if oldFp == fp && mvVersions.contains(v) =>
         graft.log.Log.info("additive MV fresh",
           "location" -> location, "fingerprint" -> fp)
         (v, "fresh")
-      case Some((oldFp, v))
-        if oldFp.startsWith(s"$sourceName=v") && mvVersions.contains(v) =>
-        val lastV = oldFp.stripPrefix(s"$sourceName=v").toLong
+      case Some((oldFp, v)) if mvVersions.contains(v) && parseFp(oldFp).nonEmpty =>
+        val lastVs = parseFp(oldFp).get
         val incremental = scala.util.Try {
-          // aborts (ConfigError) on any non-append commit in the range —
-          // the signal the delta path is unsound and full recompute owns it
-          val delta = VersionedTable.changesBetween(spark, sourceLocation,
-            lastV, curV, format, options).drop("_commit_version")
+          // one delta per moved source; changesBetween aborts (ConfigError)
+          // on any non-append commit — full recompute owns that case
+          val deltas = sources.flatMap { case (n, loc) =>
+            if (lastVs(n) == curVs(n)) None
+            else Some(VersionedTable.changesBetween(spark, loc,
+              lastVs(n), curVs(n), format, options).drop("_commit_version"))
+          }
           val refold = sums.keys.toSeq.sorted.map(o => sum(col(o)).as(o)) ++
             countName.map(n => sum(col(n)).as(n))
           val folded = VersionedTable.read(spark, location, Some(v), format, options)
-            .unionByName(viewOf(delta))
+            .unionByName(viewOf(unionAll(deltas)))
             .groupBy(keyCols.map(col): _*)
             .agg(refold.head, refold.tail: _*)
           VersionedTable.commit(spark, location, folded, "overwrite",
@@ -171,25 +203,23 @@ object MaterializedView {
           case scala.util.Success(nv) =>
             recordState(spark, location, fp, nv)
             graft.log.Log.info("additive MV incremental fold",
-              "location" -> location, "from" -> s"v$lastV", "to" -> s"v$curV")
+              "location" -> location, "fingerprint" -> fp)
             (nv, "incremental")
           case scala.util.Failure(_: graft.config.ConfigError) =>
-            fullRecompute(spark, location, sourceLocation, fp, viewOf, format, options)
+            fullRecompute(spark, location, fp, viewOf(fullSnapshot), format, options)
           case scala.util.Failure(e) => throw e
         }
       case _ =>
-        fullRecompute(spark, location, sourceLocation, fp, viewOf, format, options)
+        fullRecompute(spark, location, fp, viewOf(fullSnapshot), format, options)
     }
   }
 
   private def fullRecompute(spark: SparkSession, location: String,
-                            sourceLocation: String, fp: String,
-                            viewOf: DataFrame => DataFrame,
+                            fp: String, view: => DataFrame,
                             format: String,
                             options: Map[String, String]): (Long, String) = {
-    val v = VersionedTable.commit(spark, location,
-      viewOf(VersionedTable.read(spark, sourceLocation, None, format, options)),
-      "overwrite", format, options)
+    val v = VersionedTable.commit(spark, location, view, "overwrite",
+      format, options)
     recordState(spark, location, fp, v)
     graft.log.Log.info("additive MV full recompute",
       "location" -> location, "fingerprint" -> fp, "version" -> s"v$v")

@@ -60,4 +60,27 @@ class MaterializedViewSpec extends SparkSpec {
     assert(p3 == "full")
     assert(mvRows == Set(("a", 115L, 3L), ("b", 1L, 1L), ("c", 7L, 1L)))
   }
+
+  test("refreshAdditiveMulti: per-source deltas fold; one bad source -> full") {
+    val base = java.nio.file.Files.createTempDirectory("mv-spec").toString
+    val s1 = s"$base/s1"; val s2 = s"$base/s2"; val mv = s"$base/mv"
+    VersionedTable.commit(spark, s1, Seq(("a", 1L)).toDF("k", "x"), "overwrite")
+    VersionedTable.commit(spark, s2, Seq(("a", 2L), ("b", 3L)).toDF("k", "x"), "overwrite")
+    def refresh() = MaterializedView.refreshAdditiveMulti(spark, mv,
+      Seq(("s1", s1), ("s2", s2)), Seq("k"), Map("total" -> "x"))
+    assert(refresh()._2 == "full")
+    def mvRows = VersionedTable.read(spark, mv).collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[Long]("total"), r.getAs[Long]("n_rows"))).toSet
+    assert(mvRows == Set(("a", 3L, 2L), ("b", 3L, 1L)))
+    assert(refresh()._2 == "fresh")
+    // only s2 moves: one delta folds
+    VersionedTable.commit(spark, s2, Seq(("b", 10L)).toDF("k", "x"), "append")
+    assert(refresh()._2 == "incremental")
+    assert(mvRows == Set(("a", 3L, 2L), ("b", 13L, 2L)))
+    // both move, one with a delete: whole refresh goes full, stays right
+    VersionedTable.commit(spark, s1, Seq(("c", 4L)).toDF("k", "x"), "append")
+    VersionedTable.deleteWhere(spark, s2, "k = 'a'")
+    assert(refresh()._2 == "full")
+    assert(mvRows == Set(("a", 1L, 1L), ("b", 13L, 2L), ("c", 4L, 1L)))
+  }
 }
