@@ -758,6 +758,26 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** Row-level CDC over NON-APPEND commits: v1 (even half) → an UPDATE
+    * commit (DV) zeroing one segment's balances → [[graft.sinks.VersionedTable.diffVersions]]
+    * between v1 and v2 — the two-snapshot bag diff changesBetween's
+    * abort message points at. Inserts are the updated images, deletes
+    * their pre-images; untouched rows appear in neither. */
+  private def fwVersionDiff(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "version_diff")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    val proj = s.read.parquet(s"$d/customer.parquet")
+      .filter(col("c_custkey") % 2 === 0)
+      .select(col("c_custkey"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("c_mktsegment"))
+    graft.sinks.VersionedTable.commit(s, loc, proj, "overwrite")
+    graft.sinks.VersionedTable.updateWhere(s, loc,
+      "c_mktsegment = 'FURNITURE'", Map("cents" -> "CAST(0 AS BIGINT)"))
+    graft.sinks.VersionedTable.diffVersions(s, loc, 1L, 2L)
+  }
+
   /** DV lifecycle end-to-end on the YAML surface: build a two-file
     * versioned table, delete heavily in one file, then
     * `maintenance.action: compact_deletes` rewrites ONLY that file
@@ -2252,6 +2272,17 @@ object Framework {
     "fw_stream_wap" -> Q(fwStreamWap, Some(
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars >= 300""".stripMargin)),
+    "fw_version_diff" -> Q(fwVersionDiff, Some(
+      """SELECT c_custkey, 0 AS cents, c_mktsegment, 'insert' AS _change_type
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_mktsegment = 'FURNITURE'
+        |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) <> 0
+        |UNION ALL
+        |SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       c_mktsegment, 'delete' AS _change_type
+        |FROM customer
+        |WHERE c_custkey % 2 = 0 AND c_mktsegment = 'FURNITURE'
+        |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) <> 0""".stripMargin)),
     "fw_dv_compact" -> Q(fwDvCompact, Some(
       """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
         |       c_mktsegment

@@ -932,6 +932,17 @@ object VersionedTable {
     val updated = matched.select(dataCols.map { c =>
       set.get(c).map(e => expr(e).as(c)).getOrElse(col(c))
     }: _*)
+    // TYPE-PRESERVING contract: a SET expression that silently changes
+    // the column's type would publish mixed-schema files the snapshot
+    // read then fails on (INT literal vs BIGINT column is the classic)
+    // — reject loudly, requiring an explicit CAST in the expression
+    dataCols.foreach { c =>
+      val oldT = base.schema(c).dataType
+      val newT = updated.schema(c).dataType
+      if (oldT != newT) throw new graft.config.ConfigError(
+        s"versioned update: SET would change column '$c' from $oldT to $newT — " +
+          s"add an explicit CAST(... AS ${oldT.sql}) to the expression")
+    }
     val (commitId, moved) = stageAndMove(fs, root, updated, format, options)
     // old positions join the DV
     val dvName = s"dv-$commitId"
@@ -973,6 +984,27 @@ object VersionedTable {
       "location" -> location, "version" -> s"v${latest + 1}",
       "rows_updated" -> nMatched.toString, "files_rewritten" -> "0")
     latest + 1
+  }
+
+  /** ROW-LEVEL DIFF of two snapshots — the CDC fallback for the commits
+    * [[changesBetween]] rightly aborts on (overwrite / merge / delete /
+    * update): bag-semantics EXCEPT in both directions, tagged
+    * `_change_type` ∈ {insert, delete}. An unchanged row (same
+    * multiplicity both sides) appears in neither. This is a
+    * two-snapshot scan by design — the price of row-level change
+    * capture over commits that rewrote rows; append-only ranges should
+    * keep using changesBetween (file-level metadata, no scan). */
+  def diffVersions(spark: SparkSession, location: String,
+                   fromVersion: Long, toVersion: Long,
+                   format: String = "parquet",
+                   options: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromVersion != toVersion,
+      s"versioned diff: fromVersion and toVersion must differ, got $fromVersion")
+    val a = read(spark, location, Some(fromVersion), format, options)
+    val b = read(spark, location, Some(toVersion), format, options)
+    b.exceptAll(a).withColumn("_change_type", lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("_change_type", lit("delete")))
   }
 
   /** TARGETED delete compaction — the Iceberg
@@ -1440,8 +1472,9 @@ object VersionedTable {
       if (m != "append")
         throw new graft.config.ConfigError(
           s"versioned changes: v$v of '$location' is a $m commit — " +
-            "its row-level delta is a full two-snapshot diff; read the " +
-            s"snapshot (as_of_version: $v) instead")
+            "its row-level delta is a full two-snapshot diff; use " +
+            s"diffVersions(${v - 1}, $v) or read the snapshot " +
+            s"(as_of_version: $v) instead")
       val prev = readManifest(fs, root, v - 1).toSet
       val added = readManifest(fs, root, v).filterNot(prev.contains)
       if (added.isEmpty)

@@ -563,6 +563,12 @@ class VersionedTableSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       VersionedTable.updateWhere(spark, loc, "k = 1", Map("nope" -> "'x'")))
     assert(e.getMessage.contains("nope"))
+    // type-preserving contract: an INT literal into the INT k is fine,
+    // but changing k's type must be a named error, not a mixed-schema
+    // table the next read explodes on
+    val et = intercept[graft.config.ConfigError](
+      VersionedTable.updateWhere(spark, loc, "k = 12", Map("k" -> "CAST(9 AS BIGINT)")))
+    assert(et.getMessage.contains("would change column 'k'"))
   }
 
   test("updateWhere composes with deletes and merges (no resurrection)") {
