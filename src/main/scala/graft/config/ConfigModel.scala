@@ -161,6 +161,12 @@ final case class OutputTable(
       * branch first (`maintenance.action: create_branch`); publish with
       * `publish_branch`. */
     branch: Option[String] = None,
+    /** `mask:` — column masking applied to the PUBLISHED frame (the
+      * release transform): `hash` (stable salted-sha2 token, the ext145
+      * pseudonymization rule), `null` (typed null), `last4` (string
+      * columns: all but the last 4 chars starred). Applied before
+      * dq_checks and the sink, on the batch AND streaming paths. */
+    mask: Map[String, String] = Map.empty,
     /** `stats_columns: c1,c2` (versioned sinks only) records per-FILE
       * min/max/null-count zone maps for the named columns in the commit
       * manifest; [[graft.sinks.VersionedTable.readPruned]] then skips
@@ -507,6 +513,15 @@ object ConfigParser {
             s"output '$name': materialized must be true/false, got '$other'")
         },
         branch = str(t, "branch").map(_.trim).filter(_.nonEmpty),
+        mask = {
+          val m = t.get("mask").map(strMap(_, "mask")).getOrElse(Map.empty[String, String])
+          m.foreach { case (c, rule) =>
+            if (!Set("hash", "null", "last4")(rule.trim.toLowerCase))
+              throw new ConfigError(
+                s"output '$name': mask.$c must be hash|null|last4, got '$rule'")
+          }
+          m.map { case (c, r) => (c, r.trim.toLowerCase) }
+        },
         statsColumns = str(t, "stats_columns")
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
         rangeKeys = str(t, "range_partition_keys")

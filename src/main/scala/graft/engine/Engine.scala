@@ -167,7 +167,9 @@ object Engine {
         })
       // dq_checks gate the publish: one aggregate pass over the result;
       // a violation throws BEFORE the sink is touched (Sinks.DataQuality).
-      out.dqChecks.foreach(graft.sinks.DataQuality.enforce(result, _, out.name))
+      // dq gates what is PUBLISHED: the checks see the masked frame
+      out.dqChecks.foreach(graft.sinks.DataQuality.enforce(
+        Sinks.applyMask(result, out), _, out.name))
       graft.log.Log.info("writing output", "output" -> out.name)
       // Observation metrics ride the SINK action itself — row count and
       // per-column non-null counts accumulate on the executors during

@@ -758,6 +758,35 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** Column masking on the release path (`mask:`): hash-tokenize the
+    * name (joins survive — the ext145 rule), star-prefix the segment,
+    * null the balance; the masked frame is what dq_checks gate and what
+    * the sink publishes, on batch and streaming paths alike. */
+  private def fwMask(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "mask")
+    rmrf(s, base)
+    run(s,
+      s"""job:
+         |  name: fw-mask
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: mask_out
+         |  target: s3
+         |  location: $base/out
+         |  mask:
+         |    c_name: hash
+         |    c_mktsegment: last4
+         |    c_acctbal: "null"
+         |sql: >
+         |  SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+         |""".stripMargin)
+    s.read.parquet(s"$base/out")
+  }
+
   /** Row-level CDC over NON-APPEND commits: v1 (even half) → an UPDATE
     * commit (DV) zeroing one segment's balances → [[graft.sinks.VersionedTable.diffVersions]]
     * between v1 and v2 — the two-snapshot bag diff changesBetween's
@@ -2272,6 +2301,12 @@ object Framework {
     "fw_stream_wap" -> Q(fwStreamWap, Some(
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars >= 300""".stripMargin)),
+    "fw_mask" -> Q(fwMask, Some(
+      """SELECT c_custkey,
+        |       substring(sha256('graft-mask-v1:' || c_name), 1, 16) AS c_name,
+        |       repeat('*', greatest(length(c_mktsegment) - 4, 0)) || right(c_mktsegment, 4) AS c_mktsegment,
+        |       CAST(NULL AS DOUBLE) AS c_acctbal
+        |FROM customer""".stripMargin)),
     "fw_version_diff" -> Q(fwVersionDiff, Some(
       """SELECT c_custkey, 0 AS cents, c_mktsegment, 'insert' AS _change_type
         |FROM customer

@@ -111,9 +111,35 @@ object Sinks {
     * REWRITTEN portion only — untouched partitions/files carry by
     * reference and are deliberately not re-scanned for metrics (a
     * whole-table metrics pass would defeat the pruning). */
+  /** `mask:` release transform — applied to every sink path (batch and
+    * streaming foreachBatch) before dq_checks see the frame. `hash` is
+    * the stable salted-sha2 token (joins survive), `null` a typed null,
+    * `last4` the starred-prefix form for string columns. */
+  def applyMask(df: DataFrame, out: OutputTable): DataFrame =
+    if (out.mask.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{col, expr, lit}
+      val missing = out.mask.keys.filterNot(df.columns.contains).toSeq.sorted
+      if (missing.nonEmpty) throw new graft.config.ConfigError(
+        s"output '${out.name}': mask columns not in the result: ${missing.mkString(", ")}")
+      df.select(df.columns.toSeq.map { c =>
+        out.mask.get(c) match {
+          case Some("hash") =>
+            expr(s"substring(sha2(concat('graft-mask-v1:', CAST(`$c` AS STRING)), 256), 1, 16)").as(c)
+          case Some("null") => lit(null).cast(df.schema(c).dataType).as(c)
+          case Some("last4") =>
+            if (df.schema(c).dataType != org.apache.spark.sql.types.StringType)
+              throw new graft.config.ConfigError(
+                s"output '${out.name}': mask.last4 needs a STRING column; '$c' is ${df.schema(c).dataType.sql}")
+            expr(s"concat(repeat('*', greatest(length(`$c`) - 4, 0)), right(`$c`, 4))").as(c)
+          case _ => col(c)
+        }
+      }: _*)
+    }
+
   def write(spark: SparkSession, df: DataFrame, out: OutputTable,
             txn: Option[(String, Long)] = None): Seq[(String, Any)] = {
-    val data = shaped(df, out)
+    val data = shaped(applyMask(df, out), out)
     var pendingObs: Option[org.apache.spark.sql.Observation] = None
     def observed(frame: DataFrame): DataFrame =
       if (out.observeCols.isEmpty) frame

@@ -621,6 +621,19 @@ class ConfigParserSpec extends AnyFunSuite {
         |maintenance: {action: vacuum, location: /tmp/t, min_deleted_fraction: "0.5"}
         |""".stripMargin))
     assert(ecd2.getMessage.contains("only applies to compact_deletes"))
+    // mask: rules validated by name at parse time
+    val emk = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table: {name: o, target: s3, location: /tmp/o, mask: {c: rot13}}
+        |sql: SELECT 1
+        |""".stripMargin))
+    assert(emk.getMessage.contains("hash|null|last4"))
+    val mk = ConfigParser.parse(
+      """job: {name: j, type: spark-sql}
+        |output_table: {name: o, target: s3, location: /tmp/o, mask: {a: hash, b: "null"}}
+        |sql: SELECT 1
+        |""".stripMargin)
+    assert(mk.outputTable.get.mask == Map("a" -> "hash", "b" -> "null"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}
