@@ -192,7 +192,10 @@ object ScaleCheck {
     // + one position scan, Q1 re-read ~linear
     "fw_tpch_refresh",
     // targeted delete compaction: rewrite ∝ qualifying files only
-    "fw_dv_compact")
+    "fw_dv_compact",
+    // snapshot diff = two-snapshot scan by design (~linear); masking is
+    // a projection on the sink path (batch + streaming — ~linear)
+    "fw_version_diff", "fw_mask", "fw_stream_mask")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

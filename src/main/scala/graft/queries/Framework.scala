@@ -787,6 +787,38 @@ object Framework {
     s.read.parquet(s"$base/out")
   }
 
+  /** Masking on the STREAMING path: the same `mask:` block through the
+    * available_now drain — every micro-batch publishes hash-tokenized
+    * names; proves the sink-level mask is path-independent. */
+  private def fwStreamMask(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream_mask")
+    rmrf(s, base)
+    s.read.parquet(s"$d/customer.parquet").write.parquet(s"$base/in")
+    run(s,
+      s"""job:
+         |  name: fw-stream-mask
+         |  type: spark-sql
+         |  streaming: available_now
+         |  checkpoint_location: $base/ckpt
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $base/in
+         |    format: parquet
+         |    schema: "c_custkey BIGINT, c_name STRING, c_nationkey BIGINT, c_acctbal DOUBLE, c_mktsegment STRING"
+         |output_table:
+         |  name: stream_mask_out
+         |  target: s3
+         |  location: $base/out
+         |  refresh: incremental
+         |  mask:
+         |    c_name: hash
+         |sql: >
+         |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+         |""".stripMargin)
+    s.read.parquet(s"$base/out")
+  }
+
   /** Row-level CDC over NON-APPEND commits: v1 (even half) → an UPDATE
     * commit (DV) zeroing one segment's balances → [[graft.sinks.VersionedTable.diffVersions]]
     * between v1 and v2 — the two-snapshot bag diff changesBetween's
@@ -2301,6 +2333,11 @@ object Framework {
     "fw_stream_wap" -> Q(fwStreamWap, Some(
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE n_chars >= 300""".stripMargin)),
+    "fw_stream_mask" -> Q(fwStreamMask, Some(
+      """SELECT c_custkey,
+        |       substring(sha256('graft-mask-v1:' || c_name), 1, 16) AS c_name,
+        |       c_mktsegment
+        |FROM customer""".stripMargin)),
     "fw_mask" -> Q(fwMask, Some(
       """SELECT c_custkey,
         |       substring(sha256('graft-mask-v1:' || c_name), 1, 16) AS c_name,
