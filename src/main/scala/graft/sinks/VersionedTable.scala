@@ -43,6 +43,26 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * on S3 proper it needs a coordination layer (documented deviation —
   * the same one Delta-on-S3 has).
   *
+  * The full protocol surface (each `fw_*`-oracled and spec-pinned):
+  *  - time travel by version and wall clock ([[read]], [[versionAt]]);
+  *    metadata DESCRIBE HISTORY ([[history]]); CDC over appends
+  *    ([[changesBetween]]) and the two-snapshot row diff for everything
+  *    else ([[diffVersions]])
+  *  - FILE-LEVEL MERGE ([[merge]]): narrow upserts rewrite only
+  *    zone-map-matched files
+  *  - row-level DELETE/UPDATE via DELETION VECTORS ([[deleteWhere]],
+  *    [[updateWhere]] — type-preserving SETs enforced): (file, position)
+  *    sidecars, zero data files rewritten; [[compactDeletes]] rewrites
+  *    only delete-heavy files
+  *  - zero-copy BRANCHES + write-audit-publish ([[createBranch]],
+  *    [[branchCommit]] with exactly-once txns, [[readBranch]],
+  *    [[publishBranch]] — serializable fast-forward, [[dropBranch]])
+  *  - zone maps + bucket bitmaps ([[readPruned]]); schema-drift guard
+  *    with opt-in mergeSchema evolution; exactly-once streaming commits
+  *    (txn); branch-aware [[vacuumVersions]]
+  *  - version-aware MATERIALIZED VIEWS with incremental additive
+  *    maintenance live in [[MaterializedView]]
+  *
   * ZONE MAPS (r10): `commit(statsColumns = ...)` records per-FILE
   * min/max/null-count for the named columns in a JSONL sidecar the
   * manifest references (`stats_file`), and [[readPruned]] plans a scan
