@@ -670,11 +670,12 @@ object ConfigParser {
       val action = str(t, "action").getOrElse("compact").toLowerCase
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
         "version_vacuum", "history", "delete", "update",
-        "create_branch", "publish_branch", "drop_branch",
+        "create_branch", "publish_branch", "drop_branch", "rebase_branch",
         "compact_deletes")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
           "profile, retain, vacuum, cluster, version_vacuum, history, delete, " +
-          "update, create_branch, publish_branch, drop_branch, compact_deletes)")
+          "update, create_branch, publish_branch, drop_branch, rebase_branch, " +
+          "compact_deletes)")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -723,7 +724,8 @@ object ConfigParser {
       if (minDelFrac.nonEmpty && action != "compact_deletes") throw new ConfigError(
         s"maintenance.min_deleted_fraction only applies to compact_deletes, not '$action'")
       val branchM = str(t, "branch").map(_.trim).filter(_.nonEmpty)
-      val branchActions = Set("create_branch", "publish_branch", "drop_branch")
+      val branchActions = Set("create_branch", "publish_branch", "drop_branch",
+        "rebase_branch")
       if (branchActions(action) && branchM.isEmpty) throw new ConfigError(
         s"maintenance.branch (the branch name) is required for $action")
       if (!branchActions(action) && branchM.nonEmpty) throw new ConfigError(

@@ -329,6 +329,12 @@ object Engine {
             graft.log.Log.info("branch published", "location" -> location,
               "branch" -> m.branch.get, "version" -> s"v$v")
             None
+          case "rebase_branch" =>
+            val nb = graft.sinks.VersionedTable.rebaseBranch(
+              spark, location, m.branch.get)
+            graft.log.Log.info("branch rebased", "location" -> location,
+              "branch" -> m.branch.get, "new_base" -> s"v$nb")
+            None
           case "drop_branch" =>
             graft.sinks.VersionedTable.dropBranch(spark, location, m.branch.get)
             graft.log.Log.info("branch dropped", "location" -> location,

@@ -1291,7 +1291,7 @@ object VersionedTable {
       throw new java.util.ConcurrentModificationException(
         s"versioned publish: serializable conflict at '$location' — branch " +
           s"'$branch' forked at v$forkBase but main is at v$mainLatest; " +
-          "re-fork from the new head and re-stage")
+          "rebaseBranch (append-only staging) or re-fork and re-stage")
     val headText = manifestTextAt(fs, branchManifestPath(root, bvs.last, branch))
     val files = filesOfText(headText).map { n =>
       (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
@@ -1310,6 +1310,69 @@ object VersionedTable {
       "location" -> location, "branch" -> branch,
       "version" -> s"v${forkBase + 1}")
     forkBase + 1
+  }
+
+  /** REBASE an append-only branch onto the moved main head — the retry
+    * path [[publishBranch]]'s serializable conflict points at, without
+    * re-staging any data: the branch's STAGED files (those its head
+    * references beyond its fork manifest) are re-attached to the new
+    * main head in a fresh branch lineage. Sound only when every branch
+    * commit was an append (an overwrite dropped base files, and
+    * re-attaching its survivors to a different base would silently
+    * resurrect or lose rows — rejected by name). Returns the new fork
+    * version. Single-writer maintenance op: a writer racing the branch
+    * during its rebase loses manifests by design (the branch is being
+    * rewritten). */
+  def rebaseBranch(spark: SparkSession, location: String,
+                   branch: String): Long = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val bvs = branchVersions(spark, location, branch)
+    if (bvs.isEmpty) throw new graft.config.ConfigError(
+      s"versioned rebase: branch '$branch' does not exist at '$location'")
+    val modes = bvs.map(v => manifestField(
+      manifestTextAt(fs, branchManifestPath(root, v, branch)), "mode")
+      .getOrElse("overwrite"))
+    val nonAppend = modes.drop(1).filterNot(_ == "append")
+    if (nonAppend.nonEmpty) throw new graft.config.ConfigError(
+      s"versioned rebase: branch '$branch' has non-append commits " +
+        s"(${nonAppend.mkString(", ")}) — a rebase would change their " +
+        "semantics; drop the branch and re-stage against the new head")
+    val forkFiles = filesOfText(
+      manifestTextAt(fs, branchManifestPath(root, bvs.head, branch))).toSet
+    val staged = filesOfText(
+      manifestTextAt(fs, branchManifestPath(root, bvs.last, branch)))
+      .filterNot(forkFiles)
+    val mainLatest = versions(spark, location).last
+    if (mainLatest == bvs.head)
+      return bvs.head // nothing to rebase onto
+    val newBase = readManifest(fs, root, mainLatest)
+    val sized = (newBase ++ staged).map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    // carry the NEW main head's stats/DV (they cover its files; the
+    // staged files simply have no stats — conservative)
+    val headText = manifestText(fs, root, mainLatest)
+    val statsCarry = manifestField(headText, "stats_file")
+    val dvCarry = manifestField(headText, "dv_file").map { name =>
+      (name, """"dv_rows":(\d+)""".r.findFirstMatchIn(headText)
+        .map(_.group(1).toLong).getOrElse(0L))
+    }
+    // rewrite the branch lineage: drop the old manifests, fork at the
+    // new head, attach the staged files as one append
+    bvs.foreach(v => fs.delete(branchManifestPath(root, v, branch), false))
+    val forkText = headText.replaceFirst(""""mode":"[^"]*"""", """"mode":"branch"""")
+    val os = fs.create(branchManifestPath(root, mainLatest, branch), false)
+    try os.write(forkText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    if (!writeManifestCas(fs, root, mainLatest + 1, "append", sized, None,
+      statsCarry, dvCarry, Some(branch)))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned rebase: branch '$branch' raced at '$location'")
+    graft.log.Log.info("versioned branch rebased",
+      "location" -> location, "branch" -> branch,
+      "new_base" -> s"v$mainLatest", "staged_files" -> staged.size.toString)
+    mainLatest
   }
 
   /** Delete a branch's manifests. Its unpublished data files become

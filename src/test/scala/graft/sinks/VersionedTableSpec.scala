@@ -692,4 +692,31 @@ class VersionedTableSpec extends SparkSpec {
     // below-threshold state: a second pass is a no-op
     assert(VersionedTable.compactDeletes(spark, loc, minDeletedFraction = 0.5) == ((v, 0)))
   }
+
+  test("rebaseBranch: staged appends survive a moved main; publish then succeeds") {
+    val loc = tmp("br5")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "exp")
+    VersionedTable.branchCommit(spark, loc, "exp",
+      Seq((2, "b")).toDF("k", "v"), "append")
+    // main moves past the fork: publish conflicts, rebase repairs
+    VersionedTable.commit(spark, loc, Seq((9, "z")).toDF("k", "v"), "append")
+    intercept[java.util.ConcurrentModificationException](
+      VersionedTable.publishBranch(spark, loc, "exp"))
+    VersionedTable.rebaseBranch(spark, loc, "exp")
+    assert(rows(VersionedTable.readBranch(spark, loc, "exp")) ==
+      Set((1, "a"), (9, "z"), (2, "b")))
+    val pv = VersionedTable.publishBranch(spark, loc, "exp")
+    assert(rows(VersionedTable.read(spark, loc)) ==
+      Set((1, "a"), (9, "z"), (2, "b")))
+    assert(pv == 3L)
+    // an overwrite-staged branch refuses to rebase by name
+    VersionedTable.createBranch(spark, loc, "ow")
+    VersionedTable.branchCommit(spark, loc, "ow",
+      Seq((5, "q")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((6, "r")).toDF("k", "v"), "append")
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.rebaseBranch(spark, loc, "ow"))
+    assert(e.getMessage.contains("non-append"))
+  }
 }
