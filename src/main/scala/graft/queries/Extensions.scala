@@ -3901,6 +3901,26 @@ ${OracleSql.InvIndex}
         anchorId = 0L, poolSize = 64, k = 8),
       Some(mmrSelectOracle(poolSize = 64, k = 8))),
 
+    // Multi-resolution DEDUP HIERARCHY: near-dup component labels at
+    // three Jaccard thresholds (0.7 / 0.8 / 0.9) side by side — the
+    // dendrogram cut-level report: tighter thresholds REFINE looser ones
+    // (pairs at ≥0.9 ⊆ pairs at ≥0.8 ⊆ ≥0.7), so curation can pick its
+    // aggressiveness per source with the family structure visible at
+    // every level. Cost = three component runs, each the ext27 shape.
+    "ext147_dedup_hierarchy" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        def famAt(t: Double, out: String) =
+          Dedup.clusters(all, "doc_id",
+            Dedup.minhashLsh(all, "doc_id", "text",
+              n = 3, k = 128, bands = 32, threshold = t))
+            .select(col("doc_id"), col("cluster_id").as(out))
+        famAt(0.7, "fam70")
+          .join(famAt(0.8, "fam80"), "doc_id")
+          .join(famAt(0.9, "fam90"), "doc_id")
+      },
+      Some(dedupHierarchyOracle(Seq(0.7, 0.8, 0.9)))),
+
     // LSH quality CERTIFICATE: the analytic detection-probability curve
     // of ext03's banded MinHash (b=32 bands × r=4 rows) — P(detect |
     // similarity s) = 1 − (1 − s^r)^b, tabulated at s = 0.05..0.95.
@@ -4995,6 +5015,57 @@ ${OracleSql.InvIndex}
        |       CAST(floor(sum(g.n_sub)::DOUBLE / count(*) * 1000 + 0.5) AS BIGINT) AS subwords_per_word_milli
        |FROM dw d JOIN seg g ON g.w = d.w
        |GROUP BY d.doc_id""".stripMargin
+
+  /** Multi-threshold component oracle: one shared shingle index, then
+    * per threshold the [[OracleSql.Components]] pattern (inverted-index
+    * exact pairs → recursive reachability → min-id labels), suffixed by
+    * the threshold's e2 form (t70/t80/t90). */
+  private def dedupHierarchyOracle(thresholds: Seq[Double]): String = {
+    val blocks = thresholds.map { t =>
+      val s = (t * 100).round.toInt
+      raw"""pairs$s AS (
+           |  SELECT ix.doc_a, ix.doc_b
+           |  FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+           |        FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+           |        GROUP BY 1, 2) ix
+           |  JOIN sz sa ON sa.doc_id = ix.doc_a
+           |  JOIN sz sb ON sb.doc_id = ix.doc_b
+           |  WHERE i::DOUBLE / (sa.n + sb.n - i) >= $t
+           |), edges$s AS MATERIALIZED (
+           |  SELECT doc_a AS st, doc_b AS d FROM pairs$s
+           |  UNION SELECT doc_b, doc_a FROM pairs$s
+           |), reach$s(src, dst) AS (
+           |  SELECT st, d FROM edges$s
+           |  UNION
+           |  SELECT r.src, e.d FROM reach$s r JOIN edges$s e ON r.dst = e.st
+           |), comp$s AS (
+           |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+           |  FROM reach$s GROUP BY src
+           |)""".stripMargin
+    }.mkString(", ")
+    val sels = thresholds.map { t =>
+      val s = (t * 100).round.toInt
+      s"coalesce(c$s.cluster_id, d.doc_id) AS fam$s"
+    }.mkString(",\n       ")
+    val joins = thresholds.map { t =>
+      val s = (t * 100).round.toInt
+      s"LEFT JOIN comp$s c$s ON d.doc_id = c$s.doc_id"
+    }.mkString("\n")
+    raw"""WITH RECURSIVE sh AS MATERIALIZED (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+         |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+         |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+         |  WHERE len(w) >= 3
+         |), sz AS MATERIALIZED (
+         |  SELECT doc_id, len(s) AS n FROM sh
+         |), inv AS MATERIALIZED (
+         |  SELECT doc_id, unnest(s) AS g FROM sh
+         |), $blocks
+         |SELECT d.doc_id,
+         |       $sels
+         |FROM documents d
+         |$joins""".stripMargin
+  }
 
   /** WordPiece CTE body: [[bpeCtes]]' vocab/v0 plus `iters` rounds of
     * unigram-count → pair-count → fixed-point likelihood score → argmax

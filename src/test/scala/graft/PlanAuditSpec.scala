@@ -102,7 +102,9 @@ class PlanAuditSpec extends SparkSpec {
     // k-center: k argmax collects (1 row/round) at construction
     "ext140_kcenter_select",
     // bakeoff: runs BOTH trainings (eager) before the report projection
-    "ext143_tokenizer_bakeoff")
+    "ext143_tokenizer_bakeoff",
+    // three component runs (label-propagation rounds) at construction
+    "ext147_dedup_hierarchy")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)

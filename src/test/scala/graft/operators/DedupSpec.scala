@@ -806,4 +806,22 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (2L, 3L)))
   }
+
+  test("dedup hierarchy: tighter thresholds refine looser families") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def famAt(t: Double) = Dedup.clusters(docs, "doc_id",
+        Dedup.minhashLsh(docs, "doc_id", "text", n = 3, k = 128, bands = 32, threshold = t))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("cluster_id"))
+    val f80 = famAt(0.8).withColumnRenamed("cluster_id", "f80")
+    val f90 = famAt(0.9).withColumnRenamed("cluster_id", "f90")
+    // refinement: every 0.9-family maps into exactly ONE 0.8-family
+    val violations = f90.join(f80, "doc_id")
+      .groupBy("f90")
+      .agg(org.apache.spark.sql.functions.countDistinct("f80").as("n"))
+      .filter(org.apache.spark.sql.functions.col("n") > 1)
+      .count()
+    assert(violations == 0L)
+  }
 }
