@@ -207,6 +207,7 @@ final case class MaintenanceSpec(action: String, location: String,
                                  where: Option[String] = None,
                                  set: Map[String, String] = Map.empty,
                                  branch: Option[String] = None,
+                                 keepLast: Option[Long] = None,
                                  minDeletedFraction: Option[Double] = None,
                                  options: Map[String, String] = Map.empty)
 
@@ -699,9 +700,22 @@ object ConfigParser {
         "maintenance.partition_col (the partition key to expire by) is required for retain")
       if (action == "retain" && keepFrom.isEmpty) throw new ConfigError(
         "maintenance.keep_from (partitions below this value are dropped) is required for retain")
+      val keepLast = str(t, "keep_last").map { v =>
+        val n = try v.trim.toLong catch { case _: NumberFormatException =>
+          throw new ConfigError(
+            s"maintenance.keep_last must be a positive count, got '$v'") }
+        if (n <= 0) throw new ConfigError(
+          s"maintenance.keep_last must be a positive count, got '$v'")
+        n
+      }
+      if (keepLast.nonEmpty && action != "version_vacuum") throw new ConfigError(
+        s"maintenance.keep_last only applies to version_vacuum, not '$action'")
       if (action == "version_vacuum") {
-        if (keepFrom.isEmpty) throw new ConfigError(
-          "maintenance.keep_from (versions below this are dropped) is required for version_vacuum")
+        if (keepFrom.isEmpty && keepLast.isEmpty) throw new ConfigError(
+          "version_vacuum needs maintenance.keep_from (versions below this " +
+            "are dropped) or maintenance.keep_last (how many newest versions survive)")
+        if (keepFrom.nonEmpty && keepLast.nonEmpty) throw new ConfigError(
+          "maintenance.keep_from and keep_last are mutually exclusive")
         if (keepFrom.exists(v => scala.util.Try(v.trim.toLong).isFailure)) throw new ConfigError(
           s"maintenance.keep_from must be a version number for version_vacuum, got '${keepFrom.get}'")
       }
@@ -748,6 +762,7 @@ object ConfigParser {
         where = where,
         set = setMap,
         branch = branchM,
+        keepLast = keepLast,
         minDeletedFraction = minDelFrac,
         options = t.get("format_options").map(strMap(_, "format_options"))
           .getOrElse(Map.empty))

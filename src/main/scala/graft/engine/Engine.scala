@@ -342,8 +342,14 @@ object Engine {
             None
           case "version_vacuum" =>
             // reclaim versioned-table history: manifests below keep_from
-            // and every unreferenced data file / stats sidecar
-            val keepFrom = Interpolate(m.keepFrom.get, vars).trim.toLong
+            // (or below the keep_last'th-newest version) and every
+            // unreferenced data file / stats sidecar
+            val keepFrom = m.keepFrom
+              .map(v => Interpolate(v, vars).trim.toLong)
+              .getOrElse {
+                val vs = graft.sinks.VersionedTable.versions(spark, location)
+                vs.takeRight(m.keepLast.get.toInt.max(1)).head
+              }
             val removed = graft.sinks.VersionedTable.vacuumVersions(
               spark, location, keepFrom)
             graft.log.Log.info("version vacuum applied",

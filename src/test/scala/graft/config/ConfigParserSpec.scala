@@ -634,6 +634,22 @@ class ConfigParserSpec extends AnyFunSuite {
         |sql: SELECT 1
         |""".stripMargin)
     assert(mk.outputTable.get.mask == Map("a" -> "hash", "b" -> "null"))
+    // version_vacuum keep_last: positive, exclusive with keep_from
+    val kl = ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t, keep_last: "3"}
+        |""".stripMargin)
+    assert(kl.maintenance.exists(_.keepLast.contains(3L)))
+    val ekl = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t, keep_from: "2", keep_last: "3"}
+        |""".stripMargin))
+    assert(ekl.getMessage.contains("mutually exclusive"))
+    val ekl2 = intercept[ConfigError](ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: version_vacuum, location: /tmp/t, keep_last: "0"}
+        |""".stripMargin))
+    assert(ekl2.getMessage.contains("positive"))
     val eh = intercept[ConfigError](ConfigParser.parse(
       """job: {name: j, type: maintenance}
         |maintenance: {action: history, location: /tmp/t}
