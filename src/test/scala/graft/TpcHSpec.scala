@@ -47,6 +47,13 @@ class TpcHSpec extends SparkSpec {
     assert(rev === 365888.56)
   }
 
+  test("tpch05 snowflake matches the pinned fixture value") {
+    val rows = TpcH.all.toMap.apply("tpch05_local_supplier")
+      .fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(rows.toSeq == Seq(("NATION_12", 49776.82)))
+  }
+
   test("the completion layer derives identical partsupp keys at every scale") {
     // ps_suppkey must stay inside [0, |supplier|) and the 4 suppliers of
     // any part must be distinct — the modular-spread contract Q2/Q16/Q20
