@@ -3910,11 +3910,15 @@ ${OracleSql.InvIndex}
     "ext147_dedup_hierarchy" -> Q(
       (s, d) => {
         val all = docs(s, d)
-        def famAt(t: Double, out: String) =
-          Dedup.clusters(all, "doc_id",
-            Dedup.minhashLsh(all, "doc_id", "text",
-              n = 3, k = 128, bands = 32, threshold = t))
+        def famAt(t: Double, out: String) = {
+          // the capped pipeline (the ext27 scale discipline): verdicts
+          // provably equal the uncapped ones below the cap, and a viral
+          // family can never explode the pair output
+          val (pairs, families) = Dedup.minhashLshCapped(all, "doc_id",
+            "text", n = 3, k = 128, bands = 32, threshold = t, maxBucket = 64)
+          Dedup.clusters(all, "doc_id", Dedup.cappedEdges(pairs, families))
             .select(col("doc_id"), col("cluster_id").as(out))
+        }
         famAt(0.7, "fam70")
           .join(famAt(0.8, "fam80"), "doc_id")
           .join(famAt(0.9, "fam90"), "doc_id")
