@@ -19,7 +19,22 @@ import org.apache.spark.sql.SparkSession
   * 2×-baseline gate on unchanged code.
   */
 object Bench {
+  /** `/proc/loadavg` 1/5/15-minute fields as a JSON array — recorded at
+    * run start AND end so a contended box self-identifies in the
+    * artifact: rounds 5, 6, 7, and 10 each produced over-gate rows that
+    * a later idle remeasure cleared, and the adjudication had to be done
+    * by hand because the artifact carried no load evidence.
+    * `tools/gate_check.py` annotates over-gate rows from a loaded run as
+    * "contended — remeasure" instead of red. */
+  private def loadavg(): String =
+    try {
+      val parts = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8").trim.split("\\s+")
+      s"[${parts(0)},${parts(1)},${parts(2)}]"
+    } catch { case _: Exception => "null" }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadavg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -59,6 +74,7 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to nRuns).flatMap { _ =>
@@ -74,6 +90,7 @@ object Bench {
           }
         }
       }
+      allRuns += name -> times
       val median =
         if (times.isEmpty) -1.0
         else times.sorted.apply((times.size - 1) / 2)
@@ -88,7 +105,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"runs_per_query":$nRuns,"n_queries":${results.size}}"""
+    // per-query max/min run spread: with median-of-3, transient box
+    // contention shows up as one outlier run — a high spread on an
+    // over-gate row means "noisy, remeasure", a tight spread means the
+    // whole distribution moved (a real regression). gate_check.py reads
+    // this to annotate over-gate rows.
+    val spreadJson = allRuns.collect {
+      case (k, ts) if ts.nonEmpty && ts.min > 0 =>
+        s"${jstr(k)}:${f"${ts.max / ts.min}%.2f"}"
+    }.mkString("{", ",", "}")
+    val loadEnd = loadavg()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"n_failed":${errors.size},"sf":${jstr(sfDir)},"runs_per_query":$nRuns,"n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"spread":$spreadJson}"""
     println(line)
     // Full artifact to a repo-tracked file: the driver's BENCH_r{N}.json
     // capture truncates to the tail ~56 queries, so gate comparisons

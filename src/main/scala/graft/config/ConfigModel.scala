@@ -719,6 +719,16 @@ object ConfigParser {
         if (keepFrom.exists(v => scala.util.Try(v.trim.toLong).isFailure)) throw new ConfigError(
           s"maintenance.keep_from must be a version number for version_vacuum, got '${keepFrom.get}'")
       }
+      // create_branch repurposes keep_from as the fork version — same
+      // numeric contract as version_vacuum, enforced at PARSE time so a
+      // typo surfaces as a ConfigError, not a NumberFormatException
+      // mid-maintenance ({var} interpolations are resolved at run time
+      // and exempt here)
+      if (action == "create_branch" &&
+          keepFrom.exists(v => !v.contains("{") &&
+            scala.util.Try(v.trim.toLong).isFailure)) throw new ConfigError(
+        s"maintenance.keep_from must be a version number (the fork version) " +
+          s"for create_branch, got '${keepFrom.get}'")
       if (action == "history" && outLoc.isEmpty) throw new ConfigError(
         "maintenance.output (where the history table is written) is required for history")
       val where = str(t, "where")

@@ -149,7 +149,14 @@ object Engine {
           graft.log.Log.info("materialized view fresh — pipeline skipped",
             "output" -> job.outputTable.get.name,
             "fingerprint" -> fp, "version" -> s"v$v")
-          return graft.sinks.VersionedTable.read(spark, loc)
+          // replay with the SAME read parameters the stale-path commit
+          // used (format/options) and pinned to the RECORDED version —
+          // a concurrent later commit must not change what the fresh
+          // short-circuit returns
+          val mvOut = job.outputTable.get
+          return graft.sinks.VersionedTable.read(
+            spark, loc, asOf = Some(v),
+            format = mvOut.format, options = mvOut.options)
         case _ => () // stale or first run: fall through to the pipeline
       }
     }

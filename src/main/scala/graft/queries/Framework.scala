@@ -441,6 +441,26 @@ object Framework {
     graft.sinks.VersionedTable.read(s, s"$base/out")
   }
 
+  /** The SAME acid lifecycle (overwrite → append → merge) published
+    * through the [[graft.sinks.LockFileCommitCoordinator]] — the
+    * overwrite-only-object-store commit path (no atomic rename, no
+    * create-if-absent; lease-style intent election instead). Must land
+    * byte-identical results to `fw_acid`: the coordinator changes HOW a
+    * manifest wins its version, never WHAT a version contains. The
+    * two-writer race itself is pinned in VersionedTableSpec. */
+  private def fwLockfileCommit(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "lockfile")
+    rmrf(s, base)
+    val prev = graft.sinks.VersionedTable.commitCoordinator
+    graft.sinks.VersionedTable.setCommitCoordinator(
+      new graft.sinks.LockFileCommitCoordinator(20))
+    try runAcidLifecycle(s, d, base)
+    finally graft.sinks.VersionedTable.setCommitCoordinator(prev)
+    require(graft.sinks.VersionedTable.versions(s, s"$base/out") == Seq(1L, 2L, 3L),
+      "fw_lockfile_commit: the lifecycle must land exactly v1..v3")
+    graft.sinks.VersionedTable.read(s, s"$base/out")
+  }
+
   private def runAcidLifecycle(s: SparkSession, d: String, base: String): Unit = {
     def yaml(refresh: String, extra: String, sql: String) =
       s"""job:
@@ -2389,6 +2409,13 @@ object Framework {
         |WHERE NOT (floor(c_acctbal * 100 + 0.5) < 0)
         |  AND c_mktsegment <> 'BUILDING'""".stripMargin)),
     "fw_acid" -> Q(fwAcid, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
+        |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
+        |FROM customer""".stripMargin)),
+    "fw_lockfile_commit" -> Q(fwLockfileCommit, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,

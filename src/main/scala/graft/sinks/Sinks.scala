@@ -113,8 +113,24 @@ object Sinks {
     * whole-table metrics pass would defeat the pruning). */
   /** `mask:` release transform — applied to every sink path (batch and
     * streaming foreachBatch) before dq_checks see the frame. `hash` is
-    * the stable salted-sha2 token (joins survive), `null` a typed null,
-    * `last4` the starred-prefix form for string columns. */
+    * the stable keyed-sha2 token (joins survive), `null` a typed null,
+    * `last4` the starred-prefix form for string columns.
+    *
+    * The `hash` key comes from `spark.graft.mask.key` (Spark conf) or
+    * `GRAFT_MASK_KEY` (env) — a per-deployment SECRET, so tokens are not
+    * globally deterministic and a dictionary attack on low-entropy
+    * identifiers (names, phones) needs the key. The fixed literal
+    * `graft-mask-v1` remains the DEFAULT only for the oracle-tested
+    * fixture path; production deployments must set the key. Residual
+    * risk even with a key: tokens are deterministic per deployment (by
+    * design, so joins survive masking), so within one release equal
+    * identifiers remain linkable, and the key is visible in the plan
+    * (explain / event logs) on the cluster that runs the mask. */
+  def maskKey(df: DataFrame): String =
+    df.sparkSession.conf.getOption("spark.graft.mask.key")
+      .orElse(sys.env.get("GRAFT_MASK_KEY"))
+      .getOrElse("graft-mask-v1")
+
   def applyMask(df: DataFrame, out: OutputTable): DataFrame =
     if (out.mask.isEmpty) df
     else {
@@ -122,10 +138,11 @@ object Sinks {
       val missing = out.mask.keys.filterNot(df.columns.contains).toSeq.sorted
       if (missing.nonEmpty) throw new graft.config.ConfigError(
         s"output '${out.name}': mask columns not in the result: ${missing.mkString(", ")}")
+      val key = maskKey(df).replace("\\", "\\\\").replace("'", "\\'")
       df.select(df.columns.toSeq.map { c =>
         out.mask.get(c) match {
           case Some("hash") =>
-            expr(s"substring(sha2(concat('graft-mask-v1:', CAST(`$c` AS STRING)), 256), 1, 16)").as(c)
+            expr(s"substring(sha2(concat('$key:', CAST(`$c` AS STRING)), 256), 1, 16)").as(c)
           case Some("null") => lit(null).cast(df.schema(c).dataType).as(c)
           case Some("last4") =>
             if (df.schema(c).dataType != org.apache.spark.sql.types.StringType)

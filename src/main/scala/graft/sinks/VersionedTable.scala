@@ -78,6 +78,15 @@ object VersionedTable {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The commit-publish primitive ([[CommitCoordinator]]). Default:
+    * atomic rename-if-absent (HDFS/local/conditional-PUT stores). Swap
+    * in [[LockFileCommitCoordinator]] for overwrite-only object stores
+    * — a process-wide deployment property set once at startup, like a
+    * Delta LogStore class. */
+  @volatile private var coordinatorImpl: CommitCoordinator = RenameCommitCoordinator
+  def setCommitCoordinator(c: CommitCoordinator): Unit = coordinatorImpl = c
+  def commitCoordinator: CommitCoordinator = coordinatorImpl
+
   private def logDir(root: Path) = new Path(root, "_graft_log")
   private def dataDir(root: Path) = new Path(root, "data")
   private def manifestPath(root: Path, v: Long) =
@@ -125,6 +134,15 @@ object VersionedTable {
     case c => c.toString
   } + "\""
 
+  /** Publish pre-rendered manifest text at `p` via the same temp-file +
+    * rename-if-absent pattern as [[writeManifestCas]] — a crashed writer
+    * can never expose a torn manifest. Throws if `p` already exists. */
+  private def writeRawManifest(fs: FileSystem, root: Path, p: Path,
+                               text: String): Unit =
+    if (!coordinatorImpl.publish(fs, logDir(root), p,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      throw new java.io.IOException(s"manifest '$p' already exists")
+
   private def writeManifestCas(fs: FileSystem, root: Path, v: Long,
                                mode: String, files: Seq[(String, Long)],
                                txn: Option[(String, Long)],
@@ -145,31 +163,18 @@ object VersionedTable {
       s""""mode":${jstr(mode)},$txnJson$statsJson""" +
       s""""n_files":${files.size},"files":$fileJson}"""
     val p = branch.fold(manifestPath(root, v))(branchManifestPath(root, v, _))
-    // publish = write the COMPLETE content to a temp file, then
-    // rename-if-absent (FileContext + Options.Rename.NONE — the Delta
-    // HDFSLogStore pattern). The rename is the commit CAS; because the
-    // content exists in full before the name does, a crashed writer can
-    // never expose a torn manifest that readers would treat as a
-    // committed version (and whose empty file list the next append
-    // would silently adopt as its base). Atomic no-overwrite rename
-    // holds on HDFS; on the local FS the existence check narrows the
-    // race to the same create-if-absent window the old scheme had.
-    val tmp = new Path(logDir(root), f".tmp-v$v%05d-${java.util.UUID.randomUUID().toString.take(8)}")
-    val os = fs.create(tmp, true)
-    try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
-    try {
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-        root.toUri, fs.getConf)
-      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.NONE)
-      true
-    } catch {
-      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        fs.delete(tmp, false); false
-      case e: java.io.IOException if e.getMessage != null &&
-        e.getMessage.contains("already exists") =>
-        fs.delete(tmp, false); false
-    }
+    // The publish primitive is PLUGGABLE ([[CommitCoordinator]]): the
+    // default is write-complete-content-then-rename-if-absent
+    // (FileContext + Options.Rename.NONE — the Delta HDFSLogStore
+    // pattern), correct on HDFS/local/conditional-PUT stores; a
+    // lease-based [[LockFileCommitCoordinator]] covers overwrite-only
+    // object stores where atomic rename does not exist. Either way the
+    // content exists in full before the committed name does, so a
+    // crashed writer can never expose a torn manifest that readers
+    // would treat as a committed version (and whose empty file list the
+    // next append would silently adopt as its base).
+    coordinatorImpl.publish(fs, logDir(root), p,
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def manifestTextAt(fs: FileSystem, p: Path): String = {
@@ -863,8 +868,14 @@ object VersionedTable {
           .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
         Seq("__dv_file", "__dv_pos"), "left_anti")
     }
+    // PINNED once (localCheckpoint, eager): the matched set feeds both
+    // the count and the DV write — re-evaluating the plan per consumer
+    // would let a nondeterministic condition (rand(), now()) produce a
+    // DV that disagrees with what the count reported. Cost ∝ matched
+    // (file,pos) pairs, i.e. the delete size itself.
     val matches = live.filter(expr(condition))
       .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+      .localCheckpoint()
     val nMatched = matches.count()
     if (nMatched == 0L) {
       graft.log.Log.info("versioned delete: no matching rows",
@@ -941,7 +952,14 @@ object VersionedTable {
       require(dataCols.contains(c),
         s"versioned update: set column '$c' not in the table (has: ${dataCols.mkString(", ")})")
     }
-    val matched = live.filter(expr(condition))
+    // PINNED once (localCheckpoint, eager): THREE consumers derive from
+    // the matched set — the count, the updated images, and the DV
+    // positions. Without pinning, a nondeterministic condition would
+    // evaluate independently per consumer and the DV could disagree
+    // with the appended images inside one "atomic" commit (silently
+    // losing or duplicating rows). Cost ∝ matched rows — the same rows
+    // the update appends anyway.
+    val matched = live.filter(expr(condition)).localCheckpoint()
     val nMatched = matched.count()
     if (nMatched == 0L) {
       graft.log.Log.info("versioned update: no matching rows",
@@ -1358,17 +1376,32 @@ object VersionedTable {
       (name, """"dv_rows":(\d+)""".r.findFirstMatchIn(headText)
         .map(_.group(1).toLong).getOrElse(0L))
     }
-    // rewrite the branch lineage: drop the old manifests, fork at the
-    // new head, attach the staged files as one append
-    bvs.foreach(v => fs.delete(branchManifestPath(root, v, branch), false))
+    // rewrite the branch lineage CRASH-SAFELY: the complete new lineage
+    // (fork + append) is written under a TEMP branch name first, so the
+    // staged data files are referenced by at least one full lineage at
+    // every instant — a crash anywhere leaves them vacuum-proof and the
+    // work readable (under the old name before the deletes, under the
+    // temp name after; recovery = rename the temp manifests back). The
+    // old delete-first order had a window where the branch held zero
+    // manifests and the staged files were eligible for reclamation.
+    // Temp names can't collide with old manifests even when the new
+    // main head's version number overlaps the old staged range.
+    val tmpBranch = s"$branch.rebase-${java.util.UUID.randomUUID().toString.take(8)}"
     val forkText = headText.replaceFirst(""""mode":"[^"]*"""", """"mode":"branch"""")
-    val os = fs.create(branchManifestPath(root, mainLatest, branch), false)
-    try os.write(forkText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally os.close()
+    writeRawManifest(fs, root, branchManifestPath(root, mainLatest, tmpBranch), forkText)
     if (!writeManifestCas(fs, root, mainLatest + 1, "append", sized, None,
-      statsCarry, dvCarry, Some(branch)))
+      statsCarry, dvCarry, Some(tmpBranch)))
       throw new java.util.ConcurrentModificationException(
         s"versioned rebase: branch '$branch' raced at '$location'")
+    bvs.foreach(v => fs.delete(branchManifestPath(root, v, branch), false))
+    // atomic no-overwrite renames publish the new lineage under the
+    // real name — fork first so the branch reappears base-first
+    Seq(mainLatest, mainLatest + 1).foreach { v =>
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
+      fc.rename(branchManifestPath(root, v, tmpBranch),
+        branchManifestPath(root, v, branch),
+        org.apache.hadoop.fs.Options.Rename.NONE)
+    }
     graft.log.Log.info("versioned branch rebased",
       "location" -> location, "branch" -> branch,
       "new_base" -> s"v$mainLatest", "staged_files" -> staged.size.toString)

@@ -769,4 +769,25 @@ class ConfigParserSpec extends AnyFunSuite {
       "  {name: o, target: gdc, database: db, observe_cols: a}")))
     assert(e.getMessage.contains("file targets only"))
   }
+
+  test("create_branch: keep_from (the fork version) must parse as a version number") {
+    def yaml(kf: String) =
+      s"""job: {name: j, type: maintenance}
+         |maintenance: {action: create_branch, location: /tmp/t, branch: b, keep_from: "$kf"}
+         |""".stripMargin
+    // numeric fork version parses
+    assert(ConfigParser.parse(yaml("3")).maintenance
+      .exists(m => m.action == "create_branch" && m.keepFrom.contains("3")))
+    // a typo is a PARSE-time ConfigError, not a NumberFormatException mid-run
+    val e = intercept[ConfigError](ConfigParser.parse(yaml("latest")))
+    assert(e.getMessage.contains("version number"))
+    // {var} interpolations resolve at run time and are exempt
+    assert(ConfigParser.parse(yaml("{fork_v}")).maintenance
+      .exists(_.keepFrom.contains("{fork_v}")))
+    // keep_from stays optional (fork at head)
+    assert(ConfigParser.parse(
+      """job: {name: j, type: maintenance}
+        |maintenance: {action: create_branch, location: /tmp/t, branch: b}
+        |""".stripMargin).maintenance.exists(_.keepFrom.isEmpty))
+  }
 }

@@ -364,4 +364,22 @@ class SinksSpec extends SparkSpec {
       .map(r => r.getAs[String]("p") -> r.getInt(0)).toMap
     assert(back == Map("a" -> 1, "b" -> 99)) // partition a survived
   }
+
+  test("mask:hash is keyed — spark.graft.mask.key changes the tokens") {
+    val df = Seq(("alice", 1), ("bob", 2)).toDF("name", "v")
+    val masked = out(_.copy(mask = Map("name" -> "hash")))
+    def tokens: Map[Int, String] = Sinks.applyMask(df, masked).collect()
+      .map(r => r.getInt(1) -> r.getString(0)).toMap
+    val defaults = tokens
+    // fixture default: the documented literal, stable for the oracles
+    assert(Sinks.maskKey(df) == "graft-mask-v1")
+    try {
+      spark.conf.set("spark.graft.mask.key", "deployment-secret-42")
+      val keyed = tokens
+      assert(keyed.values.toSet.intersect(defaults.values.toSet).isEmpty,
+        "a per-deployment key must produce different tokens than the public default")
+      // deterministic per deployment — joins survive masking
+      assert(tokens == keyed)
+    } finally spark.conf.unset("spark.graft.mask.key")
+  }
 }

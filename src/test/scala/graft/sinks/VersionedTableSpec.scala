@@ -718,5 +718,86 @@ class VersionedTableSpec extends SparkSpec {
     val e = intercept[graft.config.ConfigError](
       VersionedTable.rebaseBranch(spark, loc, "ow"))
     assert(e.getMessage.contains("non-append"))
+    // the crash-safe rewrite leaves no temp-branch debris behind and the
+    // branch namespace holds exactly the real names
+    val logFiles = new java.io.File(s"$loc/_graft_log").listFiles().map(_.getName)
+    assert(!logFiles.exists(_.contains("rebase-")),
+      s"temp rebase manifests left behind: ${logFiles.mkString(", ")}")
+    assert(VersionedTable.branches(spark, loc).toSet == Set("exp", "ow"))
+  }
+
+  test("LockFileCommitCoordinator: exactly one of N concurrent publishers wins a version") {
+    // the coordinator restricts itself to overwrite-only-store primitives
+    // (PUT to a unique key, LIST, EXISTS — never rename/create-if-absent),
+    // so running it on the local FS IS the no-CAS-store simulation
+    val loc = tmp("lockprim")
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    fs.mkdirs(logDir)
+    val dst = new org.apache.hadoop.fs.Path(logDir, "v00001.json")
+    val coord = new LockFileCommitCoordinator(30)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+    try {
+      val wins = (1 to 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean =
+            coord.publish(fs, logDir, dst, s"""{"writer":$i}""".getBytes("UTF-8"))
+        })
+      }.map(_.get())
+      assert(wins.count(identity) == 1, s"expected exactly one winner, got $wins")
+      // the committed manifest is exactly one writer's full content
+      val text = new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(
+        fs.open(dst)), "UTF-8")
+      assert(text.matches("""\{"writer":[1-6]\}"""), text)
+    } finally pool.shutdown()
+  }
+
+  test("lockfile coordinator: two-writer commit race on a no-CAS store loses zero commits") {
+    val loc = tmp("lockrace")
+    val prev = VersionedTable.commitCoordinator
+    VersionedTable.setCommitCoordinator(new LockFileCommitCoordinator(20))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      VersionedTable.commit(spark, loc, Seq((0, "base")).toDF("k", "v"), "overwrite")
+      // 8 concurrent appenders: every CAS loser must rebase and retry
+      // until its rows land — an overwrite-PUT store without the
+      // coordinator would let two writers clobber the same version
+      val futures = (1 to 8).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = VersionedTable.commit(spark, loc,
+            Seq((i, s"w$i")).toDF("k", "v"), "append", maxRetries = 60)
+        })
+      }
+      val versions = futures.map(_.get()).sorted
+      assert(versions == (2L to 9L), s"every writer must win a distinct version: $versions")
+      assert(VersionedTable.versions(spark, loc) == (1L to 9L))
+      assert(rows(VersionedTable.read(spark, loc)) ==
+        (Set((0, "base")) ++ (1 to 8).map(i => (i, s"w$i"))),
+        "zero commits lost under the race")
+    } finally {
+      pool.shutdown()
+      VersionedTable.setCommitCoordinator(prev)
+    }
+  }
+
+  test("updateWhere/deleteWhere: a nondeterministic predicate cannot desync the DV from the images") {
+    val loc = tmp("nondet")
+    val n = 400
+    VersionedTable.commit(spark, loc,
+      (1 to n).map(i => (i, "x")).toDF("k", "v"), "overwrite",
+      options = Map.empty)
+    // the matched set is pinned once (localCheckpoint) — without that,
+    // the count, the DV positions, and the updated images would each
+    // re-draw rand() and the "atomic" commit could lose/duplicate rows
+    VersionedTable.updateWhere(spark, loc, "rand() < 0.5", Map("v" -> "'u'"))
+    val after = VersionedTable.read(spark, loc)
+    assert(after.count() == n.toLong, "update must preserve the row count")
+    assert(after.select("k").distinct().count() == n.toLong,
+      "every key must appear exactly once after a nondeterministic update")
+    VersionedTable.deleteWhere(spark, loc, "rand() < 0.3")
+    val live = VersionedTable.read(spark, loc)
+    assert(live.select("k").distinct().count() == live.count(),
+      "a nondeterministic delete must not duplicate surviving rows")
   }
 }

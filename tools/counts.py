@@ -4,13 +4,20 @@
 fix for hand-maintained counts drifting from the artifact (89+93+31+33
 was prose-published as 244).
 
-Usage: python3 tools/counts.py [verifyOutDir]
+Usage: python3 tools/counts.py <verifyOutDir>
 Prints: `q N  ext N  fw N  st N  total N` plus the BASELINE.md-ready
 sentence fragment.
+
+The dir argument is REQUIRED (r10 verdict #8): a stale default dir once
+printed 353 vs the true 376 — the tally must be byte-derived from the
+round's actual final verify dir, named explicitly.
 """
 import json, os, re, sys
 
-out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_sf01"
+if len(sys.argv) < 2:
+    sys.exit("usage: tools/counts.py <verifyOutDir>  (the round's FINAL "
+             "full-sweep dir — no default, a stale dir understates the tally)")
+out_dir = sys.argv[1]
 sql = os.path.join(out_dir, "oracle_sql.json")
 if os.path.exists(sql):
     with open(sql) as f:

@@ -54,14 +54,37 @@ def parse_gates(md_path="BASELINE.md"):
     return gates
 
 
-def main():
-    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
-    md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
-    gates = parse_gates(md_path)
+# A 1-minute loadavg at BENCH START above this means other work was
+# running in the minute before the bench began — its early queries are
+# not comparable to an idle-box gate. (End-of-run loadavg is dominated
+# by the bench's own local[32] work and is printed for context only.)
+CONTENDED_LOAD = 4.0
+# max/min spread across a query's own runs beyond this means one run was
+# an outlier — transient contention the median-of-3 only partly absorbs.
+NOISY_SPREAD = 1.8
 
-    bench = json.load(open(bench_path))
+
+def annotate(bench, name):
+    """Self-adjudication (r10 verdict #1): classify an over-gate row as
+    'contended'/'noisy' (→ remeasure before believing it) using the load
+    and per-query spread fields graft.Bench records in the artifact.
+    Returns a suffix string ('' when the row has no innocent explanation
+    and should be treated as a real regression)."""
+    notes = []
+    load = bench.get("loadavg_start")
+    if load and load[0] > CONTENDED_LOAD:
+        notes.append(f"contended run (loadavg_start={load[0]:.2f})")
+    spread = (bench.get("spread") or {}).get(name)
+    if spread is not None and float(spread) > NOISY_SPREAD:
+        notes.append(f"noisy runs (max/min {float(spread):.2f}x)")
+    return f"  [{'; '.join(notes)} — remeasure, not red]" if notes else ""
+
+
+def check(bench, gates):
+    """Core comparison, separated from I/O so tools/test_gate_check.py can
+    drive it with a synthetic artifact. Returns (lines, n_over, n_red)
+    where n_red counts over-gate rows with NO contention/noise excuse."""
     qs = {k: v for k, v in bench["queries"].items() if v >= 0}
-
     ratios, over, ungated = [], [], []
     for name, sec in sorted(qs.items()):
         if name in gates:
@@ -72,17 +95,35 @@ def main():
         else:
             ungated.append((name, sec))
 
-    print(f"gated queries: {len(ratios)}; ungated (new this round): {len(ungated)}")
+    lines = []
+    load_s, load_e = bench.get("loadavg_start"), bench.get("loadavg_end")
+    if load_s or load_e:
+        lines.append(f"loadavg: start={load_s} end={load_e}")
+    lines.append(f"gated queries: {len(ratios)}; ungated (new this round): {len(ungated)}")
     if ratios:
         rs = sorted(ratios)
-        print(f"median ratio {statistics.median(rs):.2f}x  p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
-    print(f"over-gate rows (>2x): {len(over)}")
+        lines.append(f"median ratio {statistics.median(rs):.2f}x  p90 {rs[int(len(rs)*0.9)]:.2f}x  max {rs[-1]:.2f}x")
+    lines.append(f"over-gate rows (>2x): {len(over)}")
+    n_red = 0
     for n, s, g, r in sorted(over, key=lambda x: -x[3]):
-        print(f"  OVER {n}: {s:.2f}s vs gate {g:.2f}s ({r:.2f}x)")
+        note = annotate(bench, n)
+        if not note:
+            n_red += 1
+        lines.append(f"  OVER {n}: {s:.2f}s vs gate {g:.2f}s ({r:.2f}x){note}")
     if ungated:
-        print("new-query medians (freeze these):")
+        lines.append("new-query medians (freeze these):")
         for n, s in ungated:
-            print(f"  | {n} | {s:.2f} |")
+            lines.append(f"  | {n} | {s:.2f} |")
+    return lines, len(over), n_red
+
+
+def main():
+    bench_path = sys.argv[1] if len(sys.argv) > 1 else "bench/BENCH_full_sf0.1.json"
+    md_path = sys.argv[2] if len(sys.argv) > 2 else "BASELINE.md"
+    gates = parse_gates(md_path)
+    bench = json.load(open(bench_path))
+    lines, _, _ = check(bench, gates)
+    print("\n".join(lines))
 
 
 if __name__ == "__main__":
