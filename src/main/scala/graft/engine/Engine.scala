@@ -162,7 +162,17 @@ object Engine {
     }
     graft.log.Log.info("registering inputs", "n_inputs" -> job.inputTables.size.toString)
     val (_, bookmarkCommits) = registerInputsWithCommits(spark, job, vars, pipeline)
-    val result = spark.sql(resolveSql(spark, job, vars))
+    val sqlText = resolveSql(spark, job, vars)
+    // DML surface (MERGE INTO / UPDATE / DELETE FROM on a versioned
+    // input): routed to the table format's row-level operations — one
+    // atomic commit, no output_table ([[SqlDml]]). Bookmarks commit
+    // after the DML lands, same as after a sink write.
+    if (SqlDml.isDml(sqlText)) {
+      val snapshot = SqlDml.execute(spark, job, vars, sqlText)
+      bookmarkCommits.foreach(_.apply())
+      return snapshot
+    }
+    val result = spark.sql(sqlText)
     job.outputTable.foreach { out0 =>
       val out = out0.copy(
         name = Interpolate(out0.name, vars),

@@ -1,0 +1,171 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import graft.config.{ConfigError, JobSpec, SourceSpec, Interpolate}
+
+/** SQL DML surface on VERSIONED tables (r10 verdict #5): a spark-sql
+  * job's `sql:` may be a `MERGE INTO` / `UPDATE` / `DELETE FROM`
+  * statement instead of a SELECT, and the engine routes it to the
+  * table format's row-level operations ([[graft.sinks.VersionedTable]]
+  * `.merge/.updateWhere/.deleteWhere`) — so a config user gets
+  * file-pruned upserts and deletion-vector DML as ONE SQL statement,
+  * without YAML maintenance blocks.
+  *
+  * The statement is parsed by SPARK'S OWN PARSER (no regex SQL dialect
+  * of our own): `parsePlan` yields the Catalyst `MergeIntoTable` /
+  * `UpdateTable` / `DeleteFromTable` command nodes, and this router
+  * extracts the pieces the versioned API needs. The TARGET must be a
+  * declared `input_tables` entry with `versioned: "true"` — that is
+  * where the engine knows the table's physical location; naming an
+  * unregistered table is a loud error, never a silent temp-view write.
+  *
+  * Supported shapes (each unsupported variant errors BY NAME):
+  *  - `DELETE FROM t WHERE <cond>` → deletion-vector delete
+  *  - `UPDATE t SET c = e, ... [WHERE <cond>]` → DV update + append
+  *  - `MERGE INTO t USING <source> ON t.k = s.k [AND ...]
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *    → file-level zone-map-pruned merge (the row-replace semantics
+  *    [[graft.sinks.VersionedTable.merge]] implements). Conditional /
+  *    column-level merge actions are rejected by name — silently
+  *    approximating them would corrupt data.
+  *
+  * Column references may carry the target/source alias (`t.cents`);
+  * qualifiers are stripped after validation since the versioned API
+  * evaluates expressions over the table's own columns.
+  */
+object SqlDml {
+
+  private val DmlHead = "(?is)^\\s*(MERGE|UPDATE|DELETE)\\b.*".r
+
+  /** Cheap dispatch test — full validation happens in [[execute]]. */
+  def isDml(sql: String): Boolean = DmlHead.pattern.matcher(sql).matches()
+
+  /** Parse + route one DML statement. Inputs must already be registered
+    * as temp views (MERGE sources read them). Returns the post-DML
+    * snapshot of the target table, so DML jobs compose with the same
+    * read-back contract as every other engine path. */
+  def execute(spark: SparkSession, job: JobSpec, vars: Map[String, String],
+              sql: String): DataFrame = {
+    if (job.outputTable.nonEmpty) throw new ConfigError(
+      "a DML sql statement writes its target table in place — remove output_table")
+    val plan =
+      try org.apache.spark.sql.GraftSqlBridge.parsePlan(spark, sql)
+      catch { case e: org.apache.spark.sql.catalyst.parser.ParseException =>
+        throw new ConfigError(s"DML sql failed to parse: ${e.getMessage}")
+      }
+    plan match {
+      case DeleteFromTable(target, condition) =>
+        val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, target)
+        val v = graft.sinks.VersionedTable.deleteWhere(
+          spark, loc, stripQualifiers(condition).sql, fmt, opts)
+        graft.log.Log.info("sql DELETE applied", "table" -> name,
+          "location" -> loc, "version" -> s"v$v")
+        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+
+      case UpdateTable(target, assignments, condition) =>
+        val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, target)
+        val set = assignments.map { a =>
+          val col = a.key match {
+            case u: UnresolvedAttribute => u.nameParts.last
+            case other => throw new ConfigError(
+              s"UPDATE SET target must be a column, got: ${other.sql}")
+          }
+          col -> stripQualifiers(a.value).sql
+        }
+        if (set.map(_._1).distinct.size != set.size) throw new ConfigError(
+          s"UPDATE sets a column twice: ${set.map(_._1).mkString(", ")}")
+        val where = condition.map(c => stripQualifiers(c).sql).getOrElse("true")
+        val v = graft.sinks.VersionedTable.updateWhere(
+          spark, loc, where, set.toMap, fmt, opts)
+        graft.log.Log.info("sql UPDATE applied", "table" -> name,
+          "location" -> loc, "version" -> s"v$v")
+        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+
+      case m: MergeIntoTable =>
+        val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, m.targetTable)
+        // exact row-replace shape: WHEN MATCHED THEN UPDATE SET * /
+        // WHEN NOT MATCHED THEN INSERT * — anything else is a different
+        // semantic the file-level merge must not silently approximate
+        m.matchedActions match {
+          case Seq(UpdateStarAction(None)) => ()
+          case other => throw new ConfigError(
+            "MERGE supports exactly `WHEN MATCHED THEN UPDATE SET *` " +
+              s"(got: ${if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")}); " +
+              "for conditional or column-level updates use UPDATE ... WHERE")
+        }
+        m.notMatchedActions match {
+          case Seq(InsertStarAction(None)) => ()
+          case other => throw new ConfigError(
+            "MERGE supports exactly `WHEN NOT MATCHED THEN INSERT *` " +
+              s"(got: ${if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")})")
+        }
+        if (m.notMatchedBySourceActions.nonEmpty) throw new ConfigError(
+          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported — " +
+            "use DELETE FROM ... WHERE for source-absent rows")
+        val keys = equiKeys(m.mergeCondition)
+        val arrivals = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, m.sourceTable)
+        val v = graft.sinks.VersionedTable.merge(
+          spark, loc, arrivals, keys, fmt, opts,
+          statsColumns = graft.sinks.VersionedTable.trackedStatsColumns(spark, loc))
+        graft.log.Log.info("sql MERGE applied", "table" -> name,
+          "location" -> loc, "version" -> s"v$v", "keys" -> keys.mkString(","))
+        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+
+      case other => throw new ConfigError(
+        s"unsupported DML statement (${other.getClass.getSimpleName}) — " +
+          "supported: DELETE FROM, UPDATE ... SET, MERGE INTO (row-replace shape)")
+    }
+  }
+
+  /** The DML target must be a declared versioned input — its config row
+    * is the only place the engine learns the physical location. */
+  private def resolveTarget(spark: SparkSession, job: JobSpec,
+                            vars: Map[String, String], target: LogicalPlan)
+      : (String, String, String, Map[String, String]) = {
+    val name = tableName(target)
+    val t = job.inputTables.find(_.name == name).getOrElse(throw new ConfigError(
+      s"DML target '$name' is not a declared input_tables entry"))
+    t.source match {
+      case SourceSpec.Versioned(loc, fmt, opts, asOf, prune, asOfTs, branch) =>
+        if (asOf.nonEmpty || asOfTs.nonEmpty) throw new ConfigError(
+          s"DML target '$name' is pinned to a past version (as_of) — DML writes the latest snapshot only")
+        if (branch.nonEmpty) throw new ConfigError(
+          s"DML target '$name' reads a branch — stage branch changes with branch commits, then publish")
+        if (prune.nonEmpty) throw new ConfigError(
+          s"DML target '$name' carries input pruning predicates — DML must see the whole table")
+        (name, Interpolate(loc, vars), fmt,
+          opts.map { case (k, v) => k -> Interpolate(v, vars) })
+      case _ => throw new ConfigError(
+        s"DML target '$name' must be a versioned input (versioned: \"true\") — " +
+          "row-level DML needs the table format's atomic commits")
+    }
+  }
+
+  private def tableName(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(_, child) => tableName(child)
+    case r: UnresolvedRelation => r.multipartIdentifier.last
+    case other => throw new ConfigError(
+      s"DML target must be a plain table name, got: ${other.getClass.getSimpleName}")
+  }
+
+  /** `t.k = s.k AND ...` → Seq(k, ...). Any non-equi or cross-named
+    * term is rejected: the versioned merge is keyed row replacement. */
+  private def equiKeys(cond: Expression): Seq[String] = cond match {
+    case And(l, r) => equiKeys(l) ++ equiKeys(r)
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+      if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
+    case other => throw new ConfigError(
+      s"MERGE ON must be a conjunction of same-named equality keys " +
+        s"(t.k = s.k [AND ...]), got: ${other.sql}")
+  }
+
+  /** `t.cents` → `cents`: the versioned DML API evaluates expressions
+    * over the table's own columns, where qualifiers don't resolve. */
+  private def stripQualifiers(e: Expression): Expression = e.transform {
+    case a: UnresolvedAttribute if a.nameParts.size > 1 =>
+      UnresolvedAttribute(Seq(a.nameParts.last))
+  }
+}

@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Parse SQL text with the session's own parser (dialect flags, ANSI
+    * mode and extension-injected parser rules all apply) — used by the
+    * DML router to obtain Catalyst MergeIntoTable/UpdateTable/
+    * DeleteFromTable command nodes instead of regexing SQL. */
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    spark.asInstanceOf[classic.SparkSession].sessionState.sqlParser.parsePlan(sql)
 }

@@ -1,0 +1,117 @@
+package graft.engine
+
+import graft.SparkSpec
+import graft.config.{ConfigError, ConfigParser}
+
+/** The SQL DML router's contract: supported shapes route to the
+  * versioned table ops (pinned by fw_merge_sql / fw_dml_sql oracles);
+  * everything else errors BY NAME — a DML statement must never be
+  * silently approximated. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    java.nio.file.Files.createTempDirectory("dml-spec").toString + s"/$name"
+
+  private def table(): String = {
+    val loc = tmp("t")
+    graft.sinks.VersionedTable.commit(spark, loc,
+      Seq((1, 10L, "a"), (2, 20L, "b"), (3, 30L, "a")).toDF("k", "cents", "seg"),
+      "overwrite")
+    loc
+  }
+
+  private def job(loc: String, sql: String, versioned: Boolean = true,
+                  withOutput: Boolean = false) = {
+    val out = if (withOutput)
+      s"""output_table:
+         |  name: o
+         |  target: s3
+         |  location: $loc-out
+         |""".stripMargin else ""
+    ConfigParser.parse(
+      s"""job: {name: j, type: spark-sql}
+         |input_tables:
+         |  - name: t
+         |    source: s3
+         |    location: $loc
+         |${if (versioned) "    versioned: \"true\"" else ""}
+         |$out
+         |sql: >
+         |  ${sql.replace("\n", " ")}
+         |""".stripMargin)
+  }
+
+  private def runSql(loc: String, sql: String): org.apache.spark.sql.DataFrame =
+    Engine.runSparkSqlJob(spark, job(loc, sql), "default")
+
+  test("DELETE/UPDATE/MERGE route to versioned ops and return the new snapshot") {
+    val loc = table()
+    val afterDelete = runSql(loc, "DELETE FROM t WHERE seg = 'b'")
+    assert(afterDelete.count() == 2)
+    val afterUpdate = runSql(loc, "UPDATE t SET cents = cents * 2 WHERE k = 1")
+    assert(afterUpdate.filter($"k" === 1).head().getAs[Long]("cents") == 20L)
+    // MERGE: replace k=3, insert k=9
+    spark.createDataFrame(Seq((3, 99L, "z"), (9, 90L, "z")))
+      .toDF("k", "cents", "seg").createOrReplaceTempView("arrivals")
+    val afterMerge = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM arrivals) s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(afterMerge.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((1, 20L), (3, 99L), (9, 90L)))
+    assert(graft.sinks.VersionedTable.versions(spark, loc) == (1L to 4L))
+  }
+
+  test("named errors: every unsupported DML variant is rejected loudly") {
+    val loc = table()
+    def err(sql: String, versioned: Boolean = true, withOutput: Boolean = false): String =
+      intercept[ConfigError](Engine.runSparkSqlJob(
+        spark, job(loc, sql, versioned, withOutput), "default")).getMessage
+    // target must be a declared versioned input
+    assert(err("DELETE FROM t WHERE k = 1", versioned = false)
+      .contains("versioned"))
+    assert(err("DELETE FROM nope WHERE k = 1")
+      .contains("not a declared input_tables entry"))
+    // DML jobs write in place — output_table is a config error
+    assert(err("DELETE FROM t WHERE k = 1", withOutput = true)
+      .contains("output_table"))
+    // only the row-replace MERGE shape
+    assert(err(
+      """MERGE INTO t USING (SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
+        |ON t.k = s.k WHEN MATCHED THEN DELETE""".stripMargin)
+      .contains("UPDATE SET *"))
+    assert(err(
+      """MERGE INTO t USING (SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
+        |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+      .contains("INSERT *"))
+    // ON must be same-named equi keys
+    assert(err(
+      """MERGE INTO t USING (SELECT 1 AS kk, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
+        |ON t.k = s.kk WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("same-named equality"))
+    assert(err(
+      """MERGE INTO t USING (SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
+        |ON t.k < s.k WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      .contains("same-named equality"))
+    // a malformed statement is a ConfigError, not a raw ParseException
+    assert(err("DELETE FRM t WHERE k = 1").contains("failed to parse"))
+  }
+
+  test("a pinned (as_of) target refuses DML") {
+    val loc = table()
+    val j = ConfigParser.parse(
+      s"""job: {name: j, type: spark-sql}
+         |input_tables:
+         |  - name: t
+         |    source: s3
+         |    location: $loc
+         |    versioned: "true"
+         |    as_of_version: "1"
+         |sql: DELETE FROM t WHERE k = 1
+         |""".stripMargin)
+    val e = intercept[ConfigError](Engine.runSparkSqlJob(spark, j, "default"))
+    assert(e.getMessage.contains("as_of"))
+  }
+}
