@@ -195,7 +195,19 @@ object ScaleCheck {
     "fw_dv_compact",
     // snapshot diff = two-snapshot scan by design (~linear); masking is
     // a projection on the sink path (batch + streaming — ~linear)
-    "fw_version_diff", "fw_mask", "fw_stream_mask")
+    "fw_version_diff", "fw_mask", "fw_stream_mask",
+    // round-11: incremental IVF maintenance — fit ∝ v1 corpus (broadcast
+    // centroids, elementwise agg), delta assignment ∝ the append, fold
+    // equivalence check is two delta+corpus scans; must read ~linear
+    "ext148_ivf_incremental",
+    // TPC-H heavies without a 10x reading until now (r10 verdict #7):
+    // Q20 nested semi-join chain (part semi → partsupp → qty subquery
+    // per (ps_partkey, ps_suppkey) — all equality-keyed aggregates, must
+    // stay ~linear); Q9 already listed above
+    "tpch20_potential_promotion",
+    // SQL DML surface: merge must stay ∝ touched files + arrivals;
+    // delete/update ∝ matched rows (DV metadata commits)
+    "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -119,6 +119,69 @@ object Clustering {
     } finally { m.unpersist(false): Unit }
   }
 
+  /** Assign vectors to their nearest stored IVF cell — the probe half
+    * of the persisted-index lifecycle as a standalone operator:
+    * `(idCol, cluster, sq_dist)` with the [[assignExpr]] tie rule
+    * (lowest cluster id). The index is collected to the driver —
+    * BOUNDED: k rows of (cluster, centroid), the same k-row broadcast
+    * every IVF probe rides — and the assignment is one shuffle-free
+    * codegen projection over the corpus. */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                index: DataFrame): DataFrame = {
+    val cents = index.select("cluster", "centroid").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Long](1).toArray).sortBy(_._1).toSeq
+    require(cents.nonEmpty, "ivfAssign: empty index")
+    val best = array_min(array(cents.map { case (cid, c) =>
+      struct(sqDist(c).as("d"), lit(cid).as("c"))
+    }: _*))
+    micro(df, idCol, vecCol).select(col("id").as(idCol),
+      best.getField("c").as("cluster"), best.getField("d").as("sq_dist"))
+  }
+
+  /** Mean squared distance of an [[ivfAssign]] result — the fit-time
+    * BASELINE the drift trigger compares against (micro-int² units;
+    * one map-side-combined aggregate). */
+  def meanSqDist(assignments: DataFrame): Double =
+    assignments.agg(avg(col("sq_dist"))).head().getDouble(0)
+
+  /** One incremental IVF maintenance step's outcome: the delta's
+    * assignments against the EXISTING cells, the measured drift
+    * (milli-ratio of the delta's mean sq-dist to the fit baseline),
+    * and whether that drift demands a full refit. */
+  final case class IvfDelta(assignments: DataFrame, driftMilli: Long,
+                            refitNeeded: Boolean)
+
+  /** INCREMENTAL IVF index maintenance (r10 verdict #6): assign ONLY
+    * the appended arrivals (a `changesBetween` delta) to the existing
+    * cells and fold them into the assignment table — the ext127
+    * star-edge discipline applied to the ANN index: below the drift
+    * threshold the fold is provably identical to reassigning the whole
+    * corpus (centroids unchanged ⇒ per-row argmin unchanged ⇒
+    * incremental == full, which ext148 asserts with a two-sided
+    * except()), so a daily 0.1% append costs one delta-sized
+    * projection, not a corpus refit.
+    *
+    * The DRIFT TRIGGER is the honesty valve: arrivals from a shifted
+    * distribution sit far from every centroid, the delta's mean
+    * sq-dist rises against the fit-time baseline, and past
+    * `maxDriftMilli` (1000 = parity with the fit) the step REFUSES the
+    * incremental path — the caller refits. Without it, silent
+    * incremental folds would degrade recall unboundedly as the corpus
+    * drifts. Cost: the delta projection + one scalar aggregate over
+    * the delta; the corpus is never touched. */
+  def ivfMaintainIncremental(delta: DataFrame, idCol: String, vecCol: String,
+                             index: DataFrame, baselineMeanSqDist: Double,
+                             maxDriftMilli: Long): IvfDelta = {
+    require(baselineMeanSqDist > 0,
+      "ivfMaintainIncremental: fit baseline must be positive")
+    // deterministic plan — re-evaluation by later consumers (the fold,
+    // the equivalence check) recomputes the same delta-sized projection
+    val assigned = ivfAssign(delta, idCol, vecCol, index)
+    val driftMilli =
+      math.floor(1000.0 * meanSqDist(assigned) / baselineMeanSqDist).toLong
+    IvfDelta(assigned, driftMilli, driftMilli > maxDriftMilli)
+  }
+
   /** Diversity selection by CLUSTER REPRESENTATIVES: fit integer
     * k-means, then keep per cluster the vector nearest its final
     * centroid (ties to the lowest id) — the deterministic

@@ -4628,7 +4628,70 @@ ${OracleSql.InvIndex}
         Similarity.ivfTopKIndexed(all, all.filter(col("vec_id") % 50 === 0),
           index, "vec_id", "embedding", k = 5, nProbe = 2)
       },
-      Some(ivfIndexedOracle(k = 8, iters = 3, dims = 64, nProbe = 2, topK = 5)))
+      Some(ivfIndexedOracle(k = 8, iters = 3, dims = 64, nProbe = 2, topK = 5))),
+
+    // Incremental IVF index maintenance (r10 verdict #6): ext81's
+    // persisted index refit from scratch on every arrival batch; here
+    // the index is fit ONCE on v1 of a versioned corpus, a v2 append's
+    // delta (changesBetween — reads only the appended files) is
+    // assigned to the EXISTING cells, and the fold is asserted
+    // identical (two-sided except) to reassigning the whole corpus —
+    // the ext127 star-edge discipline on the ANN index: a 0.1% daily
+    // append costs a delta projection, never a corpus refit. The drift
+    // trigger is exercised both ways: the in-distribution delta stays
+    // under threshold (incremental path), a 7x+3-shifted copy reads
+    // ~49x drift and REFUSES the incremental path. Oracle: fit on the
+    // v1 subset (fitWhere), assign all — the oracle never sees which
+    // path built the table, the requires pin that.
+    "ext148_ivf_incremental" -> Q(
+      (s, d) => {
+        val base = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/ivfinc"
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        val all = emb(s, d)
+        val corpusLoc = s"$base/corpus"
+        graft.sinks.VersionedTable.commit(s, corpusLoc,
+          all.filter(col("vec_id") % 5 =!= 0), "overwrite")
+        val v1 = graft.sinks.VersionedTable.read(s, corpusLoc)
+        graft.operators.Clustering.kmeansCentroids(v1, "vec_id", "embedding", k = 8, iters = 3)
+          .write.mode("overwrite").parquet(s"$base/index")
+        val index = s.read.parquet(s"$base/index")
+        val fitAssign = graft.operators.Clustering.ivfAssign(v1, "vec_id", "embedding", index)
+        val baseline = graft.operators.Clustering.meanSqDist(fitAssign)
+        graft.sinks.VersionedTable.commit(s, corpusLoc,
+          all.filter(col("vec_id") % 5 === 0), "append")
+        val delta = graft.sinks.VersionedTable
+          .changesBetween(s, corpusLoc, 1L, 2L)
+          .select("vec_id", "embedding")
+        val inc = graft.operators.Clustering.ivfMaintainIncremental(
+          delta, "vec_id", "embedding", index, baseline, maxDriftMilli = 2000)
+        require(!inc.refitNeeded,
+          s"ext148: in-distribution delta must sit under the drift threshold, read ${inc.driftMilli}")
+        val folded = fitAssign.unionByName(inc.assignments)
+        // the fold == reassigning the whole corpus (exact integer space)
+        val full = graft.operators.Clustering.ivfAssign(
+          graft.sinks.VersionedTable.read(s, corpusLoc),
+          "vec_id", "embedding", index)
+        require(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+          "ext148: incremental fold must equal the full reassignment below the drift threshold")
+        // the honesty valve: a shifted distribution must demand a refit
+        val shifted = delta.select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") * lit(7.0) + lit(3.0)).cast("float")).as("embedding"))
+        val hot = graft.operators.Clustering.ivfMaintainIncremental(
+          shifted, "vec_id", "embedding", index, baseline, maxDriftMilli = 2000)
+        require(hot.refitNeeded,
+          s"ext148: a 7x+3-shifted delta must trip the drift trigger, read ${hot.driftMilli}")
+        val sizes = folded.groupBy("cluster")
+          .agg(count(lit(1)).as("cluster_size"))
+        folded.join(broadcast(sizes), "cluster")
+          .select(col("vec_id"), col("cluster"), col("cluster_size"))
+      },
+      Some(kmeansCtes(8, 3, 64, fitWhere = "id % 5 <> 0") + """
+        |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
+        |       CAST(s.n AS BIGINT) AS cluster_size
+        |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin))
   )
 
   /** ext81's oracle: replay the k-means fit (the ext71 CTE machinery),
@@ -4665,7 +4728,14 @@ ${OracleSql.InvIndex}
     * lowest-id seeds and `iters` unrolled exact-integer Lloyd's
     * iterations (argmin ties to the lowest cluster id; elementwise
     * floor(sum/cnt + 0.5) centroid update). */
-  private def kmeansCtes(k: Int, iters: Int, dims: Int): String = {
+  /** `fitWhere` (over `id`) restricts which vectors the FIT sees —
+    * seeds and every Lloyd's iteration run on `mf`; the final `fin`
+    * assignment still covers ALL of `m` (ext148's incremental-
+    * maintenance oracle: fit on v1, assign the whole corpus). The
+    * default "true" keeps every earlier caller byte-identical in
+    * results (mf == m). */
+  private def kmeansCtes(k: Int, iters: Int, dims: Int,
+                         fitWhere: String = "true"): String = {
     val dist =
       "list_sum(list_transform(range(1, len(v.m)+1), j -> (v.m[j]-c.c[j])*(v.m[j]-c.c[j])))"
     def iterCte(i: Int): String = s"""
@@ -4673,7 +4743,7 @@ ${OracleSql.InvIndex}
       |  SELECT id, m, cid FROM (
       |    SELECT v.id, v.m, c.cid,
       |           row_number() OVER (PARTITION BY v.id ORDER BY $dist, c.cid) AS rk
-      |    FROM m v CROSS JOIN c${i - 1} c) WHERE rk = 1
+      |    FROM mf v CROSS JOIN c${i - 1} c) WHERE rk = 1
       |), c$i AS (
       |  SELECT cid, list(s ORDER BY pos) AS c FROM (
       |    SELECT a$i.cid, p.pos, CAST(floor(sum(a$i.m[p.pos])::DOUBLE / count(*) + 0.5) AS BIGINT) AS s
@@ -4684,9 +4754,11 @@ ${OracleSql.InvIndex}
     s"""WITH m AS (
        |  SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> CAST(floor(x*1000000 + 0.5) AS BIGINT)) AS m
        |  FROM embeddings
+       |), mf AS (
+       |  SELECT id, m FROM m WHERE $fitWhere
        |), c0 AS (
        |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, m AS c
-       |  FROM (SELECT id, m FROM m ORDER BY id LIMIT $k)
+       |  FROM (SELECT id, m FROM mf ORDER BY id LIMIT $k)
        |)""".stripMargin +
       (1 to iters).map(iterCte).mkString +
       s"""

@@ -1606,6 +1606,68 @@ object Framework {
     s.read.parquet(s"$base/out").select("doc_id", "source", "lang", "n_chars")
   }
 
+  /** STATE-METRICS SURFACE (r10 verdict #9): a watermarked windowed
+    * aggregation drained twice through [[graft.streaming.Streams
+    * .runToSink]] — drain 1 is the events fixture (closed windows
+    * emit, trailing windows stay open in state), drain 2 stages a
+    * 100-days-late copy whose every row must be DROPPED by the
+    * checkpoint-restored watermark. The requires assert the published
+    * `_graft_stream_metrics.json` / returned metrics against the
+    * drain's KNOWN state shape: dropped_late rows registered (Spark
+    * counts drops AT THE STATE STORE, i.e. after map-side partial
+    * aggregation — so the gauge reads in (0, late-row-count], never 0
+    * when late data arrived and never more than the raw late rows),
+    * live state rows > 0, watermark > 0 — the stateful tier's
+    * documented bounds, observable at runtime. The
+    * read-back is the st09 append-emission result (the late drain
+    * contributes nothing), value-oracled with the same watermark
+    * arithmetic. */
+  private def fwStreamMetrics(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "stream_metrics")
+    rmrf(s, base)
+    val ev = graft.streaming.Streams.normalizeTs(
+      s.read.parquet(s"$d/events.parquet"))
+    ev.write.parquet(s"$base/in")
+    val out = graft.config.OutputTable(
+      name = "stream_metrics_out",
+      target = graft.config.TargetSpec.File(s"$base/out"),
+      refresh = graft.config.Refresh.Incremental)
+    def drain(): Map[String, Long] = {
+      val stream = s.readStream.schema(ev.schema).parquet(s"$base/in")
+      graft.streaming.Streams.runToSink(s,
+        graft.streaming.Streams.windowedCountsAppend(stream, "1 hour"),
+        out, s"$base/ckpt")
+    }
+    val m1 = drain()
+    require(m1("state_rows_last") > 0,
+      "fw_stream_metrics: open trailing windows must be visible as live state rows")
+    require(m1("dropped_late_total") == 0,
+      "fw_stream_metrics: the in-order drain must drop nothing")
+    // drain 2: every row sits 100 days behind the checkpointed watermark
+    val late = ev.filter(col("ts").isNotNull)
+      .withColumn("ts", col("ts") - expr("INTERVAL 2400 HOURS"))
+    val nLate = late.count()
+    late.write.mode("append").parquet(s"$base/in")
+    val m2 = drain()
+    val droppedGauge = m2("dropped_late_total")
+    require(droppedGauge > 0 && droppedGauge <= nLate,
+      s"fw_stream_metrics: the late drain must register drops in (0, $nLate], " +
+        s"metrics read $droppedGauge")
+    require(m2("watermark_ms") > 0 && m2("state_rows_last") > 0,
+      "fw_stream_metrics: watermark and state gauges must survive the restart")
+    // the published surface itself: the JSON beside the table
+    val mf = new org.apache.hadoop.fs.Path(s"$base/out/_graft_stream_metrics.json")
+    val fs = mf.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val text = {
+      val in = fs.open(mf)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    require(text.contains(s""""dropped_late_total":$droppedGauge"""),
+      s"fw_stream_metrics: published metrics file must carry the drop count, got: $text")
+    s.read.parquet(s"$base/out")
+      .select("window_start", "window_end", "event_type", "n_events", "value_cents")
+  }
+
   /** Streaming drain INTO a versioned table: every micro-batch lands as
     * an append COMMIT carrying (checkpoint, batchId) as its txn — a
     * WAL-replayed batch is skipped by the table (exactly-once at the
@@ -2512,6 +2574,17 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
         |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
         |FROM customer""".stripMargin)),
+    "fw_stream_metrics" -> Q(fwStreamMetrics, Some(
+      """WITH mx AS (
+        |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events
+        |)
+        |SELECT date_trunc('hour', ts) AS window_start,
+        |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+        |       event_type, count(*) AS n_events,
+        |       CAST(sum(floor(value * 100 + 0.5)) AS BIGINT) AS value_cents
+        |FROM events, mx
+        |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
+        |GROUP BY 1, 2, 3""".stripMargin)),
     "fw_lockfile_commit" -> Q(fwLockfileCommit, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

@@ -711,7 +711,7 @@ object Streams {
     * duplicates matter. */
   def runToSink(spark: SparkSession, df: DataFrame,
                 out: graft.config.OutputTable, checkpoint: String,
-                mode: OutputMode = OutputMode.Append()): Unit = {
+                mode: OutputMode = OutputMode.Append()): Map[String, Long] = {
     val q = df.writeStream
       .outputMode(mode)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -725,6 +725,47 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // STATE METRICS SURFACE (r10 verdict #9): the stateful tier's bound
+    // arguments ("state is (windows × types)-sized", "dropped-late is
+    // the watermark working") become RUNTIME-OBSERVABLE per drain —
+    // harvested from the query's own recentProgress (synchronous, no
+    // listener-bus async race) and published as
+    // `_graft_stream_metrics.json` beside file targets, the streaming
+    // twin of the batch sink's `_graft_metrics.json`. A 100 TB operator
+    // reads the file to SEE the bound holding instead of trusting the
+    // scaladoc. recentProgress retains the last ≤100 batches (the
+    // AvailableNow drains here are far smaller); `n_batches` records
+    // what the totals cover.
+    val progresses = q.recentProgress.toSeq
+    val stateRows = progresses.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val dropped = progresses.flatMap(_.stateOperators.toSeq)
+      .map(_.numRowsDroppedByWatermark).sum
+    val wmMs = progresses.reverse.iterator
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(java.time.Instant.parse(_).toEpochMilli)
+      .find(_ > 0L).getOrElse(0L)
+    val metrics: Seq[(String, Long)] = Seq(
+      "n_batches" -> progresses.size.toLong,
+      "input_rows" -> progresses.map(_.numInputRows).sum,
+      "state_rows_last" -> stateRows.lastOption.getOrElse(0L),
+      "state_rows_max" -> (if (stateRows.isEmpty) 0L else stateRows.max),
+      "dropped_late_total" -> dropped,
+      "watermark_ms" -> wmMs)
+    out.target match {
+      case graft.config.TargetSpec.File(location) =>
+        val dir = new org.apache.hadoop.fs.Path(location)
+        val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val json = metrics.map { case (k, v) => s""""$k":$v""" }
+          .mkString("{", ",", "}")
+        val os = fs.create(
+          new org.apache.hadoop.fs.Path(dir, "_graft_stream_metrics.json"), true)
+        try os.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+      case _ => ()
+    }
+    graft.log.Log.info("stream drained",
+      metrics.map { case (k, v) => k -> v.toString }: _*)
+    metrics.toMap
   }
 
   /** Malformed-row quarantine AT INGEST — the streaming twin of

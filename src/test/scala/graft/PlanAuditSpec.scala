@@ -104,7 +104,10 @@ class PlanAuditSpec extends SparkSpec {
     // bakeoff: runs BOTH trainings (eager) before the report projection
     "ext143_tokenizer_bakeoff",
     // three component runs (label-propagation rounds) at construction
-    "ext147_dedup_hierarchy")
+    "ext147_dedup_hierarchy",
+    // versioned commits + fit + drift checks + fold==full excepts run
+    // at construction; the k-row index collect is the documented bound
+    "ext148_ivf_incremental")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
