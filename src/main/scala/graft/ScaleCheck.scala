@@ -207,7 +207,11 @@ object ScaleCheck {
     "tpch20_potential_promotion",
     // SQL DML surface: merge must stay ∝ touched files + arrivals;
     // delete/update ∝ matched rows (DV metadata commits)
-    "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit")
+    "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit",
+    // NB classifier: two map-side token counts + a token-keyed score
+    // join — must read ~linear in corpus tokens (vocab grows slowly on
+    // the suffixed-content generator)
+    "ext149_nb_classifier")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -1933,4 +1933,106 @@ object TextAnalysis {
           .otherwise(expr("CAST((1000 * num) DIV (nd * nt) AS BIGINT)"))
           .as("affinity_milli"))
   }
+
+  /** MULTINOMIAL NAIVE BAYES training — the oracle-replayable analog of
+    * the fastText-style corpus classifier every curation pipeline ends
+    * up training (cc_net quality buckets, domain routing, source
+    * attribution probes). Add-one smoothing; scores in integer
+    * MILLI-NATS (floor(1000·ln + 0.5) — the cosine-6dp cross-engine
+    * discipline applied to ln: a flip needs the double within 5e-13 of
+    * a boundary).
+    *
+    * Returns (model, classMeta): model = (label, token, log_milli) for
+    * every token SEEN in the class — vocab×classes rows, token-keyed
+    * (the score join's equality key; never broadcast: vocab grows with
+    * the corpus); classMeta = one row per class (label, prior_milli,
+    * default_milli) where default covers in-vocab tokens unseen in that
+    * class — the k-row frame [[nbClassify]] collects (bounded: the
+    * class count).
+    *
+    * Scale shape: two map-side-combined counts (per (class, token), per
+    * class) + one distinct-count for |V|; no shuffle wider than the
+    * (class, token) aggregation. */
+  def nbTrain(train: DataFrame, textCol: String, labelCol: String)
+      : (DataFrame, DataFrame) = {
+    val tok = train.select(col(labelCol).as("label"),
+      explode(words(col(textCol))).as("token"))
+    val vocabV = tok.select("token").distinct().count()
+    val classTok = tok.groupBy("label", "token").agg(count(lit(1)).as("n"))
+    val classTotals = tok.groupBy("label").agg(count(lit(1)).as("n_class"))
+    val docTotals = train.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("n_docs"))
+    val totalDocs = train.count()
+    val model = classTok.join(classTotals, "label")
+      .select(col("label"), col("token"),
+        floor(lit(1000.0) * log((col("n") + 1).cast("double") /
+          (col("n_class") + vocabV).cast("double")) + 0.5).cast("long")
+          .as("log_milli"))
+    val meta = docTotals.join(classTotals, "label")
+      .select(col("label"),
+        floor(lit(1000.0) * log(col("n_docs").cast("double") / totalDocs) + 0.5)
+          .cast("long").as("prior_milli"),
+        floor(lit(1000.0) * log(lit(1.0) /
+          (col("n_class") + vocabV).cast("double")) + 0.5)
+          .cast("long").as("default_milli"))
+    (model, meta)
+  }
+
+  /** Train on `train`, classify `score`: per held-out doc the argmax-
+    * posterior class (score = prior + Σ token-count · log-prob, integer
+    * milli-nats; unseen-in-class tokens take the class default; ties
+    * break to the alphabetically FIRST label — the langId discipline).
+    * Output (doc_id, label_actual, pred_label, is_match, margin_milli)
+    * where margin = best − runner-up, the classifier-confidence signal
+    * a selection pipeline thresholds on.
+    *
+    * Scale shape: the model pivots to one row per token (classes are
+    * COLUMNS — k is small by contract, the collected classMeta bound),
+    * the doc-token counts join it token-equality-keyed, and the
+    * per-doc score is one map-side-combinable weighted sum per class.
+    * No per-doc vocab scan, no cross join, nothing all-pairs. */
+  def nbClassify(train: DataFrame, score: DataFrame, idCol: String,
+                 textCol: String, labelCol: String): DataFrame = {
+    val (model, meta) = nbTrain(train, textCol, labelCol)
+    // k rows — the documented bound (class count, not corpus size)
+    val classes = meta.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    require(classes.nonEmpty, "nbClassify: training set has no labels")
+    val pivoted = model.groupBy("token")
+      .pivot("label", classes.map(_._1)).agg(first(col("log_milli")))
+    val docTok = score.select(col(idCol).as("doc_id"),
+        col(labelCol).as("label_actual"),
+        explode(words(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("label_actual"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    val scoreCols = classes.map { case (label, prior, default) =>
+      (sum(col("cnt") * coalesce(col(s"`$label`"), lit(default))) + prior)
+        .as(s"score_$label")
+    }
+    val scored = docTok.join(pivoted, Seq("token"), "left")
+      .groupBy(col("doc_id"), col("label_actual"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax with min-label tie-break: struct (score, k − index) so a
+    // greater preference value means an alphabetically earlier label
+    val k = classes.size
+    val best = greatest(classes.zipWithIndex.map { case ((label, _, _), i) =>
+      struct(col(s"score_$label").as("s"), lit((k - i).toLong).as("pref"))
+    }: _*)
+    val runnerUp = array_max(filter(
+      array(classes.zipWithIndex.map { case ((label, _, _), i) =>
+        struct(col(s"score_$label").as("s"), lit((k - i).toLong).as("pref"))
+      }: _*),
+      s => !(s.getField("s") === best.getField("s") &&
+        s.getField("pref") === best.getField("pref"))))
+    val predLabel = classes.zipWithIndex.foldLeft(lit("?")) {
+      case (acc, ((label, _, _), i)) =>
+        when(best.getField("pref") === (k - i).toLong, lit(label)).otherwise(acc)
+    }
+    scored.select(col("doc_id"), col("label_actual"),
+      predLabel.as("pred_label"),
+      (predLabel === col("label_actual")).as("is_match"),
+      (best.getField("s") -
+        coalesce(runnerUp.getField("s"), best.getField("s"))).as("margin_milli"))
+  }
 }

@@ -4691,7 +4691,62 @@ ${OracleSql.InvIndex}
       Some(kmeansCtes(8, 3, 64, fitWhere = "id % 5 <> 0") + """
         |SELECT f.id AS vec_id, CAST(f.cid AS INT) AS cluster,
         |       CAST(s.n AS BIGINT) AS cluster_size
-        |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin))
+        |FROM fin f JOIN (SELECT cid, count(*) AS n FROM fin GROUP BY cid) s USING (cid)""".stripMargin)),
+
+    // Multinomial Naive Bayes corpus classifier (train on 80%, classify
+    // the held-out 20% by source) — the oracle-replayable analog of the
+    // fastText-style quality/domain classifier curation pipelines train
+    // (cc_net buckets, domain routing). Add-one smoothing, integer
+    // milli-nat scores (the cosine-6dp cross-engine discipline applied
+    // to ln), alphabetical tie-break, margin = best − runner-up (the
+    // confidence a selection threshold cuts on). Scale: two map-side
+    // counts + a token-equality-keyed score join; classes are COLUMNS
+    // (k-row collected meta is the documented bound).
+    "ext149_nb_classifier" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.nbClassify(
+          all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "source")
+      },
+      Some("""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+             |sc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+             |tok AS (SELECT source AS label, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM tr),
+             |v AS (SELECT count(DISTINCT token) AS vocab FROM tok),
+             |ct AS (SELECT label, token, count(*) AS n FROM tok GROUP BY 1, 2),
+             |tot AS (SELECT label, count(*) AS n_class FROM tok GROUP BY 1),
+             |dtot AS (SELECT source AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+             |atot AS (SELECT count(*) AS nd FROM tr),
+             |meta AS (
+             |  SELECT t.label,
+             |         CAST(floor(1000 * ln(d.n_docs::DOUBLE / a.nd) + 0.5) AS BIGINT) AS prior_milli,
+             |         CAST(floor(1000 * ln(1.0 / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS default_milli
+             |  FROM tot t JOIN dtot d USING (label), atot a, v),
+             |model AS (
+             |  SELECT c.label, c.token,
+             |         CAST(floor(1000 * ln((c.n + 1)::DOUBLE / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS log_milli
+             |  FROM ct c JOIN tot t USING (label), v),
+             |dt AS (SELECT doc_id, label_actual, token, count(*) AS cnt FROM (
+             |         SELECT doc_id, source AS label_actual,
+             |                unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+             |         FROM sc)
+             |       GROUP BY 1, 2, 3),
+             |contrib AS (
+             |  SELECT d.doc_id, d.label_actual, m.label,
+             |         sum(d.cnt * coalesce(mo.log_milli, m.default_milli)) + max(m.prior_milli) AS score
+             |  FROM dt d CROSS JOIN meta m
+             |  LEFT JOIN model mo ON mo.label = m.label AND mo.token = d.token
+             |  GROUP BY 1, 2, 3),
+             |ranked AS (
+             |  SELECT doc_id, label_actual, label, score,
+             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+             |  FROM contrib)
+             |SELECT r1.doc_id, r1.label_actual, r1.label AS pred_label,
+             |       (r1.label = r1.label_actual) AS is_match,
+             |       CAST(r1.score - coalesce(r2.score, r1.score) AS BIGINT) AS margin_milli
+             |FROM ranked r1 LEFT JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rk = 2
+             |WHERE r1.rk = 1""".stripMargin))
   )
 
   /** ext81's oracle: replay the k-means fit (the ext71 CTE machinery),

@@ -107,7 +107,10 @@ class PlanAuditSpec extends SparkSpec {
     "ext147_dedup_hierarchy",
     // versioned commits + fit + drift checks + fold==full excepts run
     // at construction; the k-row index collect is the documented bound
-    "ext148_ivf_incremental")
+    "ext148_ivf_incremental",
+    // NB training counts (|V|, doc total) + the k-row class-meta
+    // collect run at construction
+    "ext149_nb_classifier")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)

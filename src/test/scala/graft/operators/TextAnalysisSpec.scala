@@ -819,4 +819,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(1L) == ((5L, 5L, 1000L)))
     assert(r(2L) == ((4L, 4L, 1000L)))
   }
+
+  test("nbClassify: smoothing, unseen-token default, tie-break, margin — hand-computed") {
+    // train: class 'x' = {foo foo bar}, class 'y' = {baz baz qux}
+    // vocab V = 4; N(x) = N(y) = 3; priors = ln(1/2) each
+    val train = Seq(
+      (1L, "foo foo bar", "x"), (2L, "baz baz qux", "y"))
+      .toDF("doc_id", "text", "source")
+    def lnMilli(x: Double): Long = math.floor(1000.0 * math.log(x) + 0.5).toLong
+    val prior = lnMilli(0.5)
+    // log-probs with add-one smoothing over (N + V) = 7
+    val pFooX = lnMilli(3.0 / 7); val pFooY = lnMilli(1.0 / 7)
+    val pBarX = lnMilli(2.0 / 7); val pBarY = lnMilli(1.0 / 7)
+    val unseen = lnMilli(1.0 / 7) // 'zzz' is out-of-vocab for BOTH classes
+    val score = Seq(
+      (10L, "foo bar", "x"),      // clearly x
+      (11L, "baz", "y"),          // clearly y
+      (12L, "zzz zzz", "x"))      // all-unseen: scores tie -> 'x' (alpha-first)
+      .toDF("doc_id", "text", "source")
+    val r = TextAnalysis.nbClassify(train, score, "doc_id", "text", "source")
+      .collect().map(x => x.getLong(0) ->
+        ((x.getString(2), x.getBoolean(3), x.getLong(4)))).toMap
+    assert(r(10L)._1 == "x" && r(10L)._2)
+    assert(r(10L)._3 ==
+      (prior + pFooX + pBarX) - (prior + pFooY + pBarY))
+    assert(r(11L)._1 == "y" && r(11L)._2)
+    // the tie: both classes score prior + 2·unseen -> alphabetically
+    // first class wins with margin 0
+    assert(r(12L) == (("x", true, 0L)), s"got ${r(12L)}, unseen=$unseen")
+  }
 }
