@@ -1994,35 +1994,59 @@ object TextAnalysis {
   def nbClassify(train: DataFrame, score: DataFrame, idCol: String,
                  textCol: String, labelCol: String): DataFrame = {
     val (model, meta) = nbTrain(train, textCol, labelCol)
-    // k rows — the documented bound (class count, not corpus size)
-    val classes = meta.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1).toSeq
-    require(classes.nonEmpty, "nbClassify: training set has no labels")
-    val pivoted = model.groupBy("token")
-      .pivot("label", classes.map(_._1)).agg(first(col("log_milli")))
+    val classes = nbClasses(meta)
     val docTok = score.select(col(idCol).as("doc_id"),
         col(labelCol).as("label_actual"),
         explode(words(col(textCol))).as("token"))
       .groupBy(col("doc_id"), col("label_actual"), col("token"))
       .agg(count(lit(1)).as("cnt"))
+    nbVerdictFromScores(nbScoreSums(docTok, nbPivotModel(model, classes), classes), classes)
+  }
+
+  /** The collected per-class meta — k rows, the documented bound (class
+    * count, not corpus size). */
+  def nbClasses(meta: DataFrame): Seq[(String, Long, Long)] = {
+    val classes = meta.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    require(classes.nonEmpty, "nbClassify: training set has no labels")
+    classes
+  }
+
+  /** Model rows pivoted to one row per token with classes as COLUMNS —
+    * the score join's right side (token-equality-keyed; never a
+    * broadcast: vocab grows with the corpus). */
+  def nbPivotModel(model: DataFrame, classes: Seq[(String, Long, Long)]): DataFrame =
+    model.groupBy("token")
+      .pivot("label", classes.map(_._1)).agg(first(col("log_milli")))
+
+  /** ONE definition of the per-doc score sums — batch ([[nbClassify]])
+    * and the streaming twin (st52) both pass their (doc_id,
+    * label_actual, token, cnt) counts here, so the smoothing/prior
+    * arithmetic can never fork between them. One equality join + one
+    * map-side-combinable weighted sum per class. */
+  def nbScoreSums(docTok: DataFrame, pivoted: DataFrame,
+                  classes: Seq[(String, Long, Long)]): DataFrame = {
     val scoreCols = classes.map { case (label, prior, default) =>
       (sum(col("cnt") * coalesce(col(s"`$label`"), lit(default))) + prior)
         .as(s"score_$label")
     }
-    val scored = docTok.join(pivoted, Seq("token"), "left")
+    docTok.join(pivoted, Seq("token"), "left")
       .groupBy(col("doc_id"), col("label_actual"))
       .agg(scoreCols.head, scoreCols.tail: _*)
-    // argmax with min-label tie-break: struct (score, k − index) so a
-    // greater preference value means an alphabetically earlier label
+  }
+
+  /** Shared argmax tail: min-label tie-break via struct (score,
+    * k − index) — a greater preference value means an alphabetically
+    * earlier label — plus the best − runner-up margin. */
+  def nbVerdictFromScores(scored: DataFrame,
+                          classes: Seq[(String, Long, Long)]): DataFrame = {
     val k = classes.size
-    val best = greatest(classes.zipWithIndex.map { case ((label, _, _), i) =>
+    val entries = classes.zipWithIndex.map { case ((label, _, _), i) =>
       struct(col(s"score_$label").as("s"), lit((k - i).toLong).as("pref"))
-    }: _*)
-    val runnerUp = array_max(filter(
-      array(classes.zipWithIndex.map { case ((label, _, _), i) =>
-        struct(col(s"score_$label").as("s"), lit((k - i).toLong).as("pref"))
-      }: _*),
+    }
+    val best = if (k == 1) entries.head else greatest(entries: _*)
+    val runnerUp = array_max(filter(array(entries: _*),
       s => !(s.getField("s") === best.getField("s") &&
         s.getField("pref") === best.getField("pref"))))
     val predLabel = classes.zipWithIndex.foldLeft(lit("?")) {
@@ -2034,5 +2058,35 @@ object TextAnalysis {
       (predLabel === col("label_actual")).as("is_match"),
       (best.getField("s") -
         coalesce(runnerUp.getField("s"), best.getField("s"))).as("margin_milli"))
+  }
+
+  /** Per-class evaluation report over [[nbClassify]]-shaped verdicts —
+    * the confusion-derived metrics a curation pipeline gates a
+    * classifier on before trusting its selections: support, predicted
+    * count, correct count, integer-milli precision / recall / F1
+    * (truncating DIV — cross-engine exact; a class never predicted
+    * reports precision 0, never F1-divide-by-zero). Two map-side
+    * aggregates over the verdict frame, joined on the k class labels. */
+  def nbEvaluate(verdicts: DataFrame): DataFrame = {
+    val byActual = verdicts.groupBy(col("label_actual").as("label"))
+      .agg(count(lit(1)).as("n_actual"),
+        sum(when(col("is_match"), 1L).otherwise(0L)).as("n_correct"))
+    val byPred = verdicts.groupBy(col("pred_label").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    byActual.join(byPred, Seq("label"), "full")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .withColumn("precision_milli",
+        when(col("n_pred") === 0, 0L)
+          .otherwise(expr("CAST((1000 * n_correct) DIV n_pred AS BIGINT)")))
+      .withColumn("recall_milli",
+        when(col("n_actual") === 0, 0L)
+          .otherwise(expr("CAST((1000 * n_correct) DIV n_actual AS BIGINT)")))
+      .withColumn("f1_milli",
+        when(col("precision_milli") + col("recall_milli") === 0, 0L)
+          .otherwise(expr(
+            "CAST((2 * precision_milli * recall_milli) DIV (precision_milli + recall_milli) AS BIGINT)")))
   }
 }

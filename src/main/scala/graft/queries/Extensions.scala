@@ -4710,44 +4710,98 @@ ${OracleSql.InvIndex}
           all.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", "source")
       },
-      Some("""WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
-             |sc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
-             |tok AS (SELECT source AS label, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM tr),
-             |v AS (SELECT count(DISTINCT token) AS vocab FROM tok),
-             |ct AS (SELECT label, token, count(*) AS n FROM tok GROUP BY 1, 2),
-             |tot AS (SELECT label, count(*) AS n_class FROM tok GROUP BY 1),
-             |dtot AS (SELECT source AS label, count(*) AS n_docs FROM tr GROUP BY 1),
-             |atot AS (SELECT count(*) AS nd FROM tr),
-             |meta AS (
-             |  SELECT t.label,
-             |         CAST(floor(1000 * ln(d.n_docs::DOUBLE / a.nd) + 0.5) AS BIGINT) AS prior_milli,
-             |         CAST(floor(1000 * ln(1.0 / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS default_milli
-             |  FROM tot t JOIN dtot d USING (label), atot a, v),
-             |model AS (
-             |  SELECT c.label, c.token,
-             |         CAST(floor(1000 * ln((c.n + 1)::DOUBLE / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS log_milli
-             |  FROM ct c JOIN tot t USING (label), v),
-             |dt AS (SELECT doc_id, label_actual, token, count(*) AS cnt FROM (
-             |         SELECT doc_id, source AS label_actual,
-             |                unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-             |         FROM sc)
-             |       GROUP BY 1, 2, 3),
-             |contrib AS (
-             |  SELECT d.doc_id, d.label_actual, m.label,
-             |         sum(d.cnt * coalesce(mo.log_milli, m.default_milli)) + max(m.prior_milli) AS score
-             |  FROM dt d CROSS JOIN meta m
-             |  LEFT JOIN model mo ON mo.label = m.label AND mo.token = d.token
-             |  GROUP BY 1, 2, 3),
-             |ranked AS (
-             |  SELECT doc_id, label_actual, label, score,
-             |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
-             |  FROM contrib)
-             |SELECT r1.doc_id, r1.label_actual, r1.label AS pred_label,
-             |       (r1.label = r1.label_actual) AS is_match,
-             |       CAST(r1.score - coalesce(r2.score, r1.score) AS BIGINT) AS margin_milli
-             |FROM ranked r1 LEFT JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rk = 2
-             |WHERE r1.rk = 1""".stripMargin))
+      Some(NbVerdictCtes + """
+             |SELECT doc_id, label_actual, pred_label, is_match, margin_milli
+             |FROM verdict""".stripMargin)),
+
+    // The evaluation report over ext149's verdicts — support, predicted
+    // count, correct count, integer-milli precision/recall/F1 per class:
+    // the confusion-derived gate a curation pipeline applies before
+    // trusting a classifier's selections. Two map-side aggregates over
+    // the verdict frame, full-joined on the k labels (a never-predicted
+    // class reports precision 0, not a divide-by-zero).
+    "ext150_nb_eval" -> Q(
+      (s, d) => {
+        val all = docs(s, d)
+        TextAnalysis.nbEvaluate(TextAnalysis.nbClassify(
+          all.filter(col("doc_id") % 5 =!= 0),
+          all.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", "source"))
+      },
+      Some(NbVerdictCtes + """
+             |, ba AS (SELECT label_actual AS label, count(*) AS n_actual,
+             |                sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_correct
+             |         FROM verdict GROUP BY 1),
+             |bp AS (SELECT pred_label AS label, count(*) AS n_pred FROM verdict GROUP BY 1),
+             |m AS (SELECT coalesce(ba.label, bp.label) AS label,
+             |             coalesce(n_actual, 0) AS n_actual,
+             |             coalesce(n_pred, 0) AS n_pred,
+             |             coalesce(n_correct, 0) AS n_correct
+             |      FROM ba FULL JOIN bp ON ba.label = bp.label),
+             |pr AS (SELECT label, CAST(n_actual AS BIGINT) AS n_actual,
+             |              CAST(n_pred AS BIGINT) AS n_pred,
+             |              CAST(n_correct AS BIGINT) AS n_correct,
+             |              CASE WHEN n_pred = 0 THEN 0
+             |                   ELSE (1000 * n_correct) // n_pred END AS precision_milli,
+             |              CASE WHEN n_actual = 0 THEN 0
+             |                   ELSE (1000 * n_correct) // n_actual END AS recall_milli
+             |       FROM m)
+             |SELECT label, n_actual, n_pred, n_correct,
+             |       CAST(precision_milli AS BIGINT) AS precision_milli,
+             |       CAST(recall_milli AS BIGINT) AS recall_milli,
+             |       CAST(CASE WHEN precision_milli + recall_milli = 0 THEN 0
+             |            ELSE (2 * precision_milli * recall_milli) // (precision_milli + recall_milli)
+             |            END AS BIGINT) AS f1_milli
+             |FROM pr""".stripMargin))
   )
+
+  /** The DuckDB replay of the full NB train+score lifecycle (ext149 /
+    * ext150 / st52 — ONE definition, the BoilerSentence discipline),
+    * ending in `verdict(doc_id, label_actual, pred_label, is_match,
+    * margin_milli)`. Tokenize = the Scala `words` split; smoothing,
+    * milli-nat floor(1000·ln + 0.5), (score DESC, label) argmax and the
+    * rk=2 runner-up margin all mirror `TextAnalysis.nbClassify`. */
+  // a def, not a val: referenced from the query Seq above, which would
+  // otherwise observe a not-yet-initialized field at object init
+  private[queries] def NbVerdictCtes: String =
+    """WITH tr AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 <> 0),
+      |sc AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 5 = 0),
+      |tok AS (SELECT source AS label, unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM tr),
+      |v AS (SELECT count(DISTINCT token) AS vocab FROM tok),
+      |ct AS (SELECT label, token, count(*) AS n FROM tok GROUP BY 1, 2),
+      |tot AS (SELECT label, count(*) AS n_class FROM tok GROUP BY 1),
+      |dtot AS (SELECT source AS label, count(*) AS n_docs FROM tr GROUP BY 1),
+      |atot AS (SELECT count(*) AS nd FROM tr),
+      |meta AS (
+      |  SELECT t.label,
+      |         CAST(floor(1000 * ln(d.n_docs::DOUBLE / a.nd) + 0.5) AS BIGINT) AS prior_milli,
+      |         CAST(floor(1000 * ln(1.0 / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS default_milli
+      |  FROM tot t JOIN dtot d USING (label), atot a, v),
+      |model AS (
+      |  SELECT c.label, c.token,
+      |         CAST(floor(1000 * ln((c.n + 1)::DOUBLE / (t.n_class + v.vocab)) + 0.5) AS BIGINT) AS log_milli
+      |  FROM ct c JOIN tot t USING (label), v),
+      |dt AS (SELECT doc_id, label_actual, token, count(*) AS cnt FROM (
+      |         SELECT doc_id, source AS label_actual,
+      |                unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      |         FROM sc)
+      |       GROUP BY 1, 2, 3),
+      |contrib AS (
+      |  SELECT d.doc_id, d.label_actual, m.label,
+      |         sum(d.cnt * coalesce(mo.log_milli, m.default_milli)) + max(m.prior_milli) AS score
+      |  FROM dt d CROSS JOIN meta m
+      |  LEFT JOIN model mo ON mo.label = m.label AND mo.token = d.token
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT doc_id, label_actual, label, score,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rk
+      |  FROM contrib),
+      |verdict AS (
+      |  SELECT r1.doc_id, r1.label_actual, r1.label AS pred_label,
+      |         (r1.label = r1.label_actual) AS is_match,
+      |         CAST(r1.score - coalesce(r2.score, r1.score) AS BIGINT) AS margin_milli
+      |  FROM ranked r1 LEFT JOIN ranked r2 ON r2.doc_id = r1.doc_id AND r2.rk = 2
+      |  WHERE r1.rk = 1)""".stripMargin
 
   /** ext81's oracle: replay the k-means fit (the ext71 CTE machinery),
     * assign the corpus to final cells (`fin`), pick each query's nProbe

@@ -1624,6 +1624,48 @@ ${OracleSql.InvIndex}
              |FROM events GROUP BY event_type, user_id % 64""".stripMargin)),
 
     // Streaming session PATHS: q92's capped '>'-joined paths emitted by
+    // Streaming NB classification at ingest — ext149's batch-trained
+    // model scored over the arriving held-out split: per-row token
+    // counts are computed ROW-LOCALLY (one struct per distinct token —
+    // a doc is one stream row, so no (doc, token) pre-aggregation and
+    // therefore only ONE stateful operator), the vocab-sized model
+    // joins stream-STATIC (stateless), and the per-doc score sums are
+    // the single Update-mode aggregate (state = k longs per doc seen —
+    // corpus-doc-bounded like st08's seen-set; TTL/Bloom-front it in
+    // production). Argmax/margin run in batch over the collapsed
+    // changelog through the SHARED nbVerdictFromScores, so streamed ==
+    // batch by construction. Oracle = ext149's verdict CTEs verbatim.
+    "st52_stream_nb" -> Q(
+      (s, d) => {
+        val all = s.read.parquet(s"$d/documents.parquet")
+        val (model, meta) = TextAnalysis.nbTrain(
+          all.filter(col("doc_id") % 5 =!= 0), "text", "source")
+        val classes = TextAnalysis.nbClasses(meta)
+        val pivoted = TextAnalysis.nbPivotModel(model, classes)
+        val stream = Streams.readDocumentsStream(s, d)
+          .filter(col("doc_id") % 5 === 0)
+        val w = split(trim(col("text")), "\\s+")
+        val docTok = stream.select(col("doc_id"),
+            col("source").as("label_actual"),
+            explode(transform(array_distinct(w), t => struct(t.as("token"),
+              size(filter(w, x => x === t)).cast("long").as("cnt")))).as("tc"))
+          .select(col("doc_id"), col("label_actual"),
+            col("tc.token").as("token"), col("tc.cnt").as("cnt"))
+        val drained = Streams.runToMemory(s,
+          TextAnalysis.nbScoreSums(docTok, pivoted, classes),
+          "st52_nb", OutputMode.Update())
+        // one update row per doc (a doc is one input row); max-collapse
+        // is the st50 order-free changelog discipline
+        val collapsed = drained.groupBy(col("doc_id"), col("label_actual"))
+          .agg(max(col(s"score_${classes.head._1}")).as(s"score_${classes.head._1}"),
+            classes.tail.map { case (l, _, _) =>
+              max(col(s"score_$l")).as(s"score_$l") }: _*)
+        TextAnalysis.nbVerdictFromScores(collapsed, classes)
+      },
+      Some(Extensions.NbVerdictCtes + """
+             |SELECT doc_id, label_actual, pred_label, is_match, margin_milli
+             |FROM verdict""".stripMargin)),
+
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark
     // condition deciding which trailing sessions provably timed out.

@@ -110,7 +110,7 @@ class PlanAuditSpec extends SparkSpec {
     "ext148_ivf_incremental",
     // NB training counts (|V|, doc total) + the k-row class-meta
     // collect run at construction
-    "ext149_nb_classifier")
+    "ext149_nb_classifier", "ext150_nb_eval")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
