@@ -209,7 +209,11 @@ final case class MaintenanceSpec(action: String, location: String,
                                  branch: Option[String] = None,
                                  keepLast: Option[Long] = None,
                                  minDeletedFraction: Option[Double] = None,
-                                 options: Map[String, String] = Map.empty)
+                                 options: Map[String, String] = Map.empty,
+                                 /** `to_version` — the restore target
+                                   * (string: `{var}` interpolates at run
+                                   * time; numeric validated at parse). */
+                                 toVersion: Option[String] = None)
 
 final case class JobSpec(
     name: String,
@@ -672,11 +676,21 @@ object ConfigParser {
       if (!Set("compact", "profile", "retain", "vacuum", "cluster",
         "version_vacuum", "history", "delete", "update",
         "create_branch", "publish_branch", "drop_branch", "rebase_branch",
-        "compact_deletes")(action)) throw new ConfigError(
+        "compact_deletes", "restore")(action)) throw new ConfigError(
         s"maintenance.action: unknown action '$action' (supported: compact, " +
           "profile, retain, vacuum, cluster, version_vacuum, history, delete, " +
           "update, create_branch, publish_branch, drop_branch, rebase_branch, " +
-          "compact_deletes)")
+          "compact_deletes, restore)")
+      // restore: to_version is required and must be a version number at
+      // PARSE time ({var} interpolations resolve at run time and are exempt)
+      val toVersionRaw = str(t, "to_version")
+      if (action == "restore" && toVersionRaw.isEmpty) throw new ConfigError(
+        "maintenance.to_version (the version to roll back to) is required for restore")
+      if (action != "restore" && toVersionRaw.nonEmpty) throw new ConfigError(
+        s"maintenance.to_version only applies to restore, not '$action'")
+      if (toVersionRaw.exists(v => !v.contains("{") &&
+          scala.util.Try(v.trim.toLong).isFailure)) throw new ConfigError(
+        s"maintenance.to_version must be a version number, got '${toVersionRaw.get}'")
       val files = str(t, "files").map(_.toInt)
       if (action == "compact" && files.isEmpty) throw new ConfigError(
         "maintenance.files (target part-file count) is required for compact")
@@ -775,7 +789,8 @@ object ConfigParser {
         keepLast = keepLast,
         minDeletedFraction = minDelFrac,
         options = t.get("format_options").map(strMap(_, "format_options"))
-          .getOrElse(Map.empty))
+          .getOrElse(Map.empty),
+        toVersion = toVersionRaw)
     }
     // a materialized output needs versioned inputs to fingerprint —
     // without one the staleness check could never trigger a recompute

@@ -325,6 +325,14 @@ object Engine {
               "location" -> location, "version" -> s"v$v",
               "where" -> m.where.get)
             None
+          case "restore" =>
+            val target = Interpolate(m.toVersion.get, vars).trim.toLong
+            val v = graft.sinks.VersionedTable.restore(
+              spark, location, target, m.format, m.options)
+            graft.log.Log.info("versioned restore applied",
+              "location" -> location, "restored_to" -> s"v$target",
+              "version" -> s"v$v")
+            None
           case "compact_deletes" =>
             val (v, n) = graft.sinks.VersionedTable.compactDeletes(
               spark, location, m.minDeletedFraction.getOrElse(0.3),

@@ -1252,6 +1252,49 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** RESTORE on the YAML surface — the bad-deploy recovery drill: v1
+    * (the good snapshot) → v2 (a corrupting overwrite) →
+    * `maintenance.action: restore, to_version: 1` → v3 references
+    * exactly v1's files (metadata-only, zero bytes moved) while v2
+    * STAYS time-travelable for the post-mortem. The requires pin all
+    * three: the rollback content, the preserved history, and the
+    * unchanged version count (+1 commit, no deletions). */
+  private def fwRestore(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "restore")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    def commitYaml(where: String, tag: String) = run(s,
+      s"""job:
+         |  name: fw-restore-$tag
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: restore_out
+         |  target: s3
+         |  location: $loc
+         |  refresh: full
+         |  versioned: "true"
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |  '$tag' AS version FROM customer WHERE $where
+         |""".stripMargin)
+    commitYaml("c_custkey % 2 = 0", "good")
+    commitYaml("c_custkey % 100 = 0", "bad") // the corrupting deploy
+    Engine.run(s, ConfigParser.parse(
+      s"""job: {name: fw-restore-roll, type: maintenance}
+         |maintenance: {action: restore, location: $loc, to_version: "1"}
+         |""".stripMargin), "default")
+    require(graft.sinks.VersionedTable.versions(s, loc) == Seq(1L, 2L, 3L),
+      "fw_restore: restore must land one new version, deleting none")
+    require(graft.sinks.VersionedTable.read(s, loc, asOf = Some(2L))
+      .filter(col("version") === "bad").count() > 0,
+      "fw_restore: the bad version must stay time-travelable")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** DESCRIBE HISTORY from metadata alone: three engine commits with
     * `stats_columns` (which records per-file row counts in the sidecar),
     * then [[graft.sinks.VersionedTable.history]] — version, mode, file
@@ -2574,6 +2617,10 @@ object Framework {
         |       CASE WHEN c_custkey % 10 = 0 THEN 'v3'
         |            WHEN c_custkey % 2 = 0 THEN 'v1' ELSE 'v2' END AS version
         |FROM customer""".stripMargin)),
+    "fw_restore" -> Q(fwRestore, Some(
+      """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |       'good' AS version
+        |FROM customer WHERE c_custkey % 2 = 0""".stripMargin)),
     "fw_stream_metrics" -> Q(fwStreamMetrics, Some(
       """WITH mx AS (
         |  SELECT (epoch_ns(max(ts)) // 1000000) - 3600000 AS wm_ms FROM events

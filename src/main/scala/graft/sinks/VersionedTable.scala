@@ -1609,6 +1609,49 @@ object VersionedTable {
     * (sidecar, null for commits without stats). NO data file is opened:
     * at 100 TB this answers "how big is the table / what did each
     * commit add" from a few KB of log, where a count(*) scan is a job. */
+  /** RESTORE: roll the table back to `toVersion` AS A NEW COMMIT — the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` shape: the new head
+    * references exactly v_N's file list (with its stats sidecar and
+    * deletion vector BY NAME — zero bytes moved, metadata-only like
+    * every commit here), and HISTORY IS PRESERVED: the bad versions
+    * stay time-travelable for the post-mortem, unlike a vacuum. The
+    * bad-deploy recovery primitive: a 100 TB table un-breaks in one
+    * manifest write. CAS-published at latest+1 — a concurrent commit
+    * wins the race and the restore aborts loudly (restoring over a
+    * commit you haven't seen would silently drop it).
+    * [[changesBetween]] refuses to cross a restore (mode != append),
+    * the same CDC contract as overwrite/merge/delete. */
+  def restore(spark: SparkSession, location: String, toVersion: Long,
+              format: String = "parquet",
+              options: Map[String, String] = Map.empty): Long = {
+    val root = new Path(location)
+    val fs = fsFor(spark, root)
+    val vs = versions(spark, location)
+    if (!vs.contains(toVersion)) throw new graft.config.ConfigError(
+      s"versioned restore: version $toVersion not in committed set ${vs.mkString("[", ",", "]")}")
+    val latest = vs.last
+    if (toVersion == latest) {
+      graft.log.Log.info("versioned restore: already at target",
+        "location" -> location, "version" -> s"v$latest")
+      return latest
+    }
+    val text = manifestText(fs, root, toVersion)
+    val sized = filesOfText(text).map { n =>
+      (n, fs.getFileStatus(new Path(dataDir(root), n)).getLen)
+    }
+    val statsCarry = manifestField(text, "stats_file")
+    val dvCarry = dvOf(fs, root, toVersion)
+    if (!writeManifestCas(fs, root, latest + 1, "restore", sized, None,
+      statsCarry, dvCarry))
+      throw new java.util.ConcurrentModificationException(
+        s"versioned restore: serializable conflict at '$location' — a " +
+          s"concurrent commit won v${latest + 1}; re-inspect and re-restore")
+    graft.log.Log.info("versioned restore",
+      "location" -> location, "restored_to" -> s"v$toVersion",
+      "version" -> s"v${latest + 1}")
+    latest + 1
+  }
+
   def history(spark: SparkSession, location: String): DataFrame = {
     import org.apache.spark.sql.types._
     val root = new Path(location)

@@ -770,6 +770,29 @@ class ConfigParserSpec extends AnyFunSuite {
     assert(e.getMessage.contains("file targets only"))
   }
 
+  test("restore: to_version required, numeric, restore-only") {
+    def yaml(m: String) =
+      s"""job: {name: j, type: maintenance}
+         |maintenance: $m
+         |""".stripMargin
+    assert(ConfigParser.parse(yaml(
+      """{action: restore, location: /tmp/t, to_version: "2"}"""))
+      .maintenance.exists(m => m.action == "restore" && m.toVersion.contains("2")))
+    val e1 = intercept[ConfigError](ConfigParser.parse(yaml(
+      "{action: restore, location: /tmp/t}")))
+    assert(e1.getMessage.contains("to_version"))
+    val e2 = intercept[ConfigError](ConfigParser.parse(yaml(
+      """{action: restore, location: /tmp/t, to_version: "latest"}""")))
+    assert(e2.getMessage.contains("version number"))
+    val e3 = intercept[ConfigError](ConfigParser.parse(yaml(
+      """{action: vacuum, location: /tmp/t, to_version: "2"}""")))
+    assert(e3.getMessage.contains("only applies to restore"))
+    // {var} resolves at run time
+    assert(ConfigParser.parse(yaml(
+      """{action: restore, location: /tmp/t, to_version: "{v}"}"""))
+      .maintenance.exists(_.toVersion.contains("{v}")))
+  }
+
   test("create_branch: keep_from (the fork version) must parse as a version number") {
     def yaml(kf: String) =
       s"""job: {name: j, type: maintenance}

@@ -781,6 +781,29 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("restore: metadata-only rollback, DV carried, history preserved, vacuum-safe") {
+    val loc = tmp("restore")
+    VersionedTable.commit(spark, loc, Seq((1, "a"), (2, "b")).toDF("k", "v"), "overwrite")
+    VersionedTable.deleteWhere(spark, loc, "k = 2") // v2 carries a DV
+    VersionedTable.commit(spark, loc, Seq((9, "z")).toDF("k", "v"), "overwrite") // v3: the bad deploy
+    val v = VersionedTable.restore(spark, loc, 2L)
+    assert(v == 4L)
+    // the restored head sees v2's content THROUGH its deletion vector
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+    // history preserved: the bad version stays time-travelable
+    assert(rows(VersionedTable.read(spark, loc, asOf = Some(3L))) == Set((9, "z")))
+    assert(VersionedTable.versions(spark, loc) == (1L to 4L))
+    // restore-to-latest is a no-op, unknown version errors by name
+    assert(VersionedTable.restore(spark, loc, 4L) == 4L)
+    val e = intercept[graft.config.ConfigError](VersionedTable.restore(spark, loc, 99L))
+    assert(e.getMessage.contains("99"))
+    // vacuum keeps the restored head's (old) files: dropping history
+    // below v4 must not reclaim what v4 references
+    VersionedTable.vacuumVersions(spark, loc, 4L, minOrphanAgeMillis = 0L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a")))
+    assert(VersionedTable.versions(spark, loc) == Seq(4L))
+  }
+
   test("updateWhere/deleteWhere: a nondeterministic predicate cannot desync the DV from the images") {
     val loc = tmp("nondet")
     val n = 400
