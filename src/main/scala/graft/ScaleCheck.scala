@@ -211,7 +211,11 @@ object ScaleCheck {
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)
-    "ext149_nb_classifier")
+    "ext149_nb_classifier",
+    // unigram tokenizer: training is dictionary-bound (the BPE/137
+    // contract), the apply DP is a row-local narrow projection — both
+    // must read ~linear scan cost, the trainer well under
+    "ext151_unigram_train", "ext152_unigram_segment")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -4752,7 +4752,47 @@ ${OracleSql.InvIndex}
              |       CAST(CASE WHEN precision_milli + recall_milli = 0 THEN 0
              |            ELSE (2 * precision_milli * recall_milli) // (precision_milli + recall_milli)
              |            END AS BIGINT) AS f1_milli
-             |FROM pr""".stripMargin))
+             |FROM pr""".stripMargin)),
+
+    // Unigram-LM tokenizer training (SentencePiece's model family as
+    // deterministic hard-EM — Kudo ACL'18), completing the trainer trio
+    // beside BPE (ext130) and WordPiece (ext137): substring-seeded
+    // piece inventory → Viterbi E-step (longest-piece tie rule, the
+    // chosen segmentation carried as a string so usage recounts without
+    // backtracking) → usage M-step with the single-char floor →
+    // top-vocabSize prune. Integer milli-nat scores; the oracle unrolls
+    // the whole loop (seed + per-position forward DP CTEs + recount).
+    "ext151_unigram_train" -> Q(
+      (s, d) => TextAnalysis.unigramTrain(docs(s, d), "doc_id", "text",
+        vocabSize = 64, iters = 1),
+      Some(unigramTrainCtes(64, 1, 4096, 4, 12) + """
+        |SELECT piece, CAST(cnt AS BIGINT) AS n_count,
+        |       CAST(floor(1000 * ln(cnt::DOUBLE /
+        |         (SELECT sum(cnt) FROM v1)) + 0.5) AS BIGINT) AS log_milli
+        |FROM v1""".stripMargin)),
+
+    // The apply pass + the CCNet-style LM-score filter: every document
+    // Viterbi-segmented under the trained unigram model (the model a
+    // MAP LITERAL in the plan, the whole DP one narrow aggregate()
+    // expression — no join, no shuffle before the per-doc sum), with
+    // per-doc subword fragmentation AND the unigram log-likelihood
+    // (exactly-replayable perplexity filtering, no KenLM binary).
+    // OOV characters take the UNK score ln(1/total).
+    "ext152_unigram_segment" -> Q(
+      (s, d) => TextAnalysis.unigramSegment(docs(s, d), "doc_id", "text",
+        vocabSize = 64, iters = 1),
+      Some(unigramTrainCtes(64, 1, 4096, 4, 12) + ",\n" +
+        unigramApplyCtes(1, 4, 12) + """
+        |, dw AS (
+        |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(c) AS BIGINT) AS n_subwords,
+        |       CAST(sum(b) AS BIGINT) AS ll_milli,
+        |       CAST((1000 * sum(c)) // count(*) AS BIGINT) AS subwords_per_word_milli
+        |FROM dw JOIN wstats USING (w)
+        |GROUP BY doc_id""".stripMargin))
   )
 
   /** The DuckDB replay of the full NB train+score lifecycle (ext149 /
@@ -4761,6 +4801,128 @@ ${OracleSql.InvIndex}
     * margin_milli)`. Tokenize = the Scala `words` split; smoothing,
     * milli-nat floor(1000·ln + 0.5), (score DESC, label) argmax and the
     * rk=2 runner-up margin all mirror `TextAnalysis.nbClassify`. */
+  /** DuckDB replay of [[graft.operators.TextAnalysis.unigramTrain]] —
+    * the hard-EM loop as unrolled CTEs (the kmeans/pagerank/BPE
+    * discipline): seed substring counts → per-iteration scores →
+    * Viterbi forward DP over word positions 1..maxWordLen (each
+    * position one CTE; the winning candidate by (total DESC, start) —
+    * the longest-piece tie rule; the chosen SEGMENTATION rides along
+    * as a '|'-joined string so usage recounting needs no backtracking)
+    * → usage + char floor + top-vocabSize prune. Ends in
+    * `v{iters}(piece, cnt)` and keeps `dict0`/`dict`/`chars` visible
+    * for the apply replay. Every multiply-referenced CTE is pinned
+    * MATERIALIZED (the round-8 wordpiece inlining lesson). */
+  private def unigramTrainCtes(vocabSize: Int, iters: Int, topWords: Int,
+                               maxPieceLen: Int, maxWordLen: Int): String = {
+    def prune(src: String): String =
+      s"""SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rk
+         |    FROM $src WHERE length(piece) > 1) WHERE rk <= $vocabSize
+         |  UNION ALL
+         |  SELECT piece, cnt FROM $src WHERE length(piece) = 1""".stripMargin
+    val head =
+      s"""WITH dict0 AS MATERIALIZED (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+         |    FROM documents) t
+         |  WHERE regexp_full_match(w, '[a-z0-9]+') AND length(w) <= $maxWordLen
+         |  GROUP BY w),
+         |dict AS MATERIALIZED (
+         |  SELECT w, freq FROM dict0 ORDER BY freq DESC, w LIMIT $topWords),
+         |vsrc0 AS MATERIALIZED (
+         |  SELECT piece, sum(freq) AS cnt FROM (
+         |    SELECT substr(d.w, ss.i, ll.l) AS piece, d.freq
+         |    FROM dict d,
+         |         (SELECT unnest(range(1, ${maxWordLen + 1})) AS i) ss,
+         |         (SELECT unnest(range(1, ${maxPieceLen + 1})) AS l) ll
+         |    WHERE ss.i + ll.l - 1 <= length(d.w))
+         |  GROUP BY piece),
+         |v0 AS MATERIALIZED (
+         |  ${prune("vsrc0")}),
+         |chars AS MATERIALIZED (
+         |  SELECT DISTINCT substr(w, ii.i, 1) AS piece
+         |  FROM dict, (SELECT unnest(range(1, ${maxWordLen + 1})) AS i) ii
+         |  WHERE ii.i <= length(w))""".stripMargin
+    val iterations = (1 to iters).map { t =>
+      val dp = (1 to maxWordLen).map { i =>
+        val lo = math.max(1, i - maxPieceLen + 1)
+        s"""f${t}_$i AS (
+           |  SELECT w, freq, $i AS pos, b, seg FROM (
+           |    SELECT d.w, d.freq, fa.b + v.milli AS b,
+           |           fa.seg || '|' || substr(d.w, jj.j, $i - jj.j + 1) AS seg,
+           |           row_number() OVER (PARTITION BY d.w
+           |             ORDER BY fa.b + v.milli DESC, jj.j) AS rn
+           |    FROM dict d
+           |    CROSS JOIN (SELECT unnest(range($lo, ${i + 1})) AS j) jj
+           |    JOIN fa${t}_${i - 1} fa ON fa.w = d.w AND fa.pos = jj.j - 1
+           |    JOIN s$t v ON v.piece = substr(d.w, jj.j, $i - jj.j + 1)
+           |    WHERE length(d.w) >= $i
+           |  ) WHERE rn = 1),
+           |fa${t}_$i AS MATERIALIZED (
+           |  SELECT * FROM fa${t}_${i - 1} UNION ALL SELECT * FROM f${t}_$i)""".stripMargin
+      }.mkString(",\n")
+      s"""s$t AS MATERIALIZED (
+         |  SELECT piece, CAST(floor(1000 * ln(cnt::DOUBLE /
+         |    (SELECT sum(cnt) FROM v${t - 1})) + 0.5) AS BIGINT) AS milli
+         |  FROM v${t - 1}),
+         |fa${t}_0 AS (
+         |  SELECT w, freq, 0 AS pos, CAST(0 AS BIGINT) AS b, '' AS seg FROM dict),
+         |$dp,
+         |u$t AS (
+         |  SELECT piece, sum(freq) AS cnt FROM (
+         |    SELECT unnest(string_split(substr(seg, 2), '|')) AS piece, freq
+         |    FROM fa${t}_$maxWordLen WHERE pos = length(w))
+         |  GROUP BY piece),
+         |vsrc$t AS MATERIALIZED (
+         |  SELECT coalesce(u.piece, c.piece) AS piece,
+         |         CASE WHEN length(coalesce(u.piece, c.piece)) = 1
+         |              THEN greatest(coalesce(u.cnt, 0), 1) ELSE u.cnt END AS cnt
+         |  FROM u$t u FULL JOIN chars c ON u.piece = c.piece
+         |  WHERE coalesce(u.cnt, 0) > 0 OR length(coalesce(u.piece, c.piece)) = 1),
+         |v$t AS MATERIALIZED (
+         |  ${prune(s"vsrc$t")})""".stripMargin
+    }
+    (head +: iterations).mkString(",\n")
+  }
+
+  /** Apply-side replay ([[graft.operators.TextAnalysis.unigramSegment]]):
+    * the same forward DP over the FULL word-type universe (`dict0`),
+    * with the UNK single-char fallback (LEFT JOIN + coalesce — exactly
+    * the Spark expression's `coalesce(m[char], unk)`), ending in
+    * `wstats(w, b, c)`. */
+  private def unigramApplyCtes(iters: Int, maxPieceLen: Int,
+                               maxWordLen: Int): String = {
+    val dp = (1 to maxWordLen).map { i =>
+      val lo = math.max(1, i - maxPieceLen + 1)
+      s"""g_$i AS (
+         |  SELECT w, $i AS pos, b, c FROM (
+         |    SELECT d.w, ga.b + coalesce(v.milli, uu.milli) AS b, ga.c + 1 AS c,
+         |           row_number() OVER (PARTITION BY d.w
+         |             ORDER BY ga.b + coalesce(v.milli, uu.milli) DESC, jj.j) AS rn
+         |    FROM wt d
+         |    CROSS JOIN (SELECT unnest(range($lo, ${i + 1})) AS j) jj
+         |    JOIN ga_${i - 1} ga ON ga.w = d.w AND ga.pos = jj.j - 1
+         |    LEFT JOIN sfin v ON v.piece = substr(d.w, jj.j, $i - jj.j + 1)
+         |    CROSS JOIN unk uu
+         |    WHERE length(d.w) >= $i AND (v.milli IS NOT NULL OR jj.j = $i)
+         |  ) WHERE rn = 1),
+         |ga_$i AS MATERIALIZED (
+         |  SELECT * FROM ga_${i - 1} UNION ALL SELECT * FROM g_$i)""".stripMargin
+    }.mkString(",\n")
+    s"""total AS MATERIALIZED (SELECT sum(cnt) AS tot FROM v$iters),
+       |sfin AS MATERIALIZED (
+       |  SELECT piece, CAST(floor(1000 * ln(cnt::DOUBLE /
+       |    (SELECT tot FROM total)) + 0.5) AS BIGINT) AS milli
+       |  FROM v$iters),
+       |unk AS MATERIALIZED (
+       |  SELECT CAST(floor(1000 * ln(1.0 / tot) + 0.5) AS BIGINT) AS milli FROM total),
+       |wt AS MATERIALIZED (SELECT w FROM dict0),
+       |ga_0 AS (SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS b, CAST(0 AS BIGINT) AS c FROM wt),
+       |$dp,
+       |wstats AS MATERIALIZED (
+       |  SELECT w, b, c FROM ga_$maxWordLen WHERE pos = length(w))""".stripMargin
+  }
+
   // a def, not a val: referenced from the query Seq above, which would
   // otherwise observe a not-yet-initialized field at object init
   private[queries] def NbVerdictCtes: String =

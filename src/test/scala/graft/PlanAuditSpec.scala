@@ -110,7 +110,10 @@ class PlanAuditSpec extends SparkSpec {
     "ext148_ivf_incremental",
     // NB training counts (|V|, doc total) + the k-row class-meta
     // collect run at construction
-    "ext149_nb_classifier", "ext150_nb_eval")
+    "ext149_nb_classifier", "ext150_nb_eval",
+    // unigram training collects the bounded topWords dictionary at
+    // construction (the BPE driver-side-state discipline)
+    "ext151_unigram_train", "ext152_unigram_segment")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
