@@ -267,9 +267,32 @@ object Engine {
     result
   }
 
+  /** Deployment selection of the versioned-table commit-publish
+    * primitive ([[graft.sinks.CommitCoordinator]]) — a Spark conf so
+    * `job.spark_config` / `--conf` pick it without code:
+    * `spark.graft.commit.coordinator = rename | lockfile` (+ optional
+    * `spark.graft.commit.lockfile.settle.ms`). Unset keeps the current
+    * process-wide coordinator (default: rename). */
+  private def configureCommitCoordinator(spark: SparkSession): Unit =
+    spark.conf.getOption("spark.graft.commit.coordinator").foreach {
+      case "rename" =>
+        graft.sinks.VersionedTable.setCommitCoordinator(
+          graft.sinks.RenameCommitCoordinator)
+      case "lockfile" =>
+        val settle = spark.conf
+          .getOption("spark.graft.commit.lockfile.settle.ms")
+          .map(_.trim.toLong).getOrElse(150L)
+        graft.sinks.VersionedTable.setCommitCoordinator(
+          new graft.sinks.LockFileCommitCoordinator(settle))
+      case other => throw new ConfigError(
+        s"spark.graft.commit.coordinator: unknown coordinator '$other' " +
+          "(supported: rename, lockfile)")
+    }
+
   /** Top-level dispatch on job.type (`glue_etl_framework.py:417-431`). */
   def run(spark: SparkSession, job: JobSpec, pipeline: String,
-          extraVars: Map[String, String] = Map.empty): Option[DataFrame] =
+          extraVars: Map[String, String] = Map.empty): Option[DataFrame] = {
+    configureCommitCoordinator(spark)
     job.jobType match {
       case JobType.SparkSql => Some(runSparkSqlJob(spark, job, pipeline, extraVars))
       case JobType.Script =>
@@ -397,6 +420,7 @@ object Engine {
             None
         }
     }
+  }
 
   /** A18: apply job.spark_config before use (builder passthrough). */
   def applySparkConfig(builder: SparkSession.Builder, job: JobSpec): SparkSession.Builder =

@@ -2200,6 +2200,27 @@ object TextAnalysis {
   def unigramSegment(docs: DataFrame, idCol: String, textCol: String,
                      vocabSize: Int, iters: Int, topWords: Int = 4096,
                      maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
+    val wstats = unigramWordStats(docs, textCol, vocabSize, iters,
+      topWords, maxPieceLen, maxWordLen)
+    val occurrences = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w0"))
+      .select(col("doc_id"), lower(col("w0")).as("w"))
+    occurrences.join(wstats, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("c")).as("n_subwords"),
+        sum(col("b")).as("ll_milli"))
+      .withColumn("subwords_per_word_milli",
+        expr("CAST((1000 * n_subwords) DIV n_words AS BIGINT)"))
+  }
+
+  /** The per-word-TYPE Viterbi results `(w, b = ll_milli, c = pieces)`
+    * — ONE definition for the batch apply ([[unigramSegment]]) and the
+    * streaming twin (st53 joins a doc stream against this frame
+    * stream-static), so the DP/tie/UNK semantics can never fork. */
+  def unigramWordStats(docs: DataFrame, textCol: String,
+                       vocabSize: Int, iters: Int, topWords: Int = 4096,
+                       maxPieceLen: Int = 4, maxWordLen: Int = 12): DataFrame = {
     val fit = unigramFit(unigramDict(docs, textCol, topWords, maxWordLen),
       vocabSize, iters, maxPieceLen)
     val total = fit.map(_._2).sum
@@ -2227,23 +2248,12 @@ object TextAnalysis {
             }),
           x => x.isNotNull)))))
     val fin = element_at(dp, length(w) + 1)
-    val wstats = docs
+    docs
       .select(explode(words(col(textCol))).as("w0"))
       .select(lower(col("w0")).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) <= maxWordLen)
       .distinct()
       .select(col("w"), fin.getField("b").as("b"), fin.getField("c").as("c"))
-    val occurrences = docs
-      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w0"))
-      .select(col("doc_id"), lower(col("w0")).as("w"))
-    val perWord = occurrences.join(wstats, Seq("w"))
-      .select(col("doc_id"), col("b"), col("c"))
-    perWord.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("c")).as("n_subwords"),
-        sum(col("b")).as("ll_milli"))
-      .withColumn("subwords_per_word_milli",
-        expr("CAST((1000 * n_subwords) DIV n_words AS BIGINT)"))
   }
 
   /** Per-class evaluation report over [[nbClassify]]-shaped verdicts —

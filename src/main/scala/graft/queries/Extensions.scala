@@ -4781,8 +4781,14 @@ ${OracleSql.InvIndex}
     "ext152_unigram_segment" -> Q(
       (s, d) => TextAnalysis.unigramSegment(docs(s, d), "doc_id", "text",
         vocabSize = 64, iters = 1),
-      Some(unigramTrainCtes(64, 1, 4096, 4, 12) + ",\n" +
-        unigramApplyCtes(1, 4, 12) + """
+      Some(UnigramSegmentOracle))
+  )
+
+  /** ext152's full train+apply oracle — shared verbatim with the
+    * streaming twin st53 (a def: referenced from the Seq above). */
+  private[queries] def UnigramSegmentOracle: String =
+    unigramTrainCtes(64, 1, 4096, 4, 12) + ",\n" +
+      unigramApplyCtes(1, 4, 12) + """
         |, dw AS (
         |  SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\s+'))) AS w
         |  FROM documents)
@@ -4792,8 +4798,7 @@ ${OracleSql.InvIndex}
         |       CAST(sum(b) AS BIGINT) AS ll_milli,
         |       CAST((1000 * sum(c)) // count(*) AS BIGINT) AS subwords_per_word_milli
         |FROM dw JOIN wstats USING (w)
-        |GROUP BY doc_id""".stripMargin))
-  )
+        |GROUP BY doc_id""".stripMargin
 
   /** The DuckDB replay of the full NB train+score lifecycle (ext149 /
     * ext150 / st52 — ONE definition, the BoilerSentence discipline),

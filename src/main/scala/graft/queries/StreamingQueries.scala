@@ -1666,6 +1666,38 @@ ${OracleSql.InvIndex}
              |SELECT doc_id, label_actual, pred_label, is_match, margin_milli
              |FROM verdict""".stripMargin)),
 
+    // Streaming unigram-LM scoring at ingest — the perplexity-style
+    // filter live: the batch-trained per-word-type Viterbi stats
+    // (SHARED unigramWordStats — the DP/tie/UNK semantics cannot fork)
+    // join the arriving docs' exploded words stream-STATIC (stateless),
+    // and the per-doc (n_words, n_subwords, ll) sums are the single
+    // Update-mode aggregate (st52's corpus-doc-bounded-state
+    // discipline). The fragmentation ratio computes in batch over the
+    // collapsed changelog. Oracle = ext152's train+apply CTEs verbatim.
+    "st53_stream_unigram" -> Q(
+      (s, d) => {
+        val all = s.read.parquet(s"$d/documents.parquet")
+        val wstats = TextAnalysis.unigramWordStats(all, "text",
+          vocabSize = 64, iters = 1)
+        val occurrences = Streams.readDocumentsStream(s, d)
+          .select(col("doc_id"),
+            explode(split(trim(col("text")), "\\s+")).as("w0"))
+          .select(col("doc_id"), lower(col("w0")).as("w"))
+        val sums = occurrences.join(wstats, Seq("w"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("c")).as("n_subwords"),
+            sum(col("b")).as("ll_milli"))
+        Streams.runToMemory(s, sums, "st53_unigram", OutputMode.Update())
+          .groupBy(col("doc_id"))
+          .agg(max(col("n_words")).as("n_words"),
+            max(col("n_subwords")).as("n_subwords"),
+            max(col("ll_milli")).as("ll_milli"))
+          .withColumn("subwords_per_word_milli",
+            expr("CAST((1000 * n_subwords) DIV n_words AS BIGINT)"))
+      },
+      Some(Extensions.UnigramSegmentOracle)),
+
     // the gap/timeout sessionizer (path state bounded at 8 types per
     // user); top-20 over CLOSED sessions, with st02's watermark
     // condition deciding which trailing sessions provably timed out.
