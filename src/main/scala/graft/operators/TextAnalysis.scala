@@ -2060,6 +2060,44 @@ object TextAnalysis {
         coalesce(runnerUp.getField("s"), best.getField("s"))).as("margin_milli"))
   }
 
+  /** PER-SOURCE CORPUS REPORT — the "data card" table a training-data
+    * release ships: one row per slice with volume (docs, tokens, chars
+    * per doc), exact-duplication rates (the [[graft.operators.Dedup
+    * .dupRateBySlice]] family math), and the majority language with its
+    * share (count DESC, lang ASC tie rule). The composition deliverable:
+    * the curation engine's own operators aggregated into the artifact a
+    * human signs off on.
+    *
+    * Scale shape: three independent map-side-combined aggregations over
+    * one corpus scan each (volume, dup families, language counts) joined
+    * on the |slices|-sized result frames; the language argmax is a
+    * window over the (slice, lang) count frame — |slices|·|langs| rows,
+    * never the corpus. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   sliceCol: String, langCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val volume = docs.groupBy(col(sliceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(words(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("CAST((1000 * n_tokens) DIV n_docs AS BIGINT)").as("tokens_per_doc_milli"),
+        expr("CAST((1000 * n_chars) DIV n_docs AS BIGINT)").as("chars_per_doc_milli"))
+    val dup = graft.operators.Dedup.dupRateBySlice(docs, idCol, textCol, sliceCol)
+      .select(col("slice").as("source"), col("dup_milli"), col("redundant_milli"))
+    val lang = docs.groupBy(col(sliceCol).as("source"), col(langCol).as("lang"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("cnt").desc, col("lang"))))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("cnt").as("top_lang_n"))
+    volume.join(dup, "source").join(lang, "source")
+      .withColumn("top_lang_milli",
+        expr("CAST((1000 * top_lang_n) DIV n_docs AS BIGINT)"))
+      .drop("top_lang_n")
+  }
+
   // ------------------------------------------------- unigram LM tokenizer
 
   /** UNIGRAM-LM TOKENIZER TRAINING (the SentencePiece model family —

@@ -4781,7 +4781,47 @@ ${OracleSql.InvIndex}
     "ext152_unigram_segment" -> Q(
       (s, d) => TextAnalysis.unigramSegment(docs(s, d), "doc_id", "text",
         vocabSize = 64, iters = 1),
-      Some(UnigramSegmentOracle))
+      Some(UnigramSegmentOracle)),
+
+    // The "data card" table a training-data release ships — one row per
+    // source composing the engine's own curation operators: volume
+    // (docs, tokens/doc, chars/doc), the ext128 exact-dup family rates,
+    // and the majority language with its share (count DESC, lang tie
+    // rule). Three map-side aggregations joined on |slices|-row frames.
+    "ext153_corpus_report" -> Q(
+      (s, d) => TextAnalysis.corpusReport(docs(s, d), "doc_id", "text",
+        "source", "lang"),
+      Some("""WITH vol AS (
+             |  SELECT source, count(*) AS n_docs,
+             |         sum(len(regexp_split_to_array(trim(text), '\s+'))) AS n_tokens,
+             |         sum(length(text)) AS n_chars
+             |  FROM documents GROUP BY 1
+             |), h AS (
+             |  SELECT source, doc_id, md5(text) AS h FROM documents
+             |), fam AS (
+             |  SELECT h, count(*) AS n_copies, min(doc_id) AS keeper_id
+             |  FROM h GROUP BY 1
+             |), dup AS (
+             |  SELECT source,
+             |         (1000 * sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END)) // count(*) AS dup_milli,
+             |         (1000 * sum(CASE WHEN doc_id <> keeper_id THEN 1 ELSE 0 END)) // count(*) AS redundant_milli
+             |  FROM h JOIN fam USING (h) GROUP BY source
+             |), lg AS (
+             |  SELECT source, lang AS top_lang, cnt AS top_lang_n FROM (
+             |    SELECT source, lang, count(*) AS cnt,
+             |           row_number() OVER (PARTITION BY source
+             |             ORDER BY count(*) DESC, lang) AS rk
+             |    FROM documents GROUP BY source, lang) WHERE rk = 1
+             |)
+             |SELECT v.source, CAST(v.n_docs AS BIGINT) AS n_docs,
+             |       CAST(v.n_tokens AS BIGINT) AS n_tokens,
+             |       CAST((1000 * v.n_tokens) // v.n_docs AS BIGINT) AS tokens_per_doc_milli,
+             |       CAST((1000 * v.n_chars) // v.n_docs AS BIGINT) AS chars_per_doc_milli,
+             |       CAST(d.dup_milli AS BIGINT) AS dup_milli,
+             |       CAST(d.redundant_milli AS BIGINT) AS redundant_milli,
+             |       l.top_lang,
+             |       CAST((1000 * l.top_lang_n) // v.n_docs AS BIGINT) AS top_lang_milli
+             |FROM vol v JOIN dup d USING (source) JOIN lg l USING (source)""".stripMargin))
   )
 
   /** ext152's full train+apply oracle — shared verbatim with the
