@@ -350,8 +350,8 @@ object Engine {
             None
           case "restore" =>
             val target = Interpolate(m.toVersion.get, vars).trim.toLong
-            val v = graft.sinks.VersionedTable.restore(
-              spark, location, target, m.format, m.options)
+            // metadata-only: no format/options — only manifests move
+            val v = graft.sinks.VersionedTable.restore(spark, location, target)
             graft.log.Log.info("versioned restore applied",
               "location" -> location, "restored_to" -> s"v$target",
               "version" -> s"v$v")

@@ -38,10 +38,16 @@ import graft.config.{ConfigError, JobSpec, SourceSpec, Interpolate}
   */
 object SqlDml {
 
-  private val DmlHead = "(?is)^\\s*(MERGE|UPDATE|DELETE)\\b.*".r
+  // leading whitespace and SQL comments (`-- ...` / `/* ... */`) are
+  // stripped before the head-keyword test — a commented DML statement
+  // must route here, not fall through to spark.sql() and die with a
+  // raw "DELETE is only supported with v2 tables" analysis error
+  private val LeadingTrivia = "(?s)^(?:\\s|--[^\\n]*(?:\\n|$)|/\\*.*?\\*/)+".r
+  private val DmlHead = "(?is)^(MERGE|UPDATE|DELETE)\\b.*".r
 
   /** Cheap dispatch test — full validation happens in [[execute]]. */
-  def isDml(sql: String): Boolean = DmlHead.pattern.matcher(sql).matches()
+  def isDml(sql: String): Boolean =
+    DmlHead.pattern.matcher(LeadingTrivia.replaceFirstIn(sql, "")).matches()
 
   /** Parse + route one DML statement. Inputs must already be registered
     * as temp views (MERGE sources read them). Returns the post-DML
@@ -63,7 +69,11 @@ object SqlDml {
           spark, loc, stripQualifiers(condition).sql, fmt, opts)
         graft.log.Log.info("sql DELETE applied", "table" -> name,
           "location" -> loc, "version" -> s"v$v")
-        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+        // pinned to the version THIS statement committed — a concurrent
+        // later commit must not leak into the returned snapshot (the MV
+        // fresh-path discipline)
+        graft.sinks.VersionedTable.read(spark, loc, asOf = Some(v),
+          format = fmt, options = opts)
 
       case UpdateTable(target, assignments, condition) =>
         val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, target)
@@ -82,7 +92,8 @@ object SqlDml {
           spark, loc, where, set.toMap, fmt, opts)
         graft.log.Log.info("sql UPDATE applied", "table" -> name,
           "location" -> loc, "version" -> s"v$v")
-        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+        graft.sinks.VersionedTable.read(spark, loc, asOf = Some(v),
+          format = fmt, options = opts)
 
       case m: MergeIntoTable =>
         val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, m.targetTable)
@@ -112,7 +123,8 @@ object SqlDml {
           statsColumns = graft.sinks.VersionedTable.trackedStatsColumns(spark, loc))
         graft.log.Log.info("sql MERGE applied", "table" -> name,
           "location" -> loc, "version" -> s"v$v", "keys" -> keys.mkString(","))
-        graft.sinks.VersionedTable.read(spark, loc, format = fmt, options = opts)
+        graft.sinks.VersionedTable.read(spark, loc, asOf = Some(v),
+          format = fmt, options = opts)
 
       case other => throw new ConfigError(
         s"unsupported DML statement (${other.getClass.getSimpleName}) — " +

@@ -177,8 +177,14 @@ object Clustering {
     // deterministic plan — re-evaluation by later consumers (the fold,
     // the equivalence check) recomputes the same delta-sized projection
     val assigned = ivfAssign(delta, idCol, vecCol, index)
-    val driftMilli =
-      math.floor(1000.0 * meanSqDist(assigned) / baselineMeanSqDist).toLong
+    // an EMPTY delta (no arrivals since the last run) is zero drift by
+    // definition — avg() over zero rows is NULL and must not NPE a
+    // scheduled maintenance job
+    val meanOpt = Option(assigned.agg(avg(col("sq_dist"))).head().get(0))
+      .map(_.asInstanceOf[Double])
+    val driftMilli = meanOpt
+      .map(m => math.floor(1000.0 * m / baselineMeanSqDist).toLong)
+      .getOrElse(0L)
     IvfDelta(assigned, driftMilli, driftMilli > maxDriftMilli)
   }
 

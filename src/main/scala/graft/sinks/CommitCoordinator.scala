@@ -72,6 +72,13 @@ object RenameCommitCoordinator extends CommitCoordinator {
   *     clears the intent dir; losers report false and never touch
   *     `dst`.
   *
+  * Intents carry a LEASE (`leaseMillis`): an intent older than the
+  * lease is ignored by elections and garbage-collected, so a writer
+  * that crashed between PUT-intent and publish cannot block the
+  * version forever. Symmetrically, a writer whose own election
+  * outlives the lease refuses the win — the usual lease contract
+  * (clock skew + worst-case pause must stay under the lease).
+  *
   * Why a late writer cannot fake a win: it PUTs its intent after the
   * winner's settle expired, so its timestamp is LARGER (within skew,
   * covered by the window) and its own LIST in step 3 sees the winner's
@@ -80,8 +87,11 @@ object RenameCommitCoordinator extends CommitCoordinator {
   * short read as no-commit exactly as with the rename path (content is
   * staged in full before the final PUT streams it).
   */
-final class LockFileCommitCoordinator(settleMillis: Long = 150)
+final class LockFileCommitCoordinator(settleMillis: Long = 150,
+                                      leaseMillis: Long = 30000)
     extends CommitCoordinator {
+  require(leaseMillis > 2 * settleMillis,
+    "lockfile coordinator: the lease must outlive the settle window")
   def publish(fs: FileSystem, logDir: Path, dst: Path,
               content: Array[Byte]): Boolean = {
     // refuse a version a reader can already see — the fast path that
@@ -104,10 +114,30 @@ final class LockFileCommitCoordinator(settleMillis: Long = 150)
     Thread.sleep(settleMillis)
     // a winner's cleanup may have removed the whole intent dir (dst then
     // already exists) — a missing dir means we lost
-    val contenders =
-      try fs.listStatus(intentDir).map(_.getPath.getName).sorted
+    // only INTENT-shaped names participate (20-digit ts, 8-hex uuid) —
+    // the winner's in-flight `.put-*` temp (and its checksum sidecar)
+    // also lives here and must be neither electable nor GC'd as stale
+    val IntentName = "^[0-9]{20}-[0-9a-f]{8}$".r
+    val all =
+      try fs.listStatus(intentDir).map(_.getPath.getName)
+        .filter(IntentName.pattern.matcher(_).matches()).sorted
       catch { case _: java.io.FileNotFoundException => Array.empty[String] }
-    val won = contenders.headOption.contains(me) && !fs.exists(dst)
+    // LEASE EXPIRY: an intent from a writer that crashed between PUT and
+    // publish must not block the version forever — contenders older than
+    // the lease are ignored (and garbage-collected best-effort). The
+    // standard lease assumption applies in return: a writer whose own
+    // election outlives the lease (GC pause, network stall) must NOT
+    // claim the win — a newer contender may have stopped seeing it.
+    val now = System.currentTimeMillis()
+    def ts(name: String): Long =
+      try name.takeWhile(_ != '-').toLong catch { case _: NumberFormatException => 0L }
+    val (stale, contenders) = all.partition(n => now - ts(n) > leaseMillis)
+    stale.foreach { n =>
+      try fs.delete(new Path(intentDir, n), false)
+      catch { case _: java.io.IOException => () }
+    }
+    val won = contenders.headOption.contains(me) &&
+      (now - ts(me)) <= leaseMillis && !fs.exists(dst)
     if (won) {
       // ATOMIC-VISIBILITY PUT: object stores make a PUT object visible
       // only once complete — on a file system we must emulate that

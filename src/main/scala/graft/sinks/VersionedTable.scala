@@ -1621,9 +1621,7 @@ object VersionedTable {
     * commit you haven't seen would silently drop it).
     * [[changesBetween]] refuses to cross a restore (mode != append),
     * the same CDC contract as overwrite/merge/delete. */
-  def restore(spark: SparkSession, location: String, toVersion: Long,
-              format: String = "parquet",
-              options: Map[String, String] = Map.empty): Long = {
+  def restore(spark: SparkSession, location: String, toVersion: Long): Long = {
     val root = new Path(location)
     val fs = fsFor(spark, root)
     val vs = versions(spark, location)

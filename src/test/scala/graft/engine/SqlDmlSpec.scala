@@ -99,6 +99,20 @@ class SqlDmlSpec extends SparkSpec {
     assert(err("DELETE FRM t WHERE k = 1").contains("failed to parse"))
   }
 
+  test("isDml: leading comments and whitespace do not bypass the router") {
+    assert(SqlDml.isDml("DELETE FROM t WHERE k = 1"))
+    assert(SqlDml.isDml("  \n-- rollback bad rows\nDELETE FROM t WHERE k = 1"))
+    assert(SqlDml.isDml("/* audit\n   ticket-123 */ MERGE INTO t USING s ON t.k = s.k " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"))
+    assert(!SqlDml.isDml("SELECT * FROM t"))
+    assert(!SqlDml.isDml("-- DELETE is mentioned here\nSELECT 1"))
+    // the comment-routed statement also EXECUTES correctly (a block
+    // comment: YAML `sql: >` folding would swallow a -- line comment)
+    val loc = table()
+    val after = runSql(loc, "/* purge segment b */ DELETE FROM t WHERE seg = 'b'")
+    assert(after.count() == 2)
+  }
+
   test("a pinned (as_of) target refuses DML") {
     val loc = table()
     val j = ConfigParser.parse(

@@ -753,6 +753,32 @@ class VersionedTableSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("lockfile coordinator: a crashed writer's orphan intent expires with the lease") {
+    val loc = tmp("lockleasing")
+    val root = new org.apache.hadoop.fs.Path(loc)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new org.apache.hadoop.fs.Path(root, "_graft_log")
+    val dst = new org.apache.hadoop.fs.Path(logDir, "v00001.json")
+    val intentDir = new org.apache.hadoop.fs.Path(logDir, ".intent-v00001.json")
+    fs.mkdirs(intentDir)
+    def plantIntent(ts: Long): Unit = {
+      val os = fs.create(new org.apache.hadoop.fs.Path(intentDir,
+        f"$ts%020d-deadbeef"), true)
+      os.close()
+    }
+    val coord = new LockFileCommitCoordinator(settleMillis = 20, leaseMillis = 300)
+    // a FRESH competing intent (crash not yet provable) blocks the win
+    plantIntent(System.currentTimeMillis())
+    assert(!coord.publish(fs, logDir, dst, "{}".getBytes("UTF-8")),
+      "a live-looking smaller intent must win the election")
+    // once it outlives the lease it is ignored AND garbage-collected,
+    // so the table does not become permanently unwritable
+    Thread.sleep(350)
+    assert(coord.publish(fs, logDir, dst, """{"v":1}""".getBytes("UTF-8")),
+      "an expired orphan intent must not block the version forever")
+    assert(fs.exists(dst))
+  }
+
   test("lockfile coordinator: two-writer commit race on a no-CAS store loses zero commits") {
     val loc = tmp("lockrace")
     val prev = VersionedTable.commitCoordinator
