@@ -213,9 +213,14 @@ object ScaleCheck {
     // the suffixed-content generator)
     "ext149_nb_classifier",
     // unigram tokenizer: training is dictionary-bound (the BPE/137
-    // contract), the apply DP is a row-local narrow projection — both
-    // must read ~linear scan cost, the trainer well under
-    "ext151_unigram_train", "ext152_unigram_segment")
+    // contract), the apply DP is per word TYPE + an occurrence join —
+    // both must read ~linear scan cost, the trainer well under
+    "ext151_unigram_train", "ext152_unigram_segment",
+    // NB streaming twin + eval report; unigram streaming twin; the
+    // data-card composition; restore (metadata-only — near-flat);
+    // stream metrics ride fw-stream-shaped drains (~linear)
+    "st52_stream_nb", "st53_stream_unigram", "ext150_nb_eval",
+    "ext153_corpus_report", "fw_restore", "fw_stream_metrics")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
