@@ -208,6 +208,10 @@ object ScaleCheck {
     // SQL DML surface: merge must stay ∝ touched files + arrivals;
     // delete/update ∝ matched rows (DV metadata commits)
     "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit",
+    // round-12: plain-sink generation-pointer publish — the pointer CAS
+    // is per-publish constant; the lifecycle must read ∝ its staged
+    // writes (two fulls + one whole-table merge), ~linear
+    "fw_atomic_sink",
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)

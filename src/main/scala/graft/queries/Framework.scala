@@ -461,6 +461,66 @@ object Framework {
     graft.sinks.VersionedTable.read(s, s"$base/out")
   }
 
+  /** A15's no-partial-output contract on a PLAIN (non-versioned) sink
+    * over an overwrite-only store — the default YAML a config user gets,
+    * with the process coordinator switched to the lockfile election: the
+    * staged swap becomes a generation-pointer publish through the
+    * pluggable [[graft.sinks.CommitCoordinator]] (data in a unique
+    * `_gen/` dir, visibility via a CAS-won `_graft_ptr/vN.json` — no
+    * rename, no create-if-absent anywhere on the publish path). Three
+    * runs: full (superseded — its generation must be purged), full (the
+    * live base), upsert (whole-table merge resolved through the
+    * pointer). Layout postconditions are REQUIREd here; the multi-writer
+    * race, crash window, and vacuum TTL contracts are pinned in
+    * PointerPublishSpec. The read-back resolves the pointer exactly as
+    * the Sources file scan does. */
+  private def fwAtomicSink(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "atomic_sink")
+    rmrf(s, base)
+    val prev = graft.sinks.VersionedTable.commitCoordinator
+    graft.sinks.VersionedTable.setCommitCoordinator(
+      new graft.sinks.LockFileCommitCoordinator(20))
+    try {
+      def yaml(refresh: String, extra: String, sql: String) =
+        s"""job:
+           |  name: fw-atomic-sink
+           |  type: spark-sql
+           |input_tables:
+           |  - name: customer
+           |    source: s3
+           |    location: $d/customer.parquet
+           |output_table:
+           |  name: atomic_out
+           |  target: s3
+           |  location: $base/out
+           |  refresh: $refresh
+           |$extra
+           |sql: >
+           |  $sql
+           |""".stripMargin
+      run(s, yaml("full", "",
+        """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v0' AS version
+          |  FROM customer WHERE c_custkey % 3 = 0""".stripMargin.replace("\n", " ")))
+      run(s, yaml("full", "",
+        """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+          |  'v1' AS version FROM customer""".stripMargin.replace("\n", " ")))
+      run(s, yaml("upsert", "  merge_keys: c_custkey",
+        """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v2' AS version
+          |  FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " ")))
+    } finally graft.sinks.VersionedTable.setCommitCoordinator(prev)
+    val target = new org.apache.hadoop.fs.Path(s"$base/out")
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(target, "_graft_ptr"))
+      .map(_.getPath.getName).sorted
+    require(ptrs.sameElements(Array("v000000000003.json")),
+      s"fw_atomic_sink: three publishes must leave exactly pointer v3: ${ptrs.mkString(",")}")
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(target, "_gen")).length == 1,
+      "fw_atomic_sink: superseded generations must be purged")
+    require(fs.listStatus(target).map(_.getPath.getName).toSet == Set("_gen", "_graft_ptr"),
+      "fw_atomic_sink: no plain-layout data may remain at the root")
+    s.read.parquet(graft.sinks.Sinks.resolveDataPath(s, s"$base/out"))
+  }
+
   private def runAcidLifecycle(s: SparkSession, d: String, base: String): Unit = {
     def yaml(refresh: String, extra: String, sql: String) =
       s"""job:
@@ -2632,6 +2692,12 @@ object Framework {
         |FROM events, mx
         |WHERE (epoch_ns(date_trunc('hour', ts) + INTERVAL 1 HOUR) // 1000000) <= wm_ms
         |GROUP BY 1, 2, 3""".stripMargin)),
+    "fw_atomic_sink" -> Q(fwAtomicSink, Some(
+      """SELECT c_custkey,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 0
+        |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
+        |       CASE WHEN c_custkey % 10 = 0 THEN 'v2' ELSE 'v1' END AS version
+        |FROM customer""".stripMargin)),
     "fw_lockfile_commit" -> Q(fwLockfileCommit, Some(
       """SELECT c_custkey,
         |       CASE WHEN c_custkey % 10 = 0 THEN 0

@@ -52,6 +52,221 @@ object Sinks {
     else sized
   }
 
+  // ------------------------------------------------------------------
+  // Generation-pointer publish — the A15 no-partial-output contract for
+  // PLAIN (non-versioned) sinks on overwrite-only stores.
+  //
+  // The default staged swap (write to `.name.__staging__`, delete the
+  // target, rename staging over it) assumes an atomic directory rename —
+  // exactly the primitive a plain object store lacks, the same gap
+  // [[CommitCoordinator]] closed for versioned manifests. When the
+  // process-wide coordinator is anything other than
+  // [[RenameCommitCoordinator]] (i.e. `spark.graft.commit.coordinator =
+  // lockfile`, or a custom one), every full-rewrite publish switches to
+  // a pointer-file indirection built from the two primitives such
+  // stores do have (PUT-to-unique-key + consistent LIST):
+  //
+  //   <target>/_gen/g-<ts>-<uuid>/    data files (unique dir per write —
+  //                                   never contended, crash leaves an
+  //                                   unreferenced orphan, not a torn table)
+  //   <target>/_graft_ptr/vNNN.json   one pointer per publish, named by a
+  //                                   monotone version and won through
+  //                                   [[VersionedTable.commitCoordinator]]
+  //                                   (exactly-one-writer-wins CAS)
+  //
+  // A publish (a) writes the full result into a fresh generation dir,
+  // (b) CAS-publishes the next pointer version naming that dir (retrying
+  // with the next version on a lost race — full-refresh semantics are
+  // last-writer-wins, so a lost race re-publishes the same generation),
+  // then (c) purges SUPERSEDED state: generations referenced by older
+  // pointers, the older pointers themselves, and any legacy plain-layout
+  // data at the root (the full-refresh purge contract). In-flight
+  // generations — written but not yet pointed at — are deliberately NOT
+  // purged by winners (a concurrent writer may be about to publish
+  // them); a crashed writer's orphan is reclaimed by [[vacuum]] after a
+  // TTL, the lease discipline the coordinator already uses.
+  //
+  // Readers resolve through [[resolveDataPath]] (layout-driven: a
+  // `_graft_ptr` dir means pointer mode regardless of the active
+  // coordinator), which the framework's own read paths (Sources file
+  // scan, upsert/scd2 existing-table reads, compact/cluster) all take.
+  // A raw `spark.read.parquet(target)` on a pointer table fails loudly
+  // (underscore dirs hide every data file) instead of silently reading
+  // a mix of generations. Two windows remain, both documented
+  // table-format territory (`versioned: true` is the snapshot-isolation
+  // tool): a reader that resolved a pointer just before a newer publish
+  // purges that generation mid-scan, and Spark's own task-commit
+  // machinery inside a generation write (the store committer's domain —
+  // generation dirs are single-writer, so only crash debris, never torn
+  // published state). Partitioned upserts on pointer tables take the
+  // whole-table merge (the per-partition rename swap of [[prunedUpsert]]
+  // is rename-store-only); at scale that workload belongs on
+  // `versioned: true`, whose file-level merge carries untouched files by
+  // reference with no rename at all.
+  // ------------------------------------------------------------------
+
+  private[graft] def pointerPublishActive: Boolean =
+    !(VersionedTable.commitCoordinator eq RenameCommitCoordinator)
+
+  private def ptrDir(target: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(target, "_graft_ptr")
+  private def genRoot(target: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(target, "_gen")
+  private val PtrName = "^v([0-9]{12})\\.json$".r
+  private val GenName = "^g-([0-9]{13})-[0-9a-f]{8}$".r
+
+  private def ptrPath(target: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(ptrDir(target), f"v$v%012d.json")
+
+  /** Is `target` in pointer layout (has published or is about to)? */
+  private def usesPointer(fs: org.apache.hadoop.fs.FileSystem,
+                          target: org.apache.hadoop.fs.Path): Boolean =
+    pointerPublishActive || fs.exists(ptrDir(target))
+
+  /** Latest published (version, generation-dir name), if any. */
+  private[graft] def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
+    val vs =
+      try fs.listStatus(ptrDir(target)).flatMap(st => st.getPath.getName match {
+        case PtrName(d) => Some(d.toLong)
+        case _ => None
+      })
+      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+    if (vs.isEmpty) None
+    else {
+      val v = vs.max
+      val in = fs.open(ptrPath(target, v))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                 finally in.close()
+      "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
+        .map(m => (v, m.group(1)))
+    }
+  }
+
+  /** Does `target` hold a readable published table? In pointer layout
+    * only a published pointer counts (a crashed first write leaves
+    * `_gen` debris but no table); otherwise the plain existence check. */
+  private def hasPublished(fs: org.apache.hadoop.fs.FileSystem,
+                           target: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.exists(ptrDir(target))) currentPointer(fs, target).isDefined
+    else fs.exists(target)
+
+  /** The directory the CURRENT table contents live in: the pointed-at
+    * generation for pointer-layout tables, the location itself
+    * otherwise. Every framework read of a plain file sink goes through
+    * here (Sources file scan included), so a table published on an
+    * overwrite-only deployment reads back correctly anywhere. */
+  def resolveDataPath(spark: SparkSession, location: String): String = {
+    val target = new org.apache.hadoop.fs.Path(location)
+    val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val resolved =
+      try currentPointer(fs, target)
+      catch { case _: java.io.IOException => None } // globs, raw files
+    resolved.fold(location)(p => new org.apache.hadoop.fs.Path(genRoot(target), p._2).toString)
+  }
+
+  private def newGenDir(target: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(genRoot(target),
+      f"g-${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** CAS-publish the next pointer version naming `genName`; returns the
+    * version won. A lost race retries at the next version — correct for
+    * full-rewrite semantics (the generation is complete and
+    * self-contained; later pointers simply supersede it). */
+  private def publishPointer(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, genName: String, format: String): Long = {
+    def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val content = s"""{"gen":${j(genName)},"format":${j(format)}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var attempt = 0
+    while (attempt < 50) {
+      val next = currentPointer(fs, target).map(_._1).getOrElse(0L) + 1
+      if (VersionedTable.commitCoordinator.publish(fs, ptrDir(target),
+          ptrPath(target, next), content)) {
+        purgeSuperseded(fs, target, next)
+        return next
+      }
+      attempt += 1
+    }
+    throw new java.io.IOException(
+      s"pointer publish: lost the version race 50 times at '$target'")
+  }
+
+  /** Full-refresh purge, pointer edition: drop pointers below the
+    * winner and the generations they reference, plus any legacy
+    * plain-layout entries at the root (superseded by definition once a
+    * pointer exists). Never touches unreferenced generations — they may
+    * be a concurrent writer's in-flight publish ([[vacuum]] reclaims
+    * crash orphans after the TTL). All best-effort: purge failures
+    * leave garbage, never a wrong table. */
+  private def purgeSuperseded(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, winner: Long): Unit = {
+    val pd = ptrDir(target)
+    val old =
+      try fs.listStatus(pd).map(_.getPath).flatMap(p => p.getName match {
+        case PtrName(d) if d.toLong < winner => Some((d.toLong, p))
+        case _ => None
+      })
+      catch { case _: java.io.IOException => Array.empty[(Long, org.apache.hadoop.fs.Path)] }
+    old.foreach { case (_, p) =>
+      try {
+        val in = fs.open(p)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).foreach { m =>
+          fs.delete(new org.apache.hadoop.fs.Path(genRoot(target), m.group(1)), true)
+        }
+        fs.delete(p, false)
+      } catch { case _: java.io.IOException => () }
+    }
+    // decided elections' intent dirs: any election at or below the
+    // winner is over (its pointer exists, so stragglers fail their
+    // exists-check and never look at these again) — GC the debris a
+    // contested table would otherwise accumulate forever
+    val IntentDir = "^\\.intent-v([0-9]{12})\\.json$".r
+    try fs.listStatus(pd).foreach { st =>
+      st.getPath.getName match {
+        case IntentDir(d) if d.toLong <= winner =>
+          try fs.delete(st.getPath, true)
+          catch { case _: java.io.IOException => () }
+        case _ => ()
+      }
+    } catch { case _: java.io.IOException => () }
+    // legacy plain-layout data at the root (pre-pointer writes)
+    try fs.listStatus(target).foreach { st =>
+      val n = st.getPath.getName
+      if (n != "_gen" && n != "_graft_ptr" && n != "_graft_log")
+        fs.delete(st.getPath, true)
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** The one staged-publish seam every full-rewrite path shares
+    * (full-refresh, whole-table upsert, scd2, [[compact]],
+    * [[clusterZOrder]]): `writeTo` materializes the complete result
+    * into the directory it is given — the target is untouched until the
+    * write succeeds — then the publish is either the atomic delete+
+    * rename swap (rename-capable stores, the default) or a
+    * generation-pointer publish through the configured
+    * [[CommitCoordinator]] (overwrite-only stores). */
+  private[graft] def stagedPublish(spark: SparkSession,
+      target: org.apache.hadoop.fs.Path, fs: org.apache.hadoop.fs.FileSystem,
+      format: String, label: String)(
+      writeTo: org.apache.hadoop.fs.Path => Unit): Unit = {
+    if (usesPointer(fs, target)) {
+      val gen = newGenDir(target)
+      writeTo(gen)
+      publishPointer(fs, target, gen.getName, format): Unit
+    } else {
+      val staging = new org.apache.hadoop.fs.Path(
+        target.getParent, s".${target.getName}.__staging__")
+      fs.delete(staging, true)
+      writeTo(staging)
+      fs.delete(target, true)
+      if (!fs.rename(staging, target))
+        throw new java.io.IOException(s"$label: rename $staging -> $target failed")
+    }
+  }
+
   private def mode(r: Refresh): SaveMode = r match {
     case Refresh.Full        => SaveMode.Overwrite
     case Refresh.Incremental => SaveMode.Append
@@ -237,27 +452,25 @@ object Sinks {
           s"output '${out.name}': refresh upsert requires merge_keys")
         val target = new org.apache.hadoop.fs.Path(location)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(target) && out.partitionKeys.nonEmpty) {
+        if (hasPublished(fs, target) && out.partitionKeys.nonEmpty &&
+            !usesPointer(fs, target)) {
           prunedUpsert(spark, data, out, target, fs, observed)
         } else {
           val merged =
-            if (fs.exists(target)) {
+            if (hasPublished(fs, target)) {
               val existing = spark.read.format(out.format)
-                .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+                .options(graft.sources.Sources.mapOptions(out.options))
+                .load(resolveDataPath(spark, location))
               existing.join(data, out.mergeKeys, "left_anti").unionByName(data)
             } else data
-          val staging = new org.apache.hadoop.fs.Path(
-            target.getParent, s".${target.getName}.__staging__")
-          fs.delete(staging, true)
-          val w = observed(merged).write.format(out.format)
-            .options(graft.sources.Sources.mapOptions(out.options))
-            .mode(SaveMode.Overwrite)
-          (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
-            .save(staging.toString)
-          if (out.manifest) writeManifest(spark, staging, out)
-          fs.delete(target, true)
-          if (!fs.rename(staging, target))
-            throw new java.io.IOException(s"staged upsert: rename $staging -> $target failed")
+          stagedPublish(spark, target, fs, out.format, "staged upsert") { dir =>
+            val w = observed(merged).write.format(out.format)
+              .options(graft.sources.Sources.mapOptions(out.options))
+              .mode(SaveMode.Overwrite)
+            (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
+              .save(dir.toString)
+            if (out.manifest) writeManifest(spark, dir, out)
+          }
         }
 
       case TargetSpec.File(location) if out.refresh == Refresh.Scd2 =>
@@ -285,13 +498,14 @@ object Sinks {
         val target = new org.apache.hadoop.fs.Path(location)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val result =
-          if (!fs.exists(target))
+          if (!hasPublished(fs, target))
             data.withColumn("_valid_from_batch", lit(1))
               .withColumn("_valid_to_batch", lit(null).cast("int"))
               .withColumn("_is_current", lit(true))
           else {
             val existing = spark.read.format(out.format)
-              .options(graft.sources.Sources.mapOptions(out.options)).load(location)
+              .options(graft.sources.Sources.mapOptions(out.options))
+              .load(resolveDataPath(spark, location))
             val batch = existing.agg(
                 org.apache.spark.sql.functions.max(col("_valid_from_batch")))
               .head.getInt(0) + 1
@@ -318,18 +532,14 @@ object Sinks {
                 lit(true).as("_is_current"))): _*)
             history.unionByName(unchanged).unionByName(closed).unionByName(opened)
           }
-        val staging = new org.apache.hadoop.fs.Path(
-          target.getParent, s".${target.getName}.__staging__")
-        fs.delete(staging, true)
-        val w = observed(result).write.format(out.format)
-          .options(graft.sources.Sources.mapOptions(out.options))
-          .mode(SaveMode.Overwrite)
-        (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
-          .save(staging.toString)
-        if (out.manifest) writeManifest(spark, staging, out)
-        fs.delete(target, true)
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(s"staged scd2: rename $staging -> $target failed")
+        stagedPublish(spark, target, fs, out.format, "staged scd2") { dir =>
+          val w = observed(result).write.format(out.format)
+            .options(graft.sources.Sources.mapOptions(out.options))
+            .mode(SaveMode.Overwrite)
+          (if (out.partitionKeys.nonEmpty) w.partitionBy(out.partitionKeys: _*) else w)
+            .save(dir.toString)
+          if (out.manifest) writeManifest(spark, dir, out)
+        }
 
       case TargetSpec.File(location)
           if out.refresh == Refresh.Full && out.partitionKeys.isEmpty =>
@@ -345,19 +555,37 @@ object Sinks {
         // overwrite replaces partitions at job COMMIT time.)
         val target = new org.apache.hadoop.fs.Path(location)
         val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val staging = new org.apache.hadoop.fs.Path(
-          target.getParent, s".${target.getName}.__staging__")
-        fs.delete(staging, true)
-        observed(data).write.format(out.format)
-          .options(graft.sources.Sources.mapOptions(out.options))
-          .mode(SaveMode.Overwrite)
-          .save(staging.toString)
-        if (out.manifest) writeManifest(spark, staging, out)
-        fs.delete(target, true)
-        if (!fs.rename(staging, target))
-          throw new java.io.IOException(s"staged publish: rename $staging -> $target failed")
+        stagedPublish(spark, target, fs, out.format, "staged publish") { dir =>
+          observed(data).write.format(out.format)
+            .options(graft.sources.Sources.mapOptions(out.options))
+            .mode(SaveMode.Overwrite)
+            .save(dir.toString)
+          if (out.manifest) writeManifest(spark, dir, out)
+        }
 
       case TargetSpec.File(location) =>
+        val target = new org.apache.hadoop.fs.Path(location)
+        val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Pointer-layout tables take in-place writes INSIDE the current
+        // generation: appends add unique files, dynamic overwrite
+        // replaces partitions within the generation — the same in-place
+        // visibility semantics these modes have on a plain layout (the
+        // store committer's domain), with the pointer untouched. Only
+        // the FIRST write on an empty pointer table publishes (there is
+        // no generation to append into yet).
+        val (dest, publishAfter) =
+          if (!usesPointer(fs, target))
+            (location, Option.empty[org.apache.hadoop.fs.Path])
+          else currentPointer(fs, target) match {
+            case Some((_, gen)) =>
+              (new org.apache.hadoop.fs.Path(genRoot(target), gen).toString, None)
+            case None =>
+              // first write: publish only after the data lands (two
+              // concurrent FIRST writes race last-writer-wins here —
+              // seed a shared append table with a full refresh first)
+              val gen = newGenDir(target)
+              (gen.toString, Some(gen))
+          }
         val w = observed(data).write.format(out.format)
           .options(graft.sources.Sources.mapOptions(out.options))
           .mode(mode(out.refresh))
@@ -368,11 +596,13 @@ object Sinks {
           w.option("partitionOverwriteMode", "dynamic")
             .partitionBy(out.partitionKeys: _*)
         } else w
-        w2.save(location)
+        w2.save(dest)
         // append/dynamic-overwrite publish is in place, so the manifest
         // lands after the data (non-atomic, refreshed on every run)
         if (out.manifest) writeManifest(spark,
-          new org.apache.hadoop.fs.Path(location), out)
+          new org.apache.hadoop.fs.Path(dest), out)
+        publishAfter.foreach(gen =>
+          publishPointer(fs, target, gen.getName, out.format): Unit)
 
       case TargetSpec.Jdbc(url, table) =>
         // partitioning/file-count knobs don't apply to a database table;
@@ -553,24 +783,25 @@ object Sinks {
     // retain and partition pruning depend on. Compact partitions one at
     // a time (point this at the partition directory), as the scaladoc
     // prescribes — a partitioned root is a named error, not data rot.
-    val partDirs = fs.listStatus(target)
+    // (Pointer-layout tables check the CURRENT generation, where the
+    // partition dirs actually live.)
+    val readPath = resolveDataPath(spark, location)
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(readPath))
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     if (partDirs.nonEmpty) throw new graft.config.ConfigError(
       s"compact: '$location' is a partitioned table root " +
         s"(found ${partDirs.head.getPath.getName}); compact each partition " +
         "directory instead — rewriting the root would flatten the layout")
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.__staging__")
-    fs.delete(staging, true)
-    spark.read.format(format).options(graft.sources.Sources.mapOptions(options))
-      .load(location)
+    val compacted = spark.read.format(format)
+      .options(graft.sources.Sources.mapOptions(options))
+      .load(readPath)
       .coalesce(nFiles)
-      .write.format(format).options(graft.sources.Sources.mapOptions(options))
-      .mode(SaveMode.Overwrite)
-      .save(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"compact: rename $staging -> $target failed")
+    stagedPublish(spark, target, fs, format, "compact") { dir =>
+      compacted.write.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .mode(SaveMode.Overwrite)
+        .save(dir.toString)
+    }
   }
 
   /** Staging-debris vacuum: every staged publish ([[write]]'s overwrite
@@ -585,6 +816,17 @@ object Sinks {
     * vacuum that matched on name alone would turn the recoverable
     * crash into permanent loss. Such recovery candidates are left in
     * place (finish the publish by renaming, then vacuum).
+    *
+    * Pointer-layout tables (overwrite-only deployments) leave a second
+    * debris class: a GENERATION written by a writer that crashed before
+    * its pointer publish. Winners never purge unreferenced generations
+    * (one may be a concurrent in-flight publish), so vacuum reclaims
+    * them here — but only past a TTL (`spark.graft.vacuum.gen.ttl.ms`,
+    * default 1h, the lease discipline the coordinator already uses):
+    * the generation name embeds its creation timestamp, and a gen both
+    * unreferenced and older than the TTL can only be crash debris.
+    * Checked at `location` itself and one level down (tables under a
+    * warehouse dir), matching the staging-debris scope.
     *
     * Scale shape: one directory listing + per-orphan recursive delete —
     * namespace-only, cost ∝ orphan count. Returns the deleted names. */
@@ -604,7 +846,34 @@ object Sinks {
         fs.exists(live)
       }
     orphans.foreach(p => fs.delete(p, true))
-    orphans.map(_.getName).toSeq
+    val ttl = spark.conf.getOption("spark.graft.vacuum.gen.ttl.ms")
+      .map(_.toLong).getOrElse(3600000L)
+    val now = System.currentTimeMillis()
+    val tables = target +: fs.listStatus(target)
+      .filter(_.isDirectory).map(_.getPath).toSeq
+    val genOrphans = tables.filter(t => fs.exists(ptrDir(t))).flatMap { t =>
+      val referenced =
+        try fs.listStatus(ptrDir(t)).flatMap { st =>
+          try {
+            val in = fs.open(st.getPath)
+            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                       finally in.close()
+            "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+          } catch { case _: java.io.IOException => None }
+        }.toSet
+        catch { case _: java.io.FileNotFoundException => Set.empty[String] }
+      val gens =
+        try fs.listStatus(genRoot(t)).map(_.getPath)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
+      gens.filter { g =>
+        !referenced(g.getName) && (g.getName match {
+          case GenName(ts) => now - ts.toLong > ttl
+          case _ => false
+        })
+      }
+    }
+    genOrphans.foreach(p => fs.delete(p, true))
+    orphans.map(_.getName).toSeq ++ genOrphans.map(_.getName)
   }
 
   /** Partition-retention maintenance — the housekeeping twin of
@@ -705,28 +974,25 @@ object Sinks {
     }
     // Same guard as compact: rewriting a Hive-partitioned root would
     // flatten the directory layout. Cluster partition-by-partition.
-    val partDirs = fs.listStatus(target)
+    val readPath = resolveDataPath(spark, location)
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(readPath))
       .filter(st => st.isDirectory && st.getPath.getName.contains("="))
     if (partDirs.nonEmpty) throw new graft.config.ConfigError(
       s"cluster: '$location' is a partitioned table root " +
         s"(found ${partDirs.head.getPath.getName}); cluster each partition " +
         "directory instead — rewriting the root would flatten the layout")
     val df = spark.read.format(format)
-      .options(graft.sources.Sources.mapOptions(options)).load(location)
+      .options(graft.sources.Sources.mapOptions(options)).load(readPath)
     val cols = df.columns
-    val staging = new org.apache.hadoop.fs.Path(
-      target.getParent, s".${target.getName}.__staging__")
-    fs.delete(staging, true)
-    zOrdered(df, clusterBy)
-      .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
-      .sortWithinPartitions("__z")
-      .select(cols.map(org.apache.spark.sql.functions.col): _*)
-      .write.format(format).options(graft.sources.Sources.mapOptions(options))
-      .mode(SaveMode.Overwrite)
-      .save(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"cluster: rename $staging -> $target failed")
+    stagedPublish(spark, target, fs, format, "cluster") { dir =>
+      zOrdered(df, clusterBy)
+        .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
+        .sortWithinPartitions("__z")
+        .select(cols.map(org.apache.spark.sql.functions.col): _*)
+        .write.format(format).options(graft.sources.Sources.mapOptions(options))
+        .mode(SaveMode.Overwrite)
+        .save(dir.toString)
+    }
   }
 
   /** The frame plus its Z-curve position as `__z`: each cluster column

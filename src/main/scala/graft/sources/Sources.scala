@@ -54,7 +54,11 @@ object Sources {
         try org.apache.spark.sql.types.StructType.fromDDL(ddl)
         catch { case e: Exception =>
           throw new ConfigError(s"invalid schema DDL '$ddl': ${e.getMessage}") }))
-      reader.load(location)
+      // pointer-layout tables (plain sinks published on overwrite-only
+      // deployments via the generation-pointer protocol) resolve to
+      // their current generation; everything else reads the location
+      // as-is (one fs.exists probe, driver-side)
+      reader.load(graft.sinks.Sinks.resolveDataPath(spark, location))
 
     case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs, Some(branch)) =>
       // branch HEAD read — the WAP audit scan (parse guarantees no
