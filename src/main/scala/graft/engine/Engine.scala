@@ -271,19 +271,45 @@ object Engine {
     * primitive ([[graft.sinks.CommitCoordinator]]) — a Spark conf so
     * `job.spark_config` / `--conf` pick it without code:
     * `spark.graft.commit.coordinator = rename | lockfile` (+ optional
-    * `spark.graft.commit.lockfile.settle.ms`). Unset keeps the current
-    * process-wide coordinator (default: rename). */
+    * `spark.graft.commit.lockfile.settle.ms` and
+    * `spark.graft.commit.lockfile.lease.ms`). Unset keeps the current
+    * process-wide coordinator (default: rename).
+    *
+    * Config-time validation (r11 ADVICE): the settle window is the
+    * lease election's ONE safety assumption — it must exceed store
+    * visibility lag + writer clock skew, so a tiny value silently
+    * reintroduces the two-winner manifest clobber the coordinator
+    * exists to prevent. Deployments get a 50 ms floor (named error,
+    * not a constructor stack trace); the lease must dominate the
+    * settle (> 2x, same check the constructor `require`s) and is now
+    * configurable for stores with slower GC/pause profiles. Tests
+    * construct the coordinator directly and may use shorter windows —
+    * this floor guards the CONFIG surface a deployment actually uses. */
   private def configureCommitCoordinator(spark: SparkSession): Unit =
     spark.conf.getOption("spark.graft.commit.coordinator").foreach {
       case "rename" =>
         graft.sinks.VersionedTable.setCommitCoordinator(
           graft.sinks.RenameCommitCoordinator)
       case "lockfile" =>
-        val settle = spark.conf
-          .getOption("spark.graft.commit.lockfile.settle.ms")
-          .map(_.trim.toLong).getOrElse(150L)
+        def ms(key: String, default: Long): Long =
+          spark.conf.getOption(key).map { v =>
+            try v.trim.toLong catch {
+              case _: NumberFormatException =>
+                throw new ConfigError(s"$key: '$v' is not a millisecond count")
+            }
+          }.getOrElse(default)
+        val settle = ms("spark.graft.commit.lockfile.settle.ms", 150L)
+        val lease = ms("spark.graft.commit.lockfile.lease.ms", 30000L)
+        if (settle < 50L) throw new ConfigError(
+          s"spark.graft.commit.lockfile.settle.ms: $settle ms is below the " +
+            "50 ms floor — the settle window must exceed store visibility " +
+            "lag + writer clock skew, or two writers can both win a version")
+        if (lease <= 2 * settle) throw new ConfigError(
+          s"spark.graft.commit.lockfile.lease.ms: $lease ms must exceed " +
+            s"2x the settle window (${2 * settle} ms) — a lease a single " +
+            "election can outlive makes crashed-writer GC unsafe")
         graft.sinks.VersionedTable.setCommitCoordinator(
-          new graft.sinks.LockFileCommitCoordinator(settle))
+          new graft.sinks.LockFileCommitCoordinator(settle, lease))
       case other => throw new ConfigError(
         s"spark.graft.commit.coordinator: unknown coordinator '$other' " +
           "(supported: rename, lockfile)")

@@ -116,7 +116,8 @@ object SqlDml {
         if (m.notMatchedBySourceActions.nonEmpty) throw new ConfigError(
           "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported — " +
             "use DELETE FROM ... WHERE for source-absent rows")
-        val keys = equiKeys(m.mergeCondition)
+        val keys = equiKeys(m.mergeCondition,
+          aliasNames(m.targetTable), aliasNames(m.sourceTable))
         val arrivals = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, m.sourceTable)
         val v = graft.sinks.VersionedTable.merge(
           spark, loc, arrivals, keys, fmt, opts,
@@ -163,15 +164,49 @@ object SqlDml {
       s"DML target must be a plain table name, got: ${other.getClass.getSimpleName}")
   }
 
+  /** Names a MERGE side can be referenced by: its alias plus (for plain
+    * relations) the table name itself. */
+  private def aliasNames(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) => aliasNames(child) + id.name
+    case r: UnresolvedRelation => Set(r.multipartIdentifier.last)
+    case _ => Set.empty
+  }
+
   /** `t.k = s.k AND ...` → Seq(k, ...). Any non-equi or cross-named
-    * term is rejected: the versioned merge is keyed row replacement. */
-  private def equiKeys(cond: Expression): Seq[String] = cond match {
-    case And(l, r) => equiKeys(l) ++ equiKeys(r)
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-      if a.nameParts.last == b.nameParts.last => Seq(a.nameParts.last)
-    case other => throw new ConfigError(
-      s"MERGE ON must be a conjunction of same-named equality keys " +
-        s"(t.k = s.k [AND ...]), got: ${other.sql}")
+    * term is rejected: the versioned merge is keyed row replacement.
+    * r11 ADVICE hardening: a qualified side must resolve to the target
+    * or source alias, and a conjunct whose BOTH sides resolve to the
+    * same relation (`ON t.k = t.k`) is rejected — it only coincided
+    * with the intended semantics because the merge is name-keyed.
+    * Repeated key names deduplicate (harmless for a name-keyed merge). */
+  private def equiKeys(cond: Expression, targetNames: Set[String],
+                       sourceNames: Set[String]): Seq[String] = {
+    def side(a: UnresolvedAttribute): Option[String] =
+      if (a.nameParts.size < 2) None // unqualified: name-keyed, unambiguous
+      else {
+        val q = a.nameParts.init.last
+        if (targetNames.contains(q)) Some("target")
+        else if (sourceNames.contains(q)) Some("source")
+        else throw new ConfigError(
+          s"MERGE ON references unknown qualifier '$q' — expected the " +
+            s"target (${targetNames.toSeq.sorted.mkString("/")}) or the " +
+            s"source (${sourceNames.toSeq.sorted.mkString("/")})")
+      }
+    def walk(c: Expression): Seq[String] = c match {
+      case And(l, r) => walk(l) ++ walk(r)
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last == b.nameParts.last =>
+        (side(a), side(b)) match {
+          case (Some(x), Some(y)) if x == y => throw new ConfigError(
+            s"MERGE ON conjunct '${c.sql}' compares the $x to itself — " +
+              "each key must bind the target to the source (t.k = s.k)")
+          case _ => Seq(a.nameParts.last)
+        }
+      case other => throw new ConfigError(
+        s"MERGE ON must be a conjunction of same-named equality keys " +
+          s"(t.k = s.k [AND ...]), got: ${other.sql}")
+    }
+    walk(cond).distinct
   }
 
   /** `t.cents` → `cents`: the versioned DML API evaluates expressions

@@ -336,15 +336,32 @@ object Sinks {
     * globally deterministic and a dictionary attack on low-entropy
     * identifiers (names, phones) needs the key. The fixed literal
     * `graft-mask-v1` remains the DEFAULT only for the oracle-tested
-    * fixture path; production deployments must set the key. Residual
-    * risk even with a key: tokens are deterministic per deployment (by
-    * design, so joins survive masking), so within one release equal
-    * identifiers remain linkable, and the key is visible in the plan
-    * (explain / event logs) on the cluster that runs the mask. */
+    * fixture path; falling back to it gets a LOUD warning (r11 ADVICE:
+    * a production deployment that forgets the conf must not silently
+    * ship dictionary-attackable tokens). A configured key is applied
+    * through a UDF CLOSURE, never a SQL literal, so the secret cannot
+    * serialize into plan text, the Spark UI SQL tab, or event logs —
+    * the one place this repo trades whole-stage codegen for a UDF, and
+    * deliberately: this is a release transform on the sink path, not a
+    * hot scan operator, and secret hygiene beats codegen there.
+    * Residual risk even with a key: tokens are deterministic per
+    * deployment (by design, so joins survive masking), so within one
+    * release equal identifiers remain linkable. */
+  private[graft] val DefaultMaskKey = "graft-mask-v1"
+
   def maskKey(df: DataFrame): String =
     df.sparkSession.conf.getOption("spark.graft.mask.key")
       .orElse(sys.env.get("GRAFT_MASK_KEY"))
-      .getOrElse("graft-mask-v1")
+      .getOrElse(DefaultMaskKey)
+
+  /** Exactly Spark's `substring(sha2(concat(key, ':', s), 256), 1, 16)`
+    * — the two mask paths (default-key codegen'd expression, keyed UDF
+    * closure) must produce identical tokens for the same key. */
+  private def keyedToken(key: String, s: String): String =
+    if (s == null) null
+    else java.security.MessageDigest.getInstance("SHA-256")
+      .digest((key + ":" + s).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString.substring(0, 16)
 
   def applyMask(df: DataFrame, out: OutputTable): DataFrame =
     if (out.mask.isEmpty) df
@@ -353,9 +370,23 @@ object Sinks {
       val missing = out.mask.keys.filterNot(df.columns.contains).toSeq.sorted
       if (missing.nonEmpty) throw new graft.config.ConfigError(
         s"output '${out.name}': mask columns not in the result: ${missing.mkString(", ")}")
-      val key = maskKey(df).replace("\\", "\\\\").replace("'", "\\'")
+      val rawKey = maskKey(df)
+      if (rawKey == DefaultMaskKey && out.mask.valuesIterator.contains("hash"))
+        graft.log.Log.warn(
+          "mask:hash is using the PUBLIC default key — tokens are " +
+            "dictionary-attackable; set spark.graft.mask.key (or " +
+            "GRAFT_MASK_KEY) in production",
+          "output" -> out.name)
+      val key = rawKey.replace("\\", "\\\\").replace("'", "\\'")
       df.select(df.columns.toSeq.map { c =>
         out.mask.get(c) match {
+          case Some("hash") if rawKey != DefaultMaskKey =>
+            // configured secret: UDF closure keeps the key out of plan
+            // text / UI / event logs (see maskKey scaladoc)
+            val k = rawKey
+            org.apache.spark.sql.functions
+              .udf((s: String) => keyedToken(k, s))
+              .apply(col(c).cast("string")).as(c)
           case Some("hash") =>
             expr(s"substring(sha2(concat('$key:', CAST(`$c` AS STRING)), 256), 1, 16)").as(c)
           case Some("null") => lit(null).cast(df.schema(c).dataType).as(c)

@@ -112,20 +112,100 @@ object VersionedTable {
   private def branchManifestPath(root: Path, v: Long, branch: String) =
     new Path(logDir(root), f"v$v%05d@$branch.json")
 
+  private def rebaseMarkerPath(root: Path, branch: String, uuid: String) =
+    new Path(logDir(root), s".rebase-commit-$branch-$uuid.json")
+
+  /** Crashed-rebase recovery (r11 ADVICE): [[rebaseBranch]] decides at
+    * its commit MARKER — everything after (old-manifest deletes, temp→
+    * real publishes, cleanup) is replayable from the marker's recorded
+    * (tmp, versions). A marker found on a branch read means a rebase
+    * crashed mid-publish (or is seconds from finishing — helping is
+    * safe: publishes are CAS'd with identical content, deletes are
+    * idempotent): adopt the recorded lineage, drop stale pre-rebase
+    * manifests outside the recorded version set, clear the marker.
+    * Markerless temp lineages are UNDECIDED debris — the old branch is
+    * intact by construction — and are expired once older than
+    * `spark.graft.rebase.recovery.ttl.ms` (default 10 min; the TTL
+    * keeps recovery from racing a live rebase's own window between
+    * temp-write and marker). */
+  private def recoverRebase(fs: FileSystem, root: Path, branch: String,
+                            names: Seq[String], ttlMillis: Long): Boolean = {
+    val q = java.util.regex.Pattern.quote(branch)
+    val Marker = s"^\\.rebase-commit-$q-[0-9a-f]{8}\\.json$$".r
+    val TmpManifest = s"^v[0-9]+@$q\\.rebase-[0-9a-f]{8}\\.json$$".r
+    val markers = names.filter(n => Marker.pattern.matcher(n).matches())
+    var acted = false
+    markers.foreach { mn =>
+      try {
+        val text = manifestTextAt(fs, new Path(logDir(root), mn))
+        val tmpName = manifestField(text, "tmp")
+        val vs = """"versions":\[([0-9, ]+)\]""".r.findFirstMatchIn(text)
+          .map(_.group(1).split(',').map(_.trim.toLong).toSet)
+        for (tmp <- tmpName; versions <- vs) {
+          versions.toSeq.sorted.foreach { v =>
+            val tmpPath = branchManifestPath(root, v, tmp)
+            if (fs.exists(tmpPath)) {
+              val content = manifestTextAt(fs, tmpPath)
+              // anything at this version under the real name is the old
+              // lineage (possibly version-colliding) — the marker decided
+              fs.delete(branchManifestPath(root, v, branch), false)
+              coordinatorImpl.publish(fs, logDir(root),
+                branchManifestPath(root, v, branch),
+                content.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+              fs.delete(tmpPath, false)
+            } // temp gone = already published (temp deletion follows publish)
+          }
+          // stale pre-rebase lineage outside the recorded set
+          val suffix = s"@$branch.json"
+          fs.listStatus(logDir(root)).map(_.getPath.getName)
+            .collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
+              (n.stripPrefix("v").stripSuffix(suffix).toLong, n) }
+            .filterNot { case (v, _) => versions(v) }
+            .foreach { case (_, n) => fs.delete(new Path(logDir(root), n), false) }
+          fs.delete(new Path(logDir(root), mn), false)
+          acted = true
+        }
+      } catch { case _: java.io.IOException => () } // torn/contended: retry next read
+    }
+    // markerless temp debris: the rebase never decided — expire past TTL
+    val now = System.currentTimeMillis()
+    names.filter(n => TmpManifest.pattern.matcher(n).matches()).foreach { n =>
+      try {
+        val p = new Path(logDir(root), n)
+        if (now - fs.getFileStatus(p).getModificationTime > ttlMillis) {
+          fs.delete(p, false); acted = true
+        }
+      } catch { case _: java.io.IOException => () }
+    }
+    acted
+  }
+
   /** Committed versions on `branch`, ascending (empty if the branch does
     * not exist). Branch version numbers continue the parent's sequence
-    * from the fork point. */
+    * from the fork point. Finishes any crashed rebase it finds first
+    * ([[recoverRebase]]), so a branch is never unreadable under its real
+    * name because a rebase died mid-publish. */
   def branchVersions(spark: SparkSession, location: String,
                      branch: String): Seq[Long] = {
     val root = new Path(location)
     val fs = fsFor(spark, root)
     val suffix = s"@$branch.json"
     if (!fs.exists(logDir(root))) Seq.empty
-    else fs.listStatus(logDir(root)).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
+    else {
+      var names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+      // cheap name probe first — recovery work only when rebase debris
+      // for THIS branch is actually present
+      if (names.exists(n => n.startsWith(s".rebase-commit-$branch-") ||
+            n.contains(s"@$branch.rebase-"))) {
+        val ttl = spark.conf.getOption("spark.graft.rebase.recovery.ttl.ms")
+          .map(_.toLong).getOrElse(600000L)
+        if (recoverRebase(fs, root, branch, names, ttl))
+          names = fs.listStatus(logDir(root)).toSeq.map(_.getPath.getName)
+      }
+      names.collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
         n.stripPrefix("v").stripSuffix(suffix).toLong }
-      .sorted
+        .sorted
+    }
   }
 
   private def jstr(s: String): String = "\"" + s.flatMap {
@@ -1379,29 +1459,48 @@ object VersionedTable {
     // rewrite the branch lineage CRASH-SAFELY: the complete new lineage
     // (fork + append) is written under a TEMP branch name first, so the
     // staged data files are referenced by at least one full lineage at
-    // every instant — a crash anywhere leaves them vacuum-proof and the
-    // work readable (under the old name before the deletes, under the
-    // temp name after; recovery = rename the temp manifests back). The
+    // every instant — a crash anywhere leaves them vacuum-proof. The
     // old delete-first order had a window where the branch held zero
     // manifests and the staged files were eligible for reclamation.
     // Temp names can't collide with old manifests even when the new
     // main head's version number overlaps the old staged range.
-    val tmpBranch = s"$branch.rebase-${java.util.UUID.randomUUID().toString.take(8)}"
+    val uuid = java.util.UUID.randomUUID().toString.take(8)
+    val tmpBranch = s"$branch.rebase-$uuid"
     val forkText = headText.replaceFirst(""""mode":"[^"]*"""", """"mode":"branch"""")
     writeRawManifest(fs, root, branchManifestPath(root, mainLatest, tmpBranch), forkText)
     if (!writeManifestCas(fs, root, mainLatest + 1, "append", sized, None,
       statsCarry, dvCarry, Some(tmpBranch)))
       throw new java.util.ConcurrentModificationException(
         s"versioned rebase: branch '$branch' raced at '$location'")
+    // COMMIT MARKER: from this instant the rebase is DECIDED — a crash
+    // anywhere below is finished by the next branch read
+    // ([[recoverRebase]] adopts the recorded lineage). Without the
+    // marker a crash leaves the old branch intact and the temp lineage
+    // is expired as debris. Published via the coordinator (never torn);
+    // the uuid-unique name means the CAS always wins.
+    val marker = rebaseMarkerPath(root, branch, uuid)
+    writeRawManifest(fs, root, marker,
+      s"""{"branch":${jstr(branch)},"tmp":${jstr(tmpBranch)},""" +
+        s""""versions":[$mainLatest,${mainLatest + 1}]}""")
     bvs.foreach(v => fs.delete(branchManifestPath(root, v, branch), false))
-    // atomic no-overwrite renames publish the new lineage under the
-    // real name — fork first so the branch reappears base-first
+    // publish the new lineage under the real name THROUGH the
+    // coordinator (r11 ADVICE: the direct FileContext.rename here made
+    // rebase the one non-atomic publish on a lockfile deployment) —
+    // fork first so the branch reappears base-first. A CAS loss against
+    // IDENTICAL content means a concurrent recovery already adopted
+    // this very manifest (benign); anything else is a real race.
     Seq(mainLatest, mainLatest + 1).foreach { v =>
-      val fc = org.apache.hadoop.fs.FileContext.getFileContext(root.toUri, fs.getConf)
-      fc.rename(branchManifestPath(root, v, tmpBranch),
-        branchManifestPath(root, v, branch),
-        org.apache.hadoop.fs.Options.Rename.NONE)
+      val tmpPath = branchManifestPath(root, v, tmpBranch)
+      val text = manifestTextAt(fs, tmpPath)
+      val dst = branchManifestPath(root, v, branch)
+      if (!coordinatorImpl.publish(fs, logDir(root), dst,
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &&
+          manifestTextAt(fs, dst) != text)
+        throw new java.util.ConcurrentModificationException(
+          s"versioned rebase: branch '$branch' manifest v$v raced at '$location'")
+      fs.delete(tmpPath, false)
     }
+    fs.delete(marker, false)
     graft.log.Log.info("versioned branch rebased",
       "location" -> location, "branch" -> branch,
       "new_base" -> s"v$mainLatest", "staged_files" -> staged.size.toString)

@@ -99,6 +99,35 @@ class SqlDmlSpec extends SparkSpec {
     assert(err("DELETE FRM t WHERE k = 1").contains("failed to parse"))
   }
 
+  test("MERGE ON binding: self-comparisons and unknown qualifiers reject; duplicate keys dedupe") {
+    val loc = table()
+    def err(sql: String): String =
+      intercept[ConfigError](runSql(loc, sql)).getMessage
+    spark.createDataFrame(Seq((3, 99L, "z")))
+      .toDF("k", "cents", "seg").createOrReplaceTempView("arrivals2")
+    // degenerate ON t.k = t.k: both sides the target — previously
+    // accepted because the merge is name-keyed; now a named error
+    val e1 = err(
+      """MERGE INTO t USING (SELECT * FROM arrivals2) s ON t.k = t.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(e1.contains("compares the target to itself"), e1)
+    val e2 = err(
+      """MERGE INTO t USING (SELECT * FROM arrivals2) s ON s.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(e2.contains("compares the source to itself"), e2)
+    // a qualifier naming neither side is a typo, not a key
+    val e3 = err(
+      """MERGE INTO t USING (SELECT * FROM arrivals2) s ON t.k = x.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(e3.contains("unknown qualifier 'x'"), e3)
+    // duplicated conjuncts dedupe: the merge keys on k once
+    val after = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM arrivals2) s
+        |ON t.k = s.k AND t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(after.filter($"k" === 3).head().getAs[Long]("cents") == 99L)
+  }
+
   test("isDml: leading comments and whitespace do not bypass the router") {
     assert(SqlDml.isDml("DELETE FROM t WHERE k = 1"))
     assert(SqlDml.isDml("  \n-- rollback bad rows\nDELETE FROM t WHERE k = 1"))

@@ -726,6 +726,86 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.branches(spark, loc).toSet == Set("exp", "ow"))
   }
 
+  test("rebase crash recovery: a marker-decided rebase is finished by the next branch read; undecided debris expires") {
+    // coordinator that delegates to the rename one but dies on its Nth
+    // publish — replays the exact crash points of rebaseBranch's publish
+    // sequence: temp fork (1), temp append CAS (2), commit marker (3),
+    // real fork (4), real append (5)
+    final class FailNth(n: Int) extends CommitCoordinator {
+      private var count = 0
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+                  logDir: org.apache.hadoop.fs.Path,
+                  dst: org.apache.hadoop.fs.Path,
+                  content: Array[Byte]): Boolean = {
+        count += 1
+        if (count == n) throw new java.io.IOException("injected crash")
+        RenameCommitCoordinator.publish(fs, logDir, dst, content)
+      }
+    }
+    def logFiles(loc: String) =
+      new java.io.File(s"$loc/_graft_log").listFiles().map(_.getName).toSeq
+    val prev = VersionedTable.commitCoordinator
+
+    // DECIDED crash: dies after the commit marker, before any real-name
+    // publish — the old lineage is deleted and the branch would be
+    // unreadable under its real name; the next read must finish the job
+    val loc = tmp("br-crash")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc, "exp")
+    VersionedTable.branchCommit(spark, loc, "exp", Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc, Seq((9, "z")).toDF("k", "v"), "append")
+    VersionedTable.setCommitCoordinator(new FailNth(4))
+    try intercept[java.io.IOException](VersionedTable.rebaseBranch(spark, loc, "exp"))
+    finally VersionedTable.setCommitCoordinator(prev)
+    assert(logFiles(loc).exists(_.startsWith(".rebase-commit-exp-")),
+      "the decision marker must survive the crash")
+    assert(rows(VersionedTable.readBranch(spark, loc, "exp")) ==
+      Set((1, "a"), (9, "z"), (2, "b")),
+      "the next branch read must adopt the decided lineage")
+    assert(!logFiles(loc).exists(_.contains("rebase-")),
+      s"recovery must clear all rebase debris: ${logFiles(loc)}")
+
+    // mid-publish crash: real fork published, real append not — same
+    // recovery, idempotent over the already-published half
+    val loc2 = tmp("br-crash2")
+    VersionedTable.commit(spark, loc2, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc2, "exp")
+    VersionedTable.branchCommit(spark, loc2, "exp", Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc2, Seq((9, "z")).toDF("k", "v"), "append")
+    VersionedTable.setCommitCoordinator(new FailNth(5))
+    try intercept[java.io.IOException](VersionedTable.rebaseBranch(spark, loc2, "exp"))
+    finally VersionedTable.setCommitCoordinator(prev)
+    assert(rows(VersionedTable.readBranch(spark, loc2, "exp")) ==
+      Set((1, "a"), (9, "z"), (2, "b")))
+    assert(!logFiles(loc2).exists(_.contains("rebase-")))
+
+    // UNDECIDED crash: dies writing the marker — the old branch is
+    // intact by construction; the temp lineage is debris that expires
+    // past the TTL, and a rerun of the rebase then succeeds
+    val loc3 = tmp("br-crash3")
+    VersionedTable.commit(spark, loc3, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc3, "exp")
+    VersionedTable.branchCommit(spark, loc3, "exp", Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc3, Seq((9, "z")).toDF("k", "v"), "append")
+    VersionedTable.setCommitCoordinator(new FailNth(3))
+    try intercept[java.io.IOException](VersionedTable.rebaseBranch(spark, loc3, "exp"))
+    finally VersionedTable.setCommitCoordinator(prev)
+    // fresh debris is left alone (a live rebase may own it)
+    assert(rows(VersionedTable.readBranch(spark, loc3, "exp")) == Set((1, "a"), (2, "b")),
+      "an undecided rebase leaves the old branch intact")
+    assert(logFiles(loc3).exists(_.contains("@exp.rebase-")))
+    Thread.sleep(50)
+    spark.conf.set("spark.graft.rebase.recovery.ttl.ms", "10")
+    try {
+      assert(rows(VersionedTable.readBranch(spark, loc3, "exp")) == Set((1, "a"), (2, "b")))
+      assert(!logFiles(loc3).exists(_.contains("rebase-")),
+        s"expired undecided debris must be cleared: ${logFiles(loc3)}")
+    } finally spark.conf.unset("spark.graft.rebase.recovery.ttl.ms")
+    VersionedTable.rebaseBranch(spark, loc3, "exp")
+    assert(rows(VersionedTable.readBranch(spark, loc3, "exp")) ==
+      Set((1, "a"), (9, "z"), (2, "b")))
+  }
+
   test("LockFileCommitCoordinator: exactly one of N concurrent publishers wins a version") {
     // the coordinator restricts itself to overwrite-only-store primitives
     // (PUT to a unique key, LIST, EXISTS — never rename/create-if-absent),
