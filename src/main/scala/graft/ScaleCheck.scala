@@ -212,6 +212,11 @@ object ScaleCheck {
     // is per-publish constant; the lifecycle must read ∝ its staged
     // writes (two fulls + one whole-table merge), ~linear
     "fw_atomic_sink",
+    // round-12: the ext121 quadratic behind the ext89 cell cap — at 10x
+    // every natural cell (~2000 members) exceeds the 256 cap, so the
+    // job routes them to the report instead of the cell² pair join and
+    // must read FAR below ext121's uncapped 54.7x
+    "ext154_mutual_knn_capped",
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)

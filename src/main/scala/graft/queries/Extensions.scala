@@ -3649,6 +3649,53 @@ ${OracleSql.InvIndex}
              |FROM g a JOIN g b ON a.src = b.nid AND a.nid = b.src
              |WHERE a.src < a.nid""".stripMargin)),
 
+    // Mutual kNN with the ext89 bucket-cap discipline applied to CELLS
+    // (r11 verdict #2: ext121's per-cell quadratic read 54.7x at 10x
+    // with no guard): the planted 300-vector cell exceeds the 256 cap
+    // and is never pair-joined (300² scorings avoided) — its members
+    // return in the capped report with exact accounting; natural cells
+    // pass the cap and their mutual pairs are IDENTICAL to ext121's on
+    // that corpus (SimilaritySpec pins the below-cap equality). A
+    // NATURAL cell over the cap gets the self-describing UNEXPECTED
+    // kind (the ext89 fixture-drift discipline), not a silent skip.
+    "ext154_mutual_knn_capped" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val planted = (1 to 300).map(i =>
+          (-i.toLong, Array.fill(64)(0.5f), -1)).toDF("vec_id", "embedding", "label")
+        val corpus = emb(s, d).unionByName(planted)
+        val (pairs, capped) = Similarity.mutualKnnCapped(
+          corpus, "vec_id", "embedding", "label", 3, maxCell = 256)
+        pairs.select(lit("pair").as("kind"), col("doc_a"), col("doc_b"), col("cosine"))
+          .unionByName(capped.select(
+            when(col("cell") < 0, "capped")
+              .otherwise("UNEXPECTED_natural_cell_over_cap").as("kind"),
+            col("id").as("doc_a"),
+            col("cell_size").as("doc_b"),
+            col("cell").cast("double").as("cosine")))
+      },
+      Some("""WITH cells AS (
+             |  SELECT label, count(*) AS cs FROM embeddings
+             |  WHERE label IS NOT NULL GROUP BY 1
+             |), sim AS (
+             |  SELECT a.vec_id AS src, b.vec_id AS nid,
+             |         round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+             |  FROM embeddings a JOIN embeddings b
+             |    ON a.label = b.label AND a.vec_id <> b.vec_id
+             |  JOIN cells c ON c.label = a.label AND c.cs <= 256
+             |), g AS (
+             |  SELECT src, nid, cosine FROM (
+             |    SELECT src, nid, cosine,
+             |           row_number() OVER (PARTITION BY src ORDER BY cosine DESC, nid) AS rnk
+             |    FROM sim) WHERE rnk <= 3
+             |)
+             |SELECT 'pair' AS kind, a.src AS doc_a, a.nid AS doc_b, a.cosine
+             |FROM g a JOIN g b ON a.src = b.nid AND a.nid = b.src
+             |WHERE a.src < a.nid
+             |UNION ALL
+             |SELECT 'capped', -CAST(i AS BIGINT), CAST(300 AS BIGINT), CAST(-1 AS DOUBLE)
+             |FROM range(1, 301) r(i)""".stripMargin)),
+
     // Embedding-space drift: pairwise distances between per-label mean
     // embeddings — the geometric complement to ext122's token drift.
     // One µ-quantized sum pass; mean rounds once; pairwise squared L2 /

@@ -127,6 +127,40 @@ class SimilaritySpec extends SparkSpec {
     assert(r(2) == ((1L, "127000000,-127000000")))
   }
 
+  test("knnGraphCapped/mutualKnnCapped: below-cap output identical to uncapped; over-cap cells report, never pair") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // plant one oversized cell: 150 members vs cap 100; natural
+    // sf0.001 cells are ~50 and pass
+    val planted = (1 to 150).map(i =>
+      (-i.toLong, Array.fill(64)(0.5f), -1)).toDF("vec_id", "embedding", "label")
+    val corpus = e.unionByName(planted)
+    val (edges, capped) = Similarity.knnGraphCapped(
+      corpus, "vec_id", "embedding", "label", 3, maxCell = 100)
+    def edgeRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    // BELOW-CAP EQUALITY: the capped graph over passing cells is
+    // byte-identical to the uncapped graph on the same cells
+    assert(edgeRows(edges) ==
+      edgeRows(Similarity.knnGraph(e, "vec_id", "embedding", "label", 3)))
+    // the oversized cell never pair-joins: every member reported once,
+    // with exact accounting
+    val rep = capped.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rep.length == 150)
+    assert(rep.forall { case (cell, size, id) => cell == -1 && size == 150L && id < 0 })
+    assert(edges.filter(col("src") < 0 || col("nid") < 0).isEmpty)
+    // the mutual twin inherits both halves
+    val (mp, mc) = Similarity.mutualKnnCapped(
+      corpus, "vec_id", "embedding", "label", 3, maxCell = 100)
+    def pairRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairRows(mp) ==
+      pairRows(Similarity.mutualKnn(e, "vec_id", "embedding", "label", 3)))
+    assert(mc.count() == 150)
+    // guard rails
+    intercept[IllegalArgumentException](
+      Similarity.knnGraphCapped(corpus, "vec_id", "embedding", "label", 3, 1))
+  }
+
   test("semanticDedup: first occurrence wins inside a cluster, blind across") {
     import spark.implicits._
     val df = Seq(
