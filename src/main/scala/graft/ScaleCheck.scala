@@ -217,6 +217,11 @@ object ScaleCheck {
     // job routes them to the report instead of the cell² pair join and
     // must read FAR below ext121's uncapped 54.7x
     "ext154_mutual_knn_capped",
+    // round-12: retrieval with the query panel PINNED while the corpus
+    // grows 10x — must read ~flat-to-linear-in-corpus, the measured
+    // form of the claim ext44/ext99's both-sides-growing ~19x readings
+    // previously argued
+    "ext155_tfidf_fixed_panel", "ext156_bm25_fixed_panel",
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)

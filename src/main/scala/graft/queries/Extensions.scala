@@ -70,7 +70,7 @@ object Extensions {
     "me", "rge", "ro", "ke", "the", "ag", "par", "fa", "slo", "big",
     "row", "key") ++ ('a' to 'z').map(_.toString)
 
-  val all: Seq[(String, Q)] = Seq(
+  private val base: Seq[(String, Q)] = Seq(
 
     // Perceptual (decoded-pixel) media dedup — closes the round-6 gap
     // that dedupBySignature hashes BYTES, so re-encodings of the same
@@ -4870,6 +4870,36 @@ ${OracleSql.InvIndex}
              |       CAST((1000 * l.top_lang_n) // v.n_docs AS BIGINT) AS top_lang_milli
              |FROM vol v JOIN dup d USING (source) JOIN lg l USING (source)""".stripMargin))
   )
+
+  /** FIXED-QUERY-PANEL twins of ext44/ext99 (r11 verdict #3): retrieval
+    * serving a PINNED query panel while the corpus grows — the workload
+    * shape the BASELINE note previously ARGUED reads ~flat (ext44/ext99
+    * grow queries ×10 AND postings ×10, so their ~19× 10× readings are
+    * linear-in-grown-workload, not quadratic; this pair MEASURES the
+    * panel-pinned claim). The `doc_id < 10000000` bound is a no-op at
+    * every oracle SF (all base doc_ids sit below it) — the twins share
+    * ext44/ext99's oracles verbatim — but under the ScaleCheck
+    * generator's +i·10M id shift it pins the panel to the base copy
+    * while the corpus side still grows ×10. */
+  private def fixedPanelTwins: Seq[(String, Q)] = {
+    def oracleOf(name: String): Option[String] =
+      base.collectFirst { case (n, q) if n == name => q }.flatMap(_.oracle)
+    def panel(scorer: (DataFrame, DataFrame) => DataFrame)
+        : (SparkSession, String) => DataFrame = (s, d) => {
+      val all = docs(s, d)
+      scorer(all.filter(col("doc_id") % 50 =!= 0),
+        all.filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000000L))
+    }
+    Seq(
+      "ext155_tfidf_fixed_panel" -> Q(
+        panel(TextAnalysis.tfidfTopK(_, _, "doc_id", "text", k = 5)),
+        oracleOf("ext44_tfidf_topk")),
+      "ext156_bm25_fixed_panel" -> Q(
+        panel(TextAnalysis.bm25TopK(_, _, "doc_id", "text", k = 5)),
+        oracleOf("ext99_bm25_topk")))
+  }
+
+  val all: Seq[(String, Q)] = base ++ fixedPanelTwins
 
   /** ext152's full train+apply oracle — shared verbatim with the
     * streaming twin st53 (a def: referenced from the Seq above). */
