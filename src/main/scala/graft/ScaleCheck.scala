@@ -222,6 +222,10 @@ object ScaleCheck {
     // form of the claim ext44/ext99's both-sides-growing ~19x readings
     // previously argued
     "ext155_tfidf_fixed_panel", "ext156_bm25_fixed_panel",
+    // round-12: versioned-table CDC source — bootstrap reads the
+    // snapshot once; incremental drains read ONLY the drained commits'
+    // added files — the lifecycle must read ~linear in the table writes
+    "st54_stream_cdc_source",
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)

@@ -399,6 +399,58 @@ ${OracleSql.InvIndex}
     // shuffle-free generate pass, so it runs UNCHANGED on the unbounded
     // stream — no watermark, no state store; each arriving doc chunks
     // itself. Oracle: the same full boundary replay as ext61.
+    // VERSIONED TABLE AS A STREAM (r11 verdict #4): three engine
+    // commits drained by repeated CDC drains keyed by the checkpoint's
+    // last-seen version. Drain 1 = the initial-snapshot bootstrap
+    // (tagged v1); drain 2 = changesBetween(1, 3) with per-commit tags;
+    // drain 3 = REQUIREd empty (up-to-date checkpoint drains nothing).
+    // The accumulated union is REQUIREd equal to the snapshot +
+    // changesBetween fold, and the oracle replays it closed-form from
+    // customer (%3 slice -> version & commit). Crash replay-skip and
+    // the non-append refusal are pinned in VersionedTableSpec.
+    "st54_stream_cdc_source" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "cdc_source")
+        val loc = s"$base/tbl"; val ckpt = s"$base/ckpt"
+        import graft.sinks.VersionedTable
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 0).withColumn("version", lit("v1")),
+          "overwrite")
+        val drains = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
+        val d1 = Streams.drainVersionedChanges(s, loc, ckpt)((df, _, _) => drains += df)
+        require(d1.contains((0L, 1L)),
+          s"st54: bootstrap drain must cover (0,1], got $d1")
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 1).withColumn("version", lit("v2")),
+          "append")
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 2).withColumn("version", lit("v3")),
+          "append")
+        val d2 = Streams.drainVersionedChanges(s, loc, ckpt)((df, _, _) => drains += df)
+        require(d2.contains((1L, 3L)),
+          s"st54: incremental drain must cover (1,3], got $d2")
+        val d3 = Streams.drainVersionedChanges(s, loc, ckpt)((df, _, _) => drains += df)
+        require(d3.isEmpty, "st54: an up-to-date checkpoint must drain nothing")
+        val acc = drains.reduce(_ unionByName _)
+        // the drained union IS the changesBetween fold — asserted, not argued
+        val fold = VersionedTable.read(s, loc, Some(1L))
+          .withColumn("_commit_version", lit(1L))
+          .unionByName(VersionedTable.changesBetween(s, loc, 1L, 3L))
+        require(acc.exceptAll(fold).isEmpty && fold.exceptAll(acc).isEmpty,
+          "st54: drains must equal the snapshot + changesBetween fold")
+        acc
+      },
+      Some("""SELECT c_custkey,
+             |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             |       CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'v1'
+             |            WHEN 1 THEN 'v2' ELSE 'v3' END AS version,
+             |       CAST(c_custkey % 3 + 1 AS BIGINT) AS _commit_version
+             |FROM customer""".stripMargin)),
+
     "st15_stream_cdc" -> Q(
       (s, d) => Streams.runToMemory(s,
         graft.operators.TextAnalysis.cdcChunks(

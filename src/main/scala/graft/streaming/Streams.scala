@@ -676,6 +676,79 @@ object Streams {
     * fresh checkpoint, the partition count is free to choose here — 8
     * keeps ample parallelism for the state sizes these bounded drains
     * see. Restored after the run. */
+  /** VERSIONED TABLE AS A STREAM — the CDC source (r11 verdict #4):
+    * each availableNow-style DRAIN delivers exactly the rows appended
+    * since the checkpoint's last-seen version, as
+    * [[graft.sinks.VersionedTable.changesBetween]] computes them
+    * (per-row `_commit_version` included), and advances the checkpoint
+    * only AFTER `process` returns — a crash mid-batch replays the same
+    * delta next drain, and EXACTLY-ONCE falls out when the downstream
+    * is the versioned txn sink keyed (checkpoint id, toVersion): the
+    * replay's commit is a no-op (pinned in VersionedTableSpec).
+    *
+    * The FIRST drain (no offset yet) is the INITIAL SNAPSHOT — the
+    * standard CDC bootstrap (the Delta readStream shape): the latest
+    * snapshot tagged with its version, offset = that version. Later
+    * drains inherit changesBetween's contract verbatim: an overwrite /
+    * delete / restore commit inside the drained range REFUSES by name
+    * (its row-level delta is a two-snapshot diff, not an append scan) —
+    * the stream never silently misreads a non-append history.
+    *
+    * Scale shape: after bootstrap a drain reads ONLY the files the
+    * drained commits added (manifest set difference — never a table
+    * scan); offset state is one tiny JSON per checkpoint, single-writer
+    * (the Spark checkpoint-dir contract). Returns the drained
+    * (fromVersion, toVersion], or None when nothing is new. */
+  def drainVersionedChanges(spark: SparkSession, location: String,
+      checkpointDir: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty)
+      (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val ckpt = new Path(checkpointDir)
+    val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val offsetPath = new Path(ckpt, "_graft_cdc_offset.json")
+    val lastSeen: Option[Long] =
+      if (!fs.exists(offsetPath)) None
+      else {
+        val in = fs.open(offsetPath)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        """"version"\s*:\s*(\d+)""".r.findFirstMatchIn(text).map(_.group(1).toLong)
+      }
+    val vs = graft.sinks.VersionedTable.versions(spark, location)
+    require(vs.nonEmpty, s"cdc drain: '$location' is not a versioned table")
+    val latest = vs.last
+    val drained = lastSeen match {
+      case Some(from) if from >= latest => None
+      case Some(from) =>
+        process(graft.sinks.VersionedTable.changesBetween(
+          spark, location, from, latest, format, options), from, latest)
+        Some((from, latest))
+      case None =>
+        process(graft.sinks.VersionedTable
+          .read(spark, location, Some(latest), format, options)
+          .withColumn("_commit_version",
+            org.apache.spark.sql.functions.lit(latest)), 0L, latest)
+        Some((0L, latest))
+    }
+    drained.foreach { case (_, to) =>
+      // advance only after the batch completed; temp write + rename so
+      // a crashed offset write can never leave a torn offset
+      fs.mkdirs(ckpt)
+      val tmp = new Path(ckpt,
+        s".offset-${java.util.UUID.randomUUID().toString.take(8)}")
+      val os = fs.create(tmp, true)
+      try os.write(s"""{"version":$to}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      fs.delete(offsetPath, false)
+      if (!fs.rename(tmp, offsetPath))
+        throw new java.io.IOException(
+          s"cdc drain: offset publish failed at $offsetPath")
+    }
+    drained
+  }
+
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,
                   mode: OutputMode): DataFrame = {
     spark.catalog.dropTempView(name)

@@ -726,6 +726,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.branches(spark, loc).toSet == Set("exp", "ow"))
   }
 
+  test("CDC source drains: bootstrap + incremental, crash replay skipped by the txn sink, non-append refusal") {
+    val loc = tmp("cdcsrc"); val ckpt = tmp("cdcsrc-ckpt"); val out = tmp("cdcsrc-out")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), "overwrite")
+    // exactly-once composition: each drained batch commits into a
+    // versioned sink keyed (checkpoint id, toVersion)
+    def drainToOut() = graft.streaming.Streams.drainVersionedChanges(
+      spark, loc, ckpt) { (df, _, to) =>
+      VersionedTable.commit(spark, out, df, "append",
+        txn = Some((s"cdc:$ckpt", to))): Unit
+    }
+    def outRows = VersionedTable.read(spark, out).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(drainToOut() == Some((0L, 1L)), "bootstrap covers (0,1]")
+    VersionedTable.commit(spark, loc, Seq((3, "c")).toDF("k", "v"), "append")
+    assert(drainToOut() == Some((1L, 2L)), "incremental covers (1,2]")
+    val expect = Set((1, "a", 1L), (2, "b", 1L), (3, "c", 2L))
+    assert(outRows == expect)
+    val outVersionsBefore = VersionedTable.versions(spark, out)
+    // CRASH REPLAY: the offset write was lost — rewind it by hand; the
+    // re-drain reprocesses (1,2] but the txn sink skips the replayed
+    // commit, so nothing lands twice
+    val offsetPath = new org.apache.hadoop.fs.Path(ckpt, "_graft_cdc_offset.json")
+    val fs = offsetPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(offsetPath, true)
+    try os.write("""{"version":1}""".getBytes("UTF-8")) finally os.close()
+    assert(drainToOut() == Some((1L, 2L)), "the replayed drain re-covers (1,2]")
+    assert(outRows == expect, "replay must not duplicate rows")
+    assert(VersionedTable.versions(spark, out) == outVersionsBefore,
+      "the replayed commit must be a txn no-op")
+    // up to date: nothing drains, the offset stays
+    assert(drainToOut().isEmpty)
+    // NON-APPEND history refuses by name (the changesBetween contract)
+    VersionedTable.deleteWhere(spark, loc, "k = 1")
+    val e = intercept[graft.config.ConfigError](drainToOut())
+    assert(e.getMessage.contains("diffVersions"), e.getMessage)
+  }
+
   test("rebase crash recovery: a marker-decided rebase is finished by the next branch read; undecided debris expires") {
     // coordinator that delegates to the rename one but dies on its Nth
     // publish — replays the exact crash points of rebaseBranch's publish
