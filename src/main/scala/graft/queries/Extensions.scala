@@ -4092,20 +4092,37 @@ ${OracleSql.InvIndex}
             col("n_subwords").as("bpe_subwords"))
         val wp = TextAnalysis.wordpieceSegment(all, "doc_id", "text", iters = 8)
           .select(col("doc_id"), col("n_subwords").as("wp_subwords"))
-        bpe.join(wp, "doc_id")
+        // r11 verdict #5: the THIRD trainer joins the bakeoff — unigram
+        // fertility over ITS OWN segmentable-word denominator (each
+        // model's fertility is per-model; bpe/wp share a word filter by
+        // construction, unigram's apply join defines its own)
+        val ug = TextAnalysis.unigramSegment(all, "doc_id", "text",
+            vocabSize = 64, iters = 1)
+          .select(col("doc_id"), col("n_words").as("ug_words"),
+            col("n_subwords").as("ug_subwords"))
+        bpe.join(wp, "doc_id").join(ug, "doc_id")
           .join(all.select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"))
           .agg(
             expr("CAST(sum(bpe_subwords) * 1000 DIV sum(n_words) AS BIGINT)")
               .as("bpe_fert_milli"),
             expr("CAST(sum(wp_subwords) * 1000 DIV sum(n_words) AS BIGINT)")
-              .as("wp_fert_milli"))
+              .as("wp_fert_milli"),
+            expr("CAST(sum(ug_subwords) * 1000 DIV sum(ug_words) AS BIGINT)")
+              .as("ug_fert_milli"))
           .withColumn("winner",
-            when(col("bpe_fert_milli") <= col("wp_fert_milli"), "bpe")
+            // argmin with alphabetical tie-break: bpe beats both on
+            // ties, unigram beats wordpiece
+            when(col("bpe_fert_milli") <= col("ug_fert_milli") &&
+                 col("bpe_fert_milli") <= col("wp_fert_milli"), "bpe")
+              .when(col("ug_fert_milli") <= col("wp_fert_milli"), "unigram")
               .otherwise("wordpiece"))
       },
       Some(s"""SELECT a.source, a.fert AS bpe_fert_milli, b.fert AS wp_fert_milli,
-             |  CASE WHEN a.fert <= b.fert THEN 'bpe' ELSE 'wordpiece' END AS winner
+             |  c.fert AS ug_fert_milli,
+             |  CASE WHEN a.fert <= c.fert AND a.fert <= b.fert THEN 'bpe'
+             |       WHEN c.fert <= b.fert THEN 'unigram'
+             |       ELSE 'wordpiece' END AS winner
              |FROM (
              |  ${bpeCtes(8)}, dw AS (
              |    SELECT doc_id, w FROM (
@@ -4136,7 +4153,19 @@ ${OracleSql.InvIndex}
              |  FROM dw d JOIN seg g ON g.w = d.w
              |  JOIN documents doc ON doc.doc_id = d.doc_id
              |  GROUP BY doc.source
-             |) b ON a.source = b.source""".stripMargin)),
+             |) b ON a.source = b.source
+             |JOIN (
+             |  ${unigramTrainCtes(64, 1, 4096, 4, 12)},
+             |  ${unigramApplyCtes(1, 4, 12)}, dw AS (
+             |    SELECT doc_id, lower(unnest(regexp_split_to_array(trim(text), '\\s+'))) AS w
+             |    FROM documents
+             |  )
+             |  SELECT doc.source,
+             |         CAST(sum(g.c) * 1000 // count(*) AS BIGINT) AS fert
+             |  FROM dw d JOIN wstats g ON g.w = d.w
+             |  JOIN documents doc ON doc.doc_id = d.doc_id
+             |  GROUP BY doc.source
+             |) c ON a.source = c.source""".stripMargin)),
 
     // Greedy k-center / farthest-point selection (Sener & Savarese
     // ICLR'18 coresets): ext139's max-min counterpart — each of 8
@@ -4817,6 +4846,22 @@ ${OracleSql.InvIndex}
         |       CAST(floor(1000 * ln(cnt::DOUBLE /
         |         (SELECT sum(cnt) FROM v1)) + 0.5) AS BIGINT) AS log_milli
         |FROM v1""".stripMargin)),
+
+    // Unigram DEPTH (r11 verdict #5): a SECOND hard-EM iteration under
+    // PRUNING PRESSURE — vocabSize 32 halves the multi-char inventory,
+    // so the iteration-2 recount re-ranks against a genuinely pruned
+    // piece set (scores from v1's survivors, Viterbi re-segmentation,
+    // recount, re-prune). The oracle unrolls BOTH EM loops as forward-DP
+    // CTE chains (the generator parameterizes depth); the tiny-vocab
+    // floor/survival laws are pinned in TextAnalysisSpec.
+    "ext157_unigram_train2" -> Q(
+      (s, d) => TextAnalysis.unigramTrain(docs(s, d), "doc_id", "text",
+        vocabSize = 32, iters = 2),
+      Some(unigramTrainCtes(32, 2, 4096, 4, 12) + """
+        |SELECT piece, CAST(cnt AS BIGINT) AS n_count,
+        |       CAST(floor(1000 * ln(cnt::DOUBLE /
+        |         (SELECT sum(cnt) FROM v2)) + 0.5) AS BIGINT) AS log_milli
+        |FROM v2""".stripMargin)),
 
     // The apply pass + the CCNet-style LM-score filter: every document
     // Viterbi-segmented under the trained unigram model (the model a

@@ -853,6 +853,48 @@ class TextAnalysisSpec extends SparkSpec {
     assert(seg2 == seg3)
   }
 
+  test("unigramTrain: vocab-size pruning pressure and iteration-2 laws") {
+    // a real corpus seeds hundreds of multi-char candidates, so a tiny
+    // vocabSize makes the per-iteration prune actually bite
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(v: Int, it: Int) =
+      TextAnalysis.unigramTrain(docs, "doc_id", "text", vocabSize = v, iters = it)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the cap prunes the SEED inventory and every recount, so usage
+    // under a tighter seed legitimately concentrates further — the laws
+    // are the CEILING (never more than v multi-char survive) and the
+    // BITE (a tight cap yields strictly fewer survivors than a generous
+    // one), not an exact count
+    val generous = run(10000, 1).count(_._1.length > 1)
+    val tight = run(4, 1).count(_._1.length > 1)
+    assert(tight <= 4 && tight < generous,
+      s"pruning must bite: tight=$tight vs generous=$generous")
+    for (v <- Seq(4, 16); it <- Seq(1, 2)) {
+      val out = run(v, it)
+      val multi = out.filter(_._1.length > 1)
+      val chars = out.filter(_._1.length == 1)
+      // the cap is a hard ceiling at every depth
+      assert(multi.length <= v && multi.nonEmpty,
+        s"v=$v it=$it: ${multi.length} multi-char survivors exceed the cap")
+      // the single-char tier always survives with the count floor —
+      // segmentability can never be pruned away
+      assert(chars.nonEmpty && chars.forall(_._2 >= 1L))
+      // scores renormalize over the PRUNED inventory
+      val total = out.map(_._2).sum
+      out.foreach { case (p, c, m) =>
+        assert(m == math.floor(1000.0 * math.log(c.toDouble / total) + 0.5).toLong,
+          s"v=$v it=$it piece=$p: log_milli must renormalize over the pruned set")
+      }
+      // every iteration-2 multi-char survivor came from iteration 1's
+      // inventory (the prune is monotone across iterations)
+      if (it == 2) {
+        val v1 = run(v, 1).map(_._1).toSet
+        assert(multi.map(_._1).forall(v1.contains),
+          s"v=$v: iteration 2 resurrected a pruned piece")
+      }
+    }
+  }
+
   test("nbClassify: smoothing, unseen-token default, tie-break, margin — hand-computed") {
     // train: class 'x' = {foo foo bar}, class 'y' = {baz baz qux}
     // vocab V = 4; N(x) = N(y) = 3; priors = ln(1/2) each
