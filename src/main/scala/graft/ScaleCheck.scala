@@ -226,6 +226,10 @@ object ScaleCheck {
     // snapshot once; incremental drains read ONLY the drained commits'
     // added files — the lifecycle must read ~linear in the table writes
     "st54_stream_cdc_source",
+    // round-12: Hilbert clustering — one stats agg + one codegen'd
+    // index projection + one range shuffle, same shape as fw_cluster —
+    // must read ~linear in the rewritten table
+    "fw_hilbert",
     // NB classifier: two map-side token counts + a token-keyed score
     // join — must read ~linear in corpus tokens (vocab grows slowly on
     // the suffixed-content generator)

@@ -204,6 +204,9 @@ final case class MaintenanceSpec(action: String, location: String,
                                  partitionCol: Option[String] = None,
                                  keepFrom: Option[String] = None,
                                  clusterBy: Seq[String] = Nil,
+                                 /** cluster action's space-filling curve:
+                                   * `zorder` (default) or `hilbert`. */
+                                 curve: String = "zorder",
                                  where: Option[String] = None,
                                  set: Map[String, String] = Map.empty,
                                  branch: Option[String] = None,
@@ -703,6 +706,11 @@ object ConfigParser {
         "maintenance.files (target part-file count) is required for cluster")
       if (action != "cluster" && clusterBy.nonEmpty) throw new ConfigError(
         s"maintenance.cluster_by only applies to action cluster, not '$action'")
+      val curve = str(t, "curve").map(_.toLowerCase).getOrElse("zorder")
+      if (!Set("zorder", "hilbert")(curve)) throw new ConfigError(
+        s"maintenance.curve: unknown curve '$curve' (supported: zorder, hilbert)")
+      if (action != "cluster" && str(t, "curve").nonEmpty) throw new ConfigError(
+        s"maintenance.curve only applies to action cluster, not '$action'")
       if (files.exists(_ <= 0)) throw new ConfigError(
         s"maintenance.files must be positive, got ${files.get}")
       val outLoc = str(t, "output")
@@ -783,6 +791,7 @@ object ConfigParser {
         partitionCol = partCol,
         keepFrom = keepFrom,
         clusterBy = clusterBy,
+        curve = curve,
         where = where,
         set = setMap,
         branch = branchM,

@@ -438,11 +438,15 @@ object Engine {
               "location" -> location, "output" -> output)
             Some(h)
           case "cluster" =>
-            graft.log.Log.info("z-order clustering target",
+            graft.log.Log.info(s"${m.curve} clustering target",
               "location" -> location, "cluster_by" -> m.clusterBy.mkString(","),
-              "files" -> m.files.get.toString)
-            Sinks.clusterZOrder(spark, location, m.format, m.clusterBy,
-              m.files.get, m.options)
+              "files" -> m.files.get.toString, "curve" -> m.curve)
+            if (m.curve == "hilbert")
+              Sinks.clusterHilbert(spark, location, m.format, m.clusterBy,
+                m.files.get, m.options)
+            else
+              Sinks.clusterZOrder(spark, location, m.format, m.clusterBy,
+                m.files.get, m.options)
             None
         }
     }

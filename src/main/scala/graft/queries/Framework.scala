@@ -2188,6 +2188,53 @@ object Framework {
     s.read.parquet(s"$base/t")
   }
 
+  /** Hilbert-curve clustering (r11 verdict #7) — `fw_cluster`'s sibling
+    * through `maintenance.curve: hilbert`: same staged-rewrite +
+    * atomic-swap shape, the unit-step Hilbert position replacing the
+    * Z-interleave (better per-file locality at skewed aspect ratios —
+    * the curve law itself is pinned in HilbertIndexSpec). The REQUIRE
+    * mirrors fw_cluster: each rewritten part-file must hold a DISJOINT
+    * Hilbert range; the both-column pruning contract lives in
+    * SinksSpec's hilbert test. */
+  private def fwHilbert(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "hilbert")
+    rmrf(s, base)
+    s.read.parquet(s"$d/lineitem.parquet")
+      .filter(col("l_orderkey") % 5 === 0)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("price_cents"))
+      .repartition(8) // round-robin: deliberately locality-free layout
+      .write.parquet(s"$base/t")
+    val job = ConfigParser.parse(
+      s"""job:
+         |  name: fw-hilbert
+         |  type: maintenance
+         |maintenance:
+         |  action: cluster
+         |  curve: hilbert
+         |  location: $base/t
+         |  format: parquet
+         |  cluster_by: l_partkey, l_suppkey
+         |  files: "4"
+         |""".stripMargin)
+    Engine.run(s, job, "default")
+    val tagged = s.read.parquet(s"$base/t").withColumn("__f", input_file_name())
+    val ranges = graft.sinks.Sinks.hilbertOrdered(tagged, Seq("l_partkey", "l_suppkey"))
+      .groupBy(col("__f"))
+      .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+      .orderBy(col("lo"))
+      .collect() // nFiles rows — metadata-sized, not data-sized
+    require(ranges.length == 4,
+      s"hilbert: expected 4 part-files, got ${ranges.length}")
+    ranges.sliding(2).foreach {
+      case Array(a, b) => require(a.getAs[Long]("hi") <= b.getAs[Long]("lo"),
+        s"hilbert: overlapping ranges [${a.getAs[Long]("lo")},${a.getAs[Long]("hi")}] " +
+          s"vs [${b.getAs[Long]("lo")},${b.getAs[Long]("hi")}]")
+      case _ => ()
+    }
+    s.read.parquet(s"$base/t")
+  }
+
   /** Sorted-writes lifecycle (beyond-reference): `sort_by:` orders rows
     * WITHIN each written file, so parquet row-group min/max stats prune
     * range scans on the sort key — the free storage index every
@@ -2855,6 +2902,10 @@ object Framework {
         |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin)),
     "fw_cluster" -> Q(fwCluster, Some(
+      """SELECT l_orderkey, l_partkey, l_suppkey,
+        |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
+        |FROM lineitem WHERE l_orderkey % 5 = 0""".stripMargin)),
+    "fw_hilbert" -> Q(fwHilbert, Some(
       """SELECT l_orderkey, l_partkey, l_suppkey,
         |       CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents
         |FROM lineitem WHERE l_orderkey % 5 = 0""".stripMargin)),

@@ -976,7 +976,24 @@ object Sinks {
     * implementation. */
   def clusterZOrder(spark: SparkSession, location: String, format: String,
                     clusterBy: Seq[String], nFiles: Int,
-                    options: Map[String, String] = Map.empty): Unit = {
+                    options: Map[String, String] = Map.empty): Unit =
+    clusterCurve(spark, location, format, clusterBy, nFiles, "zorder", options)
+
+  /** Hilbert-curve clustering — [[clusterZOrder]]'s locality upgrade
+    * (same staged-rewrite + atomic-swap shape, same versioned-root and
+    * partitioned-root guards): the Hilbert position replaces the bit
+    * interleave, so consecutive file ranges cover compact axis-aligned
+    * blobs instead of the Z-curve's quadrant jumps — tighter per-file
+    * min/max on EVERY clustered column when the column ranges are
+    * skewed (see [[graft.functions.HilbertIndex]]). */
+  def clusterHilbert(spark: SparkSession, location: String, format: String,
+                     clusterBy: Seq[String], nFiles: Int,
+                     options: Map[String, String] = Map.empty): Unit =
+    clusterCurve(spark, location, format, clusterBy, nFiles, "hilbert", options)
+
+  private def clusterCurve(spark: SparkSession, location: String, format: String,
+                           clusterBy: Seq[String], nFiles: Int, curve: String,
+                           options: Map[String, String]): Unit = {
     require(nFiles > 0, "cluster: files must be positive")
     require(clusterBy.size >= 2,
       "cluster: needs >= 2 cluster_by columns (one column is sort_by)")
@@ -991,7 +1008,7 @@ object Sinks {
         graft.sources.Sources.mapOptions(options))
       val cols = df0.columns
       val v = VersionedTable.commit(spark, location,
-        zOrdered(df0, clusterBy)
+        curveOrdered(df0, clusterBy, curve)
           .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
           .sortWithinPartitions("__z")
           .select(cols.map(org.apache.spark.sql.functions.col): _*),
@@ -1016,7 +1033,7 @@ object Sinks {
       .options(graft.sources.Sources.mapOptions(options)).load(readPath)
     val cols = df.columns
     stagedPublish(spark, target, fs, format, "cluster") { dir =>
-      zOrdered(df, clusterBy)
+      curveOrdered(df, clusterBy, curve)
         .repartitionByRange(nFiles, org.apache.spark.sql.functions.col("__z"))
         .sortWithinPartitions("__z")
         .select(cols.map(org.apache.spark.sql.functions.col): _*)
@@ -1026,11 +1043,21 @@ object Sinks {
     }
   }
 
-  /** The frame plus its Z-curve position as `__z`: each cluster column
-    * min/max-scales into 2^bits buckets (stats broadcast as a
-    * single-row frame) and the bucket bits interleave. Shared by
-    * [[clusterZOrder]] and the layout asserts in tests/queries. */
-  private[graft] def zOrdered(df: DataFrame, clusterBy: Seq[String]): DataFrame = {
+  /** The frame plus its space-filling-curve position as `__z`: each
+    * cluster column min/max-scales into 2^bits buckets (stats broadcast
+    * as a single-row frame), then the curve maps the bucket vector to a
+    * 1-D position — `zorder` interleaves the bucket bits; `hilbert`
+    * takes the unit-step curve ([[graft.functions.HilbertIndex]]),
+    * better locality at skewed aspect ratios. Shared by
+    * [[clusterZOrder]] / [[clusterHilbert]] and the layout asserts in
+    * tests/queries. */
+  private[graft] def zOrdered(df: DataFrame, clusterBy: Seq[String]): DataFrame =
+    curveOrdered(df, clusterBy, "zorder")
+  private[graft] def hilbertOrdered(df: DataFrame, clusterBy: Seq[String]): DataFrame =
+    curveOrdered(df, clusterBy, "hilbert")
+
+  private[graft] def curveOrdered(df: DataFrame, clusterBy: Seq[String],
+                                  curve: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
     val bits = math.min(16, 62 / clusterBy.size)
@@ -1060,12 +1087,20 @@ object Sinks {
         .otherwise(least(
           floor((asD(c) - col(s"__mn_$i")) / span * maxB).cast("long"), lit(maxB)))
     }
-    val z = (0 until bits).flatMap { b =>
-      buckets.zipWithIndex.map { case (c, i) =>
-        shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * buckets.size + i)
-      }
-    }.reduce(_ bitwiseOR _)
-    df.crossJoin(broadcast(stats)).withColumn("__z", z)
+    val pos = curve match {
+      case "zorder" =>
+        (0 until bits).flatMap { b =>
+          buckets.zipWithIndex.map { case (c, i) =>
+            shiftleft(shiftright(c, b).bitwiseAND(lit(1L)), b * buckets.size + i)
+          }
+        }.reduce(_ bitwiseOR _)
+      case "hilbert" =>
+        graft.sql.GraftExtensions.ensureRegistered(df.sparkSession)
+        call_function("hilbert_index", array(buckets: _*), lit(bits))
+      case other => throw new graft.config.ConfigError(
+        s"cluster: unknown curve '$other' (supported: zorder, hilbert)")
+    }
+    df.crossJoin(broadcast(stats)).withColumn("__z", pos)
       .drop((0 until clusterBy.size).flatMap(i => Seq(s"__mn_$i", s"__mx_$i")): _*)
   }
 

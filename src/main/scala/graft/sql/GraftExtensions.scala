@@ -119,6 +119,13 @@ object GraftExtensions {
         require(children.size == 2, s"misra_gries expects (item_string, k), got ${children.size} args")
         graft.functions.MisraGries(children.head, litInt(children(1), "misra_gries k"))
       }),
+    (new FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[graft.functions.HilbertIndex].getName, "hilbert_index"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"hilbert_index expects (array<bigint>, bits), got ${children.size} args")
+        graft.functions.HilbertIndex(children.head, litInt(children(1), "hilbert_index bits"))
+      }),
     (new FunctionIdentifier("misra_gries_weighted"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries_weighted"),
       (children: Seq[Expression]) => {

@@ -305,6 +305,42 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("clusterHilbert: content preserved, disjoint ranges, both columns prune at least as tightly as z-order") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/hi"
+    val df = spark.range(4096).select(
+      (col("id") % 256).as("x"),
+      ((col("id") * 7919) % 256).as("y"),
+      col("id").as("v"))
+    df.repartition(8).write.parquet(dir)
+    Sinks.clusterHilbert(spark, dir, "parquet", Seq("x", "y"), nFiles = 16)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("part-"))
+    assert(parts == 16)
+    val back = spark.read.parquet(dir)
+    assert(back.agg(sum("v")).head().getLong(0) == (0L until 4096L).sum)
+    assert(back.count() == 4096)
+    val boxes = Sinks.hilbertOrdered(back.withColumn("__f", input_file_name()), Seq("x", "y"))
+      .groupBy("__f")
+      .agg(min("x").as("x0"), max("x").as("x1"),
+        min("y").as("y0"), max("y").as("y1"),
+        min("__z").as("z0"), max("__z").as("z1"))
+      .collect()
+    val sorted = boxes.sortBy(_.getAs[Long]("z0"))
+    sorted.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("z1") <= b.getAs[Long]("z0"))
+      case _ => ()
+    }
+    def hit(lo: Long, hi: Long, c0: String, c1: String) =
+      boxes.count(r => r.getAs[Long](c1) >= lo && r.getAs[Long](c0) <= hi)
+    // the same both-column pruning contract as z-order — the unit-step
+    // curve keeps per-file boxes compact on BOTH axes
+    assert(hit(0, 31, "x0", "x1") <= 8, s"x-band hit ${hit(0, 31, "x0", "x1")}/16 files")
+    assert(hit(0, 31, "y0", "y1") <= 8, s"y-band hit ${hit(0, 31, "y0", "y1")}/16 files")
+    // idempotent on content
+    Sinks.clusterHilbert(spark, dir, "parquet", Seq("x", "y"), nFiles = 16)
+    assert(spark.read.parquet(dir).count() == 4096)
+  }
+
   test("manifest: refreshed on append, counts the whole table, ignored by readers") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/mf"
     val target = out(_.copy(target = TargetSpec.File(dir),
