@@ -167,8 +167,10 @@ object SqlDml {
   /** Names a MERGE side can be referenced by: its alias plus (for plain
     * relations) the table name itself. */
   private def aliasNames(plan: LogicalPlan): Set[String] = plan match {
-    case SubqueryAlias(id, child) => aliasNames(child) + id.name
-    case r: UnresolvedRelation => Set(r.multipartIdentifier.last)
+    // lowercased: Spark resolves identifiers case-insensitively by
+    // default, and this validation must not reject `ON T.k = S.k`
+    case SubqueryAlias(id, child) => aliasNames(child) + id.name.toLowerCase
+    case r: UnresolvedRelation => Set(r.multipartIdentifier.last.toLowerCase)
     case _ => Set.empty
   }
 
@@ -184,7 +186,7 @@ object SqlDml {
     def side(a: UnresolvedAttribute): Option[String] =
       if (a.nameParts.size < 2) None // unqualified: name-keyed, unambiguous
       else {
-        val q = a.nameParts.init.last
+        val q = a.nameParts.init.last.toLowerCase
         if (targetNames.contains(q)) Some("target")
         else if (sourceNames.contains(q)) Some("source")
         else throw new ConfigError(

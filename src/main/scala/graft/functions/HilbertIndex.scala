@@ -70,6 +70,9 @@ object HilbertIndex {
     val max = 1L << bits
     var i = 0
     while (i < n) {
+      if (coords.isNullAt(i)) throw new IllegalArgumentException(
+        s"hilbert_index: null coordinate at dim $i — a silently-zeroed " +
+          "position would scatter the file layout")
       x(i) = coords.getLong(i)
       if (x(i) < 0 || x(i) >= max) throw new IllegalArgumentException(
         s"hilbert_index: coordinate ${x(i)} outside [0, $max) at dim $i " +

@@ -123,24 +123,42 @@ object Sinks {
                           target: org.apache.hadoop.fs.Path): Boolean =
     pointerPublishActive || fs.exists(ptrDir(target))
 
-  /** Latest published (version, generation-dir name), if any. */
-  private[graft] def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
-      target: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
-    val vs =
-      try fs.listStatus(ptrDir(target)).flatMap(st => st.getPath.getName match {
-        case PtrName(d) => Some(d.toLong)
-        case _ => None
-      })
-      catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
-    if (vs.isEmpty) None
-    else {
-      val v = vs.max
-      val in = fs.open(ptrPath(target, v))
+  /** Open a pointer file and parse its generation name — the ONE
+    * pointer-parse (shared by [[currentPointer]], [[purgeSuperseded]],
+    * [[vacuum]] so the open/parse/guard behavior cannot fork). None on
+    * a concurrently-purged (missing) pointer. */
+  private def genOf(fs: org.apache.hadoop.fs.FileSystem,
+                    p: org.apache.hadoop.fs.Path): Option[String] =
+    try {
+      val in = fs.open(p)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                  finally in.close()
-      "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text)
-        .map(m => (v, m.group(1)))
+      "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  /** Latest published (version, generation-dir name), if any. A purge
+    * can delete the listed max pointer between LIST and OPEN — that
+    * means a NEWER pointer exists, so re-list (bounded retries). */
+  private[graft] def currentPointer(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Option[(Long, String)] = {
+    var attempt = 0
+    while (attempt < 10) {
+      val vs =
+        try fs.listStatus(ptrDir(target)).flatMap(st => st.getPath.getName match {
+          case PtrName(d) => Some(d.toLong)
+          case _ => None
+        })
+        catch { case _: java.io.FileNotFoundException => Array.empty[Long] }
+      if (vs.isEmpty) return None
+      val v = vs.max
+      genOf(fs, ptrPath(target, v)) match {
+        case Some(g) => return Some((v, g))
+        case None => attempt += 1 // purged under us: a newer pointer exists
+      }
     }
+    throw new java.io.IOException(
+      s"pointer read: the latest pointer at '$target' kept vanishing " +
+        "(10 attempts) — writers are publishing faster than reads can settle")
   }
 
   /** Does `target` hold a readable published table? In pointer layout
@@ -181,6 +199,13 @@ object Sinks {
     var attempt = 0
     while (attempt < 50) {
       val next = currentPointer(fs, target).map(_._1).getOrElse(0L) + 1
+      // belt against a mis-configured vacuum TTL: never CAS-install a
+      // pointer to a generation that is no longer there (a torn table
+      // would be worse than this loud failure)
+      if (!fs.exists(new org.apache.hadoop.fs.Path(genRoot(target), genName)))
+        throw new java.io.IOException(
+          s"pointer publish: generation '$genName' at '$target' vanished " +
+            "before publish — was vacuum run with a TTL shorter than this write?")
       if (VersionedTable.commitCoordinator.publish(fs, ptrDir(target),
           ptrPath(target, next), content)) {
         purgeSuperseded(fs, target, next)
@@ -210,11 +235,8 @@ object Sinks {
       catch { case _: java.io.IOException => Array.empty[(Long, org.apache.hadoop.fs.Path)] }
     old.foreach { case (_, p) =>
       try {
-        val in = fs.open(p)
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                   finally in.close()
-        "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).foreach { m =>
-          fs.delete(new org.apache.hadoop.fs.Path(genRoot(target), m.group(1)), true)
+        genOf(fs, p).foreach { g =>
+          fs.delete(new org.apache.hadoop.fs.Path(genRoot(target), g), true)
         }
         fs.delete(p, false)
       } catch { case _: java.io.IOException => () }
@@ -602,18 +624,31 @@ object Sinks {
         // replaces partitions within the generation — the same in-place
         // visibility semantics these modes have on a plain layout (the
         // store committer's domain), with the pointer untouched. Only
-        // the FIRST write on an empty pointer table publishes (there is
-        // no generation to append into yet).
+        // the FIRST write on an EMPTY pointer table publishes (there is
+        // no generation to append into yet). A table with legacy
+        // plain-layout data and no pointer stays plain here: these modes
+        // are in-place anyway, and minting a generation from one batch
+        // would orphan (and the purge would then DELETE) every legacy
+        // row — the table upgrades to pointer layout at its next full
+        // rewrite, which reads and carries the legacy data.
+        def hasLegacyData: Boolean =
+          fs.exists(target) && fs.listStatus(target).exists { st =>
+            val n = st.getPath.getName
+            n != "_gen" && n != "_graft_ptr"
+          }
         val (dest, publishAfter) =
           if (!usesPointer(fs, target))
             (location, Option.empty[org.apache.hadoop.fs.Path])
           else currentPointer(fs, target) match {
             case Some((_, gen)) =>
               (new org.apache.hadoop.fs.Path(genRoot(target), gen).toString, None)
+            case None if hasLegacyData =>
+              (location, None) // legacy plain table: keep writing in place
             case None =>
-              // first write: publish only after the data lands (two
-              // concurrent FIRST writes race last-writer-wins here —
-              // seed a shared append table with a full refresh first)
+              // first write on an EMPTY table: publish only after the
+              // data lands (two concurrent FIRST writes race
+              // last-writer-wins here — seed a shared append table with
+              // a full refresh first)
               val gen = newGenDir(target)
               (gen.toString, Some(gen))
           }
@@ -884,21 +919,23 @@ object Sinks {
       .filter(_.isDirectory).map(_.getPath).toSeq
     val genOrphans = tables.filter(t => fs.exists(ptrDir(t))).flatMap { t =>
       val referenced =
-        try fs.listStatus(ptrDir(t)).flatMap { st =>
-          try {
-            val in = fs.open(st.getPath)
-            val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-                       finally in.close()
-            "\"gen\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(text).map(_.group(1))
-          } catch { case _: java.io.IOException => None }
-        }.toSet
+        try fs.listStatus(ptrDir(t))
+          .flatMap(st => genOf(fs, st.getPath)).toSet
         catch { case _: java.io.FileNotFoundException => Set.empty[String] }
       val gens =
         try fs.listStatus(genRoot(t)).map(_.getPath)
         catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.Path] }
       gens.filter { g =>
+        // age from BOTH the creation timestamp in the name AND the
+        // newest entry inside — an in-flight slow write keeps refreshing
+        // the latter, so a long rewrite is not mistaken for crash debris
+        // (the publish-side exists() check is the belt for a TTL still
+        // shorter than a write + pause)
+        def newestInside: Long =
+          try fs.listStatus(g).map(_.getModificationTime).foldLeft(0L)(math.max)
+          catch { case _: java.io.IOException => 0L }
         !referenced(g.getName) && (g.getName match {
-          case GenName(ts) => now - ts.toLong > ttl
+          case GenName(ts) => now - math.max(ts.toLong, newestInside) > ttl
           case _ => false
         })
       }

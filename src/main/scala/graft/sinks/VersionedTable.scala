@@ -155,9 +155,14 @@ object VersionedTable {
               fs.delete(tmpPath, false)
             } // temp gone = already published (temp deletion follows publish)
           }
-          // stale pre-rebase lineage outside the recorded set
+          // stale pre-rebase lineage outside the recorded set — swept
+          // from the ORIGINAL `names` snapshot, never a fresh listing:
+          // a manifest that appeared after our listing is a
+          // post-recovery commit by someone who already finished this
+          // recovery (their marker-delete precedes any new commit) and
+          // must survive the sweep
           val suffix = s"@$branch.json"
-          fs.listStatus(logDir(root)).map(_.getPath.getName)
+          names
             .collect { case n if n.startsWith("v") && n.endsWith(suffix) =>
               (n.stripPrefix("v").stripSuffix(suffix).toLong, n) }
             .filterNot { case (v, _) => versions(v) }

@@ -732,8 +732,12 @@ object Streams {
         Some((0L, latest))
     }
     drained.foreach { case (_, to) =>
-      // advance only after the batch completed; temp write + rename so
-      // a crashed offset write can never leave a torn offset
+      // advance only after the batch completed; temp write + ATOMIC
+      // OVERWRITE rename (FileContext + Rename.OVERWRITE — checkpoint
+      // dirs live on real file systems, the Spark checkpoint contract),
+      // so a crash can neither leave a torn offset nor a deleted one (a
+      // delete-then-rename window would lose the checkpoint and make
+      // the next drain re-bootstrap the full snapshot as duplicates)
       fs.mkdirs(ckpt)
       val tmp = new Path(ckpt,
         s".offset-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -741,10 +745,9 @@ object Streams {
       try os.write(s"""{"version":$to}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally os.close()
-      fs.delete(offsetPath, false)
-      if (!fs.rename(tmp, offsetPath))
-        throw new java.io.IOException(
-          s"cdc drain: offset publish failed at $offsetPath")
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        ckpt.toUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(tmp, offsetPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     drained
   }

@@ -43,6 +43,10 @@ class PlanAuditSpec extends SparkSpec {
     "ext34_mixture_weights" -> "single-row total broadcast (scalar normalizer)",
     "ext52_mixture_sample" -> "single-row total broadcast (scalar normalizer, via temperatureWeights)",
     "ext44_tfidf_topk" -> "single-row corpus-doc-count broadcast (scalar normalizer)",
+    // the r12 fixed-query-panel twins run the SAME scorers, so they
+    // inherit the same single-row scalar-normalizer broadcast
+    "ext155_tfidf_fixed_panel" -> "single-row corpus-doc-count broadcast (ext44 twin)",
+    "ext156_bm25_fixed_panel" -> "single-row corpus-stats broadcast (ext99 twin)",
     // 8-row cohort spine × a broadcast SINGLE-ROW cohort total: the same
     // scalar-normalizer shape as ext28/ext34 (r9 verdict item 1).
     "q95_conversion_curve" -> "single-row total broadcast (scalar normalizer)",

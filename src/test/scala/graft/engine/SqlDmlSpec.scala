@@ -120,6 +120,11 @@ class SqlDmlSpec extends SparkSpec {
       """MERGE INTO t USING (SELECT * FROM arrivals2) s ON t.k = x.k
         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(e3.contains("unknown qualifier 'x'"), e3)
+    // qualifiers resolve CASE-INSENSITIVELY, like Spark's own analyzer
+    val upper = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM arrivals2) s ON T.k = S.k
+        |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(upper.filter($"k" === 3).head().getAs[Long]("cents") == 99L)
     // duplicated conjuncts dedupe: the merge keys on k once
     val after = runSql(loc,
       """MERGE INTO t USING (SELECT * FROM arrivals2) s

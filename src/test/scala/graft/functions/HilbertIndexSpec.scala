@@ -66,6 +66,11 @@ class HilbertIndexSpec extends SparkSpec {
         .select(call_function("hilbert_index", col("c"), lit(16))).collect())
     assert(e2.getMessage != null && e2.getMessage.contains("62"),
       s"got: ${e2.getMessage}")
+    // a NULL element must error, never silently read as coordinate 0
+    val e3 = intercept[Exception](
+      spark.sql("SELECT hilbert_index(array(CAST(NULL AS BIGINT), 5L), 16)").collect())
+    assert(e3.getMessage != null && e3.getMessage.contains("null coordinate"),
+      s"got: ${e3.getMessage}")
   }
 
   test("the index is deterministic and null-safe") {

@@ -196,6 +196,35 @@ class PointerPublishSpec extends SparkSpec {
     }
   }
 
+  test("pointer publish: in-place modes on a LEGACY plain table never destroy prior rows") {
+    // an existing append table built under the rename coordinator; the
+    // deployment then switches to lockfile — appends must keep landing
+    // beside the legacy rows (minting a generation from one batch would
+    // orphan + purge them), and the upgrade happens at the next full
+    // rewrite, which carries everything
+    val loc = tmp("legacy-append")
+    Sinks.write(spark, Seq(1, 2).toDF("n"), out(loc)(identity))
+    // legacy PARTITIONED table, seeded under the rename coordinator too
+    val loc2 = tmp("legacy-dyn")
+    Sinks.write(spark, Seq((1, "a"), (2, "b")).toDF("k", "p"),
+      out(loc2)(_.copy(partitionKeys = Seq("p"))))
+    withLockfile {
+      Sinks.write(spark, Seq(3).toDF("n"),
+        out(loc)(_.copy(refresh = Refresh.Incremental)))
+      assert(ptrFiles(loc).isEmpty, "a legacy table must stay plain under append")
+      assert(spark.read.parquet(loc).collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(1, 2, 3), "legacy rows must survive the coordinator switch")
+      // dynamic partition overwrite on the legacy partitioned table:
+      // the untouched partition survives
+      Sinks.write(spark, Seq((9, "a")).toDF("k", "p"),
+        out(loc2)(_.copy(partitionKeys = Seq("p"))))
+      assert(ptrFiles(loc2).isEmpty)
+      assert(spark.read.parquet(loc2).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet == Set((9, "a"), (2, "b")),
+        "dynamic overwrite must replace only the touched partition")
+    }
+  }
+
   test("pointer publish: a plain-layout table upgrades in place on its first lockfile publish") {
     val loc = tmp("upgrade")
     // written under the default rename coordinator: plain layout
