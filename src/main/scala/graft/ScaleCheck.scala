@@ -242,7 +242,14 @@ object ScaleCheck {
     // data-card composition; restore (metadata-only — near-flat);
     // stream metrics ride fw-stream-shaped drains (~linear)
     "st52_stream_nb", "st53_stream_unigram", "ext150_nb_eval",
-    "ext153_corpus_report", "fw_restore", "fw_stream_metrics")
+    "ext153_corpus_report", "fw_restore", "fw_stream_metrics",
+    // round-13: indexed fixed-panel retrieval — with the persisted
+    // posting-list index present (ensure-index is a fingerprint-keyed
+    // no-op after the first run), the probe must shed ext155/ext156's
+    // corpus-linear tokenize+df terms and read ~flat; run ScaleCheck
+    // twice and read the SECOND invocation (first pays the one-time
+    // ETL index build per fixture, the amortized line)
+    "ext158_tfidf_indexed", "ext159_bm25_indexed")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

