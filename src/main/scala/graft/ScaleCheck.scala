@@ -249,7 +249,11 @@ object ScaleCheck {
     // corpus-linear tokenize+df terms and read ~flat; run ScaleCheck
     // twice and read the SECOND invocation (first pays the one-time
     // ETL index build per fixture, the amortized line)
-    "ext158_tfidf_indexed", "ext159_bm25_indexed")
+    "ext158_tfidf_indexed", "ext159_bm25_indexed",
+    // the seek twins: a literal rare-token workload — direct must read
+    // corpus-linear (it re-derives tf/df to serve 2 queries), indexed
+    // must read ~flat (one pruned posting bucket + fixed overhead)
+    "ext160_lexseek_direct", "ext161_lexseek_indexed")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -878,8 +878,10 @@ object TextAnalysis {
     * The tf intermediate is persisted across its four consumers and
     * released before return. */
   def writeLexicalIndex(corpus: DataFrame, idCol: String, textCol: String,
-                        out: String, buckets: Int = 64): Unit = {
+                        out: String, buckets: Int = 64,
+                        filesPerBucket: Int = 8): Unit = {
     require(buckets > 0, "buckets must be positive")
+    require(filesPerBucket > 0, "filesPerBucket must be positive")
     val tf = corpus.select(col(idCol).as("doc_id"),
         explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_d"))
@@ -889,11 +891,20 @@ object TextAnalysis {
       tf.join(dls, "doc_id")
         .select(col("token"), col("doc_id"), col("tf_d"), col("dl"),
           pmod(xxhash64(col("token")), lit(buckets.toLong)).cast("int").as("tb"))
-        // hash-distribute by tb so each bucket directory is written by
-        // exactly one task (one file per bucket, never tasks×buckets)
-        .repartition(col("tb"))
+        // distribute by (tb, doc_id-slice) so each bucket directory
+        // holds ~filesPerBucket files, written in small row groups:
+        // probe-side SCAN PARALLELISM lives in the layout. One file
+        // per bucket makes the scoring join's row expansion run on
+        // #buckets skewed tasks no matter the cluster size (measured:
+        // the 30x warm panel probe read 40% OVER its direct twin until
+        // this split — the round-9 ext98 one-row-group finding class);
+        // a real 100 TB index is many files per bucket by nature, and
+        // this keeps the fixture-scale layout the same shape.
+        .repartition(col("tb"), pmod(col("doc_id"), lit(filesPerBucket.toLong)))
         .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
-        .write.mode("overwrite").partitionBy("tb").parquet(s"$out/postings")
+        .write.mode("overwrite")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .partitionBy("tb").parquet(s"$out/postings")
       tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
         .write.mode("overwrite").parquet(s"$out/df")
       tf.agg(countDistinct(col("doc_id")).as("n_docs"),

@@ -4957,49 +4957,129 @@ ${OracleSql.InvIndex}
     * scale claim (probe sheds the corpus-linear tokenize+df terms) is
     * measured in ScaleCheck with the index present — the build cost is
     * the ETL-time line, not the query-time one. */
+  /** Build-if-absent of the panel corpus' lexical index (corpus =
+    * `doc_id % 50 <> 0`, the ext44/ext155 split), fingerprint-keyed on
+    * the corpus file's (length, mtime) so a regenerated fixture
+    * rebuilds and an unchanged one probes the existing index — the
+    * persisted-index lifecycle ext158–ext161 share. */
+  private def ensureLexIndex(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(src)
+    val loc = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
+      s"/lexindex/${st.getLen}_${st.getModificationTime}"
+    // layout-versioned marker (the ScaleCheck _SCALE_DONE_v2 rule): an
+    // index built by an older writer rebuilds instead of silently
+    // re-measuring the superseded one-file-per-bucket layout
+    val done = new org.apache.hadoop.fs.Path(s"$loc/_INDEX_DONE_v2")
+    if (!fs.exists(done)) {
+      val p = new org.apache.hadoop.fs.Path(loc)
+      if (fs.exists(p)) fs.delete(p, true)
+      val yaml =
+        s"""job:
+           |  name: lexical-index
+           |  type: python-script
+           |variables:
+           |  default:
+           |    in: $d/documents.parquet
+           |    out: $loc
+           |    where: "doc_id % 50 <> 0"
+           |script_class: graft.script.LexicalIndexJob
+           |""".stripMargin
+      graft.engine.Engine.run(s, graft.config.ConfigParser.parse(yaml), "default")
+      fs.create(done).close()
+    }
+    loc
+  }
+
   private def indexedPanelTwins: Seq[(String, Q)] = {
     def oracleOf(name: String): Option[String] =
       base.collectFirst { case (n, q) if n == name => q }.flatMap(_.oracle)
-    def ensureIndex(s: SparkSession, d: String): String = {
-      val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
-      val fs = src.getFileSystem(s.sparkContext.hadoopConfiguration)
-      val st = fs.getFileStatus(src)
-      val loc = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}" +
-        s"/lexindex/${st.getLen}_${st.getModificationTime}"
-      val done = new org.apache.hadoop.fs.Path(s"$loc/_INDEX_DONE")
-      if (!fs.exists(done)) {
-        val p = new org.apache.hadoop.fs.Path(loc)
-        if (fs.exists(p)) fs.delete(p, true)
-        val yaml =
-          s"""job:
-             |  name: lexical-index
-             |  type: python-script
-             |variables:
-             |  default:
-             |    in: $d/documents.parquet
-             |    out: $loc
-             |    where: "doc_id % 50 <> 0"
-             |script_class: graft.script.LexicalIndexJob
-             |""".stripMargin
-        graft.engine.Engine.run(s, graft.config.ConfigParser.parse(yaml), "default")
-        fs.create(done).close()
-      }
-      loc
-    }
     def panel(s: SparkSession, d: String): DataFrame =
       docs(s, d).filter(col("doc_id") % 50 === 0 && col("doc_id") < 10000000L)
     Seq(
       "ext158_tfidf_indexed" -> Q(
-        (s, d) => TextAnalysis.tfidfTopKIndexed(s, ensureIndex(s, d),
+        (s, d) => TextAnalysis.tfidfTopKIndexed(s, ensureLexIndex(s, d),
           panel(s, d), "doc_id", "text", k = 5),
         oracleOf("ext44_tfidf_topk")),
       "ext159_bm25_indexed" -> Q(
-        (s, d) => TextAnalysis.bm25TopKIndexed(s, ensureIndex(s, d),
+        (s, d) => TextAnalysis.bm25TopKIndexed(s, ensureLexIndex(s, d),
           panel(s, d), "doc_id", "text", k = 5),
         oracleOf("ext99_bm25_topk")))
   }
 
-  val all: Seq[(String, Q)] = base ++ fixedPanelTwins ++ indexedPanelTwins
+  /** SEEK-workload pair (r13): the ~flat reading the PANEL twins cannot
+    * provide on this fixture. The synthetic corpus has 31 token types
+    * and every one but `dup` (df 242 at sf0.1, ~5% of docs) appears in
+    * ~77% of documents — a panel probe therefore selects the ENTIRE
+    * vocabulary and its exact scoring join is corpus×queries on ANY
+    * index layout (the all-stopwords worst case; measured in BASELINE
+    * r13). This pair pins a LITERAL two-query workload on the one rare
+    * token: the direct operator still pays the corpus-linear
+    * tokenize+df derivation just to serve it, while the indexed probe
+    * opens one posting bucket (partition-pruned) and scores df(`dup`)
+    * rows — the persisted index's actual read path, and the workload
+    * class where ~flat is semantically possible. Both are value-oracled
+    * with the SAME SQL (output-equality by shared oracle, the
+    * ext158/ext155 discipline); the literal queries are perfectly
+    * pinned under the ScaleCheck id shift. */
+  private def seekTwins: Seq[(String, Q)] = {
+    def seekQ(s: SparkSession): DataFrame = {
+      import s.implicits._
+      // tf_q = 2 on the rare token, plus an out-of-vocabulary token
+      // that must drop identically on both paths
+      Seq((1L, "dup dup"), (2L, "dup missingtoken")).toDF("doc_id", "text")
+    }
+    val oracle = Some("""WITH tk AS (
+      |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, token, count(*) AS c FROM tk GROUP BY 1, 2
+      |), cc AS (
+      |  SELECT * FROM tf WHERE doc_id % 50 <> 0
+      |), qq AS (
+      |  SELECT CAST(q AS BIGINT) AS q_id, tok AS token, CAST(tfq AS BIGINT) AS tf_q
+      |  FROM (VALUES (1, 'dup', 2), (2, 'dup', 1)) t(q, tok, tfq)
+      |), dfreq AS (
+      |  SELECT token, count(*) AS df FROM cc GROUP BY token
+      |), n AS (
+      |  SELECT count(DISTINCT doc_id) AS n_docs FROM cc
+      |), idf AS (
+      |  SELECT token, CAST(floor(1000000.0 * n.n_docs / df + 0.5) AS BIGINT) AS idf_e6
+      |  FROM dfreq CROSS JOIN n
+      |), qsel AS (
+      |  SELECT q_id, token, tf_q FROM (
+      |    SELECT qq.q_id, qq.token, qq.tf_q,
+      |           row_number() OVER (PARTITION BY qq.q_id
+      |             ORDER BY d.df ASC, qq.token ASC) AS trnk
+      |    FROM qq JOIN dfreq d USING (token))
+      |  WHERE trnk <= 16
+      |), sc AS (
+      |  SELECT qsel.q_id, cc.doc_id,
+      |         CAST(sum(qsel.tf_q * cc.c * idf.idf_e6) AS BIGINT) AS score_e6,
+      |         count(*) AS n_terms
+      |  FROM qsel JOIN cc USING (token) JOIN idf ON idf.token = qsel.token
+      |  GROUP BY 1, 2
+      |), r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY q_id
+      |                               ORDER BY score_e6 DESC, doc_id) AS rnk
+      |  FROM sc
+      |)
+      |SELECT q_id, doc_id, score_e6, n_terms, rnk FROM r WHERE rnk <= 5""".stripMargin)
+    Seq(
+      "ext160_lexseek_direct" -> Q(
+        (s, d) => TextAnalysis.tfidfTopK(
+          docs(s, d).filter(col("doc_id") % 50 =!= 0), seekQ(s),
+          "doc_id", "text", k = 5),
+        oracle),
+      "ext161_lexseek_indexed" -> Q(
+        (s, d) => TextAnalysis.tfidfTopKIndexed(s, ensureLexIndex(s, d),
+          seekQ(s), "doc_id", "text", k = 5),
+        oracle))
+  }
+
+  val all: Seq[(String, Q)] =
+    base ++ fixedPanelTwins ++ indexedPanelTwins ++ seekTwins
 
   /** ext152's full train+apply oracle — shared verbatim with the
     * streaming twin st53 (a def: referenced from the Seq above). */

@@ -79,7 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "tpch11_important_stock" -> "single-row value-total broadcast (scalar normalizer)",
     "tpch22_sales_opportunity" -> "single-row average-balance broadcast (scalar normalizer)",
     // composes the two exact top-k baselines (broadcast small query side)
-    "ext144_ranking_agreement" -> "inherits ext05 + ext66 documented shapes"
+    "ext144_ranking_agreement" -> "inherits ext05 + ext66 documented shapes",
+    // the direct seek twin runs tfidfTopK — ext44's scalar-normalizer
+    // single-row corpus-doc-count broadcast
+    "ext160_lexseek_direct" -> "single-row corpus-doc-count broadcast (ext44 shape)"
   )
 
   /** Operators that execute at construction time (not lazily planable). */
@@ -121,7 +124,7 @@ class PlanAuditSpec extends SparkSpec {
     // indexed retrieval: the ensure-index script job runs at
     // construction, and the probe collects the bounded selected-token
     // set (≤ |panel|·maxQueryTerms) to become pushdown literals
-    "ext158_tfidf_indexed", "ext159_bm25_indexed")
+    "ext158_tfidf_indexed", "ext159_bm25_indexed", "ext161_lexseek_indexed")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
