@@ -504,18 +504,31 @@ object Framework {
       run(s, yaml("full", "",
         """SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
           |  'v1' AS version FROM customer""".stripMargin.replace("\n", " ")))
+      // pin a reader's resolved path at v2, as a reader that resolved
+      // just before the next publish would hold it
+      val pinnedAtV2 = graft.sinks.Sinks.resolveDataPath(s, s"$base/out")
       run(s, yaml("upsert", "  merge_keys: c_custkey",
         """SELECT c_custkey, CAST(0 AS BIGINT) AS cents, 'v2' AS version
           |  FROM customer WHERE c_custkey % 10 = 0""".stripMargin.replace("\n", " ")))
+      // purge grace (r12 verdict #2): under the default keepGenerations=2
+      // the v2 generation survives the v3 publish, so the pinned reader
+      // finishes its scan on exactly the snapshot it resolved
+      val pinnedVersions = s.read.parquet(pinnedAtV2)
+        .select("version").distinct().collect().map(_.getString(0)).toSet
+      require(pinnedVersions == Set("v1"),
+        s"fw_atomic_sink: a reader pinned on the superseded generation must " +
+          s"still see exactly its snapshot under the purge grace, saw $pinnedVersions")
     } finally graft.sinks.VersionedTable.setCommitCoordinator(prev)
     val target = new org.apache.hadoop.fs.Path(s"$base/out")
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val ptrs = fs.listStatus(new org.apache.hadoop.fs.Path(target, "_graft_ptr"))
       .map(_.getPath.getName).sorted
-    require(ptrs.sameElements(Array("v000000000003.json")),
-      s"fw_atomic_sink: three publishes must leave exactly pointer v3: ${ptrs.mkString(",")}")
-    require(fs.listStatus(new org.apache.hadoop.fs.Path(target, "_gen")).length == 1,
-      "fw_atomic_sink: superseded generations must be purged")
+    require(ptrs.sameElements(Array("v000000000002.json", "v000000000003.json")),
+      s"fw_atomic_sink: three publishes under keepGenerations=2 must leave " +
+        s"pointers v2+v3: ${ptrs.mkString(",")}")
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(target, "_gen")).length == 2,
+      "fw_atomic_sink: generations beyond the keep-2 grace must be purged, " +
+        "the graced one retained")
     require(fs.listStatus(target).map(_.getPath.getName).toSet == Set("_gen", "_graft_ptr"),
       "fw_atomic_sink: no plain-layout data may remain at the root")
     s.read.parquet(graft.sinks.Sinks.resolveDataPath(s, s"$base/out"))

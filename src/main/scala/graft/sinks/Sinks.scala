@@ -92,13 +92,18 @@ object Sinks {
   // scan, upsert/scd2 existing-table reads, compact/cluster) all take.
   // A raw `spark.read.parquet(target)` on a pointer table fails loudly
   // (underscore dirs hide every data file) instead of silently reading
-  // a mix of generations. Two windows remain, both documented
-  // table-format territory (`versioned: true` is the snapshot-isolation
-  // tool): a reader that resolved a pointer just before a newer publish
-  // purges that generation mid-scan, and Spark's own task-commit
-  // machinery inside a generation write (the store committer's domain —
-  // generation dirs are single-writer, so only crash debris, never torn
-  // published state). Partitioned upserts on pointer tables take the
+  // a mix of generations. The purge runs with a GRACE LAG
+  // (`spark.graft.pointer.keepGenerations`, default 2, floor 1 — the
+  // lockfile-settle validation discipline): the winner keeps the last
+  // K generations and their pointers, so a reader that resolved the
+  // previous pointer just before a publish finishes its scan intact
+  // and only a reader straggling across K publishes fails — LOUDLY,
+  // on missing files, never on silently mixed generations. One window
+  // remains, documented table-format territory (`versioned: true` is
+  // the snapshot-isolation tool): Spark's own task-commit machinery
+  // inside a generation write (the store committer's domain —
+  // generation dirs are single-writer, so only crash debris, never
+  // torn published state). Partitioned upserts on pointer tables take the
   // whole-table merge (the per-partition rename swap of [[prunedUpsert]]
   // is rename-store-only); at scale that workload belongs on
   // `versioned: true`, whose file-level merge carries untouched files by
@@ -107,6 +112,33 @@ object Sinks {
 
   private[graft] def pointerPublishActive: Boolean =
     !(VersionedTable.commitCoordinator eq RenameCommitCoordinator)
+
+  /** The pointer contention error [[currentPointer]] raises when the
+    * latest pointer keeps vanishing under it — a DISTINCT type so
+    * [[resolveDataPath]] can rethrow it instead of mistaking writer
+    * contention for "not a pointer table" and silently reading the
+    * (data-less) raw root. */
+  private[graft] final class PointerContentionException(msg: String)
+    extends java.io.IOException(msg)
+
+  /** Purge grace: how many generations (the live one included) a
+    * publish retains — `spark.graft.pointer.keepGenerations`, default
+    * 2, floor 1 (the lockfile settle-floor validation discipline). At
+    * the default a reader that resolved the superseded pointer just
+    * before a publish finishes its scan; only a reader straggling
+    * across `keepGenerations` publishes fails (loudly, on missing
+    * files). 1 restores the eager purge (live generation only). */
+  private def pointerKeepGenerations(spark: SparkSession): Int = {
+    val key = "spark.graft.pointer.keepGenerations"
+    val raw = spark.conf.getOption(key).getOrElse("2")
+    val k = try raw.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new graft.config.ConfigError(s"$key must be an integer >= 1, got '$raw'")
+    }
+    if (k < 1) throw new graft.config.ConfigError(
+      s"$key must be >= 1 (1 = keep only the live generation), got $k")
+    k
+  }
 
   private def ptrDir(target: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(target, "_graft_ptr")
@@ -156,7 +188,7 @@ object Sinks {
         case None => attempt += 1 // purged under us: a newer pointer exists
       }
     }
-    throw new java.io.IOException(
+    throw new PointerContentionException(
       s"pointer read: the latest pointer at '$target' kept vanishing " +
         "(10 attempts) — writers are publishing faster than reads can settle")
   }
@@ -179,7 +211,13 @@ object Sinks {
     val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val resolved =
       try currentPointer(fs, target)
-      catch { case _: java.io.IOException => None } // globs, raw files
+      catch {
+        // writer contention is NOT "no pointer table": falling back to
+        // the raw root would silently read an empty table (all data
+        // lives under _gen) — rethrow and let the caller retry
+        case e: PointerContentionException => throw e
+        case _: java.io.IOException => None // globs, raw files
+      }
     resolved.fold(location)(p => new org.apache.hadoop.fs.Path(genRoot(target), p._2).toString)
   }
 
@@ -192,23 +230,37 @@ object Sinks {
     * full-rewrite semantics (the generation is complete and
     * self-contained; later pointers simply supersede it). */
   private def publishPointer(fs: org.apache.hadoop.fs.FileSystem,
-      target: org.apache.hadoop.fs.Path, genName: String, format: String): Long = {
+      target: org.apache.hadoop.fs.Path, genName: String, format: String,
+      keep: Int): Long = {
     def j(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     val content = s"""{"gen":${j(genName)},"format":${j(format)}}"""
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val genPath = new org.apache.hadoop.fs.Path(genRoot(target), genName)
     var attempt = 0
     while (attempt < 50) {
       val next = currentPointer(fs, target).map(_._1).getOrElse(0L) + 1
       // belt against a mis-configured vacuum TTL: never CAS-install a
       // pointer to a generation that is no longer there (a torn table
       // would be worse than this loud failure)
-      if (!fs.exists(new org.apache.hadoop.fs.Path(genRoot(target), genName)))
+      if (!fs.exists(genPath))
         throw new java.io.IOException(
           s"pointer publish: generation '$genName' at '$target' vanished " +
             "before publish — was vacuum run with a TTL shorter than this write?")
       if (VersionedTable.commitCoordinator.publish(fs, ptrDir(target),
           ptrPath(target, next), content)) {
-        purgeSuperseded(fs, target, next)
+        // the belt above is not atomic with the CAS: vacuum can delete
+        // the generation in between. Re-verify AFTER winning and
+        // withdraw the just-published pointer rather than leave a
+        // pointer to a missing generation installed as latest.
+        if (!fs.exists(genPath)) {
+          try fs.delete(ptrPath(target, next), false)
+          catch { case _: java.io.IOException => () }
+          throw new java.io.IOException(
+            s"pointer publish: generation '$genName' at '$target' vanished " +
+              s"between the pre-publish check and the pointer CAS (pointer v$next " +
+              "withdrawn) — was vacuum run with a TTL shorter than this write?")
+        }
+        purgeSuperseded(fs, target, next, keep)
         return next
       }
       attempt += 1
@@ -217,19 +269,22 @@ object Sinks {
       s"pointer publish: lost the version race 50 times at '$target'")
   }
 
-  /** Full-refresh purge, pointer edition: drop pointers below the
-    * winner and the generations they reference, plus any legacy
-    * plain-layout entries at the root (superseded by definition once a
-    * pointer exists). Never touches unreferenced generations — they may
-    * be a concurrent writer's in-flight publish ([[vacuum]] reclaims
-    * crash orphans after the TTL). All best-effort: purge failures
-    * leave garbage, never a wrong table. */
+  /** Full-refresh purge, pointer edition: drop pointers more than
+    * `keep-1` versions below the winner and the generations they
+    * reference (the purge GRACE LAG — a reader that resolved a
+    * just-superseded pointer finishes its scan; see
+    * [[pointerKeepGenerations]]), plus any legacy plain-layout entries
+    * at the root (superseded by definition once a pointer exists).
+    * Never touches unreferenced generations — they may be a concurrent
+    * writer's in-flight publish ([[vacuum]] reclaims crash orphans
+    * after the TTL). All best-effort: purge failures leave garbage,
+    * never a wrong table. */
   private def purgeSuperseded(fs: org.apache.hadoop.fs.FileSystem,
-      target: org.apache.hadoop.fs.Path, winner: Long): Unit = {
+      target: org.apache.hadoop.fs.Path, winner: Long, keep: Int): Unit = {
     val pd = ptrDir(target)
     val old =
       try fs.listStatus(pd).map(_.getPath).flatMap(p => p.getName match {
-        case PtrName(d) if d.toLong < winner => Some((d.toLong, p))
+        case PtrName(d) if d.toLong <= winner - keep => Some((d.toLong, p))
         case _ => None
       })
       catch { case _: java.io.IOException => Array.empty[(Long, org.apache.hadoop.fs.Path)] }
@@ -277,7 +332,8 @@ object Sinks {
     if (usesPointer(fs, target)) {
       val gen = newGenDir(target)
       writeTo(gen)
-      publishPointer(fs, target, gen.getName, format): Unit
+      publishPointer(fs, target, gen.getName, format,
+        pointerKeepGenerations(spark)): Unit
     } else {
       val staging = new org.apache.hadoop.fs.Path(
         target.getParent, s".${target.getName}.__staging__")
@@ -631,10 +687,14 @@ object Sinks {
         // would orphan (and the purge would then DELETE) every legacy
         // row — the table upgrades to pointer layout at its next full
         // rewrite, which reads and carries the legacy data.
+        // `_graft_log` is excluded to MATCH purgeSuperseded's allowlist:
+        // a location holding only a leftover versioned-table log is not
+        // legacy data, and counting it would pin a plain append sink in
+        // plain layout forever while the purge path preserves the log
         def hasLegacyData: Boolean =
           fs.exists(target) && fs.listStatus(target).exists { st =>
             val n = st.getPath.getName
-            n != "_gen" && n != "_graft_ptr"
+            n != "_gen" && n != "_graft_ptr" && n != "_graft_log"
           }
         val (dest, publishAfter) =
           if (!usesPointer(fs, target))
@@ -668,7 +728,8 @@ object Sinks {
         if (out.manifest) writeManifest(spark,
           new org.apache.hadoop.fs.Path(dest), out)
         publishAfter.foreach(gen =>
-          publishPointer(fs, target, gen.getName, out.format): Unit)
+          publishPointer(fs, target, gen.getName, out.format,
+            pointerKeepGenerations(spark)): Unit)
 
       case TargetSpec.Jdbc(url, table) =>
         // partitioning/file-count knobs don't apply to a database table;
@@ -1176,3 +1237,4 @@ object Sinks {
     }
   }
 }
+ 

@@ -58,10 +58,12 @@ class PointerPublishSpec extends SparkSpec {
       assert(readBack(loc).collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
         Set((3, "c")), "second full refresh replaces the first")
     }
-    // superseded state purged: one generation, one pointer (v2) remain
-    assert(genDirs(loc).size == 1, s"superseded generation must be purged: ${genDirs(loc)}")
-    assert(ptrFiles(loc) == Seq("v000000000002.json"),
-      s"superseded pointer must be purged: ${ptrFiles(loc)}")
+    // superseded state purged WITH the default keep-2 grace: both
+    // generations and pointers v1+v2 remain after two publishes (v1 is
+    // the one-publish reader grace; a third publish would purge it)
+    assert(genDirs(loc).size == 2, s"keep-2 grace must retain both generations: ${genDirs(loc)}")
+    assert(ptrFiles(loc) == Seq("v000000000001.json", "v000000000002.json"),
+      s"keep-2 grace must retain pointers v1+v2: ${ptrFiles(loc)}")
     // no plain-layout data at the root: a raw reader fails loudly
     // instead of silently mixing generations
     val (p, fs) = fsOf(loc)
@@ -118,7 +120,7 @@ class PointerPublishSpec extends SparkSpec {
         r.getAs[String]("v"), r.getAs[Boolean]("_is_current"))).toSet
       assert(back == Set((1, "a", false), (1, "a2", true), (2, "b", true)))
     }
-    assert(genDirs(loc).size == 1)
+    assert(genDirs(loc).size == 2) // scd2 = 2 full rewrites, keep-2 grace
   }
 
   test("pointer race: N concurrent full refreshes — every writer wins a distinct version, the table is never torn") {
@@ -140,11 +142,12 @@ class PointerPublishSpec extends SparkSpec {
       assert(back.length == 50, s"torn table: ${back.length} rows")
       assert(back.toSet.size == 1, s"mixed generations: ${back.toSet}")
       // every writer won a distinct version: 8 pointer publishes happened
-      // (losers retried at the next version), only the latest survives
-      assert(ptrFiles(loc) == Seq("v000000000008.json"),
-        s"expected the 8th pointer to survive: ${ptrFiles(loc)}")
-      assert(genDirs(loc).size == 1,
-        s"superseded generations must be purged: ${genDirs(loc)}")
+      // (losers retried at the next version); the latest plus the keep-2
+      // grace survive
+      assert(ptrFiles(loc) == Seq("v000000000007.json", "v000000000008.json"),
+        s"expected pointers v7+v8 to survive under the keep-2 grace: ${ptrFiles(loc)}")
+      assert(genDirs(loc).size == 2,
+        s"generations beyond the keep-2 grace must be purged: ${genDirs(loc)}")
     }
   }
 
@@ -187,12 +190,12 @@ class PointerPublishSpec extends SparkSpec {
       Sinks.write(spark, (1 to 100).toDF("n").repartition(8), out(loc)(identity))
       Sinks.compact(spark, loc, "parquet", 1)
       val gen = genDirs(loc)
-      assert(gen.size == 1, gen.toString)
+      assert(gen.size == 2, gen.toString) // pre- and post-compact (keep-2 grace)
       val files = new java.io.File(Sinks.resolveDataPath(spark, loc))
         .listFiles().count(f => f.getName.endsWith(".parquet"))
       assert(files == 1, s"expected 1 compacted file, got $files")
       assert(readBack(loc).collect().map(_.getInt(0)).sorted.toSeq == (1 to 100))
-      assert(ptrFiles(loc) == Seq("v000000000002.json"))
+      assert(ptrFiles(loc) == Seq("v000000000001.json", "v000000000002.json"))
     }
   }
 
@@ -243,5 +246,71 @@ class PointerPublishSpec extends SparkSpec {
       s"legacy plain-layout files must be purged: $rootEntries")
     assert(readBack(loc).collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
       Set((2, "new")))
+  }
+
+  test("pointer purge grace: a pinned reader survives keep-1 publishes and fails loudly past the grace") {
+    val loc = tmp("grace")
+    withLockfile {
+      Sinks.write(spark, Seq((1, "g1")).toDF("k", "v"), out(loc)(identity))
+      // a reader resolves just before the next publish and holds the path
+      val pinned = Sinks.resolveDataPath(spark, loc)
+      Sinks.write(spark, Seq((2, "g2")).toDF("k", "v"), out(loc)(identity))
+      // default keepGenerations=2: the superseded generation survives
+      // one publish, so the pinned scan completes on exactly its snapshot
+      assert(spark.read.parquet(pinned).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet == Set((1, "g1")),
+        "the pinned reader must still see its resolved snapshot under the grace")
+      Sinks.write(spark, Seq((3, "g3")).toDF("k", "v"), out(loc)(identity))
+      // past the grace: the generation is GONE and the read fails
+      // loudly (missing path) — never a silently mixed or empty table
+      val (_, fs) = fsOf(loc)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(pinned)),
+        "past the grace the pinned generation must be purged")
+      intercept[Exception] { spark.read.parquet(pinned).collect() }
+      // the live read is the latest publish throughout
+      assert(readBack(loc).collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSet == Set((3, "g3")))
+    }
+  }
+
+  test("pointer purge grace: keepGenerations widens the lag, 1 restores the eager purge, floor is validated") {
+    withLockfile {
+      // keep=3: a pinned reader survives TWO publishes, dies at the third
+      val loc = tmp("grace3")
+      spark.conf.set("spark.graft.pointer.keepGenerations", "3")
+      try {
+        Sinks.write(spark, Seq(1).toDF("n"), out(loc)(identity))
+        val pinned = Sinks.resolveDataPath(spark, loc)
+        Sinks.write(spark, Seq(2).toDF("n"), out(loc)(identity))
+        Sinks.write(spark, Seq(3).toDF("n"), out(loc)(identity))
+        assert(spark.read.parquet(pinned).collect().map(_.getInt(0)).toSeq == Seq(1))
+        Sinks.write(spark, Seq(4).toDF("n"), out(loc)(identity))
+        val (_, fs) = fsOf(loc)
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(pinned)))
+        assert(ptrFiles(loc) == Seq("v000000000002.json",
+          "v000000000003.json", "v000000000004.json"))
+        assert(genDirs(loc).size == 3)
+      } finally spark.conf.unset("spark.graft.pointer.keepGenerations")
+      // keep=1: the pre-grace eager purge (live generation only)
+      val loc1 = tmp("grace1")
+      spark.conf.set("spark.graft.pointer.keepGenerations", "1")
+      try {
+        Sinks.write(spark, Seq(1).toDF("n"), out(loc1)(identity))
+        Sinks.write(spark, Seq(2).toDF("n"), out(loc1)(identity))
+        assert(genDirs(loc1).size == 1)
+        assert(ptrFiles(loc1) == Seq("v000000000002.json"))
+      } finally spark.conf.unset("spark.graft.pointer.keepGenerations")
+      // the settle-floor validation discipline: 0 and junk are named errors
+      val locBad = tmp("graceBad")
+      for (bad <- Seq("0", "-2", "many")) {
+        spark.conf.set("spark.graft.pointer.keepGenerations", bad)
+        try {
+          val e = intercept[graft.config.ConfigError] {
+            Sinks.write(spark, Seq(1).toDF("n"), out(locBad)(identity))
+          }
+          assert(e.getMessage.contains("keepGenerations"), e.getMessage)
+        } finally spark.conf.unset("spark.graft.pointer.keepGenerations")
+      }
+    }
   }
 }
