@@ -25,16 +25,25 @@ import graft.config.{ConfigError, JobSpec, SourceSpec, Interpolate}
   * Supported shapes (each unsupported variant errors BY NAME):
   *  - `DELETE FROM t WHERE <cond>` → deletion-vector delete
   *  - `UPDATE t SET c = e, ... [WHERE <cond>]` → DV update + append
-  *  - `MERGE INTO t USING <source> ON t.k = s.k [AND ...]
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
-  *    → file-level zone-map-pruned merge (the row-replace semantics
-  *    [[graft.sinks.VersionedTable.merge]] implements). Conditional /
-  *    column-level merge actions are rejected by name — silently
-  *    approximating them would corrupt data.
+  *  - `MERGE INTO t USING <source> ON t.k = s.k [AND ...]` with the
+  *    full ANSI action surface (r13, r12 verdict #3): `WHEN MATCHED
+  *    [AND <cond>] THEN UPDATE SET * | UPDATE SET c = e, ... | DELETE`,
+  *    `WHEN NOT MATCHED [AND <cond>] THEN INSERT * | INSERT (c, ...)
+  *    VALUES (e, ...)`, and `WHEN NOT MATCHED BY SOURCE [AND <cond>]
+  *    THEN UPDATE SET ... | DELETE`. The exact row-replace shape
+  *    (`UPDATE SET * / INSERT *`, unconditional) takes the classic
+  *    zone-map-pruned file-level merge; every other combination runs
+  *    [[graft.sinks.MergeActions]]' conditional evaluator with the
+  *    file-carry contract preserved (only NOT MATCHED BY SOURCE — whose
+  *    semantics touch every unmatched target row — forces a whole-table
+  *    rewrite). ANSI scoping and the source-cardinality rule error by
+  *    name ([[translateActions]]).
   *
   * Column references may carry the target/source alias (`t.cents`);
-  * qualifiers are stripped after validation since the versioned API
-  * evaluates expressions over the table's own columns.
+  * UPDATE/DELETE qualifiers are stripped after validation since the
+  * versioned API evaluates expressions over the table's own columns;
+  * MERGE action references are rewritten onto the evaluator's `t`/`s`
+  * scope.
   */
 object SqlDml {
 
@@ -97,31 +106,20 @@ object SqlDml {
 
       case m: MergeIntoTable =>
         val (name, loc, fmt, opts) = resolveTarget(spark, job, vars, m.targetTable)
-        // exact row-replace shape: WHEN MATCHED THEN UPDATE SET * /
-        // WHEN NOT MATCHED THEN INSERT * — anything else is a different
-        // semantic the file-level merge must not silently approximate
-        m.matchedActions match {
-          case Seq(UpdateStarAction(None)) => ()
-          case other => throw new ConfigError(
-            "MERGE supports exactly `WHEN MATCHED THEN UPDATE SET *` " +
-              s"(got: ${if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")}); " +
-              "for conditional or column-level updates use UPDATE ... WHERE")
-        }
-        m.notMatchedActions match {
-          case Seq(InsertStarAction(None)) => ()
-          case other => throw new ConfigError(
-            "MERGE supports exactly `WHEN NOT MATCHED THEN INSERT *` " +
-              s"(got: ${if (other.isEmpty) "none" else other.map(_.getClass.getSimpleName).mkString(", ")})")
-        }
-        if (m.notMatchedBySourceActions.nonEmpty) throw new ConfigError(
-          "MERGE ... WHEN NOT MATCHED BY SOURCE is not supported — " +
-            "use DELETE FROM ... WHERE for source-absent rows")
-        val keys = equiKeys(m.mergeCondition,
-          aliasNames(m.targetTable), aliasNames(m.sourceTable))
+        val targetNames = aliasNames(m.targetTable)
+        val sourceNames = aliasNames(m.sourceTable)
+        val keys = equiKeys(m.mergeCondition, targetNames, sourceNames)
         val arrivals = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, m.sourceTable)
+        // the full ANSI action surface routes to the versioned merge:
+        // the exact row-replace shape takes the classic zone-map-pruned
+        // anti-join+union path; anything else runs the conditional
+        // evaluator (r12 verdict #3 — these were rejected by name)
+        val actions = translateActions(spark, m, loc, fmt, opts,
+          targetNames, sourceNames, arrivals.columns)
         val v = graft.sinks.VersionedTable.merge(
           spark, loc, arrivals, keys, fmt, opts,
-          statsColumns = graft.sinks.VersionedTable.trackedStatsColumns(spark, loc))
+          statsColumns = graft.sinks.VersionedTable.trackedStatsColumns(spark, loc),
+          actions = actions)
         graft.log.Log.info("sql MERGE applied", "table" -> name,
           "location" -> loc, "version" -> s"v$v", "keys" -> keys.mkString(","))
         graft.sinks.VersionedTable.read(spark, loc, asOf = Some(v),
@@ -129,8 +127,139 @@ object SqlDml {
 
       case other => throw new ConfigError(
         s"unsupported DML statement (${other.getClass.getSimpleName}) — " +
-          "supported: DELETE FROM, UPDATE ... SET, MERGE INTO (row-replace shape)")
+          "supported: DELETE FROM, UPDATE ... SET, MERGE INTO")
     }
+  }
+
+  /** Catalyst MERGE action nodes → [[graft.sinks.MergeActions]], with
+    * the ANSI scoping rules enforced BY NAME at routing time:
+    *   - matched actions (conditions + SET values) may reference the
+    *     target and the source;
+    *   - not-matched (insert) actions may reference the SOURCE only;
+    *   - not-matched-BY-SOURCE actions may reference the TARGET only;
+    *   - an unqualified column that exists on both in-scope sides is
+    *     ambiguous (qualify it); assignment targets must be target
+    *     columns; an action after an unconditional action in the same
+    *     clause group is unreachable.
+    * References are rewritten onto the evaluator's `t`/`s` struct
+    * scope ([[graft.sinks.MergeActions]]) and passed as SQL strings,
+    * so the statement's own alias spelling never leaks into the
+    * versioned layer. */
+  private def translateActions(spark: SparkSession, m: MergeIntoTable,
+      loc: String, fmt: String, opts: Map[String, String],
+      targetNames: Set[String], sourceNames: Set[String],
+      sourceCols: Array[String]): graft.sinks.MergeActions = {
+    import graft.sinks.MergeActions
+    // the row-replace fast path keeps its unrestricted multi-row-key
+    // semantics (and skips the target-schema read)
+    (m.matchedActions, m.notMatchedActions, m.notMatchedBySourceActions) match {
+      case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+        return MergeActions.RowReplace
+      case _ => ()
+    }
+    val targetCols = graft.sinks.VersionedTable.read(spark, loc,
+      format = fmt, options = opts).columns
+    val tCols = targetCols.map(_.toLowerCase).toSet
+    val sCols = sourceCols.map(_.toLowerCase).toSet
+
+    def rewrite(e: Expression, allowTarget: Boolean, allowSource: Boolean,
+                ctx: String): String = e.transform {
+      case a: UnresolvedAttribute =>
+        val last = a.nameParts.last
+        val side =
+          if (a.nameParts.size >= 2) {
+            val q = a.nameParts.init.last.toLowerCase
+            if (targetNames.contains(q)) "t"
+            else if (sourceNames.contains(q)) "s"
+            else throw new ConfigError(
+              s"MERGE $ctx references unknown qualifier '$q' — expected the " +
+                s"target (${targetNames.toSeq.sorted.mkString("/")}) or the " +
+                s"source (${sourceNames.toSeq.sorted.mkString("/")})")
+          } else {
+            val t = tCols(last.toLowerCase) && allowTarget
+            val s = sCols(last.toLowerCase) && allowSource
+            if (t && s) throw new ConfigError(
+              s"MERGE $ctx: unqualified column '$last' exists on both the " +
+                "target and the source — qualify it")
+            else if (t) "t"
+            else if (s) "s"
+            else if (tCols(last.toLowerCase) || sCols(last.toLowerCase)) "scope"
+            else throw new ConfigError(s"MERGE $ctx: unknown column '$last'")
+          }
+        if (side == "t" && !allowTarget) throw new ConfigError(
+          s"MERGE $ctx may not reference the target (column '$last') — " +
+            "ANSI scope: insert actions see the source row only")
+        if (side == "s" && !allowSource) throw new ConfigError(
+          s"MERGE $ctx may not reference the source (column '$last') — " +
+            "ANSI scope: NOT MATCHED BY SOURCE rows have no source row")
+        if (side == "scope") throw new ConfigError(
+          s"MERGE $ctx: column '$last' is out of scope here — " +
+            (if (allowSource) "insert actions see the source row only"
+             else "NOT MATCHED BY SOURCE actions see the target row only"))
+        UnresolvedAttribute(Seq(side, last))
+    }.sql
+
+    def assignments(as: Seq[Assignment], allowTarget: Boolean,
+                    allowSource: Boolean, ctx: String): Seq[(String, String)] = {
+      val set = as.map { a =>
+        val key = a.key match {
+          case u: UnresolvedAttribute =>
+            if (u.nameParts.size >= 2) {
+              val q = u.nameParts.init.last.toLowerCase
+              if (!targetNames.contains(q)) throw new ConfigError(
+                s"MERGE $ctx assigns to '$q.${u.nameParts.last}' — " +
+                  "assignment targets must be target columns")
+            }
+            u.nameParts.last
+          case other => throw new ConfigError(
+            s"MERGE $ctx assignment target must be a column, got: ${other.sql}")
+        }
+        if (!tCols(key.toLowerCase)) throw new ConfigError(
+          s"MERGE $ctx assigns to unknown target column '$key'")
+        key -> rewrite(a.value, allowTarget, allowSource, ctx)
+      }
+      if (set.map(_._1.toLowerCase).distinct.size != set.size) throw new ConfigError(
+        s"MERGE $ctx assigns a column twice: ${set.map(_._1).mkString(", ")}")
+      set
+    }
+
+    // action reachability (an unconditional action must be last in its
+    // clause group) is enforced by Spark's parser itself
+    // (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION) — no second gate here
+    val matched = m.matchedActions.map {
+      case UpdateStarAction(c) => MergeActions.UpdateAll(
+        c.map(rewrite(_, allowTarget = true, allowSource = true, "WHEN MATCHED condition")))
+      case UpdateAction(c, as, _) => MergeActions.UpdateSet(
+        c.map(rewrite(_, allowTarget = true, allowSource = true, "WHEN MATCHED condition")),
+        assignments(as, allowTarget = true, allowSource = true, "WHEN MATCHED UPDATE"))
+      case DeleteAction(c) => MergeActions.Delete(
+        c.map(rewrite(_, allowTarget = true, allowSource = true, "WHEN MATCHED condition")))
+      case other => throw new ConfigError(
+        s"unsupported WHEN MATCHED action: ${other.getClass.getSimpleName}")
+    }
+    val notMatched = m.notMatchedActions.map {
+      case InsertStarAction(c) => MergeActions.InsertAll(
+        c.map(rewrite(_, allowTarget = false, allowSource = true, "WHEN NOT MATCHED condition")))
+      case InsertAction(c, as) => MergeActions.InsertValues(
+        c.map(rewrite(_, allowTarget = false, allowSource = true, "WHEN NOT MATCHED condition")),
+        assignments(as, allowTarget = false, allowSource = true,
+          "WHEN NOT MATCHED INSERT"))
+      case other => throw new ConfigError(
+        s"unsupported WHEN NOT MATCHED action: ${other.getClass.getSimpleName}")
+    }
+    val bySource = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, as, _) => MergeActions.BySourceUpdate(
+        c.map(rewrite(_, allowTarget = true, allowSource = false,
+          "WHEN NOT MATCHED BY SOURCE condition")),
+        assignments(as, allowTarget = true, allowSource = false,
+          "WHEN NOT MATCHED BY SOURCE UPDATE"))
+      case DeleteAction(c) => MergeActions.BySourceDelete(
+        c.map(rewrite(_, allowTarget = true, allowSource = false,
+          "WHEN NOT MATCHED BY SOURCE condition")))
+      case other => throw new ConfigError(
+        s"unsupported WHEN NOT MATCHED BY SOURCE action: ${other.getClass.getSimpleName}")
+    }
+    MergeActions(matched, notMatched, bySource)
   }
 
   /** The DML target must be a declared versioned input — its config row

@@ -1292,6 +1292,81 @@ object Framework {
     graft.sinks.VersionedTable.read(s, loc)
   }
 
+  /** Conditional-action SQL MERGE (r12 verdict #3): the full ANSI
+    * action surface driven through two one-statement YAML jobs against
+    * a versioned table. Merge 1 exercises first-action-wins ordering
+    * (`WHEN MATCHED AND seg = BUILDING THEN DELETE` claims its rows
+    * before the conditional column-SET update), a conditional
+    * `INSERT *`, and the FILE-CARRY contract (arrival keys <= 60 touch
+    * a bounded file subset of the range-partitioned table — REQUIREd).
+    * Merge 2 exercises `WHEN NOT MATCHED BY SOURCE` — whose semantics
+    * reach every unmatched target row, so the whole table rewrites
+    * (REQUIREd: zero files carried; pruning is impossible BY MEANING).
+    * The oracle replays both merges closed-form. */
+  private def fwMergeConditional(s: SparkSession, d: String): DataFrame = {
+    val base = scratch(d, "merge_cond")
+    rmrf(s, base)
+    val loc = s"$base/out"
+    run(s,
+      s"""job:
+         |  name: fw-merge-cond-v1
+         |  type: spark-sql
+         |input_tables:
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |output_table:
+         |  name: mc_out
+         |  target: s3
+         |  location: $loc
+         |  refresh: full
+         |  versioned: "true"
+         |  repartition: "8"
+         |  range_partition_keys: c_custkey
+         |  stats_columns: c_custkey
+         |sql: >
+         |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         |  c_mktsegment AS seg, 'v1' AS version FROM customer WHERE c_custkey % 2 = 0
+         |""".stripMargin)
+    def dml(sql: String) = run(s,
+      s"""job:
+         |  name: fw-merge-cond-dml
+         |  type: spark-sql
+         |input_tables:
+         |  - name: tgt
+         |    source: s3
+         |    location: $loc
+         |    versioned: "true"
+         |  - name: customer
+         |    source: s3
+         |    location: $d/customer.parquet
+         |sql: >
+         |  $sql
+         |""".stripMargin)
+    dml("""MERGE INTO tgt USING (SELECT c_custkey,
+          |  CAST(floor(c_acctbal * 50 + 0.5) AS BIGINT) AS cents,
+          |  c_mktsegment AS seg, 'v2' AS version
+          |  FROM customer WHERE c_custkey <= 60) s
+          |  ON tgt.c_custkey = s.c_custkey
+          |  WHEN MATCHED AND s.seg = 'BUILDING' THEN DELETE
+          |  WHEN MATCHED AND s.cents > tgt.cents THEN UPDATE SET cents = s.cents, version = 'upd'
+          |  WHEN NOT MATCHED AND s.cents >= 0 THEN INSERT *""".stripMargin.replace("\n", " "))
+    val v1Files = graft.sinks.VersionedTable.fileStats(s, loc, 1L).keySet
+    val v2Files = graft.sinks.VersionedTable.fileStats(s, loc, 2L).keySet
+    val carried = (v1Files intersect v2Files).size
+    require(carried >= v1Files.size - 2,
+      s"fw_merge_conditional: the conditional merge must keep the file-carry " +
+        s"contract (arrival keys <= 60), carried $carried of ${v1Files.size}")
+    dml("""MERGE INTO tgt USING (SELECT c_custkey FROM customer WHERE c_custkey <= 60) s
+          |  ON tgt.c_custkey = s.c_custkey
+          |  WHEN NOT MATCHED BY SOURCE AND tgt.cents < 0 THEN UPDATE SET version = 'stale'""".stripMargin.replace("\n", " "))
+    val v3Files = graft.sinks.VersionedTable.fileStats(s, loc, 3L).keySet
+    require((v2Files intersect v3Files).isEmpty,
+      "fw_merge_conditional: NOT MATCHED BY SOURCE reaches every unmatched " +
+        "target row — the whole table must rewrite, no file carried")
+    graft.sinks.VersionedTable.read(s, loc)
+  }
+
   /** DELETE FROM + UPDATE on the SQL surface: two one-statement jobs
     * against a versioned table — a deletion-vector delete (zero files
     * rewritten) then a DV update (old positions to the DV, new images
@@ -2812,6 +2887,36 @@ object Framework {
         |            ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS cents,
         |       CASE WHEN c_custkey <= 20 THEN 'v2' ELSE 'v1' END AS version
         |FROM customer""".stripMargin)),
+    // closed-form replay of both conditional merges: merge 1 first-
+    // action-wins (BUILDING delete > cents update) + conditional
+    // insert; merge 2 marks source-absent negative rows 'stale'
+    "fw_merge_conditional" -> Q(fwMergeConditional, Some(
+      """WITH t1 AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg, 'v1' AS version
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |), s1 AS (
+        |  SELECT c_custkey, CAST(floor(c_acctbal * 50 + 0.5) AS BIGINT) AS cents,
+        |         c_mktsegment AS seg, 'v2' AS version
+        |  FROM customer WHERE c_custkey <= 60
+        |), m1 AS (
+        |  SELECT t.c_custkey,
+        |         CASE WHEN s.c_custkey IS NOT NULL AND s.cents > t.cents
+        |              THEN s.cents ELSE t.cents END AS cents,
+        |         t.seg,
+        |         CASE WHEN s.c_custkey IS NOT NULL AND s.cents > t.cents
+        |              THEN 'upd' ELSE t.version END AS version
+        |  FROM t1 t LEFT JOIN s1 s ON t.c_custkey = s.c_custkey
+        |  WHERE s.c_custkey IS NULL OR s.seg <> 'BUILDING'
+        |  UNION ALL
+        |  SELECT s.c_custkey, s.cents, s.seg, s.version
+        |  FROM s1 s LEFT JOIN t1 t ON t.c_custkey = s.c_custkey
+        |  WHERE t.c_custkey IS NULL AND s.cents >= 0
+        |)
+        |SELECT m.c_custkey, m.cents, m.seg,
+        |       CASE WHEN s.c_custkey IS NULL AND m.cents < 0
+        |            THEN 'stale' ELSE m.version END AS version
+        |FROM m1 m LEFT JOIN s1 s ON m.c_custkey = s.c_custkey""".stripMargin)),
     "fw_dml_sql" -> Q(fwDmlSql, Some(
       """SELECT c_custkey,
         |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)

@@ -782,9 +782,19 @@ object VersionedTable {
             // passes that version here: a commit that landed since aborts
             // at entry (the read-to-publish window is guarded by the
             // single-attempt CAS regardless)
-            expectedLatest: Option[Long] = None): Long = {
+            expectedLatest: Option[Long] = None,
+            // None / RowReplace = the classic upsert (arrivals replace
+            // equal-key rows, new keys insert). Anything else runs the
+            // ANSI-shaped conditional evaluator ([[MergeActions]]):
+            // first-true action per row kind, DELETE/column-SET/insert
+            // chains, with the file-carry contract preserved — only
+            // WHEN NOT MATCHED BY SOURCE forces a whole-table rewrite
+            // (its semantics touch every unmatched target row, so zone
+            // pruning is impossible BY MEANING, not by implementation)
+            actions: MergeActions = MergeActions.RowReplace): Long = {
     import org.apache.spark.sql.functions.{col, min => fmin, max => fmax}
     require(keys.nonEmpty, "versioned merge: keys must be non-empty")
+    val conditional = actions != MergeActions.RowReplace
     val root = new Path(location)
     val fs = fsFor(spark, root)
     val vs = versions(spark, location)
@@ -793,6 +803,28 @@ object VersionedTable {
         throw new java.util.ConcurrentModificationException(
           s"versioned merge: serializable conflict at '$location' — snapshot " +
             s"was v$exp, latest is v${vs.lastOption.getOrElse(0L)}; re-read and re-merge")
+    }
+    if (vs.isEmpty && conditional) throw new graft.config.ConfigError(
+      s"versioned merge: conditional MERGE actions need an existing versioned " +
+        s"table at '$location' (the action semantics are defined against the " +
+        "target schema) — seed it with a commit first")
+    if (conditional) {
+      // ANSI cardinality rule: a target row matching MORE than one
+      // source row makes the conditional result order-dependent —
+      // reject a key-duplicated source loudly (null-key source rows
+      // never match anything and may repeat freely). Bounded: the
+      // check aggregates to the first offending key only.
+      val dup = arrivals
+        .filter(keys.map(col(_).isNotNull).reduce(_ && _))
+        .groupBy(keys.map(col): _*)
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("__n"))
+        .filter(col("__n") > 1).limit(1).collect()
+      if (dup.nonEmpty) throw new graft.config.ConfigError(
+        s"versioned merge: the MERGE source has multiple rows for key " +
+          s"(${keys.mkString(", ")}) = (${dup.head.toSeq.init.mkString(", ")}) — " +
+          "conditional MERGE requires a key-unique source (ANSI cardinality " +
+          "rule: a multi-match result would be order-dependent)")
     }
     if (vs.isEmpty)
       // expectedLatest = 0 keeps the bootstrap SERIALIZABLE: losing the
@@ -817,12 +849,28 @@ object VersionedTable {
             case _ => true // kinds incomparable: conservative rewrite
           }
       }
-    val touched = files.filter(touchedBy)
+    // NOT MATCHED BY SOURCE reaches every target row with no arrival
+    // match — those live in ANY file, so pruning is semantically void
+    val touched =
+      if (actions.bySource.nonEmpty) files else files.filter(touchedBy)
     val untouched = files.filterNot(touched.toSet)
+    // the conditional evaluator projects to the TARGET schema (star
+    // actions validate the source carries every target column below),
+    // so the drift check applies to the row-replace path only
+    if (conditional && actions.needsFullSourceRow && files.nonEmpty) {
+      val tableCols = spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(new Path(dataDir(root), files.head).toString).columns
+      val have = arrivals.columns.map(_.toLowerCase).toSet
+      val missing = tableCols.filterNot(c => have(c.toLowerCase))
+      if (missing.nonEmpty) throw new graft.config.ConfigError(
+        s"versioned merge: UPDATE SET * / INSERT * needs every target column " +
+          s"in the source — missing: ${missing.mkString(", ")}")
+    }
     // when nothing is touched, the unionByName that would otherwise
     // catch a drifted arrival schema never runs — check it explicitly
     // (one footer read), or v+1 would mix schemas across its files
-    if (touched.isEmpty && files.nonEmpty &&
+    if (!conditional && touched.isEmpty && files.nonEmpty &&
       !options.get("mergeSchema").exists(_.equalsIgnoreCase("true"))) {
       val tableCols = spark.read.format(format)
         .options(graft.sources.Sources.mapOptions(options))
@@ -840,8 +888,18 @@ object VersionedTable {
     }
     val latestDv = dvOf(fs, root, latest)
     val merged =
-      if (touched.isEmpty) arrivals
-      else {
+      if (touched.isEmpty) {
+        if (!conditional) arrivals
+        else {
+          // no target row can match: every arrival is not-matched, so
+          // the insert chain applies directly (projected to the table
+          // schema read from one footer)
+          val schema = spark.read.format(format)
+            .options(graft.sources.Sources.mapOptions(options))
+            .load(new Path(dataDir(root), files.head).toString).schema
+          MergeActions.applyInsertOnly(arrivals, schema, actions)
+        }
+      } else {
         val touchedBase = spark.read.format(format)
           .options(graft.sources.Sources.mapOptions(options))
           .load(touched.map(n => new Path(dataDir(root), n).toString): _*)
@@ -849,7 +907,8 @@ object VersionedTable {
         // rewrite — the DV applies to the snapshot being merged
         val touchedLive = latestDv.fold(touchedBase) { case (name, _) =>
           applyDv(spark, root, touchedBase, name) }
-        touchedLive
+        if (conditional) MergeActions(touchedLive, arrivals, keys, actions)
+        else touchedLive
           .join(arrivals, keys, "left_anti")
           .unionByName(arrivals)
       }

@@ -75,15 +75,6 @@ class SqlDmlSpec extends SparkSpec {
     // DML jobs write in place — output_table is a config error
     assert(err("DELETE FROM t WHERE k = 1", withOutput = true)
       .contains("output_table"))
-    // only the row-replace MERGE shape
-    assert(err(
-      """MERGE INTO t USING (SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
-        |ON t.k = s.k WHEN MATCHED THEN DELETE""".stripMargin)
-      .contains("UPDATE SET *"))
-    assert(err(
-      """MERGE INTO t USING (SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
-        |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
-      .contains("INSERT *"))
     // ON must be same-named equi keys
     assert(err(
       """MERGE INTO t USING (SELECT 1 AS kk, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s
@@ -97,6 +88,78 @@ class SqlDmlSpec extends SparkSpec {
       .contains("same-named equality"))
     // a malformed statement is a ConfigError, not a raw ParseException
     assert(err("DELETE FRM t WHERE k = 1").contains("failed to parse"))
+    // ANSI scope violations error by name (r13: the conditional action
+    // surface ROUTES now — what remains rejected is what ANSI rejects)
+    val src = "(SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s"
+    assert(err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN NOT MATCHED AND t.seg = 'a' THEN INSERT *""".stripMargin)
+      .contains("insert actions see the source row only"))
+    assert(err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN NOT MATCHED BY SOURCE AND s.seg = 'x' THEN DELETE""".stripMargin)
+      .contains("no source row"))
+    // unqualified ambiguity (cents exists on both sides of a matched action)
+    assert(err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED AND cents > 0 THEN DELETE""".stripMargin)
+      .contains("qualify"))
+    // assignment targets must be known target columns
+    assert(err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET nope = 1""".stripMargin)
+      .contains("unknown target column"))
+    // an action after an unconditional action never fires — Spark's own
+    // parser enforces this, surfaced as the router's parse ConfigError
+    assert(err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED THEN DELETE
+         |WHEN MATCHED AND s.cents > 0 THEN UPDATE SET *""".stripMargin)
+      .contains("NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION"))
+    // ANSI cardinality: a key-duplicated source is order-dependent
+    assert(err(
+      """MERGE INTO t USING (SELECT 3 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg
+        |UNION ALL SELECT 3, CAST(4 AS BIGINT), 'y') s ON t.k = s.k
+        |WHEN MATCHED AND s.cents > t.cents THEN DELETE""".stripMargin)
+      .contains("key-unique"))
+  }
+
+  test("conditional MERGE actions route: AND-conditions, DELETE, column SET, NOT MATCHED BY SOURCE") {
+    val loc = table() // rows: (1, 10, a), (2, 20, b), (3, 30, a)
+    spark.createDataFrame(Seq((1, 100L, "z"), (2, 5L, "z"), (7, 70L, "n"), (8, 80L, "x")))
+      .toDF("k", "cents", "seg").createOrReplaceTempView("condarr")
+    val after = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM condarr) s ON t.k = s.k
+        |WHEN MATCHED AND s.cents > t.cents THEN UPDATE SET cents = s.cents + t.cents
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED AND s.seg = 'n' THEN INSERT *
+        |WHEN NOT MATCHED BY SOURCE AND t.seg = 'a' THEN UPDATE SET seg = 'stale'""".stripMargin)
+    val rows = after.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      (1, 110L, "a"),   // matched, 100 > 10 → cents = s + t, seg untouched
+      // k=2 matched, 5 > 20 false → second action DELETE
+      (3, 30L, "stale"), // no source row, seg = a → BY SOURCE update
+      (7, 70L, "n")      // unmatched arrival, seg = n → INSERT *
+      // k=8 unmatched arrival, seg = x → no insert action claims it
+    ), rows.toString)
+    // INSERT (cols) VALUES: unassigned target columns insert NULL
+    spark.createDataFrame(Seq((11, 1L)))
+      .toDF("k", "cents").createOrReplaceTempView("condarr2")
+    val after2 = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM condarr2) s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents * 3)""".stripMargin)
+    val r11 = after2.filter($"k" === 11).head()
+    assert(r11.getAs[Long]("cents") == 3L && r11.isNullAt(r11.fieldIndex("seg")))
+    // BY SOURCE DELETE: rows absent from the source drop when claimed
+    spark.createDataFrame(Seq((1, 0L, "q")))
+      .toDF("k", "cents", "seg").createOrReplaceTempView("condarr3")
+    val after3 = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM condarr3) s ON t.k = s.k
+        |WHEN NOT MATCHED BY SOURCE AND t.cents < 50 THEN DELETE""".stripMargin)
+    // k=1 matched (no matched action → kept); k=3/7/11 unmatched with
+    // cents 30/70/3 → 30 and 3 drop, 70 stays
+    assert(after3.collect().map(_.getInt(0)).toSet == Set(1, 7), after3.collect().toSeq.toString)
   }
 
   test("MERGE ON binding: self-comparisons and unknown qualifiers reject; duplicate keys dedupe") {
