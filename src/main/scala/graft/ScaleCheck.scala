@@ -231,6 +231,10 @@ object ScaleCheck {
     // snapshot once; incremental drains read ONLY the drained commits'
     // added files — the lifecycle must read ~linear in the table writes
     "st54_stream_cdc_source",
+    // round-13: rate-limited drains — same lifecycle as st54 through
+    // one-commit batches; the per-batch bound must not change the
+    // table-linear total
+    "st55_stream_cdc_bounded",
     // round-12: Hilbert clustering — one stats agg + one codegen'd
     // index projection + one range shuffle, same shape as fw_cluster —
     // must read ~linear in the rewritten table

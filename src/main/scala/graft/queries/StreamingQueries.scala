@@ -451,6 +451,56 @@ ${OracleSql.InvIndex}
              |       CAST(c_custkey % 3 + 1 AS BIGINT) AS _commit_version
              |FROM customer""".stripMargin)),
 
+    // RATE-LIMITED CDC drains (r12 verdict #4): the same three-commit
+    // lifecycle as st54, but the checkpoint catches up through
+    // maxVersionsPerDrain=1 batches via the availableNow-style
+    // quiescence loop — bounded bootstrap (snapshot AT v1, not the
+    // head), one commit per batch, and the bounded drains REQUIREd to
+    // fold to the identical snapshot+changes truth. Because every
+    // batch advances exactly one commit, each row's _commit_version is
+    // its true commit — the oracle is st54's, derived independently.
+    "st55_stream_cdc_bounded" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "cdc_bounded")
+        val loc = s"$base/tbl"; val ckpt = s"$base/ckpt"
+        import graft.sinks.VersionedTable
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 0).withColumn("version", lit("v1")),
+          "overwrite")
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 1).withColumn("version", lit("v2")),
+          "append")
+        VersionedTable.commit(s, loc,
+          cust.filter(col("c_custkey") % 3 === 2).withColumn("version", lit("v3")),
+          "append")
+        val drains = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
+        val ranges = Streams.drainVersionedToQuiescence(s, loc, ckpt,
+          maxVersionsPerDrain = Some(1))((df, _, _) => drains += df)
+        require(ranges == Seq((0L, 1L), (1L, 2L), (2L, 3L)),
+          s"st55: rate-limited catch-up must advance one commit per batch, got $ranges")
+        require(Streams.drainVersionedChanges(s, loc, ckpt,
+            maxVersionsPerDrain = Some(1))((_, _, _) => ()).isEmpty,
+          "st55: an up-to-date checkpoint must drain nothing")
+        val acc = drains.reduce(_ unionByName _)
+        // bounded drains fold to the SAME truth as one unbounded drain
+        val fold = VersionedTable.read(s, loc, Some(1L))
+          .withColumn("_commit_version", lit(1L))
+          .unionByName(VersionedTable.changesBetween(s, loc, 1L, 3L))
+        require(acc.exceptAll(fold).isEmpty && fold.exceptAll(acc).isEmpty,
+          "st55: bounded drains must equal the snapshot + changesBetween fold")
+        acc
+      },
+      Some("""SELECT c_custkey,
+             |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             |       CASE CAST(c_custkey % 3 AS INT) WHEN 0 THEN 'v1'
+             |            WHEN 1 THEN 'v2' ELSE 'v3' END AS version,
+             |       CAST(c_custkey % 3 + 1 AS BIGINT) AS _commit_version
+             |FROM customer""".stripMargin)),
+
     "st15_stream_cdc" -> Q(
       (s, d) => Streams.runToMemory(s,
         graft.operators.TextAnalysis.cdcChunks(

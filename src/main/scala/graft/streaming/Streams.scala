@@ -698,11 +698,26 @@ object Streams {
     * drained commits added (manifest set difference — never a table
     * scan); offset state is one tiny JSON per checkpoint, single-writer
     * (the Spark checkpoint-dir contract). Returns the drained
-    * (fromVersion, toVersion], or None when nothing is new. */
+    * (fromVersion, toVersion], or None when nothing is new.
+    *
+    * BACKPRESSURE (r12 verdict #4): `maxVersionsPerDrain` bounds how
+    * many commits one drain delivers — the Delta
+    * `maxFilesPerTrigger`-class rate limit. A checkpoint that fell far
+    * behind (or a fresh one bootstrapping against a long history)
+    * catches up in bounded batches instead of one giant delta read:
+    * the drain stops at the `maxVersionsPerDrain`-th committed version
+    * past the offset (the bootstrap snapshot is taken AT that version,
+    * so even the first batch is bounded), and repeated drains fold to
+    * exactly the same snapshot+changes truth as one unbounded drain —
+    * asserted by st55's oracle, not argued. Use
+    * [[drainVersionedToQuiescence]] for the catch-up loop. */
   def drainVersionedChanges(spark: SparkSession, location: String,
       checkpointDir: String, format: String = "parquet",
-      options: Map[String, String] = Map.empty)
+      options: Map[String, String] = Map.empty,
+      maxVersionsPerDrain: Option[Int] = None)
       (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
+    maxVersionsPerDrain.foreach(m => require(m >= 1,
+      s"cdc drain: maxVersionsPerDrain must be >= 1, got $m"))
     import org.apache.hadoop.fs.Path
     val ckpt = new Path(checkpointDir)
     val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -718,18 +733,29 @@ object Streams {
     val vs = graft.sinks.VersionedTable.versions(spark, location)
     require(vs.nonEmpty, s"cdc drain: '$location' is not a versioned table")
     val latest = vs.last
+    // the drain head: the whole history, or the rate-limited prefix —
+    // the maxVersionsPerDrain-th COMMITTED version past the offset
+    // (committed set, not offset+m arithmetic, so a gapped history
+    // can never target an uncommitted version)
+    def headFor(from: Long): Long = maxVersionsPerDrain
+      .flatMap(m => vs.filter(_ > from).take(m).lastOption)
+      .getOrElse(latest)
     val drained = lastSeen match {
       case Some(from) if from >= latest => None
       case Some(from) =>
+        val to = headFor(from)
         process(graft.sinks.VersionedTable.changesBetween(
-          spark, location, from, latest, format, options), from, latest)
-        Some((from, latest))
+          spark, location, from, to, format, options), from, to)
+        Some((from, to))
       case None =>
+        // bounded bootstrap: the snapshot is taken AT the rate-limited
+        // head, so the first batch is as bounded as every later one
+        val to = headFor(0L)
         process(graft.sinks.VersionedTable
-          .read(spark, location, Some(latest), format, options)
+          .read(spark, location, Some(to), format, options)
           .withColumn("_commit_version",
-            org.apache.spark.sql.functions.lit(latest)), 0L, latest)
-        Some((0L, latest))
+            org.apache.spark.sql.functions.lit(to)), 0L, to)
+        Some((0L, to))
     }
     drained.foreach { case (_, to) =>
       // advance only after the batch completed; temp write + ATOMIC
@@ -750,6 +776,34 @@ object Streams {
       fc.rename(tmp, offsetPath, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
     drained
+  }
+
+  /** `Trigger.AvailableNow` for the CDC source: repeat (rate-limited)
+    * drains until the checkpoint reaches the table head AS OF ENTRY —
+    * the availableNow contract, so a writer committing concurrently
+    * extends the NEXT catch-up, never this loop (bounded termination:
+    * every drain advances the offset by >= 1 committed version).
+    * Each batch runs `process` and advances the offset exactly like
+    * [[drainVersionedChanges]] — a crash mid-loop resumes where the
+    * last completed batch left the checkpoint. Returns the drained
+    * (from, to] ranges in order (empty when already caught up). */
+  def drainVersionedToQuiescence(spark: SparkSession, location: String,
+      checkpointDir: String, format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      maxVersionsPerDrain: Option[Int] = None)
+      (process: (DataFrame, Long, Long) => Unit): Seq[(Long, Long)] = {
+    val entryHead = graft.sinks.VersionedTable.versions(spark, location)
+      .lastOption.getOrElse(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var done = false
+    while (!done) {
+      drainVersionedChanges(spark, location, checkpointDir, format,
+        options, maxVersionsPerDrain)(process) match {
+        case Some(r) => out += r; done = r._2 >= entryHead
+        case None => done = true
+      }
+    }
+    out.toSeq
   }
 
   def runToMemory(spark: SparkSession, df: DataFrame, name: String,

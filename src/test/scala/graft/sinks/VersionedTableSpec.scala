@@ -765,6 +765,42 @@ class VersionedTableSpec extends SparkSpec {
     assert(e.getMessage.contains("diffVersions"), e.getMessage)
   }
 
+  test("CDC rate limit: maxVersionsPerDrain bounds every batch (bootstrap included) and the catch-up loop folds to the head") {
+    val loc = tmp("cdcrate"); val ckpt = tmp("cdcrate-ckpt")
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc, Seq((3, "c")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc, Seq((4, "d")).toDF("k", "v"), "append")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Set[Int])]
+    def drain() = graft.streaming.Streams.drainVersionedChanges(
+      spark, loc, ckpt, maxVersionsPerDrain = Some(2)) { (df, from, to) =>
+      seen += ((from, to, df.collect().map(_.getAs[Int]("k")).toSet))
+    }
+    // bounded BOOTSTRAP: the snapshot is taken AT v2, not the head
+    assert(drain() == Some((0L, 2L)))
+    assert(seen.last == ((0L, 2L, Set(1, 2))))
+    // progression: the next drain advances the remaining two commits
+    assert(drain() == Some((2L, 4L)))
+    assert(seen.last == ((2L, 4L, Set(3, 4))))
+    assert(drain().isEmpty, "caught up")
+    // the quiescence loop on a fresh checkpoint: one commit per batch,
+    // ranges in order, offset progression observable per batch
+    val ckpt2 = tmp("cdcrate-ckpt2")
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val ranges = graft.streaming.Streams.drainVersionedToQuiescence(
+      spark, loc, ckpt2, maxVersionsPerDrain = Some(1)) { (df, _, _) =>
+      batches += df.collect().map(_.getAs[Int]("k")).toSet
+    }
+    assert(ranges == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+    assert(batches.toSeq == Seq(Set(1), Set(2), Set(3), Set(4)))
+    // the floor is validated by name
+    val bad = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.drainVersionedChanges(
+        spark, loc, ckpt, maxVersionsPerDrain = Some(0))((_, _, _) => ())
+    }
+    assert(bad.getMessage.contains("maxVersionsPerDrain"))
+  }
+
   test("rebase crash recovery: a marker-decided rebase is finished by the next branch read; undecided debris expires") {
     // coordinator that delegates to the rename one but dies on its Nth
     // publish — replays the exact crash points of rebaseBranch's publish
