@@ -1086,13 +1086,20 @@ object Similarity {
     * Scale shape: cell sizing is one window count over the cell key —
     * the same shuffle the pair join partitions by anyway; capped
     * fan-out is bounded by maxCell² per cell, so output stays linear
-    * in corpus + capped membership, never quadratic in cell size. */
+    * in corpus + capped membership, never quadratic in cell size.
+    *
+    * NULL cluster keys are dropped up front (r12 ADVICE): [[knnGraph]]
+    * never pairs them (an equi-join key of NULL matches nothing), so a
+    * corpus with more than maxCell null-cluster rows must NOT surface
+    * them as a capped "cell" — that would report a cell the uncapped
+    * operator does not have, and break below-cap output equality. */
   def knnGraphCapped(df: DataFrame, idCol: String, vecCol: String,
                      clusterCol: String, k: Int,
                      maxCell: Int): (DataFrame, DataFrame) = {
     require(maxCell >= 2, s"maxCell must be >= 2, got $maxCell")
     val v = prepared(df, vecCol)
       .select(col(clusterCol).as("__c"), col(idCol).as("__id"), col("__vd"))
+      .filter(col("__c").isNotNull)
       .withColumn("__cs", count(lit(1)).over(Window.partitionBy(col("__c"))))
     graft.util.Caching.leased2(v) {
       val small = v.filter(col("__cs") <= maxCell)

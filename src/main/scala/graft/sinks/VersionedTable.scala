@@ -1553,16 +1553,42 @@ object VersionedTable {
     // fork first so the branch reappears base-first. A CAS loss against
     // IDENTICAL content means a concurrent recovery already adopted
     // this very manifest (benign); anything else is a real race.
+    // The marker above makes the rebase DECIDED, so a concurrent
+    // branch READ may run [[recoverRebase]] and finish it UNDER us —
+    // deleting the tmp manifest after publishing the real-name twin
+    // (r12 ADVICE): a vanished tmp here therefore means HELPED, not
+    // raced — mirror recovery's own idempotence rule and adopt the
+    // published twin (bounded wait across recovery's transient
+    // delete-dst-then-republish window) instead of throwing on a
+    // rebase that completed consistently.
     Seq(mainLatest, mainLatest + 1).foreach { v =>
       val tmpPath = branchManifestPath(root, v, tmpBranch)
-      val text = manifestTextAt(fs, tmpPath)
       val dst = branchManifestPath(root, v, branch)
-      if (!coordinatorImpl.publish(fs, logDir(root), dst,
-            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &&
-          manifestTextAt(fs, dst) != text)
-        throw new java.util.ConcurrentModificationException(
-          s"versioned rebase: branch '$branch' manifest v$v raced at '$location'")
-      fs.delete(tmpPath, false)
+      val tmpText =
+        try Some(manifestTextAt(fs, tmpPath))
+        catch { case _: java.io.FileNotFoundException => None }
+      tmpText match {
+        case Some(text) =>
+          if (!coordinatorImpl.publish(fs, logDir(root), dst,
+                text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) &&
+              manifestTextAt(fs, dst) != text)
+            throw new java.util.ConcurrentModificationException(
+              s"versioned rebase: branch '$branch' manifest v$v raced at '$location'")
+          fs.delete(tmpPath, false)
+        case None =>
+          // only recovery deletes a tmp manifest, and only after
+          // publishing the twin — confirm it landed (it may be mid
+          // delete-dst-then-republish for a moment)
+          val deadline = System.nanoTime() + 5000000000L // 5 s
+          var published = fs.exists(dst)
+          while (!published && System.nanoTime() < deadline) {
+            Thread.sleep(50)
+            published = fs.exists(dst)
+          }
+          if (!published) throw new java.util.ConcurrentModificationException(
+            s"versioned rebase: branch '$branch' tmp manifest v$v vanished " +
+              s"at '$location' without a recovered real-name twin")
+      }
     }
     fs.delete(marker, false)
     graft.log.Log.info("versioned branch rebased",

@@ -161,6 +161,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.knnGraphCapped(corpus, "vec_id", "embedding", "label", 3, 1))
   }
 
+  test("knnGraphCapped: null cluster keys never surface as a capped cell (knnGraph parity)") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("label", col("label").cast("string"))
+    // more null-cluster rows than the cap: knnGraph's equi-join never
+    // pairs them, so the capped twin must not report them as a cell
+    val nulls = (1 to 120).map(i =>
+      (-i.toLong, Array.fill(64)(0.5f), null: String)).toDF("vec_id", "embedding", "label")
+    val corpus = e.unionByName(nulls)
+    val (edges, capped) = Similarity.knnGraphCapped(
+      corpus, "vec_id", "embedding", "label", 3, maxCell = 100)
+    assert(capped.isEmpty,
+      s"null cluster keys must not report as a capped cell: ${capped.collect().toSeq}")
+    assert(edges.filter(col("src") < 0 || col("nid") < 0).isEmpty,
+      "null-cluster rows must never pair")
+    // parity: identical edge set to uncapped knnGraph on the same corpus
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(rows(edges) ==
+      rows(Similarity.knnGraph(corpus, "vec_id", "embedding", "label", 3)))
+  }
+
   test("semanticDedup: first occurrence wins inside a cluster, blind across") {
     import spark.implicits._
     val df = Seq(

@@ -879,6 +879,42 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.rebaseBranch(spark, loc3, "exp")
     assert(rows(VersionedTable.readBranch(spark, loc3, "exp")) ==
       Set((1, "a"), (9, "z"), (2, "b")))
+
+    // HELPED race (r12 ADVICE): a concurrent branch READ runs recovery
+    // on the marker-decided rebase and finishes it UNDER the live
+    // rebase — publishing the real-name twins and deleting the tmp
+    // manifests. The live rebase must adopt the helper's outcome
+    // (missing tmp + published twin = already-published), not report
+    // failure on a rebase that completed consistently.
+    val loc4 = tmp("br-helped")
+    VersionedTable.commit(spark, loc4, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.createBranch(spark, loc4, "exp")
+    VersionedTable.branchCommit(spark, loc4, "exp", Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc4, Seq((9, "z")).toDF("k", "v"), "append")
+    val sp = spark
+    final class HelpOnRealPublish extends CommitCoordinator {
+      @volatile private var helped = false
+      def publish(fs: org.apache.hadoop.fs.FileSystem,
+                  logDir: org.apache.hadoop.fs.Path,
+                  dst: org.apache.hadoop.fs.Path,
+                  content: Array[Byte]): Boolean = {
+        if (!helped && dst.getName.matches("^v[0-9]+@exp\\.json$")) {
+          helped = true // before the read: recovery publishes through us too
+          VersionedTable.branchVersions(sp, loc4, "exp"): Unit
+        }
+        RenameCommitCoordinator.publish(fs, logDir, dst, content)
+      }
+    }
+    VersionedTable.setCommitCoordinator(new HelpOnRealPublish)
+    try {
+      val v = VersionedTable.rebaseBranch(spark, loc4, "exp")
+      assert(v == 2L, s"helped rebase must still report success, got v$v")
+    } finally VersionedTable.setCommitCoordinator(prev)
+    assert(rows(VersionedTable.readBranch(spark, loc4, "exp")) ==
+      Set((1, "a"), (9, "z"), (2, "b")),
+      "the helped rebase must leave the adopted lineage readable")
+    assert(!logFiles(loc4).exists(_.contains("rebase-")),
+      s"no rebase debris may survive the helped completion: ${logFiles(loc4)}")
   }
 
   test("LockFileCommitCoordinator: exactly one of N concurrent publishers wins a version") {
