@@ -341,6 +341,49 @@ class SinksSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 4096)
   }
 
+  test("hilbert vs z-order: skewed-aspect band scans open fewer files under hilbert (measured, r12 verdict #7)") {
+    import org.apache.spark.sql.functions._
+    // the survey row claims Hilbert's unit-step curve gives better
+    // per-file locality at SKEWED aspect ratios than the Z interleave —
+    // measure it: the same full 128x128 grid clustered both ways into a
+    // file count that does NOT align with a power-of-2 split (24 — an
+    // aligned split gives both curves perfect squares and hides the
+    // difference), then count the files a zone-map reader OPENS (box
+    // intersects rectangle) over a family of 16:1-skewed bands.
+    val base = java.nio.file.Files.createTempDirectory("sinks-spec").toString
+    val grid = spark.range(16384).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"), col("id").as("v"))
+    def boxes(dir: String): Array[(Long, Long, Long, Long)] = {
+      spark.read.parquet(dir).withColumn("__f", input_file_name())
+        .groupBy("__f")
+        .agg(min("x").as("x0"), max("x").as("x1"),
+          min("y").as("y0"), max("y").as("y1"))
+        .collect()
+        .map(r => (r.getAs[Long]("x0"), r.getAs[Long]("x1"),
+          r.getAs[Long]("y0"), r.getAs[Long]("y1")))
+    }
+    grid.repartition(8).write.parquet(s"$base/z")
+    Sinks.clusterZOrder(spark, s"$base/z", "parquet", Seq("x", "y"), nFiles = 24)
+    grid.repartition(8).write.parquet(s"$base/h")
+    Sinks.clusterHilbert(spark, s"$base/h", "parquet", Seq("x", "y"), nFiles = 24)
+    val (zb, hb) = (boxes(s"$base/z"), boxes(s"$base/h"))
+    assert(zb.length == 24 && hb.length == 24)
+    // 16 skewed bands: eight 128-wide x 8-tall, eight 8-wide x 128-tall
+    val rects =
+      (0 until 128 by 16).map(o => (0L, 127L, o.toLong, o + 7L)) ++
+        (0 until 128 by 16).map(o => (o.toLong, o + 7L, 0L, 127L))
+    def opened(bs: Array[(Long, Long, Long, Long)],
+               r: (Long, Long, Long, Long)): Int =
+      bs.count { case (x0, x1, y0, y1) =>
+        x1 >= r._1 && x0 <= r._2 && y1 >= r._3 && y0 <= r._4 }
+    val zTotal = rects.map(opened(zb, _)).sum
+    val hTotal = rects.map(opened(hb, _)).sum
+    info(s"skewed-band file opens over ${rects.size} bands: hilbert $hTotal vs z-order $zTotal")
+    assert(hTotal < zTotal,
+      s"hilbert must open fewer files than z-order over the skewed-band " +
+        s"family, got hilbert $hTotal vs z $zTotal")
+  }
+
   test("manifest: refreshed on append, counts the whole table, ignored by readers") {
     val dir = java.nio.file.Files.createTempDirectory("sinks-spec").toString + "/mf"
     val target = out(_.copy(target = TargetSpec.File(dir),
