@@ -84,10 +84,14 @@ object MergeActions {
 
   /** The not-matched-only degenerate case (no target rows touched):
     * apply the insert chain directly over the arrivals — same output
-    * as [[apply]] with an empty target, without a join on nothing. */
+    * as [[apply]] with an empty target, without a join on nothing.
+    * A NULL-typed `t` struct stands in for the absent target side so
+    * the evaluator's (never-taken) target branches still analyze —
+    * exactly the shape a full-outer join's unmatched side has. */
   private[sinks] def applyInsertOnly(arrivals: DataFrame, schema: StructType,
                                      actions: MergeActions): DataFrame = {
-    val s = arrivals.select(struct(arrivals.columns.toSeq.map(col): _*).as("s"))
+    val s = arrivals.select(lit(null).cast(schema).as("t"),
+      struct(arrivals.columns.toSeq.map(col): _*).as("s"))
     evaluate(s, schema, actions, lit(false), lit(true))
   }
 
@@ -105,24 +109,26 @@ object MergeActions {
     def valueOf(c: org.apache.spark.sql.types.StructField): Column = {
       val tc = col(s"t.${c.name}")
       val sc = col(s"s.${c.name}")
+      // assignment names match the target column CASE-INSENSITIVELY —
+      // Spark's default identifier resolution, and the rule the SQL
+      // router validates with; a case-sensitive compare here would
+      // silently no-op `UPDATE SET CENTS = ...` against column `cents`
+      def assigned(set: Seq[(String, String)]): Option[Column] =
+        set.collectFirst { case (n, e) if n.equalsIgnoreCase(c.name) =>
+          expr(e).cast(c.dataType) }
       val fromMatched = chain[Matched](actions.matched, _.cond, {
         case UpdateAll(_) => sc.cast(c.dataType)
-        case UpdateSet(_, set) =>
-          set.collectFirst { case (n, e) if n == c.name => expr(e).cast(c.dataType) }
-            .getOrElse(tc)
+        case UpdateSet(_, set) => assigned(set).getOrElse(tc)
         case Delete(_) => tc // value irrelevant: the keep flag drops the row
       }, tc)
       val fromBySource = chain[BySource](actions.bySource, _.cond, {
-        case BySourceUpdate(_, set) =>
-          set.collectFirst { case (n, e) if n == c.name => expr(e).cast(c.dataType) }
-            .getOrElse(tc)
+        case BySourceUpdate(_, set) => assigned(set).getOrElse(tc)
         case BySourceDelete(_) => tc
       }, tc)
       val fromNotMatched = chain[NotMatched](actions.notMatched, _.cond, {
         case InsertAll(_) => sc.cast(c.dataType)
         case InsertValues(_, values) =>
-          values.collectFirst { case (n, e) if n == c.name => expr(e).cast(c.dataType) }
-            .getOrElse(lit(null).cast(c.dataType))
+          assigned(values).getOrElse(lit(null).cast(c.dataType))
       }, lit(null).cast(c.dataType))
       when(matchedRow, fromMatched)
         .when(tOnlyRow, fromBySource)

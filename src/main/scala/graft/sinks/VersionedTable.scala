@@ -808,6 +808,13 @@ object VersionedTable {
       s"versioned merge: conditional MERGE actions need an existing versioned " +
         s"table at '$location' (the action semantics are defined against the " +
         "target schema) — seed it with a commit first")
+    // a conditional merge consumes arrivals THREE times (cardinality
+    // probe, key-bounds agg, evaluator join) — persist for the
+    // duration so an expensive USING query runs once, released in the
+    // finally below (the Caching no-leak discipline)
+    if (conditional)
+      arrivals.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+    try {
     if (conditional) {
       // ANSI cardinality rule: a target row matching MORE than one
       // source row makes the conditional result order-dependent —
@@ -854,15 +861,24 @@ object VersionedTable {
     val touched =
       if (actions.bySource.nonEmpty) files else files.filter(touchedBy)
     val untouched = files.filterNot(touched.toSet)
+    // ONE footer read serves the conditional path's target-schema needs
+    // (star-action validation + the insert-only projection) — lazy so
+    // the row-replace path never pays it
+    lazy val tableSchema: org.apache.spark.sql.types.StructType = {
+      if (files.isEmpty) throw new graft.config.ConfigError(
+        s"versioned merge: version $latest of '$location' references no data " +
+          "files — conditional MERGE needs the target schema; seed the table " +
+          "with a committed snapshot first")
+      spark.read.format(format)
+        .options(graft.sources.Sources.mapOptions(options))
+        .load(new Path(dataDir(root), files.head).toString).schema
+    }
     // the conditional evaluator projects to the TARGET schema (star
     // actions validate the source carries every target column below),
     // so the drift check applies to the row-replace path only
-    if (conditional && actions.needsFullSourceRow && files.nonEmpty) {
-      val tableCols = spark.read.format(format)
-        .options(graft.sources.Sources.mapOptions(options))
-        .load(new Path(dataDir(root), files.head).toString).columns
+    if (conditional && actions.needsFullSourceRow) {
       val have = arrivals.columns.map(_.toLowerCase).toSet
-      val missing = tableCols.filterNot(c => have(c.toLowerCase))
+      val missing = tableSchema.fieldNames.filterNot(c => have(c.toLowerCase))
       if (missing.nonEmpty) throw new graft.config.ConfigError(
         s"versioned merge: UPDATE SET * / INSERT * needs every target column " +
           s"in the source — missing: ${missing.mkString(", ")}")
@@ -890,15 +906,11 @@ object VersionedTable {
     val merged =
       if (touched.isEmpty) {
         if (!conditional) arrivals
-        else {
+        else
           // no target row can match: every arrival is not-matched, so
-          // the insert chain applies directly (projected to the table
-          // schema read from one footer)
-          val schema = spark.read.format(format)
-            .options(graft.sources.Sources.mapOptions(options))
-            .load(new Path(dataDir(root), files.head).toString).schema
-          MergeActions.applyInsertOnly(arrivals, schema, actions)
-        }
+          // the insert chain applies directly (projected to the shared
+          // lazily-read table schema)
+          MergeActions.applyInsertOnly(arrivals, tableSchema, actions)
       } else {
         val touchedBase = spark.read.format(format)
           .options(graft.sources.Sources.mapOptions(options))
@@ -959,6 +971,9 @@ object VersionedTable {
       "files_rewritten" -> touched.size.toString,
       "files_carried" -> untouched.size.toString)
     latest + 1
+    } finally {
+      if (conditional) arrivals.unpersist(blocking = false): Unit
+    }
   }
 
   /** Row-level DELETE via DELETION VECTORS — the Iceberg v2 / Delta DV

@@ -196,6 +196,31 @@ class SqlDmlSpec extends SparkSpec {
     assert(after.filter($"k" === 3).head().getAs[Long]("cents") == 99L)
   }
 
+  test("conditional MERGE: zone-pruned insert-only batch routes through the insert chain; SET targets resolve case-insensitively") {
+    // stats-tracked table so the zone maps actually prune: every
+    // arrival key beyond max(k) -> touched is EMPTY and the merge runs
+    // the insert-only evaluator path (the review-found analysis crash)
+    val loc = tmp("t-zones")
+    graft.sinks.VersionedTable.commit(spark, loc,
+      Seq((1, 10L, "a"), (2, 20L, "b")).toDF("k", "cents", "seg"),
+      "overwrite", statsColumns = Seq("k"))
+    spark.createDataFrame(Seq((50, 5L, "n"), (60, 6L, "x")))
+      .toDF("k", "cents", "seg").createOrReplaceTempView("freshArr")
+    val after = runSql(loc,
+      """MERGE INTO t USING (SELECT * FROM freshArr) s ON t.k = s.k
+        |WHEN MATCHED AND s.cents > t.cents THEN DELETE
+        |WHEN NOT MATCHED AND s.seg = 'n' THEN INSERT *""".stripMargin)
+    assert(after.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet ==
+      Set((1, 10L, "a"), (2, 20L, "b"), (50, 5L, "n")))
+    // Spark resolves identifiers case-insensitively by default — an
+    // upper-case SET target must UPDATE, never silently no-op
+    val after2 = runSql(loc,
+      """MERGE INTO t USING (SELECT 1 AS k, CAST(7 AS BIGINT) AS cents, 'z' AS seg) s
+        |ON t.k = s.k WHEN MATCHED THEN UPDATE SET CENTS = s.cents""".stripMargin)
+    assert(after2.filter($"k" === 1).head().getAs[Long]("cents") == 7L,
+      "case-mismatched SET target must still update the column")
+  }
+
   test("isDml: leading comments and whitespace do not bypass the router") {
     assert(SqlDml.isDml("DELETE FROM t WHERE k = 1"))
     assert(SqlDml.isDml("  \n-- rollback bad rows\nDELETE FROM t WHERE k = 1"))
