@@ -914,6 +914,87 @@ object TextAnalysis {
     } finally tf.unpersist(blocking = false): Unit
   }
 
+  /** INCREMENTAL index maintenance — the [[graft.queries]] ext148
+    * (persisted-IVF delta) discipline applied to the lexical index: a
+    * corpus APPEND of NEW documents updates the index from the delta
+    * alone, never re-tokenizing the indexed base. Delta postings
+    * append as one new file per touched bucket directory (the base
+    * posting files are NOT rewritten — delta-proportional bytes); the
+    * vocabulary-sized df table and one-row stats rewrite via a staged
+    * temp-dir swap (they are the only corpus-independent frames).
+    * Cost: tokenize(delta) + a bucket shuffle of delta postings + a
+    * vocab-sized merge — at 100 TB a 0.1% daily append costs 0.1%,
+    * not a rebuild.
+    *
+    * CONTRACT: `delta` holds documents whose ids are NOT in the index
+    * (the CDC-append shape — feed it from
+    * [[graft.streaming.Streams.drainVersionedChanges]]); re-appending
+    * an indexed id would double its postings, and checking would scan
+    * the corpus-sized postings — exactly the cost this op exists to
+    * avoid. Single-writer maintenance op: a probe racing the append
+    * can see fresh postings against the old df for a moment (torn
+    * scores, never torn files); crash mid-append leaves a rebuildable
+    * index (rebuild = [[writeLexicalIndex]], the fingerprint-cache
+    * rule). */
+  def appendToLexicalIndex(delta: DataFrame, idCol: String, textCol: String,
+                           indexDir: String): Unit = {
+    val spark = delta.sparkSession
+    import org.apache.hadoop.fs.Path
+    val statsRow = spark.read.parquet(s"$indexDir/stats").collect() match {
+      case Array(one) => one
+      case other => sys.error(
+        s"lexical index at $indexDir: stats must hold exactly one row, found ${other.length}")
+    }
+    val buckets = statsRow.getAs[Int]("n_buckets")
+    val tf = delta.select(col(idCol).as("doc_id"),
+        explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf_d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dls = tf.groupBy(col("doc_id")).agg(sum(col("tf_d")).as("dl"))
+      tf.join(dls, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf_d"), col("dl"),
+          pmod(xxhash64(col("token")), lit(buckets.toLong)).cast("int").as("tb"))
+        .repartition(col("tb"))
+        .sortWithinPartitions(col("tb"), col("token"), col("doc_id"))
+        .write.mode("append")
+        .option("parquet.block.size", (4 * 1024 * 1024).toString)
+        .partitionBy("tb").parquet(s"$indexDir/postings")
+      val deltaStats = tf.agg(countDistinct(col("doc_id")).as("n"),
+        sum(col("tf_d")).as("t")).collect().head
+      val dDf = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val mergedDf = spark.read.parquet(s"$indexDir/df")
+        .withColumnRenamed("df", "df_base")
+        .join(dDf.withColumnRenamed("df", "df_delta"), Seq("token"), "full_outer")
+        .select(col("token"),
+          (coalesce(col("df_base"), lit(0L)) +
+            coalesce(col("df_delta"), lit(0L))).as("df"))
+      // staged swap (Spark refuses overwrite-while-reading, and a swap
+      // keeps the torn window to a namespace instant, never a partial
+      // table): write aside, delete, rename
+      val fs = new Path(indexDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def swapIn(name: String)(write: String => Unit): Unit = {
+        val tmp = s"$indexDir/.$name.__staging__"
+        fs.delete(new Path(tmp), true)
+        write(tmp)
+        fs.delete(new Path(s"$indexDir/$name"), true)
+        if (!fs.rename(new Path(tmp), new Path(s"$indexDir/$name")))
+          throw new java.io.IOException(
+            s"lexical index append: swap of $name at $indexDir failed")
+      }
+      swapIn("df")(tmp => mergedDf.write.parquet(tmp))
+      val newDocs = statsRow.getAs[Long]("n_docs") + deltaStats.getAs[Long]("n")
+      val newTokens = statsRow.getAs[Long]("total_tokens") +
+        Option(deltaStats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      swapIn("stats") { tmp =>
+        import spark.implicits._
+        Seq((newDocs, newTokens, buckets))
+          .toDF("n_docs", "total_tokens", "n_buckets").coalesce(1)
+          .write.parquet(tmp)
+      }
+    } finally tf.unpersist(blocking = false): Unit
+  }
+
   /** Probe-side scaffolding shared by [[tfidfTopKIndexed]] and
     * [[bm25TopKIndexed]]: tokenize the query panel, rank each query's
     * terms by corpus rarity against the index's vocabulary-sized df

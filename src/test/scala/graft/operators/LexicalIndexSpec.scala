@@ -128,6 +128,47 @@ class LexicalIndexSpec extends SparkSpec {
       s"pruned probe read $prunedFiles of $allFiles posting files")
   }
 
+  test("appendToLexicalIndex: delta-only maintenance equals a from-scratch rebuild; base posting files untouched") {
+    val inc = tmp("inc-base")
+    TextAnalysis.writeLexicalIndex(corpus, "doc_id", "text", inc, buckets = 16)
+    def postingFiles(dir: String): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings"))
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath).toSet
+    }
+    val preFiles = postingFiles(inc)
+    // delta: new doc ids only — shared tokens (df merge), a brand-new
+    // token (df insert), and a whitespace-only doc (no postings)
+    val delta = Seq(
+      (7L, "zebra cat newtoken"),
+      (8L, "newtoken newtoken the"),
+      (9L, "  ")
+    ).toDF("doc_id", "text")
+    TextAnalysis.appendToLexicalIndex(delta, "doc_id", "text", inc)
+    // delta-proportional by construction: every pre-append posting
+    // file survives byte-identical under its original name
+    assert(preFiles.subsetOf(postingFiles(inc)),
+      "the append must never rewrite base posting files")
+    // the maintained index IS the from-scratch index
+    val rebuilt = tmp("inc-rebuilt")
+    TextAnalysis.writeLexicalIndex(corpus.unionByName(delta),
+      "doc_id", "text", rebuilt, buckets = 16)
+    def dfTable(dir: String) = spark.read.parquet(s"$dir/df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(dfTable(inc) === dfTable(rebuilt))
+    assert(spark.read.parquet(s"$inc/stats").collect().map(_.toString).toSeq ===
+      spark.read.parquet(s"$rebuilt/stats").collect().map(_.toString).toSeq)
+    // and the probes agree with each other AND the direct operator
+    for ((probe, direct) <- Seq(
+      (TextAnalysis.tfidfTopKIndexed(spark, inc, queries, "doc_id", "text", k = 3),
+        TextAnalysis.tfidfTopK(corpus.unionByName(delta), queries, "doc_id", "text", k = 3)),
+      (TextAnalysis.bm25TopKIndexed(spark, inc, queries, "doc_id", "text", k = 3),
+        TextAnalysis.bm25TopK(corpus.unionByName(delta), queries, "doc_id", "text", k = 3)))) {
+      assert(sortedRows(probe) === sortedRows(direct))
+    }
+  }
+
   test("LexicalIndexJob builds through the YAML script-job surface with where") {
     val src = tmp("job-src"); val out = tmp("job-out")
     corpus.write.parquet(src)
