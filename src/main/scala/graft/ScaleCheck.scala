@@ -208,10 +208,11 @@ object ScaleCheck {
     // SQL DML surface: merge must stay ∝ touched files + arrivals;
     // delete/update ∝ matched rows (DV metadata commits)
     "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit",
-    // round-13: conditional-action MERGE — merge 1 must keep the
-    // file-carry bound (∝ touched files), merge 2 (BY SOURCE) is a
-    // whole-table rewrite by meaning, so the total reads ~linear in
-    // the table — never above
+    // round-13/14: conditional-action MERGE — merge 1 must keep the
+    // file-carry bound (∝ touched files); merge 2 (BY SOURCE) routes
+    // through the deletion vector (reads the table once to evaluate
+    // the BY SOURCE chain, writes ∝ claimed rows), so the total reads
+    // ~linear in the table — never above
     "fw_merge_conditional",
     // round-12: plain-sink generation-pointer publish — the pointer CAS
     // is per-publish constant; the lifecycle must read ∝ its staged

@@ -169,12 +169,22 @@ object SqlDml {
         val side =
           if (a.nameParts.size >= 2) {
             val q = a.nameParts.init.last.toLowerCase
-            if (targetNames.contains(q)) "t"
-            else if (sourceNames.contains(q)) "s"
-            else throw new ConfigError(
-              s"MERGE $ctx references unknown qualifier '$q' — expected the " +
-                s"target (${targetNames.toSeq.sorted.mkString("/")}) or the " +
-                s"source (${sourceNames.toSeq.sorted.mkString("/")})")
+            val resolved =
+              if (targetNames.contains(q)) "t"
+              else if (sourceNames.contains(q)) "s"
+              else throw new ConfigError(
+                s"MERGE $ctx references unknown qualifier '$q' — expected the " +
+                  s"target (${targetNames.toSeq.sorted.mkString("/")}) or the " +
+                  s"source (${sourceNames.toSeq.sorted.mkString("/")})")
+            // the qualified COLUMN must exist on its side too — an
+            // unknown qualified column passing routing would surface
+            // later as a raw AnalysisException against the evaluator's
+            // t/s structs, breaking the errors-by-name contract
+            if (resolved == "t" && !tCols(last.toLowerCase)) throw new ConfigError(
+              s"MERGE $ctx: unknown column '$last' on the target")
+            if (resolved == "s" && !sCols(last.toLowerCase)) throw new ConfigError(
+              s"MERGE $ctx: unknown column '$last' on the source")
+            resolved
           } else {
             val t = tCols(last.toLowerCase) && allowTarget
             val s = sCols(last.toLowerCase) && allowSource

@@ -1028,20 +1028,31 @@ object TextAnalysis {
     val tfQ = queries.select(col(idCol).as("q_id"),
         explode(filter(words(col(textCol)), t => t =!= "")).as("token"))
       .groupBy(col("q_id"), col("token")).agg(count(lit(1)).as("tf_q"))
-    val qSel = graft.util.Caching.leased(tfQ) {
+    // tfQ feeds two plans (the vocab restriction + the selection join);
+    // both consume EAGERLY inside this block (the localCheckpoint is
+    // the materializing action), so a plain persist/finally releases
+    // at exactly the right moment — no deferred lease needed
+    tfQ.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK): Unit
+    val (qSel, selRows) = try {
       // restrict the vocabulary-sized df table to the tiny query vocab,
       // then the query-vocab-sized result broadcasts back onto tfQ
       val qdf = dfreq.join(broadcast(tfQ.select(col("token")).distinct()), "token")
-      tfQ.join(broadcast(qdf), "token")
+      // PINNED (localCheckpoint, query-panel-sized ≤ |queries| × query
+      // vocab): both consumers — the bounded collect below and the
+      // caller's scoring join — read the pinned selection, so neither
+      // re-derives the tokenization after the tfQ lease releases
+      val sel = tfQ.join(broadcast(qdf), "token")
         .withColumn("trnk", row_number().over(Window.partitionBy(col("q_id"))
           .orderBy(col("df").asc, col("token").asc)))
         .filter(col("trnk") <= maxQueryTerms)
-    }
-    // bounded collect (≤ |queries|·maxQueryTerms rows — see scaladoc):
-    // the selected tokens and their build-hash buckets become literals
-    val selRows = qSel.select(col("token"),
-      pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int").as("tb"))
-      .distinct().collect()
+        .localCheckpoint()
+      // bounded collect (≤ |queries|·maxQueryTerms rows — see scaladoc):
+      // the selected tokens and their build-hash buckets become literals
+      val rows = sel.select(col("token"),
+        pmod(xxhash64(col("token")), lit(nBuckets.toLong)).cast("int").as("tb"))
+        .distinct().collect()
+      (sel, rows)
+    } finally tfQ.unpersist(blocking = false): Unit
     val selTokens: Seq[Any] = selRows.map(_.getString(0)).toSeq
     val selBuckets: Seq[Any] = selRows.map(r => Int.box(r.getInt(1))).distinct.toSeq
     val postings = spark.read.parquet(s"$indexDir/postings")

@@ -1300,9 +1300,12 @@ object Framework {
     * `INSERT *`, and the FILE-CARRY contract (arrival keys <= 60 touch
     * a bounded file subset of the range-partitioned table — REQUIREd).
     * Merge 2 exercises `WHEN NOT MATCHED BY SOURCE` — whose semantics
-    * reach every unmatched target row, so the whole table rewrites
-    * (REQUIREd: zero files carried; pruning is impossible BY MEANING).
-    * The oracle replays both merges closed-form. */
+    * reach every unmatched target row, but which routes through the
+    * DELETION VECTOR (r13 verdict #1): claimed rows' positions go to
+    * the DV, their updated re-images append, and every prior file
+    * carries by reference (REQUIREd: zero files lost + re-images
+    * appended — a 100 TB retention merge writes ∝ claimed rows, not
+    * ∝ the table). The oracle replays both merges closed-form. */
   private def fwMergeConditional(s: SparkSession, d: String): DataFrame = {
     val base = scratch(d, "merge_cond")
     rmrf(s, base)
@@ -1361,9 +1364,13 @@ object Framework {
           |  ON tgt.c_custkey = s.c_custkey
           |  WHEN NOT MATCHED BY SOURCE AND tgt.cents < 0 THEN UPDATE SET version = 'stale'""".stripMargin.replace("\n", " "))
     val v3Files = graft.sinks.VersionedTable.fileStats(s, loc, 3L).keySet
-    require((v2Files intersect v3Files).isEmpty,
-      "fw_merge_conditional: NOT MATCHED BY SOURCE reaches every unmatched " +
-        "target row — the whole table must rewrite, no file carried")
+    require(v2Files.subsetOf(v3Files),
+      s"fw_merge_conditional: the DV-routed BY SOURCE merge must carry every " +
+        s"prior file by reference, lost ${(v2Files -- v3Files).size} " +
+        s"of ${v2Files.size}")
+    require((v3Files -- v2Files).nonEmpty,
+      "fw_merge_conditional: the BY SOURCE UPDATE must append re-image files " +
+        "(claimed rows' old positions to the DV, new images as fresh files)")
     graft.sinks.VersionedTable.read(s, loc)
   }
 

@@ -95,16 +95,80 @@ object MergeActions {
     evaluate(s, schema, actions, lit(false), lit(true))
   }
 
+  /** BY SOURCE evaluation over bare target rows that are KNOWN to have
+    * no source match (zone-miss files, or rows already anti-joined
+    * against the arrival keys) — the deletion-vector merge path's half
+    * of the evaluator. Rows are framed as (`t` struct, NULL `s` struct)
+    * so conditions and SET expressions read exactly as they do in
+    * [[apply]]; `passthrough` columns (the file/row-position metadata)
+    * survive unchanged. Returns ONLY the rows some BY SOURCE action
+    * claims, tagged `__gm_act` with the winning (first-true) action
+    * index — computed in a single projection, so a non-deterministic
+    * condition picks one branch per row. Callers localCheckpoint the
+    * result before deriving the DV and the re-images from it. */
+  private[sinks] def claimBySource(rows: DataFrame, schema: StructType,
+                                   sourceSchema: StructType, actions: MergeActions,
+                                   passthrough: Seq[String]): DataFrame = {
+    val framed = rows.select(
+      struct(schema.fieldNames.toSeq.map(col): _*).as("t") +:
+        lit(null).cast(sourceSchema).as("s") +:
+        passthrough.map(col): _*)
+    val winner = actions.bySource.zipWithIndex.foldRight(lit(-1)) {
+      case ((a, i), rest) =>
+        when(expr(a.cond.getOrElse("true")), lit(i)).otherwise(rest)
+    }
+    framed.withColumn("__gm_act", winner).filter(col("__gm_act") >= 0)
+  }
+
+  /** The updated re-images of [[claimBySource]] rows won by a
+    * `BySourceUpdate` action, in the TARGET schema (delete-claimed rows
+    * contribute nothing — their positions go to the DV only). */
+  private[sinks] def bySourceImages(claimed: DataFrame, schema: StructType,
+                                    actions: MergeActions): DataFrame = {
+    val updates = actions.bySource.zipWithIndex.collect {
+      case (u: BySourceUpdate, i) => (u, i) }
+    claimed
+      .filter(col("__gm_act").isin(updates.map(_._2): _*))
+      .select(schema.fields.toSeq.map { f =>
+        val base = col(s"t.${f.name}")
+        def assigned(set: Seq[(String, String)]): Option[Column] =
+          set.collectFirst { case (n, e) if n.equalsIgnoreCase(f.name) =>
+            expr(e).cast(f.dataType) }
+        updates.foldRight(base) { case ((u, i), rest) =>
+          when(col("__gm_act") === i, assigned(u.set).getOrElse(base))
+            .otherwise(rest)
+        }.as(f.name)
+      }: _*)
+  }
+
   private def evaluate(j: DataFrame, schema: StructType, actions: MergeActions,
                        tPresent: Column, sPresent: Column): DataFrame = {
     val matchedRow = tPresent && sPresent
     val tOnlyRow = tPresent && !sPresent
+    // Each action condition is MATERIALIZED once per row as a boolean
+    // column, and every when-chain references that column. Without
+    // this, a condition would re-evaluate once per output column and
+    // once more in the keep filter — a NON-DETERMINISTIC condition
+    // (rand(), a volatile UDF) could then take different branches per
+    // column and emit torn rows. CollapseProject never inlines
+    // non-deterministic projections, so the materialized column is
+    // computed exactly once per row (the Delta rule: one condition
+    // evaluation per row per action).
+    def condAlias(prefix: String, i: Int) = s"__gm_c_$prefix$i"
+    val condCols: Seq[Column] =
+      actions.matched.zipWithIndex.map { case (a, i) =>
+        expr(a.cond.getOrElse("true")).as(condAlias("m", i)) } ++
+      actions.bySource.zipWithIndex.map { case (a, i) =>
+        expr(a.cond.getOrElse("true")).as(condAlias("b", i)) } ++
+      actions.notMatched.zipWithIndex.map { case (a, i) =>
+        expr(a.cond.getOrElse("true")).as(condAlias("n", i)) }
+    val jc = j.select(col("*") +: condCols: _*)
     // first-condition-wins chain: fold the actions right-to-left so the
     // head action is the outermost WHEN
-    def chain[A](as: Seq[A], condOf: A => Option[String], out: A => Column,
+    def chain[A](as: Seq[A], prefix: String, out: A => Column,
                  default: Column): Column =
-      as.foldRight(default)((a, rest) =>
-        when(expr(condOf(a).getOrElse("true")), out(a)).otherwise(rest))
+      as.zipWithIndex.foldRight(default) { case ((a, i), rest) =>
+        when(col(condAlias(prefix, i)), out(a)).otherwise(rest) }
 
     def valueOf(c: org.apache.spark.sql.types.StructField): Column = {
       val tc = col(s"t.${c.name}")
@@ -116,16 +180,16 @@ object MergeActions {
       def assigned(set: Seq[(String, String)]): Option[Column] =
         set.collectFirst { case (n, e) if n.equalsIgnoreCase(c.name) =>
           expr(e).cast(c.dataType) }
-      val fromMatched = chain[Matched](actions.matched, _.cond, {
+      val fromMatched = chain[Matched](actions.matched, "m", {
         case UpdateAll(_) => sc.cast(c.dataType)
         case UpdateSet(_, set) => assigned(set).getOrElse(tc)
         case Delete(_) => tc // value irrelevant: the keep flag drops the row
       }, tc)
-      val fromBySource = chain[BySource](actions.bySource, _.cond, {
+      val fromBySource = chain[BySource](actions.bySource, "b", {
         case BySourceUpdate(_, set) => assigned(set).getOrElse(tc)
         case BySourceDelete(_) => tc
       }, tc)
-      val fromNotMatched = chain[NotMatched](actions.notMatched, _.cond, {
+      val fromNotMatched = chain[NotMatched](actions.notMatched, "n", {
         case InsertAll(_) => sc.cast(c.dataType)
         case InsertValues(_, values) =>
           assigned(values).getOrElse(lit(null).cast(c.dataType))
@@ -137,18 +201,18 @@ object MergeActions {
     }
 
     val keep = {
-      val m = chain[Matched](actions.matched, _.cond, {
+      val m = chain[Matched](actions.matched, "m", {
         case Delete(_) => lit(false)
         case _ => lit(true)
       }, lit(true))
-      val b = chain[BySource](actions.bySource, _.cond, {
+      val b = chain[BySource](actions.bySource, "b", {
         case BySourceDelete(_) => lit(false)
         case _ => lit(true)
       }, lit(true))
-      val n = chain[NotMatched](actions.notMatched, _.cond,
+      val n = chain[NotMatched](actions.notMatched, "n",
         (_: NotMatched) => lit(true), lit(false))
       when(matchedRow, m).when(tOnlyRow, b).otherwise(n)
     }
-    j.filter(keep).select(schema.fields.toSeq.map(valueOf): _*)
+    jc.filter(keep).select(schema.fields.toSeq.map(valueOf): _*)
   }
 }

@@ -221,6 +221,47 @@ object Sinks {
     resolved.fold(location)(p => new org.apache.hadoop.fs.Path(genRoot(target), p._2).toString)
   }
 
+  /** STRAGGLER re-resolve (r13 verdict #5): run `read` against the
+    * current resolved data path; if it fails on a MISSING generation —
+    * the reader held a path across more than `keepGenerations`
+    * publishes, so the purge reclaimed the directory under its scan —
+    * re-resolve the pointer ONCE and re-run against the fresh
+    * snapshot. A long scan thus degrades to a fresh-snapshot retry
+    * (losing snapshot isolation ACROSS the retry, which the WARN log
+    * states; `versioned: true` is the tool when that matters) instead
+    * of a hard fail. Loud on the second failure — a generation that is
+    * gone from the CURRENT pointer too is real corruption, and a
+    * non-pointer location never retries. */
+  def withPointerRetry[T](spark: SparkSession, location: String)(read: String => T): T = {
+    val first = resolveDataPath(spark, location)
+    try read(first)
+    catch {
+      case e: Throwable if first != location && isMissingPath(e) =>
+        val second = resolveDataPath(spark, location)
+        if (second == first) throw e
+        graft.log.Log.warn(
+          "pointer read: generation vanished mid-read (reader straggled " +
+            "past keepGenerations publishes) — re-resolved once to the " +
+            "fresh snapshot; rows read before the failure came from the " +
+            "OLD generation, so the retried read is a new snapshot, not " +
+            "a continuation",
+          "location" -> location, "stale" -> first, "fresh" -> second)
+        read(second)
+    }
+  }
+
+  /** Does `e`'s cause chain say a path/file disappeared? (The purge
+    * surfaces as PATH_NOT_FOUND at plan time or FileNotFoundException
+    * mid-scan, usually wrapped in SparkException layers.) Bounded walk:
+    * cause chains can self-reference. */
+  private def isMissingPath(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).exists {
+      case _: java.io.FileNotFoundException => true
+      case t =>
+        val m = Option(t.getMessage).getOrElse("")
+        m.contains("PATH_NOT_FOUND") || m.contains("FileNotFoundException")
+    }
+
   private def newGenDir(target: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(genRoot(target),
       f"g-${System.currentTimeMillis()}%013d-${java.util.UUID.randomUUID().toString.take(8)}")
@@ -1237,4 +1278,3 @@ object Sinks {
     }
   }
 }
- 

@@ -57,8 +57,11 @@ object Sources {
       // pointer-layout tables (plain sinks published on overwrite-only
       // deployments via the generation-pointer protocol) resolve to
       // their current generation; everything else reads the location
-      // as-is (one fs.exists probe, driver-side)
-      reader.load(graft.sinks.Sinks.resolveDataPath(spark, location))
+      // as-is (one fs.exists probe, driver-side). The retry wrapper
+      // covers the LOAD-TIME straggle (the generation purged between
+      // resolve and the load's listing — re-resolve once); a straggle
+      // mid-ACTION re-reads through the same helper at the call site
+      graft.sinks.Sinks.withPointerRetry(spark, location)(p => reader.load(p))
 
     case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs, Some(branch)) =>
       // branch HEAD read — the WAP audit scan (parse guarantees no

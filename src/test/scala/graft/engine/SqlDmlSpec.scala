@@ -221,6 +221,50 @@ class SqlDmlSpec extends SparkSpec {
       "case-mismatched SET target must still update the column")
   }
 
+  test("insert-only MERGE accepts a key-duplicated source (ANSI: only a multi-MATCH is ambiguous)") {
+    val loc = table() // rows: (1, 10, a), (2, 20, b), (3, 30, a)
+    // key 3 duplicated (matches target: both copies skip — no matched
+    // action), key 7 duplicated (not matched: BOTH insert, ANSI bag
+    // semantics); the r13 over-rejection made this a hard error
+    val after = runSql(loc,
+      """MERGE INTO t USING (SELECT 3 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg
+        |UNION ALL SELECT 3, CAST(4 AS BIGINT), 'y'
+        |UNION ALL SELECT 7, CAST(70 AS BIGINT), 'n'
+        |UNION ALL SELECT 7, CAST(71 AS BIGINT), 'n') s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = after.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(got == Set((1, 10L), (2, 20L), (3, 30L), (7, 70L), (7, 71L)), got.toString)
+    // the OTHER direction stands: any matched action + duplicate keys
+    // still errors by name (the evaluator join would be order-dependent)
+    val e = intercept[ConfigError](runSql(loc,
+      """MERGE INTO t USING (SELECT 3 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg
+        |UNION ALL SELECT 3, CAST(4 AS BIGINT), 'y') s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET cents = s.cents
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("key-unique"), e.getMessage)
+  }
+
+  test("qualified unknown columns in MERGE actions error by name, not as raw analysis failures") {
+    val loc = table()
+    def err(sql: String): String =
+      intercept[ConfigError](runSql(loc, sql)).getMessage
+    val src = "(SELECT 1 AS k, CAST(2 AS BIGINT) AS cents, 'x' AS seg) s"
+    // a QUALIFIED typo must hit the same named error as an unqualified
+    // one — not a raw AnalysisException against the evaluator's structs
+    val e1 = err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED AND s.nonexistent > 0 THEN DELETE""".stripMargin)
+    assert(e1.contains("unknown column 'nonexistent' on the source"), e1)
+    val e2 = err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED AND t.nope = 'x' THEN DELETE""".stripMargin)
+    assert(e2.contains("unknown column 'nope' on the target"), e2)
+    val e3 = err(
+      s"""MERGE INTO t USING $src ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET cents = t.missing + 1""".stripMargin)
+    assert(e3.contains("unknown column 'missing' on the target"), e3)
+  }
+
   test("isDml: leading comments and whitespace do not bypass the router") {
     assert(SqlDml.isDml("DELETE FROM t WHERE k = 1"))
     assert(SqlDml.isDml("  \n-- rollback bad rows\nDELETE FROM t WHERE k = 1"))

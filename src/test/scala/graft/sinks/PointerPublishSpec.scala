@@ -273,6 +273,55 @@ class PointerPublishSpec extends SparkSpec {
     }
   }
 
+  test("pointer straggler: withPointerRetry re-resolves ONCE past K+1 publishes, loud when truly gone") {
+    val loc = tmp("strag")
+    withLockfile {
+      Sinks.write(spark, Seq((1, "g1")).toDF("k", "v"), out(loc)(identity))
+      // the straggler scenario: the read starts on the CURRENT
+      // generation, K+1 publishes land DURING the scan (purging it),
+      // and the action fails on the missing path — the helper must
+      // re-resolve once and complete on the fresh snapshot
+      var attempts = 0
+      val got = Sinks.withPointerRetry(spark, loc) { p =>
+        attempts += 1
+        if (attempts == 1) {
+          // K+1 = 2 publishes at default keepGenerations=2 purge g1
+          Sinks.write(spark, Seq((2, "g2")).toDF("k", "v"), out(loc)(identity))
+          Sinks.write(spark, Seq((3, "g3")).toDF("k", "v"), out(loc)(identity))
+          val (_, fs) = fsOf(loc)
+          assert(!fs.exists(new org.apache.hadoop.fs.Path(p)),
+            "precondition: the straggler's generation must be purged")
+        }
+        spark.read.parquet(p).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+      }
+      assert(attempts == 2, "the helper must retry exactly once")
+      assert(got == Set((3, "g3")),
+        "the retried read must be the FRESH snapshot, not a mix")
+      // loud when the failure is NOT a vanished generation: a fresh
+      // resolve that equals the first attempt rethrows the original
+      var calls = 0
+      val boom = intercept[java.io.FileNotFoundException] {
+        Sinks.withPointerRetry(spark, loc) { _ =>
+          calls += 1
+          throw new java.io.FileNotFoundException("some OTHER missing file")
+        }
+      }
+      assert(calls == 1 && boom.getMessage.contains("OTHER"),
+        "same-path re-resolve must rethrow the original failure without re-reading")
+      // a NON-pointer location never retries (no pointer to re-resolve)
+      val plainDir = java.nio.file.Files.createTempDirectory("plain").toString
+      Seq((9, "x")).toDF("k", "v").write.mode("overwrite").parquet(plainDir)
+      var plainCalls = 0
+      intercept[java.io.FileNotFoundException] {
+        Sinks.withPointerRetry(spark, plainDir) { _ =>
+          plainCalls += 1
+          throw new java.io.FileNotFoundException("plain")
+        }
+      }
+      assert(plainCalls == 1, "plain locations must fail without retry")
+    }
+  }
+
   test("pointer purge grace: keepGenerations widens the lag, 1 restores the eager purge, floor is validated") {
     withLockfile {
       // keep=3: a pinned reader survives TWO publishes, dies at the third

@@ -426,6 +426,129 @@ class VersionedTableSpec extends SparkSpec {
     assert(rows(VersionedTable.read(spark, loc)) == Set((1, "a"), (2, "B"), (3, "c")))
   }
 
+  test("BY SOURCE merge routes through the DV: every file carries, claimed rows flip or vanish") {
+    val loc = tmp("bsdv1")
+    // 4 range-disjoint files over k = 1..40, zone maps on k
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    val before = VersionedTable.fileStats(spark, loc, 1L).keySet
+    assert(before.size == 4)
+    // matched update (keys 12, 15 — one file's range) + two BY SOURCE
+    // actions (first-true-wins): delete k <= 5, re-version k >= 35
+    val v = VersionedTable.merge(spark, loc,
+      Seq((12, "X"), (15, "Y")).toDF("k", "v").coalesce(1), Seq("k"),
+      statsColumns = Seq("k"),
+      actions = MergeActions(
+        matched = Seq(MergeActions.UpdateAll(None)),
+        notMatched = Nil,
+        bySource = Seq(
+          MergeActions.BySourceDelete(Some("t.k <= 5")),
+          MergeActions.BySourceUpdate(Some("t.k >= 35"), Seq("v" -> "'old'")))))
+    assert(v == 2L)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$loc/_graft_log/v00002.json")), "UTF-8")
+    // the r13 weak mark: BY SOURCE no longer rewrites the table — the
+    // three zone-miss files carry BY REFERENCE (only the 11..20 file
+    // rewrites, for the matched action), and the claimed rows ride the
+    // deletion vector + appended re-images
+    assert(before.count(manifest.contains) == 3,
+      s"zone-miss files must carry by reference:\n$manifest")
+    assert(manifest.contains("dv_file"), "the BY SOURCE claims must be a DV")
+    val got = VersionedTable.read(spark, loc).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toMap
+    assert(got.size == 35 && !got.contains(1) && !got.contains(5)) // deletes
+    assert(got(35) == "old" && got(40) == "old") // re-images
+    assert(got(12) == "X" && got(15) == "Y")     // matched updates
+    assert(got(6) == "6" && got(34) == "34")     // unclaimed rows intact
+    // history: dv_rows subtract from the metadata row count
+    val h = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("n_rows"))).toMap
+    assert(h(2L) == 35L, h.toString)
+    // TIME TRAVEL across the DV commit: v1 still reads the full 40
+    val v1 = VersionedTable.read(spark, loc, asOf = Some(1L)).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toMap
+    assert(v1.size == 40 && v1(1) == "1" && v1(40) == "40")
+  }
+
+  test("BY SOURCE with no matched actions rewrites NOTHING; restore and vacuum cross the DV commit") {
+    val loc = tmp("bsdv2")
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    val before = VersionedTable.fileStats(spark, loc, 1L).keySet
+    // a pure retention merge: source lists the keys to KEEP (12, 15);
+    // a matched row takes no action, everything else deletes — the
+    // 100 TB shape that motivated the DV route. Key-duplicated source
+    // is ANSI-legal here (no matched action, no evaluator join).
+    val v = VersionedTable.merge(spark, loc,
+      Seq((12, "X"), (15, "Y"), (15, "Y2")).toDF("k", "v"), Seq("k"),
+      statsColumns = Seq("k"),
+      actions = MergeActions(Nil, Nil,
+        Seq(MergeActions.BySourceDelete(None))))
+    assert(v == 2L)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$loc/_graft_log/v00002.json")), "UTF-8")
+    // NO matched/insert actions -> zero rewrites: all 4 files carry
+    assert(before.forall(manifest.contains),
+      s"a delete-only BY SOURCE merge must carry every file:\n$manifest")
+    assert(rows(VersionedTable.read(spark, loc)) == Set((12, "12"), (15, "15")))
+    // RESTORE across the DV commit: the head rolls back to the full 40
+    val v3 = VersionedTable.restore(spark, loc, 1L)
+    assert(v3 == 3L && VersionedTable.read(spark, loc).count() == 40)
+    // ... and restoring FORWARD to the DV'd version carries its DV
+    val v4 = VersionedTable.restore(spark, loc, 2L)
+    assert(v4 == 4L &&
+      rows(VersionedTable.read(spark, loc)) == Set((12, "12"), (15, "15")))
+    // VACUUM below the DV'd version: the DV sidecar stays referenced
+    VersionedTable.vacuumVersions(spark, loc, keepFromVersion = 4L,
+      minOrphanAgeMillis = 0L)
+    assert(rows(VersionedTable.read(spark, loc)) == Set((12, "12"), (15, "15")))
+  }
+
+  test("BY SOURCE claims compose with a prior deleteWhere DV and never resurrect") {
+    val loc = tmp("bsdv3")
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", statsColumns = Seq("k"))
+    VersionedTable.deleteWhere(spark, loc, "k = 25") // prior DV entry
+    // BY SOURCE delete k <= 5 with an empty-ish source (key 12 only)
+    VersionedTable.merge(spark, loc,
+      Seq((12, "X")).toDF("k", "v"), Seq("k"), statsColumns = Seq("k"),
+      actions = MergeActions(Nil, Nil,
+        Seq(MergeActions.BySourceDelete(Some("t.k <= 5")))))
+    val got = VersionedTable.read(spark, loc).collect()
+      .map(r => r.getAs[Int]("k")).toSet
+    // both DVs apply: 25 (prior) and 1..5 (BY SOURCE) are gone; the
+    // matched key 12 took no action (no matched action declared)
+    assert(got == ((6 to 40).toSet - 25) && got.contains(12))
+    // a later row-replace merge touching the 21..30 file materializes
+    // its DV entries away without resurrecting 25
+    VersionedTable.merge(spark, loc,
+      Seq((26, "Z")).toDF("k", "v").coalesce(1), Seq("k"),
+      statsColumns = Seq("k"))
+    val after = VersionedTable.read(spark, loc).collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toMap
+    assert(!after.contains(25) && after(26) == "Z" && !after.contains(3))
+  }
+
+  test("merge star actions reject extra source columns by name (no silent drop)") {
+    val loc = tmp("bsdv4")
+    VersionedTable.commit(spark, loc,
+      Seq((1, "a")).toDF("k", "v"), "overwrite")
+    val e = intercept[graft.config.ConfigError](
+      VersionedTable.merge(spark, loc,
+        Seq((1, "A", 9L)).toDF("k", "v", "extra_col"), Seq("k"),
+        actions = MergeActions(
+          Seq(MergeActions.UpdateAll(None)),
+          Seq(MergeActions.InsertAll(Some("s.k > 0"))), Nil)))
+    assert(e.getMessage.contains("extra_col") &&
+      e.getMessage.contains("schema evolution"), e.getMessage)
+  }
+
   test("merge is serializable: a commit since the snapshot aborts loudly") {
     val loc = tmp("m4")
     VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
