@@ -501,6 +501,65 @@ ${OracleSql.InvIndex}
              |       CAST(c_custkey % 3 + 1 AS BIGINT) AS _commit_version
              |FROM customer""".stripMargin)),
 
+    // BYTES-bounded CDC drains (r13 verdict #6): an UNEVEN three-commit
+    // history (40% / 50% / 10% key slices) drained under a
+    // maxBytesPerDrain budget derived from the table's OWN manifest
+    // byte totals (= the v2+v3 appended bytes, ~60%): the bootstrap
+    // stops at v1 (40% fits the budget; +v2's 50% does not), then
+    // v2+v3 fold into ONE batch — REQUIREd, so the head really is
+    // budget-chosen, not count-chosen (a count bound of 1 would split
+    // them; no count bound would drain everything at once).
+    // changesBetween tags each drained row its true commit, so the
+    // fold equals the snapshot+changes truth and the oracle derives
+    // independently (closed form over the key slices).
+    "st56_stream_cdc_bytes" -> Q(
+      (s, d) => {
+        val base = scratch(s, d, "cdc_bytes")
+        val loc = s"$base/tbl"; val ckpt = s"$base/ckpt"
+        import graft.sinks.VersionedTable
+        val cust = s.read.parquet(s"$d/customer.parquet")
+          .select(col("c_custkey"),
+            expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("cents"))
+        val slice = col("c_custkey") % 10
+        VersionedTable.commit(s, loc,
+          cust.filter(slice <= 3).withColumn("version", lit("v1")),
+          "overwrite")
+        VersionedTable.commit(s, loc,
+          cust.filter(slice >= 4 && slice <= 8).withColumn("version", lit("v2")),
+          "append")
+        VersionedTable.commit(s, loc,
+          cust.filter(slice === 9).withColumn("version", lit("v3")),
+          "append")
+        val bytes = VersionedTable.history(s, loc).collect()
+          .map(r => (r.getAs[Long]("version"), r.getAs[Long]("total_bytes"))).toMap
+        val budget = bytes(3L) - bytes(1L) // the v2+v3 appended bytes
+        require(bytes(1L) <= budget && bytes(2L) > budget,
+          s"st56: the 40/50/10 slices must keep v1 <= budget < v1+v2, got $bytes")
+        val drains = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
+        val ranges = Streams.drainVersionedToQuiescence(s, loc, ckpt,
+          maxBytesPerDrain = Some(budget))((df, _, _) => drains += df)
+        require(ranges == Seq((0L, 1L), (1L, 3L)),
+          s"st56: the budget must stop the bootstrap at v1 then fold " +
+            s"v2+v3 into one batch, got $ranges")
+        val acc = drains.reduce(_ unionByName _)
+        val fold = VersionedTable.read(s, loc, Some(1L))
+          .withColumn("_commit_version", lit(1L))
+          .unionByName(VersionedTable.changesBetween(s, loc, 1L, 3L))
+        require(acc.exceptAll(fold).isEmpty && fold.exceptAll(acc).isEmpty,
+          "st56: bytes-bounded drains must equal the snapshot + changesBetween fold")
+        acc
+      },
+      Some("""SELECT c_custkey,
+             |       CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+             |       CASE WHEN c_custkey % 10 <= 3 THEN 'v1'
+             |            WHEN c_custkey % 10 <= 8 THEN 'v2'
+             |            ELSE 'v3' END AS version,
+             |       CAST(CASE WHEN c_custkey % 10 <= 3 THEN 1
+             |                 WHEN c_custkey % 10 <= 8 THEN 2
+             |                 ELSE 3 END AS BIGINT) AS _commit_version
+             |FROM customer""".stripMargin)),
+
     "st15_stream_cdc" -> Q(
       (s, d) => Streams.runToMemory(s,
         graft.operators.TextAnalysis.cdcChunks(

@@ -710,14 +710,31 @@ object Streams {
     * so even the first batch is bounded), and repeated drains fold to
     * exactly the same snapshot+changes truth as one unbounded drain —
     * asserted by st55's oracle, not argued. Use
-    * [[drainVersionedToQuiescence]] for the catch-up loop. */
+    * [[drainVersionedToQuiescence]] for the catch-up loop.
+    *
+    * `maxBytesPerDrain` (r13 verdict #6) bounds the DATA VOLUME a
+    * drain delivers — the complement for uneven commit sizes, where a
+    * version count says nothing about bytes: the drain head is the
+    * longest committed prefix past the offset whose cumulative
+    * APPENDED bytes (manifest total deltas — appends never rewrite, so
+    * the delta IS the new files' bytes; one metadata fetch per
+    * version, never a data read) stays within the bound, floored at
+    * one version so progress is guaranteed (a single commit larger
+    * than the bound drains alone, exactly Delta's maxBytesPerTrigger
+    * soft-max). Appended-bytes deltas telescope, so a BOOTSTRAP's
+    * cumulative bound is the snapshot size at the candidate head —
+    * the first batch obeys the same budget. Both bounds compose: the
+    * tighter head wins. */
   def drainVersionedChanges(spark: SparkSession, location: String,
       checkpointDir: String, format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      maxVersionsPerDrain: Option[Int] = None)
+      maxVersionsPerDrain: Option[Int] = None,
+      maxBytesPerDrain: Option[Long] = None)
       (process: (DataFrame, Long, Long) => Unit): Option[(Long, Long)] = {
     maxVersionsPerDrain.foreach(m => require(m >= 1,
       s"cdc drain: maxVersionsPerDrain must be >= 1, got $m"))
+    maxBytesPerDrain.foreach(b => require(b >= 1L,
+      s"cdc drain: maxBytesPerDrain must be >= 1, got $b"))
     import org.apache.hadoop.fs.Path
     val ckpt = new Path(checkpointDir)
     val fs = ckpt.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -736,10 +753,34 @@ object Streams {
     // the drain head: the whole history, or the rate-limited prefix —
     // the maxVersionsPerDrain-th COMMITTED version past the offset
     // (committed set, not offset+m arithmetic, so a gapped history
-    // can never target an uncommitted version)
-    def headFor(from: Long): Long = maxVersionsPerDrain
-      .flatMap(m => vs.filter(_ > from).take(m).lastOption)
-      .getOrElse(latest)
+    // can never target an uncommitted version), further tightened by
+    // the bytes budget when one is set
+    lazy val totalBytes: Map[Long, Long] = graft.sinks.VersionedTable
+      .history(spark, location).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("total_bytes")))
+      .toMap // one manifest fetch per version — metadata, never data
+    def headFor(from: Long): Long = {
+      val candidates = vs.filter(_ > from)
+      val byCount = maxVersionsPerDrain
+        .flatMap(m => candidates.take(m).lastOption)
+      val byBytes = maxBytesPerDrain.flatMap { budget =>
+        candidates.headOption.map { first =>
+          var head = first // >= 1 version floor: progress is guaranteed
+          var prev = from
+          var acc = 0L
+          var stop = false
+          for (v <- candidates if !stop) {
+            val added = math.max(0L,
+              totalBytes.getOrElse(v, 0L) - totalBytes.getOrElse(prev, 0L))
+            acc += added
+            if (acc <= budget || v == first) head = v else stop = true
+            prev = v
+          }
+          head
+        }
+      }
+      (byCount.toSeq ++ byBytes.toSeq).reduceOption(_ min _).getOrElse(latest)
+    }
     val drained = lastSeen match {
       case Some(from) if from >= latest => None
       case Some(from) =>
@@ -790,7 +831,8 @@ object Streams {
   def drainVersionedToQuiescence(spark: SparkSession, location: String,
       checkpointDir: String, format: String = "parquet",
       options: Map[String, String] = Map.empty,
-      maxVersionsPerDrain: Option[Int] = None)
+      maxVersionsPerDrain: Option[Int] = None,
+      maxBytesPerDrain: Option[Long] = None)
       (process: (DataFrame, Long, Long) => Unit): Seq[(Long, Long)] = {
     val entryHead = graft.sinks.VersionedTable.versions(spark, location)
       .lastOption.getOrElse(0L)
@@ -798,7 +840,7 @@ object Streams {
     var done = false
     while (!done) {
       drainVersionedChanges(spark, location, checkpointDir, format,
-        options, maxVersionsPerDrain)(process) match {
+        options, maxVersionsPerDrain, maxBytesPerDrain)(process) match {
         case Some(r) => out += r; done = r._2 >= entryHead
         case None => done = true
       }

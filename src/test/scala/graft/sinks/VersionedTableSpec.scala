@@ -924,6 +924,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(bad.getMessage.contains("maxVersionsPerDrain"))
   }
 
+  test("CDC bytes bound: maxBytesPerDrain splits uneven commits, floors at one version, composes with the count bound") {
+    val loc = tmp("cdcbytes"); val ckpt = tmp("cdcbytes-ckpt")
+    // v1 small, v2 LARGE (5k wide rows), v3 + v4 small — the uneven
+    // history a version-count bound cannot budget
+    VersionedTable.commit(spark, loc, Seq((1, "a")).toDF("k", "v"), "overwrite")
+    VersionedTable.commit(spark, loc,
+      spark.range(1000, 6000).selectExpr("CAST(id AS INT) AS k",
+        "repeat(CAST(id AS STRING), 20) AS v").coalesce(1), "append")
+    VersionedTable.commit(spark, loc, Seq((2, "b")).toDF("k", "v"), "append")
+    VersionedTable.commit(spark, loc, Seq((3, "c")).toDF("k", "v"), "append")
+    val bytes = VersionedTable.history(spark, loc).collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("total_bytes"))).toMap
+    // budget = exactly the v3+v4 appended bytes: fits v1 alone (small),
+    // NOT v1+v2; v2 alone exceeds it (floor drains it solo); v3+v4
+    // fold into one batch
+    val budget = bytes(4L) - bytes(2L)
+    assert(bytes(1L) <= budget && bytes(2L) - bytes(1L) > budget,
+      s"fixture precondition: $bytes, budget $budget")
+    val counts = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ranges = graft.streaming.Streams.drainVersionedToQuiescence(
+      spark, loc, ckpt, maxBytesPerDrain = Some(budget)) { (df, _, _) =>
+      counts += df.count()
+    }
+    assert(ranges == Seq((0L, 1L), (1L, 2L), (2L, 4L)), ranges.toString)
+    assert(counts.toSeq == Seq(1L, 5000L, 2L), counts.toString)
+    // both bounds compose: the tighter (count=1) head wins on the tail
+    val ckpt2 = tmp("cdcbytes-ckpt2")
+    val ranges2 = graft.streaming.Streams.drainVersionedToQuiescence(
+      spark, loc, ckpt2, maxVersionsPerDrain = Some(1),
+      maxBytesPerDrain = Some(budget))((_, _, _) => ())
+    assert(ranges2 == Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)), ranges2.toString)
+    // floor validated by name
+    val bad = intercept[IllegalArgumentException] {
+      graft.streaming.Streams.drainVersionedChanges(
+        spark, loc, ckpt, maxBytesPerDrain = Some(0L))((_, _, _) => ())
+    }
+    assert(bad.getMessage.contains("maxBytesPerDrain"))
+  }
+
   test("rebase crash recovery: a marker-decided rebase is finished by the next branch read; undecided debris expires") {
     // coordinator that delegates to the rename one but dies on its Nth
     // publish — replays the exact crash points of rebaseBranch's publish
