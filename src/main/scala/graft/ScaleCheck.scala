@@ -208,6 +208,13 @@ object ScaleCheck {
     // SQL DML surface: merge must stay ∝ touched files + arrivals;
     // delete/update ∝ matched rows (DV metadata commits)
     "fw_merge_sql", "fw_dml_sql", "fw_lockfile_commit",
+    // round-14: CDC-fed lexical-index lifecycle — the base build is the
+    // corpus-linear term (grows with the table); the PINNED delta
+    // (doc_id < 10^7 slice, fixed under the id shift) keeps the
+    // maintain+probe terms ~constant, so the total must track the
+    // base-build line (~linear), never above — the delta-proportional
+    // decomposition is the fixed delta against the growing base
+    "ext162_lexindex_cdc",
     // round-13/14: conditional-action MERGE — merge 1 must keep the
     // file-carry bound (∝ touched files); merge 2 (BY SOURCE) routes
     // through the deletion vector (reads the table once to evaluate

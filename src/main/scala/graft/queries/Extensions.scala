@@ -5023,14 +5023,18 @@ ${OracleSql.InvIndex}
     * with the SAME SQL (output-equality by shared oracle, the
     * ext158/ext155 discipline); the literal queries are perfectly
     * pinned under the ScaleCheck id shift. */
-  private def seekTwins: Seq[(String, Q)] = {
-    def seekQ(s: SparkSession): DataFrame = {
-      import s.implicits._
-      // tf_q = 2 on the rare token, plus an out-of-vocabulary token
-      // that must drop identically on both paths
-      Seq((1L, "dup dup"), (2L, "dup missingtoken")).toDF("doc_id", "text")
-    }
-    val oracle = Some("""WITH tk AS (
+  /** The literal seek workload shared by ext160/ext161/ext162: tf_q=2
+    * on the one rare token, plus an out-of-vocabulary token that must
+    * drop identically on every path. */
+  private def seekQ(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((1L, "dup dup"), (2L, "dup missingtoken")).toDF("doc_id", "text")
+  }
+
+  /** The seek-pair oracle (a def — shared fragments must not be object
+    * vals): the full-corpus truth of the seek workload, used verbatim
+    * by the direct, indexed, and CDC-maintained probes. */
+  private def seekOracle: Option[String] = Some("""WITH tk AS (
       |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS token
       |  FROM documents
       |), tf AS (
@@ -5066,17 +5070,72 @@ ${OracleSql.InvIndex}
       |  FROM sc
       |)
       |SELECT q_id, doc_id, score_e6, n_terms, rnk FROM r WHERE rnk <= 5""".stripMargin)
+
+  private def seekTwins: Seq[(String, Q)] =
     Seq(
       "ext160_lexseek_direct" -> Q(
         (s, d) => TextAnalysis.tfidfTopK(
           docs(s, d).filter(col("doc_id") % 50 =!= 0), seekQ(s),
           "doc_id", "text", k = 5),
-        oracle),
+        seekOracle),
       "ext161_lexseek_indexed" -> Q(
         (s, d) => TextAnalysis.tfidfTopKIndexed(s, ensureLexIndex(s, d),
           seekQ(s), "doc_id", "text", k = 5),
-        oracle))
-  }
+        seekOracle),
+
+      // CDC-FED INDEX MAINTENANCE driven end-to-end (r13 verdict #3):
+      // the lifecycle ext148 pins for the IVF index, on the lexical
+      // index through the VERIFY surface — a versioned corpus table's
+      // bootstrap drain builds the base index, its append commit's
+      // delta drain feeds appendToLexicalIndex (base posting files
+      // REQUIREd to survive BY NAME — the append writes ∝ delta, never
+      // re-tokenizing the base), and the maintained index serves the
+      // seek probe against the SAME full-corpus oracle as the
+      // from-scratch-indexed twin ext161 — equality-to-rebuild by
+      // shared oracle, the ext158/ext155 discipline. The delta is the
+      // PINNED id slice (doc_id < 10^7, stable under the ScaleCheck id
+      // shift), so at 10x/30x the base grows while the maintained
+      // delta stays fixed — the decomposition behind the
+      // delta-proportional claim.
+      "ext162_lexindex_cdc" -> Q(
+        (s, d) => {
+          val base = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/lexcdc"
+          val p = new org.apache.hadoop.fs.Path(base)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val tbl = s"$base/tbl"; val ckpt = s"$base/ckpt"; val idx = s"$base/idx"
+          val corpus = docs(s, d).filter(col("doc_id") % 50 =!= 0)
+            .select(col("doc_id"), col("text"))
+          val isDelta = col("doc_id") % 7 === 3 && col("doc_id") < 10000000L
+          graft.sinks.VersionedTable.commit(s, tbl, corpus.filter(!isDelta),
+            "overwrite")
+          val r1 = graft.streaming.Streams.drainVersionedChanges(s, tbl, ckpt) {
+            (df, _, _) => TextAnalysis.writeLexicalIndex(
+              df.select(col("doc_id"), col("text")), "doc_id", "text", idx)
+          }
+          require(r1.contains((0L, 1L)),
+            s"ext162: the bootstrap drain must build from v1, got $r1")
+          val basePostings = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$idx/postings/tb=*/part-*"))
+            .map(_.getPath.toString).toSet
+          graft.sinks.VersionedTable.commit(s, tbl, corpus.filter(isDelta),
+            "append")
+          val r2 = graft.streaming.Streams.drainVersionedChanges(s, tbl, ckpt) {
+            (df, _, _) => TextAnalysis.appendToLexicalIndex(
+              df.select(col("doc_id"), col("text")), "doc_id", "text", idx)
+          }
+          require(r2.contains((1L, 2L)),
+            s"ext162: the delta drain must cover exactly the append commit, got $r2")
+          val afterPostings = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$idx/postings/tb=*/part-*"))
+            .map(_.getPath.toString).toSet
+          require(basePostings.subsetOf(afterPostings) &&
+            afterPostings.size > basePostings.size,
+            "ext162: the delta append must add posting files without " +
+              "rewriting a base file (delta-proportional bytes)")
+          TextAnalysis.tfidfTopKIndexed(s, idx, seekQ(s), "doc_id", "text", k = 5)
+        },
+        seekOracle))
 
   val all: Seq[(String, Q)] =
     base ++ fixedPanelTwins ++ indexedPanelTwins ++ seekTwins

@@ -124,7 +124,11 @@ class PlanAuditSpec extends SparkSpec {
     // indexed retrieval: the ensure-index script job runs at
     // construction, and the probe collects the bounded selected-token
     // set (≤ |panel|·maxQueryTerms) to become pushdown literals
-    "ext158_tfidf_indexed", "ext159_bm25_indexed", "ext161_lexseek_indexed")
+    "ext158_tfidf_indexed", "ext159_bm25_indexed", "ext161_lexseek_indexed",
+    // CDC-fed index lifecycle: versioned commits + drains + the index
+    // build/append run at construction; the probe's bounded token
+    // collect is the ext158 class
+    "ext162_lexindex_cdc")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
