@@ -19,7 +19,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
   *     lives here;
   *   - phase wall-clocks: `knnGraph` (join+cosine+window) and full
   *     `mutualKnn`, with per-phase task counts, executor-time sums,
-  *     max task time, and spill/shuffle bytes from a stage listener —
+  *     and spill/shuffle bytes from a stage listener —
   *     executor-time ratio ≈ pair ratio with wall-clock ratio below it
   *     means better core utilization at 30x (AQE splitting the bigger
   *     skewed partitions finer), spill growth means memory-pressure
@@ -34,7 +34,6 @@ object ProfileMutualKnn {
   private final class PhaseMetrics extends SparkListener {
     @volatile var tasks = 0L
     @volatile var executorRunMs = 0L
-    @volatile var maxTaskMs = 0L
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
     @volatile var shuffleRead = 0L
@@ -77,15 +76,16 @@ object ProfileMutualKnn {
     def phase(body: => Unit): (Double, Map[String, Long]) = {
       val l = new PhaseMetrics
       spark.sparkContext.addSparkListener(l)
-      val t0 = System.nanoTime()
-      body
-      val secs = (System.nanoTime() - t0) / 1e9
-      // stage-completed events arrive on the async listener bus, which
-      // has no public drain — a settle sleep bounds the race (profiling
-      // harness; phases run for tens of seconds, the bus drains in ms)
-      Thread.sleep(2000)
-      spark.sparkContext.removeSparkListener(l)
-      (secs, l.snapshot)
+      try {
+        val t0 = System.nanoTime()
+        body
+        val secs = (System.nanoTime() - t0) / 1e9
+        // stage-completed events arrive on the async listener bus, which
+        // has no public drain — a settle sleep bounds the race (profiling
+        // harness; phases run for tens of seconds, the bus drains in ms)
+        Thread.sleep(2000)
+        (secs, l.snapshot)
+      } finally spark.sparkContext.removeSparkListener(l)
     }
 
     val out = dirs.map { dir =>

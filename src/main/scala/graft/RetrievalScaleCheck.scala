@@ -92,7 +92,10 @@ object RetrievalScaleCheck {
     val sizes = Seq("1x" -> BaseDocs, s"${f2}x" -> BaseDocs * f2,
       s"${f3}x" -> BaseDocs * f3)
     val results = sizes.map { case (tag, nDocs) =>
-      val root = s"/tmp/graft-scale/widevocab/$nDocs"
+      // cache key carries the GENERATOR parameters: a later tuning of
+      // tokens-per-doc must rebuild, not silently re-measure the old
+      // corpus under the new labels
+      val root = s"/tmp/graft-scale/widevocab/${nDocs}d${TokensPerDoc}t"
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       val all = wideVocabDocs(spark, nDocs)

@@ -231,12 +231,21 @@ object Sinks {
     * states; `versioned: true` is the tool when that matters) instead
     * of a hard fail. Loud on the second failure — a generation that is
     * gone from the CURRENT pointer too is real corruption, and a
-    * non-pointer location never retries. */
+    * non-pointer location never retries.
+    *
+    * SCOPE: the retry covers exactly what runs inside `read` — for the
+    * framework file scan that is the load-time directory listing (the
+    * resolve-to-load window); a straggle during a LATER action on the
+    * returned lazy frame surfaces at that action, outside any wrapper
+    * the load site can install, and the caller re-reads through this
+    * helper. Fatal errors (OOM etc.) propagate — retrying on a dying
+    * JVM would mask them. */
   def withPointerRetry[T](spark: SparkSession, location: String)(read: String => T): T = {
     val first = resolveDataPath(spark, location)
     try read(first)
     catch {
-      case e: Throwable if first != location && isMissingPath(e) =>
+      case e: Throwable if scala.util.control.NonFatal(e) &&
+        first != location && isMissingPath(e) =>
         val second = resolveDataPath(spark, location)
         if (second == first) throw e
         graft.log.Log.warn(

@@ -302,20 +302,35 @@ object VersionedTable {
   private def readDv(spark: SparkSession, root: Path, name: String): DataFrame =
     spark.read.parquet(new Path(logDir(root), name).toString)
 
-  /** Anti-join `df` (which must carry parquet `_metadata`) against the
-    * deletion vector: rows whose (file basename, row position) appear in
-    * the DV disappear. The DV is the small side — AQE broadcasts it. */
-  private def applyDv(spark: SparkSession, root: Path, df: DataFrame,
-                      dvName: String): DataFrame = {
+  /** `df` (which must carry parquet `_metadata`) with its row
+    * positions exposed as `__dv_file` (file basename) / `__dv_pos`
+    * (row index) and the deletion vector — when one is named —
+    * anti-joined away (the DV is the small side; AQE broadcasts it).
+    * The ONE position-derivation in this file: [[applyDv]],
+    * [[deleteWhere]], [[updateWhere]], and the BY SOURCE merge path
+    * all read through it, so the DV layout cannot fork. */
+  private def livePositions(spark: SparkSession, root: Path, df: DataFrame,
+                            dv: Option[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val outCols = df.columns.toSeq
-    val dv = readDv(spark, root, dvName)
-      .select(col("file").as("__dv_file"), col("pos").as("__dv_pos"))
-    df.withColumn("__dv_file",
+    val withPos = df
+      .withColumn("__dv_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-      .join(dv, Seq("__dv_file", "__dv_pos"), "left_anti")
-      .select(outCols.map(col): _*)
+    dv.fold(withPos) { name =>
+      withPos.join(readDv(spark, root, name)
+          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
+        Seq("__dv_file", "__dv_pos"), "left_anti")
+    }
+  }
+
+  /** Anti-join `df` (which must carry parquet `_metadata`) against the
+    * deletion vector: rows whose (file basename, row position) appear in
+    * the DV disappear. */
+  private def applyDv(spark: SparkSession, root: Path, df: DataFrame,
+                      dvName: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val outCols = df.columns.toSeq
+    livePositions(spark, root, df, Some(dvName)).select(outCols.map(col): _*)
   }
 
   // ---------------------------------------------------------------- stats
@@ -943,21 +958,25 @@ object VersionedTable {
       }
     }
     val latestDv = dvOf(fs, root, latest)
-    // live rows of the zone-hit files (a touched file's deleted rows
-    // must not resurrect — the DV applies to the snapshot being
-    // merged): the rewrite input, and the anti-join side for the
-    // no-matched-action insert path
-    lazy val touchedLive: DataFrame = {
-      val touchedBase = spark.read.format(format)
+    // live rows of the named files (a touched file's deleted rows must
+    // not resurrect — the DV applies to the snapshot being merged).
+    // The EVALUATOR reads the rewrite set (`touched` — which is ALL
+    // files on the non-parquet BY SOURCE fallback, not just the
+    // zone-hit probe set: loading the probe set there would drop every
+    // zone-miss file's rows from the rewrite); the no-matched-action
+    // anti-join reads the probe set alone.
+    def liveOf(names: Seq[String]): DataFrame = {
+      val base = spark.read.format(format)
         .options(graft.sources.Sources.mapOptions(options))
-        .load(touchedProbe.map(n => new Path(dataDir(root), n).toString): _*)
-      latestDv.fold(touchedBase) { case (name, _) =>
-        applyDv(spark, root, touchedBase, name) }
+        .load(names.map(n => new Path(dataDir(root), n).toString): _*)
+      latestDv.fold(base) { case (name, _) =>
+        applyDv(spark, root, base, name) }
     }
     val merged =
       if (!conditional) {
         if (touched.isEmpty) arrivals
-        else touchedLive.join(arrivals, keys, "left_anti").unionByName(arrivals)
+        else liveOf(touched).join(arrivals, keys, "left_anti")
+          .unionByName(arrivals)
       } else if (actions.matched.nonEmpty ||
         (actions.bySource.nonEmpty && !bySourceViaDv)) {
         if (touched.isEmpty)
@@ -965,7 +984,7 @@ object VersionedTable {
           // the insert chain applies directly (projected to the shared
           // lazily-read table schema)
           MergeActions.applyInsertOnly(arrivals, tableSchema, actions)
-        else MergeActions(touchedLive, arrivals, keys, actions)
+        else MergeActions(liveOf(touched), arrivals, keys, actions)
       } else {
         // no MATCHED actions: no existing row changes in place, so no
         // file rewrites — arrivals whose key matches a zone-hit LIVE
@@ -973,7 +992,7 @@ object VersionedTable {
         // whatever their multiplicity), the rest run the insert chain
         val fresh =
           if (touchedProbe.isEmpty) arrivals
-          else arrivals.join(touchedLive.select(keys.map(col): _*),
+          else arrivals.join(liveOf(touchedProbe).select(keys.map(col): _*),
             keys, "left_anti")
         MergeActions.applyInsertOnly(fresh, tableSchema, actions)
       }
@@ -991,18 +1010,10 @@ object VersionedTable {
     val bySourceClaimed: Option[(DataFrame, Long)] =
       if (!bySourceViaDv || untouched.isEmpty) None
       else {
-        import org.apache.spark.sql.functions.{element_at, split}
         val base = spark.read.format(format)
           .options(graft.sources.Sources.mapOptions(options))
           .load(untouched.map(n => new Path(dataDir(root), n).toString): _*)
-          .withColumn("__dv_file",
-            element_at(split(col("_metadata.file_path"), "/"), -1))
-          .withColumn("__dv_pos", col("_metadata.row_index"))
-        val live = latestDv.fold(base) { case (name, _) =>
-          base.join(readDv(spark, root, name)
-              .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
-            Seq("__dv_file", "__dv_pos"), "left_anti")
-        }
+        val live = livePositions(spark, root, base, latestDv.map(_._1))
         // zone-miss files cannot hold an arrival key, but carried
         // zone-HIT files (no matched actions) can — those matched rows
         // are NOT "not matched by source": anti-join the arrival keys
@@ -1132,15 +1143,8 @@ object VersionedTable {
     val base = spark.read.format(format)
       .options(graft.sources.Sources.mapOptions(options))
       .load(files.map(n => new Path(dataDir(root), n).toString): _*)
-      .withColumn("__dv_file",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
     // only LIVE rows can match (a row deleted twice would double-count)
-    val live = dvPrev.fold(base) { case (name, _) =>
-      base.join(readDv(spark, root, name)
-          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
-    }
+    val live = livePositions(spark, root, base, dvPrev.map(_._1))
     // PINNED once (localCheckpoint, eager): the matched set feeds both
     // the count and the DV write — re-evaluating the plan per consumer
     // would let a nondeterministic condition (rand(), now()) produce a
@@ -1212,14 +1216,7 @@ object VersionedTable {
     val base = spark.read.format(format)
       .options(graft.sources.Sources.mapOptions(options))
       .load(files.map(n => new Path(dataDir(root), n).toString): _*)
-      .withColumn("__dv_file",
-        element_at(split(col("_metadata.file_path"), "/"), -1))
-      .withColumn("__dv_pos", col("_metadata.row_index"))
-    val live = dvPrev.fold(base) { case (name, _) =>
-      base.join(readDv(spark, root, name)
-          .select(col("file").as("__dv_file"), col("pos").as("__dv_pos")),
-        Seq("__dv_file", "__dv_pos"), "left_anti")
-    }
+    val live = livePositions(spark, root, base, dvPrev.map(_._1))
     val dataCols = base.columns.filterNot(Set("__dv_file", "__dv_pos")).toSeq
     set.keys.foreach { c =>
       require(dataCols.contains(c),
@@ -1966,6 +1963,17 @@ object VersionedTable {
       "location" -> location, "restored_to" -> s"v$toVersion",
       "version" -> s"v${latest + 1}")
     latest + 1
+  }
+
+  /** Manifest byte total of ONE committed version — a single manifest
+    * text fetch, no stats-sidecar read (the `history` row also parses
+    * the sidecar for n_rows, which byte-budgeting callers — the CDC
+    * `maxBytesPerDrain` bound — never need). */
+  private[graft] def manifestTotalBytes(spark: SparkSession, location: String,
+                                        version: Long): Long = {
+    val root = new Path(location)
+    val text = manifestText(fsFor(spark, root), root, version)
+    """"bytes":(\d+)""".r.findAllMatchIn(text).map(_.group(1).toLong).sum
   }
 
   def history(spark: SparkSession, location: String): DataFrame = {

@@ -59,8 +59,11 @@ object Sources {
       // their current generation; everything else reads the location
       // as-is (one fs.exists probe, driver-side). The retry wrapper
       // covers the LOAD-TIME straggle (the generation purged between
-      // resolve and the load's listing — re-resolve once); a straggle
-      // mid-ACTION re-reads through the same helper at the call site
+      // resolve and the load's listing — re-resolve once). A straggle
+      // during a LATER action on the returned lazy frame fails at that
+      // action (no wrapper installed here can catch it) — the grace
+      // window (keepGenerations) is the first line for those, and the
+      // caller re-reads through withPointerRetry on the loud failure.
       graft.sinks.Sinks.withPointerRetry(spark, location)(p => reader.load(p))
 
     case SourceSpec.Versioned(location, format, options, asOf0, prune, asOfTs, Some(branch)) =>

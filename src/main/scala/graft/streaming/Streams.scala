@@ -755,26 +755,32 @@ object Streams {
     // (committed set, not offset+m arithmetic, so a gapped history
     // can never target an uncommitted version), further tightened by
     // the bytes budget when one is set
-    lazy val totalBytes: Map[Long, Long] = graft.sinks.VersionedTable
-      .history(spark, location).collect()
-      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("total_bytes")))
-      .toMap // one manifest fetch per version — metadata, never data
     def headFor(from: Long): Long = {
       val candidates = vs.filter(_ > from)
       val byCount = maxVersionsPerDrain
         .flatMap(m => candidates.take(m).lastOption)
       val byBytes = maxBytesPerDrain.flatMap { budget =>
-        candidates.headOption.map { first =>
+        // the count bound (when set) already truncates what the bytes
+        // scan can choose — never fetch past it
+        val scan = maxVersionsPerDrain.fold(candidates)(candidates.take)
+        scan.headOption.map { first =>
+          // ONE manifest fetch per scanned candidate (+ the offset
+          // version), fetched IN ORDER and stopped one past the chosen
+          // head — a long catch-up loop totals O(versions) manifest
+          // reads across its batches, never O(batches × versions), and
+          // no stats sidecar is ever opened
+          def bytesOf(v: Long): Long =
+            if (v == 0L) 0L
+            else graft.sinks.VersionedTable.manifestTotalBytes(spark, location, v)
           var head = first // >= 1 version floor: progress is guaranteed
-          var prev = from
+          var prevBytes = bytesOf(from)
           var acc = 0L
           var stop = false
-          for (v <- candidates if !stop) {
-            val added = math.max(0L,
-              totalBytes.getOrElse(v, 0L) - totalBytes.getOrElse(prev, 0L))
-            acc += added
+          for (v <- scan if !stop) {
+            val vb = bytesOf(v)
+            acc += math.max(0L, vb - prevBytes)
             if (acc <= budget || v == first) head = v else stop = true
-            prev = v
+            prevBytes = vb
           }
           head
         }

@@ -535,6 +535,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(!after.contains(25) && after(26) == "Z" && !after.contains(3))
   }
 
+  test("non-parquet BY SOURCE merge falls back to the whole-table rewrite WITHOUT losing zone-miss rows") {
+    val loc = tmp("bsorc")
+    // orc: no parquet row positions -> no DV route -> whole-table
+    // rewrite; the rewrite input must be ALL files, not just the
+    // zone-hit probe set (the r14 review-found data-loss bug: loading
+    // touchedProbe dropped every zone-miss file's rows from v+1)
+    VersionedTable.commit(spark, loc,
+      spark.range(1, 41).selectExpr("CAST(id AS INT) AS k", "CAST(id AS STRING) AS v")
+        .repartitionByRange(4, $"k"),
+      "overwrite", format = "orc", statsColumns = Seq("k"))
+    VersionedTable.merge(spark, loc,
+      Seq((12, "X")).toDF("k", "v").coalesce(1), Seq("k"), format = "orc",
+      statsColumns = Seq("k"),
+      actions = MergeActions(
+        Seq(MergeActions.UpdateAll(None)), Nil,
+        Seq(MergeActions.BySourceDelete(Some("t.k <= 5")))))
+    val got = VersionedTable.read(spark, loc, format = "orc").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[String]("v"))).toMap
+    assert(got.size == 35 && got(12) == "X" && !got.contains(3) &&
+      got(21) == "21" && got(40) == "40",
+      s"zone-miss rows must survive the non-parquet fallback rewrite: $got")
+  }
+
   test("merge star actions reject extra source columns by name (no silent drop)") {
     val loc = tmp("bsdv4")
     VersionedTable.commit(spark, loc,
