@@ -253,6 +253,201 @@ object Dedup {
     }
   }
 
+  // ------------------------------------------------- persisted LSH index
+
+  /** PERSISTED MinHash-LSH index — the [[graft.operators.TextAnalysis
+    * .writeLexicalIndex]] / persisted-IVF discipline applied to
+    * near-dup candidate generation: shingle→signature→band, the
+    * corpus-linear derivation every [[minhashLsh]] run re-pays, is
+    * paid ONCE at ETL time and persisted in two tables under `out`:
+    *
+    *   - `bands/` — (doc_id, band_hash) partitioned by `band_idx`
+    *     (sorted by band_hash within 4 MB row groups): the candidate
+    *     side. Signature-sized (bands × ~16 B per doc), NOT
+    *     corpus-content-sized.
+    *   - `sets/` — (doc_id, hs) partitioned by `db = doc_id mod
+    *     docBuckets`: the exact-Jaccard verification side. Content-
+    *     sized, but probes read it PARTITION-PRUNED to the candidate
+    *     ids' buckets — read ∝ candidates, the inverted-index rule.
+    *   - `stats/` — one row: (n_docs, n, k, bands, doc_buckets); the
+    *     probe derives its shingle/signature parameters from here, so
+    *     an index and its probes cannot disagree.
+    *
+    * Same maintenance contract as the lexical index: single-writer,
+    * crash = rebuildable, delta ids must be NEW
+    * ([[appendToMinHashIndex]]). */
+  def writeMinHashIndex(corpus: DataFrame, idCol: String, textCol: String,
+                        out: String, n: Int = 3, k: Int = 128,
+                        bands: Int = 32, docBuckets: Int = 64): Unit = {
+    require(docBuckets > 0, "docBuckets must be positive")
+    val spark = corpus.sparkSession
+    val sets = shingleSets(corpus, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeIndexTables(sets, out, k, bands, docBuckets, mode = "overwrite")
+      val nDocs = sets.count()
+      import spark.implicits._
+      Seq((nDocs, n, k, bands, docBuckets))
+        .toDF("n_docs", "n", "k", "bands", "doc_buckets").coalesce(1)
+        .write.mode("overwrite").parquet(s"$out/stats")
+    } finally sets.unpersist(blocking = false): Unit
+  }
+
+  /** The banded-signatures + bucketed-sets writes shared by build and
+    * append (append mode adds files; base files are never rewritten). */
+  private def writeIndexTables(sets: DataFrame, out: String, k: Int,
+                               bands: Int, docBuckets: Int,
+                               mode: String): Unit = {
+    banded(signaturesFromSets(sets, k).select(col("doc_id"), col("sig")), bands)
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+      .repartition(col("band_idx"))
+      .sortWithinPartitions(col("band_idx"), col("band_hash"))
+      .write.mode(mode)
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
+      .partitionBy("band_idx").parquet(s"$out/bands")
+    sets.select(col("doc_id"), col("hs"),
+        pmod(col("doc_id"), lit(docBuckets.toLong)).cast("int").as("db"))
+      .repartition(col("db"))
+      .sortWithinPartitions(col("db"), col("doc_id"))
+      .write.mode(mode)
+      .option("parquet.block.size", (4 * 1024 * 1024).toString)
+      .partitionBy("db").parquet(s"$out/sets")
+  }
+
+  private def minHashIndexStats(spark: org.apache.spark.sql.SparkSession,
+                                indexDir: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$indexDir/stats").collect() match {
+      case Array(one) => one
+      case other => sys.error(
+        s"minhash index at $indexDir: stats must hold exactly one row, found ${other.length}")
+    }
+
+  /** INCREMENTAL maintenance: index a NEW-document delta without
+    * touching the indexed base — delta band rows and shingle sets
+    * append as new files into the partition directories (base files
+    * never rewritten: delta-proportional bytes), the one-row stats
+    * swaps. Contract as [[graft.operators.TextAnalysis
+    * .appendToLexicalIndex]]: delta ids must be new (the CDC-append
+    * shape — feed from
+    * [[graft.streaming.Streams.drainVersionedChanges]]); single-
+    * writer; crash = rebuildable. */
+  def appendToMinHashIndex(delta: DataFrame, idCol: String, textCol: String,
+                           indexDir: String): Unit = {
+    val spark = delta.sparkSession
+    val st = minHashIndexStats(spark, indexDir)
+    val sets = shingleSets(delta, idCol, textCol, st.getAs[Int]("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeIndexTables(sets, indexDir, st.getAs[Int]("k"),
+        st.getAs[Int]("bands"), st.getAs[Int]("doc_buckets"), mode = "append")
+      val nNew = sets.count()
+      // staged one-row stats swap (write aside, delete, rename — the
+      // lexical-index swap rule: the torn window is a namespace
+      // instant, never a partial table)
+      val fs = new org.apache.hadoop.fs.Path(indexDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = s"$indexDir/.stats.__staging__"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      import spark.implicits._
+      Seq((st.getAs[Long]("n_docs") + nNew, st.getAs[Int]("n"),
+          st.getAs[Int]("k"), st.getAs[Int]("bands"),
+          st.getAs[Int]("doc_buckets")))
+        .toDF("n_docs", "n", "k", "bands", "doc_buckets").coalesce(1)
+        .write.parquet(tmp)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$indexDir/stats"), true)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(tmp),
+          new org.apache.hadoop.fs.Path(s"$indexDir/stats")))
+        throw new java.io.IOException(
+          s"minhash index append: stats swap at $indexDir failed")
+    } finally sets.unpersist(blocking = false): Unit
+  }
+
+  /** Full near-dup pairs from the INDEX alone — identical output to
+    * [[minhashLsh]] on the indexed corpus (same shingle/signature/band
+    * math, so the same candidates and the same exact Jaccard): the
+    * rebuild-equality surface. The candidate self-join reads the
+    * SIGNATURE-sized bands table, never re-shingling the corpus; the
+    * verification join reads the sets table once (full self-dedup
+    * verifies corpus-wide pairs by meaning — the probe path below is
+    * the pruned read). Inherits [[minhashLsh]]'s uncapped O(bucket²)
+    * pair fan-out — the ext89 cap is the shipping guard for viral
+    * families; this surface exists for rebuild equality and scheduled
+    * full re-dedups. */
+  def lshPairsIndexed(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, threshold: Double = 0.8): DataFrame = {
+    val bandsT = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id"), col("band_idx"), col("band_hash"))
+    val candidates = graft.util.Caching.leased(bandsT) {
+      val l = bandsT.as("l"); val r = bandsT.as("r")
+      l.join(r,
+          col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_hash") === col("r.band_hash") &&
+          col("l.doc_id") < col("r.doc_id"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+        .distinct()
+    }
+    val sets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id"), col("hs"))
+    jaccardVerify(candidates, sets)
+      .filter(col("jaccard") >= threshold)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+  }
+
+  /** PROBE: near-dup pairs between `newDocs` (fresh, NOT yet indexed)
+    * and the indexed corpus — the incremental-dedup read path. The
+    * corpus is never re-shingled: its banded table equi-joins the
+    * delta's ~|delta|·bands band rows, and exact-Jaccard verification
+    * opens ONLY the `db` partition directories the candidate indexed
+    * ids hash to (the bounded ≤ docBuckets bucket collect becomes
+    * pushdown literals — the lexical-probe rule). Read ∝ delta +
+    * candidates; a daily batch probes a 100 TB corpus without
+    * touching it. Returns (doc_a = indexed id, doc_b = new id,
+    * jaccard ≥ threshold); delta-internal pairs are NOT probed — run
+    * [[appendToMinHashIndex]] then [[lshPairsIndexed]] (or the capped
+    * batch ops) for those. */
+  def probeMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexDir: String, newDocs: DataFrame,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.8): DataFrame = {
+    val st = minHashIndexStats(spark, indexDir)
+    val docBuckets = st.getAs[Int]("doc_buckets")
+    val newSets = shingleSets(newDocs, idCol, textCol, st.getAs[Int]("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val newBanded = banded(signaturesFromSets(newSets, st.getAs[Int]("k"))
+          .select(col("doc_id"), col("sig")), st.getAs[Int]("bands"))
+        .select(col("doc_id").as("doc_b"), col("band_idx"), col("band_hash"))
+      val idxBanded = spark.read.parquet(s"$indexDir/bands")
+        .select(col("doc_id").as("doc_a"), col("band_idx"), col("band_hash"))
+      // the delta side is the small one under the probe contract
+      // (delta ≪ corpus) — AQE broadcasts it at runtime; no explicit
+      // hint, so an unusually large delta degrades to a shuffle join
+      // instead of a broadcast OOM
+      val candidates = idxBanded
+        .join(newBanded, Seq("band_idx", "band_hash"))
+        .select(col("doc_a"), col("doc_b")).distinct()
+        // pinned: feeds the bucket collect AND the verify joins — and
+        // bounds both to the materialized candidate set
+        .localCheckpoint()
+      // bounded collect: ≤ docBuckets distinct values by construction
+      val dbVals: Seq[Any] = candidates
+        .select(pmod(col("doc_a"), lit(docBuckets.toLong)).cast("int").as("db"))
+        .distinct().collect().map(r => Int.box(r.getInt(0))).toSeq
+      val idxSets = spark.read.parquet(s"$indexDir/sets")
+        .filter(col("db").isin(dbVals: _*))
+        .select(col("doc_id").as("doc_a"), col("hs").as("ha"))
+      candidates
+        .join(idxSets, "doc_a")
+        .join(newSets.select(col("doc_id").as("doc_b"), col("hs").as("hb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ha"), col("hb"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") /
+            (size(col("ha")) + size(col("hb")) - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    } finally newSets.unpersist(blocking = false): Unit
+  }
+
   /** [[lshCandidates]] with a per-band BUCKET-SIZE CAP — the
     * family-explosion guard. Pair output per bucket is O(bucket²):
     * ScaleCheck measured ext03 at ~8.8× per 10× duplicated-content

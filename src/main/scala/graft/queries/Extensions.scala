@@ -5137,8 +5137,83 @@ ${OracleSql.InvIndex}
         },
         seekOracle))
 
+  /** Persisted MinHash-LSH index lifecycle (r14): the third persisted
+    * index tier (IVF ext81/ext148, lexical ext158–ext162, now LSH) —
+    * the shingle→signature→band derivation every [[Dedup.minhashLsh]]
+    * run re-pays is built once from a versioned corpus table's
+    * bootstrap CDC drain, the un-indexed delta is PROBED against it
+    * (new-vs-corpus candidates from the signature-sized bands table,
+    * Jaccard verification partition-pruned to the candidates' doc
+    * buckets — the corpus is never re-shingled), the delta drain then
+    * maintains the index in place (base files REQUIREd to survive by
+    * name), and the maintained index's full self-dedup shares ext03's
+    * exact all-pairs oracle verbatim — rebuild equality by shared
+    * oracle, the ext162 discipline. The probe is REQUIREd equal to
+    * the cross slice (exactly one endpoint in the delta) of the full
+    * truth. */
+  private def minhashIndexLifecycle: Seq[(String, Q)] = {
+    def oracleOf(name: String): Option[String] =
+      base.collectFirst { case (n, q) if n == name => q }.flatMap(_.oracle)
+    Seq(
+      "ext163_minhash_cdc" -> Q(
+        (s, d) => {
+          val root = s"/tmp/graft-fw/${d.replaceAll("[^A-Za-z0-9]", "_")}/mhcdc"
+          val p = new org.apache.hadoop.fs.Path(root)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+          val tbl = s"$root/tbl"; val ckpt = s"$root/ckpt"; val idx = s"$root/idx"
+          val corpus = docs(s, d).select(col("doc_id"), col("text"))
+          val isDelta = col("doc_id") % 5 === 2
+          graft.sinks.VersionedTable.commit(s, tbl, corpus.filter(!isDelta),
+            "overwrite")
+          val r1 = graft.streaming.Streams.drainVersionedChanges(s, tbl, ckpt) {
+            (df, _, _) => Dedup.writeMinHashIndex(
+              df.select(col("doc_id"), col("text")), "doc_id", "text", idx)
+          }
+          require(r1.contains((0L, 1L)),
+            s"ext163: the bootstrap drain must build from v1, got $r1")
+          val baseFiles = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$idx/bands/band_idx=*/part-*"))
+            .map(_.getPath.toString).toSet
+          // probe the UN-INDEXED delta against the indexed base —
+          // PINNED before the append mutates the index under the plan
+          val probed = Dedup.probeMinHashIndex(s, idx,
+              corpus.filter(isDelta), "doc_id", "text", threshold = 0.8)
+            .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+              greatest(col("doc_a"), col("doc_b")).as("doc_b"),
+              col("jaccard"))
+            .localCheckpoint()
+          graft.sinks.VersionedTable.commit(s, tbl, corpus.filter(isDelta),
+            "append")
+          val r2 = graft.streaming.Streams.drainVersionedChanges(s, tbl, ckpt) {
+            (df, _, _) => Dedup.appendToMinHashIndex(
+              df.select(col("doc_id"), col("text")), "doc_id", "text", idx)
+          }
+          require(r2.contains((1L, 2L)),
+            s"ext163: the delta drain must cover exactly the append commit, got $r2")
+          val afterFiles = fs.globStatus(
+            new org.apache.hadoop.fs.Path(s"$idx/bands/band_idx=*/part-*"))
+            .map(_.getPath.toString).toSet
+          require(baseFiles.subsetOf(afterFiles) &&
+            afterFiles.size > baseFiles.size,
+            "ext163: the delta append must add band files without " +
+              "rewriting a base file (delta-proportional bytes)")
+          val full = Dedup.lshPairsIndexed(s, idx, threshold = 0.8)
+          // the probe is exactly the cross slice of the full truth
+          val cross = full.filter(
+            (col("doc_a") % 5 === 2) =!= (col("doc_b") % 5 === 2))
+          require(probed.exceptAll(cross).isEmpty &&
+            cross.exceptAll(probed).isEmpty,
+            "ext163: the pre-append probe must equal the cross slice of " +
+              "the maintained index's full self-dedup")
+          full
+        },
+        oracleOf("ext03_minhash_lsh")))
+  }
+
   val all: Seq[(String, Q)] =
-    base ++ fixedPanelTwins ++ indexedPanelTwins ++ seekTwins
+    base ++ fixedPanelTwins ++ indexedPanelTwins ++ seekTwins ++
+      minhashIndexLifecycle
 
   /** ext152's full train+apply oracle — shared verbatim with the
     * streaming twin st53 (a def: referenced from the Seq above). */

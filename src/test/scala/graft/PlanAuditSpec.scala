@@ -128,7 +128,10 @@ class PlanAuditSpec extends SparkSpec {
     // CDC-fed index lifecycle: versioned commits + drains + the index
     // build/append run at construction; the probe's bounded token
     // collect is the ext158 class
-    "ext162_lexindex_cdc")
+    "ext162_lexindex_cdc",
+    // same lifecycle class for the persisted MinHash-LSH index (the
+    // probe's ≤ docBuckets bucket collect is the documented bound)
+    "ext163_minhash_cdc")
 
   test("no accidental CartesianProduct / BroadcastNestedLoopJoin in lazy plans") {
     val offenders = (Relational.all ++ Extensions.all ++ graft.queries.TpcH.all)
