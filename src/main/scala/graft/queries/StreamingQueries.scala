@@ -722,6 +722,44 @@ ${OracleSql.InvIndex}
              |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
              |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8""".stripMargin)),
 
+    // The PERSISTED-index probe on a stream (r14, the ext163 tier's
+    // streaming twin): the index is ETL-built once from the %5<>2
+    // corpus slice (writeMinHashIndex — bands + doc-bucketed sets +
+    // stats), then the %5=2 document stream probes it via the
+    // stream-static band join, never re-shingling the corpus. Oracle =
+    // st07's inverted-index exact cross-Jaccard with the %5 split —
+    // the same all-pairs truth restricted to (stream doc, indexed doc).
+    "st57_stream_minhash_probe" -> Q(
+      (s, d) => {
+        val root = scratch(s, d, "mh_probe")
+        val idx = s"$root/idx"
+        graft.operators.Dedup.writeMinHashIndex(
+          s.read.parquet(s"$d/documents.parquet")
+            .filter(col("doc_id") % 5 =!= 2)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", idx, n = 3, k = 128, bands = 32)
+        val probed = Streams.minhashIndexProbeStream(s, idx,
+          Streams.readDocumentsStream(s, d).filter(col("doc_id") % 5 === 2),
+          "doc_id", "text", threshold = 0.8)
+        Streams.runToMemory(s, probed, "st57_mh_probe", OutputMode.Append())
+      },
+      Some(raw"""WITH sh AS (
+             |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+             |           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+             |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '') AS w FROM documents)
+             |  WHERE len(w) >= 3
+${OracleSql.InvIndex}
+             |)
+             |SELECT ix.doc_id, ix.matched_bench_id,
+             |       round(i::DOUBLE / (st.n + sb.n - i), 6) AS jaccard
+             |FROM (SELECT t.doc_id, b.doc_id AS matched_bench_id, count(*) AS i
+             |      FROM inv t JOIN inv b
+             |        ON t.g = b.g AND t.doc_id % 5 = 2 AND b.doc_id % 5 <> 2
+             |      GROUP BY 1, 2) ix
+             |JOIN sz st ON st.doc_id = ix.doc_id
+             |JOIN sz sb ON sb.doc_id = ix.matched_bench_id
+             |WHERE i::DOUBLE / (st.n + sb.n - i) >= 0.8""".stripMargin)),
+
     // curation-on-a-stream: the quality-rules operator is a pure narrow
     // projection, so the SAME function runs unchanged on a streaming
     // frame — each surviving document is emitted row-for-row as it

@@ -451,6 +451,53 @@ object Streams {
     verifiedLeg(probeBanded(spark, dir, n, k, bands, None),
       benchIndex(spark, dir, n, k, bands, None), threshold)
 
+  /** [[graft.operators.Dedup.probeMinHashIndex]]'s STREAMING face:
+    * arriving documents near-dup-probe the PERSISTED
+    * [[graft.operators.Dedup.writeMinHashIndex]] index — candidates
+    * from a stream-static equi-join with the SIGNATURE-sized bands
+    * table, exact Jaccard against the sets table, parameters read
+    * from the index's own stats row (an index and its probes cannot
+    * disagree). Stateless except the per-pair dropDuplicates (the
+    * [[contaminationStream]] shape). Unlike contaminationStream —
+    * which re-derives its in-memory bench index from the corpus at
+    * every stream definition — the static sides here are the
+    * ETL-built parquet index: the corpus is never re-shingled, and at
+    * 100 TB the stream joins a bands table of ~bands × 16 B per doc.
+    * A long-lived production stream persists the two static frames
+    * (the [[contaminationStreamCapped]] release-handle discipline);
+    * this definition stays pure so bounded drains compose. */
+  def minhashIndexProbeStream(spark: SparkSession, indexDir: String,
+                              stream: DataFrame, idCol: String, textCol: String,
+                              threshold: Double = 0.8): DataFrame = {
+    import graft.operators.Dedup
+    val st = spark.read.parquet(s"$indexDir/stats").collect() match {
+      case Array(one) => one
+      case other => sys.error(
+        s"minhash index at $indexDir: stats must hold exactly one row, found ${other.length}")
+    }
+    val sBanded = Dedup.banded(
+        Dedup.shingleSets(
+            stream.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+            "doc_id", "text", st.getAs[Int]("n"))
+          .withColumn("sig",
+            call_function("minhash_sig", col("hs"), lit(st.getAs[Int]("k")))),
+        st.getAs[Int]("bands"))
+      .select(col("doc_id"), col("hs"), col("band_idx"), col("band_hash"))
+    val idxBands = spark.read.parquet(s"$indexDir/bands")
+      .select(col("doc_id").as("bench_id"), col("band_idx"), col("band_hash"))
+    val idxSets = spark.read.parquet(s"$indexDir/sets")
+      .select(col("doc_id").as("bench_id"), col("hs").as("bhs"))
+    val inter = size(array_intersect(col("hs"), col("bhs")))
+    val jac = inter.cast("double") /
+      (size(col("hs")) + size(col("bhs")) - inter)
+    sBanded.join(idxBands, Seq("band_idx", "band_hash"))
+      .join(idxSets, "bench_id")
+      .filter(jac >= threshold)
+      .select(col("doc_id"), col("bench_id").as("matched_bench_id"),
+        round(jac, 6).as("jaccard"))
+      .dropDuplicates("doc_id", "matched_bench_id")
+  }
+
   /** [[contaminationStream]] with the index-side family guard — the
     * streaming face of [[graft.operators.Dedup.contaminatedNearCapped]]:
     * a viral near-identical family INSIDE the benchmark index (many
