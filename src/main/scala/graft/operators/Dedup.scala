@@ -504,7 +504,6 @@ object Dedup {
                        n: Int = 3, k: Int = 128, bands: Int = 32,
                        threshold: Double = 0.8,
                        maxBucket: Int = 64): (DataFrame, DataFrame) = {
-    import org.apache.spark.sql.expressions.Window
     val sets = shingleSets(docs, idCol, textCol, n)
     graft.util.Caching.leased2(sets) {
       val (candidates, capped) =
@@ -512,15 +511,60 @@ object Dedup {
       val pairs = jaccardVerify(candidates, sets)
         .filter(col("jaccard") >= threshold)
         .withColumn("jaccard", round(col("jaccard"), 6))
-      val families = capped
-        .withColumn("bucket_min",
-          min(col("doc_id")).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_capped_buckets"),
-             max(col("bucket_size")).as("max_bucket_size"),
-             min(col("bucket_min")).as("family_rep"))
-      (pairs, families)
+      (pairs, cappedFamilies(capped))
     }
+  }
+
+  /** The capped-family report shared by every capped LSH form: one row
+    * per doc that hit an over-cap bucket — bucket count, worst bucket,
+    * family representative (min doc over its capped buckets). */
+  private def cappedFamilies(capped: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    capped
+      .withColumn("bucket_min",
+        min(col("doc_id")).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_capped_buckets"),
+           max(col("bucket_size")).as("max_bucket_size"),
+           min(col("bucket_min")).as("family_rep"))
+  }
+
+  /** [[minhashLshCapped]] evaluated at SEVERAL thresholds over ONE
+    * shingle→signature→band→verify pass (r14 optimization pass, guide
+    * §1.2 "don't compute things you throw away"): the threshold enters
+    * the pipeline only as the FINAL filter on the exact per-pair
+    * Jaccard, so a threshold ladder (dedup hierarchies, sensitivity
+    * sweeps) can share everything upstream. Returns the pair frame per
+    * threshold (in input order) plus the threshold-independent capped-
+    * family report. Each returned pair frame is VALUE-IDENTICAL to an
+    * independent `minhashLshCapped` run at that threshold: the shared
+    * verified base is filtered at the loosest tier on the UNROUNDED
+    * Jaccard, each tier re-filters unrounded then rounds — the exact
+    * operation order of the single-threshold form. The shared base is
+    * persisted (pairs-sized) and released once every returned frame has
+    * been consumed. */
+  def minhashLshCappedMulti(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, k: Int, bands: Int,
+                            thresholds: Seq[Double],
+                            maxBucket: Int): (Seq[DataFrame], DataFrame) = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val sets = shingleSets(docs, idCol, textCol, n)
+    sets.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (candidates, capped) =
+      lshCandidatesCapped(signaturesFromSets(sets, k), bands, maxBucket)
+    val verified = jaccardVerify(candidates, sets)
+      .filter(col("jaccard") >= thresholds.min)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perThreshold = thresholds.map { t =>
+      verified.filter(col("jaccard") >= t)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }
+    val families = cappedFamilies(capped)
+    graft.util.Caching.leasedAll(perThreshold :+ families) { () =>
+      sets.unpersist(blocking = false)
+      verified.unpersist(blocking = false)
+    }
+    (perThreshold, families)
   }
 
   /** [[contaminatedNear]] with the [[lshCandidatesCapped]] bucket cap —
@@ -1266,18 +1310,20 @@ object Dedup {
     * exactly those: each doc paired with the next few in sort order)
     * has diameter O(n) and silently exhausted maxIters before the
     * round-9 ext113 sf0.1 sweep caught it (cluster sizes off by 56).
-    * Pointer jumping halves the remaining distance per round — the
+    * Pointer jumping compresses the remaining distance per round — the
     * Shiloach-Vishkin shortcutting, same O(log n) behavior as the
-    * large-star/small-star rewiring of Kiveris et al. (SoCC'14) with
-    * one extra nodes-sized join per round. The jump is ADAPTIVE (r10):
-    * rounds 0-1 run the plain neighbor step only (clique-ish near-dup
-    * families converge there and never pay the jump's second
-    * materialization — the ext90 gate drift); from round 2 on, a graph
+    * large-star/small-star rewiring of Kiveris et al. (SoCC'14). The
+    * r14 optimization pass applies TWO compression levels per round
+    * (both against the materialized post-hook mapping — see the loop
+    * comment for why pre-hook compression stalls), cutting rounds from
+    * ~2 + log2(diameter) toward ~2 + log3(diameter). The jump is
+    * ADAPTIVE (r10): rounds 0-1 run the plain neighbor step only
+    * (clique-ish near-dup families converge there and never pay the
+    * jump joins — the ext90 gate drift); from round 2 on, a graph
     * still iterating has real diameter and every round jumps. Schedule
-    * cannot change results (unique fixpoint), only round counts: a
-    * chain closes in ~2 + log2(n) rounds. Non-convergence at maxIters
-    * FAILS LOUDLY instead of returning a partially-propagated labeling
-    * as if it were the answer.
+    * cannot change results (unique fixpoint), only round counts.
+    * Non-convergence at maxIters FAILS LOUDLY instead of returning a
+    * partially-propagated labeling as if it were the answer.
     *
     * Scale shape: every per-round operation — join labels to edges on the
     * source endpoint, min-aggregate messages by destination, join back to
@@ -1294,64 +1340,120 @@ object Dedup {
     * see that method's doc. */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // The edge frame feeds one join PER ROUND on `src`: persist it
+    // ALREADY hash-partitioned on the join key, so every round's join
+    // reuses the cached partitioning and only the (nodes-sized) labels
+    // side shuffles (guide §2.4 — two operations keyed the same way
+    // share one exchange; at 100 TB this is "bucket the edge table").
+    // The edge frame feeds one join PER HOP on `src`: persist it
+    // ALREADY hash-partitioned on the join key, so every hop's join
+    // reuses the cached partitioning and only the (nodes-sized) labels
+    // side shuffles (guide §2.4 — two operations keyed the same way
+    // share one exchange; at 100 TB this is "bucket the edge table").
+    // SELF-LOOPS are appended for every node: a hop is then a bare
+    // edges⋈labels + min-aggregate — the self-loop delivers a node's
+    // own label, so no carry join back onto the labels frame is needed
+    // and the labels frame is referenced exactly ONCE per hop. That
+    // single-reference shape is what lets several hops chain inside one
+    // materialized round below without re-executing anything.
+    // ONE traversal of the (often expensive: LSH/SNM-derived) pairs
+    // plan: each pair explodes into forward, reverse and both self
+    // edges before the single distinct — the r13 form's union of two
+    // selects executed the pairs plan twice
+    val edges = pairs.select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_a").as("src"), col("doc_a").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
+      .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var (labels, labelsCp) = materializeReset(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")))
+    // one min-label hop: every node takes the min label over itself
+    // (self-loop) and its neighbors — labels only decrease, toward the
+    // component minimum
+    def hop(cur: DataFrame): DataFrame =
+      edges.join(cur.select(col("id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("id")).agg(min(col("label")).as("label"))
+    // r14 optimization pass, measured on the sf0.1 ext113 SNM graph
+    // (47-48 rounds under every 1-hop schedule tried, including the r10
+    // one): the binding constraint on scattered-id chain graphs is NOT
+    // pointer-chain length but the WAVE SPEED of the component minimum
+    // through successive local-minima gaps — a label that is the
+    // minimum of its own reach is a fixpoint of any parent map, so
+    // pointer compression alone cannot cross the gap faster than one
+    // edge per step. Two levers compose: (a) each round from round 2 on
+    // fuses HOPS_PER_ROUND plain hops into ONE materialization (the
+    // self-loop shape makes the chained plan linear — wave speed ×4 per
+    // round at one job), and (b) the classic fresh pointer jump (two
+    // compression levels against the materialized post-hook mapping)
+    // still collapses the long pointer chains that monotone-id
+    // components build (the 300-link chain spec: ~8 rounds). The
+    // fixpoint is unique, so the SCHEDULE cannot change results — only
+    // round counts. Rounds 0-1 stay single-hop, no jump (ADAPTIVE,
+    // r10): clique-ish near-dup families converge there and never pay
+    // the heavier round (the ext90 gate drift, adjudicated 2.03x).
+    val hopsPerRound = 8
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val msgs = edges.join(labels.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("nbr_min"))
-      // materialize the neighbor step BEFORE the pointer-jump self-join,
-      // or the edges-join + min-aggregate plan executes twice per round
-      // (once per side of the self-join)
-      val (stepped, steppedCp) = materializeReset(
-        labels.select(col("id"), col("label").as("old_label"))
-          .join(msgs, Seq("id"), "left")
-          .select(col("id"), col("old_label"),
-            least(col("old_label"), coalesce(col("nbr_min"), col("old_label"))).as("label")))
-      // pointer jump: label := its label's label (labels are node ids,
-      // monotonically decreasing toward the component min, so the
-      // parent row always exists and compression never overshoots).
-      // ADAPTIVE (r10): the jump is a second materialization + self-join
-      // per round, and the near-dup graphs this runs on most (clique-ish
-      // families) converge in <= 2 plain rounds — for them the jump is
-      // pure fixed overhead (the ext90 gate drift, adjudicated 2.03x).
-      // Rounds 0-1 run the plain neighbor step; jumping kicks in from
-      // round 2, where a still-unconverged graph has real diameter and
-      // halving pays: a chain still closes in ~2 + log2(n) rounds (the
-      // ext113 contract). The fixpoint is unique, so the SCHEDULE cannot
-      // change results — only round counts.
-      val (next, nextCp) =
-        if (it < 2) (stepped, steppedCp)
-        else {
-          val (n, c) = materializeReset(stepped
-            .join(stepped.select(col("id").as("label"),
-              col("label").as("parent_label")), Seq("label"), "left")
+      val base = labels.select(col("id"), col("label").as("old_label"))
+      if (it < 2) {
+        val (next, nextCp) = materializeReset(
+          base.join(hop(labels), Seq("id"), "left")
             .select(col("id"), col("old_label"),
-              least(col("label"), coalesce(col("parent_label"), col("label")))
-                .as("label")))
-          // stepped is superseded by the jumped frame
-          graft.util.Caching.freeCheckpoint(steppedCp)
-          (n, c)
-        }
-      converged = next.filter(col("label") =!= col("old_label")).isEmpty
-      // `next` is materialized: the superseded previous labels (and on
-      // jump rounds the intermediate stepped frame, freed above) release
-      // their block-manager storage now — without this a deep component
-      // leaves dead label-frame copies per round in storage until RDD
-      // GC. The LAST labels checkpoint stays alive: the returned plan
-      // reads it lazily.
-      graft.util.Caching.freeCheckpoint(labelsCp)
-      labels = next.select(col("id"), col("label"))
-      labelsCp = nextCp
+              coalesce(col("label"), col("old_label")).as("label")))
+        converged = next.filter(col("label") =!= col("old_label")).isEmpty
+        graft.util.Caching.freeCheckpoint(labelsCp)
+        labels = next.select(col("id"), col("label"))
+        labelsCp = nextCp
+      } else {
+        val multi = Iterator.iterate(labels.select(col("id"), col("label")))(hop)
+          .drop(hopsPerRound).next()
+        // every node has a self-loop, so `multi` covers the full node
+        // universe — the old-label carry is a plain equi-join
+        val (stepped, steppedCp) = materializeReset(
+          base.join(multi, Seq("id"), "left")
+            .select(col("id"), col("old_label"),
+              coalesce(col("label"), col("old_label")).as("label")))
+        // fresh pointer jump: label := its label's label, two levels,
+        // both against the MATERIALIZED post-hop mapping (a flat
+        // LogicalRDD: each reference rescans cached blocks — the jump
+        // is two nodes-sized joins, never another pass over the edges)
+        val parents = stepped.select(col("id").as("label"),
+          col("label").as("parent_label"))
+        val j1 = stepped.join(parents, Seq("label"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("label"), coalesce(col("parent_label"), col("label")))
+              .as("label"))
+        val j2 = j1.join(parents, Seq("label"), "left")
+          .select(col("id"), col("old_label"),
+            least(col("label"), coalesce(col("parent_label"), col("label")))
+              .as("label"))
+        val (next, nextCp) = materializeReset(j2)
+        // stepped is superseded by the jumped frame
+        graft.util.Caching.freeCheckpoint(steppedCp)
+        converged = next.filter(col("label") =!= col("old_label")).isEmpty
+        graft.util.Caching.freeCheckpoint(labelsCp)
+        labels = next.select(col("id"), col("label"))
+        labelsCp = nextCp
+      }
+      // in both branches `next` is materialized before the superseded
+      // previous labels checkpoint is freed — without that a deep
+      // component leaves dead label-frame copies per round in storage
+      // until RDD GC. The LAST labels checkpoint stays alive: the
+      // returned plan reads it lazily.
       it += 1
     }
     edges.unpersist(blocking = false)
+    // convergence observability (r14): rounds is THE cost driver of this
+    // operator (each round = one materialization + one probe job), so a
+    // tuning pass must see it without instrumenting
+    graft.log.Log.info("clusters converged", "rounds" -> it.toString,
+      "max_iters" -> maxIters.toString)
     if (!converged) {
       // release the final labels checkpoint before failing: nothing will
       // ever read it, and the session keeps running after the error

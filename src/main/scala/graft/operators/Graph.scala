@@ -76,11 +76,24 @@ object Graph {
       .agg(sum(col("w")).as("out_deg"))
     val inDeg = e.groupBy(col("dst").as("node"))
       .agg(sum(col("w")).as("in_deg"))
-    // node universe = endpoints of either side
+    // node universe = endpoints of either side; checkpointed ALREADY
+    // hash-partitioned on the per-iteration join key so the ranks-side
+    // join reuses the captured partitioning (LogicalRDD preserves it)
     val nodes = outDeg.select(col("node"))
       .unionByName(inDeg.select(col("node"))).distinct()
+      .repartition(col("node"))
       .localCheckpoint(true) // referenced twice per iteration + finish
+    // r14 optimization pass: `degreed` (the edge list joined to its
+    // out-degrees) is LOOP-INVARIANT, but the r13 form re-ran the
+    // out-degree aggregation and the e⋈outDeg join inside every
+    // iteration's plan — two shuffles per iteration of pure recompute.
+    // Materialize it ONCE, hash-partitioned on `src`, so each iteration
+    // is exactly: ranks shuffle to src ⋈ cached degreed → groupBy(dst)
+    // → join back to nodes (guide §2.4). Edges-sized, same scale
+    // contract as `e` itself (at 100 TB: bucket the edge table by src).
     val degreed = e.join(outDeg.withColumnRenamed("node", "src"), "src")
+      .repartition(col("src"))
+      .localCheckpoint(true)
 
     var ranks = nodes.withColumn("r", lit(1000000L))
     // a superseded iteration checkpoint frees as soon as the NEXT one
@@ -120,7 +133,7 @@ object Graph {
         coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"))
       .localCheckpoint(true)
-    (Seq(e, nodes) ++ lastCp).foreach(graft.util.Caching.freeCheckpoint)
+    (Seq(e, nodes, degreed) ++ lastCp).foreach(graft.util.Caching.freeCheckpoint)
     result
   }
 
@@ -232,17 +245,39 @@ object Graph {
     // `deg` feeds the orientation joins plus the final report. Without a
     // lease each scan re-runs the edge build — measured 19.1 s → 5.5 s
     // at sf0.1 (1.16 M co-order edges) from persisting exactly these
-    // two. Leased, not bare-persisted: blocks release once the returned
-    // plan is consumed (m- and n-sized frames, safe at any scale — the
-    // 100 TB form would bucket the oriented edge table on `u` instead).
-    Caching.leased(dir, deg) {
+    // two. Persist + explicit consumption lease (not Caching.leased:
+    // the m-count action below would trip that lease's release before
+    // the real consumers run); blocks release once the returned plan is
+    // consumed (m- and n-sized frames, safe at any scale — the 100 TB
+    // form would bucket the oriented edge table on `u` instead).
+    dir.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // r14 optimization pass (guide §3.1 — pick the join strategy
+    // deliberately): the closure probe joins the O(m^1.5) wedge set
+    // against the m-sized oriented edge list, and the wedge join's
+    // output IS that wedge set — under the default sort-merge plan the
+    // single largest exchange in the whole operator is the wedge set
+    // shuffled by (v1, v2). When the oriented edge list fits a
+    // broadcast, ship IT instead and the wedge set never crosses an
+    // exchange at all: wedge build and closure probe fuse into one
+    // broadcast-hash stage. The decision is SIZE-ADAPTIVE, not a blind
+    // hint: m is counted on the already-persisted frame (one cheap
+    // scan), and past the threshold (conf graft.triangles.broadcastMaxEdges,
+    // default 4M edges ≈ 100 MB built relation) the plan degrades to
+    // the former shuffle form — never an OOM-by-hint at scale.
+    val m = dir.count()
+    val maxBcast = try dir.sparkSession.conf
+      .get("graft.triangles.broadcastMaxEdges", "4000000").toLong
+    catch { case _: NumberFormatException => 4000000L }
+    val dirMaybeBcast = if (m <= maxBcast) broadcast(dir) else dir
+    val out = {
       val wedges = dir.select(col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
-        .join(dir.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2")),
+        .join(dirMaybeBcast.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2")),
           Seq("u"))
         .filter(col("dv1") < col("dv2") ||
           (col("dv1") === col("dv2") && col("v1") < col("v2")))
       val tri = wedges.join(
-        dir.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+        dirMaybeBcast.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
         .select(col("u").as("x"), col("v1").as("y"), col("v2").as("z"))
       val perNode = tri
         .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
@@ -251,6 +286,9 @@ object Graph {
         .select(col("node"), col("deg"),
           coalesce(col("tri"), lit(0L)).as("tri"),
           expr("CAST(deg * (deg - 1) DIV 2 AS BIGINT)").as("max_wedges"))
+    }
+    Caching.releaseOnConsumed(out, Seq(dir, deg)) { () =>
+      dir.unpersist(blocking = false); deg.unpersist(blocking = false)
     }
   }
 }

@@ -1800,13 +1800,27 @@ ${OracleSql.Components}
       (s, d) => {
         val all = docs(s, d)
         val old = all.filter(col("doc_id") % 2 === 0)
-        val oldLabels = Dedup.clusters(old, "doc_id",
-          Dedup.minhashLsh(old, "doc_id", "text", n = 3, k = 128,
-            bands = 32, threshold = 0.8))
-        val newTouching = Dedup.minhashLsh(all, "doc_id", "text", n = 3,
+        // r14 optimization pass (guide §1.2 — don't compute things
+        // twice): the r13 form ran the full LSH derivation TWICE (once
+        // over the even-id corpus, once over everything). One pass
+        // suffices, provably: signatures are per-doc projections
+        // (corpus-independent), and band buckets emit ALL pairs within
+        // the bucket, so the even-only run's pair set is EXACTLY the
+        // full run's pairs restricted to even endpoints — filter
+        // commutes with the bucket self-join. Pair-sized persist,
+        // consumed by both (eager) component runs, released below.
+        val lshAll = Dedup.minhashLsh(all, "doc_id", "text", n = 3,
             k = 128, bands = 32, threshold = 0.8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val oldLabels = Dedup.clusters(old, "doc_id",
+          lshAll.filter(col("doc_a") % 2 === 0 && col("doc_b") % 2 === 0))
+        val newTouching = lshAll
           .filter(col("doc_a") % 2 === 1 || col("doc_b") % 2 === 1)
-        Dedup.clustersIncremental(all, "doc_id", oldLabels, newTouching)
+        val out = Dedup.clustersIncremental(all, "doc_id", oldLabels, newTouching)
+        // both component runs are eager, so the pair frame is fully
+        // consumed by the time clustersIncremental returns
+        lshAll.unpersist(blocking = false)
+        out
       },
       Some(raw"""WITH RECURSIVE sh AS MATERIALIZED (
              |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
@@ -3957,18 +3971,29 @@ ${OracleSql.InvIndex}
     "ext147_dedup_hierarchy" -> Q(
       (s, d) => {
         val all = docs(s, d)
-        def famAt(t: Double, out: String) = {
-          // the capped pipeline (the ext27 scale discipline): verdicts
-          // provably equal the uncapped ones below the cap, and a viral
-          // family can never explode the pair output
-          val (pairs, families) = Dedup.minhashLshCapped(all, "doc_id",
-            "text", n = 3, k = 128, bands = 32, threshold = t, maxBucket = 64)
+        // r14 optimization pass. (1) The three tiers share ONE
+        // shingle→signature→band→verify pass: the threshold is only the
+        // final filter on the exact per-pair Jaccard, so the r13 form
+        // recomputed the whole corpus-linear LSH derivation three times
+        // for provably identical upstream results
+        // (minhashLshCappedMulti — per-tier pairs value-identical to
+        // the independent runs, DedupSpec pins it). (2) The three
+        // component loops are independent EAGER pipelines over the
+        // capped pipeline (the ext27 scale discipline: verdicts
+        // provably equal the uncapped ones below the cap, and a viral
+        // family can never explode the pair output) — run them
+        // concurrently (guide §2.6) instead of back to back.
+        val (tiers, families) = Dedup.minhashLshCappedMulti(all, "doc_id",
+          "text", n = 3, k = 128, bands = 32,
+          thresholds = Seq(0.7, 0.8, 0.9), maxBucket = 64)
+        def famAt(pairs: DataFrame, out: String)(): DataFrame =
           Dedup.clusters(all, "doc_id", Dedup.cappedEdges(pairs, families))
             .select(col("doc_id"), col("cluster_id").as(out))
-        }
-        famAt(0.7, "fam70")
-          .join(famAt(0.8, "fam80"), "doc_id")
-          .join(famAt(0.9, "fam90"), "doc_id")
+        val Seq(f70, f80, f90) = graft.util.Par.run(Seq(
+          famAt(tiers(0), "fam70") _,
+          famAt(tiers(1), "fam80") _,
+          famAt(tiers(2), "fam90") _))
+        f70.join(f80, "doc_id").join(f90, "doc_id")
       },
       Some(dedupHierarchyOracle(Seq(0.7, 0.8, 0.9)))),
 
@@ -4087,19 +4112,24 @@ ${OracleSql.InvIndex}
     "ext143_tokenizer_bakeoff" -> Q(
       (s, d) => {
         val all = docs(s, d)
-        val bpe = TextAnalysis.bpeSegment(all, "doc_id", "text", iters = 8)
-          .select(col("doc_id"), col("n_words"),
-            col("n_subwords").as("bpe_subwords"))
-        val wp = TextAnalysis.wordpieceSegment(all, "doc_id", "text", iters = 8)
-          .select(col("doc_id"), col("n_subwords").as("wp_subwords"))
+        // r14 optimization pass (guide §2.6): the three trainers are
+        // independent EAGER training loops (per-merge/per-iteration
+        // driver rounds); run them concurrently so one trainer's tiny
+        // per-round jobs back-fill the cores the others leave idle.
         // r11 verdict #5: the THIRD trainer joins the bakeoff — unigram
         // fertility over ITS OWN segmentable-word denominator (each
         // model's fertility is per-model; bpe/wp share a word filter by
         // construction, unigram's apply join defines its own)
-        val ug = TextAnalysis.unigramSegment(all, "doc_id", "text",
-            vocabSize = 64, iters = 1)
-          .select(col("doc_id"), col("n_words").as("ug_words"),
-            col("n_subwords").as("ug_subwords"))
+        val Seq(bpe, wp, ug) = graft.util.Par.run(Seq(
+          () => TextAnalysis.bpeSegment(all, "doc_id", "text", iters = 8)
+            .select(col("doc_id"), col("n_words"),
+              col("n_subwords").as("bpe_subwords")),
+          () => TextAnalysis.wordpieceSegment(all, "doc_id", "text", iters = 8)
+            .select(col("doc_id"), col("n_subwords").as("wp_subwords")),
+          () => TextAnalysis.unigramSegment(all, "doc_id", "text",
+              vocabSize = 64, iters = 1)
+            .select(col("doc_id"), col("n_words").as("ug_words"),
+              col("n_subwords").as("ug_subwords"))))
         bpe.join(wp, "doc_id").join(ug, "doc_id")
           .join(all.select(col("doc_id"), col("source")), "doc_id")
           .groupBy(col("source"))
@@ -4749,7 +4779,9 @@ ${OracleSql.InvIndex}
         val full = graft.operators.Clustering.ivfAssign(
           graft.sinks.VersionedTable.read(s, corpusLoc),
           "vec_id", "embedding", index)
-        require(folded.exceptAll(full).isEmpty && full.exceptAll(folded).isEmpty,
+        // one action instead of two: both directions empty ⟺ their
+        // union is empty (r14 optimization pass — same check, one job)
+        require(folded.exceptAll(full).unionAll(full.exceptAll(folded)).isEmpty,
           "ext148: incremental fold must equal the full reassignment below the drift threshold")
         // the honesty valve: a shifted distribution must demand a refit
         val shifted = delta.select(col("vec_id"),
@@ -5202,8 +5234,9 @@ ${OracleSql.InvIndex}
           // the probe is exactly the cross slice of the full truth
           val cross = full.filter(
             (col("doc_a") % 5 === 2) =!= (col("doc_b") % 5 === 2))
-          require(probed.exceptAll(cross).isEmpty &&
-            cross.exceptAll(probed).isEmpty,
+          // one action instead of two: both directions empty ⟺ their
+          // union is empty (r14 optimization pass — same check, one job)
+          require(probed.exceptAll(cross).unionAll(cross.exceptAll(probed)).isEmpty,
             "ext163: the pre-append probe must equal the cross slice of " +
               "the maintained index's full self-dedup")
           full

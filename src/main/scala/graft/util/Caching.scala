@@ -65,6 +65,16 @@ object Caching {
     (a, b)
   }
 
+  /** Register `release` to run once EVERY frame in `outputs` has been
+    * consumed by a completed action (or after the action-count
+    * backstop) — the requireAll lease for operators returning an
+    * arbitrary number of frames over shared persisted intermediates
+    * (e.g. the multi-threshold capped LSH: one pair frame per
+    * threshold plus the family report). The caller persists its
+    * intermediates itself and passes the matching unpersists here. */
+  def leasedAll(outputs: Seq[DataFrame])(release: () => Unit): Unit =
+    registerLease(outputs.head.sparkSession, outputs, requireAll = true)(release)
+
   /** The lease mechanism generalized over the RELEASE action: run
     * `release` once the session completes an action whose analyzed plan
     * contains one of `watched`'s plans (or after the action-count
