@@ -1299,169 +1299,135 @@ object Dedup {
     * verdict for the corpus. The fixpoint is unique (component minimum),
     * so the result is deterministic regardless of iteration schedule.
     *
-    * Algorithm: min-label propagation WITH per-round pointer jumping —
-    * each round every vertex takes the minimum label among itself and
-    * its neighbors, then compresses one level (label := label's label,
-    * a labels-frame self-join; labels only ever decrease toward the
-    * component minimum, so compression is safe at any schedule). The
-    * neighbor step alone converges in O(component diameter) rounds —
-    * fine for the shallow clique-ish near-dup families this was built
-    * for, but a CHAIN component (sorted-neighborhood blocking produces
-    * exactly those: each doc paired with the next few in sort order)
-    * has diameter O(n) and silently exhausted maxIters before the
-    * round-9 ext113 sf0.1 sweep caught it (cluster sizes off by 56).
-    * Pointer jumping compresses the remaining distance per round — the
-    * Shiloach-Vishkin shortcutting, same O(log n) behavior as the
-    * large-star/small-star rewiring of Kiveris et al. (SoCC'14). The
-    * r14 optimization pass applies TWO compression levels per round
-    * (both against the materialized post-hook mapping — see the loop
-    * comment for why pre-hook compression stalls), cutting rounds from
-    * ~2 + log2(diameter) toward ~2 + log3(diameter). The jump is
-    * ADAPTIVE (r10): rounds 0-1 run the plain neighbor step only
-    * (clique-ish near-dup families converge there and never pay the
-    * jump joins — the ext90 gate drift); from round 2 on, a graph
-    * still iterating has real diameter and every round jumps. Schedule
-    * cannot change results (unique fixpoint), only round counts.
-    * Non-convergence at maxIters FAILS LOUDLY instead of returning a
-    * partially-propagated labeling as if it were the answer.
+    * Algorithm (r15): alternating LARGE-STAR / SMALL-STAR edge
+    * contraction — Kiveris et al., "Connected Components in MapReduce
+    * and Beyond" (SoCC'14). Each round rewrites the edge set itself:
     *
-    * Scale shape: every per-round operation — join labels to edges on the
-    * source endpoint, min-aggregate messages by destination, join back to
-    * labels — is equality-keyed on the EDGE set, whose size is the number
-    * of near-dup pairs, orders of magnitude below corpus size. The corpus
-    * itself is touched exactly once, in the final left join keyed by
-    * doc_id (AQE broadcasts the label side when the dup graph is small).
-    * Each round materializes labels via eager localCheckpoint: lineage
-    * would otherwise double per iteration and the fixpoint check would
-    * re-execute the whole history each round. The checkpoint is wrapped
-    * in [[materializeReset]] — checkpoint-carried sizeInBytes SQUARES
-    * per round here (labels enter the next round's plan twice) and the
-    * resulting BigInt stats arithmetic hangs the driver past ~12 rounds;
-    * see that method's doc. */
+    *   large-star: every node u computes m = min over itself and its
+    *     neighborhood, and each STRICTLY LARGER neighbor v is rewired to
+    *     m — emit (v, m) for v ∈ Γ(u), v > u. Each undirected edge is
+    *     emitted exactly once (from its smaller endpoint's view), so
+    *     connectivity is preserved and all edges stay (larger, smaller).
+    *   small-star: every node u (over its now strictly-smaller
+    *     neighborhood) computes m = min Γ(u), and every neighbor AND u
+    *     itself are rewired to m — emit (v, m) for v ∈ Γ(u) ∪ {u},
+    *     dropping the (m, m) self-loop.
+    *
+    * The fixpoint of the pair is a disjoint union of stars centered at
+    * each component's MINIMUM (a non-min center would have a smaller
+    * child, which large-star rewires), detected by an exact structural
+    * probe: no source has two targets and no node is both source and
+    * target. This replaces the r10–r14 min-label propagation: label
+    * waves cross one edge per hop — on a scattered-id chain the r14
+    * 8-hop schedule still needed rounds ∝ diameter/8 (ext113: 9 rounds
+    * ≈ 55 sequential stages) — whereas contraction rewires edges
+    * DIRECTLY to the running minimum, halving distances every round
+    * regardless of id order: rounds ≈ log(diameter), and each round is
+    * ONE linear materialization (window → window → distinct, 3
+    * exchanges) instead of a 17-exchange hop chain plus jump joins.
+    * Schedule cannot change results (unique fixpoint — component
+    * minimum), only round counts. Non-convergence at maxIters FAILS
+    * LOUDLY instead of returning a partially-contracted edge set as if
+    * it were the answer.
+    *
+    * Scale shape: every per-round operation is keyed on the EDGE set,
+    * whose size is the number of near-dup pairs, orders of magnitude
+    * below corpus size, and never grows past the undirected edge count
+    * (large-star emits one edge per input edge; small-star adds at most
+    * one per source node before the distinct). The corpus itself is
+    * touched exactly once, in the final left join keyed by doc_id (AQE
+    * broadcasts the label side when the dup graph is small). Each round
+    * materializes the contracted edges via eager localCheckpoint:
+    * lineage would otherwise double per iteration and the fixpoint
+    * check would re-execute the whole history each round. The
+    * checkpoint is wrapped in [[materializeReset]] — checkpoint-carried
+    * sizeInBytes stats otherwise compound per round and the BigInt
+    * stats arithmetic hangs the driver past ~12 rounds; see that
+    * method's doc. */
   def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                maxIters: Int = 50): DataFrame = {
-    // The edge frame feeds one join PER ROUND on `src`: persist it
-    // ALREADY hash-partitioned on the join key, so every round's join
-    // reuses the cached partitioning and only the (nodes-sized) labels
-    // side shuffles (guide §2.4 — two operations keyed the same way
-    // share one exchange; at 100 TB this is "bucket the edge table").
-    // The edge frame feeds one join PER HOP on `src`: persist it
-    // ALREADY hash-partitioned on the join key, so every hop's join
-    // reuses the cached partitioning and only the (nodes-sized) labels
-    // side shuffles (guide §2.4 — two operations keyed the same way
-    // share one exchange; at 100 TB this is "bucket the edge table").
-    // SELF-LOOPS are appended for every node: a hop is then a bare
-    // edges⋈labels + min-aggregate — the self-loop delivers a node's
-    // own label, so no carry join back onto the labels frame is needed
-    // and the labels frame is referenced exactly ONCE per hop. That
-    // single-reference shape is what lets several hops chain inside one
-    // materialized round below without re-executing anything.
-    // ONE traversal of the (often expensive: LSH/SNM-derived) pairs
-    // plan: each pair explodes into forward, reverse and both self
-    // edges before the single distinct — the r13 form's union of two
-    // selects executed the pairs plan twice
-    val edges = pairs.select(explode(array(
-        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_a").as("dst")),
-        struct(col("doc_a").as("src"), col("doc_a").as("dst")),
-        struct(col("doc_b").as("src"), col("doc_b").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .repartition(col("src"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsCp) = materializeReset(
-      edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
-    // one min-label hop: every node takes the min label over itself
-    // (self-loop) and its neighbors — labels only decrease, toward the
-    // component minimum
-    def hop(cur: DataFrame): DataFrame =
-      edges.join(cur.select(col("id").as("src"), col("label")), "src")
-        .groupBy(col("dst").as("id")).agg(min(col("label")).as("label"))
-    // r14 optimization pass, measured on the sf0.1 ext113 SNM graph
-    // (47-48 rounds under every 1-hop schedule tried, including the r10
-    // one): the binding constraint on scattered-id chain graphs is NOT
-    // pointer-chain length but the WAVE SPEED of the component minimum
-    // through successive local-minima gaps — a label that is the
-    // minimum of its own reach is a fixpoint of any parent map, so
-    // pointer compression alone cannot cross the gap faster than one
-    // edge per step. Two levers compose: (a) each round from round 2 on
-    // fuses HOPS_PER_ROUND plain hops into ONE materialization (the
-    // self-loop shape makes the chained plan linear — wave speed ×4 per
-    // round at one job), and (b) the classic fresh pointer jump (two
-    // compression levels against the materialized post-hook mapping)
-    // still collapses the long pointer chains that monotone-id
-    // components build (the 300-link chain spec: ~8 rounds). The
-    // fixpoint is unique, so the SCHEDULE cannot change results — only
-    // round counts. Rounds 0-1 stay single-hop, no jump (ADAPTIVE,
-    // r10): clique-ish near-dup families converge there and never pay
-    // the heavier round (the ext90 gate drift, adjudicated 2.03x).
-    val hopsPerRound = 8
+    import org.apache.spark.sql.expressions.Window
+    // Canonical edge set: one row per pair, LARGER endpoint first, no
+    // self-loops. ONE traversal of the (often expensive: LSH/SNM-derived)
+    // pairs plan; no pre-distinct — duplicate pairs cannot change any
+    // window minimum, and round 1's closing distinct dedups them for
+    // every later round. The frame is consumed exactly once (inside
+    // round 1's materialization), so unlike the r14 hop scheme nothing
+    // is persisted up front.
+    val e0 = pairs.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+    var edges = e0
+    var edgesCp: DataFrame = null
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val base = labels.select(col("id"), col("label").as("old_label"))
-      if (it < 2) {
-        val (next, nextCp) = materializeReset(
-          base.join(hop(labels), Seq("id"), "left")
-            .select(col("id"), col("old_label"),
-              coalesce(col("label"), col("old_label")).as("label")))
-        converged = next.filter(col("label") =!= col("old_label")).isEmpty
-        graft.util.Caching.freeCheckpoint(labelsCp)
-        labels = next.select(col("id"), col("label"))
-        labelsCp = nextCp
-      } else {
-        val multi = Iterator.iterate(labels.select(col("id"), col("label")))(hop)
-          .drop(hopsPerRound).next()
-        // every node has a self-loop, so `multi` covers the full node
-        // universe — the old-label carry is a plain equi-join
-        val (stepped, steppedCp) = materializeReset(
-          base.join(multi, Seq("id"), "left")
-            .select(col("id"), col("old_label"),
-              coalesce(col("label"), col("old_label")).as("label")))
-        // fresh pointer jump: label := its label's label, two levels,
-        // both against the MATERIALIZED post-hop mapping (a flat
-        // LogicalRDD: each reference rescans cached blocks — the jump
-        // is two nodes-sized joins, never another pass over the edges)
-        val parents = stepped.select(col("id").as("label"),
-          col("label").as("parent_label"))
-        val j1 = stepped.join(parents, Seq("label"), "left")
-          .select(col("id"), col("old_label"),
-            least(col("label"), coalesce(col("parent_label"), col("label")))
-              .as("label"))
-        val j2 = j1.join(parents, Seq("label"), "left")
-          .select(col("id"), col("old_label"),
-            least(col("label"), coalesce(col("parent_label"), col("label")))
-              .as("label"))
-        val (next, nextCp) = materializeReset(j2)
-        // stepped is superseded by the jumped frame
-        graft.util.Caching.freeCheckpoint(steppedCp)
-        converged = next.filter(col("label") =!= col("old_label")).isEmpty
-        graft.util.Caching.freeCheckpoint(labelsCp)
-        labels = next.select(col("id"), col("label"))
-        labelsCp = nextCp
-      }
-      // in both branches `next` is materialized before the superseded
-      // previous labels checkpoint is freed — without that a deep
-      // component leaves dead label-frame copies per round in storage
-      // until RDD GC. The LAST labels checkpoint stays alive: the
-      // returned plan reads it lazily.
+      // LARGE-STAR: both orientations (single explode — one pass over the
+      // materialized edges), then per source u the window minimum over
+      // its full neighborhood; every larger neighbor is rewired to it.
+      // Output rows stay (larger, smaller): m ≤ u < v.
+      val both = edges.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val large = both
+        .withColumn("m", least(col("u"), min(col("v")).over(Window.partitionBy("u"))))
+        .where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // SMALL-STAR: targets are now all smaller than their source, so the
+      // window minimum IS the new parent; each neighbor and the source
+      // itself are rewired to it. The (m, m) self-loop is dropped, the
+      // duplicated (u, m) rows collapse in the distinct.
+      val small = large
+        .withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+        .select(explode(array(
+          struct(col("v").as("c"), col("m").as("p")),
+          struct(col("u").as("c"), col("m").as("p")))).as("e"))
+        .select(col("e.c").as("u"), col("e.p").as("v"))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      // windows and explodes reference their child exactly once, so the
+      // whole round is ONE linear plan — one materialization, 3 exchanges
+      val (next, nextCp) = materializeReset(small)
+      // exact structural fixpoint probe (one aggregation job): the edge
+      // set is a disjoint union of min-rooted stars ⟺ no source has two
+      // targets AND no node is both source and target (a chain). Both
+      // conditions fold into one marker aggregation over the edge ends.
+      val marks = next.select(explode(array(
+          struct(col("u").as("n"), lit(1L).as("s"), lit(0L).as("t")),
+          struct(col("v").as("n"), lit(0L).as("s"), lit(1L).as("t")))).as("e"))
+        .select(col("e.n").as("n"), col("e.s").as("s"), col("e.t").as("t"))
+      converged = marks.groupBy("n")
+        .agg(sum(col("s")).as("srcs"), sum(col("t")).as("tgts"))
+        .where(col("srcs") > 1 || (col("srcs") > 0 && col("tgts") > 0))
+        .isEmpty
+      // `next` is materialized before the superseded previous edge
+      // checkpoint is freed — without that a deep component leaves dead
+      // edge-frame copies per round in storage until RDD GC. The LAST
+      // checkpoint stays alive: the returned plan reads it lazily.
+      if (edgesCp != null) graft.util.Caching.freeCheckpoint(edgesCp)
+      edges = next
+      edgesCp = nextCp
       it += 1
     }
-    edges.unpersist(blocking = false)
     // convergence observability (r14): rounds is THE cost driver of this
     // operator (each round = one materialization + one probe job), so a
     // tuning pass must see it without instrumenting
     graft.log.Log.info("clusters converged", "rounds" -> it.toString,
       "max_iters" -> maxIters.toString)
     if (!converged) {
-      // release the final labels checkpoint before failing: nothing will
+      // release the final edges checkpoint before failing: nothing will
       // ever read it, and the session keeps running after the error
-      graft.util.Caching.freeCheckpoint(labelsCp)
+      if (edgesCp != null) graft.util.Caching.freeCheckpoint(edgesCp)
       sys.error(
-        s"clusters: min-label propagation did not converge in $maxIters rounds " +
-          "— component diameter exceeds the budget even with pointer jumping")
+        s"clusters: star contraction did not converge in $maxIters rounds " +
+          "— component structure exceeds the budget")
     }
+    // the converged edge set is (child → component-min root); roots
+    // appear only as targets, so labels = children ∪ dedup'd roots
+    val labels = edges.select(col("u").as("id"), col("v").as("label"))
+      .unionAll(edges.select(col("v").as("id"), col("v").as("label")).distinct())
     val sizes = labels.groupBy(col("label").as("sz_label"))
       .agg(count(lit(1)).as("sz"))
     docs.select(col(idCol).as("doc_id"))

@@ -451,24 +451,25 @@ ${OracleSql.InvIndex}
 
     // Embedding second-moment (Gram) matrix for whitening/PCA prep:
     // integer-quantized exact sums over every dimension pair. The pair
-    // expansion happens INSIDE a projection (flatten/transform over the
+    // expansion happens INSIDE a projection (native gram_cells over the
     // row's own vector — d(d+1)/2 = 2080 structs per row, no self-join),
     // and the groupBy has ≤ 2080 keys, so partial aggregation collapses
     // each partition to one matrix before the shuffle — the map-side-
     // combine shape that makes n·d² explode rows cost zero network.
+    // r15: the cell generator is the native [[graft.functions.GramCells]]
+    // expression (one primitive loop per row) replacing a nested
+    // flatten/transform/transform HOF whose lambdas the interpreted
+    // evaluator ran once per cell — value-identical incl. null elements.
     // cov_num = n·Sxy − Sx·Sy is the exact integer covariance numerator
     // (divide by n² offline for the sample covariance).
     "ext110_gram_matrix" -> Q(
       (s, d) => {
+        graft.sql.GraftExtensions.ensureRegistered(s)
         val q = s.read.parquet(s"$d/embeddings.parquet")
           .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
           .select(expr(
             "transform(embedding, x -> CAST(floor(x * 64 + 0.5) AS BIGINT))").as("q"))
-        val cells = q.select(explode(expr(
-          """flatten(transform(sequence(0, size(q) - 1), i ->
-            |  transform(sequence(i, size(q) - 1), j ->
-            |    struct(i AS i, j AS j, q[i] * q[j] AS xy, q[i] AS x, q[j] AS y))))"""
-            .stripMargin)).as("c"))
+        val cells = q.select(explode(call_function("gram_cells", col("q"))).as("c"))
           .select(col("c.i"), col("c.j"), col("c.xy"), col("c.x"), col("c.y"))
         cells.groupBy(col("i"), col("j"))
           .agg(count(lit(1)).as("n"), sum(col("xy")).as("sxy"),

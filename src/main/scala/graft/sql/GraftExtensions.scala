@@ -126,6 +126,12 @@ object GraftExtensions {
           s"hilbert_index expects (array<bigint>, bits), got ${children.size} args")
         graft.functions.HilbertIndex(children.head, litInt(children(1), "hilbert_index bits"))
       }),
+    (new FunctionIdentifier("gram_cells"),
+      new ExpressionInfo(classOf[graft.functions.GramCells].getName, "gram_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, s"gram_cells expects (array<bigint>), got ${children.size} args")
+        graft.functions.GramCells(children.head)
+      }),
     (new FunctionIdentifier("misra_gries_weighted"),
       new ExpressionInfo(classOf[graft.functions.MisraGries].getName, "misra_gries_weighted"),
       (children: Seq[Expression]) => {

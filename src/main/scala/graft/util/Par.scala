@@ -18,9 +18,17 @@ package graft.util
   * bench/verify harness is unchanged).
   */
 object Par {
+  /** Driver threads in flight at once: enough to fill stage tails, not so
+    * many that concurrent jobs fight for executors (guide §2.6: "2-3 jobs
+    * in flight is plenty"). Excess thunks queue FIFO on the pool — results
+    * stay position-stable — so a wide caller cannot spawn an unbounded
+    * thread-per-thunk fleet of eager job loops (r14 verdict hardening). */
+  private val MaxPool = 4
+
   def run[A](thunks: Seq[() => A]): Seq[A] = {
     if (thunks.sizeIs <= 1) return thunks.map(_())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(thunks.size, MaxPool))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
     try scala.concurrent.Await.result(

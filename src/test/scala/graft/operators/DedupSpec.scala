@@ -716,6 +716,45 @@ class DedupSpec extends SparkSpec {
     assert(got.count(_.getAs[Boolean]("is_keeper")) == 1)
   }
 
+  test("clusters: scattered-id chain converges exactly (star contraction)") {
+    import spark.implicits._
+    // chain whose ids are a deterministic permutation — the component min
+    // sits mid-chain and ids are non-monotone along it, the shape where
+    // label waves crossed one edge per hop (the r14 8-hop schedule needed
+    // rounds ∝ diameter/8 on ext113's SNM graph). Star contraction must
+    // still label every node with the global min and count all of them.
+    val n = 257
+    val perm = (0 until n).map(i => ((i.toLong * 97L + 31L) % 1000003L))
+    val pairs = (0 until n - 1).map(i => (perm(i), perm(i + 1)))
+      .toDF("doc_a", "doc_b")
+    val docs = perm.toDF("doc_id")
+    val expectedMin = perm.min
+    val got = Dedup.clusters(docs, "doc_id", pairs).collect()
+    assert(got.length == n)
+    assert(got.forall(_.getAs[Long]("cluster_id") == expectedMin))
+    assert(got.forall(_.getAs[Long]("cluster_size") == n.toLong))
+    assert(got.count(_.getAs[Boolean]("is_keeper")) == 1)
+  }
+
+  test("clusters: duplicate and reversed pairs don't distort sizes") {
+    import spark.implicits._
+    // the same undirected edge arriving multiple times and in both
+    // orientations (multipass SNM does this) must not double-count
+    // members — the contraction round dedups edges, and labels cover
+    // each node exactly once
+    val pairs = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L))
+      .toDF("doc_a", "doc_b")
+    val docs = Seq(1L, 2L, 3L, 9L).toDF("doc_id")
+    val r = Dedup.clusters(docs, "doc_id", pairs).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Long]("cluster_id"), x.getAs[Long]("cluster_size"),
+          x.getAs[Boolean]("is_keeper")))).toMap
+    assert(r(1L) == ((1L, 3L, true)))
+    assert(r(2L) == ((1L, 3L, false)))
+    assert(r(3L) == ((1L, 3L, false)))
+    assert(r(9L) == ((9L, 1L, true)))
+  }
+
   test("sortedNeighborhoodMultiPass: suffix pass restores prefix-divergent pairs") {
     import spark.implicits._
     // docs 100 and 200 share their whole tail but diverge at the first
