@@ -28,3 +28,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Per-flag A/B hook (r15, guide §9 one-flag-at-a-time benches): extra
+// -D system properties for the forked run JVM, e.g.
+//   SPARK_GRAFT_EXTRA_JAVA_OPTS="-Dspark.sql.join.preferSortMergeJoin=false"
+// SparkConf loads spark.* system properties, so a candidate session
+// config can be benched on IDENTICAL code. Unset → identical JVM.
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+  .map(_.trim.split("\\s+").toSeq.filter(_.nonEmpty)).getOrElse(Seq.empty)

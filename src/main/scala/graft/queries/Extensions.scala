@@ -4775,6 +4775,12 @@ ${OracleSql.InvIndex}
           delta, "vec_id", "embedding", index, baseline, maxDriftMilli = 2000)
         require(!inc.refitNeeded,
           s"ext148: in-distribution delta must sit under the drift threshold, read ${inc.driftMilli}")
+        // (r15 negative result, kept for the record: eagerly
+        // localCheckpoint-ing `folded` and `full` to dedup their lazy
+        // re-executions measured WORSE — focused median-of-5 5.24 s →
+        // 7.57 s — the two extra SERIAL materialization jobs cost more
+        // than the duplicate in-job evaluations they saved on these
+        // cheap nodes-sized frames. Reverted; do not retry.)
         val folded = fitAssign.unionByName(inc.assignments)
         // the fold == reassigning the whole corpus (exact integer space)
         val full = graft.operators.Clustering.ivfAssign(
@@ -5231,7 +5237,13 @@ ${OracleSql.InvIndex}
             afterFiles.size > baseFiles.size,
             "ext163: the delta append must add band files without " +
               "rewriting a base file (delta-proportional bytes)")
+          // r15 (guide §1.2 — don't compute things three times): the
+          // full self-dedup fed BOTH sides of the equality REQUIRE (two
+          // executions inside the one union job) and was then returned
+          // as the query output (a third). One pairs-sized eager
+          // checkpoint; the REQUIRE and the returned plan read it.
           val full = Dedup.lshPairsIndexed(s, idx, threshold = 0.8)
+            .localCheckpoint()
           // the probe is exactly the cross slice of the full truth
           val cross = full.filter(
             (col("doc_a") % 5 === 2) =!= (col("doc_b") % 5 === 2))
